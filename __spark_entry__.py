@@ -1,38 +1,823 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` maps SURVEY.md §2's operator inventory (plus the extended
+training-data-pipeline operators) onto the TESTDATA tables; `oracle_sql()`
+gives the DuckDB-runnable ANSI-SQL twin of each.  Column names and value
+arithmetic are kept cross-engine identical (md5-based hashing, element-wise
+double casts, explicit rounding) so the driver's order-insensitive
+value-hash matches bit-for-bit.
+
+Entries without an oracle (crc32/murmur hashing, LSH internals that would
+need non-SQL state) are listed in `queries()` only → rows-only check.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MD5I = "(('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15))::BIGINT)"
 
 
+def _md5i(x: str) -> str:
+    return MD5I.format(x=x)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.session import read_events
+
+    return read_events(spark, sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship
+# ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: MinHash-LSH near-duplicate detection over documents —
+    candidate generation via banded signatures, exact Jaccard verification."""
+    from singer_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Singer-parity queries (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+def _s1_thrift_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2: encode documents as TFramedTransport+TBinaryProtocol LogMessage
+    blobs (with CRC-32, key, timestamp), then decode via the engine's framing
+    codec and verify checksums — a full codec round trip per Arrow batch."""
+    import pandas as pd
+
+    from singer_spark.framing import decode_frames, encode_log_message
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), False),
+    ])
+
+    def roundtrip(batches):
+        for pdf in batches:
+            blob = b"".join(
+                encode_log_message(
+                    message=text.encode("utf-8"),
+                    key=str(int(doc_id)).encode("ascii"),
+                    timestamp_nanos=int(doc_id) * 1_000_000,
+                    with_crc=True,
+                )
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            )
+            rows = []
+            for key, msg, ts, crc, off in decode_frames(blob, max_message_size=1_000_000):
+                import zlib
+
+                assert crc is not None and (zlib.crc32(msg) & 0xFFFFFFFF) == crc
+                rows.append((int(key.decode("ascii")), msg.decode("utf-8")))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(roundtrip, schema)
+
+
+def _s3_text_framing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4: multi-line message framing by messageStartRegex, run through
+    the engine's real framer (tokens-as-lines, '^the$' starts a message)."""
+    import pandas as pd
+
+    from singer_spark.framing import frame_text
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("n_messages", LongType(), False),
+    ])
+
+    def frame(batches):
+        for pdf in batches:
+            rows = [
+                (int(doc_id), len(frame_text(text.replace(" ", "\n"), r"^the$")))
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "n_messages"])
+
+    return _docs(spark, sf_dir).select("doc_id", "text").mapInPandas(frame, schema)
+
+
+def _t1_filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.transforms import filter_message_regex
+
+    return filter_message_regex(_docs(spark, sf_dir), "text", r"\bspark\b").select("doc_id", "lang")
+
+
+def _t2_regex_modifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.transforms import regex_based_modifier
+
+    return _events(spark, sf_dir).select(
+        "event_id",
+        regex_based_modifier("props", r'\{"k": (\d*[02468])\}', "k=$1").alias("modified"),
+    )
+
+
+def _t3_prepend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.transforms import prepend_fields
+
+    return _events(spark, sf_dir).select(
+        "event_id",
+        prepend_fields(
+            "event_type",
+            [F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit("host-01")],
+            "|",
+        ).alias("value"),
+    )
+
+
+def _t4_trim_newline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.transforms import trim_trailing_newline
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(trim_trailing_newline(F.concat(F.col("text"), F.lit("\n")))).cast("bigint").alias("len_after"),
+    )
+
+
+def _t5_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.transforms import inject_headers, standard_headers
+
+    base = _events(spark, sf_dir).withColumn(
+        "basename", F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+    )
+    headed = inject_headers(
+        base, standard_headers(file_col=F.col("basename"), hostname="host-01", availability_zone="us-east-1a")
+    )
+    return headed.select(
+        "event_id",
+        F.col("headers")["hostname"].cast("string").alias("h_hostname"),
+        F.col("headers")["availabilityZone"].cast("string").alias("h_az"),
+        F.col("headers")["file"].cast("string").alias("h_file"),
+    )
+
+
+def _t7_message_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.transforms import message_id
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.hex(message_id(F.col("source"), F.col("doc_id"))).alias("mid_hex")
+    )
+
+
+def _t8_crc32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRC-32 set + verify (Spark-built-in crc32; no DuckDB analog → rows-only)."""
+    from singer_spark.transforms import verify_checksum, with_checksum
+
+    checked = with_checksum(_docs(spark, sf_dir).withColumn("value", F.col("text")), "value")
+    return verify_checksum(checked, "value").select("doc_id", "checksum")
+
+
+def _t9_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.transforms import sample_messages
+
+    return sample_messages(_docs(spark, sf_dir), "doc_id", 25).select("doc_id")
+
+
+def _t11_oversize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.transforms import drop_oversize
+
+    return drop_oversize(_docs(spark, sf_dir), "text", 300).select("doc_id", "n_chars")
+
+
+def _p2_crc32_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.partitioners import crc32_partitioner
+
+    return _cust(spark, sf_dir).select(
+        "c_custkey", crc32_partitioner(F.col("c_name"), 32).alias("partition")
+    )
+
+
+def _p3_murmur_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.partitioners import murmur_partitioner
+
+    return _cust(spark, sf_dir).select(
+        "c_custkey", murmur_partitioner(F.col("c_name"), 32).alias("partition")
+    )
+
+
+def _p4_md5_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.partitioners import md5_partitioner
+
+    return _cust(spark, sf_dir).select(
+        "c_custkey", md5_partitioner(F.col("c_name"), 32).alias("partition")
+    )
+
+
+def _p5_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.partitioners import round_robin_ordered
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.select(
+        "o_orderkey", round_robin_ordered(F.col("o_orderkey"), 16).alias("partition")
+    )
+
+
+def _p6_single_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.partitioners import single_partition_partitioner
+
+    return _cust(spark, sf_dir).select(
+        "c_custkey", single_partition_partitioner(F.col("c_name"), 32, pinned=3).alias("partition")
+    )
+
+
+def _p7_fixed_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.partitioners import fixed_partitions_partitioner
+
+    return _cust(spark, sf_dir).select(
+        "c_custkey",
+        fixed_partitions_partitioner(F.col("c_name"), 32, subset=[2, 5, 11], deterministic=True).alias("partition"),
+    )
+
+
+def _b5_audit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: per-batch delivery accounting — the reference's only aggregation
+    (AuditMessage.numMessages per topic)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.col("source").alias("topic"))
+        .agg(F.count("*").alias("numMessages"))
+    )
+
+
+def _logstream_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogStream file ordering: (last-modified asc, name desc) with a
+    deterministic tiebreak — common/LogStream.java:179-184."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("source").desc(), F.col("doc_id").asc())
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.row_number().over(w).cast("bigint").alias("pos"))
+        .filter(F.col("pos") <= 50)
+    )
+
+
+def _w5_s3_key_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: S3 object-key templating ({{LOGNAME}}/%{date}/... shape) as a
+    distributed column expression."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        F.concat(
+            F.lit("raw/"), F.col("event_type"), F.lit("/"),
+            F.date_format("ts", "yyyy/MM/dd"), F.lit("/part-"),
+            F.col("event_id").cast("string"),
+        ).alias("s3_key"),
+    )
+
+
+def _events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (scalar-function surface §2.7)."""
+    return _events(spark, sf_dir).select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics (Catalyst surface; bench headliners)
+# ---------------------------------------------------------------------------
+def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import q1_pricing_summary
+
+    return q1_pricing_summary(spark, sf_dir)
+
+
+def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import q3_shipping_priority
+
+    return q3_shipping_priority(spark, sf_dir)
+
+
+def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import q5_region_revenue
+
+    return q5_region_revenue(spark, sf_dir)
+
+
+def _window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import top_orders_per_customer
+
+    return top_orders_per_customer(spark, sf_dir)
+
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import sessionize_events
+
+    return sessionize_events(spark, sf_dir)
+
+
+def _hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import hourly_event_rollup
+
+    return hourly_event_rollup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Extended: dedup / similarity / text analysis / multimodal
+# ---------------------------------------------------------------------------
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=4, threshold=0.5)
+
+
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), k=4, num_hashes=8, bands=4, threshold=0.5)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.similarity import lsh_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
+
+
+def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.text_analysis import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.text_analysis import quality_features
+
+    return quality_features(_docs(spark, sf_dir))
+
+
+def _text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.text_analysis import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.text_analysis import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.multimodal import documents_as_media, media_metadata
+
+    return media_metadata(documents_as_media(_docs(spark, sf_dir)))
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.multimodal import documents_as_media, extract_image_features
+
+    feats = extract_image_features(documents_as_media(_docs(spark, sf_dir)))
+    return feats.select("media_id", F.col("byte_len").cast("bigint").alias("byte_len"), "sha_prefix")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # sources / framing (S1-S4)
+        "s1_thrift_roundtrip": _s1_thrift_roundtrip,
+        "s3_text_framing": _s3_text_framing,
+        # transforms (T1-T11)
+        "t1_filter_regex": _t1_filter_regex,
+        "t2_regex_modifier": _t2_regex_modifier,
+        "t3_prepend": _t3_prepend,
+        "t4_trim_newline": _t4_trim_newline,
+        "t5_headers": _t5_headers,
+        "t7_message_id": _t7_message_id,
+        "t8_crc32": _t8_crc32,
+        "t9_sampling": _t9_sampling,
+        "t11_oversize": _t11_oversize,
+        # partitioners (P2-P7)
+        "p2_crc32_partitioner": _p2_crc32_partitioner,
+        "p3_murmur_partitioner": _p3_murmur_partitioner,
+        "p4_md5_partitioner": _p4_md5_partitioner,
+        "p5_round_robin": _p5_round_robin,
+        "p6_single_partition": _p6_single_partition,
+        "p7_fixed_partitions": _p7_fixed_partitions,
+        # batching / audit / ordering / sinks (B5, LogStream, W5)
+        "b5_audit_count": _b5_audit_count,
+        "logstream_order": _logstream_order,
+        "w5_s3_key_template": _w5_s3_key_template,
+        "events_json_extract": _events_json_extract,
+        # relational analytics
+        "q1_pricing_summary": _q1,
+        "q3_shipping_priority": _q3,
+        "q5_region_revenue": _q5,
+        "window_top_orders": _window_top_orders,
+        "sessionize_events": _sessionize,
+        "hourly_event_rollup": _hourly_rollup,
+        # dedup
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        # similarity
+        "sim_bruteforce_topk": _sim_bruteforce_topk,
+        "sim_lsh_ann": _sim_lsh_ann,
+        "embedding_near_dup": _embedding_near_dup,
+        # text analysis
+        "text_lang_id": _text_lang_id,
+        "text_quality": _text_quality,
+        "text_token_count": _text_token_count,
+        "text_fingerprint": _text_fingerprint,
+        # multimodal plumbing
+        "multimodal_meta": _multimodal_meta,
+        "multimodal_features": _multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+_SHINGLES4 = (
+    "list_distinct([array_to_string(t[i:i+3], ' ') "
+    "for i in range(1, greatest(len(t)-3, 1)+1)])"
+)
+
+_SH_CTE = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES4}) AS s FROM toks),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n    ".join(
+        f"min({_md5i(chr(39) + str(i) + ':' + chr(39) + ' || s')}) AS h{i}" for i in range(8)
+    )
+    bands = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, h{2*bi}::VARCHAR || '_' || h{2*bi+1}::VARCHAR AS key FROM sigs"
+        for bi in range(4)
+    )
+    return f"""
+WITH {_SH_CTE},
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS ({bands}),
+cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM buckets l JOIN buckets r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+shared AS (SELECT id_a, id_b, count(*) AS shared
+           FROM cand JOIN sh a ON a.doc_id = id_a
+                     JOIN sh b ON b.doc_id = id_b AND a.s = b.s
+           GROUP BY id_a, id_b)
+SELECT id_a, id_b, floor(shared / (sa.n + sb.n - shared) * 10000 + 0.5) / 10000 AS jaccard
+FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE shared / (sa.n + sb.n - shared) >= 0.5
+"""
+
+
+def _simhash_oracle() -> str:
+    h = _md5i("x")
+    return f"""
+WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+hs AS (SELECT doc_id, list_transform(t, x -> {h} % 4294967296) AS h FROM toks),
+sigs AS (SELECT doc_id,
+  list_sum([CASE WHEN 2 * len(list_filter(h, v -> (v >> j) & 1 = 1)) > len(h)
+            THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 32)])::BIGINT AS sig
+  FROM hs),
+chunks AS (SELECT doc_id, sig, c, (sig >> (c * 8)) & 255 AS v
+           FROM sigs, (SELECT unnest(range(4)) AS c)),
+cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                l.sig AS sa, r.sig AS sb
+         FROM chunks l JOIN chunks r ON l.c = r.c AND l.v = r.v AND l.doc_id < r.doc_id)
+SELECT DISTINCT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+def _lsh_ann_oracle() -> str:
+    """Replicates similarity.lsh_ann_topk exactly: same md5-derived ±1
+    hyperplanes (inlined as literals), same buckets, same re-rank."""
+    def plane(t: int, p: int) -> str:
+        vals = []
+        for d in range(64):
+            hx = hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()
+            vals.append("1.0" if int(hx[:15], 16) % 2 == 0 else "-1.0")
+        return "[" + ",".join(vals) + "]"
+
+    def bucket(t: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane(t, p)}) > 0 THEN {2**p} ELSE 0 END)"
+            for p in range(8)
+        )
+        return f"({terms})::BIGINT"
+
+    tables = "\n    UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS t, {bucket(t)} AS b FROM e" for t in range(4)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+hashed AS ({tables}),
+qb AS (SELECT * FROM hashed WHERE vec_id < 10),
+cand AS (SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS neighbor_id,
+                qb.v AS qv, c.v AS cv
+         FROM hashed c JOIN qb ON c.t = qb.t AND c.b = qb.b AND c.vec_id <> qb.vec_id),
+scored AS (SELECT query_id, neighbor_id,
+  floor(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM cand),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+SELECT query_id, neighbor_id, rank::INT AS rank, cosine FROM r WHERE rank <= 5
+"""
+
+
+def _near_dup_oracle() -> str:
+    def plane(t: int, p: int) -> str:
+        vals = []
+        for d in range(64):
+            hx = hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()
+            vals.append("1.0" if int(hx[:15], 16) % 2 == 0 else "-1.0")
+        return "[" + ",".join(vals) + "]"
+
+    def bucket(t: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane(t, p)}) > 0 THEN {2**p} ELSE 0 END)"
+            for p in range(8)
+        )
+        return f"({terms})::BIGINT"
+
+    tables = "\n    UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS t, {bucket(t)} AS b FROM e" for t in range(4)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+hashed AS ({tables}),
+cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b, l.v AS va, r.v AS vb
+         FROM hashed l JOIN hashed r ON l.t = r.t AND l.b = r.b AND l.vec_id < r.vec_id)
+SELECT id_a, id_b,
+  floor(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) * 1000000 + 0.5) / 1000000 AS cosine
+FROM cand
+WHERE floor(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) * 1000000 + 0.5) / 1000000 >= 0.45
+"""
+
+
+def _lang_id_oracle() -> str:
+    from singer_spark.operators.text_analysis import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    scores = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        scores.append(
+            f"floor(len(list_filter(t, x -> list_contains([{words}], x))) / greatest(len(t), 1) * 1000000 + 0.5) / 1000000 AS score_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    score_cols = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+scored AS (SELECT doc_id, {', '.join(scores)} FROM toks)
+SELECT doc_id, CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END AS predicted_lang, {score_cols}
+FROM scored
+"""
+
+
+def _quality_oracle() -> str:
+    from singer_spark.operators.text_analysis import ENGLISH_STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+    string_split(text, ' ') AS t,
+    len(string_split(text, ' ')) AS n_tokens,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+  FROM documents),
+g AS (
+  SELECT doc_id, n_tokens,
+    (n_chars - (n_tokens - 1)) / greatest(n_tokens, 1) AS mean_token_len,
+    len(list_distinct(t)) / greatest(n_tokens, 1) AS distinct_ratio,
+    len(list_filter(t, x -> list_contains([{stop}], x))) / greatest(n_tokens, 1) AS stop_ratio,
+    n_punct / greatest(n_chars, 1) AS punct_ratio,
+    n_digit / greatest(n_chars, 1) AS digit_ratio
+  FROM f)
+SELECT doc_id,
+  n_tokens::INT AS n_tokens,
+  floor(mean_token_len * 10000 + 0.5) / 10000 AS mean_token_len,
+  floor(distinct_ratio * 10000 + 0.5) / 10000 AS distinct_ratio,
+  floor(stop_ratio * 10000 + 0.5) / 10000 AS stopword_ratio,
+  floor(punct_ratio * 10000 + 0.5) / 10000 AS punct_ratio,
+  floor(digit_ratio * 10000 + 0.5) / 10000 AS digit_ratio,
+  floor((least(n_tokens / 200.0, 1.0) * 0.25
+      + distinct_ratio * 0.25
+      + least(stop_ratio * 5.0, 1.0) * 0.25
+      + (1 - least(punct_ratio * 10.0, 1.0)) * 0.15
+      + (1 - least(digit_ratio * 10.0, 1.0)) * 0.10) * 10000 + 0.5) / 10000 AS quality_score
+FROM g
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    md5i_doc = _md5i("doc_id")
+    md5i_cname = _md5i("c_name")
+    return {
+        "s1_thrift_roundtrip": "SELECT doc_id, text FROM documents",
+        "s3_text_framing": """
+            SELECT doc_id,
+                   (1 + len(list_filter(string_split(text, ' ')[2:], x -> x = 'the')))::BIGINT AS n_messages
+            FROM documents""",
+        "t1_filter_regex": r"SELECT doc_id, lang FROM documents WHERE regexp_matches(text, '\bspark\b')",
+        "t2_regex_modifier": r"""
+            SELECT event_id,
+                   CASE WHEN regexp_matches(props, '\{"k": (\d*[02468])\}')
+                        THEN regexp_replace(props, '\{"k": (\d*[02468])\}', 'k=\1')
+                        ELSE props END AS modified
+            FROM events""",
+        "t3_prepend": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') || '|' || 'host-01' || '|' || event_type AS value
+            FROM events""",
+        "t4_trim_newline": r"""
+            SELECT doc_id, length(regexp_replace(text || chr(10), '\n$', ''))::BIGINT AS len_after
+            FROM documents""",
+        "t5_headers": """
+            SELECT event_id, 'host-01' AS h_hostname, 'us-east-1a' AS h_az,
+                   'events.parquet' AS h_file
+            FROM events""",
+        "t7_message_id": """
+            SELECT doc_id,
+                   upper(substr(md5(source), 1, 16) || printf('%016x', doc_id)) AS mid_hex
+            FROM documents""",
+        "t9_sampling": f"SELECT doc_id FROM documents WHERE {md5i_doc} % 100 < 25",
+        "t11_oversize": "SELECT doc_id, n_chars FROM documents WHERE length(text) <= 300",
+        "p4_md5_partitioner": f"""
+            SELECT c_custkey, ({md5i_cname} % 32)::INT AS partition FROM customer""",
+        "p5_round_robin": """
+            SELECT o_orderkey,
+                   ((row_number() OVER (ORDER BY o_orderkey) - 1) % 16)::INT AS partition
+            FROM orders""",
+        "p6_single_partition": "SELECT c_custkey, 3::INT AS partition FROM customer",
+        "p7_fixed_partitions": f"""
+            SELECT c_custkey,
+                   ([2, 5, 11][({md5i_cname} % 3 + 1)::INT])::INT AS partition
+            FROM customer""",
+        "b5_audit_count": "SELECT source AS topic, count(*) AS numMessages FROM documents GROUP BY source",
+        "logstream_order": """
+            SELECT doc_id, pos FROM (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY n_chars ASC, source DESC, doc_id ASC)::BIGINT AS pos
+              FROM documents) WHERE pos <= 50""",
+        "w5_s3_key_template": """
+            SELECT event_id,
+                   'raw/' || event_type || '/' || strftime(ts, '%Y/%m/%d') || '/part-' || event_id::VARCHAR AS s3_key
+            FROM events""",
+        "events_json_extract": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events""",
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "q3_shipping_priority": """
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10""",
+        "q5_region_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey AND n_nationkey = s_nationkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name""",
+        "window_top_orders": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rnk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::INT AS rnk
+              FROM orders) WHERE rnk <= 3""",
+        "sessionize_events": """
+            WITH w AS (
+              SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+                     WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000 THEN 1
+                     ELSE 0 END AS new_session
+              FROM events),
+            s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq FROM w)
+            SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
+                   round(sum(value), 2) AS session_value,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+            FROM s GROUP BY user_id, session_seq""",
+        "hourly_event_rollup": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY date_trunc('hour', ts), event_type""",
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, md5(text) AS sig, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)""",
+        "dedup_ngram_jaccard": f"""
+            WITH {_SH_CTE},
+            pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b, floor(shared / (sa.n + sb.n - shared) * 10000 + 0.5) / 10000 AS jaccard
+            FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+            WHERE shared / (sa.n + sb.n - shared) >= 0.5""",
+        "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_simhash": _simhash_oracle(),
+        "sim_bruteforce_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                floor(list_dot_product(q.v, c.v) /
+                      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) * 1000000 + 0.5) / 1000000 AS cosine
+              FROM q, e c WHERE c.vec_id <> q.vec_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+                  FROM scored)
+            SELECT query_id, neighbor_id, rank::INT AS rank, cosine FROM r WHERE rank <= 5""",
+        "sim_lsh_ann": _lsh_ann_oracle(),
+        "embedding_near_dup": _near_dup_oracle(),
+        "text_lang_id": _lang_id_oracle(),
+        "text_quality": _quality_oracle(),
+        "text_token_count": r"""
+            SELECT doc_id,
+              len(regexp_split_to_array(text, '\s+'))::INT AS ws_tokens,
+              len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::INT AS subword_pieces,
+              (len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+               + list_sum(list_transform(string_split(text, ' '), x -> (length(x) // 6)::BIGINT)))::INT AS bpe_estimate
+            FROM documents""",
+        "text_fingerprint": f"""
+            WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents)
+            SELECT doc_id, md5(norm) AS fp_md5,
+              list_reduce(
+                list_prepend(0::BIGINT,
+                  list_transform(string_split(norm, ' '), x -> {_md5i('x')} % 1099511627776)),
+                (a, b) -> (a * 31 + b) % 1099511627776) AS fp_rolling
+            FROM n""",
+        "multimodal_meta": """
+            SELECT doc_id AS media_id, 'image' AS media_type,
+                   octet_length(encode(text))::INT AS byte_len, md5(text) AS content_md5
+            FROM documents""",
+        "multimodal_features": """
+            SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS byte_len,
+                   substr(sha256(text), 1, 16) AS sha_prefix
+            FROM documents""",
+    }

@@ -1,0 +1,60 @@
+"""Delivery-audit protocol — reference parity for SURVEY.md §2.4 B5 / §2.6 W9.
+
+The reference emits one AuditMessage(timestamp, hostname, topic, numMessages)
+per written batch to a side Kafka topic (singer_if.thrift:32-41,
+writer/KafkaWriter.java:641-693); the e2e correctness oracle is
+"audit-topic count == messages written" (e2e/SingerEndToEndTest.java:67-117).
+
+Here the audit row is produced inside foreachBatch AFTER the sink write
+succeeds — the same at-least-once accounting window as the reference
+(count per attempted batch; a crash between sink-write and commit re-sends
+and re-audits, never under-counts).
+"""
+
+from __future__ import annotations
+
+import socket
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+AUDIT_SCHEMA = StructType([
+    StructField("timestamp", LongType(), False),   # nanos, like the reference
+    StructField("hostname", StringType(), False),
+    StructField("topic", StringType(), False),
+    StructField("numMessages", LongType(), False),
+    StructField("batchId", LongType(), False),
+])
+
+
+def audit_row(topic: str, num_messages: int, batch_id: int,
+              hostname: str | None = None) -> tuple:
+    return (
+        time.time_ns(),
+        hostname or socket.gethostname(),
+        topic,
+        int(num_messages),
+        int(batch_id),
+    )
+
+
+def make_audit_df(spark: SparkSession, topic: str, num_messages: int,
+                  batch_id: int, hostname: str | None = None) -> DataFrame:
+    return spark.createDataFrame([audit_row(topic, num_messages, batch_id, hostname)],
+                                 AUDIT_SCHEMA)
+
+
+class AuditCollector:
+    """In-process audit sink for tests / local runs (stands in for the audit
+    Kafka topic).  The production path writes the same rows to a second
+    Kafka sink (sinks.with_audit)."""
+
+    def __init__(self) -> None:
+        self.rows: list[tuple] = []
+
+    def append(self, df: DataFrame) -> None:
+        self.rows.extend(tuple(r) for r in df.collect())
+
+    def total(self, topic: str | None = None) -> int:
+        return sum(r[3] for r in self.rows if topic is None or r[2] == topic)

@@ -1,0 +1,262 @@
+"""Message framing codecs.
+
+1. Thrift LogMessage codec — wire-compatible with the reference's
+   TFramedTransport + TBinaryProtocol log files
+   (reference: singer-commons/src/main/thrift/singer_if.thrift:11-21,
+   reader/ThriftLogFileReader.java:91-175, thrift-logger's AppenderUtils).
+   Implemented from the public Thrift binary-protocol spec with `struct` —
+   no thrift runtime dependency.  Frame = 4-byte big-endian length +
+   TBinaryProtocol-encoded LogMessage.
+
+2. Text framer — multi-line message framing by `messageStartRegex`
+   (reference: reader/TextMessageReader.java:88-138, TextLogFileReader.java).
+
+Both codecs run inside Arrow-batched `mapInPandas` at the DataFrame layer:
+whole files (or text blobs) in, LogMessage rows out.  Framing is done within
+a file so messages never straddle Spark partition boundaries — the same
+invariant the reference gets from per-file readers (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Thrift binary-protocol type codes (public spec).
+_TTYPE_STOP = 0
+_TTYPE_I64 = 10
+_TTYPE_STRING = 11  # binary and string share the code
+_TTYPE_STRUCT = 12
+
+# LogMessage field ids (singer_if.thrift:11-21).
+_FIELD_KEY = 1
+_FIELD_MESSAGE = 2
+_FIELD_TIMESTAMP = 3
+_FIELD_CHECKSUM = 4
+_FIELD_AUDIT_HEADERS = 5
+
+LOG_MESSAGE_SCHEMA = StructType(
+    [
+        StructField("key", BinaryType(), True),
+        StructField("value", BinaryType(), False),
+        StructField("timestampInNanos", LongType(), True),
+        StructField("checksum", LongType(), True),
+        StructField("file", StringType(), True),
+        StructField("offset", LongType(), True),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Thrift LogMessage encode
+# ---------------------------------------------------------------------------
+def encode_log_message(message: bytes, key: bytes | None = None,
+                       timestamp_nanos: int | None = None,
+                       checksum: int | None = None,
+                       with_crc: bool = False) -> bytes:
+    """One TFramedTransport frame holding one TBinaryProtocol LogMessage.
+
+    Field order follows the reference logger (key, message, timestamp,
+    checksum).  `with_crc` computes crc32(message) like
+    writer/KafkaWriter.java:473-507 does before shipping.
+    """
+    if checksum is None and with_crc:
+        checksum = zlib.crc32(message) & 0xFFFFFFFF
+    parts = []
+    if key is not None:
+        parts.append(struct.pack(">bhI", _TTYPE_STRING, _FIELD_KEY, len(key)))
+        parts.append(key)
+    parts.append(struct.pack(">bhI", _TTYPE_STRING, _FIELD_MESSAGE, len(message)))
+    parts.append(message)
+    if timestamp_nanos is not None:
+        parts.append(struct.pack(">bhq", _TTYPE_I64, _FIELD_TIMESTAMP, timestamp_nanos))
+    if checksum is not None:
+        parts.append(struct.pack(">bhq", _TTYPE_I64, _FIELD_CHECKSUM, checksum))
+    parts.append(b"\x00")
+    body = b"".join(parts)
+    return struct.pack(">I", len(body)) + body
+
+
+def encode_log_messages(messages: list[tuple]) -> bytes:
+    """Concatenate frames: (message, key, ts, checksum) tuples → one blob,
+    the on-disk layout of a reference thrift log file."""
+    return b"".join(encode_log_message(*m) for m in messages)
+
+
+# ---------------------------------------------------------------------------
+# Thrift LogMessage decode
+# ---------------------------------------------------------------------------
+def _skip_field(body: bytes, pos: int, ttype: int) -> int:
+    """Skip an unknown/unneeded field (forward compatibility, like thrift's
+    TProtocolUtil.skip). Only the types LogMessage can contain."""
+    if ttype == _TTYPE_I64:
+        return pos + 8
+    if ttype == _TTYPE_STRING:
+        (n,) = struct.unpack_from(">I", body, pos)
+        return pos + 4 + n
+    if ttype == _TTYPE_STRUCT:
+        while True:
+            t = body[pos]
+            pos += 1
+            if t == _TTYPE_STOP:
+                return pos
+            pos = _skip_field(body, pos + 2, t)
+    raise ValueError(f"unsupported thrift type {ttype}")
+
+
+def decode_frames(blob: bytes, max_message_size: int | None = None,
+                  start_offset: int = 0) -> Iterator[tuple]:
+    """Iterate (key, message, timestampInNanos, checksum, offset) from a
+    frame-concatenated blob.
+
+    Oversize handling mirrors reader/ThriftLogFileReader.java:108,152-157:
+    frames are read with a 10× internal tolerance, then messages larger than
+    `max_message_size` are dropped (skipped, not fatal).  A truncated tail
+    frame (writer still appending / crash mid-write) stops iteration cleanly
+    — the at-least-once resume re-reads it later.
+    """
+    pos = start_offset
+    end = len(blob)
+    internal_max = max_message_size * 10 if max_message_size else None
+    while pos + 4 <= end:
+        (frame_len,) = struct.unpack_from(">I", blob, pos)
+        if internal_max and frame_len > internal_max:
+            raise ValueError(f"frame of {frame_len} bytes exceeds 10x maxMessageSize")
+        if pos + 4 + frame_len > end:
+            return  # truncated tail frame
+        frame_off = pos
+        body = blob[pos + 4 : pos + 4 + frame_len]
+        pos += 4 + frame_len
+        key = message = None
+        ts = checksum = None
+        bpos = 0
+        while bpos < len(body):
+            ttype = body[bpos]
+            bpos += 1
+            if ttype == _TTYPE_STOP:
+                break
+            (fid,) = struct.unpack_from(">h", body, bpos)
+            bpos += 2
+            if ttype == _TTYPE_STRING and fid in (_FIELD_KEY, _FIELD_MESSAGE):
+                (n,) = struct.unpack_from(">I", body, bpos)
+                bpos += 4
+                val = bytes(body[bpos : bpos + n])
+                bpos += n
+                if fid == _FIELD_KEY:
+                    key = val
+                else:
+                    message = val
+            elif ttype == _TTYPE_I64 and fid in (_FIELD_TIMESTAMP, _FIELD_CHECKSUM):
+                (v,) = struct.unpack_from(">q", body, bpos)
+                bpos += 8
+                if fid == _FIELD_TIMESTAMP:
+                    ts = v
+                else:
+                    checksum = v
+            else:
+                bpos = _skip_field(body, bpos, ttype)
+        if message is None:
+            continue  # not a LogMessage frame
+        if max_message_size and len(message) > max_message_size:
+            continue  # oversize drop (ThriftLogFileReader.java:152-157)
+        yield key, message, ts, checksum, frame_off
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level decoder: binary file blobs → LogMessage rows.
+# ---------------------------------------------------------------------------
+def decode_thrift_blobs(df: DataFrame, content_col: str = "content",
+                        path_col: str = "path",
+                        max_message_size: int | None = None) -> DataFrame:
+    """`binaryFile`-shaped DataFrame → LogMessage rows via Arrow-batched
+    mapInPandas (one Python pass per file blob; decoded rows stream out in
+    pandas batches — the only Python hop in the ingest path)."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf[path_col], pdf[content_col]):
+                for key, msg, ts, crc, off in decode_frames(bytes(blob), max_message_size):
+                    rows.append((key, msg, ts, crc, path, off))
+            yield pd.DataFrame(rows, columns=["key", "value", "timestampInNanos",
+                                              "checksum", "file", "offset"])
+
+    return df.mapInPandas(gen, LOG_MESSAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Text framer — multi-line framing by messageStartRegex.
+# ---------------------------------------------------------------------------
+def frame_text(blob: str, message_start_regex: str | None,
+               eof_as_boundary: bool = True) -> list[str]:
+    """Split a text blob into messages.  A line matching
+    `message_start_regex` begins a new message; preceding non-matching lines
+    belong to the previous message (reader/TextMessageReader.java:88-138).
+    With no regex, every line is one message.  Without `eof_as_boundary` the
+    trailing partial message is withheld (it may still be growing)."""
+    if message_start_regex is None:
+        lines = blob.split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        return [line + "\n" for line in lines]
+    start = re.compile(message_start_regex)
+    messages: list[str] = []
+    current: list[str] = []
+    for line in blob.splitlines(keepends=True):
+        if start.match(line) and current:
+            messages.append("".join(current))
+            current = [line]
+        else:
+            current.append(line)
+    if current and eof_as_boundary:
+        messages.append("".join(current))
+    return messages
+
+
+def frame_text_blobs(df: DataFrame, content_col: str = "content",
+                     path_col: str = "path",
+                     message_start_regex: str | None = None) -> DataFrame:
+    """Whole-file text blobs → framed message rows (value: string).
+    Framing within a file keeps multi-line messages intact across
+    micro-batches (SURVEY.md §7.3 hard-parts)."""
+    import pandas as pd
+
+    schema = StructType([
+        StructField("value", StringType(), False),
+        StructField("file", StringType(), True),
+        StructField("offset", LongType(), True),
+    ])
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf[path_col], pdf[content_col]):
+                text = blob.decode("utf-8") if isinstance(blob, (bytes, bytearray)) else str(blob)
+                off = 0
+                for msg in frame_text(text, message_start_regex):
+                    rows.append((msg, path, off))
+                    off += len(msg.encode("utf-8"))
+            yield pd.DataFrame(rows, columns=["value", "file", "offset"])
+
+    return df.mapInPandas(gen, schema)
+
+
+def split_messages_expr(col, message_start_regex: str):
+    """Pure-JVM alternative to :func:`frame_text_blobs` for single-line-start
+    regexes: split with a zero-width lookahead so the delimiter is kept.
+    Stays inside WholeStageCodegen — preferred at scale when messages are
+    newline-delimited records."""
+    return F.split(col, f"(?={message_start_regex})")

@@ -1,0 +1,67 @@
+"""Shared scalar-function building blocks.
+
+The reference's only scalar functions are regex match/replace, concat-
+prepends, and CRC-32 / MD5 / Murmur3 hashing (SURVEY.md §2.7).  Everything
+here is a JVM-side built-in expression (whole-stage-codegen friendly); no
+Python UDFs.
+
+``md5_int`` is the deterministic 60-bit hash used wherever the engine needs
+a hash that an external ANSI-SQL oracle can reproduce (sampling, md5
+partitioner, minhash, LSH band keys).  CRC-32 / Murmur3 variants delegate to
+Spark's built-ins (`crc32`, `hash`) for reference parity where
+cross-engine reproducibility is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_int(col: Column | str) -> Column:
+    """First 60 bits of md5(col) as a non-negative BIGINT.
+
+    Cross-engine reproducible: DuckDB equivalent is
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_int_sql(expr: str) -> str:
+    """DuckDB SQL text equivalent of :func:`md5_int`."""
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT)"
+
+
+def qround(col: Column, digits: int) -> Column:
+    """Quantizing round: floor(x·10^n + 0.5) / 10^n.
+
+    Used instead of `round()` wherever a per-row double must compare equal
+    across engines: Spark's ROUND rounds the shortest-decimal representation
+    while DuckDB rounds the binary value, so they disagree on exact-half
+    inputs; this formula is pure IEEE arithmetic — identical everywhere
+    given identical input doubles.  SQL twin: floor(x * 10^n + 0.5) / 10^n.
+    """
+    scale = 10 ** digits
+    return F.floor(col * scale + F.lit(0.5)) / F.lit(scale)
+
+
+def qround_sql(expr: str, digits: int) -> str:
+    scale = 10 ** digits
+    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+
+
+def crc32_bytes(col: Column | str) -> Column:
+    """CRC-32 of the message payload — parity with
+    reference ``writer/KafkaWriter.java:438-465`` (computes/verifies
+    ``crc32(message)`` on the raw bytes)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.crc32(c.cast("binary"))
+
+
+def murmur3_int(col: Column | str) -> Column:
+    """Spark's `hash` = Murmur3_x86_32, the same family the reference's
+    MurmurByteArrayPartitioner uses (``writer/partitioners/
+    MurmurByteArrayPartitioner.java:40-53``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.hash(c)

@@ -1,0 +1,210 @@
+"""Deduplication operators for large-scale text corpora.
+
+Designed for the 100 TB regime:
+
+- exact dedup        one hash-shuffle on a 16-byte digest (not the full text)
+- n-gram Jaccard     set-similarity join blocked on shared shingles —
+                     candidate generation is |pairs sharing a shingle|,
+                     not O(n²); shingle width tunes selectivity
+- MinHash + LSH      constant-size signatures (k hashes) per doc, banded
+                     into buckets; the only wide shuffle is on band keys
+- SimHash            one 32-bit signature per doc; candidates via banded
+                     8-bit chunks; verify = popcount(xor) — cheap
+- embedding near-dup cosine > threshold via the similarity module
+
+Every hash is the cross-engine-reproducible md5-based 60-bit hash
+(singer_spark.functions.md5_int) so results verify bit-for-bit against an
+ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from singer_spark.functions import md5_int, qround
+
+
+def tokens_col(text_col: str = "text"):
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_col(text_col: str = "text", k: int = 4):
+    """Distinct k-word shingles. slice() is 1-based; a doc shorter than k
+    words yields its full text as the single shingle."""
+    toks = tokens_col(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group on md5(text); keep the lowest id as the canonical survivor.
+    Shuffles 16-byte digests + ids only — at 100 TB the shuffle is ~32 B/doc
+    regardless of document size, and AQE coalesces the post-agg partitions."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("sig"))
+        .groupBy("sig")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .select(id_col, "sig", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard set-similarity join
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 4, threshold: float = 0.8) -> DataFrame:
+    """All pairs with Jaccard(shingle sets) >= threshold.
+
+    Candidate generation joins on the shingle itself (classic blocking): a
+    pair is compared once per shared shingle and reduced by groupBy, so cost
+    scales with true overlap, not n².  Wider k → fewer, more selective
+    blocks.  Output: (id_a, id_b, jaccard)."""
+    sh = docs.select(F.col(id_col).alias("id"),
+                     F.explode(shingles_col(text_col, k)).alias("s"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.join(na, "id_a").join(nb, "id_b")
+        .withColumn("jaccard", qround(jac, 4))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       k: int = 4, num_hashes: int = 8) -> DataFrame:
+    """k-shingle → `num_hashes` min-hash values per doc.  Hash family i is
+    md5_int(i || ':' || shingle) — independent, deterministic, oracle-
+    reproducible.  One explode + one groupBy; signature size is constant per
+    doc, so the downstream state is O(n·num_hashes) no matter how large the
+    documents are."""
+    sh = docs.select(F.col(id_col).alias("id"),
+                     F.explode(shingles_col(text_col, k)).alias("s"))
+    aggs = [
+        F.min(md5_int(F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 4, num_hashes: int = 8, bands: int = 4,
+                      threshold: float = 0.6) -> DataFrame:
+    """LSH-banded candidate generation + exact Jaccard verification.
+
+    `num_hashes` minhashes split into `bands` bands (rows = num_hashes/bands);
+    docs sharing any band bucket become candidates (probability
+    1-(1-j^rows)^bands — the S-curve).  Only candidates pay the verification
+    join.  Output: (id_a, id_b, jaccard >= threshold)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, k, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws("_", *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("b")) \
+                  .select("id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    l, r = buckets.alias("l"), buckets.alias("r")
+    candidates = (
+        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification restricted to candidates
+    sh = docs.select(F.col(id_col).alias("id"),
+                     F.explode(shingles_col(text_col, k)).alias("s"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        candidates.join(a, F.col("a.id") == F.col("id_a"))
+        .join(b, (F.col("b.id") == F.col("id_b")) & (F.col("a.s") == F.col("b.s")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.join(na, "id_a").join(nb, "id_b")
+        .withColumn("jaccard", qround(jac, 4))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash_col(text_col: str = "text", bits: int = 32):
+    """32-bit SimHash over distinct tokens: bit j of the signature is the
+    sign of sum over tokens of (+1 if bit j of md5_int(token) else -1).
+    Pure higher-order functions — no explode, no shuffle for the signature
+    itself."""
+    toks = F.array_distinct(tokens_col(text_col))
+    hashes = F.transform(toks, lambda t: md5_int(t) % F.lit(2 ** bits).cast("bigint"))
+
+    def bit_sum(j: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+                                        F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        out = out + F.when(bit_sum(j) > 0, F.lit(2 ** j).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, bits: int = 32) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Candidates via the pigeonhole trick: split the signature into 4 chunks;
+    any pair within hamming 3 must agree on >= 1 chunk, so join on
+    (chunk_idx, chunk_value) — a bounded-fanout equi-join, no n²."""
+    sigs = docs.select(F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("sig"))
+    chunk_bits = bits // 4
+    mask = (1 << chunk_bits) - 1
+    chunks = sigs.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     F.shiftright("sig", c * chunk_bits).bitwiseAND(F.lit(mask)).alias("v"))
+            for c in range(4)
+        ])).alias("ch"),
+    ).select("id", "sig", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    l, r = chunks.alias("l"), chunks.alias("r")
+    ham = F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig")))
+    return (
+        l.join(r, (F.col("l.c") == F.col("r.c")) & (F.col("l.v") == F.col("r.v"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

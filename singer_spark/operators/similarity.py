@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `brute_force_topk` — exact cosine top-k: broadcast the (small) query set,
+  one pass over the corpus, per-query top-k via window rank.  At 100 TB the
+  corpus side stays partition-parallel and nothing shuffles except the
+  (queries × k) result rows — the scan dominates, as it should.
+- `lsh_ann_topk` — random-hyperplane LSH: deterministic ±1 hyperplanes
+  (seeded by md5), bucket = sign-bit string; candidates share a bucket in
+  any of `num_tables` tables, then exact re-rank.  The corpus is hashed
+  once (narrow), the join is an equi-join on (table, bucket) — the 1000×
+  scale path when the query set is large.
+- `embedding_near_dup_pairs` — near-duplicate detection at cosine >=
+  threshold via the same LSH blocking.
+
+All vector math is JVM-side higher-order functions (zip_with / aggregate)
+on array<double> — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from singer_spark.functions import md5_int, qround
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     round_to: int = 6) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, rank, cosine).  The query side is
+    broadcast (BroadcastNestedLoopJoin — a map-side pass over the corpus);
+    ranking ties break on neighbor id for determinism."""
+    from pyspark.sql.window import Window
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                qround(cosine(F.col("qvec"), F.col("cvec")), round_to).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane from the md5 integer of (table,plane,dim).
+    Python-side constant — baked into the plan as literals and broadcast."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{table}:{plane}:{d}".encode()).hexdigest()
+        out.append(1.0 if int(h[:15], 16) % 2 == 0 else -1.0)
+    return out
+
+
+def bucket_col(vec: Column, table: int, num_planes: int, dim: int) -> Column:
+    """LSH bucket id: one sign bit per hyperplane."""
+    out = F.lit(0).cast("bigint")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(table, p, dim)])
+        out = out + F.when(dot(vec, plane) > 0, F.lit(2 ** p).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
+def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+                 num_tables: int = 4, num_planes: int = 8,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 round_to: int = 6) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing an LSH bucket
+    with the query in any table; exact cosine re-rank of candidates only.
+
+    16 buckets/table × 4 tables ⇒ each query touches ~ corpus/256-per-table
+    candidates instead of the full corpus; recall rises with num_tables."""
+    from pyspark.sql.window import Window
+
+    def with_buckets(df: DataFrame, ident: str) -> DataFrame:
+        v = as_double(vec_col)
+        buckets = F.array(*[
+            F.struct(F.lit(t).alias("t"), bucket_col(v, t, num_planes, dim).alias("b"))
+            for t in range(num_tables)
+        ])
+        return df.select(F.col(id_col).alias(ident), v.alias(f"{ident}_vec"),
+                         F.explode(buckets).alias("tb")) \
+                 .select(ident, f"{ident}_vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+
+    cb = with_buckets(corpus, "neighbor_id")
+    qb = with_buckets(queries, "query_id")
+    cands = (
+        cb.join(F.broadcast(qb), ["t", "b"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id",
+        qround(cosine(F.col("query_id_vec"), F.col("neighbor_id_vec")), round_to).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
+def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95, dim: int = 64,
+                             num_tables: int = 4, num_planes: int = 8,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             round_to: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking + exact verify."""
+    v = as_double(vec_col)
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("t"), bucket_col(v, t, num_planes, dim).alias("b"))
+        for t in range(num_tables)
+    ])
+    hashed = corpus.select(F.col(id_col).alias("id"), v.alias("vec"),
+                           F.explode(buckets).alias("tb")) \
+                   .select("id", "vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    l, r = hashed.alias("l"), hashed.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.t") == F.col("r.t")) & (F.col("l.b") == F.col("r.b"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.vec").alias("va"), F.col("r.vec").alias("vb"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", qround(cosine(F.col("va"), F.col("vb")), round_to).alias("cosine"))
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

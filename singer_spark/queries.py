@@ -1,0 +1,146 @@
+"""Relational analytics surface.
+
+The reference has no joins/aggregations (SURVEY.md §2.7) — Catalyst provides
+them natively; these queries exercise that surface over the TESTDATA tables
+and serve as the bench headliners.  Plan hygiene rules applied throughout:
+
+- filters before joins (pushed to the parquet scan — check PushedFilters)
+- dimension sides broadcast explicitly when guaranteed small
+- aggregates alias-stable so oracle comparison is by-name
+- timestamps rendered to strings at the boundary (cross-engine hashing)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from singer_spark.session import read_events
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with map-side partial aggregation;
+    the shuffle carries only (4 groups × 8 aggregates)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter broadcast into a fact join,
+    then top-k. customer is broadcast (small at every SF relative to fact)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join; every dimension chain
+    (region→nation→customer/supplier) broadcasts, so the fact table joins
+    without a shuffle of the big side."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_nationkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .join(F.broadcast(sup), (li.l_suppkey == sup.s_suppkey) & (dim.n_nationkey == sup.s_nationkey))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count("*").alias("n_items"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Window ranking: top-k orders per customer by totalprice.
+    One hash-shuffle on o_custkey; rank inside partitions."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"),
+                F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via event-time gaps: a session breaks when the gap to
+    the previous event of the same user exceeds `gap_minutes`.  Batch analog
+    of the streaming session-window operator; one shuffle on user_id."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_breaks = ev.withColumn(
+        "new_session",
+        F.when(F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)) > gap_us, 1)
+         .when(F.lag("ts").over(w).isNull(), 1)
+         .otherwise(0),
+    )
+    sessions = with_breaks.withColumn("session_seq", F.sum("new_session").over(
+        Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"),
+             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"))
+        .select("user_id", F.col("session_seq").cast("bigint").alias("session_seq"),
+                "n_events", "session_value", "session_start")
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch twin of the streaming
+    `window(ts, '1 hour')` aggregation): per (hour, event_type) counts +
+    value stats.  At scale this is the hypertable-rollup pattern: partial
+    aggregation map-side, tiny shuffle."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                "event_type", "n", "sum_value", "avg_value")
+        .orderBy("hour", "event_type")
+    )

@@ -1,0 +1,163 @@
+"""Sinks — reference parity for SURVEY.md §2.6 (W1-W9).
+
+- Kafka sink   (W1/W2/W3): Spark's kafka format; producer pooling, batching,
+  and retries are built into the connector.  At-least-once, idempotent
+  producer via kafka.enable.idempotence (the reference's transactional mode
+  has no Spark analog — documented limitation, SURVEY.md §7.3).
+- File/S3 sink (W5): parquet/text writeStream with time-based triggers
+  (minUploadTime) and maxRecordsPerFile (size rollover); S3Writer's key
+  templating is reproduced by `render_key_template`.
+- NoOp sink    (W6): format("noop").
+- Memory sink  (tests): format("memory").
+- Audit        (B5/W9): `with_audit` wraps any batch writer in foreachBatch,
+  emitting one AuditMessage row after each successful sink write.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import re
+import socket
+import uuid as _uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import DataStreamWriter
+
+from singer_spark.audit import AuditCollector, make_audit_df
+
+
+# ---------------------------------------------------------------------------
+# Kafka sink (W1): the writer DataFrame carries key/value/headers/partition
+# columns; partitioners.py computes `partition`.
+# ---------------------------------------------------------------------------
+def kafka_sink(df: DataFrame, bootstrap_servers: str, topic: str,
+               checkpoint_dir: str, producer_configs: dict | None = None,
+               trigger_seconds: int | None = None) -> DataStreamWriter:
+    cols = [c for c in ("key", "value", "headers", "partition") if c in df.columns]
+    writer = (
+        df.select(*cols)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    # Reference producer defaults (common.thrift:18-35): acks=1,
+    # maxRequestSize=1MB, lingerMs=10, retries=5, bufferMemory=32MB.
+    defaults = {
+        "kafka.acks": "1",
+        "kafka.max.request.size": "1000000",
+        "kafka.linger.ms": "10",
+        "kafka.retries": "5",
+        "kafka.buffer.memory": str(32 * 1024 * 1024),
+    }
+    for k, v in {**defaults, **(producer_configs or {})}.items():
+        writer = writer.option(k if k.startswith("kafka.") else f"kafka.{k}", v)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer
+
+
+# ---------------------------------------------------------------------------
+# File / S3 sink (W5).
+# ---------------------------------------------------------------------------
+def file_sink(df: DataFrame, path: str, checkpoint_dir: str, fmt: str = "parquet",
+              max_records_per_file: int | None = None,
+              min_upload_seconds: int | None = 30) -> DataStreamWriter:
+    """S3Writer parity: time-triggered micro-batches ≈ minUploadTimeInSeconds;
+    maxRecordsPerFile ≈ maxFileSizeMB rollover (writer/s3/S3Writer.java:
+    276-301,371-399).  Point `path` at s3a:// for S3."""
+    writer = (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if min_upload_seconds:
+        writer = writer.trigger(processingTime=f"{min_upload_seconds} seconds")
+    return writer
+
+
+_TOKEN_RE = re.compile(r"\{\{(UUID|TIMESTAMP|HOST|LOGNAME|S)\}\}|%\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def render_key_template(template: str, log_name: str = "", filename: str = "",
+                        filename_regex: str | None = None,
+                        hostname: str | None = None,
+                        now: _dt.datetime | None = None,
+                        uuid_hex: str | None = None,
+                        env: dict | None = None) -> str:
+    """S3 object-key templating — parity with writer/s3/S3Writer.java:537-579:
+    `{{UUID}} {{TIMESTAMP}} {{HOST}} {{LOGNAME}}` tokens plus `%{group}`
+    named groups captured from the source filename by `filename_regex`,
+    falling back to environment variables."""
+    hostname = hostname or socket.gethostname()
+    now = now or _dt.datetime.now(_dt.timezone.utc)
+    groups: dict[str, str] = {}
+    if filename_regex and filename:
+        m = re.match(filename_regex, os.path.basename(filename))
+        if m:
+            groups = {k: v for k, v in m.groupdict().items() if v is not None}
+    envmap = env if env is not None else os.environ
+
+    def sub(m: re.Match) -> str:
+        token, named = m.group(1), m.group(2)
+        if token == "UUID":
+            return uuid_hex or _uuid.uuid4().hex
+        if token == "TIMESTAMP":
+            return str(int(now.timestamp()))
+        if token == "HOST":
+            return hostname
+        if token == "LOGNAME":
+            return log_name
+        if token == "S":
+            return "%s"  # literal passthrough, like the reference's seq token
+        if named is not None:
+            return groups.get(named, envmap.get(named, ""))
+        return m.group(0)
+
+    return _TOKEN_RE.sub(sub, template)
+
+
+# ---------------------------------------------------------------------------
+# NoOp (W6) and memory (test) sinks.
+# ---------------------------------------------------------------------------
+def noop_sink(df: DataFrame, checkpoint_dir: str) -> DataStreamWriter:
+    return df.writeStream.format("noop").option("checkpointLocation", checkpoint_dir)
+
+
+def memory_sink(df: DataFrame, name: str, checkpoint_dir: str | None = None) -> DataStreamWriter:
+    writer = df.writeStream.format("memory").queryName(name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+# ---------------------------------------------------------------------------
+# Audit wrapper (B5): foreachBatch = write, then account.
+# ---------------------------------------------------------------------------
+def with_audit(df: DataFrame, topic: str, checkpoint_dir: str,
+               write_batch: Callable[[DataFrame, int], None],
+               audit_sink: AuditCollector | Callable[[DataFrame], None] | None = None,
+               hostname: str | None = None) -> DataStreamWriter:
+    """writeStream.foreachBatch: run `write_batch`, then emit one
+    AuditMessage(numMessages=batch count) — count-after-successful-write, the
+    reference's accounting point (writer/KafkaWriter.java:641-693)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            n = batch_df.count()
+            write_batch(batch_df, batch_id)
+            if audit_sink is not None:
+                audit_df = make_audit_df(batch_df.sparkSession, topic, n, batch_id, hostname)
+                if isinstance(audit_sink, AuditCollector):
+                    audit_sink.append(audit_df)
+                else:
+                    audit_sink(audit_df)
+        finally:
+            batch_df.unpersist()
+
+    return df.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint_dir)

@@ -1,0 +1,111 @@
+"""Sources — reference parity for SURVEY.md §2.1 (S1-S9) and §2.2 discovery.
+
+The reference's ~2.5 kLoC of readers + inotify discovery collapses onto
+Spark's file sources: the streaming file source re-lists the directory every
+micro-batch (replacing FileSystemMonitor/WatchService, D3-D7), tracks seen
+files in the checkpoint (replacing inode watermark files), and new/rotated
+files appear as new inputs (replacing DefaultLogStreamReader's rotation
+handling, S7).
+
+Two source families, each in batch and streaming form:
+
+- text    — newline or messageStartRegex framed (S3/S4)
+- thrift  — TFramedTransport+TBinaryProtocol LogMessage files (S1/S2),
+            decoded by singer_spark.framing
+
+`pathGlobFilter` plays the role of the reference's logStreamRegex
+(common/LogStream.java); `input_file_name()` / binaryFile's `path` column
+carries file identity for headers + message ids.
+
+Scale notes: maxFilesPerTrigger bounds a micro-batch like the reference's
+batchSize (B1); `latestFirst=false` keeps oldest-first ordering, matching
+LogStream's (mtime, reversed-name) sort (common/LogStream.java:179-184).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from singer_spark.framing import decode_thrift_blobs, frame_text_blobs
+
+
+# ---------------------------------------------------------------------------
+# Text sources (S3/S4)
+# ---------------------------------------------------------------------------
+def text_stream(spark: SparkSession, log_dir: str, glob: str = "*",
+                max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming line-per-message text source. Columns: value, file."""
+    reader = (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", glob)
+        .option("latestFirst", "false")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(log_dir).withColumn("file", F.input_file_name())
+
+
+def text_batch(spark: SparkSession, log_dir: str, glob: str = "*") -> DataFrame:
+    return (
+        spark.read.format("text").option("pathGlobFilter", glob).load(log_dir)
+        .withColumn("file", F.input_file_name())
+    )
+
+
+def multiline_text_stream(spark: SparkSession, log_dir: str, glob: str = "*",
+                          message_start_regex: str | None = None,
+                          max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming multi-line framed text source: whole files via binaryFile,
+    framed by messageStartRegex inside each file so messages never straddle
+    batch boundaries. Columns: value, file, offset."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("latestFirst", "false")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return frame_text_blobs(reader.load(log_dir), message_start_regex=message_start_regex)
+
+
+def multiline_text_batch(spark: SparkSession, log_dir: str, glob: str = "*",
+                         message_start_regex: str | None = None) -> DataFrame:
+    df = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(log_dir)
+    return frame_text_blobs(df, message_start_regex=message_start_regex)
+
+
+# ---------------------------------------------------------------------------
+# Thrift sources (S1/S2)
+# ---------------------------------------------------------------------------
+def thrift_stream(spark: SparkSession, log_dir: str, glob: str = "*",
+                  max_message_size: int | None = None,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming framed-thrift LogMessage source. Columns: LOG_MESSAGE_SCHEMA."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("latestFirst", "false")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return decode_thrift_blobs(reader.load(log_dir), max_message_size=max_message_size)
+
+
+def thrift_batch(spark: SparkSession, log_dir: str, glob: str = "*",
+                 max_message_size: int | None = None) -> DataFrame:
+    df = spark.read.format("binaryFile").option("pathGlobFilter", glob).load(log_dir)
+    return decode_thrift_blobs(df, max_message_size=max_message_size)
+
+
+# ---------------------------------------------------------------------------
+# Kubernetes-style multi-dir discovery (D8): glob over pod log dirs and
+# derive pod metadata from the path, replacing KubeService+PodWatcher.
+# Reference: kubernetes/KubeService.java:232-289, PodMetadataFetcher.java.
+# ---------------------------------------------------------------------------
+def pod_text_stream(spark: SparkSession, pods_root: str, log_glob: str = "*.log",
+                    pod_uid_pattern: str = r".*/pods/([^/]+)/.*") -> DataFrame:
+    """Tail `<pods_root>/<pod-uid>/.../*.log` for all pods at once; the pod
+    uid becomes a column (the reference injects it as a message header)."""
+    df = text_stream(spark, f"{pods_root}/*", glob=log_glob)
+    return df.withColumn("pod_uid", F.regexp_extract(F.col("file"), pod_uid_pattern, 1))

@@ -1,0 +1,113 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every `queries()[name]` on Spark and the matching `oracle_sql()[name]`
+on DuckDB over the same sf directory, then compares:
+
+- row count
+- sorted column names
+- exact cell values (order-insensitive: both sides sorted by all columns)
+
+Usage: python tools/verify_local.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def duck_run(sql: str, sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+def normalize(df, float_round=9):
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, sdf, odf) -> list[str]:
+    problems = []
+    if len(sdf) != len(odf):
+        return [f"rowcount spark={len(sdf)} oracle={len(odf)}"]
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return [f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"]
+    s, o = normalize(sdf), normalize(odf)
+    for c in s.columns:
+        sv, ov = s[c].values, o[c].values
+        for i in range(len(sv)):
+            a, b = sv[i], ov[i]
+            if isinstance(a, float) or isinstance(b, float):
+                fa, fb = float(a), float(b)
+                if fa != fb and not (math.isnan(fa) and math.isnan(fb)):
+                    problems.append(f"col {c} row {i}: spark={a!r} oracle={b!r} (float diff {abs(fa-fb):.3e})")
+                    if len(problems) > 4:
+                        return problems
+            elif str(a) != str(b):
+                problems.append(f"col {c} row {i}: spark={a!r} oracle={b!r}")
+                if len(problems) > 4:
+                    return problems
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from singer_spark.session import get_spark
+
+    spark = get_spark("verify_local")
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failed, no_oracle = [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            no_oracle.append(name)
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = duck_run(oracles[name], sf_dir)
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems[:5]))
+        else:
+            print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+    print(f"\n{len(failed)} failed, {len(no_oracle)} rows-only, "
+          f"{len([k for k in qs if not only or k in only]) - len(failed) - len(no_oracle)} value-matched")
+    if failed:
+        print("failed:", ", ".join(failed))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
