@@ -29,6 +29,9 @@ from pyspark.sql import functions as F
 
 from singer_spark.framing import decode_thrift_blobs, frame_text_blobs
 
+# Streaming binaryFile sources require an explicit schema (batch infers it).
+_BINARY_FILE_SCHEMA = "path string, modificationTime timestamp, length long, content binary"
+
 
 # ---------------------------------------------------------------------------
 # Text sources (S3/S4)
@@ -61,6 +64,7 @@ def multiline_text_stream(spark: SparkSession, log_dir: str, glob: str = "*",
     batch boundaries. Columns: value, file, offset."""
     reader = (
         spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
         .option("pathGlobFilter", glob)
         .option("latestFirst", "false")
     )
@@ -84,6 +88,7 @@ def thrift_stream(spark: SparkSession, log_dir: str, glob: str = "*",
     """Streaming framed-thrift LogMessage source. Columns: LOG_MESSAGE_SCHEMA."""
     reader = (
         spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
         .option("pathGlobFilter", glob)
         .option("latestFirst", "false")
     )

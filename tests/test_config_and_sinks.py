@@ -1,0 +1,100 @@
+"""Config loader (O4), S3 key templating (W5), heartbeat (B6/O1),
+audit schema (B5) unit tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import time
+
+from singer_spark.audit import AuditCollector, make_audit_df
+from singer_spark.config import (
+    LogConfig,
+    load_log_config,
+    load_singer_config,
+    parse_properties,
+)
+from singer_spark.heartbeat import build_status
+from singer_spark.sinks import render_key_template
+
+
+def test_parse_properties_nesting_and_coercion():
+    text = """
+    # comment
+    processor.batchSize=200
+    reader.type=text
+    reader.prependHostname=true
+    writer.kafka.topic=mytopic
+    """
+    d = parse_properties(text)
+    assert d["processor"]["batchSize"] == 200
+    assert d["reader"]["prependHostname"] is True
+    assert d["writer"]["kafka"]["topic"] == "mytopic"
+
+
+def test_load_log_config_from_properties():
+    cfg = load_log_config("mylog", """
+    logDir=/var/log/app
+    logStreamRegex=app.log*
+    reader.type=thrift
+    reader.maxMessageSize=1000000
+    processor.batchSize=400
+    writer.type=kafka
+    writer.topic=app_events
+    writer.partitioner=crc32
+    """)
+    assert isinstance(cfg, LogConfig)
+    assert cfg.name == "mylog"
+    assert cfg.log_dir == "/var/log/app"
+    assert cfg.reader.type == "thrift"
+    assert cfg.reader.max_message_size == 1_000_000
+    assert cfg.processor.batch_size == 400
+    assert cfg.writer.topic == "app_events"
+
+
+def test_load_singer_config_dir(tmp_path):
+    (tmp_path / "singer.properties").write_text(
+        "singer.heartbeatEnabled=true\nsinger.heartbeatIntervalInSeconds=10\n")
+    conf_d = tmp_path / "conf.d"
+    conf_d.mkdir()
+    (conf_d / "a.properties").write_text("logDir=/tmp/a\nwriter.type=noop\n")
+    (conf_d / "b.properties").write_text("logDir=/tmp/b\nwriter.type=noop\n")
+    cfg = load_singer_config(tmp_path / "singer.properties", conf_d)
+    assert cfg.heartbeat_interval_secs == 10
+    assert [lc.name for lc in cfg.logs] == ["a", "b"]
+
+
+def test_render_key_template_tokens():
+    now = dt.datetime(2024, 3, 5, 12, 0, 0, tzinfo=dt.timezone.utc)
+    key = render_key_template(
+        "logs/{{LOGNAME}}/{{HOST}}/%{pod}/{{TIMESTAMP}}-{{UUID}}.log",
+        log_name="app", filename="pod-abc123.app.log",
+        filename_regex=r"pod-(?P<pod>\w+)\.app\.log",
+        hostname="h1", now=now, uuid_hex="deadbeef", env={},
+    )
+    assert key == f"logs/app/h1/abc123/{int(now.timestamp())}-deadbeef.log"
+
+
+def test_render_key_template_env_fallback():
+    key = render_key_template("%{MY_ZONE}/x", env={"MY_ZONE": "us-east-1a"})
+    assert key == "us-east-1a/x"
+    assert render_key_template("%{MISSING}/x", env={}) == "/x"
+
+
+def test_audit_collector_counts(spark):
+    audit = AuditCollector()
+    audit.append(make_audit_df(spark, "topicA", 10, 0, hostname="h"))
+    audit.append(make_audit_df(spark, "topicA", 5, 1, hostname="h"))
+    audit.append(make_audit_df(spark, "topicB", 7, 0, hostname="h"))
+    assert audit.total("topicA") == 15
+    assert audit.total() == 22
+
+
+def test_heartbeat_status_shape(spark):
+    status = build_status(spark, started_at=time.time() - 5)
+    # SingerStatus parity fields (common/SingerStatus.java:38-62)
+    for field in ("hostName", "jvmUptime", "numLogStreams", "numStuckLogStreams",
+                  "kafkaWrites", "timestamp", "version"):
+        assert field in status
+    assert status["jvmUptime"] >= 5000
+    json.dumps(status)  # serializable, like the reference's gson JSON

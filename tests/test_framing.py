@@ -1,0 +1,105 @@
+"""Thrift LogMessage codec + text framer unit tests.
+
+Models the reference's reader tests (ThriftLogFileReaderTest,
+TextMessageReaderTest — multi-line regex framing cases, oversize drops)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from singer_spark.framing import (
+    decode_frames,
+    encode_log_message,
+    encode_log_messages,
+    frame_text,
+)
+
+
+def test_roundtrip_full_fields():
+    frame = encode_log_message(b"payload", key=b"k1", timestamp_nanos=123456789, checksum=None, with_crc=True)
+    [(key, msg, ts, crc, off)] = list(decode_frames(frame))
+    assert key == b"k1"
+    assert msg == b"payload"
+    assert ts == 123456789
+    assert crc == zlib.crc32(b"payload") & 0xFFFFFFFF
+    assert off == 0
+
+
+def test_roundtrip_minimal():
+    frame = encode_log_message(b"just-message")
+    [(key, msg, ts, crc, _)] = list(decode_frames(frame))
+    assert key is None and ts is None and crc is None
+    assert msg == b"just-message"
+
+
+def test_multiple_frames_with_offsets():
+    blob = encode_log_messages([(b"a",), (b"bb",), (b"ccc",)])
+    rows = list(decode_frames(blob))
+    assert [r[1] for r in rows] == [b"a", b"bb", b"ccc"]
+    # offsets point at each frame start
+    offsets = [r[4] for r in rows]
+    assert offsets[0] == 0 and offsets[1] > 0 and offsets[2] > offsets[1]
+    # resume from the second frame's offset
+    resumed = list(decode_frames(blob, start_offset=offsets[1]))
+    assert [r[1] for r in resumed] == [b"bb", b"ccc"]
+
+
+def test_truncated_tail_frame_stops_cleanly():
+    blob = encode_log_messages([(b"whole",), (b"partial-message",)])
+    cut = blob[:-5]  # writer crashed mid-frame
+    rows = list(decode_frames(cut))
+    assert [r[1] for r in rows] == [b"whole"]
+
+
+def test_oversize_drop():
+    # parity: ThriftLogFileReader.java:152-157 — drop, not fail
+    blob = encode_log_messages([(b"ok",), (b"x" * 800,), (b"ok2",)])
+    rows = list(decode_frames(blob, max_message_size=100))
+    assert [r[1] for r in rows] == [b"ok", b"ok2"]
+
+
+def test_oversize_internal_tolerance_exceeded():
+    blob = encode_log_message(b"y" * 5000)
+    with pytest.raises(ValueError):
+        list(decode_frames(blob, max_message_size=100))  # 5000 > 10*100
+
+
+def test_unknown_field_skipped():
+    # forward-compat: an extra i64 field id 9 must be skipped
+    body = (
+        struct.pack(">bhI", 11, 2, 3) + b"msg"
+        + struct.pack(">bhq", 10, 9, 42)
+        + b"\x00"
+    )
+    blob = struct.pack(">I", len(body)) + body
+    [(key, msg, ts, crc, _)] = list(decode_frames(blob))
+    assert msg == b"msg" and ts is None
+
+
+def test_frame_text_line_per_message():
+    assert frame_text("a\nb\nc\n", None) == ["a\n", "b\n", "c\n"]
+    assert frame_text("a\nb", None) == ["a\n", "b\n"]
+
+
+def test_frame_text_multiline_start_regex():
+    # reference: TextMessageReader multi-line framing — a line matching the
+    # start regex begins a new message; non-matching lines are continuations
+    blob = "2024-01-01 ERROR boom\n  at Foo.java:1\n  at Bar.java:2\n2024-01-02 INFO ok\n"
+    msgs = frame_text(blob, r"^\d{4}-\d{2}-\d{2} ")
+    assert len(msgs) == 2
+    assert msgs[0].count("at ") == 2
+    assert msgs[1] == "2024-01-02 INFO ok\n"
+
+
+def test_frame_text_leading_continuation_attaches_to_first():
+    msgs = frame_text("orphan line\nSTART one\nSTART two\n", r"^START")
+    assert len(msgs) == 3  # orphan forms its own leading message
+    assert msgs[0] == "orphan line\n"
+
+
+def test_frame_text_eof_boundary_withheld():
+    msgs = frame_text("START a\nSTART b-partial", r"^START", eof_as_boundary=False)
+    assert msgs == ["START a\n"]  # trailing message may still be growing
