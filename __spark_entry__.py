@@ -487,8 +487,11 @@ sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 
 
 def _minhash_oracle() -> str:
+    from singer_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    base = f"({_md5i('s')} % {MINHASH_P})"
     mins = ",\n    ".join(
-        f"min({_md5i(chr(39) + str(i) + ':' + chr(39) + ' || s')}) AS h{i}" for i in range(8)
+        f"min(({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}" for i in range(8)
     )
     bands = "\n    UNION ALL ".join(
         f"SELECT doc_id, {bi} AS band, h{2*bi}::VARCHAR || '_' || h{2*bi+1}::VARCHAR AS key FROM sigs"
@@ -514,12 +517,12 @@ def _simhash_oracle() -> str:
     h = _md5i("x")
     return f"""
 WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
-hs AS (SELECT doc_id, list_transform(t, x -> {h} % 4294967296) AS h FROM toks),
+hs AS (SELECT doc_id, list_transform(t, x -> {h} % 281474976710656) AS h FROM toks),
 sigs AS (SELECT doc_id,
   list_sum([CASE WHEN 2 * len(list_filter(h, v -> (v >> j) & 1 = 1)) > len(h)
-            THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 32)])::BIGINT AS sig
+            THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 48)])::BIGINT AS sig
   FROM hs),
-chunks AS (SELECT doc_id, sig, c, (sig >> (c * 8)) & 255 AS v
+chunks AS (SELECT doc_id, sig, c, (sig >> (c * 12)) & 4095 AS v
            FROM sigs, (SELECT unnest(range(4)) AS c)),
 cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
                 l.sig AS sa, r.sig AS sb

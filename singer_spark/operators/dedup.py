@@ -8,8 +8,8 @@ Designed for the 100 TB regime:
                      not O(n²); shingle width tunes selectivity
 - MinHash + LSH      constant-size signatures (k hashes) per doc, banded
                      into buckets; the only wide shuffle is on band keys
-- SimHash            one 32-bit signature per doc; candidates via banded
-                     8-bit chunks; verify = popcount(xor) — cheap
+- SimHash            one 48-bit signature per doc; candidates via banded
+                     12-bit chunks; verify = popcount(xor) — cheap
 - embedding near-dup cosine > threshold via the similarity module
 
 Every hash is the cross-engine-reproducible md5-based 60-bit hash
@@ -90,20 +90,34 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+# Universal-hash family over one md5 base hash: h_i(s) = (a_i·h + b_i) mod p,
+# p = 2^31-1.  One md5 per shingle instead of `num_hashes` — hashing is the
+# dominant cost of minhash at corpus scale, and the linear transforms are
+# free in codegen.  Constants are fixed so an external SQL oracle reproduces
+# the exact signatures.
+MINHASH_P = 2_147_483_647
+MINHASH_A = (1000003, 1000033, 1000037, 1000039, 1000081, 1000099, 1000117, 1000121,
+             1000133, 1000151, 1000159, 1000171, 1000183, 1000187, 1000193, 1000199)
+MINHASH_B = (12345, 23456, 34567, 45678, 56789, 67890, 78901, 89012,
+             90123, 91234, 92345, 93456, 94567, 95678, 96789, 97890)
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        k: int = 4, num_hashes: int = 8) -> DataFrame:
-    """k-shingle → `num_hashes` min-hash values per doc.  Hash family i is
-    md5_int(i || ':' || shingle) — independent, deterministic, oracle-
-    reproducible.  One explode + one groupBy; signature size is constant per
-    doc, so the downstream state is O(n·num_hashes) no matter how large the
-    documents are."""
+    """k-shingle → `num_hashes` min-hash values per doc.  One explode + one
+    groupBy with map-side partial mins; signature size is constant per doc,
+    so downstream state is O(n·num_hashes) regardless of document size."""
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"at most {len(MINHASH_A)} hash functions supported")
     sh = docs.select(F.col(id_col).alias("id"),
                      F.explode(shingles_col(text_col, k)).alias("s"))
+    base = (md5_int(F.col("s")) % MINHASH_P).alias("h")
+    hashed = sh.select("id", base)
     aggs = [
-        F.min(md5_int(F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"h{i}")
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -158,8 +172,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash_col(text_col: str = "text", bits: int = 32):
-    """32-bit SimHash over distinct tokens: bit j of the signature is the
+def simhash_col(text_col: str = "text", bits: int = 48):
+    """SimHash over distinct tokens: bit j of the signature is the
     sign of sum over tokens of (+1 if bit j of md5_int(token) else -1).
     Pure higher-order functions — no explode, no shuffle for the signature
     itself."""
@@ -180,14 +194,37 @@ def simhash_col(text_col: str = "text", bits: int = 32):
     return out
 
 
+def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       bits: int = 48) -> DataFrame:
+    """Per-doc SimHash via explode → hash-once → partial-aggregated bit sums.
+
+    Semantically identical to :func:`simhash_col` (bit j set ⟺ more than
+    half the distinct-token hashes have bit j set) but hashes each token
+    exactly once instead of once per bit — the hashing, not the bit math,
+    dominates at corpus scale.  The shuffle carries (id, 32 ints) with
+    map-side combine."""
+    toks = docs.select(F.col(id_col).alias("id"),
+                       F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
+    hashed = toks.select("id", (md5_int(F.col("tok")) % F.lit(2 ** bits).cast("bigint")).alias("h"))
+    aggs = [
+        F.sum(F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_doc = hashed.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("bigint")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("bigint")).otherwise(F.lit(0))
+    return per_doc.select("id", sig.alias("sig"))
+
+
 def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, bits: int = 32) -> DataFrame:
+                  max_hamming: int = 3, bits: int = 48) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Candidates via the pigeonhole trick: split the signature into 4 chunks;
     any pair within hamming 3 must agree on >= 1 chunk, so join on
     (chunk_idx, chunk_value) — a bounded-fanout equi-join, no n²."""
-    sigs = docs.select(F.col(id_col).alias("id"), simhash_col(text_col, bits).alias("sig"))
+    sigs = simhash_signatures(docs, text_col, id_col, bits)
     chunk_bits = bits // 4
     mask = (1 << chunk_bits) - 1
     chunks = sigs.select(

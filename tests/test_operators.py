@@ -57,11 +57,12 @@ def test_minhash_signature_is_true_min(spark):
     df = _docs(spark, [NEAR_A])
     sig = dedup.minhash_signatures(df, num_hashes=2).collect()[0]
 
-    def md5i(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    def h(s: str, i: int) -> int:
+        base = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % dedup.MINHASH_P
+        return (dedup.MINHASH_A[i] * base + dedup.MINHASH_B[i]) % dedup.MINHASH_P
 
-    expected0 = min(md5i(f"0:{s}") for s in _py_shingles(NEAR_A))
-    expected1 = min(md5i(f"1:{s}") for s in _py_shingles(NEAR_A))
+    expected0 = min(h(s, 0) for s in _py_shingles(NEAR_A))
+    expected1 = min(h(s, 1) for s in _py_shingles(NEAR_A))
     assert (sig.h0, sig.h1) == (expected0, expected1)
 
 
