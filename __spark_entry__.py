@@ -334,6 +334,118 @@ def _hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Joins / set ops / grouping the reference lacks (SURVEY §2.7 — provided by
+# Catalyst; as-of and range joins are custom operators in operators/joins.py)
+# ---------------------------------------------------------------------------
+def _asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the latest order (by o_orderdate) of
+    its mapped customer at or before the event time.  One sort-shuffle, no
+    range explosion — operators/joins.py."""
+    from singer_spark.functions import qround
+    from singer_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    right = (
+        orders.groupBy((F.col("o_custkey") % 20).alias("user_id"),
+                       F.col("o_orderdate"))
+        .agg(F.max("o_orderkey").alias("o_orderkey"),
+             F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"))
+    )
+    joined = asof_join(ev, right, key="user_id", left_time="ts",
+                       right_time="o_orderdate",
+                       payload_cols=["o_orderkey", "o_totalprice"])
+    return joined.select("event_id", "o_orderkey",
+                         qround(F.col("o_totalprice"), 2).alias("o_totalprice"))
+
+
+def _range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast range join against a small tier table, then rollup."""
+    from singer_spark.functions import qround
+    from singer_spark.operators.joins import range_join_small
+
+    tiers = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1e9, "high")],
+        ["lo", "hi", "tier"])
+    ev = _events(spark, sf_dir)
+    return (
+        range_join_small(ev, tiers, "value")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"), qround(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def _rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def _pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _events(spark, sf_dir)
+    piv = ev.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types]
+    )
+
+
+def _semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (has orders) + LEFT ANTI (none with status 'F')."""
+    cust = _cust(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F")
+    return with_orders.join(f_orders, with_orders.c_custkey == f_orders.o_custkey,
+                            "left_anti").select("c_custkey", "c_name")
+
+
+def _set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over customer key sets."""
+    cust = _cust(spark, sf_dir)
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    nation_one = cust.filter(F.col("c_nationkey") == 1).select("c_custkey")
+    return building.intersect(rich).union(nation_one.exceptAll(building)).distinct()
+
+
+def _text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word trigrams: explode → partial-agg count → top-k."""
+    from singer_spark.operators.dedup import shingles_col
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(shingles_col("text", 3)).alias("ngram"))
+        .groupBy("ngram").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram"))
+        .limit(20)
+    )
+
+
+def _distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily distinct users (the approx sketch twin is rows-only)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("n_users"),
+             F.count("*").alias("n_events"))
+    )
+
+
+def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch distinct count — engine-specific estimate, rows-only check."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Extended: dedup / similarity / text analysis / multimodal
 # ---------------------------------------------------------------------------
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,6 +556,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logstream_order": _logstream_order,
         "w5_s3_key_template": _w5_s3_key_template,
         "events_json_extract": _events_json_extract,
+        # joins / set ops / grouping (Catalyst surface + custom join operators)
+        "asof_join_events_orders": _asof_join_events_orders,
+        "range_join_value_tiers": _range_join_value_tiers,
+        "rollup_pricing": _rollup_pricing,
+        "pivot_event_counts": _pivot_event_counts,
+        "semi_anti_customers": _semi_anti_customers,
+        "set_ops_segments": _set_ops_segments,
+        "text_ngram_topk": _text_ngram_topk,
+        "distinct_users_daily": _distinct_users_daily,
+        "approx_distinct_users": _approx_distinct_users,
         # relational analytics
         "q1_pricing_summary": _q1,
         "q3_shipping_priority": _q3,
@@ -713,6 +835,60 @@ def oracle_sql() -> dict[str, str]:
             FROM events""",
         "events_json_extract": """
             SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events""",
+        "asof_join_events_orders": """
+            WITH r AS (
+              SELECT o_custkey % 20 AS user_id, o_orderdate,
+                     max(o_orderkey) AS o_orderkey,
+                     arg_max(o_totalprice, o_orderkey) AS o_totalprice
+              FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, r.o_orderkey,
+                   floor(r.o_totalprice * 100 + 0.5) / 100 AS o_totalprice
+            FROM events e
+            ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate""",
+        "range_join_value_tiers": """
+            SELECT t.tier, count(*) AS n,
+                   floor(sum(e.value) * 100 + 0.5) / 100 AS sum_value
+            FROM events e
+            JOIN (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), (150.0, 1e9, 'high'))
+                 t(lo, hi, tier)
+              ON e.value >= t.lo AND e.value < t.hi
+            GROUP BY t.tier""",
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "pivot_event_counts": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY user_id""",
+        "semi_anti_customers": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderstatus = 'F')""",
+        "set_ops_segments": """
+            SELECT DISTINCT c_custkey FROM (
+              (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+               INTERSECT
+               SELECT c_custkey FROM customer WHERE c_acctbal > 1000)
+              UNION ALL
+              (SELECT c_custkey FROM customer WHERE c_nationkey = 1
+               EXCEPT ALL
+               SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))""",
+        "text_ngram_topk": """
+            WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+            sh AS (SELECT unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, greatest(len(t)-2, 1)+1)])) AS ngram FROM toks)
+            SELECT ngram, count(*) AS n FROM sh GROUP BY ngram
+            ORDER BY n DESC, ngram LIMIT 20""",
+        "distinct_users_daily": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(DISTINCT user_id) AS n_users, count(*) AS n_events
+            FROM events GROUP BY 1""",
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

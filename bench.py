@@ -27,6 +27,8 @@ HEADLINERS = [
     "window_top_orders",
     "sessionize_events",
     "hourly_event_rollup",
+    "asof_join_events_orders",
+    "text_ngram_topk",
     # training-data operators
     "dedup_exact",
     "dedup_ngram_jaccard",

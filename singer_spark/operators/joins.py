@@ -1,0 +1,73 @@
+"""Join operators Spark lacks natively, built scale-first.
+
+- `asof_join` — "latest right row at or before the left row's time", the
+  time-series join.  Implemented as union → single sort-shuffle on
+  (key, time) → last-non-null carry-forward window.  One shuffle total,
+  no range explosion: the same plan a native as-of join would produce.
+- `range_join_small` — non-equi range join against a SMALL bounds table via
+  broadcast nested loop — correct tool when one side is tiny (bucket/bin
+  tables); never use for two large sides.
+
+Both are deterministic (explicit tiebreakers) so they verify against a
+DuckDB oracle (ASOF JOIN / BETWEEN join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_time: str, right_time: str,
+              payload_cols: list[str],
+              direction: str = "backward") -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    right_time <= left_time (direction='backward'; 'forward' mirrors).
+
+    Right rows must be unique per (key, right_time) — pre-aggregate
+    upstream if not (ties would make "the" match ambiguous).
+
+    Scale shape: both inputs are tagged and unioned, then ONE shuffle+sort
+    on (key, time) and a carry-forward window pass.  Compare to the naive
+    `left.join(right, key).filter(rt <= lt)` + argmax, which explodes to
+    |left|×|right-per-key| intermediate rows."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    right_types = dict(right.dtypes)
+    left_types = dict(left.dtypes)
+
+    l = left.withColumn("_t", F.col(left_time)).withColumn("_is_left", F.lit(1))
+    for c in payload_cols:
+        l = l.withColumn(c, F.lit(None).cast(right_types[c]))
+
+    r = right.select(key, F.col(right_time).alias("_t"), F.lit(0).alias("_is_left"),
+                     *payload_cols)
+    for c in left.columns:
+        if c != key:
+            r = r.withColumn(c, F.lit(None).cast(left_types[c]))
+
+    unioned = l.unionByName(r.select(*l.columns))
+
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal time → `<=` semantics
+        w = Window.partitionBy(key).orderBy(F.col("_t").asc(), F.col("_is_left").asc()) \
+                  .rowsBetween(Window.unboundedPreceding, 0)
+    else:
+        w = Window.partitionBy(key).orderBy(F.col("_t").desc(), F.col("_is_left").asc()) \
+                  .rowsBetween(Window.unboundedPreceding, 0)
+    out = unioned
+    for c in payload_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.filter(F.col("_is_left") == 1).drop("_t", "_is_left")
+
+
+def range_join_small(big: DataFrame, small_bounds: DataFrame, value_col: str,
+                     lo_col: str = "lo", hi_col: str = "hi") -> DataFrame:
+    """big ⋈ small on  lo <= value < hi.  The bounds table is broadcast, so
+    the plan is BroadcastNestedLoopJoin — a map-side pass over `big`.
+    Only valid when `small_bounds` is genuinely small (bins, tiers)."""
+    cond: Column = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return big.join(F.broadcast(small_bounds), cond, "left")

@@ -1,0 +1,78 @@
+"""As-of join and range join operator tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from singer_spark.operators.joins import asof_join, range_join_small
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-10T00:00:00")),
+         (2, "u", _ts("2024-01-20T00:00:00")),
+         (3, "u", _ts("2024-01-05T00:00:00")),   # before any right row
+         (4, "v", _ts("2024-01-15T00:00:00"))],  # key with no right rows
+        ["event_id", "k", "t"])
+    right = spark.createDataFrame(
+        [("u", _ts("2024-01-08T00:00:00"), 100),
+         ("u", _ts("2024-01-15T00:00:00"), 200)],
+        ["k", "rt", "payload"])
+    out = {r.event_id: r.payload for r in
+           asof_join(left, right, key="k", left_time="t", right_time="rt",
+                     payload_cols=["payload"]).collect()}
+    assert out == {1: 100, 2: 200, 3: None, 4: None}
+
+
+def test_asof_equal_time_matches(spark):
+    # `<=` semantics: a right row AT the left time matches
+    left = spark.createDataFrame([(1, "u", _ts("2024-01-08T00:00:00"))],
+                                 ["event_id", "k", "t"])
+    right = spark.createDataFrame([("u", _ts("2024-01-08T00:00:00"), 7)],
+                                  ["k", "rt", "payload"])
+    [row] = asof_join(left, right, key="k", left_time="t", right_time="rt",
+                      payload_cols=["payload"]).collect()
+    assert row.payload == 7
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([(1, "u", _ts("2024-01-10T00:00:00"))],
+                                 ["event_id", "k", "t"])
+    right = spark.createDataFrame(
+        [("u", _ts("2024-01-08T00:00:00"), 1),   # in the past — ignored
+         ("u", _ts("2024-01-12T00:00:00"), 2),
+         ("u", _ts("2024-01-20T00:00:00"), 3)],
+        ["k", "rt", "payload"])
+    [row] = asof_join(left, right, key="k", left_time="t", right_time="rt",
+                      payload_cols=["payload"], direction="forward").collect()
+    assert row.payload == 2  # earliest right row at/after t
+
+
+def test_asof_preserves_left_rowcount(spark, sf_dir):
+    from singer_spark.session import read_events
+
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    right = orders.groupBy((F.col("o_custkey") % 20).alias("user_id"),
+                           F.col("o_orderdate")).agg(F.max("o_orderkey").alias("o_orderkey"))
+    out = asof_join(ev, right, key="user_id", left_time="ts",
+                    right_time="o_orderdate", payload_cols=["o_orderkey"])
+    assert out.count() == ev.count()  # left join: nothing dropped or duplicated
+
+
+def test_range_join_small_broadcast_plan(spark):
+    big = spark.range(100).select(F.col("id").cast("double").alias("value"))
+    bounds = spark.createDataFrame(
+        [(0.0, 50.0, "lo"), (50.0, 200.0, "hi")], ["lo", "hi", "tier"])
+    out = range_join_small(big, bounds, "value")
+    counts = {r.tier: r.n for r in out.groupBy("tier").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"lo": 50, "hi": 50}
+    # the plan must be a broadcast nested-loop join, not a cartesian shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
