@@ -530,6 +530,8 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from singer_spark import tpch as _tpch
+
     return {
         # sources / framing (S1-S4)
         "s1_thrift_roundtrip": _s1_thrift_roundtrip,
@@ -569,7 +571,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational analytics
         "q1_pricing_summary": _q1,
         "q3_shipping_priority": _q3,
+        "q4_order_priority": _tpch.q4_order_priority,
         "q5_region_revenue": _q5,
+        "q6_forecast_revenue": _tpch.q6_forecast_revenue,
+        "q7_volume_shipping": _tpch.q7_volume_shipping,
+        "q8_market_share": _tpch.q8_market_share,
+        "q9_product_profit": _tpch.q9_product_profit,
+        "q10_returned_items": _tpch.q10_returned_items,
+        "q12_late_shipments": _tpch.q12_late_shipments,
+        "q13_customer_distribution": _tpch.q13_customer_distribution,
+        "q14_promo_revenue": _tpch.q14_promo_revenue,
+        "q15_top_supplier": _tpch.q15_top_supplier,
+        "q17_small_quantity_revenue": _tpch.q17_small_quantity_revenue,
+        "q18_large_volume_customers": _tpch.q18_large_volume_customers,
+        "q19_discounted_revenue": _tpch.q19_discounted_revenue,
+        "q21_waiting_suppliers": _tpch.q21_waiting_suppliers,
+        "q22_idle_customers": _tpch.q22_idle_customers,
         "window_top_orders": _window_top_orders,
         "sessionize_events": _sessionize,
         "hourly_event_rollup": _hourly_rollup,
@@ -915,6 +932,159 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10""",
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     EXTRACT(YEAR FROM l_shipdate)::BIGINT AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+                AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year""",
+        "q8_market_share": """
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                         / sum(volume), 6) AS mkt_share
+            FROM (
+              SELECT EXTRACT(YEAR FROM o_orderdate)::BIGINT AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume,
+                     n1.n_name AS supp_nation
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              JOIN region ON n2.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
+            GROUP BY o_year ORDER BY o_year""",
+        "q9_product_profit": """
+            SELECT nation, o_year, round(sum(amount), 2) AS sum_profit FROM (
+              SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate)::BIGINT AS o_year,
+                     l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity AS amount
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%red%')
+            GROUP BY nation, o_year ORDER BY nation, o_year DESC""",
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "q12_late_shipments": """
+            SELECT o_orderpriority, count(*) AS n_lines,
+                   sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END)::BIGINT AS n_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+              GROUP BY c_custkey)
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+        "q14_promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""",
+        "q15_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey""",
+        "q17_small_quantity_revenue": """
+            WITH brand AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+            agg AS (SELECT l_partkey AS a_partkey, 0.2 * avg(l_quantity) AS qty_limit
+                    FROM lineitem JOIN brand ON l_partkey = p_partkey
+                    GROUP BY l_partkey)
+            SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l
+            JOIN brand b ON l.l_partkey = b.p_partkey
+            JOIN agg a ON l.l_partkey = a.a_partkey
+            WHERE l.l_quantity < a.qty_limit""",
+        "q18_large_volume_customers": """
+            WITH big AS (
+              SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 2) > 250)
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice, sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY round(o_totalprice, 2) DESC, o_orderkey LIMIT 100""",
+        "q19_discounted_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
+        "q21_waiting_suppliers": """
+            WITH li AS (
+              SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')),
+            per_order AS (
+              SELECT l_orderkey, max(l_shipdate) AS max_ship,
+                     count(DISTINCT l_suppkey) AS n_supps
+              FROM li GROUP BY l_orderkey),
+            latest AS (
+              SELECT li.l_orderkey, li.l_suppkey
+              FROM li JOIN per_order p ON li.l_orderkey = p.l_orderkey
+              WHERE li.l_shipdate = p.max_ship AND p.n_supps > 1),
+            sole AS (
+              SELECT l_orderkey, min(l_suppkey) AS suppkey FROM latest
+              GROUP BY l_orderkey HAVING count(DISTINCT l_suppkey) = 1)
+            SELECT s_name, count(*) AS numwait
+            FROM sole JOIN supplier ON suppkey = s_suppkey
+            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+        "q22_idle_customers": """
+            SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
         "q5_region_revenue": """
             SELECT r_name, n_name,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -1,0 +1,90 @@
+"""Smoke + invariant tests for the adapted TPC-H suite (singer_spark.tpch).
+
+Value-level correctness is covered by the DuckDB oracle gate
+(tools/verify_local.py / the driver's CORRECTNESS run); these tests pin
+schemas, row-count invariants, and a few hand-computable facts at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from singer_spark import tpch
+
+
+def test_q4_priorities_complete(spark, sf_dir):
+    rows = tpch.q4_order_priority(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 5
+    assert all(r.order_count > 0 for r in rows)
+
+
+def test_q6_matches_manual_filter(spark, sf_dir):
+    got = tpch.q6_forecast_revenue(spark, sf_dir).collect()[0].revenue
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    m = li[
+        (li.l_shipdate >= "1996-01-01")
+        & (li.l_shipdate < "1997-01-01")
+        & (li.l_discount >= 0.05)
+        & (li.l_discount <= 0.07)
+        & (li.l_quantity < 24)
+    ]
+    assert got == pytest.approx(round((m.l_extendedprice * m.l_discount).sum(), 2), abs=0.01)
+
+
+def test_q7_symmetric_pairs(spark, sf_dir):
+    df = tpch.q7_volume_shipping(spark, sf_dir)
+    pairs = {(r.supp_nation, r.cust_nation) for r in df.collect()}
+    assert pairs <= {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+
+
+def test_q8_share_bounded(spark, sf_dir):
+    for r in tpch.q8_market_share(spark, sf_dir).collect():
+        assert 0.0 <= r.mkt_share <= 1.0
+
+
+def test_q10_limit_and_order(spark, sf_dir):
+    rows = tpch.q10_returned_items(spark, sf_dir).collect()
+    assert len(rows) <= 20
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_q12_late_subset_of_lines(spark, sf_dir):
+    for r in tpch.q12_late_shipments(spark, sf_dir).collect():
+        assert 0 <= r.n_late <= r.n_lines
+
+
+def test_q13_counts_cover_all_customers(spark, sf_dir):
+    df = tpch.q13_customer_distribution(spark, sf_dir)
+    total = df.agg(F.sum("custdist")).collect()[0][0]
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert total == n_cust
+
+
+def test_q15_returns_the_max(spark, sf_dir):
+    rows = tpch.q15_top_supplier(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    assert len({r.total_revenue for r in rows}) == 1
+
+
+def test_q18_threshold_respected(spark, sf_dir):
+    for r in tpch.q18_large_volume_customers(spark, sf_dir).collect():
+        assert r.sum_qty > 250
+
+
+def test_q21_multi_supplier_only(spark, sf_dir):
+    rows = tpch.q21_waiting_suppliers(spark, sf_dir).collect()
+    assert len(rows) <= 20
+    assert all(r.numwait >= 1 for r in rows)
+
+
+def test_q22_idle_customers_nonempty(spark, sf_dir):
+    rows = tpch.q22_idle_customers(spark, sf_dir).collect()
+    assert sum(r.numcust for r in rows) > 0
+
+
+def test_scalar_queries_single_row(spark, sf_dir):
+    for fn in (tpch.q6_forecast_revenue, tpch.q14_promo_revenue,
+               tpch.q17_small_quantity_revenue, tpch.q19_discounted_revenue):
+        assert fn(spark, sf_dir).count() == 1
