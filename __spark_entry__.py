@@ -415,9 +415,10 @@ def _set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word trigrams: explode → partial-agg count → top-k."""
+    from singer_spark.functions import fan_out
     from singer_spark.operators.dedup import shingles_col
 
-    docs = _docs(spark, sf_dir)
+    docs = fan_out(_docs(spark, sf_dir))
     return (
         docs.select(F.explode(shingles_col("text", 3)).alias("ngram"))
         .groupBy("ngram").agg(F.count("*").alias("n"))

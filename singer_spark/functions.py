@@ -51,6 +51,22 @@ def qround_sql(expr: str, digits: int) -> str:
     return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
 
 
+def fan_out(df, min_rows_per_part: int = 0):
+    """Raise scan parallelism for compute-heavy per-row operators.
+
+    A small table stored as one parquet file scans as ONE task, serializing
+    any expensive downstream work (shingling, hashing, Arrow UDFs) on a
+    single core.  Repartition up to the cluster's default parallelism — but
+    only when the source has fewer partitions, so on a real cluster reading
+    thousands of splits this is a no-op (no shuffle added at 100 TB).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def crc32_bytes(col: Column | str) -> Column:
     """CRC-32 of the message payload — parity with
     reference ``writer/KafkaWriter.java:438-465`` (computes/verifies

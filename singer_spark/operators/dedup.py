@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from singer_spark.functions import md5_int, qround
+from singer_spark.functions import fan_out, md5_int, qround
 
 
 def tokens_col(text_col: str = "text"):
@@ -67,8 +67,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
     pair is compared once per shared shingle and reduced by groupBy, so cost
     scales with true overlap, not n².  Wider k → fewer, more selective
     blocks.  Output: (id_a, id_b, jaccard)."""
-    sh = docs.select(F.col(id_col).alias("id"),
-                     F.explode(shingles_col(text_col, k)).alias("s"))
+    sh = fan_out(docs).select(F.col(id_col).alias("id"),
+                              F.explode(shingles_col(text_col, k)).alias("s"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -109,8 +109,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     so downstream state is O(n·num_hashes) regardless of document size."""
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"at most {len(MINHASH_A)} hash functions supported")
-    sh = docs.select(F.col(id_col).alias("id"),
-                     F.explode(shingles_col(text_col, k)).alias("s"))
+    sh = fan_out(docs).select(F.col(id_col).alias("id"),
+                              F.explode(shingles_col(text_col, k)).alias("s"))
     base = (md5_int(F.col("s")) % MINHASH_P).alias("h")
     hashed = sh.select("id", base)
     aggs = [
@@ -148,8 +148,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
         .distinct()
     )
     # exact verification restricted to candidates
-    sh = docs.select(F.col(id_col).alias("id"),
-                     F.explode(shingles_col(text_col, k)).alias("s"))
+    sh = fan_out(docs).select(F.col(id_col).alias("id"),
+                              F.explode(shingles_col(text_col, k)).alias("s"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

@@ -18,10 +18,12 @@ on array<double> — no Python in the hot path.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from singer_spark.functions import md5_int, qround
+from singer_spark.functions import fan_out, md5_int, qround
 
 
 def as_double(col: Column | str) -> Column:
@@ -53,7 +55,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ranking ties break on neighbor id for determinism."""
     from pyspark.sql.window import Window
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec"))
+    c = fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec"))
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec"))
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -82,12 +84,48 @@ def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
 
 
 def bucket_col(vec: Column, table: int, num_planes: int, dim: int) -> Column:
-    """LSH bucket id: one sign bit per hyperplane."""
+    """LSH bucket id: one sign bit per hyperplane. Pure-JVM form; correct but
+    builds a (num_planes × dim)-literal expression tree whose plan/codegen
+    cost dwarfs the row work — prefer `bucket_ids_udf` in queries."""
     out = F.lit(0).cast("bigint")
     for p in range(num_planes):
         plane = F.array(*[F.lit(v) for v in _hyperplane(table, p, dim)])
         out = out + F.when(dot(vec, plane) > 0, F.lit(2 ** p).cast("bigint")).otherwise(F.lit(0))
     return out
+
+
+def bucket_ids_udf(num_tables: int, num_planes: int, dim: int):
+    """Arrow-vectorized LSH bucketing: one pandas UDF returns all
+    `num_tables` bucket ids per vector.
+
+    Bit-compatible with `bucket_col` / the DuckDB oracle: the per-plane dot
+    product accumulates dimension-by-dimension in float64 (same left-to-right
+    order as `aggregate(zip_with(...))`), so sign decisions are identical.
+    Vectorized across rows, sequential across dims — numpy does
+    (tables × planes × dim) fused array ops, no giant Catalyst expression."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.empty((num_tables, num_planes, dim), dtype=np.float64)
+    for t in range(num_tables):
+        for p in range(num_planes):
+            planes[t, p, :] = _hyperplane(t, p, dim)
+
+    @pandas_udf("array<bigint>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        n = V.shape[0]
+        out = np.zeros((n, num_tables), dtype=np.int64)
+        for t in range(num_tables):
+            for p in range(num_planes):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + V[:, d] * planes[t, p, d]
+                out[:, t] |= (acc > 0).astype(np.int64) << p
+        return pd.Series(list(out))
+
+    return buckets
 
 
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
@@ -101,15 +139,15 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
     candidates instead of the full corpus; recall rises with num_tables."""
     from pyspark.sql.window import Window
 
+    bucketer = bucket_ids_udf(num_tables, num_planes, dim)
+
     def with_buckets(df: DataFrame, ident: str) -> DataFrame:
-        v = as_double(vec_col)
-        buckets = F.array(*[
-            F.struct(F.lit(t).alias("t"), bucket_col(v, t, num_planes, dim).alias("b"))
-            for t in range(num_tables)
-        ])
-        return df.select(F.col(id_col).alias(ident), v.alias(f"{ident}_vec"),
-                         F.explode(buckets).alias("tb")) \
-                 .select(ident, f"{ident}_vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+        hashed = fan_out(df).select(F.col(id_col).alias(ident), as_double(vec_col).alias(f"{ident}_vec"),
+                                    bucketer(F.col(vec_col)).alias("bs"))
+        return hashed.select(
+            ident, f"{ident}_vec",
+            F.posexplode("bs").alias("t", "b"),
+        )
 
     cb = with_buckets(corpus, "neighbor_id")
     qb = with_buckets(queries, "query_id")
@@ -136,14 +174,11 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95, dim: in
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              round_to: int = 6) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH blocking + exact verify."""
-    v = as_double(vec_col)
-    buckets = F.array(*[
-        F.struct(F.lit(t).alias("t"), bucket_col(v, t, num_planes, dim).alias("b"))
-        for t in range(num_tables)
-    ])
-    hashed = corpus.select(F.col(id_col).alias("id"), v.alias("vec"),
-                           F.explode(buckets).alias("tb")) \
-                   .select("id", "vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    bucketer = bucket_ids_udf(num_tables, num_planes, dim)
+    hashed = fan_out(corpus).select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("vec"),
+        F.posexplode(bucketer(F.col(vec_col))).alias("t", "b"),
+    )
     l, r = hashed.alias("l"), hashed.alias("r")
     pairs = (
         l.join(r, (F.col("l.t") == F.col("r.t")) & (F.col("l.b") == F.col("r.b"))

@@ -123,6 +123,9 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
       stream (order-sensitive, Karp-Rabin style: h = (h*31 + md5_int(token))
       mod 2^40) — built with `aggregate`, no shuffle.  40 bits keeps
       `h*31 + token_hash` inside BIGINT without wraparound."""
+    from singer_spark.functions import fan_out
+
+    docs = fan_out(docs)
     c = F.col(text_col)
     normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     toks = F.split(normalized, " ")
