@@ -427,6 +427,27 @@ def _text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in `session_window` (the streaming sessionizer's batch form):
+    30-minute-gap event-time sessions per user.  Twin of the lag/cumsum
+    `sessionize_events` — same boundaries, produced by Spark's native
+    session-window operator (singer_spark.streaming.streaming_sessionize)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events", "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def _distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact daily distinct users (the approx sketch twin is rows-only)."""
     ev = _events(spark, sf_dir)
@@ -590,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": _tpch.q22_idle_customers,
         "window_top_orders": _window_top_orders,
         "sessionize_events": _sessionize,
+        "session_window_agg": _session_window_agg,
         "hourly_event_rollup": _hourly_rollup,
         # dedup
         "dedup_exact": _dedup_exact,
@@ -1114,6 +1136,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
                    round(sum(value), 2) AS session_value,
                    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+            FROM s GROUP BY user_id, session_seq""",
+        "session_window_agg": """
+            WITH w AS (
+              SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+                     WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000 THEN 1
+                     ELSE 0 END AS new_session
+              FROM events),
+            s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq FROM w)
+            SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   count(*) AS n_events, round(sum(value), 2) AS session_value
             FROM s GROUP BY user_id, session_seq""",
         "hourly_event_rollup": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

@@ -1,0 +1,15 @@
+"""Stateful Structured Streaming operators.
+
+The reference has no event-time semantics (its "watermark" is a resume
+offset — SURVEY.md §2.7); these are the extended-engine streaming operators
+the batch queries twin against: session windows, watermarked tumbling
+rollups, and a custom applyInPandasWithState accumulator.
+"""
+
+from singer_spark.streaming.stateful import (
+    hourly_rollup_stream,
+    running_user_stats,
+    streaming_sessionize,
+)
+
+__all__ = ["streaming_sessionize", "hourly_rollup_stream", "running_user_stats"]

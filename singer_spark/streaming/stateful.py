@@ -1,0 +1,98 @@
+"""Event-time stateful streaming operators.
+
+Design notes for the 100 TB / always-on regime:
+
+- State is keyed by user_id (or the group key), so it shards across
+  executors with the shuffle; watermarks bound state size — expired
+  windows/sessions are dropped by the state store, not accumulated.
+- `session_window` / `window` are the built-in (RocksDB-backed at scale)
+  paths; `applyInPandasWithState` is the escape hatch for semantics the
+  built-ins can't express (cross-batch running aggregates with custom
+  eviction), Arrow-batched per key group.
+- Every operator takes and returns DataFrames, so the same call works on a
+  `readStream` source in a query and on a finite batch frame in tests
+  (except applyInPandasWithState, which Spark restricts to streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_sessionize(events: DataFrame, gap_minutes: int = 30,
+                         watermark: str = "2 hours",
+                         ts_col: str = "ts", key_col: str = "user_id") -> DataFrame:
+    """Streaming sessionization via the built-in `session_window` (dynamic-gap
+    event-time sessions): a session closes once the watermark passes its end.
+
+    Batch twin: `singer_spark.queries.sessionize_events` (gap-based
+    lag/cumsum) — same session boundaries for the same inputs.
+    """
+    sessioned = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), f"{gap_minutes} minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+    )
+    return sessioned.select(
+        key_col,
+        F.col("session_window.start").alias("window_start"),
+        F.col("session_window.end").alias("window_end"),
+        "n_events", "session_value", "session_start",
+    )
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours",
+                         ts_col: str = "ts") -> DataFrame:
+    """Watermarked tumbling-window rollup — streaming twin of
+    `hourly_event_rollup`. Late rows beyond the watermark are dropped;
+    partial aggregation happens map-side before the keyed state shuffle."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type", "n", "sum_value", "avg_value",
+        )
+    )
+
+
+def running_user_stats(events: DataFrame, ts_col: str = "ts",
+                       key_col: str = "user_id") -> DataFrame:
+    """Custom stateful operator: per-user running (n_events, total_value)
+    across micro-batches via applyInPandasWithState.
+
+    What the built-ins can't express: an unbounded running aggregate emitted
+    every batch in update mode with explicit state control. State per key is
+    two doubles — O(|users|) total, sharded by the groupBy shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n], "total_value": [total],
+        })
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(update, output_schema, state_schema,
+                                "update", GroupStateTimeout.NoTimeout)
+    )

@@ -1,0 +1,114 @@
+"""Stateful streaming operator tests.
+
+Strategy: feed a file-stream source in two phases (the second phase's
+timestamps sit far past the first's), run with availableNow triggers, and
+assert the flushed first-phase results equal the batch twin on the same
+rows — the reference's e2e oracle style (count + content equality), applied
+to event-time state.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from singer_spark.streaming import (
+    hourly_rollup_stream,
+    running_user_stats,
+    streaming_sessionize,
+)
+
+EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+
+def _write_events(spark, path: str, rows):
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf, schema=EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _phase1_rows():
+    # two users; user 1 has two sessions (>30 min gap), user 2 has one
+    return [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:10:00", 1, "view", 2.0),
+        (3, "2024-01-01 11:30:00", 1, "click", 3.0),   # new session (80 min gap)
+        (4, "2024-01-01 10:05:00", 2, "click", 5.0),
+    ]
+
+
+def _phase2_rows():
+    # far in the future: advances the watermark past all phase-1 sessions
+    return [(9, "2024-01-02 12:00:00", 9, "click", 0.5)]
+
+
+def _run_two_phase(spark, tmp_path, op, query_name: str):
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(spark, src, _phase1_rows())
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    out = op(stream)
+    q = (out.writeStream.format("memory").queryName(query_name)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .start())
+    try:
+        q.processAllAvailable()
+        # phase 2 advances the watermark, flushing phase-1 state
+        _write_events(spark, src, _phase2_rows())
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
+
+
+def test_streaming_sessionize_matches_batch_sessions(spark, tmp_path):
+    result = _run_two_phase(spark, tmp_path, streaming_sessionize, "sessions_out")
+    flushed = result.filter(F.col("user_id").isin(1, 2)).orderBy("user_id", "session_start")
+    rows = flushed.collect()
+    assert [(r.user_id, r.n_events, r.session_value, r.session_start) for r in rows] == [
+        (1, 2, 3.0, "2024-01-01 10:00:00"),
+        (1, 1, 3.0, "2024-01-01 11:30:00"),
+        (2, 1, 5.0, "2024-01-01 10:05:00"),
+    ]
+
+
+def test_hourly_rollup_stream_matches_batch(spark, tmp_path):
+    result = _run_two_phase(spark, tmp_path, hourly_rollup_stream, "rollup_out")
+    got = {(r.hour, r.event_type): (r.n, r.sum_value) for r in result.collect()
+           if r.hour.startswith("2024-01-01")}
+    assert got == {
+        ("2024-01-01 10:00:00", "click"): (2, 6.0),
+        ("2024-01-01 10:00:00", "view"): (1, 2.0),
+        ("2024-01-01 11:00:00", "click"): (1, 3.0),
+    }
+
+
+def test_running_user_stats_accumulates_across_batches(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(spark, src, _phase1_rows())
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    out = running_user_stats(stream)
+
+    q = (out.writeStream.format("memory").queryName("stats_out")
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .start())
+    try:
+        q.processAllAvailable()
+        first = {r.user_id: (r.n_events, r.total_value)
+                 for r in spark.table("stats_out").collect()}
+        assert first[1] == (3, 6.0)
+        assert first[2] == (1, 5.0)
+
+        # second batch: user 1 gains one more event; state must carry over
+        _write_events(spark, src, [(5, "2024-01-01 12:00:00", 1, "click", 4.0)])
+        q.processAllAvailable()
+        # update-mode memory sink accumulates emissions; n_events is monotone
+        latest = {}
+        for r in spark.table("stats_out").collect():
+            if r.user_id not in latest or r.n_events > latest[r.user_id][0]:
+                latest[r.user_id] = (r.n_events, r.total_value)
+        assert latest[1] == (4, 10.0)
+    finally:
+        q.stop()
