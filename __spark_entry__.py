@@ -508,6 +508,16 @@ def _sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with seeded exact centroids (vec_id < 16), nprobe=4 —
+    the inverted-list scale path next to the LSH variant."""
+    from singer_spark.operators.similarity import ivf_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                        n_clusters=16, nprobe=4)
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -621,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity
         "sim_bruteforce_topk": _sim_bruteforce_topk,
         "sim_lsh_ann": _sim_lsh_ann,
+        "sim_ivf_ann": _sim_ivf_ann,
         "embedding_near_dup": _embedding_near_dup,
         # text analysis
         "text_lang_id": _text_lang_id,
@@ -1177,6 +1188,35 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT query_id, neighbor_id, rank::INT AS rank, cosine FROM r WHERE rank <= 5""",
         "sim_lsh_ann": _lsh_ann_oracle(),
+        "sim_ivf_ann": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            cos_all AS (
+              SELECT e.vec_id, cid,
+                     list_dot_product(e.v, cv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cos
+              FROM e CROSS JOIN cent),
+            assign AS (SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM cos_all) WHERE rn = 1),
+            probes AS (SELECT vec_id AS query_id, cid AS cluster FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM cos_all WHERE vec_id < 10) WHERE rn <= 4),
+            cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                     FROM probes p JOIN assign a ON a.cluster = p.cluster
+                     WHERE a.vec_id <> p.query_id),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     floor(list_dot_product(q.v, c.v)
+                           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                           * 1000000 + 0.5) / 1000000 AS cosine
+              FROM cand JOIN e q ON q.vec_id = query_id JOIN e c ON c.vec_id = neighbor_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cosine DESC, neighbor_id) AS rank
+                  FROM scored)
+            SELECT query_id, neighbor_id, rank::INT AS rank, cosine FROM r WHERE rank <= 5""",
         "embedding_near_dup": _near_dup_oracle(),
         "text_lang_id": _lang_id_oracle(),
         "text_quality": _quality_oracle(),

@@ -36,6 +36,7 @@ HEADLINERS = [
     "dedup_simhash",
     "sim_bruteforce_topk",
     "sim_lsh_ann",
+    "sim_ivf_ann",
     "text_quality",
     "text_fingerprint",
     "b5_audit_count",

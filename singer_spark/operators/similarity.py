@@ -169,6 +169,115 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
     )
 
 
+def _seq_cosine_matrix(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """Cosine of every row of V against every row of C with the exact
+    left-to-right float64 accumulation order of `aggregate(zip_with(...))` /
+    DuckDB `list_dot_product` — so comparisons are bit-identical across
+    engines. Vectorized across rows, sequential across dims."""
+    n, dim = V.shape
+    vv = np.zeros(n, dtype=np.float64)
+    for d in range(dim):
+        vv = vv + V[:, d] * V[:, d]
+    vnorm = np.sqrt(vv)
+    out = np.empty((n, C.shape[0]), dtype=np.float64)
+    for ci in range(C.shape[0]):
+        cc = 0.0
+        for d in range(dim):
+            cc += float(C[ci, d]) * float(C[ci, d])
+        dot = np.zeros(n, dtype=np.float64)
+        for d in range(dim):
+            dot = dot + V[:, d] * C[ci, d]
+        out[:, ci] = dot / (vnorm * np.sqrt(cc))
+    return out
+
+
+def ivf_build_assignments(corpus: DataFrame, n_clusters: int = 16,
+                          id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantizer with *seeded* centroids: the vectors whose id is
+    < n_clusters serve as exact centroids (no Lloyd iterations — centroids
+    are data values, so an external SQL oracle reproduces assignments
+    bit-for-bit). Each vector goes to its max-cosine centroid (ties → lowest
+    centroid id).
+
+    At scale: the centroid table is O(k·dim) — broadcast into a narrow
+    Arrow-UDF pass over the corpus; the output (id, cluster) is the inverted
+    list, ready to be partitioned/bucketed by cluster."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = (corpus.filter(F.col(id_col) < n_clusters)
+                 .select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+                 .collect())
+    cent_rows.sort(key=lambda r: r.cid)
+    C = np.array([r.cv for r in cent_rows], dtype=np.float64)
+
+    @pandas_udf("bigint")
+    def assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        cos = _seq_cosine_matrix(V, C)
+        return pd.Series(np.argmax(cos, axis=1).astype("int64"))
+
+    return fan_out(corpus).select(
+        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster")
+    )
+
+
+def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 n_clusters: int = 16, nprobe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 round_to: int = 6) -> DataFrame:
+    """IVF approximate top-k: queries probe their `nprobe` nearest centroids;
+    candidates are the corpus vectors assigned to those clusters; exact
+    cosine re-rank of candidates only.
+
+    The scale path: candidate work is ~ corpus·(nprobe/n_clusters) per
+    query, the inverted lists co-partition by cluster id, and only
+    (queries × nprobe) cluster keys join against them — no corpus-wide
+    shuffle per query batch."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    assigned = ivf_build_assignments(corpus, n_clusters, id_col, vec_col)
+
+    cent_rows = (corpus.filter(F.col(id_col) < n_clusters)
+                 .select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+                 .collect())
+    cent_rows.sort(key=lambda r: r.cid)
+    C = np.array([r.cv for r in cent_rows], dtype=np.float64)
+
+    @pandas_udf("array<bigint>")
+    def probe(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        cos = _seq_cosine_matrix(V, C)
+        # nprobe nearest centroids, ties → lowest cid (mergesort is stable
+        # over the already-ascending cid order)
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int64")))
+
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec"),
+                       probe(F.col(vec_col)).alias("probes"))
+    q_probed = q.select("query_id", "qvec", F.explode("probes").alias("cluster"))
+    cands = (
+        assigned.join(F.broadcast(q_probed), "cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "qvec",
+                as_double(vec_col).alias("cvec"))
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id",
+        qround(cosine(F.col("qvec"), F.col("cvec")), round_to).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95, dim: int = 64,
                              num_tables: int = 4, num_planes: int = 8,
                              id_col: str = "vec_id", vec_col: str = "embedding",

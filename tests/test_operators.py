@@ -107,6 +107,34 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall > 0.3
 
 
+def test_ivf_assignments_and_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned = similarity.ivf_build_assignments(emb, n_clusters=16)
+    clusters = assigned.agg(F.min("cluster"), F.max("cluster"), F.count("*")).collect()[0]
+    assert clusters[0] >= 0 and clusters[1] < 16
+    assert clusters[2] == emb.count()
+    # a centroid vector's nearest centroid is itself (cosine = 1)
+    self_assign = assigned.filter(F.col("vec_id") < 16).collect()
+    assert all(r.cluster == r.vec_id for r in self_assign)
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = similarity.ivf_ann_topk(emb, queries, k=5, n_clusters=16, nprobe=4).collect()
+    per_query = {}
+    for r in out:
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_query.values())
+
+    # probing more clusters can only improve (or equal) recall vs brute force
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in out}
+    wide = {(r.query_id, r.neighbor_id)
+            for r in similarity.ivf_ann_topk(emb, queries, k=5, n_clusters=16,
+                                             nprobe=16).collect()}
+    assert len(wide & exact) >= len(approx & exact)
+    assert wide == exact  # nprobe = n_clusters degenerates to exact search
+
+
 def test_lang_id_predicts_profile_language(spark):
     df = _docs(spark, ["the cat is on the mat and it is happy",
                        "el gato es un animal que vive en la casa"])
