@@ -384,6 +384,46 @@ def _rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations of the two dimensions)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+def _grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL: (priority, status) detail rows +
+    per-priority subtotals, nothing else — the shape ROLLUP/CUBE can't pick."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n, floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority))
+    """)
+
+
+def _salted_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim join (operators.joins.salted_join): lineitem
+    joins orders spread over 16 salt buckets; aggregate result is identical
+    to the unsalted join — which is exactly what the oracle checks."""
+    from singer_spark.operators.joins import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice", "l_discount")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority")
+    return (
+        salted_join(li, orders, "k", salt_buckets=16)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"),
+             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def _pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type count matrix."""
     types = ["click", "error", "purchase", "signup", "view"]
@@ -594,6 +634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events_orders": _asof_join_events_orders,
         "range_join_value_tiers": _range_join_value_tiers,
         "rollup_pricing": _rollup_pricing,
+        "cube_pricing": _cube_pricing,
+        "grouping_sets_revenue": _grouping_sets_revenue,
+        "salted_join_priority": _salted_join_priority,
         "pivot_event_counts": _pivot_event_counts,
         "semi_anti_customers": _semi_anti_customers,
         "set_ops_segments": _set_ops_segments,
@@ -908,6 +951,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+        "cube_pricing": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+        "grouping_sets_revenue": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n, floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority))""",
+        "salted_join_priority": """
+            SELECT o_orderpriority, count(*) AS n_lines,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
         "pivot_event_counts": """
             SELECT user_id,
                    count(*) FILTER (event_type = 'click') AS click,

@@ -71,3 +71,29 @@ def range_join_small(big: DataFrame, small_bounds: DataFrame, value_col: str,
     Only valid when `small_bounds` is genuinely small (bins, tiers)."""
     cond: Column = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return big.join(F.broadcast(small_bounds), cond, "left")
+
+
+def salted_join(facts: DataFrame, dim: DataFrame, key: str,
+                salt_buckets: int = 16, how: str = "inner",
+                seed: int = 42) -> DataFrame:
+    """Skew-busting equi-join: spread a hot join key across `salt_buckets`
+    reducers.
+
+    The fact side gets a random salt in [0, salt_buckets); the dimension
+    side is replicated once per salt value, so every (key, salt) pair still
+    matches — result is row-identical to `facts.join(dim, key, how)` while
+    the shuffle spreads each hot key over `salt_buckets` tasks.
+
+    Use when one/few keys dominate (AQE's skew-join splits partitions but
+    can't split a single key's sort-group); cost is dim × salt_buckets
+    replication, so keep the replicated side the small one."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (semantics of salt replication)")
+    salted_facts = facts.withColumn(
+        "_salt", (F.rand(seed) * salt_buckets).cast("int"))
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])))
+    return (
+        salted_facts.join(replicated_dim, [key, "_salt"], how)
+        .drop("_salt")
+    )

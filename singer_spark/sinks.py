@@ -7,6 +7,10 @@
 - File/S3 sink (W5): parquet/text writeStream with time-based triggers
   (minUploadTime) and maxRecordsPerFile (size rollover); S3Writer's key
   templating is reproduced by `render_key_template`.
+- Pulsar sink  (W4): no OSS Spark connector — foreachBatch + pulsar-client
+  (import-gated), async send + flush per partition, mirroring PulsarWriter's
+  send-batch/flush/await-futures protocol.  A `client_factory` injection
+  point replaces the reference's producer cache for testing.
 - NoOp sink    (W6): format("noop").
 - Memory sink  (tests): format("memory").
 - Audit        (B5/W9): `with_audit` wraps any batch writer in foreachBatch,
@@ -119,6 +123,71 @@ def render_key_template(template: str, log_name: str = "", filename: str = "",
         return m.group(0)
 
     return _TOKEN_RE.sub(sub, template)
+
+
+# ---------------------------------------------------------------------------
+# Pulsar sink (W4) — parity with the reference's PulsarWriter (async send
+# batch → flush → await; producer reuse per task).  OSS Spark has no Pulsar
+# connector, so this is a foreachBatch sink over the pulsar-client library
+# (import-gated); `client_factory(service_url)` must return an object with
+# `create_producer(topic)` → producer exposing `send_async(data, callback,
+# partition_key=...)` and `flush()` — the real pulsar.Client satisfies this.
+# ---------------------------------------------------------------------------
+def _default_pulsar_client(service_url: str):
+    try:
+        import pulsar  # type: ignore
+    except ImportError as e:  # pragma: no cover - library not in this env
+        raise ImportError(
+            "pulsar-client is not installed; pass client_factory= for a custom "
+            "transport or install pulsar-client"
+        ) from e
+    return pulsar.Client(service_url)
+
+
+def pulsar_write_batch(batch_df: DataFrame, service_url: str, topic: str,
+                       client_factory: Callable | None = None,
+                       key_col: str = "key", value_col: str = "value") -> None:
+    """Write one (micro-)batch to Pulsar: per partition, open a client,
+    async-send every row, then flush once — the PulsarWriter protocol
+    (send batch + flush + await futures).  Errors raise and fail the task,
+    so Spark's retry/at-least-once semantics apply."""
+    factory = client_factory or _default_pulsar_client
+    cols = [c for c in (key_col, value_col) if c in batch_df.columns]
+    plan = batch_df.select(*cols)
+    has_key = key_col in plan.columns
+
+    def send_partition(rows) -> None:
+        client = factory(service_url)
+        producer = client.create_producer(topic)
+        try:
+            for row in rows:
+                payload = row[value_col]
+                if isinstance(payload, str):
+                    payload = payload.encode("utf-8")
+                kwargs = {}
+                if has_key and row[key_col] is not None:
+                    k = row[key_col]
+                    kwargs["partition_key"] = k if isinstance(k, str) else bytes(k).decode("utf-8", "replace")
+                producer.send_async(bytes(payload), None, **kwargs)
+            producer.flush()
+        finally:
+            close = getattr(client, "close", None)
+            if close:
+                close()
+
+    plan.foreachPartition(send_partition)
+
+
+def pulsar_sink(df: DataFrame, service_url: str, topic: str, checkpoint_dir: str,
+                client_factory: Callable | None = None,
+                key_col: str = "key", value_col: str = "value") -> DataStreamWriter:
+    """Streaming Pulsar sink via foreachBatch + :func:`pulsar_write_batch`."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        pulsar_write_batch(batch_df, service_url, topic, client_factory,
+                           key_col, value_col)
+
+    return df.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint_dir)
 
 
 # ---------------------------------------------------------------------------

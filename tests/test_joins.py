@@ -76,3 +76,20 @@ def test_range_join_small_broadcast_plan(spark):
     # the plan must be a broadcast nested-loop join, not a cartesian shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_salted_join_identical_to_plain_join(spark, sf_dir):
+    from singer_spark.operators.joins import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("k"), "l_linenumber")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority")
+    plain = li.join(orders, "k").groupBy("o_orderpriority").count().collect()
+    salted = salted_join(li, orders, "k", salt_buckets=8).groupBy("o_orderpriority").count().collect()
+    assert {(r.o_orderpriority, r["count"]) for r in plain} == \
+           {(r.o_orderpriority, r["count"]) for r in salted}
+    # left join keeps unmatched fact rows exactly once
+    li_extra = li.union(spark.createDataFrame([(10**12, 1)], "k bigint, l_linenumber int"))
+    left = salted_join(li_extra, orders, "k", salt_buckets=8, how="left")
+    assert left.filter(F.col("o_orderpriority").isNull()).count() == 1
