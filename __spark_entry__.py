@@ -467,6 +467,58 @@ def _text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _moving_avg_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: 7-day moving average + running total over the daily
+    event-value series (ROWS BETWEEN — the sliding-frame operator)."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.sum("value").alias("day_value"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        F.floor(F.col("day_value") * 100 + F.lit(0.5)).cast("double").alias("day_value_c"),
+        F.floor(F.avg("day_value").over(w7) * 100 + F.lit(0.5)).cast("double").alias("ma7_c"),
+        F.floor(F.sum("day_value").over(wrun) * 100 + F.lit(0.5)).cast("double").alias("running_c"),
+    ).orderBy("day")
+
+
+def _percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per event type — the
+    sort-based exact path; at scale swap to approx_percentile sketches."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.floor(F.expr("percentile(value, 0.5)") * 10000 + F.lit(0.5)).alias("p50_q"),
+            F.floor(F.expr("percentile(value, 0.9)") * 10000 + F.lit(0.5)).alias("p90_q"),
+            F.floor(F.expr("percentile(value, 0.99)") * 10000 + F.lit(0.5)).alias("p99_q"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _array_functions_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/aggregate/sort) over
+    the tokenized documents — the scalar-function surface check."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    longs = F.filter(toks, lambda t: F.length(t) > 6)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(longs).alias("n_long"),
+        F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                    F.lit(0), lambda a, x: a + x).alias("char_sum"),
+        F.element_at(F.array_sort(toks), 1).alias("first_token"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias("top3_sorted"),
+    )
+
+
 def _session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in `session_window` (the streaming sessionizer's batch form):
     30-minute-gap event-time sessions per user.  Twin of the lag/cumsum
@@ -642,6 +694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_segments": _set_ops_segments,
         "text_ngram_topk": _text_ngram_topk,
         "distinct_users_daily": _distinct_users_daily,
+        "moving_avg_daily_value": _moving_avg_daily_value,
+        "percentiles_by_type": _percentiles_by_type,
+        "array_functions_profile": _array_functions_profile,
         "approx_distinct_users": _approx_distinct_users,
         # relational analytics
         "q1_pricing_summary": _q1,
@@ -997,6 +1052,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    count(DISTINCT user_id) AS n_users, count(*) AS n_events
             FROM events GROUP BY 1""",
+        "moving_avg_daily_value": """
+            WITH daily AS (
+              SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                     sum(value) AS day_value
+              FROM events GROUP BY 1)
+            SELECT day,
+                   floor(day_value * 100 + 0.5) AS day_value_c,
+                   floor(avg(day_value) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 100 + 0.5) AS ma7_c,
+                   floor(sum(day_value) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) * 100 + 0.5) AS running_c
+            FROM daily ORDER BY day""",
+        "percentiles_by_type": """
+            SELECT event_type,
+                   floor(quantile_cont(value, 0.5) * 10000 + 0.5)::BIGINT AS p50_q,
+                   floor(quantile_cont(value, 0.9) * 10000 + 0.5)::BIGINT AS p90_q,
+                   floor(quantile_cont(value, 0.99) * 10000 + 0.5)::BIGINT AS p99_q
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "array_functions_profile": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+            SELECT doc_id,
+                   len(toks)::INT AS n_tokens,
+                   len(list_filter(toks, x -> length(x) > 6))::INT AS n_long,
+                   list_sum(list_transform(toks, x -> length(x)))::INT AS char_sum,
+                   list_sort(toks)[1] AS first_token,
+                   array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), ',') AS top3_sorted
+            FROM t""",
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

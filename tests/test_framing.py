@@ -5,6 +5,7 @@ TextMessageReaderTest — multi-line regex framing cases, oversize drops)."""
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -103,3 +104,20 @@ def test_frame_text_leading_continuation_attaches_to_first():
 def test_frame_text_eof_boundary_withheld():
     msgs = frame_text("START a\nSTART b-partial", r"^START", eof_as_boundary=False)
     assert msgs == ["START a\n"]  # trailing message may still be growing
+
+
+def test_loggen_rotation_and_dump(tmp_path, capsys):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    import loggen
+
+    log_dir = str(tmp_path / "gen")
+    n = loggen.generate(log_dir, "app.log", n_messages=500, max_file_bytes=20_000)
+    assert n == 500
+    files = sorted(os.listdir(log_dir))
+    assert "app.log" in files and len(files) > 1  # rotation happened
+    # every message decodes back with a valid CRC across all rotated files
+    total = 0
+    for name in files:
+        total += loggen.dump(os.path.join(log_dir, name))
+    assert total == 500
