@@ -1,0 +1,88 @@
+"""Agent entry point — the SingerMain analog (reference
+singer/src/main/java/com/pinterest/singer/SingerMain.java:150-172).
+
+Startup sequence (SURVEY.md §3.1): load `singer.properties` + `conf.d/*`
+into SingerConfig, start one streaming query per log via PipelineManager,
+start the heartbeat publisher, then run until SIGTERM/SIGINT — on which it
+drains (process-all-then-stop, the admin `stop` semantics) and exits.
+
+Usage:
+  python -m singer_spark.cli --config-dir /etc/singer [--drain-and-exit]
+
+`--drain-and-exit` processes everything currently on disk and stops — the
+batch-like mode used by tests and backfills.
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config-dir", required=True,
+                   help="directory with singer.properties and conf.d/")
+    p.add_argument("--checkpoint-root", default=None)
+    p.add_argument("--drain-and-exit", action="store_true",
+                   help="process available data, then stop (backfill mode)")
+    p.add_argument("--heartbeat-interval", type=int, default=None,
+                   help="override heartbeatIntervalInSeconds")
+    args = p.parse_args(argv)
+
+    from singer_spark.config import load_singer_config
+    from singer_spark.engine import PipelineManager
+    from singer_spark.heartbeat import HeartbeatPublisher
+    from singer_spark.session import get_spark
+
+    import os
+
+    cfg = load_singer_config(
+        os.path.join(args.config_dir, "singer.properties"),
+        os.path.join(args.config_dir, "conf.d"),
+    )
+    spark = get_spark("singer_spark_agent")
+    manager = PipelineManager(spark, cfg, checkpoint_root=args.checkpoint_root)
+    manager.start_all()
+    started = [n for n in manager.queries]
+    print(f"singer-spark agent: started {len(started)} stream(s): {', '.join(started)}",
+          file=sys.stderr)
+
+    interval = args.heartbeat_interval or cfg.heartbeat_interval_secs or 60
+    heartbeat = HeartbeatPublisher(
+        spark, emit=lambda status: print(status, file=sys.stderr),
+        interval_secs=interval)
+    if cfg.heartbeat_enabled:
+        heartbeat.start()
+
+    if args.drain_and_exit:
+        manager.drain()
+        heartbeat.stop()
+        print("singer-spark agent: drained and stopped", file=sys.stderr)
+        return 0
+
+    stop_requested = {"flag": False}
+
+    def on_signal(signum, frame):  # noqa: ARG001
+        stop_requested["flag"] = True
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
+    try:
+        while not stop_requested["flag"]:
+            dead = [n for n, q in manager.queries.items() if not q.isActive]
+            for n in dead:
+                print(f"singer-spark agent: query {n} terminated: "
+                      f"{manager.queries[n].exception()}", file=sys.stderr)
+            time.sleep(1)
+    finally:
+        manager.drain()
+        heartbeat.stop()
+        print("singer-spark agent: drained and stopped", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
