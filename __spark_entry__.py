@@ -586,6 +586,17 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup completion: near-dup pairs (n-gram Jaccard >= 0.5) → connected
+    components → canonical doc per cluster (iterative min-label propagation;
+    the step that turns pairwise dedup into keep/drop decisions)."""
+    from singer_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
 def _sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.operators.similarity import brute_force_topk
 
@@ -726,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
+        "dedup_clusters": _dedup_clusters,
         # similarity
         "sim_bruteforce_topk": _sim_bruteforce_topk,
         "sim_lsh_ann": _sim_lsh_ann,
@@ -1311,6 +1323,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, floor(shared / (sa.n + sb.n - shared) * 10000 + 0.5) / 10000 AS jaccard
             FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
             WHERE shared / (sa.n + sb.n - shared) >= 0.5""",
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SH_CTE},
+            shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b
+                      FROM shared JOIN sz sa ON sa.doc_id = id_a
+                                  JOIN sz sb ON sb.doc_id = id_b
+                      WHERE shared / (sa.n + sb.n - shared) >= 0.5),
+            e AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            r(s, d) AS (SELECT s, d FROM e
+                        UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+            comp AS (SELECT s AS id, least(s, min(d)) AS cluster FROM r GROUP BY s)
+            SELECT doc_id, coalesce(c.cluster, doc_id) AS cluster
+            FROM documents LEFT JOIN comp c ON c.id = doc_id
+            ORDER BY doc_id""",
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "sim_bruteforce_topk": """

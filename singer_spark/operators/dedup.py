@@ -245,3 +245,46 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster assignment (pairs → canonical doc)
+# ---------------------------------------------------------------------------
+def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   max_iters: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs: every doc gets the minimum
+    doc id of its component as `cluster` (the canonical survivor), singletons
+    map to themselves.
+
+    Iterative min-label propagation: each round, a node takes the min of its
+    own label and its neighbors' labels; converges in O(component diameter)
+    rounds (tiny for dedup graphs, which are dense cliques of copies).
+    Per round: one equi-join + groupBy-min — all shuffles on ids only.
+    `localCheckpoint` truncates the growing lineage so plans stay constant
+    size at any iteration count."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = docs.select(F.col(id_col).alias("id"),
+                         F.col(id_col).cast("bigint").alias("label"))
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("label").alias("nl"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(labels.id,
+                    F.least(labels.label, F.coalesce(F.col("nl"), labels.label)).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))

@@ -186,3 +186,13 @@ def test_multimodal_stubs_raise_not_implemented(spark, sf_dir):
     with pytest.raises(Exception) as exc_info:
         multimodal.resize_stub(media, 64, 64).collect()
     assert "NotImplementedError" in str(exc_info.value) or "image codec" in str(exc_info.value)
+
+
+def test_dedup_clusters_transitive_components(spark):
+    docs = spark.createDataFrame(
+        [(10,), (20,), (30,), (40,), (99,)], "doc_id bigint")
+    # chain 10-20, 20-30 → one component {10,20,30}; 40 pairs with nothing
+    pairs = spark.createDataFrame(
+        [(10, 20, 0.9), (20, 30, 0.8)], "id_a bigint, id_b bigint, jaccard double")
+    got = {r.doc_id: r.cluster for r in dedup.dedup_clusters(docs, pairs).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 40, 99: 99}
