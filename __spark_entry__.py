@@ -597,6 +597,29 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs).orderBy("doc_id")
 
 
+def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data filter: keep docs that are (a) English by
+    n-gram lang-id, (b) above the quality bar, and (c) the canonical copy of
+    their exact-dup group — the keep/drop pipeline every corpus build runs.
+    One pass computes (a)+(b) per doc; (c) adds one digest-keyed semi join."""
+    from singer_spark.operators.dedup import dedup_exact
+    from singer_spark.operators.text_analysis import lang_id, quality_features
+
+    docs = _docs(spark, sf_dir)
+    lang = lang_id(docs).select("doc_id", "predicted_lang")
+    qual = quality_features(docs).select("doc_id", "quality_score")
+    canonical = dedup_exact(docs).select("doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(canonical, "doc_id", "left_semi")
+        .filter((F.col("predicted_lang") == "en") & (F.col("quality_score") >= 0.5))
+        .select("doc_id", "source", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
 def _sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.operators.similarity import brute_force_topk
 
@@ -738,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_clusters": _dedup_clusters,
+        "corpus_curation": _corpus_curation,
         # similarity
         "sim_bruteforce_topk": _sim_bruteforce_topk,
         "sim_lsh_ann": _sim_lsh_ann,
@@ -1340,6 +1364,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, coalesce(c.cluster, doc_id) AS cluster
             FROM documents LEFT JOIN comp c ON c.id = doc_id
             ORDER BY doc_id""",
+        "corpus_curation": f"""
+            SELECT d.doc_id, d.source, q.quality_score
+            FROM documents d
+            JOIN ({_lang_id_oracle()}) l ON l.doc_id = d.doc_id
+            JOIN ({_quality_oracle()}) q ON q.doc_id = d.doc_id
+            WHERE l.predicted_lang = 'en' AND q.quality_score >= 0.5
+              AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+            ORDER BY d.doc_id""",
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "sim_bruteforce_topk": """
