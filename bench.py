@@ -53,6 +53,12 @@ def main() -> None:
     spark = get_spark("singer_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+    # Arrow/Python-worker warmup (pandas-UDF queries otherwise pay worker
+    # spawn in their first timed run)
+    import pandas as _pd
+
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id bigint").count()
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
