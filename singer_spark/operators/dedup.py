@@ -19,6 +19,8 @@ ANSI-SQL oracle.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -196,25 +198,37 @@ def simhash_col(text_col: str = "text", bits: int = 48):
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        bits: int = 48) -> DataFrame:
-    """Per-doc SimHash via explode → hash-once → partial-aggregated bit sums.
+    """Per-doc SimHash, Arrow-vectorized: one pandas-UDF pass computes the
+    whole signature per document (md5 each distinct token once, numpy
+    popcount matrix for the bit majorities).
 
-    Semantically identical to :func:`simhash_col` (bit j set ⟺ more than
-    half the distinct-token hashes have bit j set) but hashes each token
-    exactly once instead of once per bit — the hashing, not the bit math,
-    dominates at corpus scale.  The shuffle carries (id, 32 ints) with
-    map-side combine."""
-    toks = docs.select(F.col(id_col).alias("id"),
-                       F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"))
-    hashed = toks.select("id", (md5_int(F.col("tok")) % F.lit(2 ** bits).cast("bigint")).alias("h"))
-    aggs = [
-        F.sum(F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
-        for j in range(bits)
-    ]
-    per_doc = hashed.groupBy("id").agg(*aggs)
-    sig = F.lit(0).cast("bigint")
-    for j in range(bits):
-        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("bigint")).otherwise(F.lit(0))
-    return per_doc.select("id", sig.alias("sig"))
+    Semantically identical to :func:`simhash_col` and to the explode →
+    48-partial-sum aggregation form (bit j set ⟺ more than half the
+    distinct-token hashes have bit j set), but with NO shuffle at all —
+    signatures are a narrow map over the corpus, which is what you want at
+    100 TB: the only shuffle in simhash dedup is the chunk-bucket join."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    mask = (1 << bits) - 1
+    jbits = np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("bigint")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = set(t.split(" "))
+            hs = np.fromiter(
+                (int(hashlib.md5(x.encode("utf-8")).hexdigest()[:15], 16) & ((1 << 60) - 1)
+                 for x in toks), dtype=np.int64, count=len(toks))
+            hs %= (mask + 1)
+            ones = ((hs[:, None] >> jbits) & 1).sum(axis=0)
+            out[i] = int((((2 * ones > len(hs)).astype(np.int64)) << jbits).sum())
+        return pd.Series(out)
+
+    return fan_out(docs).select(F.col(id_col).alias("id"),
+                                sig_udf(F.col(text_col)).alias("sig"))
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -240,10 +254,10 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return (
         l.join(r, (F.col("l.c") == F.col("r.c")) & (F.col("l.v") == F.col("r.v"))
                & (F.col("l.id") < F.col("r.id")))
+        .filter(ham <= max_hamming)
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
                 ham.alias("hamming"))
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
