@@ -786,17 +786,47 @@ _SHINGLES4 = (
     "for i in range(1, greatest(len(t)-3, 1)+1)])"
 )
 
+# Shared shingle CTEs: `sbase` holds the md5-hashed distinct-shingle LIST
+# per doc (the verification side joins it back by id and intersects —
+# mirror of dedup.shingle_frame / dedup._verify_jaccard), `sh` is its
+# exploded form (the blocking side).  Shingles are hashed to the same 60-bit
+# md5_int the Spark side uses, so blocking keys, intersect sizes, and
+# minhash bases are bit-identical across engines.
 _SH_CTE = f"""
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT doc_id, unnest({_SHINGLES4}) AS s FROM toks),
-sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+sbase AS (SELECT doc_id, list_distinct(list_transform({_SHINGLES4}, x -> {_md5i('x')})) AS sh FROM toks),
+sh AS (SELECT doc_id, unnest(sh) AS s FROM sbase)
+"""
+
+# Hot-shingle blocking guard — mirror of ngram_jaccard_pairs(max_shingle_df).
+_NGRAM_DF_CAP = 256
+
+_NGRAM_BLOCKED = f"""
+blocked AS (SELECT doc_id, s FROM sh
+            QUALIFY count(*) OVER (PARTITION BY s) <= {_NGRAM_DF_CAP}),
+ncand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id)
+"""
+
+
+def _jaccard_verify_sql(cand: str, threshold: float) -> str:
+    """Candidate verification via list_intersect on the per-doc shingle
+    lists — the SQL twin of dedup._verify_jaccard."""
+    return f"""
+v AS (SELECT id_a, id_b,
+             len(list_intersect(ba.sh, bb.sh)) AS shared,
+             len(ba.sh) AS n_a, len(bb.sh) AS n_b
+      FROM {cand} c JOIN sbase ba ON ba.doc_id = c.id_a
+                    JOIN sbase bb ON bb.doc_id = c.id_b)
+SELECT id_a, id_b, floor(shared / (n_a + n_b - shared) * 10000 + 0.5) / 10000 AS jaccard
+FROM v WHERE shared / (n_a + n_b - shared) >= {threshold}
 """
 
 
 def _minhash_oracle() -> str:
     from singer_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
-    base = f"({_md5i('s')} % {MINHASH_P})"
+    base = f"(s % {MINHASH_P})"  # `s` is already the 60-bit md5_int hash
     mins = ",\n    ".join(
         f"min(({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}" for i in range(8)
     )
@@ -810,30 +840,37 @@ sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 buckets AS ({bands}),
 cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
          FROM buckets l JOIN buckets r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
-shared AS (SELECT id_a, id_b, count(*) AS shared
-           FROM cand JOIN sh a ON a.doc_id = id_a
-                     JOIN sh b ON b.doc_id = id_b AND a.s = b.s
-           GROUP BY id_a, id_b)
-SELECT id_a, id_b, floor(shared / (sa.n + sb.n - shared) * 10000 + 0.5) / 10000 AS jaccard
-FROM shared JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-WHERE shared / (sa.n + sb.n - shared) >= 0.5
+{_jaccard_verify_sql('cand', 0.5)}
 """
 
 
 def _simhash_oracle() -> str:
+    """Mirror of dedup.simhash_pairs: 60-bit signature (md5_int is already a
+    60-bit hash — no truncation), multi-index pigeonhole keys (C(5,2) = 10
+    two-block combos × 24-bit values), degenerate-bucket guard."""
+    from singer_spark.operators.dedup import SIMHASH_BITS, simhash_block_combos
+
     h = _md5i("x")
+    _, block_bits, combos = simhash_block_combos(3)
+    mask = (1 << block_bits) - 1
+    key_rows = "\n    UNION ALL ".join(
+        f"SELECT doc_id, sig, {ci} AS c, "
+        f"((sig >> {b0 * block_bits}) & {mask}) * {mask + 1} + ((sig >> {b1 * block_bits}) & {mask}) AS v "
+        f"FROM sigs"
+        for ci, (b0, b1) in enumerate(combos)
+    )
     return f"""
 WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
-hs AS (SELECT doc_id, list_transform(t, x -> {h} % 281474976710656) AS h FROM toks),
+hs AS (SELECT doc_id, list_transform(t, x -> {h}) AS h FROM toks),
 sigs AS (SELECT doc_id,
   list_sum([CASE WHEN 2 * len(list_filter(h, v -> (v >> j) & 1 = 1)) > len(h)
-            THEN (1::BIGINT << j) ELSE 0 END for j in range(0, 48)])::BIGINT AS sig
+            THEN (1::BIGINT << j) ELSE 0 END for j in range(0, {SIMHASH_BITS})])::BIGINT AS sig
   FROM hs),
-chunks AS (SELECT doc_id, sig, c, (sig >> (c * 12)) & 4095 AS v
-           FROM sigs, (SELECT unnest(range(4)) AS c)),
+keys AS ({key_rows}),
+guarded AS (SELECT * FROM keys QUALIFY count(*) OVER (PARTITION BY c, v) <= 100000),
 cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
                 l.sig AS sa, r.sig AS sb
-         FROM chunks l JOIN chunks r ON l.c = r.c AND l.v = r.v AND l.doc_id < r.doc_id)
+         FROM guarded l JOIN guarded r ON l.c = r.c AND l.v = r.v AND l.doc_id < r.doc_id)
 SELECT DISTINCT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
@@ -1341,21 +1378,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text)""",
         "dedup_ngram_jaccard": f"""
             WITH {_SH_CTE},
-            pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2)
-            SELECT id_a, id_b, floor(shared / (sa.n + sb.n - shared) * 10000 + 0.5) / 10000 AS jaccard
-            FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-            WHERE shared / (sa.n + sb.n - shared) >= 0.5""",
+            {_NGRAM_BLOCKED},
+            {_jaccard_verify_sql('ncand', 0.5)}""",
         "dedup_clusters": f"""
             WITH RECURSIVE {_SH_CTE},
-            shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-                       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                       GROUP BY 1, 2),
-            pairs AS (SELECT id_a, id_b
-                      FROM shared JOIN sz sa ON sa.doc_id = id_a
-                                  JOIN sz sb ON sb.doc_id = id_b
-                      WHERE shared / (sa.n + sb.n - shared) >= 0.5),
+            {_NGRAM_BLOCKED},
+            vp AS (SELECT id_a, id_b,
+                          len(list_intersect(ba.sh, bb.sh)) AS shared,
+                          len(ba.sh) AS n_a, len(bb.sh) AS n_b
+                   FROM ncand c JOIN sbase ba ON ba.doc_id = c.id_a
+                                JOIN sbase bb ON bb.doc_id = c.id_b),
+            pairs AS (SELECT id_a, id_b FROM vp
+                      WHERE shared / (n_a + n_b - shared) >= 0.5),
             e AS (SELECT id_a AS s, id_b AS d FROM pairs
                   UNION SELECT id_b, id_a FROM pairs),
             r(s, d) AS (SELECT s, d FROM e

@@ -3,13 +3,23 @@
 Designed for the 100 TB regime:
 
 - exact dedup        one hash-shuffle on a 16-byte digest (not the full text)
-- n-gram Jaccard     set-similarity join blocked on shared shingles —
-                     candidate generation is |pairs sharing a shingle|,
-                     not O(n²); shingle width tunes selectivity
+- n-gram Jaccard     set-similarity join blocked on shared shingles; shingles
+                     whose document frequency exceeds `max_shingle_df` are
+                     dropped from *blocking only* (stop-phrase shingles
+                     otherwise create one skewed O(df²) bucket); candidate
+                     pairs are verified by exact Jaccard over the per-doc
+                     shingle arrays — verification cost ∝ candidates, not
+                     corpus
 - MinHash + LSH      constant-size signatures (k hashes) per doc, banded
-                     into buckets; the only wide shuffle is on band keys
-- SimHash            one 48-bit signature per doc; candidates via banded
-                     12-bit chunks; verify = popcount(xor) — cheap
+                     into buckets; the only wide shuffle is on band keys;
+                     verification shares the candidate-array join (the
+                     corpus is shingle-exploded exactly once)
+- SimHash            one 60-bit signature per doc; candidates via the
+                     multi-index pigeonhole: (max_hamming + 2) blocks,
+                     join key = a PAIR of blocks (C(B,2) combos × 24-bit
+                     values) — key space 10 × 2²⁴, so bucket sizes stay
+                     ~N/10·2²⁴ and a bucket-size guard caps degenerate
+                     buckets; verify = popcount(xor) — cheap
 - embedding near-dup cosine > threshold via the similarity module
 
 Every hash is the cross-engine-reproducible md5-based 60-bit hash
@@ -21,7 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from singer_spark.functions import fan_out, md5_int, qround
@@ -61,32 +71,90 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # ---------------------------------------------------------------------------
 # N-gram Jaccard set-similarity join
 # ---------------------------------------------------------------------------
-def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 4, threshold: float = 0.8) -> DataFrame:
-    """All pairs with Jaccard(shingle sets) >= threshold.
+def shingle_frame(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 4) -> DataFrame:
+    """(id, shingles: array<bigint>, n) — the md5-hashed distinct k-shingle
+    set per doc, computed in one narrow pass.  Blocking explodes this once;
+    verification joins the arrays back by id (candidate-proportional, no
+    second explode).
 
-    Candidate generation joins on the shingle itself (classic blocking): a
-    pair is compared once per shared shingle and reduced by groupBy, so cost
-    scales with true overlap, not n².  Wider k → fewer, more selective
-    blocks.  Output: (id_a, id_b, jaccard)."""
-    sh = fan_out(docs).select(F.col(id_col).alias("id"),
-                              F.explode(shingles_col(text_col, k)).alias("s"))
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("shared"))
-    )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
-    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    Shingles are 60-bit `md5_int` hashes, not strings: grouping and
+    intersecting fixed-width ints is several× cheaper than ~25-byte UTF-8
+    shingles, the shuffle shrinks accordingly, and minhash consumes the very
+    same hash as its base.  Jaccard over the hashed sets equals Jaccard over
+    the string sets up to md5 collisions (~n²/2⁶⁰ per doc — negligible), and
+    the SQL oracle hashes identically, so results stay bit-identical."""
+    hashed = F.array_distinct(F.transform(shingles_col(text_col, k),
+                                          lambda s: md5_int(s)))
+    return fan_out(docs).select(
+        F.col(id_col).alias("id"), hashed.alias("shingles")
+    ).withColumn("n", F.size("shingles"))
+
+
+def _verify_jaccard(candidates: DataFrame, base: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs: join the per-doc shingle arrays by
+    id and intersect them JVM-side.  Cost ∝ |candidates| — at 100 TB this is
+    the cheap half; the corpus-wide explode happens exactly once, in blocking.
+
+    Output: (id_a, id_b, jaccard) with jaccard quantize-rounded to 4 digits."""
+    va = base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"),
+                     F.col("n").alias("n_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"),
+                     F.col("n").alias("n_b"))
+    shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = shared / (F.col("n_a") + F.col("n_b") - shared)
     return (
-        shared.join(na, "id_a").join(nb, "id_b")
+        candidates.join(va, "id_a").join(vb, "id_b")
         .withColumn("jaccard", qround(jac, 4))
         .filter(jac >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _maybe_persist(base: DataFrame, persist: bool) -> DataFrame:
+    """Cache the shingle frame across its blocking + verification scans.
+    MEMORY_AND_DISK spills under pressure; at corpus scale re-shingling and
+    re-hashing the whole corpus per scan costs far more than the cache.
+    Spark's ContextCleaner reclaims the cache once the plan is unreachable."""
+    if not persist:
+        return base
+    from pyspark.storagelevel import StorageLevel
+
+    return base.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 4, threshold: float = 0.8,
+                        max_shingle_df: int = 256, persist: bool = True) -> DataFrame:
+    """All pairs with Jaccard(shingle sets) >= threshold.
+
+    Candidate generation joins on the shingle itself (classic blocking), with
+    a hot-shingle guard: shingles present in more than `max_shingle_df`
+    documents are excluded from BLOCKING (one ubiquitous 4-gram would create
+    a single O(df²) bucket — quadratic and skewed at corpus scale);
+    verification over the surviving candidates still uses the FULL shingle
+    sets, so scores are exact.  Wider k → fewer, more selective blocks.
+    Output: (id_a, id_b, jaccard)."""
+    base = _maybe_persist(shingle_frame(docs, text_col, id_col, k), persist)
+    sh = base.select("id", F.explode("shingles").alias("s"))
+    # One shuffle: group the inverted index by shingle, cap the posting-list
+    # size (the hot-shingle guard — a list longer than `max_shingle_df`
+    # would emit O(df²) pairs), and generate candidate pairs map-side from
+    # the sorted id list.  No self-join, no second corpus-wide shuffle.
+    groups = sh.groupBy("s").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+    small = groups.filter((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_df))
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size("ids") - 1),
+        lambda i: F.transform(
+            F.slice(F.col("ids"), i + 1, F.size("ids") - i),
+            lambda y: F.struct(F.element_at(F.col("ids"), i).alias("id_a"),
+                               y.alias("id_b")),
+        ),
+    ))
+    candidates = (small.select(F.explode(pair_structs).alias("p"))
+                  .select("p.id_a", "p.id_b").distinct())
+    return _verify_jaccard(candidates, base, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -105,16 +173,19 @@ MINHASH_B = (12345, 23456, 34567, 45678, 56789, 67890, 78901, 89012,
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       k: int = 4, num_hashes: int = 8) -> DataFrame:
+                       k: int = 4, num_hashes: int = 8,
+                       base: DataFrame | None = None) -> DataFrame:
     """k-shingle → `num_hashes` min-hash values per doc.  One explode + one
     groupBy with map-side partial mins; signature size is constant per doc,
-    so downstream state is O(n·num_hashes) regardless of document size."""
+    so downstream state is O(n·num_hashes) regardless of document size.
+    Pass `base` (a :func:`shingle_frame`) to reuse an existing shingle set."""
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"at most {len(MINHASH_A)} hash functions supported")
-    sh = fan_out(docs).select(F.col(id_col).alias("id"),
-                              F.explode(shingles_col(text_col, k)).alias("s"))
-    base = (md5_int(F.col("s")) % MINHASH_P).alias("h")
-    hashed = sh.select("id", base)
+    if base is None:
+        base = shingle_frame(docs, text_col, id_col, k)
+    # shingle_frame already emits md5_int hashes — reduce mod p directly
+    sh = base.select("id", F.explode("shingles").alias("s"))
+    hashed = sh.select("id", (F.col("s") % MINHASH_P).alias("h"))
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_P).alias(f"h{i}")
         for i in range(num_hashes)
@@ -124,15 +195,18 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       k: int = 4, num_hashes: int = 8, bands: int = 4,
-                      threshold: float = 0.6) -> DataFrame:
+                      threshold: float = 0.6, persist: bool = True) -> DataFrame:
     """LSH-banded candidate generation + exact Jaccard verification.
 
     `num_hashes` minhashes split into `bands` bands (rows = num_hashes/bands);
     docs sharing any band bucket become candidates (probability
     1-(1-j^rows)^bands — the S-curve).  Only candidates pay the verification
-    join.  Output: (id_a, id_b, jaccard >= threshold)."""
+    join: the per-doc shingle ARRAYS are joined back by id and intersected
+    JVM-side, so the corpus is shingle-exploded exactly once (for the
+    signatures).  Output: (id_a, id_b, jaccard >= threshold)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, k, num_hashes)
+    base = _maybe_persist(shingle_frame(docs, text_col, id_col, k), persist)
+    sigs = minhash_signatures(docs, text_col, id_col, k, num_hashes, base=base)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -149,32 +223,36 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    # exact verification restricted to candidates
-    sh = fan_out(docs).select(F.col(id_col).alias("id"),
-                              F.explode(shingles_col(text_col, k)).alias("s"))
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        candidates.join(a, F.col("a.id") == F.col("id_a"))
-        .join(b, (F.col("b.id") == F.col("id_b")) & (F.col("a.s") == F.col("b.s")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
-    )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
-    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    return (
-        shared.join(na, "id_a").join(nb, "id_b")
-        .withColumn("jaccard", qround(jac, 4))
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard(candidates, base, threshold)
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def simhash_col(text_col: str = "text", bits: int = 48):
+SIMHASH_BITS = 60  # md5_int is a 60-bit hash, and 60-bit signatures stay
+                   # positive in a signed BIGINT on every engine
+
+
+def simhash_block_combos(max_hamming: int) -> tuple[int, int, list[tuple[int, int]]]:
+    """Multi-index pigeonhole layout (Manku et al., WWW'07 style): split the
+    signature into B = max_hamming + 2 blocks; any pair within `max_hamming`
+    touches at most `max_hamming` blocks, so at least TWO blocks agree
+    exactly — some pair-of-blocks key matches.  Returns
+    (num_blocks, block_bits, [(b0, b1), ...] combos).
+
+    With 60-bit signatures and max_hamming=3: 5 blocks × 12 bits,
+    C(5,2) = 10 combos, each key 24 bits → 10 × 2²⁴ ≈ 1.7·10⁸ distinct
+    buckets.  Bucket population scales as N / (combos · 2^(2·block_bits)),
+    i.e. it SHRINKS per added signature bit instead of being pinned to a
+    constant 12-bit space — the quadratic-at-scale failure mode of
+    single-block keys."""
+    num_blocks = max_hamming + 2
+    block_bits = SIMHASH_BITS // num_blocks
+    combos = [(i, j) for i in range(num_blocks) for j in range(i + 1, num_blocks)]
+    return num_blocks, block_bits, combos
+
+
+def simhash_col(text_col: str = "text", bits: int = SIMHASH_BITS):
     """SimHash over distinct tokens: bit j of the signature is the
     sign of sum over tokens of (+1 if bit j of md5_int(token) else -1).
     Pure higher-order functions — no explode, no shuffle for the signature
@@ -197,7 +275,7 @@ def simhash_col(text_col: str = "text", bits: int = 48):
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       bits: int = 48) -> DataFrame:
+                       bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash, Arrow-vectorized: one pandas-UDF pass computes the
     whole signature per document (md5 each distinct token once, numpy
     popcount matrix for the bit majorities).
@@ -232,24 +310,44 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, bits: int = 48) -> DataFrame:
+                  max_hamming: int = 3, bits: int = SIMHASH_BITS,
+                  max_bucket_size: int = 100_000) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Candidates via the pigeonhole trick: split the signature into 4 chunks;
-    any pair within hamming 3 must agree on >= 1 chunk, so join on
-    (chunk_idx, chunk_value) — a bounded-fanout equi-join, no n²."""
+    Candidates via the multi-index pigeonhole (:func:`simhash_block_combos`):
+    with B = max_hamming + 2 blocks, every qualifying pair agrees exactly on
+    at least one PAIR of blocks, so the join key is (combo_id, block_b0 ‖
+    block_b1) — C(B,2) combos × 2^(2·block_bits) values.  For the defaults
+    that is 10 × 2²⁴ keys, so bucket sizes scale as N/10·2²⁴ instead of
+    being pinned to a constant space (single 12-bit chunks cap at 16,384
+    buckets total and go quadratic at billion-doc corpora).
+
+    `max_bucket_size` is the degenerate-bucket guard: buckets larger than it
+    (near-identical boilerplate floods) are excluded from candidate
+    generation — such pairs are still found through their other 9 combos
+    unless every combo floods, which only happens for corpora that exact
+    dedup should have collapsed first.  The guard's window count rides the
+    same (c, v) shuffle the self-join needs — no extra exchange."""
     sigs = simhash_signatures(docs, text_col, id_col, bits)
-    chunk_bits = bits // 4
-    mask = (1 << chunk_bits) - 1
-    chunks = sigs.select(
+    num_blocks, block_bits, combos = simhash_block_combos(max_hamming)
+    mask = (1 << block_bits) - 1
+
+    def block(b: int):
+        return F.shiftright("sig", b * block_bits).bitwiseAND(F.lit(mask))
+
+    keys = sigs.select(
         "id", "sig",
         F.explode(F.array(*[
-            F.struct(F.lit(c).alias("c"),
-                     F.shiftright("sig", c * chunk_bits).bitwiseAND(F.lit(mask)).alias("v"))
-            for c in range(4)
-        ])).alias("ch"),
-    ).select("id", "sig", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
-    l, r = chunks.alias("l"), chunks.alias("r")
+            F.struct(F.lit(ci).alias("c"),
+                     (block(b0) * F.lit(mask + 1) + block(b1)).alias("v"))
+            for ci, (b0, b1) in enumerate(combos)
+        ])).alias("kb"),
+    ).select("id", "sig", F.col("kb.c").alias("c"), F.col("kb.v").alias("v"))
+    if max_bucket_size:
+        w = Window.partitionBy("c", "v")
+        keys = (keys.withColumn("bucket_n", F.count("*").over(w))
+                .filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n"))
+    l, r = keys.alias("l"), keys.alias("r")
     ham = F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig")))
     return (
         l.join(r, (F.col("l.c") == F.col("r.c")) & (F.col("l.v") == F.col("r.v"))

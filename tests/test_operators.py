@@ -75,6 +75,49 @@ def test_simhash_near_duplicates_low_hamming(spark):
     assert ham_ab < ham_ao  # near-dup pair is closer than unrelated pair
 
 
+def test_simhash_pairs_pigeonhole_recall(spark):
+    """Every pair within max_hamming MUST be emitted: the C(B,2) two-block
+    keys guarantee a shared bucket for hamming <= B-2.  Cross-check the
+    blocked join against the exhaustive O(n²) answer on a small corpus."""
+    texts = [NEAR_A, NEAR_B, OTHER,
+             NEAR_A + " extra", NEAR_B + " extra",
+             "more unrelated content entirely here now"]
+    df = _docs(spark, texts)
+    got = {(r.id_a, r.id_b) for r in dedup.simhash_pairs(df, max_hamming=3).collect()}
+    sigs = {r.id: r.sig for r in dedup.simhash_signatures(df).collect()}
+    want = {(a, b) for a in sigs for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3}
+    assert got == want
+
+
+def test_simhash_block_layout():
+    num_blocks, block_bits, combos = dedup.simhash_block_combos(3)
+    assert (num_blocks, block_bits) == (5, 12)
+    assert len(combos) == 10  # C(5,2) — 10 × 2^24 key space, not 4 × 2^12
+    # pigeonhole: 3 differing bits touch <= 3 blocks, leaving >= 2 intact
+    assert num_blocks - 3 >= 2
+
+
+def test_simhash_bucket_guard_drops_degenerate_buckets(spark):
+    # 30 identical docs: every bucket holds all 30; guard=10 must suppress
+    # all candidates (degenerate flood), guard=0/None disables the guard.
+    df = _docs(spark, [NEAR_A] * 30)
+    assert dedup.simhash_pairs(df, max_bucket_size=10).count() == 0
+    assert dedup.simhash_pairs(df, max_bucket_size=0).count() == 30 * 29 // 2
+
+
+def test_ngram_hot_shingle_cap_blocks_only(spark):
+    """A shingle above max_shingle_df must stop contributing CANDIDATES, but
+    verification still scores surviving candidates on full shingle sets."""
+    df = _docs(spark, [NEAR_A, NEAR_B, OTHER])
+    # cap=1: every shared shingle of the planted pair exceeds df=1 → no pairs
+    assert dedup.ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=1).count() == 0
+    # generous cap: identical result to uncapped, score still exact
+    rows = dedup.ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=256).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(0, 1)]
+    assert abs(rows[0].jaccard - _py_jaccard(NEAR_A, NEAR_B)) < 1e-4
+
+
 def test_brute_force_topk_is_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3).collect()
