@@ -645,9 +645,13 @@ def _sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """num_planes auto-derived from the corpus count (auto_num_planes);
+    threshold 0.40 — the synthetic embeddings are near-orthogonal, so this
+    is the densest 'near-dup' band that still yields pairs through the
+    size-scaled bucket space."""
     from singer_spark.operators.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.45)
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.40)
 
 
 def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -912,6 +916,15 @@ SELECT query_id, neighbor_id, rank::INT AS rank, cosine FROM r WHERE rank <= 5
 
 
 def _near_dup_oracle() -> str:
+    """Mirror of similarity.embedding_near_dup_pairs with num_planes derived
+    by auto_num_planes(N): the driver's correctness gate runs at sf0.01 where
+    embeddings has 500 rows → ceil(log2(500)) = 9 planes.  (At other SFs the
+    Spark side re-derives from the actual count; this oracle string is only
+    ever compared at sf0.01.)"""
+    from singer_spark.operators.similarity import auto_num_planes
+
+    planes_n = auto_num_planes(500)
+
     def plane(t: int, p: int) -> str:
         vals = []
         for d in range(64):
@@ -922,7 +935,7 @@ def _near_dup_oracle() -> str:
     def bucket(t: int) -> str:
         terms = " + ".join(
             f"(CASE WHEN list_dot_product(v, {plane(t, p)}) > 0 THEN {2**p} ELSE 0 END)"
-            for p in range(8)
+            for p in range(planes_n)
         )
         return f"({terms})::BIGINT"
 
@@ -937,7 +950,7 @@ cand AS (SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b, l.v AS va, r.v AS v
 SELECT id_a, id_b,
   floor(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) * 1000000 + 0.5) / 1000000 AS cosine
 FROM cand
-WHERE floor(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) * 1000000 + 0.5) / 1000000 >= 0.45
+WHERE floor(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) * 1000000 + 0.5) / 1000000 >= 0.40
 """
 
 

@@ -1,0 +1,73 @@
+"""Admin endpoint (O3) — parity with the reference's AdminServer
+(admin/AdminServer.java:43-145): a tiny loopback listener operators hit to
+drain or stop a running agent without killing the process.  The reference
+accepts ``stop`` over a unix domain socket; an HTTP server bound to
+127.0.0.1 is the Spark-driver analog — same commands, plus a status probe.
+
+  GET  /status  → {"queries": [names], "draining": bool}
+  POST /drain   → process everything available on all queries, then stop
+  POST /stop    → stop all queries immediately
+
+Commands execute synchronously in the handler, so the HTTP response only
+returns once the drain has completed — the same blocking contract the
+reference's socket protocol gives a deploy script.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class AdminServer:
+    """Wrap a PipelineManager (or anything with queries/drain/stop_all/
+    is_draining) in a loopback control endpoint.  ``port=0`` binds an
+    ephemeral port, exposed as ``.port`` for tests and for writing a
+    port-file the way the reference writes its socket path."""
+
+    def __init__(self, manager, host: str = "127.0.0.1", port: int = 0) -> None:
+        mgr = manager
+
+        class Handler(BaseHTTPRequestHandler):
+            def _send(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self) -> None:  # noqa: N802 - http.server API
+                if self.path == "/status":
+                    self._send(200, {"queries": sorted(mgr.queries),
+                                     "draining": mgr.is_draining()})
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+
+            def do_POST(self) -> None:  # noqa: N802 - http.server API
+                if self.path == "/drain":
+                    mgr.drain()
+                    self._send(200, {"ok": True, "action": "drain"})
+                elif self.path == "/stop":
+                    mgr.stop_all()
+                    self._send(200, {"ok": True, "action": "stop"})
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+
+            def log_message(self, *args) -> None:  # silence per-request noise
+                pass
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self.host = host
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(target=self._server.serve_forever,
+                                        name="singer-admin", daemon=True)
+
+    def start(self) -> "AdminServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()

@@ -1,4 +1,5 @@
-"""Pipeline engine — reference parity for SURVEY.md §2.2 D1-D2 and §2.8 O2-O3.
+"""Pipeline engine — reference parity for SURVEY.md §2.2 D1-D2, §2.4 B3,
+§2.8 O2-O3/O5.
 
 DefaultLogMonitor + LogStreamManager collapse onto a driver-side registry of
 StreamingQuery objects: `start_log` wires source → transforms → sink for one
@@ -6,12 +7,22 @@ LogConfig (one "SingerLog" = one streaming query), `drain` stops after
 processing everything available (LogStreamManager.drainAndStopLogStreams,
 monitor/LogStreamManager.java:657-682), and the decider gate reproduces
 instance-level sampling (T10, monitor/DefaultLogMonitor.java:203-224).
+
+`run_adaptive` is the reference's poll loop (B3): drain-everything-available
+cycles with exponential backoff on empty cycles
+(processor/DefaultLogStreamProcessor.java:365-402), log-retention cleanup
+after each drained cycle (O5, DefaultLogStreamProcessor.java:252-255), and a
+live decider check per cycle (O2, config/Decider.java:50-148).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import tempfile
+import time
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -19,9 +30,74 @@ from pyspark.sql.streaming import StreamingQuery
 
 from singer_spark import sinks, sources
 from singer_spark.config import LogConfig, SingerConfig
-from singer_spark.functions import md5_int
 from singer_spark.partitioners import get_partitioner
 from singer_spark.transforms import TransformConfig, apply_transforms
+
+
+def _percent_hash(basis: str) -> int:
+    """Deterministic 0-99 bucket from md5 — the same 60-bit md5 integer the
+    engine uses everywhere (functions.md5_int), computed driver-side."""
+    return int(hashlib.md5(basis.encode("utf-8")).hexdigest()[:15], 16) % 100
+
+
+class Decider:
+    """Live-reloadable decider values (O2) — parity with the reference's
+    watched decider JSON (config/Decider.java:50-148): a flat
+    ``{"decider_name": percent}`` file, re-read whenever its mtime changes,
+    so operators flip sampling at runtime without restarting the agent.
+    A missing file means all-default (fail open, like the reference)."""
+
+    def __init__(self, path: str | os.PathLike | None, default: int = 100) -> None:
+        self.path = str(path) if path else None
+        self.default = default
+        self._mtime: float | None = None
+        self._values: dict[str, int] = {}
+
+    def _maybe_reload(self) -> None:
+        if not self.path:
+            return
+        try:
+            mtime = os.path.getmtime(self.path)
+        except OSError:
+            self._mtime, self._values = None, {}
+            return
+        if mtime != self._mtime:
+            try:
+                with open(self.path) as f:
+                    raw = json.load(f)
+                self._values = {str(k): int(v) for k, v in raw.items()}
+                self._mtime = mtime
+            except (ValueError, OSError):
+                pass  # keep last good values — a half-written file must not flap
+
+    def value(self, name: str) -> int:
+        self._maybe_reload()
+        return self._values.get(name, self.default)
+
+    def is_enabled(self, name: str, basis: str) -> bool:
+        """Deterministic percent gate: same (decider, basis) always lands in
+        the same bucket, so flipping the file is the only state change."""
+        return _percent_hash(basis) < self.value(name)
+
+
+def enforce_retention(log_dir: str, retention_seconds: int,
+                      glob: str = "*", now: float | None = None) -> list[str]:
+    """O5: delete log files older than ``logRetentionInSeconds``
+    (processor/DefaultLogStreamProcessor.java:252-255, config.thrift:270-274).
+
+    Call it after a drained cycle (run_adaptive does): everything older than
+    the cutoff has necessarily been processed, so deletion never races the
+    reader.  A tailing agent that never deletes fills the disk.  Returns the
+    deleted paths."""
+    if retention_seconds is None or retention_seconds < 0:
+        return []
+    cutoff = (now if now is not None else time.time()) - retention_seconds
+    removed: list[str] = []
+    for p in sorted(Path(log_dir).glob(glob)):
+        if p.is_file() and p.stat().st_mtime < cutoff:
+            p.unlink()
+            removed.append(str(p))
+    return removed
 
 
 def build_source(spark: SparkSession, cfg: LogConfig, streaming: bool = True) -> DataFrame:
@@ -65,23 +141,29 @@ class PipelineManager:
     """The DefaultLogMonitor/LogStreamManager analog: owns the query registry."""
 
     def __init__(self, spark: SparkSession, config: SingerConfig | None = None,
-                 checkpoint_root: str | None = None) -> None:
+                 checkpoint_root: str | None = None,
+                 decider: Decider | None = None) -> None:
         self.spark = spark
         self.config = config or SingerConfig()
         self.checkpoint_root = checkpoint_root or tempfile.mkdtemp(prefix="singer_ckpt_")
         self.queries: dict[str, StreamingQuery] = {}
+        self.decider = decider or Decider(None)
         self._draining = False
 
-    # -- instance-level decider gate (T10) -------------------------------
+    # -- instance-level decider gate (T10/O2) ------------------------------
     def _instance_enabled(self, cfg: LogConfig) -> bool:
+        import socket
+
+        basis = f"{socket.gethostname()}:{cfg.name}"
+        # live decider (per-log key) overrides the static config percent
+        decider_key = f"singer_{cfg.name}_decider"
+        if self.decider.path:
+            return self.decider.is_enabled(decider_key, basis)
         pct = self.config.instance_sample_percent
         if pct >= 100:
             return True
         # deterministic per (host, log) like the reference's host-hashed decider
-        import socket
-        basis = f"{socket.gethostname()}:{cfg.name}"
-        row = self.spark.range(1).select((md5_int(F.lit(basis)) % 100).alias("h")).collect()
-        return row[0]["h"] < pct
+        return _percent_hash(basis) < pct
 
     def start_log(self, cfg: LogConfig, audit_sink=None) -> StreamingQuery | None:
         """Wire one LogConfig end-to-end and start its query."""
@@ -89,35 +171,91 @@ class PipelineManager:
             return None
         ckpt = cfg.checkpoint_dir or os.path.join(self.checkpoint_root, cfg.name)
         df = build_transforms(build_source(self.spark, cfg), cfg)
+        writer = self._build_writer(cfg, df, ckpt, audit_sink)
+        query = writer.queryName(cfg.name).start()
+        self.queries[cfg.name] = query
+        return query
+
+    def _build_writer(self, cfg: LogConfig, df: DataFrame, ckpt: str, audit_sink=None):
         w = cfg.writer
         if w.type == "kafka":
             writer = sinks.kafka_sink(df, w.bootstrap_servers, w.topic, ckpt,
                                       producer_configs=w.producer_configs,
                                       trigger_seconds=cfg.processor.processing_interval_secs)
         elif w.type in ("file", "s3", "parquet", "text"):
-            writer = sinks.file_sink(df, w.path, ckpt, fmt=w.format,
-                                     min_upload_seconds=w.min_upload_seconds)
+            if w.audit_topic and audit_sink is not None:
+                # audited file delivery: foreachBatch write + audit row (B5),
+                # keeping the writer config the plain path gets — byte-based
+                # size rollover (maxFileSizeMB fidelity) and the
+                # minUploadTime trigger
+                path, fmt, size_mb = w.path, w.format, w.max_file_size_mb
+
+                def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+                    sinks.write_batch_sized(batch_df, path, fmt, size_mb)
+
+                writer = sinks.with_audit(df, w.audit_topic, ckpt, write_batch, audit_sink)
+                if w.min_upload_seconds:
+                    writer = writer.trigger(processingTime=f"{w.min_upload_seconds} seconds")
+            else:
+                writer = sinks.file_sink(df, w.path, ckpt, fmt=w.format,
+                                         min_upload_seconds=w.min_upload_seconds)
         elif w.type == "memory":
             writer = sinks.memory_sink(df, cfg.name, ckpt)
         elif w.type == "noop":
             writer = sinks.noop_sink(df, ckpt)
         else:
             raise ValueError(f"unsupported writer type: {w.type}")
-        if w.audit_topic and audit_sink is not None and w.type in ("file", "s3", "parquet", "text"):
-            # audited file delivery: foreachBatch write + audit row (B5)
-            path, fmt = w.path, w.format
-
-            def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-                batch_df.write.mode("append").format(fmt).save(path)
-
-            writer = sinks.with_audit(df, w.audit_topic, ckpt, write_batch, audit_sink)
-        query = writer.queryName(cfg.name).start()
-        self.queries[cfg.name] = query
-        return query
+        return writer
 
     def start_all(self, audit_sink=None) -> None:
         for cfg in self.config.logs:
             self.start_log(cfg, audit_sink=audit_sink)
+
+    # -- adaptive poll loop (B3) + retention (O5) + live decider (O2) ------
+    def run_cycle(self, cfg: LogConfig, audit_sink=None) -> int:
+        """One drain-everything-available cycle (Trigger.AvailableNow against
+        the log's checkpoint — resumes where the last cycle stopped).
+        Returns the number of input rows processed."""
+        ckpt = cfg.checkpoint_dir or os.path.join(self.checkpoint_root, cfg.name)
+        df = build_transforms(build_source(self.spark, cfg), cfg)
+        writer = self._build_writer(cfg, df, ckpt, audit_sink).trigger(availableNow=True)
+        query = writer.queryName(cfg.name).start()
+        self.queries[cfg.name] = query
+        query.awaitTermination()
+        rows = 0
+        for p in query.recentProgress:
+            if isinstance(p, str):
+                p = json.loads(p)
+            rows += int(p.get("numInputRows", 0) or 0)
+        return rows
+
+    def run_adaptive(self, cfg: LogConfig, audit_sink=None, cycles: int = 1,
+                     sleep_fn=time.sleep) -> list[dict]:
+        """The reference's poll loop (B3,
+        processor/DefaultLogStreamProcessor.java:365-402): each cycle drains
+        everything available, then sleeps.  An EMPTY cycle doubles the sleep
+        up to ``max_processing_interval_secs``; a cycle that saw data resets
+        it to ``processing_interval_secs``.  After every drained cycle,
+        retention (O5) deletes log files older than
+        ``log_retention_seconds``, and the live decider (O2) is re-read — a
+        disabled log skips processing but keeps polling at the backoff
+        ceiling.  Returns per-cycle
+        {rows, interval_secs, deleted, enabled} for observability/tests."""
+        p = cfg.processor
+        interval = p.processing_interval_secs
+        history: list[dict] = []
+        for _ in range(cycles):
+            enabled = self._instance_enabled(cfg)
+            rows = self.run_cycle(cfg, audit_sink) if enabled else 0
+            if rows > 0:
+                interval = p.processing_interval_secs   # reset on data
+            else:
+                interval = min(max(interval, 1) * 2, p.max_processing_interval_secs)
+            deleted = enforce_retention(cfg.log_dir, p.log_retention_seconds) if enabled else []
+            history.append({"rows": rows, "interval_secs": interval,
+                            "deleted": deleted, "enabled": enabled})
+            sleep_fn(interval)
+        return history
 
     # -- drain / stop (O3 admin `stop`) -----------------------------------
     def drain(self, timeout_secs: int = 120) -> None:

@@ -36,9 +36,22 @@ from pyspark.sql.types import (
 
 # Thrift binary-protocol type codes (public spec).
 _TTYPE_STOP = 0
+_TTYPE_BOOL = 2
+_TTYPE_BYTE = 3
+_TTYPE_DOUBLE = 4
+_TTYPE_I16 = 6
+_TTYPE_I32 = 8
 _TTYPE_I64 = 10
 _TTYPE_STRING = 11  # binary and string share the code
 _TTYPE_STRUCT = 12
+_TTYPE_MAP = 13
+_TTYPE_SET = 14
+_TTYPE_LIST = 15
+
+_TTYPE_FIXED_WIDTH = {
+    _TTYPE_BOOL: 1, _TTYPE_BYTE: 1, _TTYPE_DOUBLE: 8,
+    _TTYPE_I16: 2, _TTYPE_I32: 4, _TTYPE_I64: 8,
+}
 
 # LogMessage field ids (singer_if.thrift:11-21).
 _FIELD_KEY = 1
@@ -99,10 +112,14 @@ def encode_log_messages(messages: list[tuple]) -> bytes:
 # Thrift LogMessage decode
 # ---------------------------------------------------------------------------
 def _skip_field(body: bytes, pos: int, ttype: int) -> int:
-    """Skip an unknown/unneeded field (forward compatibility, like thrift's
-    TProtocolUtil.skip). Only the types LogMessage can contain."""
-    if ttype == _TTYPE_I64:
-        return pos + 8
+    """Skip an unknown/unneeded field — full TBinaryProtocol type coverage,
+    like thrift's TProtocolUtil.skip.  LogMessage's own fields are i64/
+    string/struct, but nested structs carry more: LoggingAuditHeaders
+    (field 5) contains i32 (pid, logSeqNumInSession) and bool (tracked), so
+    wire compatibility requires every scalar and container type."""
+    w = _TTYPE_FIXED_WIDTH.get(ttype)
+    if w is not None:
+        return pos + w
     if ttype == _TTYPE_STRING:
         (n,) = struct.unpack_from(">I", body, pos)
         return pos + 4 + n
@@ -113,6 +130,21 @@ def _skip_field(body: bytes, pos: int, ttype: int) -> int:
             if t == _TTYPE_STOP:
                 return pos
             pos = _skip_field(body, pos + 2, t)
+    if ttype == _TTYPE_MAP:
+        ktype, vtype = body[pos], body[pos + 1]
+        (n,) = struct.unpack_from(">I", body, pos + 2)
+        pos += 6
+        for _ in range(n):
+            pos = _skip_field(body, pos, ktype)
+            pos = _skip_field(body, pos, vtype)
+        return pos
+    if ttype in (_TTYPE_SET, _TTYPE_LIST):
+        etype = body[pos]
+        (n,) = struct.unpack_from(">I", body, pos + 1)
+        pos += 5
+        for _ in range(n):
+            pos = _skip_field(body, pos, etype)
+        return pos
     raise ValueError(f"unsupported thrift type {ttype}")
 
 
@@ -189,12 +221,35 @@ def decode_thrift_blobs(df: DataFrame, content_col: str = "content",
         for pdf in batches:
             rows = []
             for path, blob in zip(pdf[path_col], pdf[content_col]):
-                for key, msg, ts, crc, off in decode_frames(bytes(blob), max_message_size):
-                    rows.append((key, msg, ts, crc, path, off))
+                rows.extend(decode_file_tolerant(bytes(blob), path, max_message_size))
             yield pd.DataFrame(rows, columns=["key", "value", "timestampInNanos",
                                               "checksum", "file", "offset"])
 
     return df.mapInPandas(gen, LOG_MESSAGE_SCHEMA)
+
+
+def decode_file_tolerant(blob: bytes, path: str,
+                         max_message_size: int | None = None) -> list[tuple]:
+    """Decode one file's frames, skipping the remainder of the file on a
+    corrupt frame instead of raising.
+
+    A decode error inside mapInPandas is deterministic: Spark retries the
+    task, fails again, and permanently kills the streaming query — one bad
+    file poison-pills the whole stream.  The reference instead logs, counts,
+    and skips per file (reader/ThriftLogFileReader.java:152-157 oversize
+    handling; DefaultLogStreamProcessor catches per-stream).  Frames decoded
+    before the corruption point are kept (they are valid messages)."""
+    import sys
+
+    rows: list[tuple] = []
+    try:
+        for key, msg, ts, crc, off in decode_frames(blob, max_message_size):
+            rows.append((key, msg, ts, crc, path, off))
+    except (ValueError, struct.error, IndexError) as e:
+        sys.stderr.write(
+            f"singer_spark.framing: corrupt frame in {path} after "
+            f"{len(rows)} messages — skipping file remainder ({e})\n")
+    return rows
 
 
 # ---------------------------------------------------------------------------

@@ -43,7 +43,13 @@ def build_status(spark: SparkSession, started_at: float,
         ts = p.get("timestamp")
         if ts:
             try:
-                batch_age = now - time.mktime(time.strptime(ts[:19], "%Y-%m-%dT%H:%M:%S"))
+                # progress timestamps are UTC ISO strings; parse as UTC
+                # explicitly (mktime would apply the host timezone and skew
+                # batch_age by the UTC offset on non-UTC hosts)
+                from datetime import datetime, timezone
+
+                parsed = datetime.strptime(ts[:19], "%Y-%m-%dT%H:%M:%S")
+                batch_age = now - parsed.replace(tzinfo=timezone.utc).timestamp()
                 if batch_age > stuck_seconds and num == 0:
                     stuck += 1
             except ValueError:

@@ -278,11 +278,29 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def auto_num_planes(n: int, lo: int = 8, hi: int = 30) -> int:
+    """Hyperplane count for self-join LSH blocking, derived from corpus size:
+    ceil(log₂ N) planes ⇒ 2^planes ≈ N buckets per table, so the mean bucket
+    holds O(1) vectors and candidate pairs stay ~linear in N.  A CONSTANT
+    plane count is the quadratic-at-scale failure mode: N²/2^planes candidate
+    pairs once N ≫ 2^planes.  Clamped to [lo, hi] — below 2⁸ buckets recall
+    gains nothing, beyond 2³⁰ the per-vector hash cost dominates."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(n, 2)))))
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95, dim: int = 64,
-                             num_tables: int = 4, num_planes: int = 8,
+                             num_tables: int = 4, num_planes: int | None = None,
                              id_col: str = "vec_id", vec_col: str = "embedding",
                              round_to: int = 6) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH blocking + exact verify."""
+    """Embedding-cosine near-duplicate pairs via LSH blocking + exact verify.
+
+    `num_planes=None` (default) derives the plane count from the corpus size
+    with :func:`auto_num_planes` — one count() job, then the bucket space
+    tracks N instead of being a constant that a growing corpus outruns."""
+    if num_planes is None:
+        num_planes = auto_num_planes(corpus.count())
     bucketer = bucket_ids_udf(num_tables, num_planes, dim)
     hashed = fan_out(corpus).select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("vec"),

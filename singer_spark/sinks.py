@@ -84,6 +84,33 @@ def file_sink(df: DataFrame, path: str, checkpoint_dir: str, fmt: str = "parquet
     return writer
 
 
+def write_batch_sized(batch_df: DataFrame, path: str, fmt: str = "parquet",
+                      max_file_size_mb: float | None = None,
+                      value_col: str = "value") -> None:
+    """Append one micro-batch with BYTE-based file rollover — fidelity with
+    the reference's maxFileSizeMB (writer/s3/S3Writer.java:371-399), which
+    rolls on accumulated bytes, not row count.
+
+    Spark's only rollover knob is maxRecordsPerFile (rows), so estimate
+    bytes/row from THIS batch's payload column and convert: records =
+    maxFileSizeMB / avg_row_bytes.  With variable message sizes the
+    per-batch estimate tracks the actual payload instead of drifting the way
+    a fixed row count does."""
+    from pyspark.sql import functions as F
+
+    if max_file_size_mb and value_col in batch_df.columns:
+        n, total = batch_df.agg(
+            F.count("*"), F.sum(F.octet_length(F.col(value_col).cast("binary")))
+        ).first()
+        if n and total:
+            per_row = max(total / n, 1.0)
+            records = max(int(max_file_size_mb * 1024 * 1024 / per_row), 1)
+            (batch_df.write.option("maxRecordsPerFile", records)
+             .mode("append").format(fmt).save(path))
+            return
+    batch_df.write.mode("append").format(fmt).save(path)
+
+
 _TOKEN_RE = re.compile(r"\{\{(UUID|TIMESTAMP|HOST|LOGNAME|S)\}\}|%\{([A-Za-z_][A-Za-z0-9_]*)\}")
 
 
@@ -159,7 +186,19 @@ def pulsar_write_batch(batch_df: DataFrame, service_url: str, topic: str,
     def send_partition(rows) -> None:
         client = factory(service_url)
         producer = client.create_producer(topic)
+        # pulsar reports per-message failures ONLY through the send callback;
+        # flush() returns without raising on failed sends, so a None callback
+        # silently drops them.  Collect non-Ok results and raise after flush
+        # so Spark retries the task (at-least-once, PulsarWriter parity).
+        failures: list = []
+
+        def on_send(result, msg_id=None) -> None:
+            name = getattr(result, "name", None) or str(result)
+            if name not in ("Ok", "Result.Ok") and not name.endswith(".Ok"):
+                failures.append(name)
+
         try:
+            n_sent = 0
             for row in rows:
                 payload = row[value_col]
                 if isinstance(payload, str):
@@ -168,8 +207,13 @@ def pulsar_write_batch(batch_df: DataFrame, service_url: str, topic: str,
                 if has_key and row[key_col] is not None:
                     k = row[key_col]
                     kwargs["partition_key"] = k if isinstance(k, str) else bytes(k).decode("utf-8", "replace")
-                producer.send_async(bytes(payload), None, **kwargs)
+                producer.send_async(bytes(payload), on_send, **kwargs)
+                n_sent += 1
             producer.flush()
+            if failures:
+                raise RuntimeError(
+                    f"pulsar sink: {len(failures)}/{n_sent} sends failed "
+                    f"(first: {failures[0]})")
         finally:
             close = getattr(client, "close", None)
             if close:

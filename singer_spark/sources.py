@@ -119,7 +119,7 @@ def thrift_batch_local(spark: SparkSession, log_dir: str, glob: str = "*",
 
     import pandas as pd
 
-    from singer_spark.framing import LOG_MESSAGE_SCHEMA, decode_frames
+    from singer_spark.framing import LOG_MESSAGE_SCHEMA, decode_file_tolerant
 
     root = log_dir[len("file:"):] if log_dir.startswith("file:") else log_dir
     paths = sorted(
@@ -140,8 +140,7 @@ def thrift_batch_local(spark: SparkSession, log_dir: str, glob: str = "*",
             for path in pdf["path"]:
                 with open(path, "rb") as f:
                     blob = f.read()
-                rows = [(k, m, t, c, path, o)
-                        for k, m, t, c, o in decode_frames(blob, max_message_size)]
+                rows = decode_file_tolerant(blob, path, max_message_size)
                 yield pd.DataFrame(rows, columns=["key", "value", "timestampInNanos",
                                                   "checksum", "file", "offset"])
 
@@ -150,12 +149,54 @@ def thrift_batch_local(spark: SparkSession, log_dir: str, glob: str = "*",
 
 # ---------------------------------------------------------------------------
 # Kubernetes-style multi-dir discovery (D8): glob over pod log dirs and
-# derive pod metadata from the path, replacing KubeService+PodWatcher.
+# derive pod metadata from the kubelet path convention, replacing
+# KubeService+PodWatcher.  The kubelet names each pod's log directory
+# `<namespace>_<pod-name>_<pod-uid>` (underscores are safe separators —
+# DNS-1123 names cannot contain them), which is exactly the metadata the
+# reference fetches from the kubelet API and injects as message headers.
 # Reference: kubernetes/KubeService.java:232-289, PodMetadataFetcher.java.
 # ---------------------------------------------------------------------------
+_POD_DIR_PATTERN = r".*/pods/([^/]+)/.*"
+
+
+def with_pod_metadata(df: DataFrame,
+                      pod_dir_pattern: str = _POD_DIR_PATTERN) -> DataFrame:
+    """Add pod_namespace / pod_name / pod_uid columns parsed from the file
+    path.  A directory without the 3-part convention yields null namespace/
+    name and the whole directory name as uid (bare-uid layouts)."""
+    dirpart = F.regexp_extract(F.col("file"), pod_dir_pattern, 1)
+    parts = F.split(dirpart, "_")
+    has3 = F.size(parts) >= 3
+    return (
+        df.withColumn("pod_namespace",
+                      F.when(has3, F.element_at(parts, 1)).otherwise(F.lit(None)))
+        .withColumn("pod_name",
+                    F.when(has3, F.element_at(parts, 2)).otherwise(F.lit(None)))
+        .withColumn("pod_uid",
+                    F.when(has3, F.element_at(parts, 3)).otherwise(dirpart))
+    )
+
+
+def pod_headers():
+    """Header map entries for the pod metadata columns — what the reference
+    injects into every message from a kubernetes log
+    (KubeService.java:232-289).  Feed to transforms.inject_headers."""
+    return {
+        "podNamespace": F.col("pod_namespace").cast("binary"),
+        "podName": F.col("pod_name").cast("binary"),
+        "podUid": F.col("pod_uid").cast("binary"),
+    }
+
+
 def pod_text_stream(spark: SparkSession, pods_root: str, log_glob: str = "*.log",
-                    pod_uid_pattern: str = r".*/pods/([^/]+)/.*") -> DataFrame:
-    """Tail `<pods_root>/<pod-uid>/.../*.log` for all pods at once; the pod
-    uid becomes a column (the reference injects it as a message header)."""
-    df = text_stream(spark, f"{pods_root}/*", glob=log_glob)
-    return df.withColumn("pod_uid", F.regexp_extract(F.col("file"), pod_uid_pattern, 1))
+                    pod_dir_pattern: str = _POD_DIR_PATTERN) -> DataFrame:
+    """Tail `<pods_root>/<ns>_<pod>_<uid>/*.log` for all pods at once with
+    namespace/name/uid columns derived from the path."""
+    return with_pod_metadata(text_stream(spark, f"{pods_root}/*", glob=log_glob),
+                             pod_dir_pattern)
+
+
+def pod_text_batch(spark: SparkSession, pods_root: str, log_glob: str = "*.log",
+                   pod_dir_pattern: str = _POD_DIR_PATTERN) -> DataFrame:
+    return with_pod_metadata(text_batch(spark, f"{pods_root}/*", glob=log_glob),
+                             pod_dir_pattern)

@@ -7,6 +7,8 @@ import datetime as dt
 import json
 import time
 
+from pyspark.sql import functions as F
+
 from singer_spark.audit import AuditCollector, make_audit_df
 from singer_spark.config import (
     LogConfig,
@@ -88,6 +90,25 @@ def test_audit_collector_counts(spark):
     audit.append(make_audit_df(spark, "topicB", 7, 0, hostname="h"))
     assert audit.total("topicA") == 15
     assert audit.total() == 22
+
+
+def test_write_batch_sized_rolls_over_on_bytes(spark, tmp_path):
+    """maxFileSizeMB fidelity: rollover derives from payload BYTES — 100
+    rows × ~1 KiB with a tiny size cap must split into many files, while a
+    generous cap writes few."""
+    import glob
+
+    from singer_spark.sinks import write_batch_sized
+
+    df = spark.range(100).select(
+        F.rpad(F.col("id").cast("string"), 1024, "x").alias("value")).coalesce(1)
+    small = str(tmp_path / "small")
+    # ~100 KiB of payload with a cap ~10 KiB → ≥ 5 files
+    write_batch_sized(df, small, "parquet", max_file_size_mb=0.01)
+    assert len(glob.glob(f"{small}/part-*")) >= 5
+    big = str(tmp_path / "big")
+    write_batch_sized(df, big, "parquet", max_file_size_mb=100)
+    assert len(glob.glob(f"{big}/part-*")) == 1
 
 
 def test_heartbeat_status_shape(spark):

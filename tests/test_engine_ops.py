@@ -1,0 +1,183 @@
+"""Operational-parity tests: adaptive poll backoff (B3), log retention (O5),
+live decider reload (O2), admin drain endpoint (O3), pod metadata (D8) —
+the reference behaviors from DefaultLogStreamProcessor.java:365-402/252-255,
+config/Decider.java:50-148, admin/AdminServer.java:43-145,
+kubernetes/KubeService.java:232-289."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.request
+
+from singer_spark.admin import AdminServer
+from singer_spark.config import LogConfig, ProcessorConfig, WriterConfig
+from singer_spark.engine import Decider, PipelineManager, enforce_retention
+
+
+def _write_lines(path: str, n: int, prefix: str = "m") -> None:
+    with open(path, "w") as f:
+        f.writelines(f"{prefix} {i}\n" for i in range(n))
+
+
+def _cfg(tmp_path, name: str, sink: str = "file", **proc_kwargs) -> LogConfig:
+    log_dir = str(tmp_path / f"{name}_in")
+    os.makedirs(log_dir, exist_ok=True)
+    # file sink: checkpoint-recoverable across run_cycle invocations (the
+    # memory sink can't resume, so it only suits single-shot tests)
+    writer = (WriterConfig(type="file", path=str(tmp_path / f"{name}_out"),
+                           format="parquet", min_upload_seconds=0)
+              if sink == "file" else WriterConfig(type=sink))
+    return LogConfig(
+        name=name, log_dir=log_dir, log_stream_regex="*.log",
+        writer=writer,
+        processor=ProcessorConfig(processing_interval_secs=1,
+                                  max_processing_interval_secs=8, **proc_kwargs),
+        checkpoint_dir=str(tmp_path / f"{name}_ckpt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B3 — adaptive poll backoff
+# ---------------------------------------------------------------------------
+def test_adaptive_backoff_doubles_on_empty_and_resets_on_data(spark, tmp_path):
+    cfg = _cfg(tmp_path, "backoff")
+    _write_lines(f"{cfg.log_dir}/a.log", 10)
+    sleeps: list[int] = []
+    mgr = PipelineManager(spark)
+
+    # cycle 1: data → interval stays at base; cycles 2-4: empty → 2,4,8 (cap)
+    hist = mgr.run_adaptive(cfg, cycles=4, sleep_fn=sleeps.append)
+    assert hist[0]["rows"] == 10
+    assert [h["interval_secs"] for h in hist] == [1, 2, 4, 8]
+    assert sleeps == [1, 2, 4, 8]
+
+    # new data arrives → next cycle processes it and RESETS the interval
+    _write_lines(f"{cfg.log_dir}/b.log", 5)
+    hist2 = mgr.run_adaptive(cfg, cycles=2, sleep_fn=sleeps.append)
+    assert hist2[0]["rows"] == 5 and hist2[0]["interval_secs"] == 1
+    assert hist2[1]["rows"] == 0 and hist2[1]["interval_secs"] == 2
+
+
+def test_backoff_caps_at_max_interval(spark, tmp_path):
+    cfg = _cfg(tmp_path, "cap", )
+    mgr = PipelineManager(spark)
+    hist = mgr.run_adaptive(cfg, cycles=6, sleep_fn=lambda s: None)
+    assert [h["interval_secs"] for h in hist] == [2, 4, 8, 8, 8, 8]
+
+
+# ---------------------------------------------------------------------------
+# O5 — log retention
+# ---------------------------------------------------------------------------
+def test_enforce_retention_deletes_only_old_files(tmp_path):
+    d = str(tmp_path / "ret")
+    os.makedirs(d)
+    _write_lines(f"{d}/old.log", 3)
+    _write_lines(f"{d}/new.log", 3)
+    past = time.time() - 3600
+    os.utime(f"{d}/old.log", (past, past))
+    removed = enforce_retention(d, retention_seconds=600)
+    assert [os.path.basename(p) for p in removed] == ["old.log"]
+    assert sorted(os.listdir(d)) == ["new.log"]
+    # disabled (< 0, the config default) is a no-op
+    assert enforce_retention(d, retention_seconds=-1) == []
+    assert os.listdir(d) == ["new.log"]
+
+
+def test_run_adaptive_applies_retention_after_drain(spark, tmp_path):
+    cfg = _cfg(tmp_path, "ret_cycle", log_retention_seconds=600)
+    _write_lines(f"{cfg.log_dir}/old.log", 4)
+    past = time.time() - 3600
+    os.utime(f"{cfg.log_dir}/old.log", (past, past))
+    mgr = PipelineManager(spark)
+    hist = mgr.run_adaptive(cfg, cycles=1, sleep_fn=lambda s: None)
+    # the file was processed THEN deleted — drain before delete, no loss
+    assert hist[0]["rows"] == 4
+    assert [os.path.basename(p) for p in hist[0]["deleted"]] == ["old.log"]
+    assert os.listdir(cfg.log_dir) == []
+
+
+# ---------------------------------------------------------------------------
+# O2 — decider live reload
+# ---------------------------------------------------------------------------
+def test_decider_reloads_on_mtime_change(tmp_path):
+    path = str(tmp_path / "decider.json")
+    with open(path, "w") as f:
+        json.dump({"singer_x_decider": 0}, f)
+    d = Decider(path)
+    assert d.value("singer_x_decider") == 0
+    assert not d.is_enabled("singer_x_decider", "host:x")
+    time.sleep(0.01)
+    with open(path, "w") as f:
+        json.dump({"singer_x_decider": 100}, f)
+    os.utime(path)  # ensure mtime moves even on coarse filesystems
+    assert d.value("singer_x_decider") == 100
+    assert d.is_enabled("singer_x_decider", "host:x")
+    # unknown keys fall back to the default; missing file fails open
+    assert d.value("other") == 100
+    assert Decider(None).is_enabled("anything", "basis")
+
+
+def test_run_adaptive_respects_live_decider(spark, tmp_path):
+    path = str(tmp_path / "decider.json")
+    with open(path, "w") as f:
+        json.dump({"singer_gated2_decider": 0}, f)
+    cfg = _cfg(tmp_path, "gated2")
+    _write_lines(f"{cfg.log_dir}/a.log", 6)
+    mgr = PipelineManager(spark, decider=Decider(path))
+    hist = mgr.run_adaptive(cfg, cycles=1, sleep_fn=lambda s: None)
+    assert hist[0] == {"rows": 0, "interval_secs": 2, "deleted": [],
+                      "enabled": False}  # gated off: nothing processed
+    time.sleep(0.01)
+    with open(path, "w") as f:
+        json.dump({"singer_gated2_decider": 100}, f)
+    os.utime(path)
+    hist2 = mgr.run_adaptive(cfg, cycles=1, sleep_fn=lambda s: None)
+    assert hist2[0]["enabled"] and hist2[0]["rows"] == 6  # flipped on live
+
+
+# ---------------------------------------------------------------------------
+# O3 — admin drain endpoint
+# ---------------------------------------------------------------------------
+def test_admin_endpoint_status_and_drain(spark, tmp_path):
+    cfg = _cfg(tmp_path, "admin_log", sink="memory")
+    _write_lines(f"{cfg.log_dir}/a.log", 12)
+    mgr = PipelineManager(spark)
+    q = mgr.start_log(cfg)
+    server = AdminServer(mgr).start()
+    base = f"http://127.0.0.1:{server.port}"
+    try:
+        status = json.load(urllib.request.urlopen(f"{base}/status"))
+        assert status == {"queries": ["admin_log"], "draining": False}
+        # drain over HTTP: processes everything available, then stops
+        resp = json.load(urllib.request.urlopen(
+            urllib.request.Request(f"{base}/drain", method="POST")))
+        assert resp["ok"]
+        assert not q.isActive
+        assert spark.sql("select count(*) n from admin_log").first().n == 12
+    finally:
+        server.stop()
+        mgr.stop_all()
+
+
+# ---------------------------------------------------------------------------
+# D8 — pod metadata from the kubelet path convention
+# ---------------------------------------------------------------------------
+def test_pod_metadata_parsed_and_injectable_as_headers(spark, tmp_path):
+    from singer_spark.sources import pod_headers, pod_text_batch
+    from singer_spark.transforms import inject_headers
+
+    pods = tmp_path / "pods"
+    for pod_dir in ("team-a_web-1_uid-111", "team-b_job-2_uid-222"):
+        os.makedirs(pods / pod_dir)
+        _write_lines(str(pods / pod_dir / "app.log"), 2, prefix=pod_dir)
+    df = pod_text_batch(spark, str(pods), log_glob="*.log")
+    rows = inject_headers(df, pod_headers()).collect()
+    assert len(rows) == 4
+    by_ns = {r.pod_namespace: r for r in rows}
+    assert set(by_ns) == {"team-a", "team-b"}
+    a = by_ns["team-a"]
+    assert (a.pod_name, a.pod_uid) == ("web-1", "uid-111")
+    assert bytes(a.headers["podUid"]) == b"uid-111"
+    assert bytes(a.headers["podNamespace"]) == b"team-a"

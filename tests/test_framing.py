@@ -80,6 +80,44 @@ def test_unknown_field_skipped():
     assert msg == b"msg" and ts is None
 
 
+def test_audit_header_struct_with_all_scalar_types_skipped():
+    """Wire compat: LoggingAuditHeaders (LogMessage field 5) is a STRUCT
+    containing string/i64/i32/bool fields — every TBinaryProtocol type must
+    skip cleanly, plus map/set/list for full TProtocolUtil.skip parity."""
+    audit_struct = (
+        struct.pack(">bhI", 11, 1, 4) + b"host"        # string host
+        + struct.pack(">bhq", 10, 2, 77)               # i64 timestamp
+        + struct.pack(">bhi", 8, 3, 4242)              # i32 pid
+        + struct.pack(">bhb", 2, 4, 1)                 # bool tracked
+        + struct.pack(">bhh", 6, 5, 7)                 # i16
+        + struct.pack(">bhd", 4, 6, 2.5)               # double
+        + struct.pack(">bhb", 3, 7, 9)                 # byte
+        + b"\x00"
+    )
+    a_map = struct.pack(">bbI", 11, 10, 1) + (
+        struct.pack(">I", 1) + b"k" + struct.pack(">q", 5))  # map<string,i64>{k:5}
+    a_list = struct.pack(">bI", 8, 2) + struct.pack(">ii", 1, 2)  # list<i32>[1,2]
+    body = (
+        struct.pack(">bhI", 11, 2, 3) + b"msg"                    # message
+        + struct.pack(">bh", 12, 5) + audit_struct                # struct field 5
+        + struct.pack(">bh", 13, 8) + a_map                       # map field 8
+        + struct.pack(">bh", 15, 9) + a_list                      # list field 9
+        + b"\x00"
+    )
+    blob = struct.pack(">I", len(body)) + body
+    [(key, msg, ts, crc, _)] = list(decode_frames(blob))
+    assert msg == b"msg" and key is None and ts is None
+
+
+def test_decode_file_tolerant_keeps_prefix_and_skips_rest():
+    from singer_spark.framing import decode_file_tolerant
+
+    good = encode_log_messages([(b"a",), (b"bb",)])
+    corrupt = good + struct.pack(">I", 50_000) + b"\xff" * 10  # giant frame len
+    rows = decode_file_tolerant(corrupt, "f.log", max_message_size=100)
+    assert [r[1] for r in rows] == [b"a", b"bb"]  # prefix kept, no raise
+
+
 def test_frame_text_line_per_message():
     assert frame_text("a\nb\nc\n", None) == ["a\n", "b\n", "c\n"]
     assert frame_text("a\nb", None) == ["a\n", "b\n"]

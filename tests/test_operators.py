@@ -178,6 +178,16 @@ def test_ivf_assignments_and_topk(spark, sf_dir):
     assert wide == exact  # nprobe = n_clusters degenerates to exact search
 
 
+def test_auto_num_planes_tracks_corpus_size():
+    # bucket space must grow with N: ~N buckets per table keeps candidate
+    # generation linear; clamped at both ends
+    assert similarity.auto_num_planes(500) == 9
+    assert similarity.auto_num_planes(2_000) == 11
+    assert similarity.auto_num_planes(1_000_000_000) == 30
+    assert similarity.auto_num_planes(10) == 8  # lower clamp
+    assert similarity.auto_num_planes(2 ** 40) == 30  # upper clamp
+
+
 def test_lang_id_predicts_profile_language(spark):
     df = _docs(spark, ["the cat is on the mat and it is happy",
                        "el gato es un animal que vive en la casa"])

@@ -90,6 +90,37 @@ def test_pulsar_streaming_sink(spark, tmp_path):
     assert all(v.startswith("m") for _, v in delivered)
 
 
+def make_failing_factory():
+    """Transport whose sends all fail via the callback — flush() itself does
+    NOT raise (the real pulsar-client contract), so only callback collection
+    can surface the loss."""
+
+    class FailingProducer:
+        def send_async(self, data, callback=None, partition_key=None):
+            if callback is not None:
+                callback("Result.Timeout", None)
+
+        def flush(self):
+            pass
+
+    class FailingClient:
+        def create_producer(self, topic):
+            return FailingProducer()
+
+        def close(self):
+            pass
+
+    return lambda service_url: FailingClient()
+
+
+def test_pulsar_failed_sends_fail_the_task(spark):
+    df = spark.range(5).select(F.col("id").cast("string").alias("value")).coalesce(1)
+    with pytest.raises(Exception) as exc_info:
+        pulsar_write_batch(df, "pulsar://fake:6650", "topic-f",
+                           client_factory=make_failing_factory())
+    assert "sends failed" in str(exc_info.value)
+
+
 def test_default_factory_requires_library():
     from singer_spark.sinks import _default_pulsar_client
 
