@@ -644,6 +644,21 @@ def _sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_clusters=16, nprobe=4)
 
 
+def _sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a Lloyd-TRAINED coarse quantizer (deterministic — seeded
+    init, mean updates, no RNG), the production path next to the
+    seeded-centroid oracle variant.  k-means-in-SQL would be unreadable, so
+    this entry is rows-only; the pytest recall gate
+    (test_ivf_trained_centroids_recall: recall@5 >= 0.8 vs brute force at
+    sf0.1) is its correctness check."""
+    from singer_spark.operators.similarity import ivf_ann_topk, ivf_train_centroids
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_train_centroids(emb, n_clusters=16, iters=3)
+    return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                        nprobe=4, centroids=cents)
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """num_planes auto-derived from the corpus count (auto_num_planes);
     threshold 0.40 — the synthetic embeddings are near-orthogonal, so this
@@ -770,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bruteforce_topk": _sim_bruteforce_topk,
         "sim_lsh_ann": _sim_lsh_ann,
         "sim_ivf_ann": _sim_ivf_ann,
+        "sim_ivf_trained": _sim_ivf_trained,
         "embedding_near_dup": _embedding_near_dup,
         # text analysis
         "text_lang_id": _text_lang_id,

@@ -44,6 +44,8 @@ class WriterConfig:
     bootstrap_servers: str | None = None
     partitioner: str = "crc32"              # partitioners.PARTITIONER_REGISTRY key
     num_partitions: int = 16
+    # P8-P10: rack-local partition ids from a LocalityProvider (None → all)
+    local_partitions: list[int] | None = None
     producer_configs: dict[str, str] = field(default_factory=dict)
     # S3/file writer (config.thrift:149-185)
     path: str | None = None

@@ -131,9 +131,17 @@ def build_transforms(df: DataFrame, cfg: LogConfig) -> DataFrame:
     )
     out = apply_transforms(df, tc, text_col="value")
     w = cfg.writer
-    if w.type == "kafka" and w.partitioner:
+    if w.type in ("kafka", "kafka_direct") and w.partitioner:
+        import inspect
+
         key = F.col("key") if "key" in out.columns else F.col("value")
-        out = out.withColumn("partition", get_partitioner(w.partitioner)(key, w.num_partitions))
+        fn = get_partitioner(w.partitioner)
+        kwargs = {}
+        # locality-aware partitioners take the provider-fed local list
+        # (config carries it; a LocalityProvider refreshes it on rebuild)
+        if "local_partitions" in inspect.signature(fn).parameters:
+            kwargs["local_partitions"] = w.local_partitions
+        out = out.withColumn("partition", fn(key, w.num_partitions, **kwargs))
     return out
 
 
@@ -142,12 +150,14 @@ class PipelineManager:
 
     def __init__(self, spark: SparkSession, config: SingerConfig | None = None,
                  checkpoint_root: str | None = None,
-                 decider: Decider | None = None) -> None:
+                 decider: Decider | None = None,
+                 kafka_producer_factory=None) -> None:
         self.spark = spark
         self.config = config or SingerConfig()
         self.checkpoint_root = checkpoint_root or tempfile.mkdtemp(prefix="singer_ckpt_")
         self.queries: dict[str, StreamingQuery] = {}
         self.decider = decider or Decider(None)
+        self.kafka_producer_factory = kafka_producer_factory
         self._draining = False
 
     # -- instance-level decider gate (T10/O2) ------------------------------
@@ -182,6 +192,23 @@ class PipelineManager:
             writer = sinks.kafka_sink(df, w.bootstrap_servers, w.topic, ckpt,
                                       producer_configs=w.producer_configs,
                                       trigger_seconds=cfg.processor.processing_interval_secs)
+        elif w.type == "kafka_direct":
+            # connector-free Kafka path (W1 twin); audited variant counts
+            # after each successful producer flush — the reference's
+            # accounting point (writer/KafkaWriter.java:641-693)
+            if w.audit_topic and audit_sink is not None:
+                factory, configs = self.kafka_producer_factory, w.producer_configs
+
+                def write_kafka_batch(batch_df: DataFrame, batch_id: int) -> None:
+                    sinks.kafka_write_batch(batch_df, w.bootstrap_servers, w.topic,
+                                            factory, configs)
+
+                writer = sinks.with_audit(df, w.audit_topic, ckpt,
+                                          write_kafka_batch, audit_sink)
+            else:
+                writer = sinks.kafka_direct_sink(df, w.bootstrap_servers, w.topic, ckpt,
+                                                 self.kafka_producer_factory,
+                                                 w.producer_configs)
         elif w.type in ("file", "s3", "parquet", "text"):
             if w.audit_topic and audit_sink is not None:
                 # audited file delivery: foreachBatch write + audit row (B5),

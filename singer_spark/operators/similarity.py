@@ -191,24 +191,24 @@ def _seq_cosine_matrix(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
     return out
 
 
-def ivf_build_assignments(corpus: DataFrame, n_clusters: int = 16,
-                          id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF coarse quantizer with *seeded* centroids: the vectors whose id is
-    < n_clusters serve as exact centroids (no Lloyd iterations — centroids
-    are data values, so an external SQL oracle reproduces assignments
-    bit-for-bit). Each vector goes to its max-cosine centroid (ties → lowest
-    centroid id).
-
-    At scale: the centroid table is O(k·dim) — broadcast into a narrow
-    Arrow-UDF pass over the corpus; the output (id, cluster) is the inverted
-    list, ready to be partitioned/bucketed by cluster."""
-    from pyspark.sql.functions import pandas_udf
-
+def _seeded_centroids(corpus: DataFrame, n_clusters: int,
+                      id_col: str, vec_col: str) -> "np.ndarray":
+    """Centroid matrix from the vectors with id < n_clusters — data values,
+    so an external SQL oracle reproduces assignments bit-for-bit."""
     cent_rows = (corpus.filter(F.col(id_col) < n_clusters)
                  .select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
                  .collect())
     cent_rows.sort(key=lambda r: r.cid)
-    C = np.array([r.cv for r in cent_rows], dtype=np.float64)
+    return np.array([r.cv for r in cent_rows], dtype=np.float64)
+
+
+def _assign_to_centroids(corpus: DataFrame, C: "np.ndarray",
+                         id_col: str, vec_col: str) -> DataFrame:
+    """Broadcast the O(k·dim) centroid matrix into a narrow Arrow-UDF pass:
+    each vector gets its max-cosine centroid (ties → lowest centroid id).
+    The output (id, vec, cluster) is the inverted list, ready to be
+    partitioned/bucketed by cluster."""
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("bigint")
     def assign(vs: pd.Series) -> pd.Series:
@@ -223,13 +223,75 @@ def ivf_build_assignments(corpus: DataFrame, n_clusters: int = 16,
     )
 
 
+def ivf_build_assignments(corpus: DataFrame, n_clusters: int = 16,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          centroids: DataFrame | None = None) -> DataFrame:
+    """IVF coarse quantizer.  Default: *seeded* centroids (vectors with
+    id < n_clusters — no Lloyd iterations, SQL-oracle-reproducible).  Pass a
+    `centroids` table from :func:`ivf_train_centroids` for the trained
+    quantizer."""
+    C = (_centroid_matrix(centroids) if centroids is not None
+         else _seeded_centroids(corpus, n_clusters, id_col, vec_col))
+    return _assign_to_centroids(corpus, C, id_col, vec_col)
+
+
+def _centroid_matrix(centroids: DataFrame) -> "np.ndarray":
+    rows = sorted(centroids.collect(), key=lambda r: r.cluster)
+    return np.array([r.centroid for r in rows], dtype=np.float64)
+
+
+def ivf_train_centroids(corpus: DataFrame, n_clusters: int = 16, iters: int = 5,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic Lloyd-trained coarse quantizer — the production IVF
+    path (the seeded quantizer is an oracle-reproducibility simplification;
+    trained centroids cut the candidate set a query must scan for the same
+    recall).
+
+    - init: seeded centroids (ids < k) — deterministic, no RNG
+    - assign: broadcast centroids, narrow Arrow pass (no shuffle)
+    - update: element-wise mean per cluster via posexplode → (cluster, pos)
+      partial aggregation — the only shuffle is k·dim aggregated rows; an
+      empty cluster keeps its previous centroid
+    - k·dim floats collect to the driver per iteration (k≈√N at scale —
+      still tiny next to the corpus)
+
+    Returns a (cluster, centroid) DataFrame: persist it with
+    ``.write.parquet(...)`` and reload across query batches so the quantizer
+    is trained once, not per query."""
+    spark = corpus.sparkSession
+    C = _seeded_centroids(corpus, n_clusters, id_col, vec_col)
+    dim = C.shape[1]
+    for _ in range(iters):
+        assigned = _assign_to_centroids(corpus, C, id_col, vec_col)
+        means = (
+            assigned.select("cluster", F.posexplode(as_double(vec_col)).alias("pos", "val"))
+            .groupBy("cluster", "pos").agg(F.avg("val").alias("m"))
+        ).collect()
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(int(r.cluster), {})[int(r.pos)] = float(r.m)
+        newC = C.copy()
+        for c, d in by_cluster.items():
+            newC[c] = [d[p] for p in range(dim)]
+        C = newC
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in C[i]]) for i in range(n_clusters)],
+        "cluster int, centroid array<double>",
+    )
+
+
 def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  n_clusters: int = 16, nprobe: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 round_to: int = 6) -> DataFrame:
+                 round_to: int = 6,
+                 centroids: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: queries probe their `nprobe` nearest centroids;
     candidates are the corpus vectors assigned to those clusters; exact
     cosine re-rank of candidates only.
+
+    `centroids` (from :func:`ivf_train_centroids`, possibly reloaded from
+    parquet) switches the quantizer from seeded to trained; n_clusters is
+    then taken from the table.
 
     The scale path: candidate work is ~ corpus·(nprobe/n_clusters) per
     query, the inverted lists co-partition by cluster id, and only
@@ -238,13 +300,9 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.window import Window
 
-    assigned = ivf_build_assignments(corpus, n_clusters, id_col, vec_col)
-
-    cent_rows = (corpus.filter(F.col(id_col) < n_clusters)
-                 .select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
-                 .collect())
-    cent_rows.sort(key=lambda r: r.cid)
-    C = np.array([r.cv for r in cent_rows], dtype=np.float64)
+    C = (_centroid_matrix(centroids) if centroids is not None
+         else _seeded_centroids(corpus, n_clusters, id_col, vec_col))
+    assigned = _assign_to_centroids(corpus, C, id_col, vec_col)
 
     @pandas_udf("array<bigint>")
     def probe(vs: pd.Series) -> pd.Series:

@@ -125,6 +125,68 @@ def locality_aware_single_partition_partitioner(key: Column, num_partitions: int
 
 
 # ---------------------------------------------------------------------------
+# Locality metadata feed (P8-P10) — the driver-side half the reference gets
+# from its broker-metadata refresh timer
+# (writer/partitioners/LocalityAwarePartitioner.java:29-80): fetch
+# partition→leader-rack leadership, keep only partitions whose leader shares
+# the agent's rack, refresh on an interval, and FALL BACK TO ALL partitions
+# when the fetch fails or nothing is rack-local (.java:67-71).  The result
+# feeds `locality_aware_*_partitioner(local_partitions=...)`, baked into the
+# plan as literals — "refresh by rebuilding", exactly the reference's model.
+# ---------------------------------------------------------------------------
+class LocalityProvider:
+    """``fetch_leader_racks() -> {partition_id: rack}`` is injected: in
+    production a kafka AdminClient call (:func:`kafka_leader_rack_fetcher`),
+    in tests a fake.  ``local_partitions()`` returns the rack-local partition
+    ids, or None to signal fallback-to-all."""
+
+    def __init__(self, fetch_leader_racks, local_rack: str,
+                 refresh_seconds: float = 300.0, clock=None) -> None:
+        import time
+
+        self.fetch_leader_racks = fetch_leader_racks
+        self.local_rack = local_rack
+        self.refresh_seconds = refresh_seconds
+        self.clock = clock or time.time
+        self._fetched_at: float | None = None
+        self._local: list[int] | None = None
+
+    def local_partitions(self) -> list[int] | None:
+        now = self.clock()
+        if self._fetched_at is None or now - self._fetched_at >= self.refresh_seconds:
+            try:
+                racks = dict(self.fetch_leader_racks())
+                local = sorted(int(p) for p, r in racks.items() if r == self.local_rack)
+                self._local = local or None   # no rack-local leader → all
+            except Exception:
+                self._local = None            # metadata outage → all
+            self._fetched_at = now
+        return self._local
+
+
+def kafka_leader_rack_fetcher(bootstrap_servers: str, topic: str):
+    """Production ``fetch_leader_racks`` over kafka-python's AdminClient
+    (import-gated — not installed in this container; inject a fake in
+    tests).  Maps each partition to its leader broker's rack, the exact
+    feed LocalityAwarePartitioner.java:29-80 refreshes."""
+
+    def fetch() -> dict[int, str | None]:
+        from kafka import KafkaAdminClient  # type: ignore
+
+        admin = KafkaAdminClient(bootstrap_servers=bootstrap_servers)
+        try:
+            cluster = admin.describe_cluster()
+            broker_rack = {b["node_id"]: b.get("rack") for b in cluster["brokers"]}
+            (topic_md,) = admin.describe_topics([topic])
+            return {p["partition"]: broker_rack.get(p["leader"])
+                    for p in topic_md["partitions"]}
+        finally:
+            admin.close()
+
+    return fetch
+
+
+# ---------------------------------------------------------------------------
 # Class-name registry — parity with the reference's reflection plugin point
 # (writer/KafkaWriter.java:155-164 loads the configured class name).
 # ---------------------------------------------------------------------------
@@ -146,6 +208,8 @@ PARTITIONER_REGISTRY: dict[str, Callable[..., Column]] = {
     "round_robin": round_robin_partitioner,
     "single": single_partition_partitioner,
     "fixed": fixed_partitions_partitioner,
+    "locality_random": locality_aware_random_partitioner,
+    "locality_single": locality_aware_single_partition_partitioner,
 }
 
 
