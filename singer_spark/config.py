@@ -55,6 +55,10 @@ class WriterConfig:
     min_upload_seconds: int = 30
     # audit (loggingaudit_config.thrift)
     audit_topic: str | None = None
+    # O8 shadow mode (config.thrift:524-532): duplicate delivery to a shadow
+    # destination — shadow_topic for kafka writers, shadow_path for file/s3
+    shadow_topic: str | None = None
+    shadow_path: str | None = None
 
 
 @dataclass

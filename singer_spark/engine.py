@@ -176,7 +176,11 @@ class PipelineManager:
         return _percent_hash(basis) < pct
 
     def start_log(self, cfg: LogConfig, audit_sink=None) -> StreamingQuery | None:
-        """Wire one LogConfig end-to-end and start its query."""
+        """Wire one LogConfig end-to-end and start its query.  A configured
+        shadow destination (O8) starts a SECOND query on the same source
+        with its own checkpoint — duplicate delivery to the shadow topic/
+        path, unaudited, exactly the reference's shadow-serverset remap
+        (config.thrift:524-532, SHADOW_MODE_ENABLED)."""
         if not self._instance_enabled(cfg):
             return None
         ckpt = cfg.checkpoint_dir or os.path.join(self.checkpoint_root, cfg.name)
@@ -184,7 +188,32 @@ class PipelineManager:
         writer = self._build_writer(cfg, df, ckpt, audit_sink)
         query = writer.queryName(cfg.name).start()
         self.queries[cfg.name] = query
+        shadow_cfg = self._shadow_config(cfg)
+        if shadow_cfg is not None:
+            sdf = build_transforms(build_source(self.spark, shadow_cfg), shadow_cfg)
+            sckpt = os.path.join(self.checkpoint_root, shadow_cfg.name)
+            swriter = self._build_writer(shadow_cfg, sdf, sckpt, None)
+            self.queries[shadow_cfg.name] = swriter.queryName(shadow_cfg.name).start()
         return query
+
+    @staticmethod
+    def _shadow_config(cfg: LogConfig) -> LogConfig | None:
+        import dataclasses
+
+        w = cfg.writer
+        if not (w.shadow_topic or w.shadow_path):
+            return None
+        return dataclasses.replace(
+            cfg,
+            name=f"{cfg.name}_shadow",
+            checkpoint_dir=None,
+            writer=dataclasses.replace(
+                w,
+                topic=w.shadow_topic or w.topic,
+                path=w.shadow_path or w.path,
+                audit_topic=None, shadow_topic=None, shadow_path=None,
+            ),
+        )
 
     def _build_writer(self, cfg: LogConfig, df: DataFrame, ckpt: str, audit_sink=None):
         w = cfg.writer

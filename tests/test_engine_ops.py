@@ -162,6 +162,65 @@ def test_admin_endpoint_status_and_drain(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# O8 — shadow mode: duplicate delivery to a shadow destination
+# ---------------------------------------------------------------------------
+def test_shadow_mode_duplicates_delivery(spark, tmp_path):
+    cfg = _cfg(tmp_path, "shadowed")
+    cfg.writer.shadow_path = str(tmp_path / "shadow_out")
+    _write_lines(f"{cfg.log_dir}/a.log", 9)
+    mgr = PipelineManager(spark)
+    q = mgr.start_log(cfg)
+    assert sorted(mgr.queries) == ["shadowed", "shadowed_shadow"]
+    for query in mgr.queries.values():
+        query.processAllAvailable()
+    mgr.stop_all()
+    primary = spark.read.parquet(cfg.writer.path)
+    shadow = spark.read.parquet(str(tmp_path / "shadow_out"))
+    assert primary.count() == 9 and shadow.count() == 9
+    assert ({r.value for r in primary.collect()}
+            == {r.value for r in shadow.collect()})
+
+
+# ---------------------------------------------------------------------------
+# O7 — metrics listener (OpenTSDB line conversion)
+# ---------------------------------------------------------------------------
+def test_metrics_listener_emits_opentsdb_lines(spark, tmp_path):
+    from singer_spark.metrics import MetricsListener, progress_to_lines
+
+    # pure conversion check (no listener-bus timing dependency)
+    lines = progress_to_lines({
+        "name": "q1", "timestamp": "2026-01-02T03:04:05.000Z",
+        "numInputRows": 42, "durationMs": {"triggerExecution": 120},
+        "processedRowsPerSecond": 350.0,
+    }, hostname="host-01")
+    assert "put singer_spark.processor.num_input_rows 1767323045 42 query=q1 host=host-01" in lines
+    assert any(l.startswith("put singer_spark.processor.trigger_execution_ms") for l in lines)
+
+    # end-to-end through the listener bus
+    emitted: list[str] = []
+    listener = MetricsListener(emit=emitted.append)
+    spark.streams.addListener(listener)
+    try:
+        cfg = _cfg(tmp_path, "metered", sink="memory")
+        _write_lines(f"{cfg.log_dir}/a.log", 7)
+        mgr = PipelineManager(spark)
+        q = mgr.start_log(cfg)
+        q.processAllAvailable()
+        mgr.stop_all()
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            if any("query=metered" in l and "num_input_rows" in l and " 7 " in l
+                   for l in listener.snapshot()):
+                break
+            time.sleep(0.2)
+        assert any("query=metered" in l and "num_input_rows" in l and " 7 " in l
+                   for l in listener.snapshot())
+        assert emitted  # the push hook fired
+    finally:
+        spark.streams.removeListener(listener)
+
+
+# ---------------------------------------------------------------------------
 # D8 — pod metadata from the kubelet path convention
 # ---------------------------------------------------------------------------
 def test_pod_metadata_parsed_and_injectable_as_headers(spark, tmp_path):

@@ -8,6 +8,9 @@ on DuckDB over the same sf directory, then compares:
 - exact cell values (order-insensitive: both sides sorted by all columns)
 
 Usage: python tools/verify_local.py [sf_dir] [query_name ...]
+       python tools/verify_local.py --json OUT.json [sf_dir]   # write a
+       CORRECTNESS-shaped JSON covering EVERY queries() key (the driver's
+       own file caps at 50 entries; this records the full surface)
 """
 
 from __future__ import annotations
@@ -66,8 +69,14 @@ def compare(name: str, sdf, odf) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entry_mod
     from singer_spark.session import get_spark
@@ -84,19 +93,34 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failed.append(name)
+            results[name] = {"rows_match": False, "schema_match": None,
+                             "hash_match": None, "spark_rows": None,
+                             "oracle_rows": None, "err": f"spark: {str(e)[:200]}"}
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
             continue
         if name not in oracles:
             no_oracle.append(name)
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": "no_oracle"}
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             odf = duck_run(oracles[name], sf_dir)
         except Exception as e:
             failed.append(name)
+            results[name] = {"rows_match": None, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(sdf),
+                             "oracle_rows": None, "err": f"oracle: {str(e)[:200]}"}
             print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
             continue
         problems = compare(name, sdf, odf)
+        ok = not problems
+        results[name] = {"rows_match": len(sdf) == len(odf),
+                         "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+                         "hash_match": ok, "spark_rows": len(sdf),
+                         "oracle_rows": len(odf),
+                         "err": None if ok else "; ".join(problems[:3])}
         if problems:
             failed.append(name)
             print(f"FAIL  {name}: " + "; ".join(problems[:5]))
@@ -106,6 +130,12 @@ def main() -> int:
           f"{len([k for k in qs if not only or k in only]) - len(failed) - len(no_oracle)} value-matched")
     if failed:
         print("failed:", ", ".join(failed))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_out} ({len(results)} entries)")
     return 1 if failed else 0
 
 
