@@ -693,6 +693,41 @@ def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher repetition screens: duplicate-token/2-gram/3-gram fractions,
+    top-2-gram share, keep flag."""
+    from singer_spark.operators.text_analysis import repetition_features
+
+    return repetition_features(_docs(spark, sf_dir))
+
+
+def _pii_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents enriched with deterministic synthetic PII (the corpus text
+    itself carries none) — email from `source`, an IPv4, a phone — so the
+    redaction pass has real matches to scrub on BOTH engines."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("text"),
+            F.concat(F.col("source"), F.lit("@example.com")),
+            F.concat(F.lit("10.0."), (F.col("doc_id") % 200).cast("string"), F.lit(".7")),
+            F.concat(F.lit("+1-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).alias("text"),
+    )
+
+
+def _text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.text_analysis import redact_pii
+
+    return redact_pii(_pii_doc(spark, sf_dir))
+
+
+def _train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.text_analysis import train_val_split
+
+    return train_val_split(_docs(spark, sf_dir))
+
+
 def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.operators.multimodal import documents_as_media, media_metadata
 
@@ -792,6 +827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_token_count": _text_token_count,
         "text_fingerprint": _text_fingerprint,
+        "text_repetition": _text_repetition,
+        "text_pii_redaction": _text_pii_redaction,
+        "train_val_split": _train_val_split,
         # multimodal plumbing
         "multimodal_meta": _multimodal_meta,
         "multimodal_features": _multimodal_features,
@@ -1496,6 +1534,50 @@ def oracle_sql() -> dict[str, str]:
                   list_transform(string_split(norm, ' '), x -> {_md5i('x')} % 1099511627776)),
                 (a, b) -> (a * 31 + b) % 1099511627776) AS fp_rolling
             FROM n""",
+        "text_repetition": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            tok AS (SELECT doc_id,
+                           floor((1 - len(list_distinct(t)) / greatest(len(t), 1)) * 10000 + 0.5) / 10000 AS dup_token_frac
+                    FROM toks),
+            g2 AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                          for i in range(1, greatest(len(t)-1, 1)+1)]) AS g FROM toks),
+            p2 AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2),
+            s2 AS (SELECT doc_id,
+                          floor((1 - count(*) / sum(n)) * 10000 + 0.5) / 10000 AS dup_2gram_frac,
+                          floor((max(n) / sum(n)) * 10000 + 0.5) / 10000 AS top_2gram_frac
+                   FROM p2 GROUP BY doc_id),
+            g3 AS (SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, greatest(len(t)-2, 1)+1)]) AS g FROM toks),
+            p3 AS (SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY 1, 2),
+            s3 AS (SELECT doc_id,
+                          floor((1 - count(*) / sum(n)) * 10000 + 0.5) / 10000 AS dup_3gram_frac
+                   FROM p3 GROUP BY doc_id)
+            SELECT tok.doc_id, dup_token_frac, dup_2gram_frac, top_2gram_frac, dup_3gram_frac,
+                   (top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.30) AS keep
+            FROM tok JOIN s2 ON s2.doc_id = tok.doc_id JOIN s3 ON s3.doc_id = tok.doc_id""",
+        "text_pii_redaction": r"""
+            WITH pii AS (
+              SELECT doc_id,
+                     text || ' ' || source || '@example.com'
+                          || ' ' || '10.0.' || (doc_id % 200)::VARCHAR || '.7'
+                          || ' ' || '+1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS v
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(v, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+                   len(regexp_extract_all(v, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ipv4,
+                   len(regexp_extract_all(v, '\+\d[\d-]{7,}\d'))::INT AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(v,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\+\d[\d-]{7,}\d', '<PHONE>', 'g') AS redacted
+            FROM pii""",
+        "train_val_split": f"""
+            SELECT doc_id,
+                   ({_md5i("'split:' || doc_id::VARCHAR")} % 100)::INT AS bucket,
+                   CASE WHEN {_md5i("'split:' || doc_id::VARCHAR")} % 100 < 5 THEN 'val'
+                        WHEN {_md5i("'split:' || doc_id::VARCHAR")} % 100 < 10 THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents""",
         "multimodal_meta": """
             SELECT doc_id AS media_id, 'image' AS media_type,
                    octet_length(encode(text))::INT AS byte_len, md5(text) AS content_md5

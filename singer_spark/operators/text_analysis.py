@@ -115,6 +115,91 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def repetition_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        top2_max: float = 0.20, dup3_max: float = 0.30) -> DataFrame:
+    """C4/Gopher-style repetition screens — the standard quality filters a
+    web-scale corpus build runs before training:
+
+    - dup_token_frac   1 − distinct/total tokens (shuffle-free)
+    - dup_2gram_frac   fraction of 2-grams that are repeats of an earlier one
+    - dup_3gram_frac   same for 3-grams
+    - top_2gram_frac   share of the single most frequent 2-gram
+    - keep             passes the thresholds (top_2gram_frac ≤ top2_max AND
+                       dup_3gram_frac ≤ dup3_max)
+
+    The n-gram stats use one explode → (id, gram) partial count → per-doc
+    agg per width: two map-side-combined shuffles of counted grams, the same
+    shape as n-gram blocking — linear in corpus tokens at any scale."""
+    from singer_spark.functions import fan_out
+
+    base = fan_out(docs)
+    c = F.col(text_col)
+    toks = _tokens(c)
+    dup_tok = 1 - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+    out = base.select(F.col(id_col), qround(dup_tok, 4).alias("dup_token_frac"))
+
+    def gram_stats(k: int, with_top: bool) -> DataFrame:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+        per = (base.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+               .groupBy("id", "g").agg(F.count("*").alias("n")))
+        aggs = [F.sum("n").alias("total"), F.count("*").alias("n_distinct")]
+        if with_top:
+            aggs.append(F.max("n").alias("top"))
+        stats = per.groupBy("id").agg(*aggs)
+        cols = [F.col("id").alias(id_col),
+                qround(1 - F.col("n_distinct") / F.col("total"), 4).alias(f"dup_{k}gram_frac")]
+        if with_top:
+            cols.append(qround(F.col("top") / F.col("total"), 4).alias(f"top_{k}gram_frac"))
+        return stats.select(*cols)
+
+    out = out.join(gram_stats(2, with_top=True), id_col).join(gram_stats(3, with_top=False), id_col)
+    keep = (F.col("top_2gram_frac") <= top2_max) & (F.col("dup_3gram_frac") <= dup3_max)
+    return out.select(id_col, "dup_token_frac", "dup_2gram_frac", "top_2gram_frac",
+                      "dup_3gram_frac", keep.alias("keep"))
+
+
+# PII patterns chosen for cross-engine behavior: Java regex (Spark) and RE2
+# (DuckDB) agree on these (no backrefs/lookaround).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d[\d-]{7,}\d", "<PHONE>"),
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub emails / IPv4s / international-format phone numbers from the
+    text column and count what was removed — the pre-training PII pass.
+    Pure JVM regexp_replace/regexp_count chain, shuffle-free; order is
+    email → ip → phone so the counts refer to the original text."""
+    c = F.col(text_col)
+    out_cols = [F.col(id_col)]
+    redacted = c
+    for name, (pat, token) in PII_PATTERNS.items():
+        out_cols.append(F.regexp_count(c, F.lit(pat)).cast("int").alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.select(*out_cols, redacted.alias("redacted"))
+
+
+def train_val_split(docs: DataFrame, id_col: str = "doc_id",
+                    val_percent: int = 5, test_percent: int = 5,
+                    salt: str = "split") -> DataFrame:
+    """Deterministic corpus split: bucket = md5(salt:id) % 100 →
+    train/val/test.  Hash-based (not row-number) so the assignment is stable
+    under repartitioning, retries, and incremental corpus growth — adding
+    documents never moves an existing one between splits.  Salt gives
+    independent re-splits."""
+    bucket = md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 100
+    split = (F.when(bucket < val_percent, F.lit("val"))
+             .when(bucket < val_percent + test_percent, F.lit("test"))
+             .otherwise(F.lit("train")))
+    return docs.select(F.col(id_col), bucket.cast("int").alias("bucket"),
+                       split.alias("split"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint for fast identity checks:
 

@@ -241,6 +241,47 @@ def test_token_counts(spark):
     assert r.subword_pieces == 3
 
 
+def test_repetition_features_flags_repetitive_docs(spark):
+    clean = "the quick brown fox jumps over a lazy dog near the river bank today"
+    loopy = "buy now buy now buy now buy now buy now buy now buy now buy now"
+    df = _docs(spark, [clean, loopy])
+    out = {r.doc_id: r for r in text_analysis.repetition_features(df).collect()}
+    assert out[0].keep and not out[1].keep
+    assert out[1].top_2gram_frac > out[0].top_2gram_frac
+    assert out[1].dup_3gram_frac > 0.8  # "now buy now" repeats dominate
+    assert out[0].dup_token_frac < out[1].dup_token_frac
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "mail bob.smith+x@corp.example.org or 192.168.1.10 call +1-555-123-4567 ok"),
+         (1, "nothing sensitive here at all")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in text_analysis.redact_pii(df).collect()}
+    assert out[0].n_email == 1 and out[0].n_ipv4 == 1 and out[0].n_phone == 1
+    assert out[0].redacted == "mail <EMAIL> or <IP> call <PHONE> ok"
+    assert out[1].redacted == "nothing sensitive here at all"
+    assert out[1].n_email == out[1].n_ipv4 == out[1].n_phone == 0
+
+
+def test_train_val_split_deterministic_and_stable(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = {r.doc_id: r.split for r in text_analysis.train_val_split(docs).collect()}
+    # repartitioning must not move documents between splits
+    s2 = {r.doc_id: r.split
+          for r in text_analysis.train_val_split(docs.repartition(7)).collect()}
+    assert s1 == s2
+    # growing the corpus never reassigns an existing doc (hash, not row-number)
+    s3 = {r.doc_id: r.split
+          for r in text_analysis.train_val_split(docs.limit(100)).collect()}
+    assert all(s1[k] == v for k, v in s3.items())
+    # rough proportions at n=500 and all three splits present
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert c["train"] > c["val"] > 0 and c["test"] > 0
+
+
 def test_fingerprint_normalization_invariance(spark):
     df = spark.createDataFrame(
         [(0, "Hello  World"), (1, "hello world"), (2, "different text")],
