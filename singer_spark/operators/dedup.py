@@ -294,13 +294,23 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
     @pandas_udf("bigint")
     def sig_udf(texts: pd.Series) -> pd.Series:
+        # token→hash memo shared across the batch: natural-language
+        # vocabulary is heavily repeated, so most tokens hash once per
+        # worker-batch instead of once per document (md5 is the dominant
+        # cost of the signature pass)
+        memo: dict[str, int] = {}
+
+        def h(x: str) -> int:
+            v = memo.get(x)
+            if v is None:
+                v = int(hashlib.md5(x.encode("utf-8")).hexdigest()[:15], 16) & mask
+                memo[x] = v
+            return v
+
         out = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             toks = set(t.split(" "))
-            hs = np.fromiter(
-                (int(hashlib.md5(x.encode("utf-8")).hexdigest()[:15], 16) & ((1 << 60) - 1)
-                 for x in toks), dtype=np.int64, count=len(toks))
-            hs %= (mask + 1)
+            hs = np.fromiter((h(x) for x in toks), dtype=np.int64, count=len(toks))
             ones = ((hs[:, None] >> jbits) & 1).sum(axis=0)
             out[i] = int((((2 * ones > len(hs)).astype(np.int64)) << jbits).sum())
         return pd.Series(out)

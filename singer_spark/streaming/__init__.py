@@ -9,7 +9,9 @@ rollups, and a custom applyInPandasWithState accumulator.
 from singer_spark.streaming.stateful import (
     hourly_rollup_stream,
     running_user_stats,
+    streaming_dedup_exact,
     streaming_sessionize,
 )
 
-__all__ = ["streaming_sessionize", "hourly_rollup_stream", "running_user_stats"]
+__all__ = ["streaming_sessionize", "hourly_rollup_stream", "running_user_stats",
+           "streaming_dedup_exact"]

@@ -66,6 +66,25 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours",
     )
 
 
+def streaming_dedup_exact(docs: DataFrame, text_col: str = "value",
+                          ts_col: str = "ts",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup — first occurrence wins; the streaming twin of
+    `operators.dedup.dedup_exact` for always-on ingest.
+
+    State is one 16-byte md5 digest per distinct document, and
+    `dropDuplicatesWithinWatermark` EVICTS digests once the watermark passes
+    them — bounded state, unlike plain `dropDuplicates`, which on a stream
+    accumulates keys forever.  The digest (not the document) is the state
+    key, so state size is independent of document size: the same
+    32-bytes-per-doc scaling the batch operator's shuffle has."""
+    return (
+        docs.withColumn("sig", F.md5(F.col(text_col).cast("string")))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["sig"])
+    )
+
+
 def running_user_stats(events: DataFrame, ts_col: str = "ts",
                        key_col: str = "user_id") -> DataFrame:
     """Custom stateful operator: per-user running (n_events, total_value)

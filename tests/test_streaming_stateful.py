@@ -112,3 +112,38 @@ def test_running_user_stats_accumulates_across_batches(spark, tmp_path):
         assert latest[1] == (4, 10.0)
     finally:
         q.stop()
+
+
+def test_streaming_dedup_exact_first_occurrence_wins(spark, tmp_path):
+    from singer_spark.streaming import streaming_dedup_exact
+
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "dd_ckpt")
+    schema = "doc_id bigint, ts timestamp, value string"
+
+    def write(rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema=schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    # batch 1: duplicate inside the batch; batch 2: cross-batch duplicate
+    # within the watermark horizon + one new doc
+    write([(1, "2024-01-01 10:00:00", "same text"),
+           (2, "2024-01-01 10:01:00", "same text"),
+           (3, "2024-01-01 10:02:00", "other text")])
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (streaming_dedup_exact(stream, text_col="value", watermark="1 hour")
+         .writeStream.format("memory").queryName("dd_out")
+         .outputMode("append").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        write([(4, "2024-01-01 10:10:00", "same text"),
+               (5, "2024-01-01 10:11:00", "brand new")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("dd_out").collect()
+    delivered = sorted((r.doc_id, r.value) for r in rows)
+    # doc 2 (in-batch dup) and doc 4 (cross-batch dup in state) suppressed
+    assert delivered == [(1, "same text"), (3, "other text"), (5, "brand new")]
