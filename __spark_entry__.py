@@ -788,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": _approx_distinct_users,
         # relational analytics
         "q1_pricing_summary": _q1,
+        "q2_min_cost_supplier": _tpch.q2_min_cost_supplier,
         "q3_shipping_priority": _q3,
         "q4_order_priority": _tpch.q4_order_priority,
         "q5_region_revenue": _q5,
@@ -796,13 +797,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": _tpch.q8_market_share,
         "q9_product_profit": _tpch.q9_product_profit,
         "q10_returned_items": _tpch.q10_returned_items,
+        "q11_important_stock": _tpch.q11_important_stock,
         "q12_late_shipments": _tpch.q12_late_shipments,
         "q13_customer_distribution": _tpch.q13_customer_distribution,
         "q14_promo_revenue": _tpch.q14_promo_revenue,
         "q15_top_supplier": _tpch.q15_top_supplier,
+        "q16_supplier_relationship": _tpch.q16_supplier_relationship,
         "q17_small_quantity_revenue": _tpch.q17_small_quantity_revenue,
         "q18_large_volume_customers": _tpch.q18_large_volume_customers,
         "q19_discounted_revenue": _tpch.q19_discounted_revenue,
+        "q20_excess_suppliers": _tpch.q20_excess_suppliers,
         "q21_waiting_suppliers": _tpch.q21_waiting_suppliers,
         "q22_idle_customers": _tpch.q22_idle_customers,
         "window_top_orders": _window_top_orders,
@@ -1243,6 +1247,65 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey
             LIMIT 10""",
+        "q2_min_cost_supplier": """
+            WITH costs AS (
+              SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+              FROM lineitem GROUP BY 1, 2),
+            sn AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'),
+            ranked AS (
+              SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+                     l_partkey AS p_partkey, p_brand,
+                     floor(unit_cost * 10000 + 0.5) / 10000 AS unit_cost,
+                     row_number() OVER (PARTITION BY l_partkey
+                                        ORDER BY unit_cost ASC, s_suppkey ASC) AS rk
+              FROM costs
+              JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+              JOIN sn ON l_suppkey = s_suppkey)
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+            FROM ranked WHERE rk = 1
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+        "q11_important_stock": """
+            WITH scoped AS (
+              SELECT l_partkey, l_extendedprice FROM lineitem
+              WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_1')),
+            per_part AS (
+              SELECT l_partkey, sum(l_extendedprice) AS value FROM scoped GROUP BY 1)
+            SELECT l_partkey AS p_partkey, round(value, 2) AS value
+            FROM per_part
+            WHERE value > (SELECT sum(value) FROM per_part) * 0.001
+            ORDER BY round(value, 2) DESC, p_partkey""",
+        "q16_supplier_relationship": """
+            WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM pairs
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#13' AND p_size <= 25
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        "q20_excess_suppliers": """
+            WITH scoped AS (
+              SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+                AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')),
+            per_ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+                       FROM scoped GROUP BY 1, 2),
+            per_part AS (SELECT l_partkey, sum(supp_qty) AS part_qty FROM per_ps GROUP BY 1),
+            dominant AS (SELECT DISTINCT l_suppkey
+                         FROM per_ps JOIN per_part USING (l_partkey)
+                         WHERE supp_qty > part_qty * 0.5)
+            SELECT s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+            ORDER BY s_name""",
         "q4_order_priority": """
             SELECT o_orderpriority, count(*) AS order_count
             FROM orders

@@ -20,9 +20,116 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from singer_spark.functions import qround
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part).  No partsupp table:
+    the observed unit cost min(l_extendedprice / l_quantity) per
+    (part, supplier) stands in for ps_supplycost.  Region-filtered suppliers
+    (ASIA), PROMO parts; per part keep the cheapest supplier (ties → lowest
+    suppkey) via a window over the small per-(part,supp) cost table —
+    lineitem is reduced by partial aggregation BEFORE any join, and the
+    supplier⋈nation⋈region dimension chain is broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sn = (supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+          .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    costs = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    scoped = (costs.join(F.broadcast(part), costs.l_partkey == part.p_partkey)
+              .join(sn, costs.l_suppkey == sn.s_suppkey))
+    w = Window.partitionBy("l_partkey").orderBy(F.col("unit_cost").asc(), F.col("s_suppkey").asc())
+    return (
+        scoped.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"), "s_name", "n_name",
+            F.col("l_partkey").alias("p_partkey"), "p_brand",
+            qround(F.col("unit_cost"), 4).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), F.col("n_name"), F.col("s_name"), F.col("p_partkey"))
+        .limit(100)
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification).  partsupp value is
+    adapted to shipped value: per part, sum(l_extendedprice) over lineitems
+    whose supplier sits in NATION_1; keep parts above 0.1% of the nation's
+    total.  The scalar total is a 1-row broadcast; the supplier set is a
+    broadcast semi-join reaching the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nat_supp = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey) \
+                   .select("s_suppkey")
+    scoped = li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey, "left_semi")
+    per_part = scoped.groupBy("l_partkey").agg(F.sum("l_extendedprice").alias("value"))
+    total = per_part.agg(F.sum("value").alias("grand_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("grand_total") * 0.001)
+        .select(F.col("l_partkey").alias("p_partkey"), F.round(F.col("value"), 2).alias("value"))
+        .orderBy(F.col("value").desc(), F.col("p_partkey"))
+    )
+
+
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship).  The part↔supplier
+    relation comes from lineitem pairs; the excluded-supplier subquery
+    (complaints in the original) is adapted to s_acctbal < 0.  Distinct
+    (part, supp) pairs reduce lineitem first; the exclusion list is a
+    broadcast anti-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_size") <= 25)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion).  availqty is adapted to a
+    dominance test on 1996 shipments: a supplier qualifies if, for some
+    'red' part, it shipped more than half that part's total 1996 quantity.
+    Both aggregates partial-combine map-side; the per-part total joins the
+    per-(part,supp) table on the already-shuffled part key."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    scoped = li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+    per_ps = scoped.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("supp_qty"))
+    per_part = per_ps.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    dominant = (per_ps.join(per_part, "l_partkey")
+                .filter(F.col("supp_qty") > F.col("part_qty") * 0.5)
+                .select("l_suppkey").distinct())
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
 
 
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:

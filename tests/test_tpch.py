@@ -88,3 +88,46 @@ def test_scalar_queries_single_row(spark, sf_dir):
     for fn in (tpch.q6_forecast_revenue, tpch.q14_promo_revenue,
                tpch.q17_small_quantity_revenue, tpch.q19_discounted_revenue):
         assert fn(spark, sf_dir).count() == 1
+
+
+def test_q2_cheapest_supplier_per_part(spark, sf_dir):
+    df = tpch.q2_min_cost_supplier(spark, sf_dir)
+    rows = df.collect()
+    assert 0 < len(rows) <= 100
+    # one row per part (the window keeps only rank 1)
+    parts = [r.p_partkey for r in rows]
+    assert len(parts) == len(set(parts))
+    # sorted by account balance desc
+    bals = [r.s_acctbal for r in rows]
+    assert bals == sorted(bals, reverse=True)
+
+
+def test_q11_threshold_filters_tail(spark):
+    # sf0.001 has no NATION_1 supplier at all; the smallest SF where the
+    # nation-scoped value table is non-degenerate is sf0.01
+    rows = tpch.q11_important_stock(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    values = [r.value for r in rows]
+    assert values == sorted(values, reverse=True)
+    # every kept part individually exceeds 0.1% of the kept+dropped total,
+    # so the smallest kept value is > 0.001 * (sum of kept values) is NOT
+    # guaranteed — but all values must be positive and distinct parts
+    assert all(v > 0 for v in values)
+    parts = [r.p_partkey for r in rows]
+    assert len(parts) == len(set(parts))
+
+
+def test_q16_excludes_negative_balance_suppliers(spark, sf_dir):
+    df = tpch.q16_supplier_relationship(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    assert all(r.supplier_cnt > 0 for r in rows)
+    assert all(r.p_brand != "Brand#13" and r.p_size <= 25 for r in rows)
+
+
+def test_q20_dominant_suppliers_subset(spark, sf_dir):
+    rows = tpch.q20_excess_suppliers(spark, sf_dir).collect()
+    names = [r.s_name for r in rows]
+    assert names == sorted(names)
+    all_supps = spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+    assert 0 < len(rows) <= all_supps  # a strict subset at any healthy SF
