@@ -597,6 +597,23 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs).orderBy("doc_id")
 
 
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment dedup: the first half of the corpus (doc_id < 250)
+    plays yesterday's accumulated fingerprint table; the second half is
+    today's increment — docs already seen drop, in-increment dups collapse."""
+    from singer_spark.operators.dedup import dedup_incremental
+
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") < 250).select(F.md5("text").alias("sig")).distinct()
+    return dedup_incremental(docs.filter(F.col("doc_id") >= 250), seen)
+
+
+def _user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import user_event_sequences
+
+    return user_event_sequences(spark, sf_dir)
+
+
 def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data filter: keep docs that are (a) English by
     n-gram lang-id, (b) above the quality bar, and (c) the canonical copy of
@@ -819,7 +836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_clusters": _dedup_clusters,
+        "dedup_incremental": _dedup_incremental,
         "corpus_curation": _corpus_curation,
+        "user_event_sequences": _user_event_sequences,
         # similarity
         "sim_bruteforce_topk": _sim_bruteforce_topk,
         "sim_lsh_ann": _sim_lsh_ann,
@@ -1536,6 +1555,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.predicted_lang = 'en' AND q.quality_score >= 0.5
               AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
             ORDER BY d.doc_id""",
+        "dedup_incremental": """
+            WITH seen AS (SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id < 250),
+            inc AS (SELECT doc_id, md5(text) AS sig FROM documents WHERE doc_id >= 250)
+            SELECT min(doc_id) AS doc_id, sig FROM inc
+            WHERE sig NOT IN (SELECT sig FROM seen)
+            GROUP BY sig""",
+        "user_event_sequences": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+                   string_agg(CASE WHEN rn <= 50 THEN event_type END, ','
+                              ORDER BY ts, event_id) AS seq_types
+            FROM ordered GROUP BY user_id ORDER BY user_id""",
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "sim_bruteforce_topk": """

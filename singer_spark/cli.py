@@ -30,10 +30,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="process available data, then stop (backfill mode)")
     p.add_argument("--heartbeat-interval", type=int, default=None,
                    help="override heartbeatIntervalInSeconds")
+    p.add_argument("--admin-port", type=int, default=None,
+                   help="start the admin HTTP endpoint (O3) on this loopback "
+                        "port; 0 picks an ephemeral port (printed to stderr)")
+    p.add_argument("--decider-file", default=None,
+                   help="mtime-watched decider JSON (O2) gating per-log starts")
+    p.add_argument("--metrics", action="store_true",
+                   help="emit OpenTSDB put lines (O7) to stderr per micro-batch")
     args = p.parse_args(argv)
 
     from singer_spark.config import load_singer_config
-    from singer_spark.engine import PipelineManager
+    from singer_spark.engine import Decider, PipelineManager
     from singer_spark.heartbeat import HeartbeatPublisher
     from singer_spark.session import get_spark
 
@@ -44,7 +51,21 @@ def main(argv: list[str] | None = None) -> int:
         os.path.join(args.config_dir, "conf.d"),
     )
     spark = get_spark("singer_spark_agent")
-    manager = PipelineManager(spark, cfg, checkpoint_root=args.checkpoint_root)
+    manager = PipelineManager(spark, cfg, checkpoint_root=args.checkpoint_root,
+                              decider=Decider(args.decider_file))
+    admin = None
+    if args.admin_port is not None:
+        from singer_spark.admin import AdminServer
+
+        admin = AdminServer(manager, port=args.admin_port).start()
+        print(f"singer-spark agent: admin endpoint on 127.0.0.1:{admin.port}",
+              file=sys.stderr)
+    metrics_listener = None
+    if args.metrics:
+        from singer_spark.metrics import MetricsListener
+
+        metrics_listener = MetricsListener(emit=lambda line: print(line, file=sys.stderr))
+        spark.streams.addListener(metrics_listener)
     manager.start_all()
     started = [n for n in manager.queries]
     print(f"singer-spark agent: started {len(started)} stream(s): {', '.join(started)}",
@@ -57,10 +78,17 @@ def main(argv: list[str] | None = None) -> int:
     if cfg.heartbeat_enabled:
         heartbeat.start()
 
-    if args.drain_and_exit:
+    def shutdown() -> None:
         manager.drain()
         heartbeat.stop()
+        if admin is not None:
+            admin.stop()
+        if metrics_listener is not None:
+            spark.streams.removeListener(metrics_listener)
         print("singer-spark agent: drained and stopped", file=sys.stderr)
+
+    if args.drain_and_exit:
+        shutdown()
         return 0
 
     stop_requested = {"flag": False}
@@ -78,9 +106,7 @@ def main(argv: list[str] | None = None) -> int:
                       f"{manager.queries[n].exception()}", file=sys.stderr)
             time.sleep(1)
     finally:
-        manager.drain()
-        heartbeat.stop()
-        print("singer-spark agent: drained and stopped", file=sys.stderr)
+        shutdown()
     return 0
 
 

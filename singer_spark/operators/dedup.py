@@ -369,6 +369,24 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def dedup_incremental(new_docs: DataFrame, seen: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      sig_col: str = "sig") -> DataFrame:
+    """Incremental exact dedup — the daily-increment pattern: drop new
+    documents whose digest already exists in the `seen` fingerprint table
+    (the accumulated corpus state), then collapse duplicates WITHIN the
+    increment (lowest id survives).  Returns (id, sig) survivors; the caller
+    appends them to `seen` for the next increment.
+
+    At scale `seen` is a digest-only table (16 bytes/doc) partitioned by
+    sig; the anti-join and the in-increment groupBy shuffle digests, never
+    text — the increment never re-scans the historical corpus."""
+    sigs = new_docs.select(F.col(id_col), F.md5(F.col(text_col)).alias(sig_col))
+    fresh = sigs.join(seen.select(sig_col), sig_col, "left_anti")
+    return (fresh.groupBy(sig_col).agg(F.min(id_col).alias(id_col))
+            .select(id_col, sig_col))
+
+
 # ---------------------------------------------------------------------------
 # Cluster assignment (pairs → canonical doc)
 # ---------------------------------------------------------------------------

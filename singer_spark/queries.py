@@ -144,3 +144,28 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type", "n", "sum_value", "avg_value")
         .orderBy("hour", "event_type")
     )
+
+
+def user_event_sequences(spark: SparkSession, sf_dir: str, max_len: int = 50) -> DataFrame:
+    """Per-user chronological event sequences — the training-example builder
+    that turns an event log into model inputs: one groupBy shuffle keyed by
+    user, sequence assembly JVM-side (collect_list → array_sort → slice),
+    deterministic tie-break by event_id.
+
+    Output projects sequence summaries (length, span, joined type string of
+    the first `max_len` events) rather than nested structs, so an external
+    SQL oracle can hash-compare it."""
+    ev = read_events(spark, sf_dir)
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    head = F.slice(F.col("seq"), 1, max_len)
+    return (
+        ev.groupBy("user_id")
+        .agg(seq.alias("seq"), F.count("*").alias("n_events"))
+        .select(
+            "user_id", "n_events",
+            F.date_format(F.element_at("seq", 1).ts, "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.element_at("seq", -1).ts, "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.array_join(F.transform(head, lambda s: s.event_type), ",").alias("seq_types"),
+        )
+        .orderBy("user_id")
+    )

@@ -40,3 +40,57 @@ def test_cli_drain_and_exit_delivers_text_log(tmp_path, spark):
     assert delivered.count() == 25
     values = {r.value for r in delivered.select("value").collect()}
     assert "line 0" in {v.decode() if isinstance(v, (bytes, bytearray)) else v for v in values}
+
+
+def test_cli_with_admin_metrics_and_decider(tmp_path, spark, capfd):
+    """Full ops surface through the CLI: decider file gates the log on,
+    metrics lines are emitted, admin endpoint flag accepted — all in
+    drain-and-exit mode."""
+    import json
+
+    log_dir = tmp_path / "logs2"
+    log_dir.mkdir()
+    (log_dir / "app.log").write_text("".join(f"row {i}\n" for i in range(10)))
+    out_dir = str(tmp_path / "out2")
+    decider = tmp_path / "decider.json"
+    decider.write_text(json.dumps({"singer_app_decider": 100}))
+
+    conf = tmp_path / "etc2"
+    conf.mkdir()
+    (conf / "singer.properties").write_text("singer.heartbeatEnabled=false\n")
+    conf_d = conf / "conf.d"
+    conf_d.mkdir()
+    (conf_d / "app.properties").write_text(
+        f"logDir={log_dir}\n"
+        "logStreamRegex=app.log*\n"
+        "reader.type=text\n"
+        "writer.type=file\n"
+        "writer.format=parquet\n"
+        f"writer.path={out_dir}\n"
+    )
+
+    rc = cli.main([
+        "--config-dir", str(conf),
+        "--checkpoint-root", str(tmp_path / "ckpt2"),
+        "--drain-and-exit",
+        "--admin-port", "0",
+        "--decider-file", str(decider),
+        "--metrics",
+    ])
+    assert rc == 0
+    assert spark.read.parquet(out_dir).count() == 10
+    err = capfd.readouterr().err
+    assert "admin endpoint on 127.0.0.1:" in err
+    assert "put singer_spark.processor.num_input_rows" in err
+
+    # decider gated OFF: no query starts, nothing delivered
+    decider.write_text(json.dumps({"singer_app_decider": 0}))
+    rc2 = cli.main([
+        "--config-dir", str(conf),
+        "--checkpoint-root", str(tmp_path / "ckpt3"),
+        "--drain-and-exit",
+        "--decider-file", str(decider),
+    ])
+    assert rc2 == 0
+    err2 = capfd.readouterr().err
+    assert "started 0 stream(s)" in err2

@@ -311,6 +311,19 @@ def test_multimodal_stubs_raise_not_implemented(spark, sf_dir):
     assert "NotImplementedError" in str(exc_info.value) or "image codec" in str(exc_info.value)
 
 
+def test_dedup_incremental_drops_seen_and_in_batch_dups(spark):
+    yesterday = _docs(spark, ["alpha text", "beta text"])
+    seen = yesterday.select(F.md5("text").alias("sig")).distinct()
+    today = spark.createDataFrame(
+        [(10, "alpha text"),   # already in seen → dropped
+         (11, "gamma text"),   # new → kept
+         (12, "gamma text"),   # in-increment dup → collapsed into 11
+         (13, "delta text")],
+        ["doc_id", "text"])
+    out = dedup.dedup_incremental(today, seen)
+    assert sorted(r.doc_id for r in out.collect()) == [11, 13]
+
+
 def test_dedup_clusters_transitive_components(spark):
     docs = spark.createDataFrame(
         [(10,), (20,), (30,), (40,), (99,)], "doc_id bigint")
