@@ -226,9 +226,11 @@ def _p4_md5_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _p5_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.functions import assert_bounded
     from singer_spark.partitioners import round_robin_ordered
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = assert_bounded(spark.read.parquet(f"{sf_dir}/orders.parquet"),
+                            what="exact round-robin parity shim")
     return orders.select(
         "o_orderkey", round_robin_ordered(F.col("o_orderkey"), 16).alias("partition")
     )
@@ -266,9 +268,11 @@ def _logstream_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tiebreak — common/LogStream.java:179-184."""
     from pyspark.sql.window import Window
 
+    from singer_spark.functions import assert_bounded
+
     w = Window.orderBy(F.col("n_chars").asc(), F.col("source").desc(), F.col("doc_id").asc())
     return (
-        _docs(spark, sf_dir)
+        assert_bounded(_docs(spark, sf_dir), what="logstream_order parity shim")
         .select("doc_id", F.row_number().over(w).cast("bigint").alias("pos"))
         .filter(F.col("pos") <= 50)
     )

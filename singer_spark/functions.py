@@ -67,6 +67,23 @@ def fan_out(df, min_rows_per_part: int = 0):
     return df
 
 
+def assert_bounded(df, max_rows: int = 1_000_000, what: str = "global-window operator"):
+    """Guard for operators built on a single-task un-partitioned Window
+    (exact round-robin counter parity, logstream ordering): they exist for
+    bounded parity checks and tests, and must never be reached by a
+    production path — a global Window sorts the whole input on ONE task.
+    Raises on streaming input or when the input exceeds `max_rows` (one
+    count job — acceptable for the bounded inputs these shims are for)."""
+    if df.isStreaming:
+        raise ValueError(f"{what} requires a bounded input, got a streaming DataFrame")
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what} would sort {n} rows on a single task (limit {max_rows}); "
+            "use the distributed variant instead")
+    return df
+
+
 def crc32_bytes(col: Column | str) -> Column:
     """CRC-32 of the message payload — parity with
     reference ``writer/KafkaWriter.java:438-465`` (computes/verifies

@@ -60,8 +60,10 @@ def round_robin_partitioner(key: Column, num_partitions: int) -> Column:
 
 def round_robin_ordered(order_by: Column, num_partitions: int) -> Column:
     """Deterministic round-robin (exact counter parity) — requires a total
-    order, so only for bounded batches / tests; the streaming path uses
-    :func:`round_robin_partitioner`."""
+    order (single-task global Window), so only for bounded batches / tests;
+    callers must gate the input through `functions.assert_bounded`, and the
+    streaming/production path uses :func:`round_robin_partitioner` (this
+    function is deliberately NOT in PARTITIONER_REGISTRY)."""
     rn = F.row_number().over(Window.orderBy(order_by)) - 1
     return F.pmod(rn, F.lit(num_partitions)).cast("int")
 

@@ -178,6 +178,15 @@ def test_ivf_assignments_and_topk(spark, sf_dir):
     assert wide == exact  # nprobe = n_clusters degenerates to exact search
 
 
+def test_assert_bounded_guards_global_window_shims(spark):
+    from singer_spark.functions import assert_bounded
+
+    small = spark.range(10)
+    assert assert_bounded(small, max_rows=100) is small
+    with pytest.raises(ValueError, match="single task"):
+        assert_bounded(spark.range(1000), max_rows=100)
+
+
 def test_auto_num_planes_tracks_corpus_size():
     # bucket space must grow with N: ~N buckets per table keeps candidate
     # generation linear; clamped at both ends
