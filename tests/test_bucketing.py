@@ -1,0 +1,72 @@
+"""Bucketed co-located join tests: the recurring fact⋈fact shuffle becomes
+a one-time bucketed write; later joins/aggregations on the bucket key must
+plan with zero Exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from singer_spark.bucketing import bucketed_join_is_shuffle_free, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    write_bucketed(li, "b_lineitem", "l_orderkey", num_buckets=8)
+    write_bucketed(orders, "b_orders", "l_orderkey", num_buckets=8)
+    yield "b_lineitem", "b_orders"
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+@pytest.fixture()
+def no_auto_broadcast(spark):
+    """At test SF both sides fit the broadcast threshold and the planner
+    ignores bucketing (broadcast is cheaper); disable it to exercise the
+    co-located path a 100 TB fact⋈fact join would take."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables, no_auto_broadcast):
+    left, right = bucketed_tables
+    assert bucketed_join_is_shuffle_free(spark, left, right, "l_orderkey")
+    # and the same join against an unbucketed side DOES shuffle (so the
+    # check means something)
+    plain = spark.table(left).join(
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"),
+        "l_orderkey")
+    plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_bucketed_join_results_match_plain_join(spark, sf_dir, bucketed_tables):
+    left, right = bucketed_tables
+    bucketed = (spark.table(left).join(spark.table(right), "l_orderkey")
+                .groupBy("o_orderpriority")
+                .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                     .alias("revenue")))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plain = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("o_orderpriority")
+             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue")))
+    assert {(r.o_orderpriority, r.revenue) for r in bucketed.collect()} \
+        == {(r.o_orderpriority, r.revenue) for r in plain.collect()}
+
+
+def test_bucketed_aggregation_reuses_bucketing(spark, bucketed_tables):
+    left, _ = bucketed_tables
+    # groupBy on the bucket key also avoids the exchange
+    plan = (spark.table(left).groupBy("l_orderkey")
+            .agg(F.sum("l_extendedprice").alias("s"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" not in plan
