@@ -41,16 +41,19 @@ def tokens_col(text_col: str = "text"):
     return F.split(F.col(text_col), " ")
 
 
-def shingles_col(text_col: str = "text", k: int = 4):
-    """Distinct k-word shingles. slice() is 1-based; a doc shorter than k
-    words yields its full text as the single shingle."""
+def raw_shingles_col(text_col: str = "text", k: int = 4):
+    """All k-word shingles in order (duplicates kept). slice() is 1-based; a
+    doc shorter than k words yields its full text as the single shingle."""
     toks = tokens_col(text_col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        )
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
+
+
+def shingles_col(text_col: str = "text", k: int = 4):
+    """Distinct k-word shingles."""
+    return F.array_distinct(raw_shingles_col(text_col, k))
 
 
 # ---------------------------------------------------------------------------
@@ -83,8 +86,10 @@ def shingle_frame(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     shingles, the shuffle shrinks accordingly, and minhash consumes the very
     same hash as its base.  Jaccard over the hashed sets equals Jaccard over
     the string sets up to md5 collisions (~n²/2⁶⁰ per doc — negligible), and
-    the SQL oracle hashes identically, so results stay bit-identical."""
-    hashed = F.array_distinct(F.transform(shingles_col(text_col, k),
+    the SQL oracle hashes identically, so results stay bit-identical.
+    (Distinct applies once, on the hashes — distinct-of-hashes equals
+    hash-of-distinct up to the same collision bound.)"""
+    hashed = F.array_distinct(F.transform(raw_shingles_col(text_col, k),
                                           lambda s: md5_int(s)))
     return fan_out(docs).select(
         F.col(id_col).alias("id"), hashed.alias("shingles")
