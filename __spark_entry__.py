@@ -641,6 +641,39 @@ def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete pre-training curation DAG in one plan — what a corpus
+    build actually runs: language gate, quality bar, repetition screens,
+    exact-dedup canonical survivorship, and the train-split hash gate, all
+    composed from the individual operators (each separately oracle-checked).
+    One narrow pass per feature family + digest/id-keyed joins."""
+    from singer_spark.operators.dedup import dedup_exact
+    from singer_spark.operators.text_analysis import (
+        lang_id,
+        quality_features,
+        repetition_features,
+        train_val_split,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lang = lang_id(docs).select("doc_id", "predicted_lang")
+    qual = quality_features(docs).select("doc_id", "quality_score")
+    rep = repetition_features(docs).filter(F.col("keep")).select("doc_id")
+    canonical = dedup_exact(docs).select("doc_id")
+    split = train_val_split(docs).filter(F.col("split") == "train").select("doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id", "left_semi")
+        .join(canonical, "doc_id", "left_semi")
+        .join(split, "doc_id", "left_semi")
+        .filter((F.col("predicted_lang") == "en") & (F.col("quality_score") >= 0.5))
+        .select("doc_id", "source", "quality_score")
+        .orderBy("doc_id")
+    )
+
+
 def _sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.operators.similarity import brute_force_topk
 
@@ -842,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "dedup_incremental": _dedup_incremental,
         "corpus_curation": _corpus_curation,
+        "corpus_pipeline_full": _corpus_pipeline_full,
         "user_event_sequences": _user_event_sequences,
         # similarity
         "sim_bruteforce_topk": _sim_bruteforce_topk,
@@ -1093,6 +1127,30 @@ SELECT doc_id,
       + (1 - least(digit_ratio * 10.0, 1.0)) * 0.10) * 10000 + 0.5) / 10000 AS quality_score
 FROM g
 """
+
+
+def _repetition_oracle() -> str:
+    return """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            tok AS (SELECT doc_id,
+                           floor((1 - len(list_distinct(t)) / greatest(len(t), 1)) * 10000 + 0.5) / 10000 AS dup_token_frac
+                    FROM toks),
+            g2 AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                          for i in range(1, greatest(len(t)-1, 1)+1)]) AS g FROM toks),
+            p2 AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2),
+            s2 AS (SELECT doc_id,
+                          floor((1 - count(*) / sum(n)) * 10000 + 0.5) / 10000 AS dup_2gram_frac,
+                          floor((max(n) / sum(n)) * 10000 + 0.5) / 10000 AS top_2gram_frac
+                   FROM p2 GROUP BY doc_id),
+            g3 AS (SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, greatest(len(t)-2, 1)+1)]) AS g FROM toks),
+            p3 AS (SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY 1, 2),
+            s3 AS (SELECT doc_id,
+                          floor((1 - count(*) / sum(n)) * 10000 + 0.5) / 10000 AS dup_3gram_frac
+                   FROM p3 GROUP BY doc_id)
+            SELECT tok.doc_id, dup_token_frac, dup_2gram_frac, top_2gram_frac, dup_3gram_frac,
+                   (top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.30) AS keep
+            FROM tok JOIN s2 ON s2.doc_id = tok.doc_id JOIN s3 ON s3.doc_id = tok.doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1637,27 +1695,17 @@ def oracle_sql() -> dict[str, str]:
                   list_transform(string_split(norm, ' '), x -> {_md5i('x')} % 1099511627776)),
                 (a, b) -> (a * 31 + b) % 1099511627776) AS fp_rolling
             FROM n""",
-        "text_repetition": """
-            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-            tok AS (SELECT doc_id,
-                           floor((1 - len(list_distinct(t)) / greatest(len(t), 1)) * 10000 + 0.5) / 10000 AS dup_token_frac
-                    FROM toks),
-            g2 AS (SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
-                          for i in range(1, greatest(len(t)-1, 1)+1)]) AS g FROM toks),
-            p2 AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY 1, 2),
-            s2 AS (SELECT doc_id,
-                          floor((1 - count(*) / sum(n)) * 10000 + 0.5) / 10000 AS dup_2gram_frac,
-                          floor((max(n) / sum(n)) * 10000 + 0.5) / 10000 AS top_2gram_frac
-                   FROM p2 GROUP BY doc_id),
-            g3 AS (SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ')
-                          for i in range(1, greatest(len(t)-2, 1)+1)]) AS g FROM toks),
-            p3 AS (SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY 1, 2),
-            s3 AS (SELECT doc_id,
-                          floor((1 - count(*) / sum(n)) * 10000 + 0.5) / 10000 AS dup_3gram_frac
-                   FROM p3 GROUP BY doc_id)
-            SELECT tok.doc_id, dup_token_frac, dup_2gram_frac, top_2gram_frac, dup_3gram_frac,
-                   (top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.30) AS keep
-            FROM tok JOIN s2 ON s2.doc_id = tok.doc_id JOIN s3 ON s3.doc_id = tok.doc_id""",
+        "text_repetition": _repetition_oracle(),
+        "corpus_pipeline_full": f"""
+            SELECT d.doc_id, d.source, q.quality_score
+            FROM documents d
+            JOIN ({_lang_id_oracle()}) l ON l.doc_id = d.doc_id
+            JOIN ({_quality_oracle()}) q ON q.doc_id = d.doc_id
+            JOIN ({_repetition_oracle()}) r ON r.doc_id = d.doc_id AND r.keep
+            WHERE l.predicted_lang = 'en' AND q.quality_score >= 0.5
+              AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+              AND {_md5i("'split:' || d.doc_id::VARCHAR")} % 100 >= 10
+            ORDER BY d.doc_id""",
         "text_pii_redaction": r"""
             WITH pii AS (
               SELECT doc_id,

@@ -406,10 +406,12 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     rounds (tiny for dedup graphs, which are dense cliques of copies).
     Per round: one equi-join + groupBy-min — all shuffles on ids only.
     `localCheckpoint` truncates the growing lineage so plans stay constant
-    size at any iteration count."""
+    size at any iteration count; the edge list is checkpointed ONCE up
+    front, otherwise every iteration's join would re-run the (expensive)
+    candidate-generation lineage that produced `pairs`."""
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = docs.select(F.col(id_col).alias("id"),
                          F.col(id_col).cast("bigint").alias("label"))
     for _ in range(max_iters):
