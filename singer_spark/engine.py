@@ -243,11 +243,13 @@ class PipelineManager:
                 # audited file delivery: foreachBatch write + audit row (B5),
                 # keeping the writer config the plain path gets — byte-based
                 # size rollover (maxFileSizeMB fidelity) and the
-                # minUploadTime trigger
+                # minUploadTime trigger.  Batches land in per-batch-id dirs
+                # so a replay overwrites instead of duplicating
+                # (effectively-once; see sinks.write_batch_idempotent)
                 path, fmt, size_mb = w.path, w.format, w.max_file_size_mb
 
                 def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-                    sinks.write_batch_sized(batch_df, path, fmt, size_mb)
+                    sinks.write_batch_idempotent(batch_df, path, batch_id, fmt, size_mb)
 
                 writer = sinks.with_audit(df, w.audit_topic, ckpt, write_batch, audit_sink)
                 if w.min_upload_seconds:

@@ -201,6 +201,34 @@ def write_batch_sized(batch_df: DataFrame, path: str, fmt: str = "parquet",
     batch_df.write.mode("append").format(fmt).save(path)
 
 
+def write_batch_idempotent(batch_df: DataFrame, path: str, batch_id: int,
+                           fmt: str = "parquet",
+                           max_file_size_mb: float | None = None,
+                           value_col: str = "value") -> None:
+    """Replay-safe micro-batch append: each batch writes (mode=overwrite)
+    into its own `batch=<id>` subdirectory, so a foreachBatch retry or a
+    post-crash replay of the same batch REPLACES its previous partial output
+    instead of appending a duplicate copy — effectively-once file delivery
+    on top of the streaming engine's deterministic batch ids, where a plain
+    append is only at-least-once.  Readers just scan `path` (the batch dirs
+    read as a partition column `batch`).  Size rollover as in
+    :func:`write_batch_sized`."""
+    target = f"{path}/batch={int(batch_id)}"
+    from pyspark.sql import functions as F
+
+    writer = batch_df.write.mode("overwrite").format(fmt)
+    if max_file_size_mb and value_col in batch_df.columns:
+        n, total = batch_df.agg(
+            F.count("*"), F.sum(F.octet_length(F.col(value_col).cast("binary")))
+        ).first()
+        if n and total:
+            per_row = max(total / n, 1.0)
+            writer = writer.option(
+                "maxRecordsPerFile",
+                max(int(max_file_size_mb * 1024 * 1024 / per_row), 1))
+    writer.save(target)
+
+
 _TOKEN_RE = re.compile(r"\{\{(UUID|TIMESTAMP|HOST|LOGNAME|S)\}\}|%\{([A-Za-z_][A-Za-z0-9_]*)\}")
 
 

@@ -37,7 +37,8 @@ _BINARY_FILE_SCHEMA = "path string, modificationTime timestamp, length long, con
 # Text sources (S3/S4)
 # ---------------------------------------------------------------------------
 def text_stream(spark: SparkSession, log_dir: str, glob: str = "*",
-                max_files_per_trigger: int | None = None) -> DataFrame:
+                max_files_per_trigger: int | None = None,
+                max_bytes_per_trigger: int | None = None) -> DataFrame:
     """Streaming line-per-message text source. Columns: value, file."""
     reader = (
         spark.readStream.format("text")
@@ -46,6 +47,10 @@ def text_stream(spark: SparkSession, log_dir: str, glob: str = "*",
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger:
+        # byte-denominated batch cap (B1's batchSize in bytes): keeps a
+        # micro-batch's memory bounded when file sizes vary wildly
+        reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     return reader.load(log_dir).withColumn("file", F.input_file_name())
 
 
@@ -58,7 +63,8 @@ def text_batch(spark: SparkSession, log_dir: str, glob: str = "*") -> DataFrame:
 
 def multiline_text_stream(spark: SparkSession, log_dir: str, glob: str = "*",
                           message_start_regex: str | None = None,
-                          max_files_per_trigger: int | None = None) -> DataFrame:
+                          max_files_per_trigger: int | None = None,
+                          max_bytes_per_trigger: int | None = None) -> DataFrame:
     """Streaming multi-line framed text source: whole files via binaryFile,
     framed by messageStartRegex inside each file so messages never straddle
     batch boundaries. Columns: value, file, offset."""
@@ -70,6 +76,10 @@ def multiline_text_stream(spark: SparkSession, log_dir: str, glob: str = "*",
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger:
+        # byte-denominated batch cap (B1's batchSize in bytes): keeps a
+        # micro-batch's memory bounded when file sizes vary wildly
+        reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     return frame_text_blobs(reader.load(log_dir), message_start_regex=message_start_regex)
 
 
@@ -84,7 +94,8 @@ def multiline_text_batch(spark: SparkSession, log_dir: str, glob: str = "*",
 # ---------------------------------------------------------------------------
 def thrift_stream(spark: SparkSession, log_dir: str, glob: str = "*",
                   max_message_size: int | None = None,
-                  max_files_per_trigger: int | None = None) -> DataFrame:
+                  max_files_per_trigger: int | None = None,
+                  max_bytes_per_trigger: int | None = None) -> DataFrame:
     """Streaming framed-thrift LogMessage source. Columns: LOG_MESSAGE_SCHEMA."""
     reader = (
         spark.readStream.format("binaryFile")
@@ -94,6 +105,10 @@ def thrift_stream(spark: SparkSession, log_dir: str, glob: str = "*",
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger:
+        # byte-denominated batch cap (B1's batchSize in bytes): keeps a
+        # micro-batch's memory bounded when file sizes vary wildly
+        reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     return decode_thrift_blobs(reader.load(log_dir), max_message_size=max_message_size)
 
 

@@ -119,3 +119,18 @@ def test_heartbeat_status_shape(spark):
         assert field in status
     assert status["jvmUptime"] >= 5000
     json.dumps(status)  # serializable, like the reference's gson JSON
+
+
+def test_write_batch_idempotent_replay_overwrites(spark, tmp_path):
+    """A replayed batch id must REPLACE its previous output, not append a
+    duplicate — the effectively-once upgrade over plain append."""
+    from singer_spark.sinks import write_batch_idempotent
+
+    out = str(tmp_path / "idem")
+    df = spark.range(50).select(F.col("id").cast("string").alias("value"))
+    write_batch_idempotent(df, out, batch_id=0)
+    write_batch_idempotent(df, out, batch_id=0)   # crash-replay of batch 0
+    write_batch_idempotent(df, out, batch_id=1)
+    got = spark.read.parquet(out)
+    assert got.count() == 100                     # 2 batches, no triple-copy
+    assert set(r.batch for r in got.select("batch").distinct().collect()) == {0, 1}

@@ -201,3 +201,28 @@ def test_thrift_batch_local_chunked_matches_whole_file(spark, tmp_path):
                for r in thrift_batch_local(spark, log_dir, chunk_bytes=512).collect()}
     assert len(chunked) == n
     assert whole == chunked
+
+
+def test_max_bytes_per_trigger_bounds_batches(spark, tmp_path):
+    """B1 byte-denominated batch cap: 4×10 KB files with a 15 KB cap must
+    process as multiple micro-batches, never one 40 KB gulp."""
+    import json
+
+    from singer_spark.sources import text_stream
+
+    d = str(tmp_path / "mbt")
+    os.makedirs(d)
+    for i in range(4):
+        with open(f"{d}/f{i}.log", "w") as fh:
+            fh.write(("x" * 99 + "\n") * 100)
+    q = (text_stream(spark, d, max_bytes_per_trigger=15_000)
+         .writeStream.format("memory").queryName("mbt_out")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batches = [json.loads(p) if isinstance(p, str) else p for p in q.recentProgress]
+    sizes = [b.get("numInputRows") for b in batches if b.get("numInputRows")]
+    assert sum(sizes) == 400
+    assert len(sizes) >= 3 and max(sizes) < 400
