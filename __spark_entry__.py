@@ -618,6 +618,18 @@ def _user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_event_sequences(spark, sf_dir)
 
 
+def _funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import funnel_counts
+
+    return funnel_counts(spark, sf_dir)
+
+
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import cohort_retention
+
+    return cohort_retention(spark, sf_dir)
+
+
 def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data filter: keep docs that are (a) English by
     n-gram lang-id, (b) above the quality bar, and (c) the canonical copy of
@@ -876,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _dedup_incremental,
         "corpus_curation": _corpus_curation,
         "corpus_pipeline_full": _corpus_pipeline_full,
+        "funnel_counts": _funnel_counts,
+        "cohort_retention": _cohort_retention,
         "user_event_sequences": _user_event_sequences,
         # similarity
         "sim_bruteforce_topk": _sim_bruteforce_topk,
@@ -1617,6 +1631,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE l.predicted_lang = 'en' AND q.quality_score >= 0.5
               AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
             ORDER BY d.doc_id""",
+        "funnel_counts": """
+            WITH v AS (SELECT user_id, min(ts) AS t FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1)
+            SELECT * FROM (VALUES
+              ('view', 1, (SELECT count(*) FROM v)),
+              ('click', 2, (SELECT count(*) FROM c)),
+              ('purchase', 3, (SELECT count(*) FROM p))) t(stage, stage_idx, n_users)""",
+        "cohort_retention": """
+            WITH first AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+                           FROM events GROUP BY 1),
+            act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+            SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+                   ((epoch(aw) - epoch(cw)) / 604800)::INT AS week_offset,
+                   count(DISTINCT a.user_id) AS n_users
+            FROM act a JOIN first f USING (user_id)
+            GROUP BY cw, week_offset
+            ORDER BY cohort_week, week_offset""",
         "dedup_incremental": """
             WITH seen AS (SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id < 250),
             inc AS (SELECT doc_id, md5(text) AS sig FROM documents WHERE doc_id >= 250)

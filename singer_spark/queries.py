@@ -169,3 +169,49 @@ def user_event_sequences(spark: SparkSession, sf_dir: str, max_len: int = 50) ->
         )
         .orderBy("user_id")
     )
+
+
+def funnel_counts(spark: SparkSession, sf_dir: str,
+                  stages: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+    """Ordered funnel: how many users completed stage k strictly AFTER
+    completing stage k-1 (first-touch semantics — min event time per
+    stage).  One shuffle keyed by user for stage 1; each later stage is an
+    events⋈prior-stage join on the same user key, so the shuffles align and
+    AQE reuses the partitioning.  Output: (stage, stage_idx, n_users)."""
+    ev = read_events(spark, sf_dir)
+    prior = (ev.filter(F.col("event_type") == stages[0])
+             .groupBy("user_id").agg(F.min("ts").alias("t")))
+    counts = [(stages[0], prior.count())]
+    for stage in stages[1:]:
+        nxt = (ev.filter(F.col("event_type") == stage)
+               .join(prior, "user_id")
+               .filter(F.col("ts") > F.col("t"))
+               .groupBy("user_id").agg(F.min("ts").alias("t")))
+        counts.append((stage, nxt.count()))
+        prior = nxt
+    return spark.createDataFrame(
+        [(s, i + 1, int(n)) for i, (s, n) in enumerate(counts)],
+        "stage string, stage_idx int, n_users bigint",
+    )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by their first-activity week,
+    counted in each later week they return.  Two aggregations (first-seen
+    per user, then cohort × activity week) — both shuffle on user/cohort
+    keys only.  Output: (cohort_week, week_offset, n_users)."""
+    ev = read_events(spark, sf_dir)
+    week = F.date_trunc("week", F.col("ts"))
+    first = (ev.groupBy("user_id")
+             .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
+    activity = ev.select("user_id", week.alias("active_week")).distinct()
+    return (
+        activity.join(first, "user_id")
+        .groupBy("cohort_week",
+                 ((F.unix_timestamp("active_week") - F.unix_timestamp("cohort_week"))
+                  / (7 * 86400)).cast("int").alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+                "week_offset", "n_users")
+        .orderBy("cohort_week", "week_offset")
+    )
