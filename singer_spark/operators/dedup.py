@@ -3,13 +3,12 @@
 Designed for the 100 TB regime:
 
 - exact dedup        one hash-shuffle on a 16-byte digest (not the full text)
-- n-gram Jaccard     set-similarity join blocked on shared shingles; shingles
-                     whose document frequency exceeds `max_shingle_df` are
-                     dropped from *blocking only* (stop-phrase shingles
-                     otherwise create one skewed O(df²) bucket); candidate
-                     pairs are verified by exact Jaccard over the per-doc
-                     shingle arrays — verification cost ∝ candidates, not
-                     corpus
+- n-gram Jaccard     inverted-index co-occurrence (PPJoin-style counting):
+                     posting lists capped at `max_shingle_df` docs emit
+                     candidate pairs map-side and their count IS the
+                     cold-shingle intersection; the (tiny) hot-shingle set
+                     is intersected separately per pair, so scores are
+                     exact while per-doc shingle arrays never shuffle
 - MinHash + LSH      constant-size signatures (k hashes) per doc, banded
                      into buckets; the only wide shuffle is on band keys;
                      verification shares the candidate-array join (the
@@ -131,22 +130,37 @@ def _maybe_persist(base: DataFrame, persist: bool) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         k: int = 4, threshold: float = 0.8,
-                        max_shingle_df: int = 256, persist: bool = True) -> DataFrame:
+                        max_shingle_df: int = 256) -> DataFrame:
     """All pairs with Jaccard(shingle sets) >= threshold.
 
-    Candidate generation joins on the shingle itself (classic blocking), with
-    a hot-shingle guard: shingles present in more than `max_shingle_df`
-    documents are excluded from BLOCKING (one ubiquitous 4-gram would create
-    a single O(df²) bucket — quadratic and skewed at corpus scale);
-    verification over the surviving candidates still uses the FULL shingle
-    sets, so scores are exact.  Wider k → fewer, more selective blocks.
-    Output: (id_a, id_b, jaccard)."""
-    base = _maybe_persist(shingle_frame(docs, text_col, id_col, k), persist)
-    sh = base.select("id", F.explode("shingles").alias("s"))
-    # One shuffle: group the inverted index by shingle, cap the posting-list
-    # size (the hot-shingle guard — a list longer than `max_shingle_df`
-    # would emit O(df²) pairs), and generate candidate pairs map-side from
-    # the sorted id list.  No self-join, no second corpus-wide shuffle.
+    Inverted-index co-occurrence form (the PPJoin family's counting step):
+    intersection sizes fall out of the index itself, so the per-doc shingle
+    ARRAYS are never shuffled or joined — the wide data moves once, as
+    (shingle, id) rows.
+
+    - One explode + one groupBy(shingle) builds posting lists.
+    - Hot-shingle guard: lists longer than `max_shingle_df` are excluded
+      from candidate generation (one ubiquitous 4-gram would otherwise
+      create a single O(df²) bucket — quadratic and skewed at corpus
+      scale).
+    - Cold lists emit (id_a, id_b) map-side; `groupBy(pair).count()` IS the
+      cold-shingle intersection size — no verification join over arrays.
+    - Exactness is restored for the hot shingles separately: the hot set is
+      tiny by construction (≤ |shingles|/cap lists), so each doc carries a
+      small `hot` array (from the SAME grouped frame — the exchange is
+      reused) and pairs add `|intersect(hot_a, hot_b)|`.
+    - Set sizes `n` come from a narrow `size(array_distinct(...))` over the
+      raw shingles — no second hashing pass (distinct-of-strings counts
+      equal distinct-of-hashes counts up to the md5 collision bound already
+      accepted corpus-wide).
+
+    Scores are exact Jaccard over the FULL shingle sets, identical to
+    verifying with array intersections.  Wider k → fewer, more selective
+    blocks.  Output: (id_a, id_b, jaccard)."""
+    sh = (fan_out(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.transform(raw_shingles_col(text_col, k),
+                                               lambda s: md5_int(s)))).alias("s")))
     groups = sh.groupBy("s").agg(F.array_sort(F.collect_list("id")).alias("ids"))
     small = groups.filter((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_df))
     pair_structs = F.flatten(F.transform(
@@ -157,9 +171,33 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
                                y.alias("id_b")),
         ),
     ))
-    candidates = (small.select(F.explode(pair_structs).alias("p"))
-                  .select("p.id_a", "p.id_b").distinct())
-    return _verify_jaccard(candidates, base, threshold)
+    cooc = (small.select(F.explode(pair_structs).alias("p"))
+            .groupBy("p.id_a", "p.id_b")
+            .agg(F.count("*").alias("c_cold"))
+            .select(F.col("id_a"), F.col("id_b"), F.col("c_cold")))
+    # Per-doc hot-shingle arrays, read off the same posting lists (Catalyst
+    # reuses the groupBy(s) exchange across both branches of the plan).
+    hot_arr = (groups.filter(F.size("ids") > max_shingle_df)
+               .select("s", F.explode("ids").alias("id"))
+               .groupBy("id").agg(F.collect_set("s").alias("hot")))
+    stats = (fan_out(docs).select(
+        F.col(id_col).alias("id"),
+        F.size(F.array_distinct(raw_shingles_col(text_col, k))).alias("n"))
+        .join(hot_arr, "id", "left"))
+    sa = stats.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"),
+                      F.col("hot").alias("hot_a"))
+    sb = stats.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"),
+                      F.col("hot").alias("hot_b"))
+    shared = F.col("c_cold") + F.when(
+        F.col("hot_a").isNotNull() & F.col("hot_b").isNotNull(),
+        F.size(F.array_intersect("hot_a", "hot_b"))).otherwise(F.lit(0))
+    jac = shared / (F.col("n_a") + F.col("n_b") - shared)
+    return (
+        cooc.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", qround(jac, 4))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
