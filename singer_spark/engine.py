@@ -309,7 +309,14 @@ class PipelineManager:
                 interval = p.processing_interval_secs   # reset on data
             else:
                 interval = min(max(interval, 1) * 2, p.max_processing_interval_secs)
-            deleted = enforce_retention(cfg.log_dir, p.log_retention_seconds) if enabled else []
+            # retention must only touch files THIS query's source glob covers:
+            # a second LogConfig sharing log_dir with a different glob has its
+            # own drain schedule, and deleting its files here would be silent
+            # data loss (the drained-implies-processed invariant only holds
+            # per-glob)
+            deleted = (enforce_retention(cfg.log_dir, p.log_retention_seconds,
+                                         glob=cfg.log_stream_regex)
+                       if enabled else [])
             history.append({"rows": rows, "interval_secs": interval,
                             "deleted": deleted, "enabled": enabled})
             sleep_fn(interval)

@@ -154,9 +154,16 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
       equal distinct-of-hashes counts up to the md5 collision bound already
       accepted corpus-wide).
 
-    Scores are exact Jaccard over the FULL shingle sets, identical to
-    verifying with array intersections.  Wider k → fewer, more selective
-    blocks.  Output: (id_a, id_b, jaccard)."""
+    Scores are exact Jaccard over the FULL shingle sets for every emitted
+    pair, identical to verifying with array intersections.  RECALL BOUND:
+    candidates come only from cold posting lists, so a pair whose shared
+    shingles are ALL hot (> max_shingle_df docs each — e.g. hundreds of
+    near-identical boilerplate copies) yields no candidate and is not
+    emitted.  That regime is exact duplication at scale; run
+    :func:`dedup_exact` first (the curation DAG does) so byte-identical
+    floods collapse before near-dup blocking, leaving hot shingles to
+    boilerplate *fragments* where some distinguishing cold shingle exists.
+    Wider k → fewer, more selective blocks.  Output: (id_a, id_b, jaccard)."""
     sh = (fan_out(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.transform(raw_shingles_col(text_col, k),
@@ -175,22 +182,25 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
             .groupBy("p.id_a", "p.id_b")
             .agg(F.count("*").alias("c_cold"))
             .select(F.col("id_a"), F.col("id_b"), F.col("c_cold")))
-    # Per-doc hot-shingle arrays, read off the same posting lists (Catalyst
-    # reuses the groupBy(s) exchange across both branches of the plan).
-    hot_arr = (groups.filter(F.size("ids") > max_shingle_df)
-               .select("s", F.explode("ids").alias("id"))
-               .groupBy("id").agg(F.collect_set("s").alias("hot")))
-    stats = (fan_out(docs).select(
-        F.col(id_col).alias("id"),
-        F.size(F.array_distinct(raw_shingles_col(text_col, k))).alias("n"))
-        .join(hot_arr, "id", "left"))
-    sa = stats.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"),
-                      F.col("hot").alias("hot_a"))
-    sb = stats.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"),
-                      F.col("hot").alias("hot_b"))
-    shared = F.col("c_cold") + F.when(
-        F.col("hot_a").isNotNull() & F.col("hot_b").isNotNull(),
-        F.size(F.array_intersect("hot_a", "hot_b"))).otherwise(F.lit(0))
+    # Per-doc stats ride the SAME posting lists: `n` is the number of lists
+    # the doc appears in (== its distinct-shingle count, since every shingle
+    # has a list), `hot` collects the shingles whose lists exceeded the cap
+    # (collect_set drops the nulls the `when` leaves for cold rows).  No
+    # second corpus scan or shingling pass — the shuffle here moves compact
+    # (id, partial-count, tiny-hot-set) rows, and Catalyst reuses the
+    # groupBy(s) exchange between this branch and the candidate branch, so
+    # the corpus-wide explode is shuffled exactly once.
+    per_doc = (groups.select(
+        (F.size("ids") > max_shingle_df).alias("is_hot"),
+        F.col("s"), F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n"),
+             F.collect_set(F.when(F.col("is_hot"), F.col("s"))).alias("hot")))
+    sa = per_doc.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"),
+                        F.col("hot").alias("hot_a"))
+    sb = per_doc.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"),
+                        F.col("hot").alias("hot_b"))
+    shared = F.col("c_cold") + F.size(F.array_intersect("hot_a", "hot_b"))
     jac = shared / (F.col("n_a") + F.col("n_b") - shared)
     return (
         cooc.join(sa, "id_a").join(sb, "id_b")

@@ -91,11 +91,16 @@ def test_run_adaptive_applies_retention_after_drain(spark, tmp_path):
     past = time.time() - 3600
     os.utime(f"{cfg.log_dir}/old.log", (past, past))
     mgr = PipelineManager(spark)
+    # an old file a DIFFERENT glob owns (say a second LogConfig's *.txt
+    # stream sharing the dir) must survive: this query never processed it,
+    # so deleting it would be silent data loss
+    _write_lines(f"{cfg.log_dir}/other.txt", 2)
+    os.utime(f"{cfg.log_dir}/other.txt", (past, past))
     hist = mgr.run_adaptive(cfg, cycles=1, sleep_fn=lambda s: None)
     # the file was processed THEN deleted — drain before delete, no loss
     assert hist[0]["rows"] == 4
     assert [os.path.basename(p) for p in hist[0]["deleted"]] == ["old.log"]
-    assert os.listdir(cfg.log_dir) == []
+    assert os.listdir(cfg.log_dir) == ["other.txt"]
 
 
 # ---------------------------------------------------------------------------
