@@ -6,12 +6,18 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 
 Each query is materialized through the noop sink (all columns computed,
 nothing collected to the driver) — the honest cost of the full plan.
+
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and `queries`
+reports per-query MEDIANS (`queries_min` carries the mins): single-run
+numbers drift ±30% from JIT/GC noise on a shared box, which can hide or
+fake plan regressions round-over-round.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -60,13 +66,19 @@ def main() -> None:
     spark.range(64).repartition(32).mapInPandas(
         lambda it: (pdf for pdf in it), "id bigint").count()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in HEADLINERS:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        mins[name] = round(min(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -74,6 +86,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": mins,
+        "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

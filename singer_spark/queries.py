@@ -175,23 +175,47 @@ def funnel_counts(spark: SparkSession, sf_dir: str,
                   stages: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
     """Ordered funnel: how many users completed stage k strictly AFTER
     completing stage k-1 (first-touch semantics — min event time per
-    stage).  One shuffle keyed by user for stage 1; each later stage is an
-    events⋈prior-stage join on the same user key, so the shuffles align and
-    AQE reuses the partitioning.  Output: (stage, stage_idx, n_users)."""
+    stage).
+
+    ONE Spark job, one shuffle keyed by user: events filtered to the stage
+    types are collected per user as a time-sorted array, and an
+    `F.aggregate` walk advances the funnel greedily — the first stage-k
+    event strictly after the stage-(k-1) time IS min(ts_k > t_{k-1}), so
+    the walk is equivalent to the chained per-stage min-joins but without
+    the per-stage driver `count()` actions (each of which re-ran the scan
+    and every earlier join).  The per-user state is its stage-typed events
+    only, and the stage-name frame is a constant 3-row broadcast.
+    Output: (stage, stage_idx, n_users)."""
     ev = read_events(spark, sf_dir)
-    prior = (ev.filter(F.col("event_type") == stages[0])
-             .groupBy("user_id").agg(F.min("ts").alias("t")))
-    counts = [(stages[0], prior.count())]
-    for stage in stages[1:]:
-        nxt = (ev.filter(F.col("event_type") == stage)
-               .join(prior, "user_id")
-               .filter(F.col("ts") > F.col("t"))
-               .groupBy("user_id").agg(F.min("ts").alias("t")))
-        counts.append((stage, nxt.count()))
-        prior = nxt
-    return spark.createDataFrame(
-        [(s, i + 1, int(n)) for i, (s, n) in enumerate(counts)],
-        "stage string, stage_idx int, n_users bigint",
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    evs = F.array_sort(F.collect_list(F.struct(F.col("ts"), F.col("event_type"))))
+    init = F.struct(F.lit(0).alias("k"), F.lit(None).cast("timestamp").alias("t"))
+
+    def step(acc, e):
+        # F.get is 0-based and null-on-out-of-bounds, so a fully-converted
+        # user (k == len(stages)) compares against NULL instead of raising
+        # under ANSI mode
+        advance = ((e["event_type"] == F.get(stage_arr, acc["k"]))
+                   & (acc["t"].isNull() | (e["ts"] > acc["t"])))
+        return F.when(advance,
+                      F.struct((acc["k"] + 1).alias("k"),
+                               e["ts"].alias("t"))).otherwise(acc)
+
+    depth = (
+        ev.filter(F.col("event_type").isin(*stages))
+        .groupBy("user_id").agg(evs.alias("evs"))
+        .select(F.aggregate("evs", init, step)["k"].alias("k"))
+        .filter(F.col("k") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("k"))).alias("stage_idx"))
+        .groupBy("stage_idx").agg(F.count("*").alias("cnt"))
+    )
+    names = spark.createDataFrame([(s, i + 1) for i, s in enumerate(stages)],
+                                  "stage string, stage_idx int")
+    return (
+        names.join(depth, "stage_idx", "left")
+        .select("stage", "stage_idx",
+                F.coalesce("cnt", F.lit(0)).cast("bigint").alias("n_users"))
+        .orderBy("stage_idx")
     )
 
 
