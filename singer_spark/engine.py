@@ -102,6 +102,15 @@ def enforce_retention(log_dir: str, retention_seconds: int,
 
 def build_source(spark: SparkSession, cfg: LogConfig, streaming: bool = True) -> DataFrame:
     r = cfg.reader
+    if r.type == "tail":
+        # sub-file tailing (S7/S2): delivers appended lines from GROWING
+        # files with per-inode byte offsets — the file source below only
+        # sees a file once it is fully listed
+        from singer_spark.streaming.tail import tail_stream
+
+        if not streaming:
+            raise ValueError("reader type 'tail' is streaming-only")
+        return tail_stream(spark, cfg.log_dir, glob=cfg.log_stream_regex)
     if r.type == "thrift":
         fn = sources.thrift_stream if streaming else sources.thrift_batch
         kwargs = {"max_message_size": r.max_message_size}
