@@ -33,6 +33,8 @@ HEADLINERS = [
     "window_top_orders",
     "sessionize_events",
     "hourly_event_rollup",
+    "funnel_counts",
+    "cohort_retention",
     "asof_join_events_orders",
     "text_ngram_topk",
     # training-data operators

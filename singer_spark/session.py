@@ -66,9 +66,15 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
 def read_events(spark: SparkSession, sf_dir: str) -> "DataFrame":
     """events.parquet with `ts` normalized to a microsecond TimestampType.
 
-    The file stores TIMESTAMP(NANOS); with nanosAsLong it loads as int64.
-    Integer `div` keeps full precision (a double division would lose bits
-    above 2^53) and truncates exactly like DuckDB's ns→us coercion.
+    The on-disk type has varied across TESTDATA generations — TIMESTAMP
+    (NANOS) (loads as int64 under nanosAsLong), TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (loads as TIMESTAMP_NTZ), or a plain UTC
+    timestamp — so every shape is normalized here.  Nanos convert via
+    integer `div` (a double division would lose bits above 2^53, and the
+    truncation matches DuckDB's ns→us coercion exactly); NTZ casts to
+    TimestampType, which is wall-clock-preserving in any single session
+    timezone, so date_format/date_trunc/unix_timestamp downstream agree
+    with the oracle's naive-timestamp arithmetic.
 
     The conf is set here (runtime SQL conf) and not only in get_spark so
     the engine also works under a caller-provided SparkSession — e.g. the
@@ -77,6 +83,9 @@ def read_events(spark: SparkSession, sf_dir: str) -> "DataFrame":
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") in ("bigint", "long"):
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type in ("bigint", "long"):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

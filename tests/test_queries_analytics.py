@@ -1,0 +1,105 @@
+"""Guards for the analytics queries whose formulations have been rewritten
+for plan efficiency: `funnel_counts` (sorted-event F.aggregate walk) and
+`cohort_retention`.  Each is checked against an independent formulation —
+the chained per-stage min-join the reference shape implies for funnels, and
+a pandas recomputation for cohorts — so future plan edits can't drift the
+semantics silently (the round-3 advice: the walk had no unit test)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from singer_spark.queries import cohort_retention, funnel_counts
+from singer_spark.session import read_events
+
+STAGES = ("view", "click", "purchase")
+
+
+def _funnel_chained_min_joins(spark, sf_dir, stages=STAGES):
+    """Reference formulation: stage k counts users whose first stage-k event
+    strictly follows their stage-(k-1) completion time (first-touch,
+    min-after semantics) — one join per stage, driver-side chaining."""
+    ev = read_events(spark, sf_dir)
+    prev = None  # DataFrame(user_id, t) of users who completed stage k-1
+    counts = []
+    for k, stage in enumerate(stages):
+        st = ev.filter(F.col("event_type") == stage).select("user_id", "ts")
+        if prev is None:
+            cur = st.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                st.join(prev.withColumnRenamed("t", "prev_t"), "user_id")
+                .filter(F.col("ts") > F.col("prev_t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        counts.append((stage, k + 1, cur.count()))
+        prev = cur
+    return counts
+
+
+def test_funnel_counts_matches_chained_min_joins(spark, sf_dir):
+    got = {
+        (r["stage"], r["stage_idx"]): r["n_users"]
+        for r in funnel_counts(spark, sf_dir, STAGES).collect()
+    }
+    want = {(s, i): n for s, i, n in _funnel_chained_min_joins(spark, sf_dir, STAGES)}
+    assert got == want
+    # funnel depths are monotone non-increasing
+    ns = [got[(s, i + 1)] for i, s in enumerate(STAGES)]
+    assert ns == sorted(ns, reverse=True)
+    assert ns[0] > 0  # sf0.001 has view events
+
+
+def test_funnel_counts_strict_ordering_semantics(spark, sf_dir):
+    """A user whose purchase precedes every click must not count at stage 3;
+    exercised on a hand-built frame via the same walk."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1 completes the full funnel in order
+        (1, "view", base), (1, "click", base + dt.timedelta(minutes=1)),
+        (1, "purchase", base + dt.timedelta(minutes=2)),
+        # u2 purchases BEFORE clicking: stops at click
+        (2, "view", base), (2, "purchase", base + dt.timedelta(minutes=1)),
+        (2, "click", base + dt.timedelta(minutes=2)),
+        # u3 only views
+        (3, "view", base),
+        # u4 clicks with no view: counts nowhere
+        (4, "click", base),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
+
+    import singer_spark.queries as q
+
+    orig = q.read_events if hasattr(q, "read_events") else None
+    q.read_events = lambda _spark, _sf: df
+    try:
+        got = {r["stage"]: r["n_users"] for r in funnel_counts(spark, "ignored").collect()}
+    finally:
+        q.read_events = orig
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_cohort_retention_matches_pandas(spark, sf_dir):
+    got = cohort_retention(spark, sf_dir).toPandas()
+
+    ev = read_events(spark, sf_dir).select("user_id", "ts").toPandas()
+    ev["week"] = ev["ts"].dt.to_period("W-SUN").dt.start_time  # Monday-start weeks
+    first = ev.groupby("user_id")["week"].min().rename("cohort_week")
+    act = ev[["user_id", "week"]].drop_duplicates().join(first, on="user_id")
+    act["week_offset"] = ((act["week"] - act["cohort_week"]).dt.days // 7).astype(int)
+    want = (
+        act.groupby([act["cohort_week"].dt.strftime("%Y-%m-%d"), "week_offset"])["user_id"]
+        .nunique()
+        .reset_index()
+        .rename(columns={"user_id": "n_users"})
+    )
+
+    got_map = {(r.cohort_week, int(r.week_offset)): int(r.n_users) for r in got.itertuples()}
+    want_map = {(r.cohort_week, int(r.week_offset)): int(r.n_users) for r in want.itertuples()}
+    assert got_map == want_map
+    # offset 0 row exists for every cohort (the cohort's own first week)
+    cohorts = {c for c, _ in got_map}
+    assert all((c, 0) in got_map for c in cohorts)

@@ -25,10 +25,73 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+# ---------------------------------------------------------------------------
+# DuckDB Python UDFs for Spark hash expressions DuckDB lacks natively, so
+# `t8_crc32` / `p2_crc32_partitioner` / `p3_murmur_partitioner` get real
+# value-matched oracles locally.  The driver's DuckDB has no UDF hook, so
+# these oracles live here (LOCAL_ORACLES), not in `oracle_sql()` — the
+# driver still records those three as rows-only.
+# ---------------------------------------------------------------------------
+def _rotl32(x: int, r: int) -> int:
+    x &= 0xFFFFFFFF
+    return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+
+def spark_murmur3(data: bytes, seed: int = 42) -> int:
+    """Murmur3_x86_32 exactly as Spark's `hash()` computes it for strings
+    (UTF-8 bytes, seed 42): little-endian 4-byte words, then each TRAILING
+    byte mixed individually as a signed int — Spark's hashUnsafeBytes tail
+    handling, which differs from the canonical murmur3 tail.  Validated
+    cell-for-cell against `F.hash` (test_transforms.py)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h1 = seed & 0xFFFFFFFF
+    n = len(data)
+    aligned = n - n % 4
+    for i in range(0, aligned, 4):
+        k1 = int.from_bytes(data[i:i + 4], "little")
+        k1 = _rotl32((k1 * c1) & 0xFFFFFFFF, 15)
+        h1 ^= (k1 * c2) & 0xFFFFFFFF
+        h1 = (_rotl32(h1, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+    for i in range(aligned, n):
+        b = data[i] - 256 if data[i] >= 128 else data[i]
+        k1 = _rotl32((b * c1) & 0xFFFFFFFF, 15)
+        h1 ^= (k1 * c2) & 0xFFFFFFFF
+        h1 = (_rotl32(h1, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= n
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    h1 &= 0xFFFFFFFF
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _register_udfs(con) -> None:
+    import zlib
+
+    con.create_function("crc32_py", lambda s: zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF,
+                        ["VARCHAR"], "BIGINT")
+    con.create_function("murmur3_spark", lambda s: spark_murmur3(s.encode("utf-8")),
+                        ["VARCHAR"], "INTEGER")
+
+
+# Oracles runnable only where Python UDFs can be registered (here).
+LOCAL_ORACLES = {
+    "t8_crc32": "SELECT doc_id, crc32_py(text) AS checksum FROM documents",
+    "p2_crc32_partitioner": (
+        "SELECT c_custkey, (crc32_py(c_name) % 32)::INT AS partition FROM customer"),
+    "p3_murmur_partitioner": (
+        "SELECT c_custkey, (((murmur3_spark(c_name) % 32) + 32) % 32)::INT AS partition "
+        "FROM customer"),
+}
+
+
 def duck_run(sql: str, sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
+    _register_udfs(con)
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     return con.sql(sql).df()
@@ -83,7 +146,7 @@ def main() -> int:
 
     spark = get_spark("verify_local")
     qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    oracles = {**entry_mod.oracle_sql(), **LOCAL_ORACLES}
     failed, no_oracle = [], []
     for name, fn in qs.items():
         if only and name not in only:
