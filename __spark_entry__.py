@@ -85,7 +85,7 @@ def _s1_thrift_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for doc_id, text in zip(pdf["doc_id"], pdf["text"])
             )
             rows = []
-            for key, msg, ts, crc, off in decode_frames(blob, max_message_size=1_000_000):
+            for key, msg, ts, crc, audit, off in decode_frames(blob, max_message_size=1_000_000):
                 import zlib
 
                 assert crc is not None and (zlib.crc32(msg) & 0xFFFFFFFF) == crc
@@ -170,6 +170,59 @@ def _t5_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("headers")["hostname"].cast("string").alias("h_hostname"),
         F.col("headers")["availabilityZone"].cast("string").alias("h_az"),
         F.col("headers")["file"].cast("string").alias("h_file"),
+    )
+
+
+def _t6_audit_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6/W9: full LoggingAuditHeaders path — encode documents as framed
+    LogMessages carrying audit headers (loggingaudit.thrift:28-65), decode
+    them back through the engine codec, then run the Kafka header injector
+    (writer/KafkaWriter.java:421-436).  Projects the decoded audit fields
+    plus the SERIALIZED header lengths, which the SQL oracle recomputes from
+    the TBinaryProtocol wire layout (48 fixed bytes + the two string
+    payloads) — so a drift in either the decoder or the JVM serializer
+    breaks the value match."""
+    import pandas as pd
+
+    from singer_spark.framing import (LOG_MESSAGE_SCHEMA, decode_file_tolerant,
+                                      encode_log_message, with_kafka_audit_headers)
+
+    def roundtrip(batches):
+        for pdf in batches:
+            blob = b"".join(
+                encode_log_message(
+                    message=text.encode("utf-8"),
+                    key=str(int(doc_id)).encode("ascii"),
+                    with_crc=True,
+                    audit_headers={
+                        "host": f"host-{int(doc_id) % 10}",
+                        "logName": source,
+                        "pid": int(doc_id) % 32768,
+                        "session": 1_700_000_000_000 + int(doc_id) % 100,
+                        "logSeqNumInSession": int(doc_id),
+                        "timestamp": 1_700_000_000_000 + int(doc_id),
+                        "tracked": int(doc_id) % 2 == 0,
+                    },
+                )
+                for doc_id, source, text in zip(pdf["doc_id"], pdf["source"], pdf["text"])
+            )
+            yield pd.DataFrame(decode_file_tolerant(blob, "mem"),
+                               columns=[f.name for f in LOG_MESSAGE_SCHEMA.fields])
+
+    decoded = (_docs(spark, sf_dir).select("doc_id", "source", "text")
+               .mapInPandas(roundtrip, LOG_MESSAGE_SCHEMA))
+    injected = with_kafka_audit_headers(decoded)
+    a = F.col("auditHeaders")
+    return injected.select(
+        F.col("key").cast("string").cast("bigint").alias("doc_id"),
+        a["host"].alias("host"),
+        a["logName"].alias("log_name"),
+        a["pid"].alias("pid"),
+        a["session"].alias("session"),
+        a["logSeqNumInSession"].alias("log_seq"),
+        a["tracked"].alias("tracked"),
+        F.length(F.col("headers")["loggingAuditHeaders"]).cast("int").alias("audit_hdr_len"),
+        F.length(F.col("headers")["messageCRC"]).cast("int").alias("crc_hdr_len"),
     )
 
 
@@ -820,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_prepend": _t3_prepend,
         "t4_trim_newline": _t4_trim_newline,
         "t5_headers": _t5_headers,
+        "t6_audit_headers": _t6_audit_headers,
         "t7_message_id": _t7_message_id,
         "t8_crc32": _t8_crc32,
         "t9_sampling": _t9_sampling,
@@ -1194,6 +1248,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, 'host-01' AS h_hostname, 'us-east-1a' AS h_az,
                    'events.parquet' AS h_file
             FROM events""",
+        "t6_audit_headers": """
+            -- TBinaryProtocol LoggingAuditHeaders wire size: per field 3B
+            -- header (type+id), strings +4B len + payload, i32 +4, i64 +8,
+            -- bool +1, stop 1 → 2·7 + 2·7 + 2·11 + 4 + 1 = 55 fixed bytes
+            -- + the two string payloads.  CRC header is the 8-byte
+            -- big-endian long (Longs.toByteArray).
+            SELECT doc_id,
+                   'host-' || (doc_id % 10) AS host,
+                   source AS log_name,
+                   (doc_id % 32768)::INT AS pid,
+                   (1700000000000 + doc_id % 100)::BIGINT AS session,
+                   doc_id::INT AS log_seq,
+                   (doc_id % 2 = 0) AS tracked,
+                   (55 + length('host-' || (doc_id % 10)) + length(source))::INT AS audit_hdr_len,
+                   8::INT AS crc_hdr_len
+            FROM documents""",
         "t7_message_id": """
             SELECT doc_id,
                    upper(substr(md5(source), 1, 16) || printf('%016x', doc_id)) AS mid_hex

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -60,12 +62,37 @@ _FIELD_TIMESTAMP = 3
 _FIELD_CHECKSUM = 4
 _FIELD_AUDIT_HEADERS = 5
 
+# LoggingAuditHeaders fields (loggingaudit.thrift:28-65):
+# (field id, name, thrift type).  Declaration order == wire order.
+_AUDIT_FIELDS = (
+    (1, "host", _TTYPE_STRING),
+    (2, "logName", _TTYPE_STRING),
+    (3, "pid", _TTYPE_I32),
+    (4, "session", _TTYPE_I64),
+    (5, "logSeqNumInSession", _TTYPE_I32),
+    (6, "timestamp", _TTYPE_I64),
+    (7, "tracked", _TTYPE_BOOL),
+)
+
+AUDIT_HEADERS_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), True),
+        StructField("logName", StringType(), True),
+        StructField("pid", IntegerType(), True),
+        StructField("session", LongType(), True),
+        StructField("logSeqNumInSession", IntegerType(), True),
+        StructField("timestamp", LongType(), True),
+        StructField("tracked", BooleanType(), True),
+    ]
+)
+
 LOG_MESSAGE_SCHEMA = StructType(
     [
         StructField("key", BinaryType(), True),
         StructField("value", BinaryType(), False),
         StructField("timestampInNanos", LongType(), True),
         StructField("checksum", LongType(), True),
+        StructField("auditHeaders", AUDIT_HEADERS_SCHEMA, True),
         StructField("file", StringType(), True),
         StructField("offset", LongType(), True),
     ]
@@ -73,16 +100,75 @@ LOG_MESSAGE_SCHEMA = StructType(
 
 
 # ---------------------------------------------------------------------------
-# Thrift LogMessage encode
+# Thrift LogMessage / LoggingAuditHeaders encode
 # ---------------------------------------------------------------------------
+def encode_audit_headers(headers: dict) -> bytes:
+    """Serialize a LoggingAuditHeaders dict as an UNFRAMED TBinaryProtocol
+    struct — byte-identical to the reference's TSerializer output that
+    lands in the Kafka record header (loggingaudit.thrift:28-65,
+    writer/KafkaWriter.java:421-427).  Fields are written in declaration
+    order; unset (None / missing) fields are omitted, matching thrift's
+    isSet semantics."""
+    parts = []
+    for fid, name, ttype in _AUDIT_FIELDS:
+        v = headers.get(name)
+        if v is None:
+            continue
+        if ttype == _TTYPE_STRING:
+            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            parts.append(struct.pack(">bhI", ttype, fid, len(b)))
+            parts.append(b)
+        elif ttype == _TTYPE_I32:
+            parts.append(struct.pack(">bhi", ttype, fid, int(v)))
+        elif ttype == _TTYPE_I64:
+            parts.append(struct.pack(">bhq", ttype, fid, int(v)))
+        elif ttype == _TTYPE_BOOL:
+            parts.append(struct.pack(">bhb", ttype, fid, 1 if v else 0))
+    parts.append(b"\x00")
+    return b"".join(parts)
+
+
+def decode_audit_headers(body: bytes, pos: int = 0) -> tuple[dict, int]:
+    """Parse one TBinaryProtocol LoggingAuditHeaders struct starting at
+    `pos`; returns (field dict, position past the stop byte).  Unknown
+    fields are skipped for forward compatibility."""
+    by_id = {fid: (name, ttype) for fid, name, ttype in _AUDIT_FIELDS}
+    out: dict = {}
+    while True:
+        ttype = body[pos]
+        pos += 1
+        if ttype == _TTYPE_STOP:
+            return out, pos
+        (fid,) = struct.unpack_from(">h", body, pos)
+        pos += 2
+        name, want = by_id.get(fid, (None, None))
+        if name is None or ttype != want:
+            pos = _skip_field(body, pos, ttype)
+            continue
+        if ttype == _TTYPE_STRING:
+            (n,) = struct.unpack_from(">I", body, pos)
+            out[name] = body[pos + 4: pos + 4 + n].decode("utf-8")
+            pos += 4 + n
+        elif ttype == _TTYPE_I32:
+            (out[name],) = struct.unpack_from(">i", body, pos)
+            pos += 4
+        elif ttype == _TTYPE_I64:
+            (out[name],) = struct.unpack_from(">q", body, pos)
+            pos += 8
+        elif ttype == _TTYPE_BOOL:
+            out[name] = body[pos] != 0
+            pos += 1
+
+
 def encode_log_message(message: bytes, key: bytes | None = None,
                        timestamp_nanos: int | None = None,
                        checksum: int | None = None,
-                       with_crc: bool = False) -> bytes:
+                       with_crc: bool = False,
+                       audit_headers: dict | None = None) -> bytes:
     """One TFramedTransport frame holding one TBinaryProtocol LogMessage.
 
     Field order follows the reference logger (key, message, timestamp,
-    checksum).  `with_crc` computes crc32(message) like
+    checksum, loggingAuditHeaders).  `with_crc` computes crc32(message) like
     writer/KafkaWriter.java:473-507 does before shipping.
     """
     if checksum is None and with_crc:
@@ -97,6 +183,9 @@ def encode_log_message(message: bytes, key: bytes | None = None,
         parts.append(struct.pack(">bhq", _TTYPE_I64, _FIELD_TIMESTAMP, timestamp_nanos))
     if checksum is not None:
         parts.append(struct.pack(">bhq", _TTYPE_I64, _FIELD_CHECKSUM, checksum))
+    if audit_headers is not None:
+        parts.append(struct.pack(">bh", _TTYPE_STRUCT, _FIELD_AUDIT_HEADERS))
+        parts.append(encode_audit_headers(audit_headers))
     parts.append(b"\x00")
     body = b"".join(parts)
     return struct.pack(">I", len(body)) + body
@@ -150,8 +239,11 @@ def _skip_field(body: bytes, pos: int, ttype: int) -> int:
 
 def decode_frames(blob: bytes, max_message_size: int | None = None,
                   start_offset: int = 0) -> Iterator[tuple]:
-    """Iterate (key, message, timestampInNanos, checksum, offset) from a
-    frame-concatenated blob.
+    """Iterate (key, message, timestampInNanos, checksum, auditHeaders,
+    offset) from a frame-concatenated blob — auditHeaders is the decoded
+    field-5 LoggingAuditHeaders dict or None (T6: the reference surfaces it
+    per message for header injection + at-least-once audit,
+    writer/KafkaWriter.java:421-436).
 
     Oversize handling mirrors reader/ThriftLogFileReader.java:108,152-157:
     frames are read with a 10× internal tolerance, then messages larger than
@@ -172,7 +264,7 @@ def decode_frames(blob: bytes, max_message_size: int | None = None,
         body = blob[pos + 4 : pos + 4 + frame_len]
         pos += 4 + frame_len
         key = message = None
-        ts = checksum = None
+        ts = checksum = audit = None
         bpos = 0
         while bpos < len(body):
             ttype = body[bpos]
@@ -197,13 +289,15 @@ def decode_frames(blob: bytes, max_message_size: int | None = None,
                     ts = v
                 else:
                     checksum = v
+            elif ttype == _TTYPE_STRUCT and fid == _FIELD_AUDIT_HEADERS:
+                audit, bpos = decode_audit_headers(body, bpos)
             else:
                 bpos = _skip_field(body, bpos, ttype)
         if message is None:
             continue  # not a LogMessage frame
         if max_message_size and len(message) > max_message_size:
             continue  # oversize drop (ThriftLogFileReader.java:152-157)
-        yield key, message, ts, checksum, frame_off
+        yield key, message, ts, checksum, audit, frame_off
 
 
 # ---------------------------------------------------------------------------
@@ -223,7 +317,8 @@ def decode_thrift_blobs(df: DataFrame, content_col: str = "content",
             for path, blob in zip(pdf[path_col], pdf[content_col]):
                 rows.extend(decode_file_tolerant(bytes(blob), path, max_message_size))
             yield pd.DataFrame(rows, columns=["key", "value", "timestampInNanos",
-                                              "checksum", "file", "offset"])
+                                              "checksum", "auditHeaders",
+                                              "file", "offset"])
 
     return df.mapInPandas(gen, LOG_MESSAGE_SCHEMA)
 
@@ -273,8 +368,8 @@ def decode_file_tolerant(blob: bytes, path: str,
 
     rows: list[tuple] = []
     try:
-        for key, msg, ts, crc, off in decode_frames(blob, max_message_size):
-            rows.append((key, msg, ts, crc, path, base_offset + off))
+        for key, msg, ts, crc, audit, off in decode_frames(blob, max_message_size):
+            rows.append((key, msg, ts, crc, audit, path, base_offset + off))
     except (ValueError, struct.error, IndexError) as e:
         sys.stderr.write(
             f"singer_spark.framing: corrupt frame in {path} after "
@@ -345,3 +440,80 @@ def split_messages_expr(col, message_start_regex: str):
     Stays inside WholeStageCodegen — preferred at scale when messages are
     newline-delimited records."""
     return F.split(col, f"(?={message_start_regex})")
+
+
+# ---------------------------------------------------------------------------
+# T6/W9 — Kafka-record audit headers, serialized JVM-side.
+# The reference re-serializes each message's LoggingAuditHeaders and adds it
+# (plus the big-endian CRC long) to the ProducerRecord's headers
+# (writer/KafkaWriter.java:421-436 + Longs.toByteArray,
+# writer/headersinjectors/LoggingAuditHeadersInjector.java).  TBinaryProtocol
+# is deterministic byte concatenation, so the serializer is expressed as
+# binary-concat column expressions — whole-stage-codegen'd per record, no
+# Python worker in the produce path.  Wire parity with
+# :func:`encode_audit_headers` is asserted in tests/test_framing.py.
+# ---------------------------------------------------------------------------
+def _be_bytes(col, n_bytes: int):
+    """Big-endian two's-complement of an integral column, `n_bytes` wide.
+    F.hex of a bigint is the 64-bit two's complement (up to 16 hex chars),
+    so lpad-to-16 + take the low `n_bytes` works for negatives too."""
+    h = F.lpad(F.hex(col.cast("bigint")), 16, "0")
+    return F.unhex(F.substring(h, 17 - 2 * n_bytes, 2 * n_bytes))
+
+
+def audit_headers_wire(audit):
+    """Serialized TBinaryProtocol LoggingAuditHeaders bytes from the decoded
+    struct column — NULL when the struct is NULL.  Unset fields are omitted
+    exactly like the Python/reference serializer."""
+    empty = F.lit(b"")
+
+    def field(fid: int, ttype: int, payload):
+        hdr = F.lit(struct.pack(">bh", ttype, fid))
+        return F.concat(hdr, payload)
+
+    def opt(c, part):
+        return F.when(c.isNotNull(), part).otherwise(empty)
+
+    def strf(fid: int, c):
+        b = c.cast("binary")
+        return opt(c, field(fid, _TTYPE_STRING,
+                            F.concat(_be_bytes(F.octet_length(b), 4), b)))
+
+    parts = [
+        strf(1, audit["host"]),
+        strf(2, audit["logName"]),
+        opt(audit["pid"], field(3, _TTYPE_I32, _be_bytes(audit["pid"], 4))),
+        opt(audit["session"], field(4, _TTYPE_I64, _be_bytes(audit["session"], 8))),
+        opt(audit["logSeqNumInSession"],
+            field(5, _TTYPE_I32, _be_bytes(audit["logSeqNumInSession"], 4))),
+        opt(audit["timestamp"], field(6, _TTYPE_I64, _be_bytes(audit["timestamp"], 8))),
+        opt(audit["tracked"],
+            field(7, _TTYPE_BOOL, _be_bytes(audit["tracked"].cast("int"), 1))),
+    ]
+    return F.when(audit.isNotNull(),
+                  F.concat(*parts, F.lit(b"\x00"))).otherwise(F.lit(None).cast("binary"))
+
+
+def with_kafka_audit_headers(df: DataFrame, audit_col: str = "auditHeaders",
+                             checksum_col: str = "checksum",
+                             headers_col: str = "headers") -> DataFrame:
+    """Merge `loggingAuditHeaders` (serialized struct) and `messageCRC`
+    (8-byte big-endian long, Longs.toByteArray parity) into the Kafka
+    `headers` map<string,binary> the sinks consume — per-record, only for
+    messages that carry the field, exactly the reference's injector gate
+    (`msg.isSetLoggingAuditHeaders()` / `msg.isSetChecksum()`)."""
+    empty = F.map_from_arrays(F.array().cast("array<string>"),
+                              F.array().cast("array<binary>"))
+    existing = F.col(headers_col) if headers_col in df.columns else empty
+
+    def entry(cond, k, v):
+        return F.when(cond, F.create_map(F.lit(k), v)).otherwise(empty)
+
+    audit = F.col(audit_col)
+    crc = F.col(checksum_col)
+    merged = F.map_concat(
+        F.coalesce(existing, empty),
+        entry(audit.isNotNull(), "loggingAuditHeaders", audit_headers_wire(audit)),
+        entry(crc.isNotNull(), "messageCRC", _be_bytes(crc, 8)),
+    )
+    return df.withColumn(headers_col, merged)

@@ -182,8 +182,7 @@ def thrift_batch_local(spark: SparkSession, log_dir: str, glob: str = "*",
                     blob = f.read(int(end) - int(start))
                 rows = decode_file_tolerant(blob, path, max_message_size,
                                             base_offset=int(start))
-                yield pd.DataFrame(rows, columns=["key", "value", "timestampInNanos",
-                                                  "checksum", "file", "offset"])
+                yield pd.DataFrame(rows, columns=[f.name for f in LOG_MESSAGE_SCHEMA.fields])
 
     return listing.mapInPandas(gen, LOG_MESSAGE_SCHEMA)
 

@@ -21,7 +21,7 @@ from singer_spark.framing import (
 
 def test_roundtrip_full_fields():
     frame = encode_log_message(b"payload", key=b"k1", timestamp_nanos=123456789, checksum=None, with_crc=True)
-    [(key, msg, ts, crc, off)] = list(decode_frames(frame))
+    [(key, msg, ts, crc, audit, off)] = list(decode_frames(frame))
     assert key == b"k1"
     assert msg == b"payload"
     assert ts == 123456789
@@ -31,7 +31,7 @@ def test_roundtrip_full_fields():
 
 def test_roundtrip_minimal():
     frame = encode_log_message(b"just-message")
-    [(key, msg, ts, crc, _)] = list(decode_frames(frame))
+    [(key, msg, ts, crc, audit, _)] = list(decode_frames(frame))
     assert key is None and ts is None and crc is None
     assert msg == b"just-message"
 
@@ -41,7 +41,7 @@ def test_multiple_frames_with_offsets():
     rows = list(decode_frames(blob))
     assert [r[1] for r in rows] == [b"a", b"bb", b"ccc"]
     # offsets point at each frame start
-    offsets = [r[4] for r in rows]
+    offsets = [r[5] for r in rows]
     assert offsets[0] == 0 and offsets[1] > 0 and offsets[2] > offsets[1]
     # resume from the second frame's offset
     resumed = list(decode_frames(blob, start_offset=offsets[1]))
@@ -76,7 +76,7 @@ def test_unknown_field_skipped():
         + b"\x00"
     )
     blob = struct.pack(">I", len(body)) + body
-    [(key, msg, ts, crc, _)] = list(decode_frames(blob))
+    [(key, msg, ts, crc, audit, _)] = list(decode_frames(blob))
     assert msg == b"msg" and ts is None
 
 
@@ -105,7 +105,7 @@ def test_audit_header_struct_with_all_scalar_types_skipped():
         + b"\x00"
     )
     blob = struct.pack(">I", len(body)) + body
-    [(key, msg, ts, crc, _)] = list(decode_frames(blob))
+    [(key, msg, ts, crc, audit, _)] = list(decode_frames(blob))
     assert msg == b"msg" and key is None and ts is None
 
 
@@ -159,3 +159,115 @@ def test_loggen_rotation_and_dump(tmp_path, capsys):
     for name in files:
         total += loggen.dump(os.path.join(log_dir, name))
     assert total == 500
+
+
+# ---------------------------------------------------------------------------
+# T6/W9 — LoggingAuditHeaders end-to-end.
+# ---------------------------------------------------------------------------
+AUDIT = {"host": "h1", "logName": "app_log", "pid": 4242,
+         "session": 1723500000000, "logSeqNumInSession": 7,
+         "timestamp": 1723500001234, "tracked": True}
+
+
+def test_audit_headers_roundtrip_python():
+    from singer_spark.framing import decode_audit_headers, encode_audit_headers
+
+    blob = encode_audit_headers(AUDIT)
+    decoded, pos = decode_audit_headers(blob)
+    assert decoded == AUDIT and pos == len(blob)
+    # unset optional field omitted on the wire and absent after decode
+    partial = {k: v for k, v in AUDIT.items() if k != "tracked"}
+    decoded2, _ = decode_audit_headers(encode_audit_headers(partial))
+    assert decoded2 == partial
+
+
+def test_audit_headers_decoded_from_log_message():
+    frame = encode_log_message(b"payload", key=b"k", with_crc=True,
+                               audit_headers=AUDIT)
+    [(_, msg, _, crc, audit, _)] = list(decode_frames(frame))
+    assert msg == b"payload" and audit == AUDIT
+    assert crc == zlib.crc32(b"payload") & 0xFFFFFFFF
+
+
+def test_audit_headers_wire_expr_parity(spark):
+    """The JVM binary-concat serializer must emit byte-identical
+    TBinaryProtocol to the Python encoder for every isSet combination."""
+    from pyspark.sql import Row
+
+    from singer_spark.framing import (AUDIT_HEADERS_SCHEMA, audit_headers_wire,
+                                      encode_audit_headers)
+
+    cases = [
+        AUDIT,
+        {**AUDIT, "tracked": False},
+        {k: v for k, v in AUDIT.items() if k != "tracked"},
+        {"host": "", "logName": "ünïcødé ✓", "pid": -1, "session": -2,
+         "logSeqNumInSession": 0, "timestamp": 0, "tracked": False},
+        {"host": "only-host"},
+        None,
+    ]
+    rows = [Row(i=i, auditHeaders=c) for i, c in enumerate(cases)]
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([StructField("i", IntegerType()),
+                         StructField("auditHeaders", AUDIT_HEADERS_SCHEMA)])
+    df = spark.createDataFrame(rows, schema)
+    got = {r["i"]: (bytes(r["w"]) if r["w"] is not None else None)
+           for r in df.select("i", audit_headers_wire(df["auditHeaders"]).alias("w")).collect()}
+    for i, c in enumerate(cases):
+        want = encode_audit_headers(c) if c is not None else None
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_kafka_audit_header_injection(spark, tmp_path):
+    """Decoded file → with_kafka_audit_headers → direct Kafka batch writer:
+    the producer must observe the serialized struct under
+    'loggingAuditHeaders' and the big-endian CRC under 'messageCRC'
+    (writer/KafkaWriter.java:421-436 parity).  Executors run in separate
+    processes, so the fake producer records sends as hex JSONL files."""
+    import json
+    import uuid
+
+    from singer_spark import sinks
+    from singer_spark.framing import (decode_thrift_blobs, encode_audit_headers,
+                                      encode_log_messages, with_kafka_audit_headers)
+
+    blob = encode_log_messages([
+        (b"m-audited", b"k1", 11, None, True, AUDIT),
+        (b"m-plain", b"k2", 22, None, False, None),
+    ])
+    df = spark.createDataFrame([("f.log", bytearray(blob))], "path string, content binary")
+    out = with_kafka_audit_headers(decode_thrift_blobs(df))
+    out_dir = str(tmp_path)
+
+    def factory(servers, configs, _dir=out_dir):
+        class FakeProducer:
+            def __init__(self):
+                self.pending = []
+
+            def send(self, topic, value=None, key=None, headers=None, partition=None):
+                self.pending.append({
+                    "key": key.decode(),
+                    "headers": {k: v.hex() for k, v in (headers or [])},
+                })
+
+            def flush(self):
+                import os as _os
+                with open(_os.path.join(_dir, f"s-{uuid.uuid4().hex}.jsonl"), "w") as f:
+                    for rec in self.pending:
+                        f.write(json.dumps(rec) + "\n")
+
+        return FakeProducer()
+
+    sinks.kafka_write_batch(out, "broker:9092", "t6", factory)
+    recs = []
+    for p in tmp_path.glob("s-*.jsonl"):
+        recs += [json.loads(line) for line in p.read_text().splitlines()]
+    assert len(recs) == 2
+    by_key = {r["key"]: r["headers"] for r in recs}
+    assert by_key["k1"]["loggingAuditHeaders"] == encode_audit_headers(AUDIT).hex()
+    crc1 = zlib.crc32(b"m-audited") & 0xFFFFFFFF
+    assert by_key["k1"]["messageCRC"] == crc1.to_bytes(8, "big").hex()
+    # m-plain carries neither audit headers nor a checksum → nothing injected
+    # (the reference's isSetLoggingAuditHeaders/isSetChecksum gates)
+    assert by_key["k2"] == {}

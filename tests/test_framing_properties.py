@@ -23,7 +23,7 @@ def test_roundtrip_arbitrary_messages(msgs):
     blob = encode_log_messages([(m, k, t, None) for m, k, t in msgs])
     decoded = list(decode_frames(blob))
     assert len(decoded) == len(msgs)
-    for (m, k, t), (dk, dm, dt, dcrc, off) in zip(msgs, decoded):
+    for (m, k, t), (dk, dm, dt, dcrc, daud, off) in zip(msgs, decoded):
         assert dm == m
         assert dk == k
         assert dt == t
@@ -33,7 +33,7 @@ def test_roundtrip_arbitrary_messages(msgs):
 @given(message)
 def test_crc_is_verified_in_roundtrip(m):
     blob = encode_log_message(m, with_crc=True)
-    (dk, dm, dt, dcrc, off), = list(decode_frames(blob))
+    (dk, dm, dt, dcrc, daud, off), = list(decode_frames(blob))
     assert dcrc == (zlib.crc32(m) & 0xFFFFFFFF)
 
 
@@ -46,7 +46,7 @@ def test_oversize_messages_dropped_not_fatal(msgs, max_size):
     # ≥64B max ⇒ frame ≤ 10×max always holds)
     blob = encode_log_messages([(m, None, None, None) for m in msgs])
     decoded = list(decode_frames(blob, max_message_size=max_size))
-    assert [dm for _, dm, _, _, _ in decoded] == [m for m in msgs if len(m) <= max_size]
+    assert [dm for _, dm, _, _, _, _ in decoded] == [m for m in msgs if len(m) <= max_size]
 
 
 @settings(max_examples=100, deadline=None)
@@ -57,7 +57,7 @@ def test_truncated_tail_stops_cleanly(msgs, cut):
     decoded = list(decode_frames(truncated))  # must not raise
     # every fully-contained frame decodes; the partial tail is withheld
     assert len(decoded) <= len(msgs)
-    for (_, dm, _, _, _), m in zip(decoded, msgs):
+    for (_, dm, _, _, _, _), m in zip(decoded, msgs):
         assert dm == m
 
 

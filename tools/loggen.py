@@ -73,7 +73,7 @@ def dump(path: str, max_messages: int | None = None) -> int:
     with open(path, "rb") as f:
         blob = f.read()
     count = 0
-    for key, msg, ts, crc, offset in decode_frames(blob):
+    for key, msg, ts, crc, audit, offset in decode_frames(blob):
         crc_ok = crc is None or (zlib.crc32(msg) & 0xFFFFFFFF) == crc
         print(f"offset={offset} key={key!r} ts={ts} crc_ok={crc_ok} payload={msg[:120]!r}")
         count += 1
