@@ -95,6 +95,14 @@ class SingerConfig:
     heartbeat_topic: str | None = None
     # instance-level decider sampling (T10): None → always on
     instance_sample_percent: int = 100
+    # O4: how often the live config watcher re-checks singer.properties +
+    # conf.d mtimes (SingerConfig.logConfigPollIntervalSecs)
+    log_config_poll_interval_secs: int = 10
+    # O6: SingerRestartConfig.restartOnFailures/numOfFailuesAllowed — a
+    # query that failed is restarted from its checkpoint until it has
+    # failed more than num_failures_allowed times
+    restart_on_failures: bool = False
+    num_failures_allowed: int = 3
 
 
 _BOOLS = {"true": True, "false": False}
@@ -161,9 +169,13 @@ def load_singer_config(properties_path: str | Path, conf_d: str | Path | None = 
     DirectorySingerConfigurator (config/DirectorySingerConfigurator.java)."""
     root = parse_properties(Path(properties_path).read_text())
     singer = root.get("singer", root)
+    restart = singer.get("singerRestartConfig", singer.get("restart", {}))
     cfg = SingerConfig(
         heartbeat_enabled=bool(singer.get("heartbeatEnabled", singer.get("heartbeat_enabled", True))),
         heartbeat_interval_secs=int(singer.get("heartbeatIntervalInSeconds", 60)),
+        log_config_poll_interval_secs=int(singer.get("logConfigPollIntervalSecs", 10)),
+        restart_on_failures=bool(restart.get("restartOnFailures", False)),
+        num_failures_allowed=int(restart.get("numOfFailuesAllowed", 3)),
     )
     if conf_d:
         for p in sorted(Path(conf_d).glob("*.properties")):

@@ -160,7 +160,9 @@ class PipelineManager:
     def __init__(self, spark: SparkSession, config: SingerConfig | None = None,
                  checkpoint_root: str | None = None,
                  decider: Decider | None = None,
-                 kafka_producer_factory=None) -> None:
+                 kafka_producer_factory=None,
+                 properties_path: str | None = None,
+                 conf_d: str | None = None) -> None:
         self.spark = spark
         self.config = config or SingerConfig()
         self.checkpoint_root = checkpoint_root or tempfile.mkdtemp(prefix="singer_ckpt_")
@@ -168,6 +170,18 @@ class PipelineManager:
         self.decider = decider or Decider(None)
         self.kafka_producer_factory = kafka_producer_factory
         self._draining = False
+        # O4 live reload: watched config files (None → reload disabled)
+        self.properties_path = str(properties_path) if properties_path else None
+        self.conf_d = str(conf_d) if conf_d else None
+        self._config_mtimes = self._snapshot_config_mtimes()
+        # registry of the LogConfig/audit sink each query was started with,
+        # so reload (O4) and failure restart (O6) can rebuild it
+        self.log_configs: dict[str, LogConfig] = {}
+        self._audit_sinks: dict[str, object] = {}
+        # D7 MissingDirChecker: logs whose dir didn't exist at start time
+        self.pending_dirs: dict[str, LogConfig] = {}
+        # O6: per-query failure counters
+        self.failures: dict[str, int] = {}
 
     # -- instance-level decider gate (T10/O2) ------------------------------
     def _instance_enabled(self, cfg: LogConfig) -> bool:
@@ -189,9 +203,21 @@ class PipelineManager:
         shadow destination (O8) starts a SECOND query on the same source
         with its own checkpoint — duplicate delivery to the shadow topic/
         path, unaudited, exactly the reference's shadow-serverset remap
-        (config.thrift:524-532, SHADOW_MODE_ENABLED)."""
+        (config.thrift:524-532, SHADOW_MODE_ENABLED).
+
+        A log whose directory doesn't exist yet is DEFERRED, not failed —
+        it parks in `pending_dirs` and `check_missing_dirs` starts it when
+        the dir appears (D7, monitor/MissingDirChecker.java:40-48: the
+        SingerLog goes to singerLogsWithoutDir and a checker thread retries
+        initializeLogStreams once the dir exists)."""
         if not self._instance_enabled(cfg):
             return None
+        self.log_configs[cfg.name] = cfg
+        self._audit_sinks[cfg.name] = audit_sink
+        if not os.path.isdir(cfg.log_dir):
+            self.pending_dirs[cfg.name] = cfg
+            return None
+        self.pending_dirs.pop(cfg.name, None)
         ckpt = cfg.checkpoint_dir or os.path.join(self.checkpoint_root, cfg.name)
         df = build_transforms(build_source(self.spark, cfg), cfg)
         writer = self._build_writer(cfg, df, ckpt, audit_sink)
@@ -313,7 +339,21 @@ class PipelineManager:
         history: list[dict] = []
         for _ in range(cycles):
             enabled = self._instance_enabled(cfg)
-            rows = self.run_cycle(cfg, audit_sink) if enabled else 0
+            failed = False
+            try:
+                rows = self.run_cycle(cfg, audit_sink) if enabled else 0
+            except Exception:
+                # O6: a failed cycle counts against num_failures_allowed;
+                # within the allowance the NEXT cycle re-creates the query
+                # from the same checkpoint (the failed micro-batch re-runs —
+                # at-least-once), beyond it the error surfaces
+                # (writer/KafkaWriter.java:598-602)
+                self.failures[cfg.name] = self.failures.get(cfg.name, 0) + 1
+                if not (self.config.restart_on_failures
+                        and self.failures[cfg.name] <= self.config.num_failures_allowed):
+                    raise
+                self.queries.pop(cfg.name, None)
+                failed, rows = True, 0
             if rows > 0:
                 interval = p.processing_interval_secs   # reset on data
             else:
@@ -323,13 +363,141 @@ class PipelineManager:
             # own drain schedule, and deleting its files here would be silent
             # data loss (the drained-implies-processed invariant only holds
             # per-glob)
+            # ... and never after a FAILED cycle — the drained-implies-
+            # processed invariant doesn't hold for it
             deleted = (enforce_retention(cfg.log_dir, p.log_retention_seconds,
                                          glob=cfg.log_stream_regex)
-                       if enabled else [])
+                       if enabled and not failed else [])
             history.append({"rows": rows, "interval_secs": interval,
-                            "deleted": deleted, "enabled": enabled})
+                            "deleted": deleted, "enabled": enabled,
+                            "failed": failed})
             sleep_fn(interval)
         return history
+
+    # -- O4 config live reload ---------------------------------------------
+    def _snapshot_config_mtimes(self) -> dict[str, float]:
+        """mtimes of singer.properties + every conf.d/*.properties — the
+        cheap change probe (same mtime-gate pattern as Decider._maybe_reload;
+        the reference polls and re-parses on an interval,
+        config/SingerDirectoryWatcher.java:66-90)."""
+        snap: dict[str, float] = {}
+        paths = []
+        if self.properties_path:
+            paths.append(Path(self.properties_path))
+        if self.conf_d:
+            paths.extend(sorted(Path(self.conf_d).glob("*.properties")))
+        for p in paths:
+            try:
+                snap[str(p)] = os.path.getmtime(p)
+            except OSError:
+                pass  # deleted between glob and stat — next poll sees truth
+        return snap
+
+    def poll_config_changes(self) -> dict[str, list[str]]:
+        """Re-read the watched config if any file changed, then reconcile:
+        restart queries whose LogConfig CHANGED (stop → rebuild from the
+        same checkpoint, so delivery resumes exactly where it left off),
+        start NEW logs, stop REMOVED ones.  Unchanged queries keep running —
+        finer-grained than the reference, which exits the whole agent on any
+        config change and relies on the supervisor to restart it
+        (config/SingerDirectoryWatcher.java:72-90,
+        config/DirectorySingerConfigurator.java).  Returns the actions taken.
+        """
+        from singer_spark.config import load_singer_config
+
+        actions: dict[str, list[str]] = {"restarted": [], "started": [], "stopped": []}
+        if not self.properties_path:
+            return actions
+        snap = self._snapshot_config_mtimes()
+        if snap == self._config_mtimes:
+            return actions
+        try:
+            new_config = load_singer_config(self.properties_path, self.conf_d)
+        except (OSError, ValueError):
+            return actions  # half-written config must not flap the agent
+        self._config_mtimes = snap
+        new_logs = {c.name: c for c in new_config.logs}
+        old_logs = dict(self.log_configs)
+        # preserve agent-level knobs parsed from singer.properties
+        self.config = new_config
+        for name, cfg in new_logs.items():
+            if name not in old_logs:
+                self.start_log(cfg, audit_sink=self._audit_sinks.get(name))
+                actions["started"].append(name)
+            elif cfg != old_logs[name]:
+                self._stop_query(name)
+                self.start_log(cfg, audit_sink=self._audit_sinks.get(name))
+                actions["restarted"].append(name)
+        for name in old_logs:
+            if name not in new_logs:
+                self._stop_query(name)
+                self.log_configs.pop(name, None)
+                self.pending_dirs.pop(name, None)
+                actions["stopped"].append(name)
+        return actions
+
+    def _stop_query(self, name: str, timeout_secs: int = 60) -> None:
+        """Stop a query (and its shadow twin) if running."""
+        for qname in (name, f"{name}_shadow"):
+            q = self.queries.pop(qname, None)
+            if q is not None and q.isActive:
+                q.stop()
+                q.awaitTermination(timeout_secs)
+
+    # -- D7 MissingDirChecker ----------------------------------------------
+    def check_missing_dirs(self) -> list[str]:
+        """Start every parked log whose directory has appeared (D7,
+        monitor/MissingDirChecker.java:40-48).  Returns the names started."""
+        started = []
+        for name, cfg in list(self.pending_dirs.items()):
+            if os.path.isdir(cfg.log_dir):
+                q = self.start_log(cfg, audit_sink=self._audit_sinks.get(name))
+                if q is not None:
+                    started.append(name)
+        return started
+
+    # -- O6 restart-after-failure ------------------------------------------
+    def supervise_once(self) -> dict[str, list[str]]:
+        """Restart queries that terminated with an exception, from their own
+        checkpoint (at-least-once: the failed micro-batch re-runs).  A query
+        that has failed more than ``num_failures_allowed`` times stays down
+        and is reported — the reference counterpart counts failures and
+        triggers an agent-level restart beyond the allowance
+        (writer/KafkaWriter.java:598-602, monitor/DefaultLogMonitor.java:
+        499-507 daily/failure restart)."""
+        actions: dict[str, list[str]] = {"restarted": [], "gave_up": []}
+        if not self.config.restart_on_failures:
+            return actions
+        for name, q in list(self.queries.items()):
+            if q.isActive or q.exception() is None:
+                continue
+            base = name.removesuffix("_shadow")
+            cfg = self.log_configs.get(base)
+            if cfg is None:
+                continue
+            self.failures[name] = self.failures.get(name, 0) + 1
+            self.queries.pop(name, None)
+            if self.failures[name] > self.config.num_failures_allowed:
+                actions["gave_up"].append(name)
+                continue
+            self._stop_query(base)  # tear down the pair; rebuild both
+            self.start_log(cfg, audit_sink=self._audit_sinks.get(base))
+            actions["restarted"].append(name)
+        return actions
+
+    def run_watchers(self, stop_event, interval_secs: float | None = None,
+                     sleep_fn=time.sleep) -> None:
+        """One maintenance loop standing in for the reference's three daemon
+        threads (SingerDirectoryWatcher + MissingDirChecker + restart
+        monitor): poll config changes, start parked logs, restart failed
+        queries — until `stop_event` is set.  Run it in a caller-owned
+        thread; every step is also callable directly (tests do)."""
+        interval = interval_secs or self.config.log_config_poll_interval_secs
+        while not stop_event.is_set():
+            self.poll_config_changes()
+            self.check_missing_dirs()
+            self.supervise_once()
+            sleep_fn(interval)
 
     # -- drain / stop (O3 admin `stop`) -----------------------------------
     def drain(self, timeout_secs: int = 120) -> None:

@@ -133,7 +133,7 @@ def test_run_adaptive_respects_live_decider(spark, tmp_path):
     mgr = PipelineManager(spark, decider=Decider(path))
     hist = mgr.run_adaptive(cfg, cycles=1, sleep_fn=lambda s: None)
     assert hist[0] == {"rows": 0, "interval_secs": 2, "deleted": [],
-                      "enabled": False}  # gated off: nothing processed
+                      "enabled": False, "failed": False}  # gated off
     time.sleep(0.01)
     with open(path, "w") as f:
         json.dump({"singer_gated2_decider": 100}, f)
