@@ -17,7 +17,7 @@ from pathlib import Path
 @dataclass
 class ReaderConfig:
     # config.thrift:32-88 (LogStreamReaderConfig / Text+ThriftReaderConfig)
-    type: str = "text"                      # text | thrift | tail
+    type: str = "text"                      # text | thrift | tail | tail_thrift
     message_start_regex: str | None = None  # multi-line framing (S3/S4)
     filter_message_regex: str | None = None # T1
     max_message_size: int = 102400          # common/SingerConfigDef.java:106-107

@@ -102,14 +102,18 @@ def enforce_retention(log_dir: str, retention_seconds: int,
 
 def build_source(spark: SparkSession, cfg: LogConfig, streaming: bool = True) -> DataFrame:
     r = cfg.reader
-    if r.type == "tail":
-        # sub-file tailing (S7/S2): delivers appended lines from GROWING
-        # files with per-inode byte offsets — the file source below only
-        # sees a file once it is fully listed
+    if r.type in ("tail", "tail_thrift"):
+        # sub-file tailing (S7/S2): delivers appended lines (or framed-
+        # thrift LogMessages, type 'tail_thrift') from GROWING files with
+        # per-inode byte offsets — the file source below only sees a file
+        # once it is fully listed
         from singer_spark.streaming.tail import tail_stream
 
         if not streaming:
-            raise ValueError("reader type 'tail' is streaming-only")
+            raise ValueError(f"reader type {r.type!r} is streaming-only")
+        if r.type == "tail_thrift":
+            return tail_stream(spark, cfg.log_dir, glob=cfg.log_stream_regex,
+                               mode="thrift", max_message_size=r.max_message_size)
         return tail_stream(spark, cfg.log_dir, glob=cfg.log_stream_regex)
     if r.type == "thrift":
         fn = sources.thrift_stream if streaming else sources.thrift_batch

@@ -7,55 +7,73 @@ ingests a file only once it is listed, so an open, still-growing log's tail
 would wait for rotation.  This module closes that gap with a
 `pyspark.sql.datasource` streaming source:
 
-- **Offsets are (inode → byte position) maps**, checkpointed by Spark like
-  any other streaming offset, so a kill/restart resumes mid-file with no
-  loss and no re-delivery, and a rotate-by-rename (same inode, new name
-  still matching the glob) keeps its position — the reference's
-  inode-tracked watermark (LogStream.java inode bookkeeping).
-- **Only complete lines commit.**  `latestOffset` ends each file at the
-  last newline (a bounded backward scan from EOF — O(64 KiB)/file/trigger,
-  not O(appended bytes) driver I/O); a partial tail line stays pending
-  until the writer finishes it.
-- **Reads are distributed.**  A large appended range is split into
+- **Offsets are (inode → {path, byte position, prefix fingerprint}) maps**,
+  checkpointed by Spark like any other streaming offset, so a kill/restart
+  resumes mid-file with no loss and no re-delivery, and a rotate-by-rename
+  (same inode, new name still matching the glob) keeps its position — the
+  reference's inode-tracked watermark (LogStream.java inode bookkeeping).
+- **Only complete units commit.**  Text mode ends each file at the last
+  newline; thrift mode at the last complete TFramedTransport frame.  A
+  partial tail stays pending until the writer finishes it.
+- **Driver I/O is O(changed files) per trigger.**  A per-inode
+  (size, mtime_ns) cache skips the open entirely for files that didn't
+  change; only files that grew/shrank are opened (one open computes both
+  the committed end and the fingerprint).
+- **Truncation is detected by content, not just size.**  Each offset
+  carries a CRC-32 of the first min(4 KiB, committed end) bytes; a
+  mismatch (copytruncate that regrew PAST the old offset within one
+  trigger, or an inode freed and reused by a new file) re-reads from 0.
+  Size-shrink alone would miss both cases.
+- **Replay re-resolves inode → current path.**  A checkpointed batch
+  replayed after a rotate-by-rename opens the file under its current name
+  (directory scan by inode), not the recorded-now-stale path.
+- **Reads are distributed.**  A large appended text range is split into
   ~`chunk_bytes` partitions with TextInputFormat semantics (a non-first
   chunk peeks one byte back to find its first line start; every chunk
-  completes its last line past its end), so one multi-GB catch-up spreads
-  over the cluster instead of one task.
-- A file that *shrank* (truncate-and-reuse) is re-read from 0.
-- Framed-thrift tailing would use the same offsets with
-  `framing.scan_frame_chunks` boundaries instead of newlines; the text
-  path is the reference's high-volume case and the one implemented here.
+  completes its last line past its end); thrift ranges split at the frame
+  boundaries collected during the committed-end walk.
 
-Returned schema: (value string, path string, pos bigint) — `pos` is the
-line's start byte, so downstream ordering/audit can reconstruct file order.
+Modes: ``mode=text`` (default) yields (value string, path, pos);
+``mode=thrift`` decodes framed-thrift LogMessages
+(reader/ThriftLogFileReader.java:91-175) and yields the LOG_MESSAGE columns
+(key, value, timestampInNanos, checksum, auditHeaders, file, offset).
+
+Deployment envelope (matches the reference's log-agent model): the log
+directory must be readable by driver AND executors — a single-host
+`local[*]` agent or a shared filesystem.  On a multi-node cluster over
+node-local disks the executor opens fail; use the batch sources over
+rotated files instead.  Per-trigger driver cost is one listdir + one stat
+per matching file + one open per CHANGED file — thousands of mostly-idle
+files are fine; millions of hot files in one dir are not the target shape.
 """
 
 from __future__ import annotations
 
 import os
+import zlib
 from typing import Iterator
 
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
 TAIL_SCHEMA = "value string, path string, pos bigint"
 _SCAN_BACK = 65536
+_FP_BYTES = 4096
 
 
-def _committed_end(path: str, size: int) -> int:
+def _committed_end_text(f, size: int) -> int:
     """Largest offset <= size such that everything before it is complete
     lines: the position just after the last ``\\n``.  Backward chunked scan
-    from EOF — stops at the first newline found, so steady-state cost is one
-    small read regardless of how much was appended."""
-    with open(path, "rb") as f:
-        pos = size
-        while pos > 0:
-            lo = max(0, pos - _SCAN_BACK)
-            f.seek(lo)
-            buf = f.read(pos - lo)
-            idx = buf.rfind(b"\n")
-            if idx >= 0:
-                return lo + idx + 1
-            pos = lo
+    from EOF — stops at the first newline found, so cost is one small read
+    regardless of how much was appended."""
+    pos = size
+    while pos > 0:
+        lo = max(0, pos - _SCAN_BACK)
+        f.seek(lo)
+        buf = f.read(pos - lo)
+        idx = buf.rfind(b"\n")
+        if idx >= 0:
+            return lo + idx + 1
+        pos = lo
     return 0
 
 
@@ -73,19 +91,90 @@ class TailStreamReader(DataSourceStreamReader):
         if not self.log_dir:
             raise ValueError("singer_tail requires option 'path' (the log dir)")
         self.glob = options.get("glob", "*")
+        self.mode = options.get("mode", "text")
+        if self.mode not in ("text", "thrift"):
+            raise ValueError(f"singer_tail mode must be text|thrift, got {self.mode}")
         self.chunk_bytes = int(options.get("chunk_bytes", 64 * 1024 * 1024))
+        self.max_message_size = int(options.get("max_message_size", 0)) or None
+        # per-inode scan cache: ino -> {sig, off, fp, fplen, bounds}
+        # (driver-side memo only — offsets in the checkpoint are the truth)
+        self._cache: dict[str, dict] = {}
+        # ino -> path as of the last latestOffset listing (replay fallback
+        # does a fresh scan; see _current_path)
+        self._paths: dict[str, str] = {}
+        self.opens = 0  # observability: file opens performed (tests assert)
+
+    # -- scanning ----------------------------------------------------------
+    def _fingerprint(self, f, off: int) -> tuple[int | None, int]:
+        fplen = min(_FP_BYTES, off)
+        if fplen <= 0:
+            return None, 0
+        f.seek(0)
+        return zlib.crc32(f.read(fplen)) & 0xFFFFFFFF, fplen
+
+    def _walk_frames(self, f, size: int, start: int) -> tuple[int, list[int]]:
+        """Forward walk of TFramedTransport length prefixes from a known
+        frame boundary `start`: returns (committed end, chunk boundaries
+        every ~chunk_bytes).  Only appended bytes are walked when the cache
+        held the previous end — steady-state cost is O(new frames)."""
+        import struct as _struct
+
+        bounds: list[int] = []
+        pos = last_bound = start
+        while pos + 4 <= size:
+            f.seek(pos)
+            head = f.read(4)
+            if len(head) < 4:
+                break
+            (n,) = _struct.unpack(">I", head)
+            if pos + 4 + n > size:
+                break  # truncated tail frame — stays pending
+            pos += 4 + n
+            if pos - last_bound >= self.chunk_bytes:
+                bounds.append(pos)
+                last_bound = pos
+        return pos, bounds
+
+    def _scan_file(self, path: str, st: os.stat_result) -> dict:
+        """(committed end, fingerprint) for one file, via the (size, mtime)
+        cache: an unchanged file costs zero opens; a changed one costs one
+        open that computes everything."""
+        ino = str(st.st_ino)
+        sig = (st.st_size, st.st_mtime_ns)
+        cached = self._cache.get(ino)
+        if cached is not None and cached["sig"] == sig:
+            return cached
+        entry = {"sig": sig, "off": 0, "fp": None, "fplen": 0, "bounds": []}
+        if st.st_size > 0:
+            self.opens += 1
+            with open(path, "rb") as f:
+                if self.mode == "text":
+                    entry["off"] = _committed_end_text(f, st.st_size)
+                else:
+                    start = 0
+                    if cached is not None and cached["off"] and cached["fp"] is not None:
+                        # resume the walk iff the old prefix is still there
+                        f.seek(0)
+                        head = zlib.crc32(f.read(cached["fplen"])) & 0xFFFFFFFF
+                        if head == cached["fp"] and st.st_size >= cached["off"]:
+                            start = cached["off"]
+                    entry["off"], entry["bounds"] = self._walk_frames(f, st.st_size, start)
+                entry["fp"], entry["fplen"] = self._fingerprint(f, entry["off"])
+        self._cache[ino] = entry
+        return entry
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:
         return {"files": {}}
 
     def latestOffset(self) -> dict:
-        """Snapshot the directory: inode → (current path, committed end).
-        Absolute, not delta — Spark diffs consecutive offsets itself, so a
-        restart needs no reader-side state."""
+        """Snapshot the directory: inode → (current path, committed end,
+        prefix fingerprint).  Absolute, not delta — Spark diffs consecutive
+        offsets itself, so a restart needs no reader-side state."""
         import fnmatch
 
         files: dict[str, dict] = {}
+        paths: dict[str, str] = {}
         try:
             names = os.listdir(self.log_dir)
         except FileNotFoundError:
@@ -100,36 +189,107 @@ class TailStreamReader(DataSourceStreamReader):
                 continue  # raced a delete/rotation — next trigger sees truth
             if not os.path.isfile(p):
                 continue
-            end = _committed_end(p, st.st_size) if st.st_size else 0
-            files[str(st.st_ino)] = {"path": p, "off": end}
+            entry = self._scan_file(p, st)
+            ino = str(st.st_ino)
+            paths[ino] = p
+            files[ino] = {"path": p, "off": entry["off"],
+                          "fp": entry["fp"], "fplen": entry["fplen"]}
+        self._paths = paths
         return {"files": files}
 
     # -- planning ---------------------------------------------------------
+    def _current_path(self, ino: str, recorded: str) -> str:
+        """Resolve an inode to its CURRENT path: the live listing first, a
+        fresh directory scan on replay (fresh reader instance, file may have
+        been renamed since the offset was checkpointed), the recorded path
+        as a last resort."""
+        p = self._paths.get(ino)
+        if p is not None:
+            return p
+        if not self._paths:  # replay before any latestOffset: scan once
+            import fnmatch
+
+            try:
+                for name in os.listdir(self.log_dir):
+                    if not fnmatch.fnmatch(name, self.glob):
+                        continue
+                    q = os.path.join(self.log_dir, name)
+                    try:
+                        self._paths[str(os.stat(q).st_ino)] = q
+                    except OSError:
+                        continue
+            except FileNotFoundError:
+                pass
+            p = self._paths.get(ino)
+        return p or recorded
+
+    def _same_content(self, path: str, prev: dict, cur: dict) -> bool:
+        """Is the file at `path` still the one `prev` committed through?
+        Fingerprints compare for free when both prefixes have the same
+        length (the steady state: both ≥ 4 KiB).  A small file that grew
+        past the old prefix needs one driver read of that prefix — only on
+        the trigger where it grew."""
+        if not prev.get("fplen"):
+            return True  # nothing was committed — offset 0 either way
+        if prev.get("fp") is None:
+            return True  # legacy offset without fingerprint: assume intact
+        if cur.get("fplen") == prev["fplen"]:
+            return cur.get("fp") == prev["fp"]
+        try:
+            with open(path, "rb") as f:
+                head = zlib.crc32(f.read(prev["fplen"])) & 0xFFFFFFFF
+            return head == prev["fp"]
+        except OSError:
+            return True  # gone between plan and read — executor sees truth
+
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         parts: list[InputPartition] = []
         prev = start.get("files", {})
         for ino, cur in end.get("files", {}).items():
-            s = int(prev.get(ino, {}).get("off", 0))
+            p = prev.get(ino, {})
+            s = int(p.get("off", 0))
             e = int(cur["off"])
-            if e < s:
-                s = 0  # truncated + reused: the old content is gone, re-read
+            path = self._current_path(ino, cur["path"])
+            if e < s or (s > 0 and not self._same_content(path, p, cur)):
+                s = 0  # truncated / truncate-regrown / inode reused: re-read
             if e <= s:
                 continue
-            lo = s
-            while lo < e:
-                hi = min(lo + self.chunk_bytes, e)
-                parts.append(TailPartition(cur["path"], lo, hi, s))
-                lo = hi
+            if self.mode == "thrift":
+                # split at the frame boundaries the walk collected; a replay
+                # on a fresh reader has no cache and reads the range whole
+                cached = self._cache.get(ino, {})
+                cuts = [b for b in cached.get("bounds", []) if s < b < e]
+                lo = s
+                for hi in cuts + [e]:
+                    parts.append(TailPartition(path, lo, hi, s))
+                    lo = hi
+            else:
+                lo = s
+                while lo < e:
+                    hi = min(lo + self.chunk_bytes, e)
+                    parts.append(TailPartition(path, lo, hi, s))
+                    lo = hi
         return parts
 
     # -- execution (runs on executors) --------------------------------------
     def read(self, partition: TailPartition) -> Iterator[tuple]:
-        """TextInputFormat semantics over [start, end): a line belongs to the
-        chunk containing its first byte.  A non-first chunk seeks one byte
-        back — if that byte is a newline the chunk's first line starts
-        exactly at `start`, otherwise skip the partial line (the previous
-        chunk completes it past its own end)."""
+        """Text: TextInputFormat semantics over [start, end) — a line belongs
+        to the chunk containing its first byte; a non-first chunk seeks one
+        byte back to find its first line start.  Thrift: `start` is always a
+        frame boundary, so the slice decodes standalone."""
         path, start, end = partition.path, partition.start, partition.end
+        if self.mode == "thrift":
+            from singer_spark.framing import AUDIT_HEADERS_SCHEMA, decode_file_tolerant
+
+            with open(path, "rb") as f:
+                f.seek(start)
+                blob = f.read(end - start)
+            for key, msg, ts, crc, audit, _path, off in decode_file_tolerant(
+                    blob, path, self.max_message_size, base_offset=start):
+                audit_row = (tuple(audit.get(fld.name) for fld in AUDIT_HEADERS_SCHEMA.fields)
+                             if audit is not None else None)
+                yield (key, msg, ts, crc, audit_row, path, off)
+            return
         with open(path, "rb") as f:
             pos = start
             if start > partition.batch_start:
@@ -160,7 +320,11 @@ class TailDataSource(DataSource):
     def name(cls) -> str:
         return "singer_tail"
 
-    def schema(self) -> str:
+    def schema(self):
+        if self.options.get("mode", "text") == "thrift":
+            from singer_spark.framing import LOG_MESSAGE_SCHEMA
+
+            return LOG_MESSAGE_SCHEMA
         return TAIL_SCHEMA
 
     def streamReader(self, schema) -> TailStreamReader:
@@ -168,13 +332,17 @@ class TailDataSource(DataSource):
 
 
 def tail_stream(spark, log_dir: str, glob: str = "*",
-                chunk_bytes: int = 64 * 1024 * 1024):
+                chunk_bytes: int = 64 * 1024 * 1024, mode: str = "text",
+                max_message_size: int | None = None):
     """readStream over growing files in `log_dir` (registers the source)."""
     spark.dataSource.register(TailDataSource)
-    return (
+    reader = (
         spark.readStream.format("singer_tail")
         .option("path", log_dir)
         .option("glob", glob)
         .option("chunk_bytes", str(chunk_bytes))
-        .load()
+        .option("mode", mode)
     )
+    if max_message_size:
+        reader = reader.option("max_message_size", str(max_message_size))
+    return reader.load()

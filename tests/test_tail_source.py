@@ -133,3 +133,145 @@ def test_tail_truncated_file_is_reread(spark, tmp_path):
         f.write("b1\n")
     got = _drain(spark, d, ckpt, "tail_t5")
     assert sorted(v for v, _ in got) == ["a1", "a2", "b1"]  # b1 re-read from 0
+
+
+# ---------------------------------------------------------------------------
+# Round-4 hardening: bounded driver I/O, content fingerprints, replay paths,
+# framed-thrift tailing.
+# ---------------------------------------------------------------------------
+def _reader(d, **opts):
+    from singer_spark.streaming.tail import TailStreamReader
+
+    return TailStreamReader({"path": d, **{k: str(v) for k, v in opts.items()}})
+
+
+def test_tail_driver_opens_only_changed_files(tmp_path):
+    """Steady-state trigger cost is O(changed files): an unchanged directory
+    costs zero opens; appending to one file costs exactly one."""
+    d = str(tmp_path)
+    for i in range(5):
+        _append(f"{d}/f{i}.log", f"line {i}\n")
+    r = _reader(d)
+    r.latestOffset()
+    assert r.opens == 5  # first sight: every file scanned once
+    r.latestOffset()
+    assert r.opens == 5  # nothing changed: zero new opens
+    _append(f"{d}/f2.log", "more\n")
+    off = r.latestOffset()
+    assert r.opens == 6  # only the changed file was opened
+    assert sum(v["off"] for v in off["files"].values()) == sum(
+        len(f"line {i}\n") for i in range(5)) + len("more\n")
+
+
+def test_tail_copytruncate_regrow_detected_by_fingerprint(tmp_path):
+    """copytruncate under sustained writes: the file is truncated and regrows
+    PAST the old offset between triggers.  Size alone looks like growth; the
+    prefix fingerprint catches it and the new content replans from 0."""
+    d = str(tmp_path)
+    log = f"{d}/t.log"
+    _append(log, "old-1\nold-2\n")
+    r = _reader(d)
+    start = r.latestOffset()
+    (rec,) = start["files"].values()
+    assert rec["off"] == 12 and rec["fp"] is not None
+
+    # truncate + regrow past 12 bytes with different content, one trigger
+    with open(log, "w") as f:
+        f.write("NEW-a\nNEW-b\nNEW-c\n")
+    end = r.latestOffset()
+    parts = r.partitions(start, end)
+    assert [(p.start, p.end) for p in parts] == [(0, 18)]  # re-read from 0
+
+
+def test_tail_plain_growth_keeps_offset(tmp_path):
+    d = str(tmp_path)
+    log = f"{d}/g.log"
+    _append(log, "a\n" * 10)
+    r = _reader(d)
+    start = r.latestOffset()
+    _append(log, "b\n" * 3)
+    end = r.latestOffset()
+    (p,) = r.partitions(start, end)
+    assert (p.start, p.end) == (20, 26)  # delta only — fingerprint matched
+
+
+def test_tail_replay_reresolves_renamed_path(tmp_path):
+    """A checkpointed batch replayed after rotate-by-rename must open the
+    inode's CURRENT name, not the recorded one (fresh reader = restart)."""
+    d = str(tmp_path)
+    _append(f"{d}/app.log", "m1\nm2\n")
+    r = _reader(d)
+    start, end = r.initialOffset(), r.latestOffset()
+    os.rename(f"{d}/app.log", f"{d}/app.log.1")
+
+    fresh = _reader(d)  # restart: no in-memory listing yet
+    (p,) = fresh.partitions(start, end)
+    assert p.path.endswith("app.log.1")
+    assert [t[0] for t in fresh.read(p)] == ["m1", "m2"]
+
+
+def test_tail_thrift_mode_exactly_once_across_restart(spark, tmp_path):
+    """S2 parity: framed-thrift messages appended to a GROWING file deliver
+    incrementally with byte-offset resume; a partial tail frame is held; a
+    restart (fresh query, same checkpoint) neither loses nor duplicates."""
+    from singer_spark.framing import encode_log_message
+    from singer_spark.streaming.tail import tail_stream
+
+    d = str(tmp_path / "logs")
+    os.makedirs(d)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    log = f"{d}/t.log"
+
+    def drain():
+        q = (tail_stream(spark, d, mode="thrift").writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+        return sorted((bytes(r.value).decode(), r.offset)
+                      for r in spark.read.parquet(out).collect())
+
+    f1 = encode_log_message(b"msg-1", key=b"1", with_crc=True)
+    f2 = encode_log_message(b"msg-2", key=b"2", with_crc=True,
+                            audit_headers={"host": "h", "logName": "t",
+                                           "pid": 1, "session": 2,
+                                           "logSeqNumInSession": 0,
+                                           "timestamp": 3, "tracked": True})
+    with open(log, "ab") as f:
+        f.write(f1 + f2[: len(f2) // 2])  # partial second frame
+    assert [v for v, _ in drain()] == ["msg-1"]  # partial frame held back
+
+    with open(log, "ab") as f:  # writer finishes frame 2, adds frame 3
+        f.write(f2[len(f2) // 2:] + encode_log_message(b"msg-3", key=b"3"))
+    got = drain()  # fresh query on the same checkpoint — a real restart
+    assert [v for v, _ in got] == ["msg-1", "msg-2", "msg-3"]
+    assert [o for _, o in got] == [0, len(f1), len(f1) + len(f2)]
+    # the audit headers rode through the stream
+    rows = {bytes(r.value): r for r in spark.read.parquet(out).collect()}
+    assert rows[b"msg-2"].auditHeaders.host == "h"
+    assert rows[b"msg-2"].auditHeaders.tracked is True
+    assert rows[b"msg-1"].auditHeaders is None
+    # nothing new → no duplicates
+    assert len(drain()) == 3
+
+
+def test_tail_thrift_chunk_boundaries_align_to_frames(tmp_path):
+    from singer_spark.framing import encode_log_message
+
+    d = str(tmp_path)
+    frames = [encode_log_message(f"payload-{i:03d}".encode(), key=b"k")
+              for i in range(50)]
+    with open(f"{d}/big.log", "wb") as f:
+        f.writelines(frames)
+    r = _reader(d, mode="thrift", chunk_bytes=100)
+    start, end = r.initialOffset(), r.latestOffset()
+    parts = r.partitions(start, end)
+    assert len(parts) > 5  # the catch-up actually split
+    # every boundary is a frame boundary: each part decodes standalone and
+    # the union is exactly the input, in order
+    out = []
+    for p in sorted(parts, key=lambda p: p.start):
+        out += [bytes(t[1]) for t in r.read(p)]
+    assert out == [f"payload-{i:03d}".encode() for i in range(50)]
