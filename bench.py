@@ -81,6 +81,9 @@ def main() -> None:
             samples.append(time.time() - t0)
         timings[name] = round(statistics.median(samples), 3)
         mins[name] = round(min(samples), 3)
+        # a query's own persisted frames are reused across ITS runs (warm
+        # medians), but must not linger into other queries' timings
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
