@@ -860,6 +860,97 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", F.col("byte_len").cast("bigint").alias("byte_len"), "sha_prefix")
 
 
+def _synthetic_ppm_media(spark: SparkSession, sf_dir: str, size: int = 8) -> DataFrame:
+    """Deterministic 8×8 PPM per document: pixel (x, y) has all three
+    channels equal to (doc_id + x + y) % 256 — every derived quantity is
+    SQL-recomputable, so the real decode/resize kernels get value oracles."""
+    import pandas as pd
+
+    from singer_spark.operators.multimodal import MEDIA_SCHEMA, encode_ppm
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                y, x = np.mgrid[0:size, 0:size]
+                px = ((d + x + y) % 256).astype(np.uint8)
+                arr = np.repeat(px[:, :, None], 3, axis=2)
+                rows.append((d, "image", encode_ppm(arr),
+                             "image/x-portable-pixmap", size, size, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return _docs(spark, sf_dir).select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image path end-to-end: synthesize an 8×8 PPM per doc, run the
+    nearest-neighbor resize kernel to 4×4, decode the RESULT and project
+    (width, height, byte_len, pixel_sum) — the oracle recomputes the
+    nearest-neighbor gather ((doc_id + 2x + 2y) % 256 over the 4×4 grid)
+    in SQL, so a kernel off by one pixel or one row breaks the match."""
+    import pandas as pd
+
+    from singer_spark.operators.multimodal import decode_ppm, resize_images
+
+    resized = resize_images(_synthetic_ppm_media(spark, sf_dir), 4, 4)
+
+    def project(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                b = bytes(r.content)
+                w, h, arr = decode_ppm(b)
+                rows.append((int(r.media_id), w, h, len(b), int(arr.sum())))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height",
+                                              "byte_len", "pixel_sum"])
+
+    return resized.mapInPandas(
+        project,
+        "media_id bigint, width int, height int, byte_len int, pixel_sum bigint")
+
+
+def _multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio path end-to-end: synthesize a 16-bit PCM WAV per doc
+    (square wave, amplitude (doc_id % 8) · 4096 — exactly representable, so
+    RMS/peak are closed-form), run the WAV decode kernel, project integer
+    stats the oracle recomputes: rate, sample count, duration, and
+    milli-scaled RMS/peak."""
+    import pandas as pd
+
+    from singer_spark.operators.multimodal import MEDIA_SCHEMA, audio_stats, encode_wav
+
+    rate = 8000
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 400 + (d % 10) * 80
+                amp = (d % 8) * 4096
+                samples = np.full(n, amp, dtype="<i2")
+                samples[1::2] = -amp
+                rows.append((d, "audio", encode_wav(samples, rate),
+                             "audio/wav", None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+    stats = audio_stats(media)
+    milli = lambda c: F.floor(F.col(c).cast("double") * 1000 + F.lit(0.5)).cast("bigint")
+    return stats.select(
+        "media_id", "sample_rate",
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        "duration_ms",
+        milli("rms").alias("rms_milli"),
+        milli("peak").alias("peak_milli"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from singer_spark import tpch as _tpch
 
@@ -962,6 +1053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "multimodal_meta": _multimodal_meta,
         "multimodal_features": _multimodal_features,
+        "multimodal_resize": _multimodal_resize,
+        "multimodal_audio_stats": _multimodal_audio_stats,
     }
 
 
@@ -1844,4 +1937,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS byte_len,
                    substr(sha256(text), 1, 16) AS sha_prefix
             FROM documents""",
+        "multimodal_resize": """
+            -- nearest-neighbor 8x8 -> 4x4 keeps source pixels (2x, 2y);
+            -- each pixel repeats across 3 channels.  PPM byte length =
+            -- len('P6\\n4 4\\n255\\n') + 4*4*3 = 59.
+            SELECT d.doc_id AS media_id, 4 AS width, 4 AS height,
+                   59 AS byte_len,
+                   (SELECT SUM(3 * ((d.doc_id + 2*x.g + 2*y.g) % 256))
+                    FROM generate_series(0, 3) x(g),
+                         generate_series(0, 3) y(g))::BIGINT AS pixel_sum
+            FROM documents d""",
+        "multimodal_audio_stats": """
+            -- square wave at amplitude (doc_id % 8) * 4096: RMS = peak =
+            -- amp / 32768 = (doc_id % 8) / 8 exactly
+            SELECT doc_id AS media_id, 8000 AS sample_rate,
+                   (400 + (doc_id % 10) * 80)::BIGINT AS n_samples,
+                   ((400 + (doc_id % 10) * 80) / 8)::INT AS duration_ms,
+                   ((doc_id % 8) * 125)::BIGINT AS rms_milli,
+                   ((doc_id % 8) * 125)::BIGINT AS peak_milli
+            FROM documents d""",
     }

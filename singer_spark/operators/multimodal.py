@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are
-deterministic fakes / clearly-marked stubs — but the Spark-side contract is
-real and tested: schema, Arrow-batched mapInPandas signature, partitioning
-behavior, and batch shapes are exactly what a production decoder would use
-(swap `_fake_decode_image` for PIL/libvips and nothing else changes).
+The Spark-side contract — schema, Arrow-batched mapInPandas signatures,
+partitioning behavior, batch shapes — is exactly what a production decoder
+pipeline uses.  The kernels are REAL for the formats decodable with
+stdlib + numpy alone (PPM/P6 images, RIFF/WAV PCM audio, and motion-PPM
+"video" = concatenated P6 frames): decode, nearest-neighbor resize, frame
+sampling, and mean-pooled features all operate on actual pixels/samples.
+Compressed formats (JPEG/PNG/MP4/...) raise a clearly-marked
+NotImplementedError at the kernel dispatch — swap in PIL/libvips/pyav there
+and nothing else changes.
 """
 
 from __future__ import annotations
@@ -13,6 +17,8 @@ from __future__ import annotations
 import hashlib
 import struct
 from collections.abc import Iterator
+
+import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -38,7 +44,105 @@ IMAGE_FEATURES_SCHEMA = StructType([
     StructField("feature", ArrayType(FloatType()), False),  # pooled embedding
 ])
 
+AUDIO_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("sample_rate", IntegerType(), False),
+    StructField("n_samples", LongType(), False),
+    StructField("duration_ms", IntegerType(), False),
+    StructField("rms", FloatType(), False),
+    StructField("peak", FloatType(), False),
+])
 
+
+# ---------------------------------------------------------------------------
+# Pure-python codecs (no external libs): PPM (P6) and RIFF/WAV PCM16.
+# ---------------------------------------------------------------------------
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Binary PPM (P6): 'P6' <w> <h> <maxval> raw RGB.  Whitespace- and
+    comment-tolerant header parse; returns (w, h, uint8[h, w, 3])."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n = w * h * 3
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return w, h, arr.reshape(h, w, 3)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def ppm_frame_lengths(payload: bytes) -> list[tuple[int, int]]:
+    """Byte ranges of each frame in a motion-PPM stream (concatenated P6
+    frames — the uncompressed 'video' container the tests use)."""
+    out, pos = [], 0
+    while pos < len(payload):
+        w, h, _ = decode_ppm(payload[pos:])
+        header_end = payload.index(b"255\n", pos) + 4  # after maxval+ws
+        end = header_end + w * h * 3
+        out.append((pos, end))
+        pos = end
+    return out
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE with 16-bit PCM: walk the chunk list for fmt + data.
+    Returns (sample_rate, int16 samples flattened across channels)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, _ch, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM WAV supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, data
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _unsupported(payload: bytes, op: str):
+    magic = payload[:8].hex()
+    raise NotImplementedError(
+        f"{op}: payload (magic {magic}) is not a stdlib-decodable format; "
+        "compressed codecs (JPEG/PNG/MP4/...) need PIL/libvips/pyav — wire "
+        "them into this kernel dispatch and nothing else changes")
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level operators (Arrow-batched mapInPandas kernels).
+# ---------------------------------------------------------------------------
 def documents_as_media(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """Adapter: treat document text bytes as opaque media payloads so the
@@ -54,17 +158,36 @@ def documents_as_media(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def _fake_decode_image(payload: bytes, dim: int = 8) -> list[float]:
-    """STUB decode: a real deployment calls PIL/turbojpeg here.
-    Deterministic fake: md5-seeded pseudo-pixels pooled to `dim` floats —
-    stable across executors/retries, which is what the tests verify."""
+def _fallback_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Content-hash feature for payloads no decoder claims — deterministic
+    across executors/retries (tests pin this), so unknown blobs still get a
+    stable fingerprint vector instead of poisoning the batch."""
     digest = hashlib.md5(payload).digest()
     vals = struct.unpack(">4I", digest)
     return [round((vals[i % 4] % 1000) / 1000.0 + i * 0.001, 6) for i in range(dim)]
 
 
+def _pool_image_feature(arr: np.ndarray, dim: int) -> list[float]:
+    """Mean-pool the decoded image onto a dim-length vector: grayscale grid
+    pooling over a g×g tiling (g² ≥ dim), row-major."""
+    g = int(np.ceil(np.sqrt(dim)))
+    gray = arr.mean(axis=2)
+    h, w = gray.shape
+    ys = np.linspace(0, h, g + 1, dtype=int)
+    xs = np.linspace(0, w, g + 1, dtype=int)
+    vals = []
+    for i in range(g):
+        for j in range(g):
+            cell = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                        xs[j]:max(xs[j + 1], xs[j] + 1)]
+            vals.append(float(round(cell.mean() / 255.0, 6)))
+    return vals[:dim]
+
+
 def extract_image_features(media: DataFrame, dim: int = 8) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
+    """Arrow-batched feature extraction over binary payloads: PPM payloads
+    decode to pixels and mean-pool; anything else gets the deterministic
+    content-hash vector.
 
     mapInPandas receives whole Arrow batches (not rows); at scale the input
     should be repartitioned so one batch ≈ one GPU/decoder-friendly chunk —
@@ -76,34 +199,96 @@ def extract_image_features(media: DataFrame, dim: int = 8) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(payload)
-                rows.append((int(mid), len(b), hashlib.sha256(b).hexdigest()[:16],
-                             _fake_decode_image(b, dim)))
+                if b[:2] == b"P6":
+                    _, _, arr = decode_ppm(b)
+                    feat = _pool_image_feature(arr, dim)
+                else:
+                    feat = _fallback_feature(b, dim)
+                rows.append((int(mid), len(b), hashlib.sha256(b).hexdigest()[:16], feat))
             yield pd.DataFrame(rows, columns=["media_id", "byte_len", "sha_prefix", "feature"])
 
     return media.mapInPandas(gen, IMAGE_FEATURES_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB resize: raises when actually asked to decode — the plumbing
-    (schema + partition shape) is real; the kernel needs an image lib."""
-    def gen(batches):
-        raise NotImplementedError(
-            "image resize requires an image codec (PIL/libvips) not present "
-            "in this container; wire it into this mapInPandas kernel")
-        yield  # pragma: no cover
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Nearest-neighbor resize — REAL for PPM payloads (numpy index
+    gather, re-encoded as PPM with updated metadata); compressed formats
+    raise at the dispatch (see `_unsupported`)."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                b = bytes(r.content)
+                if b[:2] != b"P6":
+                    _unsupported(b, "resize_images")
+                w, h, arr = decode_ppm(b)
+                ys = (np.arange(height) * h // height)
+                xs = (np.arange(width) * w // width)
+                out = arr[ys][:, xs]
+                rows.append((int(r.media_id), r.media_type, encode_ppm(out),
+                             "image/x-portable-pixmap", width, height, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return media.mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """STUB video frame sampler — same contract as resize_stub."""
-    def gen(batches):
-        raise NotImplementedError(
-            "video frame sampling requires an AV codec (pyav/ffmpeg) not "
-            "present in this container; wire it into this mapInPandas kernel")
-        yield  # pragma: no cover
+# backwards-compat name: the resize entry point used to be a declared stub
+resize_stub = resize_images
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling — REAL for motion-PPM streams (concatenated P6
+    frames): keep every `every_n`-th frame, one output row per kept frame
+    (media_id preserved; width/height from the frame header).  Compressed
+    video needs pyav/ffmpeg at the same dispatch point."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                b = bytes(r.content)
+                if b[:2] != b"P6":
+                    _unsupported(b, "sample_frames")
+                for idx, (s, e) in enumerate(ppm_frame_lengths(b)):
+                    if idx % every_n:
+                        continue
+                    frame = b[s:e]
+                    w, h, _ = decode_ppm(frame)
+                    rows.append((int(r.media_id), "image", frame,
+                                 "image/x-portable-pixmap", w, h, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return media.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+frame_sample_stub = sample_frames
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """WAV PCM decode → per-clip sample rate, duration, RMS and peak level
+    (normalized to [0, 1]) — the audio-quality gate of a training-data
+    pipeline, Arrow-batched like the image kernels."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF":
+                    _unsupported(b, "audio_stats")
+                rate, samples = decode_wav(b)
+                x = samples.astype(np.float64) / 32768.0
+                rows.append((int(mid), rate, len(samples),
+                             int(len(samples) * 1000 / rate),
+                             float(round(np.sqrt((x ** 2).mean()), 6)) if len(x) else 0.0,
+                             float(round(np.abs(x).max(), 6)) if len(x) else 0.0))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return media.mapInPandas(gen, AUDIO_SCHEMA)
 
 
 def media_metadata(media: DataFrame) -> DataFrame:

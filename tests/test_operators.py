@@ -341,3 +341,78 @@ def test_dedup_clusters_transitive_components(spark):
         [(10, 20, 0.9), (20, 30, 0.8)], "id_a bigint, id_b bigint, jaccard double")
     got = {r.doc_id: r.cluster for r in dedup.dedup_clusters(docs, pairs).collect()}
     assert got == {10: 10, 20: 10, 30: 10, 40: 40, 99: 99}
+
+
+# ---------------------------------------------------------------------------
+# Multimodal real kernels (stdlib-decodable formats: PPM, WAV, motion-PPM).
+# ---------------------------------------------------------------------------
+def _ppm(w, h, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return multimodal.encode_ppm(arr), arr
+
+
+def _media_df(spark, payloads, media_type="image"):
+    rows = [(i, media_type, bytearray(p), None, None, None, None)
+            for i, p in enumerate(payloads)]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_ppm_roundtrip_and_comment_tolerance():
+    import numpy as np
+
+    blob, arr = _ppm(7, 5, seed=3)
+    w, h, back = multimodal.decode_ppm(blob)
+    assert (w, h) == (7, 5) and np.array_equal(back, arr)
+    commented = b"P6\n# a comment\n7 5\n255\n" + arr.tobytes()
+    _, _, back2 = multimodal.decode_ppm(commented)
+    assert np.array_equal(back2, arr)
+
+
+def test_resize_images_real_pixels(spark):
+    import numpy as np
+
+    blob, arr = _ppm(8, 8, seed=1)
+    out = multimodal.resize_images(_media_df(spark, [blob]), 4, 4).collect()
+    assert len(out) == 1 and out[0].width == 4 and out[0].height == 4
+    _, _, resized = multimodal.decode_ppm(bytes(out[0].content))
+    # nearest-neighbor with integer scale 2: every output pixel is the
+    # top-left of its 2x2 source block
+    assert np.array_equal(resized, arr[::2, ::2])
+
+
+def test_sample_frames_motion_ppm(spark):
+    frames = [_ppm(4, 3, seed=s)[0] for s in range(5)]
+    stream = b"".join(frames)
+    out = multimodal.sample_frames(_media_df(spark, [stream], "video"),
+                                   every_n=2).orderBy("media_id").collect()
+    assert len(out) == 3  # frames 0, 2, 4
+    assert [bytes(r.content) for r in out] == [frames[0], frames[2], frames[4]]
+    assert all(r.width == 4 and r.height == 3 for r in out)
+
+
+def test_audio_stats_wav(spark):
+    import numpy as np
+
+    rate = 8000
+    t = np.arange(rate)  # one second
+    full = (np.sin(2 * np.pi * 440 * t / rate) * 32767 * 0.5).astype("<i2")
+    silent = np.zeros(rate // 2, dtype="<i2")
+    df = _media_df(spark, [multimodal.encode_wav(full, rate),
+                           multimodal.encode_wav(silent, rate)], "audio")
+    got = {r.media_id: r for r in multimodal.audio_stats(df).collect()}
+    assert got[0].sample_rate == rate and got[0].duration_ms == 1000
+    assert abs(got[0].rms - 0.5 / (2 ** 0.5)) < 0.01  # sine RMS = A/sqrt(2)
+    assert got[1].duration_ms == 500 and got[1].rms == 0.0 and got[1].peak == 0.0
+
+
+def test_ppm_features_are_pooled_pixels(spark):
+    import numpy as np
+
+    # constant-color image: every pooled cell equals that gray level
+    arr = np.full((6, 6, 3), 120, dtype=np.uint8)
+    out = multimodal.extract_image_features(
+        _media_df(spark, [multimodal.encode_ppm(arr)]), dim=4).collect()
+    assert out[0].feature == pytest.approx([120 / 255.0] * 4, abs=1e-5)
