@@ -144,7 +144,7 @@ def build_transforms(df: DataFrame, cfg: LogConfig) -> DataFrame:
     )
     out = apply_transforms(df, tc, text_col="value")
     w = cfg.writer
-    if w.type in ("kafka", "kafka_direct") and w.partitioner:
+    if w.type in ("kafka", "kafka_direct", "pulsar") and w.partitioner:
         import inspect
 
         key = F.col("key") if "key" in out.columns else F.col("value")
@@ -165,6 +165,7 @@ class PipelineManager:
                  checkpoint_root: str | None = None,
                  decider: Decider | None = None,
                  kafka_producer_factory=None,
+                 pulsar_client_factory=None,
                  properties_path: str | None = None,
                  conf_d: str | None = None) -> None:
         self.spark = spark
@@ -173,6 +174,7 @@ class PipelineManager:
         self.queries: dict[str, StreamingQuery] = {}
         self.decider = decider or Decider(None)
         self.kafka_producer_factory = kafka_producer_factory
+        self.pulsar_client_factory = pulsar_client_factory
         self._draining = False
         # O4 live reload: watched config files (None → reload disabled)
         self.properties_path = str(properties_path) if properties_path else None
@@ -296,6 +298,12 @@ class PipelineManager:
             else:
                 writer = sinks.file_sink(df, w.path, ckpt, fmt=w.format,
                                          min_upload_seconds=w.min_upload_seconds)
+        elif w.type == "pulsar":
+            # W4/P11: the partitioner-computed `partition` column routes to
+            # sub-topic producers inside pulsar_write_batch (the reference's
+            # MessageRouter-wrapping-partitioner composition)
+            writer = sinks.pulsar_sink(df, w.bootstrap_servers, w.topic, ckpt,
+                                       client_factory=self.pulsar_client_factory)
         elif w.type == "memory":
             writer = sinks.memory_sink(df, cfg.name, ckpt)
         elif w.type == "noop":

@@ -291,19 +291,41 @@ def _default_pulsar_client(service_url: str):
 
 def pulsar_write_batch(batch_df: DataFrame, service_url: str, topic: str,
                        client_factory: Callable | None = None,
-                       key_col: str = "key", value_col: str = "value") -> None:
+                       key_col: str = "key", value_col: str = "value",
+                       partition_col: str = "partition") -> None:
     """Write one (micro-)batch to Pulsar: per partition, open a client,
     async-send every row, then flush once — the PulsarWriter protocol
     (send batch + flush + await futures).  Errors raise and fail the task,
-    so Spark's retry/at-least-once semantics apply."""
+    so Spark's retry/at-least-once semantics apply.
+
+    Custom routing (P11): when the DataFrame carries a `partition` column
+    (computed by any PARTITIONER_REGISTRY plugin, the analog of the
+    reference's partitioner-class-by-name selection), rows route to that
+    partition's sub-topic producer (`{topic}-partition-{n}`, the on-wire
+    layout of a Pulsar partitioned topic) — exactly what the reference's
+    PulsarMessageRouter does with `partitioner.partition(keyBytes, n)`
+    (writer/pulsar/PulsarMessageRouter.java:24-51,
+    writer/pulsar/PulsarWriter.java:104,152).  Without the column the
+    producer's default routing applies (key-hash / round-robin)."""
     factory = client_factory or _default_pulsar_client
-    cols = [c for c in (key_col, value_col) if c in batch_df.columns]
+    cols = [c for c in (key_col, value_col, partition_col) if c in batch_df.columns]
     plan = batch_df.select(*cols)
     has_key = key_col in plan.columns
+    has_partition = partition_col in plan.columns
 
     def send_partition(rows) -> None:
         client = factory(service_url)
-        producer = client.create_producer(topic)
+        producers: dict[str, object] = {}
+
+        def producer_for(row):
+            sub = topic
+            if has_partition and row[partition_col] is not None:
+                sub = f"{topic}-partition-{int(row[partition_col])}"
+            p = producers.get(sub)
+            if p is None:
+                p = producers[sub] = client.create_producer(sub)
+            return p
+
         # pulsar reports per-message failures ONLY through the send callback;
         # flush() returns without raising on failed sends, so a None callback
         # silently drops them.  Collect non-Ok results and raise after flush
@@ -325,9 +347,10 @@ def pulsar_write_batch(batch_df: DataFrame, service_url: str, topic: str,
                 if has_key and row[key_col] is not None:
                     k = row[key_col]
                     kwargs["partition_key"] = k if isinstance(k, str) else bytes(k).decode("utf-8", "replace")
-                producer.send_async(bytes(payload), on_send, **kwargs)
+                producer_for(row).send_async(bytes(payload), on_send, **kwargs)
                 n_sent += 1
-            producer.flush()
+            for p in producers.values():
+                p.flush()
             if failures:
                 raise RuntimeError(
                     f"pulsar sink: {len(failures)}/{n_sent} sends failed "
