@@ -27,6 +27,11 @@ would wait for rotation.  This module closes that gap with a
 - **Replay re-resolves inode → current path.**  A checkpointed batch
   replayed after a rotate-by-rename opens the file under its current name
   (directory scan by inode), not the recorded-now-stale path.
+- **Catch-up is paceable.**  ``max_bytes_per_trigger`` bounds how many new
+  bytes per file one micro-batch takes (snapped to a line/frame boundary,
+  with an unbounded retry so one oversized record can't stall the stream)
+  — the per-batch read limit a backlogged agent needs so a multi-GB
+  backlog doesn't land in one batch.
 - **Reads are distributed.**  A large appended text range is split into
   ~`chunk_bytes` partitions with TextInputFormat semantics (a non-first
   chunk peeks one byte back to find its first line start; every chunk
@@ -96,6 +101,17 @@ class TailStreamReader(DataSourceStreamReader):
             raise ValueError(f"singer_tail mode must be text|thrift, got {self.mode}")
         self.chunk_bytes = int(options.get("chunk_bytes", 64 * 1024 * 1024))
         self.max_message_size = int(options.get("max_message_size", 0)) or None
+        # catch-up pacing: at most this many NEW bytes per file per trigger,
+        # snapped down to a line/frame boundary (0 = unlimited).  The batch
+        # analog of the reference's per-batch read limits
+        # (processorBatchSize, reader/ThriftReader paced reads) — without it
+        # a multi-GB backlog lands in ONE micro-batch.  After a restart the
+        # pace base rebuilds from the first commit, so the first batches may
+        # be empty while the base catches up to the checkpoint — no loss,
+        # no duplicates (fingerprint-verified skip).
+        self.max_bytes_per_trigger = int(options.get("max_bytes_per_trigger", 0))
+        # ino -> last offset this reader reported/committed (pacing base)
+        self._reported: dict[str, int] = {}
         # per-inode scan cache: ino -> {sig, off, fp, fplen, bounds}
         # (driver-side memo only — offsets in the checkpoint are the truth)
         self._cache: dict[str, dict] = {}
@@ -137,28 +153,46 @@ class TailStreamReader(DataSourceStreamReader):
 
     def _scan_file(self, path: str, st: os.stat_result) -> dict:
         """(committed end, fingerprint) for one file, via the (size, mtime)
-        cache: an unchanged file costs zero opens; a changed one costs one
-        open that computes everything."""
+        cache: an unchanged, caught-up file costs zero opens; a changed (or
+        still-pacing) one costs one open that computes everything.  With
+        `max_bytes_per_trigger` the scan is bounded to the pace budget past
+        the last reported offset, snapped to a line/frame boundary."""
         ino = str(st.st_ino)
         sig = (st.st_size, st.st_mtime_ns)
         cached = self._cache.get(ino)
-        if cached is not None and cached["sig"] == sig:
+        if cached is not None and cached["sig"] == sig and cached.get("caught_up", True):
             return cached
-        entry = {"sig": sig, "off": 0, "fp": None, "fplen": 0, "bounds": []}
+        cap = self.max_bytes_per_trigger
+        base = self._reported.get(ino, 0)
+        entry = {"sig": sig, "off": 0, "fp": None, "fplen": 0, "bounds": [],
+                 "caught_up": True}
         if st.st_size > 0:
             self.opens += 1
             with open(path, "rb") as f:
-                if self.mode == "text":
-                    entry["off"] = _committed_end_text(f, st.st_size)
-                else:
-                    start = 0
-                    if cached is not None and cached["off"] and cached["fp"] is not None:
-                        # resume the walk iff the old prefix is still there
-                        f.seek(0)
-                        head = zlib.crc32(f.read(cached["fplen"])) & 0xFFFFFFFF
-                        if head == cached["fp"] and st.st_size >= cached["off"]:
-                            start = cached["off"]
-                    entry["off"], entry["bounds"] = self._walk_frames(f, st.st_size, start)
+                limit = st.st_size
+                if cap and base + cap < limit:
+                    limit, entry["caught_up"] = base + cap, False
+                start = 0
+                if self.mode != "text" and cached is not None \
+                        and cached["off"] and cached["fp"] is not None:
+                    # resume the walk iff the old prefix is still there
+                    f.seek(0)
+                    head = zlib.crc32(f.read(cached["fplen"])) & 0xFFFFFFFF
+                    if head == cached["fp"] and st.st_size >= cached["off"]:
+                        start = cached["off"]
+
+                def scan(lim: int) -> None:
+                    if self.mode == "text":
+                        entry["off"] = _committed_end_text(f, lim)
+                    else:
+                        entry["off"], entry["bounds"] = self._walk_frames(f, lim, start)
+
+                scan(limit)
+                if not entry["caught_up"] and entry["off"] <= base:
+                    # a single line/frame larger than the pace budget must
+                    # still go through — retry unbounded rather than stall
+                    entry["caught_up"] = True
+                    scan(st.st_size)
                 entry["fp"], entry["fplen"] = self._fingerprint(f, entry["off"])
         self._cache[ino] = entry
         return entry
@@ -194,6 +228,7 @@ class TailStreamReader(DataSourceStreamReader):
             paths[ino] = p
             files[ino] = {"path": p, "off": entry["off"],
                           "fp": entry["fp"], "fplen": entry["fplen"]}
+            self._reported[ino] = entry["off"]  # pacing base advances
         self._paths = paths
         return {"files": files}
 
@@ -250,9 +285,12 @@ class TailStreamReader(DataSourceStreamReader):
             s = int(p.get("off", 0))
             e = int(cur["off"])
             path = self._current_path(ino, cur["path"])
-            if e < s or (s > 0 and not self._same_content(path, p, cur)):
+            if s > 0 and not self._same_content(path, p, cur):
                 s = 0  # truncated / truncate-regrown / inode reused: re-read
             if e <= s:
+                # nothing new — including a rate-limited latestOffset that
+                # still lags a restored checkpoint (content verified above,
+                # so this is pacing, not truncation)
                 continue
             if self.mode == "thrift":
                 # split at the frame boundaries the walk collected; a replay
@@ -310,7 +348,13 @@ class TailStreamReader(DataSourceStreamReader):
                 pos += len(line)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in Spark's checkpoint; nothing reader-side to GC
+        # offsets live in Spark's checkpoint — nothing reader-side to GC;
+        # but a committed offset is a floor for the pacing base, so a
+        # restarted reader stops emitting empty capped batches as soon as
+        # the first commit arrives
+        for ino, rec in end.get("files", {}).items():
+            if int(rec.get("off", 0)) > self._reported.get(ino, -1):
+                self._reported[ino] = int(rec["off"])
 
 
 class TailDataSource(DataSource):
@@ -333,7 +377,8 @@ class TailDataSource(DataSource):
 
 def tail_stream(spark, log_dir: str, glob: str = "*",
                 chunk_bytes: int = 64 * 1024 * 1024, mode: str = "text",
-                max_message_size: int | None = None):
+                max_message_size: int | None = None,
+                max_bytes_per_trigger: int | None = None):
     """readStream over growing files in `log_dir` (registers the source)."""
     spark.dataSource.register(TailDataSource)
     reader = (
@@ -345,4 +390,6 @@ def tail_stream(spark, log_dir: str, glob: str = "*",
     )
     if max_message_size:
         reader = reader.option("max_message_size", str(max_message_size))
+    if max_bytes_per_trigger:
+        reader = reader.option("max_bytes_per_trigger", str(max_bytes_per_trigger))
     return reader.load()

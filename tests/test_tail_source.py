@@ -275,3 +275,72 @@ def test_tail_thrift_chunk_boundaries_align_to_frames(tmp_path):
     for p in sorted(parts, key=lambda p: p.start):
         out += [bytes(t[1]) for t in r.read(p)]
     assert out == [f"payload-{i:03d}".encode() for i in range(50)]
+
+
+def test_tail_max_bytes_per_trigger_paces_text(tmp_path):
+    """Catch-up pacing: a backlog drains ~cap bytes per trigger, each end
+    snapped to a line boundary, until caught up; then steady-state."""
+    d = str(tmp_path)
+    _append(f"{d}/p.log", "".join(f"line-{i:04d}\n" for i in range(100)))  # 1000B
+    r = _reader(d, max_bytes_per_trigger=250)
+    offs = []
+    prev = r.initialOffset()
+    for _ in range(6):
+        cur = r.latestOffset()
+        (rec,) = cur["files"].values()
+        offs.append(rec["off"])
+        parts = r.partitions(prev, cur)
+        got = [t for p in parts for t in r.read(p)]
+        assert all(v.startswith("line-") for v, _, _ in got)  # boundary snap
+        prev = cur
+    assert offs == [250, 500, 750, 1000, 1000, 1000]
+
+
+def test_tail_cap_does_not_stall_on_giant_line(tmp_path):
+    d = str(tmp_path)
+    _append(f"{d}/g.log", "x" * 500 + "\n")  # one line far above the cap
+    r = _reader(d, max_bytes_per_trigger=100)
+    (rec,) = r.latestOffset()["files"].values()
+    assert rec["off"] == 501  # unbounded retry let it through
+
+
+def test_tail_cap_after_restart_skips_committed_region(tmp_path):
+    """A restarted (fresh) reader whose capped latestOffset lags the
+    checkpointed offset must emit NOTHING for that file (fingerprint-
+    verified pacing), never re-read from 0."""
+    d = str(tmp_path)
+    _append(f"{d}/c.log", "".join(f"row-{i:03d}\n" for i in range(50)))  # 400B
+    full = _reader(d)
+    committed = full.latestOffset()  # checkpointed end = 400
+
+    fresh = _reader(d, max_bytes_per_trigger=100)
+    lagging = fresh.latestOffset()
+    (rec,) = lagging["files"].values()
+    assert rec["off"] == 96  # capped (snapped to 12 whole 8-byte lines)
+    assert fresh.partitions(committed, lagging) == []  # no re-read, no dupes
+    # once commit() tells the reader the true floor, pacing resumes from it
+    fresh.commit(committed)
+    nxt = fresh.latestOffset()
+    (rec2,) = nxt["files"].values()
+    assert rec2["off"] == 400
+
+
+def test_tail_max_bytes_per_trigger_paces_thrift(tmp_path):
+    from singer_spark.framing import encode_log_message
+
+    d = str(tmp_path)
+    frames = [encode_log_message(f"m-{i:02d}".encode()) for i in range(20)]
+    flen = len(frames[0])
+    with open(f"{d}/t.log", "wb") as f:
+        f.writelines(frames)
+    r = _reader(d, mode="thrift", max_bytes_per_trigger=flen * 3 + 1)
+    prev = r.initialOffset()
+    seen = []
+    for _ in range(8):
+        cur = r.latestOffset()
+        for p in r.partitions(prev, cur):
+            seen += [bytes(t[1]) for t in r.read(p)]
+        prev = cur
+    assert seen == [f"m-{i:02d}".encode() for i in range(20)]  # all, in order
+    # each trigger advanced by at most 3 whole frames
+    assert all(b"m-" in s for s in seen)
