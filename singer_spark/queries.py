@@ -221,20 +221,29 @@ def funnel_counts(spark: SparkSession, sf_dir: str,
 
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by their first-activity week,
-    counted in each later week they return.  Two aggregations (first-seen
-    per user, then cohort × activity week) — both shuffle on user/cohort
-    keys only.  Output: (cohort_week, week_offset, n_users)."""
+    counted in each later week they return.
+
+    ONE scan and ONE user-keyed shuffle: per user, aggregate the distinct
+    active weeks as a set (min(week) = the cohort, since date_trunc is
+    monotone), explode, and count — (cohort, offset, user) rows are unique
+    by construction, so the final rollup is a plain count, no
+    count-distinct.  The previous formulation scanned events twice (first-
+    seen + distinct activity) and joined them back; at 100 TB that is a
+    second full scan and a second exchange for the same answer.
+    Output: (cohort_week, week_offset, n_users)."""
     ev = read_events(spark, sf_dir)
     week = F.date_trunc("week", F.col("ts"))
-    first = (ev.groupBy("user_id")
-             .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week")))
-    activity = ev.select("user_id", week.alias("active_week")).distinct()
+    per_user = (
+        ev.select("user_id", week.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_week"), F.collect_set("w").alias("weeks"))
+    )
     return (
-        activity.join(first, "user_id")
+        per_user.select("cohort_week", F.explode("weeks").alias("active_week"))
         .groupBy("cohort_week",
                  ((F.unix_timestamp("active_week") - F.unix_timestamp("cohort_week"))
                   / (7 * 86400)).cast("int").alias("week_offset"))
-        .agg(F.count_distinct("user_id").alias("n_users"))
+        .agg(F.count("*").alias("n_users"))
         .select(F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
                 "week_offset", "n_users")
         .orderBy("cohort_week", "week_offset")
