@@ -21,6 +21,8 @@ class ReaderConfig:
     message_start_regex: str | None = None  # multi-line framing (S3/S4)
     filter_message_regex: str | None = None # T1
     max_message_size: int = 102400          # common/SingerConfigDef.java:106-107
+    # tail readers: per-file per-trigger catch-up budget (0/None = unlimited)
+    max_bytes_per_trigger: int | None = None
     prepend_timestamp: bool = False         # T3
     prepend_hostname: bool = False
     prepend_field_delimiter: str = " "

@@ -113,8 +113,10 @@ def build_source(spark: SparkSession, cfg: LogConfig, streaming: bool = True) ->
             raise ValueError(f"reader type {r.type!r} is streaming-only")
         if r.type == "tail_thrift":
             return tail_stream(spark, cfg.log_dir, glob=cfg.log_stream_regex,
-                               mode="thrift", max_message_size=r.max_message_size)
-        return tail_stream(spark, cfg.log_dir, glob=cfg.log_stream_regex)
+                               mode="thrift", max_message_size=r.max_message_size,
+                               max_bytes_per_trigger=r.max_bytes_per_trigger)
+        return tail_stream(spark, cfg.log_dir, glob=cfg.log_stream_regex,
+                           max_bytes_per_trigger=r.max_bytes_per_trigger)
     if r.type == "thrift":
         fn = sources.thrift_stream if streaming else sources.thrift_batch
         kwargs = {"max_message_size": r.max_message_size}
