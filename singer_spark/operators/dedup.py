@@ -410,6 +410,12 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         w = Window.partitionBy("c", "v")
         keys = (keys.withColumn("bucket_n", F.count("*").over(w))
                 .filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n"))
+    # persist the keyed-signature frame: the self-join consumes it TWICE,
+    # and without an explicit cache each side re-runs the corpus scan + the
+    # signature UDF (AQE's runtime exchange reuse is not guaranteed across
+    # the join's build/probe subtrees).  ~10 rows × ~30 B per doc — tiny
+    # next to re-hashing every document
+    keys = _maybe_persist(keys, True)
     l, r = keys.alias("l"), keys.alias("r")
     ham = F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig")))
     return (
