@@ -49,6 +49,10 @@ class WriterConfig:
     # P8-P10: rack-local partition ids from a LocalityProvider (None → all)
     local_partitions: list[int] | None = None
     producer_configs: dict[str, str] = field(default_factory=dict)
+    # W2: wrap each task's sends in a Kafka transaction
+    # (common.thrift:29-30 transactionEnabled/transactionTimeoutMs)
+    transaction_enabled: bool = False
+    transaction_timeout_ms: int = 6000
     # S3/file writer (config.thrift:149-185)
     path: str | None = None
     format: str = "parquet"

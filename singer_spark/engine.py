@@ -280,7 +280,8 @@ class PipelineManager:
             else:
                 writer = sinks.kafka_direct_sink(df, w.bootstrap_servers, w.topic, ckpt,
                                                  self.kafka_producer_factory,
-                                                 w.producer_configs)
+                                                 w.producer_configs,
+                                                 transactional=w.transaction_enabled)
         elif w.type in ("file", "s3", "parquet", "text"):
             if w.audit_topic and audit_sink is not None:
                 # audited file delivery: foreachBatch write + audit row (B5),

@@ -112,10 +112,22 @@ def kafka_write_batch(batch_df: DataFrame, bootstrap_servers: str, topic: str,
                       producer_configs: dict | None = None,
                       key_col: str = "key", value_col: str = "value",
                       headers_col: str = "headers",
-                      partition_col: str = "partition") -> None:
+                      partition_col: str = "partition",
+                      transactional: bool = False) -> None:
     """Write one micro-batch through the producer protocol.  Key, headers
     (map<string,binary> → [(str, bytes)]), and the partitioner-computed
-    partition id ride along when the columns exist."""
+    partition id ride along when the columns exist.
+
+    W2 `transactional` mode (CommittableKafkaWriter parity,
+    writer/KafkaWriter.java:514-515,584-585,603-604): each task's sends are
+    wrapped in begin → send* → flush → commit, with abort on any failure —
+    readers at read_committed never observe a partial task.  The producer
+    must expose init_transactions/begin_transaction/commit_transaction/
+    abort_transaction (confluent-kafka does; configure a stable
+    transactional.id per (topic, task) in the factory).  Combined with
+    Spark's deterministic task retry this is atomic-per-task delivery; full
+    end-to-end exactly-once additionally needs the reference's same caveat —
+    a committed-offset handshake, which Kafka-side dedup by `_mid` covers."""
     factory = producer_factory or _default_kafka_producer
     configs = producer_configs or {}
     cols = [c for c in (key_col, value_col, headers_col, partition_col)
@@ -129,7 +141,14 @@ def kafka_write_batch(batch_df: DataFrame, bootstrap_servers: str, topic: str,
         producer = factory(bootstrap_servers, configs)
         futures = []
         n = 0
+        in_txn = False
         try:
+            if transactional:
+                init = getattr(producer, "init_transactions", None)
+                if init:
+                    init()
+                producer.begin_transaction()
+                in_txn = True
             for row in rows:
                 payload = row[value_col]
                 if isinstance(payload, str):
@@ -152,6 +171,16 @@ def kafka_write_batch(batch_df: DataFrame, bootstrap_servers: str, topic: str,
                 raise RuntimeError(
                     f"kafka sink: {len(failed)}/{n} sends failed "
                     f"(first: {getattr(failed[0], 'exception', None)})")
+            if in_txn:
+                producer.commit_transaction()
+                in_txn = False
+        except BaseException:
+            if in_txn:
+                try:
+                    producer.abort_transaction()
+                except Exception:
+                    pass  # the original error is the one Spark must see
+            raise
         finally:
             close = getattr(producer, "close", None)
             if close:
@@ -163,13 +192,15 @@ def kafka_write_batch(batch_df: DataFrame, bootstrap_servers: str, topic: str,
 def kafka_direct_sink(df: DataFrame, bootstrap_servers: str, topic: str,
                       checkpoint_dir: str,
                       producer_factory: Callable | None = None,
-                      producer_configs: dict | None = None) -> DataStreamWriter:
+                      producer_configs: dict | None = None,
+                      transactional: bool = False) -> DataStreamWriter:
     """Streaming Kafka sink via foreachBatch + :func:`kafka_write_batch` —
     for environments without the spark-sql-kafka connector JAR."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         kafka_write_batch(batch_df, bootstrap_servers, topic,
-                          producer_factory, producer_configs)
+                          producer_factory, producer_configs,
+                          transactional=transactional)
 
     return df.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint_dir)
 

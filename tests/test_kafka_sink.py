@@ -149,3 +149,94 @@ def test_kafka_streaming_sink_without_audit(spark, tmp_path):
     finally:
         q.stop()
     assert len(_read_delivered(out_dir)) == 30
+
+
+# ---------------------------------------------------------------------------
+# W2 — transactional (committable) writes.
+# ---------------------------------------------------------------------------
+def make_txn_producer_factory(out_dir: str, fail: bool = False):
+    """Fake producer recording the transaction protocol: messages become
+    visible only on commit_transaction; abort discards them (events logged
+    as JSONL so executor-side calls are observable)."""
+
+    class FakeFuture:
+        def __init__(self, ok: bool):
+            self.exception = None if ok else "NotLeaderForPartition"
+
+        def failed(self) -> bool:
+            return self.exception is not None
+
+    class TxnProducer:
+        def __init__(self):
+            self.pending = []
+            self.events = []
+
+        def _log(self, *evt):
+            self.events.append(evt)
+
+        def init_transactions(self):
+            self._log("init")
+
+        def begin_transaction(self):
+            self._log("begin")
+
+        def send(self, topic, value=None, key=None, headers=None, partition=None):
+            self.pending.append(value.decode("utf-8"))
+            return FakeFuture(ok=not fail)
+
+        def flush(self):
+            self._log("flush")
+
+        def commit_transaction(self):
+            self._log("commit", list(self.pending))
+
+        def abort_transaction(self):
+            self._log("abort", len(self.pending))
+
+        def close(self):
+            path = os.path.join(out_dir, f"txn-{uuid.uuid4().hex}.jsonl")
+            with open(path, "w") as f:
+                for evt in self.events:
+                    f.write(json.dumps(evt) + "\n")
+
+    return lambda servers, configs: TxnProducer()
+
+
+def _txn_events(out_dir):
+    evts = []
+    for p in glob.glob(os.path.join(out_dir, "txn-*.jsonl")):
+        with open(p) as f:
+            evts.append([json.loads(x) for x in f])
+    return evts
+
+
+def test_transactional_commit_wraps_each_task(spark, tmp_path):
+    out_dir = str(tmp_path / "txn")
+    os.makedirs(out_dir)
+    df = spark.range(20).select(
+        F.concat(F.lit("m"), F.col("id")).alias("value")).coalesce(2)
+    kafka_write_batch(df, "b:9092", "t", make_txn_producer_factory(out_dir),
+                      transactional=True)
+    tasks = _txn_events(out_dir)
+    delivered = []
+    for events in tasks:
+        if not events:
+            continue  # empty partition: no sends, but protocol still ran
+        kinds = [e[0] for e in events]
+        assert kinds[:2] == ["init", "begin"] and kinds[-1] == "commit"
+        assert "abort" not in kinds
+        delivered += events[-1][1]
+    assert sorted(delivered) == sorted(f"m{i}" for i in range(20))
+
+
+def test_transactional_abort_on_failure(spark, tmp_path):
+    out_dir = str(tmp_path / "txn_fail")
+    os.makedirs(out_dir)
+    df = spark.range(5).select(F.concat(F.lit("m"), F.col("id")).alias("value")).coalesce(1)
+    with pytest.raises(Exception):
+        kafka_write_batch(df, "b:9092", "t",
+                          make_txn_producer_factory(out_dir, fail=True),
+                          transactional=True)
+    aborted = [e for events in _txn_events(out_dir) for e in events if e[0] == "abort"]
+    committed = [e for events in _txn_events(out_dir) for e in events if e[0] == "commit"]
+    assert aborted and not committed  # failed task aborted, nothing visible
