@@ -226,6 +226,46 @@ def _t6_audit_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _w9_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 per-message audit: the t6 roundtrip corpus filtered to TRACKED
+    messages (doc_id % 2 == 0), emitted as LoggingAuditEvent-shaped rows
+    with CRC-recomputed validity (loggingaudit.thrift:85-140)."""
+    from singer_spark.audit import audit_events_for_tracked
+
+    import pandas as pd
+
+    from singer_spark.framing import (LOG_MESSAGE_SCHEMA, decode_file_tolerant,
+                                      encode_log_message)
+
+    def roundtrip(batches):
+        for pdf in batches:
+            blob = b"".join(
+                encode_log_message(
+                    message=text.encode("utf-8"),
+                    key=str(int(doc_id)).encode("ascii"),
+                    with_crc=True,
+                    audit_headers={
+                        "host": f"host-{int(doc_id) % 10}",
+                        "logName": source,
+                        "pid": int(doc_id) % 32768,
+                        "session": 1_700_000_000_000 + int(doc_id) % 100,
+                        "logSeqNumInSession": int(doc_id),
+                        "timestamp": 1_700_000_000_000 + int(doc_id),
+                        "tracked": int(doc_id) % 2 == 0,
+                    },
+                )
+                for doc_id, source, text in zip(pdf["doc_id"], pdf["source"], pdf["text"])
+            )
+            yield pd.DataFrame(decode_file_tolerant(blob, "mem"),
+                               columns=[f.name for f in LOG_MESSAGE_SCHEMA.fields])
+
+    decoded = (_docs(spark, sf_dir).select("doc_id", "source", "text")
+               .mapInPandas(roundtrip, LOG_MESSAGE_SCHEMA))
+    return audit_events_for_tracked(decoded, hostname="host-audit").select(
+        "host", "stage", "origin_host", "log_name", "pid", "session",
+        "log_seq", "message_valid", "message_acknowledged_ts")
+
+
 def _t7_message_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.transforms import message_id
 
@@ -965,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_trim_newline": _t4_trim_newline,
         "t5_headers": _t5_headers,
         "t6_audit_headers": _t6_audit_headers,
+        "w9_audit_events": _w9_audit_events,
         "t7_message_id": _t7_message_id,
         "t8_crc32": _t8_crc32,
         "t9_sampling": _t9_sampling,
@@ -1357,6 +1398,16 @@ def oracle_sql() -> dict[str, str]:
                    (55 + length('host-' || (doc_id % 10)) + length(source))::INT AS audit_hdr_len,
                    8::INT AS crc_hdr_len
             FROM documents""",
+        "w9_audit_events": """
+            SELECT 'host-audit' AS host, 'SINGER' AS stage,
+                   'host-' || (doc_id % 10) AS origin_host,
+                   source AS log_name,
+                   (doc_id % 32768)::INT AS pid,
+                   (1700000000000 + doc_id % 100)::BIGINT AS session,
+                   doc_id::INT AS log_seq,
+                   true AS message_valid,
+                   (-1)::BIGINT AS message_acknowledged_ts
+            FROM documents WHERE doc_id % 2 = 0""",
         "t7_message_id": """
             SELECT doc_id,
                    upper(substr(md5(source), 1, 16) || printf('%016x', doc_id)) AS mid_hex

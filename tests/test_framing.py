@@ -271,3 +271,30 @@ def test_kafka_audit_header_injection(spark, tmp_path):
     # m-plain carries neither audit headers nor a checksum → nothing injected
     # (the reference's isSetLoggingAuditHeaders/isSetChecksum gates)
     assert by_key["k2"] == {}
+
+
+def test_audit_events_for_tracked_flags_corrupt_messages(spark):
+    """W9: only tracked messages produce events, and a CRC mismatch flips
+    message_valid (KafkaWriter.checkMessageValid parity)."""
+    from singer_spark.audit import audit_events_for_tracked
+    from singer_spark.framing import decode_thrift_blobs, encode_log_message
+
+    good = encode_log_message(b"ok-payload", key=b"1", with_crc=True,
+                              audit_headers={**AUDIT, "logSeqNumInSession": 1})
+    corrupt = encode_log_message(b"bad-payload", key=b"2",
+                                 checksum=12345,  # wrong on purpose
+                                 audit_headers={**AUDIT, "logSeqNumInSession": 2})
+    untracked = encode_log_message(b"quiet", key=b"3", with_crc=True,
+                                   audit_headers={**AUDIT, "tracked": False,
+                                                  "logSeqNumInSession": 3})
+    plain = encode_log_message(b"no-audit", key=b"4", with_crc=True)
+    df = spark.createDataFrame(
+        [("f.log", bytearray(good + corrupt + untracked + plain))],
+        "path string, content binary")
+    events = audit_events_for_tracked(decode_thrift_blobs(df),
+                                      hostname="h-test").collect()
+    by_seq = {r.log_seq: r for r in events}
+    assert set(by_seq) == {1, 2}  # untracked + headerless excluded
+    assert by_seq[1].message_valid is True
+    assert by_seq[2].message_valid is False
+    assert all(r.stage == "SINGER" and r.host == "h-test" for r in events)
