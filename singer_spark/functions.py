@@ -59,10 +59,24 @@ def fan_out(df, min_rows_per_part: int = 0):
     single core.  Repartition up to the cluster's default parallelism — but
     only when the source has fewer partitions, so on a real cluster reading
     thousands of splits this is a no-op (no shuffle added at 100 TB).
+
+    The parallelism probe is `inputFiles()` (a catalog lookup, ~free) —
+    `df.rdd.getNumPartitions()` converts the whole plan to an RDD and costs
+    ~1.5 s of driver time PER CALL, which dominated small-corpus queries.
+    File count under-counts splits of multi-block files, so the fallback
+    only errs toward an extra round-robin exchange on few-file inputs —
+    never toward under-parallelism, and never at scale (file count ≫ cores
+    there).  Non-scan plans (no input files) fall back to the RDD probe.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n = len(df.inputFiles())
+    except Exception:
+        n = 0
+    if n == 0:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 
