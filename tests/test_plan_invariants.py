@@ -1,0 +1,72 @@
+"""Plan-shape regression pins for the headline queries.
+
+These assert the properties the 100 TB design depends on — filters reaching
+the parquet scan, column-pruned ReadSchema, single-scan formulations —
+so a future refactor that silently loses pushdown or re-introduces a second
+scan fails here, not in a benchmark three rounds later.  Assertions stick
+to stable substrings of `explain("formatted")` output (PushedFilters /
+ReadSchema / node names), not node counts, which AQE may change."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_funnel_pushes_stage_filter_to_scan(spark, sf_dir):
+    from singer_spark.queries import funnel_counts
+
+    plan = _plan(funnel_counts(spark, sf_dir))
+    assert "PushedFilters: [In(event_type" in plan
+    # column pruning: only the three needed columns are read
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "ts" in read and "user_id" in read and "event_type" in read
+    assert "props" not in read and "value" not in read
+
+
+def test_cohort_retention_scans_events_once(spark, sf_dir):
+    from singer_spark.queries import cohort_retention
+
+    import re
+
+    plan = _plan(cohort_retention(spark, sf_dir))
+    # one scan node in the detail section — the single-scan rewrite holds
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "event_type" not in read and "props" not in read
+
+
+def test_q1_prunes_and_pushes(spark, sf_dir):
+    from singer_spark.queries import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read and "l_orderkey" not in read
+
+
+def test_q3_broadcasts_filtered_customer(spark, sf_dir):
+    from singer_spark.queries import q3_shipping_priority
+
+    plan = _plan(q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_exact_dedup_shuffles_digests_only(spark, sf_dir):
+    from singer_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(dedup_exact(docs))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # the scan reads only id + text; the shuffle carries md5 digests, so
+    # text must not survive past the first projection
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "source" not in read
