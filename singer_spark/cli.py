@@ -46,13 +46,13 @@ def main(argv: list[str] | None = None) -> int:
 
     import os
 
-    cfg = load_singer_config(
-        os.path.join(args.config_dir, "singer.properties"),
-        os.path.join(args.config_dir, "conf.d"),
-    )
+    properties_path = os.path.join(args.config_dir, "singer.properties")
+    conf_d = os.path.join(args.config_dir, "conf.d")
+    cfg = load_singer_config(properties_path, conf_d)
     spark = get_spark("singer_spark_agent")
     manager = PipelineManager(spark, cfg, checkpoint_root=args.checkpoint_root,
-                              decider=Decider(args.decider_file))
+                              decider=Decider(args.decider_file),
+                              properties_path=properties_path, conf_d=conf_d)
     admin = None
     if args.admin_port is not None:
         from singer_spark.admin import AdminServer
@@ -98,8 +98,29 @@ def main(argv: list[str] | None = None) -> int:
 
     signal.signal(signal.SIGTERM, on_signal)
     signal.signal(signal.SIGINT, on_signal)
+    # maintenance cadence: config reload (O4) + missing dirs (D7) + failure
+    # restart (O6) every logConfigPollIntervalSecs; liveness log every second
+    poll_every = max(1, cfg.log_config_poll_interval_secs)
+    last_poll = 0.0
     try:
         while not stop_requested["flag"]:
+            now = time.monotonic()
+            if now - last_poll >= poll_every:
+                last_poll = now
+                for kind, names in manager.poll_config_changes().items():
+                    if names:
+                        print(f"singer-spark agent: config reload {kind}: "
+                              f"{', '.join(names)}", file=sys.stderr)
+                for n in manager.check_missing_dirs():
+                    print(f"singer-spark agent: log dir appeared, started {n}",
+                          file=sys.stderr)
+                sup = manager.supervise_once()
+                for n in sup["restarted"]:
+                    print(f"singer-spark agent: restarted failed query {n}",
+                          file=sys.stderr)
+                for n in sup["gave_up"]:
+                    print(f"singer-spark agent: query {n} exceeded "
+                          f"numOfFailuesAllowed, staying down", file=sys.stderr)
             dead = [n for n, q in manager.queries.items() if not q.isActive]
             for n in dead:
                 print(f"singer-spark agent: query {n} terminated: "
