@@ -173,65 +173,12 @@ def _t5_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _t6_audit_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6/W9: full LoggingAuditHeaders path — encode documents as framed
-    LogMessages carrying audit headers (loggingaudit.thrift:28-65), decode
-    them back through the engine codec, then run the Kafka header injector
-    (writer/KafkaWriter.java:421-436).  Projects the decoded audit fields
-    plus the SERIALIZED header lengths, which the SQL oracle recomputes from
-    the TBinaryProtocol wire layout (48 fixed bytes + the two string
-    payloads) — so a drift in either the decoder or the JVM serializer
-    breaks the value match."""
-    import pandas as pd
-
-    from singer_spark.framing import (LOG_MESSAGE_SCHEMA, decode_file_tolerant,
-                                      encode_log_message, with_kafka_audit_headers)
-
-    def roundtrip(batches):
-        for pdf in batches:
-            blob = b"".join(
-                encode_log_message(
-                    message=text.encode("utf-8"),
-                    key=str(int(doc_id)).encode("ascii"),
-                    with_crc=True,
-                    audit_headers={
-                        "host": f"host-{int(doc_id) % 10}",
-                        "logName": source,
-                        "pid": int(doc_id) % 32768,
-                        "session": 1_700_000_000_000 + int(doc_id) % 100,
-                        "logSeqNumInSession": int(doc_id),
-                        "timestamp": 1_700_000_000_000 + int(doc_id),
-                        "tracked": int(doc_id) % 2 == 0,
-                    },
-                )
-                for doc_id, source, text in zip(pdf["doc_id"], pdf["source"], pdf["text"])
-            )
-            yield pd.DataFrame(decode_file_tolerant(blob, "mem"),
-                               columns=[f.name for f in LOG_MESSAGE_SCHEMA.fields])
-
-    decoded = (_docs(spark, sf_dir).select("doc_id", "source", "text")
-               .mapInPandas(roundtrip, LOG_MESSAGE_SCHEMA))
-    injected = with_kafka_audit_headers(decoded)
-    a = F.col("auditHeaders")
-    return injected.select(
-        F.col("key").cast("string").cast("bigint").alias("doc_id"),
-        a["host"].alias("host"),
-        a["logName"].alias("log_name"),
-        a["pid"].alias("pid"),
-        a["session"].alias("session"),
-        a["logSeqNumInSession"].alias("log_seq"),
-        a["tracked"].alias("tracked"),
-        F.length(F.col("headers")["loggingAuditHeaders"]).cast("int").alias("audit_hdr_len"),
-        F.length(F.col("headers")["messageCRC"]).cast("int").alias("crc_hdr_len"),
-    )
-
-
-def _w9_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W9 per-message audit: the t6 roundtrip corpus filtered to TRACKED
-    messages (doc_id % 2 == 0), emitted as LoggingAuditEvent-shaped rows
-    with CRC-recomputed validity (loggingaudit.thrift:85-140)."""
-    from singer_spark.audit import audit_events_for_tracked
-
+def _audit_roundtrip_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared t6/w9 corpus: encode documents as framed LogMessages carrying
+    deterministic LoggingAuditHeaders (tracked = even doc_id), decode back
+    through the engine codec.  Both oracles recompute the same derivations
+    from `documents`, so this MUST stay the single source of the synthetic
+    header values."""
     import pandas as pd
 
     from singer_spark.framing import (LOG_MESSAGE_SCHEMA, decode_file_tolerant,
@@ -259,8 +206,43 @@ def _w9_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(decode_file_tolerant(blob, "mem"),
                                columns=[f.name for f in LOG_MESSAGE_SCHEMA.fields])
 
-    decoded = (_docs(spark, sf_dir).select("doc_id", "source", "text")
-               .mapInPandas(roundtrip, LOG_MESSAGE_SCHEMA))
+    return (_docs(spark, sf_dir).select("doc_id", "source", "text")
+            .mapInPandas(roundtrip, LOG_MESSAGE_SCHEMA))
+
+
+def _t6_audit_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6/W9: full LoggingAuditHeaders path — encode documents as framed
+    LogMessages carrying audit headers (loggingaudit.thrift:28-65), decode
+    them back through the engine codec, then run the Kafka header injector
+    (writer/KafkaWriter.java:421-436).  Projects the decoded audit fields
+    plus the SERIALIZED header lengths, which the SQL oracle recomputes from
+    the TBinaryProtocol wire layout (55 fixed bytes + the two string
+    payloads) — so a drift in either the decoder or the JVM serializer
+    breaks the value match."""
+    from singer_spark.framing import with_kafka_audit_headers
+
+    injected = with_kafka_audit_headers(_audit_roundtrip_frame(spark, sf_dir))
+    a = F.col("auditHeaders")
+    return injected.select(
+        F.col("key").cast("string").cast("bigint").alias("doc_id"),
+        a["host"].alias("host"),
+        a["logName"].alias("log_name"),
+        a["pid"].alias("pid"),
+        a["session"].alias("session"),
+        a["logSeqNumInSession"].alias("log_seq"),
+        a["tracked"].alias("tracked"),
+        F.length(F.col("headers")["loggingAuditHeaders"]).cast("int").alias("audit_hdr_len"),
+        F.length(F.col("headers")["messageCRC"]).cast("int").alias("crc_hdr_len"),
+    )
+
+
+def _w9_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 per-message audit: the t6 roundtrip corpus filtered to TRACKED
+    messages (doc_id % 2 == 0), emitted as LoggingAuditEvent-shaped rows
+    with CRC-recomputed validity (loggingaudit.thrift:85-140)."""
+    from singer_spark.audit import audit_events_for_tracked
+
+    decoded = _audit_roundtrip_frame(spark, sf_dir)
     return audit_events_for_tracked(decoded, hostname="host-audit").select(
         "host", "stage", "origin_host", "log_name", "pid", "session",
         "log_seq", "message_valid", "message_acknowledged_ts")

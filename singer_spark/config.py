@@ -44,7 +44,12 @@ class WriterConfig:
     type: str = "kafka"                     # kafka | s3 | file | noop | memory | pulsar
     topic: str | None = None
     bootstrap_servers: str | None = None
-    partitioner: str = "crc32"              # partitioners.PARTITIONER_REGISTRY key
+    # partitioners.PARTITIONER_REGISTRY key.  None = writer-type default:
+    # kafka falls back to crc32 (the reference's default partitioner);
+    # pulsar uses the broker's own routing unless a partitioner is set
+    # EXPLICITLY (sub-topic routing assumes `{topic}-partition-N` exists —
+    # never silently redirect a config that didn't opt in)
+    partitioner: str | None = None
     num_partitions: int = 16
     # P8-P10: rack-local partition ids from a LocalityProvider (None → all)
     local_partitions: list[int] | None = None

@@ -146,11 +146,14 @@ def build_transforms(df: DataFrame, cfg: LogConfig) -> DataFrame:
     )
     out = apply_transforms(df, tc, text_col="value")
     w = cfg.writer
-    if w.type in ("kafka", "kafka_direct", "pulsar") and w.partitioner:
+    part_name = w.partitioner
+    if part_name is None and w.type in ("kafka", "kafka_direct"):
+        part_name = "crc32"  # the reference's default Kafka partitioner
+    if w.type in ("kafka", "kafka_direct", "pulsar") and part_name:
         import inspect
 
         key = F.col("key") if "key" in out.columns else F.col("value")
-        fn = get_partitioner(w.partitioner)
+        fn = get_partitioner(part_name)
         kwargs = {}
         # locality-aware partitioners take the provider-fed local list
         # (config carries it; a LocalityProvider refreshes it on rebuild)
@@ -273,7 +276,8 @@ class PipelineManager:
 
                 def write_kafka_batch(batch_df: DataFrame, batch_id: int) -> None:
                     sinks.kafka_write_batch(batch_df, w.bootstrap_servers, w.topic,
-                                            factory, configs)
+                                            factory, configs,
+                                            transactional=w.transaction_enabled)
 
                 writer = sinks.with_audit(df, w.audit_topic, ckpt,
                                           write_kafka_batch, audit_sink)
@@ -420,7 +424,8 @@ class PipelineManager:
         """
         from singer_spark.config import load_singer_config
 
-        actions: dict[str, list[str]] = {"restarted": [], "started": [], "stopped": []}
+        actions: dict[str, list[str]] = {"restarted": [], "started": [],
+                                         "stopped": [], "failed": []}
         if not self.properties_path:
             return actions
         snap = self._snapshot_config_mtimes()
@@ -435,14 +440,26 @@ class PipelineManager:
         old_logs = dict(self.log_configs)
         # preserve agent-level knobs parsed from singer.properties
         self.config = new_config
+
+        def guarded_start(cfg, bucket: str) -> None:
+            # one bad conf.d entry (typo'd writer type, unbuildable reader)
+            # must not take down the healthy pipelines — record and move on
+            try:
+                self.start_log(cfg, audit_sink=self._audit_sinks.get(cfg.name))
+                actions[bucket].append(cfg.name)
+            except Exception as e:
+                import sys
+
+                sys.stderr.write(
+                    f"singer_spark: config reload could not start {cfg.name}: {e}\n")
+                actions["failed"].append(cfg.name)
+
         for name, cfg in new_logs.items():
             if name not in old_logs:
-                self.start_log(cfg, audit_sink=self._audit_sinks.get(name))
-                actions["started"].append(name)
+                guarded_start(cfg, "started")
             elif cfg != old_logs[name]:
                 self._stop_query(name)
-                self.start_log(cfg, audit_sink=self._audit_sinks.get(name))
-                actions["restarted"].append(name)
+                guarded_start(cfg, "restarted")
         for name in old_logs:
             if name not in new_logs:
                 self._stop_query(name)
@@ -466,7 +483,14 @@ class PipelineManager:
         started = []
         for name, cfg in list(self.pending_dirs.items()):
             if os.path.isdir(cfg.log_dir):
-                q = self.start_log(cfg, audit_sink=self._audit_sinks.get(name))
+                try:
+                    q = self.start_log(cfg, audit_sink=self._audit_sinks.get(name))
+                except Exception as e:  # isolate one broken log (see reload)
+                    import sys
+
+                    sys.stderr.write(
+                        f"singer_spark: deferred start of {name} failed: {e}\n")
+                    continue
                 if q is not None:
                     started.append(name)
         return started
@@ -480,24 +504,35 @@ class PipelineManager:
         triggers an agent-level restart beyond the allowance
         (writer/KafkaWriter.java:598-602, monitor/DefaultLogMonitor.java:
         499-507 daily/failure restart)."""
-        actions: dict[str, list[str]] = {"restarted": [], "gave_up": []}
+        actions: dict[str, list[str]] = {"restarted": [], "gave_up": [], "failed": []}
         if not self.config.restart_on_failures:
             return actions
         for name, q in list(self.queries.items()):
+            if self.queries.get(name) is not q:
+                continue  # replaced by an earlier restart in this same pass
             if q.isActive or q.exception() is None:
                 continue
             base = name.removesuffix("_shadow")
             cfg = self.log_configs.get(base)
             if cfg is None:
+                self.queries.pop(name, None)
                 continue
-            self.failures[name] = self.failures.get(name, 0) + 1
-            self.queries.pop(name, None)
-            if self.failures[name] > self.config.num_failures_allowed:
-                actions["gave_up"].append(name)
+            # failures count per LOG (a main+shadow pair dying together is
+            # ONE failure, and the pair restarts as a unit)
+            self.failures[base] = self.failures.get(base, 0) + 1
+            self._stop_query(base)  # clears both registry entries
+            if self.failures[base] > self.config.num_failures_allowed:
+                actions["gave_up"].append(base)
                 continue
-            self._stop_query(base)  # tear down the pair; rebuild both
-            self.start_log(cfg, audit_sink=self._audit_sinks.get(base))
-            actions["restarted"].append(name)
+            try:
+                self.start_log(cfg, audit_sink=self._audit_sinks.get(base))
+            except Exception as e:  # one broken log must not kill the loop
+                import sys
+
+                sys.stderr.write(f"singer_spark: restart of {base} failed: {e}\n")
+                actions["failed"].append(base)
+                continue
+            actions["restarted"].append(base)
         return actions
 
     def run_watchers(self, stop_event, interval_secs: float | None = None,

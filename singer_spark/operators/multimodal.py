@@ -57,12 +57,15 @@ AUDIO_SCHEMA = StructType([
 # ---------------------------------------------------------------------------
 # Pure-python codecs (no external libs): PPM (P6) and RIFF/WAV PCM16.
 # ---------------------------------------------------------------------------
-def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Binary PPM (P6): 'P6' <w> <h> <maxval> raw RGB.  Whitespace- and
-    comment-tolerant header parse; returns (w, h, uint8[h, w, 3])."""
-    if payload[:2] != b"P6":
+def _ppm_header(payload: bytes, pos: int = 0) -> tuple[int, int, int, int]:
+    """Parse one P6 header starting at `pos` (whitespace- and
+    comment-tolerant): returns (w, h, data_start, data_end) as offsets into
+    `payload` — offset arithmetic only, so a frame whose DIMENSIONS line
+    happens to contain '255' can't confuse the framing."""
+    if payload[pos : pos + 2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    pos, fields = 2, []
+    pos += 2
+    fields: list[int] = []
     while len(fields) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
@@ -78,8 +81,14 @@ def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
-    n = w * h * 3
-    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return w, h, pos, pos + w * h * 3
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Binary PPM (P6): 'P6' <w> <h> <maxval> raw RGB.
+    Returns (w, h, uint8[h, w, 3])."""
+    w, h, data_start, _ = _ppm_header(payload)
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=data_start)
     return w, h, arr.reshape(h, w, 3)
 
 
@@ -90,12 +99,12 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 def ppm_frame_lengths(payload: bytes) -> list[tuple[int, int]]:
     """Byte ranges of each frame in a motion-PPM stream (concatenated P6
-    frames — the uncompressed 'video' container the tests use)."""
+    frames — the uncompressed 'video' container the tests use).  Header
+    parsing works on offsets into the original buffer — no per-frame
+    slicing, no substring search."""
     out, pos = [], 0
     while pos < len(payload):
-        w, h, _ = decode_ppm(payload[pos:])
-        header_end = payload.index(b"255\n", pos) + 4  # after maxval+ws
-        end = header_end + w * h * 3
+        _, _, _, end = _ppm_header(payload, pos)
         out.append((pos, end))
         pos = end
     return out

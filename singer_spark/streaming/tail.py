@@ -132,9 +132,20 @@ class TailStreamReader(DataSourceStreamReader):
         """Forward walk of TFramedTransport length prefixes from a known
         frame boundary `start`: returns (committed end, chunk boundaries
         every ~chunk_bytes).  Only appended bytes are walked when the cache
-        held the previous end — steady-state cost is O(new frames)."""
-        import struct as _struct
+        held the previous end — steady-state cost is O(new frames).
 
+        A length prefix beyond the 10× max_message_size tolerance (or an
+        absolute 1 GiB sanity bound) is corruption, not a pending tail —
+        it is WARNED about loudly, because byte-offset tailing cannot skip
+        past it safely (there is no resync marker): delivery for this file
+        stops at the corruption point until rotation replaces it, exactly
+        the reference's poison-file behavior (ThriftLogFileReader.java:108
+        raises on the same check)."""
+        import struct as _struct
+        import sys
+
+        limit = (self.max_message_size * 10 if self.max_message_size
+                 else 1 << 30)
         bounds: list[int] = []
         pos = last_bound = start
         while pos + 4 <= size:
@@ -143,6 +154,12 @@ class TailStreamReader(DataSourceStreamReader):
             if len(head) < 4:
                 break
             (n,) = _struct.unpack(">I", head)
+            if n > limit:
+                sys.stderr.write(
+                    f"singer_tail: corrupt frame length {n} at offset {pos} "
+                    f"of {getattr(f, 'name', '?')} — tail stalls here until "
+                    "the file rotates\n")
+                break
             if pos + 4 + n > size:
                 break  # truncated tail frame — stays pending
             pos += 4 + n

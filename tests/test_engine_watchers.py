@@ -67,7 +67,8 @@ def test_config_reload_restarts_changed_query(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 3
 
     # no file change → no-op (mtime fast path)
-    assert mgr.poll_config_changes() == {"restarted": [], "started": [], "stopped": []}
+    assert mgr.poll_config_changes() == {"restarted": [], "started": [],
+                                         "stopped": [], "failed": []}
     old_query = mgr.queries["app"]
 
     # edit conf.d: add a filter; only the changed query restarts
@@ -239,7 +240,7 @@ def test_supervise_gives_up_beyond_allowance(spark, tmp_path):
     except Exception:
         pass
     actions = mgr.supervise_once()
-    assert actions == {"restarted": [], "gave_up": ["dead"]}
+    assert actions == {"restarted": [], "gave_up": ["dead"], "failed": []}
     assert "dead" not in mgr.queries
 
 
