@@ -344,3 +344,24 @@ def test_tail_max_bytes_per_trigger_paces_thrift(tmp_path):
     assert seen == [f"m-{i:02d}".encode() for i in range(20)]  # all, in order
     # each trigger advanced by at most 3 whole frames
     assert all(b"m-" in s for s in seen)
+
+
+def test_tail_thrift_corrupt_length_prefix_stops_with_warning(tmp_path, capfd):
+    """A garbage length prefix is corruption, not a pending tail: the walk
+    delivers everything before it, warns on stderr, and does not advance
+    past it (no silent skip, no infinite busy re-walk)."""
+    from singer_spark.framing import encode_log_message
+
+    d = str(tmp_path)
+    good = encode_log_message(b"fine", key=b"1")
+    with open(f"{d}/c.log", "wb") as f:
+        f.write(good)
+        f.write((3 << 30).to_bytes(4, "big"))  # absurd frame length
+        f.write(b"\xff" * 64)                   # junk beyond it
+    r = _reader(d, mode="thrift")
+    start, end = r.initialOffset(), r.latestOffset()
+    (rec,) = end["files"].values()
+    assert rec["off"] == len(good)  # committed end stops at the corruption
+    (p,) = r.partitions(start, end)
+    assert [bytes(t[1]) for t in r.read(p)] == [b"fine"]
+    assert "corrupt frame length" in capfd.readouterr().err
