@@ -76,6 +76,17 @@ def _register_udfs(con) -> None:
                         ["VARCHAR"], "INTEGER")
 
 
+# Tolerance-checked oracles for approximate operators: exact SQL answer on
+# DuckDB, Spark result accepted within rel_tol per cell (HLL++ at rsd=0.02
+# is within ±6% with overwhelming probability; 10% leaves slack without
+# hiding a broken sketch).  Recorded as hash_match=True rows with the
+# tolerance noted, never as exact matches.
+APPROX_ORACLES = {
+    "approx_distinct_users": (
+        "SELECT event_type, COUNT(DISTINCT user_id) AS approx_users "
+        "FROM events GROUP BY event_type", 0.10),
+}
+
 # Oracles runnable only where Python UDFs can be registered (here).
 LOCAL_ORACLES = {
     "t8_crc32": "SELECT doc_id, crc32_py(text) AS checksum FROM documents",
@@ -131,6 +142,31 @@ def compare(name: str, sdf, odf) -> list[str]:
     return problems
 
 
+def compare_approx(sdf, odf, rel_tol: float) -> list[str]:
+    """Key columns (strings) must match exactly; numeric columns within
+    rel_tol of the oracle's exact value.  Rows align on the key columns."""
+    problems = []
+    if len(sdf) != len(odf):
+        return [f"rowcount spark={len(sdf)} oracle={len(odf)}"]
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return [f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"]
+    keys = sorted(c for c in sdf.columns if sdf[c].dtype == object)
+    s = sdf.sort_values(keys).reset_index(drop=True)
+    o = odf.sort_values(keys).reset_index(drop=True)
+    for c in sorted(sdf.columns):
+        for i in range(len(s)):
+            a, b = s[c].iloc[i], o[c].iloc[i]
+            if c in keys:
+                if str(a) != str(b):
+                    problems.append(f"key {c} row {i}: {a!r} != {b!r}")
+            elif abs(float(a) - float(b)) > rel_tol * max(1.0, abs(float(b))):
+                problems.append(
+                    f"col {c} row {i}: spark={a} oracle={b} beyond ±{rel_tol:.0%}")
+            if len(problems) > 4:
+                return problems
+    return problems
+
+
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
@@ -160,6 +196,32 @@ def main() -> int:
                              "hash_match": None, "spark_rows": None,
                              "oracle_rows": None, "err": f"spark: {str(e)[:200]}"}
             print(f"FAIL  {name}: spark error: {str(e)[:300]}")
+            continue
+        if name in APPROX_ORACLES:
+            sql, rel_tol = APPROX_ORACLES[name]
+            try:
+                odf = duck_run(sql, sf_dir)
+            except Exception as e:
+                failed.append(name)
+                results[name] = {"rows_match": None, "schema_match": None,
+                                 "hash_match": None, "spark_rows": len(sdf),
+                                 "oracle_rows": None, "err": f"oracle: {str(e)[:200]}"}
+                print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
+                continue
+            problems = compare_approx(sdf, odf, rel_tol)
+            ok = not problems
+            results[name] = {"rows_match": len(sdf) == len(odf),
+                             "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+                             "hash_match": ok, "spark_rows": len(sdf),
+                             "oracle_rows": len(odf),
+                             "err": None if ok else "; ".join(problems[:3]),
+                             "approx_rel_tol": rel_tol}
+            if problems:
+                failed.append(name)
+                print(f"FAIL  {name}: " + "; ".join(problems[:5]))
+            else:
+                print(f"OK~   {name}: {len(sdf)} rows within ±{rel_tol:.0%} "
+                      f"[{time.time()-t0:.1f}s]")
             continue
         if name not in oracles:
             no_oracle.append(name)
