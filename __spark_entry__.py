@@ -629,6 +629,32 @@ def _distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing layout (distributed prefix sum — bucketed
+    offsets, no global single-task window); the oracle is the same layout
+    as one SQL running sum."""
+    from singer_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), max_len=512, bucket_width=100)
+
+
+def _pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.packing import pack_sequences, packing_stats
+
+    return packing_stats(pack_sequences(_docs(spark, sf_dir), max_len=512,
+                                        bucket_width=100), max_len=512)
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any 8-gram with the
+    'benchmark' slice (every 50th doc stands in for an eval set)."""
+    from singer_spark.operators.text_analysis import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, benchmark, k=8)
+
+
 def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch distinct count — engine-specific estimate, rows-only check."""
     ev = _events(spark, sf_dir)
@@ -1073,6 +1099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _text_repetition,
         "text_pii_redaction": _text_pii_redaction,
         "train_val_split": _train_val_split,
+        "pack_sequences": _pack_sequences,
+        "pack_stats": _pack_stats,
+        "decontaminate": _decontaminate,
         # multimodal plumbing
         "multimodal_meta": _multimodal_meta,
         "multimodal_features": _multimodal_features,
@@ -1962,6 +1991,50 @@ def oracle_sql() -> dict[str, str]:
                         WHEN {_md5i("'split:' || doc_id::VARCHAR")} % 100 < 10 THEN 'test'
                         ELSE 'train' END AS split
             FROM documents""",
+        "pack_sequences": """
+            -- concat-and-chunk layout: global running token offset in
+            -- doc_id order, windows cut every 512 tokens
+            WITH t AS (
+              SELECT doc_id, length(string_split(text, ' '))::BIGINT AS n,
+                     SUM(length(string_split(text, ' ')))
+                       OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+              FROM documents)
+            SELECT doc_id, n AS n_tokens, (cum - n) AS start_tok,
+                   ((cum - n) // 512)::BIGINT AS first_chunk,
+                   ((cum - 1) // 512)::BIGINT AS last_chunk,
+                   ((cum - 1) // 512 - (cum - n) // 512 + 1)::BIGINT AS n_chunks,
+                   ((cum - n) % 512)::BIGINT AS offset_in_first_chunk
+            FROM t""",
+        "pack_stats": """
+            WITH t AS (SELECT length(string_split(text, ' '))::BIGINT AS n,
+                              length(string_split(text, ' ')) >
+                                0 AS dummy, doc_id
+                       FROM documents),
+            p AS (SELECT doc_id, n,
+                         SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t)
+            SELECT SUM(n)::BIGINT AS total_tokens,
+                   CEIL(SUM(n) / 512.0)::BIGINT AS n_windows,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(CASE WHEN (cum - 1) // 512 > (cum - n) // 512
+                            THEN 1 ELSE 0 END)::BIGINT AS n_straddling
+            FROM p""",
+        "decontaminate": """
+            -- docs sharing any 8-gram with the benchmark slice (doc_id%50=0);
+            -- docs shorter than 8 tokens contribute their whole text as the
+            -- single 'gram' (the Spark shingle semantics)
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT doc_id, t,
+                           unnest(generate_series(1, GREATEST(len(t) - 7, 1))) AS g
+                    FROM toks),
+            grams AS (SELECT doc_id, array_to_string(t[g : g + 7], ' ') AS gram
+                      FROM pos),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+            hits AS (SELECT DISTINCT g.doc_id FROM grams g
+                     JOIN bench b ON g.gram = b.gram)
+            SELECT d.doc_id AS id,
+                   (h.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
         "multimodal_meta": """
             SELECT doc_id AS media_id, 'image' AS media_type,
                    octet_length(encode(text))::INT AS byte_len, md5(text) AS content_md5

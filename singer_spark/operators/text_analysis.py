@@ -224,3 +224,34 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.md5(normalized).alias("fp_md5"),
         rolling.alias("fp_rolling"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — n-gram overlap screening.
+# ---------------------------------------------------------------------------
+def decontaminate(docs: DataFrame, benchmark: DataFrame, k: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Flag training documents sharing any k-gram with a benchmark/eval set
+    (the standard pretraining decontamination screen: an eval question
+    appearing verbatim in training data inflates the benchmark).
+
+    Shape at 100 TB: the benchmark side reduces to DISTINCT hashed k-grams
+    (16-byte digests, typically millions of rows for full eval suites —
+    broadcastable; AQE falls back to a shuffled semi-join when not), and
+    the corpus side streams one explode→LEFT SEMI join keyed on the digest.
+    Nothing wider than (doc id, digest) ever shuffles, and the semi-join
+    short-circuits per doc on first contact.
+
+    Returns (id, contaminated) for every input doc."""
+    from singer_spark.operators.dedup import shingles_col
+
+    grams = F.explode(shingles_col(text_col, k)).alias("gram")
+    bench_grams = (benchmark.select(grams)
+                   .select(F.md5("gram").alias("g")).distinct())
+    doc_grams = (docs.select(F.col(id_col).alias("id"), grams)
+                 .select("id", F.md5("gram").alias("g")))
+    hits = (doc_grams.join(bench_grams, "g", "left_semi")
+            .select("id").distinct().withColumn("contaminated", F.lit(True)))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(hits, "id", "left")
+            .select("id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")))

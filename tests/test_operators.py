@@ -416,3 +416,57 @@ def test_ppm_features_are_pooled_pixels(spark):
     out = multimodal.extract_image_features(
         _media_df(spark, [multimodal.encode_ppm(arr)]), dim=4).collect()
     assert out[0].feature == pytest.approx([120 / 255.0] * 4, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing + decontamination.
+# ---------------------------------------------------------------------------
+def test_pack_sequences_layout_invariants(spark, sf_dir):
+    from singer_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = pack_sequences(docs, max_len=128, bucket_width=37).orderBy("doc_id").collect()
+    # the stream is contiguous: each doc starts where the previous ended
+    pos = 0
+    for r in rows:
+        assert r.start_tok == pos
+        pos += r.n_tokens
+        assert r.first_chunk == r.start_tok // 128
+        assert r.last_chunk == (r.start_tok + r.n_tokens - 1) // 128
+        assert r.n_chunks == r.last_chunk - r.first_chunk + 1
+        assert r.offset_in_first_chunk == r.start_tok % 128
+    # bucket width must not change the layout (pure parallelism knob)
+    alt = pack_sequences(docs, max_len=128, bucket_width=1000).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.start_tok) for r in alt] == [(r.doc_id, r.start_tok) for r in rows]
+
+
+def test_pack_sequences_no_global_single_task_window(spark, sf_dir):
+    """The prefix sum must window per BUCKET, never over a global order —
+    the plan's Window spec has to carry a partition key."""
+    import io
+    from contextlib import redirect_stdout
+
+    from singer_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pack_sequences(docs, bucket_width=100).explain("formatted")
+    plan = buf.getvalue()
+    win = [l for l in plan.splitlines() if "partitionBy" in l or "windowspecdefinition" in l.lower()]
+    assert any("bucket" in l for l in win), win
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from singer_spark.operators.text_analysis import decontaminate
+
+    mk = lambda i, words: (i, " ".join(words))
+    bench = spark.createDataFrame(
+        [mk(100, [f"q{i}" for i in range(10)])], "doc_id bigint, text string")
+    docs = spark.createDataFrame([
+        mk(1, [f"q{i}" for i in range(2, 10)] + ["tail1", "tail2"]),  # shares q2..q9 (8-gram)
+        mk(2, [f"q{i}" for i in range(5)] + [f"x{i}" for i in range(8)]),  # ≤7 shared
+        mk(3, [f"z{i}" for i in range(12)]),  # disjoint
+    ], "doc_id bigint, text string")
+    got = {r.id: r.contaminated for r in decontaminate(docs, bench, k=8).collect()}
+    assert got == {1: True, 2: False, 3: False}
