@@ -2006,9 +2006,7 @@ def oracle_sql() -> dict[str, str]:
                    ((cum - n) % 512)::BIGINT AS offset_in_first_chunk
             FROM t""",
         "pack_stats": """
-            WITH t AS (SELECT length(string_split(text, ' '))::BIGINT AS n,
-                              length(string_split(text, ' ')) >
-                                0 AS dummy, doc_id
+            WITH t AS (SELECT doc_id, length(string_split(text, ' '))::BIGINT AS n
                        FROM documents),
             p AS (SELECT doc_id, n,
                          SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
