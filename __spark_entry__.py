@@ -768,12 +768,20 @@ def _corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_val_split,
     )
 
+    from singer_spark.operators.text_analysis import decontaminate
+
     docs = _docs(spark, sf_dir)
     lang = lang_id(docs).select("doc_id", "predicted_lang")
     qual = quality_features(docs).select("doc_id", "quality_score")
     rep = repetition_features(docs).filter(F.col("keep")).select("doc_id")
     canonical = dedup_exact(docs).select("doc_id")
     split = train_val_split(docs).filter(F.col("split") == "train").select("doc_id")
+    # decontamination gate: drop docs overlapping the benchmark slice
+    # (every 50th doc stands in for the eval set; the benchmark docs
+    # themselves are contaminated-by-definition and fall out too)
+    clean = (decontaminate(docs, docs.filter(F.col("doc_id") % 50 == 0), k=8)
+             .filter(~F.col("contaminated"))
+             .select(F.col("id").alias("doc_id")))
     return (
         docs.select("doc_id", "source")
         .join(lang, "doc_id")
@@ -781,6 +789,7 @@ def _corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rep, "doc_id", "left_semi")
         .join(canonical, "doc_id", "left_semi")
         .join(split, "doc_id", "left_semi")
+        .join(clean, "doc_id", "left_semi")
         .filter((F.col("predicted_lang") == "en") & (F.col("quality_score") >= 0.5))
         .select("doc_id", "source", "quality_score")
         .orderBy("doc_id")
@@ -1959,6 +1968,15 @@ def oracle_sql() -> dict[str, str]:
             FROM n""",
         "text_repetition": _repetition_oracle(),
         "corpus_pipeline_full": f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT doc_id, t,
+                           unnest(generate_series(1, GREATEST(len(t) - 7, 1))) AS g
+                    FROM toks),
+            grams AS (SELECT doc_id, array_to_string(t[g : g + 7], ' ') AS gram
+                      FROM pos),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+            contaminated AS (SELECT DISTINCT g.doc_id FROM grams g
+                             JOIN bench b ON g.gram = b.gram)
             SELECT d.doc_id, d.source, q.quality_score
             FROM documents d
             JOIN ({_lang_id_oracle()}) l ON l.doc_id = d.doc_id
@@ -1966,6 +1984,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN ({_repetition_oracle()}) r ON r.doc_id = d.doc_id AND r.keep
             WHERE l.predicted_lang = 'en' AND q.quality_score >= 0.5
               AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+              AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
               AND {_md5i("'split:' || d.doc_id::VARCHAR")} % 100 >= 10
             ORDER BY d.doc_id""",
         "text_pii_redaction": r"""
