@@ -47,6 +47,8 @@ HEADLINERS = [
     "sim_ivf_ann",
     "text_quality",
     "text_fingerprint",
+    "pack_sequences",
+    "decontaminate",
     "b5_audit_count",
 ]
 

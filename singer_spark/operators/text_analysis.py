@@ -243,12 +243,15 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, k: int = 8,
     short-circuits per doc on first contact.
 
     Returns (id, contaminated) for every input doc."""
+    from singer_spark.functions import fan_out
     from singer_spark.operators.dedup import shingles_col
 
     grams = F.explode(shingles_col(text_col, k)).alias("gram")
-    bench_grams = (benchmark.select(grams)
+    # fan_out: the shingle HOFs are CPU-bound per row — a single-file scan
+    # must not evaluate them on one task (9.8s -> 0.6s at sf0.1)
+    bench_grams = (fan_out(benchmark).select(grams)
                    .select(F.md5("gram").alias("g")).distinct())
-    doc_grams = (docs.select(F.col(id_col).alias("id"), grams)
+    doc_grams = (fan_out(docs).select(F.col(id_col).alias("id"), grams)
                  .select("id", F.md5("gram").alias("g")))
     hits = (doc_grams.join(bench_grams, "g", "left_semi")
             .select("id").distinct().withColumn("contaminated", F.lit(True)))
