@@ -58,9 +58,15 @@ def pack_sequences(docs: DataFrame, max_len: int = 2048,
     time.  Dense integer ids are the common case; for sparse/skewed ids
     pass a pre-bucketized frame or re-id first (dedup_clusters emits dense
     ids)."""
+    from pyspark import StorageLevel
+
+    # persisted: consumed twice (bucket totals + per-doc window), and
+    # recomputing means re-tokenizing the whole corpus.  ~24 B/doc —
+    # columnar-tiny relative to the text it summarizes.
     t = docs.select(F.col(id_col).alias("id"),
                     token_count_col(text_col).alias("n_tokens"),
-                    _bucket_col(id_col, bucket_width).alias("bucket"))
+                    _bucket_col(id_col, bucket_width).alias("bucket")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
     # per-bucket totals -> running offsets, driver-side over #buckets rows
     # (thousands at 100 TB — documents never leave the executors), shipped
