@@ -655,6 +655,23 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, benchmark, k=8)
 
 
+def _approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK/KLL-style quantile sketch (`approx_percentile`, accuracy 1/1e4) —
+    the 100 TB path where the exact sort-based percentile is a full
+    shuffle+sort; tolerance-checked against DuckDB's exact quantiles."""
+    ev = _events(spark, sf_dir)
+    pct = F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select("event_type",
+                F.col("p")[0].alias("p50"),
+                F.col("p")[1].alias("p90"),
+                F.col("p")[2].alias("p99"))
+        .orderBy("event_type")
+    )
+
+
 def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch distinct count — engine-specific estimate, rows-only check."""
     ev = _events(spark, sf_dir)
@@ -1055,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_by_type": _percentiles_by_type,
         "array_functions_profile": _array_functions_profile,
         "approx_distinct_users": _approx_distinct_users,
+        "approx_percentiles_value": _approx_percentiles_value,
         # relational analytics
         "q1_pricing_summary": _q1,
         "q2_min_cost_supplier": _tpch.q2_min_cost_supplier,
