@@ -365,3 +365,74 @@ def test_tail_thrift_corrupt_length_prefix_stops_with_warning(tmp_path, capfd):
     (p,) = r.partitions(start, end)
     assert [bytes(t[1]) for t in r.read(p)] == [b"fine"]
     assert "corrupt frame length" in capfd.readouterr().err
+
+
+def test_full_agent_path_tail_thrift_to_kafka_with_audit_headers(spark, tmp_path):
+    """THE reference agent pipeline in one stream: tail a GROWING framed-
+    thrift log -> decode (audit headers ride along) -> inject serialized
+    headers + CRC as Kafka record headers -> direct producer sink.  Covers
+    the composition, not just the parts."""
+    import json
+    import uuid
+
+    from singer_spark.framing import (encode_audit_headers, encode_log_message,
+                                      with_kafka_audit_headers)
+    from singer_spark.sinks import kafka_write_batch
+    from singer_spark.streaming.tail import tail_stream
+
+    d = str(tmp_path / "logs")
+    os.makedirs(d)
+    out_dir = str(tmp_path / "sent")
+    os.makedirs(out_dir)
+    ckpt = str(tmp_path / "ckpt")
+    audit = {"host": "agent-1", "logName": "applog", "pid": 7, "session": 99,
+             "logSeqNumInSession": 0, "timestamp": 123, "tracked": True}
+
+    def factory(servers, configs, _dir=out_dir):
+        class P:
+            def __init__(self):
+                self.pending = []
+
+            def send(self, topic, value=None, key=None, headers=None, partition=None):
+                self.pending.append({
+                    "key": key.decode(), "value": value.decode(),
+                    "headers": {k: v.hex() for k, v in (headers or [])},
+                })
+
+            def flush(self):
+                with open(os.path.join(_dir, f"s-{uuid.uuid4().hex}.jsonl"), "w") as f:
+                    for r in self.pending:
+                        f.write(json.dumps(r) + "\n")
+
+        return P()
+
+    def drain():
+        df = with_kafka_audit_headers(tail_stream(spark, d, mode="thrift"))
+        q = (df.writeStream
+             .foreachBatch(lambda b, _id: kafka_write_batch(
+                 b, "b:9092", "applog", factory))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+
+    with open(f"{d}/app.log", "ab") as f:
+        f.write(encode_log_message(b"m-1", key=b"1", with_crc=True,
+                                   audit_headers=audit))
+    drain()
+    with open(f"{d}/app.log", "ab") as f:  # the file GROWS between batches
+        f.write(encode_log_message(b"m-2", key=b"2", with_crc=True))
+    drain()
+
+    recs = []
+    for p in (tmp_path / "sent").glob("s-*.jsonl"):
+        recs += [json.loads(x) for x in p.read_text().splitlines()]
+    by_key = {r["key"]: r for r in recs}
+    assert set(by_key) == {"1", "2"}  # both appends delivered exactly once
+    assert by_key["1"]["value"] == "m-1"
+    assert by_key["1"]["headers"]["loggingAuditHeaders"] == encode_audit_headers(audit).hex()
+    import zlib as _zlib
+
+    crc = _zlib.crc32(b"m-1") & 0xFFFFFFFF
+    assert by_key["1"]["headers"]["messageCRC"] == crc.to_bytes(8, "big").hex()
+    assert "loggingAuditHeaders" not in by_key["2"]["headers"]  # no audit field
