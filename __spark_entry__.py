@@ -655,6 +655,15 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, benchmark, k=8)
 
 
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-source subset: exactly min(10, |source|) docs per source,
+    deterministic salted-hash rank (training-set class balancing)."""
+    from singer_spark.operators.text_analysis import stratified_sample_k
+
+    return (stratified_sample_k(_docs(spark, sf_dir), "source", 10)
+            .select("doc_id", "source"))
+
+
 def _approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GK/KLL-style quantile sketch (`approx_percentile`, accuracy 1/1e4) —
     the 100 TB path where the exact sort-based percentile is a full
@@ -1073,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_functions_profile": _array_functions_profile,
         "approx_distinct_users": _approx_distinct_users,
         "approx_percentiles_value": _approx_percentiles_value,
+        "stratified_sample": _stratified_sample,
         # relational analytics
         "q1_pricing_summary": _q1,
         "q2_min_cost_supplier": _tpch.q2_min_cost_supplier,
@@ -2028,6 +2038,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN {_md5i("'split:' || doc_id::VARCHAR")} % 100 < 10 THEN 'test'
                         ELSE 'train' END AS split
             FROM documents""",
+        "stratified_sample": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {_md5i("'strat:' || doc_id::VARCHAR")}, doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 10""",
         "pack_sequences": """
             -- concat-and-chunk layout: global running token offset in
             -- doc_id order, windows cut every 512 tokens

@@ -258,3 +258,28 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, k: int = 8,
     return (docs.select(F.col(id_col).alias("id"))
             .join(hits, "id", "left")
             .select("id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")))
+
+
+# ---------------------------------------------------------------------------
+# Stratified exact-k sampling — balanced per-class training subsets.
+# ---------------------------------------------------------------------------
+def stratified_sample_k(df: DataFrame, group_col: str, k: int,
+                        key_col: str = "doc_id", salt: str = "strat") -> DataFrame:
+    """Exactly min(k, |group|) rows per group, selected by deterministic
+    salted-hash rank — the balanced-class subset builder (cap every source/
+    language/label at k examples).  Deterministic: the same (salt, key)
+    always ranks the same, so retries and repartitioning pick identical
+    rows; changing `salt` draws an independent sample.
+
+    One hash-partitioned window per group.  Groups far larger than k pay a
+    per-group sort at scale; for billion-row groups pre-filter with an
+    approximate k-th-quantile threshold on the hash before ranking (the
+    standard two-pass refinement) — the rank here is uniform in [0, 2^60),
+    so the threshold is just k/|group| of the space."""
+    from pyspark.sql import Window
+
+    rank_col = md5_int(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(rank_col.asc(), F.col(key_col).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn"))

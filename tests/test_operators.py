@@ -470,3 +470,26 @@ def test_decontaminate_flags_overlap_only(spark):
     ], "doc_id bigint, text string")
     got = {r.id: r.contaminated for r in decontaminate(docs, bench, k=8).collect()}
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_stratified_sample_k_balanced_and_deterministic(spark):
+    from singer_spark.operators.text_analysis import stratified_sample_k
+
+    rows = [(i, "big" if i < 50 else ("mid" if i < 60 else "tiny"))
+            for i in range(63)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = stratified_sample_k(df, "source", 5, key_col="doc_id").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.source, set()).add(r.doc_id)
+    # exactly k from big groups, everything from under-k groups
+    assert len(by_group["big"]) == 5 and len(by_group["mid"]) == 5
+    assert by_group["tiny"] == {60, 61, 62}
+    # deterministic across invocations and repartitioning
+    again = {(r.source, r.doc_id)
+             for r in stratified_sample_k(df.repartition(7), "source", 5).collect()}
+    assert again == {(r.source, r.doc_id) for r in out}
+    # a different salt draws a different subset from the big group
+    other = stratified_sample_k(df, "source", 5, salt="other").collect()
+    other_big = {r.doc_id for r in other if r.source == "big"}
+    assert other_big != by_group["big"]
