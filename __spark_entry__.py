@@ -664,6 +664,26 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+def _corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: fill 30% of the corpus token budget per-source,
+    weighted 2:1 toward sources src0-src4, greedy deterministic hash order
+    (operators/text_analysis.py:corpus_mix_sample)."""
+    from singer_spark.operators.text_analysis import corpus_mix_sample
+
+    weight = F.when(
+        F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("int") < 5,
+        F.lit(2.0)).otherwise(F.lit(1.0))
+    return corpus_mix_sample(_docs(spark, sf_dir), weight, token_frac=0.3)
+
+
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile: top-10 terms by TF-IDF
+    (operators/text_analysis.py:tfidf_top_terms)."""
+    from singer_spark.operators.text_analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=10)
+
+
 def _approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GK/KLL-style quantile sketch (`approx_percentile`, accuracy 1/1e4) —
     the 100 TB path where the exact sort-based percentile is a full
@@ -703,6 +723,15 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_docs(spark, sf_dir), k=4, threshold=0.5)
+
+
+def _dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment screen: overlap coefficient |A∩B|/min(|A|,|B|) over
+    4-shingle sets — catches a short doc quoted inside a long one, which
+    Jaccard misses (operators/dedup.py:overlap_pairs)."""
+    from singer_spark.operators.dedup import overlap_pairs
+
+    return overlap_pairs(_docs(spark, sf_dir), k=4, threshold=0.6)
 
 
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1083,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": _approx_distinct_users,
         "approx_percentiles_value": _approx_percentiles_value,
         "stratified_sample": _stratified_sample,
+        "corpus_mix": _corpus_mix,
         # relational analytics
         "q1_pricing_summary": _q1,
         "q2_min_cost_supplier": _tpch.q2_min_cost_supplier,
@@ -1113,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_overlap": _dedup_overlap,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_clusters": _dedup_clusters,
@@ -1135,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "text_repetition": _text_repetition,
         "text_pii_redaction": _text_pii_redaction,
+        "tfidf_top_terms": _tfidf_top_terms,
         "train_val_split": _train_val_split,
         "pack_sequences": _pack_sequences,
         "pack_stats": _pack_stats,
@@ -1867,6 +1899,18 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SH_CTE},
             {_NGRAM_BLOCKED},
             {_jaccard_verify_sql('ncand', 0.5)}""",
+        "dedup_overlap": f"""
+            WITH {_SH_CTE},
+            {_NGRAM_BLOCKED},
+            v AS (SELECT id_a, id_b,
+                         len(list_intersect(ba.sh, bb.sh)) AS shared,
+                         len(ba.sh) AS n_a, len(bb.sh) AS n_b
+                  FROM ncand c JOIN sbase ba ON ba.doc_id = c.id_a
+                               JOIN sbase bb ON bb.doc_id = c.id_b)
+            SELECT id_a, id_b,
+                   floor(shared / least(n_a, n_b) * 10000 + 0.5) / 10000 AS overlap,
+                   floor(shared / (n_a + n_b - shared) * 10000 + 0.5) / 10000 AS jaccard
+            FROM v WHERE shared / least(n_a, n_b) >= 0.6""",
         "dedup_clusters": f"""
             WITH RECURSIVE {_SH_CTE},
             {_NGRAM_BLOCKED},
@@ -2045,6 +2089,46 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY source
                        ORDER BY {_md5i("'strat:' || doc_id::VARCHAR")}, doc_id) AS rn
               FROM documents)
+            WHERE rn <= 10""",
+        "corpus_mix": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     len(string_split(text, ' '))::BIGINT AS n_tokens,
+                     CASE WHEN regexp_extract(source, '(\\d+)$', 1)::INT < 5
+                          THEN 2.0 ELSE 1.0 END AS w,
+                     {_md5i("'mix:' || doc_id::VARCHAR")} AS rk
+              FROM documents),
+            s AS (SELECT source, sum(n_tokens) AS src_tokens, any_value(w) AS w
+                  FROM t GROUP BY source),
+            g AS (SELECT sum(src_tokens) AS total, sum(w) AS wsum FROM s),
+            c AS (SELECT doc_id, source, n_tokens, w,
+                         sum(n_tokens) OVER (PARTITION BY source
+                           ORDER BY rk, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t)
+            -- 0.3/w/wsum forced to DOUBLE: DuckDB parses bare decimal
+            -- literals as DECIMAL, whose arithmetic would diverge from
+            -- Spark's IEEE-double chain
+            SELECT doc_id, source, n_tokens FROM c, g
+            WHERE (cum - n_tokens)
+                  < 0.3::DOUBLE * g.total * c.w::DOUBLE / g.wsum::DOUBLE""",
+        "tfidf_top_terms": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS term
+              FROM documents),
+            tf AS (SELECT source, term, count(*)::BIGINT AS tf
+                   FROM tok GROUP BY source, term),
+            dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+            g AS (SELECT count(DISTINCT source)::BIGINT AS n_sources FROM tf),
+            s AS (SELECT source, term, tf,
+                         floor(tf * ln((n_sources + 1)::DOUBLE / (df + 1)::DOUBLE)
+                               * 10000 + 0.5) / 10000 AS score
+                  FROM tf JOIN dfq USING (term), g)
+            SELECT source, term, tf, score FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY score DESC, term ASC) AS rn
+              FROM s)
             WHERE rn <= 10""",
         "pack_sequences": """
             -- concat-and-chunk layout: global running token offset in

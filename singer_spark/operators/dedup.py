@@ -128,10 +128,12 @@ def _maybe_persist(base: DataFrame, persist: bool) -> DataFrame:
     return base.persist(StorageLevel.MEMORY_AND_DISK)
 
 
-def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 4, threshold: float = 0.8,
-                        max_shingle_df: int = 256) -> DataFrame:
-    """All pairs with Jaccard(shingle sets) >= threshold.
+def shingle_cooccurrence(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 4, max_shingle_df: int = 256) -> DataFrame:
+    """(id_a, id_b, shared, n_a, n_b) for every candidate pair — the shared
+    inverted-index core under :func:`ngram_jaccard_pairs` and
+    :func:`overlap_pairs` (any set-similarity metric is a cheap expression
+    over these five columns).
 
     Inverted-index co-occurrence form (the PPJoin family's counting step):
     intersection sizes fall out of the index itself, so the per-doc shingle
@@ -154,16 +156,16 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
       equal distinct-of-hashes counts up to the md5 collision bound already
       accepted corpus-wide).
 
-    Scores are exact Jaccard over the FULL shingle sets for every emitted
-    pair, identical to verifying with array intersections.  RECALL BOUND:
-    candidates come only from cold posting lists, so a pair whose shared
-    shingles are ALL hot (> max_shingle_df docs each — e.g. hundreds of
-    near-identical boilerplate copies) yields no candidate and is not
-    emitted.  That regime is exact duplication at scale; run
+    `shared` is the exact intersection size over the FULL shingle sets for
+    every emitted pair, identical to verifying with array intersections.
+    RECALL BOUND: candidates come only from cold posting lists, so a pair
+    whose shared shingles are ALL hot (> max_shingle_df docs each — e.g.
+    hundreds of near-identical boilerplate copies) yields no candidate and
+    is not emitted.  That regime is exact duplication at scale; run
     :func:`dedup_exact` first (the curation DAG does) so byte-identical
     floods collapse before near-dup blocking, leaving hot shingles to
     boilerplate *fragments* where some distinguishing cold shingle exists.
-    Wider k → fewer, more selective blocks.  Output: (id_a, id_b, jaccard)."""
+    Wider k → fewer, more selective blocks."""
     sh = (fan_out(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.transform(raw_shingles_col(text_col, k),
@@ -201,13 +203,50 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
     sb = per_doc.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"),
                         F.col("hot").alias("hot_b"))
     shared = F.col("c_cold") + F.size(F.array_intersect("hot_a", "hot_b"))
-    jac = shared / (F.col("n_a") + F.col("n_b") - shared)
     return (
         cooc.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard", qround(jac, 4))
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", shared.alias("shared"), "n_a", "n_b")
     )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 4, threshold: float = 0.8,
+                        max_shingle_df: int = 256) -> DataFrame:
+    """All pairs with Jaccard(shingle sets) >= threshold — an expression over
+    :func:`shingle_cooccurrence` (see there for the plan shape and the
+    hot-shingle recall bound).  Output: (id_a, id_b, jaccard)."""
+    co = shingle_cooccurrence(docs, text_col, id_col, k, max_shingle_df)
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (co.withColumn("jaccard", qround(jac, 4))
+            .filter(jac >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def overlap_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 4, threshold: float = 0.8,
+                  max_shingle_df: int = 256) -> DataFrame:
+    """All pairs with overlap coefficient |A∩B| / min(|A|,|B|) >= threshold —
+    the CONTAINMENT screen: a short document quoted or embedded inside a
+    longer one scores near 1.0 here while its Jaccard stays low (the union
+    is dominated by the long side), so Jaccard-only dedup never surfaces
+    it.  The standard quote/boilerplate-inclusion detector for pretraining
+    corpora.
+
+    Same inverted-index plan and recall bound as
+    :func:`ngram_jaccard_pairs` (see :func:`shingle_cooccurrence`); only
+    the final expression differs, so at 100 TB the cost is identical and a
+    pipeline computing both metrics shares every exchange.
+
+    Output: (id_a, id_b, overlap, jaccard) — Jaccard rides along for free
+    so downstream policy can distinguish containment (high overlap, low
+    jaccard) from near-identity (both high)."""
+    co = shingle_cooccurrence(docs, text_col, id_col, k, max_shingle_df)
+    ov = F.col("shared") / F.least("n_a", "n_b")
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (co.withColumn("overlap", qround(ov, 4))
+            .withColumn("jaccard", qround(jac, 4))
+            .filter(ov >= threshold)
+            .select("id_a", "id_b", "overlap", "jaccard"))
 
 
 # ---------------------------------------------------------------------------

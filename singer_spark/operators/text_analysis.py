@@ -283,3 +283,99 @@ def stratified_sample_k(df: DataFrame, group_col: str, k: int,
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing — weighted per-source sampling to a token budget.
+# ---------------------------------------------------------------------------
+def corpus_mix_sample(docs: DataFrame, weights: dict[str, float] | Column,
+                      token_frac: float = 0.3, text_col: str = "text",
+                      id_col: str = "doc_id", source_col: str = "source",
+                      salt: str = "mix") -> DataFrame:
+    """Select documents per source until each source's token allotment is
+    reached — the corpus-mixing step of a pretraining pipeline ("30% of the
+    token budget, weighted 2:1 toward curated sources").
+
+    `weights` is either {source: weight} or a Column expression over the
+    source column (sf-agnostic); weights are normalized over the sources
+    actually present.  Source `s` gets
+    ``token_frac · total_tokens · w_s / Σw`` tokens, filled greedily in
+    deterministic salted-hash order (same (salt, id) → same sample across
+    retries and repartitioning); the document that crosses the allotment is
+    included, every later one is cut.
+
+    Plan shape at 100 TB: token counts are a narrow expression on the scan;
+    the corpus totals reduce through a 20-row per-source aggregate that
+    broadcasts back; the only wide operation is ONE hash-partitioned window
+    per source (same shape as :func:`stratified_sample_k`, and the same
+    two-pass quantile-threshold refinement applies to billion-doc
+    sources).  Nothing wider than (id, source, n_tokens) shuffles.
+
+    Output: (id, source, n_tokens) of the selected documents."""
+    from pyspark.sql import Window
+
+    if isinstance(weights, dict):
+        w: Column = F.lit(1.0)
+        for src, wt in sorted(weights.items()):
+            w = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(w)
+    else:
+        w = weights
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    rank_col = md5_int(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    base = docs.select(F.col(id_col), F.col(source_col),
+                       n_tok.alias("n_tokens"), rank_col.alias("_rk"))
+    per_src = base.groupBy(source_col).agg(F.sum("n_tokens").alias("_src_tokens"))
+    stats = per_src.agg(F.sum("_src_tokens").alias("_total"),
+                        F.sum(w).alias("_wsum"))
+    win = Window.partitionBy(source_col).orderBy(F.col("_rk").asc(),
+                                                 F.col(id_col).asc())
+    cum = F.sum("n_tokens").over(win)
+    allotted = F.lit(token_frac) * F.col("_total") * w / F.col("_wsum")
+    return (base.withColumn("_cum", cum)
+            .crossJoin(F.broadcast(stats))
+            .filter((F.col("_cum") - F.col("n_tokens")) < allotted)
+            .select(id_col, source_col, "n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms — per-source vocabulary profiling.
+# ---------------------------------------------------------------------------
+def tfidf_top_terms(docs: DataFrame, k: int = 10, text_col: str = "text",
+                    source_col: str = "source") -> DataFrame:
+    """Top-k terms per source by TF-IDF (tf · ln((S+1)/(df+1)), S = number
+    of sources, df = sources containing the term) — the source-vocabulary
+    profile used to spot outlier corpora (a source whose top terms are
+    boilerplate tokens is a curation candidate).
+
+    Plan shape at 100 TB: one explode feeds a (source, term) partial-agg
+    (map-side combine collapses the token stream before the shuffle); the
+    resulting vocabulary-sized frame is PERSISTED and feeds all three
+    consumers (document frequency, source count, the scoring join) — the
+    corpus is exploded exactly once.  S broadcasts as a 1-row aggregate.
+    The final per-source top-k window sorts vocabulary-sized data, never
+    the corpus.  Ties rank by term for cross-engine determinism; the score
+    is quantize-rounded BEFORE ranking so both engines rank identical
+    doubles.
+
+    Output: (source, term, tf, score) with k rows per source."""
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from singer_spark.functions import fan_out
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != F.lit(""))
+    tok = fan_out(docs).select(F.col(source_col), F.explode(toks).alias("term"))
+    tf = (tok.groupBy(source_col, "term").agg(F.count("*").alias("tf"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))  # tf is distinct per (source, term)
+    nsrc = tf.select(source_col).distinct().agg(F.count("*").alias("n_sources"))
+    score = F.col("tf") * F.log((F.col("n_sources") + F.lit(1.0)) /
+                                (F.col("df") + F.lit(1.0)))
+    scored = (tf.join(dfreq, "term").crossJoin(F.broadcast(nsrc))
+              .withColumn("score", qround(score, 4)))
+    win = Window.partitionBy(source_col).orderBy(F.col("score").desc(),
+                                                 F.col("term").asc())
+    return (scored.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") <= k)
+            .select(source_col, "term", "tf", "score"))
