@@ -438,6 +438,29 @@ def _asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                          qround(F.col("o_totalprice"), 2).alias("o_totalprice"))
 
 
+def _asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 90-day tolerance: a match older than the bound is
+    nulled, not replaced (pandas merge_asof semantics) —
+    operators/joins.py:asof_join(tolerance=...)."""
+    from singer_spark.functions import qround
+    from singer_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    right = (
+        orders.groupBy((F.col("o_custkey") % 20).alias("user_id"),
+                       F.col("o_orderdate"))
+        .agg(F.max("o_orderkey").alias("o_orderkey"),
+             F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"))
+    )
+    joined = asof_join(ev, right, key="user_id", left_time="ts",
+                       right_time="o_orderdate",
+                       payload_cols=["o_orderkey", "o_totalprice"],
+                       tolerance=F.expr("INTERVAL 90 DAYS"))
+    return joined.select("event_id", "o_orderkey",
+                         qround(F.col("o_totalprice"), 2).alias("o_totalprice"))
+
+
 def _range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast range join against a small tier table, then rollup."""
     from singer_spark.functions import qround
@@ -1096,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _events_json_extract,
         # joins / set ops / grouping (Catalyst surface + custom join operators)
         "asof_join_events_orders": _asof_join_events_orders,
+        "asof_join_tolerance": _asof_join_tolerance,
         "range_join_value_tiers": _range_join_value_tiers,
         "rollup_pricing": _rollup_pricing,
         "cube_pricing": _cube_pricing,
@@ -1527,6 +1551,23 @@ def oracle_sql() -> dict[str, str]:
                    floor(r.o_totalprice * 100 + 0.5) / 100 AS o_totalprice
             FROM events e
             ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate""",
+        "asof_join_tolerance": """
+            WITH r AS (
+              SELECT o_custkey % 20 AS user_id, o_orderdate,
+                     max(o_orderkey) AS o_orderkey,
+                     arg_max(o_totalprice, o_orderkey) AS o_totalprice
+              FROM orders GROUP BY 1, 2),
+            j AS (
+              SELECT e.event_id, e.ts, r.o_orderdate, r.o_orderkey, r.o_totalprice
+              FROM events e
+              ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate)
+            SELECT event_id,
+                   CASE WHEN ts - o_orderdate::TIMESTAMP <= INTERVAL '90 days'
+                        THEN o_orderkey END AS o_orderkey,
+                   CASE WHEN ts - o_orderdate::TIMESTAMP <= INTERVAL '90 days'
+                        THEN floor(o_totalprice * 100 + 0.5) / 100
+                        END AS o_totalprice
+            FROM j""",
         "range_join_value_tiers": """
             SELECT t.tier, count(*) AS n,
                    floor(sum(e.value) * 100 + 0.5) / 100 AS sum_value

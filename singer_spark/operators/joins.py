@@ -22,9 +22,17 @@ from pyspark.sql.window import Window
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_time: str, right_time: str,
               payload_cols: list[str],
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              tolerance: Column | None = None) -> DataFrame:
     """For each left row, attach the payload of the latest right row with
     right_time <= left_time (direction='backward'; 'forward' mirrors).
+
+    `tolerance` (pandas merge_asof parity) bounds the match's age: a match
+    whose |left_time − right_time| exceeds it is nulled out, not replaced
+    by an older one — exactly merge_asof's semantics.  Pass a Column in
+    the time columns' difference units (a numeric literal for numeric
+    times, ``F.expr("INTERVAL 30 DAYS")`` for timestamps).  Implemented as
+    an expression over the carried match time, so it adds no shuffle.
 
     Right rows must be unique per (key, right_time) — pre-aggregate
     upstream if not (ties would make "the" match ambiguous).
@@ -50,6 +58,10 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
             r = r.withColumn(c, F.lit(None).cast(left_types[c]))
 
     unioned = l.unionByName(r.select(*l.columns))
+    # carried match time: only right rows contribute, so last-non-null is
+    # the matched right_time (post-union promoted to the common time type)
+    unioned = unioned.withColumn(
+        "_rt", F.when(F.col("_is_left") == 0, F.col("_t")))
 
     if direction == "backward":
         # right rows sort BEFORE left rows at equal time → `<=` semantics
@@ -61,7 +73,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     out = unioned
     for c in payload_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out.filter(F.col("_is_left") == 1).drop("_t", "_is_left")
+    if tolerance is not None:
+        mt = F.last("_rt", ignorenulls=True).over(w)
+        gap = (F.col("_t") - mt) if direction == "backward" else (mt - F.col("_t"))
+        valid = mt.isNotNull() & (gap <= tolerance)
+        for c in payload_cols:
+            out = out.withColumn(c, F.when(valid, F.col(c)))
+    return out.filter(F.col("_is_left") == 1).drop("_t", "_rt", "_is_left")
 
 
 def range_join_small(big: DataFrame, small_bounds: DataFrame, value_col: str,

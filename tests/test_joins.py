@@ -93,3 +93,51 @@ def test_salted_join_identical_to_plain_join(spark, sf_dir):
     li_extra = li.union(spark.createDataFrame([(10**12, 1)], "k bigint, l_linenumber int"))
     left = salted_join(li_extra, orders, "k", salt_buckets=8, how="left")
     assert left.filter(F.col("o_orderpriority").isNull()).count() == 1
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """merge_asof parity: a match older than the tolerance is nulled, NOT
+    replaced by an even older in-range one (there is none by definition)."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-10T00:00:00")),    # 2 days after right row
+         (2, "u", _ts("2024-01-20T00:00:00")),    # 12 days after → stale
+         (3, "v", _ts("2024-01-15T00:00:00"))],   # no right rows at all
+        ["event_id", "k", "t"])
+    right = spark.createDataFrame(
+        [("u", _ts("2024-01-08T00:00:00"), 100)],
+        ["k", "rt", "payload"])
+    out = {r.event_id: r.payload for r in
+           asof_join(left, right, key="k", left_time="t", right_time="rt",
+                     payload_cols=["payload"],
+                     tolerance=F.expr("INTERVAL 5 DAYS")).collect()}
+    assert out == {1: 100, 2: None, 3: None}
+
+
+def test_asof_tolerance_matches_pandas_merge_asof(spark):
+    """Randomized parity against pandas.merge_asof with tolerance."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    left_pd = pd.DataFrame({
+        "event_id": range(200),
+        "k": rng.integers(0, 5, 200).astype(str),
+        "t": rng.integers(0, 1000, 200),
+    }).sort_values("t").reset_index(drop=True)
+    right_pd = pd.DataFrame({
+        "k": rng.integers(0, 5, 60).astype(str),
+        "rt": rng.integers(0, 1000, 60),
+        "payload": rng.integers(0, 10**6, 60),
+    }).drop_duplicates(["k", "rt"]).sort_values("rt").reset_index(drop=True)
+
+    expected = pd.merge_asof(left_pd, right_pd, left_on="t", right_on="rt",
+                             by="k", direction="backward", tolerance=100)
+    want = {int(r.event_id): (None if pd.isna(r.payload) else int(r.payload))
+            for r in expected.itertuples()}
+
+    out = asof_join(spark.createDataFrame(left_pd),
+                    spark.createDataFrame(right_pd),
+                    key="k", left_time="t", right_time="rt",
+                    payload_cols=["payload"], tolerance=F.lit(100)).collect()
+    got = {r.event_id: r.payload for r in out}
+    assert got == want
