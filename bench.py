@@ -40,6 +40,7 @@ HEADLINERS = [
     # training-data operators
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_overlap",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_bruteforce_topk",
@@ -47,7 +48,9 @@ HEADLINERS = [
     "sim_ivf_ann",
     "text_quality",
     "text_fingerprint",
+    "tfidf_top_terms",
     "pack_sequences",
+    "corpus_mix",
     "decontaminate",
     "b5_audit_count",
 ]

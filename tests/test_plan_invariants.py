@@ -70,3 +70,47 @@ def test_exact_dedup_shuffles_digests_only(spark, sf_dir):
     # text must not survive past the first projection
     assert "doc_id" in read and "text" in read
     assert "lang" not in read and "source" not in read
+
+
+def test_corpus_mix_prunes_scan_and_broadcasts_totals(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from singer_spark.operators.text_analysis import corpus_mix_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(corpus_mix_sample(docs, {}, token_frac=0.3))
+    # the scan reads only what the mix needs — not lang/n_chars
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read and "n_chars" not in read
+    # the corpus-totals frame comes back as a broadcast, not a shuffle join
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_tfidf_single_corpus_scan(spark, sf_dir):
+    import re
+
+    from singer_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(tfidf_top_terms(docs, k=10))
+    # the persisted tf frame feeds all three consumers: the corpus parquet
+    # scan appears once; everything else reads InMemoryTableScan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_overlap_reuses_jaccard_plan_shape(spark, sf_dir):
+    """overlap_pairs must stay an expression over the same co-occurrence
+    core as ngram_jaccard_pairs — same exchange count, no extra corpus
+    explode sneaking in."""
+    import re
+
+    from singer_spark.operators.dedup import ngram_jaccard_pairs, overlap_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jac = _plan(ngram_jaccard_pairs(docs, k=4, threshold=0.5))
+    ov = _plan(overlap_pairs(docs, k=4, threshold=0.6))
+    count = lambda p: len(re.findall(r"\(\d+\) Exchange", p))
+    assert count(ov) == count(jac)
+    scans = lambda p: len(re.findall(r"\(\d+\) Scan parquet", p))
+    assert scans(ov) == scans(jac)
