@@ -707,6 +707,16 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), k=10)
 
 
+def _skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: top-20 (event_type, user_id) keys with
+    share and ratio-to-average — the measured input to the salted-join
+    decision (operators/diagnostics.py:key_skew_report)."""
+    from singer_spark.operators.diagnostics import key_skew_report
+
+    return key_skew_report(_events(spark, sf_dir),
+                           ["event_type", "user_id"], top_n=20)
+
+
 def _approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GK/KLL-style quantile sketch (`approx_percentile`, accuracy 1/1e4) —
     the 100 TB path where the exact sort-based percentile is a full
@@ -1137,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_percentiles_value": _approx_percentiles_value,
         "stratified_sample": _stratified_sample,
         "corpus_mix": _corpus_mix,
+        "skew_report": _skew_report,
         # relational analytics
         "q1_pricing_summary": _q1,
         "q2_min_cost_supplier": _tpch.q2_min_cost_supplier,
@@ -2171,6 +2182,16 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY source ORDER BY score DESC, term ASC) AS rn
               FROM s)
             WHERE rn <= 10""",
+        "skew_report": """
+            WITH counts AS (
+              SELECT event_type || '|' || user_id AS key, count(*)::BIGINT AS n
+              FROM events GROUP BY 1),
+            g AS (SELECT sum(n) AS total, avg(n) AS a FROM counts)
+            SELECT key, n,
+                   floor(n / total * 1000000 + 0.5) / 1000000 AS share,
+                   floor(n / a * 10000 + 0.5) / 10000 AS ratio_to_avg
+            FROM counts, g
+            ORDER BY n DESC, key ASC LIMIT 20""",
         "pack_sequences": """
             -- concat-and-chunk layout: global running token offset in
             -- doc_id order, windows cut every 512 tokens

@@ -232,6 +232,67 @@ def write_batch_sized(batch_df: DataFrame, path: str, fmt: str = "parquet",
     batch_df.write.mode("append").format(fmt).save(path)
 
 
+def write_dataset(df: DataFrame, path: str,
+                  partition_by: list[str] | str | None = None,
+                  sort_by: list[str] | str | None = None,
+                  target_file_mb: float | None = None,
+                  size_col: str | None = None, num_files: int | None = None,
+                  mode: str = "overwrite", fmt: str = "parquet") -> None:
+    """Layout-controlled batch write — the "publish the curated corpus"
+    step.  At 100 TB the layout IS the read performance: hive partitioning
+    gives partition pruning, range-partitioned + sorted files give
+    non-overlapping min/max row-group stats so downstream range predicates
+    skip whole files.
+
+    - `partition_by`: hive-style directory partitioning (low-cardinality
+      columns — date, source, split).
+    - `sort_by`: repartitionByRange + sortWithinPartitions on these
+      columns: a GLOBAL range layout (file k's values all precede file
+      k+1's), not just per-file sorting, so min/max pruning composes with
+      binary search over files.  Range partitioning samples the data for
+      balanced splits (skew-resistant where hash partitioning on a hot
+      sort key is not).
+    - `target_file_mb` (+ optional `size_col` payload estimator, same
+      estimate-from-data approach as :func:`write_batch_sized`): converts
+      to maxRecordsPerFile so one misconfigured writer can't emit a
+      10 GB file or a million 1 KB files.
+
+    `sort_by` without `partition_by` lays out the whole dataset as one
+    range-ordered sequence; with both, the range shuffle is keyed on
+    (partition cols, sort cols) so each hive partition's files stay
+    internally range-ordered.  `num_files` pins the range-partition count
+    (otherwise Spark's default parallelism / AQE coalescing decides — at
+    small scale AQE may collapse to one file)."""
+    from pyspark.sql import functions as F
+
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+    sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
+    out = df
+    if sorts:
+        range_cols = [F.col(c) for c in parts + sorts]
+        if num_files:
+            out = out.repartitionByRange(num_files, *range_cols)
+        else:
+            out = out.repartitionByRange(*range_cols)
+        out = out.sortWithinPartitions(*parts, *sorts)
+    writer = out.write.mode(mode).format(fmt)
+    if target_file_mb:
+        est_col = size_col or next(
+            (c for c, t in df.dtypes if t in ("string", "binary")), None)
+        if est_col is not None:
+            n, total = df.agg(
+                F.count("*"),
+                F.sum(F.octet_length(F.col(est_col).cast("binary")))).first()
+            if n and total:
+                per_row = max(total / n, 1.0)
+                writer = writer.option(
+                    "maxRecordsPerFile",
+                    max(int(target_file_mb * 1024 * 1024 / per_row), 1))
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.save(path)
+
+
 def write_batch_idempotent(batch_df: DataFrame, path: str, batch_id: int,
                            fmt: str = "parquet",
                            max_file_size_mb: float | None = None,

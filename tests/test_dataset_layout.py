@@ -1,0 +1,77 @@
+"""Tests for the layout-controlled dataset writer and the key-skew
+diagnostics — the publish and pre-flight ends of the 100 TB story.
+Layout claims are verified against the actual parquet footers (row-group
+min/max stats), not just the API contract."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_write_dataset_range_sorted_files_do_not_overlap(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from singer_spark.sinks import write_dataset
+
+    df = spark.range(0, 50_000).select(
+        (F.col("id") * 2654435761 % 100_000).alias("k"),
+        F.col("id").alias("payload"))
+    path = str(tmp_path / "ds")
+    # force several files so the cross-file ordering claim is non-trivial
+    write_dataset(df, path, sort_by="k", num_files=8)
+
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) > 1
+    ranges = []
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        total += md.num_rows
+        if md.num_rows == 0:
+            continue
+        col = {md.row_group(0).column(i).path_in_schema: i
+               for i in range(md.row_group(0).num_columns)}["k"]
+        mins = [md.row_group(g).column(col).statistics.min for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(col).statistics.max for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    assert total == 50_000
+    # global range layout: each file's k-range precedes the next file's
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b
+
+
+def test_write_dataset_hive_partitions_and_file_sizing(spark, tmp_path):
+    from singer_spark.sinks import write_dataset
+
+    df = spark.createDataFrame(
+        [(i, f"split{i % 2}", "x" * 100) for i in range(2000)],
+        "id bigint, split string, payload string")
+    path = str(tmp_path / "ds2")
+    write_dataset(df, path, partition_by="split", sort_by="id",
+                  target_file_mb=0.05, size_col="payload")
+
+    part_dirs = sorted(os.path.basename(p) for p in glob.glob(f"{path}/split=*"))
+    assert part_dirs == ["split=split0", "split=split1"]
+    # 2000 rows * ~100B at a 0.05 MB target → the cap forced multiple files
+    files = glob.glob(f"{path}/split=*/part-*.parquet")
+    assert len(files) > 2
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert set(back.columns) == {"id", "split", "payload"}
+
+
+def test_key_skew_report_values(spark):
+    from singer_spark.operators.diagnostics import key_skew_report
+
+    rows = [("hot",)] * 80 + [("a",)] * 10 + [("b",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_report(df, "k", top_n=2).collect()
+    assert [r.key for r in out] == ["hot", "a"]  # n desc, key asc tiebreak
+    hot = out[0]
+    assert hot.n == 80 and hot.share == 0.8
+    # mean per-key count = 100/3; ratio = 80/(100/3) = 2.4
+    assert hot.ratio_to_avg == 2.4
