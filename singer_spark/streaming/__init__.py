@@ -8,10 +8,11 @@ rollups, and a custom applyInPandasWithState accumulator.
 
 from singer_spark.streaming.stateful import (
     hourly_rollup_stream,
+    streaming_interval_join,
     running_user_stats,
     streaming_dedup_exact,
     streaming_sessionize,
 )
 
 __all__ = ["streaming_sessionize", "hourly_rollup_stream", "running_user_stats",
-           "streaming_dedup_exact"]
+           "streaming_dedup_exact", "streaming_interval_join"]

@@ -115,3 +115,37 @@ def running_user_stats(events: DataFrame, ts_col: str = "ts",
         .applyInPandasWithState(update, output_schema, state_schema,
                                 "update", GroupStateTimeout.NoTimeout)
     )
+
+
+def streaming_interval_join(left: DataFrame, right: DataFrame,
+                            key_col: str = "user_id",
+                            left_ts: str = "ts", right_ts: str = "r_ts",
+                            watermark: str = "2 hours",
+                            max_delay: str = "30 minutes",
+                            how: str = "inner") -> DataFrame:
+    """Stream-stream event-time join: a right row matches a left row of the
+    same key with ``left_ts <= right_ts <= left_ts + max_delay`` — the
+    attribution join (impression stream ⋈ conversion stream within the
+    attribution window).
+
+    State bounding — the part that makes this run forever: BOTH sides carry
+    a watermark and the join condition bounds the time skew, so Spark's
+    symmetric hash join evicts a buffered row as soon as the other side's
+    watermark passes its match window.  Without the interval condition the
+    state store grows without bound; with it, state is
+    O(rate × (watermark + max_delay)) per side, sharded by the join key's
+    shuffle.
+
+    `how`: 'inner' or 'leftOuter' (left rows with no match emit nulls once
+    the watermark proves no match can arrive).  The right frame must not
+    share column names with the left beyond `key_col`."""
+    if how not in ("inner", "leftOuter"):
+        raise ValueError("streaming_interval_join supports inner/leftOuter")
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key_col] == r[key_col])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, how).drop(r[key_col])

@@ -147,3 +147,79 @@ def test_streaming_dedup_exact_first_occurrence_wins(spark, tmp_path):
     delivered = sorted((r.doc_id, r.value) for r in rows)
     # doc 2 (in-batch dup) and doc 4 (cross-batch dup in state) suppressed
     assert delivered == [(1, "same text"), (3, "other text"), (5, "brand new")]
+
+
+CONV_SCHEMA = "conv_id bigint, r_ts timestamp, user_id bigint, amount double"
+
+
+def _write_convs(spark, path: str, rows):
+    pdf = pd.DataFrame(rows, columns=["conv_id", "r_ts", "user_id", "amount"])
+    pdf["r_ts"] = pd.to_datetime(pdf["r_ts"])
+    spark.createDataFrame(pdf, schema=CONV_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Attribution: conversions join the impression of the same user within
+    30 minutes.  Streamed result == batch twin on the same rows."""
+    from singer_spark.streaming import streaming_interval_join
+
+    impressions = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 10:40:00", 1, "view", 0.0),   # second window, user 1
+        (3, "2024-01-01 10:00:00", 2, "view", 0.0),
+    ]
+    convs = [
+        (100, "2024-01-01 10:20:00", 1, 9.99),   # within imp 1's window only
+        (101, "2024-01-01 10:55:00", 1, 5.00),   # within imp 2's window only
+        (102, "2024-01-01 11:30:00", 2, 1.00),   # outside any window → dropped
+    ]
+    imp_src = str(tmp_path / "imps")
+    conv_src = str(tmp_path / "convs")
+    _write_events(spark, imp_src, impressions)
+    _write_convs(spark, conv_src, convs)
+
+    out = streaming_interval_join(
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(imp_src),
+        spark.readStream.schema(CONV_SCHEMA).parquet(conv_src),
+        max_delay="30 minutes",
+    ).select("event_id", "conv_id", "amount")
+    q = (out.writeStream.format("memory").queryName("attrib")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.event_id, r.conv_id, r.amount)
+           for r in spark.table("attrib").collect()}
+
+    # batch twin: identical join condition on static frames
+    li = spark.read.parquet(imp_src)
+    ri = spark.read.parquet(conv_src)
+    cond = ((li.user_id == ri.user_id) & (ri.r_ts >= li.ts)
+            & (ri.r_ts <= li.ts + F.expr("INTERVAL 30 MINUTES")))
+    want = {(r.event_id, r.conv_id, r.amount)
+            for r in li.join(ri, cond).select("event_id", "conv_id", "amount").collect()}
+    assert got == want == {(1, 100, 9.99), (2, 101, 5.00)}
+
+
+def test_streaming_interval_join_bounds_state(spark, tmp_path):
+    """The join keeps both watermarks — the precondition for state eviction
+    (an unbounded stream-stream join would OOM the state store)."""
+    from singer_spark.streaming import streaming_interval_join
+
+    imp_src = str(tmp_path / "imps")
+    conv_src = str(tmp_path / "convs")
+    _write_events(spark, imp_src, _phase1_rows())
+    _write_convs(spark, conv_src, [(100, "2024-01-01 10:20:00", 1, 1.0)])
+    out = streaming_interval_join(
+        spark.readStream.schema(EVENTS_SCHEMA).parquet(imp_src),
+        spark.readStream.schema(CONV_SCHEMA).parquet(conv_src))
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
+    with pytest.raises(ValueError):
+        streaming_interval_join(
+            spark.readStream.schema(EVENTS_SCHEMA).parquet(imp_src),
+            spark.readStream.schema(CONV_SCHEMA).parquet(conv_src),
+            how="fullOuter")
