@@ -707,6 +707,16 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs(spark, sf_dir), k=10)
 
 
+def _global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 0-based ids in doc_id order WITHOUT the single-task
+    global window — range shuffle + per-partition offsets
+    (operators/ids.py:assign_global_ids)."""
+    from singer_spark.operators.ids import assign_global_ids
+
+    return (assign_global_ids(_docs(spark, sf_dir), "doc_id", num_partitions=8)
+            .select("doc_id", "global_id"))
+
+
 def _skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostics: top-20 (event_type, user_id) keys with
     share and ratio-to-average — the measured input to the salted-join
@@ -1148,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,
         "corpus_mix": _corpus_mix,
         "skew_report": _skew_report,
+        "global_ids": _global_ids,
         # relational analytics
         "q1_pricing_summary": _q1,
         "q2_min_cost_supplier": _tpch.q2_min_cost_supplier,
@@ -2182,6 +2193,10 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY source ORDER BY score DESC, term ASC) AS rn
               FROM s)
             WHERE rn <= 10""",
+        "global_ids": """
+            SELECT doc_id,
+                   (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS global_id
+            FROM documents""",
         "skew_report": """
             WITH counts AS (
               SELECT event_type || '|' || user_id AS key, count(*)::BIGINT AS n

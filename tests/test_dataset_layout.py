@@ -75,3 +75,25 @@ def test_key_skew_report_values(spark):
     assert hot.n == 80 and hot.share == 0.8
     # mean per-key count = 100/3; ratio = 80/(100/3) = 2.4
     assert hot.ratio_to_avg == 2.4
+
+
+def test_assign_global_ids_matches_global_window(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from singer_spark.operators.ids import assign_global_ids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {(r.doc_id, r.global_id) for r in
+           assign_global_ids(docs, "doc_id", num_partitions=4)
+           .select("doc_id", "global_id").collect()}
+    w = Window.orderBy("doc_id")
+    want = {(r.doc_id, r.global_id) for r in
+            docs.select("doc_id",
+                        (F.row_number().over(w) - 1).cast("bigint").alias("global_id"))
+            .collect()}
+    assert got == want
+    ids = sorted(i for _, i in got)
+    assert ids == list(range(len(ids)))  # contiguous from 0
+    # carries every original column through
+    out = assign_global_ids(docs, "doc_id", num_partitions=4)
+    assert set(out.columns) == set(docs.columns) | {"global_id"}
