@@ -293,6 +293,60 @@ def write_dataset(df: DataFrame, path: str,
     writer.save(path)
 
 
+def compact_dataset(spark, path: str, target_file_mb: float = 256,
+                    partition_by: list[str] | str | None = None,
+                    sort_by: list[str] | str | None = None,
+                    size_col: str | None = None,
+                    min_files: int = 2) -> int:
+    """Rewrite a parquet dataset into right-sized files — the maintenance
+    pass every long-running streaming file sink needs (each micro-batch
+    appends at least one file per partition; a week of 30 s triggers is
+    ~20k files whose open/footer overhead dominates scans long before data
+    volume does).
+
+    Reads the dataset, rewrites it through :func:`write_dataset` (same
+    sizing/layout controls) into a sibling temp dir, then swaps
+    directories.  Returns the number of files before compaction, or 0 when
+    the dataset already has fewer than `min_files` files (no rewrite).
+
+    The swap (rename-into-place + best-effort cleanup) is the single-host
+    filesystem analog of a table format's rewrite-and-commit; on object
+    stores or multi-writer tables use Iceberg/Delta compaction, which
+    makes the commit atomic against concurrent readers.  Readers holding
+    the old directory open mid-swap see the old files (POSIX rename), but
+    a concurrent WRITER must be quiesced first — same contract as the
+    reference's log-retention delete (drain before delete)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import math
+
+    files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if len(files) < min_files:
+        return 0
+    # output file count from the ACTUAL on-disk bytes (already-compressed
+    # parquet — a better sizing signal than re-estimating row widths)
+    total_mb = sum(os.path.getsize(f) for f in files) / (1024 * 1024)
+    n_out = max(1, math.ceil(total_mb / target_file_mb))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    bak = path.rstrip("/") + ".compact-bak"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if sort_by:
+        write_dataset(df, tmp, partition_by=partition_by, sort_by=sort_by,
+                      target_file_mb=target_file_mb, size_col=size_col,
+                      num_files=n_out)
+    else:
+        # no layout requested: a narrow coalesce merges files shuffle-free
+        write_dataset(df.coalesce(n_out), tmp, partition_by=partition_by,
+                      target_file_mb=target_file_mb, size_col=size_col)
+    os.rename(path.rstrip("/"), bak)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(bak, ignore_errors=True)
+    return len(files)
+
+
 def write_batch_idempotent(batch_df: DataFrame, path: str, batch_id: int,
                            fmt: str = "parquet",
                            max_file_size_mb: float | None = None,

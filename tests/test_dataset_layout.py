@@ -97,3 +97,28 @@ def test_assign_global_ids_matches_global_window(spark, sf_dir):
     # carries every original column through
     out = assign_global_ids(docs, "doc_id", num_partitions=4)
     assert set(out.columns) == set(docs.columns) | {"global_id"}
+
+
+def test_compact_dataset_merges_small_files(spark, tmp_path):
+    from singer_spark.sinks import compact_dataset
+
+    path = str(tmp_path / "many")
+    # simulate a streaming sink's droppings: 12 tiny appends
+    for i in range(12):
+        spark.createDataFrame([(i * 10 + j, f"v{i}-{j}") for j in range(10)],
+                              "id bigint, v string").coalesce(1) \
+             .write.mode("append").parquet(path)
+    before = glob.glob(f"{path}/*.parquet")
+    assert len(before) == 12
+
+    n = compact_dataset(spark, path, target_file_mb=64)
+    assert n == 12
+    after = glob.glob(f"{path}/*.parquet")
+    assert 1 <= len(after) < 12
+    back = spark.read.parquet(path)
+    assert back.count() == 120
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(120))
+    # no temp/backup litter
+    assert not glob.glob(str(tmp_path / "many.compact-*"))
+    # idempotent-ish: a compacted dataset below min_files is left alone
+    assert compact_dataset(spark, path, min_files=len(after) + 1) == 0
