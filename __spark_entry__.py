@@ -811,6 +811,34 @@ def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incremental(docs.filter(F.col("doc_id") >= 250), seen)
 
 
+def _dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same increment as `dedup_incremental`, through the broadcast Bloom
+    prefilter — the result is bit-identical to the exact path (false
+    positives die in the residual anti-join), so both share one oracle."""
+    from singer_spark.operators.dedup import dedup_incremental_bloom
+
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") < 250).select(F.md5("text").alias("sig")).distinct()
+    return dedup_incremental_bloom(docs.filter(F.col("doc_id") >= 250), seen)
+
+
+def _segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: 20-word segments, first occurrence survives,
+    documents rebuilt from their surviving segments."""
+    from singer_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(_docs(spark, sf_dir), words_per_segment=20)
+
+
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: seeded 8-cluster quantizer,
+    within-cluster cosine >= 0.9 drops all but the lowest-id member of each
+    near-dup set."""
+    from singer_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), n_clusters=8, threshold=0.9)
+
+
 def _user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.queries import user_event_sequences
 
@@ -1194,6 +1222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_clusters": _dedup_clusters,
         "dedup_incremental": _dedup_incremental,
+        "dedup_incremental_bloom": _dedup_incremental_bloom,
+        "segment_dedup": _segment_dedup,
+        "semantic_dedup": _semantic_dedup,
         "corpus_curation": _corpus_curation,
         "corpus_pipeline_full": _corpus_pipeline_full,
         "funnel_counts": _funnel_counts,
@@ -2029,6 +2060,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, sig FROM inc
             WHERE sig NOT IN (SELECT sig FROM seen)
             GROUP BY sig""",
+        # The Bloom path must return EXACTLY the exact path's rows (false
+        # positives are rejected by the residual anti-join) — same oracle.
+        "dedup_incremental_bloom": """
+            WITH seen AS (SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id < 250),
+            inc AS (SELECT doc_id, md5(text) AS sig FROM documents WHERE doc_id >= 250)
+            SELECT min(doc_id) AS doc_id, sig FROM inc
+            WHERE sig NOT IN (SELECT sig FROM seen)
+            GROUP BY sig""",
+        "segment_dedup": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT doc_id, t,
+                           unnest(generate_series(0, greatest(ceil(len(t) / 20.0)::BIGINT, 1) - 1)) AS i
+                    FROM toks),
+            segs AS (SELECT doc_id, i AS seg_idx,
+                            array_to_string(t[i*20+1 : i*20+20], ' ') AS segment
+                     FROM pos),
+            keepd AS (SELECT doc_id, seg_idx,
+                             row_number() OVER (PARTITION BY md5(segment)
+                                                ORDER BY doc_id, seg_idx) AS rn
+                      FROM segs),
+            kept AS (SELECT s.doc_id,
+                            string_agg(s.segment, ' ' ORDER BY s.seg_idx) AS text,
+                            count(*) AS n_kept
+                     FROM segs s JOIN keepd k ON k.doc_id = s.doc_id AND k.seg_idx = s.seg_idx
+                     WHERE k.rn = 1 GROUP BY s.doc_id)
+            SELECT t.doc_id, coalesce(k.text, '') AS text,
+                   greatest(ceil(len(t.t) / 20.0)::BIGINT, 1)::INT AS n_segments,
+                   coalesce(k.n_kept, 0)::INT AS n_kept
+            FROM toks t LEFT JOIN kept k USING (doc_id)""",
+        "semantic_dedup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+            cos_all AS (
+              SELECT e.vec_id, cid,
+                     list_dot_product(e.v, cv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cos
+              FROM e CROSS JOIN cent),
+            assign AS (SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM cos_all) WHERE rn = 1),
+            ev AS (SELECT a.vec_id, a.cluster, e.v FROM assign a JOIN e USING (vec_id)),
+            dropped AS (SELECT DISTINCT a.vec_id
+                        FROM ev a JOIN ev b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+                        WHERE floor(list_dot_product(a.v, b.v)
+                              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                              * 1000000 + 0.5) / 1000000 >= 0.9)
+            SELECT a.vec_id, a.cluster::BIGINT AS cluster,
+                   (d.vec_id IS NULL) AS keep
+            FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id""",
         "user_event_sequences": """
             WITH ordered AS (
               SELECT user_id, ts, event_id, event_type,

@@ -485,6 +485,162 @@ def dedup_incremental(new_docs: DataFrame, seen: DataFrame,
             .select(id_col, sig_col))
 
 
+def _bloom_position_cols(sig_col: str, num_bits: int, num_hashes: int) -> list:
+    """`num_hashes` bit positions per digest, all JVM-side: position_i =
+    xxhash64(sig, i) mod num_bits.  Both the build pass and the probe pass
+    use these same expressions, so Python never has to reimplement the
+    hash."""
+    return [F.pmod(F.xxhash64(F.col(sig_col), F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)]
+
+
+def bloom_from_sigs(seen_sigs: DataFrame, sig_col: str = "sig",
+                    num_bits: int = 1 << 23, num_hashes: int = 4) -> bytes:
+    """Build a Bloom-filter bitset over a digest column.
+
+    Per-partition Arrow pass sets bits into a fixed `num_bits/8`-byte numpy
+    array and emits ONE row per batch; the driver ORs the partial bitsets.
+    Driver traffic is (partitions × num_bits/8) bytes — independent of row
+    count, the treeAggregate shape — so a billion-row fingerprint table
+    costs the same driver memory as a thousand-row one.  (1<<23 bits = 1 MiB
+    ≈ 1% false positives at ~1M entries; size num_bits ≈ 10× expected
+    entries for ~1-2%.)"""
+    pos = seen_sigs.select(
+        F.array(*_bloom_position_cols(sig_col, num_bits, num_hashes)).alias("p"))
+
+    nbytes = num_bits // 8
+
+    def to_bits(batches):
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        saw = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            saw = True
+            idx = np.concatenate([np.asarray(a, dtype=np.int64) for a in pdf["p"]])
+            np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        if saw:
+            yield pd.DataFrame({"b": [bits.tobytes()]})
+
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in pos.mapInPandas(to_bits, "b binary").collect():
+        out |= np.frombuffer(row.b, dtype=np.uint8)
+    return out.tobytes()
+
+
+def dedup_incremental_bloom(new_docs: DataFrame, seen: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            sig_col: str = "sig",
+                            num_bits: int = 1 << 23, num_hashes: int = 4) -> DataFrame:
+    """:func:`dedup_incremental` with a broadcast Bloom prefilter — same
+    exact result, a fraction of the shuffle.
+
+    The accumulated fingerprint table dwarfs each daily increment, and the
+    plain anti-join shuffles BOTH sides on sig.  Here the history is
+    compressed into a bitset once (one narrow scan, ~1 MiB to the driver per
+    8M bits), broadcast, and probed map-side: increment digests that are
+    definitely-unseen skip the join entirely; only `maybe`-seen rows (true
+    positives + the ~1% false-positive tail) reach the anti-join.  The big
+    join's left side shrinks from |increment| to |already-seen ∩ increment|
+    + ε — and Bloom false positives are then rejected by the exact
+    anti-join, so the output is bit-identical to the exact path.
+
+    At 100 TB: rebuild the bitset per increment from the digest table, or
+    persist it alongside and OR in each day's new digests."""
+    spark = new_docs.sparkSession
+    bloom = bloom_from_sigs(seen.select(sig_col), sig_col, num_bits, num_hashes)
+    bc = spark.sparkContext.broadcast(bloom)
+    nh = num_hashes
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def might_contain(pos: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        if len(pos) == 0:
+            return pd.Series([], dtype="bool")
+        idx = np.stack([np.asarray(a, dtype=np.int64) for a in pos])
+        hit = (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
+
+    sigs = (new_docs.select(F.col(id_col), F.md5(F.col(text_col)).alias(sig_col))
+            .withColumn("_maybe", might_contain(
+                F.array(*_bloom_position_cols(sig_col, num_bits, num_hashes)))))
+    definitely_new = sigs.filter(~F.col("_maybe")).drop("_maybe")
+    candidates = (sigs.filter(F.col("_maybe")).drop("_maybe")
+                  .join(seen.select(sig_col), sig_col, "left_anti"))
+    fresh = definitely_new.unionByName(candidates.select(id_col, sig_col))
+    return (fresh.groupBy(sig_col).agg(F.min(id_col).alias(id_col))
+            .select(id_col, sig_col))
+
+
+# ---------------------------------------------------------------------------
+# Segment-level (sub-document) dedup
+# ---------------------------------------------------------------------------
+def _segment_expr(toks, i, words_per_segment: int):
+    """Segment `i` (0-based) of a token array: words [i*W+1, i*W+W] joined by
+    a single space (slice() is 1-based)."""
+    w = words_per_segment
+    return F.array_join(F.slice(toks, i * w + 1, w), " ")
+
+
+def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  words_per_segment: int = 20) -> DataFrame:
+    """Sub-document exact dedup: drop duplicated SEGMENTS across the corpus,
+    keep documents (the practical approximation of exact-substring dedup —
+    boilerplate headers, licence blocks, and quoted passages recur across
+    documents that are not themselves duplicates, and dropping whole docs
+    loses their unique remainder).
+
+    Segmenter: fixed windows of `words_per_segment` tokens (this corpus has
+    no paragraph breaks; with natural text pass a pre-split `text_col`).
+    The first occurrence of each distinct segment — ordered by (doc id,
+    position) — survives; later occurrences are cut and the document is
+    reassembled from its surviving segments in order.
+
+    100 TB shape: segment TEXT never shuffles.  The wide operations see only
+    (16-byte digest, id, seg_idx) rows — the keep/drop decision is a window
+    over digests, the per-doc survivor list is an int-array aggregation, and
+    the cleaned text is rebuilt by re-slicing the original token array
+    JVM-side after a final id-keyed join of (id → kept positions) back to
+    the docs table.  Shuffle volume is O(total segments × ~32 B),
+    independent of document size.
+
+    Output: (doc_id, text, n_segments, n_kept) with `text` rebuilt from the
+    surviving segments (empty string when every segment was seen before).
+    """
+    w = words_per_segment
+    toks = tokens_col(text_col)
+    n_segs = F.greatest(F.ceil(F.size(toks) / w).cast("int"), F.lit(1))
+    segs = fan_out(docs).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n_segs - 1),
+                        lambda i: _segment_expr(toks, i, w))
+        ).alias("seg_idx", "segment"),
+    )
+    # Narrow rows only from here: (sig, id, seg_idx).
+    sigs = segs.select("id", "seg_idx", F.md5("segment").alias("sig"))
+    first = Window.partitionBy("sig").orderBy("id", "seg_idx")
+    kept = (
+        sigs.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("seg_idx")).alias("kept_idx"))
+    )
+    rebuilt = F.array_join(
+        F.transform(F.col("kept_idx"), lambda i: _segment_expr(toks, i, w)), " ")
+    return (
+        docs.join(kept, docs[id_col] == kept.id, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("kept_idx").isNotNull(), rebuilt).otherwise(F.lit("")).alias(text_col),
+            n_segs.alias("n_segments"),
+            F.coalesce(F.size("kept_idx"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cluster assignment (pairs → canonical doc)
 # ---------------------------------------------------------------------------

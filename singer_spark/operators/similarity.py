@@ -348,6 +348,48 @@ def auto_num_planes(n: int, lo: int = 8, hi: int = 30) -> int:
     return max(lo, min(hi, math.ceil(math.log2(max(n, 2)))))
 
 
+def semantic_dedup(corpus: DataFrame, n_clusters: int = 8, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   round_to: int = 6,
+                   centroids: DataFrame | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space with the IVF coarse quantizer, then drop any
+    vector that has a within-cluster neighbor with cosine ≥ `threshold` and
+    a lower id — one representative of each semantic near-dup set survives.
+
+    Per vector: (vec_id, cluster, keep).  This is the embedding-space
+    complement of the text dedup family: paraphrases and re-encodings that
+    share no n-grams still collide in embedding space.
+
+    100 TB shape — the whole point of clustering first: candidate pairs are
+    generated per cluster, never corpus-wide.  The quantizer assignment is a
+    broadcast-centroid narrow pass; the self-join shuffles each cluster's
+    vectors to one place (k ≈ √N keeps clusters ~√N, and the cost is
+    Σ|cluster|², the SemDeDup budget); everything after the cosine is
+    id-only.  Pass `centroids` from :func:`ivf_train_centroids` for the
+    trained quantizer; the default seeded quantizer is deterministic and
+    SQL-oracle-reproducible."""
+    assigned = ivf_build_assignments(corpus, n_clusters, id_col, vec_col,
+                                     centroids=centroids)
+    slim = assigned.select(F.col(id_col).alias("id"), "cluster",
+                           as_double(vec_col).alias("v"))
+    a, b = slim.alias("a"), slim.alias("b")
+    dropped = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("b.id") < F.col("a.id")))
+        .filter(qround(cosine(F.col("a.v"), F.col("b.v")), round_to)
+                >= F.lit(threshold))
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+        .withColumn("drop", F.lit(True))
+    )
+    return (
+        slim.join(dropped, "id", "left")
+        .select(F.col("id").alias(id_col), F.col("cluster"),
+                F.coalesce(~F.col("drop"), F.lit(True)).alias("keep"))
+    )
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95, dim: int = 64,
                              num_tables: int = 4, num_planes: int | None = None,
                              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -11,8 +11,10 @@ from singer_spark.streaming.stateful import (
     streaming_interval_join,
     running_user_stats,
     streaming_dedup_exact,
+    streaming_dedup_ttl,
     streaming_sessionize,
 )
 
 __all__ = ["streaming_sessionize", "hourly_rollup_stream", "running_user_stats",
-           "streaming_dedup_exact", "streaming_interval_join"]
+           "streaming_dedup_exact", "streaming_dedup_ttl",
+           "streaming_interval_join"]

@@ -117,6 +117,47 @@ def running_user_stats(events: DataFrame, ts_col: str = "ts",
     )
 
 
+def streaming_dedup_ttl(docs: DataFrame, text_col: str = "value",
+                        ttl_minutes: float = 60.0) -> DataFrame:
+    """Exact dedup with PROCESSING-TIME TTL state — the agent-replay guard:
+    a message is delivered once, and re-deliveries within `ttl_minutes` of
+    wall clock are dropped no matter what their event timestamps say.
+
+    `streaming_dedup_exact` cannot express this (its eviction follows the
+    EVENT-time watermark, and a replayed log file carries OLD event times
+    that may sit entirely behind it, so the replayed rows pass straight
+    through), and the reference's at-least-once Kafka delivery makes
+    downstream replay-window dedup exactly this shape.
+
+    Implementation — built-ins only, no Python in the path: stamp each row
+    with `current_timestamp()` (in Structured Streaming that is the BATCH
+    timestamp — stable across task retries and checkpoint replays, so the
+    dedup decision is deterministic), watermark THAT column, and
+    `dropDuplicatesWithinWatermark` on the digest.  A processing-time
+    watermark is a TTL: state per digest expires `ttl_minutes` of wall
+    clock after its first sighting, so state is bounded by unique-arrival
+    rate × TTL, sharded by the digest shuffle.
+
+    Two envelope notes at always-on scale: the window is anchored at the
+    FIRST sighting (a duplicate inside the window does not extend it — a
+    message replayed at a period shorter than the TTL is re-admitted once
+    per TTL, not suppressed forever: the at-least-once-friendly choice),
+    and eviction advances with the processing-time watermark, which moves
+    only when batches carry data — an idle stream holds its last window
+    open, it never wrongly suppresses or admits.
+
+    Output: the first occurrence of each digest per TTL window, original
+    columns plus `sig`."""
+    delay = f"{max(1, int(ttl_minutes * 60))} seconds"
+    return (
+        docs.withColumn("sig", F.md5(F.col(text_col).cast("string")))
+        .withColumn("_proc_ts", F.current_timestamp())
+        .withWatermark("_proc_ts", delay)
+        .dropDuplicatesWithinWatermark(["sig"])
+        .drop("_proc_ts")
+    )
+
+
 def streaming_interval_join(left: DataFrame, right: DataFrame,
                             key_col: str = "user_id",
                             left_ts: str = "ts", right_ts: str = "r_ts",

@@ -333,6 +333,73 @@ def test_dedup_incremental_drops_seen_and_in_batch_dups(spark):
     assert sorted(r.doc_id for r in out.collect()) == [11, 13]
 
 
+def test_dedup_incremental_bloom_matches_exact_path(spark):
+    yesterday = _docs(spark, ["alpha text", "beta text"])
+    seen = yesterday.select(F.md5("text").alias("sig")).distinct()
+    today = spark.createDataFrame(
+        [(10, "alpha text"), (11, "gamma text"), (12, "gamma text"),
+         (13, "delta text")],
+        ["doc_id", "text"])
+    exact = {(r.doc_id, r.sig) for r in dedup.dedup_incremental(today, seen).collect()}
+    bloom = {(r.doc_id, r.sig)
+             for r in dedup.dedup_incremental_bloom(today, seen,
+                                                    num_bits=1 << 12).collect()}
+    assert bloom == exact
+    # empty history: everything passes the filter, in-batch dups collapse
+    empty = spark.createDataFrame([], "sig string")
+    got = sorted(r.doc_id
+                 for r in dedup.dedup_incremental_bloom(today, empty).collect())
+    assert got == [10, 11, 13]
+
+
+def test_bloom_bitset_no_false_negatives(spark):
+    sigs = spark.createDataFrame([(f"sig-{i}",) for i in range(200)], ["sig"])
+    import numpy as np
+
+    bits = np.frombuffer(
+        dedup.bloom_from_sigs(sigs, num_bits=1 << 12, num_hashes=4), dtype="uint8")
+    from pyspark.sql import functions as SF
+
+    pos = sigs.select(
+        SF.array(*dedup._bloom_position_cols("sig", 1 << 12, 4)).alias("p")).collect()
+    for row in pos:  # every inserted sig must probe all-ones
+        assert all(bits[p >> 3] & (1 << (p & 7)) for p in row.p)
+
+
+def test_segment_dedup_cuts_repeated_segments(spark):
+    w3 = dict(words_per_segment=3)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"),          # segments: "a b c", "d e f"
+         (2, "a b c x y z"),          # "a b c" repeats → only "x y z" survives
+         (3, "a b c d e f"),          # full duplicate → empty
+         (4, "q r")],                 # short doc: one segment, unique
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in dedup.segment_dedup(docs, **w3).collect()}
+    assert got[1].text == "a b c d e f" and got[1].n_kept == 2
+    assert got[2].text == "x y z" and got[2].n_kept == 1
+    assert got[3].text == "" and got[3].n_kept == 0 and got[3].n_segments == 2
+    assert got[4].text == "q r" and got[4].n_segments == 1
+
+
+def test_semantic_dedup_keeps_one_per_near_dup_set(spark):
+    from singer_spark.operators.similarity import semantic_dedup
+
+    # ids 0,1 are axis-aligned centroids; 5/6 duplicate centroid 0's
+    # direction (cos=1 with each other and with 0), 7 is distinct
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+        (5, [2.0, 0.0, 0.0]), (6, [4.0, 0.0, 0.0]),
+        (7, [0.6, 0.8, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {r.vec_id: r for r in
+           semantic_dedup(emb, n_clusters=2, threshold=0.99).collect()}
+    assert got[0].keep is True            # lowest id of its dup set
+    assert got[5].keep is False and got[6].keep is False
+    assert got[1].keep is True and got[7].keep is True
+    assert got[5].cluster == 0 and got[7].cluster == 1
+
+
 def test_dedup_clusters_transitive_components(spark):
     docs = spark.createDataFrame(
         [(10,), (20,), (30,), (40,), (99,)], "doc_id bigint")

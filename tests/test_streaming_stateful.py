@@ -149,6 +149,54 @@ def test_streaming_dedup_exact_first_occurrence_wins(spark, tmp_path):
     assert delivered == [(1, "same text"), (3, "other text"), (5, "brand new")]
 
 
+def test_streaming_dedup_ttl_suppresses_then_expires(spark, tmp_path):
+    """transformWithState TTL dedup: replayed payloads are suppressed across
+    batches while the TTL window holds — even with OLDER event timestamps,
+    which an event-time watermark dedup would admit — and pass again once
+    processing-time TTL expires the digest state."""
+    import time
+
+    from singer_spark.streaming import streaming_dedup_ttl
+
+    src = str(tmp_path / "ttl_src")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    schema = "doc_id bigint, ts timestamp, value string"
+
+    def write(rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema=schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    write([(1, "2024-01-01 10:00:00", "same text"),
+           (2, "2024-01-01 10:01:00", "same text"),   # in-batch dup
+           (3, "2024-01-01 10:02:00", "other text")])
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (streaming_dedup_ttl(stream, text_col="value", ttl_minutes=8 / 60)
+         .writeStream.format("memory").queryName("ttl_out")
+         .outputMode("append").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        # replay with an EARLIER event time — inside the 8 s TTL.  An
+        # event-time-watermark dedup would admit this row (its timestamp is
+        # far behind the watermark); the processing-time TTL suppresses it.
+        write([(4, "2023-06-01 00:00:00", "same text")])
+        q.processAllAvailable()
+        time.sleep(20)  # wall clock passes first-sighting + TTL + margin
+        # the processing-time watermark only advances with a data batch —
+        # this filler batch moves it past the digests' expiry
+        write([(6, "2023-06-03 00:00:00", "watermark filler")])
+        q.processAllAvailable()
+        write([(5, "2023-06-02 00:00:00", "same text")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    delivered = sorted((r.doc_id, r.value) for r in spark.table("ttl_out").collect())
+    # 2 (in-batch dup) and 4 (replay inside TTL) suppressed; 5 re-admitted
+    assert delivered == [(1, "same text"), (3, "other text"),
+                         (5, "same text"), (6, "watermark filler")]
+
+
 CONV_SCHEMA = "conv_id bigint, r_ts timestamp, user_id bigint, amount double"
 
 
