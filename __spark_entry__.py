@@ -839,6 +839,27 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(_emb(spark, sf_dir), n_clusters=8, threshold=0.9)
 
 
+def _ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM fluency score, self-trained on the corpus."""
+    from singer_spark.operators.text_analysis import ngram_lm_score
+
+    return ngram_lm_score(_docs(spark, sf_dir))
+
+
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted draw: 50 docs, probability ∝ n_chars, deterministic."""
+    from singer_spark.operators.text_analysis import weighted_sample_k
+
+    return weighted_sample_k(_docs(spark, sf_dir), k=50, weight_col="n_chars")
+
+
+def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a three-term query over the documents table."""
+    from singer_spark.operators.text_analysis import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), ["join", "spark", "window"], k=20)
+
+
 def _user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.queries import user_event_sequences
 
@@ -1244,6 +1265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _text_repetition,
         "text_pii_redaction": _text_pii_redaction,
         "tfidf_top_terms": _tfidf_top_terms,
+        "ngram_lm_score": _ngram_lm_score,
+        "weighted_sample": _weighted_sample,
+        "bm25_search": _bm25_search,
         "train_val_split": _train_val_split,
         "pack_sequences": _pack_sequences,
         "pack_stats": _pack_stats,
@@ -2183,6 +2207,59 @@ def oracle_sql() -> dict[str, str]:
                 (a, b) -> (a * 31 + b) % 1099511627776) AS fp_rolling
             FROM n""",
         "text_repetition": _repetition_oracle(),
+        "ngram_lm_score": """
+            WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+                          FROM documents),
+            pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2),
+            bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM pos),
+            cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+            cw AS (SELECT w1, sum(cb) AS cw FROM cb GROUP BY 1),
+            v AS (SELECT count(DISTINCT tt) AS V FROM (SELECT unnest(t) AS tt FROM toks)),
+            scored AS (SELECT b.doc_id,
+                              log2((coalesce(cb.cb, 0) + 1)
+                                   / (coalesce(cw.cw, 0) + v.V)) AS logp
+                       FROM bi b
+                       LEFT JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+                       LEFT JOIN cw ON cw.w1 = b.w1
+                       CROSS JOIN v),
+            agg AS (SELECT doc_id, count(*) AS n_bigrams,
+                           floor(-avg(logp) * 10000 + 0.5) / 10000 AS lm_score
+                    FROM scored GROUP BY 1)
+            SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.lm_score
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "weighted_sample": """
+            WITH r AS (SELECT doc_id, n_chars::DOUBLE AS weight,
+                floor((-ln(((('0x' || substr(md5(CAST('wsample:' || doc_id::VARCHAR AS VARCHAR)), 1, 15))::BIGINT) + 1.0)
+                           / 1152921504606846976.0)
+                       / n_chars::DOUBLE) * 1e10 + 0.5) / 1e10 AS rank
+                FROM documents WHERE n_chars > 0)
+            SELECT doc_id, weight, rank FROM r
+            ORDER BY rank ASC, doc_id ASC LIMIT 50""",
+        "bm25_search": """
+            WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+                          FROM documents),
+            base AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+                            len(list_filter(t, x -> x = 'join'))::DOUBLE AS tf_0,
+                            len(list_filter(t, x -> x = 'spark'))::DOUBLE AS tf_1,
+                            len(list_filter(t, x -> x = 'window'))::DOUBLE AS tf_2
+                     FROM toks),
+            m AS (SELECT * FROM base WHERE tf_0 + tf_1 + tf_2 > 0),
+            g AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS N,
+                         (SELECT avg(len(t)) FROM toks) AS avgdl,
+                         sum((tf_0 > 0)::INT)::DOUBLE AS df_0,
+                         sum((tf_1 > 0)::INT)::DOUBLE AS df_1,
+                         sum((tf_2 > 0)::INT)::DOUBLE AS df_2
+                  FROM m),
+            scored AS (SELECT doc_id,
+                floor((  ln(1 + (N - df_0 + 0.5) / (df_0 + 0.5)) * tf_0 * 2.2 / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       + ln(1 + (N - df_1 + 0.5) / (df_1 + 0.5)) * tf_1 * 2.2 / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       + ln(1 + (N - df_2 + 0.5) / (df_2 + 0.5)) * tf_2 * 2.2 / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                      ) * 10000 + 0.5) / 10000 AS score,
+                ((tf_0 > 0)::INT + (tf_1 > 0)::INT + (tf_2 > 0)::INT) AS matched_terms
+                FROM m CROSS JOIN g)
+            SELECT doc_id, score, matched_terms FROM scored
+            ORDER BY score DESC, doc_id ASC LIMIT 20""",
         "corpus_pipeline_full": f"""
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
             pos AS (SELECT doc_id, t,

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from singer_spark.functions import md5_int, qround
+from singer_spark.functions import fan_out, md5_int, qround
 
 # Tiny built-in stopword profiles per language — the classic n-gram/stopword
 # heuristic (the container has no langdetect/fasttext; profiles are data).
@@ -335,6 +335,157 @@ def corpus_mix_sample(docs: DataFrame, weights: dict[str, float] | Column,
             .crossJoin(F.broadcast(stats))
             .filter((F.col("_cum") - F.col("n_tokens")) < allotted)
             .select(id_col, source_col, "n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM fluency scoring — the CCNet-style perplexity-proxy filter.
+# ---------------------------------------------------------------------------
+def ngram_lm_score(docs: DataFrame, lm_docs: DataFrame | None = None,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   round_to: int = 4) -> DataFrame:
+    """Per-document fluency score from an add-one-smoothed bigram LM — the
+    perplexity-proxy quality filter (CCNet/Wenzek et al., public): documents
+    that the reference corpus's language model finds surprising (high
+    per-token negative log-prob) are boilerplate/garble candidates.
+
+    `lm_docs` is the training corpus (a curated reference set in
+    production); default trains on `docs` itself.  Model:
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)`` with c(w1·) the count of
+    bigrams starting w1 and V the training vocabulary size; score =
+    mean −log2 P over the document's bigrams (lower = more fluent).
+    Single-word documents score NULL (no bigrams).
+
+    Plan shape at 100 TB: training is one bigram explode into a partial
+    agg (map-side combine collapses repeats before the shuffle); c(w1·)
+    derives from the bigram table (no second corpus pass), V is a 1-row
+    broadcast.  Scoring joins the corpus's exploded bigrams against the
+    model on the (w1, w2) key — the one unavoidable wide join; in
+    production prune the model to top-M bigrams first (rare bigrams
+    hit add-one smoothing anyway) so the model side broadcasts.
+
+    Output: (id, n_bigrams, lm_score)."""
+    lm = lm_docs if lm_docs is not None else docs
+
+    def bigrams(col):
+        toks = F.filter(F.split(F.col(col), " "), lambda t: t != F.lit(""))
+        return F.filter(
+            F.zip_with(toks, F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+            lambda p: p["w2"].isNotNull(),
+        )
+
+    lm_bi = (fan_out(lm).select(F.explode(bigrams(text_col)).alias("bi"))
+             .select("bi.w1", "bi.w2")
+             .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
+    from pyspark.storagelevel import StorageLevel
+
+    lm_bi = lm_bi.persist(StorageLevel.MEMORY_AND_DISK)
+    w1_tot = lm_bi.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    vocab = (fan_out(lm).select(F.explode(F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit(""))).alias("t"))
+        .agg(F.count_distinct("t").alias("V")))
+
+    doc_bi = (fan_out(docs).select(F.col(id_col),
+                                   F.explode(bigrams(text_col)).alias("bi"))
+              .select(id_col, "bi.w1", "bi.w2"))
+    logp = F.log2((F.coalesce(F.col("cb"), F.lit(0)) + 1)
+                  / (F.coalesce(F.col("cw"), F.lit(0)) + F.col("V")))
+    scored = (doc_bi.join(lm_bi, ["w1", "w2"], "left")
+              .join(w1_tot, "w1", "left")
+              .crossJoin(F.broadcast(vocab))
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_bigrams"),
+                   qround(-F.avg(logp), round_to).alias("lm_score")))
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col, F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"), "lm_score")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES).
+# ---------------------------------------------------------------------------
+def weighted_sample_k(df: DataFrame, k: int, weight_col: str,
+                      key_col: str = "doc_id", salt: str = "wsample") -> DataFrame:
+    """Exactly min(k, N) rows drawn WITHOUT replacement with probability
+    proportional to `weight_col`, deterministically — the length/quality-
+    weighted subset draw (A-ES, Efraimidis & Spirakis 2006, public): rank
+    every row by ``−ln(u)/w`` with u a uniform derived from the salted md5
+    of its key, take the k smallest.  Same (salt, key) → same u, so
+    retries, repartitioning, and both engines of the correctness gate pick
+    identical rows; a different salt is an independent draw.
+
+    One narrow pass computes the rank expression; the global top-k is a
+    TakeOrdered (per-partition heaps + driver merge of k·partitions rows),
+    never a full sort.  Rows with weight <= 0 are excluded (their inclusion
+    probability is 0).
+
+    Output: the selected rows' (key, weight, rank), rank ascending."""
+    u = (md5_int(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+         + F.lit(1.0)) / F.lit(float(1 << 60))
+    rank = -F.log(u) / F.col(weight_col).cast("double")
+    return (df.filter(F.col(weight_col) > 0)
+            .select(F.col(key_col), F.col(weight_col).cast("double").alias("weight"),
+                    qround(rank, 10).alias("rank"))
+            .orderBy(F.col("rank").asc(), F.col(key_col).asc())
+            .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval over the corpus.
+# ---------------------------------------------------------------------------
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id",
+              round_to: int = 4) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by Okapi BM25 (the Lucene
+    form: ``idf = ln(1 + (N − df + .5)/(df + .5))``, tf saturation k1,
+    length normalization b) — the retrieval primitive behind corpus search
+    and contamination triage.
+
+    Plan shape at 100 TB: per-doc term frequencies come from ONE expression
+    over the token array (no corpus explode — the query is a constant
+    array, so tf per term is an `aggregate` over tokens), so the scan emits
+    only (id, tf-vector, len) for docs matching ≥1 term; df per term and
+    avg doc length reduce through a q-row / 1-row broadcast.  The global
+    top-k is a TakeOrdered, never a full sort.
+
+    Output: (id, score, matched_terms), score descending, ties by id."""
+    terms = sorted(set(query_terms))
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != F.lit(""))
+    def tf_expr(term: str):
+        return F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("double")
+
+    base = fan_out(docs).select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("dl"),
+        *[tf_expr(t_).alias(f"tf_{i}") for i, t_ in enumerate(terms)],
+    ).filter(sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0)
+    from pyspark.storagelevel import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = docs.agg(F.count("*").alias("N"),
+                      F.avg(F.size(F.filter(F.split(F.lower(F.col(text_col)), " "),
+                                            lambda t: t != F.lit("")))).alias("avgdl"))
+    stats = base.agg(
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(terms))]).crossJoin(F.broadcast(n_docs))
+
+    def idf(i):
+        dfi = F.col(f"df_{i}")
+        return F.log(F.lit(1.0) + (F.col("N") - dfi + 0.5) / (dfi + 0.5))
+
+    def term_score(i):
+        tf = F.col(f"tf_{i}")
+        denom = tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        return idf(i) * tf * F.lit(k1 + 1) / denom
+
+    score = sum(term_score(i) for i in range(len(terms)))
+    matched = sum((F.col(f"tf_{i}") > 0).cast("int") for i in range(len(terms)))
+    return (base.crossJoin(F.broadcast(stats))
+            .select(F.col(id_col), qround(score, round_to).alias("score"),
+                    matched.alias("matched_terms"))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k))
 
 
 # ---------------------------------------------------------------------------

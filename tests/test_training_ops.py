@@ -157,6 +157,62 @@ def test_tfidf_matches_bruteforce(spark, sf_dir):
     assert all(v == 10 for v in counts.values())
 
 
+def test_ngram_lm_scores_fluent_below_surprising(spark):
+    from singer_spark.operators.text_analysis import ngram_lm_score
+
+    # LM trained on repetitions of "a b"; a doc following that pattern is
+    # fluent (low score), a doc of never-seen bigrams is surprising (high)
+    lm = _docs_df(spark, [(100 + i, "a b a b a b a b", "s") for i in range(5)])
+    docs = _docs_df(spark, [
+        (1, "a b a b", "s"),
+        (2, "x y z q", "s"),      # every bigram unseen → add-one floor
+        (3, "solo", "s"),         # no bigrams
+    ])
+    got = {r.doc_id: r for r in ngram_lm_score(docs, lm_docs=lm).collect()}
+    assert got[1].lm_score < got[2].lm_score
+    assert got[3].n_bigrams == 0 and got[3].lm_score is None
+    assert got[1].n_bigrams == 3 and got[2].n_bigrams == 3
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from singer_spark.operators.text_analysis import weighted_sample_k
+
+    rows = [(i, f"t{i}", "s") for i in range(200)]
+    docs = _docs_df(spark, rows).withColumn(
+        "w", F.when(F.col("doc_id") < 100, 1000.0).otherwise(1.0))
+    a = [r.doc_id for r in weighted_sample_k(docs, 20, "w").collect()]
+    b = [r.doc_id for r in weighted_sample_k(docs, 20, "w").collect()]
+    assert a == b  # same salt → identical draw
+    # 1000:1 weights: the heavy half should dominate the sample
+    assert sum(1 for i in a if i < 100) >= 18
+    c = [r.doc_id for r in weighted_sample_k(docs, 20, "w", salt="other").collect()]
+    assert a != c  # different salt → independent draw
+    # zero/negative weights are excluded; k >= N returns all positive rows
+    small = _docs_df(spark, [(1, "x", "s"), (2, "y", "s")]).withColumn(
+        "w", F.when(F.col("doc_id") == 1, 5.0).otherwise(0.0))
+    got = [r.doc_id for r in weighted_sample_k(small, 10, "w").collect()]
+    assert got == [1]
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    from singer_spark.operators.text_analysis import bm25_topk
+
+    docs = _docs_df(spark, [
+        (1, "spark spark spark filler filler", "s"),   # dense in one term
+        (2, "spark join window filler filler", "s"),   # matches all terms
+        (3, "filler filler filler filler filler", "s"),  # no match
+        (4, "join filler filler filler filler", "s"),
+    ])
+    got = bm25_topk(docs, ["spark", "join", "window"], k=10).collect()
+    ids = [r.doc_id for r in got]
+    assert 3 not in ids                      # non-matching doc excluded
+    assert ids[0] == 2                       # all three terms beat one term
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[2].matched_terms == 3
+    assert by_id[1].matched_terms == 1
+    assert by_id[1].score > by_id[4].score   # 3×tf beats 1×tf, same length
+
+
 def test_tfidf_idf_downweights_ubiquitous_terms(spark):
     from singer_spark.operators.text_analysis import tfidf_top_terms
 
