@@ -43,12 +43,16 @@ HEADLINERS = [
     "dedup_overlap",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "segment_dedup",
+    "semantic_dedup",
     "sim_bruteforce_topk",
     "sim_lsh_ann",
     "sim_ivf_ann",
     "text_quality",
     "text_fingerprint",
     "tfidf_top_terms",
+    "ngram_lm_score",
+    "bm25_search",
     "pack_sequences",
     "corpus_mix",
     "decontaminate",

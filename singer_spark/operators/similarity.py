@@ -369,10 +369,16 @@ def semantic_dedup(corpus: DataFrame, n_clusters: int = 8, threshold: float = 0.
     id-only.  Pass `centroids` from :func:`ivf_train_centroids` for the
     trained quantizer; the default seeded quantizer is deterministic and
     SQL-oracle-reproducible."""
+    from pyspark.storagelevel import StorageLevel
+
     assigned = ivf_build_assignments(corpus, n_clusters, id_col, vec_col,
                                      centroids=centroids)
+    # persist: the assignment pass (scan + Arrow quantizer UDF) feeds both
+    # self-join sides AND the output frame — without this the corpus is
+    # scanned and re-quantized three times
     slim = assigned.select(F.col(id_col).alias("id"), "cluster",
-                           as_double(vec_col).alias("v"))
+                           as_double(vec_col).alias("v")
+                           ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = slim.alias("a"), slim.alias("b")
     dropped = (
         a.join(b, (F.col("a.cluster") == F.col("b.cluster"))

@@ -364,6 +364,8 @@ def ngram_lm_score(docs: DataFrame, lm_docs: DataFrame | None = None,
     hit add-one smoothing anyway) so the model side broadcasts.
 
     Output: (id, n_bigrams, lm_score)."""
+    from pyspark.storagelevel import StorageLevel
+
     lm = lm_docs if lm_docs is not None else docs
 
     def bigrams(col):
@@ -374,20 +376,24 @@ def ngram_lm_score(docs: DataFrame, lm_docs: DataFrame | None = None,
             lambda p: p["w2"].isNotNull(),
         )
 
-    lm_bi = (fan_out(lm).select(F.explode(bigrams(text_col)).alias("bi"))
-             .select("bi.w1", "bi.w2")
-             .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
-    from pyspark.storagelevel import StorageLevel
-
+    doc_bi = (fan_out(docs).select(F.col(id_col),
+                                   F.explode(bigrams(text_col)).alias("bi"))
+              .select(id_col, "bi.w1", "bi.w2"))
+    if lm_docs is None:
+        # self-trained: the scored corpus IS the training corpus — persist
+        # the one exploded bigram frame and derive the model from it, so
+        # the corpus is exploded once, not once per consumer
+        doc_bi = doc_bi.persist(StorageLevel.MEMORY_AND_DISK)
+        lm_bi = doc_bi.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    else:
+        lm_bi = (fan_out(lm).select(F.explode(bigrams(text_col)).alias("bi"))
+                 .select("bi.w1", "bi.w2")
+                 .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
     lm_bi = lm_bi.persist(StorageLevel.MEMORY_AND_DISK)
     w1_tot = lm_bi.groupBy("w1").agg(F.sum("cb").alias("cw"))
     vocab = (fan_out(lm).select(F.explode(F.filter(
         F.split(F.col(text_col), " "), lambda t: t != F.lit(""))).alias("t"))
         .agg(F.count_distinct("t").alias("V")))
-
-    doc_bi = (fan_out(docs).select(F.col(id_col),
-                                   F.explode(bigrams(text_col)).alias("bi"))
-              .select(id_col, "bi.w1", "bi.w2"))
     logp = F.log2((F.coalesce(F.col("cb"), F.lit(0)) + 1)
                   / (F.coalesce(F.col("cw"), F.lit(0)) + F.col("V")))
     scored = (doc_bi.join(lm_bi, ["w1", "w2"], "left")

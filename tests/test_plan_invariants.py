@@ -99,6 +99,51 @@ def test_tfidf_single_corpus_scan(spark, sf_dir):
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
 
 
+def test_segment_dedup_rank_pushdown_and_pruned_scan(spark, sf_dir):
+    """The keep/drop window must run as a group-limit (WindowGroupLimit —
+    rank never fully materializes), and the scans read only (doc_id, text)."""
+    from singer_spark.operators.dedup import segment_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(segment_dedup(docs))
+    assert "WindowGroupLimit" in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "source" not in line and "lang" not in line
+
+
+def test_semantic_dedup_reuses_assignment_frame(spark, sf_dir):
+    """The quantizer-assignment pass must be persisted — both self-join
+    sides and the output read the cache, not three scan+UDF pipelines."""
+    from singer_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(semantic_dedup(emb, n_clusters=8, threshold=0.9))
+    assert "InMemoryTableScan" in plan
+
+
+def test_ngram_lm_self_train_explodes_once(spark, sf_dir):
+    """Self-trained LM: model counts must derive from the persisted doc
+    bigram frame, not a second corpus explode."""
+    from singer_spark.operators.text_analysis import ngram_lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(ngram_lm_score(docs))
+    assert "InMemoryTableScan" in plan
+
+
+def test_topk_operators_use_take_ordered(spark, sf_dir):
+    """Global top-k must be a TakeOrdered (per-partition heaps), never a
+    full Sort + Limit."""
+    from singer_spark.operators.text_analysis import bm25_topk, weighted_sample_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert "TakeOrderedAndProject" in _plan(
+        bm25_topk(docs, ["join", "spark", "window"], k=20))
+    assert "TakeOrderedAndProject" in _plan(
+        weighted_sample_k(docs, 50, "n_chars"))
+
+
 def test_overlap_reuses_jaccard_plan_shape(spark, sf_dir):
     """overlap_pairs must stay an expression over the same co-occurrence
     core as ngram_jaccard_pairs — same exchange count, no extra corpus
