@@ -839,6 +839,35 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(_emb(spark, sf_dir), n_clusters=8, threshold=0.9)
 
 
+def _hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing TF embedding of the documents table (dim 16); the
+    vector serializes as comma-joined micro-units so the value hash is
+    format-stable across engines."""
+    from singer_spark.operators.text_analysis import hash_embed
+
+    emb = hash_embed(_docs(spark, sf_dir), dim=16)
+    units = F.transform("embedding",
+                        lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("bigint")
+                        .cast("string"))
+    return emb.select("doc_id", F.array_join(units, ",").alias("embedding_u"))
+
+
+def _semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over RAW documents: hash-embed (dim 16) feeds the semantic
+    dedup — no external encoder anywhere in the loop."""
+    from singer_spark.operators.similarity import semantic_dedup
+    from singer_spark.operators.text_analysis import hash_embed
+
+    emb = hash_embed(_docs(spark, sf_dir), dim=16)
+    return semantic_dedup(emb, n_clusters=8, threshold=0.995, id_col="doc_id")
+
+
+def _event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import event_hourly_anomalies
+
+    return event_hourly_anomalies(spark, sf_dir)
+
+
 def _ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram-LM fluency score, self-trained on the corpus."""
     from singer_spark.operators.text_analysis import ngram_lm_score
@@ -1268,6 +1297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_score": _ngram_lm_score,
         "weighted_sample": _weighted_sample,
         "bm25_search": _bm25_search,
+        "hash_embed": _hash_embed,
+        "semantic_dedup_docs": _semantic_dedup_docs,
+        "event_anomalies": _event_anomalies,
         "train_val_split": _train_val_split,
         "pack_sequences": _pack_sequences,
         "pack_stats": _pack_stats,
@@ -1298,6 +1330,24 @@ _SH_CTE = f"""
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sbase AS (SELECT doc_id, list_distinct(list_transform({_SHINGLES4}, x -> {_md5i('x')})) AS sh FROM toks),
 sh AS (SELECT doc_id, unnest(sh) AS s FROM sbase)
+"""
+
+# Feature-hashing embedding CTE (dim 16) — mirror of text_analysis.hash_embed:
+# token → 60-bit md5 bucket mod 16, counts, L2-normalize, per-component
+# quantize-round to 1e-6 so the vectors are bit-identical across engines.
+_HASH_EMBED_CTE = f"""
+toks16 AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t FROM documents),
+tok16 AS (SELECT doc_id, unnest(t) AS tk FROM toks16),
+cnt16 AS (SELECT doc_id, ({_md5i('tk')} % 16)::INT AS b, count(*) AS c
+          FROM tok16 GROUP BY 1, 2),
+dims16 AS (SELECT doc_id, unnest(generate_series(0, 15)) AS i FROM documents),
+raw16 AS (SELECT d.doc_id, d.i, coalesce(c.c, 0)::DOUBLE AS v
+          FROM dims16 d LEFT JOIN cnt16 c ON c.doc_id = d.doc_id AND c.b = d.i),
+nrm16 AS (SELECT doc_id, sqrt(sum(v * v)) AS nn FROM raw16 GROUP BY 1),
+emb16 AS (SELECT r.doc_id,
+                 list(CASE WHEN nn > 0 THEN floor(r.v / nn * 1000000 + 0.5) / 1000000
+                           ELSE 0.0 END ORDER BY r.i) AS embedding
+          FROM raw16 r JOIN nrm16 USING (doc_id) GROUP BY r.doc_id)
 """
 
 # Hot-shingle blocking guard — mirror of ngram_jaccard_pairs(max_shingle_df).
@@ -2207,6 +2257,47 @@ def oracle_sql() -> dict[str, str]:
                 (a, b) -> (a * 31 + b) % 1099511627776) AS fp_rolling
             FROM n""",
         "text_repetition": _repetition_oracle(),
+        "hash_embed": f"""
+            WITH {_HASH_EMBED_CTE}
+            SELECT doc_id,
+                   array_to_string(list_transform(embedding,
+                       x -> (floor(x * 1000000 + 0.5))::BIGINT::VARCHAR), ',') AS embedding_u
+            FROM emb16""",
+        "semantic_dedup_docs": f"""
+            WITH {_HASH_EMBED_CTE},
+            e AS (SELECT doc_id AS vec_id, embedding AS v FROM emb16),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+            cos_all AS (
+              SELECT e.vec_id, cid,
+                     list_dot_product(e.v, cv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cos
+              FROM e CROSS JOIN cent),
+            assign AS (SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM cos_all) WHERE rn = 1),
+            ev AS (SELECT a.vec_id, a.cluster, e.v FROM assign a JOIN e USING (vec_id)),
+            dropped AS (SELECT DISTINCT a.vec_id
+                        FROM ev a JOIN ev b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+                        WHERE floor(list_dot_product(a.v, b.v)
+                              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                              * 1000000 + 0.5) / 1000000 >= 0.995)
+            SELECT a.vec_id AS doc_id, a.cluster::BIGINT AS cluster,
+                   (d.vec_id IS NULL) AS keep
+            FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id""",
+        "event_anomalies": """
+            WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+                            FROM events GROUP BY 1, 2),
+            st AS (SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sd
+                   FROM hourly GROUP BY 1),
+            z AS (SELECT h.event_type, h.h, h.n,
+                         CASE WHEN sd > 0
+                              THEN floor((h.n - mu) / sd * 10000 + 0.5) / 10000
+                              ELSE 0.0 END AS zscore
+                  FROM hourly h JOIN st USING (event_type))
+            SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n, zscore,
+                   abs(zscore) >= 3.0 AS is_anomaly
+            FROM z ORDER BY event_type, hour""",
         "ngram_lm_score": """
             WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
                           FROM documents),

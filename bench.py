@@ -35,6 +35,7 @@ HEADLINERS = [
     "hourly_event_rollup",
     "funnel_counts",
     "cohort_retention",
+    "event_anomalies",
     "asof_join_events_orders",
     "text_ngram_topk",
     # training-data operators

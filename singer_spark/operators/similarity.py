@@ -198,6 +198,10 @@ def _seeded_centroids(corpus: DataFrame, n_clusters: int,
     cent_rows = (corpus.filter(F.col(id_col) < n_clusters)
                  .select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
                  .collect())
+    if not cent_rows:
+        raise ValueError(
+            f"seeded centroids need rows with {id_col} < {n_clusters}; "
+            "none found — pass a trained `centroids` table instead")
     cent_rows.sort(key=lambda r: r.cid)
     return np.array([r.cv for r in cent_rows], dtype=np.float64)
 

@@ -338,6 +338,58 @@ def corpus_mix_sample(docs: DataFrame, weights: dict[str, float] | Column,
 
 
 # ---------------------------------------------------------------------------
+# Feature-hashing text embeddings — model-free vectors for the embedding ops.
+# ---------------------------------------------------------------------------
+def hash_embed(docs: DataFrame, dim: int = 32, text_col: str = "text",
+               id_col: str = "doc_id", round_to: int = 6) -> DataFrame:
+    """L2-normalized feature-hashing (hashing-trick) TF embedding: token →
+    md5 bucket in [0, dim), bucket counts, unit-normalize.  The model-free
+    bridge from the text table to the embedding operators — cosine over
+    these vectors is a token-distribution similarity, so
+    :func:`~singer_spark.operators.similarity.semantic_dedup`,
+    near-dup blocking, and ANN all run on raw documents with no external
+    encoder in the loop.
+
+    Plan shape at 100 TB: one explode into an (id, bucket) partial agg
+    (map-side combine collapses repeated tokens), then one id-keyed
+    aggregation assembles the dense vector JVM-side (map lookup over
+    `sequence(0, dim)` — no Python, no per-dim shuffle).  Empty docs embed
+    as the zero vector.  Components are exact-int ratios quantize-rounded
+    to `round_to`, so the vectors — and everything computed downstream from
+    them — are bit-identical across engines.
+
+    Output: (id, embedding: array<double>)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    counts = (
+        fan_out(docs).select(F.col(id_col), F.explode(toks).alias("t"))
+        .select(id_col, (md5_int(F.col("t")) % dim).cast("int").alias("b"))
+        .groupBy(id_col, "b").agg(F.count("*").alias("c"))
+    )
+    vec = (
+        counts.groupBy(id_col)
+        .agg(F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m"))
+        .select(
+            F.col(id_col),
+            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: F.coalesce(
+                            F.try_element_at("m", i.cast("int")), F.lit(0))
+                        .cast("double")).alias("raw"),
+        )
+    )
+    norm = F.sqrt(F.aggregate(F.transform("raw", lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    unit = F.transform("raw", lambda x: qround(x / norm, round_to))
+    zero = F.transform("raw", lambda x: x * 0.0)
+    embedded = vec.select(
+        F.col(id_col),
+        F.when(norm > 0, unit).otherwise(zero).alias("embedding"))
+    return (docs.select(id_col).join(embedded, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("embedding",
+                               F.array_repeat(F.lit(0.0), dim)).alias("embedding")))
+
+
+# ---------------------------------------------------------------------------
 # Bigram-LM fluency scoring — the CCNet-style perplexity-proxy filter.
 # ---------------------------------------------------------------------------
 def ngram_lm_score(docs: DataFrame, lm_docs: DataFrame | None = None,

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from singer_spark.functions import qround
 from singer_spark.session import read_events
 
 
@@ -216,6 +217,45 @@ def funnel_counts(spark: SparkSession, sf_dir: str,
         .select("stage", "stage_idx",
                 F.coalesce("cnt", F.lit(0)).cast("bigint").alias("n_users"))
         .orderBy("stage_idx")
+    )
+
+
+def event_hourly_anomalies(spark: SparkSession, sf_dir: str,
+                           z_threshold: float = 3.0) -> DataFrame:
+    """Hourly event-rate anomaly screen: per (event_type, hour) counts
+    z-scored against that event type's own hourly distribution — the
+    monitoring query behind rate-spike/drop alerting (the reference's
+    heartbeat surfaces per-topic write rates for exactly this purpose;
+    `common/SingerStatus.java:108-149` — this is its analytical twin over
+    the delivered stream).
+
+    ONE scan, one (type, hour) partial agg, then a per-type window over the
+    (tiny) hourly frame — no second scan for the mean/stddev.  Stddev is
+    population form (both engines define it identically); z-scores
+    quantize-round before the flag so the threshold compares identical
+    doubles cross-engine.  Types with a single hour (stddev 0) flag only if
+    nonzero deviation — guarded by a NULL-safe divide.
+
+    Output: (event_type, hour, n, zscore, is_anomaly)."""
+    ev = read_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(F.col("event_type"),
+                   F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    mu = F.avg("n").over(w)
+    sd = F.stddev_pop("n").over(w)
+    zscore = F.when(sd > 0, qround((F.col("n") - mu) / sd, 4)).otherwise(F.lit(0.0))
+    return (
+        hourly.select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n",
+            zscore.alias("zscore"),
+        )
+        .withColumn("is_anomaly", F.abs(F.col("zscore")) >= z_threshold)
+        .orderBy("event_type", "hour")
     )
 
 

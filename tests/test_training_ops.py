@@ -213,6 +213,63 @@ def test_bm25_ranks_term_dense_docs_first(spark):
     assert by_id[1].score > by_id[4].score   # 3×tf beats 1×tf, same length
 
 
+def test_hash_embed_unit_norm_and_determinism(spark):
+    import math
+
+    from singer_spark.operators.text_analysis import hash_embed
+
+    docs = _docs_df(spark, [
+        (0, "alpha beta alpha", "s"),
+        (1, "alpha beta alpha", "s"),   # identical text → identical vector
+        (3, "", "s"),                   # empty → zero vector
+    ])
+    got = {r.doc_id: list(r.embedding) for r in hash_embed(docs, dim=8).collect()}
+    assert got[0] == got[1]
+    assert len(got[0]) == 8
+    assert abs(math.sqrt(sum(x * x for x in got[0])) - 1.0) < 1e-4
+    assert got[3] == [0.0] * 8
+    # cosine of identical docs is exactly 1 → semantic dedup finds them
+    from singer_spark.operators.similarity import semantic_dedup
+
+    emb = hash_embed(docs, dim=8).filter(F.col("doc_id") < 2)
+    keep = {r.doc_id: r.keep for r in
+            semantic_dedup(emb, n_clusters=1, threshold=0.999,
+                           id_col="doc_id").collect()}
+    assert keep == {0: True, 1: False}
+
+
+def test_event_anomalies_flags_spike_hour(spark, tmp_path):
+    import pandas as pd
+
+    from singer_spark.queries import event_hourly_anomalies
+
+    rows = []
+    eid = 0
+    for h in range(24):  # one event per hour baseline...
+        rows.append((eid, f"2024-01-01 {h:02d}:15:00", 1, "click", 1.0, "{}"))
+        eid += 1
+    for _ in range(40):  # ...and a 40× spike in hour 12
+        rows.append((eid, "2024-01-01 12:30:00", 2, "click", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, f"2024-01-01 05:00:00", 3, "steady", 1.0, "{}"))
+        eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    src = str(tmp_path / "anom")
+    spark.createDataFrame(
+        pdf, "event_id bigint, ts timestamp, user_id bigint, "
+             "event_type string, value double, props string"
+    ).write.parquet(f"{src}/events.parquet")
+    got = event_hourly_anomalies(spark, src).collect()
+    flagged = {(r.event_type, r.hour) for r in got if r.is_anomaly}
+    assert ("click", "2024-01-01 12:00:00") in flagged
+    assert all(et == "click" for et, _ in flagged)
+    # single-hour type: stddev 0 → zscore 0, never flagged
+    steady = [r for r in got if r.event_type == "steady"]
+    assert len(steady) == 1 and steady[0].zscore == 0.0
+
+
 def test_tfidf_idf_downweights_ubiquitous_terms(spark):
     from singer_spark.operators.text_analysis import tfidf_top_terms
 
