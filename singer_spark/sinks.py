@@ -232,9 +232,48 @@ def write_batch_sized(batch_df: DataFrame, path: str, fmt: str = "parquet",
     batch_df.write.mode("append").format(fmt).save(path)
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Morton (Z-order) key column over `cols`: each column is linearly
+    bucketed into 2^bits cells between its global min and max
+    (`width_bucket` — pure JVM), and the bucket bits are interleaved so
+    range predicates on ANY prefix-free subset of the columns localize in
+    key space.  Range-partitioning + sorting on this key gives every file
+    a small hyper-rectangle of the value space — min/max footer pruning
+    then works for multi-column predicates where a lexicographic sort only
+    prunes on its leading column.
+
+    The min/max bounds come from one aggregate row collected to the driver
+    (2 values per column); at 100 TB that is a single cheap reduction.
+    Linear bucketing assumes roughly uniform columns — for heavy skew,
+    pre-transform the column (log, rank) before keying.  NULLs map to
+    bucket 0 (sort first).  Up to 3 columns at bits=16 fits the 63-bit
+    signed range."""
+    from pyspark.sql import functions as F
+
+    if not (1 <= len(cols) * bits <= 63):
+        raise ValueError("len(cols) * bits must fit a signed 64-bit key")
+    bounds = df.agg(*[f for c in cols
+                      for f in (F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}"))]
+                    ).first()
+    key = F.lit(0).cast("bigint")
+    for ci, c in enumerate(cols):
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        if mn is None or mx == mn:  # constant/all-null column: contributes 0
+            continue
+        bucket = (F.width_bucket(F.col(c).cast("double"), F.lit(float(mn)),
+                                 F.lit(float(mx)), F.lit((1 << bits) - 1)) - 1)
+        bucket = F.coalesce(bucket, F.lit(0)).cast("bigint")
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                            b * len(cols) + ci))
+    return key
+
+
 def write_dataset(df: DataFrame, path: str,
                   partition_by: list[str] | str | None = None,
                   sort_by: list[str] | str | None = None,
+                  zorder_by: list[str] | None = None,
                   target_file_mb: float | None = None,
                   size_col: str | None = None, num_files: int | None = None,
                   mode: str = "overwrite", fmt: str = "parquet") -> None:
@@ -262,11 +301,23 @@ def write_dataset(df: DataFrame, path: str,
     (partition cols, sort cols) so each hive partition's files stay
     internally range-ordered.  `num_files` pins the range-partition count
     (otherwise Spark's default parallelism / AQE coalescing decides — at
-    small scale AQE may collapse to one file)."""
+    small scale AQE may collapse to one file).
+
+    `zorder_by` (mutually exclusive with `sort_by`): lay files out along
+    the Morton curve over these columns (:func:`zorder_key`) — multi-column
+    data skipping where a lexicographic sort prunes only its leading
+    column."""
     from pyspark.sql import functions as F
 
     parts = [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
     sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
+    zcol = None
+    if zorder_by:
+        if sorts:
+            raise ValueError("pass sort_by or zorder_by, not both")
+        zcol = "_zkey"
+        df = df.withColumn(zcol, zorder_key(df, list(zorder_by)))
+        sorts = [zcol]
     out = df
     if sorts:
         range_cols = [F.col(c) for c in parts + sorts]
@@ -275,6 +326,8 @@ def write_dataset(df: DataFrame, path: str,
         else:
             out = out.repartitionByRange(*range_cols)
         out = out.sortWithinPartitions(*parts, *sorts)
+        if zcol:  # derived key orders the layout but is not published
+            out = out.drop(zcol)
     writer = out.write.mode(mode).format(fmt)
     if target_file_mb:
         est_col = size_col or next(

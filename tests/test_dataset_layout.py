@@ -44,6 +44,57 @@ def test_write_dataset_range_sorted_files_do_not_overlap(spark, tmp_path):
         assert hi_a <= lo_b
 
 
+def test_write_dataset_zorder_bounds_both_columns(spark, tmp_path):
+    """Z-order layout: every file covers a small rectangle of (x, y) space,
+    so min/max footer pruning works on BOTH columns — a lexicographic sort
+    on x leaves y spanning its full range in every file.  Verified against
+    the actual parquet footers."""
+    import pyarrow.parquet as pq
+
+    from singer_spark.sinks import write_dataset
+
+    n = 40_000
+    df = spark.range(0, n).select(
+        (F.col("id") * 2654435761 % 1000).alias("x"),
+        (F.col("id") * 97 % 1000).alias("y"),
+        F.col("id").alias("payload"))
+
+    def spans(path, col_name):
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            col = {md.row_group(0).column(i).path_in_schema: i
+                   for i in range(md.row_group(0).num_columns)}[col_name]
+            mins = [md.row_group(g).column(col).statistics.min
+                    for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(col).statistics.max
+                    for g in range(md.num_row_groups)]
+            out.append(max(maxs) - min(mins))
+        return out
+
+    zpath, spath = str(tmp_path / "zds"), str(tmp_path / "sds")
+    write_dataset(df, zpath, zorder_by=["x", "y"], num_files=16)
+    write_dataset(df, spath, sort_by="x", num_files=16)
+
+    # derived key is layout-only, not published
+    md = pq.ParquetFile(sorted(glob.glob(f"{zpath}/part-*.parquet"))[0]).metadata
+    names = [md.row_group(0).column(i).path_in_schema
+             for i in range(md.row_group(0).num_columns)]
+    assert "_zkey" not in names
+
+    zx, zy = spans(zpath, "x"), spans(zpath, "y")
+    sy = spans(spath, "y")
+    assert len(zx) > 4
+    # x-sorted layout: y spans ~the full 0..999 range in every file;
+    # z-order: BOTH axes are bounded well below the full range on average
+    avg = lambda v: sum(v) / len(v)
+    assert avg(sy) > 900
+    assert avg(zy) < 0.7 * avg(sy)
+    assert avg(zx) < 700
+
+
 def test_write_dataset_hive_partitions_and_file_sizing(spark, tmp_path):
     from singer_spark.sinks import write_dataset
 
