@@ -839,6 +839,22 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(_emb(spark, sf_dir), n_clusters=8, threshold=0.9)
 
 
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: 32-token windows with 8-token overlap."""
+    from singer_spark.operators.text_analysis import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), window=32, overlap=8)
+
+
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: top-5 most-similar different-label
+    vectors for each of the first 10 embeddings (exact mode)."""
+    from singer_spark.operators.similarity import hard_negatives
+
+    emb = _emb(spark, sf_dir)
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def _hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing TF embedding of the documents table (dim 16); the
     vector serializes as comma-joined micro-units so the value hash is
@@ -1300,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed": _hash_embed,
         "semantic_dedup_docs": _semantic_dedup_docs,
         "event_anomalies": _event_anomalies,
+        "chunk_documents": _chunk_documents,
+        "hard_negatives": _hard_negatives,
         "train_val_split": _train_val_split,
         "pack_sequences": _pack_sequences,
         "pack_stats": _pack_stats,
@@ -2285,6 +2303,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS doc_id, a.cluster::BIGINT AS cluster,
                    (d.vec_id IS NULL) AS keep
             FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id""",
+        "chunk_documents": """
+            WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+                          FROM documents),
+            pos AS (SELECT doc_id, t,
+                           unnest(generate_series(0,
+                               greatest(ceil((len(t) - 8) / 24.0)::BIGINT, 1) - 1)) AS i
+                    FROM toks)
+            SELECT doc_id, i::INT AS chunk_idx, (i * 24)::BIGINT AS start_token,
+                   least(len(t) - i * 24, 32)::INT AS n_tokens,
+                   array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk
+            FROM pos""",
+        "hard_negatives": """
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 10),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+                     c.label AS negative_label,
+                     floor(list_dot_product(q.v, c.v) /
+                           (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                           * 1000000 + 0.5) / 1000000 AS cosine
+              FROM q, e c WHERE c.vec_id <> q.vec_id AND c.label <> q.label),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cosine DESC, negative_id) AS rank
+                  FROM scored)
+            SELECT query_id, negative_id, rank::INT AS rank, cosine, negative_label
+            FROM r WHERE rank <= 5""",
         "event_anomalies": """
             WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
                             FROM events GROUP BY 1, 2),

@@ -340,6 +340,74 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   label_col: str = "label",
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   round_to: int = 6,
+                   n_clusters: int | None = None, nprobe: int = 4) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k most-similar corpus vectors with a DIFFERENT label — the
+    near-misses that make the strongest negatives (public recipe: DPR /
+    SimCSE-style in-batch → mined negatives).
+
+    Exact mode (default): broadcast the query set, one map-side pass over
+    the corpus — same shape as :func:`brute_force_topk`, the oracle path.
+    Scale mode (`n_clusters` set): restrict candidates to the query's
+    `nprobe` nearest IVF clusters first (same inverted-list layout as
+    :func:`ivf_ann_topk`), so per-query work is corpus·(nprobe/k_clusters).
+
+    Output: (query_id, negative_id, rank, cosine, negative_label)."""
+    from pyspark.sql.window import Window
+
+    c = fan_out(corpus).select(F.col(id_col).alias("negative_id"),
+                               F.col(label_col).alias("negative_label"),
+                               as_double(vec_col).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(label_col).alias("q_label"),
+                       as_double(vec_col).alias("qvec"))
+    if n_clusters is not None:
+        assigned = ivf_build_assignments(corpus, n_clusters, id_col, vec_col)
+        c = c.join(assigned.select(F.col(id_col).alias("negative_id"), "cluster"),
+                   "negative_id")
+        C = _seeded_centroids(corpus, n_clusters, id_col, vec_col)
+        probes = _probe_clusters(queries, C, nprobe, id_col, vec_col)
+        cand = c.join(probes.withColumnRenamed(id_col, "query_id"),
+                      "cluster").join(F.broadcast(q), "query_id")
+    else:
+        cand = c.crossJoin(F.broadcast(q))
+    scored = (
+        cand.filter((F.col("negative_id") != F.col("query_id"))
+                    & (F.col("negative_label") != F.col("q_label")))
+        .select("query_id", "negative_id", "negative_label",
+                qround(cosine(F.col("qvec"), F.col("cvec")), round_to).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("negative_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "negative_id",
+                    F.col("rank").cast("int").alias("rank"),
+                    "cosine", "negative_label"))
+
+
+def _probe_clusters(queries: DataFrame, C: "np.ndarray", nprobe: int,
+                    id_col: str, vec_col: str) -> DataFrame:
+    """(id, cluster) rows: each query's nprobe nearest centroids."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def probe(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        cos = _seq_cosine_matrix(V, C)
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int64").tolist() for row in order])
+
+    return queries.select(F.col(id_col),
+                          F.explode(probe(F.col(vec_col))).alias("cluster"))
+
+
 def auto_num_planes(n: int, lo: int = 8, hi: int = 30) -> int:
     """Hyperplane count for self-join LSH blocking, derived from corpus size:
     ceil(log₂ N) planes ⇒ 2^planes ≈ N buckets per table, so the mean bucket

@@ -338,6 +338,47 @@ def corpus_mix_sample(docs: DataFrame, weights: dict[str, float] | Column,
 
 
 # ---------------------------------------------------------------------------
+# Document chunking — overlapping token windows (the RAG/context-window prep).
+# ---------------------------------------------------------------------------
+def chunk_documents(docs: DataFrame, window: int = 128, overlap: int = 32,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token windows — the chunking pass
+    in front of embedding/indexing (RAG) or fixed-context training: chunk
+    i covers tokens [i·stride, i·stride + window), stride = window −
+    overlap, and the final partial window is kept (every token lands in ≥1
+    chunk).
+
+    Pure JVM: chunk starts come from `sequence` over the token count and
+    `slice` re-cuts the token array per chunk — one narrow pass + the
+    posexplode; no shuffle at all until whatever consumes the chunks.
+
+    Output: (id, chunk_idx, start_token, n_tokens, chunk)."""
+    if not 0 <= overlap < window:
+        raise ValueError("need 0 <= overlap < window")
+    stride = window - overlap
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    # number of chunks: ceil(max(n - overlap, 1) / stride)
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - overlap) / stride).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            (i * stride).alias("start"),
+            F.array_join(F.slice(toks, i * stride + 1, window), " ").alias("chunk"),
+            F.least(F.size(toks) - i * stride, F.lit(window)).alias("n"),
+        ),
+    )
+    return fan_out(docs).select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        id_col, "chunk_idx",
+        F.col("c.start").cast("bigint").alias("start_token"),
+        F.col("c.n").cast("int").alias("n_tokens"),
+        F.col("c.chunk").alias("chunk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Feature-hashing text embeddings — model-free vectors for the embedding ops.
 # ---------------------------------------------------------------------------
 def hash_embed(docs: DataFrame, dim: int = 32, text_col: str = "text",

@@ -213,6 +213,50 @@ def test_bm25_ranks_term_dense_docs_first(spark):
     assert by_id[1].score > by_id[4].score   # 3×tf beats 1×tf, same length
 
 
+def test_chunk_documents_overlap_and_tail(spark):
+    from singer_spark.operators.text_analysis import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    docs = _docs_df(spark, [(1, text, "s"), (2, "a b", "s")])
+    got = sorted(
+        ((r.doc_id, r.chunk_idx, r.start_token, r.n_tokens, r.chunk)
+         for r in chunk_documents(docs, window=4, overlap=2).collect()))
+    # doc 1: stride 2 → starts 0,2,4,6 (ceil((10-2)/2)=4 chunks)
+    d1 = [g for g in got if g[0] == 1]
+    assert [g[2] for g in d1] == [0, 2, 4, 6]
+    assert d1[0][4] == "w0 w1 w2 w3"
+    assert d1[1][4] == "w2 w3 w4 w5"           # 2-token overlap
+    assert d1[-1][4] == "w6 w7 w8 w9" and d1[-1][3] == 4
+    # every token appears in at least one chunk
+    covered = set()
+    for _, _, start, n, _ in d1:
+        covered.update(range(start, start + n))
+    assert covered == set(range(10))
+    # short doc: one partial chunk
+    d2 = [g for g in got if g[0] == 2]
+    assert d2 == [(2, 0, 0, 2, "a b")]
+
+
+def test_hard_negatives_excludes_same_label_and_probes_agree(spark, sf_dir):
+    from singer_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = hard_negatives(emb, queries, k=5).collect()
+    labels = {r.vec_id: r.label for r in queries.collect()}
+    assert len(exact) == 5 * queries.count()
+    for r in exact:
+        assert r.negative_label != labels[r.query_id]
+        assert r.negative_id != r.query_id
+    # IVF mode returns a subset ranking with decent agreement vs exact
+    ivf = hard_negatives(emb, queries, k=5, n_clusters=8, nprobe=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.negative_id)
+    hits = sum(1 for r in ivf if r.negative_id in exact_sets.get(r.query_id, set()))
+    assert hits / len(exact) >= 0.5  # recall@5 with nprobe=4 of 8 clusters
+
+
 def test_hash_embed_unit_norm_and_determinism(spark):
     import math
 
