@@ -381,6 +381,37 @@ def test_segment_dedup_cuts_repeated_segments(spark):
     assert got[4].text == "q r" and got[4].n_segments == 1
 
 
+def test_segment_dedup_matches_python_reference(spark):
+    """Randomized corpus vs a direct Python implementation of the same
+    spec: first occurrence of each W-word segment (ordered by doc id,
+    position) survives; docs rebuild from surviving segments in order."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 37))))
+            for i in range(40)]
+    W = 5
+
+    seen, want = set(), {}
+    for doc_id, text in docs:  # reference: sequential first-wins walk
+        toks = text.split(" ")
+        kept = []
+        n_segs = max((len(toks) + W - 1) // W, 1)
+        for i in range(n_segs):
+            seg = " ".join(toks[i * W:(i + 1) * W])
+            if seg not in seen:
+                seen.add(seg)
+                kept.append(seg)
+        want[doc_id] = (" ".join(kept), n_segs, len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r.doc_id: (r.text, r.n_segments, r.n_kept)
+           for r in dedup.segment_dedup(df, words_per_segment=W).collect()}
+    assert got == want
+
+
 def test_semantic_dedup_keeps_one_per_near_dup_set(spark):
     from singer_spark.operators.similarity import semantic_dedup
 
