@@ -822,6 +822,20 @@ def _dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incremental_bloom(docs.filter(F.col("doc_id") >= 250), seen)
 
 
+def _dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: history = signatures of docs < 250, increment
+    = docs >= 250; survivors' signature rows come back for appending."""
+    from singer_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    seen = minhash_signatures(docs.filter(F.col("doc_id") < 250))
+    return minhash_lsh_incremental(docs.filter(F.col("doc_id") >= 250), seen,
+                                   threshold=0.5)
+
+
 def _segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document dedup: 20-word segments, first occurrence survives,
     documents rebuilt from their surviving segments."""
@@ -1289,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "dedup_incremental": _dedup_incremental,
         "dedup_incremental_bloom": _dedup_incremental_bloom,
+        "dedup_incremental_minhash": _dedup_incremental_minhash,
         "segment_dedup": _segment_dedup,
         "semantic_dedup": _semantic_dedup,
         "corpus_curation": _corpus_curation,
@@ -1390,6 +1405,52 @@ v AS (SELECT id_a, id_b,
                     JOIN sbase bb ON bb.doc_id = c.id_b)
 SELECT id_a, id_b, floor(shared / (n_a + n_b - shared) * 10000 + 0.5) / 10000 AS jaccard
 FROM v WHERE shared / (n_a + n_b - shared) >= {threshold}
+"""
+
+
+def _minhash_incremental_oracle() -> str:
+    """Mirror of dedup.minhash_lsh_incremental at threshold 0.5: history =
+    docs < 250 as signature rows, increment = docs >= 250; history match by
+    signature-agreement estimate, in-increment by exact shingle Jaccard."""
+    from singer_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    base = f"(s % {MINHASH_P})"
+    mins = ",\n    ".join(
+        f"min(({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(8))
+
+    def bands(src: str) -> str:
+        return "\n    UNION ALL ".join(
+            f"SELECT doc_id, {bi} AS band, "
+            f"h{2*bi}::VARCHAR || '_' || h{2*bi+1}::VARCHAR AS key FROM {src}"
+            for bi in range(4))
+
+    agree = " + ".join(f"(sn.h{i} = so.h{i})::INT" for i in range(8))
+    hcols = ", ".join(f"h{i}" for i in range(8))
+    return f"""
+WITH {_SH_CTE},
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+oldb AS (SELECT * FROM sigs WHERE doc_id < 250),
+newb AS (SELECT * FROM sigs WHERE doc_id >= 250),
+nb AS ({bands('newb')}),
+ob AS ({bands('oldb')}),
+cand AS (SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+         FROM nb n JOIN ob o ON n.band = o.band AND n.key = o.key),
+hist AS (SELECT DISTINCT nid FROM cand
+         JOIN newb sn ON sn.doc_id = nid
+         JOIN oldb so ON so.doc_id = oid
+         WHERE ({agree}) / 8.0 >= 0.5),
+incand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM nb a JOIN nb b ON a.band = b.band AND a.key = b.key
+                                AND a.doc_id < b.doc_id),
+inv AS (SELECT id_a, id_b, len(list_intersect(ba.sh, bb.sh)) AS shared,
+               len(ba.sh) AS n_a, len(bb.sh) AS n_b
+        FROM incand c JOIN sbase ba ON ba.doc_id = c.id_a
+                      JOIN sbase bb ON bb.doc_id = c.id_b),
+incr AS (SELECT DISTINCT id_b FROM inv WHERE shared / (n_a + n_b - shared) >= 0.5)
+SELECT doc_id, {hcols} FROM newb
+WHERE doc_id NOT IN (SELECT nid FROM hist)
+  AND doc_id NOT IN (SELECT id_b FROM incr)
 """
 
 
@@ -2214,6 +2275,7 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY ts, event_id) AS seq_types
             FROM ordered GROUP BY user_id ORDER BY user_id""",
         "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_incremental_minhash": _minhash_incremental_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "sim_bruteforce_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

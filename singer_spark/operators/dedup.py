@@ -285,6 +285,79 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     return hashed.groupBy("id").agg(*aggs)
 
 
+def _band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, key) LSH bucket rows from an (id, h0..h{n-1}) signature
+    frame — shared by the batch pair join and the incremental history
+    join, so both sides of any band join bucket identically."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws("_", *[F.col(f"h{bi * rows_per_band + r}")
+                               for r in range(rows_per_band)]).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    return (sigs.select("id", F.explode(F.array(*band_cols)).alias("b"))
+            .select("id", F.col("b.band").alias("band"), F.col("b.key").alias("key")))
+
+
+def minhash_lsh_incremental(new_docs: DataFrame, seen_sigs: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            k: int = 4, num_hashes: int = 8, bands: int = 4,
+                            threshold: float = 0.6,
+                            persist: bool = True) -> DataFrame:
+    """Incremental NEAR-dup dedup — the daily-increment pattern of
+    :func:`dedup_incremental`, lifted from exact digests to MinHash: drop
+    new documents that are near-duplicates of the ACCUMULATED corpus, then
+    keep one representative of each near-dup set WITHIN the increment.
+
+    `seen_sigs` is the history state: one (id, h0..h{n-1}) signature row
+    per retained doc — `num_hashes` ints per document, independent of
+    document size, which is why this state can live for years.  The
+    history check joins band buckets (equi-join, both sides banded by the
+    same :func:`_band_buckets`) and accepts a candidate when the
+    signature-agreement estimate of Jaccard ≥ `threshold` (history
+    documents' shingles are long gone; the signature IS the state — the
+    standard estimator, exact in expectation).  The in-increment pass is
+    the full :func:`minhash_lsh_pairs` machinery (shingles still at hand →
+    exact verification), dropping any doc with a lower-id near-dup.
+
+    Returns the SURVIVORS' signature rows (id, h0..h{n-1}) — append them
+    to `seen_sigs` for the next increment.  Nothing wider than band keys
+    and signatures shuffles; history is never re-scanned."""
+    base = _maybe_persist(shingle_frame(new_docs, text_col, id_col, k), persist)
+    sigs = _maybe_persist(
+        minhash_signatures(new_docs, text_col, id_col, k, num_hashes, base=base),
+        persist)
+    seen = seen_sigs.withColumnRenamed(id_col, "id") \
+        if id_col in seen_sigs.columns else seen_sigs
+    nb = _band_buckets(sigs, num_hashes, bands)
+    hb = (_band_buckets(seen, num_hashes, bands)
+          .withColumnRenamed("id", "old_id"))
+    cand = (nb.join(hb, ["band", "key"])
+            .select("id", "old_id").distinct())
+    agree = sum((F.col(f"h{i}") == F.col(f"old_h{i}")).cast("int")
+                for i in range(num_hashes))
+    old_sigs = seen.select(F.col("id").alias("old_id"),
+                           *[F.col(f"h{i}").alias(f"old_h{i}")
+                             for i in range(num_hashes)])
+    hist_dup = (cand.join(sigs, "id").join(old_sigs, "old_id")
+                .filter(agree / num_hashes >= F.lit(threshold))
+                .select("id").distinct())
+    l, r = nb.alias("l"), nb.alias("r")
+    in_cand = (l.join(r, (F.col("l.band") == F.col("r.band"))
+                     & (F.col("l.key") == F.col("r.key"))
+                     & (F.col("l.id") < F.col("r.id")))
+               .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+               .distinct())
+    in_pairs = _verify_jaccard(in_cand, base, threshold)
+    incr_dup = in_pairs.select(F.col("id_b").alias("id")).distinct()
+    return (sigs.join(hist_dup, "id", "left_anti")
+            .join(incr_dup, "id", "left_anti")
+            .withColumnRenamed("id", id_col))
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       k: int = 4, num_hashes: int = 8, bands: int = 4,
                       threshold: float = 0.6, persist: bool = True) -> DataFrame:
@@ -299,15 +372,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
     rows_per_band = num_hashes // bands
     base = _maybe_persist(shingle_frame(docs, text_col, id_col, k), persist)
     sigs = minhash_signatures(docs, text_col, id_col, k, num_hashes, base=base)
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws("_", *[F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]).alias("key"),
-        )
-        for bi in range(bands)
-    ]
-    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("b")) \
-                  .select("id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    buckets = _band_buckets(sigs, num_hashes, bands)
     l, r = buckets.alias("l"), buckets.alias("r")
     candidates = (
         l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key"))

@@ -333,6 +333,28 @@ def test_dedup_incremental_drops_seen_and_in_batch_dups(spark):
     assert sorted(r.doc_id for r in out.collect()) == [11, 13]
 
 
+def test_minhash_incremental_drops_history_and_in_batch_neardups(spark):
+    from singer_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_signatures,
+    )
+
+    base_text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                 "lam mu nu xi omicron pi rho sigma tau upsilon")
+    history = spark.createDataFrame([(1, base_text)], ["doc_id", "text"])
+    today = spark.createDataFrame([
+        (10, base_text + " extra"),            # near-dup of history doc 1
+        (11, "totally different words here now ok fine yes sure thing"),
+        (12, "totally different words here now ok fine yes sure maybe"),
+        # 12 is a near-dup of 11 (in-increment) → 11 survives
+        (13, "another unrelated document about nothing in particular at all"),
+    ], ["doc_id", "text"])
+    seen = minhash_signatures(history)
+    out = sorted(r.doc_id for r in
+                 minhash_lsh_incremental(today, seen, threshold=0.5).collect())
+    assert out == [11, 13]
+
+
 def test_dedup_incremental_bloom_matches_exact_path(spark):
     yesterday = _docs(spark, ["alpha text", "beta text"])
     seen = yesterday.select(F.md5("text").alias("sig")).distinct()
