@@ -1408,6 +1408,45 @@ FROM v WHERE shared / (n_a + n_b - shared) >= {threshold}
 """
 
 
+def _semdedup_oracle(e_cte: str, threshold: float, out_id: str) -> str:
+    """SemDeDup oracle over any CTE chain ending in `e(vec_id, v)`: seeded
+    8-centroid assignment, within-cluster drop at cosine >= threshold.
+    Zero-norm vectors define cosine = 0 (mirror of similarity.safe_cosine
+    / the guarded _seq_cosine_matrix) — an unguarded NaN diverges between
+    engines (Spark floor(NaN)::long = 0, DuckDB NaN > any threshold)."""
+    def cos(x: str, y: str) -> str:
+        return (f"CASE WHEN sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product({y}, {y})) > 0 "
+                f"THEN list_dot_product({x}, {y}) / (sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product({y}, {y}))) "
+                f"ELSE 0.0 END")
+
+    return f"""
+            WITH {e_cte},
+            cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+            cos_all AS (SELECT e.vec_id, cid, {cos('e.v', 'cv')} AS cos
+                        FROM e CROSS JOIN cent),
+            assign AS (SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM cos_all) WHERE rn = 1),
+            ev AS (SELECT a.vec_id, a.cluster, e.v FROM assign a JOIN e USING (vec_id)),
+            dropped AS (SELECT DISTINCT a.vec_id
+                        FROM ev a JOIN ev b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+                        WHERE floor(({cos('a.v', 'b.v')}) * 1000000 + 0.5) / 1000000 >= {threshold})
+            SELECT a.vec_id AS {out_id}, a.cluster::BIGINT AS cluster,
+                   (d.vec_id IS NULL) AS keep
+            FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id"""
+
+
+# Incremental exact dedup — one oracle string for the exact path and the
+# Bloom-prefiltered path, which must return bit-identical rows.
+_INCREMENTAL_EXACT_ORACLE = """
+    WITH seen AS (SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id < 250),
+    inc AS (SELECT doc_id, md5(text) AS sig FROM documents WHERE doc_id >= 250)
+    SELECT min(doc_id) AS doc_id, sig FROM inc
+    WHERE sig NOT IN (SELECT sig FROM seen)
+    GROUP BY sig"""
+
+
 def _minhash_incremental_oracle() -> str:
     """Mirror of dedup.minhash_lsh_incremental at threshold 0.5: history =
     docs < 250 as signature rows, increment = docs >= 250; history match by
@@ -1447,7 +1486,9 @@ inv AS (SELECT id_a, id_b, len(list_intersect(ba.sh, bb.sh)) AS shared,
                len(ba.sh) AS n_a, len(bb.sh) AS n_b
         FROM incand c JOIN sbase ba ON ba.doc_id = c.id_a
                       JOIN sbase bb ON bb.doc_id = c.id_b),
-incr AS (SELECT DISTINCT id_b FROM inv WHERE shared / (n_a + n_b - shared) >= 0.5)
+incr AS (SELECT DISTINCT id_b FROM inv
+         WHERE shared / (n_a + n_b - shared) >= 0.5
+           AND id_a NOT IN (SELECT nid FROM hist))
 SELECT doc_id, {hcols} FROM newb
 WHERE doc_id NOT IN (SELECT nid FROM hist)
   AND doc_id NOT IN (SELECT id_b FROM incr)
@@ -2207,20 +2248,10 @@ def oracle_sql() -> dict[str, str]:
             FROM act a JOIN first f USING (user_id)
             GROUP BY cw, week_offset
             ORDER BY cohort_week, week_offset""",
-        "dedup_incremental": """
-            WITH seen AS (SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id < 250),
-            inc AS (SELECT doc_id, md5(text) AS sig FROM documents WHERE doc_id >= 250)
-            SELECT min(doc_id) AS doc_id, sig FROM inc
-            WHERE sig NOT IN (SELECT sig FROM seen)
-            GROUP BY sig""",
+        "dedup_incremental": _INCREMENTAL_EXACT_ORACLE,
         # The Bloom path must return EXACTLY the exact path's rows (false
         # positives are rejected by the residual anti-join) — same oracle.
-        "dedup_incremental_bloom": """
-            WITH seen AS (SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id < 250),
-            inc AS (SELECT doc_id, md5(text) AS sig FROM documents WHERE doc_id >= 250)
-            SELECT min(doc_id) AS doc_id, sig FROM inc
-            WHERE sig NOT IN (SELECT sig FROM seen)
-            GROUP BY sig""",
+        "dedup_incremental_bloom": _INCREMENTAL_EXACT_ORACLE,
         "segment_dedup": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
             pos AS (SELECT doc_id, t,
@@ -2242,27 +2273,9 @@ def oracle_sql() -> dict[str, str]:
                    greatest(ceil(len(t.t) / 20.0)::BIGINT, 1)::INT AS n_segments,
                    coalesce(k.n_kept, 0)::INT AS n_kept
             FROM toks t LEFT JOIN kept k USING (doc_id)""",
-        "semantic_dedup": """
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-            cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-            cos_all AS (
-              SELECT e.vec_id, cid,
-                     list_dot_product(e.v, cv)
-                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cos
-              FROM e CROSS JOIN cent),
-            assign AS (SELECT vec_id, cid AS cluster FROM (
-                SELECT vec_id, cid,
-                       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-                FROM cos_all) WHERE rn = 1),
-            ev AS (SELECT a.vec_id, a.cluster, e.v FROM assign a JOIN e USING (vec_id)),
-            dropped AS (SELECT DISTINCT a.vec_id
-                        FROM ev a JOIN ev b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
-                        WHERE floor(list_dot_product(a.v, b.v)
-                              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                              * 1000000 + 0.5) / 1000000 >= 0.9)
-            SELECT a.vec_id, a.cluster::BIGINT AS cluster,
-                   (d.vec_id IS NULL) AS keep
-            FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id""",
+        "semantic_dedup": _semdedup_oracle(
+            "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+            0.9, "vec_id"),
         "user_event_sequences": """
             WITH ordered AS (
               SELECT user_id, ts, event_id, event_type,
@@ -2343,28 +2356,10 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_transform(embedding,
                        x -> (floor(x * 1000000 + 0.5))::BIGINT::VARCHAR), ',') AS embedding_u
             FROM emb16""",
-        "semantic_dedup_docs": f"""
-            WITH {_HASH_EMBED_CTE},
-            e AS (SELECT doc_id AS vec_id, embedding AS v FROM emb16),
-            cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-            cos_all AS (
-              SELECT e.vec_id, cid,
-                     list_dot_product(e.v, cv)
-                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cos
-              FROM e CROSS JOIN cent),
-            assign AS (SELECT vec_id, cid AS cluster FROM (
-                SELECT vec_id, cid,
-                       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-                FROM cos_all) WHERE rn = 1),
-            ev AS (SELECT a.vec_id, a.cluster, e.v FROM assign a JOIN e USING (vec_id)),
-            dropped AS (SELECT DISTINCT a.vec_id
-                        FROM ev a JOIN ev b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
-                        WHERE floor(list_dot_product(a.v, b.v)
-                              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                              * 1000000 + 0.5) / 1000000 >= 0.995)
-            SELECT a.vec_id AS doc_id, a.cluster::BIGINT AS cluster,
-                   (d.vec_id IS NULL) AS keep
-            FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id""",
+        "semantic_dedup_docs": _semdedup_oracle(
+            f"{_HASH_EMBED_CTE},\n"
+            "            e AS (SELECT doc_id AS vec_id, embedding AS v FROM emb16)",
+            0.995, "doc_id"),
         "chunk_documents": """
             WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
                           FROM documents),

@@ -352,7 +352,14 @@ def minhash_lsh_incremental(new_docs: DataFrame, seen_sigs: DataFrame,
                .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
                .distinct())
     in_pairs = _verify_jaccard(in_cand, base, threshold)
-    incr_dup = in_pairs.select(F.col("id_b").alias("id")).distinct()
+    # an in-increment dup is dropped only when its lower-id representative
+    # SURVIVES the history check — otherwise the whole near-dup family
+    # would vanish from the returned state (the representative gone as a
+    # history dup, the partner gone as its in-increment dup) and the same
+    # content would be re-admitted in a later increment
+    incr_dup = (in_pairs
+                .join(hist_dup.withColumnRenamed("id", "id_a"), "id_a", "left_anti")
+                .select(F.col("id_b").alias("id")).distinct())
     return (sigs.join(hist_dup, "id", "left_anti")
             .join(incr_dup, "id", "left_anti")
             .withColumnRenamed("id", id_col))
@@ -369,7 +376,6 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
     join: the per-doc shingle ARRAYS are joined back by id and intersected
     JVM-side, so the corpus is shingle-exploded exactly once (for the
     signatures).  Output: (id_a, id_b, jaccard >= threshold)."""
-    rows_per_band = num_hashes // bands
     base = _maybe_persist(shingle_frame(docs, text_col, id_col, k), persist)
     sigs = minhash_signatures(docs, text_col, id_col, k, num_hashes, base=base)
     buckets = _band_buckets(sigs, num_hashes, bands)
@@ -573,7 +579,7 @@ def bloom_from_sigs(seen_sigs: DataFrame, sig_col: str = "sig",
     pos = seen_sigs.select(
         F.array(*_bloom_position_cols(sig_col, num_bits, num_hashes)).alias("p"))
 
-    nbytes = num_bits // 8
+    nbytes = (num_bits + 7) // 8  # round UP: positions range over [0, num_bits)
 
     def to_bits(batches):
         bits = np.zeros(nbytes, dtype=np.uint8)
@@ -615,7 +621,6 @@ def dedup_incremental_bloom(new_docs: DataFrame, seen: DataFrame,
     spark = new_docs.sparkSession
     bloom = bloom_from_sigs(seen.select(sig_col), sig_col, num_bits, num_hashes)
     bc = spark.sparkContext.broadcast(bloom)
-    nh = num_hashes
 
     from pyspark.sql.functions import pandas_udf
 

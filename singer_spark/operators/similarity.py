@@ -45,6 +45,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def safe_cosine(a: Column, b: Column) -> Column:
+    """cosine with zero-norm vectors defined as 0 instead of NaN — for
+    operators whose inputs may legitimately contain zero vectors (e.g.
+    hash_embed of an empty document).  NaN here is not just cosmetic:
+    Spark's floor(NaN) casts to 0 while DuckDB keeps NaN (which compares
+    greater than any threshold), so an unguarded NaN diverges from the
+    oracle."""
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      round_to: int = 6) -> DataFrame:
@@ -187,7 +198,12 @@ def _seq_cosine_matrix(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
         dot = np.zeros(n, dtype=np.float64)
         for d in range(dim):
             dot = dot + V[:, d] * C[ci, d]
-        out[:, ci] = dot / (vnorm * np.sqrt(cc))
+        denom = vnorm * np.sqrt(cc)
+        # zero-norm rows/centroids define cosine = 0, not NaN — a NaN
+        # column would poison np.argmax (NaN wins every comparison) and
+        # assign the whole corpus to one cluster
+        out[:, ci] = np.divide(dot, denom, out=np.zeros(n, dtype=np.float64),
+                               where=denom > 0)
     return out
 
 
@@ -207,11 +223,14 @@ def _seeded_centroids(corpus: DataFrame, n_clusters: int,
 
 
 def _assign_to_centroids(corpus: DataFrame, C: "np.ndarray",
-                         id_col: str, vec_col: str) -> DataFrame:
+                         id_col: str, vec_col: str,
+                         extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Broadcast the O(k·dim) centroid matrix into a narrow Arrow-UDF pass:
     each vector gets its max-cosine centroid (ties → lowest centroid id).
-    The output (id, vec, cluster) is the inverted list, ready to be
-    partitioned/bucketed by cluster."""
+    The output (id, vec, [extra_cols...], cluster) is the inverted list,
+    ready to be partitioned/bucketed by cluster; `extra_cols` lets a
+    consumer (e.g. hard-negative mining's label) ride the same pass
+    instead of re-joining corpus-sized frames."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("bigint")
@@ -223,7 +242,8 @@ def _assign_to_centroids(corpus: DataFrame, C: "np.ndarray",
         return pd.Series(np.argmax(cos, axis=1).astype("int64"))
 
     return fan_out(corpus).select(
-        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster")
+        F.col(id_col), F.col(vec_col), *[F.col(c) for c in extra_cols],
+        assign(F.col(vec_col)).alias("cluster")
     )
 
 
@@ -359,21 +379,26 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Output: (query_id, negative_id, rank, cosine, negative_label)."""
     from pyspark.sql.window import Window
 
-    c = fan_out(corpus).select(F.col(id_col).alias("negative_id"),
-                               F.col(label_col).alias("negative_label"),
-                               as_double(vec_col).alias("cvec"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(label_col).alias("q_label"),
                        as_double(vec_col).alias("qvec"))
     if n_clusters is not None:
-        assigned = ivf_build_assignments(corpus, n_clusters, id_col, vec_col)
-        c = c.join(assigned.select(F.col(id_col).alias("negative_id"), "cluster"),
-                   "negative_id")
+        # one corpus pass: the assignment UDF carries the label along, so
+        # no second scan and no corpus-sized self-join to attach clusters;
+        # the same collected centroid matrix serves assignment AND probes
         C = _seeded_centroids(corpus, n_clusters, id_col, vec_col)
+        c = (_assign_to_centroids(corpus, C, id_col, vec_col,
+                                  extra_cols=(label_col,))
+             .select(F.col(id_col).alias("negative_id"),
+                     F.col(label_col).alias("negative_label"),
+                     as_double(vec_col).alias("cvec"), "cluster"))
         probes = _probe_clusters(queries, C, nprobe, id_col, vec_col)
         cand = c.join(probes.withColumnRenamed(id_col, "query_id"),
                       "cluster").join(F.broadcast(q), "query_id")
     else:
+        c = fan_out(corpus).select(F.col(id_col).alias("negative_id"),
+                                   F.col(label_col).alias("negative_label"),
+                                   as_double(vec_col).alias("cvec"))
         cand = c.crossJoin(F.broadcast(q))
     scored = (
         cand.filter((F.col("negative_id") != F.col("query_id"))
@@ -455,7 +480,7 @@ def semantic_dedup(corpus: DataFrame, n_clusters: int = 8, threshold: float = 0.
     dropped = (
         a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
                & (F.col("b.id") < F.col("a.id")))
-        .filter(qround(cosine(F.col("a.v"), F.col("b.v")), round_to)
+        .filter(qround(safe_cosine(F.col("a.v"), F.col("b.v")), round_to)
                 >= F.lit(threshold))
         .select(F.col("a.id").alias("id"))
         .distinct()

@@ -549,6 +549,8 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
 
     Output: (id, score, matched_terms), score descending, ties by id."""
     terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
                     lambda t: t != F.lit(""))
     def tf_expr(term: str):

@@ -233,8 +233,9 @@ def event_hourly_anomalies(spark: SparkSession, sf_dir: str,
     (tiny) hourly frame — no second scan for the mean/stddev.  Stddev is
     population form (both engines define it identically); z-scores
     quantize-round before the flag so the threshold compares identical
-    doubles cross-engine.  Types with a single hour (stddev 0) flag only if
-    nonzero deviation — guarded by a NULL-safe divide.
+    doubles cross-engine.  A type whose hourly counts are constant
+    (stddev 0 — every n equals the mean) gets zscore 0 and is never
+    flagged.
 
     Output: (event_type, hour, n, zscore, is_anomaly)."""
     ev = read_events(spark, sf_dir)

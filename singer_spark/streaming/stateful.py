@@ -134,17 +134,21 @@ def streaming_dedup_ttl(docs: DataFrame, text_col: str = "value",
     timestamp — stable across task retries and checkpoint replays, so the
     dedup decision is deterministic), watermark THAT column, and
     `dropDuplicatesWithinWatermark` on the digest.  A processing-time
-    watermark is a TTL: state per digest expires `ttl_minutes` of wall
-    clock after its first sighting, so state is bounded by unique-arrival
-    rate × TTL, sharded by the digest shuffle.
+    watermark is a TTL: suppression is GUARANTEED for `ttl_minutes` of
+    wall clock after a digest's first sighting, and the entry is evicted
+    once the watermark passes its expiry — since the watermark itself
+    lags wall clock by the delay, eviction lands between TTL and 2×TTL
+    after first sighting (under steady traffic).  State stays bounded by
+    unique-arrival rate × TTL, sharded by the digest shuffle.
 
     Two envelope notes at always-on scale: the window is anchored at the
     FIRST sighting (a duplicate inside the window does not extend it — a
-    message replayed at a period shorter than the TTL is re-admitted once
-    per TTL, not suppressed forever: the at-least-once-friendly choice),
-    and eviction advances with the processing-time watermark, which moves
-    only when batches carry data — an idle stream holds its last window
-    open, it never wrongly suppresses or admits.
+    message replayed at a period shorter than the TTL is re-admitted
+    roughly once per 2×TTL, not suppressed forever: the
+    at-least-once-friendly choice), and eviction advances with the
+    processing-time watermark, which moves only when batches carry data —
+    an idle stream holds its last window open, it never wrongly
+    suppresses or admits.
 
     Output: the first occurrence of each digest per TTL window, original
     columns plus `sig`."""

@@ -355,6 +355,55 @@ def test_minhash_incremental_drops_history_and_in_batch_neardups(spark):
     assert out == [11, 13]
 
 
+def test_minhash_incremental_family_rep_survives_history_drop(spark):
+    """State-leak regression (review finding): when an in-increment pair's
+    lower-id member A is dropped by the HISTORY check, its partner B (which
+    does NOT match history) must survive — otherwise the family loses its
+    only retained representative and the content re-admits next increment.
+
+    The discriminating history row is CONSTRUCTED from A's own signature:
+    agreement(A, crafted) is pinned to exactly 4/8 (>= 0.5 → A drops) by
+    keeping 4 slots and poisoning the rest, and the kept slots are chosen
+    to cover every slot where B differs from A, so agreement(B, crafted)
+    <= 3/8 (< 0.5 → B passes the history check)."""
+    from singer_spark.operators.dedup import (
+        minhash_lsh_incremental,
+        minhash_signatures,
+    )
+
+    a_text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lam mu nu xi omicron pi rho sigma tau upsilon")
+    b_text = a_text + " phi chi psi"  # strong near-dup of A (jaccard ~0.85)
+    today = spark.createDataFrame([(10, a_text), (11, b_text)],
+                                  ["doc_id", "text"])
+    sig = {r.id: [r[f"h{i}"] for i in range(8)]
+           for r in minhash_signatures(today).collect()}
+    a, b = sig[10], sig[11]
+    diff = [i for i in range(8) if a[i] != b[i]]
+    assert 1 <= len(diff) <= 3, f"fixture needs 1-3 differing slots, got {diff}"
+    # keep ⊇ diff ∪ one FULL band disjoint from diff (bands are slot pairs
+    # (2j, 2j+1) — A must match history on a whole band to become a
+    # candidate at all), padded to ≥4 kept slots so agreement(A) >= 0.5;
+    # |keep| <= 3 + |diff| keeps agreement(B) = |keep| − |diff| <= 3 < 4.
+    band = next(j for j in range(4)
+                if 2 * j not in diff and 2 * j + 1 not in diff)
+    keep = set(diff) | {2 * band, 2 * band + 1}
+    for i in range(8):
+        if len(keep) >= 4:
+            break
+        keep.add(i)
+    assert 4 <= len(keep) <= 3 + len(diff)
+    crafted = [a[i] if i in keep else -(i + 1) for i in range(8)]
+    seen = spark.createDataFrame(
+        [tuple([1] + crafted)], ["id"] + [f"h{i}" for i in range(8)])
+
+    out = sorted(r.doc_id for r in
+                 minhash_lsh_incremental(today, seen, threshold=0.5).collect())
+    # A (10) dropped by history; B (11) must survive as the family's
+    # retained representative — the pre-fix logic dropped BOTH.
+    assert out == [11]
+
+
 def test_dedup_incremental_bloom_matches_exact_path(spark):
     yesterday = _docs(spark, ["alpha text", "beta text"])
     seen = yesterday.select(F.md5("text").alias("sig")).distinct()
