@@ -853,6 +853,21 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(_emb(spark, sf_dir), n_clusters=8, threshold=0.9)
 
 
+def _wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match WordPiece segmentation against the demo vocab
+    (chars + ## continuations + whole words).  No portable-SQL oracle
+    (iterative longest-match); verify_local value-matches it against an
+    independent pure-Python reference via a DuckDB UDF, and the driver
+    records rows-only."""
+    from singer_spark.operators.text_analysis import (
+        WORDPIECE_DEMO_WORDS,
+        demo_vocab,
+        wordpiece_encode,
+    )
+
+    return wordpiece_encode(_docs(spark, sf_dir), demo_vocab(WORDPIECE_DEMO_WORDS))
+
+
 def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style chunking: 32-token windows with 8-token overlap."""
     from singer_spark.operators.text_analysis import chunk_documents
@@ -1333,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomalies": _event_anomalies,
         "chunk_documents": _chunk_documents,
         "hard_negatives": _hard_negatives,
+        "wordpiece_tokenize": _wordpiece_tokenize,
         "train_val_split": _train_val_split,
         "pack_sequences": _pack_sequences,
         "pack_stats": _pack_stats,

@@ -8,6 +8,7 @@ the parquet scan).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -335,6 +336,133 @@ def corpus_mix_sample(docs: DataFrame, weights: dict[str, float] | Column,
             .crossJoin(F.broadcast(stats))
             .filter((F.col("_cum") - F.col("n_tokens")) < allotted)
             .select(id_col, source_col, "n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# WordPiece subword tokenization (greedy longest-match-first, BERT-style).
+# ---------------------------------------------------------------------------
+def wordpiece_reference(word: str, vocab: set[str], unk: str = "[UNK]",
+                        max_chars: int = 64) -> list[str]:
+    """Pure-Python greedy longest-match-first WordPiece of ONE word — the
+    public BERT algorithm (Devlin et al. 2019): repeatedly take the longest
+    vocab entry matching at the cursor (continuations carry the ``##``
+    prefix); a word with any unmatchable position becomes `unk` whole.
+    This shrinking-window form is the INDEPENDENT reference the local
+    DuckDB oracle runs; the Spark operator uses a trie walk."""
+    if len(word) > max_chars:
+        return [unk]
+    pieces: list[str] = []
+    start = 0
+    while start < len(word):
+        end = len(word)
+        cur = None
+        while start < end:
+            sub = word[start:end]
+            if start > 0:
+                sub = "##" + sub
+            if sub in vocab:
+                cur = sub
+                break
+            end -= 1
+        if cur is None:
+            return [unk]
+        pieces.append(cur)
+        start = end
+    return pieces
+
+
+# Whole-word pieces for the registry demonstration query — shared with the
+# local oracle so both engines segment against the identical vocabulary.
+WORDPIECE_DEMO_WORDS = ("spark", "table", "query", "window", "join",
+                        "value", "customer", "##ing", "##er")
+
+
+def demo_vocab(extra_words: tuple[str, ...] = ()) -> set[str]:
+    """Deterministic demonstration vocabulary: every lowercase letter and
+    digit as both word-initial and ``##`` continuation pieces (so any
+    [a-z0-9]+ word segments rather than hitting [UNK]) plus whole-word
+    entries.  Real deployments load a trained vocab file instead."""
+    chars = "abcdefghijklmnopqrstuvwxyz0123456789"
+    v = {c for c in chars} | {f"##{c}" for c in chars}
+    v |= set(extra_words)
+    return v
+
+
+def wordpiece_encode(docs: DataFrame, vocab: set[str] | list[str],
+                     text_col: str = "text", id_col: str = "doc_id",
+                     unk: str = "[UNK]") -> DataFrame:
+    """WordPiece-segment every document against `vocab` — the real subword
+    tokenization pass (the `token_counts` operator estimates; this one
+    SEGMENTS, which is what sequence packing and length bucketing actually
+    consume).
+
+    Arrow pandas-UDF over the corpus: the vocab broadcasts once, each
+    batch builds a character trie and walks it per word for the longest
+    match (O(chars) per word vs the reference form's O(chars²)
+    shrinking-window probe), and a per-batch word→pieces memo exploits
+    vocabulary repetition — most words tokenize once per batch, not once
+    per occurrence.  No shuffle: (id, pieces) is a narrow map of the scan.
+
+    Output: (id, n_pieces, pieces — space-joined piece string)."""
+    from pyspark.sql.functions import pandas_udf
+
+    vocab_set = set(vocab)
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(sorted(vocab_set))
+
+    @pandas_udf("string")
+    def encode(texts: pd.Series) -> pd.Series:
+        voc = bc.value
+        trie: dict = {}
+        for piece in voc:
+            cont = piece.startswith("##")
+            key = piece[2:] if cont else piece
+            node = trie.setdefault("##" if cont else "^", {})
+            for ch in key:
+                node = node.setdefault(ch, {})
+            node["$"] = piece
+
+        def word_pieces(word: str, memo: dict) -> list[str]:
+            got = memo.get(word)
+            if got is not None:
+                return got
+            pieces, start, n = [], 0, len(word)
+            if n > 64:
+                memo[word] = [unk]
+                return memo[word]
+            while start < n:
+                node = trie.get("##" if start else "^", {})
+                best, best_end = None, start
+                i = start
+                while i < n and word[i] in node:
+                    node = node[word[i]]
+                    i += 1
+                    if "$" in node:
+                        best, best_end = node["$"], i
+                if best is None:
+                    memo[word] = [unk]
+                    return memo[word]
+                pieces.append(best)
+                start = best_end
+            memo[word] = pieces
+            return pieces
+
+        memo: dict = {}
+        out = []
+        for text in texts:
+            acc: list[str] = []
+            for w in str(text).split():
+                acc.extend(word_pieces(w, memo))
+            out.append(" ".join(acc))
+        return pd.Series(out)
+
+    enc = F.col("_pieces")
+    return (fan_out(docs)
+            .withColumn("_pieces", encode(F.col(text_col)))
+            .select(F.col(id_col),
+                    F.when(enc == "", F.lit(0))
+                    .otherwise(F.size(F.split(enc, " "))).alias("n_pieces"),
+                    enc.alias("pieces")))
 
 
 # ---------------------------------------------------------------------------

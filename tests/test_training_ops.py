@@ -213,6 +213,35 @@ def test_bm25_ranks_term_dense_docs_first(spark):
     assert by_id[1].score > by_id[4].score   # 3×tf beats 1×tf, same length
 
 
+def test_wordpiece_greedy_segmentation(spark):
+    from singer_spark.operators.text_analysis import (
+        wordpiece_encode,
+        wordpiece_reference,
+    )
+
+    vocab = {"un", "##able", "##break", "break", "able", "a", "##b", "##l",
+             "##e", "x", "[UNK]"}
+    # greedy longest-match: "unbreakable" → un ##break ##able
+    assert wordpiece_reference("unbreakable", vocab) == ["un", "##break", "##able"]
+    # whole word beats pieces when present
+    assert wordpiece_reference("break", vocab) == ["break"]
+    # unmatchable position → whole word becomes UNK
+    assert wordpiece_reference("zzz", vocab) == ["[UNK]"]
+    # continuation fallback: "able" → able (word-initial), "xable" → x ##able
+    assert wordpiece_reference("xable", vocab) == ["x", "##able"]
+
+    docs = _docs_df(spark, [
+        (1, "unbreakable break", "s"),
+        (2, "zzz xable", "s"),
+        (3, "", "s"),
+    ])
+    got = {r.doc_id: (r.n_pieces, r.pieces)
+           for r in wordpiece_encode(docs, vocab).collect()}
+    assert got[1] == (4, "un ##break ##able break")
+    assert got[2] == (3, "[UNK] x ##able")
+    assert got[3] == (0, "")
+
+
 def test_chunk_documents_overlap_and_tail(spark):
     from singer_spark.operators.text_analysis import chunk_documents
 

@@ -70,9 +70,29 @@ def spark_murmur3(data: bytes, seed: int = 42) -> int:
 def _register_udfs(con) -> None:
     import zlib
 
+    from singer_spark.operators.text_analysis import (
+        WORDPIECE_DEMO_WORDS,
+        demo_vocab,
+        wordpiece_reference,
+    )
+
     con.create_function("crc32_py", lambda s: zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF,
                         ["VARCHAR"], "BIGINT")
     con.create_function("murmur3_spark", lambda s: spark_murmur3(s.encode("utf-8")),
+                        ["VARCHAR"], "INTEGER")
+
+    # WordPiece reference: the shrinking-window form of the public greedy
+    # algorithm — an implementation INDEPENDENT of the Spark operator's
+    # trie walk; only the vocabulary constant is shared.
+    wp_vocab = demo_vocab(WORDPIECE_DEMO_WORDS)
+
+    def wp_encode(text: str) -> str:
+        return " ".join(p for w in text.split()
+                        for p in wordpiece_reference(w, wp_vocab))
+
+    con.create_function("wp_encode", wp_encode, ["VARCHAR"], "VARCHAR")
+    con.create_function("wp_count",
+                        lambda s: len(wp_encode(s).split()),
                         ["VARCHAR"], "INTEGER")
 
 
@@ -102,6 +122,9 @@ LOCAL_ORACLES = {
     "p3_murmur_partitioner": (
         "SELECT c_custkey, (((murmur3_spark(c_name) % 32) + 32) % 32)::INT AS partition "
         "FROM customer"),
+    "wordpiece_tokenize": (
+        "SELECT doc_id, wp_count(text) AS n_pieces, wp_encode(text) AS pieces "
+        "FROM documents"),
 }
 
 
