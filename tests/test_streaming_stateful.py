@@ -197,6 +197,55 @@ def test_streaming_dedup_ttl_suppresses_then_expires(spark, tmp_path):
                          (5, "same text"), (6, "watermark filler")]
 
 
+def test_streaming_incremental_neardup_accumulates_state(spark, tmp_path):
+    """The daily-increment near-dup pattern under the streaming engine:
+    each micro-batch runs `minhash_lsh_incremental` against the parquet
+    signature table via foreachBatch and appends its survivors' signatures
+    — content near-duplicated across BATCHES is dropped without ever
+    re-scanning history (state is 8 ints per retained doc)."""
+    from singer_spark.operators.dedup import minhash_lsh_incremental
+
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "nd_ckpt")
+    state = str(tmp_path / "sig_state")
+    schema = "doc_id bigint, text string"
+    base_text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                 "lam mu nu xi omicron pi rho sigma tau upsilon")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def on_batch(batch_df, epoch_id):
+        import os
+
+        if os.path.exists(state):
+            seen = batch_df.sparkSession.read.parquet(state)
+        else:
+            seen = batch_df.sparkSession.createDataFrame(
+                [], "id bigint, h0 bigint, h1 bigint, h2 bigint, h3 bigint, "
+                    "h4 bigint, h5 bigint, h6 bigint, h7 bigint")
+        surv = minhash_lsh_incremental(batch_df, seen, threshold=0.5)
+        surv.write.mode("append").parquet(state)
+
+    def run_cycle():
+        q = (spark.readStream.schema(schema).parquet(src)
+             .writeStream.foreachBatch(on_batch)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+
+    write([(1, base_text), (2, "totally different words right here now ok")])
+    run_cycle()
+    # batch 2: near-dup of batch-1 content + one genuinely new doc
+    write([(10, base_text + " extra"), (11, "yet another brand new document")])
+    run_cycle()
+
+    kept = {r.doc_id for r in spark.read.parquet(state).collect()}
+    assert kept == {1, 2, 11}  # 10 dropped against accumulated state
+
+
 CONV_SCHEMA = "conv_id bigint, r_ts timestamp, user_id bigint, amount double"
 
 
