@@ -853,6 +853,15 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(_emb(spark, sf_dir), n_clusters=8, threshold=0.9)
 
 
+def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib-ratio entropy proxy per doc; no portable-SQL oracle (zlib is
+    not a SQL function) — verify_local value-matches via a DuckDB Python
+    UDF, the driver records rows-only."""
+    from singer_spark.operators.text_analysis import compression_ratio
+
+    return compression_ratio(_docs(spark, sf_dir))
+
+
 def _wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match WordPiece segmentation against the demo vocab
     (chars + ## continuations + whole words).  No portable-SQL oracle
@@ -1349,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "hard_negatives": _hard_negatives,
         "wordpiece_tokenize": _wordpiece_tokenize,
+        "text_compression_ratio": _compression_ratio,
         "train_val_split": _train_val_split,
         "pack_sequences": _pack_sequences,
         "pack_stats": _pack_stats,

@@ -339,6 +339,44 @@ def corpus_mix_sample(docs: DataFrame, weights: dict[str, float] | Column,
 
 
 # ---------------------------------------------------------------------------
+# Compression-ratio quality signal (entropy proxy).
+# ---------------------------------------------------------------------------
+def compression_ratio(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", level: int = 6,
+                      round_to: int = 4) -> DataFrame:
+    """zlib-compressed size / raw size per document — the entropy-proxy
+    quality screen (public recipe: Dolma/Gopher-style gzip-ratio filters):
+    near-zero ratios are repetitive boilerplate, ratios near 1 are
+    high-entropy noise (base64 blobs, minified code); natural text sits in
+    between.  Complements `repetition_features` (which counts exact n-gram
+    repeats) by catching long-range and sub-token redundancy.
+
+    Arrow pandas-UDF map of the scan — no shuffle; zlib at a FIXED level
+    is deterministic bytes-in/bytes-out, so results are reproducible
+    across engines and retries (the local gate value-matches it against a
+    DuckDB Python UDF).  Empty documents get ratio NULL.
+
+    Output: (id, raw_bytes, compressed_bytes, ratio)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def zsize(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return pd.Series([len(zlib.compress(str(t).encode("utf-8"), level))
+                          for t in texts])
+
+    raw = F.octet_length(F.col(text_col))
+    return (fan_out(docs)
+            .select(F.col(id_col), raw.alias("raw_bytes"),
+                    zsize(F.col(text_col)).alias("compressed_bytes"))
+            .withColumn("ratio",
+                        F.when(F.col("raw_bytes") > 0,
+                               qround(F.col("compressed_bytes")
+                                      / F.col("raw_bytes"), round_to))))
+
+
+# ---------------------------------------------------------------------------
 # WordPiece subword tokenization (greedy longest-match-first, BERT-style).
 # ---------------------------------------------------------------------------
 def wordpiece_reference(word: str, vocab: set[str], unk: str = "[UNK]",

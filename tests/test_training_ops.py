@@ -213,6 +213,24 @@ def test_bm25_ranks_term_dense_docs_first(spark):
     assert by_id[1].score > by_id[4].score   # 3×tf beats 1×tf, same length
 
 
+def test_compression_ratio_orders_by_entropy(spark):
+    from singer_spark.operators.text_analysis import compression_ratio
+
+    import random
+    rng = random.Random(3)
+    noise = " ".join("".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                             for _ in range(8)) for _ in range(40))
+    docs = _docs_df(spark, [
+        (1, "spam " * 200, "s"),      # highly repetitive → tiny ratio
+        (2, noise, "s"),              # high-entropy → ratio near 1
+        (3, "", "s"),                 # empty → NULL ratio
+    ])
+    got = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert got[1].ratio < 0.1 < got[2].ratio
+    assert got[3].ratio is None and got[3].raw_bytes == 0
+    assert got[1].compressed_bytes < got[1].raw_bytes
+
+
 def test_wordpiece_greedy_segmentation(spark):
     from singer_spark.operators.text_analysis import (
         wordpiece_encode,

@@ -94,6 +94,9 @@ def _register_udfs(con) -> None:
     con.create_function("wp_count",
                         lambda s: len(wp_encode(s).split()),
                         ["VARCHAR"], "INTEGER")
+    con.create_function("zlib_size",
+                        lambda s: len(zlib.compress(s.encode("utf-8"), 6)),
+                        ["VARCHAR"], "BIGINT")
 
 
 # Tolerance-checked oracles for approximate operators: exact SQL answer on
@@ -108,9 +111,13 @@ APPROX_ORACLES = {
     # GK sketch at accuracy 10000 ≈ rank error 1e-4; 2% relative slack
     # covers interpolation differences between the sketch's nearest-rank
     # answer and DuckDB's continuous quantile
+    # quantile_disc, not quantile_cont: the GK sketch answers NEAREST-RANK
+    # (an actual data value) — at small n the sketch is exact and a
+    # continuous-interpolated oracle diverges >2% at p99 (one inter-value
+    # gap), which is an oracle artifact, not sketch error.
     "approx_percentiles_value": (
-        "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
-        "quantile_cont(value, 0.9) AS p90, quantile_cont(value, 0.99) AS p99 "
+        "SELECT event_type, quantile_disc(value, 0.5) AS p50, "
+        "quantile_disc(value, 0.9) AS p90, quantile_disc(value, 0.99) AS p99 "
         "FROM events GROUP BY event_type", 0.02),
 }
 
@@ -125,6 +132,13 @@ LOCAL_ORACLES = {
     "wordpiece_tokenize": (
         "SELECT doc_id, wp_count(text) AS n_pieces, wp_encode(text) AS pieces "
         "FROM documents"),
+    "text_compression_ratio": ("""
+        SELECT doc_id, strlen(text) AS raw_bytes,
+               zlib_size(text) AS compressed_bytes,
+               CASE WHEN strlen(text) > 0
+                    THEN floor(zlib_size(text)::DOUBLE / strlen(text)
+                               * 10000 + 0.5) / 10000 END AS ratio
+        FROM documents"""),
 }
 
 
