@@ -853,6 +853,26 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(_emb(spark, sf_dir), n_clusters=8, threshold=0.9)
 
 
+def _image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over the media adapter: non-PPM payloads
+    take the content-hash fallback (exact-dup bits), so the oracle is the
+    md5-bits hamming join; the PPM pixel path is pytest-covered
+    (test_image_phash_near_dup_pairs)."""
+    from singer_spark.operators.multimodal import (
+        documents_as_media,
+        image_near_dup_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # re-encoded copies of the first 50 payloads (id + 10000) — the corpus
+    # has no byte-identical documents, so plant the duplicates the
+    # fallback path is supposed to catch
+    dups = (docs.filter(F.col("doc_id") < 50)
+            .select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    media = documents_as_media(docs.select("doc_id", "text").unionByName(dups))
+    return image_near_dup_pairs(media, max_hamming=6)
+
+
 def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib-ratio entropy proxy per doc; no portable-SQL oracle (zlib is
     not a SQL function) — verify_local value-matches via a DuckDB Python
@@ -1359,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _hard_negatives,
         "wordpiece_tokenize": _wordpiece_tokenize,
         "text_compression_ratio": _compression_ratio,
+        "image_near_dup": _image_near_dup,
         "train_val_split": _train_val_split,
         "pack_sequences": _pack_sequences,
         "pack_stats": _pack_stats,
@@ -2412,6 +2433,19 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT query_id, negative_id, rank::INT AS rank, cosine, negative_label
             FROM r WHERE rank <= 5""",
+        "image_near_dup": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+            s AS (SELECT doc_id,
+                         ((('0x' || substr(md5(text), 1, 16))::UBIGINT)
+                          % 1152921504606846976)::BIGINT AS sig
+                  FROM corpus)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sig, b.sig))::INT AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 6""",
         "event_anomalies": """
             WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
                             FROM events GROUP BY 1, 2),

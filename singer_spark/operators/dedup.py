@@ -396,7 +396,8 @@ SIMHASH_BITS = 60  # md5_int is a 60-bit hash, and 60-bit signatures stay
                    # positive in a signed BIGINT on every engine
 
 
-def simhash_block_combos(max_hamming: int) -> tuple[int, int, list[tuple[int, int]]]:
+def simhash_block_combos(max_hamming: int,
+                         bits: int = SIMHASH_BITS) -> tuple[int, int, list[tuple[int, int]]]:
     """Multi-index pigeonhole layout (Manku et al., WWW'07 style): split the
     signature into B = max_hamming + 2 blocks; any pair within `max_hamming`
     touches at most `max_hamming` blocks, so at least TWO blocks agree
@@ -410,7 +411,7 @@ def simhash_block_combos(max_hamming: int) -> tuple[int, int, list[tuple[int, in
     constant 12-bit space — the quadratic-at-scale failure mode of
     single-block keys."""
     num_blocks = max_hamming + 2
-    block_bits = SIMHASH_BITS // num_blocks
+    block_bits = bits // num_blocks
     combos = [(i, j) for i in range(num_blocks) for j in range(i + 1, num_blocks)]
     return num_blocks, block_bits, combos
 
@@ -502,7 +503,21 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     dedup should have collapsed first.  The guard's window count rides the
     same (c, v) shuffle the self-join needs — no extra exchange."""
     sigs = simhash_signatures(docs, text_col, id_col, bits)
-    num_blocks, block_bits, combos = simhash_block_combos(max_hamming)
+    return signature_near_dup_pairs(sigs, max_hamming, bits, max_bucket_size)
+
+
+def signature_near_dup_pairs(sigs: DataFrame, max_hamming: int = 3,
+                             bits: int = SIMHASH_BITS,
+                             max_bucket_size: int = 100_000) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within `max_hamming` over an (id, sig)
+    signature frame — the multi-index pigeonhole join shared by text
+    SimHash and any other fixed-width fingerprint (e.g. perceptual image
+    hashes): B = max_hamming + 2 blocks, join key = (combo, pair-of-block
+    values), bucket-size guard, popcount verify.  `bits` beyond
+    B·block_bits are uncovered by blocks — the pigeonhole guarantee still
+    holds (uncovered differing bits only INCREASE block agreement) and the
+    verify counts all bits."""
+    num_blocks, block_bits, combos = simhash_block_combos(max_hamming, bits)
     mask = (1 << block_bits) - 1
 
     def block(b: int):

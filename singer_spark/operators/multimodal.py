@@ -300,6 +300,57 @@ def audio_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, AUDIO_SCHEMA)
 
 
+def image_phash(media: DataFrame, bits: int = 60) -> DataFrame:
+    """Perceptual average-hash (aHash, public recipe) per image: decode PPM
+    → grayscale → pool onto an 8×8 grid → bit i = cell_i > grid mean,
+    truncated to `bits` (60 keeps the signature positive in a signed BIGINT
+    and reuses the text-SimHash block layout).  Near-identical images
+    (re-encodes, small edits, slight noise) land within a few bits;
+    non-PPM payloads fall back to content-hash bits — exact-dup-only
+    semantics for formats this container can't decode.
+
+    Output: (media_id, phash) — feed to
+    :func:`~singer_spark.operators.dedup.signature_near_dup_pairs`."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(payload)
+                if b[:2] == b"P6":
+                    vals = np.array(_pool_image_feature(decode_ppm(b)[2], 64))
+                    sig = 0
+                    mean = float(vals.mean())
+                    for i in range(bits):
+                        if vals[i] > mean:
+                            sig |= 1 << i
+                else:
+                    sig = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+                    sig &= (1 << bits) - 1
+                rows.append((int(mid), sig))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return media.mapInPandas(gen, "media_id bigint, phash bigint")
+
+
+def image_near_dup_pairs(media: DataFrame, max_hamming: int = 6,
+                         bits: int = 60) -> DataFrame:
+    """Image near-duplicate pairs: perceptual hashes through the SAME
+    multi-index pigeonhole join the text SimHash uses
+    (`dedup.signature_near_dup_pairs`) — blocking on pair-of-block keys,
+    popcount verify, bucket guard.  The 100 TB shape is identical: one
+    narrow decode+hash pass, then only (id, 8-byte sig, block keys)
+    shuffle — pixels never leave the scan.
+
+    Output: (id_a, id_b, hamming)."""
+    from singer_spark.operators.dedup import signature_near_dup_pairs
+
+    sigs = image_phash(media, bits).select(
+        F.col("media_id").alias("id"), F.col("phash").alias("sig"))
+    return signature_near_dup_pairs(sigs, max_hamming=max_hamming, bits=bits)
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Typed metadata over opaque payloads — JVM-side only (no decode):
     byte length + md5, the minimum viable audit columns for a media lake."""

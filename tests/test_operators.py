@@ -512,6 +512,39 @@ def test_dedup_clusters_transitive_components(spark):
     assert got == {10: 10, 20: 10, 30: 10, 40: 40, 99: 99}
 
 
+def test_image_phash_near_dup_pairs(spark):
+    """Perceptual near-dup: a lightly-noised copy pairs with its original
+    at small hamming; an unrelated image does not; hashing is
+    deterministic."""
+    import numpy as np
+
+    from singer_spark.operators.multimodal import (
+        encode_ppm,
+        image_near_dup_pairs,
+        image_phash,
+    )
+
+    rng = np.random.default_rng(11)
+    # structured image (smooth gradient + blocks) so aHash bits are stable
+    base = np.zeros((32, 32, 3), dtype=np.uint8)
+    base[:, :, 0] = np.linspace(0, 255, 32, dtype=np.uint8)[None, :]
+    base[8:16, 8:24, 1] = 200
+    noisy = base.copy().astype(np.int16)
+    noisy += rng.integers(-6, 7, size=noisy.shape)
+    noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+
+    media = _media_df(spark, [encode_ppm(base), encode_ppm(noisy),
+                              encode_ppm(other)])
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_near_dup_pairs(media, max_hamming=6).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 6
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    h1 = {r.media_id: r.phash for r in image_phash(media).collect()}
+    h2 = {r.media_id: r.phash for r in image_phash(media).collect()}
+    assert h1 == h2
+
+
 # ---------------------------------------------------------------------------
 # Multimodal real kernels (stdlib-decodable formats: PPM, WAV, motion-PPM).
 # ---------------------------------------------------------------------------
