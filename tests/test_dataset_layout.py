@@ -95,6 +95,21 @@ def test_write_dataset_zorder_bounds_both_columns(spark, tmp_path):
     assert avg(zx) < 700
 
 
+def test_zorder_key_constant_and_null_columns(spark):
+    from singer_spark.sinks import zorder_key
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, 7, None if i % 2 else i) for i in range(100)],
+        "a bigint, const bigint, maybe bigint")
+    # constant column contributes 0; NULLs land in bucket 0 — key builds
+    keys = df.select(zorder_key(df, ["a", "const", "maybe"]).alias("k")).collect()
+    assert all(r.k >= 0 for r in keys)
+    with pytest.raises(ValueError):
+        zorder_key(df, ["a", "const", "maybe"], bits=32)  # 96 bits > 63
+
+
 def test_write_dataset_hive_partitions_and_file_sizing(spark, tmp_path):
     from singer_spark.sinks import write_dataset
 
