@@ -936,6 +936,12 @@ def _semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, n_clusters=8, threshold=0.995, id_col="doc_id")
 
 
+def _incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import incremental_rollup_merge
+
+    return incremental_rollup_merge(spark, sf_dir)
+
+
 def _event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.queries import event_hourly_anomalies
 
@@ -1375,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed": _hash_embed,
         "semantic_dedup_docs": _semantic_dedup_docs,
         "event_anomalies": _event_anomalies,
+        "incremental_rollup_merge": _incremental_rollup_merge,
         "chunk_documents": _chunk_documents,
         "hard_negatives": _hard_negatives,
         "wordpiece_tokenize": _wordpiece_tokenize,
@@ -2446,6 +2453,16 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.sig, b.sig))::INT AS hamming
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 6""",
+        # the merge of (state, delta) partials must equal the from-scratch
+        # rollup — the merge algebra's own correctness condition is the oracle
+        "incremental_rollup_merge": """
+            WITH g AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                              event_type, count(*) AS n,
+                              floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+                       FROM events GROUP BY 1, 2)
+            SELECT hour, event_type, n, sum_value,
+                   floor(sum_value / n * 10000 + 0.5) / 10000 AS avg_value
+            FROM g""",
         "event_anomalies": """
             WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
                             FROM events GROUP BY 1, 2),

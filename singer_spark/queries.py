@@ -147,6 +147,64 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_increment(events: DataFrame) -> DataFrame:
+    """Mergeable per-(hour, type) partial state from an event slice:
+    (hour, event_type, n, sum_value) — counts and sums are ADDITIVE, so
+    increments combine without ever re-scanning history."""
+    return (events.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sv")))
+
+
+def merge_rollups(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental-view maintenance of the hourly rollup: fold a new
+    increment's partial state into the accumulated state by ADDITION on the
+    (hour, type) key — the materialized-rollup refresh pattern.  At 100 TB
+    the delta touches only its own hours, the merge join is keyed on the
+    (tiny) rollup table, and raw history is never re-read; avg derives from
+    (sum, count) at read time, which is why the STORED state keeps raw
+    sums, not averages (averages don't merge).
+
+    Both inputs are `rollup_increment` frames; the result is one too, so
+    merges chain day after day."""
+    e = existing.select(F.col("h"), F.col("event_type"),
+                        F.col("n").alias("n_a"), F.col("sv").alias("sv_a"))
+    d = delta.select(F.col("h"), F.col("event_type"),
+                     F.col("n").alias("n_b"), F.col("sv").alias("sv_b"))
+    return (e.join(d, ["h", "event_type"], "full_outer")
+            .select("h", "event_type",
+                    (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias("n"),
+                    (F.coalesce("sv_a", F.lit(0.0)) + F.coalesce("sv_b", F.lit(0.0))).alias("sv")))
+
+
+def rollup_finalize(state: DataFrame) -> DataFrame:
+    """Read-time projection of the merged state into the serving shape of
+    `hourly_event_rollup` (rounding and avg happen HERE, not in state).
+
+    avg derives from the GRID-SNAPPED sum, not the raw accumulator: the
+    merge's two-step partial sums differ from a one-pass sum by an ulp,
+    and an ulp is enough to flip a half-grid average's 4-digit rounding —
+    snapping the (2-decimal-valued) sum first collapses both accumulation
+    orders onto the identical double before the division."""
+    snapped = qround(F.col("sv"), 2)
+    return (state.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type", "n",
+        snapped.alias("sum_value"),
+        qround(snapped / F.col("n"), 4).alias("avg_value"))
+        .orderBy("hour", "event_type"))
+
+
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form: yesterday's state (events with event_id % 10 != 0)
+    merged with today's increment (the rest) must equal the full rollup —
+    the oracle IS `hourly_event_rollup` over all events, so the merge
+    algebra is value-checked end to end."""
+    ev = read_events(spark, sf_dir)
+    state = rollup_increment(ev.filter(F.col("event_id") % 10 != 0))
+    delta = rollup_increment(ev.filter(F.col("event_id") % 10 == 0))
+    return rollup_finalize(merge_rollups(state, delta))
+
+
 def user_event_sequences(spark: SparkSession, sf_dir: str, max_len: int = 50) -> DataFrame:
     """Per-user chronological event sequences — the training-example builder
     that turns an event log into model inputs: one groupBy shuffle keyed by

@@ -103,3 +103,37 @@ def test_cohort_retention_matches_pandas(spark, sf_dir):
     # offset 0 row exists for every cohort (the cohort's own first week)
     cohorts = {c for c, _ in got_map}
     assert all((c, 0) in got_map for c in cohorts)
+
+
+def test_rollup_merge_equals_from_scratch_and_chains(spark, sf_dir):
+    """IVM algebra: any partition of the events into increments, merged in
+    any grouping, equals the from-scratch rollup; merging an empty delta
+    is the identity."""
+    from pyspark.sql import functions as F
+
+    from singer_spark.queries import (
+        hourly_event_rollup,
+        merge_rollups,
+        rollup_finalize,
+        rollup_increment,
+    )
+    from singer_spark.session import read_events
+
+    ev = read_events(spark, sf_dir)
+    parts = [rollup_increment(ev.filter(F.col("event_id") % 3 == k))
+             for k in range(3)]
+    merged = rollup_finalize(merge_rollups(merge_rollups(parts[0], parts[1]),
+                                           parts[2]))
+    want = {(r.hour, r.event_type): (r.n, r.sum_value)
+            for r in hourly_event_rollup(spark, sf_dir).collect()}
+    got = {(r.hour, r.event_type): (r.n, r.sum_value)
+           for r in merged.collect()}
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0]               # counts exact
+        assert abs(got[k][1] - want[k][1]) < 0.011   # sums to the cent
+    empty = rollup_increment(ev.filter(F.lit(False)))
+    ident = merge_rollups(parts[0], empty)
+    a = sorted((r.h, r.event_type, r.n, round(r.sv, 6)) for r in parts[0].collect())
+    b = sorted((r.h, r.event_type, r.n, round(r.sv, 6)) for r in ident.collect())
+    assert a == b
