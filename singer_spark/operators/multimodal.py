@@ -208,10 +208,15 @@ def extract_image_features(media: DataFrame, dim: int = 8) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(payload)
+                feat = None
                 if b[:2] == b"P6":
-                    _, _, arr = decode_ppm(b)
-                    feat = _pool_image_feature(arr, dim)
-                else:
+                    try:
+                        _, _, arr = decode_ppm(b)
+                    except (ValueError, struct.error, IndexError):
+                        pass  # P6 magic but not decodable PPM → fallback
+                    else:
+                        feat = _pool_image_feature(arr, dim)
+                if feat is None:
                     feat = _fallback_feature(b, dim)
                 rows.append((int(mid), len(b), hashlib.sha256(b).hexdigest()[:16], feat))
             yield pd.DataFrame(rows, columns=["media_id", "byte_len", "sha_prefix", "feature"])
@@ -313,19 +318,27 @@ def image_phash(media: DataFrame, bits: int = 60) -> DataFrame:
     :func:`~singer_spark.operators.dedup.signature_near_dup_pairs`."""
     import pandas as pd
 
+    if not 1 <= bits <= 62:
+        raise ValueError("bits must be in [1, 62] to fit a signed bigint")
+
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(payload)
+                sig = None
                 if b[:2] == b"P6":
-                    vals = np.array(_pool_image_feature(decode_ppm(b)[2], 64))
-                    sig = 0
-                    mean = float(vals.mean())
-                    for i in range(bits):
-                        if vals[i] > mean:
-                            sig |= 1 << i
-                else:
+                    try:
+                        vals = np.array(_pool_image_feature(decode_ppm(b)[2], 64))
+                    except (ValueError, struct.error, IndexError):
+                        pass  # P6 magic but not decodable PPM → fallback
+                    else:
+                        sig = 0
+                        mean = float(vals.mean())
+                        for i in range(bits):
+                            if vals[i] > mean:
+                                sig |= 1 << i
+                if sig is None:
                     sig = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
                     sig &= (1 << bits) - 1
                 rows.append((int(mid), sig))

@@ -363,8 +363,9 @@ def compression_ratio(docs: DataFrame, text_col: str = "text",
     def zsize(texts: pd.Series) -> pd.Series:
         import zlib
 
-        return pd.Series([len(zlib.compress(str(t).encode("utf-8"), level))
-                          for t in texts])
+        return pd.Series([None if t is None
+                          else len(zlib.compress(str(t).encode("utf-8"), level))
+                          for t in texts], dtype="object")
 
     raw = F.octet_length(F.col(text_col))
     return (fan_out(docs)
@@ -452,13 +453,22 @@ def wordpiece_encode(docs: DataFrame, vocab: set[str] | list[str],
     def encode(texts: pd.Series) -> pd.Series:
         voc = bc.value
         trie: dict = {}
-        for piece in voc:
-            cont = piece.startswith("##")
-            key = piece[2:] if cont else piece
-            node = trie.setdefault("##" if cont else "^", {})
+
+        def insert(bucket: str, key: str, piece: str) -> None:
+            node = trie.setdefault(bucket, {})
             for ch in key:
                 node = node.setdefault(ch, {})
             node["$"] = piece
+
+        for piece in voc:
+            # word-START candidates are the RAW substring (the reference
+            # matches a literal '##x' word against continuation pieces),
+            # so every piece goes into '^' under its literal text;
+            # continuation candidates are '##'+rest, so ## pieces also
+            # index under their stripped text in the '##' bucket
+            insert("^", piece, piece)
+            if piece.startswith("##"):
+                insert("##", piece[2:], piece)
 
         def word_pieces(word: str, memo: dict) -> list[str]:
             got = memo.get(word)
@@ -488,6 +498,9 @@ def wordpiece_encode(docs: DataFrame, vocab: set[str] | list[str],
         memo: dict = {}
         out = []
         for text in texts:
+            if text is None:
+                out.append(None)  # NULL text → NULL pieces (oracle parity)
+                continue
             acc: list[str] = []
             for w in str(text).split():
                 acc.extend(word_pieces(w, memo))

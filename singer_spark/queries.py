@@ -170,10 +170,18 @@ def merge_rollups(existing: DataFrame, delta: DataFrame) -> DataFrame:
                         F.col("n").alias("n_a"), F.col("sv").alias("sv_a"))
     d = delta.select(F.col("h"), F.col("event_type"),
                      F.col("n").alias("n_b"), F.col("sv").alias("sv_b"))
+    # NULL accumulator ≠ missing side: a group whose values were all NULL
+    # carries sv NULL with n > 0, and SQL sum semantics make the merged
+    # sum NULL only when BOTH sides are NULL (sum ignores nulls, so
+    # NULL ⊎ 5.0 = 5.0) — blanket coalesce-to-0 would finalize 0.0 where
+    # the from-scratch rollup says NULL
+    sv = F.when(F.col("sv_a").isNull() & F.col("sv_b").isNull(),
+                F.lit(None).cast("double")) \
+         .otherwise(F.coalesce("sv_a", F.lit(0.0)) + F.coalesce("sv_b", F.lit(0.0)))
     return (e.join(d, ["h", "event_type"], "full_outer")
             .select("h", "event_type",
                     (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias("n"),
-                    (F.coalesce("sv_a", F.lit(0.0)) + F.coalesce("sv_b", F.lit(0.0))).alias("sv")))
+                    sv.alias("sv")))
 
 
 def rollup_finalize(state: DataFrame) -> DataFrame:
@@ -200,8 +208,11 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle IS `hourly_event_rollup` over all events, so the merge
     algebra is value-checked end to end."""
     ev = read_events(spark, sf_dir)
-    state = rollup_increment(ev.filter(F.col("event_id") % 10 != 0))
-    delta = rollup_increment(ev.filter(F.col("event_id") % 10 == 0))
+    # split on a non-nullable expression so the two filters PARTITION the
+    # rows (a NULL event_id fails both `x % 10 == 0` and `x % 10 != 0`)
+    part = F.coalesce(F.col("event_id"), F.lit(0)) % 10
+    state = rollup_increment(ev.filter(part != 0))
+    delta = rollup_increment(ev.filter(part == 0))
     return rollup_finalize(merge_rollups(state, delta))
 
 

@@ -545,6 +545,21 @@ def test_image_phash_near_dup_pairs(spark):
     assert h1 == h2
 
 
+def test_image_phash_corrupt_p6_falls_back_and_bits_guard(spark):
+    """Review-fix regressions: a payload with P6 magic but undecodable
+    body takes the content-hash fallback instead of crashing the job;
+    bits beyond the signed range raise up front."""
+    import pytest
+
+    from singer_spark.operators.multimodal import image_phash
+
+    media = _media_df(spark, [b"P6 hello world", b"P6\n9999999 9999999\n255\nxx"])
+    got = {r.media_id: r.phash for r in image_phash(media).collect()}
+    assert len(got) == 2 and all(v >= 0 for v in got.values())
+    with pytest.raises(ValueError):
+        image_phash(media, bits=64)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal real kernels (stdlib-decodable formats: PPM, WAV, motion-PPM).
 # ---------------------------------------------------------------------------

@@ -137,3 +137,28 @@ def test_rollup_merge_equals_from_scratch_and_chains(spark, sf_dir):
     a = sorted((r.h, r.event_type, r.n, round(r.sv, 6)) for r in parts[0].collect())
     b = sorted((r.h, r.event_type, r.n, round(r.sv, 6)) for r in ident.collect())
     assert a == b
+
+
+def test_rollup_merge_null_value_groups(spark):
+    """Review-fix regression: a group whose values are all NULL must merge
+    to a NULL sum (matching from-scratch SQL sum semantics), while
+    NULL ⊎ x = x — blanket coalesce-to-0 would have finalized 0.0."""
+    import pandas as pd
+
+    from singer_spark.queries import merge_rollups, rollup_increment
+
+    def ev_df(rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                          "event_type", "value", "props"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        return spark.createDataFrame(
+            pdf, "event_id bigint, ts timestamp, user_id bigint, "
+                 "event_type string, value double, props string")
+
+    a = rollup_increment(ev_df([(1, "2024-01-01 10:05:00", 1, "x", None, "{}")]))
+    b = rollup_increment(ev_df([(2, "2024-01-01 10:20:00", 1, "x", None, "{}"),
+                                (3, "2024-01-01 11:00:00", 1, "y", 2.5, "{}")]))
+    got = {(r.h.hour, r.event_type): (r.n, r.sv)
+           for r in merge_rollups(a, b).collect()}
+    assert got[(10, "x")] == (2, None)   # all-NULL group stays NULL
+    assert got[(11, "y")] == (1, 2.5)    # join-missing side is additive 0

@@ -260,6 +260,38 @@ def test_wordpiece_greedy_segmentation(spark):
     assert got[3] == (0, "")
 
 
+def test_wordpiece_literal_hash_word_and_null_text(spark):
+    """Review-fix regressions: a word LITERALLY starting with '##' must
+    match continuation pieces at word start (trie parity with the
+    reference), and NULL text yields NULL pieces, matching the
+    NULL-propagating oracle UDF."""
+    from singer_spark.operators.text_analysis import (
+        WORDPIECE_DEMO_WORDS,
+        demo_vocab,
+        wordpiece_encode,
+        wordpiece_reference,
+    )
+
+    vocab = demo_vocab(WORDPIECE_DEMO_WORDS)
+    ref = wordpiece_reference("##heading", vocab)
+    assert ref[0].startswith("##")  # the reference matches continuations
+    docs = spark.createDataFrame([(1, "##heading"), (2, None)],
+                                 "doc_id bigint, text string")
+    got = {r.doc_id: r for r in wordpiece_encode(docs, vocab).collect()}
+    assert got[1].pieces == " ".join(ref)
+    assert got[2].pieces is None and got[2].n_pieces is None
+
+
+def test_compression_ratio_null_text(spark):
+    from singer_spark.operators.text_analysis import compression_ratio
+
+    docs = spark.createDataFrame([(1, None), (2, "hello hello hello")],
+                                 "doc_id bigint, text string")
+    got = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert got[1].compressed_bytes is None and got[1].ratio is None
+    assert got[2].compressed_bytes > 0
+
+
 def test_chunk_documents_overlap_and_tail(spark):
     from singer_spark.operators.text_analysis import chunk_documents
 
