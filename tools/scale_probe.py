@@ -44,6 +44,42 @@ def multiplied_docs(spark, sf_dir: str, k: int) -> DataFrame:
     return out
 
 
+def disjoint_docs(spark, sf_dir: str, k: int) -> DataFrame:
+    """k copies whose TOKEN SPACES are disjoint (every token carries a
+    per-copy prefix): shingles/signatures never collide across copies, so
+    a pair operator's candidate set and output scale k×, not k² — the
+    honest input for measuring pair-join scaling (the salted copies of
+    `multiplied_docs` would near-duplicate each other and measure the
+    synthetic corpus instead)."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parts = []
+    for i in range(k):
+        toks = F.split(F.col("text"), " ")
+        prefixed = F.array_join(
+            F.transform(toks, lambda t: F.concat(F.lit(f"c{i}x"), t)), " ")
+        parts.append(base.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            prefixed.alias("text"), "lang", "source", "n_chars"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pair_ops(docs: DataFrame):
+    from singer_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    return {
+        "ngram_jaccard_pairs": lambda: ngram_jaccard_pairs(docs, threshold=0.5),
+        "minhash_lsh_pairs": lambda: minhash_lsh_pairs(docs, threshold=0.5),
+        "simhash_pairs": lambda: simhash_pairs(docs, max_hamming=3),
+    }
+
+
 def ops(docs: DataFrame):
     from singer_spark.operators.dedup import (
         minhash_signatures,
@@ -71,7 +107,8 @@ def ops(docs: DataFrame):
     }
 
 
-def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4) -> None:
+def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,
+         mode: str = "scan") -> None:
     from singer_spark.session import get_spark
 
     spark = get_spark("scale_probe")
@@ -88,10 +125,12 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4) -> None:
     ks = [1]
     while ks[-1] * 4 <= max_k:
         ks.append(ks[-1] * 4)
+    make_docs = disjoint_docs if mode == "pairs" else multiplied_docs
+    make_ops = pair_ops if mode == "pairs" else ops
     results: dict[str, dict[int, float]] = {}
     for k in ks:
-        docs = multiplied_docs(spark, sf_dir, k).localCheckpoint(eager=True)
-        for name, build in ops(docs).items():
+        docs = make_docs(spark, sf_dir, k).localCheckpoint(eager=True)
+        for name, build in make_ops(docs).items():
             ts = []
             for _ in range(3):
                 t0 = time.time()
@@ -109,4 +148,5 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4) -> None:
 
 
 if __name__ == "__main__":
-    main(*(a if i == 0 else int(a) for i, a in enumerate(sys.argv[1:3])))
+    args = sys.argv[1:4]
+    main(*(int(a) if i == 1 else a for i, a in enumerate(args)))
