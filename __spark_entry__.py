@@ -873,6 +873,23 @@ def _image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(media, max_hamming=6)
 
 
+def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval overlap audit: even doc_ids play the training corpus,
+    odd ids the eval set; per eval doc, the fraction of 6-grams never
+    seen in training."""
+    from singer_spark.operators.text_analysis import ngram_novelty
+
+    docs = _docs(spark, sf_dir)
+    return ngram_novelty(docs.filter(F.col("doc_id") % 2 == 1),
+                         docs.filter(F.col("doc_id") % 2 == 0), k=6)
+
+
+def _readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.operators.text_analysis import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
 def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib-ratio entropy proxy per doc; no portable-SQL oracle (zlib is
     not a SQL function) — verify_local value-matches via a DuckDB Python
@@ -1387,6 +1404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokenize": _wordpiece_tokenize,
         "text_compression_ratio": _compression_ratio,
         "image_near_dup": _image_near_dup,
+        "ngram_novelty": _ngram_novelty,
+        "text_readability": _readability,
         "train_val_split": _train_val_split,
         "pack_sequences": _pack_sequences,
         "pack_stats": _pack_stats,
@@ -2440,6 +2459,36 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT query_id, negative_id, rank::INT AS rank, cosine, negative_label
             FROM r WHERE rank <= 5""",
+        "ngram_novelty": f"""
+            WITH toksn AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+                           FROM documents),
+            gr AS (SELECT doc_id, list_distinct(list_transform(
+                       [array_to_string(t[i:i+5], ' ')
+                        for i in range(1, greatest(len(t) - 5, 1) + 1)],
+                       x -> {_md5i('x')})) AS gs FROM toksn),
+            train AS (SELECT DISTINCT unnest(gs) AS g FROM gr WHERE doc_id % 2 = 0),
+            ev AS (SELECT doc_id, unnest(gs) AS g FROM gr WHERE doc_id % 2 = 1),
+            seen AS (SELECT doc_id, count(*) AS n_seen FROM ev
+                     WHERE g IN (SELECT g FROM train) GROUP BY 1),
+            tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1)
+            SELECT t.doc_id, t.n_grams, coalesce(s.n_seen, 0) AS n_seen,
+                   floor((1 - coalesce(s.n_seen, 0) / t.n_grams) * 10000 + 0.5) / 10000 AS novelty
+            FROM tot t LEFT JOIN seen s USING (doc_id)""",
+        "text_readability": """
+            WITH w AS (SELECT doc_id, text,
+                              list_filter(string_split(lower(text), ' '), t -> t <> '') AS words
+                       FROM documents),
+            s AS (SELECT doc_id, len(words)::INT AS n_words,
+                         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::INT AS n_sentences,
+                         list_sum(list_transform(words,
+                             x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)))::BIGINT AS n_syllables
+                  FROM w)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words > 0 THEN
+                     floor((206.835 - 1.015 * (n_words / n_sentences)
+                            - 84.6 * (n_syllables / greatest(n_words, 1))) * 10000 + 0.5) / 10000
+                   END AS flesch
+            FROM s""",
         "image_near_dup": """
             WITH corpus AS (
               SELECT doc_id, text FROM documents

@@ -339,6 +339,85 @@ def corpus_mix_sample(docs: DataFrame, weights: dict[str, float] | Column,
 
 
 # ---------------------------------------------------------------------------
+# Cross-corpus n-gram novelty (train/eval overlap auditing).
+# ---------------------------------------------------------------------------
+def ngram_novelty(eval_docs: DataFrame, train_docs: DataFrame, k: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  round_to: int = 4) -> DataFrame:
+    """Per-eval-document n-gram novelty against a training corpus: what
+    fraction of each document's distinct k-grams NEVER appear in training
+    — the standard train/eval overlap audit (C4/Pile-style memorization
+    screens; :func:`decontaminate` drops contaminated docs, this one
+    MEASURES the overlap distribution).
+
+    Plan shape at 100 TB: both corpora hash k-grams to 60-bit digests (one
+    explode each), the training side reduces to a DISTINCT digest set, and
+    the eval side left-semi-joins against it — everything wide is
+    (id, digest) rows.  Output: (id, n_grams, n_seen, novelty), where
+    novelty = 1 − seen/total; single-shingle short docs count like any
+    other."""
+    def grams(df):
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(F.transform(
+                raw_kgrams(text_col, k), lambda s: md5_int(s)))).alias("g"))
+
+    def raw_kgrams(col, kk):
+        toks = F.filter(F.split(F.col(col), " "), lambda t: t != F.lit(""))
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (kk - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, kk), " "))
+
+    train_set = (fan_out(train_docs).select(F.explode(F.array_distinct(
+        F.transform(raw_kgrams(text_col, k), lambda s: md5_int(s)))).alias("g"))
+        .distinct())
+    ev = fan_out(eval_docs)
+    eg = grams(ev)
+    seen = (eg.join(train_set, "g", "left_semi")
+            .groupBy("id").agg(F.count("*").alias("n_seen")))
+    totals = eg.groupBy("id").agg(F.count("*").alias("n_grams"))
+    return (totals.join(seen, "id", "left")
+            .select(F.col("id").alias(id_col), "n_grams",
+                    F.coalesce("n_seen", F.lit(0)).alias("n_seen"),
+                    qround(1 - F.coalesce("n_seen", F.lit(0)) / F.col("n_grams"),
+                           round_to).alias("novelty")))
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch reading ease, vowel-group syllable heuristic).
+# ---------------------------------------------------------------------------
+def readability(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", round_to: int = 4) -> DataFrame:
+    """Flesch reading ease with the classic public formula
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`` —
+    syllables estimated as vowel GROUPS per word (the standard
+    dictionary-free heuristic), sentences as '.!?' runs (min 1).  A cheap,
+    fully JVM quality feature complementing `quality_features` (education-
+    level proxies screen corpora where stopword ratios don't).
+
+    Shuffle-free: every statistic is one regexp/aggregate expression over
+    the row.  Output: (id, n_words, n_sentences, n_syllables, flesch)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
+                    lambda t: t != F.lit(""))
+    n_words = F.size(toks)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)),
+        F.lit(1))
+    syl_per_word = F.transform(
+        toks, lambda t: F.greatest(
+            F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0)), F.lit(1)))
+    n_syl = F.aggregate(syl_per_word, F.lit(0),
+                        lambda acc, x: acc + x).cast("bigint")
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (n_words / n_sent)
+              - F.lit(84.6) * (n_syl / F.greatest(n_words, F.lit(1))))
+    return fan_out(docs).select(
+        F.col(id_col), n_words.alias("n_words"),
+        n_sent.cast("int").alias("n_sentences"), n_syl.alias("n_syllables"),
+        F.when(n_words > 0, qround(flesch, round_to)).alias("flesch"))
+
+
+# ---------------------------------------------------------------------------
 # Compression-ratio quality signal (entropy proxy).
 # ---------------------------------------------------------------------------
 def compression_ratio(docs: DataFrame, text_col: str = "text",

@@ -213,6 +213,34 @@ def test_bm25_ranks_term_dense_docs_first(spark):
     assert by_id[1].score > by_id[4].score   # 3×tf beats 1×tf, same length
 
 
+def test_ngram_novelty_planted_overlap(spark):
+    from singer_spark.operators.text_analysis import ngram_novelty
+
+    train = _docs_df(spark, [(0, "a b c d e f g h", "s")])
+    evald = _docs_df(spark, [
+        (1, "a b c d e f g h", "s"),       # fully covered → novelty 0
+        (2, "q w e r t y u i", "s"),       # fully novel → novelty 1
+        (3, "a b c d x y z w", "s"),       # partial overlap
+    ])
+    got = {r.doc_id: r for r in ngram_novelty(evald, train, k=4).collect()}
+    assert got[1].novelty == 0.0 and got[1].n_seen == got[1].n_grams
+    assert got[2].novelty == 1.0 and got[2].n_seen == 0
+    assert 0.0 < got[3].novelty < 1.0
+
+
+def test_readability_orders_by_syllable_density(spark):
+    from singer_spark.operators.text_analysis import readability
+
+    docs = _docs_df(spark, [
+        (1, "the cat sat on the mat. it was fun.", "s"),
+        (2, "internationalization necessitates disambiguation methodologies", "s"),
+    ])
+    got = {r.doc_id: r for r in readability(docs).collect()}
+    assert got[1].flesch > got[2].flesch      # simple words read easier
+    assert got[1].n_sentences == 2 and got[2].n_sentences == 1
+    assert got[2].n_syllables > got[2].n_words * 3
+
+
 def test_compression_ratio_orders_by_entropy(spark):
     from singer_spark.operators.text_analysis import compression_ratio
 
