@@ -1,0 +1,120 @@
+"""Composable corpus-curation pipeline — the training-data twin of the
+log-agent CLI: one configured call runs the standard pre-training gates
+(language, quality, repetition, dedup, benchmark decontamination, split)
+over a documents table and publishes a layout-controlled dataset.
+
+The registry query `corpus_pipeline_full` is the oracle-checked single-plan
+form of the same composition; this module adds the operational surface —
+selectable dedup backend, optional gates, dataset write with hive
+partitioning — driven from a config object or the `tools/curate.py` CLI.
+
+Every gate composes lazily into ONE plan per run: Catalyst sees the whole
+filter chain, so column pruning and predicate pushdown reach the scan no
+matter how many gates are enabled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CurationConfig:
+    """Gates default to the corpus_pipeline_full settings; None disables."""
+
+    lang: str | None = "en"               # keep docs whose lang-id predicts this
+    min_quality: float | None = 0.5       # quality_features score floor
+    repetition_screen: bool = True        # C4/Gopher repetition keep-flag
+    dedup: str = "exact"                  # none | exact | minhash | semantic
+    minhash_threshold: float = 0.5
+    semantic_threshold: float = 0.995
+    decontaminate_k: int = 8              # k-gram size for the benchmark gate
+    split: bool = True                    # train/val/test hash split column
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    keep_cols: tuple[str, ...] = field(default=("source",))
+
+
+def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
+           benchmark: DataFrame | None = None) -> DataFrame:
+    """Apply the configured gates; returns the surviving docs with their
+    gate metadata (predicted_lang, quality_score, split when enabled).
+
+    Dedup backends: `exact` keeps the lowest-id copy of each digest;
+    `minhash` drops any doc with a lower-id near-dup at
+    `minhash_threshold` Jaccard; `semantic` hash-embeds the text and runs
+    SemDeDup.  All three shuffle signatures, never text."""
+    from singer_spark.operators.dedup import (
+        dedup_exact,
+        minhash_lsh_pairs,
+    )
+    from singer_spark.operators.text_analysis import (
+        decontaminate,
+        hash_embed,
+        lang_id,
+        quality_features,
+        repetition_features,
+        train_val_split,
+    )
+
+    id_col, text_col = cfg.id_col, cfg.text_col
+    out = docs.select(id_col, text_col, *[c for c in cfg.keep_cols
+                                          if c in docs.columns])
+    if cfg.lang is not None:
+        lang = lang_id(docs, text_col, id_col).select(id_col, "predicted_lang")
+        out = (out.join(lang, id_col)
+               .filter(F.col("predicted_lang") == cfg.lang))
+    if cfg.min_quality is not None:
+        qual = quality_features(docs, text_col, id_col).select(id_col, "quality_score")
+        out = (out.join(qual, id_col)
+               .filter(F.col("quality_score") >= cfg.min_quality))
+    if cfg.repetition_screen:
+        rep = repetition_features(docs, text_col, id_col).select(id_col, "keep")
+        out = out.join(rep, id_col).filter(F.col("keep")).drop("keep")
+    if benchmark is not None:
+        flags = decontaminate(docs, benchmark, k=cfg.decontaminate_k,
+                              text_col=text_col, id_col=id_col)
+        clean = (flags.filter(~F.col("contaminated"))
+                 .select(F.col("id").alias(id_col)))
+        out = out.join(clean, id_col, "left_semi")
+    if cfg.dedup == "exact":
+        canonical = dedup_exact(docs, text_col, id_col).select(id_col)
+        out = out.join(canonical, id_col, "left_semi")
+    elif cfg.dedup == "minhash":
+        pairs = minhash_lsh_pairs(docs, text_col, id_col,
+                                  threshold=cfg.minhash_threshold)
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        out = out.join(dropped, id_col, "left_anti")
+    elif cfg.dedup == "semantic":
+        from singer_spark.operators.similarity import semantic_dedup
+
+        emb = hash_embed(docs, dim=16, text_col=text_col, id_col=id_col)
+        keep = (semantic_dedup(emb, n_clusters=8,
+                               threshold=cfg.semantic_threshold, id_col=id_col)
+                .filter(F.col("keep")).select(id_col))
+        out = out.join(keep, id_col, "left_semi")
+    elif cfg.dedup != "none":
+        raise ValueError(f"unknown dedup backend {cfg.dedup!r}")
+    if cfg.split:
+        out = train_val_split(out, id_col=id_col)
+    return out
+
+
+def curate_and_publish(docs: DataFrame, path: str,
+                       cfg: CurationConfig = CurationConfig(),
+                       benchmark: DataFrame | None = None,
+                       partition_by: list[str] | None = None,
+                       zorder_by: list[str] | None = None,
+                       target_file_mb: float | None = None) -> int:
+    """Run :func:`curate` and publish the survivors through the
+    layout-controlled writer (hive partitioning / Z-order / file sizing —
+    `sinks.write_dataset`).  Returns the number of rows published."""
+    from singer_spark.sinks import write_dataset
+
+    kept = curate(docs, cfg, benchmark)
+    write_dataset(kept, path, partition_by=partition_by, zorder_by=zorder_by,
+                  target_file_mb=target_file_mb)
+    return kept.sparkSession.read.parquet(path).count()

@@ -1,0 +1,44 @@
+"""Curation pipeline composition tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_curate_matches_registry_pipeline(spark, sf_dir):
+    """curate() with the default config must keep exactly the same doc ids
+    as the oracle-checked corpus_pipeline_full registry query."""
+    import __spark_entry__ as entry_mod
+    from singer_spark.curation import CurationConfig, curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    out = curate(docs, CurationConfig(), benchmark=bench)
+    got = {r.doc_id for r in out.filter(F.col("split") == "train").collect()}
+    want = {r.doc_id for r in
+            entry_mod.queries()["corpus_pipeline_full"](spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_curate_dedup_backends_and_publish(spark, sf_dir, tmp_path):
+    from singer_spark.curation import CurationConfig, curate, curate_and_publish
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = CurationConfig(lang=None, min_quality=None, repetition_screen=False,
+                          split=False)
+    n_none = curate(docs, base).count()
+    assert n_none == docs.count()
+    n_min = curate(docs, CurationConfig(lang=None, min_quality=None,
+                                        repetition_screen=False, split=False,
+                                        dedup="minhash")).count()
+    n_sem = curate(docs, CurationConfig(lang=None, min_quality=None,
+                                        repetition_screen=False, split=False,
+                                        dedup="semantic")).count()
+    assert n_min < n_none and n_sem < n_none  # both drop near-dups
+
+    out = str(tmp_path / "curated")
+    n_pub = curate_and_publish(docs, out, CurationConfig(), partition_by=["split"])
+    back = spark.read.parquet(out)
+    assert n_pub == back.count() > 0
+    assert set(back.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test"}

@@ -1,0 +1,67 @@
+"""Corpus-curation CLI — run the configured pre-training pipeline over a
+parquet documents table and publish a layout-controlled dataset.
+
+    python tools/curate.py --input /root/testdata/sf0.01/documents.parquet \\
+        --output /tmp/curated --dedup minhash --lang en --min-quality 0.5 \\
+        --partition-by split --benchmark /path/to/eval_docs.parquet
+
+The operator composition is `singer_spark.curation.curate` (the
+oracle-checked `corpus_pipeline_full` registry query is its single-plan
+twin); the write path is `sinks.write_dataset`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--output", required=True, help="output dataset dir")
+    p.add_argument("--lang", default="en",
+                   help="keep docs predicted as this language ('' disables)")
+    p.add_argument("--min-quality", type=float, default=0.5,
+                   help="quality-score floor (negative disables)")
+    p.add_argument("--no-repetition-screen", action="store_true")
+    p.add_argument("--dedup", default="exact",
+                   choices=["none", "exact", "minhash", "semantic"])
+    p.add_argument("--benchmark", default=None,
+                   help="eval-set parquet for k-gram decontamination")
+    p.add_argument("--no-split", action="store_true")
+    p.add_argument("--partition-by", default=None,
+                   help="comma-separated hive partition columns")
+    p.add_argument("--zorder-by", default=None,
+                   help="comma-separated Z-order layout columns")
+    p.add_argument("--target-file-mb", type=float, default=None)
+    args = p.parse_args(argv)
+
+    from singer_spark.curation import CurationConfig, curate_and_publish
+    from singer_spark.session import get_spark
+
+    spark = get_spark("singer_spark_curate")
+    spark.sparkContext.setLogLevel("WARN")
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    cfg = CurationConfig(
+        lang=args.lang or None,
+        min_quality=None if args.min_quality < 0 else args.min_quality,
+        repetition_screen=not args.no_repetition_screen,
+        dedup=args.dedup,
+        split=not args.no_split,
+    )
+    n = curate_and_publish(
+        docs, args.output, cfg, benchmark=bench,
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
+        zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
+        target_file_mb=args.target_file_mb)
+    print(f"published {n} documents to {args.output}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
