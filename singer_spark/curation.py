@@ -103,6 +103,52 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
     return out
 
 
+def curate_stream(docs_stream: DataFrame, checkpoint: str, state_path: str,
+                  out_path: str, cfg: CurationConfig = CurationConfig(),
+                  minhash_threshold: float = 0.5):
+    """Always-on corpus ingestion: per micro-batch, run the stateless
+    gates (:func:`curate`), then drop documents that near-duplicate the
+    ACCUMULATED corpus via the MinHash signature state
+    (`dedup.minhash_lsh_incremental`), append survivors to the dataset and
+    their signatures to the state table.
+
+    State is 8 ints per retained doc (`state_path` parquet) — history is
+    never re-read; the stream checkpoint makes batch replay idempotent on
+    the offsets side, and survivors-only appends keep the output
+    append-only.  Returns the configured DataStreamWriter — add a trigger
+    and `.start()`: drive with availableNow cycles (the engine's
+    run_adaptive pattern) or a continuous trigger.
+
+    This is the streaming twin of :func:`curate_and_publish` — same gates,
+    with cross-batch dedup state replacing the one-shot in-corpus pass."""
+    import os
+
+    from singer_spark.operators.dedup import minhash_lsh_incremental
+
+    id_col, text_col = cfg.id_col, cfg.text_col
+    batch_cfg = CurationConfig(**{**cfg.__dict__, "dedup": "none"})
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        kept = curate(batch_df, batch_cfg)
+        if os.path.exists(state_path):
+            seen = spark.read.parquet(state_path)
+        else:
+            seen = spark.createDataFrame(
+                [], f"{id_col} bigint, " + ", ".join(
+                    f"h{i} bigint" for i in range(8)))
+        surv_sigs = minhash_lsh_incremental(
+            kept.select(id_col, text_col), seen,
+            id_col=id_col, text_col=text_col,
+            threshold=minhash_threshold)
+        surv_sigs.write.mode("append").parquet(state_path)
+        (kept.join(surv_sigs.select(id_col), id_col, "left_semi")
+         .write.mode("append").parquet(out_path))
+
+    return (docs_stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint))
+
+
 def curate_and_publish(docs: DataFrame, path: str,
                        cfg: CurationConfig = CurationConfig(),
                        benchmark: DataFrame | None = None,

@@ -42,3 +42,43 @@ def test_curate_dedup_backends_and_publish(spark, sf_dir, tmp_path):
     assert n_pub == back.count() > 0
     assert set(back.select("split").distinct().toPandas()["split"]) <= {
         "train", "val", "test"}
+
+
+def test_curate_stream_gates_and_cross_batch_dedup(spark, tmp_path):
+    """Streaming curation: quality-gated docs flow through, junk is cut,
+    and a batch-2 near-dup of batch-1 content drops against the
+    accumulated signature state."""
+    from singer_spark.curation import CurationConfig, curate_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    schema = "doc_id bigint, text string"
+    good = ("the quick brown fox jumps over the lazy dog and then walks to "
+            "the river bank to drink some water in the morning sun today")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    cfg = CurationConfig(lang="en", min_quality=0.3, repetition_screen=True,
+                         dedup="none", split=False)
+
+    def run_cycle():
+        q = (curate_stream(spark.readStream.schema(schema).parquet(src),
+                           ckpt, state, out, cfg)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+
+    write([(1, good),
+           (2, "spam spam spam spam spam spam spam spam spam spam")])  # repetitive
+    run_cycle()
+    write([(10, good + " extra"),            # near-dup of doc 1 → dropped
+           (11, "a completely different well formed english sentence about "
+                "the weather and the state of the garden this afternoon")])
+    run_cycle()
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 11]
