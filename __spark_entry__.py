@@ -1004,6 +1004,49 @@ def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(spark, sf_dir)
 
 
+def _event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import event_pattern_match
+
+    return event_pattern_match(spark, sf_dir)
+
+
+def _scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension maintenance: build versioned history from purchase
+    events BEFORE the cutoff, then MERGE the post-cutoff batch with
+    `scd2_apply` — the output must equal (and is oracle-checked against)
+    the one-shot rebuild over the full log, proving the merge touches only
+    open rows.  Attribute = the purchase's value, 6-digit quantized."""
+    from singer_spark.operators.cdc import scd2_apply, scd2_build
+    from singer_spark.functions import qround
+    from singer_spark.session import read_events
+
+    cutoff = "2024-01-16"
+    ch = (read_events(spark, sf_dir)
+          .where(F.col("event_type") == "purchase")
+          .select("user_id", qround(F.col("value"), 6).alias("attr_val"), "ts"))
+    current = scd2_build(ch.where(F.col("ts") < cutoff),
+                         "user_id", "attr_val", "ts", order_cols=["attr_val"])
+    merged = scd2_apply(current, ch.where(F.col("ts") >= cutoff),
+                        "user_id", "attr_val", "ts")
+    return merged.select(
+        F.col("key").alias("user_id"),
+        F.col("attr").alias("attr_val"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+    ).orderBy("user_id", "valid_from", "attr_val")
+
+
+def _heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent corpus tokens via Misra-Gries candidate pruning + exact
+    recount (see operators/diagnostics.heavy_hitters for the guarantee)."""
+    from singer_spark.operators.diagnostics import heavy_hitters
+
+    toks = (_docs(spark, sf_dir)
+            .select(F.explode(F.split("text", r"\s+")).alias("token"))
+            .where(F.col("token") != ""))
+    return heavy_hitters(toks, "token", min_share=0.02)
+
+
 def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data filter: keep docs that are (a) English by
     n-gram lang-id, (b) above the quality bar, and (c) the canonical copy of
@@ -1377,6 +1420,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline_full": _corpus_pipeline_full,
         "funnel_counts": _funnel_counts,
         "cohort_retention": _cohort_retention,
+        "event_pattern_match": _event_pattern_match,
+        "scd2_user_value": _scd2_user_value,
+        "heavy_hitters_tokens": _heavy_hitters_tokens,
         "user_event_sequences": _user_event_sequences,
         # similarity
         "sim_bruteforce_topk": _sim_bruteforce_topk,
@@ -2311,6 +2357,43 @@ def oracle_sql() -> dict[str, str]:
               ('view', 1, (SELECT count(*) FROM v)),
               ('click', 2, (SELECT count(*) FROM c)),
               ('purchase', 3, (SELECT count(*) FROM p))) t(stage, stage_idx, n_users)""",
+        "event_pattern_match": """
+            WITH sym AS (
+              SELECT user_id, ts, event_id,
+                     CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                          WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                          ELSE 'e' END AS s
+              FROM events),
+            agg AS (
+              SELECT user_id, count(*) AS n_events,
+                     string_agg(s, '' ORDER BY ts, event_id) AS symstr
+              FROM sym GROUP BY user_id)
+            SELECT user_id, n_events,
+                   len(regexp_extract_all(symstr, 'vc+p'))::INT AS n_matches,
+                   strpos(symstr, regexp_extract(symstr, 'vc+p'))::INT AS first_match_pos
+            FROM agg
+            WHERE len(regexp_extract_all(symstr, 'vc+p')) > 0
+            ORDER BY user_id""",
+        "scd2_user_value": """
+            WITH ch AS (
+              SELECT user_id, floor(value * 1000000 + 0.5) / 1000000 AS attr_val, ts
+              FROM events WHERE event_type = 'purchase')
+            SELECT user_id, attr_val,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                   strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, attr_val),
+                            '%Y-%m-%d %H:%M:%S') AS valid_to
+            FROM ch ORDER BY user_id, valid_from, attr_val""",
+        "heavy_hitters_tokens": r"""
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(text, '\s+')) AS item
+              FROM documents),
+            t2 AS (SELECT item FROM toks WHERE item <> ''),
+            tot AS (SELECT count(*) AS t FROM t2)
+            SELECT item, count(*) AS n,
+                   floor(count(*)::DOUBLE / tot.t * 1000000 + 0.5) / 1000000 AS share
+            FROM t2, tot GROUP BY item, tot.t
+            HAVING count(*) >= tot.t * 0.02
+            ORDER BY n DESC, item""",
         "cohort_retention": """
             WITH first AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
                            FROM events GROUP BY 1),

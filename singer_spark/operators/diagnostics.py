@@ -41,3 +41,67 @@ def key_skew_report(df: DataFrame, key_cols: list[str] | str,
                     qround(F.col("n") / F.col("_avg"), 4).alias("ratio_to_avg"))
             .orderBy(F.col("n").desc(), F.col("key").asc())
             .limit(top_n))
+
+
+def heavy_hitters(df: DataFrame, item_col: str, min_share: float = 0.01,
+                  capacity: int | None = None) -> DataFrame:
+    """EXACT frequent items above a support threshold, found without
+    shuffling the long tail: a per-partition Misra-Gries summary nominates
+    candidates, a broadcast semi-pass counts ONLY those, and the guarantee
+    makes the pruned answer identical to the full groupBy.
+
+    Why not `groupBy(item).count().where(share >= s)`?  At corpus scale
+    the item column (tokens, URLs, user agents) has billions of distinct
+    values; the plain plan shuffles one row per DISTINCT item — the long
+    tail dominates the exchange even with map-side combine.  Misra-Gries
+    with capacity m = ceil(1/s) keeps m counters per PARTITION, so the
+    shuffle carries at most m * n_partitions candidate rows.
+
+    Exactness: if an item's global count is >= s * N, its local count must
+    exceed n_p / (m + 1) in at least one partition (otherwise summing the
+    per-partition bounds gives global <= N / (m + 1) < s * N), and
+    Misra-Gries with m counters keeps every item whose local count exceeds
+    n_p / (m + 1).  The candidate set is therefore a provable superset of
+    the true heavy hitters; the exact recount + threshold filter removes
+    false positives, so the output matches the full aggregation exactly.
+
+    Output: (item, n, share) for items with share >= min_share, ordered by
+    n desc, item asc."""
+    import pandas as pd
+
+    m = capacity or max(1, int(1.0 / min_share))
+    items = df.select(F.col(item_col).cast("string").alias("item")) \
+              .where(F.col(item_col).isNotNull())
+
+    def mg_partition(batches):
+        # one Misra-Gries summary per partition: m counters, arriving item
+        # increments its counter or (when full) decrements all — classic
+        # frequent-items sketch, O(m) state, single pass
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for it in pdf["item"]:
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < m:
+                    counters[it] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    candidates = (items.mapInPandas(mg_partition, "item string")
+                  .distinct())
+    totals = items.agg(F.count("*").alias("_total"))
+    return (
+        items.join(F.broadcast(candidates), "item", "left_semi")
+        .groupBy("item").agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(totals))
+        .where(F.col("n") >= F.col("_total") * F.lit(min_share))
+        .select("item", "n", qround(F.col("n") / F.col("_total"), 6).alias("share"))
+        .orderBy(F.desc("n"), "item")
+    )

@@ -358,3 +358,57 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "week_offset", "n_users")
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def event_pattern_match(spark: SparkSession, sf_dir: str,
+                        pattern: str = "vc+p",
+                        symbols: dict[str, str] | None = None) -> DataFrame:
+    """MATCH_RECOGNIZE-style contiguous pattern search over each user's
+    chronological event stream (the reference engines expose this as SQL
+    MATCH_RECOGNIZE / CEP pattern operators; Spark has no built-in, so the
+    sequence is materialized per key and searched with a regex).
+
+    Each event type maps to one symbol character; the per-user ordered
+    sequence becomes a symbol string and `pattern` is a regex over it —
+    the default `vc+p` finds view -> one-or-more clicks -> purchase with
+    NO intervening events (contiguity is exactly what MATCH_RECOGNIZE's
+    row-pattern semantics give and what the per-stage min-join funnel
+    cannot express).  Matches are counted non-overlapping, left-to-right —
+    both Java and RE2 regex engines scan that way, so the count is
+    portable to the DuckDB oracle.
+
+    100 TB shape: ONE shuffle keyed by user (same exchange the funnel and
+    sequence builders use); the collect_list state per user is its events
+    only, the regex walk is JVM-side on the assembled string, and the
+    output is one row per matching user.  Skew bound: the per-user string
+    is capped by the event log's per-user cardinality — for
+    pathological hot keys, pre-split by (user, day) first.
+    Output: (user_id, n_events, n_matches, first_match_pos 1-based)."""
+    symbols = symbols or {"view": "v", "click": "c", "purchase": "p",
+                          "signup": "s", "error": "e"}
+    ev = read_events(spark, sf_dir)
+    sym_map = F.create_map(*[F.lit(x) for kv in symbols.items() for x in kv])
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(seq.alias("seq"), F.count("*").alias("n_events"))
+        .select(
+            "user_id", "n_events",
+            F.array_join(
+                F.transform("seq", lambda s: F.element_at(sym_map, s.event_type)), ""
+            ).alias("symstr"),
+        )
+    )
+    return (
+        per_user
+        .select(
+            "user_id", "n_events",
+            F.size(F.regexp_extract_all("symstr", F.lit(pattern), 0)).alias("n_matches"),
+            # the leftmost regex match IS the first occurrence of its own
+            # literal text (an earlier occurrence would itself match), so
+            # locate() on the extracted match gives the 1-based match start
+            F.position(F.regexp_extract("symstr", pattern, 0), F.col("symstr")).alias("first_match_pos"),
+        )
+        .where(F.col("n_matches") > 0)
+        .orderBy("user_id")
+    )

@@ -1,0 +1,106 @@
+"""Guards for the round-4 additions: SCD2 merge (`operators/cdc.py`),
+MATCH_RECOGNIZE-style pattern matching (`queries.event_pattern_match`),
+and exact heavy hitters with Misra-Gries pruning
+(`operators/diagnostics.heavy_hitters`).
+
+Each is checked against an independent formulation — the SCD2 merge
+against the one-shot rebuild over the full log, the pattern matcher
+against a Python re walk, and the pruned heavy hitters against the plain
+full groupBy — so plan edits can't drift semantics silently."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from singer_spark.operators.cdc import scd2_apply, scd2_build
+from singer_spark.operators.diagnostics import heavy_hitters
+from singer_spark.queries import event_pattern_match
+from singer_spark.session import read_events
+
+
+def _purchases(spark, sf_dir):
+    return (read_events(spark, sf_dir)
+            .where(F.col("event_type") == "purchase")
+            .select("user_id", F.round("value", 4).alias("v"), "ts"))
+
+
+def test_scd2_apply_equals_full_rebuild(spark, sf_dir):
+    ch = _purchases(spark, sf_dir)
+    cutoff = "2024-01-16"
+    merged = scd2_apply(
+        scd2_build(ch.where(F.col("ts") < cutoff), "user_id", "v", "ts",
+                   order_cols=["v"]),
+        ch.where(F.col("ts") >= cutoff), "user_id", "v", "ts",
+    )
+    full = scd2_build(ch, "user_id", "v", "ts", order_cols=["v"])
+    cols = ["key", "attr", "valid_from", "valid_to"]
+    assert sorted(map(tuple, merged.select(cols).collect())) == \
+           sorted(map(tuple, full.select(cols).collect()))
+    # exactly one open row per key with >=1 change
+    opens = merged.where(F.col("valid_to").isNull()).groupBy("key").count()
+    assert opens.where(F.col("count") != 1).count() == 0
+    assert opens.count() == ch.select("user_id").distinct().count()
+
+
+def test_scd2_apply_empty_batch_is_identity(spark, sf_dir):
+    ch = _purchases(spark, sf_dir)
+    current = scd2_build(ch, "user_id", "v", "ts", order_cols=["v"])
+    merged = scd2_apply(current, ch.limit(0), "user_id", "v", "ts")
+    assert sorted(map(tuple, merged.collect())) == \
+           sorted(map(tuple, current.collect()))
+
+
+def test_event_pattern_match_vs_python_re(spark, sf_dir):
+    sym = {"view": "v", "click": "c", "purchase": "p",
+           "signup": "s", "error": "e"}
+    rows = (read_events(spark, sf_dir)
+            .select("user_id", "ts", "event_id", "event_type").collect())
+    seqs: dict[int, list] = {}
+    for r in rows:
+        seqs.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    expect = {}
+    for uid, evs in seqs.items():
+        s = "".join(sym[t] for _, _, t in sorted(evs))
+        ms = re.findall(r"vc+p", s)
+        if ms:
+            m = re.search(r"vc+p", s)
+            expect[uid] = (len(evs), len(ms), m.start() + 1)
+    got = {r.user_id: (r.n_events, r.n_matches, r.first_match_pos)
+           for r in event_pattern_match(spark, sf_dir).collect()}
+    assert got == expect
+    assert expect, "fixture should contain at least one vc+p match"
+
+
+def test_heavy_hitters_equals_plain_groupby(spark, sf_dir):
+    toks = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.explode(F.split("text", r"\s+")).alias("token"))
+            .where(F.col("token") != ""))
+    share = 0.03
+    pruned = {(r.item, r.n) for r in
+              heavy_hitters(toks, "token", min_share=share).collect()}
+    total = toks.count()
+    plain = {(r.token, r.n) for r in
+             toks.groupBy("token").agg(F.count("*").alias("n"))
+                 .where(F.col("n") >= total * share).collect()}
+    assert pruned == plain
+    assert plain, "fixture should contain heavy hitters at this threshold"
+
+
+def test_heavy_hitters_tiny_capacity_still_exact(spark, sf_dir):
+    # capacity smaller than the distinct count forces real Misra-Gries
+    # evictions; the recount must still produce the exact answer for the
+    # matching support threshold s = 1/m
+    toks = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.explode(F.split("text", r"\s+")).alias("token"))
+            .where(F.col("token") != ""))
+    m = 5
+    pruned = {(r.item, r.n) for r in
+              heavy_hitters(toks, "token", min_share=1.0 / m,
+                            capacity=m).collect()}
+    total = toks.count()
+    plain = {(r.token, r.n) for r in
+             toks.groupBy("token").agg(F.count("*").alias("n"))
+                 .where(F.col("n") >= total / m).collect()}
+    assert pruned == plain
