@@ -70,3 +70,115 @@ def scd2_apply(current: DataFrame, updates: DataFrame, key_col: str,
         F.lead("valid_from").over(w).alias("valid_to"),
     )
     return closed.unionByName(relinked)
+
+
+def scd2_stream_sink(changes_stream: DataFrame, dim_path: str,
+                     key_col: str, attr_col: str, ts_col: str,
+                     checkpoint: str, buckets: int = 16):
+    """Structured-Streaming SCD2 maintenance: each CDC micro-batch folds
+    into a versioned dimension on disk via :func:`scd2_apply` semantics —
+    the always-on twin of the batch merge (reference deployment: the
+    change topic Singer delivers, replayed into a queryable history).
+
+    On-disk layout under `dim_path`:
+
+    - ``closed/`` — append-only parquet of finished versions.  Never read
+      or rewritten by the sink; at 100 TB this is the history and it only
+      ever receives appends.
+    - ``open/kb=<i>/`` — the live row per key, hash-bucketed into
+      `buckets` partitions.  A micro-batch reads ONLY the buckets its keys
+      touch (partition pruning on `kb`), relinks open ∪ batch with one
+      LEAD window, appends the newly-closed versions to ``closed/`` and
+      atomically swaps just those bucket directories.  Per-trigger cost is
+      O(live keys in touched buckets), independent of history size.
+
+    Ordering contract: WITHIN a trigger, arbitrary order is fine (the
+    relink window sorts); ACROSS triggers, each key's changes must arrive
+    in timestamp order.  With a file-based change feed that means each CDC
+    chunk must appear ATOMICALLY in the watched directory (write to a
+    staging path, rename in — the same discipline the log-rotation tail
+    source relies on): a multi-file non-atomic append can straddle two
+    triggers with a partial file set and deliver a key's changes out of
+    order.  A late row older than its key's open row still gets a
+    correctly-linked version row, but the earlier-closed neighbor keeps
+    its stale valid_to — repairing that needs a closed-history rewrite,
+    which belongs to a table format with row-level merge.
+    Returns a DataStreamWriter (caller starts it).  The directory swap is
+    filesystem-rename based, matching the local/shared-FS deployment of
+    the agent (see streaming/tail.py for the same envelope)."""
+    import os
+    import shutil
+    import uuid
+
+    closed_path = os.path.join(dim_path, "closed")
+    open_path = os.path.join(dim_path, "open")
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(
+            F.col(key_col).alias("key"),
+            F.col(attr_col).alias("attr"),
+            F.col(ts_col).alias("valid_from"),
+        ).withColumn("kb", F.pmod(F.xxhash64(F.col("key").cast("string")),
+                                  F.lit(buckets)))
+        if batch.isEmpty():
+            return
+        touched = sorted(r.kb for r in batch.select("kb").distinct().collect())
+        if os.path.isdir(open_path):
+            open_df = (spark.read.option("basePath", open_path)
+                       .parquet(open_path)
+                       .where(F.col("kb").isin(touched)))
+        else:
+            open_df = spark.createDataFrame([], batch.schema)
+        live = open_df.select("key", "attr", "valid_from", "kb") \
+                      .unionByName(batch)
+        w = Window.partitionBy("key").orderBy("valid_from", "attr")
+        relinked = live.select(
+            "key", "attr", "valid_from", "kb",
+            F.lead("valid_from").over(w).alias("valid_to"),
+        ).localCheckpoint()  # compute once; consumed by two writes below
+        # closed versions land in a per-epoch subdir with overwrite, so a
+        # foreachBatch RETRY of the same epoch replaces rather than
+        # duplicates (same idempotency shape as sinks.write_batch_dir)
+        (relinked.where(F.col("valid_to").isNotNull())
+         .select("key", "attr", "valid_from", "valid_to")
+         .write.mode("overwrite")
+         .parquet(os.path.join(closed_path, f"epoch={epoch_id}")))
+        tmp = os.path.join(dim_path, f"_open_tmp_{epoch_id}_{uuid.uuid4().hex[:8]}")
+        (relinked.where(F.col("valid_to").isNull())
+         .select("key", "attr", "valid_from", "kb")
+         .write.partitionBy("kb").mode("overwrite").parquet(tmp))
+        os.makedirs(open_path, exist_ok=True)
+        for kb in touched:
+            src = os.path.join(tmp, f"kb={kb}")
+            dst = os.path.join(open_path, f"kb={kb}")
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return (changes_stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint))
+
+
+def scd2_read(spark, dim_path: str) -> DataFrame:
+    """Read the streaming-maintained SCD2 dimension back as one frame
+    (closed history ∪ open rows, open carrying valid_to NULL)."""
+    import os
+
+    closed_path = os.path.join(dim_path, "closed")
+    open_path = os.path.join(dim_path, "open")
+    parts = []
+    if os.path.isdir(closed_path):
+        parts.append(spark.read.parquet(closed_path)
+                     .select("key", "attr", "valid_from", "valid_to"))
+    if os.path.isdir(open_path):
+        parts.append(spark.read.parquet(open_path)
+                     .select("key", "attr", "valid_from",
+                             F.lit(None).cast("timestamp").alias("valid_to")))
+    assert parts, f"no SCD2 data under {dim_path}"
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -104,3 +104,53 @@ def test_heavy_hitters_tiny_capacity_still_exact(spark, sf_dir):
              toks.groupBy("token").agg(F.count("*").alias("n"))
                  .where(F.col("n") >= total / m).collect()}
     assert pruned == plain
+
+
+def test_scd2_stream_sink_matches_full_rebuild(spark, sf_dir, tmp_path):
+    from singer_spark.operators.cdc import scd2_read, scd2_stream_sink
+
+    ch = _purchases(spark, sf_dir).orderBy("ts")
+    rows = ch.collect()
+    cuts = [len(rows) // 3, 2 * len(rows) // 3, len(rows)]
+    src = str(tmp_path / "src")
+    dim = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id bigint, v double, ts timestamp"
+
+    import os
+    os.makedirs(src, exist_ok=True)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = scd2_stream_sink(stream, dim, "user_id", "v", "ts",
+                         checkpoint=ckpt, buckets=4).start()
+    try:
+        lo = 0
+        for i, hi in enumerate(cuts):
+            # publish each CDC chunk ATOMICALLY (single file, rename into
+            # the watched dir) — a multi-file non-atomic append can
+            # straddle two triggers with a partial file set, violating the
+            # sink's per-key monotone-arrival contract (see docstring)
+            stage = str(tmp_path / f"stage{i}")
+            spark.createDataFrame(rows[lo:hi], schema) \
+                 .coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(p for p in os.listdir(stage)
+                        if p.endswith(".parquet"))
+            os.rename(os.path.join(stage, part),
+                      os.path.join(src, f"chunk{i}.parquet"))
+            lo = hi
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, scd2_read(spark, dim).collect()))
+    want = sorted(map(tuple,
+                      scd2_build(ch, "user_id", "v", "ts",
+                                 order_cols=["v"]).collect()))
+    extra, missing = set(got) - set(want), set(want) - set(got)
+    assert got == want, (
+        f"n_got={len(got)} n_want={len(want)} "
+        f"extra={sorted(extra)[:4]} missing={sorted(missing)[:4]}")
+    # history dir only ever receives appends; open/ has one row per key
+    import os
+    assert os.path.isdir(os.path.join(dim, "closed"))
+    open_rows = scd2_read(spark, dim).where("valid_to IS NULL")
+    assert open_rows.count() == ch.select("user_id").distinct().count()
