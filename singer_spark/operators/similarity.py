@@ -153,24 +153,38 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 6
     bucketer = bucket_ids_udf(num_tables, num_planes, dim)
 
     def with_buckets(df: DataFrame, ident: str) -> DataFrame:
-        hashed = fan_out(df).select(F.col(id_col).alias(ident), as_double(vec_col).alias(f"{ident}_vec"),
+        hashed = fan_out(df).select(F.col(ident),
                                     bucketer(F.col(vec_col)).alias("bs"))
-        return hashed.select(
-            ident, f"{ident}_vec",
-            F.posexplode("bs").alias("t", "b"),
-        )
+        return hashed.select(ident, F.posexplode("bs").alias("t", "b"))
 
-    cb = with_buckets(corpus, "neighbor_id")
-    qb = with_buckets(queries, "query_id")
-    cands = (
+    # Candidate generation and scoring are SPLIT so no dim-sized vector
+    # ever crosses an exchange: the bucket join and the pair dedup see
+    # (id, table, bucket) rows only, then vectors are re-attached
+    # map-side — the query side broadcast by construction, the corpus
+    # side via a broadcast of the (small) deduped pair list against a
+    # second corpus scan.  Each surviving pair scores its cosine exactly
+    # once.  A prior shape deduped rows that carried both vectors
+    # (shuffle-heavy at corpus scale); another scored before dedup
+    # (num_tables× redundant cosine compute).  This one does neither.
+    cb = with_buckets(corpus.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    qb = with_buckets(queries.withColumnRenamed(id_col, "query_id"), "query_id")
+    pairs = (
         cb.join(F.broadcast(qb), ["t", "b"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.select(
-        "query_id", "neighbor_id",
-        qround(cosine(F.col("query_id_vec"), F.col("neighbor_id_vec")), round_to).alias("cosine"),
+    qvecs = queries.select(F.col(id_col).alias("query_id"),
+                           as_double(vec_col).alias("q_vec"))
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      as_double(vec_col).alias("n_vec"))
+        .join(F.broadcast(pairs), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            qround(cosine(F.col("q_vec"), F.col("n_vec")), round_to).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
