@@ -1010,6 +1010,18 @@ def _event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_pattern_match(spark, sf_dir)
 
 
+def _rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import rolling_active_users
+
+    return rolling_active_users(spark, sf_dir)
+
+
+def _purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import purchase_attribution
+
+    return purchase_attribution(spark, sf_dir)
+
+
 def _scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension maintenance: build versioned history from purchase
     events BEFORE the cutoff, then MERGE the post-cutoff batch with
@@ -1423,6 +1435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_pattern_match": _event_pattern_match,
         "scd2_user_value": _scd2_user_value,
         "heavy_hitters_tokens": _heavy_hitters_tokens,
+        "rolling_active_users": _rolling_active_users,
+        "purchase_attribution": _purchase_attribution,
         "user_event_sequences": _user_event_sequences,
         # similarity
         "sim_bruteforce_topk": _sim_bruteforce_topk,
@@ -2374,6 +2388,26 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             WHERE len(regexp_extract_all(symstr, 'vc+p')) > 0
             ORDER BY user_id""",
+        "rolling_active_users": """
+            WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+            ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS ed FROM events)
+            SELECT strftime(d, '%Y-%m-%d') AS day,
+                   count(DISTINCT user_id) AS n_active
+            FROM days JOIN ud ON ed BETWEEN d - INTERVAL 6 DAY AND d
+            GROUP BY d ORDER BY day""",
+        "purchase_attribution": """
+            WITH p AS (SELECT user_id, ts AS pt, value FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts AS ct FROM events WHERE event_type = 'click'),
+            m AS (SELECT p.user_id, pt, value,
+                         (SELECT max(ct) FROM c
+                          WHERE c.user_id = p.user_id AND ct <= pt) AS mct
+                  FROM p)
+            SELECT coalesce(strftime(date_trunc('day', mct), '%Y-%m-%d'),
+                            'organic') AS attrib_day,
+                   count(*) AS n_purchases,
+                   floor(sum(value) * 10000 + 0.5) / 10000 AS revenue
+            FROM m GROUP BY 1 ORDER BY attrib_day""",
         "scd2_user_value": """
             WITH ch AS (
               SELECT user_id, floor(value * 1000000 + 0.5) / 1000000 AS attr_val, ts

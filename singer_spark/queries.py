@@ -412,3 +412,71 @@ def event_pattern_match(spark: SparkSession, sf_dir: str,
         .where(F.col("n_matches") > 0)
         .orderBy("user_id")
     )
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str,
+                         window_days: int = 7) -> DataFrame:
+    """Trailing-window distinct actives: for each calendar day, how many
+    distinct users had any event in the preceding `window_days` days
+    (inclusive) — the DAU/WAU family.
+
+    Scale shape: a COUNT(DISTINCT) over a range-joined window would pair
+    every day with every event row; instead the log first collapses to
+    distinct (user, day) — one exchange that shrinks the input to at most
+    users × days — and each user-day then EXPLODES into the `window_days`
+    window anchors it serves (a constant ×7 on the collapsed frame, not
+    the raw log).  The final per-anchor distinct count rides one more
+    exchange keyed by day.  Anchors are restricted to days that actually
+    appear in the log (broadcast semi-join), matching the oracle's day
+    spine.  Output: (day, n_active)."""
+    ev = read_events(spark, sf_dir)
+    user_days = (ev.select("user_id", F.date_trunc("day", "ts").alias("ed"))
+                 .distinct())
+    days = user_days.select(F.col("ed").alias("d")).distinct()
+    anchored = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("i"),
+        F.col("ed"),
+    ).select("user_id", (F.col("ed") + F.make_dt_interval(days=F.col("i"))).alias("d"))
+    return (
+        anchored.join(F.broadcast(days), "d", "left_semi")
+        .groupBy("d").agg(F.count_distinct("user_id").alias("n_active"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "n_active")
+        .orderBy("day")
+    )
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase's value is credited
+    to the day of the user's latest click at-or-before the purchase;
+    purchases with no prior click fall into the 'organic' bucket.
+
+    Composes the engine's as-of join (operators/joins.py — union + ONE
+    (user, time) sort + carry-forward window) instead of the naive
+    purchase×click join-and-argmax, so the wide state is one sorted pass
+    over the user's stage-typed events.  Output: (attrib_day,
+    n_purchases, revenue) by day."""
+    from singer_spark.operators.joins import asof_join
+
+    ev = read_events(spark, sf_dir)
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "value"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("cts"),
+                      F.col("ts").alias("click_ts")))
+    matched = asof_join(purchases, clicks, key="user_id",
+                        left_time="ts", right_time="cts",
+                        payload_cols=["click_ts"])
+    return (
+        matched
+        .select(
+            F.coalesce(F.date_format(F.date_trunc("day", "click_ts"),
+                                     "yyyy-MM-dd"),
+                       F.lit("organic")).alias("attrib_day"),
+            "value",
+        )
+        .groupBy("attrib_day")
+        .agg(F.count("*").alias("n_purchases"),
+             qround(F.sum("value"), 4).alias("revenue"))
+        .orderBy("attrib_day")
+    )

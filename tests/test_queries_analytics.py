@@ -162,3 +162,41 @@ def test_rollup_merge_null_value_groups(spark):
            for r in merge_rollups(a, b).collect()}
     assert got[(10, "x")] == (2, None)   # all-NULL group stays NULL
     assert got[(11, "y")] == (1, 2.5)    # join-missing side is additive 0
+
+
+def test_rolling_active_users_vs_naive_range_join(spark, sf_dir):
+    from singer_spark.queries import rolling_active_users
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.date_trunc("day", "ts").alias("ed"))
+    days = ev.select(F.col("ed").alias("d")).distinct()
+    naive = (
+        days.join(ev, F.col("ed").between(
+            F.col("d") - F.expr("INTERVAL 6 DAYS"), F.col("d")))
+        .groupBy("d").agg(F.count_distinct("user_id").alias("n_active"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "n_active")
+    )
+    got = {(r.day, r.n_active) for r in rolling_active_users(spark, sf_dir).collect()}
+    want = {(r.day, r.n_active) for r in naive.collect()}
+    assert got == want and got
+
+
+def test_purchase_attribution_vs_join_argmax(spark, sf_dir):
+    from singer_spark.queries import purchase_attribution
+
+    ev = read_events(spark, sf_dir)
+    p = ev.where("event_type = 'purchase'").select("user_id", F.col("ts").alias("pt"), "value")
+    c = ev.where("event_type = 'click'").select("user_id", F.col("ts").alias("ct"))
+    naive = (
+        p.join(c, ["user_id"], "left")
+        .groupBy("user_id", "pt", "value")
+        .agg(F.max(F.when(F.col("ct") <= F.col("pt"), F.col("ct"))).alias("mct"))
+        .select(F.coalesce(F.date_format(F.date_trunc("day", "mct"), "yyyy-MM-dd"),
+                           F.lit("organic")).alias("attrib_day"), "value")
+        .groupBy("attrib_day")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("rev"))
+    )
+    got = {(r.attrib_day, r.n_purchases, round(r.revenue, 2))
+           for r in purchase_attribution(spark, sf_dir).collect()}
+    want = {(r.attrib_day, r.n, round(r.rev, 2)) for r in naive.collect()}
+    assert got == want and got
