@@ -36,8 +36,13 @@ HEADLINERS = [
     "funnel_counts",
     "cohort_retention",
     "event_anomalies",
+    "event_pattern_match",
+    "rolling_active_users",
+    "purchase_attribution",
+    "scd2_user_value",
     "asof_join_events_orders",
     "text_ngram_topk",
+    "heavy_hitters_tokens",
     # training-data operators
     "dedup_exact",
     "dedup_ngram_jaccard",

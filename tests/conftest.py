@@ -20,3 +20,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark_sess(spark):
+    """Alias usable inside @given-decorated tests (hypothesis forbids
+    function-scoped fixtures; the session-scoped spark is fine)."""
+    return spark

@@ -154,3 +154,49 @@ def test_scd2_stream_sink_matches_full_rebuild(spark, sf_dir, tmp_path):
     assert os.path.isdir(os.path.join(dim, "closed"))
     open_rows = scd2_read(spark, dim).where("valid_to IS NULL")
     assert open_rows.count() == ch.select("user_id").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# Property tests: adversarial tie/ordering cases the fixture can't produce
+# (equal timestamps within a key, duplicate change rows, skewed item
+# streams with tiny Misra-Gries capacities).  Few examples — each runs
+# real Spark jobs.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+change = st.tuples(st.integers(0, 3),        # key
+                   st.integers(0, 9),        # attr
+                   st.integers(0, 6))        # ts (dense => many ties)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(change, min_size=1, max_size=25), st.integers(0, 7))
+def test_scd2_merge_property(spark_sess, changes, cutoff):
+    spark = spark_sess
+    df = spark.createDataFrame(
+        [(k, float(a), t) for k, a, t in changes],
+        "key bigint, attr double, ts bigint").dropDuplicates()
+    full = scd2_build(df, "key", "attr", "ts", order_cols=["attr"])
+    merged = scd2_apply(
+        scd2_build(df.where(F.col("ts") < cutoff), "key", "attr", "ts",
+                   order_cols=["attr"]),
+        df.where(F.col("ts") >= cutoff), "key", "attr", "ts")
+    cols = ["key", "attr", "valid_from", "valid_to"]
+    assert sorted(map(tuple, merged.select(cols).collect())) == \
+           sorted(map(tuple, full.select(cols).collect()))
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.sampled_from("abcde"), min_size=1, max_size=200),
+       st.integers(2, 6))
+def test_heavy_hitters_property(spark_sess, items, m):
+    spark = spark_sess
+    df = spark.createDataFrame([(i,) for i in items], "item string") \
+              .repartition(4)
+    got = {(r.item, r.n) for r in
+           heavy_hitters(df, "item", min_share=1.0 / m, capacity=m).collect()}
+    total = len(items)
+    from collections import Counter
+    want = {(i, c) for i, c in Counter(items).items() if c >= total / m}
+    assert got == want
