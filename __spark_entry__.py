@@ -678,6 +678,16 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, benchmark, k=8)
 
 
+def _decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: cut only the contaminated 8-gram
+    windows (benchmark = every 50th doc), keep the rest of each doc."""
+    from singer_spark.operators.text_analysis import decontaminate_spans
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate_spans(docs, benchmark, k=8)
+
+
 def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balanced per-source subset: exactly min(10, |source|) docs per source,
     deterministic salted-hash rank (training-set class balancing)."""
@@ -1470,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "pack_stats": _pack_stats,
         "decontaminate": _decontaminate,
+        "decontaminate_spans": _decontaminate_spans,
         # multimodal plumbing
         "multimodal_meta": _multimodal_meta,
         "multimodal_features": _multimodal_features,
@@ -2842,6 +2853,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id AS id,
                    (h.doc_id IS NOT NULL) AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+        "decontaminate_spans": """
+            -- cut ONLY the contaminated 8-gram windows (benchmark slice =
+            -- doc_id%50=0); docs shorter than 8 tokens have no windows and
+            -- pass through untouched
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 7)) AS s
+                    FROM toks),
+            grams AS (SELECT doc_id, s,
+                             md5(array_to_string(t[s : s + 7], ' ')) AS g
+                      FROM pos),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+            hits AS (SELECT doc_id, list(DISTINCT s ORDER BY s) AS hs
+                     FROM grams JOIN bench USING (g) GROUP BY doc_id),
+            base AS (SELECT tk.doc_id, tk.t,
+                            coalesce(h.hs, []::BIGINT[]) AS hs
+                     FROM toks tk LEFT JOIN hits h USING (doc_id)),
+            keptpos AS (SELECT doc_id, t,
+                               list_filter(range(1, len(t) + 1),
+                                 j -> len(list_filter(hs,
+                                        h -> h <= j AND j < h + 8)) = 0) AS kp
+                        FROM base)
+            SELECT doc_id AS id,
+                   -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
+                   coalesce(array_to_string(list_transform(kp, j -> t[j]), ' '), '') AS clean_text,
+                   len(t)::INT AS n_tokens,
+                   (len(t) - len(kp))::INT AS n_removed
+            FROM keptpos ORDER BY id""",
         "multimodal_meta": """
             SELECT doc_id AS media_id, 'image' AS media_type,
                    octet_length(encode(text))::INT AS byte_len, md5(text) AS content_md5

@@ -62,6 +62,7 @@ HEADLINERS = [
     "pack_sequences",
     "corpus_mix",
     "decontaminate",
+    "decontaminate_spans",
     "b5_audit_count",
 ]
 

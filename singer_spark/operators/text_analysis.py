@@ -889,3 +889,73 @@ def tfidf_top_terms(docs: DataFrame, k: int = 10, text_col: str = "text",
     return (scored.withColumn("_rn", F.row_number().over(win))
             .filter(F.col("_rn") <= k)
             .select(source_col, "term", "tf", "score"))
+
+
+def decontaminate_spans(docs: DataFrame, benchmark: DataFrame, k: int = 8,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Span-level decontamination: instead of DROPPING a training document
+    that shares a k-gram with the eval set (:func:`decontaminate`), cut
+    ONLY the contaminated token windows and keep the remainder — the
+    surgical variant (cf. the exact-substring removal of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): eval
+    questions quoted inside an otherwise-unique page shouldn't cost the
+    whole page.
+
+    Plan, nothing doc-sized in any exchange:
+
+    1. positional k-gram digests per doc — (id, start, 16-byte md5) rows
+       from one narrow pass (slice + array_join + md5, all JVM);
+    2. the benchmark reduces to DISTINCT digests and broadcasts (same
+       contract as :func:`decontaminate`);
+    3. hit starts join map-side, collapse per doc to a SMALL int array
+       (contaminated docs only — at corpus scale a sliver), and broadcast
+       BACK onto the corpus scan;
+    4. each doc rebuilds its text by filtering token positions covered by
+       any hit window — an O(n_tokens x n_hits) JVM lambda on the scan,
+       zero shuffles of text.
+
+    Output: (id, clean_text, n_tokens, n_removed) for every input doc."""
+    from singer_spark.functions import fan_out
+
+    toks = F.split(F.col(text_col), r"\s+")
+
+    def window_starts():
+        # sequence(1, 0) yields a DESCENDING [1, 0] in Spark, so a doc
+        # shorter than k tokens must produce an explicit empty array
+        n = F.size("t") - F.lit(k - 1)
+        return F.when(n >= 1, F.sequence(F.lit(1), n.cast("int"))) \
+                .otherwise(F.array().cast("array<int>"))
+
+    def window_digests():
+        return F.transform(window_starts(),
+                           lambda i: F.md5(F.array_join(F.slice("t", i, k), " ")))
+
+    # (id, start, digest) for every k-window; 1-based starts
+    grams = (fan_out(docs)
+             .select(F.col(id_col).alias("id"), toks.alias("t"))
+             .select("id", F.posexplode(window_digests()).alias("p0", "g"))
+             .select("id", (F.col("p0") + 1).alias("start"), "g"))
+    bench_grams = (fan_out(benchmark)
+                   .select(toks.alias("t"))
+                   .select(F.explode(window_digests()).alias("g"))
+                   .distinct())
+    hit_starts = (grams.join(F.broadcast(bench_grams), "g", "left_semi")
+                  .groupBy("id").agg(F.sort_array(F.collect_set("start")).alias("hits")))
+    out = (docs.select(F.col(id_col).alias("id"), toks.alias("t"))
+           .join(F.broadcast(hit_starts), "id", "left")
+           .select(
+               "id",
+               F.col("t"),
+               F.coalesce("hits", F.array().cast("array<int>")).alias("hits"),
+           ))
+    j_covered = lambda j: F.exists(
+        "hits", lambda h: (h <= j) & (j < h + F.lit(k)))
+    kept = F.filter(F.sequence(F.lit(1), F.size("t")),
+                    lambda j: ~j_covered(j))
+    return (out.select(
+        "id",
+        F.array_join(F.transform(kept, lambda j: F.element_at("t", j)), " ").alias("clean_text"),
+        F.size("t").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).alias("n_removed"),
+    ).orderBy("id"))

@@ -434,3 +434,28 @@ def test_tfidf_idf_downweights_ubiquitous_terms(spark):
     got = {(r.source, r.term): r.score for r in tfidf_top_terms(docs, k=1).collect()}
     assert set(got) == {("s1", "alpha"), ("s2", "beta"), ("s3", "gamma")}
     assert all(v > 0 for v in got.values())
+
+
+def test_decontaminate_spans_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from singer_spark.operators.text_analysis import decontaminate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    out = decontaminate_spans(docs, bench, k=8)
+    joined = out.join(docs.select(F.col("doc_id").alias("id"), "text"), "id")
+
+    # a benchmark doc with >= 8 tokens is fully covered by its own windows
+    full = joined.where((F.col("id") % 50 == 0) & (F.col("n_tokens") >= 8))
+    assert full.where(F.col("n_removed") != F.col("n_tokens")).count() == 0
+    assert full.where(F.col("clean_text") != "").count() == 0
+
+    # untouched docs come back verbatim
+    clean = joined.where(F.col("n_removed") == 0)
+    assert clean.count() > 0
+    assert clean.where(F.col("clean_text") != F.col("text")).count() == 0
+
+    # never negative, never exceeding the doc
+    assert out.where((F.col("n_removed") < 0)
+                     | (F.col("n_removed") > F.col("n_tokens"))).count() == 0
