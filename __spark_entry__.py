@@ -1058,6 +1058,25 @@ def _scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from", "attr_val")
 
 
+def _fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over part names: pairs sharing a token within
+    edit distance 2 (operators/joins.fuzzy_join_pairs)."""
+    from singer_spark.operators.joins import fuzzy_join_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return fuzzy_join_pairs(part, "p_name", "p_partkey", max_dist=2)
+
+
+def _profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the orders table (see
+    operators/diagnostics.profile_columns)."""
+    from singer_spark.operators.diagnostics import profile_columns
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profile_columns(orders, ["o_orderkey", "o_custkey", "o_orderstatus",
+                                    "o_totalprice", "o_orderpriority"])
+
+
 def _heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent corpus tokens via Misra-Gries candidate pruning + exact
     recount (see operators/diagnostics.heavy_hitters for the guarantee)."""
@@ -1447,6 +1466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_tokens": _heavy_hitters_tokens,
         "rolling_active_users": _rolling_active_users,
         "purchase_attribution": _purchase_attribution,
+        "profile_orders": _profile_orders,
+        "fuzzy_part_names": _fuzzy_part_names,
         "user_event_sequences": _user_event_sequences,
         # similarity
         "sim_bruteforce_topk": _sim_bruteforce_topk,
@@ -2399,6 +2420,61 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             WHERE len(regexp_extract_all(symstr, 'vc+p')) > 0
             ORDER BY user_id""",
+        "fuzzy_part_names": """
+            WITH p AS (SELECT p_partkey AS id, p_name AS n FROM part),
+            toks AS (SELECT DISTINCT id, unnest(string_split(n, ' ')) AS tok
+                     FROM p),
+            pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                      FROM toks a JOIN toks b
+                        ON a.tok = b.tok AND a.id < b.id),
+            lv AS (SELECT id_a, id_b, pa.n AS name_a, pb.n AS name_b,
+                          levenshtein(pa.n, pb.n)::INT AS dist
+                   FROM pairs JOIN p pa ON pa.id = id_a
+                              JOIN p pb ON pb.id = id_b)
+            SELECT * FROM lv WHERE dist <= 2 ORDER BY id_a, id_b""",
+        "profile_orders": """
+            WITH s AS (SELECT * FROM (VALUES
+                ('o_orderkey', TRUE), ('o_custkey', TRUE),
+                ('o_orderstatus', FALSE), ('o_totalprice', TRUE),
+                ('o_orderpriority', FALSE)) v(col, is_num)),
+            q AS (
+              SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+                     sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                     count(DISTINCT o_orderkey) AS n_distinct,
+                     floor(min(o_orderkey)::DOUBLE * 10000 + 0.5) / 10000 AS min_value,
+                     floor(max(o_orderkey)::DOUBLE * 10000 + 0.5) / 10000 AS max_value,
+                     floor(avg(o_orderkey::DOUBLE) * 10000 + 0.5) / 10000 AS mean_value,
+                     floor(stddev_samp(o_orderkey::DOUBLE) * 10000 + 0.5) / 10000 AS stddev_value
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey', count(*),
+                     sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+                     count(DISTINCT o_custkey),
+                     floor(min(o_custkey)::DOUBLE * 10000 + 0.5) / 10000,
+                     floor(max(o_custkey)::DOUBLE * 10000 + 0.5) / 10000,
+                     floor(avg(o_custkey::DOUBLE) * 10000 + 0.5) / 10000,
+                     floor(stddev_samp(o_custkey::DOUBLE) * 10000 + 0.5) / 10000
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', count(*),
+                     sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+                     count(DISTINCT o_orderstatus), NULL, NULL, NULL, NULL
+              FROM orders
+              UNION ALL
+              SELECT 'o_totalprice', count(*),
+                     sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+                     count(DISTINCT o_totalprice),
+                     floor(min(o_totalprice)::DOUBLE * 10000 + 0.5) / 10000,
+                     floor(max(o_totalprice)::DOUBLE * 10000 + 0.5) / 10000,
+                     floor(avg(o_totalprice::DOUBLE) * 10000 + 0.5) / 10000,
+                     floor(stddev_samp(o_totalprice::DOUBLE) * 10000 + 0.5) / 10000
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', count(*),
+                     sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+                     count(DISTINCT o_orderpriority), NULL, NULL, NULL, NULL
+              FROM orders)
+            SELECT * FROM q ORDER BY col_name""",
         "rolling_active_users": """
             WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
             ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS ed FROM events)

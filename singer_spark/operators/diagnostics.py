@@ -105,3 +105,55 @@ def heavy_hitters(df: DataFrame, item_col: str, min_share: float = 0.01,
         .select("item", "n", qround(F.col("n") / F.col("_total"), 6).alias("share"))
         .orderBy(F.desc("n"), "item")
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None,
+                    round_digits: int = 4) -> DataFrame:
+    """One-pass column profile — the pre-ingest sanity report every
+    pipeline run wants: per column, row/null counts, distinct count,
+    min/max/mean/stddev for numerics.
+
+    ONE aggregation job computes every statistic for every column
+    simultaneously (a single partial-agg exchange whose payload is a few
+    scalars per column), then the wide row unpivots driver-side into the
+    (column, stat...) report — never one job per column, which at 100 TB
+    would re-scan the table len(cols) times.  count_distinct is exact
+    (adds its own expand; swap in approx_count_distinct for trillions of
+    distincts).  Output: (col_name, n_rows, n_nulls, n_distinct, min_value,
+    max_value, mean_value, stddev_value) — numeric stats NULL for
+    non-numeric columns."""
+    numeric_types = {"tinyint", "smallint", "int", "bigint",
+                     "float", "double", "decimal"}
+    dtypes = dict(df.dtypes)
+    cols = cols or list(df.columns)
+
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        is_num = dtypes[c].split("(")[0] in numeric_types
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            (qround(F.min(c).cast("double"), round_digits) if is_num
+             else F.lit(None).cast("double")).alias(f"{c}__min"),
+            (qround(F.max(c).cast("double"), round_digits) if is_num
+             else F.lit(None).cast("double")).alias(f"{c}__max"),
+            (qround(F.avg(F.col(c).cast("double")), round_digits) if is_num
+             else F.lit(None).cast("double")).alias(f"{c}__mean"),
+            (qround(F.stddev_samp(F.col(c).cast("double")), round_digits) if is_num
+             else F.lit(None).cast("double")).alias(f"{c}__std"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+            F.col(f"{c}__mean").alias("mean_value"),
+            F.col(f"{c}__std").alias("stddev_value"),
+        ) for c in cols
+    ])
+    return (wide.select(F.explode(per_col).alias("p"))
+            .select("p.*").orderBy("col_name"))

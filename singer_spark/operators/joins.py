@@ -115,3 +115,48 @@ def salted_join(facts: DataFrame, dim: DataFrame, key: str,
         salted_facts.join(replicated_dim, [key, "_salt"], how)
         .drop("_salt")
     )
+
+
+def fuzzy_join_pairs(df: DataFrame, text_col: str, id_col: str,
+                     max_dist: int = 2,
+                     max_token_df: int | None = None) -> DataFrame:
+    """Entity-resolution self-join: all pairs within `max_dist` edit
+    distance, found via token blocking + exact Levenshtein verify — the
+    standard blocking-then-verify shape (warehouses spell it
+    `editdist3`/`levenshtein` inside a similarity join).
+
+    Semantics: pairs must share at least one whitespace token (the
+    blocking key) AND pass the distance bound.  Token blocking is the
+    documented recall contract — a pair rewritten in every token is not a
+    candidate (use the q-gram or phonetic variants of the same plan for
+    tighter bounds).  `max_token_df` drops tokens appearing in more than
+    that many records from the BLOCKING ONLY (stop-token guard, same
+    hot-key cap as the shingle dedup family).
+
+    Scale shape: candidates travel as (id, id) pairs — strings join back
+    keyed by id only for the verify, and the Levenshtein runs JVM-side on
+    the joined rows.  One exchange for the token join, one for the pair
+    dedup, two id-keyed joins for the verify.
+    Output: (id_a, id_b, name_a, name_b, dist)."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
+            .where(F.col("tok") != "").distinct())
+    if max_token_df is not None:
+        keep = (toks.groupBy("tok").agg(F.count("*").alias("_df"))
+                .where(F.col("_df") <= max_token_df).select("tok"))
+        toks = toks.join(F.broadcast(keep), "tok", "left_semi")
+    a = toks.select(F.col("id").alias("id_a"), "tok")
+    b = toks.select(F.col("id").alias("id_b"), "tok")
+    pairs = (a.join(b, "tok")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    names = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("name"))
+    return (
+        pairs
+        .join(names.select(F.col("id").alias("id_a"), F.col("name").alias("name_a")), "id_a")
+        .join(names.select(F.col("id").alias("id_b"), F.col("name").alias("name_b")), "id_b")
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+        .orderBy("id_a", "id_b")
+    )

@@ -141,3 +141,20 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark):
                     payload_cols=["payload"], tolerance=F.lit(100)).collect()
     got = {r.event_id: r.payload for r in out}
     assert got == want
+
+
+def test_fuzzy_join_token_cap_prunes_blocking_only(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from singer_spark.operators.joins import fuzzy_join_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    full = fuzzy_join_pairs(part, "p_name", "p_partkey", max_dist=2)
+    capped = fuzzy_join_pairs(part, "p_name", "p_partkey", max_dist=2,
+                              max_token_df=5)
+    f = {(r.id_a, r.id_b) for r in full.collect()}
+    c = {(r.id_a, r.id_b) for r in capped.collect()}
+    # the cap can only LOSE candidates (recall bound), never invent pairs,
+    # and every surviving pair still passes the distance verify
+    assert c <= f
+    assert capped.where(F.col("dist") > 2).count() == 0
