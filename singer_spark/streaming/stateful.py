@@ -194,3 +194,100 @@ def streaming_interval_join(left: DataFrame, right: DataFrame,
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
     )
     return l.join(r, cond, how).drop(r[key_col])
+
+
+def mg_summarize(items: DataFrame, item_col: str, capacity: int) -> DataFrame:
+    """Misra-Gries summary of a (finite) frame as (item, cnt) rows, at
+    most `capacity` entries: per-partition MG sketches (same kernel as
+    diagnostics.heavy_hitters) union into one frame and fold through
+    :func:`mg_merge` — tiny at every stage, no full groupBy of the tail.
+    Counts are MG lower bounds (undercount <= N/capacity), not exacts."""
+    import pandas as pd
+
+    m = capacity
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for it in pdf["item"]:
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < m:
+                    counters[it] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"item": list(counters.keys()),
+                            "cnt": list(counters.values())})
+
+    parts = (items.select(F.col(item_col).cast("string").alias("item"))
+             .where(F.col(item_col).isNotNull())
+             .mapInPandas(mg_partition, "item string, cnt long"))
+    return mg_merge(parts, capacity)
+
+
+def mg_merge(summaries: DataFrame, capacity: int) -> DataFrame:
+    """Merge (item, cnt) summary rows back under `capacity` entries with
+    the mergeable-summaries rule (Agarwal et al.): sum counts per item,
+    subtract the (capacity+1)-th largest total from everyone, drop <= 0.
+    Error adds across merges but stays bounded by N_total/capacity.
+
+    The input is summary-sized (<= capacity x n_sources rows), so every
+    step here — including the single-partition rank — is on a frame that
+    fits one task by construction."""
+    from pyspark.sql.window import Window
+
+    agg = summaries.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("item"))
+    ranked = agg.withColumn("_rk", F.row_number().over(w))
+    thr = (ranked.where(F.col("_rk") == capacity + 1)
+           .select("cnt").withColumnRenamed("cnt", "_thr"))
+    return (ranked.crossJoin(
+                thr.unionByName(
+                    ranked.sparkSession.createDataFrame([(0,)], "_thr long"))
+                .agg(F.max("_thr").alias("_thr")))
+            .where((F.col("_rk") <= capacity) & (F.col("cnt") - F.col("_thr") > 0))
+            .select("item", (F.col("cnt") - F.col("_thr")).alias("cnt")))
+
+
+def streaming_heavy_hitters(items_stream: DataFrame, state_path: str,
+                            checkpoint: str, item_col: str = "item",
+                            capacity: int = 64):
+    """Always-on trending items: each micro-batch folds its Misra-Gries
+    summary into a persisted (item, cnt) state capped at `capacity`
+    entries — the streaming twin of diagnostics.heavy_hitters.
+
+    Exactness degrades gracefully: the state undercounts each item by at
+    most N_seen/capacity (mergeable-summaries bound), and every item with
+    true frequency above that threshold is guaranteed PRESENT — the same
+    superset contract the batch operator uses for candidate pruning, so a
+    periodic exact recount over the candidates restores exact counts.
+    State is summary-sized (<= capacity rows) regardless of stream length.
+    Returns a DataStreamWriter (caller starts it)."""
+    import os
+    import shutil
+    import uuid
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        batch_sum = mg_summarize(batch_df, item_col, capacity)
+        if os.path.isdir(state_path):
+            prior = spark.read.parquet(state_path)
+            merged = mg_merge(batch_sum.unionByName(prior), capacity)
+        else:
+            merged = batch_sum
+        tmp = f"{state_path}_tmp_{epoch_id}_{uuid.uuid4().hex[:8]}"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(state_path):
+            shutil.rmtree(state_path)
+        os.rename(tmp, state_path)
+
+    return (items_stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint))

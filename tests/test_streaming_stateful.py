@@ -320,3 +320,53 @@ def test_streaming_interval_join_bounds_state(spark, tmp_path):
             spark.readStream.schema(EVENTS_SCHEMA).parquet(imp_src),
             spark.readStream.schema(CONV_SCHEMA).parquet(conv_src),
             how="fullOuter")
+
+
+def test_streaming_heavy_hitters_state_bounds(spark, tmp_path):
+    import os
+    from collections import Counter
+
+    from singer_spark.streaming.stateful import streaming_heavy_hitters
+
+    src = str(tmp_path / "hh_src")
+    state = str(tmp_path / "hh_state")
+    ckpt = str(tmp_path / "hh_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    # skewed stream: a few heavy items + a long tail, split over 3 batches
+    batches, truth = [], Counter()
+    for b in range(3):
+        items = (["alpha"] * 120 + ["beta"] * 60 + ["gamma"] * 30
+                 + [f"tail{b}_{i}" for i in range(150)])
+        batches.append(items)
+        truth.update(items)
+    n_total = sum(truth.values())
+    cap = 16
+
+    stream = spark.readStream.schema("item string").parquet(src)
+    q = streaming_heavy_hitters(stream, state, checkpoint=ckpt,
+                                item_col="item", capacity=cap).start()
+    try:
+        for b, items in enumerate(batches):
+            stage = str(tmp_path / f"hh_stage{b}")
+            spark.createDataFrame([(i,) for i in items], "item string") \
+                 .coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+            os.rename(os.path.join(stage, part),
+                      os.path.join(src, f"chunk{b}.parquet"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.item: r.cnt for r in spark.read.parquet(state).collect()}
+    # state stays summary-sized
+    assert len(got) <= cap
+    # every item above the error threshold is guaranteed present
+    thresh = n_total / cap
+    for item, c in truth.items():
+        if c > thresh:
+            assert item in got, f"{item} (true {c}) missing"
+    # counts are lower bounds within the mergeable-summaries error
+    for item, c in got.items():
+        assert c <= truth[item]
+        assert c >= truth[item] - thresh
