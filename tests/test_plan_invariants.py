@@ -159,3 +159,73 @@ def test_overlap_reuses_jaccard_plan_shape(spark, sf_dir):
     assert count(ov) == count(jac)
     scans = lambda p: len(re.findall(r"\(\d+\) Scan parquet", p))
     assert scans(ov) == scans(jac)
+
+
+def test_pattern_match_prunes_props(spark, sf_dir):
+    from singer_spark.queries import event_pattern_match
+
+    plan = _plan(event_pattern_match(spark, sf_dir))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # one user-keyed exchange; no props/value read
+    assert "props" not in read and "value" not in read
+
+
+def test_rolling_active_users_collapses_before_explode(spark, sf_dir):
+    import re
+
+    from singer_spark.queries import rolling_active_users
+
+    plan = _plan(rolling_active_users(spark, sf_dir))
+    # single events scan (the day spine reuses the collapsed frame's scan
+    # or gets its own — either way no event column beyond user_id/ts reads)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "event_type" not in read and "props" not in read
+    # the day-spine semi join is broadcast, not shuffled
+    assert "BroadcastHashJoin" in plan
+
+
+def test_purchase_attribution_pushes_type_filters(spark, sf_dir):
+    from singer_spark.queries import purchase_attribution
+
+    plan = _plan(purchase_attribution(spark, sf_dir))
+    assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_fuzzy_join_dedups_ids_before_names(spark, sf_dir):
+    from singer_spark.operators.joins import fuzzy_join_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    plan = _plan(fuzzy_join_pairs(part, "p_name", "p_partkey"))
+    # the pair-dedup aggregate must see only the two id columns — names
+    # re-attach after (HashAggregate over id_a/id_b, no p_name keys)
+    agg_lines = [l for l in plan.splitlines()
+                 if "Keys" in l and "id_a" in l and "id_b" in l]
+    assert agg_lines, "expected id-only pair dedup aggregate"
+    assert all("p_name" not in l and "name_a" not in l for l in agg_lines)
+
+
+def test_lsh_ann_exchanges_carry_no_vectors(spark, sf_dir):
+    from singer_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 10")
+    plan = _plan(lsh_ann_topk(emb, q))
+    # every SHUFFLE Exchange block must be vector-free: the split
+    # candidate/verify design keeps embeddings out of all shuffles
+    # (broadcast exchanges DO carry the small query-side vectors — allowed)
+    import re
+
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        m = re.match(r"\((\d+)\) Exchange", l.strip())
+        # scope: HASH-partitioned exchanges (join/agg shuffles).  Broadcast
+        # exchanges carry the small query side by design, and fan_out's
+        # round-robin repartition self-disables on multi-split inputs, so
+        # neither exists at scale.
+        if not m or "hashpartitioning" not in l:
+            continue
+        # the detail block's Input line follows within a few lines
+        for j in range(i + 1, min(i + 4, len(lines))):
+            if lines[j].strip().startswith("Input"):
+                assert "embedding" not in lines[j], lines[j]
+                break
