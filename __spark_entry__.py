@@ -1026,6 +1026,14 @@ def _rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_users(spark, sf_dir)
 
 
+def _rolling_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-merged trailing actives (no exact SQL twin — HLL estimate;
+    tolerance-checked against the exact count in tools/verify_local.py)."""
+    from singer_spark.queries import rolling_active_users_hll
+
+    return rolling_active_users_hll(spark, sf_dir)
+
+
 def _purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.queries import purchase_attribution
 
@@ -1465,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_value": _scd2_user_value,
         "heavy_hitters_tokens": _heavy_hitters_tokens,
         "rolling_active_users": _rolling_active_users,
+        "rolling_active_users_hll": _rolling_active_users_hll,
         "purchase_attribution": _purchase_attribution,
         "profile_orders": _profile_orders,
         "fuzzy_part_names": _fuzzy_part_names,

@@ -480,3 +480,40 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              qround(F.sum("value"), 4).alias("revenue"))
         .orderBy("attrib_day")
     )
+
+
+def rolling_active_users_hll(spark: SparkSession, sf_dir: str,
+                             window_days: int = 7,
+                             lg_k: int = 14) -> DataFrame:
+    """Sketch-merged trailing actives — the 100 TB form of
+    :func:`rolling_active_users`: ONE day-keyed aggregation builds a
+    per-day HyperLogLog sketch of active users (map-side combined: the
+    exchange carries one ~2^lg_k-byte sketch per day per task, never
+    user rows), then each anchor day UNIONS its trailing sketches and
+    estimates.
+
+    The exact variant's exchange grows with users × days; this one's is
+    days × sketch-size — constant in the user population — and the merge
+    reuses the sketches across the 7 anchors they serve (the sliding
+    window never re-scans the log).  Estimate error ~1.6%/sqrt(2^lg_k)·…
+    — at lg_k=14, well under 2%; verified against the exact count with a
+    tolerance oracle.  Output: (day, n_active_approx)."""
+    ev = read_events(spark, sf_dir)
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("ed"))
+             .agg(F.hll_sketch_agg(F.col("user_id"), F.lit(lg_k)).alias("sk")))
+    days = daily.select(F.col("ed").alias("d"))
+    # anchor each day's sketch at the window_days anchors it serves, then
+    # union-merge per anchor; the frame is |days| × window_days rows of
+    # sketches — tiny, and unaffected by corpus size
+    anchored = daily.select(
+        "sk",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("i"),
+        F.col("ed"),
+    ).select("sk", (F.col("ed") + F.make_dt_interval(days=F.col("i"))).alias("d"))
+    return (
+        anchored.join(F.broadcast(days), "d", "left_semi")
+        .groupBy("d").agg(F.hll_union_agg("sk").alias("merged"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                F.hll_sketch_estimate("merged").alias("n_active_approx"))
+        .orderBy("day")
+    )

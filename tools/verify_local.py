@@ -119,6 +119,14 @@ APPROX_ORACLES = {
         "SELECT event_type, quantile_disc(value, 0.5) AS p50, "
         "quantile_disc(value, 0.9) AS p90, quantile_disc(value, 0.99) AS p99 "
         "FROM events GROUP BY event_type", 0.02),
+    # HLL at lg_k=14 → ~1.3% standard error; 5% slack
+    "rolling_active_users_hll": (
+        "WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events), "
+        "ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS ed FROM events) "
+        "SELECT strftime(d, '%Y-%m-%d') AS day, "
+        "count(DISTINCT user_id)::DOUBLE AS n_active_approx "
+        "FROM days JOIN ud ON ed BETWEEN d - INTERVAL 6 DAY AND d "
+        "GROUP BY d ORDER BY day", 0.05),
 }
 
 # Oracles runnable only where Python UDFs can be registered (here).
