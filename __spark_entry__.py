@@ -1040,6 +1040,24 @@ def _purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_attribution(spark, sf_dir)
 
 
+def _time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import time_weighted_avg_value
+
+    return time_weighted_avg_value(spark, sf_dir)
+
+
+def _integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import integrity_audit
+
+    return integrity_audit(spark, sf_dir)
+
+
+def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import value_histogram
+
+    return value_histogram(spark, sf_dir)
+
+
 def _scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension maintenance: build versioned history from purchase
     events BEFORE the cutoff, then MERGE the post-cutoff batch with
@@ -1475,6 +1493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": _rolling_active_users,
         "rolling_active_users_hll": _rolling_active_users_hll,
         "purchase_attribution": _purchase_attribution,
+        "time_weighted_avg": _time_weighted_avg,
+        "integrity_audit": _integrity_audit,
+        "value_histogram": _value_histogram,
         "profile_orders": _profile_orders,
         "fuzzy_part_names": _fuzzy_part_names,
         "user_event_sequences": _user_event_sequences,
@@ -2429,6 +2450,49 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             WHERE len(regexp_extract_all(symstr, 'vc+p')) > 0
             ORDER BY user_id""",
+        "time_weighted_avg": """
+            WITH d AS (
+              SELECT user_id, value,
+                     (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id))
+                      - epoch_us(ts)) / 1000000.0 AS dur
+              FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   floor(sum(value * dur) / sum(dur) * 10000 + 0.5) / 10000 AS twap
+            FROM d GROUP BY user_id ORDER BY user_id""",
+        "integrity_audit": """
+            SELECT * FROM (
+              SELECT 'lineitem.l_orderkey->orders' AS relationship,
+                     (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+              UNION ALL
+              SELECT 'orders.o_custkey->customer',
+                     (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                       (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+              UNION ALL
+              SELECT 'customer.c_nationkey->nation',
+                     (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                       (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+              UNION ALL
+              SELECT 'supplier.s_nationkey->nation',
+                     (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+                       (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+              UNION ALL
+              SELECT 'lineitem.l_suppkey->supplier',
+                     (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                       (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)))
+            ORDER BY relationship""",
+        "value_histogram": """
+            WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+            binned AS (
+              SELECT least(floor((value - lo) / (hi - lo) * 20) + 1, 20) AS bin,
+                     lo, hi
+              FROM events, b)
+            SELECT bin::INT AS bin,
+                   floor((lo + (bin - 1) * (hi - lo) / 20) * 1000000 + 0.5) / 1000000 AS lo,
+                   floor((lo + bin * (hi - lo) / 20) * 1000000 + 0.5) / 1000000 AS hi,
+                   count(*) AS n
+            FROM binned GROUP BY bin, lo, hi ORDER BY bin""",
         "fuzzy_part_names": """
             WITH p AS (SELECT p_partkey AS id, p_name AS n FROM part),
             toks AS (SELECT DISTINCT id, unnest(string_split(n, ' ')) AS tok

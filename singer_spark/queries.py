@@ -517,3 +517,89 @@ def rolling_active_users_hll(spark: SparkSession, sf_dir: str,
                 F.hll_sketch_estimate("merged").alias("n_active_approx"))
         .orderBy("day")
     )
+
+
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value` (TWAP): each event's
+    value is weighted by the seconds until the user's next event, so
+    irregular sampling doesn't bias toward burst periods — the standard
+    irregular-time-series aggregate plain AVG gets wrong.
+
+    One user-keyed window (LEAD for the holding duration) and one
+    aggregation on the same exchange; the final event's open interval is
+    excluded (no duration).  Users with a single event emit NULL.
+    Output: (user_id, n_events, twap)."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")) / 1e6
+    per = ev.select("user_id", "value", dur.alias("dur"))
+    return (
+        per.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"),
+             qround(F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 4).alias("twap"))
+        .orderBy("user_id")
+    )
+
+
+def integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse: orphan and
+    dangling-key counts for each declared relationship — the data-quality
+    gate a pipeline runs after every load.
+
+    Each check is a LEFT ANTI join on the key (the orphan side streams,
+    the referenced keys reduce to distinct ids first — broadcastable for
+    dimension keys, AQE otherwise); results union into one small report.
+    Output: (relationship, n_orphans)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    def orphans(name, child, ckey, parent, pkey):
+        pk = parent.select(F.col(pkey).alias(ckey)).distinct()
+        n = (child.select(ckey).join(pk, ckey, "left_anti")
+             .agg(F.count("*").alias("n")))
+        return n.select(F.lit(name).alias("relationship"),
+                        F.col("n").alias("n_orphans"))
+
+    checks = [
+        orphans("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        orphans("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        orphans("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        orphans("supplier.s_nationkey->nation", sup, "s_nationkey", nation, "n_nationkey"),
+        orphans("lineitem.l_suppkey->supplier", li, "l_suppkey", sup, "s_suppkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("relationship")
+
+
+def value_histogram(spark: SparkSession, sf_dir: str, bins: int = 20) -> DataFrame:
+    """Equi-width histogram of the events value column: fixed [min, max]
+    bin grid — ONE pass for the bounds (tiny agg, broadcast back), one
+    partial-agg pass for the counts; both map-side combined.
+
+    The bin expression is spelled as explicit IEEE arithmetic
+    (floor((v-lo)/(hi-lo)*bins)+1, clamped) rather than width_bucket so
+    the SQL oracle evaluates the bit-identical formula — engine-internal
+    bucketing can disagree on boundary values.  Output: (bin, lo, hi, n)."""
+    ev = read_events(spark, sf_dir)
+    bounds = ev.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+    raw_bin = F.floor((F.col("value") - F.col("_lo"))
+                      / (F.col("_hi") - F.col("_lo")) * bins) + 1
+    binned = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(F.least(raw_bin, F.lit(bins)).alias("bin"), "_lo", "_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / bins
+    return (
+        binned.groupBy("bin", "_lo", "_hi")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("bin").cast("int").alias("bin"),
+                qround(F.col("_lo") + (F.col("bin") - 1) * width, 6).alias("lo"),
+                qround(F.col("_lo") + F.col("bin") * width, 6).alias("hi"),
+                "n")
+        .orderBy("bin")
+    )
