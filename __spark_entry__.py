@@ -1058,6 +1058,12 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(spark, sf_dir)
 
 
+def _rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import order_value_rank_profile
+
+    return order_value_rank_profile(spark, sf_dir)
+
+
 def _scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension maintenance: build versioned history from purchase
     events BEFORE the cutoff, then MERGE the post-cutoff batch with
@@ -1496,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": _time_weighted_avg,
         "integrity_audit": _integrity_audit,
         "value_histogram": _value_histogram,
+        "rank_profile_orders": _rank_profile,
         "profile_orders": _profile_orders,
         "fuzzy_part_names": _fuzzy_part_names,
         "user_event_sequences": _user_event_sequences,
@@ -2450,6 +2457,21 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             WHERE len(regexp_extract_all(symstr, 'vc+p')) > 0
             ORDER BY user_id""",
+        "rank_profile_orders": """
+            WITH r AS (
+              SELECT o_orderpriority,
+                     ntile(4) OVER w AS tile,
+                     percent_rank() OVER w AS pr,
+                     cume_dist() OVER w AS cd
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey))
+            SELECT o_orderpriority, tile::INT AS tile, count(*) AS n,
+                   floor(min(pr) * 1000000 + 0.5) / 1000000 AS pr_lo,
+                   floor(max(pr) * 1000000 + 0.5) / 1000000 AS pr_hi,
+                   floor(max(cd) * 1000000 + 0.5) / 1000000 AS cd_hi
+            FROM r GROUP BY o_orderpriority, tile
+            ORDER BY o_orderpriority, tile""",
         "time_weighted_avg": """
             WITH d AS (
               SELECT user_id, value,

@@ -603,3 +603,31 @@ def value_histogram(spark: SparkSession, sf_dir: str, bins: int = 20) -> DataFra
                 "n")
         .orderBy("bin")
     )
+
+
+def order_value_rank_profile(spark: SparkSession, sf_dir: str,
+                             tiles: int = 4) -> DataFrame:
+    """Rank-function profile over order values per priority class: NTILE
+    quartile, PERCENT_RANK, CUME_DIST and dense rank for every order —
+    the remaining rank-window surface (row_number/rank/lag/lead are
+    exercised elsewhere).  One exchange keyed by the partition column.
+    Output keeps only each (priority, quartile) boundary row (min/max
+    percentiles per tile) so the result stays small and stable."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        F.ntile(tiles).over(w).alias("tile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority", "tile")
+        .agg(F.count("*").alias("n"),
+             qround(F.min("pr"), 6).alias("pr_lo"),
+             qround(F.max("pr"), 6).alias("pr_hi"),
+             qround(F.max("cd"), 6).alias("cd_hi"))
+        .select("o_orderpriority", F.col("tile").cast("int").alias("tile"),
+                "n", "pr_lo", "pr_hi", "cd_hi")
+        .orderBy("o_orderpriority", "tile")
+    )
