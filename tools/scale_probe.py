@@ -104,7 +104,23 @@ def ops(docs: DataFrame):
         "wordpiece": lambda: wordpiece_encode(
             docs, demo_vocab(WORDPIECE_DEMO_WORDS)),
         "segment_dedup": lambda: segment_dedup(docs),
+        "decontaminate_spans": lambda: _spans(docs),
+        "heavy_hitters": lambda: _hh(docs),
     }
+
+
+def _spans(docs: DataFrame) -> DataFrame:
+    from singer_spark.operators.text_analysis import decontaminate_spans
+
+    return decontaminate_spans(docs, docs.filter(F.col("doc_id") % 50 == 0))
+
+
+def _hh(docs: DataFrame) -> DataFrame:
+    from singer_spark.operators.diagnostics import heavy_hitters
+
+    toks = (docs.select(F.explode(F.split("text", r"\s+")).alias("token"))
+            .where(F.col("token") != ""))
+    return heavy_hitters(toks, "token", min_share=0.02)
 
 
 def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,
