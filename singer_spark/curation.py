@@ -32,6 +32,7 @@ class CurationConfig:
     minhash_threshold: float = 0.5
     semantic_threshold: float = 0.995
     decontaminate_k: int = 8              # k-gram size for the benchmark gate
+    decontaminate_mode: str = "drop"      # drop (whole doc) | spans (cut windows)
     split: bool = True                    # train/val/test hash split column
     text_col: str = "text"
     id_col: str = "doc_id"
@@ -75,11 +76,32 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
         rep = repetition_features(docs, text_col, id_col).select(id_col, "keep")
         out = out.join(rep, id_col).filter(F.col("keep")).drop("keep")
     if benchmark is not None:
-        flags = decontaminate(docs, benchmark, k=cfg.decontaminate_k,
-                              text_col=text_col, id_col=id_col)
-        clean = (flags.filter(~F.col("contaminated"))
-                 .select(F.col("id").alias(id_col)))
-        out = out.join(clean, id_col, "left_semi")
+        if cfg.decontaminate_mode == "spans":
+            # surgical variant: REWRITE contaminated docs (cut the shared
+            # k-gram windows) instead of dropping them; docs cut to
+            # nothing are removed.  NOTE: dedup gates below still operate
+            # on the ORIGINAL text — span-cut survivors keep their
+            # original digests for canonical selection.
+            from singer_spark.operators.text_analysis import decontaminate_spans
+
+            spans = decontaminate_spans(docs, benchmark,
+                                        k=cfg.decontaminate_k,
+                                        text_col=text_col, id_col=id_col)
+            repl = spans.where(F.col("clean_text") != "").select(
+                F.col("id").alias(id_col),
+                F.col("clean_text").alias("_clean_text"))
+            out = (out.join(repl, id_col)
+                   .withColumn(text_col, F.col("_clean_text"))
+                   .drop("_clean_text"))
+        elif cfg.decontaminate_mode == "drop":
+            flags = decontaminate(docs, benchmark, k=cfg.decontaminate_k,
+                                  text_col=text_col, id_col=id_col)
+            clean = (flags.filter(~F.col("contaminated"))
+                     .select(F.col("id").alias(id_col)))
+            out = out.join(clean, id_col, "left_semi")
+        else:
+            raise ValueError(
+                f"unknown decontaminate_mode {cfg.decontaminate_mode!r}")
     if cfg.dedup == "exact":
         canonical = dedup_exact(docs, text_col, id_col).select(id_col)
         out = out.join(canonical, id_col, "left_semi")

@@ -82,3 +82,28 @@ def test_curate_stream_gates_and_cross_batch_dedup(spark, tmp_path):
 
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert kept == [1, 11]
+
+
+def test_curate_spans_mode_rewrites_instead_of_dropping(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from singer_spark.curation import CurationConfig, curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    base = CurationConfig(lang=None, min_quality=None,
+                          repetition_screen=False, dedup="none", split=False)
+    dropped = curate(docs, base, benchmark=bench)
+    spans_cfg = CurationConfig(**{**base.__dict__,
+                                  "decontaminate_mode": "spans"})
+    rewritten = curate(docs, spans_cfg, benchmark=bench)
+
+    n_docs = docs.count()
+    # drop mode loses every contaminated doc; spans mode keeps every doc
+    # whose clean remainder is non-empty — strictly more survivors
+    assert dropped.count() < rewritten.count() <= n_docs
+    # survivors that drop mode removed must have REWRITTEN (shorter) text
+    changed = (rewritten.join(dropped.select("doc_id"), "doc_id", "left_anti")
+               .join(docs.select("doc_id", F.col("text").alias("orig")), "doc_id"))
+    assert changed.count() > 0
+    assert changed.where(F.length("text") >= F.length("orig")).count() == 0

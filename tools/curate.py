@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> None:
                    choices=["none", "exact", "minhash", "semantic"])
     p.add_argument("--benchmark", default=None,
                    help="eval-set parquet for k-gram decontamination")
+    p.add_argument("--decontaminate-mode", default="drop",
+                   choices=("drop", "spans"),
+                   help="drop whole contaminated docs, or cut only the "
+                        "shared k-gram windows (spans)")
     p.add_argument("--no-split", action="store_true")
     p.add_argument("--partition-by", default=None,
                    help="comma-separated hive partition columns")
@@ -52,6 +56,7 @@ def main(argv: list[str] | None = None) -> None:
         min_quality=None if args.min_quality < 0 else args.min_quality,
         repetition_screen=not args.no_repetition_screen,
         dedup=args.dedup,
+        decontaminate_mode=args.decontaminate_mode,
         split=not args.no_split,
     )
     n = curate_and_publish(
