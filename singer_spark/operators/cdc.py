@@ -106,60 +106,119 @@ def scd2_stream_sink(changes_stream: DataFrame, dim_path: str,
     Returns a DataStreamWriter (caller starts it).  The directory swap is
     filesystem-rename based, matching the local/shared-FS deployment of
     the agent (see streaming/tail.py for the same envelope)."""
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_cdc_batch(batch_df, dim_path, key_col, attr_col, ts_col,
+                        buckets, epoch_id)
+
+    return (changes_stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint))
+
+
+def apply_cdc_batch(batch_df: DataFrame, dim_path: str, key_col: str,
+                    attr_col: str, ts_col: str, buckets: int,
+                    epoch_id: int) -> None:
+    """One idempotent SCD2 micro-batch apply (the foreachBatch body of
+    :func:`scd2_stream_sink`, exposed so retries are testable).
+
+    Retry safety: foreachBatch is at-least-once, and a naive retry AFTER
+    the open-bucket swap would recompute the relink from POST-batch state
+    — the epoch's closed-rows overwrite then loses the row that closed the
+    pre-batch version (silent history loss).  So before mutating open/,
+    the touched buckets' PRE state is moved into a per-epoch backup (the
+    touched-bucket list written first); a retry of the same epoch restores
+    that backup and recomputes from genuine pre-state, and the arrival of
+    a LATER epoch (its checkpoint commit proves this one finished) clears
+    the backup.  Every step is recompute-or-restore idempotent, so a crash
+    at any point between filesystem operations replays cleanly."""
+    import json
     import os
     import shutil
     import uuid
 
     closed_path = os.path.join(dim_path, "closed")
     open_path = os.path.join(dim_path, "open")
+    backups_root = os.path.join(dim_path, "_epoch_backup")
+    my_backup = os.path.join(backups_root, f"epoch={epoch_id}")
 
-    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch = batch_df.select(
-            F.col(key_col).alias("key"),
-            F.col(attr_col).alias("attr"),
-            F.col(ts_col).alias("valid_from"),
-        ).withColumn("kb", F.pmod(F.xxhash64(F.col("key").cast("string")),
-                                  F.lit(buckets)))
-        if batch.isEmpty():
-            return
-        touched = sorted(r.kb for r in batch.select("kb").distinct().collect())
-        if os.path.isdir(open_path):
-            open_df = (spark.read.option("basePath", open_path)
-                       .parquet(open_path)
-                       .where(F.col("kb").isin(touched)))
-        else:
-            open_df = spark.createDataFrame([], batch.schema)
-        live = open_df.select("key", "attr", "valid_from", "kb") \
-                      .unionByName(batch)
-        w = Window.partitionBy("key").orderBy("valid_from", "attr")
-        relinked = live.select(
-            "key", "attr", "valid_from", "kb",
-            F.lead("valid_from").over(w).alias("valid_to"),
-        ).localCheckpoint()  # compute once; consumed by two writes below
-        # closed versions land in a per-epoch subdir with overwrite, so a
-        # foreachBatch RETRY of the same epoch replaces rather than
-        # duplicates (same idempotency shape as sinks.write_batch_dir)
-        (relinked.where(F.col("valid_to").isNotNull())
-         .select("key", "attr", "valid_from", "valid_to")
-         .write.mode("overwrite")
-         .parquet(os.path.join(closed_path, f"epoch={epoch_id}")))
-        tmp = os.path.join(dim_path, f"_open_tmp_{epoch_id}_{uuid.uuid4().hex[:8]}")
-        (relinked.where(F.col("valid_to").isNull())
-         .select("key", "attr", "valid_from", "kb")
-         .write.partitionBy("kb").mode("overwrite").parquet(tmp))
-        os.makedirs(open_path, exist_ok=True)
-        for kb in touched:
-            src = os.path.join(tmp, f"kb={kb}")
-            dst = os.path.join(open_path, f"kb={kb}")
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            if os.path.isdir(src):
-                shutil.move(src, dst)
-        shutil.rmtree(tmp, ignore_errors=True)
+    # restore pre-state if this epoch partially applied before
+    touched_file = os.path.join(my_backup, "touched.json")
+    if os.path.isfile(touched_file):
+        with open(touched_file) as f:
+            for kb in json.load(f)["touched"]:
+                dst = os.path.join(open_path, f"kb={kb}")
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                src = os.path.join(my_backup, f"kb={kb}")
+                if os.path.isdir(src):
+                    shutil.copytree(src, dst)
+    # any OTHER epoch's backup means that epoch committed — clear it
+    if os.path.isdir(backups_root):
+        for d in os.listdir(backups_root):
+            if d != f"epoch={epoch_id}":
+                shutil.rmtree(os.path.join(backups_root, d),
+                              ignore_errors=True)
 
-    return (changes_stream.writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", checkpoint))
+    spark = batch_df.sparkSession
+    batch = batch_df.select(
+        F.col(key_col).alias("key"),
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).alias("valid_from"),
+    ).withColumn("kb", F.pmod(F.xxhash64(F.col("key").cast("string")),
+                              F.lit(buckets)))
+    if batch.isEmpty():
+        return
+    touched = sorted(r.kb for r in batch.select("kb").distinct().collect())
+    # open/ may exist but hold zero buckets (e.g. a restored first epoch);
+    # parquet schema inference fails on an empty dir
+    has_open = (os.path.isdir(open_path)
+                and any(d.startswith("kb=") for d in os.listdir(open_path)))
+    if has_open:
+        open_df = (spark.read.option("basePath", open_path)
+                   .parquet(open_path)
+                   .where(F.col("kb").isin(touched)))
+    else:
+        open_df = spark.createDataFrame([], batch.schema)
+    live = open_df.select("key", "attr", "valid_from", "kb") \
+                  .unionByName(batch)
+    w = Window.partitionBy("key").orderBy("valid_from", "attr")
+    relinked = live.select(
+        "key", "attr", "valid_from", "kb",
+        F.lead("valid_from").over(w).alias("valid_to"),
+    ).localCheckpoint()  # compute once; consumed by two writes below
+    # closed versions land in a per-epoch subdir with overwrite, so a
+    # retry of the same epoch replaces rather than duplicates
+    (relinked.where(F.col("valid_to").isNotNull())
+     .select("key", "attr", "valid_from", "valid_to")
+     .write.mode("overwrite")
+     .parquet(os.path.join(closed_path, f"epoch={epoch_id}")))
+    tmp = os.path.join(dim_path, f"_open_tmp_{epoch_id}_{uuid.uuid4().hex[:8]}")
+    (relinked.where(F.col("valid_to").isNull())
+     .select("key", "attr", "valid_from", "kb")
+     .write.partitionBy("kb").mode("overwrite").parquet(tmp))
+    os.makedirs(open_path, exist_ok=True)
+    # snapshot pre-state of the touched buckets, then commit the marker,
+    # THEN swap — the marker must follow the backups: a restore trusts the
+    # touched list to delete buckets, so it may only exist once every
+    # listed bucket's pre-state is safely copied (a crash before the
+    # marker leaves open/ untouched and retry recomputes from scratch)
+    os.makedirs(my_backup, exist_ok=True)
+    for kb in touched:
+        dst = os.path.join(open_path, f"kb={kb}")
+        bak = os.path.join(my_backup, f"kb={kb}")
+        if os.path.isdir(dst) and not os.path.isdir(bak):
+            shutil.copytree(dst, bak)
+    tf_tmp = touched_file + ".tmp"
+    with open(tf_tmp, "w") as f:
+        json.dump({"touched": touched}, f)
+    os.replace(tf_tmp, touched_file)
+    for kb in touched:
+        src = os.path.join(tmp, f"kb={kb}")
+        dst = os.path.join(open_path, f"kb={kb}")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        if os.path.isdir(src):
+            shutil.move(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def scd2_read(spark, dim_path: str) -> DataFrame:
@@ -174,9 +233,12 @@ def scd2_read(spark, dim_path: str) -> DataFrame:
         parts.append(spark.read.parquet(closed_path)
                      .select("key", "attr", "valid_from", "valid_to"))
     if os.path.isdir(open_path):
-        parts.append(spark.read.parquet(open_path)
-                     .select("key", "attr", "valid_from",
-                             F.lit(None).cast("timestamp").alias("valid_to")))
+        odf = spark.read.parquet(open_path)
+        # valid_to's type follows valid_from (times may be timestamps,
+        # epoch ints, or anything orderable)
+        vt = F.lit(None).cast(dict(odf.dtypes)["valid_from"])
+        parts.append(odf.select("key", "attr", "valid_from",
+                                vt.alias("valid_to")))
     assert parts, f"no SCD2 data under {dim_path}"
     out = parts[0]
     for p in parts[1:]:

@@ -200,3 +200,30 @@ def test_heavy_hitters_property(spark_sess, items, m):
     from collections import Counter
     want = {(i, c) for i, c in Counter(items).items() if c >= total / m}
     assert got == want
+
+
+def test_apply_cdc_batch_retry_after_swap_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: replaying an epoch AFTER its
+    open-bucket swap must not corrupt history (the naive recompute loses
+    the row that closed the pre-batch version)."""
+    from singer_spark.operators.cdc import apply_cdc_batch, scd2_read
+
+    ch = _purchases(spark, sf_dir).orderBy("ts")
+    rows = ch.collect()
+    cuts = [len(rows) // 3, 2 * len(rows) // 3, len(rows)]
+    dim = str(tmp_path / "dim_retry")
+    schema = "user_id bigint, v double, ts timestamp"
+
+    lo = 0
+    for epoch, hi in enumerate(cuts):
+        bdf = spark.createDataFrame(rows[lo:hi], schema)
+        apply_cdc_batch(bdf, dim, "user_id", "v", "ts", 4, epoch)
+        # full retry of the same epoch (crash after complete apply)
+        apply_cdc_batch(bdf, dim, "user_id", "v", "ts", 4, epoch)
+        lo = hi
+
+    got = sorted(map(tuple, scd2_read(spark, dim).collect()))
+    want = sorted(map(tuple,
+                      scd2_build(ch, "user_id", "v", "ts",
+                                 order_cols=["v"]).collect()))
+    assert got == want
