@@ -1099,6 +1099,16 @@ def _fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join_pairs(part, "p_name", "p_partkey", max_dist=2)
 
 
+def _fuzzy_part_names_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE edit-distance self-join via q-gram prefix filtering — the
+    oracle is the full quadratic Levenshtein join, so a missed pair fails
+    the gate (operators/joins.fuzzy_join_qgram)."""
+    from singer_spark.operators.joins import fuzzy_join_qgram
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return fuzzy_join_qgram(part, "p_name", "p_partkey", max_dist=2, q=2)
+
+
 def _profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profile of the orders table (see
     operators/diagnostics.profile_columns)."""
@@ -1505,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_profile_orders": _rank_profile,
         "profile_orders": _profile_orders,
         "fuzzy_part_names": _fuzzy_part_names,
+        "fuzzy_part_names_qgram": _fuzzy_part_names_qgram,
         "user_event_sequences": _user_event_sequences,
         # similarity
         "sim_bruteforce_topk": _sim_bruteforce_topk,
@@ -2527,6 +2538,15 @@ def oracle_sql() -> dict[str, str]:
                    FROM pairs JOIN p pa ON pa.id = id_a
                               JOIN p pb ON pb.id = id_b)
             SELECT * FROM lv WHERE dist <= 2 ORDER BY id_a, id_b""",
+        "fuzzy_part_names_qgram": """
+            -- the FULL quadratic join: the Spark side must find every pair
+            -- (prefix-filter completeness), so no blocking appears here
+            WITH p AS (SELECT p_partkey AS id, p_name AS n FROM part)
+            SELECT a.id AS id_a, b.id AS id_b, a.n AS name_a, b.n AS name_b,
+                   levenshtein(a.n, b.n)::INT AS dist
+            FROM p a JOIN p b ON a.id < b.id
+            WHERE levenshtein(a.n, b.n) <= 2
+            ORDER BY id_a, id_b""",
         "profile_orders": """
             WITH s AS (SELECT * FROM (VALUES
                 ('o_orderkey', TRUE), ('o_custkey', TRUE),

@@ -160,3 +160,70 @@ def fuzzy_join_pairs(df: DataFrame, text_col: str, id_col: str,
         .select("id_a", "id_b", "name_a", "name_b", F.col("dist").cast("int").alias("dist"))
         .orderBy("id_a", "id_b")
     )
+
+
+def fuzzy_join_qgram(df: DataFrame, text_col: str, id_col: str,
+                     max_dist: int = 2, q: int = 2) -> DataFrame:
+    """COMPLETE edit-distance self-join via q-gram prefix filtering
+    (ED-Join / AllPairs shape): finds EVERY pair within `max_dist`
+    Levenshtein — unlike token blocking, whose recall depends on the
+    corpus — so the oracle is the full quadratic join itself.
+
+    Why it's complete: eliminating a DISTINCT q-gram from a string costs
+    at least one edited instance, and one edit touches at most q gram
+    windows — so d edits eliminate at most d·q distinct grams, and two
+    strings within distance d share all but d·q of either side's distinct
+    grams.  By the prefix-filter theorem over a global rarity order, a
+    qualifying pair must then collide inside each side's first
+    π = d·q + 1 distinct grams.  Each record emits only those π rarest
+    grams as join keys — candidates are pairs meeting on a RARE gram, a
+    tiny fraction of the quadratic space — and the exact Levenshtein
+    verify removes false positives.
+
+    Requires every string to have more than d·q DISTINCT q-grams
+    (guaranteed here by the caller's domain; raises otherwise — shorter
+    strings would need an exhaustive short-bucket fallback).
+
+    Scale shape: gram rarity comes from one (gram → df) aggregate
+    (vocabulary-sized, broadcast); the candidate join carries
+    (id, gram) rows only; names attach for the verify exactly as in
+    :func:`fuzzy_join_pairs`.  Output: (id_a, id_b, name_a, name_b,
+    dist)."""
+    prefix = max_dist * q + 1
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - F.lit(q - 1)),
+        lambda i: F.substring(F.col(text_col), i, q).alias("g"))
+    gram_rows = (df.select(F.col(id_col).alias("id"),
+                           F.posexplode(grams_arr).alias("pos", "gram"))
+                 .groupBy("id", "gram").agg(F.min("pos").alias("pos")))
+    fewest = (gram_rows.groupBy("id").agg(F.count("*").alias("n"))
+              .agg(F.min("n").alias("m")).first().m)
+    if fewest is None or fewest <= max_dist * q:
+        raise ValueError(
+            f"strings must have > {max_dist * q} distinct {q}-grams for "
+            f"the prefix filter to be complete (fewest has {fewest or 0})")
+    # global rarity rank; ties broken by the gram itself for determinism
+    rarity = (gram_rows.groupBy("gram").agg(F.count("*").alias("df_"))
+              .select("gram", F.row_number().over(
+                  Window.orderBy("df_", "gram")).alias("rank")))
+    ranked = (gram_rows.join(F.broadcast(rarity), "gram")
+              .withColumn("_rn", F.row_number().over(
+                  Window.partitionBy("id").orderBy("rank", "pos")))
+              .where(F.col("_rn") <= prefix)
+              .select("id", "gram"))
+    pairs = (ranked.alias("a")
+             .join(ranked.alias("b"), "gram")
+             .where(F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .distinct())
+    names = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("name"))
+    return (
+        pairs
+        .join(names.select(F.col("id").alias("id_a"), F.col("name").alias("name_a")), "id_a")
+        .join(names.select(F.col("id").alias("id_b"), F.col("name").alias("name_b")), "id_b")
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b",
+                F.col("dist").cast("int").alias("dist"))
+        .orderBy("id_a", "id_b")
+    )

@@ -158,3 +158,27 @@ def test_fuzzy_join_token_cap_prunes_blocking_only(spark, sf_dir):
     # and every surviving pair still passes the distance verify
     assert c <= f
     assert capped.where(F.col("dist") > 2).count() == 0
+
+
+def test_fuzzy_qgram_complete_vs_quadratic(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from singer_spark.operators.joins import fuzzy_join_qgram
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    got = {(r.id_a, r.id_b, r.dist) for r in
+           fuzzy_join_qgram(part, "p_name", "p_partkey", max_dist=2).collect()}
+    p = part.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("n"))
+    quad = (p.alias("a").join(p.alias("b"), F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.levenshtein("a.n", "b.n").alias("d"))
+            .where(F.col("d") <= 2))
+    want = {(r.id_a, r.id_b, r.d) for r in quad.collect()}
+    assert got == want and got
+
+    # guard: strings with too few distinct grams are rejected, not
+    # silently incomplete
+    tiny = spark.createDataFrame([(1, "abc"), (2, "abd")], "id bigint, s string")
+    with pytest.raises(ValueError, match="distinct"):
+        fuzzy_join_qgram(tiny, "s", "id", max_dist=2)
