@@ -1058,6 +1058,19 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(spark, sf_dir)
 
 
+def _audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set-algebra via KMV sketches: distinct viewers ∩ distinct
+    purchasers — the intersection estimate HLL cannot produce
+    (operators/sketches.py; tolerance-checked vs the exact intersection
+    in tools/verify_local.py)."""
+    from singer_spark.operators.sketches import kmv_overlap, kmv_sketch
+    from singer_spark.session import read_events
+
+    ev = read_events(spark, sf_dir).select("event_type", "user_id")
+    sk = kmv_sketch(ev, "event_type", "user_id", k=256)
+    return kmv_overlap(sk, "event_type", "view", "purchase", k=256)
+
+
 def _rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.queries import order_value_rank_profile
 
@@ -1513,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "integrity_audit": _integrity_audit,
         "value_histogram": _value_histogram,
         "rank_profile_orders": _rank_profile,
+        "audience_overlap_kmv": _audience_overlap_kmv,
         "profile_orders": _profile_orders,
         "fuzzy_part_names": _fuzzy_part_names,
         "fuzzy_part_names_qgram": _fuzzy_part_names_qgram,

@@ -1,0 +1,117 @@
+"""K-Minimum-Values (KMV) distinct sketches with SET ALGEBRA.
+
+HyperLogLog (the built-in `hll_sketch_agg`) answers |A| and |A∪B|; it
+cannot answer |A∩B| — audience overlap, retention intersections,
+cross-surface reach.  KMV keeps the k smallest normalized hashes of each
+set, which IS a uniform sample of the hash space, so:
+
+- |A| ≈ (k-1) / u_k            (u_k = k-th smallest normalized hash)
+- union: merge the two k-min lists, keep the k smallest — another KMV
+- |A∩B| ≈ ρ · |A∪B|            (ρ = fraction of the union sketch's
+                                 members present in BOTH input sketches
+                                 — a Jaccard estimate on the sample)
+
+A sketch holding FEWER than k values saw every distinct item, so its
+estimate is exact — small groups pay no error.
+
+Scale shape (mergeable-summaries, same as the Misra-Gries operators):
+hashing is JVM-side (`xxhash64`), each PARTITION reduces to one k-array
+per group (mapInPandas, numpy partial sort), and only those
+k·n_partitions summary rows shuffle to the per-group merge.  Raw items
+never cross an exchange.
+
+Error ~ 1/sqrt(k): k=256 → ~6% on distinct counts, larger on small
+intersections (ρ is estimated from k Bernoulli trials).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# xxhash64 is a signed int64; shift to [0, 1) uniforms
+_SHIFT = float(2 ** 63)
+_SCALE = float(2 ** 64)
+
+
+def _normalize(hcol):
+    return (hcol.cast("double") + _SHIFT) / _SCALE
+
+
+def kmv_sketch(df: DataFrame, group_col: str, item_col: str,
+               k: int = 256) -> DataFrame:
+    """One KMV sketch per group: (group, sketch array<double> ascending,
+    n_kept).  Per-partition partials keep the exchange at k values per
+    group per partition."""
+    import numpy as np
+    import pandas as pd
+
+    hashed = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        _normalize(F.xxhash64(F.col(item_col).cast("string"))).alias("u"))
+
+    def partial(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for g, grp in pdf.groupby("g", sort=False):
+                vals = np.unique(grp["u"].to_numpy())
+                prev = acc.get(g)
+                merged = vals if prev is None else np.union1d(prev, vals)
+                acc[g] = merged[:k] if len(merged) > k else merged
+        yield pd.DataFrame({
+            "g": list(acc.keys()),
+            "vals": [a.tolist() for a in acc.values()],
+        })
+
+    partials = hashed.mapInPandas(partial, "g string, vals array<double>")
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        allv = np.unique(np.concatenate([np.asarray(v) for v in pdf["vals"]]))
+        sk = allv[:k]
+        return pd.DataFrame({"g": [pdf["g"].iloc[0]],
+                             "sketch": [sk.tolist()],
+                             "n_kept": [len(sk)]})
+
+    return (partials.groupBy("g")
+            .applyInPandas(merge, "g string, sketch array<double>, n_kept int")
+            .withColumnRenamed("g", group_col))
+
+
+def kmv_estimate_expr(sketch_col, k: int):
+    """Distinct-count estimate from a sketch array column: exact size when
+    the sketch is unsaturated, else (k-1)/u_k."""
+    n = F.size(sketch_col)
+    u_k = F.element_at(sketch_col, k)
+    return F.when(n < k, n.cast("double")).otherwise((k - 1) / u_k)
+
+
+def kmv_overlap(sketches: DataFrame, group_col: str, g_a: str, g_b: str,
+                k: int = 256) -> DataFrame:
+    """Estimate |A|, |B|, |A∩B|, |A∪B| and Jaccard for one group pair
+    from their sketches (tiny frame — one row per group by construction).
+    Output: (group_a, group_b, est_a, est_b, est_union, est_intersection,
+    jaccard)."""
+    a = sketches.where(F.col(group_col) == g_a).select(
+        F.col("sketch").alias("sk_a"))
+    b = sketches.where(F.col(group_col) == g_b).select(
+        F.col("sketch").alias("sk_b"))
+    both = a.crossJoin(b)
+    merged = F.slice(F.array_sort(
+        F.array_union(F.col("sk_a"), F.col("sk_b"))), 1, k)
+    est_a = kmv_estimate_expr(F.col("sk_a"), k)
+    est_b = kmv_estimate_expr(F.col("sk_b"), k)
+    est_u = kmv_estimate_expr(F.col("union_sk"), k)
+    in_both = F.size(F.filter(
+        "union_sk",
+        lambda x: F.exists("sk_a", lambda y: y == x)
+        & F.exists("sk_b", lambda y: y == x)))
+    rho = in_both / F.size("union_sk")
+    return (both.withColumn("union_sk", merged)
+            .select(
+                F.lit(g_a).alias("group_a"), F.lit(g_b).alias("group_b"),
+                F.round(est_a, 2).alias("est_a"),
+                F.round(est_b, 2).alias("est_b"),
+                F.round(est_u, 2).alias("est_union"),
+                F.round(rho * est_u, 2).alias("est_intersection"),
+                F.round(rho, 4).alias("jaccard"),
+            ))

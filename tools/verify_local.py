@@ -119,6 +119,20 @@ APPROX_ORACLES = {
         "SELECT event_type, quantile_disc(value, 0.5) AS p50, "
         "quantile_disc(value, 0.9) AS p90, quantile_disc(value, 0.99) AS p99 "
         "FROM events GROUP BY event_type", 0.02),
+    # KMV at k=256 → ~6% standard error on counts, more on the
+    # intersection (Bernoulli ρ); 15% slack.  At sf<=0.01 the sketches are
+    # unsaturated (distinct < k) and the estimates are EXACT.
+    "audience_overlap_kmv": (
+        "WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'), "
+        "p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'), "
+        "u AS (SELECT user_id FROM v UNION SELECT user_id FROM p) "
+        "SELECT 'view' AS group_a, 'purchase' AS group_b, "
+        "(SELECT count(*) FROM v)::DOUBLE AS est_a, "
+        "(SELECT count(*) FROM p)::DOUBLE AS est_b, "
+        "(SELECT count(*) FROM u)::DOUBLE AS est_union, "
+        "(SELECT count(*) FROM v JOIN p USING (user_id))::DOUBLE AS est_intersection, "
+        "((SELECT count(*) FROM v JOIN p USING (user_id))::DOUBLE "
+        " / (SELECT count(*) FROM u))::DOUBLE AS jaccard", 0.15),
     # HLL at lg_k=14 → ~1.3% standard error; 5% slack
     "rolling_active_users_hll": (
         "WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events), "
