@@ -1058,6 +1058,18 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(spark, sf_dir)
 
 
+def _funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import funnel_windowed
+
+    return funnel_windowed(spark, sf_dir)
+
+
+def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import event_transitions
+
+    return event_transitions(spark, sf_dir)
+
+
 def _audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience set-algebra via KMV sketches: distinct viewers ∩ distinct
     purchasers — the intersection estimate HLL cannot produce
@@ -1527,6 +1539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _value_histogram,
         "rank_profile_orders": _rank_profile,
         "audience_overlap_kmv": _audience_overlap_kmv,
+        "funnel_windowed": _funnel_windowed,
+        "event_transitions": _event_transitions,
         "profile_orders": _profile_orders,
         "fuzzy_part_names": _fuzzy_part_names,
         "fuzzy_part_names_qgram": _fuzzy_part_names_qgram,
@@ -2465,6 +2479,33 @@ def oracle_sql() -> dict[str, str]:
               ('view', 1, (SELECT count(*) FROM v)),
               ('click', 2, (SELECT count(*) FROM c)),
               ('purchase', 3, (SELECT count(*) FROM p))) t(stage, stage_idx, n_users)""",
+        "funnel_windowed": """
+            WITH v AS (SELECT user_id, min(ts) AS t FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t
+                    AND e.ts <= v.t + INTERVAL 24 HOUR GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t
+                    AND e.ts <= c.t + INTERVAL 24 HOUR GROUP BY 1)
+            SELECT * FROM (VALUES
+              ('view', 1, (SELECT count(*) FROM v)),
+              ('click', 2, (SELECT count(*) FROM c)),
+              ('purchase', 3, (SELECT count(*) FROM p))) t(stage, stage_idx, n_users)""",
+        "event_transitions": """
+            WITH pairs AS (
+              SELECT lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS from_type,
+                     event_type AS to_type
+              FROM events),
+            c AS (SELECT from_type, to_type, count(*) AS n FROM pairs
+                  WHERE from_type IS NOT NULL GROUP BY 1, 2)
+            SELECT from_type, to_type, n,
+                   floor(n::DOUBLE / sum(n) OVER (PARTITION BY from_type)
+                         * 1000000 + 0.5) / 1000000 AS share_from
+            FROM c ORDER BY from_type, to_type""",
         "event_pattern_match": """
             WITH sym AS (
               SELECT user_id, ts, event_id,

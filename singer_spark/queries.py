@@ -631,3 +631,67 @@ def order_value_rank_profile(spark: SparkSession, sf_dir: str,
                 "n", "pr_lo", "pr_hi", "cd_hi")
         .orderBy("o_orderpriority", "tile")
     )
+
+
+def funnel_windowed(spark: SparkSession, sf_dir: str,
+                    stages: tuple[str, ...] = ("view", "click", "purchase"),
+                    window_hours: int = 24) -> DataFrame:
+    """Conversion-window funnel: stage k counts only when it happens
+    within `window_hours` of the user's stage-(k-1) completion —
+    first-touch semantics throughout (each stage's time is the EARLIEST
+    qualifying event, the standard product-analytics definition; an
+    exists-any-chain variant would need per-user DP over the same
+    collected array).
+
+    Same ONE-job sorted-walk plan as :func:`funnel_counts`, the advance
+    condition just gains the upper bound.  Output: (stage, stage_idx,
+    n_users)."""
+    ev = read_events(spark, sf_dir)
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    evs = F.array_sort(F.collect_list(F.struct(F.col("ts"), F.col("event_type"))))
+    init = F.struct(F.lit(0).alias("k"), F.lit(None).cast("timestamp").alias("t"))
+    bound = F.expr(f"INTERVAL {window_hours} HOURS")
+
+    def step(acc, e):
+        advance = ((e["event_type"] == F.get(stage_arr, acc["k"]))
+                   & (acc["t"].isNull()
+                      | ((e["ts"] > acc["t"]) & (e["ts"] <= acc["t"] + bound))))
+        return F.when(advance,
+                      F.struct((acc["k"] + 1).alias("k"),
+                               e["ts"].alias("t"))).otherwise(acc)
+
+    depth = (
+        ev.filter(F.col("event_type").isin(*stages))
+        .groupBy("user_id").agg(evs.alias("evs"))
+        .select(F.aggregate("evs", init, step)["k"].alias("k"))
+        .filter(F.col("k") >= 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("k"))).alias("stage_idx"))
+        .groupBy("stage_idx").agg(F.count("*").alias("cnt"))
+    )
+    names = spark.createDataFrame([(s, i + 1) for i, s in enumerate(stages)],
+                                  "stage string, stage_idx int")
+    return (
+        names.join(depth, "stage_idx", "left")
+        .select("stage", "stage_idx",
+                F.coalesce("cnt", F.lit(0)).cast("bigint").alias("n_users"))
+        .orderBy("stage_idx")
+    )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: counts of consecutive event-type
+    transitions per user (the Markov transition matrix path analysis
+    reads).  One user-keyed window for the LAG pairing, one tiny
+    aggregation; share_from normalizes each row over its source state.
+    Output: (from_type, to_type, n, share_from)."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select(F.lag("event_type").over(w).alias("from_type"),
+                       F.col("event_type").alias("to_type"))
+             .where(F.col("from_type").isNotNull()))
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    totals = Window.partitionBy("from_type")
+    return (counts
+            .select("from_type", "to_type", "n",
+                    qround(F.col("n") / F.sum("n").over(totals), 6).alias("share_from"))
+            .orderBy("from_type", "to_type"))

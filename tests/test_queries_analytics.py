@@ -200,3 +200,20 @@ def test_purchase_attribution_vs_join_argmax(spark, sf_dir):
            for r in purchase_attribution(spark, sf_dir).collect()}
     want = {(r.attrib_day, r.n, round(r.rev, 2)) for r in naive.collect()}
     assert got == want and got
+
+
+def test_funnel_windowed_tightens_with_window(spark, sf_dir):
+    from singer_spark.queries import funnel_windowed
+
+    wide = {r.stage_idx: r.n_users
+            for r in funnel_windowed(spark, sf_dir, STAGES, 24 * 365).collect()}
+    tight = {r.stage_idx: r.n_users
+             for r in funnel_windowed(spark, sf_dir, STAGES, 1).collect()}
+    plain = {(r["stage"], r["stage_idx"]): r["n_users"]
+             for r in funnel_counts(spark, sf_dir, STAGES).collect()}
+    # an unbounded-ish window reproduces the plain funnel's stage-1 count,
+    # and monotonicity holds: tighter windows never convert MORE users
+    assert wide[1] == plain[("view", 1)]
+    for k in (1, 2, 3):
+        assert tight[k] <= wide[k]
+    assert tight[3] < wide[3], "1h window should lose conversions vs a year"
