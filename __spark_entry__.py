@@ -1058,6 +1058,41 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(spark, sf_dir)
 
 
+def _scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed between two SCD2 states (operators/cdc.scd2_snapshot_diff):
+    what changed between the pre-cutoff dimension and today's."""
+    from singer_spark.operators.cdc import scd2_build, scd2_snapshot_diff
+    from singer_spark.functions import qround
+    from singer_spark.session import read_events
+
+    cutoff = "2024-01-16"
+    ch = (read_events(spark, sf_dir)
+          .where(F.col("event_type") == "purchase")
+          .select("user_id", qround(F.col("value"), 6).alias("attr_val"), "ts"))
+    old = scd2_build(ch.where(F.col("ts") < cutoff),
+                     "user_id", "attr_val", "ts", order_cols=["attr_val"])
+    new = scd2_build(ch, "user_id", "attr_val", "ts", order_cols=["attr_val"])
+    return scd2_snapshot_diff(old, new)
+
+
+def _data_quality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations suite over the event log in one aggregation job
+    (operators/diagnostics.check_expectations)."""
+    from singer_spark.operators.diagnostics import check_expectations
+    from singer_spark.session import read_events
+
+    ev = read_events(spark, sf_dir)
+    rules = [
+        ("event_type_known",
+         F.col("event_type").isin("view", "click", "purchase", "signup", "error")),
+        ("ts_in_range",
+         (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-03-01")),
+        ("user_id_not_null", F.col("user_id").isNotNull()),
+        ("value_positive", F.col("value") > 0),
+    ]
+    return check_expectations(ev, rules, unique_cols=["event_id"])
+
+
 def _funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.queries import funnel_windowed
 
@@ -1541,6 +1576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audience_overlap_kmv": _audience_overlap_kmv,
         "funnel_windowed": _funnel_windowed,
         "event_transitions": _event_transitions,
+        "scd2_snapshot_diff": _scd2_snapshot_diff,
+        "data_quality_events": _data_quality_events,
         "profile_orders": _profile_orders,
         "fuzzy_part_names": _fuzzy_part_names,
         "fuzzy_part_names_qgram": _fuzzy_part_names_qgram,
@@ -2479,6 +2516,52 @@ def oracle_sql() -> dict[str, str]:
               ('view', 1, (SELECT count(*) FROM v)),
               ('click', 2, (SELECT count(*) FROM c)),
               ('purchase', 3, (SELECT count(*) FROM p))) t(stage, stage_idx, n_users)""",
+        "scd2_snapshot_diff": """
+            WITH ch AS (
+              SELECT user_id, floor(value * 1000000 + 0.5) / 1000000 AS attr, ts
+              FROM events WHERE event_type = 'purchase'),
+            old AS (SELECT user_id, attr AS old_attr FROM (
+                SELECT user_id, attr, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, attr DESC) AS rn
+                FROM ch WHERE ts < '2024-01-16') WHERE rn = 1),
+            new AS (SELECT user_id, attr AS new_attr FROM (
+                SELECT user_id, attr, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, attr DESC) AS rn
+                FROM ch) WHERE rn = 1)
+            SELECT coalesce(old.user_id, new.user_id) AS key,
+                   old_attr, new_attr,
+                   CASE WHEN old_attr IS NULL THEN 'added'
+                        WHEN new_attr IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change_type
+            FROM old FULL OUTER JOIN new ON old.user_id = new.user_id
+            WHERE old_attr IS NULL OR new_attr IS NULL OR old_attr <> new_attr
+            ORDER BY key""",
+        "data_quality_events": """
+            WITH t AS (SELECT count(*) AS n FROM events),
+            v AS (
+              SELECT 'event_type_known' AS rule,
+                     sum(CASE WHEN event_type IS NULL OR event_type NOT IN
+                         ('view','click','purchase','signup','error')
+                         THEN 1 ELSE 0 END) AS viol FROM events
+              UNION ALL
+              SELECT 'ts_in_range',
+                     sum(CASE WHEN ts IS NULL OR ts < '2024-01-01'
+                         OR ts >= '2024-03-01' THEN 1 ELSE 0 END) FROM events
+              UNION ALL
+              SELECT 'user_id_not_null',
+                     sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) FROM events
+              UNION ALL
+              SELECT 'value_positive',
+                     sum(CASE WHEN value IS NULL OR value <= 0
+                         THEN 1 ELSE 0 END) FROM events
+              UNION ALL
+              SELECT 'unique_event_id',
+                     count(event_id) - count(DISTINCT event_id) FROM events)
+            SELECT rule, t.n AS n_rows, viol AS n_violations,
+                   floor((t.n - viol)::DOUBLE / t.n * 1000000 + 0.5) / 1000000
+                       AS pass_rate,
+                   ((t.n - viol)::DOUBLE / t.n) >= 1.0 AS passed
+            FROM v, t ORDER BY rule""",
         "funnel_windowed": """
             WITH v AS (SELECT user_id, min(ts) AS t FROM events
                        WHERE event_type = 'view' GROUP BY 1),

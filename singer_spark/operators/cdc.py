@@ -244,3 +244,28 @@ def scd2_read(spark, dim_path: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def scd2_snapshot_diff(old_dim: DataFrame, new_dim: DataFrame) -> DataFrame:
+    """Change-data-feed OUT of two SCD2 states: compare the OPEN rows of
+    two dimension snapshots and emit what changed between them — the
+    inverse of :func:`scd2_apply`, for feeding downstream consumers that
+    want a delta, not a rebuild.
+
+    Only open rows join (one row per live key each side, full outer on
+    key); closed history is never touched.  Output: (key, old_attr,
+    new_attr, change_type ∈ {added, removed, changed}) — unchanged keys
+    are omitted."""
+    old_open = old_dim.where(F.col("valid_to").isNull()) \
+                      .select("key", F.col("attr").alias("old_attr"))
+    new_open = new_dim.where(F.col("valid_to").isNull()) \
+                      .select("key", F.col("attr").alias("new_attr"))
+    joined = old_open.join(new_open, "key", "full_outer")
+    change = (F.when(F.col("old_attr").isNull(), F.lit("added"))
+              .when(F.col("new_attr").isNull(), F.lit("removed"))
+              .otherwise(F.lit("changed")))
+    return (joined
+            .where(F.col("old_attr").isNull() | F.col("new_attr").isNull()
+                   | (F.col("old_attr") != F.col("new_attr")))
+            .select("key", "old_attr", "new_attr", change.alias("change_type"))
+            .orderBy("key"))

@@ -157,3 +157,46 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None,
     ])
     return (wide.select(F.explode(per_col).alias("p"))
             .select("p.*").orderBy("col_name"))
+
+
+def check_expectations(df: DataFrame, rules: list[tuple],
+                       unique_cols: list[str] | None = None,
+                       min_pass_rate: float = 1.0) -> DataFrame:
+    """Declarative data-quality gate: evaluate row-level expectations and
+    uniqueness constraints in ONE aggregation job — the
+    expectations-suite pattern (cf. Great Expectations / dbt tests) as a
+    Spark plan instead of N table scans.
+
+    `rules` is a list of (name, Column) where the Column is a boolean
+    predicate a passing row satisfies; NULL predicate results count as
+    violations (SQL three-valued logic would silently pass them).
+    `unique_cols` adds a uniqueness expectation per column (distinct
+    count == row count — computed in the same job).
+
+    Every rule compiles to a conditional count in a single agg, so the
+    table is scanned once regardless of suite size; the verdict unpivots
+    driver-side.  Output: (rule, n_rows, n_violations, pass_rate,
+    passed) ordered by rule."""
+    aggs = [F.count("*").alias("_n")]
+    for name, cond in rules:
+        aggs.append(F.sum((~F.coalesce(cond, F.lit(False))).cast("bigint"))
+                    .alias(f"_viol_{name}"))
+    for c in (unique_cols or []):
+        aggs.append((F.count(c) - F.count_distinct(F.col(c)))
+                    .alias(f"_viol_unique_{c}"))
+    wide = df.agg(*aggs)
+    names = [n for n, _ in rules] + [f"unique_{c}" for c in (unique_cols or [])]
+    per_rule = F.array(*[
+        F.struct(F.lit(n).alias("rule"),
+                 F.col("_n").alias("n_rows"),
+                 F.col(f"_viol_{n}").alias("n_violations"))
+        for n in names
+    ])
+    rate = F.when(F.col("n_rows") > 0,
+                  (F.col("n_rows") - F.col("n_violations")) / F.col("n_rows")) \
+            .otherwise(F.lit(1.0))
+    return (wide.select(F.explode(per_rule).alias("r")).select("r.*")
+            .select("rule", "n_rows", "n_violations",
+                    qround(rate, 6).alias("pass_rate"))
+            .withColumn("passed", F.col("pass_rate") >= min_pass_rate)
+            .orderBy("rule"))
