@@ -1058,6 +1058,29 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(spark, sf_dir)
 
 
+def _dedup_exact_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-ranked exact dedup: curated sources outrank the rest for
+    canonical selection (operators/dedup.dedup_exact_priority)."""
+    from singer_spark.operators.dedup import dedup_exact_priority
+
+    return dedup_exact_priority(_docs(spark, sf_dir),
+                                {"src3": 0, "src7": 1}).orderBy("doc_id")
+
+
+def _dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-exact dedup on canonicalized text
+    (operators/dedup.dedup_normalized)."""
+    from singer_spark.operators.dedup import dedup_normalized
+
+    return dedup_normalized(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import frequent_sequences
+
+    return frequent_sequences(spark, sf_dir)
+
+
 def _scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change feed between two SCD2 states (operators/cdc.scd2_snapshot_diff):
     what changed between the pre-cutoff dimension and today's."""
@@ -1578,6 +1601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _event_transitions,
         "scd2_snapshot_diff": _scd2_snapshot_diff,
         "data_quality_events": _data_quality_events,
+        "dedup_exact_priority": _dedup_exact_priority,
+        "dedup_normalized": _dedup_normalized,
+        "frequent_sequences": _frequent_sequences,
         "profile_orders": _profile_orders,
         "fuzzy_part_names": _fuzzy_part_names,
         "fuzzy_part_names_qgram": _fuzzy_part_names_qgram,
@@ -2516,6 +2542,41 @@ def oracle_sql() -> dict[str, str]:
               ('view', 1, (SELECT count(*) FROM v)),
               ('click', 2, (SELECT count(*) FROM c)),
               ('purchase', 3, (SELECT count(*) FROM p))) t(stage, stage_idx, n_users)""",
+        "dedup_exact_priority": """
+            WITH d AS (
+              SELECT doc_id, source, md5(text) AS sig,
+                     CASE source WHEN 'src3' THEN 0 WHEN 'src7' THEN 1
+                          ELSE 2147483647 END AS r
+              FROM documents),
+            g AS (SELECT sig, count(*) AS n_copies FROM d GROUP BY sig),
+            w AS (SELECT *, row_number() OVER (
+                      PARTITION BY sig ORDER BY r, doc_id, source) AS rn
+                  FROM d)
+            SELECT w.doc_id, w.source, w.sig, g.n_copies
+            FROM w JOIN g USING (sig) WHERE rn = 1 ORDER BY w.doc_id""",
+        "dedup_normalized": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS sig
+              FROM documents)
+            SELECT min(doc_id) AS doc_id, sig, count(*) AS n_copies
+            FROM n GROUP BY sig ORDER BY doc_id""",
+        "frequent_sequences": """
+            WITH ordered AS (
+              SELECT user_id, event_type, row_number() OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events),
+            trig AS (
+              SELECT a.user_id,
+                     a.event_type || '>' || b.event_type || '>' || c.event_type
+                         AS pattern
+              FROM ordered a
+              JOIN ordered b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+              JOIN ordered c ON c.user_id = a.user_id AND c.rn = a.rn + 2),
+            d AS (SELECT DISTINCT user_id, pattern FROM trig)
+            SELECT pattern, count(*) AS n_users FROM d GROUP BY pattern
+            HAVING count(*) >= 20 ORDER BY n_users DESC, pattern""",
         "scd2_snapshot_diff": """
             WITH ch AS (
               SELECT user_id, floor(value * 1000000 + 0.5) / 1000000 AS attr, ts

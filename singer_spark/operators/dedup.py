@@ -769,3 +769,54 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
         if changed == 0:
             break
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
+
+
+def dedup_exact_priority(docs: DataFrame, priority: dict[str, int],
+                         source_col: str = "source",
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup with SOURCE-RANKED canonical selection: among identical
+    copies, the survivor comes from the most-trusted source (lower rank
+    wins; unknown sources sink below every ranked one), ties broken by
+    lowest id — the real-corpus policy where curated data outranks crawl
+    mirrors (plain :func:`dedup_exact` keeps the arbitrary lowest id).
+
+    Same shuffle budget as dedup_exact: (digest, rank, id) rows only;
+    the survivor is a min over a packed (rank, id) struct, so one
+    map-side-combined aggregation decides every group.
+    Output: (doc_id, source, sig, n_copies)."""
+    rank = F.create_map(*[F.lit(x) for kv in priority.items() for x in kv])
+    ranked = docs.select(
+        F.col(id_col), F.col(source_col),
+        F.md5(F.col(text_col)).alias("sig"),
+        F.coalesce(F.element_at(rank, F.col(source_col)),
+                   F.lit(2 ** 31 - 1)).alias("_rank"),
+    )
+    best = F.min(F.struct(F.col("_rank"), F.col(id_col), F.col(source_col)))
+    return (ranked.groupBy("sig")
+            .agg(best.alias("b"), F.count("*").alias("n_copies"))
+            .select(F.col("b")[id_col].alias(id_col),
+                    F.col("b")[source_col].alias(source_col),
+                    "sig", "n_copies"))
+
+
+def dedup_normalized(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Fuzzy-exact dedup: canonicalize text (lowercase, strip
+    punctuation, collapse whitespace) BEFORE hashing, so trivially-edited
+    mirrors (case changes, punctuation drift, reflowed spaces) collapse
+    into one group — the cheap first rung of the near-dup ladder, catching
+    what byte-exact dedup misses without any candidate join.
+
+    The normalization is plain SQL expressions (shared verbatim with the
+    oracle); everything wide is still (digest, id).
+    Output: (doc_id, sig, n_copies) — survivor = lowest id per group."""
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
+        r"\s+", " "))
+    return (
+        docs.select(F.col(id_col), F.md5(norm).alias("sig"))
+        .groupBy("sig")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .select(id_col, "sig", "n_copies")
+    )

@@ -695,3 +695,35 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("from_type", "to_type", "n",
                     qround(F.col("n") / F.sum("n").over(totals), 6).alias("share_from"))
             .orderBy("from_type", "to_type"))
+
+
+def frequent_sequences(spark: SparkSession, sf_dir: str, k: int = 3,
+                       min_users: int = 20) -> DataFrame:
+    """Sequential-pattern mining, contiguous form: event-type k-grams that
+    appear in at least `min_users` distinct users' chronological streams —
+    the frequent-subsequence report behind "common paths" dashboards
+    (full PrefixSpan relaxes contiguity; the contiguous variant is the
+    one-pass form and the usual first screen).
+
+    One user-keyed shuffle assembles each user's ordered type sequence;
+    its k-windows dedupe PER USER in the same JVM pass (support counts
+    users, not occurrences), explode to (pattern, user) rows and a
+    map-side-combined count finishes.  Output: (pattern, n_users) with
+    support >= min_users, ordered by n_users desc, pattern."""
+    ev = read_events(spark, sf_dir)
+    seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    types = F.transform(seq, lambda s: s.event_type)
+    npos = F.size(types) - F.lit(k - 1)
+    kgrams = F.when(
+        npos >= 1,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), npos.cast("int")),
+            lambda i: F.array_join(F.slice(types, i, k), ">")))
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        ev.groupBy("user_id").agg(kgrams.alias("pats"))
+        .select(F.explode("pats").alias("pattern"))
+        .groupBy("pattern").agg(F.count("*").alias("n_users"))
+        .where(F.col("n_users") >= min_users)
+        .orderBy(F.desc("n_users"), "pattern")
+    )
