@@ -1058,6 +1058,18 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(spark, sf_dir)
 
 
+def _token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitor between two corpus halves (sources src0-9 vs
+    src10-19): per-token frequency deltas + chi-square contributions
+    (operators/text_analysis.token_drift)."""
+    from singer_spark.operators.text_analysis import token_drift
+
+    docs = _docs(spark, sf_dir)
+    half_a = docs.where(F.regexp_extract("source", r"src(\d+)", 1).cast("int") < 10)
+    half_b = docs.where(F.regexp_extract("source", r"src(\d+)", 1).cast("int") >= 10)
+    return token_drift(half_a, half_b, top_n=50)
+
+
 def _dedup_exact_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-ranked exact dedup: curated sources outrank the rest for
     canonical selection (operators/dedup.dedup_exact_priority)."""
@@ -1604,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_priority": _dedup_exact_priority,
         "dedup_normalized": _dedup_normalized,
         "frequent_sequences": _frequent_sequences,
+        "token_drift": _token_drift,
         "profile_orders": _profile_orders,
         "fuzzy_part_names": _fuzzy_part_names,
         "fuzzy_part_names_qgram": _fuzzy_part_names_qgram,
@@ -2542,6 +2555,33 @@ def oracle_sql() -> dict[str, str]:
               ('view', 1, (SELECT count(*) FROM v)),
               ('click', 2, (SELECT count(*) FROM c)),
               ('purchase', 3, (SELECT count(*) FROM p))) t(stage, stage_idx, n_users)""",
+        "token_drift": r"""
+            WITH a AS (
+              SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+              FROM documents
+              WHERE regexp_extract(source, 'src(\d+)', 1)::INT < 10),
+            b AS (
+              SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+              FROM documents
+              WHERE regexp_extract(source, 'src(\d+)', 1)::INT >= 10),
+            ca AS (SELECT token, count(*) AS n_a FROM a WHERE token <> ''
+                   GROUP BY token),
+            cb AS (SELECT token, count(*) AS n_b FROM b WHERE token <> ''
+                   GROUP BY token),
+            j AS (SELECT coalesce(ca.token, cb.token) AS token,
+                         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+                  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+            t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j),
+            s AS (SELECT token, n_a, n_b,
+                         n_a::DOUBLE / ta AS fa, n_b::DOUBLE / tb AS fb
+                  FROM j, t)
+            SELECT token, n_a, n_b,
+                   floor(fa * 1000000 + 0.5) / 1000000 AS freq_a,
+                   floor(fb * 1000000 + 0.5) / 1000000 AS freq_b,
+                   floor((fa - fb) * 1000000 + 0.5) / 1000000 AS freq_diff,
+                   floor((fa - fb) * (fa - fb) / (fa + fb) * 100000000 + 0.5)
+                       / 100000000 AS chi2_term
+            FROM s ORDER BY abs(fa - fb) DESC, token LIMIT 50""",
         "dedup_exact_priority": """
             WITH d AS (
               SELECT doc_id, source, md5(text) AS sig,

@@ -959,3 +959,44 @@ def decontaminate_spans(docs: DataFrame, benchmark: DataFrame, k: int = 8,
         F.size("t").alias("n_tokens"),
         (F.size("t") - F.size(kept)).alias("n_removed"),
     ).orderBy("id"))
+
+
+def token_drift(docs_a: DataFrame, docs_b: DataFrame, top_n: int = 50,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distribution-drift report between two corpora: per-token relative
+    frequencies side by side with their difference and chi-square-style
+    contribution — the monitor that catches a source changing under a
+    training pipeline (tokenizer drift, template injection, topic shift).
+
+    Kept to pure rational arithmetic (no logs) so the report value-matches
+    an exact SQL oracle; rank tokens by |freq_a − freq_b| and the KL/JS
+    story follows from the same counts downstream if needed.
+
+    Plan: each side is one explode + map-side-combined count (vocabulary-
+    sized results), full-outer-joined on token — corpus text never
+    shuffles.  Output: top_n rows of (token, n_a, n_b, freq_a, freq_b,
+    freq_diff, chi2_term) by |freq_diff| desc."""
+    from singer_spark.functions import qround
+
+    def counts(df, name):
+        return (df.select(F.explode(F.split(text_col, r"\s+")).alias("token"))
+                .where(F.col("token") != "")
+                .groupBy("token").agg(F.count("*").alias(name)))
+
+    ca, cb = counts(docs_a, "n_a"), counts(docs_b, "n_b")
+    joined = (ca.join(cb, "token", "full_outer")
+              .select("token",
+                      F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                      F.coalesce("n_b", F.lit(0)).alias("n_b")))
+    totals = joined.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
+    fa = F.col("n_a") / F.col("_ta")
+    fb = F.col("n_b") / F.col("_tb")
+    chi2 = (fa - fb) * (fa - fb) / (fa + fb)
+    return (joined.crossJoin(F.broadcast(totals))
+            .select("token", "n_a", "n_b",
+                    qround(fa, 6).alias("freq_a"),
+                    qround(fb, 6).alias("freq_b"),
+                    qround(fa - fb, 6).alias("freq_diff"),
+                    qround(chi2, 8).alias("chi2_term"))
+            .orderBy(F.abs(F.col("freq_diff")).desc(), F.col("token"))
+            .limit(top_n))
