@@ -40,6 +40,11 @@ HEADLINERS = [
     "rolling_active_users",
     "purchase_attribution",
     "scd2_user_value",
+    "frequent_sequences",
+    "data_quality_events",
+    "token_drift",
+    "audience_overlap_kmv",
+    "rank_profile_orders",
     "asof_join_events_orders",
     "text_ngram_topk",
     "heavy_hitters_tokens",
