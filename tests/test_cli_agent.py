@@ -94,3 +94,18 @@ def test_cli_with_admin_metrics_and_decider(tmp_path, spark, capfd):
     assert rc2 == 0
     err2 = capfd.readouterr().err
     assert "started 0 stream(s)" in err2
+
+
+def test_every_registry_query_is_documented():
+    """Docs honesty gate: every queries() key must appear in README.md (the
+    coverage matrix is what the user and the reviewer navigate by)."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as entry
+
+    readme = pathlib.Path(__file__).resolve().parent.parent.joinpath(
+        "README.md").read_text()
+    missing = [k for k in entry.queries() if k not in readme]
+    assert not missing, f"registry queries absent from README: {missing}"

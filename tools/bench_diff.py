@@ -1,0 +1,63 @@
+"""Round-over-round bench comparison: flag per-query regressions.
+
+Usage: python tools/bench_diff.py OLD.json NEW.json [threshold]
+
+Reads two bench JSON files (either the raw driver artifact with a `tail`
+field or a bare one-line bench output), aligns queries present in both,
+and prints the per-query delta table with anything slower than
+`threshold` (default 1.3x) marked REGRESSED.  Queries only in NEW are
+listed as added (no baseline).  Exit code 1 if any regression — usable
+as a gate.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def load(path: str) -> dict[str, float]:
+    raw = open(path).read()
+    m = re.search(r'\{"metric".*?\}(?=\s*$|\s*\n)', raw, re.S)
+    if m:
+        try:
+            return json.loads(m.group(0))["queries"]
+        except Exception:
+            pass
+    doc = json.loads(raw)
+    if "queries" in doc:
+        return doc["queries"]
+    tail = doc.get("tail", "")
+    m = re.search(r'\{"metric": .*\}', tail)
+    if not m:
+        raise SystemExit(f"no bench line found in {path}")
+    return json.loads(m.group(0))["queries"]
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    regressed = []
+    print(f"{'query':30s} {'old':>7s} {'new':>7s} {'ratio':>7s}")
+    for q in sorted(set(old) & set(new)):
+        r = new[q] / old[q] if old[q] else float("inf")
+        flag = "  REGRESSED" if r > threshold else ""
+        if flag:
+            regressed.append(q)
+        print(f"{q:30s} {old[q]:7.2f} {new[q]:7.2f} {r:6.2f}x{flag}")
+    for q in sorted(set(new) - set(old)):
+        print(f"{q:30s} {'—':>7s} {new[q]:7.2f}   added")
+    if regressed:
+        print(f"\n{len(regressed)} regression(s) beyond {threshold}x: "
+              + ", ".join(regressed))
+        return 1
+    print(f"\nno regressions beyond {threshold}x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
