@@ -2695,7 +2695,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, ts, event_id,
                      CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
                           WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
-                          ELSE 'e' END AS s
+                          WHEN 'error' THEN 'e' ELSE 'x' END AS s
               FROM events),
             agg AS (
               SELECT user_id, count(*) AS n_events,

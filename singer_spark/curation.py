@@ -89,10 +89,17 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
                                         text_col=text_col, id_col=id_col)
             repl = spans.where(F.col("clean_text") != "").select(
                 F.col("id").alias(id_col),
-                F.col("clean_text").alias("_clean_text"))
+                F.col("clean_text").alias("_clean_text"),
+                F.col("n_removed").alias("_n_removed"))
+            # only REWRITE docs that actually lost a window — an untouched
+            # doc keeps its original bytes (clean_text is whitespace-
+            # rejoined, which would destroy newlines/tabs corpus-wide)
             out = (out.join(repl, id_col)
-                   .withColumn(text_col, F.col("_clean_text"))
-                   .drop("_clean_text"))
+                   .withColumn(text_col,
+                               F.when(F.col("_n_removed") > 0,
+                                      F.col("_clean_text"))
+                               .otherwise(F.col(text_col)))
+                   .drop("_clean_text", "_n_removed"))
         elif cfg.decontaminate_mode == "drop":
             flags = decontaminate(docs, benchmark, k=cfg.decontaminate_k,
                                   text_col=text_col, id_col=id_col)

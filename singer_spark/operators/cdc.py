@@ -40,8 +40,7 @@ def scd2_build(changes: DataFrame, key_col: str, attr_col: str,
 
 
 def scd2_apply(current: DataFrame, updates: DataFrame, key_col: str,
-               attr_col: str, ts_col: str,
-               order_cols: list[str] | None = None) -> DataFrame:
+               attr_col: str, ts_col: str) -> DataFrame:
     """MERGE a change batch into an SCD2 table: close each touched key's
     open row at its first new change, append one version per change, leave
     the newest change open.  Equivalent to rebuilding from the full
@@ -51,8 +50,11 @@ def scd2_apply(current: DataFrame, updates: DataFrame, key_col: str,
     open rows union the batch's versions and one LEAD window over that
     small frame re-links the chain.  An open row whose key has no update
     keeps valid_to NULL through the same window (LEAD over a 1-row
-    partition is NULL), so no separate anti-join is needed."""
-    order_by = [ts_col] + (order_cols or [])
+    partition is NULL), so no separate anti-join is needed.
+
+    Tie-break is ALWAYS (valid_from, attr) — the only columns that exist
+    after the rename — so pair this with a `scd2_build` whose
+    `order_cols` is the attr column (or nothing) for merged == rebuilt."""
     closed = current.where(F.col("valid_to").isNotNull())
     open_rows = current.where(F.col("valid_to").isNull()) \
                        .select("key", "attr", "valid_from")

@@ -43,6 +43,37 @@ def key_skew_report(df: DataFrame, key_cols: list[str] | str,
             .limit(top_n))
 
 
+def mg_partition_kernel(m: int):
+    """The shared Misra-Gries per-partition pass (used by the batch
+    pruning here and the streaming summary in streaming/stateful.py):
+    m counters; an arriving item increments its counter or, when the
+    table is full, decrements all (evicting zeros) — classic
+    frequent-items sketch, O(m) state, single pass.  Yields one
+    (item, cnt) frame per partition; counts are MG lower bounds."""
+    import pandas as pd
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for it in pdf["item"]:
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < m:
+                    counters[it] = 1
+                else:
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"item": list(counters.keys()),
+                            "cnt": list(counters.values())})
+
+    return mg_partition
+
+
 def heavy_hitters(df: DataFrame, item_col: str, min_share: float = 0.01,
                   capacity: int | None = None) -> DataFrame:
     """EXACT frequent items above a support threshold, found without
@@ -73,29 +104,9 @@ def heavy_hitters(df: DataFrame, item_col: str, min_share: float = 0.01,
     items = df.select(F.col(item_col).cast("string").alias("item")) \
               .where(F.col(item_col).isNotNull())
 
-    def mg_partition(batches):
-        # one Misra-Gries summary per partition: m counters, arriving item
-        # increments its counter or (when full) decrements all — classic
-        # frequent-items sketch, O(m) state, single pass
-        counters: dict[str, int] = {}
-        for pdf in batches:
-            for it in pdf["item"]:
-                if it in counters:
-                    counters[it] += 1
-                elif len(counters) < m:
-                    counters[it] = 1
-                else:
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
-        yield pd.DataFrame({"item": list(counters.keys())})
-
-    candidates = (items.mapInPandas(mg_partition, "item string")
-                  .distinct())
+    candidates = (items.mapInPandas(mg_partition_kernel(m),
+                                    "item string, cnt long")
+                  .select("item").distinct())
     totals = items.agg(F.count("*").alias("_total"))
     return (
         items.join(F.broadcast(candidates), "item", "left_semi")
@@ -195,8 +206,11 @@ def check_expectations(df: DataFrame, rules: list[tuple],
     rate = F.when(F.col("n_rows") > 0,
                   (F.col("n_rows") - F.col("n_violations")) / F.col("n_rows")) \
             .otherwise(F.lit(1.0))
+    # the verdict compares the UNROUNDED rate: at n_rows >= 2M a single
+    # violation rounds to pass_rate 1.000000, and a gate that passes on
+    # the rounded display value would wave bad data through
     return (wide.select(F.explode(per_rule).alias("r")).select("r.*")
             .select("rule", "n_rows", "n_violations",
-                    qround(rate, 6).alias("pass_rate"))
-            .withColumn("passed", F.col("pass_rate") >= min_pass_rate)
+                    qround(rate, 6).alias("pass_rate"),
+                    (rate >= min_pass_rate).alias("passed"))
             .orderBy("rule"))

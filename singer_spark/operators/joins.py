@@ -117,6 +117,25 @@ def salted_join(facts: DataFrame, dim: DataFrame, key: str,
     )
 
 
+def _verify_edit_distance_pairs(pairs: DataFrame, df: DataFrame,
+                                text_col: str, id_col: str,
+                                max_dist: int) -> DataFrame:
+    """Shared verify tail of the fuzzy joins: re-attach the strings to the
+    id-only candidate pairs and keep those within the Levenshtein bound.
+    Output: (id_a, id_b, name_a, name_b, dist) ordered by ids."""
+    names = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("name"))
+    return (
+        pairs
+        .join(names.select(F.col("id").alias("id_a"), F.col("name").alias("name_a")), "id_a")
+        .join(names.select(F.col("id").alias("id_b"), F.col("name").alias("name_b")), "id_b")
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "name_a", "name_b",
+                F.col("dist").cast("int").alias("dist"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def fuzzy_join_pairs(df: DataFrame, text_col: str, id_col: str,
                      max_dist: int = 2,
                      max_token_df: int | None = None) -> DataFrame:
@@ -150,16 +169,7 @@ def fuzzy_join_pairs(df: DataFrame, text_col: str, id_col: str,
     pairs = (a.join(b, "tok")
              .where(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b").distinct())
-    names = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("name"))
-    return (
-        pairs
-        .join(names.select(F.col("id").alias("id_a"), F.col("name").alias("name_a")), "id_a")
-        .join(names.select(F.col("id").alias("id_b"), F.col("name").alias("name_b")), "id_b")
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .where(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", "name_a", "name_b", F.col("dist").cast("int").alias("dist"))
-        .orderBy("id_a", "id_b")
-    )
+    return _verify_edit_distance_pairs(pairs, df, text_col, id_col, max_dist)
 
 
 def fuzzy_join_qgram(df: DataFrame, text_col: str, id_col: str,
@@ -216,14 +226,4 @@ def fuzzy_join_qgram(df: DataFrame, text_col: str, id_col: str,
              .where(F.col("a.id") < F.col("b.id"))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .distinct())
-    names = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("name"))
-    return (
-        pairs
-        .join(names.select(F.col("id").alias("id_a"), F.col("name").alias("name_a")), "id_a")
-        .join(names.select(F.col("id").alias("id_b"), F.col("name").alias("name_b")), "id_b")
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .where(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", "name_a", "name_b",
-                F.col("dist").cast("int").alias("dist"))
-        .orderBy("id_a", "id_b")
-    )
+    return _verify_edit_distance_pairs(pairs, df, text_col, id_col, max_dist)

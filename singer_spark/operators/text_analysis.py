@@ -992,11 +992,16 @@ def token_drift(docs_a: DataFrame, docs_b: DataFrame, top_n: int = 50,
     fa = F.col("n_a") / F.col("_ta")
     fb = F.col("n_b") / F.col("_tb")
     chi2 = (fa - fb) * (fa - fb) / (fa + fb)
+    # rank by the UNROUNDED |freq_diff| (the oracle does too): sorting the
+    # rounded value could cut the top-N differently whenever the limit
+    # falls inside a rounds-equal group
     return (joined.crossJoin(F.broadcast(totals))
             .select("token", "n_a", "n_b",
                     qround(fa, 6).alias("freq_a"),
                     qround(fb, 6).alias("freq_b"),
                     qround(fa - fb, 6).alias("freq_diff"),
-                    qround(chi2, 8).alias("chi2_term"))
-            .orderBy(F.abs(F.col("freq_diff")).desc(), F.col("token"))
-            .limit(top_n))
+                    qround(chi2, 8).alias("chi2_term"),
+                    F.abs(fa - fb).alias("_rank"))
+            .orderBy(F.col("_rank").desc(), F.col("token"))
+            .limit(top_n)
+            .drop("_rank"))

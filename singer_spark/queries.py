@@ -394,8 +394,12 @@ def event_pattern_match(spark: SparkSession, sf_dir: str,
         .agg(seq.alias("seq"), F.count("*").alias("n_events"))
         .select(
             "user_id", "n_events",
+            # unmapped event types become a filler symbol rather than
+            # DISAPPEARING (array_join drops NULLs) — a dropped event
+            # would fake contiguity across an intervening unknown event
             F.array_join(
-                F.transform("seq", lambda s: F.element_at(sym_map, s.event_type)), ""
+                F.transform("seq", lambda s: F.coalesce(
+                    F.element_at(sym_map, s.event_type), F.lit("x"))), ""
             ).alias("symstr"),
         )
     )

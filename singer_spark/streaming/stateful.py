@@ -202,32 +202,12 @@ def mg_summarize(items: DataFrame, item_col: str, capacity: int) -> DataFrame:
     diagnostics.heavy_hitters) union into one frame and fold through
     :func:`mg_merge` — tiny at every stage, no full groupBy of the tail.
     Counts are MG lower bounds (undercount <= N/capacity), not exacts."""
-    import pandas as pd
-
-    m = capacity
-
-    def mg_partition(batches):
-        counters: dict[str, int] = {}
-        for pdf in batches:
-            for it in pdf["item"]:
-                if it in counters:
-                    counters[it] += 1
-                elif len(counters) < m:
-                    counters[it] = 1
-                else:
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
-        yield pd.DataFrame({"item": list(counters.keys()),
-                            "cnt": list(counters.values())})
+    from singer_spark.operators.diagnostics import mg_partition_kernel
 
     parts = (items.select(F.col(item_col).cast("string").alias("item"))
              .where(F.col(item_col).isNotNull())
-             .mapInPandas(mg_partition, "item string, cnt long"))
+             .mapInPandas(mg_partition_kernel(capacity),
+                          "item string, cnt long"))
     return mg_merge(parts, capacity)
 
 
@@ -277,6 +257,26 @@ def streaming_heavy_hitters(items_stream: DataFrame, state_path: str,
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
+        marker = state_path + "_epoch"
+        prev_path = state_path + "_prev"
+        # at-least-once retry guard FIRST: marker == this epoch means the
+        # state already includes this batch — re-merging would double-count
+        # (the lower-bound invariant breaks upward, unrepairable by a
+        # recount).  Any surviving _prev is then just pre-cleanup leftovers.
+        if os.path.isfile(marker):
+            with open(marker) as f:
+                if f.read().strip() == str(epoch_id):
+                    shutil.rmtree(prev_path, ignore_errors=True)
+                    return
+        # crash recovery (marker predates this epoch, so any _prev is the
+        # true pre-batch state): died between the two swap renames → state
+        # missing, restore it; died after the swap but before the marker →
+        # both exist, state is half-applied, roll it back
+        if not os.path.isdir(state_path) and os.path.isdir(prev_path):
+            os.rename(prev_path, state_path)
+        elif os.path.isdir(prev_path) and os.path.isdir(state_path):
+            shutil.rmtree(state_path)
+            os.rename(prev_path, state_path)
         batch_sum = mg_summarize(batch_df, item_col, capacity)
         if os.path.isdir(state_path):
             prior = spark.read.parquet(state_path)
@@ -285,9 +285,17 @@ def streaming_heavy_hitters(items_stream: DataFrame, state_path: str,
             merged = batch_sum
         tmp = f"{state_path}_tmp_{epoch_id}_{uuid.uuid4().hex[:8]}"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # two-rename swap: the old state survives as _prev until the new
+        # one is in place, so no crash point loses the accumulated counts
+        shutil.rmtree(prev_path, ignore_errors=True)
         if os.path.isdir(state_path):
-            shutil.rmtree(state_path)
+            os.rename(state_path, prev_path)
         os.rename(tmp, state_path)
+        mk_tmp = marker + ".tmp"
+        with open(mk_tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.replace(mk_tmp, marker)
+        shutil.rmtree(prev_path, ignore_errors=True)
 
     return (items_stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint))

@@ -25,7 +25,10 @@ def load(path: str) -> dict[str, float]:
             return json.loads(m.group(0))["queries"]
         except Exception:
             pass
-    doc = json.loads(raw)
+    try:
+        doc = json.loads(raw)
+    except json.JSONDecodeError:
+        raise SystemExit(f"no bench line found in {path}")
     if "queries" in doc:
         return doc["queries"]
     tail = doc.get("tail", "")
