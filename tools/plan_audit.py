@@ -1,0 +1,89 @@
+"""Static plan audit over the whole query registry.
+
+For every `queries()` entry, builds the DataFrame (NO execution beyond
+what plan construction itself requires) and summarizes the formatted
+physical plan:
+
+- n_scans / n_exchanges / n_broadcasts — the shuffle budget at a glance
+- n_smj — SortMergeJoin count (the shuffle-heavy join form; broadcast
+  joins don't shuffle the big side)
+- pushed — whether any parquet scan carries PushedFilters
+  (codegen spans aren't visible pre-execution under AQE, so they're not
+  reported here — the plan-invariant tests pin the hot paths instead)
+
+Prints a table sorted by exchange count (the queries most worth a second
+look first) and writes PLANS.json next to the repo root for
+round-over-round diffing.  A query whose plan fails to BUILD is reported
+as an error row — this doubles as a registry smoke check that needs no
+oracle run.
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def audit_one(df) -> dict:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    return {
+        "n_scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
+        "n_exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
+        "n_broadcasts": len(re.findall(r"Broadcast(?:Exchange|HashJoin|NestedLoopJoin)", plan)),
+        "n_smj": len(re.findall(r"\(\d+\) SortMergeJoin", plan)),
+        "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from singer_spark.session import get_spark
+
+    spark = get_spark("plan_audit", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = {}
+    errors = []
+    for name, fn in sorted(entry.queries().items()):
+        if only and name not in only:
+            continue
+        try:
+            rows[name] = audit_one(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
+            errors.append(name)
+            rows[name] = {"error": str(e).splitlines()[0][:120]}
+
+    print(f"{'query':32s} {'scans':>5s} {'exch':>5s} {'bcast':>5s} "
+          f"{'smj':>4s} {'pushed':>6s}")
+    ok = {k: v for k, v in rows.items() if "error" not in v}
+    for name, r in sorted(ok.items(), key=lambda kv: -kv[1]["n_exchanges"]):
+        print(f"{name:32s} {r['n_scans']:5d} {r['n_exchanges']:5d} "
+              f"{r['n_broadcasts']:5d} {r['n_smj']:4d} "
+              f"{str(r['pushed']):>6s}")
+    for name in errors:
+        print(f"{name:32s} ERROR {rows[name]['error']}")
+
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLANS.json")
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1, sort_keys=True)
+    print(f"\n{len(ok)} plans audited, {len(errors)} errors -> {out}")
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
