@@ -1058,6 +1058,12 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(spark, sf_dir)
 
 
+def _correlation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import correlation_report
+
+    return correlation_report(spark, sf_dir)
+
+
 def _token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift monitor between two corpus halves (sources src0-9 vs
     src10-19): per-token frequency deltas + chi-square contributions
@@ -1617,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_normalized": _dedup_normalized,
         "frequent_sequences": _frequent_sequences,
         "token_drift": _token_drift,
+        "correlation_report": _correlation_report,
         "profile_orders": _profile_orders,
         "fuzzy_part_names": _fuzzy_part_names,
         "fuzzy_part_names_qgram": _fuzzy_part_names_qgram,
@@ -2555,6 +2562,17 @@ def oracle_sql() -> dict[str, str]:
               ('view', 1, (SELECT count(*) FROM v)),
               ('click', 2, (SELECT count(*) FROM c)),
               ('purchase', 3, (SELECT count(*) FROM p))) t(stage, stage_idx, n_users)""",
+        "correlation_report": """
+            WITH b AS (
+              SELECT event_type, value AS y,
+                     (epoch_us(ts) % 86400000000) / 1000000.0 AS x
+              FROM events)
+            SELECT event_type, count(*) AS n,
+                   floor(corr(y, x) * 10000 + 0.5) / 10000 AS corr_value_tod,
+                   floor(covar_samp(y, x) * 10000 + 0.5) / 10000 AS covar_value_tod,
+                   floor(covar_samp(y, x) / var_samp(x) * 1000000 + 0.5)
+                       / 1000000 AS slope
+            FROM b GROUP BY event_type ORDER BY event_type""",
         "token_drift": r"""
             WITH a AS (
               SELECT unnest(regexp_split_to_array(text, '\s+')) AS token

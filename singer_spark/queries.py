@@ -731,3 +731,23 @@ def frequent_sequences(spark: SparkSession, sf_dir: str, k: int = 3,
         .where(F.col("n_users") >= min_users)
         .orderBy(F.desc("n_users"), "pattern")
     )
+
+
+def correlation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per event type: Pearson correlation,
+    sample covariance, and slope of the least-squares fit between event
+    value and time-of-day seconds — the corr/covar/regr aggregate family
+    in one map-side-combined pass (each statistic reduces from the same
+    (Σx, Σy, Σxy, Σx², n) partials; no second scan).
+    Output: (event_type, n, corr_value_tod, covar_value_tod, slope)."""
+    ev = read_events(spark, sf_dir)
+    tod = (F.unix_micros("ts") % (86400 * 1_000_000)) / 1e6
+    base = ev.select("event_type", F.col("value").alias("y"), tod.alias("x"))
+    return (
+        base.groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             qround(F.corr("y", "x"), 4).alias("corr_value_tod"),
+             qround(F.covar_samp("y", "x"), 4).alias("covar_value_tod"),
+             qround(F.covar_samp("y", "x") / F.var_samp("x"), 6).alias("slope"))
+        .orderBy("event_type")
+    )
