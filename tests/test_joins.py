@@ -182,3 +182,45 @@ def test_fuzzy_qgram_complete_vs_quadratic(spark, sf_dir):
     tiny = spark.createDataFrame([(1, "abc"), (2, "abd")], "id bigint, s string")
     with pytest.raises(ValueError, match="distinct"):
         fuzzy_join_qgram(tiny, "s", "id", max_dist=2)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_qgram_completeness_property(spark):
+    """The prefix-filter completeness theorem, pinned on adversarial random
+    strings (heavy duplicate grams, near-misses) against a quadratic
+    Python Levenshtein — the fixture corpus can't produce these."""
+    import random
+
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    from singer_spark.operators.joins import fuzzy_join_qgram
+
+    word = st.text(alphabet="abcab", min_size=10, max_size=18)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(word, min_size=4, max_size=20, unique=True))
+    def run(words):
+        df = spark.createDataFrame(list(enumerate(words)), "id bigint, s string")
+        try:
+            got = {(r.id_a, r.id_b, r.dist) for r in
+                   fuzzy_join_qgram(df, "s", "id", max_dist=2).collect()}
+        except ValueError:
+            assume(False)  # too few distinct grams — guard fired, skip
+            return
+        want = {(i, j, _lev(a, b))
+                for i, a in enumerate(words) for j, b in enumerate(words)
+                if i < j and _lev(a, b) <= 2}
+        assert got == want
+
+    run()
