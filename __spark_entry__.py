@@ -1058,6 +1058,18 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(spark, sf_dir)
 
 
+def _join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-style pre-flight join sizing from KMV key sketches — no
+    join executes (operators/sketches.join_cardinality_estimate);
+    tolerance-checked against the exact join in tools/verify_local.py."""
+    from singer_spark.operators.sketches import join_cardinality_estimate
+    from singer_spark.session import read_events
+
+    ev = read_events(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return join_cardinality_estimate(ev, "user_id", cust, "c_custkey")
+
+
 def _correlation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.queries import correlation_report
 
@@ -1624,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_sequences": _frequent_sequences,
         "token_drift": _token_drift,
         "correlation_report": _correlation_report,
+        "join_size_estimate": _join_size_estimate,
         "profile_orders": _profile_orders,
         "fuzzy_part_names": _fuzzy_part_names,
         "fuzzy_part_names_qgram": _fuzzy_part_names_qgram,

@@ -115,3 +115,41 @@ def kmv_overlap(sketches: DataFrame, group_col: str, g_a: str, g_b: str,
                 F.round(rho * est_u, 2).alias("est_intersection"),
                 F.round(rho, 4).alias("jaccard"),
             ))
+
+
+def join_cardinality_estimate(df_a: DataFrame, key_a: str,
+                              df_b: DataFrame, key_b: str,
+                              k: int = 256) -> DataFrame:
+    """Pre-flight equi-join sizing WITHOUT running the join: KMV sketches
+    of both key columns give the distinct-key intersection, and uniform
+    per-key multiplicities (n/D per side) scale it to an expected output
+    row count — the planner-style estimate that decides broadcast vs
+    shuffle vs salting before any exchange happens.
+
+    Assumes near-uniform key multiplicities (document the caveat: a
+    skewed hot key makes the true output exceed the estimate — which is
+    exactly when `diagnostics.key_skew_report` should run next).
+
+    Cost: two column scans producing k-value summaries; nothing joins.
+    Output: one row (n_a, n_b, est_distinct_a, est_distinct_b,
+    est_shared_keys, est_join_rows)."""
+    tagged = (df_a.select(F.lit("a").alias("side"),
+                          F.col(key_a).cast("string").alias("item"))
+              .unionByName(
+                  df_b.select(F.lit("b").alias("side"),
+                              F.col(key_b).cast("string").alias("item"))))
+    sk = kmv_sketch(tagged, "side", "item", k=k)
+    counts = (tagged.groupBy("side").agg(F.count("*").alias("n"))
+              .groupBy().pivot("side", ["a", "b"]).agg(F.first("n")))
+    overlap = kmv_overlap(sk, "side", "a", "b", k=k)
+    est = (overlap.crossJoin(F.broadcast(counts))
+           .select(
+               F.col("a").alias("n_a"), F.col("b").alias("n_b"),
+               F.col("est_a").alias("est_distinct_a"),
+               F.col("est_b").alias("est_distinct_b"),
+               F.col("est_intersection").alias("est_shared_keys"),
+               F.round(F.col("est_intersection")
+                       * (F.col("a") / F.col("est_a"))
+                       * (F.col("b") / F.col("est_b")), 1).alias("est_join_rows"),
+           ))
+    return est

@@ -133,6 +133,20 @@ APPROX_ORACLES = {
         "(SELECT count(*) FROM v JOIN p USING (user_id))::DOUBLE AS est_intersection, "
         "((SELECT count(*) FROM v JOIN p USING (user_id))::DOUBLE "
         " / (SELECT count(*) FROM u))::DOUBLE AS jaccard", 0.15),
+    # KMV join sizing: distinct/intersection estimates at ~6% + the
+    # uniform-multiplicity scaling; 15% slack vs the EXACT join count
+    "join_size_estimate": (
+        "WITH a AS (SELECT user_id::VARCHAR AS item FROM events), "
+        "b AS (SELECT c_custkey::VARCHAR AS item FROM customer) "
+        "SELECT (SELECT count(*) FROM a) AS n_a, "
+        "(SELECT count(*) FROM b) AS n_b, "
+        "(SELECT count(DISTINCT item) FROM a)::DOUBLE AS est_distinct_a, "
+        "(SELECT count(DISTINCT item) FROM b)::DOUBLE AS est_distinct_b, "
+        "(SELECT count(*) FROM (SELECT DISTINCT item FROM a) x "
+        " JOIN (SELECT DISTINCT item FROM b) y USING (item))::DOUBLE "
+        "    AS est_shared_keys, "
+        "(SELECT count(*) FROM events e JOIN customer c "
+        " ON e.user_id = c.c_custkey)::DOUBLE AS est_join_rows", 0.15),
     # HLL at lg_k=14 → ~1.3% standard error; 5% slack
     "rolling_active_users_hll": (
         "WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events), "
