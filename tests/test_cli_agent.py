@@ -109,3 +109,18 @@ def test_every_registry_query_is_documented():
         "README.md").read_text()
     missing = [k for k in entry.queries() if k not in readme]
     assert not missing, f"registry queries absent from README: {missing}"
+
+
+def test_bench_headliners_exist_in_registry():
+    """The driver runs bench.py per round; a renamed or dropped registry
+    key would crash it mid-round — catch that at test time."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as entry
+    import bench
+
+    missing = [q for q in bench.HEADLINERS if q not in entry.queries()]
+    assert not missing, f"bench headliners not in queries(): {missing}"
+    assert len(bench.HEADLINERS) == len(set(bench.HEADLINERS)), "duplicates"
