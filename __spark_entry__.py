@@ -1058,6 +1058,24 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(spark, sf_dir)
 
 
+def _revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import revenue_concentration
+
+    return revenue_concentration(spark, sf_dir)
+
+
+def _revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import revenue_pareto
+
+    return revenue_pareto(spark, sf_dir)
+
+
+def _robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import robust_spread
+
+    return robust_spread(spark, sf_dir)
+
+
 def _join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planner-style pre-flight join sizing from KMV key sketches — no
     join executes (operators/sketches.join_cardinality_estimate);
@@ -1637,6 +1655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift": _token_drift,
         "correlation_report": _correlation_report,
         "join_size_estimate": _join_size_estimate,
+        "revenue_concentration": _revenue_concentration,
+        "revenue_pareto": _revenue_pareto,
+        "robust_spread": _robust_spread,
         "profile_orders": _profile_orders,
         "fuzzy_part_names": _fuzzy_part_names,
         "fuzzy_part_names_qgram": _fuzzy_part_names_qgram,
@@ -2575,6 +2596,44 @@ def oracle_sql() -> dict[str, str]:
               ('view', 1, (SELECT count(*) FROM v)),
               ('click', 2, (SELECT count(*) FROM c)),
               ('purchase', 3, (SELECT count(*) FROM p))) t(stage, stage_idx, n_users)""",
+        "revenue_concentration": """
+            WITH pc AS (SELECT o_custkey, sum(o_totalprice) AS rev
+                        FROM orders GROUP BY o_custkey),
+            r AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i
+                  FROM pc)
+            SELECT count(*) AS n_customers,
+                   floor(sum(rev) * 100 + 0.5) / 100 AS total_revenue,
+                   floor((2 * sum(i * rev) - (count(*) + 1) * sum(rev))
+                         / (count(*) * sum(rev)) * 1000000 + 0.5) / 1000000
+                       AS gini
+            FROM r""",
+        "revenue_pareto": """
+            WITH pc AS (SELECT o_custkey, sum(o_totalprice) AS rev
+                        FROM orders GROUP BY o_custkey),
+            d AS (SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey)
+                             AS decile FROM pc),
+            g AS (SELECT decile, count(*) AS n_customers,
+                         sum(rev) AS rev_raw
+                  FROM d GROUP BY decile),
+            t AS (SELECT sum(rev_raw) AS tt FROM g)
+            SELECT decile::INT AS decile, n_customers,
+                   floor(rev_raw * 100 + 0.5) / 100 AS revenue,
+                   floor(rev_raw / tt * 1000000 + 0.5) / 1000000 AS share,
+                   floor(sum(rev_raw / tt) OVER (ORDER BY decile
+                         ROWS UNBOUNDED PRECEDING) * 1000000 + 0.5) / 1000000
+                       AS cum_share
+            FROM g, t ORDER BY decile""",
+        "robust_spread": """
+            WITH med AS (SELECT event_type,
+                                quantile_cont(value, 0.5) AS m,
+                                count(*) AS n
+                         FROM events GROUP BY event_type)
+            SELECT e.event_type, first(med.n) AS n,
+                   floor(first(med.m) * 10000 + 0.5) / 10000 AS median_value,
+                   floor(quantile_cont(abs(e.value - med.m), 0.5) * 10000 + 0.5)
+                       / 10000 AS mad_value
+            FROM events e JOIN med ON e.event_type = med.event_type
+            GROUP BY e.event_type ORDER BY e.event_type""",
         "correlation_report": """
             WITH b AS (
               SELECT event_type, value AS y,

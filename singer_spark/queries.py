@@ -751,3 +751,73 @@ def correlation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              qround(F.covar_samp("y", "x") / F.var_samp("x"), 6).alias("slope"))
         .orderBy("event_type")
     )
+
+
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order revenue across customers — the
+    inequality/concentration index (how much of the business a few
+    accounts carry).  Formula over ascending per-customer revenue x_i:
+    G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x), computed with ONE per-customer
+    aggregation, one global rank window, one final reduce — ranks are
+    deterministic (revenue, then key).  Output: one row (n_customers,
+    total_revenue, gini)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.sum("o_totalprice").alias("rev")))
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    return (ranked.agg(
+        F.count("*").alias("n_customers"),
+        qround(F.sum("rev"), 2).alias("total_revenue"),
+        qround((2 * F.sum(F.col("i") * F.col("rev"))
+                - (F.count("*") + 1) * F.sum("rev"))
+               / (F.count("*") * F.sum("rev")), 6).alias("gini"),
+    ))
+
+
+def revenue_pareto(spark: SparkSession, sf_dir: str,
+                   tiles: int = 10) -> DataFrame:
+    """Pareto profile: customers bucketed into revenue deciles (1 = top
+    spenders) with each decile's share and the running cumulative share —
+    the 80/20 report.  One per-customer agg, one global ntile window over
+    the (small) per-customer frame, cumulative share via a window over
+    the 10-row decile frame.  Output: (decile, n_customers, revenue,
+    share, cum_share)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.sum("o_totalprice").alias("rev")))
+    w = Window.orderBy(F.desc("rev"), "o_custkey")
+    deciles = (per_cust.withColumn("decile", F.ntile(tiles).over(w))
+               .groupBy("decile")
+               .agg(F.count("*").alias("n_customers"),
+                    F.sum("rev").alias("rev_raw")))
+    total = deciles.agg(F.sum("rev_raw").alias("_t"))
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (deciles.crossJoin(F.broadcast(total))
+            .select(F.col("decile").cast("int").alias("decile"),
+                    "n_customers",
+                    qround(F.col("rev_raw"), 2).alias("revenue"),
+                    qround(F.col("rev_raw") / F.col("_t"), 6).alias("share"),
+                    qround(F.sum(F.col("rev_raw") / F.col("_t")).over(cum), 6)
+                    .alias("cum_share"))
+            .orderBy("decile"))
+
+
+def robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/scale per event type: median and MAD (median
+    absolute deviation) — the outlier-resistant complement to
+    mean/stddev.  Two aggregation passes (the median must exist before
+    deviations can), each map-side combined; the 5-row median frame
+    broadcasts back onto the scan.  Output: (event_type, n, median_value,
+    mad_value)."""
+    ev = read_events(spark, sf_dir)
+    med = (ev.groupBy("event_type")
+           .agg(F.expr("percentile(value, 0.5)").alias("_med"),
+                F.count("*").alias("n")))
+    return (ev.join(F.broadcast(med), "event_type")
+            .groupBy("event_type")
+            .agg(F.first("n").alias("n"),
+                 qround(F.first("_med"), 4).alias("median_value"),
+                 qround(F.expr("percentile(abs(value - _med), 0.5)"), 4)
+                 .alias("mad_value"))
+            .orderBy("event_type"))
