@@ -1058,6 +1058,18 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(spark, sf_dir)
 
 
+def _new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import new_vs_returning
+
+    return new_vs_returning(spark, sf_dir)
+
+
+def _stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from singer_spark.queries import stickiness
+
+    return stickiness(spark, sf_dir)
+
+
 def _revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.queries import revenue_concentration
 
@@ -1658,6 +1670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentration": _revenue_concentration,
         "revenue_pareto": _revenue_pareto,
         "robust_spread": _robust_spread,
+        "new_vs_returning": _new_vs_returning,
+        "stickiness": _stickiness,
         "profile_orders": _profile_orders,
         "fuzzy_part_names": _fuzzy_part_names,
         "fuzzy_part_names_qgram": _fuzzy_part_names_qgram,
@@ -2596,6 +2610,30 @@ def oracle_sql() -> dict[str, str]:
               ('view', 1, (SELECT count(*) FROM v)),
               ('click', 2, (SELECT count(*) FROM c)),
               ('purchase', 3, (SELECT count(*) FROM p))) t(stage, stage_idx, n_users)""",
+        "new_vs_returning": """
+            WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                        FROM events),
+            f AS (SELECT user_id, min(d) AS first_d FROM ud GROUP BY user_id)
+            SELECT strftime(ud.d, '%Y-%m-%d') AS day,
+                   sum(CASE WHEN ud.d = f.first_d THEN 1 ELSE 0 END) AS n_new,
+                   sum(CASE WHEN ud.d <> f.first_d THEN 1 ELSE 0 END)
+                       AS n_returning
+            FROM ud JOIN f USING (user_id)
+            GROUP BY ud.d ORDER BY day""",
+        "stickiness": """
+            WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+                        FROM events),
+            u2 AS (SELECT user_id, d, date_trunc('month', d) AS m FROM ud),
+            dau AS (SELECT m, avg(c) AS avg_dau_raw FROM (
+                      SELECT m, d, count(*) AS c FROM u2 GROUP BY m, d)
+                    GROUP BY m),
+            mau AS (SELECT m, count(DISTINCT user_id) AS mau FROM u2 GROUP BY m)
+            SELECT strftime(dau.m, '%Y-%m') AS month,
+                   floor(avg_dau_raw * 10000 + 0.5) / 10000 AS avg_dau,
+                   mau.mau,
+                   floor(avg_dau_raw / mau.mau * 1000000 + 0.5) / 1000000
+                       AS stickiness
+            FROM dau JOIN mau ON dau.m = mau.m ORDER BY month""",
         "revenue_concentration": """
             WITH pc AS (SELECT o_custkey, sum(o_totalprice) AS rev
                         FROM orders GROUP BY o_custkey),

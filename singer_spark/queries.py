@@ -821,3 +821,48 @@ def robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
                  qround(F.expr("percentile(abs(value - _med), 0.5)"), 4)
                  .alias("mad_value"))
             .orderBy("event_type"))
+
+
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily acquisition split: distinct users active each day, divided
+    into first-ever-seen (new) and returning.  The log collapses to
+    distinct (user, day) once; each user's min day rides the same frame
+    (a user-keyed window min avoids a second scan-and-join).
+    Output: (day, n_new, n_returning)."""
+    ev = read_events(spark, sf_dir)
+    user_days = (ev.select("user_id", F.date_trunc("day", "ts").alias("d"))
+                 .distinct())
+    w = Window.partitionBy("user_id")
+    flagged = user_days.withColumn("first_d", F.min("d").over(w))
+    return (flagged.groupBy("d")
+            .agg(F.sum((F.col("d") == F.col("first_d")).cast("bigint"))
+                 .alias("n_new"),
+                 F.sum((F.col("d") != F.col("first_d")).cast("bigint"))
+                 .alias("n_returning"))
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "n_new", "n_returning")
+            .orderBy("day"))
+
+
+def stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month: average daily distinct
+    actives divided by the month's distinct actives — the engagement
+    ratio product teams track.  One collapsed user-day frame feeds both
+    numerator and denominator (count-distinct per month over the
+    already-distinct frame).  Output: (month, avg_dau, mau, stickiness)."""
+    ev = read_events(spark, sf_dir)
+    user_days = (ev.select("user_id",
+                           F.date_trunc("day", "ts").alias("d"))
+                 .distinct()
+                 .withColumn("m", F.date_trunc("month", "d")))
+    dau = (user_days.groupBy("m", "d").agg(F.count("*").alias("dau"))
+           .groupBy("m").agg(F.avg("dau").alias("avg_dau_raw"),
+                             F.count("*").alias("n_days")))
+    mau = user_days.groupBy("m").agg(F.count_distinct("user_id").alias("mau"))
+    return (dau.join(mau, "m")
+            .select(F.date_format("m", "yyyy-MM").alias("month"),
+                    qround(F.col("avg_dau_raw"), 4).alias("avg_dau"),
+                    "mau",
+                    qround(F.col("avg_dau_raw") / F.col("mau"), 6)
+                    .alias("stickiness"))
+            .orderBy("month"))
