@@ -33,6 +33,65 @@ def md5_int_sql(expr: str) -> str:
     return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT)"
 
 
+def windowed_join(arr: Column, start: Column, length, sep: str) -> Column:
+    """`array_join(slice(arr, start, length), sep)` rewritten to cost
+    O(length) instead of O(len(arr)) — for ATTRIBUTE arrays only.
+
+    Spark's interpreted `Slice.eval` materializes the ENTIRE source array
+    on every call, so slice-inside-transform — the natural way to shingle
+    (one slice per position) — is quadratic in the array length.  Indexed
+    reads (`try_element_at`) are O(1) on Spark's array data, so joining
+    `length` indexed lookups restores the linear total.  `try_element_at`
+    returns NULL past the end (never raises, ANSI-safe) and `array_join`
+    drops NULLs — exactly `slice`'s truncate-at-end behavior.
+
+    CONSTRAINT: `arr` MUST be a materialized column attribute (straight
+    from an agg/select boundary), NEVER a computed expression like
+    `split(text)` — Catalyst does no common-subexpression elimination
+    inside higher-order-function lambdas, so a computed `arr` would be
+    RE-EVALUATED on every element lookup and the whole pass goes
+    quadratic again.  For computed arrays use :func:`kgram_join_col`,
+    whose references are all per-row.  `length` must be a positive
+    Python int (window/shingle width)."""
+    assert int(length) >= 1
+    start = start.cast("int")
+    idx = F.sequence(start, start + F.lit(int(length) - 1).cast("int"))
+    return F.array_join(
+        F.transform(idx, lambda j: F.try_element_at(arr, j)), sep)
+
+
+def kgram_join_col(arr: Column, k: int, sep: str) -> Column:
+    """Array of `sep`-joined k-grams of `arr` (windows starting at
+    positions 1..n-k+1, order preserved), built in O(n·k) per row.
+
+    Why not `transform(sequence(1, n-k+1), i -> join(slice(arr, i, k)))`:
+    interpreted `Slice` copies the whole array per call, and — worse —
+    when `arr` is a computed expression (e.g. `split(text)`), Catalyst
+    re-evaluates it inside EVERY lambda invocation (no CSE inside HOF
+    lambdas), so the natural shingle loop is O(n²) and a single
+    million-token document or 100k-event user wedges its task.  Here
+    every reference to `arr` sits at per-ROW scope: k-1 `zip_with`
+    merges against progressively shifted copies (each shift a single
+    O(n) slice), so the cost is k slices + k element-wise zips per row
+    regardless of how `arr` is produced.
+
+    Windows that would run past the end come out NULL (zip_with pads,
+    concat propagates) and are trimmed by the final slice to n-k+1
+    entries; n < k yields an empty array — callers that want the
+    truncated-single-shingle edge (`join(arr)` when shorter than k) add
+    it with an outer `when`."""
+    assert k >= 1
+    if k == 1:
+        return arr
+    g = arr
+    for j in range(1, k):
+        shifted = F.slice(arr, j + 1, F.greatest(F.size(arr) - j, F.lit(1)))
+        g = F.zip_with(g, shifted, lambda x, y: F.concat(x, F.lit(sep), y))
+    n = (F.size(arr) - F.lit(k - 1)).cast("int")
+    return F.when(n >= 1, F.slice(g, 1, n)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
 def qround(col: Column, digits: int) -> Column:
     """Quantizing round: floor(x·10^n + 0.5) / 10^n.
 

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from singer_spark.functions import fan_out, md5_int, qround
+from singer_spark.functions import fan_out, kgram_join_col, md5_int, qround, windowed_join
 
 
 def tokens_col(text_col: str = "text"):
@@ -41,13 +41,14 @@ def tokens_col(text_col: str = "text"):
 
 
 def raw_shingles_col(text_col: str = "text", k: int = 4):
-    """All k-word shingles in order (duplicates kept). slice() is 1-based; a
-    doc shorter than k words yields its full text as the single shingle."""
+    """All k-word shingles in order (duplicates kept); a doc shorter than
+    k words yields its full text as the single shingle.  Built with
+    `kgram_join_col` (zip-shift, O(n·k) per row) — the natural
+    slice-per-position loop re-evaluates the token expression inside every
+    lambda call and is quadratic on long documents."""
     toks = tokens_col(text_col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
-    )
+    return F.when(F.size(toks) >= k, kgram_join_col(toks, k, " ")) \
+            .otherwise(F.array(F.array_join(toks, " ")))
 
 
 def shingles_col(text_col: str = "text", k: int = 4):
@@ -662,13 +663,6 @@ def dedup_incremental_bloom(new_docs: DataFrame, seen: DataFrame,
 # ---------------------------------------------------------------------------
 # Segment-level (sub-document) dedup
 # ---------------------------------------------------------------------------
-def _segment_expr(toks, i, words_per_segment: int):
-    """Segment `i` (0-based) of a token array: words [i*W+1, i*W+W] joined by
-    a single space (slice() is 1-based)."""
-    w = words_per_segment
-    return F.array_join(F.slice(toks, i * w + 1, w), " ")
-
-
 def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   words_per_segment: int = 20) -> DataFrame:
     """Sub-document exact dedup: drop duplicated SEGMENTS across the corpus,
@@ -686,22 +680,36 @@ def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     100 TB shape: segment TEXT never shuffles.  The wide operations see only
     (16-byte digest, id, seg_idx) rows — the keep/drop decision is a window
     over digests, the per-doc survivor list is an int-array aggregation, and
-    the cleaned text is rebuilt by re-slicing the original token array
+    the cleaned text is rebuilt by indexing the per-doc segment array
     JVM-side after a final id-keyed join of (id → kept positions) back to
-    the docs table.  Shuffle volume is O(total segments × ~32 B),
-    independent of document size.
+    the docs table (the doc's own text moves once through that join, as any
+    rebuild must).  Shuffle volume on the wide ops is
+    O(total segments × ~32 B), independent of document size.
+
+    Both segment passes index a MATERIALIZED token-array attribute with
+    `windowed_join` — the segmenter reads it across a Generate (explode)
+    boundary, the rebuild across the join boundary — so every lookup is
+    O(1).  This is deliberate: the natural slice-per-segment /
+    re-slice-per-kept-idx lambdas over the raw `split(text)` expression
+    re-evaluate it on every element (Catalyst has no CSE inside HOF
+    lambdas), which is quadratic in document length
+    (tests/test_long_doc_scaling.py pins the linearity).
 
     Output: (doc_id, text, n_segments, n_kept) with `text` rebuilt from the
     surviving segments (empty string when every segment was seen before).
     """
     w = words_per_segment
-    toks = tokens_col(text_col)
-    n_segs = F.greatest(F.ceil(F.size(toks) / w).cast("int"), F.lit(1))
-    segs = fan_out(docs).select(
-        F.col(id_col).alias("id"),
+
+    def n_segs_of(toks_attr):
+        return F.greatest(F.ceil(F.size(toks_attr) / w).cast("int"), F.lit(1))
+
+    base = fan_out(docs).select(F.col(id_col).alias("id"),
+                                tokens_col(text_col).alias("toks"))
+    segs = base.select(
+        "id",
         F.posexplode(
-            F.transform(F.sequence(F.lit(0), n_segs - 1),
-                        lambda i: _segment_expr(toks, i, w))
+            F.transform(F.sequence(F.lit(0), n_segs_of(F.col("toks")) - 1),
+                        lambda i: windowed_join(F.col("toks"), i * w + 1, w, " "))
         ).alias("seg_idx", "segment"),
     )
     # Narrow rows only from here: (sig, id, seg_idx).
@@ -713,14 +721,17 @@ def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("seg_idx")).alias("kept_idx"))
     )
+    docs_toks = docs.select(F.col(id_col), tokens_col(text_col).alias("toks"))
     rebuilt = F.array_join(
-        F.transform(F.col("kept_idx"), lambda i: _segment_expr(toks, i, w)), " ")
+        F.transform(F.col("kept_idx"),
+                    lambda i: windowed_join(F.col("toks"), i * w + 1, w, " ")),
+        " ")
     return (
-        docs.join(kept, docs[id_col] == kept.id, "left")
+        docs_toks.join(kept, docs_toks[id_col] == kept.id, "left")
         .select(
             F.col(id_col),
             F.when(F.col("kept_idx").isNotNull(), rebuilt).otherwise(F.lit("")).alias(text_col),
-            n_segs.alias("n_segments"),
+            n_segs_of(F.col("toks")).alias("n_segments"),
             F.coalesce(F.size("kept_idx"), F.lit(0)).alias("n_kept"),
         )
     )

@@ -12,7 +12,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from singer_spark.functions import fan_out, md5_int, qround
+from singer_spark.functions import fan_out, kgram_join_col, md5_int, qround, windowed_join
 
 # Tiny built-in stopword profiles per language — the classic n-gram/stopword
 # heuristic (the container has no langdetect/fasttext; profiles are data).
@@ -140,10 +140,8 @@ def repetition_features(docs: DataFrame, text_col: str = "text", id_col: str = "
     out = base.select(F.col(id_col), qround(dup_tok, 4).alias("dup_token_frac"))
 
     def gram_stats(k: int, with_top: bool) -> DataFrame:
-        grams = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        )
+        grams = F.when(F.size(toks) >= k, kgram_join_col(toks, k, " ")) \
+                 .otherwise(F.array(F.array_join(toks, " ")))
         per = (base.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
                .groupBy("id", "g").agg(F.count("*").alias("n")))
         aggs = [F.sum("n").alias("total"), F.count("*").alias("n_distinct")]
@@ -364,9 +362,8 @@ def ngram_novelty(eval_docs: DataFrame, train_docs: DataFrame, k: int = 8,
 
     def raw_kgrams(col, kk):
         toks = F.filter(F.split(F.col(col), " "), lambda t: t != F.lit(""))
-        return F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (kk - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, kk), " "))
+        return F.when(F.size(toks) >= kk, kgram_join_col(toks, kk, " ")) \
+                .otherwise(F.array(F.array_join(toks, " ")))
 
     train_set = (fan_out(train_docs).select(F.explode(F.array_distinct(
         F.transform(raw_kgrams(text_col, k), lambda s: md5_int(s)))).alias("g"))
@@ -606,34 +603,54 @@ def chunk_documents(docs: DataFrame, window: int = 128, overlap: int = 32,
     overlap, and the final partial window is kept (every token lands in ≥1
     chunk).
 
-    Pure JVM: chunk starts come from `sequence` over the token count and
-    `slice` re-cuts the token array per chunk — one narrow pass + the
-    posexplode; no shuffle at all until whatever consumes the chunks.
+    Linear-by-construction plan: tokens explode once with their positions,
+    each token computes the (≤ ceil(window/stride)) chunk indexes it
+    belongs to, and one (id, chunk_idx)-keyed aggregation reassembles each
+    window (collect_list bounded at `window` elements).  The earlier
+    slice-per-chunk formulation avoided the shuffle but re-cut (and, in
+    interpreted HOF eval, re-materialized) the whole token array per
+    chunk — O(n²/stride) on a long document; this form moves each token
+    window/stride times through one exchange and touches it O(1) times
+    per chunk, with per-task state never exceeding one window — the shape
+    that survives a 1M-token document at 100 TB.
 
     Output: (id, chunk_idx, start_token, n_tokens, chunk)."""
     if not 0 <= overlap < window:
         raise ValueError("need 0 <= overlap < window")
     stride = window - overlap
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
-    # number of chunks: ceil(max(n - overlap, 1) / stride)
-    n_chunks = F.greatest(
-        F.ceil((F.size(toks) - overlap) / stride).cast("int"), F.lit(1))
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            (i * stride).alias("start"),
-            F.array_join(F.slice(toks, i * stride + 1, window), " ").alias("chunk"),
-            F.least(F.size(toks) - i * stride, F.lit(window)).alias("n"),
-        ),
+    base = fan_out(docs).select(F.col(id_col), toks.alias("toks"))
+    tok_rows = base.select(
+        F.col(id_col), F.size("toks").alias("n"),
+        F.posexplode("toks").alias("p", "tok"))
+    # chunk i covers [i·stride, i·stride + window); token p belongs to
+    # chunks ceil((p-window+1)/stride) .. floor(p/stride), clamped to the
+    # doc's chunk count ceil(max(n-overlap, 1)/stride)
+    last_chunk = (F.greatest(
+        F.ceil((F.col("n") - overlap) / stride).cast("int"), F.lit(1)) - 1)
+    lo = F.greatest(
+        F.ceil((F.col("p") - (window - 1)) / stride).cast("int"), F.lit(0))
+    hi = F.least(F.floor(F.col("p") / stride).cast("int"), last_chunk)
+    memb = tok_rows.select(
+        F.col(id_col), "p", "tok",
+        F.explode(F.sequence(lo, hi)).alias("chunk_idx"))
+    assembled = (
+        memb.groupBy(F.col(id_col), F.col("chunk_idx"))
+        .agg(F.count("*").alias("n_tokens"),
+             F.array_join(
+                 F.transform(F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                             lambda s: s.tok), " ").alias("chunk"))
+        .select(id_col, "chunk_idx",
+                (F.col("chunk_idx").cast("bigint") * stride).alias("start_token"),
+                F.col("n_tokens").cast("int").alias("n_tokens"), "chunk")
     )
-    return fan_out(docs).select(
-        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c")
-    ).select(
-        id_col, "chunk_idx",
-        F.col("c.start").cast("bigint").alias("start_token"),
-        F.col("c.n").cast("int").alias("n_tokens"),
-        F.col("c.chunk").alias("chunk"),
-    )
+    # a doc with no tokens still emits its single empty chunk (the
+    # explode path produces no rows for it)
+    empties = base.where(F.size("toks") == 0).select(
+        F.col(id_col), F.lit(0).alias("chunk_idx"),
+        F.lit(0).cast("bigint").alias("start_token"),
+        F.lit(0).cast("int").alias("n_tokens"), F.lit("").alias("chunk"))
+    return assembled.unionByName(empties)
 
 
 # ---------------------------------------------------------------------------
@@ -929,7 +946,7 @@ def decontaminate_spans(docs: DataFrame, benchmark: DataFrame, k: int = 8,
 
     def window_digests():
         return F.transform(window_starts(),
-                           lambda i: F.md5(F.array_join(F.slice("t", i, k), " ")))
+                           lambda i: F.md5(windowed_join(F.col("t"), i, k, " ")))
 
     # (id, start, digest) for every k-window; 1-based starts
     grams = (fan_out(docs)

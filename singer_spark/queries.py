@@ -20,6 +20,31 @@ from singer_spark.functions import qround
 from singer_spark.session import read_events
 
 
+def cap_events_per_key(df: DataFrame, key: str, order_cols: list[str],
+                       max_events: int | None) -> DataFrame:
+    """Hot-key guard for the per-user collect_list family: keep only the
+    OLDEST `max_events` rows per key (row_number over the same
+    (key, order) exchange the downstream groupBy reuses — no extra
+    shuffle; WindowExec's partition buffer spills to disk, so even the
+    pathological key never holds more than `max_events` rows in the
+    assembled array downstream).
+
+    With ``max_events=None`` (every registry default) this is an exact
+    no-op — the plan is byte-identical, so oracle hashes and PLANS.json
+    are unaffected.  The discipline mirrors the reference's oversize-drop
+    (`reader/ThriftLogFileReader.java:152-157`): one pathological record
+    (here: one 10M-event bot user) must never kill the pipeline.
+    First-touch operators (funnels, pattern match, sequence builders)
+    keep oldest-N because their semantics walk time forward from the
+    earliest events; a capped hot key loses only its tail, which those
+    walks would usually never reach."""
+    if max_events is None:
+        return df
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_events).drop("_rn"))
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy groupBy with map-side partial aggregation;
     the shuffle carries only (4 groups × 8 aggregates)."""
@@ -216,7 +241,8 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_finalize(merge_rollups(state, delta))
 
 
-def user_event_sequences(spark: SparkSession, sf_dir: str, max_len: int = 50) -> DataFrame:
+def user_event_sequences(spark: SparkSession, sf_dir: str, max_len: int = 50,
+                         max_events_per_key: int | None = None) -> DataFrame:
     """Per-user chronological event sequences — the training-example builder
     that turns an event log into model inputs: one groupBy shuffle keyed by
     user, sequence assembly JVM-side (collect_list → array_sort → slice),
@@ -224,8 +250,14 @@ def user_event_sequences(spark: SparkSession, sf_dir: str, max_len: int = 50) ->
 
     Output projects sequence summaries (length, span, joined type string of
     the first `max_len` events) rather than nested structs, so an external
-    SQL oracle can hash-compare it."""
+    SQL oracle can hash-compare it.
+
+    `max_events_per_key` (off by default) bounds the per-user array via
+    :func:`cap_events_per_key` BEFORE collection — with a cap, n_events /
+    last_ts summarize the user's oldest-N window, not their full
+    history."""
     ev = read_events(spark, sf_dir)
+    ev = cap_events_per_key(ev, "user_id", ["ts", "event_id"], max_events_per_key)
     seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
     head = F.slice(F.col("seq"), 1, max_len)
     return (
@@ -242,7 +274,8 @@ def user_event_sequences(spark: SparkSession, sf_dir: str, max_len: int = 50) ->
 
 
 def funnel_counts(spark: SparkSession, sf_dir: str,
-                  stages: tuple[str, ...] = ("view", "click", "purchase")) -> DataFrame:
+                  stages: tuple[str, ...] = ("view", "click", "purchase"),
+                  max_events_per_key: int | None = None) -> DataFrame:
     """Ordered funnel: how many users completed stage k strictly AFTER
     completing stage k-1 (first-touch semantics — min event time per
     stage).
@@ -255,6 +288,9 @@ def funnel_counts(spark: SparkSession, sf_dir: str,
     the per-stage driver `count()` actions (each of which re-ran the scan
     and every earlier join).  The per-user state is its stage-typed events
     only, and the stage-name frame is a constant 3-row broadcast.
+    `max_events_per_key` bounds the per-user array (oldest-N — first-touch
+    walks forward from the earliest events, so a capped hot key can only
+    under-report its deepest stages, never mis-order them).
     Output: (stage, stage_idx, n_users)."""
     ev = read_events(spark, sf_dir)
     stage_arr = F.array(*[F.lit(s) for s in stages])
@@ -272,7 +308,8 @@ def funnel_counts(spark: SparkSession, sf_dir: str,
                                e["ts"].alias("t"))).otherwise(acc)
 
     depth = (
-        ev.filter(F.col("event_type").isin(*stages))
+        cap_events_per_key(ev.filter(F.col("event_type").isin(*stages)),
+                           "user_id", ["ts", "event_id"], max_events_per_key)
         .groupBy("user_id").agg(evs.alias("evs"))
         .select(F.aggregate("evs", init, step)["k"].alias("k"))
         .filter(F.col("k") >= 1)
@@ -362,7 +399,8 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def event_pattern_match(spark: SparkSession, sf_dir: str,
                         pattern: str = "vc+p",
-                        symbols: dict[str, str] | None = None) -> DataFrame:
+                        symbols: dict[str, str] | None = None,
+                        max_events_per_key: int | None = None) -> DataFrame:
     """MATCH_RECOGNIZE-style contiguous pattern search over each user's
     chronological event stream (the reference engines expose this as SQL
     MATCH_RECOGNIZE / CEP pattern operators; Spark has no built-in, so the
@@ -380,13 +418,16 @@ def event_pattern_match(spark: SparkSession, sf_dir: str,
     100 TB shape: ONE shuffle keyed by user (same exchange the funnel and
     sequence builders use); the collect_list state per user is its events
     only, the regex walk is JVM-side on the assembled string, and the
-    output is one row per matching user.  Skew bound: the per-user string
-    is capped by the event log's per-user cardinality — for
-    pathological hot keys, pre-split by (user, day) first.
+    output is one row per matching user.  Skew bound: enforce
+    `max_events_per_key` (oldest-N via :func:`cap_events_per_key` on the
+    same exchange) so a pathological hot key is truncated before the
+    array materializes; with a cap, matches past the cap boundary are
+    missed (n_events then reports the capped count).
     Output: (user_id, n_events, n_matches, first_match_pos 1-based)."""
     symbols = symbols or {"view": "v", "click": "c", "purchase": "p",
                           "signup": "s", "error": "e"}
     ev = read_events(spark, sf_dir)
+    ev = cap_events_per_key(ev, "user_id", ["ts", "event_id"], max_events_per_key)
     sym_map = F.create_map(*[F.lit(x) for kv in symbols.items() for x in kv])
     seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
     per_user = (
@@ -432,16 +473,19 @@ def rolling_active_users(spark: SparkSession, sf_dir: str,
     the raw log).  The final per-anchor distinct count rides one more
     exchange keyed by day.  Anchors are restricted to days that actually
     appear in the log (broadcast semi-join), matching the oracle's day
-    spine.  Output: (day, n_active)."""
+    spine.  Anchor arithmetic is in DATE space (to_date + date_add) —
+    a timestamp + fixed-24h interval would miss midnight across a DST
+    shift and silently drop that day from the spine in non-UTC session
+    timezones.  Output: (day, n_active)."""
     ev = read_events(spark, sf_dir)
-    user_days = (ev.select("user_id", F.date_trunc("day", "ts").alias("ed"))
+    user_days = (ev.select("user_id", F.to_date("ts").alias("ed"))
                  .distinct())
     days = user_days.select(F.col("ed").alias("d")).distinct()
     anchored = user_days.select(
         "user_id",
         F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("i"),
         F.col("ed"),
-    ).select("user_id", (F.col("ed") + F.make_dt_interval(days=F.col("i"))).alias("d"))
+    ).select("user_id", F.date_add(F.col("ed"), F.col("i")).alias("d"))
     return (
         anchored.join(F.broadcast(days), "d", "left_semi")
         .groupBy("d").agg(F.count_distinct("user_id").alias("n_active"))
@@ -503,17 +547,18 @@ def rolling_active_users_hll(spark: SparkSession, sf_dir: str,
     — at lg_k=14, well under 2%; verified against the exact count with a
     tolerance oracle.  Output: (day, n_active_approx)."""
     ev = read_events(spark, sf_dir)
-    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("ed"))
+    daily = (ev.groupBy(F.to_date("ts").alias("ed"))
              .agg(F.hll_sketch_agg(F.col("user_id"), F.lit(lg_k)).alias("sk")))
     days = daily.select(F.col("ed").alias("d"))
     # anchor each day's sketch at the window_days anchors it serves, then
     # union-merge per anchor; the frame is |days| × window_days rows of
-    # sketches — tiny, and unaffected by corpus size
+    # sketches — tiny, and unaffected by corpus size.  date_add (not a
+    # fixed-24h interval) keeps the anchors on midnight across DST.
     anchored = daily.select(
         "sk",
         F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("i"),
         F.col("ed"),
-    ).select("sk", (F.col("ed") + F.make_dt_interval(days=F.col("i"))).alias("d"))
+    ).select("sk", F.date_add(F.col("ed"), F.col("i")).alias("d"))
     return (
         anchored.join(F.broadcast(days), "d", "left_semi")
         .groupBy("d").agg(F.hll_union_agg("sk").alias("merged"))
@@ -639,7 +684,8 @@ def order_value_rank_profile(spark: SparkSession, sf_dir: str,
 
 def funnel_windowed(spark: SparkSession, sf_dir: str,
                     stages: tuple[str, ...] = ("view", "click", "purchase"),
-                    window_hours: int = 24) -> DataFrame:
+                    window_hours: int = 24,
+                    max_events_per_key: int | None = None) -> DataFrame:
     """Conversion-window funnel: stage k counts only when it happens
     within `window_hours` of the user's stage-(k-1) completion —
     first-touch semantics throughout (each stage's time is the EARLIEST
@@ -648,8 +694,9 @@ def funnel_windowed(spark: SparkSession, sf_dir: str,
     collected array).
 
     Same ONE-job sorted-walk plan as :func:`funnel_counts`, the advance
-    condition just gains the upper bound.  Output: (stage, stage_idx,
-    n_users)."""
+    condition just gains the upper bound; `max_events_per_key` bounds the
+    per-user array the same way (oldest-N on the same exchange).
+    Output: (stage, stage_idx, n_users)."""
     ev = read_events(spark, sf_dir)
     stage_arr = F.array(*[F.lit(s) for s in stages])
     evs = F.array_sort(F.collect_list(F.struct(F.col("ts"), F.col("event_type"))))
@@ -665,7 +712,8 @@ def funnel_windowed(spark: SparkSession, sf_dir: str,
                                e["ts"].alias("t"))).otherwise(acc)
 
     depth = (
-        ev.filter(F.col("event_type").isin(*stages))
+        cap_events_per_key(ev.filter(F.col("event_type").isin(*stages)),
+                           "user_id", ["ts", "event_id"], max_events_per_key)
         .groupBy("user_id").agg(evs.alias("evs"))
         .select(F.aggregate("evs", init, step)["k"].alias("k"))
         .filter(F.col("k") >= 1)
@@ -702,7 +750,8 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def frequent_sequences(spark: SparkSession, sf_dir: str, k: int = 3,
-                       min_users: int = 20) -> DataFrame:
+                       min_users: int = 20,
+                       max_events_per_key: int | None = None) -> DataFrame:
     """Sequential-pattern mining, contiguous form: event-type k-grams that
     appear in at least `min_users` distinct users' chronological streams —
     the frequent-subsequence report behind "common paths" dashboards
@@ -712,18 +761,21 @@ def frequent_sequences(spark: SparkSession, sf_dir: str, k: int = 3,
     One user-keyed shuffle assembles each user's ordered type sequence;
     its k-windows dedupe PER USER in the same JVM pass (support counts
     users, not occurrences), explode to (pattern, user) rows and a
-    map-side-combined count finishes.  Output: (pattern, n_users) with
-    support >= min_users, ordered by n_users desc, pattern."""
+    map-side-combined count finishes.  `max_events_per_key` bounds the
+    per-user sequence (oldest-N) before assembly — capped hot keys
+    contribute only their earliest window's k-grams.
+    Output: (pattern, n_users) with support >= min_users, ordered by
+    n_users desc, pattern."""
+    from singer_spark.functions import kgram_join_col
+
     ev = read_events(spark, sf_dir)
+    ev = cap_events_per_key(ev, "user_id", ["ts", "event_id"], max_events_per_key)
     seq = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
     types = F.transform(seq, lambda s: s.event_type)
-    npos = F.size(types) - F.lit(k - 1)
-    kgrams = F.when(
-        npos >= 1,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), npos.cast("int")),
-            lambda i: F.array_join(F.slice(types, i, k), ">")))
-    ).otherwise(F.array().cast("array<string>"))
+    # zip-shift k-gram build (kgram_join_col): the slice-per-position loop
+    # re-evaluates `types` inside every lambda call — quadratic, and a
+    # single 100k-event user wedges its task for hours
+    kgrams = F.array_distinct(kgram_join_col(types, k, ">"))
     return (
         ev.groupBy("user_id").agg(kgrams.alias("pats"))
         .select(F.explode("pats").alias("pattern"))
