@@ -1364,11 +1364,13 @@ def _sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a Lloyd-TRAINED coarse quantizer (deterministic — seeded
-    init, mean updates, no RNG), the production path next to the
-    seeded-centroid oracle variant.  k-means-in-SQL would be unreadable, so
-    this entry is rows-only; the pytest recall gate
+    init, per-iteration qround-quantized mean updates, no RNG), the
+    production path next to the seeded-centroid oracle variant.  The
+    quantize-per-iteration discipline makes the training loop SQL-replayable
+    (`_ivf_trained_oracle` unrolls the 3 Lloyd iterations), closing the one
+    registry row that was rows-only; the pytest recall gate
     (test_ivf_trained_centroids_recall: recall@5 >= 0.8 vs brute force at
-    sf0.1) is its correctness check."""
+    sf0.1) stays as the semantic check."""
     from singer_spark.operators.similarity import ivf_ann_topk, ivf_train_centroids
 
     emb = _emb(spark, sf_dir)
@@ -1992,6 +1994,70 @@ SELECT id_a, id_b,
 FROM cand
 WHERE floor(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) * 1000000 + 0.5) / 1000000 >= 0.40
 """
+
+
+def _ivf_trained_oracle(iters: int = 3, k: int = 16, nprobe: int = 4,
+                        topk: int = 5, n_queries: int = 10) -> str:
+    """SQL replay of the Lloyd-TRAINED IVF path (similarity.py
+    ivf_train_centroids + ivf_ann_topk): the training loop is unrolled into
+    `iters` chained CTE blocks — assign (max-cosine, ties → lowest cid),
+    per-(cluster, pos) mean QUANTIZED with the engine-wide 1e-6 qround,
+    empty clusters keeping their previous centroid — exactly the
+    quantize-per-iteration discipline the Spark side applies, which is
+    what makes float k-means deterministic enough to twin across
+    engines."""
+    blocks = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        blocks.append(f"""cos{i} AS (
+  SELECT e.vec_id, cid,
+         list_dot_product(e.v, cv)
+         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM e CROSS JOIN c{p})""")
+        blocks.append(f"""asg{i} AS (SELECT vec_id, cid AS cluster FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+  FROM cos{i}) WHERE rn = 1)""")
+        blocks.append(f"""m{i} AS (
+  SELECT cluster, pos, floor(avg(val) * 1000000 + 0.5) / 1000000 AS m
+  FROM (SELECT a.cluster, unnest(generate_series(1, len(e.v))) AS pos,
+               unnest(e.v) AS val
+        FROM asg{i} a JOIN e USING (vec_id))
+  GROUP BY cluster, pos)""")
+        blocks.append(f"""c{i} AS (
+  SELECT c.cid, coalesce(nm.cv, c.cv) AS cv
+  FROM c{p} c LEFT JOIN (SELECT cluster AS cid, list(m ORDER BY pos) AS cv
+                         FROM m{i} GROUP BY cluster) nm USING (cid))""")
+    blocks.append(f"""cos_t AS (
+  SELECT e.vec_id, cid,
+         list_dot_product(e.v, cv)
+         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM e CROSS JOIN c{iters})""")
+    blocks.append("""assign AS (SELECT vec_id, cid AS cluster FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+  FROM cos_t) WHERE rn = 1)""")
+    blocks.append(f"""probes AS (SELECT vec_id AS query_id, cid AS cluster FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+  FROM cos_t WHERE vec_id < {n_queries}) WHERE rn <= {nprobe})""")
+    blocks.append("""cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id)""")
+    blocks.append("""scored AS (
+  SELECT query_id, neighbor_id,
+         floor(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+               * 1000000 + 0.5) / 1000000 AS cosine
+  FROM cand JOIN e q ON q.vec_id = query_id JOIN e c ON c.vec_id = neighbor_id)""")
+    blocks.append("""r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)""")
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT query_id, neighbor_id, rank::INT AS rank, cosine"
+              f" FROM r WHERE rank <= {topk}")
 
 
 def _lang_id_oracle() -> str:
@@ -3090,6 +3156,8 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY cosine DESC, neighbor_id) AS rank
                   FROM scored)
             SELECT query_id, neighbor_id, rank::INT AS rank, cosine FROM r WHERE rank <= 5""",
+        "sim_ivf_trained": _ivf_trained_oracle(iters=3, k=16, nprobe=4,
+                                               topk=5, n_queries=10),
         "embedding_near_dup": _near_dup_oracle(),
         "text_lang_id": _lang_id_oracle(),
         "text_quality": _quality_oracle(),

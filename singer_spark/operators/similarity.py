@@ -290,6 +290,12 @@ def ivf_train_centroids(corpus: DataFrame, n_clusters: int = 16, iters: int = 5,
     - update: element-wise mean per cluster via posexplode → (cluster, pos)
       partial aggregation — the only shuffle is k·dim aggregated rows; an
       empty cluster keeps its previous centroid
+    - each updated mean is QUANTIZED (qround 1e-6, the engine-wide
+      discipline) before becoming the next iteration's centroid, so an
+      external SQL oracle can replay the whole training loop: raw
+      distributed averages differ in the last float bits across engines
+      and summation orders, and those bits would otherwise compound
+      through the next assignment's argmax
     - k·dim floats collect to the driver per iteration (k≈√N at scale —
       still tiny next to the corpus)
 
@@ -303,7 +309,7 @@ def ivf_train_centroids(corpus: DataFrame, n_clusters: int = 16, iters: int = 5,
         assigned = _assign_to_centroids(corpus, C, id_col, vec_col)
         means = (
             assigned.select("cluster", F.posexplode(as_double(vec_col)).alias("pos", "val"))
-            .groupBy("cluster", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("cluster", "pos").agg(qround(F.avg("val"), 6).alias("m"))
         ).collect()
         by_cluster: dict[int, dict[int, float]] = {}
         for r in means:
