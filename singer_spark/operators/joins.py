@@ -191,8 +191,13 @@ def fuzzy_join_qgram(df: DataFrame, text_col: str, id_col: str,
     verify removes false positives.
 
     Requires every string to have more than d·q DISTINCT q-grams
-    (guaranteed here by the caller's domain; raises otherwise — shorter
-    strings would need an exhaustive short-bucket fallback).
+    (guaranteed here by the caller's domain; shorter strings would need
+    an exhaustive short-bucket fallback).  The completeness guard is
+    PART OF THE PLAN — an `assert_true` filter over the per-id distinct
+    gram count, computed on the same id-keyed exchange the prefix
+    ranking already uses — so building the DataFrame stays lazy (no
+    eager scan during construction; the guard raises
+    `SparkRuntimeException` at execution if violated).
 
     Scale shape: gram rarity comes from one (gram → df) aggregate
     (vocabulary-sized, broadcast); the candidate join carries
@@ -206,20 +211,26 @@ def fuzzy_join_qgram(df: DataFrame, text_col: str, id_col: str,
     gram_rows = (df.select(F.col(id_col).alias("id"),
                            F.posexplode(grams_arr).alias("pos", "gram"))
                  .groupBy("id", "gram").agg(F.min("pos").alias("pos")))
-    fewest = (gram_rows.groupBy("id").agg(F.count("*").alias("n"))
-              .agg(F.min("n").alias("m")).first().m)
-    if fewest is None or fewest <= max_dist * q:
-        raise ValueError(
-            f"strings must have > {max_dist * q} distinct {q}-grams for "
-            f"the prefix filter to be complete (fewest has {fewest or 0})")
     # global rarity rank; ties broken by the gram itself for determinism
     rarity = (gram_rows.groupBy("gram").agg(F.count("*").alias("df_"))
               .select("gram", F.row_number().over(
                   Window.orderBy("df_", "gram")).alias("rank")))
+    # lazy completeness guard: every id's distinct-gram count rides the
+    # same partitionBy(id) exchange as the prefix ranking; assert_true
+    # returns NULL (filter passes) when complete and raises at execution
+    # when any string is too short for the theorem to hold
+    guard = F.assert_true(
+        F.col("_n") > max_dist * q,
+        F.concat(F.lit(f"strings must have > {max_dist * q} distinct "
+                       f"{q}-grams for the prefix filter to be complete "
+                       f"(id "),
+                 F.col("id").cast("string"),
+                 F.lit(" has "), F.col("_n").cast("string"), F.lit(")")))
     ranked = (gram_rows.join(F.broadcast(rarity), "gram")
+              .withColumn("_n", F.count("*").over(Window.partitionBy("id")))
               .withColumn("_rn", F.row_number().over(
                   Window.partitionBy("id").orderBy("rank", "pos")))
-              .where(F.col("_rn") <= prefix)
+              .where(guard.isNull() & (F.col("_rn") <= prefix))
               .select("id", "gram"))
     pairs = (ranked.alias("a")
              .join(ranked.alias("b"), "gram")

@@ -178,10 +178,14 @@ def test_fuzzy_qgram_complete_vs_quadratic(spark, sf_dir):
     assert got == want and got
 
     # guard: strings with too few distinct grams are rejected, not
-    # silently incomplete
+    # silently incomplete — lazily, at execution (building the plan must
+    # not scan; ADVICE r4)
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
     tiny = spark.createDataFrame([(1, "abc"), (2, "abd")], "id bigint, s string")
-    with pytest.raises(ValueError, match="distinct"):
-        fuzzy_join_qgram(tiny, "s", "id", max_dist=2)
+    lazy_df = fuzzy_join_qgram(tiny, "s", "id", max_dist=2)  # no error yet
+    with pytest.raises(SparkRuntimeException, match="distinct"):
+        lazy_df.collect()
 
 
 def _lev(a: str, b: str) -> int:
@@ -212,10 +216,12 @@ def test_fuzzy_qgram_completeness_property(spark):
     @given(st.lists(word, min_size=4, max_size=20, unique=True))
     def run(words):
         df = spark.createDataFrame(list(enumerate(words)), "id bigint, s string")
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+
         try:
             got = {(r.id_a, r.id_b, r.dist) for r in
                    fuzzy_join_qgram(df, "s", "id", max_dist=2).collect()}
-        except ValueError:
+        except SparkRuntimeException:
             assume(False)  # too few distinct grams — guard fired, skip
             return
         want = {(i, j, _lev(a, b))
