@@ -109,8 +109,11 @@ def scd2_stream_sink(changes_stream: DataFrame, dim_path: str,
     filesystem-rename based, matching the local/shared-FS deployment of
     the agent (see streaming/tail.py for the same envelope)."""
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from singer_spark.streaming.stateful import streaming_run_id
+
         apply_cdc_batch(batch_df, dim_path, key_col, attr_col, ts_col,
-                        buckets, epoch_id)
+                        buckets, epoch_id,
+                        run_id=streaming_run_id(checkpoint))
 
     return (changes_stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint))
@@ -118,7 +121,7 @@ def scd2_stream_sink(changes_stream: DataFrame, dim_path: str,
 
 def apply_cdc_batch(batch_df: DataFrame, dim_path: str, key_col: str,
                     attr_col: str, ts_col: str, buckets: int,
-                    epoch_id: int) -> None:
+                    epoch_id: int, run_id: str = "") -> None:
     """One idempotent SCD2 micro-batch apply (the foreachBatch body of
     :func:`scd2_stream_sink`, exposed so retries are testable).
 
@@ -131,7 +134,16 @@ def apply_cdc_batch(batch_df: DataFrame, dim_path: str, key_col: str,
     that backup and recomputes from genuine pre-state, and the arrival of
     a LATER epoch (its checkpoint commit proves this one finished) clears
     the backup.  Every step is recompute-or-restore idempotent, so a crash
-    at any point between filesystem operations replays cleanly."""
+    at any point between filesystem operations replays cleanly.
+
+    `run_id` (the streaming query id — see `streaming_run_id`) is stamped
+    into the backup's touched.json: epoch ids restart at 0 when a
+    checkpoint is recreated, so without the stamp a stale `epoch=0` backup
+    from a dead run could be restored OVER live open-bucket state.  A
+    run_id mismatch discards the old backups instead of restoring them.
+    Keeping the dim dir across a checkpoint reset still replays the whole
+    source into the existing history — delete them together for a true
+    reset."""
     import json
     import os
     import shutil
@@ -142,17 +154,24 @@ def apply_cdc_batch(batch_df: DataFrame, dim_path: str, key_col: str,
     backups_root = os.path.join(dim_path, "_epoch_backup")
     my_backup = os.path.join(backups_root, f"epoch={epoch_id}")
 
-    # restore pre-state if this epoch partially applied before
+    # restore pre-state if this epoch partially applied before — but ONLY
+    # if the backup belongs to THIS run (epoch numbering restarts on a
+    # recreated checkpoint, so a same-numbered backup from a dead run is
+    # stale and restoring it would clobber live open-bucket state)
     touched_file = os.path.join(my_backup, "touched.json")
     if os.path.isfile(touched_file):
         with open(touched_file) as f:
-            for kb in json.load(f)["touched"]:
+            meta = json.load(f)
+        if meta.get("run_id", "") == run_id:
+            for kb in meta["touched"]:
                 dst = os.path.join(open_path, f"kb={kb}")
                 if os.path.isdir(dst):
                     shutil.rmtree(dst)
                 src = os.path.join(my_backup, f"kb={kb}")
                 if os.path.isdir(src):
                     shutil.copytree(src, dst)
+        else:
+            shutil.rmtree(backups_root, ignore_errors=True)
     # any OTHER epoch's backup means that epoch committed — clear it
     if os.path.isdir(backups_root):
         for d in os.listdir(backups_root):
@@ -211,7 +230,7 @@ def apply_cdc_batch(batch_df: DataFrame, dim_path: str, key_col: str,
             shutil.copytree(dst, bak)
     tf_tmp = touched_file + ".tmp"
     with open(tf_tmp, "w") as f:
-        json.dump({"touched": touched}, f)
+        json.dump({"touched": touched, "run_id": run_id}, f)
     os.replace(tf_tmp, touched_file)
     for kb in touched:
         src = os.path.join(tmp, f"kb={kb}")

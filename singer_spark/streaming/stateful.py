@@ -20,6 +20,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def streaming_run_id(checkpoint: str) -> str:
+    """Identity of the CURRENT run of a streaming query: the query id
+    Spark stamps into `{checkpoint}/metadata` when the query starts.
+
+    Deleting and recreating the checkpoint (a common ops event) mints a
+    fresh id while epoch numbering restarts at 0 — so side-channel state
+    markers stamped `run_id:epoch` can tell a genuine same-epoch retry
+    from a stale marker left by a previous run.  Without the stamp, a
+    leftover `epoch 0` marker silently skips merging the new run's first
+    batch, and a leftover epoch backup can be restored over live state
+    (ADVICE r4).  Callers that drive batches outside a streaming query
+    (unit-test retry harnesses) may pass their own constant instead."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(checkpoint, "metadata")) as f:
+            return str(json.load(f)["id"])
+    except Exception:
+        # metadata not yet written / no checkpoint: fall back to the
+        # checkpoint path itself — still distinguishes different
+        # checkpoints, though not recreations of the same path
+        return f"path:{os.path.abspath(checkpoint)}"
+
+
 def streaming_sessionize(events: DataFrame, gap_minutes: int = 30,
                          watermark: str = "2 hours",
                          ts_col: str = "ts", key_col: str = "user_id") -> DataFrame:
@@ -248,6 +273,14 @@ def streaming_heavy_hitters(items_stream: DataFrame, state_path: str,
     superset contract the batch operator uses for candidate pruning, so a
     periodic exact recount over the candidates restores exact counts.
     State is summary-sized (<= capacity rows) regardless of stream length.
+
+    The retry marker is stamped `run_id:epoch` (run_id = the query id from
+    the checkpoint metadata), so recreating the checkpoint while keeping
+    the state dir cannot make a stale `epoch 0` marker skip the new run's
+    first batch.  NOTE: keeping the state dir across a checkpoint reset
+    still double-counts by construction — the new run re-reads the whole
+    source and merges it into the already-accumulated counts; delete the
+    state dir together with the checkpoint for a true reset.
     Returns a DataStreamWriter (caller starts it)."""
     import os
     import shutil
@@ -257,21 +290,34 @@ def streaming_heavy_hitters(items_stream: DataFrame, state_path: str,
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
+        run_id = streaming_run_id(checkpoint)
         marker = state_path + "_epoch"
         prev_path = state_path + "_prev"
-        # at-least-once retry guard FIRST: marker == this epoch means the
-        # state already includes this batch — re-merging would double-count
-        # (the lower-bound invariant breaks upward, unrepairable by a
-        # recount).  Any surviving _prev is then just pre-cleanup leftovers.
+        # at-least-once retry guard FIRST: marker == (this run, this epoch)
+        # means the state already includes this batch — re-merging would
+        # double-count (the lower-bound invariant breaks upward,
+        # unrepairable by a recount).  Any surviving _prev is then just
+        # pre-cleanup leftovers.  A marker from a DIFFERENT run is stale:
+        # drop it (and its backup) and treat this as a fresh batch.
         if os.path.isfile(marker):
             with open(marker) as f:
-                if f.read().strip() == str(epoch_id):
-                    shutil.rmtree(prev_path, ignore_errors=True)
-                    return
-        # crash recovery (marker predates this epoch, so any _prev is the
-        # true pre-batch state): died between the two swap renames → state
-        # missing, restore it; died after the swap but before the marker →
-        # both exist, state is half-applied, roll it back
+                stamp = f.read().strip()
+            if stamp == f"{run_id}:{epoch_id}":
+                shutil.rmtree(prev_path, ignore_errors=True)
+                return
+            if ":" not in stamp or stamp.rsplit(":", 1)[0] != run_id:
+                os.remove(marker)
+                # the old run's final swap state is unknown; the state dir
+                # (when present) is always a COMPLETE snapshot (tmp-write +
+                # rename), so keep it and discard the older backup
+                if not os.path.isdir(state_path) and os.path.isdir(prev_path):
+                    os.rename(prev_path, state_path)
+                shutil.rmtree(prev_path, ignore_errors=True)
+        # crash recovery (marker predates this epoch within the SAME run,
+        # so any _prev is the true pre-batch state): died between the two
+        # swap renames → state missing, restore it; died after the swap but
+        # before the marker → both exist, state is half-applied, roll it
+        # back
         if not os.path.isdir(state_path) and os.path.isdir(prev_path):
             os.rename(prev_path, state_path)
         elif os.path.isdir(prev_path) and os.path.isdir(state_path):
@@ -293,7 +339,7 @@ def streaming_heavy_hitters(items_stream: DataFrame, state_path: str,
         os.rename(tmp, state_path)
         mk_tmp = marker + ".tmp"
         with open(mk_tmp, "w") as f:
-            f.write(str(epoch_id))
+            f.write(f"{run_id}:{epoch_id}")
         os.replace(mk_tmp, marker)
         shutil.rmtree(prev_path, ignore_errors=True)
 

@@ -227,3 +227,43 @@ def test_apply_cdc_batch_retry_after_swap_is_idempotent(spark, sf_dir, tmp_path)
                       scd2_build(ch, "user_id", "v", "ts",
                                  order_cols=["v"]).collect()))
     assert got == want
+
+
+def test_apply_cdc_batch_stale_run_backup_not_restored(spark, tmp_path):
+    """Epoch ids restart at 0 when a checkpoint is recreated: a leftover
+    `epoch=0` backup from run A must NOT be restored over run B's live
+    open buckets when B's own epoch 0 arrives (ADVICE r4)."""
+    import os
+
+    from singer_spark.operators.cdc import apply_cdc_batch, scd2_read
+
+    dim = str(tmp_path / "dim_runs")
+    schema = "user_id bigint, v double, ts timestamp"
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(u, v, t + dt.timedelta(hours=h)) for u, v, h in rows], schema)
+
+    # run A, epoch 0 — and leave its backup in place by simulating a crash
+    # BEFORE the later-epoch cleanup (just don't run a later epoch)
+    apply_cdc_batch(batch([(1, 1.0, 0), (2, 5.0, 0)]), dim,
+                    "user_id", "v", "ts", 4, 0, run_id="runA")
+    assert os.path.isdir(os.path.join(dim, "_epoch_backup", "epoch=0"))
+
+    # run B (recreated checkpoint → epoch numbering restarts at 0)
+    apply_cdc_batch(batch([(1, 2.0, 1)]), dim,
+                    "user_id", "v", "ts", 4, 0, run_id="runB")
+
+    rows = sorted(map(tuple, scd2_read(spark, dim).collect()))
+    assert [(r[0], r[1]) for r in rows] == [(1, 1.0), (1, 2.0), (2, 5.0)]
+    # user 1's v=1.0 version closed at v=2.0's arrival; v=2.0 is open
+    closed = [r for r in rows if r[3] is not None]
+    assert [(r[0], r[1]) for r in closed] == [(1, 1.0)]
+
+    # and a genuine same-run retry still restores (idempotent)
+    apply_cdc_batch(batch([(1, 2.0, 1)]), dim,
+                    "user_id", "v", "ts", 4, 0, run_id="runB")
+    assert sorted(map(tuple, scd2_read(spark, dim).collect())) == rows

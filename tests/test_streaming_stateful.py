@@ -370,3 +370,43 @@ def test_streaming_heavy_hitters_state_bounds(spark, tmp_path):
     for item, c in got.items():
         assert c <= truth[item]
         assert c >= truth[item] - thresh
+
+
+def test_streaming_heavy_hitters_stale_marker_new_run(spark, tmp_path):
+    """Recreating the checkpoint restarts epoch ids at 0; a marker left by
+    the previous run must not skip the new run's first batch (ADVICE r4:
+    the marker is stamped run_id:epoch, and a mismatched run id is treated
+    as a fresh run)."""
+    import os
+
+    from singer_spark.streaming.stateful import streaming_heavy_hitters
+
+    state = str(tmp_path / "hh2_state")
+
+    def run_once(tag: str, items: list[str]):
+        src = str(tmp_path / f"hh2_src_{tag}")
+        ckpt = str(tmp_path / f"hh2_ckpt_{tag}")
+        os.makedirs(src, exist_ok=True)
+        stage = str(tmp_path / f"hh2_stage_{tag}")
+        spark.createDataFrame([(i,) for i in items], "item string") \
+             .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        os.rename(os.path.join(stage, part),
+                  os.path.join(src, "chunk0.parquet"))
+        stream = spark.readStream.schema("item string").parquet(src)
+        q = streaming_heavy_hitters(stream, state, checkpoint=ckpt,
+                                    item_col="item", capacity=8).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once("a", ["alpha"] * 30 + ["beta"] * 10)
+    assert os.path.isfile(state + "_epoch")  # marker from run A's epoch 0
+    # run B: NEW source + NEW checkpoint (fresh query id), epoch 0 again.
+    # With an unstamped marker this batch would be silently skipped.
+    run_once("b", ["gamma"] * 25)
+
+    got = {r.item: r.cnt for r in spark.read.parquet(state).collect()}
+    assert "gamma" in got and got["gamma"] >= 25 - (65 / 8)
+    assert "alpha" in got  # prior state survived the new run
