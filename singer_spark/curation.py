@@ -32,7 +32,12 @@ class CurationConfig:
     minhash_threshold: float = 0.5
     semantic_threshold: float = 0.995
     decontaminate_k: int = 8              # k-gram size for the benchmark gate
-    decontaminate_mode: str = "drop"      # drop (whole doc) | spans (cut windows)
+    # drop (whole doc) | spans (cut the shared k-gram windows).  spans
+    # caveat: a doc that LOSES a window is rebuilt by token re-join, so
+    # its runs of whitespace (newlines/tabs) collapse to single spaces;
+    # untouched docs keep their original bytes, and docs cut to nothing
+    # are removed (originally-empty docs always survive).
+    decontaminate_mode: str = "drop"
     split: bool = True                    # train/val/test hash split column
     text_col: str = "text"
     id_col: str = "doc_id"
@@ -87,13 +92,19 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
             spans = decontaminate_spans(docs, benchmark,
                                         k=cfg.decontaminate_k,
                                         text_col=text_col, id_col=id_col)
-            repl = spans.where(F.col("clean_text") != "").select(
+            # drop only docs that were CUT to nothing (n_removed > 0 AND
+            # empty rebuild) — a doc whose ORIGINAL text was already
+            # empty/whitespace-only is uncontaminated and must survive
+            repl = spans.where((F.col("clean_text") != "")
+                               | (F.col("n_removed") == 0)).select(
                 F.col("id").alias(id_col),
                 F.col("clean_text").alias("_clean_text"),
                 F.col("n_removed").alias("_n_removed"))
             # only REWRITE docs that actually lost a window — an untouched
             # doc keeps its original bytes (clean_text is whitespace-
-            # rejoined, which would destroy newlines/tabs corpus-wide)
+            # rejoined, which would destroy newlines/tabs corpus-wide;
+            # rewritten survivors DO get that normalization — see
+            # CurationConfig.decontaminate_mode docs)
             out = (out.join(repl, id_col)
                    .withColumn(text_col,
                                F.when(F.col("_n_removed") > 0,

@@ -107,3 +107,28 @@ def test_curate_spans_mode_rewrites_instead_of_dropping(spark, sf_dir):
                .join(docs.select("doc_id", F.col("text").alias("orig")), "doc_id"))
     assert changed.count() > 0
     assert changed.where(F.length("text") >= F.length("orig")).count() == 0
+
+
+def test_curate_spans_mode_keeps_empty_original_docs(spark):
+    """A doc whose ORIGINAL text is empty/whitespace-only is uncontaminated
+    and must survive spans mode (the empty rebuild means 'nothing to cut',
+    not 'cut to nothing') — and untouched docs keep their exact bytes,
+    newlines included."""
+    from singer_spark.curation import CurationConfig, curate
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "alpha beta\tgamma\ndelta epsilon"),
+         (4, "the quick brown fox jumps over the lazy dog again today")],
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string")
+    cfg = CurationConfig(lang=None, min_quality=None, repetition_screen=False,
+                         dedup="none", split=False,
+                         decontaminate_mode="spans", decontaminate_k=4,
+                         keep_cols=())
+    out = {r["doc_id"]: r["text"]
+           for r in curate(docs, cfg, benchmark=bench).collect()}
+    assert 1 in out and 2 in out          # empty originals survive
+    assert out[3] == "alpha beta\tgamma\ndelta epsilon"  # untouched bytes kept
+    assert 4 in out and len(out[4]) < 55  # contaminated doc rewritten shorter
