@@ -7,7 +7,20 @@ heartbeat/HeartbeatGenerator.java:30-58).
 
 Spark surfaces the same signals on StreamingQuery.lastProgress /
 recentProgress; `build_status` folds them into one status dict and
-`HeartbeatPublisher` ships it on an interval from the driver."""
+`HeartbeatPublisher` ships it on an interval from the driver.
+
+Field parity (SingerStatus.java:108-149):
+- `numStuckLogStreams` — a query is stuck when its most recent progress
+  event is older than `stuck_seconds` (a healthy-but-idle stream keeps
+  emitting zero-row progress on every trigger, so a stale timestamp means
+  the trigger itself is wedged — e.g. a frozen sink), or when it has
+  produced NO progress at all for `stuck_seconds` after first being seen
+  (first batch blocked).
+- `latencyPercentilesMs` / per-query `queryLatencyMs` — p50/p90/p99/max of
+  `durationMs.triggerExecution` over each query's `recentProgress` window,
+  the micro-batch twin of the reference's per-topic write-latency
+  distributions.
+"""
 
 from __future__ import annotations
 
@@ -19,27 +32,65 @@ import time
 from pyspark.sql import SparkSession
 
 
+def _percentiles(vals: list[float]) -> dict:
+    """Nearest-rank percentiles; summary-sized input (recentProgress is
+    capped by spark.sql.streaming.numRecentProgressUpdates, default 100)."""
+    s = sorted(vals)
+    n = len(s)
+
+    def pick(p: float) -> float:
+        return s[min(n - 1, max(0, int(p * n + 0.999999) - 1))]
+
+    return {"p50": pick(0.50), "p90": pick(0.90), "p99": pick(0.99),
+            "max": s[-1]}
+
+
+def _as_dict(progress) -> dict | None:
+    if not progress:
+        return None
+    return json.loads(progress) if isinstance(progress, str) else progress
+
+
 def build_status(spark: SparkSession, started_at: float,
                  hostname: str | None = None,
-                 stuck_seconds: float = 300.0) -> dict:
-    """One SingerStatus-shaped dict from all active streaming queries."""
+                 stuck_seconds: float = 300.0,
+                 first_seen: dict | None = None) -> dict:
+    """One SingerStatus-shaped dict from all active streaming queries.
+
+    `first_seen` (optional, mutated) maps query id → the time this
+    monitor first saw it without any progress; it lets successive calls
+    flag a query whose FIRST batch never completes.  HeartbeatPublisher
+    threads one through its lifetime; one-shot callers may omit it."""
     now = time.time()
     queries = spark.streams.active
     kafka_writes: dict[str, int] = {}
     latencies: list[float] = []
+    query_latency: dict[str, dict] = {}
     stuck = 0
     for q in queries:
-        p = q.lastProgress
-        if not p:
+        p = _as_dict(q.lastProgress)
+        name = str(q.name or (p or {}).get("name") or q.id)
+        if p is None:
+            # never progressed: stuck once it has been in that state for
+            # stuck_seconds (per this monitor's own clock)
+            if first_seen is not None:
+                t0 = first_seen.setdefault(str(q.id), now)
+                if now - t0 > stuck_seconds:
+                    stuck += 1
             continue
-        if isinstance(p, str):
-            p = json.loads(p)
-        name = q.name or p.get("name") or q.id
+        if first_seen is not None:
+            first_seen.pop(str(q.id), None)
         num = int(p.get("numInputRows", 0) or 0)
-        kafka_writes[str(name)] = kafka_writes.get(str(name), 0) + num
-        dur = (p.get("durationMs") or {}).get("triggerExecution")
-        if dur is not None:
-            latencies.append(float(dur))
+        kafka_writes[name] = kafka_writes.get(name, 0) + num
+        durs = []
+        for rp in q.recentProgress:
+            rpd = _as_dict(rp) or {}
+            d = (rpd.get("durationMs") or {}).get("triggerExecution")
+            if d is not None:
+                durs.append(float(d))
+        if durs:
+            latencies.extend(durs)
+            query_latency[name] = _percentiles(durs)
         ts = p.get("timestamp")
         if ts:
             try:
@@ -50,7 +101,10 @@ def build_status(spark: SparkSession, started_at: float,
 
                 parsed = datetime.strptime(ts[:19], "%Y-%m-%dT%H:%M:%S")
                 batch_age = now - parsed.replace(tzinfo=timezone.utc).timestamp()
-                if batch_age > stuck_seconds and num == 0:
+                # a healthy idle stream still emits zero-row progress per
+                # trigger; a stale LAST progress means the trigger loop
+                # itself stopped turning (frozen sink, wedged source)
+                if batch_age > stuck_seconds:
                     stuck += 1
             except ValueError:
                 pass
@@ -62,6 +116,10 @@ def build_status(spark: SparkSession, started_at: float,
         "numStuckLogStreams": stuck,
         "kafkaWrites": kafka_writes,
         "avgTriggerMs": (sum(latencies) / len(latencies)) if latencies else 0.0,
+        "latencyPercentilesMs": (_percentiles(latencies) if latencies
+                                 else {"p50": 0.0, "p90": 0.0, "p99": 0.0,
+                                       "max": 0.0}),
+        "queryLatencyMs": query_latency,
         "timestamp": int(now * 1000),
     }
 
@@ -71,17 +129,23 @@ class HeartbeatPublisher(threading.Thread):
     receives the JSON string — wire it to a Kafka producer, a file, or a
     collector in tests."""
 
-    def __init__(self, spark: SparkSession, emit, interval_secs: int = 60) -> None:
+    def __init__(self, spark: SparkSession, emit, interval_secs: int = 60,
+                 stuck_seconds: float = 300.0) -> None:
         super().__init__(daemon=True)
         self.spark = spark
         self.emit = emit
         self.interval = interval_secs
+        self.stuck_seconds = stuck_seconds
         self.started_at = time.time()
+        self._first_seen: dict = {}
         self._stop = threading.Event()
 
     def run(self) -> None:
         while not self._stop.wait(self.interval):
-            self.emit(json.dumps(build_status(self.spark, self.started_at)))
+            self.emit(json.dumps(build_status(
+                self.spark, self.started_at,
+                stuck_seconds=self.stuck_seconds,
+                first_seen=self._first_seen)))
 
     def stop(self) -> None:
         self._stop.set()

@@ -113,12 +113,76 @@ def test_write_batch_sized_rolls_over_on_bytes(spark, tmp_path):
 
 def test_heartbeat_status_shape(spark):
     status = build_status(spark, started_at=time.time() - 5)
-    # SingerStatus parity fields (common/SingerStatus.java:38-62)
+    # SingerStatus parity fields (common/SingerStatus.java:38-62,108-149)
     for field in ("hostName", "jvmUptime", "numLogStreams", "numStuckLogStreams",
-                  "kafkaWrites", "timestamp", "version"):
+                  "kafkaWrites", "timestamp", "version",
+                  "latencyPercentilesMs", "queryLatencyMs"):
         assert field in status
     assert status["jvmUptime"] >= 5000
+    assert set(status["latencyPercentilesMs"]) == {"p50", "p90", "p99", "max"}
     json.dumps(status)  # serializable, like the reference's gson JSON
+
+
+def test_heartbeat_latency_percentiles_from_progress(spark, tmp_path):
+    """A live healthy query populates per-query latency percentiles from
+    recentProgress and is NOT counted stuck."""
+    import os
+
+    src = str(tmp_path / "hb_src")
+    os.makedirs(src)
+    spark.range(10).selectExpr("cast(id as string) AS value") \
+         .coalesce(1).write.mode("overwrite").parquet(src)
+    q = (spark.readStream.schema("value string").parquet(src)
+         .writeStream.format("noop")
+         .option("checkpointLocation", str(tmp_path / "hb_ckpt"))
+         .queryName("hb_healthy")
+         .trigger(availableNow=True).start())
+    try:
+        q.processAllAvailable()
+        status = build_status(spark, started_at=time.time(),
+                              stuck_seconds=3600)
+        assert status["numLogStreams"] >= 1
+        assert status["numStuckLogStreams"] == 0
+        lat = status["queryLatencyMs"].get("hb_healthy")
+        assert lat and lat["p50"] >= 0 and lat["max"] >= lat["p50"]
+        assert status["latencyPercentilesMs"]["max"] >= lat["p50"]
+        assert "hb_healthy" in status["kafkaWrites"]
+    finally:
+        q.stop()
+
+
+def test_heartbeat_flags_frozen_sink_as_stuck(spark, tmp_path):
+    """Stuck-stream e2e (HeartbeatGenerator parity): a sink whose first
+    batch never completes produces no progress; successive heartbeats
+    sharing `first_seen` flag it once stuck_seconds elapse."""
+    import os
+    import threading
+
+    src = str(tmp_path / "frozen_src")
+    os.makedirs(src)
+    spark.range(5).selectExpr("cast(id as string) AS value") \
+         .coalesce(1).write.mode("overwrite").parquet(src)
+    release = threading.Event()
+
+    def frozen(batch_df, epoch_id):
+        release.wait(60)  # block the first batch
+
+    q = (spark.readStream.schema("value string").parquet(src)
+         .writeStream.foreachBatch(frozen)
+         .option("checkpointLocation", str(tmp_path / "frozen_ckpt"))
+         .queryName("hb_frozen").start())
+    try:
+        first_seen: dict = {}
+        s1 = build_status(spark, time.time(), stuck_seconds=1.5,
+                          first_seen=first_seen)
+        assert s1["numStuckLogStreams"] == 0  # just seen, not yet stuck
+        time.sleep(2.5)
+        s2 = build_status(spark, time.time(), stuck_seconds=1.5,
+                          first_seen=first_seen)
+        assert s2["numStuckLogStreams"] >= 1
+    finally:
+        release.set()
+        q.stop()
 
 
 def test_write_batch_idempotent_replay_overwrites(spark, tmp_path):
