@@ -7,9 +7,12 @@ pipeline uses.  The kernels are REAL for the formats decodable with
 stdlib + numpy alone (PPM/P6 images, RIFF/WAV PCM audio, and motion-PPM
 "video" = concatenated P6 frames): decode, nearest-neighbor resize, frame
 sampling, and mean-pooled features all operate on actual pixels/samples.
-Compressed formats (JPEG/PNG/MP4/...) raise a clearly-marked
-NotImplementedError at the kernel dispatch — swap in PIL/libvips/pyav there
-and nothing else changes.
+Compressed IMAGE formats (JPEG/PNG/...) decode through an import-gated
+PIL path (`_pil_image`, same pattern as the Kafka rack fetcher's gate):
+where Pillow is installed they work end-to-end; where it isn't — this
+sandbox — the dispatch raises the clearly-marked NotImplementedError.
+Compressed video/audio (MP4/MP3/...) still need pyav/ffmpeg at the same
+dispatch point and nothing else changes.
 """
 
 from __future__ import annotations
@@ -145,8 +148,43 @@ def _unsupported(payload: bytes, op: str):
     magic = payload[:8].hex()
     raise NotImplementedError(
         f"{op}: payload (magic {magic}) is not a stdlib-decodable format; "
-        "compressed codecs (JPEG/PNG/MP4/...) need PIL/libvips/pyav — wire "
-        "them into this kernel dispatch and nothing else changes")
+        "compressed image codecs work when Pillow is installed (import-"
+        "gated dispatch); video/audio codecs need pyav/ffmpeg at the same "
+        "dispatch point and nothing else changes")
+
+
+def _pil_image():
+    """Import-gated Pillow (absent in this sandbox, present in most prod
+    images): returns the PIL.Image module or None.  Gate pattern matches
+    the Kafka leader-rack fetcher — optional capability, hard fallback."""
+    try:
+        from PIL import Image
+
+        return Image
+    except Exception:
+        return None
+
+
+def decode_image(payload: bytes, op: str = "decode_image") -> tuple[int, int, np.ndarray]:
+    """(width, height, HxWx3 uint8 RGB) for any decodable still image:
+    PPM/P6 via the stdlib kernel, JPEG/PNG/... via Pillow when importable;
+    otherwise the marked NotImplementedError."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    Image = _pil_image()
+    if Image is not None:
+        import io
+
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                rgb = im.convert("RGB")
+                arr = np.asarray(rgb, dtype=np.uint8)
+                return rgb.width, rgb.height, arr
+        except NotImplementedError:
+            raise
+        except Exception:
+            pass  # PIL present but payload isn't an image it recognizes
+    _unsupported(payload, op)
 
 
 # ---------------------------------------------------------------------------
@@ -208,16 +246,11 @@ def extract_image_features(media: DataFrame, dim: int = 8) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(payload)
-                feat = None
-                if b[:2] == b"P6":
-                    try:
-                        _, _, arr = decode_ppm(b)
-                    except (ValueError, struct.error, IndexError):
-                        pass  # P6 magic but not decodable PPM → fallback
-                    else:
-                        feat = _pool_image_feature(arr, dim)
-                if feat is None:
-                    feat = _fallback_feature(b, dim)
+                try:
+                    _, _, arr = decode_image(b, "extract_image_features")
+                    feat = _pool_image_feature(arr, dim)
+                except (NotImplementedError, ValueError, struct.error, IndexError):
+                    feat = _fallback_feature(b, dim)  # undecodable → stable hash
                 rows.append((int(mid), len(b), hashlib.sha256(b).hexdigest()[:16], feat))
             yield pd.DataFrame(rows, columns=["media_id", "byte_len", "sha_prefix", "feature"])
 
@@ -225,9 +258,11 @@ def extract_image_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Nearest-neighbor resize — REAL for PPM payloads (numpy index
-    gather, re-encoded as PPM with updated metadata); compressed formats
-    raise at the dispatch (see `_unsupported`)."""
+    """Nearest-neighbor resize — REAL for PPM payloads and (when Pillow is
+    importable) JPEG/PNG: numpy index gather over the decoded pixels,
+    re-encoded as PPM with updated metadata (decoded compressed inputs are
+    emitted as raw PPM — the downstream kernels all read it); formats no
+    decoder claims raise at the dispatch (see `_unsupported`)."""
     import pandas as pd
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -235,9 +270,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 b = bytes(r.content)
-                if b[:2] != b"P6":
-                    _unsupported(b, "resize_images")
-                w, h, arr = decode_ppm(b)
+                w, h, arr = decode_image(b, "resize_images")
                 ys = (np.arange(height) * h // height)
                 xs = (np.arange(width) * w // width)
                 out = arr[ys][:, xs]
@@ -327,17 +360,17 @@ def image_phash(media: DataFrame, bits: int = 60) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(payload)
                 sig = None
-                if b[:2] == b"P6":
-                    try:
-                        vals = np.array(_pool_image_feature(decode_ppm(b)[2], 64))
-                    except (ValueError, struct.error, IndexError):
-                        pass  # P6 magic but not decodable PPM → fallback
-                    else:
-                        sig = 0
-                        mean = float(vals.mean())
-                        for i in range(bits):
-                            if vals[i] > mean:
-                                sig |= 1 << i
+                try:
+                    vals = np.array(_pool_image_feature(
+                        decode_image(b, "image_phash")[2], 64))
+                except (NotImplementedError, ValueError, struct.error, IndexError):
+                    pass  # undecodable → stable content-hash signature
+                else:
+                    sig = 0
+                    mean = float(vals.mean())
+                    for i in range(bits):
+                        if vals[i] > mean:
+                            sig |= 1 << i
                 if sig is None:
                     sig = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
                     sig &= (1 << bits) - 1

@@ -313,11 +313,41 @@ def test_multimodal_feature_extraction_deterministic(spark, sf_dir):
 
 
 def test_multimodal_stubs_raise_not_implemented(spark, sf_dir):
+    """Without Pillow, non-PPM payloads must raise the marked dispatch
+    error (not silently hash-fallback) in resize."""
+    if multimodal._pil_image() is not None:
+        pytest.skip("Pillow installed — text payloads may decode differently")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
     media = multimodal.documents_as_media(docs)
     with pytest.raises(Exception) as exc_info:
         multimodal.resize_stub(media, 64, 64).collect()
     assert "NotImplementedError" in str(exc_info.value) or "image codec" in str(exc_info.value)
+
+
+def test_multimodal_jpeg_via_pil_gate(spark):
+    """JPEG end-to-end through the import-gated Pillow path — skips
+    cleanly where Pillow is absent (this sandbox), runs for real where it
+    is installed."""
+    PIL_Image = multimodal._pil_image()
+    if PIL_Image is None:
+        pytest.skip("Pillow not installed — gated dispatch covered by "
+                    "test_multimodal_stubs_raise_not_implemented")
+    import io
+
+    import numpy as np
+
+    arr = (np.arange(32 * 32 * 3) % 251).reshape(32, 32, 3).astype("uint8")
+    buf = io.BytesIO()
+    PIL_Image.fromarray(arr).save(buf, format="JPEG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), "image/jpeg", None, None, None)],
+        multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(media, 8, 8).collect()[0]
+    assert (out["width"], out["height"]) == (8, 8)
+    w, h, pixels = multimodal.decode_ppm(bytes(out["content"]))
+    assert (w, h, pixels.shape) == (8, 8, (8, 8, 3))
+    feats = multimodal.extract_image_features(media).collect()[0]["feature"]
+    assert len(feats) == 8  # pooled from real pixels, not the hash fallback
 
 
 def test_dedup_incremental_drops_seen_and_in_batch_dups(spark):
