@@ -240,3 +240,113 @@ def pod_text_batch(spark: SparkSession, pods_root: str, log_glob: str = "*.log",
                    pod_dir_pattern: str = _POD_DIR_PATTERN) -> DataFrame:
     return with_pod_metadata(text_batch(spark, f"{pods_root}/*", glob=log_glob),
                              pod_dir_pattern)
+
+
+# ---------------------------------------------------------------------------
+# Kubelet pod-SPEC metadata (labels/annotations) — the path convention above
+# only yields namespace/name/uid; the reference additionally polls the
+# kubelet read-only API and injects selected metadata fields as headers.
+# Reference: kubernetes/PodMetadataFetcher.java (lazy per-uid cache, colon
+# field paths, putIfAbsent per leaf key), KubeService.java:510-522 (the
+# /pods URL).
+# ---------------------------------------------------------------------------
+class PodMetadataFetcher:
+    """Lazy pod-spec metadata from the kubelet `/pods` endpoint.
+
+    `fields` are colon-separated paths into the pod's `metadata` object —
+    e.g. ``labels:app`` extracts metadata.labels.app under the leaf key
+    ``app``; the first path producing a given leaf key wins (the
+    reference's putIfAbsent).  `fetch_pod_list` is injectable (a fake
+    kubelet server in tests, urllib against the node kubelet in prod) and
+    must return the PodList JSON dict.  Metadata is cached per pod uid;
+    `remove` drops an entry on pod deletion (podDeleted parity)."""
+
+    def __init__(self, pods_url: str = "http://localhost:10255/pods",
+                 fields: tuple[str, ...] = (),
+                 fetch_pod_list=None) -> None:
+        self.pods_url = pods_url
+        self.fields = tuple(fields)
+        self._fetch = fetch_pod_list or self._http_fetch
+        self._cache: dict[str, dict[str, str]] = {}
+
+    def _http_fetch(self) -> dict:
+        import json
+        import urllib.request
+
+        with urllib.request.urlopen(self.pods_url, timeout=10) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+
+    @staticmethod
+    def extract_fields(metadata: dict, fields: tuple[str, ...]) -> dict[str, str]:
+        """Colon-path walk with the reference's exact semantics: descend
+        dicts per key, keep only primitive leaves, first path per leaf key
+        wins."""
+        out: dict[str, str] = {}
+        for path in fields:
+            cur: object = metadata
+            leaf = None
+            for key in path.split(":"):
+                if not isinstance(cur, dict):
+                    cur = None
+                    break
+                cur = cur.get(key)
+                leaf = key
+            if leaf is not None and isinstance(cur, (str, int, float, bool)):
+                out.setdefault(leaf, str(cur))
+        return out
+
+    def refresh(self) -> None:
+        """One kubelet poll: (re)cache extracted fields for every listed
+        pod.  A fetch failure keeps the existing cache (fail-open, like
+        the locality provider's metadata-outage fallback)."""
+        try:
+            pod_list = self._fetch()
+        except Exception:
+            return
+        for item in pod_list.get("items", []):
+            md = item.get("metadata", {}) or {}
+            uid = md.get("uid")
+            if uid:
+                self._cache[str(uid)] = self.extract_fields(md, self.fields)
+
+    def metadata_for(self, pod_uid: str) -> dict[str, str] | None:
+        """Cached metadata for one pod, polling the kubelet on a miss
+        (the reference's lazy-load shape)."""
+        if pod_uid not in self._cache:
+            self.refresh()
+        return self._cache.get(pod_uid)
+
+    def remove(self, pod_uid: str) -> None:
+        self._cache.pop(pod_uid, None)
+
+    def snapshot(self) -> dict[str, dict[str, str]]:
+        return dict(self._cache)
+
+
+def with_pod_spec_metadata(df: DataFrame,
+                           fetcher: PodMetadataFetcher) -> DataFrame:
+    """Broadcast-join the fetcher's current pod-spec metadata onto rows by
+    `pod_uid`: adds one MAP column `pod_meta` (leaf key → value; empty map
+    for pods the kubelet does not list).  The kubelet list is node-local —
+    at most a few hundred pods — so the lookup side is always a broadcast,
+    never a shuffle of the log stream.  Call per batch (foreachBatch) to
+    pick up label changes; the plan rebuilds from the refreshed snapshot."""
+    spark = df.sparkSession
+    fetcher.refresh()
+    snap = fetcher.snapshot()
+    rows = [(uid, meta) for uid, meta in sorted(snap.items())]
+    lookup = spark.createDataFrame(rows or [("", {})],
+                                   "pod_uid string, pod_meta map<string,string>")
+    if not rows:
+        lookup = lookup.where(F.lit(False))
+    out = df.join(F.broadcast(lookup), "pod_uid", "left")
+    empty = F.create_map().cast("map<string,string>")
+    return out.withColumn("pod_meta", F.coalesce(F.col("pod_meta"), empty))
+
+
+def pod_spec_headers(keys: tuple[str, ...]):
+    """Header entries for selected pod-spec metadata leaf keys — what the
+    reference injects per message from the fetched pod metadata.  Feed to
+    transforms.inject_headers after :func:`with_pod_spec_metadata`."""
+    return {key: F.element_at(F.col("pod_meta"), key).cast("binary")
+            for key in keys}

@@ -245,3 +245,87 @@ def test_pod_metadata_parsed_and_injectable_as_headers(spark, tmp_path):
     assert (a.pod_name, a.pod_uid) == ("web-1", "uid-111")
     assert bytes(a.headers["podUid"]) == b"uid-111"
     assert bytes(a.headers["podNamespace"]) == b"team-a"
+
+
+# ---------------------------------------------------------------------------
+# D8 completion — pod-SPEC metadata (labels/annotations) from a kubelet
+# /pods endpoint, fake-server tested like the Kafka/Pulsar transports.
+# ---------------------------------------------------------------------------
+def _fake_kubelet(pod_items):
+    """Serve a PodList JSON on a loopback port; returns (server, url)."""
+    import http.server
+    import json
+    import threading
+
+    body = json.dumps({"kind": "PodList", "items": pod_items}).encode()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_port}/pods"
+
+
+def test_pod_metadata_fetcher_colon_paths_and_cache():
+    from singer_spark.sources import PodMetadataFetcher
+
+    items = [
+        {"metadata": {"uid": "uid-111", "namespace": "team-a", "name": "web-1",
+                      "labels": {"app": "web", "tier": "frontend"},
+                      "annotations": {"owner": "ads"}}},
+        {"metadata": {"uid": "uid-222", "namespace": "team-b", "name": "job-2",
+                      "labels": {"app": "batch"}}},
+    ]
+    srv, url = _fake_kubelet(items)
+    try:
+        f = PodMetadataFetcher(pods_url=url,
+                               fields=("labels:app", "annotations:owner",
+                                       "name", "labels:missing", "bogus:app"))
+        # labels:app wins the 'app' leaf key over bogus:app (putIfAbsent)
+        assert f.metadata_for("uid-111") == {"app": "web", "owner": "ads",
+                                             "name": "web-1"}
+        assert f.metadata_for("uid-222") == {"app": "batch", "name": "job-2"}
+        assert f.metadata_for("uid-gone") is None
+        f.remove("uid-111")
+        assert "uid-111" not in f.snapshot()
+        assert f.metadata_for("uid-111")["app"] == "web"  # refetched on miss
+    finally:
+        srv.shutdown()
+
+
+def test_pod_spec_metadata_injected_as_headers(spark, tmp_path):
+    from singer_spark.sources import (
+        PodMetadataFetcher,
+        pod_spec_headers,
+        pod_text_batch,
+        with_pod_spec_metadata,
+    )
+    from singer_spark.transforms import inject_headers
+
+    pods = tmp_path / "pods"
+    for pod_dir in ("team-a_web-1_uid-111", "team-b_job-2_uid-222"):
+        os.makedirs(pods / pod_dir)
+        _write_lines(str(pods / pod_dir / "app.log"), 1, prefix=pod_dir)
+    items = [{"metadata": {"uid": "uid-111", "namespace": "team-a",
+                           "name": "web-1", "labels": {"app": "web"}}}]
+    srv, url = _fake_kubelet(items)
+    try:
+        fetcher = PodMetadataFetcher(pods_url=url, fields=("labels:app",))
+        df = with_pod_spec_metadata(pod_text_batch(spark, str(pods)), fetcher)
+        rows = {r.pod_uid: r for r in
+                inject_headers(df, pod_spec_headers(("app",))).collect()}
+        assert bytes(rows["uid-111"].headers["app"]) == b"web"
+        assert rows["uid-111"].pod_meta == {"app": "web"}
+        # a pod the kubelet does not list gets an empty map + null header
+        assert rows["uid-222"].pod_meta == {}
+        assert rows["uid-222"].headers["app"] is None
+    finally:
+        srv.shutdown()
