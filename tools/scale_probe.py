@@ -15,7 +15,13 @@ the plan.  Pair-op scaling is covered instead by the plan-shape pins
 Prints one table: per operator, median seconds at each k and the 4×/1×
 growth ratio (≈4 = linear).
 
-Usage: python tools/scale_probe.py [sf_dir] [max_k]
+Round 5 adds `markov` mode — a seeded pseudo-Markov generator whose UNIQUE
+content grows with scale and whose near-dup density is fixed (every 10th
+doc is a one-token mutation of its neighbor) — so pair-operator candidate
+growth is MEASURED rather than excluded: the table reports both wall time
+and pairs found at each scale (linear plan → ~k× pairs, ~k× time).
+
+Usage: python tools/scale_probe.py [sf_dir] [max_k] [scan|pairs|markov]
 """
 
 from __future__ import annotations
@@ -64,6 +70,47 @@ def disjoint_docs(spark, sf_dir: str, k: int) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def markov_docs(spark, n_docs: int, vocab: int = 4000,
+                doc_len: int = 120, dup_every: int = 10) -> DataFrame:
+    """Seeded synthetic corpus whose UNIQUE content grows with `n_docs`
+    and whose near-duplicate density is FIXED: every doc is a word chain
+    from a deterministic per-doc-seeded pseudo-Markov walk over a shared
+    `vocab`-word space, and each `dup_every`-th doc re-generates its
+    neighbor's chain with one token mutated (a true near-dup).
+
+    This is the honest pair-operator input the salted-copy corpus can't
+    be: duplicating a corpus k× inflates pair OUTPUT k²-fold by
+    construction, and the disjoint-token corpus never collides across
+    copies — here candidates and true pairs both grow ∝ n_docs while
+    shingle vocabulary keeps growing, so measured growth is the PLAN's,
+    not the generator's.  Generation is an Arrow-batched map over
+    spark.range (distributed, reproducible per doc_id)."""
+    import pandas as pd
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            texts = []
+            for doc_id in pdf["id"]:
+                doc_id = int(doc_id)
+                is_dup = dup_every and doc_id % dup_every == 0
+                seed_id = doc_id + 1 if is_dup else doc_id
+                rng = np.random.RandomState(seed_id % (2**31 - 1))
+                cur = int(rng.randint(vocab))
+                toks = []
+                for _ in range(doc_len):
+                    toks.append(f"w{cur}")
+                    cur = int((cur * 131 + rng.randint(7)) % vocab)
+                if is_dup:  # one-token mutation → near- not exact dup
+                    toks[doc_len // 2] = f"w{(doc_id * 17) % vocab}x"
+                texts.append(" ".join(toks))
+            yield pd.DataFrame({"doc_id": pdf["id"], "text": texts})
+
+    return (spark.range(n_docs).repartition(32)
+            .mapInPandas(gen, "doc_id bigint, text string"))
 
 
 def pair_ops(docs: DataFrame):
@@ -141,25 +188,43 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,
     ks = [1]
     while ks[-1] * 4 <= max_k:
         ks.append(ks[-1] * 4)
-    make_docs = disjoint_docs if mode == "pairs" else multiplied_docs
-    make_ops = pair_ops if mode == "pairs" else ops
+    if mode == "markov":
+        make_docs = lambda sp, _sf, k: markov_docs(sp, 5000 * k)  # noqa: E731
+        make_ops = pair_ops
+    elif mode == "pairs":
+        make_docs, make_ops = disjoint_docs, pair_ops
+    else:
+        make_docs, make_ops = multiplied_docs, ops
     results: dict[str, dict[int, float]] = {}
+    pairs: dict[str, dict[int, int]] = {}
     for k in ks:
-        docs = make_docs(spark, sf_dir, k).localCheckpoint(eager=True)
+        # persist (not localCheckpoint): checkpoint blocks from earlier
+        # scales cannot be dropped and accumulate into a driver OOM by 16×
+        docs = make_docs(spark, sf_dir, k).persist()
+        docs.count()
         for name, build in make_ops(docs).items():
             ts = []
             for _ in range(3):
                 t0 = time.time()
                 build().write.format("noop").mode("overwrite").save()
                 ts.append(time.time() - t0)
-            spark.catalog.clearCache()
+            if make_ops is pair_ops:
+                pairs.setdefault(name, {})[k] = build().count()
             results.setdefault(name, {})[k] = statistics.median(ts)
+        docs.unpersist()
+        spark.catalog.clearCache()
     hdr = "operator".ljust(20) + "".join(f"  {k}x".rjust(8) for k in ks) + "   growth"
     print(hdr)
     for name, times in results.items():
         ratio = times[ks[-1]] / times[ks[0]]
         row = name.ljust(20) + "".join(f"{times[k]:8.2f}" for k in ks)
         print(f"{row}   {ratio:.1f}x over {ks[-1]}x data")
+    if pairs:
+        print("\npairs found (near-dup density fixed by the generator; "
+              "linear plan → ~k× pairs, ~k× time)")
+        print("operator".ljust(20) + "".join(f"  {k}x".rjust(10) for k in ks))
+        for name, by_k in pairs.items():
+            print(name.ljust(20) + "".join(f"{by_k[k]:10d}" for k in ks))
     spark.stop()
 
 
