@@ -83,11 +83,13 @@ def _committed_end_text(f, size: int) -> int:
 
 
 class TailPartition(InputPartition):
-    def __init__(self, path: str, start: int, end: int, batch_start: int):
+    def __init__(self, path: str, start: int, end: int, batch_start: int,
+                 ino: int = 0):
         self.path = path
         self.start = start
         self.end = end
         self.batch_start = batch_start  # first chunk of the batch starts exact
+        self.ino = ino  # identity — the path can rotate away before the read
 
 
 class TailStreamReader(DataSourceStreamReader):
@@ -316,27 +318,69 @@ class TailStreamReader(DataSourceStreamReader):
                 cuts = [b for b in cached.get("bounds", []) if s < b < e]
                 lo = s
                 for hi in cuts + [e]:
-                    parts.append(TailPartition(path, lo, hi, s))
+                    parts.append(TailPartition(path, lo, hi, s, int(ino)))
                     lo = hi
             else:
                 lo = s
                 while lo < e:
                     hi = min(lo + self.chunk_bytes, e)
-                    parts.append(TailPartition(path, lo, hi, s))
+                    parts.append(TailPartition(path, lo, hi, s, int(ino)))
                     lo = hi
         return parts
 
     # -- execution (runs on executors) --------------------------------------
+    def _open_partition(self, partition: TailPartition):
+        """Open the partition's FILE, not just its recorded path: a rotation
+        between planning and execution can rename the file away (recorded
+        path missing) or — worse — put a brand-new file at the recorded
+        name, whose bytes at [start, end) are a different stream.  Verify
+        the inode after open; on mismatch rescan the watched dir for the
+        planned inode (the soak tool reproduces this race within seconds
+        of rename churn).  Inode truly gone (deleted, not rotated): the
+        planned bytes no longer exist anywhere — surface the error rather
+        than silently dropping a committed range."""
+        import fnmatch
+
+        want = partition.ino
+        try:
+            f = open(partition.path, "rb")
+            if not want or os.fstat(f.fileno()).st_ino == want:
+                return f, partition.path
+            f.close()
+        except FileNotFoundError:
+            if not want:
+                raise
+        try:
+            names = os.listdir(self.log_dir)
+        except FileNotFoundError:
+            names = []
+        for name in names:
+            if not fnmatch.fnmatch(name, self.glob):
+                continue
+            q = os.path.join(self.log_dir, name)
+            try:
+                g = open(q, "rb")
+            except OSError:
+                continue
+            if os.fstat(g.fileno()).st_ino == want:
+                return g, q
+            g.close()
+        raise FileNotFoundError(
+            f"tail partition lost: inode {want} (recorded at "
+            f"{partition.path}) is no longer in {self.log_dir} — file "
+            "deleted between planning and read")
+
     def read(self, partition: TailPartition) -> Iterator[tuple]:
         """Text: TextInputFormat semantics over [start, end) — a line belongs
         to the chunk containing its first byte; a non-first chunk seeks one
         byte back to find its first line start.  Thrift: `start` is always a
         frame boundary, so the slice decodes standalone."""
-        path, start, end = partition.path, partition.start, partition.end
+        start, end = partition.start, partition.end
         if self.mode == "thrift":
             from singer_spark.framing import AUDIT_HEADERS_SCHEMA, decode_file_tolerant
 
-            with open(path, "rb") as f:
+            f, path = self._open_partition(partition)
+            with f:
                 f.seek(start)
                 blob = f.read(end - start)
             for key, msg, ts, crc, audit, _path, off in decode_file_tolerant(
@@ -345,7 +389,8 @@ class TailStreamReader(DataSourceStreamReader):
                              if audit is not None else None)
                 yield (key, msg, ts, crc, audit_row, path, off)
             return
-        with open(path, "rb") as f:
+        f, path = self._open_partition(partition)
+        with f:
             pos = start
             if start > partition.batch_start:
                 f.seek(start - 1)

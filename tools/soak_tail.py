@@ -1,0 +1,230 @@
+"""Soak the tail source and the streaming-curation path under churn.
+
+The reference proves restart-safety with a live end-to-end suite
+(`e2e/SingerRestartTest.java`: write continuously, kill the agent
+mid-stream, restart, assert counts).  This tool is that run for the Spark
+engine, on the two delivery paths:
+
+1. **Tail soak** — a writer thread appends numbered lines to several log
+   streams while rotations churn underneath it, and the consumer runs a
+   fresh availableNow query per cycle on the same checkpoint (every cycle
+   IS a kill + restart).  Two rotation regimes, asserted separately:
+
+   - rename rotation (the reference's primary mode): inode identity and
+     offsets survive → delivery must be EXACT (no loss, no duplicates);
+   - copytruncate rotation with the copy landing in the watched dir: the
+     copy is a new inode re-read from 0, so lines read before the
+     truncate arrive twice — the documented at-least-once contract.
+     Asserted: zero LOSS, duplicates counted and reported.
+
+2. **Curation soak** — documents arrive in chunks between cycles of
+   `curate_stream` (fresh query per cycle, kill/restart churn); the
+   final curated table must be IDENTICAL to an uninterrupted single
+   query consuming the same chunks in the same order
+   (maxFilesPerTrigger=1) — kill/restart must not change one surviving
+   document, which is exactly the state-survival property.  (Batch
+   `curate` is not the reference here: incremental near-dup keeps a
+   chain's first-arrived survivor while the batch pairwise form drops
+   every doc with a lower-id near-dup, so they legitimately differ on
+   dup chains.)
+
+Prints a count-equality table; exit code 1 on any loss/inequality.
+
+Usage: python tools/soak_tail.py [seconds] [out_root]
+       (default 60 s; the README run uses 300)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _append(path: str, data: str) -> None:
+    with open(path, "a") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+
+
+class Writer(threading.Thread):
+    """Continuously appends `s{i}:{n}` lines to one stream file, rotating
+    every `rotate_every` lines — by rename (unique suffix, stays in the
+    watched glob) or by copytruncate (copy to a unique name in the watched
+    dir, then truncate in place)."""
+
+    def __init__(self, log_dir: str, name: str, mode: str,
+                 stop: threading.Event, rotate_every: int = 200) -> None:
+        super().__init__(daemon=True)
+        self.path = os.path.join(log_dir, f"{name}.log")
+        self.name_ = name
+        self.mode = mode
+        self.stop_evt = stop
+        self.rotate_every = rotate_every
+        self.written = 0
+        self.rotations = 0
+
+    def run(self) -> None:
+        while not self.stop_evt.is_set():
+            _append(self.path, f"{self.name_}:{self.written}\n")
+            self.written += 1
+            if self.written % self.rotate_every == 0:
+                self.rotate()
+                self.rotations += 1
+            if self.written % 50 == 0:
+                time.sleep(0.01)  # ~5k lines/s per stream
+
+    def rotate(self) -> None:
+        rot = f"{self.path}.r{self.rotations}"
+        if self.mode == "rename":
+            os.rename(self.path, rot)
+        else:  # copytruncate: copy content out, truncate in place
+            shutil.copyfile(self.path, rot)
+            with open(self.path, "r+b") as f:
+                f.truncate(0)
+
+
+def run_tail_soak(spark, root: str, seconds: float) -> list[tuple]:
+    from singer_spark.streaming.tail import tail_stream
+
+    log_dir = os.path.join(root, "logs")
+    out = os.path.join(root, "tail_out")
+    ckpt = os.path.join(root, "tail_ckpt")
+    os.makedirs(log_dir)
+    stop = threading.Event()
+    writers = [Writer(log_dir, "ren0", "rename", stop),
+               Writer(log_dir, "ren1", "rename", stop),
+               Writer(log_dir, "ct0", "copytruncate", stop)]
+    for w in writers:
+        w.start()
+
+    def cycle() -> None:
+        q = (tail_stream(spark, log_dir, glob="*")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()  # query object discarded — next cycle is a real restart
+
+    deadline = time.time() + seconds
+    cycles = 0
+    while time.time() < deadline:
+        cycle()
+        cycles += 1
+    stop.set()
+    for w in writers:
+        w.join()
+    cycle()  # final drains after the writers stop
+    cycle()
+
+    from collections import Counter
+
+    got: dict[str, Counter] = {w.name_: Counter() for w in writers}
+    for r in spark.read.parquet(out).collect():
+        name, n = r.value.split(":")
+        got[name][int(n)] += 1
+
+    rows = []
+    ok = True
+    for w in writers:
+        c = got[w.name_]
+        missing = sum(1 for i in range(w.written) if i not in c)
+        dupes = sum(v - 1 for v in c.values())
+        extra = sum(1 for i in c if i >= w.written)
+        if w.mode == "rename":
+            good = missing == 0 and dupes == 0 and extra == 0
+        else:
+            good = missing == 0 and extra == 0  # at-least-once under copytruncate
+        ok &= good
+        rows.append((w.name_, w.mode, w.written, w.rotations,
+                     sum(c.values()), missing, dupes,
+                     "OK" if good else "FAIL"))
+    rows.append(("cycles(kill/restart)", "-", cycles + 2, "-", "-", "-", "-", "-"))
+    return rows if ok else rows + [("TAIL-SOAK", "FAILED", 0, 0, 0, 0, 0, "FAIL")]
+
+
+def run_curation_soak(spark, root: str, seconds: float) -> list[tuple]:
+    from pyspark.sql import functions as F
+
+    from singer_spark.curation import CurationConfig, curate_stream
+
+    src = os.path.join(root, "cur_src")
+    os.makedirs(src)
+    schema = "doc_id bigint, text string"
+    cfg = CurationConfig(lang=None, min_quality=None, repetition_screen=False,
+                         dedup="exact", split=False, keep_cols=())
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .select("doc_id", "text")
+
+    n_chunks = 6
+
+    def write_chunk(i: int) -> None:
+        stage = os.path.join(root, f"cur_stage{i}")
+        # both runs list the same chunk files in the same order, which is
+        # all restart-invariance needs
+        (base.where(F.col("doc_id") % n_chunks == i)
+         .coalesce(1).write.mode("overwrite").parquet(stage))
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(src, f"chunk{i}.parquet"))
+
+    def cycle(tag: str, reader) -> None:
+        q = (curate_stream(reader, os.path.join(root, f"cur_ckpt_{tag}"),
+                           os.path.join(root, f"cur_state_{tag}"),
+                           os.path.join(root, f"cur_out_{tag}"), cfg)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+
+    # churned run: a fresh query (kill + restart) after every chunk
+    deadline = time.time() + seconds
+    done = 0
+    for i in range(n_chunks):
+        write_chunk(i)
+        cycle("churn", spark.readStream.schema(schema).parquet(src))
+        done = i + 1
+        if time.time() > deadline and done >= 2:
+            break
+    # reference run: ONE uninterrupted query over the same chunks, one
+    # micro-batch per chunk file (same arrival granularity, no restarts)
+    cycle("ref", spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src))
+
+    churn = [r.doc_id for r in
+             spark.read.parquet(os.path.join(root, "cur_out_churn")).collect()]
+    ref = [r.doc_id for r in
+           spark.read.parquet(os.path.join(root, "cur_out_ref")).collect()]
+    good = (sorted(churn) == sorted(ref)
+            and len(set(churn)) == len(churn) and len(churn) > 0)
+    return [("curation", "restart-invariance", len(ref), done, len(churn),
+             len(set(ref) - set(churn)), len(churn) - len(set(churn)),
+             "OK" if good else "FAIL")]
+
+
+def main(seconds: float = 60.0, root: str = "/tmp/singer_spark_soak") -> int:
+    from singer_spark.session import get_spark
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    spark = get_spark("soak_tail")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = run_tail_soak(spark, root, seconds * 0.7)
+    rows += run_curation_soak(spark, root, seconds * 0.3)
+    hdr = ("stream", "mode", "written", "rotations", "delivered",
+           "missing", "dupes", "status")
+    print(("{:>22}" * len(hdr)).format(*hdr))
+    failed = False
+    for r in rows:
+        print(("{:>22}" * len(r)).format(*[str(x) for x in r]))
+        failed |= r[-1] == "FAIL"
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:3]
+    sys.exit(main(*(float(a) if i == 0 else a for i, a in enumerate(args))))
