@@ -240,3 +240,33 @@ def test_transactional_abort_on_failure(spark, tmp_path):
     aborted = [e for events in _txn_events(out_dir) for e in events if e[0] == "abort"]
     committed = [e for events in _txn_events(out_dir) for e in events if e[0] == "commit"]
     assert aborted and not committed  # failed task aborted, nothing visible
+
+
+# ---------------------------------------------------------------------------
+# Live-broker smoke (flag-gated): set SINGER_SPARK_KAFKA_BOOTSTRAP to a real
+# broker (e.g. "localhost:9092", kafka-python installed) and this runs the
+# DIRECT producer path against it end-to-end — delivery callbacks, metadata
+# timeouts, real client quirks the protocol fakes cannot exercise.  Unset
+# (this sandbox), it skips cleanly.
+# ---------------------------------------------------------------------------
+@pytest.mark.skipif(
+    not os.environ.get("SINGER_SPARK_KAFKA_BOOTSTRAP"),
+    reason="no live broker: set SINGER_SPARK_KAFKA_BOOTSTRAP to run")
+def test_kafka_direct_path_live_broker(spark):
+    pytest.importorskip("kafka", reason="kafka-python not installed")
+    from kafka import KafkaConsumer
+
+    bootstrap = os.environ["SINGER_SPARK_KAFKA_BOOTSTRAP"]
+    topic = f"singer_spark_smoke_{uuid.uuid4().hex[:8]}"
+    df = spark.range(50).select(
+        F.col("id").cast("string").cast("binary").alias("key"),
+        F.concat(F.lit("live-"), F.col("id").cast("string"))
+        .cast("binary").alias("value"))
+    kafka_write_batch(df, bootstrap, topic)
+
+    consumer = KafkaConsumer(
+        topic, bootstrap_servers=bootstrap, auto_offset_reset="earliest",
+        consumer_timeout_ms=15000)
+    got = sorted(m.value.decode() for m in consumer)
+    consumer.close()
+    assert got == sorted(f"live-{i}" for i in range(50))
