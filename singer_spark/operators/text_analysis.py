@@ -620,9 +620,14 @@ def chunk_documents(docs: DataFrame, window: int = 128, overlap: int = 32,
     stride = window - overlap
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
     base = fan_out(docs).select(F.col(id_col), toks.alias("toks"))
+    # a doc with no tokens emits one sentinel '' row (real tokens are
+    # never '' — filtered above), so its single empty chunk rides the
+    # same single scan instead of a second pass over the corpus
+    exploded = F.when(F.size("toks") == 0, F.array(F.lit(""))) \
+                .otherwise(F.col("toks"))
     tok_rows = base.select(
         F.col(id_col), F.size("toks").alias("n"),
-        F.posexplode("toks").alias("p", "tok"))
+        F.posexplode(exploded).alias("p", "tok"))
     # chunk i covers [i·stride, i·stride + window); token p belongs to
     # chunks ceil((p-window+1)/stride) .. floor(p/stride), clamped to the
     # doc's chunk count ceil(max(n-overlap, 1)/stride)
@@ -634,9 +639,9 @@ def chunk_documents(docs: DataFrame, window: int = 128, overlap: int = 32,
     memb = tok_rows.select(
         F.col(id_col), "p", "tok",
         F.explode(F.sequence(lo, hi)).alias("chunk_idx"))
-    assembled = (
+    return (
         memb.groupBy(F.col(id_col), F.col("chunk_idx"))
-        .agg(F.count("*").alias("n_tokens"),
+        .agg(F.sum((F.col("tok") != "").cast("int")).alias("n_tokens"),
              F.array_join(
                  F.transform(F.array_sort(F.collect_list(F.struct("p", "tok"))),
                              lambda s: s.tok), " ").alias("chunk"))
@@ -644,13 +649,6 @@ def chunk_documents(docs: DataFrame, window: int = 128, overlap: int = 32,
                 (F.col("chunk_idx").cast("bigint") * stride).alias("start_token"),
                 F.col("n_tokens").cast("int").alias("n_tokens"), "chunk")
     )
-    # a doc with no tokens still emits its single empty chunk (the
-    # explode path produces no rows for it)
-    empties = base.where(F.size("toks") == 0).select(
-        F.col(id_col), F.lit(0).alias("chunk_idx"),
-        F.lit(0).cast("bigint").alias("start_token"),
-        F.lit(0).cast("int").alias("n_tokens"), F.lit("").alias("chunk"))
-    return assembled.unionByName(empties)
 
 
 # ---------------------------------------------------------------------------
