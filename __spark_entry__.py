@@ -996,6 +996,16 @@ def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), ["join", "spark", "window"], k=20)
 
 
+def _hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical (BM25) + dense (hash-embed cosine) retrieval fused by
+    reciprocal-rank fusion — the RAG/contamination-triage hybrid, fully
+    deterministic (query vector is a driver-computed literal)."""
+    from singer_spark.operators.text_analysis import hybrid_topk_rrf
+
+    return hybrid_topk_rrf(_docs(spark, sf_dir), ["join", "spark", "window"],
+                           k=15, k_each=20)
+
+
 def _user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.queries import user_event_sequences
 
@@ -1695,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_score": _ngram_lm_score,
         "weighted_sample": _weighted_sample,
         "bm25_search": _bm25_search,
+        "hybrid_search_rrf": _hybrid_search_rrf,
         "hash_embed": _hash_embed,
         "semantic_dedup_docs": _semantic_dedup_docs,
         "event_anomalies": _event_anomalies,
@@ -2058,6 +2069,56 @@ def _ivf_trained_oracle(iters: int = 3, k: int = 16, nprobe: int = 4,
     return ("WITH " + ",\n".join(blocks)
             + f"\nSELECT query_id, neighbor_id, rank::INT AS rank, cosine"
               f" FROM r WHERE rank <= {topk}")
+
+
+def _hybrid_rrf_oracle(k: int = 15, k_each: int = 20, rrf_k: int = 60) -> str:
+    """SQL twin of text_analysis.hybrid_topk_rrf for the fixed
+    join/spark/window query: the BM25 arm is the bm25_search oracle ranked
+    top-k_each, the dense arm scores emb16 against the SAME literal query
+    vector the Spark side computes driver-side (hash_embed_vector — shared
+    helper, so the literal is bit-identical), fused by reciprocal rank."""
+    from singer_spark.operators.text_analysis import hash_embed_vector
+
+    qv = hash_embed_vector(sorted({"join", "spark", "window"}), dim=16)
+    qlit = "[" + ", ".join(repr(x) for x in qv) + "]"
+    return f"""
+WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+              FROM documents),
+base AS (SELECT doc_id, len(t)::DOUBLE AS dl,
+                len(list_filter(t, x -> x = 'join'))::DOUBLE AS tf_0,
+                len(list_filter(t, x -> x = 'spark'))::DOUBLE AS tf_1,
+                len(list_filter(t, x -> x = 'window'))::DOUBLE AS tf_2
+         FROM toks),
+m AS (SELECT * FROM base WHERE tf_0 + tf_1 + tf_2 > 0),
+g AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS N,
+             (SELECT avg(len(t)) FROM toks) AS avgdl,
+             sum((tf_0 > 0)::INT)::DOUBLE AS df_0,
+             sum((tf_1 > 0)::INT)::DOUBLE AS df_1,
+             sum((tf_2 > 0)::INT)::DOUBLE AS df_2
+      FROM m),
+scored AS (SELECT doc_id,
+    floor((  ln(1 + (N - df_0 + 0.5) / (df_0 + 0.5)) * tf_0 * 2.2 / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1 + (N - df_1 + 0.5) / (df_1 + 0.5)) * tf_1 * 2.2 / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1 + (N - df_2 + 0.5) / (df_2 + 0.5)) * tf_2 * 2.2 / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          ) * 10000 + 0.5) / 10000 AS score
+    FROM m CROSS JOIN g),
+lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+         FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT {k_each})),
+{_HASH_EMBED_CTE},
+dcos AS (SELECT doc_id,
+                floor(list_dot_product(embedding, {qlit}) * 1000000 + 0.5) / 1000000 AS cos
+         FROM emb16),
+dtop AS (SELECT doc_id, cos FROM dcos WHERE cos > 0
+         ORDER BY cos DESC, doc_id LIMIT {k_each}),
+denr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS dense_rank
+         FROM dtop),
+fused AS (SELECT doc_id, bm25_rank, dense_rank,
+                 floor((coalesce(1.0 / ({rrf_k} + bm25_rank), 0.0)
+                        + coalesce(1.0 / ({rrf_k} + dense_rank), 0.0))
+                       * 1000000 + 0.5) / 1000000 AS rrf_score
+          FROM lexr FULL OUTER JOIN denr USING (doc_id))
+SELECT doc_id, rrf_score, bm25_rank::INT AS bm25_rank, dense_rank::INT AS dense_rank
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {k}"""
 
 
 def _lang_id_oracle() -> str:
@@ -3308,6 +3369,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE n_chars > 0)
             SELECT doc_id, weight, rank FROM r
             ORDER BY rank ASC, doc_id ASC LIMIT 50""",
+        "hybrid_search_rrf": _hybrid_rrf_oracle(),
         "bm25_search": """
             WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
                           FROM documents),

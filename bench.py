@@ -70,6 +70,7 @@ HEADLINERS = [
     "tfidf_top_terms",
     "ngram_lm_score",
     "bm25_search",
+    "hybrid_search_rrf",
     "pack_sequences",
     "corpus_mix",
     "decontaminate",

@@ -862,6 +862,84 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
             .limit(k))
 
 
+def hash_embed_vector(tokens: list[str], dim: int = 16,
+                      round_to: int = 6) -> list[float]:
+    """Driver-side hash-embed of a CONSTANT token list (the query side of
+    hybrid retrieval): the exact md5-bucket + L2-normalize + qround recipe
+    of :func:`hash_embed`, replicated in Python (`md5_int` ==
+    int(md5(str)[:15], 16)) so the query vector is a literal both engines
+    share bit-for-bit."""
+    import hashlib
+    import math
+
+    counts = [0] * dim
+    for t in tokens:
+        h = int(hashlib.md5(str(t).encode()).hexdigest()[:15], 16)
+        counts[h % dim] += 1
+    n = math.sqrt(sum(c * c for c in counts))
+    scale = 10 ** round_to
+    return [math.floor(c / n * scale + 0.5) / scale if n > 0 else 0.0
+            for c in counts]
+
+
+def hybrid_topk_rrf(docs: DataFrame, query_terms: list[str], k: int = 10,
+                    k_each: int = 20, rrf_k: int = 60, dim: int = 16,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    round_to: int = 6) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al., the
+    public RRF recipe): the lexical arm ranks by Okapi BM25
+    (:func:`bm25_topk`), the dense arm by cosine between the corpus's
+    hash-embeddings and the query's own hash-embedded vector, and each
+    document's fused score is Σ_arms 1/(rrf_k + rank) over the arms that
+    retrieved it — the standard lexical+vector fusion a RAG/contamination
+    triage pipeline runs, with zero learned components so an external SQL
+    oracle replays it exactly.
+
+    Plan shape at 100 TB: each arm is one corpus scan reduced to a top-k
+    (TakeOrdered — never a full sort); the dense arm's query vector is a
+    broadcast literal (computed driver-side by
+    :func:`hash_embed_vector`), so scoring is a narrow map over the
+    embedding pass.  Fusion joins two ≤k_each-row frames — trivially
+    broadcast.  Ranks are assigned over qround-quantized scores with id
+    tie-breaks, so both engines rank identically.
+
+    Output: (id, rrf_score, bm25_rank, dense_rank) — rank NULL for an arm
+    that did not retrieve the doc; ordered by rrf_score desc, id."""
+    from pyspark.sql.window import Window
+
+    lex = bm25_topk(docs, query_terms, k=k_each, text_col=text_col,
+                    id_col=id_col)
+    w_lex = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    lex_r = lex.select(F.col(id_col),
+                       F.row_number().over(w_lex).alias("bm25_rank"))
+
+    qv = hash_embed_vector(sorted(set(query_terms)), dim=dim,
+                           round_to=round_to)
+    qlit = F.array(*[F.lit(x) for x in qv])
+    emb = hash_embed(docs, dim=dim, text_col=text_col, id_col=id_col,
+                     round_to=round_to)
+    # both sides unit-normalized → cosine is the plain sequential dot
+    # product (same fold order as DuckDB's list_dot_product)
+    dot = F.aggregate(F.zip_with(F.col("embedding"), qlit,
+                                 lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    dense = (emb.select(F.col(id_col), qround(dot, round_to).alias("cos"))
+             .where(F.col("cos") > 0)
+             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
+             .limit(k_each))
+    w_den = Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    dense_r = dense.select(F.col(id_col),
+                           F.row_number().over(w_den).alias("dense_rank"))
+
+    contrib = (F.coalesce(1.0 / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0))
+               + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("dense_rank")), F.lit(0.0)))
+    return (lex_r.join(dense_r, id_col, "full_outer")
+            .select(F.col(id_col), qround(contrib, round_to).alias("rrf_score"),
+                    "bm25_rank", "dense_rank")
+            .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+            .limit(k))
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top terms — per-source vocabulary profiling.
 # ---------------------------------------------------------------------------

@@ -213,6 +213,40 @@ def test_bm25_ranks_term_dense_docs_first(spark):
     assert by_id[1].score > by_id[4].score   # 3×tf beats 1×tf, same length
 
 
+def test_hybrid_rrf_fuses_lexical_and_dense_arms(spark):
+    from singer_spark.operators.text_analysis import (
+        hash_embed_vector,
+        hybrid_topk_rrf,
+    )
+
+    docs = _docs_df(spark, [
+        (1, "spark join window spark join window", "s"),  # both arms love it
+        (2, "spark filler filler filler filler", "s"),    # lexical-leaning
+        (3, "filler filler filler filler filler", "s"),   # neither
+        (4, "join window other other other", "s"),
+    ])
+    got = hybrid_topk_rrf(docs, ["spark", "join", "window"], k=4, k_each=4)
+    rows = got.collect()
+    by_id = {r.doc_id: r for r in rows}
+    # doc 1 tops both arms → highest fused score; doc 3 retrieved by
+    # neither arm → absent
+    assert rows[0].doc_id == 1
+    assert by_id[1].bm25_rank == 1 and by_id[1].dense_rank == 1
+    assert 3 not in by_id
+    # a doc in both arms outscores a doc in one arm at a similar rank
+    assert by_id[1].rrf_score > by_id[2].rrf_score
+    # score arithmetic: exactly sum of reciprocal ranks, qround 1e-6
+    r = by_id[4]
+    expect = sum(1.0 / (60 + x) for x in (r.bm25_rank, r.dense_rank)
+                 if x is not None)
+    assert abs(r.rrf_score - expect) < 2e-6
+    # driver-side query embedding matches the engine recipe: unit norm
+    import math
+
+    qv = hash_embed_vector(["join", "spark", "window"])
+    assert abs(math.sqrt(sum(x * x for x in qv)) - 1.0) < 1e-4
+
+
 def test_ngram_novelty_planted_overlap(spark):
     from singer_spark.operators.text_analysis import ngram_novelty
 
