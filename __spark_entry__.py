@@ -678,6 +678,17 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, benchmark, k=8)
 
 
+def _contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-item leak counts (which eval items are burned, and by
+    how many corpus docs / distinct grams) — the benchmark-side aggregate
+    of the decontamination screen."""
+    from singer_spark.operators.text_analysis import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_report(docs, benchmark, k=8)
+
+
 def _decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level decontamination: cut only the contaminated 8-gram
     windows (benchmark = every 50th doc), keep the rest of each doc."""
@@ -686,6 +697,16 @@ def _decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     benchmark = docs.filter(F.col("doc_id") % 50 == 0)
     return decontaminate_spans(docs, benchmark, k=8)
+
+
+def _length_matched_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resample the corpus to the length distribution of a
+    'curated' slice (doc_id % 7 == 0) over log2 token-length bins."""
+    from singer_spark.operators.text_analysis import length_matched_sample
+
+    docs = _docs(spark, sf_dir)
+    reference = docs.filter(F.col("doc_id") % 7 == 0)
+    return length_matched_sample(docs, reference)
 
 
 def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1613,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_percentiles_value": _approx_percentiles_value,
         "stratified_sample": _stratified_sample,
         "corpus_mix": _corpus_mix,
+        "length_matched_sample": _length_matched_sample,
         "skew_report": _skew_report,
         "global_ids": _global_ids,
         # relational analytics
@@ -1721,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "pack_stats": _pack_stats,
         "decontaminate": _decontaminate,
+        "contamination_report": _contamination_report,
         "decontaminate_spans": _decontaminate_spans,
         # multimodal plumbing
         "multimodal_meta": _multimodal_meta,
@@ -3525,6 +3548,52 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN (cum - 1) // 512 > (cum - n) // 512
                             THEN 1 ELSE 0 END)::BIGINT AS n_straddling
             FROM p""",
+        "length_matched_sample": f"""
+            -- importance resampling to the reference (doc_id%7=0) length
+            -- distribution over floor(log2(n_tokens+1)) bins
+            WITH lens AS (SELECT doc_id AS id,
+                                 len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+                          FROM documents),
+            binned AS (SELECT id, n_tokens,
+                              floor(log2(n_tokens + 1))::INT AS len_bin FROM lens),
+            cs AS (SELECT len_bin, count(*)::DOUBLE AS c_n FROM binned GROUP BY 1),
+            rs AS (SELECT len_bin, count(*)::DOUBLE AS r_n FROM binned
+                   WHERE id % 7 = 0 GROUP BY 1),
+            tot AS (SELECT (SELECT sum(c_n) FROM cs) AS C, (SELECT sum(r_n) FROM rs) AS R),
+            ratios AS (SELECT cs.len_bin,
+                              (coalesce(rs.r_n, 0) / tot.R) / (cs.c_n / tot.C) AS ratio
+                       FROM cs LEFT JOIN rs USING (len_bin) CROSS JOIN tot),
+            rates AS (SELECT len_bin,
+                             floor(ratio / (SELECT max(ratio) FROM ratios) * 1000000 + 0.5) / 1000000 AS keep_rate
+                      FROM ratios)
+            SELECT b.id, b.n_tokens, b.len_bin, r.keep_rate,
+                   (floor({_md5i("'lenmatch:' || b.id::VARCHAR")} / 1152921504606846976.0 * 1000000 + 0.5) / 1000000
+                    < r.keep_rate) AS kept
+            FROM binned b JOIN rates r USING (len_bin)
+            ORDER BY b.id""",
+        "contamination_report": """
+            -- per-benchmark-item leaks: corpus docs / distinct grams shared
+            -- with each benchmark doc (bench slice = doc_id%50=0, self-pairs
+            -- excluded); docs shorter than 8 tokens contribute their whole
+            -- text as the single gram
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT doc_id, t,
+                           unnest(generate_series(1, GREATEST(len(t) - 7, 1))) AS g
+                    FROM toks),
+            grams AS (SELECT DISTINCT doc_id, md5(array_to_string(t[g : g + 7], ' ')) AS gram
+                      FROM pos),
+            bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id % 50 = 0),
+            leaks AS (SELECT b.bench_id,
+                             count(DISTINCT g.doc_id) AS n_leaked_docs,
+                             count(DISTINCT b.gram) AS n_leaked_grams
+                      FROM bench b JOIN grams g ON g.gram = b.gram
+                                   AND g.doc_id <> b.bench_id
+                      GROUP BY b.bench_id)
+            SELECT d.doc_id AS bench_id,
+                   coalesce(l.n_leaked_docs, 0) AS n_leaked_docs,
+                   coalesce(l.n_leaked_grams, 0) AS n_leaked_grams
+            FROM documents d LEFT JOIN leaks l ON l.bench_id = d.doc_id
+            WHERE d.doc_id % 50 = 0 ORDER BY bench_id""",
         "decontaminate": """
             -- docs sharing any 8-gram with the benchmark slice (doc_id%50=0);
             -- docs shorter than 8 tokens contribute their whole text as the

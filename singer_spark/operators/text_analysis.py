@@ -228,6 +228,52 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # ---------------------------------------------------------------------------
 # Benchmark decontamination — n-gram overlap screening.
 # ---------------------------------------------------------------------------
+def contamination_report(docs: DataFrame, benchmark: DataFrame, k: int = 8,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         max_gram_df: int | None = None) -> DataFrame:
+    """Per-BENCHMARK-item leak report: for every benchmark document, how
+    many corpus documents share at least one k-gram with it and how many
+    distinct k-grams leak — the triage view behind "which eval items are
+    burned" decisions (the doc-level :func:`decontaminate` flags the
+    corpus side; this aggregates the benchmark side).
+
+    Shape at 100 TB: both sides reduce to (id, 16-byte gram digest) rows;
+    one digest-keyed join then one benchmark-keyed aggregation.  Skew
+    note: a gram ubiquitous in BOTH sides multiplies (bench docs) ×
+    (corpus docs) at its join key — `max_gram_df` drops grams whose
+    corpus document frequency exceeds the cap from the join (a bench item
+    reached ONLY through such boilerplate grams then under-reports;
+    leaks through any rarer gram still count).  Self-pairs are excluded
+    when the benchmark is a slice of the corpus.
+
+    Output: (bench_id, n_leaked_docs, n_leaked_grams) for EVERY benchmark
+    doc (zeros included), ordered by bench_id."""
+    from singer_spark.functions import fan_out
+    from singer_spark.operators.dedup import shingles_col
+
+    grams = F.explode(shingles_col(text_col, k)).alias("gram")
+    bench_grams = (fan_out(benchmark)
+                   .select(F.col(id_col).alias("bench_id"), grams)
+                   .select("bench_id", F.md5("gram").alias("g")).distinct())
+    doc_grams = (fan_out(docs).select(F.col(id_col).alias("id"), grams)
+                 .select("id", F.md5("gram").alias("g")).distinct())
+    if max_gram_df is not None:
+        keep = (doc_grams.groupBy("g").agg(F.count("*").alias("_df"))
+                .where(F.col("_df") <= max_gram_df).select("g"))
+        doc_grams = doc_grams.join(keep, "g", "left_semi")
+    leaks = (bench_grams.join(doc_grams, "g")
+             .where(F.col("id") != F.col("bench_id"))
+             .groupBy("bench_id")
+             .agg(F.count_distinct("id").alias("n_leaked_docs"),
+                  F.count_distinct("g").alias("n_leaked_grams")))
+    return (benchmark.select(F.col(id_col).alias("bench_id"))
+            .join(leaks, "bench_id", "left")
+            .select("bench_id",
+                    F.coalesce("n_leaked_docs", F.lit(0)).alias("n_leaked_docs"),
+                    F.coalesce("n_leaked_grams", F.lit(0)).alias("n_leaked_grams"))
+            .orderBy("bench_id"))
+
+
 def decontaminate(docs: DataFrame, benchmark: DataFrame, k: int = 8,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Flag training documents sharing any k-gram with a benchmark/eval set
@@ -282,6 +328,66 @@ def stratified_sample_k(df: DataFrame, group_col: str, k: int,
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop("_rn"))
+
+
+def length_matched_sample(docs: DataFrame, reference: DataFrame,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          salt: str = "lenmatch",
+                          round_to: int = 6) -> DataFrame:
+    """Resample `docs` so its token-LENGTH distribution matches
+    `reference`'s — the distribution-matching step behind "make the
+    web-crawl length profile look like the curated set" curation moves
+    (plain filtering shifts length mix; this corrects it without manual
+    thresholds).
+
+    Importance resampling over deterministic log2 length bins
+    (bin = floor(log2(n_tokens + 1)) — fixed-width in log space, no
+    cross-engine quantile dependence): each bin's acceptance rate is
+    (ref_share / corpus_share) scaled so the largest ratio accepts
+    everything, and a doc is kept when its salted-hash uniform in [0, 1)
+    falls under its bin's rate.  Deterministic per (salt, id) — stable
+    under retries and repartitioning, like every sampler here.  Bins the
+    reference never exhibits get rate 0 (those lengths leave the corpus).
+
+    Shape at 100 TB: two narrow scans reduce to per-bin counts (≤ ~40
+    rows each), the rate table broadcasts back, and the keep decision is
+    a per-row expression — no shuffle of the corpus itself.
+
+    Output: (id, n_tokens, len_bin, keep_rate, kept) for every input doc
+    (`kept` marks survivors; project the kept rows for the actual
+    sample)."""
+    def with_bins(df):
+        toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        n = F.size(toks)
+        return df.select(
+            F.col(id_col).alias("id"), n.alias("n_tokens"),
+            F.floor(F.log2(n + F.lit(1))).cast("int").alias("len_bin"))
+
+    corpus = with_bins(docs)
+    corpus_shares = (corpus.groupBy("len_bin")
+                     .agg(F.count("*").alias("c_n")))
+    ref_shares = (with_bins(reference).groupBy("len_bin")
+                  .agg(F.count("*").alias("r_n")))
+    # ratio_b = (r_n/R) / (c_n/C); rate_b = ratio_b / max(ratio); all on
+    # bin-count frames (tiny).  qround before the compare so both engines
+    # accept identical ids.
+    totals = (corpus_shares.crossJoin(
+        corpus_shares.agg(F.sum("c_n").alias("C")))
+        .join(ref_shares, "len_bin", "left")
+        .crossJoin(ref_shares.agg(F.sum("r_n").alias("R"))))
+    ratio = (F.coalesce(F.col("r_n"), F.lit(0)) / F.col("R")) \
+        / (F.col("c_n") / F.col("C"))
+    ratios = totals.select("len_bin", ratio.alias("ratio"))
+    rates = (ratios.crossJoin(ratios.agg(F.max("ratio").alias("mx")))
+             .select("len_bin",
+                     qround(F.col("ratio") / F.col("mx"), round_to)
+                     .alias("keep_rate")))
+    u = (md5_int(F.concat(F.lit(f"{salt}:"), F.col("id").cast("string")))
+         / F.lit(float(2 ** 60)))
+    return (corpus.join(F.broadcast(rates), "len_bin")
+            .select("id", "n_tokens", "len_bin", "keep_rate",
+                    (qround(u, round_to) < F.col("keep_rate")).alias("kept"))
+            .orderBy("id"))
 
 
 # ---------------------------------------------------------------------------

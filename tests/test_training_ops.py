@@ -247,6 +247,50 @@ def test_hybrid_rrf_fuses_lexical_and_dense_arms(spark):
     assert abs(math.sqrt(sum(x * x for x in qv)) - 1.0) < 1e-4
 
 
+def test_contamination_report_counts_planted_leaks(spark):
+    from singer_spark.operators.text_analysis import contamination_report
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs_df(spark, [
+        (0, bench_text, "bench"),                            # the bench item
+        (1, "x " + bench_text + " y", "s"),                  # leaks all grams
+        (2, "alpha beta gamma delta epsilon zeta eta theta junk words", "s"),
+        (3, "totally unrelated content with no shared windows at all", "s"),
+        (50, "another bench item with its own private words", "bench"),
+    ])
+    bench = docs.where(F.col("doc_id").isin(0, 50))
+    got = {r.bench_id: (r.n_leaked_docs, r.n_leaked_grams)
+           for r in contamination_report(docs, bench, k=8).collect()}
+    # doc 0 has 1 distinct 8-gram (8 tokens); docs 1 and 2 both contain it
+    assert got[0] == (2, 1)
+    assert got[50] == (0, 0)  # zero rows included
+
+
+def test_length_matched_sample_matches_reference_distribution(spark):
+    from singer_spark.operators.text_analysis import length_matched_sample
+
+    # corpus: 150 short docs + 150 long; reference: short-heavy (5:1)
+    rows = ([(i, "w " * 8, "s") for i in range(150)]
+            + [(1000 + i, "w " * 200, "s") for i in range(150)])
+    docs = _docs_df(spark, [(i, t.strip(), s) for i, t, s in rows])
+    ref_rows = ([(i, "w " * 8) for i in range(100)]
+                + [(1000 + i, "w " * 200) for i in range(20)])
+    ref = spark.createDataFrame([(i, t.strip()) for i, t in ref_rows],
+                                "doc_id bigint, text string")
+    out = length_matched_sample(docs, ref)
+    kept = out.where("kept").groupBy("len_bin").count().collect()
+    by_bin = {r.len_bin: r["count"] for r in kept}
+    short_bin, long_bin = 3, 7  # floor(log2(9))=3, floor(log2(201))=7
+    # the corpus is 1:1 but the reference is 5:1 short:long — the kept set
+    # must lean decisively short (rate_short = 1.0, rate_long = 0.2)
+    assert by_bin[short_bin] == 150           # max-ratio bin keeps all
+    assert 10 <= by_bin.get(long_bin, 0) <= 60  # ~0.2 of 150, hash noise
+    # deterministic under repartitioning
+    again = (length_matched_sample(docs.repartition(7), ref)
+             .where("kept").collect())
+    assert {r.id for r in again} == {r.id for r in out.where("kept").collect()}
+
+
 def test_ngram_novelty_planted_overlap(spark):
     from singer_spark.operators.text_analysis import ngram_novelty
 
