@@ -1383,6 +1383,25 @@ def _sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster z-score of each vector's cosine to its own coarse
+    centroid — the mis-encoded/off-distribution embedding screen."""
+    from singer_spark.operators.similarity import embedding_outliers
+
+    return embedding_outliers(_emb(spark, sf_dir), n_clusters=16,
+                              z_threshold=2.0)
+
+
+def _dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component size histogram (dedup-impact report) over the
+    jaccard>=0.5 pair graph."""
+    from singer_spark.operators.dedup import dup_cluster_stats, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return dup_cluster_stats(docs, pairs)
+
+
 def _sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with seeded exact centroids (vec_id < 16), nprobe=4 —
     the inverted-list scale path next to the LSH variant."""
@@ -1671,6 +1690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_clusters": _dedup_clusters,
+        "dup_cluster_stats": _dup_cluster_stats,
+        "embedding_outliers": _embedding_outliers,
         "dedup_incremental": _dedup_incremental,
         "dedup_incremental_bloom": _dedup_incremental_bloom,
         "dedup_incremental_minhash": _dedup_incremental_minhash,
@@ -2739,6 +2760,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, coalesce(c.cluster, doc_id) AS cluster
             FROM documents LEFT JOIN comp c ON c.id = doc_id
             ORDER BY doc_id""",
+        "dup_cluster_stats": f"""
+            WITH RECURSIVE {_SH_CTE},
+            {_NGRAM_BLOCKED},
+            vp AS (SELECT id_a, id_b,
+                          len(list_intersect(ba.sh, bb.sh)) AS shared,
+                          len(ba.sh) AS n_a, len(bb.sh) AS n_b
+                   FROM ncand c JOIN sbase ba ON ba.doc_id = c.id_a
+                                JOIN sbase bb ON bb.doc_id = c.id_b),
+            pairs AS (SELECT id_a, id_b FROM vp
+                      WHERE shared / (n_a + n_b - shared) >= 0.5),
+            e AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            r(s, d) AS (SELECT s, d FROM e
+                        UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+            comp AS (SELECT s AS id, least(s, min(d)) AS cluster FROM r GROUP BY s),
+            cl AS (SELECT doc_id, coalesce(c.cluster, doc_id) AS cluster
+                   FROM documents LEFT JOIN comp c ON c.id = doc_id),
+            sz AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY 1)
+            SELECT cluster_size, count(*) AS n_clusters,
+                   cluster_size * count(*) AS n_docs
+            FROM sz GROUP BY cluster_size ORDER BY cluster_size""",
+        "embedding_outliers": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            cos_all AS (
+              SELECT e.vec_id, cid,
+                     list_dot_product(e.v, cv)
+                     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cos
+              FROM e CROSS JOIN cent),
+            assign AS (SELECT vec_id, cid AS cluster,
+                              floor(cos * 1000000 + 0.5) / 1000000 AS cos_centroid
+                       FROM (SELECT vec_id, cid, cos,
+                                    row_number() OVER (PARTITION BY vec_id
+                                                       ORDER BY cos DESC, cid) AS rn
+                             FROM cos_all) WHERE rn = 1),
+            stats AS (SELECT vec_id, cluster, cos_centroid,
+                             avg(cos_centroid) OVER (PARTITION BY cluster) AS mu,
+                             stddev_pop(cos_centroid) OVER (PARTITION BY cluster) AS sd
+                      FROM assign)
+            SELECT vec_id, cluster, cos_centroid,
+                   CASE WHEN sd > 0
+                        THEN floor((cos_centroid - mu) / sd * 10000 + 0.5) / 10000
+                        ELSE 0.0 END AS zscore,
+                   (CASE WHEN sd > 0
+                         THEN floor((cos_centroid - mu) / sd * 10000 + 0.5) / 10000
+                         ELSE 0.0 END) <= -2.0 AS is_outlier
+            FROM stats ORDER BY vec_id""",
         "corpus_curation": f"""
             SELECT d.doc_id, d.source, q.quality_score
             FROM documents d

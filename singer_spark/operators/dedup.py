@@ -782,6 +782,26 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
 
 
+def dup_cluster_stats(docs: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id",
+                      max_iters: int = 50) -> DataFrame:
+    """Size histogram of the near-duplicate components — the dedup-impact
+    report ("how much of the corpus sits in 2-doc pairs vs 500-doc
+    boilerplate floods") that decides cluster-keep policy before any doc
+    is dropped.
+
+    One :func:`dedup_clusters` pass (id-only label propagation), then two
+    tiny aggregations: per-cluster size, then the size histogram.
+    Output: (cluster_size, n_clusters, n_docs) ordered by cluster_size."""
+    clusters = dedup_clusters(docs, pairs, id_col=id_col, max_iters=max_iters)
+    sizes = clusters.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters"))
+            .select("cluster_size", "n_clusters",
+                    (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"))
+            .orderBy("cluster_size"))
+
+
 def dedup_exact_priority(docs: DataFrame, priority: dict[str, int],
                          source_col: str = "source",
                          text_col: str = "text",

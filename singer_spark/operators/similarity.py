@@ -513,6 +513,51 @@ def semantic_dedup(corpus: DataFrame, n_clusters: int = 8, threshold: float = 0.
     )
 
 
+def embedding_outliers(corpus: DataFrame, n_clusters: int = 16,
+                       z_threshold: float = 2.0,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       round_to: int = 4,
+                       centroids: DataFrame | None = None) -> DataFrame:
+    """Embedding-space outlier screen: each vector's cosine to its own
+    (coarse-quantizer) centroid, z-scored against that CLUSTER's
+    distribution — the quality gate that surfaces mis-encoded, truncated,
+    or off-distribution embeddings before they poison ANN indexes and
+    semantic dedup (an outlier scores far BELOW its cluster's typical
+    centroid cosine).
+
+    100 TB shape: one broadcast-centroid assignment pass (narrow Arrow
+    map), then ONE cluster-keyed window over (id, cluster, cos) rows for
+    the mean/stddev — vectors cross no exchange, the window state is
+    3 narrow columns.  Clusters with constant cosine (stddev 0) flag
+    nothing.  Default seeded quantizer is SQL-oracle-reproducible; pass
+    trained `centroids` in production.
+
+    Output: (vec_id, cluster, cos_centroid, zscore, is_outlier) ordered
+    by vec_id."""
+    from pyspark.sql.window import Window
+
+    C = (_centroid_matrix(centroids) if centroids is not None
+         else _seeded_centroids(corpus, n_clusters, id_col, vec_col))
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in C[i]]) for i in range(C.shape[0])],
+        "cluster int, cvec array<double>")
+    assigned = _assign_to_centroids(corpus, C, id_col, vec_col)
+    scored = (assigned.join(F.broadcast(cent), "cluster")
+              .select(F.col(id_col), F.col("cluster"),
+                      qround(safe_cosine(as_double(vec_col), F.col("cvec")),
+                             6).alias("cos_centroid")))
+    w = Window.partitionBy("cluster")
+    mu = F.avg("cos_centroid").over(w)
+    sd = F.stddev_pop("cos_centroid").over(w)
+    z = F.when(sd > 0, qround((F.col("cos_centroid") - mu) / sd, round_to)) \
+         .otherwise(F.lit(0.0))
+    return (scored.select(id_col, "cluster", "cos_centroid",
+                          z.alias("zscore"))
+            .withColumn("is_outlier", F.col("zscore") <= -z_threshold)
+            .orderBy(id_col))
+
+
 def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95, dim: int = 64,
                              num_tables: int = 4, num_planes: int | None = None,
                              id_col: str = "vec_id", vec_col: str = "embedding",

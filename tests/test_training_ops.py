@@ -291,6 +291,37 @@ def test_length_matched_sample_matches_reference_distribution(spark):
     assert {r.id for r in again} == {r.id for r in out.where("kept").collect()}
 
 
+def test_dup_cluster_stats_histogram(spark):
+    from singer_spark.operators.dedup import dup_cluster_stats
+
+    docs = _docs_df(spark, [(i, f"doc {i}", "s") for i in range(7)])
+    # components: {0,1,2} (chain), {3,4}, singletons {5},{6}
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (3, 4)],
+                                  "id_a bigint, id_b bigint")
+    got = {r.cluster_size: (r.n_clusters, r.n_docs)
+           for r in dup_cluster_stats(docs, pairs).collect()}
+    assert got == {1: (2, 2), 2: (1, 2), 3: (1, 3)}
+
+
+def test_embedding_outliers_flags_planted_vector(spark):
+    from singer_spark.operators.similarity import embedding_outliers
+
+    # two tight clusters around seeded centroids 0/1 + one planted vector
+    # assigned to cluster 0 but pointing far off its axis
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    for i in range(2, 12):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))        # cluster 0 tight
+        rows.append((100 + i, [0.01 * i, 1.0, 0.0, 0.0]))  # cluster 1 tight
+    rows.append((999, [0.6, 0.0, 0.8, 0.0]))  # cluster 0, cos ≈ 0.6 ≪ others
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: r for r in
+           embedding_outliers(emb, n_clusters=2, z_threshold=2.0).collect()}
+    assert out[999].cluster == 0
+    assert out[999].is_outlier and out[999].zscore < -2.0
+    flagged = [v for v, r in out.items() if r.is_outlier]
+    assert flagged == [999]
+
+
 def test_ngram_novelty_planted_overlap(spark):
     from singer_spark.operators.text_analysis import ngram_novelty
 
