@@ -1071,6 +1071,14 @@ def _purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchase_attribution(spark, sf_dir)
 
 
+def _multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution via the user-keyed interval join —
+    the batch twin of streaming_interval_join."""
+    from singer_spark.queries import multi_touch_attribution
+
+    return multi_touch_attribution(spark, sf_dir)
+
+
 def _time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.queries import time_weighted_avg_value
 
@@ -1707,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": _rolling_active_users,
         "rolling_active_users_hll": _rolling_active_users_hll,
         "purchase_attribution": _purchase_attribution,
+        "multi_touch_attribution": _multi_touch_attribution,
         "time_weighted_avg": _time_weighted_avg,
         "integrity_audit": _integrity_audit,
         "value_histogram": _value_histogram,
@@ -3182,6 +3191,24 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_active
             FROM days JOIN ud ON ed BETWEEN d - INTERVAL 6 DAY AND d
             GROUP BY d ORDER BY day""",
+        "multi_touch_attribution": """
+            WITH p AS (SELECT user_id, event_id AS pid, ts AS pts, value
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT user_id AS cuser, ts AS cts FROM events
+                  WHERE event_type = 'click'),
+            j AS (SELECT p.pid, p.value, c.cts
+                  FROM p LEFT JOIN c ON c.cuser = p.user_id
+                         AND c.cts <= p.pts
+                         AND c.cts >= p.pts - INTERVAL 24 HOURS),
+            t AS (SELECT pid, value, cts,
+                         count(cts) OVER (PARTITION BY pid) AS nt FROM j),
+            s AS (SELECT coalesce(strftime(date_trunc('day', cts), '%Y-%m-%d'),
+                                  'organic') AS attrib_day,
+                         CASE WHEN nt > 0 THEN value / nt ELSE value END AS share
+                  FROM t)
+            SELECT attrib_day, count(*) AS n_touches,
+                   floor(sum(share) * 10000 + 0.5) / 10000 AS revenue_share
+            FROM s GROUP BY 1 ORDER BY attrib_day""",
         "purchase_attribution": """
             WITH p AS (SELECT user_id, ts AS pt, value FROM events
                        WHERE event_type = 'purchase'),

@@ -530,6 +530,53 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multi_touch_attribution(spark: SparkSession, sf_dir: str,
+                            window_hours: int = 24) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    EQUALLY across all of the user's clicks in the preceding
+    `window_hours` (vs :func:`purchase_attribution`'s last-touch winner-
+    takes-all) — the other standard attribution model.  Its join core is
+    the batch twin of the engine's stream-stream
+    `streaming.streaming_interval_join` (clicks = left/earlier side,
+    purchases = right side, max_delay = the window).
+
+    Plan: one user-keyed interval join between the (small) purchase and
+    click slices of the same log — the time-bound condition keeps state
+    and output proportional to touches-per-purchase, and both sides come
+    from the same pushed-down scan.  Per-purchase touch counts come from
+    a window over the join output (same user key, no extra exchange of
+    the log).  Purchases with no qualifying click credit 'organic'.
+    Output: (attrib_day, n_touches, revenue_share) by click day."""
+    ev = read_events(spark, sf_dir)
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("pid"),
+                         F.col("ts").alias("pts"), "value"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("cuser"),
+                      F.col("ts").alias("cts")))
+    bound = F.expr(f"INTERVAL {window_hours} HOURS")
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("cuser"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - bound),
+        "left")
+    w = Window.partitionBy("pid")
+    n_touches = F.count("cts").over(w)
+    share = F.when(n_touches > 0, F.col("value") / n_touches) \
+             .otherwise(F.col("value"))
+    return (joined
+            .select(
+                F.coalesce(F.date_format(F.date_trunc("day", "cts"),
+                                         "yyyy-MM-dd"),
+                           F.lit("organic")).alias("attrib_day"),
+                share.alias("share"))
+            .groupBy("attrib_day")
+            .agg(F.count("*").alias("n_touches"),
+                 qround(F.sum("share"), 4).alias("revenue_share"))
+            .orderBy("attrib_day"))
+
+
 def rolling_active_users_hll(spark: SparkSession, sf_dir: str,
                              window_days: int = 7,
                              lg_k: int = 14) -> DataFrame:
