@@ -349,13 +349,19 @@ def length_matched_sample(docs: DataFrame, reference: DataFrame,
     under retries and repartitioning, like every sampler here.  Bins the
     reference never exhibits get rate 0 (those lengths leave the corpus).
 
-    Shape at 100 TB: two narrow scans reduce to per-bin counts (≤ ~40
-    rows each), the rate table broadcasts back, and the keep decision is
-    a per-row expression — no shuffle of the corpus itself.
+    Shape at 100 TB: one narrow scan per side reduces to per-bin counts
+    (≤ ~40 rows, collected), the rate arithmetic runs DRIVER-side (a
+    DataFrame formulation re-derives the corpus aggregate for every
+    reference to the bin table — the audited plan showed 9 scans; the
+    collect makes it 1 per side + 1 for the output), the literal rate
+    table broadcasts back, and the keep decision is a per-row hash
+    expression — no shuffle of the corpus itself.
 
     Output: (id, n_tokens, len_bin, keep_rate, kept) for every input doc
     (`kept` marks survivors; project the kept rows for the actual
     sample)."""
+    import math
+
     def with_bins(df):
         toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
         n = F.size(toks)
@@ -364,27 +370,27 @@ def length_matched_sample(docs: DataFrame, reference: DataFrame,
             F.floor(F.log2(n + F.lit(1))).cast("int").alias("len_bin"))
 
     corpus = with_bins(docs)
-    corpus_shares = (corpus.groupBy("len_bin")
-                     .agg(F.count("*").alias("c_n")))
-    ref_shares = (with_bins(reference).groupBy("len_bin")
-                  .agg(F.count("*").alias("r_n")))
-    # ratio_b = (r_n/R) / (c_n/C); rate_b = ratio_b / max(ratio); all on
-    # bin-count frames (tiny).  qround before the compare so both engines
-    # accept identical ids.
-    totals = (corpus_shares.crossJoin(
-        corpus_shares.agg(F.sum("c_n").alias("C")))
-        .join(ref_shares, "len_bin", "left")
-        .crossJoin(ref_shares.agg(F.sum("r_n").alias("R"))))
-    ratio = (F.coalesce(F.col("r_n"), F.lit(0)) / F.col("R")) \
-        / (F.col("c_n") / F.col("C"))
-    ratios = totals.select("len_bin", ratio.alias("ratio"))
-    rates = (ratios.crossJoin(ratios.agg(F.max("ratio").alias("mx")))
-             .select("len_bin",
-                     qround(F.col("ratio") / F.col("mx"), round_to)
-                     .alias("keep_rate")))
+    c_counts = {r["len_bin"]: r["c_n"] for r in
+                corpus.groupBy("len_bin").agg(F.count("*").alias("c_n"))
+                .collect()}
+    r_counts = {r["len_bin"]: r["r_n"] for r in
+                with_bins(reference).groupBy("len_bin")
+                .agg(F.count("*").alias("r_n")).collect()}
+    # ratio_b = (r_n/R) / (c_n/C); rate_b = qround(ratio_b / max(ratio)).
+    # Same IEEE ops and order as the SQL oracle — plain double arithmetic
+    # on exact integer counts.
+    C, R = float(sum(c_counts.values())), float(sum(r_counts.values()))
+    ratios = {b: (float(r_counts.get(b, 0)) / R) / (float(c) / C)
+              for b, c in c_counts.items()}
+    mx = max(ratios.values())
+    scale = 10 ** round_to
+    rates = [(b, math.floor(ratios[b] / mx * scale + 0.5) / scale)
+             for b in sorted(ratios)]
+    spark = docs.sparkSession
+    rate_df = spark.createDataFrame(rates, "len_bin int, keep_rate double")
     u = (md5_int(F.concat(F.lit(f"{salt}:"), F.col("id").cast("string")))
          / F.lit(float(2 ** 60)))
-    return (corpus.join(F.broadcast(rates), "len_bin")
+    return (corpus.join(F.broadcast(rate_df), "len_bin")
             .select("id", "n_tokens", "len_bin", "keep_rate",
                     (qround(u, round_to) < F.col("keep_rate")).alias("kept"))
             .orderBy("id"))
