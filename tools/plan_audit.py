@@ -79,6 +79,16 @@ def main() -> int:
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PLANS.json")
+    if only:
+        # subset run: merge into the existing audit rather than clobbering
+        # the full registry record with a partial one
+        try:
+            with open(out) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+        merged.update(rows)
+        rows = merged
     with open(out, "w") as f:
         json.dump(rows, f, indent=1, sort_keys=True)
     print(f"\n{len(ok)} plans audited, {len(errors)} errors -> {out}")
