@@ -1039,6 +1039,16 @@ def _funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(spark, sf_dir)
 
 
+def _funnel_counts_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key-capped funnel plan (max_events_per_key row_number guard
+    on the user exchange): with a cap far above any real user the results
+    are identical to funnel_counts, so the same oracle checks the CAPPED
+    plan end-to-end — the driver exercises the guard every round."""
+    from singer_spark.queries import funnel_counts
+
+    return funnel_counts(spark, sf_dir, max_events_per_key=100_000)
+
+
 def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.queries import cohort_retention
 
@@ -1708,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _corpus_curation,
         "corpus_pipeline_full": _corpus_pipeline_full,
         "funnel_counts": _funnel_counts,
+        "funnel_counts_capped": _funnel_counts_capped,
         "cohort_retention": _cohort_retention,
         "event_pattern_match": _event_pattern_match,
         "scd2_user_value": _scd2_user_value,
@@ -2825,6 +2836,19 @@ def oracle_sql() -> dict[str, str]:
               AND d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
             ORDER BY d.doc_id""",
         "funnel_counts": """
+            WITH v AS (SELECT user_id, min(ts) AS t FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                  JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1)
+            SELECT * FROM (VALUES
+              ('view', 1, (SELECT count(*) FROM v)),
+              ('click', 2, (SELECT count(*) FROM c)),
+              ('purchase', 3, (SELECT count(*) FROM p))) t(stage, stage_idx, n_users)""",
+        "funnel_counts_capped": """
             WITH v AS (SELECT user_id, min(ts) AS t FROM events
                        WHERE event_type = 'view' GROUP BY 1),
             c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
