@@ -26,6 +26,14 @@ class ReaderConfig:
     prepend_timestamp: bool = False         # T3
     prepend_hostname: bool = False
     prepend_field_delimiter: str = " "
+    # D8: kubernetes pod log streams — parse <ns>_<pod>_<uid> from the
+    # path and inject podNamespace/podName/podUid headers; when
+    # `kube_metadata_fields` is set (comma-separated colon paths, e.g.
+    # "labels:app,annotations:owner" — KubeConfig.podMetadataFields), a
+    # kubelet PodMetadataFetcher additionally injects those fields
+    pod_metadata: bool = False
+    kube_metadata_fields: str | None = None
+    kube_pods_url: str = "http://localhost:10255/pods"
 
 
 @dataclass

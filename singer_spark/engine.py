@@ -31,7 +31,7 @@ from pyspark.sql.streaming import StreamingQuery
 from singer_spark import sinks, sources
 from singer_spark.config import LogConfig, SingerConfig
 from singer_spark.partitioners import get_partitioner
-from singer_spark.transforms import TransformConfig, apply_transforms
+from singer_spark.transforms import TransformConfig, apply_transforms, inject_headers
 
 
 def _percent_hash(basis: str) -> int:
@@ -127,11 +127,17 @@ def build_source(spark: SparkSession, cfg: LogConfig, streaming: bool = True) ->
         fn = sources.multiline_text_stream if streaming else sources.multiline_text_batch
         return fn(spark, cfg.log_dir, glob=cfg.log_stream_regex,
                   message_start_regex=r.message_start_regex)
+    if r.pod_metadata:
+        # D8: log_dir is the pods root (<ns>_<pod>_<uid>/ convention);
+        # namespace/name/uid columns parse from the path
+        fn = sources.pod_text_stream if streaming else sources.pod_text_batch
+        return fn(spark, cfg.log_dir, log_glob=cfg.log_stream_regex)
     fn = sources.text_stream if streaming else sources.text_batch
     return fn(spark, cfg.log_dir, glob=cfg.log_stream_regex)
 
 
-def build_transforms(df: DataFrame, cfg: LogConfig) -> DataFrame:
+def build_transforms(df: DataFrame, cfg: LogConfig,
+                     pod_fetcher=None) -> DataFrame:
     r, t, p = cfg.reader, cfg.transformer, cfg.processor
     tc = TransformConfig(
         filter_regex=r.filter_message_regex,
@@ -145,6 +151,31 @@ def build_transforms(df: DataFrame, cfg: LogConfig) -> DataFrame:
         max_message_bytes=r.max_message_size,
     )
     out = apply_transforms(df, tc, text_col="value")
+    if r.pod_metadata:
+        # pod identity headers from the path columns; pod-SPEC fields
+        # (labels/annotations) from the kubelet fetcher when configured.
+        # Enrichment snapshots at plan build — a restart (config reload,
+        # failure recovery) picks up fresh labels.
+        from singer_spark.sources import (
+            pod_headers,
+            pod_spec_headers,
+            with_pod_spec_metadata,
+        )
+
+        hdrs = dict(pod_headers())
+        if pod_fetcher is not None and r.kube_metadata_fields:
+            out = with_pod_spec_metadata(out, pod_fetcher)
+            leaf_keys = tuple(p.strip().split(":")[-1]
+                              for p in r.kube_metadata_fields.split(",")
+                              if p.strip())
+            hdrs.update(pod_spec_headers(leaf_keys))
+        if "headers" in out.columns:
+            kv = [x for k, v in hdrs.items()
+                  for x in (F.lit(k), v.cast("binary"))]
+            out = out.withColumn(
+                "headers", F.map_concat("headers", F.create_map(*kv)))
+        else:
+            out = inject_headers(out, hdrs)
     w = cfg.writer
     part_name = w.partitioner
     if part_name is None and w.type in ("kafka", "kafka_direct"):
@@ -171,10 +202,12 @@ class PipelineManager:
                  decider: Decider | None = None,
                  kafka_producer_factory=None,
                  pulsar_client_factory=None,
+                 pod_fetcher=None,
                  properties_path: str | None = None,
                  conf_d: str | None = None) -> None:
         self.spark = spark
         self.config = config or SingerConfig()
+        self.pod_fetcher = pod_fetcher
         self.checkpoint_root = checkpoint_root or tempfile.mkdtemp(prefix="singer_ckpt_")
         self.queries: dict[str, StreamingQuery] = {}
         self.decider = decider or Decider(None)
@@ -209,6 +242,22 @@ class PipelineManager:
         # deterministic per (host, log) like the reference's host-hashed decider
         return _percent_hash(basis) < pct
 
+    def _pod_fetcher_for(self, cfg: LogConfig):
+        """Kubelet fetcher for a pod-metadata log (D8): the injected one
+        (tests pass a fake-server-backed instance) or one built lazily
+        from the reader config's pods URL + field paths."""
+        r = cfg.reader
+        if not (r.pod_metadata and r.kube_metadata_fields):
+            return self.pod_fetcher if r.pod_metadata else None
+        if self.pod_fetcher is None:
+            from singer_spark.sources import PodMetadataFetcher
+
+            fields = tuple(f.strip() for f in r.kube_metadata_fields.split(",")
+                           if f.strip())
+            self.pod_fetcher = PodMetadataFetcher(pods_url=r.kube_pods_url,
+                                                  fields=fields)
+        return self.pod_fetcher
+
     def start_log(self, cfg: LogConfig, audit_sink=None) -> StreamingQuery | None:
         """Wire one LogConfig end-to-end and start its query.  A configured
         shadow destination (O8) starts a SECOND query on the same source
@@ -230,13 +279,15 @@ class PipelineManager:
             return None
         self.pending_dirs.pop(cfg.name, None)
         ckpt = cfg.checkpoint_dir or os.path.join(self.checkpoint_root, cfg.name)
-        df = build_transforms(build_source(self.spark, cfg), cfg)
+        df = build_transforms(build_source(self.spark, cfg), cfg,
+                              pod_fetcher=self._pod_fetcher_for(cfg))
         writer = self._build_writer(cfg, df, ckpt, audit_sink)
         query = writer.queryName(cfg.name).start()
         self.queries[cfg.name] = query
         shadow_cfg = self._shadow_config(cfg)
         if shadow_cfg is not None:
-            sdf = build_transforms(build_source(self.spark, shadow_cfg), shadow_cfg)
+            sdf = build_transforms(build_source(self.spark, shadow_cfg), shadow_cfg,
+                                   pod_fetcher=self._pod_fetcher_for(shadow_cfg))
             sckpt = os.path.join(self.checkpoint_root, shadow_cfg.name)
             swriter = self._build_writer(shadow_cfg, sdf, sckpt, None)
             self.queries[shadow_cfg.name] = swriter.queryName(shadow_cfg.name).start()
@@ -329,7 +380,8 @@ class PipelineManager:
         the log's checkpoint — resumes where the last cycle stopped).
         Returns the number of input rows processed."""
         ckpt = cfg.checkpoint_dir or os.path.join(self.checkpoint_root, cfg.name)
-        df = build_transforms(build_source(self.spark, cfg), cfg)
+        df = build_transforms(build_source(self.spark, cfg), cfg,
+                              pod_fetcher=self._pod_fetcher_for(cfg))
         writer = self._build_writer(cfg, df, ckpt, audit_sink).trigger(availableNow=True)
         query = writer.queryName(cfg.name).start()
         self.queries[cfg.name] = query

@@ -274,6 +274,47 @@ def _fake_kubelet(pod_items):
     return srv, f"http://127.0.0.1:{srv.server_port}/pods"
 
 
+def test_pod_metadata_pipeline_e2e_with_fake_kubelet(spark, tmp_path):
+    """Config-driven D8 end-to-end: reader.pod_metadata + kube fields →
+    delivered rows carry podNamespace/podName/podUid AND the kubelet
+    labels as headers (PipelineManager wiring, fake kubelet server)."""
+    from singer_spark.config import LogConfig, ProcessorConfig, ReaderConfig, WriterConfig
+    from singer_spark.engine import PipelineManager
+    from singer_spark.sources import PodMetadataFetcher
+
+    pods = tmp_path / "pods"
+    os.makedirs(pods / "team-a_web-1_uid-111")
+    _write_lines(str(pods / "team-a_web-1_uid-111" / "app.log"), 2,
+                 prefix="hello")
+    srv, url = _fake_kubelet([
+        {"metadata": {"uid": "uid-111", "namespace": "team-a",
+                      "name": "web-1", "labels": {"app": "web"}}}])
+    try:
+        cfg = LogConfig(
+            name="podlog", log_dir=str(pods), log_stream_regex="*.log",
+            reader=ReaderConfig(type="text", pod_metadata=True,
+                                kube_metadata_fields="labels:app",
+                                kube_pods_url=url),
+            writer=WriterConfig(type="file",
+                                path=str(tmp_path / "podlog_out"),
+                                format="parquet", min_upload_seconds=0),
+            processor=ProcessorConfig(processing_interval_secs=1,
+                                      max_processing_interval_secs=8),
+            checkpoint_dir=str(tmp_path / "podlog_ckpt"),
+        )
+        mgr = PipelineManager(spark)
+        mgr.run_cycle(cfg)
+        rows = spark.read.parquet(str(tmp_path / "podlog_out")).collect()
+        assert len(rows) == 2
+        r = rows[0]
+        assert r.pod_namespace == "team-a" and r.pod_uid == "uid-111"
+        assert bytes(r.headers["podName"]) == b"web-1"
+        assert bytes(r.headers["app"]) == b"web"
+        assert isinstance(mgr.pod_fetcher, PodMetadataFetcher)
+    finally:
+        srv.shutdown()
+
+
 def test_pod_metadata_fetcher_colon_paths_and_cache():
     from singer_spark.sources import PodMetadataFetcher
 
