@@ -53,31 +53,48 @@ def _append(path: str, data: str) -> None:
 
 
 class Writer(threading.Thread):
-    """Continuously appends `s{i}:{n}` lines to one stream file, rotating
-    every `rotate_every` lines — by rename (unique suffix, stays in the
+    """Continuously appends `s{i}:{n}` records to one stream file, rotating
+    every `rotate_every` records — by rename (unique suffix, stays in the
     watched glob) or by copytruncate (copy to a unique name in the watched
-    dir, then truncate in place)."""
+    dir, then truncate in place).  `framing='thrift'` writes each record
+    as a framed-thrift LogMessage (the reference wire format) instead of
+    a text line."""
 
     def __init__(self, log_dir: str, name: str, mode: str,
-                 stop: threading.Event, rotate_every: int = 200) -> None:
+                 stop: threading.Event, rotate_every: int = 200,
+                 framing: str = "text") -> None:
         super().__init__(daemon=True)
         self.path = os.path.join(log_dir, f"{name}.log")
         self.name_ = name
         self.mode = mode
+        self.framing = framing
         self.stop_evt = stop
         self.rotate_every = rotate_every
         self.written = 0
         self.rotations = 0
 
     def run(self) -> None:
+        from singer_spark.framing import encode_log_message
+
         while not self.stop_evt.is_set():
-            _append(self.path, f"{self.name_}:{self.written}\n")
+            rec = f"{self.name_}:{self.written}"
+            if self.framing == "thrift":
+                blob = encode_log_message(rec.encode(),
+                                          key=str(self.written).encode(),
+                                          timestamp_nanos=self.written,
+                                          with_crc=True)
+                with open(self.path, "ab") as f:
+                    f.write(blob)
+                    f.flush()
+                    os.fsync(f.fileno())
+            else:
+                _append(self.path, rec + "\n")
             self.written += 1
             if self.written % self.rotate_every == 0:
                 self.rotate()
                 self.rotations += 1
             if self.written % 50 == 0:
-                time.sleep(0.01)  # ~5k lines/s per stream
+                time.sleep(0.01)  # ~5k records/s per stream
 
     def rotate(self) -> None:
         rot = f"{self.path}.r{self.rotations}"
@@ -148,6 +165,70 @@ def run_tail_soak(spark, root: str, seconds: float) -> list[tuple]:
     return rows if ok else rows + [("TAIL-SOAK", "FAILED", 0, 0, 0, 0, 0, "FAIL")]
 
 
+def run_thrift_tail_soak(spark, root: str, seconds: float) -> list[tuple]:
+    """Framed-thrift tail (`mode=thrift`) under the same rename churn +
+    restart-per-cycle regime: frames must decode exactly once each, CRCs
+    intact, across rotations and kills."""
+    from pyspark.sql import functions as F
+
+    from singer_spark.streaming.tail import tail_stream
+
+    log_dir = os.path.join(root, "tlogs")
+    out = os.path.join(root, "thrift_out")
+    ckpt = os.path.join(root, "thrift_ckpt")
+    os.makedirs(log_dir)
+    stop = threading.Event()
+    writers = [Writer(log_dir, "tren0", "rename", stop, framing="thrift"),
+               Writer(log_dir, "tren1", "rename", stop, framing="thrift")]
+    for w in writers:
+        w.start()
+
+    def cycle() -> None:
+        q = (tail_stream(spark, log_dir, glob="*", mode="thrift")
+             .select(F.col("value").cast("string").alias("rec"),
+                     "checksum")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+
+    deadline = time.time() + seconds
+    cycles = 0
+    while time.time() < deadline:
+        cycle()
+        cycles += 1
+    stop.set()
+    for w in writers:
+        w.join()
+    cycle()
+    cycle()
+
+    from collections import Counter
+
+    got: dict[str, Counter] = {w.name_: Counter() for w in writers}
+    bad_crc = 0
+    for r in spark.read.parquet(out).collect():
+        name, n = r.rec.split(":")
+        got[name][int(n)] += 1
+        import zlib
+
+        if (zlib.crc32(r.rec.encode()) & 0xFFFFFFFF) != (r.checksum or 0) % (1 << 32):
+            bad_crc += 1
+    rows = []
+    for w in writers:
+        c = got[w.name_]
+        missing = sum(1 for i in range(w.written) if i not in c)
+        dupes = sum(v - 1 for v in c.values())
+        good = missing == 0 and dupes == 0 and bad_crc == 0
+        rows.append((w.name_, "rename+thrift", w.written, w.rotations,
+                     sum(c.values()), missing, dupes,
+                     "OK" if good else "FAIL"))
+    rows.append(("thrift cycles", "-", cycles + 2, "-", "-", "-",
+                 f"bad_crc={bad_crc}", "-"))
+    return rows
+
+
 def run_curation_soak(spark, root: str, seconds: float) -> list[tuple]:
     from pyspark.sql import functions as F
 
@@ -212,8 +293,9 @@ def main(seconds: float = 60.0, root: str = "/tmp/singer_spark_soak") -> int:
     os.makedirs(root)
     spark = get_spark("soak_tail")
     spark.sparkContext.setLogLevel("ERROR")
-    rows = run_tail_soak(spark, root, seconds * 0.7)
-    rows += run_curation_soak(spark, root, seconds * 0.3)
+    rows = run_tail_soak(spark, root, seconds * 0.5)
+    rows += run_thrift_tail_soak(spark, root, seconds * 0.25)
+    rows += run_curation_soak(spark, root, seconds * 0.25)
     hdr = ("stream", "mode", "written", "rotations", "delivered",
            "missing", "dupes", "status")
     print(("{:>22}" * len(hdr)).format(*hdr))
