@@ -379,6 +379,12 @@ def length_matched_sample(docs: DataFrame, reference: DataFrame,
     # ratio_b = (r_n/R) / (c_n/C); rate_b = qround(ratio_b / max(ratio)).
     # Same IEEE ops and order as the SQL oracle — plain double arithmetic
     # on exact integer counts.
+    spark = docs.sparkSession
+    if not c_counts or not r_counts:
+        # empty corpus or empty reference: nothing to resample
+        return spark.createDataFrame(
+            [], "id bigint, n_tokens int, len_bin int, "
+                "keep_rate double, kept boolean")
     C, R = float(sum(c_counts.values())), float(sum(r_counts.values()))
     ratios = {b: (float(r_counts.get(b, 0)) / R) / (float(c) / C)
               for b, c in c_counts.items()}
@@ -386,7 +392,6 @@ def length_matched_sample(docs: DataFrame, reference: DataFrame,
     scale = 10 ** round_to
     rates = [(b, math.floor(ratios[b] / mx * scale + 0.5) / scale)
              for b in sorted(ratios)]
-    spark = docs.sparkSession
     rate_df = spark.createDataFrame(rates, "len_bin int, keep_rate double")
     u = (md5_int(F.concat(F.lit(f"{salt}:"), F.col("id").cast("string")))
          / F.lit(float(2 ** 60)))

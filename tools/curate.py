@@ -36,6 +36,14 @@ def main(argv: list[str] | None = None) -> None:
                    choices=("drop", "spans"),
                    help="drop whole contaminated docs, or cut only the "
                         "shared k-gram windows (spans)")
+    p.add_argument("--contamination-report", default=None, metavar="PATH",
+                   help="with --benchmark: also write the per-benchmark-"
+                        "item leak report (bench_id, n_leaked_docs, "
+                        "n_leaked_grams) to this parquet path")
+    p.add_argument("--length-match-ref", default=None, metavar="PATH",
+                   help="reference parquet whose token-length distribution "
+                        "the surviving corpus is importance-resampled to "
+                        "(applied AFTER the gates, before publish)")
     p.add_argument("--no-split", action="store_true")
     p.add_argument("--partition-by", default=None,
                    help="comma-separated hive partition columns")
@@ -59,11 +67,36 @@ def main(argv: list[str] | None = None) -> None:
         decontaminate_mode=args.decontaminate_mode,
         split=not args.no_split,
     )
-    n = curate_and_publish(
-        docs, args.output, cfg, benchmark=bench,
-        partition_by=args.partition_by.split(",") if args.partition_by else None,
-        zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
-        target_file_mb=args.target_file_mb)
+    if args.contamination_report and bench is not None:
+        from singer_spark.operators.text_analysis import contamination_report
+
+        (contamination_report(docs, bench)
+         .write.mode("overwrite").parquet(args.contamination_report))
+        print(f"wrote contamination report to {args.contamination_report}")
+    if args.length_match_ref:
+        from pyspark.sql import functions as F
+
+        from singer_spark.curation import curate
+        from singer_spark.operators.text_analysis import length_matched_sample
+        from singer_spark.sinks import write_dataset
+
+        kept = curate(docs, cfg, benchmark=bench)
+        ref = spark.read.parquet(args.length_match_ref)
+        keep_ids = (length_matched_sample(kept, ref)
+                    .where("kept").select(F.col("id").alias(cfg.id_col)))
+        matched = kept.join(keep_ids, cfg.id_col, "left_semi")
+        write_dataset(
+            matched, args.output,
+            partition_by=args.partition_by.split(",") if args.partition_by else None,
+            zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
+            target_file_mb=args.target_file_mb)
+        n = spark.read.parquet(args.output).count()
+    else:
+        n = curate_and_publish(
+            docs, args.output, cfg, benchmark=bench,
+            partition_by=args.partition_by.split(",") if args.partition_by else None,
+            zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
+            target_file_mb=args.target_file_mb)
     print(f"published {n} documents to {args.output}")
     spark.stop()
 
