@@ -46,30 +46,38 @@ def key_skew_report(df: DataFrame, key_cols: list[str] | str,
 def mg_partition_kernel(m: int):
     """The shared Misra-Gries per-partition pass (used by the batch
     pruning here and the streaming summary in streaming/stateful.py):
-    m counters; an arriving item increments its counter or, when the
-    table is full, decrements all (evicting zeros) — classic
-    frequent-items sketch, O(m) state, single pass.  Yields one
-    (item, cnt) frame per partition; counts are MG lower bounds."""
+    a bounded summary of at most m counters, O(m) state, single pass.
+
+    Vectorized as chunked pre-combine + summary merge — NOT a per-token
+    Python loop (bounding per-record driver/executor work is the same
+    discipline the reference applies to its per-message read path,
+    cf. reader/ThriftLogFileReader.java:152-157): each Arrow batch
+    collapses to exact (item, count) pairs via `value_counts` (C-speed),
+    which merge into the running summary by the mergeable-summaries rule
+    (Agarwal et al., PODS'12): sum counts per item, and when the table
+    exceeds m entries subtract the (m+1)-th largest count from everyone
+    and drop the non-positives.  Each prune removes >= thr*(m+1) total
+    weight, so the cumulative undercount per item stays <= n_p/(m+1) —
+    the same bound as element-at-a-time MG, so the heavy-hitter superset
+    guarantee (see :func:`heavy_hitters`) is unchanged.
+
+    Yields one (item, cnt) frame per partition; counts are MG lower
+    bounds."""
     import pandas as pd
 
     def mg_partition(batches):
-        counters: dict[str, int] = {}
+        counters = None  # pandas Series: item -> MG lower-bound count
         for pdf in batches:
-            for it in pdf["item"]:
-                if it in counters:
-                    counters[it] += 1
-                elif len(counters) < m:
-                    counters[it] = 1
-                else:
-                    dead = []
-                    for k in counters:
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            dead.append(k)
-                    for k in dead:
-                        del counters[k]
-        yield pd.DataFrame({"item": list(counters.keys()),
-                            "cnt": list(counters.values())})
+            vc = pdf["item"].value_counts()
+            counters = vc if counters is None else \
+                counters.add(vc, fill_value=0)
+            if len(counters) > m:
+                thr = counters.nlargest(m + 1).iloc[-1]
+                counters = counters[counters > thr] - thr
+        if counters is None:
+            counters = pd.Series(dtype="int64")
+        yield pd.DataFrame({"item": counters.index.astype(object),
+                            "cnt": counters.to_numpy(dtype="int64")})
 
     return mg_partition
 
