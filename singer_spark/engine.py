@@ -172,8 +172,17 @@ def build_transforms(df: DataFrame, cfg: LogConfig,
         if "headers" in out.columns:
             kv = [x for k, v in hdrs.items()
                   for x in (F.lit(k), v.cast("binary"))]
+            # first-wins merge (the reference's putIfAbsent semantics):
+            # drop injected keys already present in the row's map — a
+            # bare map_concat would THROW under the default
+            # spark.sql.mapKeyDedupPolicy=EXCEPTION when a static cfg
+            # header collides with a kube leaf key, killing the query
+            inj = F.map_filter(
+                F.create_map(*kv),
+                lambda k, _v: ~F.array_contains(
+                    F.map_keys(F.col("headers")), k))
             out = out.withColumn(
-                "headers", F.map_concat("headers", F.create_map(*kv)))
+                "headers", F.map_concat("headers", inj))
         else:
             out = inject_headers(out, hdrs)
     w = cfg.writer
@@ -208,6 +217,8 @@ class PipelineManager:
         self.spark = spark
         self.config = config or SingerConfig()
         self.pod_fetcher = pod_fetcher
+        # lazily-built kubelet fetchers, one per (pods_url, fields)
+        self._pod_fetchers: dict[tuple, object] = {}
         self.checkpoint_root = checkpoint_root or tempfile.mkdtemp(prefix="singer_ckpt_")
         self.queries: dict[str, StreamingQuery] = {}
         self.decider = decider or Decider(None)
@@ -245,18 +256,26 @@ class PipelineManager:
     def _pod_fetcher_for(self, cfg: LogConfig):
         """Kubelet fetcher for a pod-metadata log (D8): the injected one
         (tests pass a fake-server-backed instance) or one built lazily
-        from the reader config's pods URL + field paths."""
+        from the reader config's pods URL + field paths.  Lazy fetchers
+        cache per (pods_url, fields) — a second LogConfig with a
+        different URL or field set gets its OWN fetcher, never a silent
+        reuse of the first log's."""
         r = cfg.reader
-        if not (r.pod_metadata and r.kube_metadata_fields):
-            return self.pod_fetcher if r.pod_metadata else None
-        if self.pod_fetcher is None:
-            from singer_spark.sources import PodMetadataFetcher
+        if not r.pod_metadata:
+            return None
+        if self.pod_fetcher is not None:  # injected: shared by design
+            return self.pod_fetcher
+        if not r.kube_metadata_fields:
+            return None
+        from singer_spark.sources import PodMetadataFetcher
 
-            fields = tuple(f.strip() for f in r.kube_metadata_fields.split(",")
-                           if f.strip())
-            self.pod_fetcher = PodMetadataFetcher(pods_url=r.kube_pods_url,
-                                                  fields=fields)
-        return self.pod_fetcher
+        fields = tuple(f.strip() for f in r.kube_metadata_fields.split(",")
+                       if f.strip())
+        key = (r.kube_pods_url, fields)
+        if key not in self._pod_fetchers:
+            self._pod_fetchers[key] = PodMetadataFetcher(
+                pods_url=r.kube_pods_url, fields=fields)
+        return self._pod_fetchers[key]
 
     def start_log(self, cfg: LogConfig, audit_sink=None) -> StreamingQuery | None:
         """Wire one LogConfig end-to-end and start its query.  A configured

@@ -51,6 +51,22 @@ def _as_dict(progress) -> dict | None:
     return json.loads(progress) if isinstance(progress, str) else progress
 
 
+def stuck_threshold(stuck_seconds: float,
+                    progress_timestamps: list[float]) -> float:
+    """Stale-progress age beyond which a query counts as stuck.
+
+    Adapts to the query's OWN cadence: a trigger(processingTime='10
+    minutes') stream legitimately goes ~600 s between progress events,
+    so a flat stuck_seconds=300 would count every healthy slow-trigger
+    query as stuck forever.  Take the max observed inter-progress gap
+    from recentProgress and require age > max(stuck_seconds, 2x that
+    gap); with fewer than two progress events there is no cadence
+    evidence and the flat floor applies."""
+    ts = sorted(progress_timestamps)
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    return max(stuck_seconds, 2.0 * max(gaps) if gaps else 0.0)
+
+
 def build_status(spark: SparkSession, started_at: float,
                  hostname: str | None = None,
                  stuck_seconds: float = 300.0,
@@ -99,12 +115,23 @@ def build_status(spark: SparkSession, started_at: float,
                 # batch_age by the UTC offset on non-UTC hosts)
                 from datetime import datetime, timezone
 
-                parsed = datetime.strptime(ts[:19], "%Y-%m-%dT%H:%M:%S")
-                batch_age = now - parsed.replace(tzinfo=timezone.utc).timestamp()
+                def _utc(s: str) -> float:
+                    parsed = datetime.strptime(s[:19], "%Y-%m-%dT%H:%M:%S")
+                    return parsed.replace(tzinfo=timezone.utc).timestamp()
+
+                batch_age = now - _utc(ts)
                 # a healthy idle stream still emits zero-row progress per
                 # trigger; a stale LAST progress means the trigger loop
-                # itself stopped turning (frozen sink, wedged source)
-                if batch_age > stuck_seconds:
+                # itself stopped turning (frozen sink, wedged source).
+                prog_ts = []
+                for rp in q.recentProgress:
+                    rts = (_as_dict(rp) or {}).get("timestamp")
+                    if rts:
+                        try:
+                            prog_ts.append(_utc(rts))
+                        except ValueError:
+                            pass
+                if batch_age > stuck_threshold(stuck_seconds, prog_ts):
                     stuck += 1
             except ValueError:
                 pass

@@ -389,6 +389,16 @@ def length_matched_sample(docs: DataFrame, reference: DataFrame,
     ratios = {b: (float(r_counts.get(b, 0)) / R) / (float(c) / C)
               for b, c in c_counts.items()}
     mx = max(ratios.values())
+    if mx == 0:
+        # reference shares NO length bins with the corpus: every ratio is
+        # 0, so every keep_rate is 0 — emit the full report with kept=false
+        # rather than dividing by zero (reachable from tools/curate.py
+        # --length-match-ref with an arbitrary reference parquet)
+        return (corpus.select(
+                    "id", "n_tokens", "len_bin",
+                    F.lit(0.0).alias("keep_rate"),
+                    F.lit(False).alias("kept"))
+                .orderBy("id"))
     scale = 10 ** round_to
     rates = [(b, math.floor(ratios[b] / mx * scale + 0.5) / scale)
              for b in sorted(ratios)]

@@ -123,6 +123,22 @@ def test_heartbeat_status_shape(spark):
     json.dumps(status)  # serializable, like the reference's gson JSON
 
 
+def test_stuck_threshold_adapts_to_trigger_cadence():
+    """A healthy query on a slow trigger (progress every 600 s) must not
+    count as stuck under the default stuck_seconds=300: the threshold is
+    max(stuck_seconds, 2x the max observed inter-progress gap)."""
+    from singer_spark.heartbeat import stuck_threshold
+
+    t0 = 1_700_000_000.0
+    slow = [t0, t0 + 600, t0 + 1200]          # 10-minute trigger
+    assert stuck_threshold(300.0, slow) == 1200.0
+    fast = [t0, t0 + 5, t0 + 10]              # 5-second trigger
+    assert stuck_threshold(300.0, fast) == 300.0  # floor still applies
+    # <2 progress events: no cadence evidence, flat floor
+    assert stuck_threshold(300.0, [t0]) == 300.0
+    assert stuck_threshold(300.0, []) == 300.0
+
+
 def test_heartbeat_latency_percentiles_from_progress(spark, tmp_path):
     """A live healthy query populates per-query latency percentiles from
     recentProgress and is NOT counted stuck."""

@@ -274,6 +274,36 @@ def _fake_kubelet(pod_items):
     return srv, f"http://127.0.0.1:{srv.server_port}/pods"
 
 
+def test_pod_header_injection_first_wins_on_collision(spark):
+    """A header key already present on the row (e.g. a static cfg header
+    named 'app' colliding with a kube label leaf key) must survive with
+    its ORIGINAL value — the reference's putIfAbsent semantics.  A bare
+    map_concat would throw under spark.sql.mapKeyDedupPolicy=EXCEPTION
+    and kill the query."""
+    from singer_spark.config import LogConfig, ReaderConfig
+    from singer_spark.engine import build_transforms
+    from singer_spark.sources import PodMetadataFetcher
+
+    fetcher = PodMetadataFetcher(
+        fields=("labels:app",),
+        fetch_pod_list=lambda: {"items": [
+            {"metadata": {"uid": "u1", "labels": {"app": "kube-app"}}}]})
+    df = spark.createDataFrame(
+        [("hello", "team-a", "web-1", "u1",
+          {"app": bytearray(b"static")})],
+        "value string, pod_namespace string, pod_name string, "
+        "pod_uid string, headers map<string,binary>")
+    cfg = LogConfig(
+        name="collide", log_dir="/tmp",
+        reader=ReaderConfig(type="text", pod_metadata=True,
+                            kube_metadata_fields="labels:app"))
+    rows = build_transforms(df, cfg, pod_fetcher=fetcher).collect()
+    h = rows[0]["headers"]
+    assert bytes(h["app"]) == b"static"      # first wins on collision
+    assert bytes(h["podName"]) == b"web-1"   # fresh keys still injected
+    assert bytes(h["podNamespace"]) == b"team-a"
+
+
 def test_pod_metadata_pipeline_e2e_with_fake_kubelet(spark, tmp_path):
     """Config-driven D8 end-to-end: reader.pod_metadata + kube fields →
     delivered rows carry podNamespace/podName/podUid AND the kubelet
@@ -310,7 +340,9 @@ def test_pod_metadata_pipeline_e2e_with_fake_kubelet(spark, tmp_path):
         assert r.pod_namespace == "team-a" and r.pod_uid == "uid-111"
         assert bytes(r.headers["podName"]) == b"web-1"
         assert bytes(r.headers["app"]) == b"web"
-        assert isinstance(mgr.pod_fetcher, PodMetadataFetcher)
+        # lazily-built fetchers are cached per (pods_url, fields)
+        assert any(isinstance(f, PodMetadataFetcher)
+                   for f in mgr._pod_fetchers.values())
     finally:
         srv.shutdown()
 

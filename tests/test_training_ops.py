@@ -291,6 +291,21 @@ def test_length_matched_sample_matches_reference_distribution(spark):
     assert {r.id for r in again} == {r.id for r in out.where("kept").collect()}
 
 
+def test_length_matched_sample_disjoint_bins_keeps_nothing(spark):
+    # reference shares NO length bins with the corpus: every ratio is 0
+    # and the max-ratio normalizer would divide by zero — the guard must
+    # return the full report with keep_rate 0 / kept false instead
+    from singer_spark.operators.text_analysis import length_matched_sample
+
+    docs = _docs_df(spark, [(i, "w " * 8, "s") for i in range(20)])
+    ref = spark.createDataFrame([(i, ("w " * 200).strip())
+                                 for i in range(10)],
+                                "doc_id bigint, text string")
+    out = length_matched_sample(docs, ref).collect()
+    assert len(out) == 20
+    assert all(r.keep_rate == 0.0 and r.kept is False for r in out)
+
+
 def test_dup_cluster_stats_histogram(spark):
     from singer_spark.operators.dedup import dup_cluster_stats
 
