@@ -1,13 +1,22 @@
 """Round-over-round bench comparison: flag per-query regressions.
 
-Usage: python tools/bench_diff.py OLD.json NEW.json [threshold]
+Usage: python tools/bench_diff.py OLD.json NEW.json [threshold] [abs_floor]
 
 Reads two bench JSON files (either the raw driver artifact with a `tail`
 field or a bare one-line bench output), aligns queries present in both,
 and prints the per-query delta table with anything slower than
-`threshold` (default 1.3x) marked REGRESSED.  Queries only in NEW are
-listed as added (no baseline).  Exit code 1 if any regression — usable
-as a gate.
+`threshold` (default 1.15x) AND at least `abs_floor` seconds slower
+(default 0.1 s — a 15% swing on a 0.3 s query is scheduler noise, not a
+plan change) marked REGRESSED.  Queries only in NEW are listed as added
+(no baseline).  Exit code 1 if any regression — usable as a gate.
+
+Quiet-box protocol: bench.py now self-polices — after its first pass it
+re-runs every query this gate would flag against the latest BENCH_r*.json
+(end of process, warm JIT, no concurrent stages) and records the verdict
+in the artifact's `drift` field.  A query listed in `drift.still_slow`
+regressed twice in a row on the same box; treat it as real and bisect
+the plan.  Never run bench.py concurrently with another Spark job — the
+contention skews results 1.3-8x and fakes regressions.
 """
 
 from __future__ import annotations
@@ -43,12 +52,14 @@ def main() -> int:
         print(__doc__)
         return 2
     old, new = load(sys.argv[1]), load(sys.argv[2])
-    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.15
+    abs_floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.1
     regressed = []
     print(f"{'query':30s} {'old':>7s} {'new':>7s} {'ratio':>7s}")
     for q in sorted(set(old) & set(new)):
         r = new[q] / old[q] if old[q] else float("inf")
-        flag = "  REGRESSED" if r > threshold else ""
+        flag = ("  REGRESSED" if r > threshold and new[q] - old[q] >= abs_floor
+                else "")
         if flag:
             regressed.append(q)
         print(f"{q:30s} {old[q]:7.2f} {new[q]:7.2f} {r:6.2f}x{flag}")
