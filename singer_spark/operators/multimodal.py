@@ -8,11 +8,13 @@ stdlib + numpy alone (PPM/P6 images, RIFF/WAV PCM audio, and motion-PPM
 "video" = concatenated P6 frames): decode, nearest-neighbor resize, frame
 sampling, and mean-pooled features all operate on actual pixels/samples.
 Compressed IMAGE formats (JPEG/PNG/...) decode through an import-gated
-PIL path (`_pil_image`, same pattern as the Kafka rack fetcher's gate):
-where Pillow is installed they work end-to-end; where it isn't — this
-sandbox — the dispatch raises the clearly-marked NotImplementedError.
-Compressed video/audio (MP4/MP3/...) still need pyav/ffmpeg at the same
-dispatch point and nothing else changes.
+PIL path (`_pil_image`, same pattern as the Kafka rack fetcher's gate);
+compressed VIDEO/AUDIO (MP4/MP3/WebM/...) through an import-gated pyav
+path (`_av`) at the same dispatch points (`sample_frames`,
+`audio_stats`).  Where the library is installed they work end-to-end;
+where it isn't — this sandbox has neither — the dispatch raises the
+clearly-marked NotImplementedError.  Float32 WAV (fmt=3) decodes with
+numpy alone, no gate needed.
 """
 
 from __future__ import annotations
@@ -114,11 +116,13 @@ def ppm_frame_lengths(payload: bytes) -> list[tuple[int, int]]:
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
-    """RIFF/WAVE with 16-bit PCM: walk the chunk list for fmt + data.
-    Returns (sample_rate, int16 samples flattened across channels)."""
+    """RIFF/WAVE with 16-bit PCM (fmt=1) or 32-bit float (fmt=3): walk
+    the chunk list for fmt + data.  Returns (sample_rate, samples
+    flattened across channels) — dtype int16 for PCM16, float32 for
+    IEEE-float WAV (already in [-1, 1])."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, data = 12, None, None
+    pos, rate, data, sample_dtype = 12, None, None, "<i2"
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -126,19 +130,28 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         if cid == b"fmt ":
             fmt, _ch, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
-            if fmt != 1 or bits != 16:
-                raise ValueError("only 16-bit PCM WAV supported")
+            if fmt == 1 and bits == 16:
+                sample_dtype = "<i2"
+            elif fmt == 3 and bits == 32:
+                sample_dtype = "<f4"
+            else:
+                raise ValueError("only PCM16 or float32 WAV supported")
         elif cid == b"data":
-            data = np.frombuffer(body, dtype="<i2")
+            data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
-    return rate, data
+    return rate, np.frombuffer(data, dtype=sample_dtype)
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
-    data = samples.astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+def encode_wav(samples: np.ndarray, sample_rate: int,
+               float32: bool = False) -> bytes:
+    if float32:
+        data = samples.astype("<f4").tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 1, sample_rate, sample_rate * 4, 4, 32)
+    else:
+        data = samples.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
         + b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -148,9 +161,9 @@ def _unsupported(payload: bytes, op: str):
     magic = payload[:8].hex()
     raise NotImplementedError(
         f"{op}: payload (magic {magic}) is not a stdlib-decodable format; "
-        "compressed image codecs work when Pillow is installed (import-"
-        "gated dispatch); video/audio codecs need pyav/ffmpeg at the same "
-        "dispatch point and nothing else changes")
+        "compressed image codecs work when Pillow is installed, and "
+        "compressed video/audio when pyav is installed (both import-gated "
+        "at this dispatch) — neither library is present here")
 
 
 def _pil_image():
@@ -163,6 +176,53 @@ def _pil_image():
         return Image
     except Exception:
         return None
+
+
+def _av():
+    """Import-gated pyav (ffmpeg bindings — absent in this sandbox,
+    common in prod decode images): returns the `av` module or None.
+    Same optional-capability/hard-fallback pattern as `_pil_image`."""
+    try:
+        import av
+
+        return av
+    except Exception:
+        return None
+
+
+def _av_sample_frames(av, payload: bytes, every_n: int):
+    """Decode a compressed video payload with pyav and yield every
+    `every_n`-th frame as (width, height, ppm_bytes)."""
+    import io
+
+    with av.open(io.BytesIO(payload)) as container:
+        for idx, frame in enumerate(container.decode(video=0)):
+            if idx % every_n:
+                continue
+            arr = frame.to_ndarray(format="rgb24")
+            h, w = arr.shape[:2]
+            yield w, h, encode_ppm(arr)
+
+
+def _av_audio_samples(av, payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a compressed audio payload with pyav: (sample_rate,
+    float64 samples flattened across channels, normalized to [-1, 1])."""
+    import io
+
+    chunks = []
+    rate = None
+    with av.open(io.BytesIO(payload)) as container:
+        stream = container.streams.audio[0]
+        rate = int(stream.rate)
+        for frame in container.decode(audio=0):
+            arr = frame.to_ndarray()  # (channels, n) — dtype per codec
+            if np.issubdtype(arr.dtype, np.integer):
+                arr = arr.astype(np.float64) / float(
+                    np.iinfo(arr.dtype).max + 1)
+            # interleave channels like decode_wav's flattened layout
+            chunks.append(arr.astype(np.float64).T.reshape(-1))
+    samples = np.concatenate(chunks) if chunks else np.zeros(0)
+    return rate, samples
 
 
 def decode_image(payload: bytes, op: str = "decode_image") -> tuple[int, int, np.ndarray]:
@@ -286,10 +346,12 @@ resize_stub = resize_images
 
 
 def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
-    """Frame sampling — REAL for motion-PPM streams (concatenated P6
-    frames): keep every `every_n`-th frame, one output row per kept frame
-    (media_id preserved; width/height from the frame header).  Compressed
-    video needs pyav/ffmpeg at the same dispatch point."""
+    """Frame sampling: keep every `every_n`-th frame, one output row per
+    kept frame (media_id preserved; width/height from the frame header).
+    REAL for motion-PPM streams (concatenated P6 frames) with stdlib
+    alone, and for compressed video (MP4/WebM/...) where pyav is
+    importable — decoded frames re-encode as PPM so every downstream
+    kernel reads them unchanged."""
     import pandas as pd
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -297,13 +359,19 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 b = bytes(r.content)
-                if b[:2] != b"P6":
+                if b[:2] == b"P6":
+                    for idx, (s, e) in enumerate(ppm_frame_lengths(b)):
+                        if idx % every_n:
+                            continue
+                        frame = b[s:e]
+                        w, h, _ = decode_ppm(frame)
+                        rows.append((int(r.media_id), "image", frame,
+                                     "image/x-portable-pixmap", w, h, None))
+                    continue
+                av = _av()
+                if av is None:
                     _unsupported(b, "sample_frames")
-                for idx, (s, e) in enumerate(ppm_frame_lengths(b)):
-                    if idx % every_n:
-                        continue
-                    frame = b[s:e]
-                    w, h, _ = decode_ppm(frame)
+                for w, h, frame in _av_sample_frames(av, b, every_n):
                     rows.append((int(r.media_id), "image", frame,
                                  "image/x-portable-pixmap", w, h, None))
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
@@ -325,12 +393,19 @@ def audio_stats(media: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(payload)
-                if b[:4] != b"RIFF":
-                    _unsupported(b, "audio_stats")
-                rate, samples = decode_wav(b)
-                x = samples.astype(np.float64) / 32768.0
-                rows.append((int(mid), rate, len(samples),
-                             int(len(samples) * 1000 / rate),
+                if b[:4] == b"RIFF":
+                    rate, samples = decode_wav(b)
+                    # PCM16 normalizes by 2^15; float WAV is already [-1,1]
+                    x = (samples.astype(np.float64) / 32768.0
+                         if samples.dtype == np.int16
+                         else samples.astype(np.float64))
+                else:
+                    av = _av()
+                    if av is None:
+                        _unsupported(b, "audio_stats")
+                    rate, x = _av_audio_samples(av, b)
+                rows.append((int(mid), rate, len(x),
+                             int(len(x) * 1000 / rate),
                              float(round(np.sqrt((x ** 2).mean()), 6)) if len(x) else 0.0,
                              float(round(np.abs(x).max(), 6)) if len(x) else 0.0))
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])

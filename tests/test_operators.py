@@ -655,6 +655,62 @@ def test_audio_stats_wav(spark):
     assert got[1].duration_ms == 500 and got[1].rms == 0.0 and got[1].peak == 0.0
 
 
+def test_audio_stats_float32_wav(spark):
+    """IEEE-float WAV (fmt=3) decodes with numpy alone — no codec gate."""
+    import numpy as np
+
+    rate = 8000
+    t = np.arange(rate)
+    sine = (np.sin(2 * np.pi * 440 * t / rate) * 0.5).astype("<f4")
+    df = _media_df(spark, [multimodal.encode_wav(sine, rate, float32=True)],
+                   "audio")
+    got = multimodal.audio_stats(df).collect()[0]
+    assert got.sample_rate == rate and got.duration_ms == 1000
+    assert abs(got.rms - 0.5 / (2 ** 0.5)) < 0.01
+    assert abs(got.peak - 0.5) < 0.01
+
+
+def test_audio_stats_compressed_needs_av_gate(spark):
+    """Without pyav, a non-RIFF audio payload must raise the marked
+    dispatch error, not silently return junk stats."""
+    if multimodal._av() is not None:
+        pytest.skip("pyav installed — compressed payloads decode for real")
+    fake_mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 64  # MPEG frame-sync magic
+    with pytest.raises(Exception) as exc_info:
+        multimodal.audio_stats(_media_df(spark, [fake_mp3], "audio")).collect()
+    assert "NotImplementedError" in str(exc_info.value) \
+        or "pyav" in str(exc_info.value)
+
+
+def test_sample_frames_compressed_via_av_gate(spark):
+    """MP4 end-to-end through the import-gated pyav path — skips cleanly
+    where pyav is absent (this sandbox), runs for real where installed."""
+    av = multimodal._av()
+    if av is None:
+        pytest.skip("pyav not installed — gated dispatch covered by "
+                    "test_audio_stats_compressed_needs_av_gate")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as out:
+        stream = out.add_stream("mpeg4", rate=4)
+        stream.width, stream.height, stream.pix_fmt = 16, 16, "yuv420p"
+        for i in range(4):
+            arr = np.full((16, 16, 3), i * 40, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for pkt in stream.encode(frame):
+                out.mux(pkt)
+        for pkt in stream.encode():
+            out.mux(pkt)
+    got = multimodal.sample_frames(
+        _media_df(spark, [buf.getvalue()], "video"), every_n=2).collect()
+    assert len(got) == 2  # frames 0, 2
+    assert all(r.width == 16 and r.height == 16 for r in got)
+    assert all(bytes(r.content)[:2] == b"P6" for r in got)
+
+
 def test_ppm_features_are_pooled_pixels(spark):
     import numpy as np
 
