@@ -96,6 +96,22 @@ def test_cli_with_admin_metrics_and_decider(tmp_path, spark, capfd):
     assert "started 0 stream(s)" in err2
 
 
+def test_console_script_entry_points_resolve():
+    """pyproject.toml's [project.scripts] must point at importable
+    callables — a typo there only surfaces at install time otherwise."""
+    import importlib
+    import pathlib
+    import tomllib
+
+    pyproject = pathlib.Path(__file__).resolve().parent.parent / "pyproject.toml"
+    scripts = tomllib.loads(pyproject.read_text())["project"]["scripts"]
+    assert scripts, "no console scripts declared"
+    for name, target in scripts.items():
+        mod_name, func = target.split(":")
+        mod = importlib.import_module(mod_name)
+        assert callable(getattr(mod, func)), f"{name} -> {target} not callable"
+
+
 def test_every_registry_query_is_documented():
     """Docs honesty gate: every queries() key must appear in README.md (the
     coverage matrix is what the user and the reviewer navigate by)."""

@@ -1,105 +1,19 @@
-"""Corpus-curation CLI — run the configured pre-training pipeline over a
-parquet documents table and publish a layout-controlled dataset.
+"""Corpus-curation CLI — thin source-checkout wrapper.
 
-    python tools/curate.py --input /root/testdata/sf0.01/documents.parquet \\
-        --output /tmp/curated --dedup minhash --lang en --min-quality 0.5 \\
-        --partition-by split --benchmark /path/to/eval_docs.parquet
-
-The operator composition is `singer_spark.curation.curate` (the
-oracle-checked `corpus_pipeline_full` registry query is its single-plan
-twin); the write path is `sinks.write_dataset`.
+The real CLI lives in `singer_spark.curate_cli` (installed as the
+`singer-spark-curate` console script by pyproject.toml); this wrapper
+keeps `python tools/curate.py ...` working from an uninstalled checkout.
 """
 
 from __future__ import annotations
 
-import argparse
 import os
 import sys
 
+# source-checkout fallback: a pip-installed singer_spark wins on the path
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def main(argv: list[str] | None = None) -> None:
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True, help="documents parquet path")
-    p.add_argument("--output", required=True, help="output dataset dir")
-    p.add_argument("--lang", default="en",
-                   help="keep docs predicted as this language ('' disables)")
-    p.add_argument("--min-quality", type=float, default=0.5,
-                   help="quality-score floor (negative disables)")
-    p.add_argument("--no-repetition-screen", action="store_true")
-    p.add_argument("--dedup", default="exact",
-                   choices=["none", "exact", "minhash", "semantic"])
-    p.add_argument("--benchmark", default=None,
-                   help="eval-set parquet for k-gram decontamination")
-    p.add_argument("--decontaminate-mode", default="drop",
-                   choices=("drop", "spans"),
-                   help="drop whole contaminated docs, or cut only the "
-                        "shared k-gram windows (spans)")
-    p.add_argument("--contamination-report", default=None, metavar="PATH",
-                   help="with --benchmark: also write the per-benchmark-"
-                        "item leak report (bench_id, n_leaked_docs, "
-                        "n_leaked_grams) to this parquet path")
-    p.add_argument("--length-match-ref", default=None, metavar="PATH",
-                   help="reference parquet whose token-length distribution "
-                        "the surviving corpus is importance-resampled to "
-                        "(applied AFTER the gates, before publish)")
-    p.add_argument("--no-split", action="store_true")
-    p.add_argument("--partition-by", default=None,
-                   help="comma-separated hive partition columns")
-    p.add_argument("--zorder-by", default=None,
-                   help="comma-separated Z-order layout columns")
-    p.add_argument("--target-file-mb", type=float, default=None)
-    args = p.parse_args(argv)
-
-    from singer_spark.curation import CurationConfig, curate_and_publish
-    from singer_spark.session import get_spark
-
-    spark = get_spark("singer_spark_curate")
-    spark.sparkContext.setLogLevel("WARN")
-    docs = spark.read.parquet(args.input)
-    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
-    cfg = CurationConfig(
-        lang=args.lang or None,
-        min_quality=None if args.min_quality < 0 else args.min_quality,
-        repetition_screen=not args.no_repetition_screen,
-        dedup=args.dedup,
-        decontaminate_mode=args.decontaminate_mode,
-        split=not args.no_split,
-    )
-    if args.contamination_report and bench is not None:
-        from singer_spark.operators.text_analysis import contamination_report
-
-        (contamination_report(docs, bench)
-         .write.mode("overwrite").parquet(args.contamination_report))
-        print(f"wrote contamination report to {args.contamination_report}")
-    if args.length_match_ref:
-        from pyspark.sql import functions as F
-
-        from singer_spark.curation import curate
-        from singer_spark.operators.text_analysis import length_matched_sample
-        from singer_spark.sinks import write_dataset
-
-        kept = curate(docs, cfg, benchmark=bench)
-        ref = spark.read.parquet(args.length_match_ref)
-        keep_ids = (length_matched_sample(kept, ref)
-                    .where("kept").select(F.col("id").alias(cfg.id_col)))
-        matched = kept.join(keep_ids, cfg.id_col, "left_semi")
-        write_dataset(
-            matched, args.output,
-            partition_by=args.partition_by.split(",") if args.partition_by else None,
-            zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
-            target_file_mb=args.target_file_mb)
-        n = spark.read.parquet(args.output).count()
-    else:
-        n = curate_and_publish(
-            docs, args.output, cfg, benchmark=bench,
-            partition_by=args.partition_by.split(",") if args.partition_by else None,
-            zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
-            target_file_mb=args.target_file_mb)
-    print(f"published {n} documents to {args.output}")
-    spark.stop()
-
+from singer_spark.curate_cli import main  # noqa: E402
 
 if __name__ == "__main__":
     main()
