@@ -1,8 +1,10 @@
 """Admin endpoint (O3) — parity with the reference's AdminServer
-(admin/AdminServer.java:43-145): a tiny loopback listener operators hit to
+(admin/AdminServer.java:43-145): a tiny local listener operators hit to
 drain or stop a running agent without killing the process.  The reference
-accepts ``stop`` over a unix domain socket; an HTTP server bound to
-127.0.0.1 is the Spark-driver analog — same commands, plus a status probe.
+accepts ``stop`` over a unix domain socket; this serves the same commands
+(plus a status probe) as HTTP over EITHER transport — a 127.0.0.1 TCP
+port (default) or an AF_UNIX socket (``socket_path=``, the reference's
+``singer.admin.socket`` shape — filesystem-permission-scoped, no port).
 
   GET  /status  → {"queries": [names], "draining": bool}
   POST /drain   → process everything available on all queries, then stop
@@ -16,17 +18,43 @@ reference's socket protocol gives a deploy script.
 from __future__ import annotations
 
 import json
+import os
+import socket
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class _UnixHTTPServer(ThreadingHTTPServer):
+    """HTTP over an AF_UNIX stream socket (the docker-daemon pattern)."""
+
+    address_family = socket.AF_UNIX
+
+    def server_bind(self):
+        # a socket file lingering from an unclean shutdown blocks bind
+        try:
+            os.unlink(self.server_address)
+        except (FileNotFoundError, TypeError):
+            pass
+        super().server_bind()
+
+    def get_request(self):
+        # AF_UNIX peers have no (host, port); BaseHTTPRequestHandler's
+        # logging helpers index client_address[0], so fake a stable pair
+        request, _addr = self.socket.accept()
+        return request, ("unix", 0)
 
 
 class AdminServer:
     """Wrap a PipelineManager (or anything with queries/drain/stop_all/
     is_draining) in a loopback control endpoint.  ``port=0`` binds an
     ephemeral port, exposed as ``.port`` for tests and for writing a
-    port-file the way the reference writes its socket path."""
+    port-file the way the reference writes its socket path.
+    ``socket_path=`` serves the same HTTP protocol over an AF_UNIX
+    socket instead (``.port`` is then None); the socket file is removed
+    on ``stop()``."""
 
-    def __init__(self, manager, host: str = "127.0.0.1", port: int = 0) -> None:
+    def __init__(self, manager, host: str = "127.0.0.1", port: int = 0,
+                 socket_path: str | None = None) -> None:
         mgr = manager
 
         class Handler(BaseHTTPRequestHandler):
@@ -58,9 +86,14 @@ class AdminServer:
             def log_message(self, *args) -> None:  # silence per-request noise
                 pass
 
-        self._server = ThreadingHTTPServer((host, port), Handler)
-        self.host = host
-        self.port = self._server.server_address[1]
+        self.socket_path = socket_path
+        if socket_path is not None:
+            self._server = _UnixHTTPServer(socket_path, Handler)
+            self.host, self.port = None, None
+        else:
+            self._server = ThreadingHTTPServer((host, port), Handler)
+            self.host = host
+            self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever,
                                         name="singer-admin", daemon=True)
 
@@ -71,3 +104,8 @@ class AdminServer:
     def stop(self) -> None:
         self._server.shutdown()
         self._server.server_close()
+        if self.socket_path is not None:
+            try:
+                os.unlink(self.socket_path)
+            except FileNotFoundError:
+                pass

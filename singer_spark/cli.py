@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--admin-port", type=int, default=None,
                    help="start the admin HTTP endpoint (O3) on this loopback "
                         "port; 0 picks an ephemeral port (printed to stderr)")
+    p.add_argument("--admin-socket", default=None, metavar="PATH",
+                   help="serve the admin endpoint over an AF_UNIX socket at "
+                        "PATH instead of TCP (the reference's "
+                        "singer.admin.socket shape)")
     p.add_argument("--decider-file", default=None,
                    help="mtime-watched decider JSON (O2) gating per-log starts")
     p.add_argument("--metrics", action="store_true",
@@ -54,7 +58,13 @@ def main(argv: list[str] | None = None) -> int:
                               decider=Decider(args.decider_file),
                               properties_path=properties_path, conf_d=conf_d)
     admin = None
-    if args.admin_port is not None:
+    if args.admin_socket is not None:
+        from singer_spark.admin import AdminServer
+
+        admin = AdminServer(manager, socket_path=args.admin_socket).start()
+        print(f"singer-spark agent: admin endpoint on unix socket "
+              f"{args.admin_socket}", file=sys.stderr)
+    elif args.admin_port is not None:
         from singer_spark.admin import AdminServer
 
         admin = AdminServer(manager, port=args.admin_port).start()

@@ -166,6 +166,54 @@ def test_admin_endpoint_status_and_drain(spark, tmp_path):
         mgr.stop_all()
 
 
+def test_admin_endpoint_over_unix_socket(spark, tmp_path):
+    """Same drain/status protocol over an AF_UNIX socket — the
+    reference's singer.admin.socket transport (AdminServer.java:43-145)."""
+    import http.client
+    import socket as socket_mod
+
+    class UDSConnection(http.client.HTTPConnection):
+        def __init__(self, path):
+            super().__init__("localhost")
+            self._path = path
+
+        def connect(self):
+            s = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
+            s.connect(self._path)
+            self.sock = s
+
+    def request(path, method="GET", sock_path=None):
+        conn = UDSConnection(sock_path)
+        try:
+            conn.request(method, path)
+            resp = conn.getresponse()
+            return resp.status, json.loads(resp.read())
+        finally:
+            conn.close()
+
+    cfg = _cfg(tmp_path, "uds_log", sink="memory")
+    _write_lines(f"{cfg.log_dir}/a.log", 7)
+    mgr = PipelineManager(spark)
+    q = mgr.start_log(cfg)
+    sock = str(tmp_path / "admin.sock")
+    server = AdminServer(mgr, socket_path=sock).start()
+    try:
+        assert server.port is None and os.path.exists(sock)
+        code, status = request("/status", sock_path=sock)
+        assert code == 200
+        assert status == {"queries": ["uds_log"], "draining": False}
+        code, resp = request("/drain", method="POST", sock_path=sock)
+        assert code == 200 and resp["ok"]
+        assert not q.isActive
+        assert spark.sql("select count(*) n from uds_log").first().n == 7
+        code, resp = request("/stop", method="POST", sock_path=sock)
+        assert code == 200 and resp["ok"]
+    finally:
+        server.stop()
+        mgr.stop_all()
+    assert not os.path.exists(sock)  # socket file cleaned up on stop
+
+
 # ---------------------------------------------------------------------------
 # O8 — shadow mode: duplicate delivery to a shadow destination
 # ---------------------------------------------------------------------------

@@ -184,3 +184,49 @@ def test_pulsar_custom_router_routes_by_partitioner(spark, tmp_path):
     for key, (topic, val) in routed.items():
         assert topic == f"t-partition-{expected[key]}"
         assert val == f"msg-{key}"
+
+
+# ---------------------------------------------------------------------------
+# Live-broker smoke (flag-gated): set SINGER_SPARK_PULSAR_URL to a real
+# broker (e.g. "pulsar://localhost:6650", pulsar-client installed) and this
+# drives the REAL client library end-to-end — async sends, per-message send
+# callbacks, router sub-topic producers — the quirks the file-backed fakes
+# cannot exercise.  Unset (this sandbox), it skips cleanly.  Twin of the
+# Kafka smoke in test_kafka_sink.py.
+# ---------------------------------------------------------------------------
+@pytest.mark.skipif(
+    not os.environ.get("SINGER_SPARK_PULSAR_URL"),
+    reason="no live broker: set SINGER_SPARK_PULSAR_URL to run")
+def test_pulsar_write_batch_live_broker(spark):
+    pulsar = pytest.importorskip("pulsar", reason="pulsar-client not installed")
+    from singer_spark.partitioners import md5_partitioner
+
+    url = os.environ["SINGER_SPARK_PULSAR_URL"]
+    topic = f"singer_spark_smoke_{uuid.uuid4().hex[:8]}"
+    n_parts = 3
+
+    # routed path: the partition column selects the router's sub-topic
+    # producer ({topic}-partition-{n}) exactly like PulsarMessageRouter
+    df = spark.range(60).select(
+        F.col("id").cast("string").alias("key"),
+        F.concat(F.lit("live-"), F.col("id").cast("string")).alias("value"),
+    ).withColumn("partition", md5_partitioner(F.col("key"), n_parts))
+    expected = {r["key"]: (r["partition"], r["value"]) for r in df.collect()}
+    pulsar_write_batch(df, url, topic)
+
+    client = pulsar.Client(url)
+    got: dict[str, tuple[int, str]] = {}
+    try:
+        for p in range(n_parts):
+            reader = client.create_reader(f"{topic}-partition-{p}",
+                                          pulsar.MessageId.earliest)
+            while True:
+                try:
+                    msg = reader.read_next(timeout_millis=5000)
+                except Exception:
+                    break
+                got[msg.partition_key()] = (p, msg.data().decode())
+            reader.close()
+    finally:
+        client.close()
+    assert got == expected
