@@ -799,6 +799,27 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), k=4, threshold=0.5)
 
 
+def _dedup_jaccard_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram-jaccard under a global candidate-pair budget: the df cap
+    tightens via an eager histogram-cumsum job (operators/dedup.py:
+    _pair_budget_threshold) so a boilerplate flood degrades to a measured
+    recall loss instead of a quadratic block; every emitted pair's
+    `shared` stays exact via the hot-array correction."""
+    from singer_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=4, threshold=0.5,
+                               pair_budget=20_000)
+
+
+def _pair_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dropped-pairs audit for the budgeted jaccard — what the cap
+    gave up (no-silent-caps discipline)."""
+    from singer_spark.operators.dedup import shingle_pair_budget_report
+
+    return shingle_pair_budget_report(_docs(spark, sf_dir), k=4,
+                                      pair_budget=20_000)
+
+
 def _dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment screen: overlap coefficient |A∩B|/min(|A|,|B|) over
     4-shingle sets — catches a short doc quoted inside a long one, which
@@ -1704,6 +1725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_jaccard_budget": _dedup_jaccard_budget,
+        "pair_budget_report": _pair_budget_report,
         "dedup_overlap": _dedup_overlap,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
@@ -1834,6 +1857,19 @@ emb16 AS (SELECT r.doc_id,
 
 # Hot-shingle blocking guard — mirror of ngram_jaccard_pairs(max_shingle_df).
 _NGRAM_DF_CAP = 256
+
+# Budgeted candidate generation (dedup._pair_budget_threshold twin): the df
+# histogram's pair-count cumsum picks the largest cap whose total candidate
+# pairs fit the 20k budget used by the registry's budgeted queries.
+_PAIR_BUDGET_THR = f"""
+dfs AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+hist AS (SELECT df, count(*) AS n_lists FROM dfs
+         WHERE df BETWEEN 2 AND {_NGRAM_DF_CAP} GROUP BY df),
+cum AS (SELECT df, n_lists,
+               sum(n_lists * df * (df - 1) / 2) OVER (ORDER BY df) AS cum_pairs
+        FROM hist),
+thr AS (SELECT coalesce(max(df), 1) AS t FROM cum WHERE cum_pairs <= 20000)
+"""
 
 _NGRAM_BLOCKED = f"""
 blocked AS (SELECT doc_id, s FROM sh
@@ -2750,6 +2786,31 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SH_CTE},
             {_NGRAM_BLOCKED},
             {_jaccard_verify_sql('ncand', 0.5)}""",
+        "dedup_jaccard_budget": f"""
+            WITH {_SH_CTE},
+            {_PAIR_BUDGET_THR},
+            blockedb AS (SELECT doc_id, s FROM sh
+                         QUALIFY count(*) OVER (PARTITION BY s)
+                                 <= (SELECT t FROM thr)),
+            ncandb AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                       FROM blockedb a JOIN blockedb b
+                       ON a.s = b.s AND a.doc_id < b.doc_id),
+            {_jaccard_verify_sql('ncandb', 0.5)}""",
+        "pair_budget_report": f"""
+            WITH {_SH_CTE},
+            {_PAIR_BUDGET_THR}
+            SELECT (SELECT t FROM thr)::INT AS df_threshold,
+                   coalesce(sum(CASE WHEN df <= (SELECT t FROM thr)
+                                     THEN n_lists END), 0)::BIGINT AS kept_lists,
+                   coalesce(sum(CASE WHEN df > (SELECT t FROM thr)
+                                     THEN n_lists END), 0)::BIGINT AS demoted_lists,
+                   coalesce(sum(CASE WHEN df <= (SELECT t FROM thr)
+                                     THEN n_lists * df * (df - 1) / 2 END),
+                            0)::BIGINT AS kept_pairs,
+                   coalesce(sum(CASE WHEN df > (SELECT t FROM thr)
+                                     THEN n_lists * df * (df - 1) / 2 END),
+                            0)::BIGINT AS dropped_pairs
+            FROM hist""",
         "dedup_overlap": f"""
             WITH {_SH_CTE},
             {_NGRAM_BLOCKED},

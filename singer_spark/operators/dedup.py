@@ -129,8 +129,33 @@ def _maybe_persist(base: DataFrame, persist: bool) -> DataFrame:
     return base.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def _pair_budget_threshold(groups: DataFrame, max_shingle_df: int,
+                           pair_budget: int) -> DataFrame:
+    """One-row (_thr) frame: the largest df cap t <= max_shingle_df such
+    that candidate generation from all lists with 2 <= df <= t stays
+    within `pair_budget` total pairs (sum of df*(df-1)/2).  Computed
+    from the df histogram — <= max_shingle_df rows, so the global-order
+    cumsum window runs on a frame that fits one task by construction
+    (same shape as streaming mg_merge's rank).  The caller collects the
+    one-row result eagerly: one aggregation job at build time, so the
+    main plan keeps the uncapped shape instead of replicating this
+    subtree under every consumer."""
+    from pyspark.sql.window import Window
+
+    hist = (groups.select(F.size("ids").alias("df"))
+            .where((F.col("df") >= 2) & (F.col("df") <= max_shingle_df))
+            .groupBy("df").agg(F.count("*").alias("n_lists")))
+    w = Window.orderBy("df").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn(
+        "cum_pairs",
+        F.sum(F.col("n_lists") * F.col("df") * (F.col("df") - 1) / 2).over(w))
+    return (cum.where(F.col("cum_pairs") <= pair_budget)
+            .agg(F.coalesce(F.max("df"), F.lit(1)).alias("_thr")))
+
+
 def shingle_cooccurrence(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                         k: int = 4, max_shingle_df: int = 256) -> DataFrame:
+                         k: int = 4, max_shingle_df: int = 256,
+                         pair_budget: int | None = None) -> DataFrame:
     """(id_a, id_b, shared, n_a, n_b) for every candidate pair — the shared
     inverted-index core under :func:`ngram_jaccard_pairs` and
     :func:`overlap_pairs` (any set-similarity metric is a cheap expression
@@ -166,13 +191,37 @@ def shingle_cooccurrence(docs: DataFrame, text_col: str = "text", id_col: str = 
     :func:`dedup_exact` first (the curation DAG does) so byte-identical
     floods collapse before near-dup blocking, leaving hot shingles to
     boilerplate *fragments* where some distinguishing cold shingle exists.
-    Wider k → fewer, more selective blocks."""
+    Wider k → fewer, more selective blocks.
+
+    `pair_budget` (optional) additionally caps TOTAL candidate pairs: the
+    df cap tightens via one eager histogram-cumsum job (see
+    :func:`_pair_budget_threshold`) so the
+    worst boilerplate-flooded corpus generates at most `pair_budget`
+    pairs instead of max_shingle_df²-sized blocks times however many
+    near-cap lists the flood created.  Demoted lists (df above the
+    computed threshold but within max_shingle_df) fold into the SAME
+    hot-shingle correction, so every emitted pair's `shared` stays exact
+    — the budget trades RECALL (pairs co-occurring only in demoted
+    lists), never precision, and :func:`shingle_pair_budget_report`
+    quantifies exactly what was given up."""
     sh = (fan_out(docs).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.transform(raw_shingles_col(text_col, k),
                                                lambda s: md5_int(s)))).alias("s")))
     groups = sh.groupBy("s").agg(F.array_sort(F.collect_list("id")).alias("ids"))
-    small = groups.filter((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_df))
+    if pair_budget is not None:
+        # eager one-job threshold (the length_matched_sample collect
+        # pattern): folding the histogram subtree into the plan instead
+        # would replicate the whole shingle-agg subtree under every
+        # consumer (measured: 6 -> 12 corpus scans), while the collect
+        # costs exactly one extra aggregation pass and leaves the main
+        # plan shape identical to the uncapped one
+        thr = _pair_budget_threshold(groups, max_shingle_df,
+                                     pair_budget).collect()[0]["_thr"]
+        cap_col = F.lit(int(thr))
+    else:
+        cap_col = F.lit(max_shingle_df)
+    small = groups.filter((F.size("ids") >= 2) & (F.size("ids") <= cap_col))
     pair_structs = F.flatten(F.transform(
         F.sequence(F.lit(1), F.size("ids") - 1),
         lambda i: F.transform(
@@ -194,7 +243,7 @@ def shingle_cooccurrence(docs: DataFrame, text_col: str = "text", id_col: str = 
     # groupBy(s) exchange between this branch and the candidate branch, so
     # the corpus-wide explode is shuffled exactly once.
     per_doc = (groups.select(
-        (F.size("ids") > max_shingle_df).alias("is_hot"),
+        (F.size("ids") > cap_col).alias("is_hot"),
         F.col("s"), F.explode("ids").alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("n"),
@@ -212,11 +261,14 @@ def shingle_cooccurrence(docs: DataFrame, text_col: str = "text", id_col: str = 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         k: int = 4, threshold: float = 0.8,
-                        max_shingle_df: int = 256) -> DataFrame:
+                        max_shingle_df: int = 256,
+                        pair_budget: int | None = None) -> DataFrame:
     """All pairs with Jaccard(shingle sets) >= threshold — an expression over
-    :func:`shingle_cooccurrence` (see there for the plan shape and the
-    hot-shingle recall bound).  Output: (id_a, id_b, jaccard)."""
-    co = shingle_cooccurrence(docs, text_col, id_col, k, max_shingle_df)
+    :func:`shingle_cooccurrence` (see there for the plan shape, the
+    hot-shingle recall bound, and the optional global `pair_budget`).
+    Output: (id_a, id_b, jaccard)."""
+    co = shingle_cooccurrence(docs, text_col, id_col, k, max_shingle_df,
+                              pair_budget)
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (co.withColumn("jaccard", qround(jac, 4))
             .filter(jac >= threshold)
@@ -225,7 +277,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
 
 def overlap_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   k: int = 4, threshold: float = 0.8,
-                  max_shingle_df: int = 256) -> DataFrame:
+                  max_shingle_df: int = 256,
+                  pair_budget: int | None = None) -> DataFrame:
     """All pairs with overlap coefficient |A∩B| / min(|A|,|B|) >= threshold —
     the CONTAINMENT screen: a short document quoted or embedded inside a
     longer one scores near 1.0 here while its Jaccard stays low (the union
@@ -241,13 +294,55 @@ def overlap_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     Output: (id_a, id_b, overlap, jaccard) — Jaccard rides along for free
     so downstream policy can distinguish containment (high overlap, low
     jaccard) from near-identity (both high)."""
-    co = shingle_cooccurrence(docs, text_col, id_col, k, max_shingle_df)
+    co = shingle_cooccurrence(docs, text_col, id_col, k, max_shingle_df,
+                              pair_budget)
     ov = F.col("shared") / F.least("n_a", "n_b")
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (co.withColumn("overlap", qround(ov, 4))
             .withColumn("jaccard", qround(jac, 4))
             .filter(ov >= threshold)
             .select("id_a", "id_b", "overlap", "jaccard"))
+
+
+def shingle_pair_budget_report(docs: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", k: int = 4,
+                               max_shingle_df: int = 256,
+                               pair_budget: int = 1_000_000) -> DataFrame:
+    """One-row audit of what a `pair_budget` would keep and drop — the
+    `dropped_pairs` side count the capped operators owe their operator
+    (same no-silent-caps discipline as contamination_report's
+    max_gram_df): (df_threshold, kept_lists, demoted_lists, kept_pairs,
+    dropped_pairs).  `dropped_pairs` counts candidate pairs the UNCAPPED
+    operator would have generated from lists the budget demotes; a
+    boilerplate-flooded corpus shows up here as a large drop count
+    instead of a wedged stage.  Plan: the shingle explode reduces to a
+    <=max_shingle_df-row df histogram; everything after is
+    histogram-sized."""
+    sh = (fan_out(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.transform(raw_shingles_col(text_col, k),
+                                               lambda s: md5_int(s)))).alias("s")))
+    hist = (sh.groupBy("s").agg(F.count("*").alias("df"))
+            .where((F.col("df") >= 2) & (F.col("df") <= max_shingle_df))
+            .groupBy("df").agg(F.count("*").alias("n_lists")))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("df").rowsBetween(Window.unboundedPreceding, 0)
+    pairs = F.col("n_lists") * F.col("df") * (F.col("df") - 1) / 2
+    cum = hist.withColumn("cum_pairs", F.sum(pairs).over(w))
+    thr = (cum.where(F.col("cum_pairs") <= pair_budget)
+           .agg(F.coalesce(F.max("df"), F.lit(1)).alias("_thr")))
+    kept = F.col("df") <= F.col("_thr")
+    return (hist.crossJoin(F.broadcast(thr)).agg(
+        F.coalesce(F.max("_thr"), F.lit(1)).cast("int").alias("df_threshold"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_lists"))), F.lit(0))
+         .cast("bigint").alias("kept_lists"),
+        F.coalesce(F.sum(F.when(~kept, F.col("n_lists"))), F.lit(0))
+         .cast("bigint").alias("demoted_lists"),
+        F.coalesce(F.sum(F.when(kept, pairs)), F.lit(0))
+         .cast("bigint").alias("kept_pairs"),
+        F.coalesce(F.sum(F.when(~kept, pairs)), F.lit(0))
+         .cast("bigint").alias("dropped_pairs")))
 
 
 # ---------------------------------------------------------------------------

@@ -41,6 +41,47 @@ def test_overlap_catches_contained_quote(spark):
     assert not any(set(pair) == {1, 3} for pair in ov)
 
 
+def test_pair_budget_flood_degrades_measurably(spark):
+    """A boilerplate-flooded corpus under a pair_budget: the df cap
+    tightens, dropped_pairs reports exactly what was given up, emitted
+    pairs are a subset of the uncapped set with IDENTICAL jaccard values
+    (the hot-array correction keeps `shared` exact)."""
+    from singer_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_pair_budget_report,
+    )
+
+    # 12 docs sharing a verbatim boilerplate run (its shingles hit df=12)
+    # + per-doc unique tails; 3 genuine near-dup docs via a distinct run
+    boiler = " ".join(f"b{i}" for i in range(10))
+    near = " ".join(f"n{i}" for i in range(12))
+    rows = [(i, f"{boiler} u{i}a u{i}b u{i}c u{i}d", "s") for i in range(12)]
+    rows += [(100 + j, f"{near} t{j}", "s") for j in range(3)]
+    docs = _docs_df(spark, rows)
+
+    # budget below the flood's pair volume: the df-12 boilerplate lists
+    # must demote while the df-3 near-dup lists survive
+    budget = 60
+    rep = shingle_pair_budget_report(docs, pair_budget=budget).collect()[0]
+    assert rep.dropped_pairs > 0 and rep.demoted_lists > 0
+    assert rep.kept_pairs <= budget
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    capped = {(r.id_a, r.id_b): r.jaccard
+              for r in ngram_jaccard_pairs(docs, threshold=0.3,
+                                           pair_budget=budget).collect()}
+    assert set(capped) < set(full)          # recall traded, measurably
+    for pair, jac in capped.items():
+        assert jac == full[pair]            # precision and values intact
+    # the genuine near-dups (df=3 lists, inside budget) still surface
+    assert any({a, b} <= {100, 101, 102} for a, b in capped)
+    # report's accounting matches the uncapped candidate volume
+    rep_full = shingle_pair_budget_report(docs,
+                                          pair_budget=10**9).collect()[0]
+    assert rep_full.dropped_pairs == 0
+    assert rep.kept_pairs + rep.dropped_pairs == rep_full.kept_pairs
+
+
 def test_overlap_matches_bruteforce(spark, sf_dir):
     """Overlap over real docs == brute-force shingle-set arithmetic."""
     from singer_spark.operators.dedup import overlap_pairs

@@ -122,6 +122,13 @@ def pair_ops(docs: DataFrame):
 
     return {
         "ngram_jaccard_pairs": lambda: ngram_jaccard_pairs(docs, threshold=0.5),
+        # budgeted twin: candidate generation capped at 600k total pairs
+        # (dedup._pair_budget_threshold).  Sized to sit ABOVE this corpus's
+        # 1x/4x candidate volume (plans identical there) and bind at 16x
+        # (841k candidates -> the df>=3 classes demote, ~316k candidate
+        # pairs dropped) — the graceful-degradation demo, not the cliff
+        "ngram_jaccard_budget": lambda: ngram_jaccard_pairs(
+            docs, threshold=0.5, pair_budget=600_000),
         "minhash_lsh_pairs": lambda: minhash_lsh_pairs(docs, threshold=0.5),
         "simhash_pairs": lambda: simhash_pairs(docs, max_hamming=3),
     }
