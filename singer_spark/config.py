@@ -89,6 +89,13 @@ class ProcessorConfig:
     sample_percent: int = 100               # T9 decider percentage
     log_retention_seconds: int = -1         # O5
     time_slice_ms: int = 864_000_000
+    # hot-key guard: per micro-batch, keep at most this many messages per
+    # key (queries.cap_events_per_key on the message key, payload value as
+    # the fallback key) — the per-record-bound discipline of the
+    # reference's oversize drop (reader/ThriftLogFileReader.java:152-157)
+    # applied to a runaway single producer.  None = off (plan-identical).
+    # conf.d: `processor.maxEventsPerKey=10000`.
+    max_events_per_key: int | None = None
 
 
 @dataclass

@@ -331,8 +331,34 @@ class PipelineManager:
             ),
         )
 
+    @staticmethod
+    def _hot_key_cap(cfg: LogConfig):
+        """Per-micro-batch hot-key guard (processor.maxEventsPerKey): keep
+        at most N messages per key per trigger — queries.cap_events_per_key
+        on the message key (payload as the fallback key, ordered by
+        payload for determinism).  None when the knob is off."""
+        mk = cfg.processor.max_events_per_key
+        if not mk:
+            return None
+        from singer_spark.queries import cap_events_per_key
+
+        def cap(batch_df: DataFrame) -> DataFrame:
+            key = "key" if "key" in batch_df.columns else "value"
+            return cap_events_per_key(batch_df, key, ["value"], mk)
+
+        return cap
+
     def _build_writer(self, cfg: LogConfig, df: DataFrame, ckpt: str, audit_sink=None):
         w = cfg.writer
+        cap = self._hot_key_cap(cfg)
+        if cap is not None and w.type in ("kafka", "memory", "noop"):
+            # the cap is a per-micro-batch frame transform, so it needs a
+            # foreachBatch hook; these direct writeStream sinks have none.
+            # Fail at config time — a guard that silently doesn't guard is
+            # worse than an error the operator sees on deploy.
+            raise ValueError(
+                f"processor.maxEventsPerKey is not supported with "
+                f"writer.type={w.type}; use kafka_direct, file, or pulsar")
         if w.type == "kafka":
             writer = sinks.kafka_sink(df, w.bootstrap_servers, w.topic, ckpt,
                                       producer_configs=w.producer_configs,
@@ -350,12 +376,14 @@ class PipelineManager:
                                             transactional=w.transaction_enabled)
 
                 writer = sinks.with_audit(df, w.audit_topic, ckpt,
-                                          write_kafka_batch, audit_sink)
+                                          write_kafka_batch, audit_sink,
+                                          batch_transform=cap)
             else:
                 writer = sinks.kafka_direct_sink(df, w.bootstrap_servers, w.topic, ckpt,
                                                  self.kafka_producer_factory,
                                                  w.producer_configs,
-                                                 transactional=w.transaction_enabled)
+                                                 transactional=w.transaction_enabled,
+                                                 batch_transform=cap)
         elif w.type in ("file", "s3", "parquet", "text"):
             if w.audit_topic and audit_sink is not None:
                 # audited file delivery: foreachBatch write + audit row (B5),
@@ -369,7 +397,21 @@ class PipelineManager:
                 def write_batch(batch_df: DataFrame, batch_id: int) -> None:
                     sinks.write_batch_idempotent(batch_df, path, batch_id, fmt, size_mb)
 
-                writer = sinks.with_audit(df, w.audit_topic, ckpt, write_batch, audit_sink)
+                writer = sinks.with_audit(df, w.audit_topic, ckpt, write_batch,
+                                          audit_sink, batch_transform=cap)
+                if w.min_upload_seconds:
+                    writer = writer.trigger(processingTime=f"{w.min_upload_seconds} seconds")
+            elif cap is not None:
+                # capped unaudited file delivery routes through the same
+                # idempotent per-batch-dir writer (foreachBatch hook)
+                path, fmt, size_mb = w.path, w.format, w.max_file_size_mb
+
+                def write_capped(batch_df: DataFrame, batch_id: int) -> None:
+                    sinks.write_batch_idempotent(cap(batch_df), path,
+                                                 batch_id, fmt, size_mb)
+
+                writer = (df.writeStream.foreachBatch(write_capped)
+                          .option("checkpointLocation", ckpt))
                 if w.min_upload_seconds:
                     writer = writer.trigger(processingTime=f"{w.min_upload_seconds} seconds")
             else:
@@ -380,7 +422,8 @@ class PipelineManager:
             # sub-topic producers inside pulsar_write_batch (the reference's
             # MessageRouter-wrapping-partitioner composition)
             writer = sinks.pulsar_sink(df, w.bootstrap_servers, w.topic, ckpt,
-                                       client_factory=self.pulsar_client_factory)
+                                       client_factory=self.pulsar_client_factory,
+                                       batch_transform=cap)
         elif w.type == "memory":
             writer = sinks.memory_sink(df, cfg.name, ckpt)
         elif w.type == "noop":

@@ -193,11 +193,17 @@ def kafka_direct_sink(df: DataFrame, bootstrap_servers: str, topic: str,
                       checkpoint_dir: str,
                       producer_factory: Callable | None = None,
                       producer_configs: dict | None = None,
-                      transactional: bool = False) -> DataStreamWriter:
+                      transactional: bool = False,
+                      batch_transform: Callable[[DataFrame], DataFrame] | None = None,
+                      ) -> DataStreamWriter:
     """Streaming Kafka sink via foreachBatch + :func:`kafka_write_batch` —
-    for environments without the spark-sql-kafka connector JAR."""
+    for environments without the spark-sql-kafka connector JAR.
+    `batch_transform` (optional) maps each micro-batch frame before the
+    write — the hook the engine's hot-key cap uses."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_transform is not None:
+            batch_df = batch_transform(batch_df)
         kafka_write_batch(batch_df, bootstrap_servers, topic,
                           producer_factory, producer_configs,
                           transactional=transactional)
@@ -564,10 +570,14 @@ def pulsar_write_batch(batch_df: DataFrame, service_url: str, topic: str,
 
 def pulsar_sink(df: DataFrame, service_url: str, topic: str, checkpoint_dir: str,
                 client_factory: Callable | None = None,
-                key_col: str = "key", value_col: str = "value") -> DataStreamWriter:
+                key_col: str = "key", value_col: str = "value",
+                batch_transform: Callable[[DataFrame], DataFrame] | None = None,
+                ) -> DataStreamWriter:
     """Streaming Pulsar sink via foreachBatch + :func:`pulsar_write_batch`."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_transform is not None:
+            batch_df = batch_transform(batch_df)
         pulsar_write_batch(batch_df, service_url, topic, client_factory,
                            key_col, value_col)
 
@@ -594,12 +604,18 @@ def memory_sink(df: DataFrame, name: str, checkpoint_dir: str | None = None) -> 
 def with_audit(df: DataFrame, topic: str, checkpoint_dir: str,
                write_batch: Callable[[DataFrame, int], None],
                audit_sink: AuditCollector | Callable[[DataFrame], None] | None = None,
-               hostname: str | None = None) -> DataStreamWriter:
+               hostname: str | None = None,
+               batch_transform: Callable[[DataFrame], DataFrame] | None = None,
+               ) -> DataStreamWriter:
     """writeStream.foreachBatch: run `write_batch`, then emit one
     AuditMessage(numMessages=batch count) — count-after-successful-write, the
-    reference's accounting point (writer/KafkaWriter.java:641-693)."""
+    reference's accounting point (writer/KafkaWriter.java:641-693).
+    `batch_transform` (the hot-key cap hook) applies BEFORE the write and
+    the count, so the audit reflects delivered rows."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_transform is not None:
+            batch_df = batch_transform(batch_df)
         batch_df = batch_df.persist()
         try:
             n = batch_df.count()

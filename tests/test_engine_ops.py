@@ -11,6 +11,8 @@ import os
 import time
 import urllib.request
 
+import pytest
+
 from singer_spark.admin import AdminServer
 from singer_spark.config import LogConfig, ProcessorConfig, WriterConfig
 from singer_spark.engine import Decider, PipelineManager, enforce_retention
@@ -140,6 +142,48 @@ def test_run_adaptive_respects_live_decider(spark, tmp_path):
     os.utime(path)
     hist2 = mgr.run_adaptive(cfg, cycles=1, sleep_fn=lambda s: None)
     assert hist2[0]["enabled"] and hist2[0]["rows"] == 6  # flipped on live
+
+
+# ---------------------------------------------------------------------------
+# processor.maxEventsPerKey — fleet-wide hot-key cap (conf.d knob)
+# ---------------------------------------------------------------------------
+def test_max_events_per_key_confd_roundtrip():
+    from singer_spark.config import load_log_config
+
+    cfg = load_log_config("hotlog", """
+    logDir=/var/log/app
+    writer.type=file
+    processor.maxEventsPerKey=5
+    """)
+    assert cfg.processor.max_events_per_key == 5
+    # default off — the no-cap plan stays byte-identical
+    assert load_log_config("x", "logDir=/tmp\n").processor.max_events_per_key is None
+
+
+def test_max_events_per_key_caps_hot_key_e2e(spark, tmp_path):
+    """A runaway producer (one payload repeated 10x) delivers at most
+    maxEventsPerKey rows per trigger; distinct payloads pass untouched.
+    Text logs have no key column, so the payload is the fallback key."""
+    cfg = _cfg(tmp_path, "hotkey", max_events_per_key=3)
+    with open(f"{cfg.log_dir}/a.log", "w") as f:
+        f.write("hot-line\n" * 10)
+        f.write("cold-one\ncold-two\n")
+    mgr = PipelineManager(spark)
+    mgr.run_cycle(cfg)
+    vals = [r.value for r in
+            spark.read.parquet(cfg.writer.path).collect()]
+    assert vals.count("hot-line") == 3
+    assert sorted(v for v in vals if v != "hot-line") == ["cold-one", "cold-two"]
+
+
+def test_max_events_per_key_rejected_for_hookless_sinks(spark, tmp_path):
+    """Sinks without a foreachBatch hook must refuse the cap at config
+    time — a guard that silently doesn't guard is worse than an error."""
+    cfg = _cfg(tmp_path, "hotmem", sink="memory", max_events_per_key=3)
+    _write_lines(f"{cfg.log_dir}/a.log", 2)
+    mgr = PipelineManager(spark)
+    with pytest.raises(ValueError, match="maxEventsPerKey"):
+        mgr.start_log(cfg)
 
 
 # ---------------------------------------------------------------------------
