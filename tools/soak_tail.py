@@ -30,6 +30,14 @@ engine, on the two delivery paths:
 
 Prints a count-equality table; exit code 1 on any loss/inequality.
 
+Memory telemetry: every cycle records driver-python RSS, driver-JVM RSS
+(/proc VmRSS — the two processes where a cross-cycle leak would
+accumulate) and the on-disk size of the phase's checkpoint+state dirs.
+The full series lands in `<out_root>/telemetry.csv`; the summary table
+prints per-phase first/last/max RSS and the least-squares RSS slope per
+cycle — a bounded-state claim is `slope ~ 0 over thousands of cycles`,
+which is what the long run (30-60 min) exists to show.
+
 Usage: python tools/soak_tail.py [seconds] [out_root]
        (default 60 s; the README run uses 300)
 """
@@ -43,6 +51,88 @@ import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _proc_rss_mb(pid: int) -> float:
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
+
+
+def _child_java_rss_mb() -> float:
+    """Sum RSS of direct java children (the py4j-launched driver JVM)."""
+    me = os.getpid()
+    total = 0.0
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                parts = f.read().split()
+            if int(parts[3]) == me and "java" in parts[1]:
+                total += _proc_rss_mb(int(p))
+        except (OSError, IndexError, ValueError):
+            pass
+    return total
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+class Telemetry:
+    """Per-cycle memory/state series + per-phase slope summary."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.rows: list[tuple] = []
+        self.t0 = time.time()
+
+    def note(self, phase: str, cycle: int, state_dirs: list[str]) -> None:
+        self.rows.append((
+            phase, cycle, round(time.time() - self.t0, 1),
+            round(_proc_rss_mb(os.getpid()), 1),
+            round(_child_java_rss_mb(), 1),
+            sum(_dir_bytes(d) for d in state_dirs),
+        ))
+
+    def save(self) -> None:
+        with open(os.path.join(self.root, "telemetry.csv"), "w") as f:
+            f.write("phase,cycle,elapsed_s,py_rss_mb,jvm_rss_mb,state_bytes\n")
+            for r in self.rows:
+                f.write(",".join(str(x) for x in r) + "\n")
+
+    def summary(self) -> list[tuple]:
+        out = []
+        for phase in dict.fromkeys(r[0] for r in self.rows):
+            series = [r for r in self.rows if r[0] == phase]
+            n = len(series)
+            rss = [r[3] + r[4] for r in series]  # total driver RSS
+            if n >= 2:
+                xs = list(range(n))
+                mx, my = sum(xs) / n, sum(rss) / n
+                denom = sum((x - mx) ** 2 for x in xs) or 1.0
+                slope = sum((x - mx) * (y - my)
+                            for x, y in zip(xs, rss)) / denom
+            else:
+                slope = 0.0
+            out.append((phase, n, round(rss[0], 1), round(rss[-1], 1),
+                        round(max(rss), 1),
+                        round(slope, 3),
+                        series[-1][5]))
+        return out
 
 
 def _append(path: str, data: str) -> None:
@@ -106,7 +196,7 @@ class Writer(threading.Thread):
                 f.truncate(0)
 
 
-def run_tail_soak(spark, root: str, seconds: float) -> list[tuple]:
+def run_tail_soak(spark, root: str, seconds: float, telem=None) -> list[tuple]:
     from singer_spark.streaming.tail import tail_stream
 
     log_dir = os.path.join(root, "logs")
@@ -133,6 +223,8 @@ def run_tail_soak(spark, root: str, seconds: float) -> list[tuple]:
     while time.time() < deadline:
         cycle()
         cycles += 1
+        if telem:
+            telem.note("tail", cycles, [ckpt])
     stop.set()
     for w in writers:
         w.join()
@@ -165,7 +257,7 @@ def run_tail_soak(spark, root: str, seconds: float) -> list[tuple]:
     return rows if ok else rows + [("TAIL-SOAK", "FAILED", 0, 0, 0, 0, 0, "FAIL")]
 
 
-def run_thrift_tail_soak(spark, root: str, seconds: float) -> list[tuple]:
+def run_thrift_tail_soak(spark, root: str, seconds: float, telem=None) -> list[tuple]:
     """Framed-thrift tail (`mode=thrift`) under the same rename churn +
     restart-per-cycle regime: frames must decode exactly once each, CRCs
     intact, across rotations and kills."""
@@ -198,6 +290,8 @@ def run_thrift_tail_soak(spark, root: str, seconds: float) -> list[tuple]:
     while time.time() < deadline:
         cycle()
         cycles += 1
+        if telem:
+            telem.note("thrift", cycles, [ckpt])
     stop.set()
     for w in writers:
         w.join()
@@ -229,7 +323,7 @@ def run_thrift_tail_soak(spark, root: str, seconds: float) -> list[tuple]:
     return rows
 
 
-def run_curation_soak(spark, root: str, seconds: float) -> list[tuple]:
+def run_curation_soak(spark, root: str, seconds: float, telem=None) -> list[tuple]:
     from pyspark.sql import functions as F
 
     from singer_spark.curation import CurationConfig, curate_stream
@@ -268,6 +362,10 @@ def run_curation_soak(spark, root: str, seconds: float) -> list[tuple]:
         write_chunk(i)
         cycle("churn", spark.readStream.schema(schema).parquet(src))
         done = i + 1
+        if telem:
+            telem.note("curation", done,
+                       [os.path.join(root, "cur_ckpt_churn"),
+                        os.path.join(root, "cur_state_churn")])
         if time.time() > deadline and done >= 2:
             break
     # reference run: ONE uninterrupted query over the same chunks, one
@@ -293,9 +391,10 @@ def main(seconds: float = 60.0, root: str = "/tmp/singer_spark_soak") -> int:
     os.makedirs(root)
     spark = get_spark("soak_tail")
     spark.sparkContext.setLogLevel("ERROR")
-    rows = run_tail_soak(spark, root, seconds * 0.5)
-    rows += run_thrift_tail_soak(spark, root, seconds * 0.25)
-    rows += run_curation_soak(spark, root, seconds * 0.25)
+    telem = Telemetry(root)
+    rows = run_tail_soak(spark, root, seconds * 0.5, telem)
+    rows += run_thrift_tail_soak(spark, root, seconds * 0.25, telem)
+    rows += run_curation_soak(spark, root, seconds * 0.25, telem)
     hdr = ("stream", "mode", "written", "rotations", "delivered",
            "missing", "dupes", "status")
     print(("{:>22}" * len(hdr)).format(*hdr))
@@ -303,6 +402,14 @@ def main(seconds: float = 60.0, root: str = "/tmp/singer_spark_soak") -> int:
     for r in rows:
         print(("{:>22}" * len(r)).format(*[str(x) for x in r]))
         failed |= r[-1] == "FAIL"
+    telem.save()
+    thdr = ("phase", "cycles", "rss_first_mb", "rss_last_mb", "rss_max_mb",
+            "slope_mb/cycle", "state_bytes")
+    print()
+    print(("{:>16}" * len(thdr)).format(*thdr))
+    for r in telem.summary():
+        print(("{:>16}" * len(r)).format(*[str(x) for x in r]))
+    print(f"full series: {os.path.join(root, 'telemetry.csv')}")
     spark.stop()
     return 1 if failed else 0
 
