@@ -69,6 +69,7 @@ HEADLINERS = [
     # training-data operators
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_budget",
     "dedup_overlap",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -95,3 +95,28 @@ def test_segments_match_python_reference(spark):
     assert row["n_kept"] == 3
     # kept: segments 0,1,2 (the tail segment 3 == segment 0 is dropped)
     assert row["text"] == " ".join(toks[:60])
+
+
+def test_heavy_hitters_vectorized_on_wide_stream(spark):
+    """Pin the vectorized Misra-Gries kernel (chunked value_counts +
+    mergeable-summaries prune).  20M tokens with a mostly-unique tail and
+    capacity 1000 force constant eviction pressure: the round-5 per-token
+    Python dict loop pays O(capacity) per eviction (~2e10 ops — hours);
+    the vectorized kernel prunes once per Arrow chunk.  Output must still
+    equal the exact groupBy (the candidate-superset + recount contract)."""
+    from singer_spark.operators.diagnostics import heavy_hitters
+
+    n = 20_000_000
+    toks = spark.range(n).select(
+        F.when(F.col("id") % 100 < 5,
+               F.concat(F.lit("hot"), (F.col("id") % 100).cast("string")))
+        .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+        .alias("token"))
+    t0 = time.time()
+    got = {(r.item, r.n) for r in
+           heavy_hitters(toks, "token", min_share=0.005,
+                         capacity=1000).collect()}
+    elapsed = time.time() - t0
+    want = {(f"hot{i}", n // 100) for i in range(5)}
+    assert got == want
+    assert elapsed < 120, f"MG nomination took {elapsed:.0f}s — per-token loop is back?"
