@@ -105,21 +105,38 @@ def _latest_prior_round(repo_dir: str):
     return best
 
 
-def _prior_queries(path: str) -> dict[str, float]:
-    """Per-query medians from a driver bench artifact (raw JSON with a
-    `queries` field, or a wrapper whose tail holds the compact line)."""
+def _prior_queries(path: str) -> tuple[dict[str, float], object]:
+    """(queries, sf) from a driver bench artifact — raw JSON with a
+    `queries` field, a driver wrapper with a pre-parsed `parsed` field
+    (the shape the driver records even when the tail is truncated), or a
+    wrapper whose tail still holds the compact line."""
     import re
 
     raw = open(path).read()
     try:
         doc = json.loads(raw)
-        if isinstance(doc, dict) and isinstance(doc.get("queries"), dict):
-            return doc["queries"]
-        tail = doc.get("tail", "") if isinstance(doc, dict) else ""
     except json.JSONDecodeError:
-        tail = raw
-    m = re.search(r'\{"metric".*\}', tail)
-    return json.loads(m.group(0))["queries"] if m else {}
+        doc = None
+    if isinstance(doc, dict):
+        if isinstance(doc.get("queries"), dict):
+            return doc["queries"], doc.get("sf")
+        parsed = doc.get("parsed")
+        if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+            return parsed["queries"], parsed.get("sf")
+        raw = doc.get("tail", "") or ""
+    sf = doc.get("sf") if isinstance(doc, dict) else None
+    m = re.search(r'\{"metric".*\}', raw)
+    if m:
+        try:
+            line = json.loads(m.group(0))
+            return line.get("queries", {}), line.get("sf", sf)
+        except json.JSONDecodeError:
+            pass
+    # tail truncated mid-line (the r04 shape): salvage query medians by
+    # pair extraction — query values are floats, scalar fields by name
+    pairs = re.findall(r'"([A-Za-z_]\w*)":\s*([0-9]+\.[0-9]+)', raw)
+    return ({k: float(v) for k, v in pairs if k not in ("value", "sf")},
+            sf)
 
 
 def main() -> None:
@@ -159,14 +176,19 @@ def main() -> None:
     # Drift policing: re-run queries that regressed >15% and >=0.1 s vs
     # the latest recorded round — at the END of the process, when JIT is
     # warm and no other stage competes — and keep the better median.
-    # (Comparisons are only meaningful against the same sf; prior rounds
-    # always ran the default sf0.1.)
+    # Comparisons are only meaningful at the SAME scale factor: a prior
+    # artifact recorded at a different sf would flag the whole suite.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     prior = _latest_prior_round(repo_dir)
     drift_verdict = None
     reruns: dict[str, dict[str, float]] = {}
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     if prior is not None:
-        prior_q = _prior_queries(prior[1])
+        prior_q, prior_sf = _prior_queries(prior[1])
+        if prior_sf is not None and prior_sf != sf_val:
+            prior_q = {}
+            drift_verdict = {"vs": prior[0], "skipped": f"sf mismatch "
+                             f"({prior_sf} vs {sf_val})"}
         drifted = [q for q in HEADLINERS
                    if q in prior_q and prior_q[q] > 0
                    and timings[q] / prior_q[q] > 1.15
@@ -188,11 +210,11 @@ def main() -> None:
         still = sorted(q for q in drifted
                        if timings[q] / prior_q[q] > 1.15
                        and timings[q] - prior_q[q] >= 0.1)
-        drift_verdict = {"vs": prior[0], "reran": len(drifted),
-                         "still_slow": still}
+        if drift_verdict is None:  # keep an sf-mismatch skip verdict
+            drift_verdict = {"vs": prior[0], "reran": len(drifted),
+                             "still_slow": still}
 
     total = round(sum(timings.values()), 3)
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
         "metric": "headline_total",
         "value": total,

@@ -30,11 +30,33 @@ class _UnixHTTPServer(ThreadingHTTPServer):
     address_family = socket.AF_UNIX
 
     def server_bind(self):
-        # a socket file lingering from an unclean shutdown blocks bind
+        # A socket file lingering from an unclean shutdown blocks bind —
+        # but only unlink a STALE one.  UDS has no EADDRINUSE protection:
+        # blindly unlinking would let a second agent configured with the
+        # same path silently steal a live endpoint (and pointing the flag
+        # at an arbitrary file would delete it).
+        path = self.server_address
         try:
-            os.unlink(self.server_address)
-        except (FileNotFoundError, TypeError):
-            pass
+            st = os.stat(path)
+        except (OSError, TypeError):
+            st = None
+        if st is not None:
+            import stat as stat_mod
+
+            if not stat_mod.S_ISSOCK(st.st_mode):
+                raise OSError(f"admin socket path {path!r} exists and is "
+                              "not a socket; refusing to unlink")
+            probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            try:
+                probe.settimeout(1.0)
+                probe.connect(path)
+            except OSError:
+                os.unlink(path)  # stale: no listener behind it
+            else:
+                raise OSError(f"admin socket {path!r} already has a live "
+                              "listener; refusing to steal it")
+            finally:
+                probe.close()
         super().server_bind()
 
     def get_request(self):

@@ -58,13 +58,18 @@ def stuck_threshold(stuck_seconds: float,
     Adapts to the query's OWN cadence: a trigger(processingTime='10
     minutes') stream legitimately goes ~600 s between progress events,
     so a flat stuck_seconds=300 would count every healthy slow-trigger
-    query as stuck forever.  Take the max observed inter-progress gap
-    from recentProgress and require age > max(stuck_seconds, 2x that
-    gap); with fewer than two progress events there is no cadence
-    evidence and the flat floor applies."""
+    query as stuck forever.  The cadence estimate is the MEDIAN
+    inter-progress gap — robust, so one historical stall that recovered
+    (a 2 h wedge sitting in recentProgress) cannot inflate the threshold
+    and mask the next real wedge the way a max-gap rule would; the
+    threshold is max(stuck_seconds, 2x median gap).  With fewer than two
+    progress events there is no cadence evidence and the flat floor
+    applies."""
+    import statistics
+
     ts = sorted(progress_timestamps)
     gaps = [b - a for a, b in zip(ts, ts[1:])]
-    return max(stuck_seconds, 2.0 * max(gaps) if gaps else 0.0)
+    return max(stuck_seconds, 2.0 * statistics.median(gaps) if gaps else 0.0)
 
 
 def build_status(spark: SparkSession, started_at: float,
@@ -98,9 +103,12 @@ def build_status(spark: SparkSession, started_at: float,
             first_seen.pop(str(q.id), None)
         num = int(p.get("numInputRows", 0) or 0)
         kafka_writes[name] = kafka_writes.get(name, 0) + num
+        # ONE recentProgress fetch per query per beat — each access is a
+        # py4j round-trip materializing up to ~100 progress JSON blobs,
+        # and both the latency and the cadence loops read it
+        recent = [_as_dict(rp) or {} for rp in q.recentProgress]
         durs = []
-        for rp in q.recentProgress:
-            rpd = _as_dict(rp) or {}
+        for rpd in recent:
             d = (rpd.get("durationMs") or {}).get("triggerExecution")
             if d is not None:
                 durs.append(float(d))
@@ -124,8 +132,8 @@ def build_status(spark: SparkSession, started_at: float,
                 # trigger; a stale LAST progress means the trigger loop
                 # itself stopped turning (frozen sink, wedged source).
                 prog_ts = []
-                for rp in q.recentProgress:
-                    rts = (_as_dict(rp) or {}).get("timestamp")
+                for rpd in recent:
+                    rts = rpd.get("timestamp")
                     if rts:
                         try:
                             prog_ts.append(_utc(rts))

@@ -129,26 +129,34 @@ def _maybe_persist(base: DataFrame, persist: bool) -> DataFrame:
     return base.persist(StorageLevel.MEMORY_AND_DISK)
 
 
-def _pair_budget_threshold(groups: DataFrame, max_shingle_df: int,
-                           pair_budget: int) -> DataFrame:
-    """One-row (_thr) frame: the largest df cap t <= max_shingle_df such
-    that candidate generation from all lists with 2 <= df <= t stays
-    within `pair_budget` total pairs (sum of df*(df-1)/2).  Computed
-    from the df histogram — <= max_shingle_df rows, so the global-order
-    cumsum window runs on a frame that fits one task by construction
-    (same shape as streaming mg_merge's rank).  The caller collects the
-    one-row result eagerly: one aggregation job at build time, so the
-    main plan keeps the uncapped shape instead of replicating this
-    subtree under every consumer."""
+def _pairs_col():
+    """Candidate pairs a df-class contributes: n_lists * C(df, 2)."""
+    return F.col("n_lists") * F.col("df") * (F.col("df") - 1) / 2
+
+
+def _df_hist(dfs: DataFrame, max_shingle_df: int) -> DataFrame:
+    """(df, n_lists) histogram from any frame with a `df` column,
+    restricted to the candidate-generating classes 2 <= df <= cap."""
+    return (dfs.where((F.col("df") >= 2) & (F.col("df") <= max_shingle_df))
+            .groupBy("df").agg(F.count("*").alias("n_lists")))
+
+
+def _pair_budget_threshold(hist: DataFrame, pair_budget: int) -> DataFrame:
+    """One-row (_thr) frame from a :func:`_df_hist` histogram: the
+    largest df cap t such that candidate generation from all lists with
+    2 <= df <= t stays within `pair_budget` total pairs.  The histogram
+    is <= max_shingle_df rows, so the global-order cumsum window runs on
+    a frame that fits one task by construction (same shape as streaming
+    mg_merge's rank).  Callers collect the one-row result eagerly: one
+    aggregation job at build time, so the main plan keeps the uncapped
+    shape instead of replicating this subtree under every consumer.
+    This function is the ONE copy of the budget rule — the capped
+    operators and :func:`shingle_pair_budget_report` both route through
+    it, so they cannot drift apart."""
     from pyspark.sql.window import Window
 
-    hist = (groups.select(F.size("ids").alias("df"))
-            .where((F.col("df") >= 2) & (F.col("df") <= max_shingle_df))
-            .groupBy("df").agg(F.count("*").alias("n_lists")))
     w = Window.orderBy("df").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn(
-        "cum_pairs",
-        F.sum(F.col("n_lists") * F.col("df") * (F.col("df") - 1) / 2).over(w))
+    cum = hist.withColumn("cum_pairs", F.sum(_pairs_col()).over(w))
     return (cum.where(F.col("cum_pairs") <= pair_budget)
             .agg(F.coalesce(F.max("df"), F.lit(1)).alias("_thr")))
 
@@ -216,8 +224,9 @@ def shingle_cooccurrence(docs: DataFrame, text_col: str = "text", id_col: str = 
         # consumer (measured: 6 -> 12 corpus scans), while the collect
         # costs exactly one extra aggregation pass and leaves the main
         # plan shape identical to the uncapped one
-        thr = _pair_budget_threshold(groups, max_shingle_df,
-                                     pair_budget).collect()[0]["_thr"]
+        hist = _df_hist(groups.select(F.size("ids").alias("df")),
+                        max_shingle_df)
+        thr = _pair_budget_threshold(hist, pair_budget).collect()[0]["_thr"]
         cap_col = F.lit(int(thr))
     else:
         cap_col = F.lit(max_shingle_df)
@@ -322,16 +331,10 @@ def shingle_pair_budget_report(docs: DataFrame, text_col: str = "text",
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.transform(raw_shingles_col(text_col, k),
                                                lambda s: md5_int(s)))).alias("s")))
-    hist = (sh.groupBy("s").agg(F.count("*").alias("df"))
-            .where((F.col("df") >= 2) & (F.col("df") <= max_shingle_df))
-            .groupBy("df").agg(F.count("*").alias("n_lists")))
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy("df").rowsBetween(Window.unboundedPreceding, 0)
-    pairs = F.col("n_lists") * F.col("df") * (F.col("df") - 1) / 2
-    cum = hist.withColumn("cum_pairs", F.sum(pairs).over(w))
-    thr = (cum.where(F.col("cum_pairs") <= pair_budget)
-           .agg(F.coalesce(F.max("df"), F.lit(1)).alias("_thr")))
+    hist = _df_hist(sh.groupBy("s").agg(F.count("*").alias("df")),
+                    max_shingle_df)
+    thr = _pair_budget_threshold(hist, pair_budget)
+    pairs = _pairs_col()
     kept = F.col("df") <= F.col("_thr")
     return (hist.crossJoin(F.broadcast(thr)).agg(
         F.coalesce(F.max("_thr"), F.lit(1)).cast("int").alias("df_threshold"),

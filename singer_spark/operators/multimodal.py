@@ -212,13 +212,24 @@ def _av_audio_samples(av, payload: bytes) -> tuple[int, np.ndarray]:
     chunks = []
     rate = None
     with av.open(io.BytesIO(payload)) as container:
+        if not container.streams.audio:
+            # e.g. a video-only MP4 mis-tagged as audio: surface the
+            # marked dispatch error, not a bare IndexError from deep
+            # inside an executor
+            _unsupported(payload, "audio_stats (no audio stream)")
         stream = container.streams.audio[0]
         rate = int(stream.rate)
         for frame in container.decode(audio=0):
             arr = frame.to_ndarray()  # (channels, n) — dtype per codec
             if np.issubdtype(arr.dtype, np.integer):
-                arr = arr.astype(np.float64) / float(
-                    np.iinfo(arr.dtype).max + 1)
+                info = np.iinfo(arr.dtype)
+                half = float(info.max + 1) / 2 if info.min == 0 \
+                    else float(info.max + 1)
+                # unsigned formats (u8/u8p) center on (max+1)/2: silence
+                # is 128, not 0 — subtract before scaling so rms/peak
+                # measure signal, not DC offset
+                offset = half if info.min == 0 else 0.0
+                arr = (arr.astype(np.float64) - offset) / half
             # interleave channels like decode_wav's flattened layout
             chunks.append(arr.astype(np.float64).T.reshape(-1))
     samples = np.concatenate(chunks) if chunks else np.zeros(0)

@@ -134,6 +134,10 @@ def test_stuck_threshold_adapts_to_trigger_cadence():
     assert stuck_threshold(300.0, slow) == 1200.0
     fast = [t0, t0 + 5, t0 + 10]              # 5-second trigger
     assert stuck_threshold(300.0, fast) == 300.0  # floor still applies
+    # robust cadence: ONE historical 2h stall in recentProgress must not
+    # inflate the threshold and mask the next real wedge (median, not max)
+    stalled = [t0, t0 + 10, t0 + 20, t0 + 7220, t0 + 7230, t0 + 7240]
+    assert stuck_threshold(300.0, stalled) == 300.0
     # <2 progress events: no cadence evidence, flat floor
     assert stuck_threshold(300.0, [t0]) == 300.0
     assert stuck_threshold(300.0, []) == 300.0

@@ -27,24 +27,37 @@ import sys
 
 
 def load(path: str) -> dict[str, float]:
+    """Per-query medians from any artifact shape this repo produces:
+    a bare compact line (either separator style), a raw JSON doc with
+    `queries`, a driver artifact with a pre-parsed `parsed` field, or a
+    driver artifact whose `tail` still holds the compact line."""
     raw = open(path).read()
-    m = re.search(r'\{"metric".*?\}(?=\s*$|\s*\n)', raw, re.S)
-    if m:
-        try:
-            return json.loads(m.group(0))["queries"]
-        except Exception:
-            pass
     try:
         doc = json.loads(raw)
     except json.JSONDecodeError:
+        doc = None
+    if isinstance(doc, dict):
+        if isinstance(doc.get("queries"), dict):
+            return doc["queries"]
+        parsed = doc.get("parsed")
+        if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+            return parsed["queries"]
+        raw = doc.get("tail", "") or ""
+    # compact line embedded in text: bench.py emits separators=(",",":"),
+    # older artifacts used ", " — accept both
+    m = re.search(r'\{"metric".*\}', raw)
+    if m:
+        try:
+            return json.loads(m.group(0))["queries"]
+        except (json.JSONDecodeError, KeyError):
+            pass
+    # tail truncated mid-line (the r04 shape): salvage query medians by
+    # pair extraction — query values are floats, scalar fields by name
+    pairs = re.findall(r'"([A-Za-z_]\w*)":\s*([0-9]+\.[0-9]+)', raw)
+    out = {k: float(v) for k, v in pairs if k not in ("value", "sf")}
+    if not out:
         raise SystemExit(f"no bench line found in {path}")
-    if "queries" in doc:
-        return doc["queries"]
-    tail = doc.get("tail", "")
-    m = re.search(r'\{"metric": .*\}', tail)
-    if not m:
-        raise SystemExit(f"no bench line found in {path}")
-    return json.loads(m.group(0))["queries"]
+    return out
 
 
 def main() -> int:

@@ -10,7 +10,9 @@ from __future__ import annotations
 import os
 import sys
 
-# source-checkout fallback: a pip-installed singer_spark wins on the path
+# source-checkout mode: insert(0) makes THIS checkout's singer_spark
+# shadow any pip-installed copy — running tools/curate.py means you want
+# the code sitting next to it
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from singer_spark.curate_cli import main  # noqa: E402
