@@ -96,6 +96,30 @@ def test_cli_with_admin_metrics_and_decider(tmp_path, spark, capfd):
     assert "started 0 stream(s)" in err2
 
 
+def test_bench_artifact_parsers_accept_all_recorded_shapes():
+    """Every recorded round artifact (including the head-truncated r04
+    tail) must parse in BOTH the drift gate and bench's own prior-round
+    loader — a shape the parsers reject silently disables drift
+    policing, which is how round 5's noise went unexplained."""
+    import glob
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo))
+    sys.path.insert(0, str(repo / "tools"))
+    import bench
+    import bench_diff
+
+    artifacts = sorted(glob.glob(str(repo / "BENCH_r*.json")))
+    assert artifacts, "no recorded rounds to check"
+    for p in artifacts:
+        assert len(bench_diff.load(p)) > 10, f"bench_diff rejects {p}"
+        queries, sf = bench._prior_queries(p)
+        assert len(queries) > 10, f"bench._prior_queries rejects {p}"
+        assert sf is not None, f"no sf recovered from {p}"
+
+
 def test_console_script_entry_points_resolve():
     """pyproject.toml's [project.scripts] must point at importable
     callables — a typo there only surfaces at install time otherwise."""
