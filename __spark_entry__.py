@@ -820,6 +820,33 @@ def _pair_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       pair_budget=20_000)
 
 
+def _cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between sources (4-gram digest Jaccard)
+    — the multi-snapshot dataset-hygiene matrix: shared boilerplate and
+    partial copies register even with no byte-identical documents
+    (operators/dedup.py:cross_source_overlap)."""
+    from singer_spark.operators.dedup import cross_source_overlap
+
+    return cross_source_overlap(_docs(spark, sf_dir), unit="kgram", k=4)
+
+
+def _debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst suppression: drop events within 300s of the previous event
+    with the same (user_id, event_type) — lag semantics, chained bursts
+    collapse to their first event (queries.py:debounce_events)."""
+    from singer_spark.queries import debounce_events
+
+    return debounce_events(_events(spark, sf_dir), interval_seconds=300)
+
+
+def _label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label centroid vectors — class
+    separation / drift diagnostic (similarity.py:label_centroid_sim)."""
+    from singer_spark.operators.similarity import label_centroid_sim
+
+    return label_centroid_sim(_emb(spark, sf_dir))
+
+
 def _dedup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment screen: overlap coefficient |A∩B|/min(|A|,|B|) over
     4-shingle sets — catches a short doc quoted inside a long one, which
@@ -1727,6 +1754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_jaccard_budget": _dedup_jaccard_budget,
         "pair_budget_report": _pair_budget_report,
+        "cross_source_overlap": _cross_source_overlap,
+        "debounce_events": _debounce_events,
+        "label_centroid_sim": _label_centroid_sim,
         "dedup_overlap": _dedup_overlap,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
@@ -2796,6 +2826,48 @@ def oracle_sql() -> dict[str, str]:
                        FROM blockedb a JOIN blockedb b
                        ON a.s = b.s AND a.doc_id < b.doc_id),
             {_jaccard_verify_sql('ncandb', 0.5)}""",
+        "cross_source_overlap": f"""
+            WITH {_SH_CTE},
+            d AS (SELECT DISTINCT doc.source, sh.s AS dg
+                  FROM sh JOIN documents doc USING (doc_id)),
+            tot AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+            p AS (SELECT a.source AS source_a, b.source AS source_b,
+                         count(*) AS shared
+                  FROM d a JOIN d b ON a.dg = b.dg AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT source_a, source_b, shared, ta.n AS n_a, tb.n AS n_b,
+                   floor(shared / (ta.n + tb.n - shared) * 1000000 + 0.5)
+                     / 1000000 AS jaccard
+            FROM p JOIN tot ta ON ta.source = source_a
+                   JOIN tot tb ON tb.source = source_b
+            ORDER BY source_a, source_b""",
+        "debounce_events": """
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+            FROM (SELECT event_id, user_id, event_type, ts,
+                         lag(ts) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) AS pts
+                  FROM events) t
+            WHERE pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 300000000
+            ORDER BY event_id""",
+        "label_centroid_sim": """
+            WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+            ex AS (SELECT label, i, v[i] AS x
+                   FROM e, (SELECT unnest(generate_series(1, 64)) AS i) s),
+            cent AS (SELECT label, i,
+                            floor(avg(x) * 1000000 + 0.5) / 1000000 AS c
+                     FROM ex GROUP BY 1, 2),
+            dots AS (SELECT a.label AS label_a, b.label AS label_b,
+                            sum(a.c * b.c) AS dot
+                     FROM cent a JOIN cent b
+                     ON a.i = b.i AND a.label < b.label GROUP BY 1, 2),
+            norms AS (SELECT label, sqrt(sum(c * c)) AS n FROM cent GROUP BY 1)
+            SELECT label_a, label_b,
+                   floor((CASE WHEN na.n * nb.n > 0
+                               THEN dot / (na.n * nb.n) ELSE 0 END)
+                         * 1000000 + 0.5) / 1000000 AS cos
+            FROM dots JOIN norms na ON na.label = label_a
+                      JOIN norms nb ON nb.label = label_b
+            ORDER BY label_a, label_b""",
         "pair_budget_report": f"""
             WITH {_SH_CTE},
             {_PAIR_BUDGET_THR}

@@ -313,6 +313,66 @@ def overlap_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             .select("id_a", "id_b", "overlap", "jaccard"))
 
 
+def cross_source_overlap(docs: DataFrame, text_col: str = "text",
+                         source_col: str = "source",
+                         unit: str = "kgram", k: int = 4) -> DataFrame:
+    """Pairwise content overlap between sources — the dataset-hygiene
+    matrix for multi-snapshot corpora ("how much of crawl-B is already
+    in curated-A?"): per source pair, the number of distinct content
+    digests present in both, each side's distinct-digest count, and the
+    digest Jaccard.
+
+    `unit="doc"` digests whole documents (exact cross-source
+    duplication); `unit="kgram"` (default) digests k-token shingles, so
+    shared boilerplate, quotations, and partial copies register even
+    when no document is byte-identical — the usual situation between
+    snapshots.
+
+    Plan shape at 100 TB: text reduces to digests in the scan (never
+    shuffles), one distinct over (source, digest), then digests group to
+    their source SETS — bounded by the source count, a few dozen in
+    practice — and pairs emit map-side from each set exactly like the
+    posting-list pair generation above.  Per-source totals are a
+    source-count-sized frame, broadcast.
+
+    Output: (source_a, source_b, shared, n_a, n_b, jaccard) for pairs
+    with shared >= 1, source_a < source_b, ordered."""
+    if unit == "doc":
+        dg = F.md5(F.col(text_col).cast("binary")).alias("dg")
+        d = docs.select(F.col(source_col).alias("src"), dg).distinct()
+    elif unit == "kgram":
+        d = (fan_out(docs).select(
+            F.col(source_col).alias("src"),
+            F.explode(F.array_distinct(
+                F.transform(raw_shingles_col(text_col, k),
+                            lambda s: md5_int(s)))).alias("dg"))
+            .distinct())
+    else:
+        raise ValueError("unit must be 'doc' or 'kgram'")
+    totals = d.groupBy("src").agg(F.count("*").alias("n"))
+    srcsets = d.groupBy("dg").agg(F.array_sort(F.collect_set("src")).alias("srcs"))
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size("srcs") - 1),
+        lambda i: F.transform(
+            F.slice(F.col("srcs"), i + 1, F.size("srcs") - i),
+            lambda y: F.struct(F.element_at(F.col("srcs"), i).alias("source_a"),
+                               y.alias("source_b")),
+        ),
+    ))
+    shared = (srcsets.where(F.size("srcs") >= 2)
+              .select(F.explode(pair_structs).alias("p"))
+              .groupBy("p.source_a", "p.source_b")
+              .agg(F.count("*").alias("shared")))
+    ta = totals.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (shared.join(F.broadcast(ta), "source_a")
+            .join(F.broadcast(tb), "source_b")
+            .select("source_a", "source_b", "shared", "n_a", "n_b",
+                    qround(jac, 6).alias("jaccard"))
+            .orderBy("source_a", "source_b"))
+
+
 def shingle_pair_budget_report(docs: DataFrame, text_col: str = "text",
                                id_col: str = "doc_id", k: int = 4,
                                max_shingle_df: int = 256,

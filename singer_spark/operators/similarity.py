@@ -584,3 +584,45 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95, dim: in
         .select("id_a", "id_b", qround(cosine(F.col("va"), F.col("vb")), round_to).alias("cosine"))
     )
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+def label_centroid_sim(emb: DataFrame, vec_col: str = "embedding",
+                       label_col: str = "label",
+                       round_to: int = 6) -> DataFrame:
+    """Pairwise cosine similarity between per-label mean vectors — the
+    class-separation / embedding-drift diagnostic: labels whose centroids
+    sit near cosine 1 are indistinguishable to a linear probe, and a
+    centroid that moves between snapshots flags distribution drift in
+    that class.
+
+    Plan shape at 100 TB: vectors posexplode to (label, dim, component)
+    once — the only pass that touches vector data — and reduce with
+    map-side partial averages to a labels x dim frame; everything after
+    (centroid pairs, dot products, norms) is centroid-sized.  Centroid
+    components quantize through qround before the cosine (the
+    sim_ivf_trained discipline) so an external SQL oracle reproduces the
+    arithmetic exactly.
+
+    Output: (label_a, label_b, cos) for label_a < label_b, ordered."""
+    cent = (emb.select(F.col(label_col).alias("label"),
+                       F.posexplode(as_double(vec_col)).alias("pos", "x"))
+            .groupBy("label", "pos")
+            .agg(qround(F.avg("x"), round_to).alias("c")))
+    a = cent.select(F.col("label").alias("label_a"), "pos",
+                    F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "pos",
+                    F.col("c").alias("cb"))
+    dots = (a.join(b, "pos")
+            .where(F.col("label_a") < F.col("label_b"))
+            .groupBy("label_a", "label_b")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot")))
+    norms = (cent.groupBy("label")
+             .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("n")))
+    na = norms.select(F.col("label").alias("label_a"), F.col("n").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n").alias("nb"))
+    cos = F.when(F.col("na") * F.col("nb") > 0,
+                 F.col("dot") / (F.col("na") * F.col("nb"))).otherwise(F.lit(0.0))
+    return (dots.join(F.broadcast(na), "label_a")
+            .join(F.broadcast(nb), "label_b")
+            .select("label_a", "label_b", qround(cos, round_to).alias("cos"))
+            .orderBy("label_a", "label_b"))

@@ -241,6 +241,36 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_finalize(merge_rollups(state, delta))
 
 
+def debounce_events(events: DataFrame, interval_seconds: int = 300,
+                    keys: tuple[str, ...] = ("user_id", "event_type"),
+                    ts_col: str = "ts",
+                    order_col: str = "event_id") -> DataFrame:
+    """Burst suppression for telemetry streams: drop an event arriving
+    within `interval_seconds` of the PREVIOUS event with the same keys —
+    the standard debounce for double-fires, retry storms, and rage
+    clicks.  Chained bursts collapse to their first event (each drop
+    extends the window from its predecessor, lag semantics — simple,
+    deterministic, and exactly replayable in SQL).
+
+    Plan shape at 100 TB: one exchange keyed on `keys` (the same
+    partitioning every per-user operator here reuses), a per-key sort,
+    one lag — no state beyond the window buffer, which spills.
+
+    Output: the surviving events' (order_col, keys..., ts_us) with the
+    timestamp as epoch microseconds (cross-engine-stable), ordered by
+    order_col."""
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(),
+                                          F.col(order_col).asc())
+    prev = F.lag(ts_col).over(w)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    return (events.withColumn("_gap", gap_us)
+            .where(F.col("_gap").isNull()
+                   | (F.col("_gap") > interval_seconds * 1_000_000))
+            .select(order_col, *keys,
+                    F.unix_micros(F.col(ts_col)).alias("ts_us"))
+            .orderBy(order_col))
+
+
 def user_event_sequences(spark: SparkSession, sf_dir: str, max_len: int = 50,
                          max_events_per_key: int | None = None) -> DataFrame:
     """Per-user chronological event sequences — the training-example builder

@@ -217,3 +217,29 @@ def test_funnel_windowed_tightens_with_window(spark, sf_dir):
     for k in (1, 2, 3):
         assert tight[k] <= wide[k]
     assert tight[3] < wide[3], "1h window should lose conversions vs a year"
+
+
+def test_debounce_events_collapses_chained_bursts(spark):
+    from singer_spark.queries import debounce_events
+
+    rows = [
+        # burst: each event within 300s of its predecessor -> only the
+        # first survives even though the chain spans > 300s total
+        (1, "2024-01-01 00:00:00", 7, "click"),
+        (2, "2024-01-01 00:04:00", 7, "click"),
+        (3, "2024-01-01 00:08:00", 7, "click"),
+        # gap > 300s from event 3 -> new burst
+        (4, "2024-01-01 00:20:00", 7, "click"),
+        # different event_type: independent stream, kept
+        (5, "2024-01-01 00:00:10", 7, "view"),
+        # different user: independent, kept
+        (6, "2024-01-01 00:00:20", 8, "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, t) for i, ts, u, t in rows],
+        "event_id bigint, ts_s string, user_id bigint, event_type string"
+    ).selectExpr("event_id", "cast(ts_s as timestamp) AS ts",
+                 "user_id", "event_type")
+    kept = [r.event_id for r in
+            debounce_events(ev, interval_seconds=300).collect()]
+    assert kept == [1, 4, 5, 6]

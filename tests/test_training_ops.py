@@ -624,3 +624,48 @@ def test_decontaminate_spans_invariants(spark, sf_dir):
     # never negative, never exceeding the doc
     assert out.where((F.col("n_removed") < 0)
                      | (F.col("n_removed") > F.col("n_tokens"))).count() == 0
+
+
+def test_cross_source_overlap_doc_and_kgram(spark):
+    from singer_spark.operators.dedup import cross_source_overlap
+
+    boiler = "terms of service apply to all users here"
+    rows = [(1, f"{boiler} alpha beta", "A"),
+            (2, f"{boiler} gamma delta", "B"),
+            (3, "completely different text with no shared grams", "C"),
+            (4, f"{boiler} alpha beta", "B")]  # exact dup of doc 1 in B
+    docs = _docs_df(spark, rows)
+
+    # doc mode: only the byte-identical pair registers
+    doc_rows = {(r.source_a, r.source_b): r.shared for r in
+                cross_source_overlap(docs, unit="doc").collect()}
+    assert doc_rows == {("A", "B"): 1}
+
+    # kgram mode: the shared boilerplate registers between A and B (and
+    # B's exact copy of doc 1 adds A's unique tail grams too); C shares
+    # nothing with anyone
+    kg = {(r.source_a, r.source_b): r for r in
+          cross_source_overlap(docs, unit="kgram", k=4).collect()}
+    assert ("A", "B") in kg and kg[("A", "B")].shared > 0
+    assert kg[("A", "B")].jaccard > 0
+    assert not any("C" in pair for pair in kg)
+    # A's doc has 10 tokens -> 7 distinct 4-grams, all present in B via
+    # the exact copy: containment is total, so shared == n_a
+    assert kg[("A", "B")].shared == kg[("A", "B")].n_a == 7
+
+
+def test_label_centroid_sim_geometry(spark):
+    from singer_spark.operators.similarity import label_centroid_sim
+
+    # label 0: vectors around e1; label 1: around e2 (orthogonal);
+    # label 2: same direction as label 0 (cos 1 with it)
+    rows = [(1, [2.0, 0.0], 0), (2, [4.0, 0.0], 0),
+            (3, [0.0, 1.0], 1), (4, [0.0, 3.0], 1),
+            (5, [5.0, 0.0], 2)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int")
+    got = {(r.label_a, r.label_b): r.cos
+           for r in label_centroid_sim(emb).collect()}
+    assert got[(0, 1)] == 0.0
+    assert got[(0, 2)] == 1.0
+    assert got[(1, 2)] == 0.0
