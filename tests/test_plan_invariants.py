@@ -229,3 +229,46 @@ def test_lsh_ann_exchanges_carry_no_vectors(spark, sf_dir):
             if lines[j].strip().startswith("Input"):
                 assert "embedding" not in lines[j], lines[j]
                 break
+
+
+def test_cross_source_overlap_prunes_to_source_and_text(spark, sf_dir):
+    """The overlap matrix reads only (source, text) — digests are
+    computed in the scan projection, so no other column and never the
+    raw text crosses an exchange."""
+    from singer_spark.operators.dedup import cross_source_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(cross_source_overlap(docs, unit="kgram"))
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads
+    for read in reads:
+        assert "doc_id" not in read and "n_chars" not in read
+        assert "lang" not in read
+
+
+def test_debounce_single_exchange_on_keys(spark, sf_dir):
+    """Debounce is one exchange keyed on (user_id, event_type) + a
+    window — no join, no second scan."""
+    import re
+
+    from singer_spark.queries import debounce_events
+    from singer_spark.session import read_events
+
+    plan = _plan(debounce_events(read_events(spark, sf_dir)))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_label_centroid_sim_joins_centroid_sized_frames(spark, sf_dir):
+    """Vectors cross one exchange (the posexplode partial-avg); the
+    pairwise stage joins centroid-sized frames with the norm lookups
+    broadcast."""
+    from singer_spark.operators.similarity import label_centroid_sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(label_centroid_sim(emb))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    for read in reads:
+        assert "vec_id" not in read  # only label + embedding are read
