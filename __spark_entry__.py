@@ -820,6 +820,24 @@ def _pair_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       pair_budget=20_000)
 
 
+def _corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version change feed (operators/cdc.py:corpus_snapshot_diff)
+    over two deterministic snapshot views of the documents table: 'old'
+    drops doc_id % 7 == 0, 'new' drops doc_id % 5 == 0 and rewrites the
+    text of doc_id % 11 == 0 — yielding added, removed, AND changed rows
+    without touching the fixture."""
+    from singer_spark.operators.cdc import corpus_snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = (docs.where(F.col("doc_id") % 5 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 11 == 0,
+                              F.concat(F.col("text"), F.lit(" v2")))
+                       .otherwise(F.col("text"))))
+    return corpus_snapshot_diff(old, new)
+
+
 def _cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise content overlap between sources (4-gram digest Jaccard)
     — the multi-snapshot dataset-hygiene matrix: shared boilerplate and
@@ -1755,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_budget": _dedup_jaccard_budget,
         "pair_budget_report": _pair_budget_report,
         "cross_source_overlap": _cross_source_overlap,
+        "corpus_snapshot_diff": _corpus_snapshot_diff,
         "debounce_events": _debounce_events,
         "label_centroid_sim": _label_centroid_sim,
         "dedup_overlap": _dedup_overlap,
@@ -2826,6 +2845,20 @@ def oracle_sql() -> dict[str, str]:
                        FROM blockedb a JOIN blockedb b
                        ON a.s = b.s AND a.doc_id < b.doc_id),
             {_jaccard_verify_sql('ncandb', 0.5)}""",
+        "corpus_snapshot_diff": """
+            WITH old_s AS (SELECT doc_id, md5(text) AS dg FROM documents
+                           WHERE doc_id % 7 <> 0),
+            new_s AS (SELECT doc_id,
+                             md5(CASE WHEN doc_id % 11 = 0
+                                      THEN text || ' v2' ELSE text END) AS dg
+                      FROM documents WHERE doc_id % 5 <> 0)
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.dg IS NULL THEN 'added'
+                        WHEN n.dg IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change_type
+            FROM old_s o FULL OUTER JOIN new_s n ON o.doc_id = n.doc_id
+            WHERE o.dg IS NULL OR n.dg IS NULL OR o.dg <> n.dg
+            ORDER BY doc_id""",
         "cross_source_overlap": f"""
             WITH {_SH_CTE},
             d AS (SELECT DISTINCT doc.source, sh.s AS dg

@@ -290,3 +290,35 @@ def scd2_snapshot_diff(old_dim: DataFrame, new_dim: DataFrame) -> DataFrame:
                    | (F.col("old_attr") != F.col("new_attr")))
             .select("key", "old_attr", "new_attr", change.alias("change_type"))
             .orderBy("key"))
+
+
+def corpus_snapshot_diff(old_docs: DataFrame, new_docs: DataFrame,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Change feed between two CORPUS snapshots — the dataset-versioning
+    primitive ("what moved between crawl N and crawl N+1?"): per doc id,
+    whether it was added, removed, or changed (same id, different
+    content digest); unchanged docs are omitted.
+
+    Text never joins: each side reduces to (id, 16-byte digest) in its
+    scan, so the full-outer join shuffles two digest frames — the same
+    shape as exact dedup, and the reason this works at 100 TB where a
+    text-comparing diff would move the whole corpus twice.
+
+    Output: (doc_id, change_type ∈ {added, removed, changed}), ordered
+    by doc_id."""
+    old_d = old_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("old_dg"))
+    new_d = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col).cast("binary")).alias("new_dg"))
+    joined = old_d.join(new_d, "doc_id", "full_outer")
+    change = (F.when(F.col("old_dg").isNull(), F.lit("added"))
+              .when(F.col("new_dg").isNull(), F.lit("removed"))
+              .otherwise(F.lit("changed")))
+    return (joined
+            .where(F.col("old_dg").isNull() | F.col("new_dg").isNull()
+                   | (F.col("old_dg") != F.col("new_dg")))
+            .select("doc_id", change.alias("change_type"))
+            .orderBy("doc_id"))

@@ -267,3 +267,19 @@ def test_apply_cdc_batch_stale_run_backup_not_restored(spark, tmp_path):
     apply_cdc_batch(batch([(1, 2.0, 1)]), dim,
                     "user_id", "v", "ts", 4, 0, run_id="runB")
     assert sorted(map(tuple, scd2_read(spark, dim).collect())) == rows
+
+
+def test_corpus_snapshot_diff_classifies_all_transitions(spark):
+    from singer_spark.operators.cdc import corpus_snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")],
+        "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(2, "beta"),            # unchanged -> omitted
+         (3, "gamma EDITED"),    # changed
+         (4, "delta")],          # added
+        "doc_id bigint, text string")
+    got = {r.doc_id: r.change_type
+           for r in corpus_snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
