@@ -345,3 +345,55 @@ def streaming_heavy_hitters(items_stream: DataFrame, state_path: str,
 
     return (items_stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint))
+
+
+def streaming_debounce(events: DataFrame, interval_seconds: int = 300,
+                       ts_col: str = "ts",
+                       order_col: str = "event_id") -> DataFrame:
+    """Always-on burst suppression — the streaming twin of
+    `queries.debounce_events` (same lag semantics: an event within
+    `interval_seconds` of the PREVIOUS same-key event is dropped, kept
+    or not, so chained bursts collapse to their first event).
+
+    State per (user_id, event_type) key is ONE bigint — the last seen
+    event's epoch-microseconds — carried across micro-batches by
+    applyInPandasWithState; within a batch rows process in (ts, id)
+    order.  Exact equivalence with the batch operator holds when each
+    key's events arrive in timestamp order across batches (the tail
+    source's per-file delivery order); out-of-order arrivals debounce
+    against the latest SEEN timestamp — processing-order semantics, the
+    streaming-native reading of the same guard.
+
+    Output per batch: the surviving (order_col, user_id, event_type,
+    ts_us) rows, append mode."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = int(interval_seconds) * 1_000_000
+    out_schema = f"{order_col} bigint, user_id bigint, " \
+                 "event_type string, ts_us bigint"
+    state_schema = "last_us bigint"
+
+    def update(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_us", order_col])
+        keep = []
+        for ts_us, eid in zip(rows["ts_us"], rows[order_col]):
+            ts_us = int(ts_us)
+            if last is None or ts_us - last > gap:
+                keep.append((int(eid), ts_us))
+            last = ts_us
+        state.update((last,))
+        yield pd.DataFrame(
+            {order_col: [k[0] for k in keep],
+             "user_id": [key[0]] * len(keep),
+             "event_type": [key[1]] * len(keep),
+             "ts_us": [k[1] for k in keep]})
+
+    prepped = events.select(
+        order_col, "user_id", "event_type",
+        F.unix_micros(F.col(ts_col)).alias("ts_us"))
+    return (prepped.groupBy("user_id", "event_type")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -410,3 +410,59 @@ def test_streaming_heavy_hitters_stale_marker_new_run(spark, tmp_path):
     got = {r.item: r.cnt for r in spark.read.parquet(state).collect()}
     assert "gamma" in got and got["gamma"] >= 25 - (65 / 8)
     assert "alpha" in got  # prior state survived the new run
+
+
+def test_streaming_debounce_matches_batch_across_batches(spark, tmp_path):
+    """Events delivered in ts order over 3 micro-batches through
+    streaming_debounce must equal the batch debounce_events over the
+    union — the last-seen-ts state survives the batch boundaries (a
+    burst straddling two micro-batches still collapses)."""
+    import os
+
+    from singer_spark.queries import debounce_events
+    from singer_spark.streaming.stateful import streaming_debounce
+
+    # per-key ts-ordered chunks; bursts straddle the chunk boundaries
+    def ev(i, minute, user, typ):
+        return (i, f"2024-01-01 00:{minute:02d}:00", user, typ)
+
+    chunks = [
+        [ev(1, 0, 7, "click"), ev(2, 4, 7, "click")],       # burst start
+        [ev(3, 8, 7, "click"),                              # continues burst
+         ev(4, 20, 7, "click"),                             # new burst
+         ev(5, 0, 8, "click")],
+        [ev(6, 24, 7, "click"),                             # within 300s of 4
+         ev(7, 40, 7, "click"),                             # new burst
+         ev(8, 1, 8, "view")],                              # other key
+    ]
+    schema = "event_id bigint, ts_s string, user_id bigint, event_type string"
+
+    src = str(tmp_path / "db_src")
+    os.makedirs(src, exist_ok=True)
+    stream = (spark.readStream.schema(schema).parquet(src)
+              .selectExpr("event_id", "cast(ts_s as timestamp) AS ts",
+                          "user_id", "event_type"))
+    out = str(tmp_path / "db_out")
+    q = (streaming_debounce(stream, interval_seconds=300)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "db_ckpt"))
+         .trigger(availableNow=True))
+    rows_all = []
+    for b, rows in enumerate(chunks):
+        rows_all += rows
+        stage = str(tmp_path / f"db_stage{b}")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+             .write.mode("overwrite").parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(src, f"c{b}.parquet"))
+        query = q.start()
+        query.awaitTermination()  # fresh query per chunk = restart churn
+    got = {r.event_id for r in spark.read.parquet(out).collect()}
+
+    batch_ev = (spark.createDataFrame(rows_all, schema)
+                .selectExpr("event_id", "cast(ts_s as timestamp) AS ts",
+                            "user_id", "event_type"))
+    want = {r.event_id for r in
+            debounce_events(batch_ev, interval_seconds=300).collect()}
+    assert got == want
+    assert got == {1, 4, 5, 7, 8}  # burst 1-2-3 collapses across batches
