@@ -243,3 +243,43 @@ def test_debounce_events_collapses_chained_bursts(spark):
     kept = [r.event_id for r in
             debounce_events(ev, interval_seconds=300).collect()]
     assert kept == [1, 4, 5, 6]
+
+
+# ---------------------------------------------------------------------------
+# Property test: debounce == a pure-Python lag walk on adversarial dense
+# streams (equal timestamps within a key resolve by event_id — pin that).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ev = st.tuples(st.integers(0, 2),        # user
+                st.sampled_from(["a", "b"]),  # type
+                st.integers(0, 20))       # ts seconds (dense => ties)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_ev, min_size=1, max_size=30), st.integers(1, 8))
+def test_debounce_property(spark_sess, evs, interval):
+    from singer_spark.queries import debounce_events
+
+    spark = spark_sess
+    rows = [(i, u, t, s) for i, (u, t, s) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, sec bigint"
+    ).selectExpr("event_id", "user_id", "event_type",
+                 "timestamp_seconds(sec) AS ts").repartition(4)
+    got = sorted(r.event_id for r in
+                 debounce_events(df, interval_seconds=interval).collect())
+
+    # reference: per key, walk (sec, event_id) ascending with lag semantics
+    bykey = {}
+    for i, u, t, s in rows:
+        bykey.setdefault((u, t), []).append((s, i))
+    want = []
+    for evs_k in bykey.values():
+        last = None
+        for s, i in sorted(evs_k):
+            if last is None or s - last > interval:
+                want.append(i)
+            last = s
+    assert got == sorted(want)
