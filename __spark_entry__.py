@@ -2846,18 +2846,23 @@ def oracle_sql() -> dict[str, str]:
                        ON a.s = b.s AND a.doc_id < b.doc_id),
             {_jaccard_verify_sql('ncandb', 0.5)}""",
         "corpus_snapshot_diff": """
-            WITH old_s AS (SELECT doc_id, md5(text) AS dg FROM documents
-                           WHERE doc_id % 7 <> 0),
+            WITH old_s AS (SELECT doc_id, max(md5(text)) AS dg,
+                                  true AS present
+                           FROM documents WHERE doc_id % 7 <> 0
+                           GROUP BY doc_id),
             new_s AS (SELECT doc_id,
-                             md5(CASE WHEN doc_id % 11 = 0
-                                      THEN text || ' v2' ELSE text END) AS dg
-                      FROM documents WHERE doc_id % 5 <> 0)
+                             max(md5(CASE WHEN doc_id % 11 = 0
+                                     THEN text || ' v2' ELSE text END)) AS dg,
+                             true AS present
+                      FROM documents WHERE doc_id % 5 <> 0
+                      GROUP BY doc_id)
             SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-                   CASE WHEN o.dg IS NULL THEN 'added'
-                        WHEN n.dg IS NULL THEN 'removed'
+                   CASE WHEN o.present IS NULL THEN 'added'
+                        WHEN n.present IS NULL THEN 'removed'
                         ELSE 'changed' END AS change_type
             FROM old_s o FULL OUTER JOIN new_s n ON o.doc_id = n.doc_id
-            WHERE o.dg IS NULL OR n.dg IS NULL OR o.dg <> n.dg
+            WHERE o.present IS NULL OR n.present IS NULL
+                  OR o.dg IS DISTINCT FROM n.dg
             ORDER BY doc_id""",
         "cross_source_overlap": f"""
             WITH {_SH_CTE},

@@ -305,20 +305,28 @@ def corpus_snapshot_diff(old_docs: DataFrame, new_docs: DataFrame,
     shape as exact dedup, and the reason this works at 100 TB where a
     text-comparing diff would move the whole corpus twice.
 
+    Presence is tracked by an explicit flag, NOT digest nullability: a
+    doc with NULL text is a present doc whose digest is NULL, and the
+    change comparison is null-safe (NULL -> NULL is unchanged, NULL ->
+    'x' is changed).  Duplicate ids within a snapshot (real crawl
+    snapshots have them) collapse deterministically to their MAX digest
+    before the join, so one id yields one verdict.
+
     Output: (doc_id, change_type ∈ {added, removed, changed}), ordered
     by doc_id."""
-    old_d = old_docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.md5(F.col(text_col).cast("binary")).alias("old_dg"))
-    new_d = new_docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.md5(F.col(text_col).cast("binary")).alias("new_dg"))
-    joined = old_d.join(new_d, "doc_id", "full_outer")
-    change = (F.when(F.col("old_dg").isNull(), F.lit("added"))
-              .when(F.col("new_dg").isNull(), F.lit("removed"))
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return (df.groupBy(F.col(id_col).alias("doc_id"))
+                .agg(F.max(F.md5(F.col(text_col).cast("binary")))
+                     .alias(f"{tag}_dg"))
+                .withColumn(f"in_{tag}", F.lit(True)))
+
+    joined = side(old_docs, "old").join(side(new_docs, "new"),
+                                        "doc_id", "full_outer")
+    change = (F.when(F.col("in_old").isNull(), F.lit("added"))
+              .when(F.col("in_new").isNull(), F.lit("removed"))
               .otherwise(F.lit("changed")))
     return (joined
-            .where(F.col("old_dg").isNull() | F.col("new_dg").isNull()
-                   | (F.col("old_dg") != F.col("new_dg")))
+            .where(F.col("in_old").isNull() | F.col("in_new").isNull()
+                   | ~F.col("old_dg").eqNullSafe(F.col("new_dg")))
             .select("doc_id", change.alias("change_type"))
             .orderBy("doc_id"))

@@ -56,6 +56,14 @@ def shingles_col(text_col: str = "text", k: int = 4):
     return F.array_distinct(raw_shingles_col(text_col, k))
 
 
+def hashed_shingles_col(text_col: str = "text", k: int = 4):
+    """Distinct md5_int-hashed k-shingles — THE shingle/hash discipline
+    every set-similarity operator and the shared SQL oracle CTE
+    (_SH_CTE) must agree on; one definition so they cannot diverge."""
+    return F.array_distinct(F.transform(raw_shingles_col(text_col, k),
+                                        lambda s: md5_int(s)))
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -89,10 +97,9 @@ def shingle_frame(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     the SQL oracle hashes identically, so results stay bit-identical.
     (Distinct applies once, on the hashes — distinct-of-hashes equals
     hash-of-distinct up to the same collision bound.)"""
-    hashed = F.array_distinct(F.transform(raw_shingles_col(text_col, k),
-                                          lambda s: md5_int(s)))
     return fan_out(docs).select(
-        F.col(id_col).alias("id"), hashed.alias("shingles")
+        F.col(id_col).alias("id"),
+        hashed_shingles_col(text_col, k).alias("shingles")
     ).withColumn("n", F.size("shingles"))
 
 
@@ -214,8 +221,7 @@ def shingle_cooccurrence(docs: DataFrame, text_col: str = "text", id_col: str = 
     quantifies exactly what was given up."""
     sh = (fan_out(docs).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.transform(raw_shingles_col(text_col, k),
-                                               lambda s: md5_int(s)))).alias("s")))
+        F.explode(hashed_shingles_col(text_col, k)).alias("s")))
     groups = sh.groupBy("s").agg(F.array_sort(F.collect_list("id")).alias("ids"))
     if pair_budget is not None:
         # eager one-job threshold (the length_matched_sample collect
@@ -315,7 +321,8 @@ def overlap_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 def cross_source_overlap(docs: DataFrame, text_col: str = "text",
                          source_col: str = "source",
-                         unit: str = "kgram", k: int = 4) -> DataFrame:
+                         unit: str = "kgram", k: int = 4,
+                         persist: bool = True) -> DataFrame:
     """Pairwise content overlap between sources — the dataset-hygiene
     matrix for multi-snapshot corpora ("how much of crawl-B is already
     in curated-A?"): per source pair, the number of distinct content
@@ -331,26 +338,30 @@ def cross_source_overlap(docs: DataFrame, text_col: str = "text",
     Plan shape at 100 TB: text reduces to digests in the scan (never
     shuffles), one distinct over (source, digest), then digests group to
     their source SETS — bounded by the source count, a few dozen in
-    practice — and pairs emit map-side from each set exactly like the
-    posting-list pair generation above.  Per-source totals are a
-    source-count-sized frame, broadcast.
+    practice.  The source-set frame is cached (`persist=True`) and BOTH
+    downstream branches — per-source totals (via a set explode, so no
+    second corpus pass) and pair generation — read the cache: the corpus
+    is scanned and digested exactly once.  NULL text digests to NULL and
+    is excluded — a NULL is absent content, not a shared unit two
+    sources can "have in common".
 
     Output: (source_a, source_b, shared, n_a, n_b, jaccard) for pairs
     with shared >= 1, source_a < source_b, ordered."""
     if unit == "doc":
         dg = F.md5(F.col(text_col).cast("binary")).alias("dg")
-        d = docs.select(F.col(source_col).alias("src"), dg).distinct()
+        d = docs.select(F.col(source_col).alias("src"), dg)
     elif unit == "kgram":
-        d = (fan_out(docs).select(
+        d = fan_out(docs).select(
             F.col(source_col).alias("src"),
-            F.explode(F.array_distinct(
-                F.transform(raw_shingles_col(text_col, k),
-                            lambda s: md5_int(s)))).alias("dg"))
-            .distinct())
+            F.explode(hashed_shingles_col(text_col, k)).alias("dg"))
     else:
         raise ValueError("unit must be 'doc' or 'kgram'")
-    totals = d.groupBy("src").agg(F.count("*").alias("n"))
-    srcsets = d.groupBy("dg").agg(F.array_sort(F.collect_set("src")).alias("srcs"))
+    d = d.where(F.col("dg").isNotNull()).distinct()
+    srcsets = _maybe_persist(
+        d.groupBy("dg").agg(F.array_sort(F.collect_set("src")).alias("srcs")),
+        persist)
+    totals = (srcsets.select(F.explode("srcs").alias("src"))
+              .groupBy("src").agg(F.count("*").alias("n")))
     pair_structs = F.flatten(F.transform(
         F.sequence(F.lit(1), F.size("srcs") - 1),
         lambda i: F.transform(
@@ -389,8 +400,7 @@ def shingle_pair_budget_report(docs: DataFrame, text_col: str = "text",
     histogram-sized."""
     sh = (fan_out(docs).select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.transform(raw_shingles_col(text_col, k),
-                                               lambda s: md5_int(s)))).alias("s")))
+        F.explode(hashed_shingles_col(text_col, k)).alias("s")))
     hist = _df_hist(sh.groupBy("s").agg(F.count("*").alias("df")),
                     max_shingle_df)
     thr = _pair_budget_threshold(hist, pair_budget)

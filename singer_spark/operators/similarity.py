@@ -597,17 +597,22 @@ def label_centroid_sim(emb: DataFrame, vec_col: str = "embedding",
 
     Plan shape at 100 TB: vectors posexplode to (label, dim, component)
     once — the only pass that touches vector data — and reduce with
-    map-side partial averages to a labels x dim frame; everything after
-    (centroid pairs, dot products, norms) is centroid-sized.  Centroid
-    components quantize through qround before the cosine (the
+    map-side partial averages to a labels x dim frame, which is CACHED:
+    all four consumers (the a/b pair sides and the two norm lookups)
+    read the tiny cached centroid frame instead of re-running the
+    corpus pass per branch.  Everything after is centroid-sized.
+    Centroid components quantize through qround before the cosine (the
     sim_ivf_trained discipline) so an external SQL oracle reproduces the
     arithmetic exactly.
 
     Output: (label_a, label_b, cos) for label_a < label_b, ordered."""
-    cent = (emb.select(F.col(label_col).alias("label"),
-                       F.posexplode(as_double(vec_col)).alias("pos", "x"))
-            .groupBy("label", "pos")
-            .agg(qround(F.avg("x"), round_to).alias("c")))
+    from singer_spark.operators.dedup import _maybe_persist
+
+    cent = _maybe_persist(
+        emb.select(F.col(label_col).alias("label"),
+                   F.posexplode(as_double(vec_col)).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(qround(F.avg("x"), round_to).alias("c")), True)
     a = cent.select(F.col("label").alias("label_a"), "pos",
                     F.col("c").alias("ca"))
     b = cent.select(F.col("label").alias("label_b"), "pos",

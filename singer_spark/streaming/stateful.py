@@ -377,9 +377,17 @@ def streaming_debounce(events: DataFrame, interval_seconds: int = 300,
     def update(key, pdfs, state: GroupState):
         last = state.get[0] if state.exists else None
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["ts_us", order_col])
+        # nulls first = the batch twin's ascending-nulls-first sort; a
+        # NULL-ts event is KEPT (no gap evidence against it) and resets
+        # the cadence (the next event has no prior timestamp to measure
+        # from) — exactly what lag(ts) does in debounce_events
+        rows = rows.sort_values(["ts_us", order_col], na_position="first")
         keep = []
         for ts_us, eid in zip(rows["ts_us"], rows[order_col]):
+            if pd.isna(ts_us):
+                keep.append((int(eid), None))
+                last = None
+                continue
             ts_us = int(ts_us)
             if last is None or ts_us - last > gap:
                 keep.append((int(eid), ts_us))
@@ -389,7 +397,7 @@ def streaming_debounce(events: DataFrame, interval_seconds: int = 300,
             {order_col: [k[0] for k in keep],
              "user_id": [key[0]] * len(keep),
              "event_type": [key[1]] * len(keep),
-             "ts_us": [k[1] for k in keep]})
+             "ts_us": pd.array([k[1] for k in keep], dtype="Int64")})
 
     prepped = events.select(
         order_col, "user_id", "event_type",

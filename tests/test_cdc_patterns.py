@@ -283,3 +283,23 @@ def test_corpus_snapshot_diff_classifies_all_transitions(spark):
     got = {r.doc_id: r.change_type
            for r in corpus_snapshot_diff(old, new).collect()}
     assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_corpus_snapshot_diff_null_text_and_duplicate_ids(spark):
+    """NULL text is a PRESENT doc with a NULL digest (presence is a flag,
+    not digest nullability); duplicate ids collapse to their max digest
+    before the join."""
+    from singer_spark.operators.cdc import corpus_snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "beta"), (3, None), (5, "x"), (5, "y")],
+        "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(1, None),              # NULL -> NULL: unchanged, omitted
+         (2, None),              # 'beta' -> NULL: changed
+         (4, None),              # added (with NULL text)
+         (5, "y"), (5, "x")],    # same digest SET -> same max: unchanged
+        "doc_id bigint, text string")
+    got = {r.doc_id: r.change_type
+           for r in corpus_snapshot_diff(old, new).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}

@@ -237,8 +237,14 @@ def test_cross_source_overlap_prunes_to_source_and_text(spark, sf_dir):
     raw text crosses an exchange."""
     from singer_spark.operators.dedup import cross_source_overlap
 
+    import re
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(cross_source_overlap(docs, unit="kgram"))
+    # the cached source-set frame feeds totals AND pair generation: one
+    # corpus scan, the rest reads the cache
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert len(set(re.findall(r"Scan parquet \S+", plan))) <= 1
     reads = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert reads
     for read in reads:
@@ -269,6 +275,10 @@ def test_label_centroid_sim_joins_centroid_sized_frames(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = _plan(label_centroid_sim(emb))
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    # the centroid frame is cached: consumers read InMemoryTableScan, not
+    # four repeated corpus passes
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads
     for read in reads:
         assert "vec_id" not in read  # only label + embedding are read

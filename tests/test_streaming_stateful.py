@@ -466,3 +466,44 @@ def test_streaming_debounce_matches_batch_across_batches(spark, tmp_path):
             debounce_events(batch_ev, interval_seconds=300).collect()}
     assert got == want
     assert got == {1, 4, 5, 7, 8}  # burst 1-2-3 collapses across batches
+
+
+def test_streaming_debounce_survives_null_timestamp(spark, tmp_path):
+    """A NULL-ts event must not kill the always-on query: it is kept (no
+    gap evidence) and resets the cadence — the batch lag semantics."""
+    import os
+
+    from singer_spark.streaming.stateful import streaming_debounce
+
+    schema = "event_id bigint, ts_s string, user_id bigint, event_type string"
+    rows = [(1, "2024-01-01 00:00:00", 7, "click"),
+            (2, None, 7, "click"),                   # NULL ts: kept
+            (3, "2024-01-01 00:10:00", 7, "click")]  # >300s after 1: kept
+    src = str(tmp_path / "nb_src")
+    os.makedirs(src, exist_ok=True)
+    stage = str(tmp_path / "nb_stage")
+    spark.createDataFrame(rows, schema).coalesce(1) \
+         .write.mode("overwrite").parquet(stage)
+    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    os.rename(os.path.join(stage, part), os.path.join(src, "c0.parquet"))
+    out = str(tmp_path / "nb_out")
+    stream = (spark.readStream.schema(schema).parquet(src)
+              .selectExpr("event_id", "cast(ts_s as timestamp) AS ts",
+                          "user_id", "event_type"))
+    q = (streaming_debounce(stream, interval_seconds=300)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "nb_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.event_id: r.ts_us for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] is None
+    # and it matches the batch twin on the same rows
+    from singer_spark.queries import debounce_events
+
+    batch_ev = (spark.createDataFrame(rows, schema)
+                .selectExpr("event_id", "cast(ts_s as timestamp) AS ts",
+                            "user_id", "event_type"))
+    want = {r.event_id for r in
+            debounce_events(batch_ev, interval_seconds=300).collect()}
+    assert set(got) == want

@@ -653,6 +653,12 @@ def test_cross_source_overlap_doc_and_kgram(spark):
     # the exact copy: containment is total, so shared == n_a
     assert kg[("A", "B")].shared == kg[("A", "B")].n_a == 7
 
+    # NULL text must not register as a shared content unit: two sources
+    # that each contain only a NULL-text doc share nothing
+    nulls = _docs_df(spark, [(10, None, "X"), (11, None, "Y")])
+    assert cross_source_overlap(nulls, unit="doc").collect() == []
+    assert cross_source_overlap(nulls, unit="kgram").collect() == []
+
 
 def test_label_centroid_sim_geometry(spark):
     from singer_spark.operators.similarity import label_centroid_sim
