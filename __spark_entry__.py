@@ -838,6 +838,16 @@ def _corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_snapshot_diff(old, new)
 
 
+def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH blocking quality audit: recall of the banded-minhash pair set
+    against the exact inverted-index jaccard pairs at the same threshold
+    (operators/dedup.py:minhash_recall_report)."""
+    from singer_spark.operators.dedup import minhash_recall_report
+
+    return minhash_recall_report(_docs(spark, sf_dir), k=4, threshold=0.5,
+                                 num_hashes=8, bands=4)
+
+
 def _cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise content overlap between sources (4-gram digest Jaccard)
     — the multi-snapshot dataset-hygiene matrix: shared boilerplate and
@@ -1774,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_budget_report": _pair_budget_report,
         "cross_source_overlap": _cross_source_overlap,
         "corpus_snapshot_diff": _corpus_snapshot_diff,
+        "minhash_recall": _minhash_recall,
         "debounce_events": _debounce_events,
         "label_centroid_sim": _label_centroid_sim,
         "dedup_overlap": _dedup_overlap,
@@ -2048,6 +2059,55 @@ cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
          FROM buckets l JOIN buckets r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
 {_jaccard_verify_sql('cand', 0.5)}
 """
+
+
+def _minhash_recall_oracle() -> str:
+    """Compose the exact-jaccard and banded-minhash pair CTEs into the
+    one-row recall audit (dedup.minhash_recall_report twin)."""
+    from singer_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    base = f"(s % {MINHASH_P})"
+    mins = ",\n    ".join(
+        f"min(({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(8))
+    bands = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        f"h{2*bi}::VARCHAR || '_' || h{2*bi+1}::VARCHAR AS key FROM sigs"
+        for bi in range(4))
+
+    def verify(cand: str, out: str) -> str:
+        return f"""
+{out} AS (SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(ba.sh, bb.sh)) AS shared,
+           len(ba.sh) AS n_a, len(bb.sh) AS n_b
+    FROM {cand} c JOIN sbase ba ON ba.doc_id = c.id_a
+                  JOIN sbase bb ON bb.doc_id = c.id_b)
+    WHERE shared / (n_a + n_b - shared) >= 0.5)"""
+
+    return f"""
+WITH {_SH_CTE},
+{_NGRAM_BLOCKED},
+sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS ({bands}),
+lcand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM buckets l JOIN buckets r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+{verify('ncand', 'exactp')},
+{verify('lcand', 'lshp')},
+j AS (SELECT coalesce(e.id_a, l.id_a) AS id_a,
+             coalesce(e.id_b, l.id_b) AS id_b,
+             e.id_a IS NOT NULL AS in_e, l.id_a IS NOT NULL AS in_l
+      FROM exactp e FULL OUTER JOIN lshp l
+      ON e.id_a = l.id_a AND e.id_b = l.id_b)
+SELECT count(CASE WHEN in_e THEN 1 END) AS n_exact,
+       count(CASE WHEN in_l THEN 1 END) AS n_lsh,
+       count(CASE WHEN in_e AND in_l THEN 1 END) AS n_common,
+       floor((CASE WHEN count(CASE WHEN in_e THEN 1 END) > 0
+              THEN count(CASE WHEN in_e AND in_l THEN 1 END)::DOUBLE
+                   / count(CASE WHEN in_e THEN 1 END)
+              ELSE 1.0 END) * 1000000 + 0.5) / 1000000 AS recall
+FROM j"""
 
 
 def _simhash_oracle() -> str:
@@ -3487,6 +3547,7 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY ts, event_id) AS seq_types
             FROM ordered GROUP BY user_id ORDER BY user_id""",
         "dedup_minhash_lsh": _minhash_oracle(),
+        "minhash_recall": _minhash_recall_oracle(),
         "dedup_incremental_minhash": _minhash_incremental_oracle(),
         "dedup_simhash": _simhash_oracle(),
         "sim_bruteforce_topk": """

@@ -319,6 +319,45 @@ def overlap_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             .select("id_a", "id_b", "overlap", "jaccard"))
 
 
+def minhash_recall_report(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 4,
+                          threshold: float = 0.5, num_hashes: int = 8,
+                          bands: int = 4,
+                          max_shingle_df: int = 256) -> DataFrame:
+    """One-row quality audit of the MinHash-LSH blocking: how many of the
+    exact near-dup pairs (inverted-index jaccard at `threshold`) does the
+    banded-signature path actually surface?  Both sides verify with the
+    SAME exact jaccard, so the LSH output's precision is 1.0 by
+    construction and the number that matters is RECALL — the banding
+    probability term operators tune (more bands → higher recall, more
+    candidates).  Run this per corpus before trusting an LSH-only dedup
+    at a new shingle/band setting; the no-silent-caps discipline applied
+    to probabilistic blocking.
+
+    Plan: both pair sets are id-only frames (the corpus explodes once
+    per side, all wide data stays in the scans); the audit join and
+    aggregate are pair-count-sized.
+
+    Output: (n_exact, n_lsh, n_common, recall)."""
+    exact = (ngram_jaccard_pairs(docs, text_col, id_col, k, threshold,
+                                 max_shingle_df)
+             .select("id_a", "id_b").withColumn("_e", F.lit(1)))
+    lsh = (minhash_lsh_pairs(docs, text_col, id_col, k=k,
+                             num_hashes=num_hashes, bands=bands,
+                             threshold=threshold)
+           .select("id_a", "id_b").withColumn("_l", F.lit(1)))
+    j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    n_exact = F.count("_e")
+    n_common = F.count(F.when(F.col("_e").isNotNull()
+                              & F.col("_l").isNotNull(), 1))
+    return j.agg(
+        n_exact.alias("n_exact"),
+        F.count("_l").alias("n_lsh"),
+        n_common.alias("n_common"),
+        qround(F.when(n_exact > 0, n_common / n_exact)
+               .otherwise(F.lit(1.0)), 6).alias("recall"))
+
+
 def cross_source_overlap(docs: DataFrame, text_col: str = "text",
                          source_col: str = "source",
                          unit: str = "kgram", k: int = 4,

@@ -675,3 +675,34 @@ def test_label_centroid_sim_geometry(spark):
     assert got[(0, 1)] == 0.0
     assert got[(0, 2)] == 1.0
     assert got[(1, 2)] == 0.0
+
+
+def test_minhash_recall_report_detects_weak_banding(spark):
+    from singer_spark.operators.dedup import minhash_recall_report
+
+    # 40 near-dup pairs at moderate jaccard (~0.53: one token of 16
+    # swapped changes 4 of 13 distinct 4-grams) — marginal pairs where
+    # the banding probability matters
+    rows = []
+    for i in range(40):
+        base = [f"w{i}_{j}" for j in range(16)]
+        mod = list(base)
+        mod[8] = f"x{i}"
+        rows.append((2 * i, " ".join(base), "s"))
+        rows.append((2 * i + 1, " ".join(mod), "s"))
+    docs = _docs_df(spark, rows)
+
+    strong = minhash_recall_report(docs, threshold=0.3, num_hashes=8,
+                                   bands=4).collect()[0]
+    weak = minhash_recall_report(docs, threshold=0.3, num_hashes=8,
+                                 bands=1).collect()[0]
+    assert strong.n_exact == weak.n_exact == 40
+    # LSH pairs verify with the same exact jaccard: subset of exact
+    assert strong.n_lsh == strong.n_common
+    assert weak.n_lsh == weak.n_common
+    # more bands => strictly better or equal recall, and the single-band
+    # setting must show real loss on these marginal pairs (the audit's
+    # whole point)
+    assert strong.recall >= weak.recall
+    assert weak.recall < 1.0
+    assert strong.recall > 0.5
