@@ -227,9 +227,12 @@ def shingle_cooccurrence(docs: DataFrame, text_col: str = "text", id_col: str = 
         # eager one-job threshold (the length_matched_sample collect
         # pattern): folding the histogram subtree into the plan instead
         # would replicate the whole shingle-agg subtree under every
-        # consumer (measured: 6 -> 12 corpus scans), while the collect
-        # costs exactly one extra aggregation pass and leaves the main
-        # plan shape identical to the uncapped one
+        # consumer (measured: 6 -> 12 corpus scans).  The posting-list
+        # frame is CACHED first, so the threshold job materializes it
+        # and the main plan reads the cache — the budget costs one
+        # histogram aggregation over cached lists, not a second corpus
+        # explode (same persist discipline as minhash_lsh_pairs' base).
+        groups = _maybe_persist(groups, True)
         hist = _df_hist(groups.select(F.size("ids").alias("df")),
                         max_shingle_df)
         thr = _pair_budget_threshold(hist, pair_budget).collect()[0]["_thr"]
