@@ -1992,22 +1992,32 @@ _INCREMENTAL_EXACT_ORACLE = """
     GROUP BY sig"""
 
 
+def _minhash_sigs_sql() -> str:
+    """The ONE copy of the 8-hash minhash signature select list (mirror of
+    dedup.minhash_signatures' constants) used by every minhash oracle."""
+    from singer_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    base = f"(s % {MINHASH_P})"
+    return ",\n    ".join(
+        f"min(({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+        for i in range(8))
+
+
+def _minhash_bands_sql(src: str) -> str:
+    """The ONE copy of the 4-band (2 rows/band) bucketing UNION used by
+    every minhash oracle (mirror of dedup._band_buckets at 8 hashes)."""
+    return "\n    UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        f"h{2*bi}::VARCHAR || '_' || h{2*bi+1}::VARCHAR AS key FROM {src}"
+        for bi in range(4))
+
+
 def _minhash_incremental_oracle() -> str:
     """Mirror of dedup.minhash_lsh_incremental at threshold 0.5: history =
     docs < 250 as signature rows, increment = docs >= 250; history match by
     signature-agreement estimate, in-increment by exact shingle Jaccard."""
-    from singer_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
-
-    base = f"(s % {MINHASH_P})"
-    mins = ",\n    ".join(
-        f"min(({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
-        for i in range(8))
-
-    def bands(src: str) -> str:
-        return "\n    UNION ALL ".join(
-            f"SELECT doc_id, {bi} AS band, "
-            f"h{2*bi}::VARCHAR || '_' || h{2*bi+1}::VARCHAR AS key FROM {src}"
-            for bi in range(4))
+    mins = _minhash_sigs_sql()
+    bands = _minhash_bands_sql
 
     agree = " + ".join(f"(sn.h{i} = so.h{i})::INT" for i in range(8))
     hcols = ", ".join(f"h{i}" for i in range(8))
@@ -2041,16 +2051,8 @@ WHERE doc_id NOT IN (SELECT nid FROM hist)
 
 
 def _minhash_oracle() -> str:
-    from singer_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
-
-    base = f"(s % {MINHASH_P})"  # `s` is already the 60-bit md5_int hash
-    mins = ",\n    ".join(
-        f"min(({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}" for i in range(8)
-    )
-    bands = "\n    UNION ALL ".join(
-        f"SELECT doc_id, {bi} AS band, h{2*bi}::VARCHAR || '_' || h{2*bi+1}::VARCHAR AS key FROM sigs"
-        for bi in range(4)
-    )
+    mins = _minhash_sigs_sql()
+    bands = _minhash_bands_sql("sigs")
     return f"""
 WITH {_SH_CTE},
 sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
@@ -2064,16 +2066,8 @@ cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 def _minhash_recall_oracle() -> str:
     """Compose the exact-jaccard and banded-minhash pair CTEs into the
     one-row recall audit (dedup.minhash_recall_report twin)."""
-    from singer_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
-
-    base = f"(s % {MINHASH_P})"
-    mins = ",\n    ".join(
-        f"min(({MINHASH_A[i]} * {base} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
-        for i in range(8))
-    bands = "\n    UNION ALL ".join(
-        f"SELECT doc_id, {bi} AS band, "
-        f"h{2*bi}::VARCHAR || '_' || h{2*bi+1}::VARCHAR AS key FROM sigs"
-        for bi in range(4))
+    mins = _minhash_sigs_sql()
+    bands = _minhash_bands_sql("sigs")
 
     def verify(cand: str, out: str) -> str:
         return f"""

@@ -171,3 +171,24 @@ def murmur3_int(col: Column | str) -> Column:
     MurmurByteArrayPartitioner.java:40-53``)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.hash(c)
+
+
+def maybe_persist(base, persist: bool = True):
+    """Cache an intermediate frame consumed by multiple downstream scans
+    (shingle frames, posting lists, centroid tables).  MEMORY_AND_DISK
+    spills under pressure; at corpus scale re-deriving the frame per
+    consumer costs far more than the cache.
+
+    Lifecycle honesty: Spark's CacheManager holds the cache until an
+    explicit unpersist() or spark.catalog.clearCache() — it is NOT
+    reclaimed when the plan becomes unreachable, and a LATER query whose
+    plan contains a logically-equal subtree will have the cache
+    substituted in.  Long-lived drivers that call persisting operators
+    per increment should clearCache() between increments (the curation
+    stream does; bench.py and plan_audit.py clear between queries so
+    timings and recorded plans stay order-independent)."""
+    if not persist:
+        return base
+    from pyspark.storagelevel import StorageLevel
+
+    return base.persist(StorageLevel.MEMORY_AND_DISK)

@@ -33,7 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from singer_spark.functions import fan_out, kgram_join_col, md5_int, qround, windowed_join
+from singer_spark.functions import (fan_out, kgram_join_col, maybe_persist,
+                                    md5_int, qround, windowed_join)
 
 
 def tokens_col(text_col: str = "text"):
@@ -124,16 +125,10 @@ def _verify_jaccard(candidates: DataFrame, base: DataFrame,
     )
 
 
-def _maybe_persist(base: DataFrame, persist: bool) -> DataFrame:
-    """Cache the shingle frame across its blocking + verification scans.
-    MEMORY_AND_DISK spills under pressure; at corpus scale re-shingling and
-    re-hashing the whole corpus per scan costs far more than the cache.
-    Spark's ContextCleaner reclaims the cache once the plan is unreachable."""
-    if not persist:
-        return base
-    from pyspark.storagelevel import StorageLevel
-
-    return base.persist(StorageLevel.MEMORY_AND_DISK)
+# cache helper shared across operators — see functions.maybe_persist for
+# the lifecycle contract (CacheManager holds it until clearCache; callers
+# in long-lived drivers clear between increments)
+_maybe_persist = maybe_persist
 
 
 def _pairs_col():
@@ -170,7 +165,8 @@ def _pair_budget_threshold(hist: DataFrame, pair_budget: int) -> DataFrame:
 
 def shingle_cooccurrence(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          k: int = 4, max_shingle_df: int = 256,
-                         pair_budget: int | None = None) -> DataFrame:
+                         pair_budget: int | None = None,
+                         base: DataFrame | None = None) -> DataFrame:
     """(id_a, id_b, shared, n_a, n_b) for every candidate pair — the shared
     inverted-index core under :func:`ngram_jaccard_pairs` and
     :func:`overlap_pairs` (any set-similarity metric is a cheap expression
@@ -219,9 +215,14 @@ def shingle_cooccurrence(docs: DataFrame, text_col: str = "text", id_col: str = 
     — the budget trades RECALL (pairs co-occurring only in demoted
     lists), never precision, and :func:`shingle_pair_budget_report`
     quantifies exactly what was given up."""
-    sh = (fan_out(docs).select(
-        F.col(id_col).alias("id"),
-        F.explode(hashed_shingles_col(text_col, k)).alias("s")))
+    # `base` (an existing, typically persisted shingle_frame) lets a
+    # caller that also feeds minhash share ONE corpus shingling pass
+    if base is not None:
+        sh = base.select("id", F.explode("shingles").alias("s"))
+    else:
+        sh = (fan_out(docs).select(
+            F.col(id_col).alias("id"),
+            F.explode(hashed_shingles_col(text_col, k)).alias("s")))
     groups = sh.groupBy("s").agg(F.array_sort(F.collect_list("id")).alias("ids"))
     if pair_budget is not None:
         # eager one-job threshold (the length_matched_sample collect
@@ -280,13 +281,14 @@ def shingle_cooccurrence(docs: DataFrame, text_col: str = "text", id_col: str = 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         k: int = 4, threshold: float = 0.8,
                         max_shingle_df: int = 256,
-                        pair_budget: int | None = None) -> DataFrame:
+                        pair_budget: int | None = None,
+                        base: DataFrame | None = None) -> DataFrame:
     """All pairs with Jaccard(shingle sets) >= threshold — an expression over
     :func:`shingle_cooccurrence` (see there for the plan shape, the
-    hot-shingle recall bound, and the optional global `pair_budget`).
-    Output: (id_a, id_b, jaccard)."""
+    hot-shingle recall bound, the optional global `pair_budget`, and the
+    shared-`base` shingle frame).  Output: (id_a, id_b, jaccard)."""
     co = shingle_cooccurrence(docs, text_col, id_col, k, max_shingle_df,
-                              pair_budget)
+                              pair_budget, base=base)
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (co.withColumn("jaccard", qround(jac, 4))
             .filter(jac >= threshold)
@@ -328,26 +330,40 @@ def minhash_recall_report(docs: DataFrame, text_col: str = "text",
                           bands: int = 4,
                           max_shingle_df: int = 256) -> DataFrame:
     """One-row quality audit of the MinHash-LSH blocking: how many of the
-    exact near-dup pairs (inverted-index jaccard at `threshold`) does the
-    banded-signature path actually surface?  Both sides verify with the
-    SAME exact jaccard, so the LSH output's precision is 1.0 by
-    construction and the number that matters is RECALL — the banding
-    probability term operators tune (more bands → higher recall, more
-    candidates).  Run this per corpus before trusting an LSH-only dedup
-    at a new shingle/band setting; the no-silent-caps discipline applied
-    to probabilistic blocking.
+    BLOCKED-exact near-dup pairs (inverted-index jaccard at `threshold`,
+    posting lists capped at `max_shingle_df`) does the banded-signature
+    path surface?  Both sides verify with the same exact jaccard, so
+    every pair either side emits truly exceeds the threshold; the number
+    that matters is RECALL — the banding probability term operators tune
+    (more bands → higher recall, more candidates).
 
-    Plan: both pair sets are id-only frames (the corpus explodes once
-    per side, all wide data stays in the scans); the audit join and
+    Baseline caveat (each side can see pairs the other misses): the
+    exact side inherits shingle_cooccurrence's cold-list recall bound,
+    so a pair whose shared shingles are ALL hot (df > max_shingle_df —
+    a boilerplate flood) can appear in the LSH output but not the
+    baseline, making n_lsh > n_common; conversely LSH misses pairs the
+    banding probability drops.  Recall here is therefore "recall against
+    the df-capped exact join", the operational ground truth this family
+    actually runs — run :func:`dedup_exact` first (the curation DAG
+    does) so hot-only regimes collapse before either path.
+
+    Run this per corpus before trusting an LSH-only dedup at a new
+    shingle/band setting; the no-silent-caps discipline applied to
+    probabilistic blocking.
+
+    Plan: ONE persisted shingle_frame feeds both sides (the dominant
+    cost — shingling + hashing every document — is paid once, not once
+    per side); both pair sets are id-only frames, and the audit join and
     aggregate are pair-count-sized.
 
     Output: (n_exact, n_lsh, n_common, recall)."""
+    base = _maybe_persist(shingle_frame(docs, text_col, id_col, k), True)
     exact = (ngram_jaccard_pairs(docs, text_col, id_col, k, threshold,
-                                 max_shingle_df)
+                                 max_shingle_df, base=base)
              .select("id_a", "id_b").withColumn("_e", F.lit(1)))
     lsh = (minhash_lsh_pairs(docs, text_col, id_col, k=k,
                              num_hashes=num_hashes, bands=bands,
-                             threshold=threshold)
+                             threshold=threshold, base=base)
            .select("id_a", "id_b").withColumn("_l", F.lit(1)))
     j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
     n_exact = F.count("_e")
@@ -578,7 +594,8 @@ def minhash_lsh_incremental(new_docs: DataFrame, seen_sigs: DataFrame,
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       k: int = 4, num_hashes: int = 8, bands: int = 4,
-                      threshold: float = 0.6, persist: bool = True) -> DataFrame:
+                      threshold: float = 0.6, persist: bool = True,
+                      base: DataFrame | None = None) -> DataFrame:
     """LSH-banded candidate generation + exact Jaccard verification.
 
     `num_hashes` minhashes split into `bands` bands (rows = num_hashes/bands);
@@ -586,8 +603,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
     1-(1-j^rows)^bands — the S-curve).  Only candidates pay the verification
     join: the per-doc shingle ARRAYS are joined back by id and intersected
     JVM-side, so the corpus is shingle-exploded exactly once (for the
-    signatures).  Output: (id_a, id_b, jaccard >= threshold)."""
-    base = _maybe_persist(shingle_frame(docs, text_col, id_col, k), persist)
+    signatures).  Pass `base` (an existing shingle_frame) to share that
+    one pass with other consumers.  Output: (id_a, id_b, jaccard >=
+    threshold)."""
+    if base is None:
+        base = _maybe_persist(shingle_frame(docs, text_col, id_col, k), persist)
     sigs = minhash_signatures(docs, text_col, id_col, k, num_hashes, base=base)
     buckets = _band_buckets(sigs, num_hashes, bands)
     l, r = buckets.alias("l"), buckets.alias("r")

@@ -606,9 +606,9 @@ def label_centroid_sim(emb: DataFrame, vec_col: str = "embedding",
     arithmetic exactly.
 
     Output: (label_a, label_b, cos) for label_a < label_b, ordered."""
-    from singer_spark.operators.dedup import _maybe_persist
+    from singer_spark.functions import maybe_persist
 
-    cent = _maybe_persist(
+    cent = maybe_persist(
         emb.select(F.col(label_col).alias("label"),
                    F.posexplode(as_double(vec_col)).alias("pos", "x"))
         .groupBy("label", "pos")

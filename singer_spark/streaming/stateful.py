@@ -378,21 +378,23 @@ def streaming_debounce(events: DataFrame, interval_seconds: int = 300,
         last = state.get[0] if state.exists else None
         rows = pd.concat(list(pdfs), ignore_index=True)
         # nulls first = the batch twin's ascending-nulls-first sort; a
-        # NULL-ts event is KEPT (no gap evidence against it) and resets
-        # the cadence (the next event has no prior timestamp to measure
-        # from) — exactly what lag(ts) does in debounce_events
+        # NULL-ts event is KEPT (no gap evidence against it) and leaves
+        # the cadence state UNTOUCHED — in the batch twin a NULL sorts to
+        # the front globally, so it can never interpose between two
+        # timestamped events; resetting `last` here would let one corrupt
+        # record forgive the next burst event across a batch boundary
         rows = rows.sort_values(["ts_us", order_col], na_position="first")
         keep = []
         for ts_us, eid in zip(rows["ts_us"], rows[order_col]):
             if pd.isna(ts_us):
                 keep.append((int(eid), None))
-                last = None
                 continue
             ts_us = int(ts_us)
             if last is None or ts_us - last > gap:
                 keep.append((int(eid), ts_us))
             last = ts_us
-        state.update((last,))
+        if last is not None:
+            state.update((last,))
         yield pd.DataFrame(
             {order_col: [k[0] for k in keep],
              "user_id": [key[0]] * len(keep),

@@ -507,3 +507,50 @@ def test_streaming_debounce_survives_null_timestamp(spark, tmp_path):
     want = {r.event_id for r in
             debounce_events(batch_ev, interval_seconds=300).collect()}
     assert set(got) == want
+
+
+def test_streaming_debounce_null_ts_does_not_reset_cross_batch_state(spark, tmp_path):
+    """A corrupt NULL-ts record in a LATER micro-batch must not wipe the
+    cadence state: the burst event following it still measures against
+    the last timestamped event from the previous batch (the batch twin's
+    global nulls-first sort means a NULL can never interpose between two
+    timestamped events)."""
+    import os
+
+    from singer_spark.queries import debounce_events
+    from singer_spark.streaming.stateful import streaming_debounce
+
+    schema = "event_id bigint, ts_s string, user_id bigint, event_type string"
+    chunks = [
+        [(1, "2024-01-01 00:00:00", 7, "click")],
+        [(2, None, 7, "click"),                    # corrupt record: kept
+         (3, "2024-01-01 00:01:40", 7, "click")],  # 100s after 1: DROPPED
+    ]
+    src = str(tmp_path / "nr_src")
+    os.makedirs(src, exist_ok=True)
+    out = str(tmp_path / "nr_out")
+    stream = (spark.readStream.schema(schema).parquet(src)
+              .selectExpr("event_id", "cast(ts_s as timestamp) AS ts",
+                          "user_id", "event_type"))
+    w = (streaming_debounce(stream, interval_seconds=300)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "nr_ckpt"))
+         .trigger(availableNow=True))
+    rows_all = []
+    for b, rows in enumerate(chunks):
+        rows_all += rows
+        stage = str(tmp_path / f"nr_stage{b}")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+             .write.mode("overwrite").parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        os.rename(os.path.join(stage, part), os.path.join(src, f"c{b}.parquet"))
+        q = w.start()
+        q.awaitTermination()
+    got = {r.event_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2}
+    batch_ev = (spark.createDataFrame(rows_all, schema)
+                .selectExpr("event_id", "cast(ts_s as timestamp) AS ts",
+                            "user_id", "event_type"))
+    want = {r.event_id for r in
+            debounce_events(batch_ev, interval_seconds=300).collect()}
+    assert got == want

@@ -697,7 +697,10 @@ def test_minhash_recall_report_detects_weak_banding(spark):
     weak = minhash_recall_report(docs, threshold=0.3, num_hashes=8,
                                  bands=1).collect()[0]
     assert strong.n_exact == weak.n_exact == 40
-    # LSH pairs verify with the same exact jaccard: subset of exact
+    # no hot posting lists in this corpus (every df <= 2), so the LSH
+    # pairs are a strict subset of the blocked-exact baseline here; on a
+    # boilerplate-flooded corpus n_lsh can exceed n_common (see the
+    # baseline caveat in minhash_recall_report's docstring)
     assert strong.n_lsh == strong.n_common
     assert weak.n_lsh == weak.n_common
     # more bands => strictly better or equal recall, and the single-band

@@ -66,6 +66,14 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
             errors.append(name)
             rows[name] = {"error": str(e).splitlines()[0][:120]}
+        finally:
+            # plan isolation: a query that persists a subtree (pair-budget
+            # posting lists, centroid frames) would otherwise have its
+            # cache SUBSTITUTED into every later logically-equal plan by
+            # Spark's CacheManager, making the recorded plans depend on
+            # audit order — clear between queries so PLANS.json is the
+            # plan each query builds on its own
+            spark.catalog.clearCache()
 
     print(f"{'query':32s} {'scans':>5s} {'exch':>5s} {'bcast':>5s} "
           f"{'smj':>4s} {'pushed':>6s}")
