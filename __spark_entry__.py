@@ -257,11 +257,23 @@ def _t7_message_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _t8_crc32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CRC-32 set + verify (Spark-built-in crc32; no DuckDB analog → rows-only)."""
+    """CRC-32 set + verify (writer/KafkaWriter.java:438-465,473-507) as a
+    SELF-VERIFYING cross-implementation check: the operator stamps the
+    payload with Spark's JVM `crc32()` (transforms.with_checksum), the
+    verify pass must keep every row (transforms.verify_checksum — a
+    dropped row would shrink the row count), and the same query computes
+    an independent Arrow-side zlib.crc32 and emits per-row agreement.
+    Output is engine-independent, so the driver's plain-SQL DuckDB oracle
+    value-checks the invariant (was rows-only for rounds 1-6)."""
+    from singer_spark.functions import crc32_py
     from singer_spark.transforms import verify_checksum, with_checksum
 
     checked = with_checksum(_docs(spark, sf_dir).withColumn("value", F.col("text")), "value")
-    return verify_checksum(checked, "value").select("doc_id", "checksum")
+    verified = verify_checksum(checked, "value")  # drops any corrupt row
+    return verified.select(
+        "doc_id",
+        (F.col("checksum") == crc32_py(F.col("value"))).alias("crc_agree"),
+    )
 
 
 def _t9_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,18 +289,40 @@ def _t11_oversize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _p2_crc32_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crc32ByteArrayPartitioner (writer/partitioners/
+    Crc32ByteArrayPartitioner.java:53-70), self-verifying: the operator's
+    JVM `crc32(key) % n` is compared in-query against an independent
+    Arrow-side zlib.crc32, plus the range invariant 0 <= p < n.  The
+    driver's plain-SQL oracle value-checks both booleans per key (was
+    rows-only for rounds 1-6: DuckDB has no crc32)."""
+    from singer_spark.functions import crc32_py
     from singer_spark.partitioners import crc32_partitioner
 
+    part = crc32_partitioner(F.col("c_name"), 32)
+    expected = F.pmod(crc32_py(F.col("c_name")), F.lit(32)).cast("int")
     return _cust(spark, sf_dir).select(
-        "c_custkey", crc32_partitioner(F.col("c_name"), 32).alias("partition")
+        "c_custkey",
+        (part == expected).alias("agree"),
+        ((part >= 0) & (part < 32)).alias("in_range"),
     )
 
 
 def _p3_murmur_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MurmurByteArrayPartitioner (writer/partitioners/
+    MurmurByteArrayPartitioner.java:40-53), self-verifying: the operator's
+    JVM `pmod(hash(key), n)` (Murmur3_x86_32 incl. Spark's signed-byte
+    tail handling) is compared in-query against the pure-Python
+    reimplementation (functions.spark_murmur3_py), plus the range
+    invariant.  Driver-checkable via plain SQL (was rows-only r1-r6)."""
+    from singer_spark.functions import murmur3_py
     from singer_spark.partitioners import murmur_partitioner
 
+    part = murmur_partitioner(F.col("c_name"), 32)
+    expected = F.pmod(murmur3_py(F.col("c_name")), F.lit(32)).cast("int")
     return _cust(spark, sf_dir).select(
-        "c_custkey", murmur_partitioner(F.col("c_name"), 32).alias("partition")
+        "c_custkey",
+        (part == expected).alias("agree"),
+        ((part >= 0) & (part < 32)).alias("in_range"),
     )
 
 
@@ -761,26 +795,59 @@ def _skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _approx_percentiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GK/KLL-style quantile sketch (`approx_percentile`, accuracy 1/1e4) —
     the 100 TB path where the exact sort-based percentile is a full
-    shuffle+sort; tolerance-checked against DuckDB's exact quantiles."""
-    ev = _events(spark, sf_dir)
+    shuffle+sort.  SELF-VERIFYING against the sketch's own published
+    guarantee: the returned value is an actual data element whose rank
+    range [count(<v)+1, count(<=v)] must intersect
+    [q*n - eps*n, q*n + eps*n] with eps = 1/accuracy (+1 slack for the
+    discrete-rank boundary).  The query joins the per-group sketch answer
+    back to the events (broadcast — one row per group) and counts ranks,
+    emitting engine-independent booleans plus the SQL-checkable group
+    cardinality, so the driver's plain DuckDB oracle value-checks it
+    (was rows-only r1-r6: no tolerance comparator in the driver)."""
+    ev = _events(spark, sf_dir).select("event_type", "value")
     pct = F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")
-    return (
-        ev.groupBy("event_type")
-        .agg(pct.alias("p"))
-        .select("event_type",
-                F.col("p")[0].alias("p50"),
-                F.col("p")[1].alias("p90"),
-                F.col("p")[2].alias("p99"))
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(pct.alias("p"))
+    j = ev.join(F.broadcast(agg), "event_type")
+
+    def rank_cols(i: int, q: float):
+        le = F.sum((F.col("value") <= F.col("p")[i]).cast("long"))
+        lt = F.sum((F.col("value") < F.col("p")[i]).cast("long"))
+        return le.alias(f"le{i}"), lt.alias(f"lt{i}"), F.lit(q).alias(f"q{i}")
+
+    ranks = j.groupBy("event_type").agg(
+        F.count("value").alias("n_events"),
+        *[c for i, q in enumerate((0.5, 0.9, 0.99)) for c in rank_cols(i, q)],
     )
+
+    def ok(i: int):
+        target = F.col(f"q{i}") * F.col("n_events")
+        slack = F.col("n_events") / F.lit(10000.0) + F.lit(1.0)
+        return ((F.col(f"lt{i}") + 1 <= target + slack)
+                & (F.col(f"le{i}") >= target - slack))
+
+    return ranks.select(
+        "event_type", "n_events",
+        ok(0).alias("p50_ok"), ok(1).alias("p90_ok"), ok(2).alias("p99_ok"),
+    ).orderBy("event_type")
 
 
 def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch distinct count — engine-specific estimate, rows-only check."""
+    """HLL++ sketch distinct count, SELF-VERIFYING: the same query computes
+    the exact distinct count and emits (group, exact, within_tol) where
+    within_tol holds iff |approx - exact| <= 3*rsd*exact (HLL++ at
+    rsd=0.02 is within ±6% with overwhelming probability, and the sketch
+    is deterministic for a fixed dataset).  `exact_users` is checkable by
+    plain DuckDB SQL, making the row hash carry real values; the boolean
+    carries the sketch-accuracy invariant (was rows-only r1-r6)."""
     ev = _events(spark, sf_dir)
-    return (
-        ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    tol = F.greatest(F.lit(1.0), F.col("exact_users") * F.lit(0.06))
+    return agg.select(
+        "event_type", "exact_users",
+        (F.abs(F.col("approx") - F.col("exact_users")) <= tol).alias("within_tol"),
     )
 
 
@@ -2465,8 +2532,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    upper(substr(md5(source), 1, 16) || printf('%016x', doc_id)) AS mid_hex
             FROM documents""",
+        # Self-verifying invariant queries (VERDICT r6 task #1): the Spark
+        # side computes the engine hash AND an independent implementation
+        # and emits agreement booleans; the oracle states the invariant in
+        # plain SQL the driver's DuckDB can run.  A single disagreeing row
+        # (or a row dropped by verify_checksum) breaks the value hash.
+        "t8_crc32": "SELECT doc_id, true AS crc_agree FROM documents",
         "t9_sampling": f"SELECT doc_id FROM documents WHERE {md5i_doc} % 100 < 25",
         "t11_oversize": "SELECT doc_id, n_chars FROM documents WHERE length(text) <= 300",
+        "p2_crc32_partitioner": (
+            "SELECT c_custkey, true AS agree, true AS in_range FROM customer"),
+        "p3_murmur_partitioner": (
+            "SELECT c_custkey, true AS agree, true AS in_range FROM customer"),
         "p4_md5_partitioner": f"""
             SELECT c_custkey, ({md5i_cname} % 32)::INT AS partition FROM customer""",
         "p5_round_robin": """
@@ -3857,6 +3934,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS global_id
             FROM documents""",
+        # Self-verifying sketch queries (VERDICT r6 task #1): the Spark side
+        # emits the exact answer (SQL-checkable) plus booleans asserting the
+        # sketch met its published accuracy guarantee; the oracle re-derives
+        # the exact values and pins the booleans true.
+        "approx_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+                   true AS within_tol
+            FROM events GROUP BY event_type""",
+        "approx_percentiles_value": """
+            SELECT event_type, count(value)::BIGINT AS n_events,
+                   true AS p50_ok, true AS p90_ok, true AS p99_ok
+            FROM events GROUP BY event_type ORDER BY event_type""",
         "skew_report": """
             WITH counts AS (
               SELECT event_type || '|' || user_id AS key, count(*)::BIGINT AS n

@@ -2,8 +2,11 @@
 
 The reference's only scalar functions are regex match/replace, concat-
 prepends, and CRC-32 / MD5 / Murmur3 hashing (SURVEY.md §2.7).  Everything
-here is a JVM-side built-in expression (whole-stage-codegen friendly); no
-Python UDFs.
+here is a JVM-side built-in expression (whole-stage-codegen friendly); the
+only exceptions are the two Arrow-batched VERIFICATION-ONLY cross-
+implementations at the bottom (`crc32_py`, `murmur3_py`), which exist so
+self-verifying driver queries can compare the JVM hash against an
+independent Python implementation — they never run on a production path.
 
 ``md5_int`` is the deterministic 60-bit hash used wherever the engine needs
 a hash that an external ANSI-SQL oracle can reproduce (sampling, md5
@@ -171,6 +174,89 @@ def murmur3_int(col: Column | str) -> Column:
     MurmurByteArrayPartitioner.java:40-53``)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.hash(c)
+
+
+# ---------------------------------------------------------------------------
+# Independent cross-implementations for SELF-VERIFYING queries.
+#
+# The driver's DuckDB oracle cannot register Python UDFs, so engine-specific
+# hashes (Spark `crc32`, Spark `hash`) were rows-only checks for six rounds.
+# The fix (VERDICT r6 task #1): the query itself computes the operator's
+# JVM answer AND an independent Arrow-side answer, emits engine-independent
+# agreement booleans, and the driver's plain-SQL oracle value-checks the
+# invariant.  Independence is real — java.util.zip.CRC32 vs Python zlib,
+# Spark's codegen'd Murmur3_x86_32 vs the pure-Python reimplementation
+# below.  These are the ONLY Python-side row kernels in the engine, used
+# exclusively on verification paths (never in a production hot path); both
+# are Arrow-batched pandas_udfs, not row-at-a-time PythonUDFs.
+# ---------------------------------------------------------------------------
+def spark_murmur3_py(data: bytes, seed: int = 42) -> int:
+    """Murmur3_x86_32 exactly as Spark's ``hash()`` computes it for strings
+    (UTF-8 bytes, seed 42): little-endian 4-byte words, then each TRAILING
+    byte mixed individually as a SIGNED int — Spark's hashUnsafeBytes tail
+    handling, which differs from the canonical murmur3 tail.  Pure-Python
+    reimplementation (independent of the JVM), validated cell-for-cell
+    against ``F.hash`` (tests/test_transforms.py)."""
+    def rotl32(x: int, r: int) -> int:
+        x &= 0xFFFFFFFF
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h1 = seed & 0xFFFFFFFF
+    n = len(data)
+    aligned = n - n % 4
+    for i in range(0, aligned, 4):
+        k1 = int.from_bytes(data[i:i + 4], "little")
+        k1 = rotl32((k1 * c1) & 0xFFFFFFFF, 15)
+        h1 ^= (k1 * c2) & 0xFFFFFFFF
+        h1 = (rotl32(h1, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+    for i in range(aligned, n):
+        b = data[i] - 256 if data[i] >= 128 else data[i]
+        k1 = rotl32((b * c1) & 0xFFFFFFFF, 15)
+        h1 ^= (k1 * c2) & 0xFFFFFFFF
+        h1 = (rotl32(h1, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= n
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    h1 &= 0xFFFFFFFF
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def crc32_py(col: Column | str) -> Column:
+    """Arrow-batched pandas_udf: ``zlib.crc32`` over the column's UTF-8
+    bytes — the Python-side CRC-32, independent of Spark's JVM ``crc32()``
+    (java.util.zip.CRC32).  Verification-only (see block comment above)."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _crc(s):
+        return s.map(lambda x: zlib.crc32(x.encode("utf-8")) & 0xFFFFFFFF)
+
+    # this module has `from __future__ import annotations`, which would
+    # stringify inline hints beyond pandas_udf's inspector — set them here
+    _crc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(_crc, "bigint")(c)
+
+
+def murmur3_py(col: Column | str) -> Column:
+    """Arrow-batched pandas_udf: pure-Python Spark-semantics Murmur3 over
+    the column's UTF-8 bytes, independent of the JVM's codegen'd ``hash()``.
+    Verification-only (see block comment above)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mm(s):
+        return s.map(lambda x: spark_murmur3_py(x.encode("utf-8"))).astype("int32")
+
+    _mm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    c = F.col(col) if isinstance(col, str) else col
+    return pandas_udf(_mm, "int")(c)
 
 
 def maybe_persist(base, persist: bool = True):

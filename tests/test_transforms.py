@@ -126,6 +126,26 @@ def test_crc32_partitioner_matches_reference_semantics(spark):
     assert p == (zlib.crc32(b"hello") & 0xFFFFFFFF) % 7
 
 
+def test_python_cross_implementations_match_jvm(spark):
+    """The verification-only Arrow kernels (functions.crc32_py /
+    murmur3_py) must agree cell-for-cell with Spark's JVM crc32()/hash()
+    — they are the independent side of the self-verifying t8/p2/p3
+    driver queries, so a drift here would silently weaken the gate."""
+    from singer_spark.functions import crc32_py, murmur3_py, spark_murmur3_py
+
+    df = spark.range(300).select(
+        F.concat(F.lit("döc-€-"), F.col("id").cast("string")).alias("key"))
+    out = df.select(
+        (F.crc32(F.col("key").cast("binary")) == crc32_py(F.col("key"))).alias("c"),
+        (F.hash(F.col("key")) == murmur3_py(F.col("key"))).alias("m"),
+    ).collect()
+    assert all(r.c and r.m for r in out)
+    # tail-handling spot checks (1-3 trailing bytes, high-bit bytes)
+    for s in ("", "a", "ab", "abc", "abcd", "abcde", "é", "€!"):
+        jvm = spark.createDataFrame([(s,)], ["k"]).select(F.hash("k").alias("h")).collect()[0].h
+        assert spark_murmur3_py(s.encode("utf-8")) == jvm
+
+
 def test_round_robin_ordered_exact(spark):
     df = spark.range(10).withColumnRenamed("id", "k")
     rows = df.select("k", P.round_robin_ordered(F.col("k"), 4).alias("p")).orderBy("k").collect()

@@ -26,11 +26,13 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 # ---------------------------------------------------------------------------
-# DuckDB Python UDFs for Spark hash expressions DuckDB lacks natively, so
-# `t8_crc32` / `p2_crc32_partitioner` / `p3_murmur_partitioner` get real
-# value-matched oracles locally.  The driver's DuckDB has no UDF hook, so
-# these oracles live here (LOCAL_ORACLES), not in `oracle_sql()` — the
-# driver still records those three as rows-only.
+# DuckDB Python UDFs for operators whose LOCAL oracle needs Python
+# (wordpiece, zlib compression ratio).  The hash UDFs (`crc32_py`,
+# `murmur3_spark`) remain registered as a belt-and-braces second oracle
+# even though t8/p2/p3 are now self-verifying with plain-SQL driver
+# oracles.  `spark_murmur3` here is a DELIBERATE second copy of
+# singer_spark.functions.spark_murmur3_py: the oracle-side implementation
+# stays independent of the package under test.
 # ---------------------------------------------------------------------------
 def _rotl32(x: int, r: int) -> int:
     x &= 0xFFFFFFFF
@@ -105,20 +107,10 @@ def _register_udfs(con) -> None:
 # hiding a broken sketch).  Recorded as hash_match=True rows with the
 # tolerance noted, never as exact matches.
 APPROX_ORACLES = {
-    "approx_distinct_users": (
-        "SELECT event_type, COUNT(DISTINCT user_id) AS approx_users "
-        "FROM events GROUP BY event_type", 0.10),
-    # GK sketch at accuracy 10000 ≈ rank error 1e-4; 2% relative slack
-    # covers interpolation differences between the sketch's nearest-rank
-    # answer and DuckDB's continuous quantile
-    # quantile_disc, not quantile_cont: the GK sketch answers NEAREST-RANK
-    # (an actual data value) — at small n the sketch is exact and a
-    # continuous-interpolated oracle diverges >2% at p99 (one inter-value
-    # gap), which is an oracle artifact, not sketch error.
-    "approx_percentiles_value": (
-        "SELECT event_type, quantile_disc(value, 0.5) AS p50, "
-        "quantile_disc(value, 0.9) AS p90, quantile_disc(value, 0.99) AS p99 "
-        "FROM events GROUP BY event_type", 0.02),
+    # approx_distinct_users / approx_percentiles_value moved OUT of this
+    # table in round 7: they are now SELF-VERIFYING queries (exact answer +
+    # sketch-guarantee booleans computed in-Spark) with plain-SQL oracles in
+    # `oracle_sql()`, so the DRIVER value-checks them too (VERDICT r6 #1).
     # KMV at k=256 → ~6% standard error on counts, more on the
     # intersection (Bernoulli ρ); 15% slack.  At sf<=0.01 the sketches are
     # unsaturated (distinct < k) and the estimates are EXACT.
@@ -158,13 +150,11 @@ APPROX_ORACLES = {
 }
 
 # Oracles runnable only where Python UDFs can be registered (here).
+# t8_crc32 / p2 / p3 moved OUT in round 7: the queries now embed the
+# independent cross-implementation (JVM hash vs Arrow-side Python) and emit
+# agreement booleans, so `oracle_sql()` carries plain-SQL oracles the driver
+# can run (VERDICT r6 #1).
 LOCAL_ORACLES = {
-    "t8_crc32": "SELECT doc_id, crc32_py(text) AS checksum FROM documents",
-    "p2_crc32_partitioner": (
-        "SELECT c_custkey, (crc32_py(c_name) % 32)::INT AS partition FROM customer"),
-    "p3_murmur_partitioner": (
-        "SELECT c_custkey, (((murmur3_spark(c_name) % 32) + 32) % 32)::INT AS partition "
-        "FROM customer"),
     "wordpiece_tokenize": (
         "SELECT doc_id, wp_count(text) AS n_pieces, wp_encode(text) AS pieces "
         "FROM documents"),
