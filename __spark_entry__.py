@@ -3014,7 +3014,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
             FROM (SELECT event_id, user_id, event_type, ts,
                          lag(ts) OVER (PARTITION BY user_id, event_type
-                                       ORDER BY ts, event_id) AS pts
+                                       ORDER BY ts NULLS FIRST,
+                                                event_id NULLS FIRST) AS pts
                   FROM events) t
             WHERE pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 300000000
             ORDER BY event_id""",

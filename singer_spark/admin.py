@@ -25,7 +25,16 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class _UnixHTTPServer(ThreadingHTTPServer):
-    """HTTP over an AF_UNIX stream socket (the docker-daemon pattern)."""
+    """HTTP over an AF_UNIX stream socket (the docker-daemon pattern).
+
+    Authorization matches the reference's AdminServer model
+    (admin/AdminServer.java `allowedUids` via SO_PEERCRED): the socket
+    file is created owner-only (0600 — a UDS connect requires write
+    permission on the path), and an optional ``allowed_uids`` set is
+    enforced per-connection against the kernel-reported peer uid, which
+    a client cannot forge."""
+
+    allowed_uids: frozenset | None = None
 
     address_family = socket.AF_UNIX
 
@@ -57,13 +66,42 @@ class _UnixHTTPServer(ThreadingHTTPServer):
                               "listener; refusing to steal it")
             finally:
                 probe.close()
-        super().server_bind()
+        # NOT HTTPServer.server_bind: that runs
+        # `host, port = self.server_address[:2]` — on a UDS path string it
+        # unpacks the first two CHARACTERS (getfqdn() on one character, a
+        # possible DNS lookup; ValueError for 1-char paths).  Bind via the
+        # socketserver layer and set the HTTP-layer names explicitly, with
+        # an umask so the socket is never observable more open than 0600.
+        import socketserver
+
+        old_umask = os.umask(0o177)
+        try:
+            socketserver.TCPServer.server_bind(self)
+        finally:
+            os.umask(old_umask)
+        os.chmod(path, 0o600)
+        self.server_name = "localhost"
+        self.server_port = 0
 
     def get_request(self):
         # AF_UNIX peers have no (host, port); BaseHTTPRequestHandler's
         # logging helpers index client_address[0], so fake a stable pair
         request, _addr = self.socket.accept()
         return request, ("unix", 0)
+
+    def verify_request(self, request, client_address):
+        # socketserver's per-connection gate: returning False makes the
+        # server close the socket before any request bytes are read.  (Not
+        # a loop inside get_request — that would leave serve_forever stuck
+        # in accept() and deadlock shutdown().)
+        if self.allowed_uids is None:
+            return True
+        import struct
+
+        creds = request.getsockopt(socket.SOL_SOCKET, socket.SO_PEERCRED,
+                                   struct.calcsize("3i"))
+        _pid, uid, _gid = struct.unpack("3i", creds)
+        return uid in self.allowed_uids
 
 
 class AdminServer:
@@ -72,11 +110,14 @@ class AdminServer:
     ephemeral port, exposed as ``.port`` for tests and for writing a
     port-file the way the reference writes its socket path.
     ``socket_path=`` serves the same HTTP protocol over an AF_UNIX
-    socket instead (``.port`` is then None); the socket file is removed
-    on ``stop()``."""
+    socket instead (``.port`` is then None); the socket file is created
+    0600 (owner-only), optionally restricted further to ``allowed_uids``
+    via SO_PEERCRED (the reference's allowedUids model), and removed on
+    ``stop()``."""
 
     def __init__(self, manager, host: str = "127.0.0.1", port: int = 0,
-                 socket_path: str | None = None) -> None:
+                 socket_path: str | None = None,
+                 allowed_uids: set[int] | None = None) -> None:
         mgr = manager
 
         class Handler(BaseHTTPRequestHandler):
@@ -110,7 +151,12 @@ class AdminServer:
 
         self.socket_path = socket_path
         if socket_path is not None:
-            self._server = _UnixHTTPServer(socket_path, Handler)
+            self._server = _UnixHTTPServer(socket_path, Handler,
+                                           bind_and_activate=False)
+            self._server.allowed_uids = (
+                frozenset(allowed_uids) if allowed_uids is not None else None)
+            self._server.server_bind()
+            self._server.server_activate()
             self.host, self.port = None, None
         else:
             self._server = ThreadingHTTPServer((host, port), Handler)

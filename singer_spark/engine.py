@@ -335,8 +335,12 @@ class PipelineManager:
     def _hot_key_cap(cfg: LogConfig):
         """Per-micro-batch hot-key guard (processor.maxEventsPerKey): keep
         at most N messages per key per trigger — queries.cap_events_per_key
-        on the message key (payload as the fallback key, ordered by
-        payload for determinism).  None when the knob is off."""
+        on the message key (payload as the fallback key).  The order
+        columns append the source-position columns (path/pos for text
+        tails, file/offset for thrift frames) so ties on the payload break
+        on a DISTINCT total order — ordering by the partition column alone
+        would make every row tie and which rows survive nondeterministic
+        (ADVICE r6).  None when the knob is off."""
         mk = cfg.processor.max_events_per_key
         if not mk:
             return None
@@ -344,7 +348,9 @@ class PipelineManager:
 
         def cap(batch_df: DataFrame) -> DataFrame:
             key = "key" if "key" in batch_df.columns else "value"
-            return cap_events_per_key(batch_df, key, ["value"], mk)
+            order_cols = ["value"] + [c for c in ("path", "pos", "file", "offset")
+                                      if c in batch_df.columns]
+            return cap_events_per_key(batch_df, key, order_cols, mk)
 
         return cap
 

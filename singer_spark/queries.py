@@ -259,8 +259,12 @@ def debounce_events(events: DataFrame, interval_seconds: int = 300,
     Output: the surviving events' (order_col, keys..., ts_us) with the
     timestamp as epoch microseconds (cross-engine-stable), ordered by
     order_col."""
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(),
-                                          F.col(order_col).asc())
+    # asc_nulls_first PINNED (not just Spark's asc default): DuckDB's bare
+    # ORDER BY sorts NULLs LAST, so a corpus with NULL timestamps would
+    # otherwise disagree with the oracle on which event is "previous" —
+    # both sides state NULL placement explicitly (ADVICE r6).
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc_nulls_first(),
+                                          F.col(order_col).asc_nulls_first())
     prev = F.lag(ts_col).over(w)
     gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
     return (events.withColumn("_gap", gap_us)

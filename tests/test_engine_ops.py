@@ -258,6 +258,70 @@ def test_admin_endpoint_over_unix_socket(spark, tmp_path):
     assert not os.path.exists(sock)  # socket file cleaned up on stop
 
 
+def test_admin_unix_socket_auth_and_perms(tmp_path):
+    """AF_UNIX hardening (ADVICE r6): the socket file is owner-only
+    (0600), an allowed_uids set is enforced via SO_PEERCRED (reference
+    AdminServer allowedUids), and server_bind must not run HTTPServer's
+    host/port unpacking on the path string (which getfqdn()'d a single
+    character)."""
+    import http.client
+    import socket as socket_mod
+    import stat as stat_mod
+
+    class FakeMgr:
+        queries = ("q",)
+
+        def is_draining(self):
+            return False
+
+        def drain(self):
+            pass
+
+        def stop_all(self):
+            pass
+
+    def status_over(sock_path):
+        class UDSConnection(http.client.HTTPConnection):
+            def __init__(self, path):
+                super().__init__("localhost")
+                self._path = path
+
+            def connect(self):
+                s = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
+                s.connect(self._path)
+                self.sock = s
+
+        conn = UDSConnection(sock_path)
+        try:
+            conn.request("GET", "/status")
+            return conn.getresponse().status
+        finally:
+            conn.close()
+
+    # own uid allowed → served; socket file must be 0600
+    sock = str(tmp_path / "a.sock")
+    server = AdminServer(FakeMgr(), socket_path=sock,
+                         allowed_uids={os.getuid()}).start()
+    try:
+        assert stat_mod.S_IMODE(os.stat(sock).st_mode) == 0o600
+        assert status_over(sock) == 200
+    finally:
+        server.stop()
+
+    # own uid NOT in allowed_uids → connection dropped before any bytes
+    sock2 = str(tmp_path / "b.sock")
+    server2 = AdminServer(FakeMgr(), socket_path=sock2,
+                          allowed_uids={os.getuid() + 12345}).start()
+    try:
+        with pytest.raises((http.client.BadStatusLine, ConnectionResetError,
+                            http.client.RemoteDisconnected, BrokenPipeError)):
+            status_over(sock2)
+        # the server survives the rejected peer and still serves nobody
+        assert os.path.exists(sock2)
+    finally:
+        server2.stop()
+
+
 # ---------------------------------------------------------------------------
 # O8 — shadow mode: duplicate delivery to a shadow destination
 # ---------------------------------------------------------------------------

@@ -1,7 +1,10 @@
 """Static plan audit over the whole query registry.
 
-For every `queries()` entry, builds the DataFrame (NO execution beyond
-what plan construction itself requires) and summarizes the formatted
+For every `queries()` entry, builds the DataFrame (no execution beyond
+what plan construction itself requires — for most queries that is none;
+the pair-BUDGET family is the documented exception, running one eager
+histogram/threshold job and leaving a posting-list cache at build time,
+which this tool clears between queries) and summarizes the formatted
 physical plan:
 
 - n_scans / n_exchanges / n_broadcasts — the shuffle budget at a glance
