@@ -1541,7 +1541,10 @@ def _sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.operators.similarity import lsh_ann_topk
 
     emb = _emb(spark, sf_dir)
-    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    # num_planes pinned (not the auto default): the SQL oracle replays
+    # the 8-plane bucket hashes; the scale path is auto_num_planes,
+    # covered by test_lsh_ann_auto_planes_recall
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, num_planes=8)
 
 
 def _embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -209,7 +209,9 @@ def test_lsh_ann_exchanges_carry_no_vectors(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where("vec_id < 10")
-    plan = _plan(lsh_ann_topk(emb, q))
+    # explicit planes keep plan construction lazy (the auto default runs
+    # a corpus.count() sizing job)
+    plan = _plan(lsh_ann_topk(emb, q, num_planes=8))
     # every SHUFFLE Exchange block must be vector-free: the split
     # candidate/verify design keeps embeddings out of all shuffles
     # (broadcast exchanges DO carry the small query-side vectors — allowed)
