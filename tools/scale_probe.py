@@ -21,7 +21,30 @@ doc is a one-token mutation of its neighbor) — so pair-operator candidate
 growth is MEASURED rather than excluded: the table reports both wall time
 and pairs found at each scale (linear plan → ~k× pairs, ~k× time).
 
-Usage: python tools/scale_probe.py [sf_dir] [max_k] [scan|pairs|markov]
+Round 7 adds two modes (VERDICT r6 tasks #2/#3):
+
+- `events` — the event-analytics scaling table: events.parquet multiplied
+  k× with RE-KEYED users and per-copy time shifts (more users over more
+  time — the shape a growing 100 TB event log actually has; per-user
+  history length stays constant), written to a scratch sf dir so the
+  REGISTRY entries run unmodified.  Measures the ~12 heaviest event
+  queries (funnels, sessionize, sequences, pattern match, as-of, SCD2,
+  rolling actives, attribution) at 1/4/16/64×.  Caveat: the orders side
+  of as-of/attribution/SCD2 stays at base scale (those queries derive
+  their join domain via o_custkey % 20 internally), so their growth
+  reflects the scaled LEFT side against a fixed dimension — the realistic
+  shape for a fact-to-dim join.
+
+- `skew` — Zipf-robustness: one user is forced to ~10% of all events and
+  one 4-gram run to ~30% document frequency, then the per-user operators
+  run WITH and WITHOUT their caps and the jaccard family with its
+  hot-shingle guard on vs effectively off.  This is the engine's
+  time-slice-fairness discipline (reference
+  processor/DefaultLogStreamProcessor.java:233-240: one hot log stream
+  must not starve the rest) applied to analytics: bounded degradation
+  with the guards on, measured cliff with them off.
+
+Usage: python tools/scale_probe.py [sf_dir] [max_k] [scan|pairs|markov|events|skew]
 """
 
 from __future__ import annotations
@@ -113,6 +136,66 @@ def markov_docs(spark, n_docs: int, vocab: int = 4000,
             .mapInPandas(gen, "doc_id bigint, text string"))
 
 
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "documents", "embeddings")
+
+
+def scaled_events_dir(spark, sf_dir: str, k: int, root: str) -> str:
+    """Materialize a scratch sf dir whose events.parquet is the base table
+    multiplied k×: copy i re-keys user_id (+i·10_000) and event_id
+    (+i·10_000_000) and shifts ts by i·31 days, so users are DISJOINT
+    across copies (per-user history length constant — the growing-corpus
+    shape) and the timeline extends.  All other tables symlink to the
+    base dir, so registry queries run unmodified.  Written once per
+    (sf_dir, k); reused on re-runs."""
+    out = os.path.join(root, f"events_{k}x")
+    marker = os.path.join(out, "_done")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    from singer_spark.session import read_events
+
+    ev = read_events(spark, sf_dir)
+    parts = []
+    for i in range(k):
+        parts.append(ev.select(
+            (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {i * 31} DAYS")).alias("ts"),
+            (F.col("user_id") + F.lit(i * 10_000)).alias("user_id"),
+            "event_type", "value", "props"))
+    scaled = parts[0]
+    for p in parts[1:]:
+        scaled = scaled.unionByName(p)
+    scaled.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+# The ~12 heaviest event-analytics registry entries — the queries a 100 TB
+# event log actually runs (VERDICT r6 task #2 names funnels, sessionize,
+# as-of, SCD2, rolling actives; the rest are the other per-user shuffles).
+EVENT_QUERY_KEYS = (
+    "funnel_counts", "funnel_windowed", "sessionize_events",
+    "user_event_sequences", "event_pattern_match", "rolling_active_users",
+    "cohort_retention", "multi_touch_attribution", "asof_join_events_orders",
+    "scd2_user_value", "frequent_sequences", "debounce_events",
+)
+
+
+def event_ops(spark, ev_dir: str):
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    return {name: (lambda n=name: qs[n](spark, ev_dir))
+            for name in EVENT_QUERY_KEYS}
+
+
 def pair_ops(docs: DataFrame):
     from singer_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -177,6 +260,104 @@ def _hh(docs: DataFrame) -> DataFrame:
     return heavy_hitters(toks, "token", min_share=0.02)
 
 
+def _timed(build, runs: int = 3) -> float:
+    ts = []
+    for _ in range(runs):
+        t0 = time.time()
+        build().write.format("noop").mode("overwrite").save()
+        ts.append(time.time() - t0)
+    return statistics.median(ts)
+
+
+def events_main(spark, sf_dir: str, ks: list[int]) -> None:
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="scale_events_")
+    results: dict[str, dict[int, float]] = {}
+    for k in ks:
+        ev_dir = scaled_events_dir(spark, sf_dir, k, root)
+        for name, build in event_ops(spark, ev_dir).items():
+            results.setdefault(name, {})[k] = _timed(build)
+        spark.catalog.clearCache()
+    hdr = "query".ljust(26) + "".join(f"  {k}x".rjust(8) for k in ks) + "   growth"
+    print(hdr)
+    for name, times in results.items():
+        ratio = times[ks[-1]] / times[ks[0]]
+        row = name.ljust(26) + "".join(f"{times[k]:8.2f}" for k in ks)
+        print(f"{row}   {ratio:.1f}x over {ks[-1]}x data")
+
+
+def skew_main(spark, sf_dir: str) -> None:
+    """Zipf-robustness probe: measured wall-time of the per-user and pair
+    operators on a deliberately skewed corpus, with the engine's guards on
+    vs off.  The discipline is the reference's time-slice fairness
+    (processor/DefaultLogStreamProcessor.java:233-240): one hot key must
+    degrade boundedly, never starve the rest of the corpus."""
+    import tempfile
+
+    from singer_spark.operators.dedup import ngram_jaccard_pairs
+    from singer_spark.queries import (
+        funnel_counts,
+        sessionize_events,
+        user_event_sequences,
+    )
+    from singer_spark.session import read_events
+
+    # --- skewed events: user 0 forced to ~10% of ALL events -------------
+    root = tempfile.mkdtemp(prefix="scale_skew_")
+    ev_dir = os.path.join(root, "skewed")
+    os.makedirs(ev_dir, exist_ok=True)
+    ev = read_events(spark, sf_dir).withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit(0)).otherwise(F.col("user_id")))
+    ev.write.mode("overwrite").parquet(os.path.join(ev_dir, "events.parquet"))
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(ev_dir, f"{t}.parquet"))
+    hot_n = spark.read.parquet(os.path.join(ev_dir, "events.parquet")) \
+        .where("user_id = 0").count()
+    total = read_events(spark, sf_dir).count()
+    print(f"skewed events: user 0 holds {hot_n}/{total} events "
+          f"({100.0 * hot_n / total:.1f}%)")
+
+    scenarios = [
+        ("funnel uncapped", lambda: funnel_counts(spark, ev_dir)),
+        ("funnel cap=1000", lambda: funnel_counts(spark, ev_dir,
+                                                  max_events_per_key=1000)),
+        ("sessionize (window spills)", lambda: sessionize_events(spark, ev_dir)),
+        ("sequences uncapped", lambda: user_event_sequences(spark, ev_dir)),
+        ("sequences cap=1000", lambda: user_event_sequences(
+            spark, ev_dir, max_events_per_key=1000)),
+    ]
+
+    # --- skewed documents: one shared 4-gram run at ~30% df -------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 < 3,
+               F.concat(F.col("text"), F.lit(" zq1 zq2 zq3 zq4 zq5")))
+        .otherwise(F.col("text")))
+    n_hot_docs = docs.where("doc_id % 10 < 3").count()
+    print(f"skewed documents: shared 4-gram run in {n_hot_docs} docs "
+          f"(~{100.0 * 3 / 10:.0f}% df; guard cap is 256)")
+    scenarios += [
+        ("jaccard guard on (df<=256)", lambda: ngram_jaccard_pairs(
+            docs, threshold=0.5)),
+        # guard effectively OFF: the hot lists enter candidate generation
+        # and each emits C(df,2) pairs — the cliff the cap prevents
+        ("jaccard guard off (df<=10^6)", lambda: ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_df=1_000_000)),
+    ]
+
+    print("scenario".ljust(32) + "   sec")
+    base_times: dict[str, float] = {}
+    for name, build in scenarios:
+        sec = _timed(build)
+        base_times[name] = sec
+        print(f"{name.ljust(32)}{sec:7.2f}")
+        spark.catalog.clearCache()
+
+
 def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,
          mode: str = "scan") -> None:
     from singer_spark.session import get_spark
@@ -188,6 +369,18 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,
 
     spark.range(64).repartition(32).mapInPandas(
         lambda it: (p for p in it), "id bigint").count()
+
+    if mode == "skew":
+        skew_main(spark, sf_dir)
+        spark.stop()
+        return
+    if mode == "events":
+        ks = [1]
+        while ks[-1] * 4 <= max_k:
+            ks.append(ks[-1] * 4)
+        events_main(spark, sf_dir, ks)
+        spark.stop()
+        return
 
     # ×4 steps: at sf0.1 the corpus is ~1.5 MB of text, and below ~10 MB
     # fixed per-job overhead (scheduling, Arrow worker fan-out) swamps the
