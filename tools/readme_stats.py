@@ -1,0 +1,100 @@
+"""Render README's measured-numbers blocks from the round artifacts.
+
+Hand-copied bench numbers drifted from the shipped artifact twice
+(VERDICT r5 and r6 both flagged it), so the README's "Latest bench
+snapshot" section is now a generated block delimited by
+
+    <!-- bench:auto --> ... <!-- /bench:auto -->
+
+and this tool is the ONLY writer.  `tests/test_readme_stats.py` asserts
+the committed block equals what this tool would regenerate from the
+newest `BENCH_r*.json`, so a refreshed artifact without a README rerun
+fails the suite instead of shipping stale numbers.
+
+Usage:
+    python tools/readme_stats.py            # rewrite README in place
+    python tools/readme_stats.py --check    # exit 1 if README is stale
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MARK_START = "<!-- bench:auto -->"
+MARK_END = "<!-- /bench:auto -->"
+
+
+def latest_bench(repo: str = REPO) -> tuple[str, dict]:
+    """(filename, parsed payload) of the highest-round BENCH_r*.json.
+    Handles both artifact shapes: the driver's wrapper (payload under
+    `parsed`) and bench.py's own flat JSON line."""
+    rounds = []
+    for f in os.listdir(repo):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if m:
+            rounds.append((int(m.group(1)), f))
+    if not rounds:
+        raise FileNotFoundError("no BENCH_r*.json artifact in repo root")
+    _, fname = max(rounds)
+    with open(os.path.join(repo, fname)) as fh:
+        raw = json.load(fh)
+    return fname, raw.get("parsed", raw)
+
+
+def render_block(fname: str, p: dict) -> str:
+    qs: dict[str, float] = p["queries"]
+    slowest = max(qs, key=qs.get)
+    lines = [
+        f"{len(qs)} headliner queries at sf{p.get('sf', '?')}, medians of "
+        f"{p.get('runs', '?')} warm runs, clean local[32] "
+        f"(source: `{fname}`):",
+        f"`{p.get('metric', 'headline_total')}` {p['value']:.1f} "
+        f"{p.get('unit', 'sec')}, slowest query {qs[slowest]:.2f} s "
+        f"(`{slowest}`).",
+    ]
+    drift = p.get("drift")
+    if drift:
+        lines.append(
+            f"In-bench drift gate: {drift.get('reran', 0)} re-ran of "
+            f"{drift.get('vs', '?')} compared, "
+            f"{len(drift.get('still_slow', []))} still slow.")
+    return "\n".join(lines)
+
+
+def apply(readme_text: str, block: str) -> str:
+    pattern = re.compile(
+        re.escape(MARK_START) + r".*?" + re.escape(MARK_END), re.DOTALL)
+    if not pattern.search(readme_text):
+        raise ValueError("README has no bench:auto marker block")
+    return pattern.sub(f"{MARK_START}\n{block}\n{MARK_END}", readme_text)
+
+
+def main() -> int:
+    check = "--check" in sys.argv
+    fname, payload = latest_bench()
+    block = render_block(fname, payload)
+    readme_path = os.path.join(REPO, "README.md")
+    with open(readme_path) as fh:
+        current = fh.read()
+    updated = apply(current, block)
+    if check:
+        if updated != current:
+            print("README bench block is STALE; run python tools/readme_stats.py")
+            return 1
+        print("README bench block matches the latest artifact")
+        return 0
+    if updated != current:
+        with open(readme_path, "w") as fh:
+            fh.write(updated)
+        print(f"README bench block refreshed from {fname}")
+    else:
+        print("README bench block already current")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
