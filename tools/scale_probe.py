@@ -287,7 +287,7 @@ def events_main(spark, sf_dir: str, ks: list[int]) -> None:
         print(f"{row}   {ratio:.1f}x over {ks[-1]}x data")
 
 
-def skew_main(spark, sf_dir: str) -> None:
+def skew_main(spark, sf_dir: str, k: int = 1) -> None:
     """Zipf-robustness probe: measured wall-time of the per-user and pair
     operators on a deliberately skewed corpus, with the engine's guards on
     vs off.  The discipline is the reference's time-slice fairness
@@ -307,7 +307,11 @@ def skew_main(spark, sf_dir: str) -> None:
     root = tempfile.mkdtemp(prefix="scale_skew_")
     ev_dir = os.path.join(root, "skewed")
     os.makedirs(ev_dir, exist_ok=True)
-    ev = read_events(spark, sf_dir).withColumn(
+    if k > 1:  # harsher probe: skew a k×-scaled corpus (hot user grows k×)
+        sf_dir_events = scaled_events_dir(spark, sf_dir, k, root)
+    else:
+        sf_dir_events = sf_dir
+    ev = read_events(spark, sf_dir_events).withColumn(
         "user_id",
         F.when(F.col("event_id") % 10 == 0, F.lit(0)).otherwise(F.col("user_id")))
     ev.write.mode("overwrite").parquet(os.path.join(ev_dir, "events.parquet"))
@@ -317,7 +321,7 @@ def skew_main(spark, sf_dir: str) -> None:
             os.symlink(src, os.path.join(ev_dir, f"{t}.parquet"))
     hot_n = spark.read.parquet(os.path.join(ev_dir, "events.parquet")) \
         .where("user_id = 0").count()
-    total = read_events(spark, sf_dir).count()
+    total = read_events(spark, sf_dir_events).count()
     print(f"skewed events: user 0 holds {hot_n}/{total} events "
           f"({100.0 * hot_n / total:.1f}%)")
 
@@ -371,7 +375,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,
         lambda it: (p for p in it), "id bigint").count()
 
     if mode == "skew":
-        skew_main(spark, sf_dir)
+        skew_main(spark, sf_dir, k=max_k)
         spark.stop()
         return
     if mode == "events":
