@@ -20,6 +20,11 @@ Field parity (SingerStatus.java:108-149):
   `durationMs.triggerExecution` over each query's `recentProgress` window,
   the micro-batch twin of the reference's per-topic write-latency
   distributions.
+- `duplicatesSuspected` — per-query {stream: {reopens, bytes}} read from
+  the tail source's offset counters (fingerprint-mismatch reopens; see
+  streaming/tail.py): the measurable width of the at-least-once duplicate
+  window under copytruncate rotation, matching the reference's per-stream
+  metric discipline.
 """
 
 from __future__ import annotations
@@ -72,6 +77,27 @@ def stuck_threshold(stuck_seconds: float,
     return max(stuck_seconds, 2.0 * statistics.median(gaps) if gaps else 0.0)
 
 
+def _dupes_from_progress(p: dict) -> dict | None:
+    """{reopens, bytes} summed over a progress dict's sources whose
+    endOffset carries the tail reader's duplicate counters; None when no
+    source does.  endOffset arrives as the offset dict's JSON string in
+    progress events (and as a dict in tests)."""
+    reopens = total_bytes = 0
+    found = False
+    for src in p.get("sources") or []:
+        eo = src.get("endOffset")
+        if isinstance(eo, str):
+            try:
+                eo = json.loads(eo)
+            except ValueError:
+                continue
+        if isinstance(eo, dict) and "dupes_suspected" in eo:
+            found = True
+            reopens += int(eo.get("dupes_suspected", 0) or 0)
+            total_bytes += int(eo.get("dupe_bytes", 0) or 0)
+    return {"reopens": reopens, "bytes": total_bytes} if found else None
+
+
 def build_status(spark: SparkSession, started_at: float,
                  hostname: str | None = None,
                  stuck_seconds: float = 300.0,
@@ -87,6 +113,7 @@ def build_status(spark: SparkSession, started_at: float,
     kafka_writes: dict[str, int] = {}
     latencies: list[float] = []
     query_latency: dict[str, dict] = {}
+    duplicates: dict[str, dict] = {}
     stuck = 0
     for q in queries:
         p = _as_dict(q.lastProgress)
@@ -103,6 +130,9 @@ def build_status(spark: SparkSession, started_at: float,
             first_seen.pop(str(q.id), None)
         num = int(p.get("numInputRows", 0) or 0)
         kafka_writes[name] = kafka_writes.get(name, 0) + num
+        dupes = _dupes_from_progress(p)
+        if dupes is not None:
+            duplicates[name] = dupes
         # ONE recentProgress fetch per query per beat — each access is a
         # py4j round-trip materializing up to ~100 progress JSON blobs,
         # and both the latency and the cadence loops read it
@@ -155,6 +185,7 @@ def build_status(spark: SparkSession, started_at: float,
                                  else {"p50": 0.0, "p90": 0.0, "p99": 0.0,
                                        "max": 0.0}),
         "queryLatencyMs": query_latency,
+        "duplicatesSuspected": duplicates,
         "timestamp": int(now * 1000),
     }
 

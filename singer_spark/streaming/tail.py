@@ -121,6 +121,26 @@ class TailStreamReader(DataSourceStreamReader):
         # does a fresh scan; see _current_path)
         self._paths: dict[str, str] = {}
         self.opens = 0  # observability: file opens performed (tests assert)
+        # duplicates-suspected accounting (reference per-stream metric
+        # discipline, common/SingerStatus.java:108-149).  Two signals, both
+        # rate-limited to events a live reader can see:
+        #   1. fingerprint-mismatch reopen — the committed prefix is no
+        #      longer the file's prefix (truncate-regrow, inode reuse), so
+        #      the re-read from 0 MAY re-deliver committed bytes;
+        #   2. a first-seen inode whose prefix equals a tracked stream's
+        #      committed prefix — a copytruncate copy landing in the
+        #      watched glob, whose committed window WILL re-deliver (the
+        #      dominant duplicate source under copytruncate).
+        # Counters are per reader lifetime (the reference's process-
+        # lifetime metric semantics); they ride the offset dict into
+        # streaming progress, where the heartbeat surfaces them as
+        # duplicatesSuspected.  Duplicates created while NO reader is
+        # alive (a copy made between restarts) are invisible by design —
+        # there is no state to compare against, the same blind spot the
+        # reference has across agent restarts.
+        self._last_files: dict[str, dict] = {}
+        self._dupes_suspected = 0
+        self._dupe_bytes = 0
 
     # -- scanning ----------------------------------------------------------
     def _fingerprint(self, f, off: int) -> tuple[int | None, int]:
@@ -228,6 +248,8 @@ class TailStreamReader(DataSourceStreamReader):
 
         files: dict[str, dict] = {}
         paths: dict[str, str] = {}
+        truncated: dict[str, int] = {}          # ino -> committed bytes lost
+        copies: list[tuple[str, int]] = []      # (source ino, window bytes)
         try:
             names = os.listdir(self.log_dir)
         except FileNotFoundError:
@@ -245,11 +267,46 @@ class TailStreamReader(DataSourceStreamReader):
             entry = self._scan_file(p, st)
             ino = str(st.st_ino)
             paths[ino] = p
-            files[ino] = {"path": p, "off": entry["off"],
-                          "fp": entry["fp"], "fplen": entry["fplen"]}
+            rec = {"path": p, "off": entry["off"],
+                   "fp": entry["fp"], "fplen": entry["fplen"]}
+            prev = self._last_files.get(ino)
+            if prev and prev.get("off", 0) > 0 and prev.get("fp") is not None:
+                # the same comparison partitions() makes before deciding to
+                # re-read from 0 (_same_content: equal-length prefixes
+                # compare for free; a differing-length prefix costs one
+                # read of a file this trigger ALREADY opened to scan)
+                if not self._same_content(p, prev, rec):
+                    truncated[ino] = int(prev["off"])
+            elif prev is None and rec["off"] > 0:
+                # NEW inode whose prefix equals a tracked stream's committed
+                # prefix: a copytruncate copy landing in the watched glob —
+                # its [0, prev_off) bytes were already delivered from the
+                # live inode and will now re-deliver (the dominant
+                # duplicate source under copytruncate).  Equal-length
+                # fingerprints compare for free; otherwise one bounded
+                # (≤4 KiB) read of a file that only just appeared.
+                hit = self._match_copy(p, rec)
+                if hit is not None:
+                    copies.append(hit)
+            files[ino] = rec
             self._reported[ino] = entry["off"]  # pacing base advances
+        # Reconcile the two signals: a copytruncate rotation whose copy
+        # lands in the watched glob fires BOTH (the live inode's truncation
+        # reopen and the copy's prefix match) for the SAME committed
+        # window — count it once, preferring the copy (it carries the
+        # bytes that actually re-deliver).
+        counted_src = {src for src, _ in copies}
+        for ino, prev_off in truncated.items():
+            if ino not in counted_src:
+                self._dupes_suspected += 1
+                self._dupe_bytes += prev_off
+        for _src, window in copies:
+            self._dupes_suspected += 1
+            self._dupe_bytes += window
         self._paths = paths
-        return {"files": files}
+        self._last_files = files
+        return {"files": files, "dupes_suspected": self._dupes_suspected,
+                "dupe_bytes": self._dupe_bytes}
 
     # -- planning ---------------------------------------------------------
     def _current_path(self, ino: str, recorded: str) -> str:
@@ -276,6 +333,40 @@ class TailStreamReader(DataSourceStreamReader):
                 pass
             p = self._paths.get(ino)
         return p or recorded
+
+    def _match_copy(self, path: str, rec: dict) -> tuple[str, int] | None:
+        """Duplicate-suspect check for a first-seen inode: does any tracked
+        stream's committed prefix open this file?  Free when fingerprint
+        lengths match; otherwise one ≤4 KiB read amortized over rotations
+        (new inodes only appear when something rotated).  Returns the
+        (source ino, window bytes) of the largest matching committed
+        prefix — the suspected re-delivery window — or None."""
+        candidates = [(ino, v) for ino, v in self._last_files.items()
+                      if v.get("off", 0) > 0 and v.get("fp") is not None
+                      and v["fplen"] <= rec["fplen"]]
+        if not candidates:
+            return None
+        best: tuple[str, int] | None = None
+        need_read = any(v["fplen"] != rec["fplen"] for _, v in candidates)
+        buf = None
+        if need_read:
+            try:
+                with open(path, "rb") as f:
+                    buf = f.read(max(v["fplen"] for _, v in candidates))
+            except OSError:
+                buf = None
+        for ino, v in candidates:
+            if v["fplen"] == rec["fplen"]:
+                match = v["fp"] == rec["fp"]
+            elif buf is not None and len(buf) >= v["fplen"]:
+                match = (zlib.crc32(buf[:v["fplen"]]) & 0xFFFFFFFF) == v["fp"]
+            else:
+                match = False
+            if match:
+                window = min(int(v["off"]), int(rec["off"]))
+                if best is None or window > best[1]:
+                    best = (ino, window)
+        return best
 
     def _same_content(self, path: str, prev: dict, cur: dict) -> bool:
         """Is the file at `path` still the one `prev` committed through?

@@ -183,6 +183,92 @@ def test_tail_copytruncate_regrow_detected_by_fingerprint(tmp_path):
     assert [(p.start, p.end) for p in parts] == [(0, 18)]  # re-read from 0
 
 
+def test_tail_duplicates_suspected_counter(tmp_path):
+    """Fingerprint-mismatch reopens are COUNTED and ride the offset dict
+    (VERDICT r6 task #7): each suspected-duplicate window increments
+    `dupes_suspected` and adds the previously committed bytes to
+    `dupe_bytes`; plain growth never counts.  Counters are per reader
+    lifetime (the reference's process-lifetime metric semantics)."""
+    d = str(tmp_path)
+    log = f"{d}/t.log"
+    _append(log, "old-1\nold-2\n")
+    r = _reader(d)
+    start = r.latestOffset()
+    assert start["dupes_suspected"] == 0 and start["dupe_bytes"] == 0
+
+    # plain growth: no suspicion
+    _append(log, "old-3\n")
+    mid = r.latestOffset()
+    assert mid["dupes_suspected"] == 0
+
+    # copytruncate-regrow: prefix changed → one suspected window of the
+    # previously committed 18 bytes
+    with open(log, "w") as f:
+        f.write("NEW-a\nNEW-b\nNEW-c\nNEW-d\n")
+    end = r.latestOffset()
+    assert end["dupes_suspected"] == 1 and end["dupe_bytes"] == 18
+
+    # shrink-only truncation also counts (committed bytes vanished)
+    with open(log, "w") as f:
+        f.write("x\n")
+    end2 = r.latestOffset()
+    assert end2["dupes_suspected"] == 2 and end2["dupe_bytes"] == 18 + 24
+
+    # restart: fresh reader, fresh (process-lifetime) counters
+    fresh = _reader(d)
+    final = fresh.latestOffset()
+    assert final["dupes_suspected"] == 0 and final["dupe_bytes"] == 0
+
+
+def test_tail_copytruncate_copy_counts_exact_windows(tmp_path):
+    """The copytruncate COPY (a new inode whose prefix equals the live
+    stream's committed prefix, landing in the watched glob) is the
+    dominant duplicate source — each copy counts exactly one suspected
+    window of exactly the bytes committed from the live inode, across
+    several rotations, including the unequal-fingerprint-length case."""
+    import shutil
+
+    d = str(tmp_path)
+    log = f"{d}/ct.log"
+    r = _reader(d)
+    expected_windows = []
+    line_no = 0
+    for rot in range(3):
+        for _ in range(5 + rot):
+            _append(log, f"ct:{line_no}\n")
+            line_no += 1
+        off = r.latestOffset()["files"]
+        committed = next(v["off"] for v in off.values()
+                         if v["path"] == log)
+        # copytruncate: copy out (new inode in the watched dir), truncate
+        shutil.copyfile(log, f"{d}/ct.log.r{rot}")
+        with open(log, "r+b") as f:
+            f.truncate(0)
+        expected_windows.append(committed)
+    end = r.latestOffset()
+    # ONE window per rotation: the copy's prefix match and the live
+    # inode's truncation reopen are the same event and are reconciled
+    assert end["dupes_suspected"] == len(expected_windows)
+    assert end["dupe_bytes"] == sum(expected_windows)
+
+
+def test_heartbeat_surfaces_duplicates_suspected():
+    """build_status's helper reads the tail source's counters out of a
+    progress dict's endOffset (JSON string, as Spark reports it)."""
+    import json as json_mod
+
+    from singer_spark.heartbeat import _dupes_from_progress
+
+    p = {"sources": [
+        {"endOffset": json_mod.dumps(
+            {"files": {}, "dupes_suspected": 3, "dupe_bytes": 4096})},
+        {"endOffset": json_mod.dumps({"files": {}})},  # no counters: ignored
+    ]}
+    assert _dupes_from_progress(p) == {"reopens": 3, "bytes": 4096}
+    assert _dupes_from_progress({"sources": [{"endOffset": "{}"}]}) is None
+    assert _dupes_from_progress({}) is None
+
+
 def test_tail_plain_growth_keeps_offset(tmp_path):
     d = str(tmp_path)
     log = f"{d}/g.log"

@@ -384,6 +384,84 @@ def run_curation_soak(spark, root: str, seconds: float, telem=None) -> list[tupl
              "OK" if good else "FAIL")]
 
 
+def run_dupes_metric_soak(spark, root: str, seconds: float,
+                          telem=None) -> list[tuple]:
+    """Validate the tail source's `duplicatesSuspected` counters against
+    the ground truth (VERDICT r6 task #7): ONE long-lived query (a
+    processingTime trigger keeps one reader instance alive — the metric
+    is per reader lifetime, like the reference's process-lifetime
+    SingerStatus counters) consumes a copytruncate-rotated stream, then
+    the reader-reported `dupe_bytes` (from the final checkpointed offset)
+    is compared to the duplicate bytes actually measured in the delivered
+    rows.  Rotation is sized slower than the trigger cadence and past the
+    4 KiB fingerprint window (rotate_every=2000, ~18 KiB) so every
+    rotation's committed window is observable; the kill/restart tail soak
+    above intentionally is NOT this regime — a reader that restarts every
+    cycle has no prior state to suspect duplicates against (the
+    reference's agents share that restart blind spot)."""
+    import json
+
+    from singer_spark.streaming.tail import tail_stream
+
+    log_dir = os.path.join(root, "dupes_logs")
+    out = os.path.join(root, "dupes_out")
+    ckpt = os.path.join(root, "dupes_ckpt")
+    os.makedirs(log_dir)
+    stop = threading.Event()
+    w = Writer(log_dir, "ctm", "copytruncate", stop, rotate_every=6000)
+    w.start()
+    q = (tail_stream(spark, log_dir, glob="*")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="500 milliseconds").start())
+    time.sleep(seconds)
+    stop.set()
+    w.join()
+    time.sleep(3.0)  # let the final copies/truncation be observed
+    q.stop()
+    if telem:
+        telem.note("dupes_metric", 1, [ckpt])
+
+    from collections import Counter
+
+    c: Counter = Counter()
+    line_bytes: dict[int, int] = {}
+    for r in spark.read.parquet(out).collect():
+        name, n = r.value.split(":")
+        n = int(n)
+        c[n] += 1
+        line_bytes[n] = len(r.value) + 1  # + newline
+    measured_dupe_bytes = sum((v - 1) * line_bytes[n]
+                              for n, v in c.items() if v > 1)
+    measured_dupes = sum(v - 1 for v in c.values())
+    missing = sum(1 for i in range(w.written) if i not in c)
+
+    # reader-reported counters: the newest checkpointed offset
+    odir = os.path.join(ckpt, "offsets")
+    batches = sorted(int(f) for f in os.listdir(odir) if f.isdigit())
+    suspected = {"dupes_suspected": 0, "dupe_bytes": 0}
+    with open(os.path.join(odir, str(batches[-1]))) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("{") and "dupes_suspected" in line:
+                suspected = json.loads(line)
+                break
+    sus_bytes = int(suspected.get("dupe_bytes", 0))
+    sus_windows = int(suspected.get("dupes_suspected", 0))
+    # the counter is a SUSPICION estimate: windows measured at commit
+    # granularity vs dupes measured per line; accept a generous band and
+    # require the signal to fire whenever duplicates actually happened
+    ratio = sus_bytes / measured_dupe_bytes if measured_dupe_bytes else None
+    good = missing == 0 and (
+        (measured_dupes == 0 and sus_windows == 0)
+        or (sus_windows > 0 and ratio is not None and 0.5 <= ratio <= 2.0))
+    return [("ctm(dupes metric)", "copytruncate", w.written, w.rotations,
+             sum(c.values()),
+             f"sus={sus_windows}w/{sus_bytes}B",
+             f"meas={measured_dupes}/{measured_dupe_bytes}B",
+             "OK" if good else "FAIL")]
+
+
 def main(seconds: float = 60.0, root: str = "/tmp/singer_spark_soak") -> int:
     from singer_spark.session import get_spark
 
@@ -392,9 +470,10 @@ def main(seconds: float = 60.0, root: str = "/tmp/singer_spark_soak") -> int:
     spark = get_spark("soak_tail")
     spark.sparkContext.setLogLevel("ERROR")
     telem = Telemetry(root)
-    rows = run_tail_soak(spark, root, seconds * 0.5, telem)
+    rows = run_tail_soak(spark, root, seconds * 0.45, telem)
     rows += run_thrift_tail_soak(spark, root, seconds * 0.25, telem)
-    rows += run_curation_soak(spark, root, seconds * 0.25, telem)
+    rows += run_curation_soak(spark, root, seconds * 0.2, telem)
+    rows += run_dupes_metric_soak(spark, root, max(20.0, seconds * 0.1), telem)
     hdr = ("stream", "mode", "written", "rotations", "delivered",
            "missing", "dupes", "status")
     print(("{:>22}" * len(hdr)).format(*hdr))
