@@ -1547,6 +1547,19 @@ def _sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, num_planes=8)
 
 
+def _sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): 8 subspaces × 16
+    sampled codebook entries (vectors with vec_id < 16 — data values),
+    asymmetric-distance scoring in integer micro-units
+    (operators/similarity.py `pq_ann_topk`).  The 10⁹-vector memory
+    path: 256-byte vectors become 4-byte code rows; deterministic down
+    to the ADC totals, so the oracle replays codes + LUT in plain SQL."""
+    from singer_spark.operators.similarity import pq_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    return pq_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, m=8, kc=16)
+
+
 def _embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster z-score of each vector's cosine to its own coarse
     centroid — the mis-encoded/off-distribution embedding screen."""
@@ -1908,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bruteforce_topk": _sim_bruteforce_topk,
         "sim_lsh_ann": _sim_lsh_ann,
         "sim_ivf_ann": _sim_ivf_ann,
+        "sim_pq_ann": _sim_pq_ann,
         "sim_ivf_trained": _sim_ivf_trained,
         "embedding_near_dup": _embedding_near_dup,
         # text analysis
@@ -3637,6 +3651,43 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT query_id, neighbor_id, rank::INT AS rank, cosine FROM r WHERE rank <= 5""",
         "sim_lsh_ann": _lsh_ann_oracle(),
+        # PQ replay: codebooks are the vec_id<16 subvectors, subspace
+        # distances are list_dot_product over the elementwise diff (the
+        # same left-to-right float64 accumulation as the Arrow kernel),
+        # fixed to integer micro-units BEFORE argmin/sum — integer sums
+        # are order-independent, so codes, ADC totals, and ranks match
+        # the engine bit-for-bit.
+        "sim_pq_ann": """
+            WITH dims AS (SELECT unnest(generate_series(0, 7)) AS s),
+            sub AS (
+              SELECT vec_id, s,
+                     (embedding::DOUBLE[])[8*s + 1 : 8*s + 8] AS v
+              FROM embeddings CROSS JOIN dims),
+            seedsub AS (SELECT vec_id AS code, s, v AS cv FROM sub WHERE vec_id < 16),
+            dists AS (
+              SELECT a.vec_id, a.s, c.code,
+                     floor(list_dot_product(
+                       list_transform(range(1, 9), i -> a.v[i] - c.cv[i]),
+                       list_transform(range(1, 9), i -> a.v[i] - c.cv[i])
+                     ) * 1000000 + 0.5)::BIGINT AS dm
+              FROM sub a JOIN seedsub c USING (s)),
+            codes AS (
+              SELECT vec_id AS neighbor_id, s, code FROM (
+                SELECT vec_id, s, code,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY dm, code) AS rn
+                FROM dists) WHERE rn = 1),
+            lut AS (SELECT vec_id AS query_id, s, code, dm
+                    FROM dists WHERE vec_id < 10),
+            adc AS (
+              SELECT l.query_id, c.neighbor_id, sum(l.dm)::BIGINT AS adc_micro
+              FROM codes c JOIN lut l USING (s, code)
+              WHERE c.neighbor_id <> l.query_id
+              GROUP BY 1, 2)
+            SELECT query_id, neighbor_id, rank::INT AS rank, adc_micro FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY adc_micro, neighbor_id) AS rank
+              FROM adc) WHERE rank <= 5""",
         "sim_ivf_ann": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

@@ -7,6 +7,8 @@ port (default) or an AF_UNIX socket (``socket_path=``, the reference's
 ``singer.admin.socket`` shape — filesystem-permission-scoped, no port).
 
   GET  /status  → {"queries": [names], "draining": bool}
+  GET  /metrics → the heartbeat's SingerStatus dict on demand (per-query
+                  latency percentiles, stuck counts, duplicatesSuspected)
   POST /drain   → process everything available on all queries, then stop
   POST /stop    → stop all queries immediately
 
@@ -118,7 +120,10 @@ class AdminServer:
     def __init__(self, manager, host: str = "127.0.0.1", port: int = 0,
                  socket_path: str | None = None,
                  allowed_uids: set[int] | None = None) -> None:
+        import time as time_mod
+
         mgr = manager
+        started = time_mod.time()  # uptime base for /metrics
 
         class Handler(BaseHTTPRequestHandler):
             def _send(self, code: int, payload: dict) -> None:
@@ -133,6 +138,19 @@ class AdminServer:
                 if self.path == "/status":
                     self._send(200, {"queries": sorted(mgr.queries),
                                      "draining": mgr.is_draining()})
+                elif self.path == "/metrics":
+                    # the heartbeat's SingerStatus-shaped dict on demand
+                    # (per-query latency percentiles, stuck counts,
+                    # duplicatesSuspected) — the reference exposes its
+                    # stats through the same admin surface deploy tooling
+                    # polls (admin/AdminServer.java:43-145)
+                    spark = getattr(mgr, "spark", None)
+                    if spark is None:
+                        self._send(404, {"error": "manager has no spark session"})
+                    else:
+                        from singer_spark.heartbeat import build_status
+
+                        self._send(200, build_status(spark, started))
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
 

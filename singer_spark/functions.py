@@ -186,9 +186,11 @@ def murmur3_int(col: Column | str) -> Column:
 # agreement booleans, and the driver's plain-SQL oracle value-checks the
 # invariant.  Independence is real — java.util.zip.CRC32 vs Python zlib,
 # Spark's codegen'd Murmur3_x86_32 vs the pure-Python reimplementation
-# below.  These are the ONLY Python-side row kernels in the engine, used
-# exclusively on verification paths (never in a production hot path); both
-# are Arrow-batched pandas_udfs, not row-at-a-time PythonUDFs.
+# below.  These are the engine's only PER-ROW (non-numpy-vectorized)
+# Python kernels, used exclusively on verification paths — never in a
+# production hot path (the production pandas UDFs in operators/ are all
+# numpy-vectorized across the Arrow batch); both transfer via Arrow, not
+# row-at-a-time PythonUDF pickling.
 # ---------------------------------------------------------------------------
 def spark_murmur3_py(data: bytes, seed: int = 42) -> int:
     """Murmur3_x86_32 exactly as Spark's ``hash()`` computes it for strings

@@ -462,6 +462,159 @@ def _probe_clusters(queries: DataFrame, C: "np.ndarray", nprobe: int,
                           F.explode(probe(F.col(vec_col))).alias("cluster"))
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the 10⁹-vector memory story.
+#
+# Jégou et al., "Product Quantization for Nearest Neighbor Search" (TPAMI
+# 2011, public).  The 64-dim vector splits into m=8 subvectors; each
+# subvector quantizes to its nearest of kc=16 per-subspace codebook entries,
+# so a 256-byte float vector stores as 8 codes (4 bits each — 4 bytes, a
+# 64× compression) plus one shared m·kc·(dim/m)-float codebook.  Search is
+# asymmetric distance computation (ADC): the query precomputes an
+# (m × kc) lookup table of exact subspace distances, and each corpus
+# vector's approximate distance is m integer table lookups — no float math
+# per candidate.
+#
+# 100 TB shape: the corpus is encoded ONCE (narrow Arrow pass; 8 tinyint
+# codes per row leave the scan, vectors never shuffle), the LUT is a
+# queries×m×kc broadcast, and scoring is a shuffle-free numpy gather per
+# partition; only (neighbor, query, adc) rows reach the per-query top-k —
+# the same reduction shape as brute_force_topk but over 4-byte codes
+# instead of 256-byte vectors, which is what makes a 10⁹-vector scan fit
+# the page cache.
+#
+# Cross-engine determinism (the house discipline): codebooks are DATA
+# VALUES (subvectors of the vectors with id < kc — the sampled-codebook
+# baseline init, no Lloyd iterations on the oracle-pinned path), subspace
+# distances accumulate strictly left-to-right in float64 (matching DuckDB
+# list_dot_product) and are fixed to integer micro-units (floor(d²·1e6 +
+# 0.5)) BEFORE argmin/summation, so code assignment, ADC totals, and
+# ranking are bit-identical to a plain-SQL oracle: integer sums are
+# order-independent where float sums are not.
+# ---------------------------------------------------------------------------
+def _pq_seed_codebooks(corpus: DataFrame, m: int, kc: int,
+                       id_col: str, vec_col: str) -> "np.ndarray":
+    """(m, kc, dim/m) codebook tensor from the vectors with id < kc —
+    data values, so an external SQL oracle reproduces every code."""
+    rows = (corpus.filter(F.col(id_col) < kc)
+            .select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+            .collect())
+    if len(rows) < kc:
+        raise ValueError(
+            f"PQ seed codebooks need {kc} rows with {id_col} < {kc}; "
+            f"found {len(rows)}")
+    rows.sort(key=lambda r: r.cid)
+    seeds = np.array([r.cv for r in rows], dtype=np.float64)  # (kc, dim)
+    dim = seeds.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    return seeds.reshape(kc, m, sub).transpose(1, 0, 2)  # (m, kc, sub)
+
+
+def _pq_micro_l2(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """(n, kc) integer micro-unit squared L2 distances with the exact
+    left-to-right float64 accumulation of DuckDB's list_dot_product over
+    the elementwise difference — vectorized across rows, sequential
+    across dims (the _seq_cosine_matrix discipline)."""
+    n, sub = V.shape
+    out = np.empty((n, C.shape[0]), dtype=np.int64)
+    for ci in range(C.shape[0]):
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(sub):
+            diff = V[:, d] - C[ci, d]
+            acc = acc + diff * diff
+        out[:, ci] = np.floor(acc * 1e6 + 0.5).astype(np.int64)
+    return out
+
+
+def _pq_codes_matrix(V: "np.ndarray", CB: "np.ndarray") -> "np.ndarray":
+    """(n, m) code matrix: per subspace, argmin of micro-unit distance
+    (ties → lowest code, matching the oracle's ORDER BY dist, code)."""
+    n, dim = V.shape
+    m, _kc, sub = CB.shape
+    codes = np.empty((n, m), dtype=np.int64)
+    for s in range(m):
+        d = _pq_micro_l2(V[:, s * sub:(s + 1) * sub], CB[s])
+        codes[:, s] = np.argmin(d, axis=1)  # first minimum = lowest code
+    return codes
+
+
+def pq_encode(corpus: DataFrame, codebooks: "np.ndarray",
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>) — the stored form: 4 bits per code at kc=16,
+    64× smaller than the float vector it replaces.  One narrow Arrow pass;
+    nothing shuffles."""
+    from pyspark.sql.functions import pandas_udf
+
+    CB = codebooks
+
+    @pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series([row.astype("int32").tolist()
+                          for row in _pq_codes_matrix(V, CB)])
+
+    return fan_out(corpus).select(F.col(id_col),
+                                  enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                m: int = 8, kc: int = 16,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance: encode the corpus to
+    (m)-code rows, precompute each query's (m × kc) micro-unit LUT
+    driver-side (queries are a bounded set — the brute_force_topk
+    contract), and score every corpus vector against ALL queries in one
+    shuffle-free numpy gather; only (neighbor, query, adc) rows reach the
+    per-query top-k window.  Output: (query_id, neighbor_id, rank,
+    adc_micro) — integer ADC totals, exactly reproducible in SQL."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    from singer_spark.functions import assert_bounded
+
+    CB = _pq_seed_codebooks(corpus, m, kc, id_col, vec_col)
+    q_rows = (assert_bounded(queries, what="pq_ann_topk query set")
+              .select(F.col(id_col).alias("qid"), as_double(vec_col).alias("v"))
+              .collect())
+    q_rows.sort(key=lambda r: r.qid)
+    Q = np.stack([np.asarray(r.v, dtype=np.float64) for r in q_rows])
+    sub = Q.shape[1] // m
+    # LUT[qi, s, code] = micro-unit d²(query subvector, codebook entry)
+    LUT = np.empty((len(q_rows), m, kc), dtype=np.int64)
+    for s in range(m):
+        LUT[:, s, :] = _pq_micro_l2(Q[:, s * sub:(s + 1) * sub], CB[s])
+
+    @pandas_udf("array<bigint>")
+    def adc(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        codes = _pq_codes_matrix(V, CB)                  # (n, m)
+        total = np.zeros((len(V), LUT.shape[0]), dtype=np.int64)
+        for s in range(m):
+            total += LUT[:, s, codes[:, s]].T            # (n, nq) gather
+        return pd.Series([row.tolist() for row in total])
+
+    spark = corpus.sparkSession
+    qmap = spark.createDataFrame(
+        [(i, int(r.qid)) for i, r in enumerate(q_rows)], "qi int, query_id bigint")
+    scored = (fan_out(corpus)
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.posexplode(adc(F.col(vec_col))).alias("qi", "adc_micro"))
+              .join(F.broadcast(qmap), "qi")
+              .filter(F.col("neighbor_id") != F.col("query_id")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_micro").asc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"), "adc_micro"))
+
+
 def auto_num_planes(n: int, lo: int = 8, hi: int = 30) -> int:
     """Hyperplane count for self-join LSH blocking, derived from corpus size:
     ceil(log₂ N) planes ⇒ 2^planes ≈ N buckets per table, so the mean bucket

@@ -335,8 +335,8 @@ class TailStreamReader(DataSourceStreamReader):
         return p or recorded
 
     def _match_copy(self, path: str, rec: dict) -> tuple[str, int] | None:
-        """Duplicate-suspect check for a first-seen inode: does any tracked
-        stream's committed prefix open this file?  Free when fingerprint
+        """Duplicate-suspect check for a first-seen inode: is any tracked
+        stream's committed prefix also a prefix of this file?  Free when fingerprint
         lengths match; otherwise one ≤4 KiB read amortized over rotations
         (new inodes only appear when something rotated).  Returns the
         (source ino, window bytes) of the largest matching committed

@@ -199,6 +199,10 @@ def test_admin_endpoint_status_and_drain(spark, tmp_path):
     try:
         status = json.load(urllib.request.urlopen(f"{base}/status"))
         assert status == {"queries": ["admin_log"], "draining": False}
+        # /metrics: the heartbeat's SingerStatus dict on demand
+        metrics = json.load(urllib.request.urlopen(f"{base}/metrics"))
+        assert metrics["numLogStreams"] >= 1
+        assert "duplicatesSuspected" in metrics and "kafkaWrites" in metrics
         # drain over HTTP: processes everything available, then stops
         resp = json.load(urllib.request.urlopen(
             urllib.request.Request(f"{base}/drain", method="POST")))

@@ -177,6 +177,52 @@ def test_lsh_ann_auto_planes_recall(spark, sf_dir):
     assert hits >= 16, f"planted near-dup recall too low: {hits}/20"
 
 
+def test_pq_encode_and_ann(spark, sf_dir):
+    """PQ (Jégou et al. 2011): codes are in range and 64× smaller than the
+    vectors they replace; a PLANTED near-duplicate (tiny perturbation of a
+    corpus vector) quantizes to nearly the same cell per subspace, so ADC
+    ranks the original at the top for most planted queries — the recall
+    regime PQ guarantees."""
+    from singer_spark.operators.similarity import (
+        _pq_seed_codebooks,
+        pq_ann_topk,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    CB = _pq_seed_codebooks(emb, m=8, kc=16, id_col="vec_id", vec_col="embedding")
+    assert CB.shape == (8, 16, 8)
+    codes = pq_encode(emb, CB).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:50]:
+        assert len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes)
+
+    queries = (emb.filter(F.col("vec_id") < 20)
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       F.transform("embedding",
+                                   lambda x: x * 1.0001 + 0.0003).alias("embedding")))
+    top1 = {r.query_id - 1_000_000: r.neighbor_id
+            for r in pq_ann_topk(emb, queries, k=1).collect()}
+    hits = sum(1 for orig, nb in top1.items() if nb == orig)
+    assert hits >= 14, f"planted near-dup ADC recall too low: {hits}/20"
+
+
+def test_pq_ann_deterministic_and_self_nearest(spark, sf_dir):
+    """Codes/ADC are integer-deterministic: two runs agree exactly, and a
+    corpus vector used as its own query ranks vectors sharing its cells
+    first (its own id is excluded by the neighbor != query filter)."""
+    from singer_spark.operators.similarity import pq_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    a = [(r.query_id, r.neighbor_id, r.rank, r.adc_micro)
+         for r in pq_ann_topk(emb, q, k=5).collect()]
+    b = [(r.query_id, r.neighbor_id, r.rank, r.adc_micro)
+         for r in pq_ann_topk(emb, q, k=5).collect()]
+    assert sorted(a) == sorted(b) and len(a) == 25
+    assert all(adc >= 0 for *_, adc in a)
+
+
 def test_ivf_assignments_and_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assigned = similarity.ivf_build_assignments(emb, n_clusters=16)
