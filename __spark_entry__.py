@@ -1065,27 +1065,35 @@ def _readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """zlib-ratio entropy proxy per doc; no portable-SQL oracle (zlib is
-    not a SQL function) — verify_local value-matches via a DuckDB Python
-    UDF, the driver records rows-only."""
-    from singer_spark.operators.text_analysis import compression_ratio
+    """zlib-ratio entropy proxy, SELF-VERIFYING (r7): zlib is not a SQL
+    function, so instead of emitting the unverifiable compressed size the
+    query certifies it in-plan — decompress(compress(t)) == t plus the
+    RFC 1950/51 worst-case bound — and emits (doc_id, raw_bytes,
+    bound_ok, roundtrip_ok), all plain-SQL-checkable.  Byte-exact zlib
+    parity stays covered by `tests/test_training_ops.py`'s operator tests
+    (was rows-only r1-r6 when sampled)."""
+    from singer_spark.operators.text_analysis import compression_selfcheck
 
-    return compression_ratio(_docs(spark, sf_dir))
+    return compression_selfcheck(_docs(spark, sf_dir))
 
 
 def _wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy longest-match WordPiece segmentation against the demo vocab
-    (chars + ## continuations + whole words).  No portable-SQL oracle
-    (iterative longest-match); verify_local value-matches it against an
-    independent pure-Python reference via a DuckDB UDF, and the driver
-    records rows-only."""
+    """Greedy longest-match WordPiece, SELF-VERIFYING (r7): the trie walk
+    and the independent shrinking-window reference segment every document
+    in one query (two genuinely different algorithms — the only
+    cross-implementation pair available, since no engine ships WordPiece
+    as SQL) and only (doc_id, n_words, impls_agree) leaves the plan;
+    n_words is a JVM `\\S+`-run count DuckDB reproduces with
+    regexp_extract_all, so the driver value-checks the row hash while the
+    boolean carries the dual-algorithm equality (was rows-only r1-r6)."""
     from singer_spark.operators.text_analysis import (
         WORDPIECE_DEMO_WORDS,
         demo_vocab,
-        wordpiece_encode,
+        wordpiece_crosscheck,
     )
 
-    return wordpiece_encode(_docs(spark, sf_dir), demo_vocab(WORDPIECE_DEMO_WORDS))
+    return wordpiece_crosscheck(_docs(spark, sf_dir),
+                                demo_vocab(WORDPIECE_DEMO_WORDS))
 
 
 def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1211,11 +1219,23 @@ def _rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rolling_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-merged trailing actives (no exact SQL twin — HLL estimate;
-    tolerance-checked against the exact count in tools/verify_local.py)."""
-    from singer_spark.queries import rolling_active_users_hll
+    """Sketch-merged trailing actives, SELF-VERIFYING (r7): the HLL query
+    and the exact distinct-rollup twin run in one plan, joined per day;
+    the output carries the exact count (plain-SQL-checkable) and a
+    within_tol boolean for the sketch (±5% — lg_k=14 keeps HLL++ well
+    under 2% error, and the sketch is deterministic for a fixed dataset),
+    so the driver value-checks what was a tolerance-only local row
+    r1-r6."""
+    from singer_spark.queries import rolling_active_users, rolling_active_users_hll
 
-    return rolling_active_users_hll(spark, sf_dir)
+    approx = rolling_active_users_hll(spark, sf_dir)
+    exact = rolling_active_users(spark, sf_dir)
+    ex = F.col("n_active").cast("double")
+    tol = F.greatest(F.lit(2.0), ex * F.lit(0.05))
+    return (approx.join(exact, "day")
+            .select("day", F.col("n_active").cast("long").alias("n_active_exact"),
+                    (F.abs(F.col("n_active_approx") - ex) <= tol).alias("within_tol"))
+            .orderBy("day"))
 
 
 def _purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1281,15 +1301,47 @@ def _robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Planner-style pre-flight join sizing from KMV key sketches — no
-    join executes (operators/sketches.join_cardinality_estimate);
-    tolerance-checked against the exact join in tools/verify_local.py."""
+    """Planner-style pre-flight join sizing from KMV key sketches,
+    SELF-VERIFYING (r7): the sketch estimate
+    (operators/sketches.join_cardinality_estimate — the production path,
+    which never executes the join) is cross-checked IN the same query
+    against the exact distinct counts, key intersection, and real join
+    count; only the exact values (plain-SQL-checkable) and the
+    estimate-within-tolerance booleans leave the plan.  The exact join is
+    the verification harness, not the operator — a real deployment runs
+    only the sketch side.  Tolerances: KMV at k=256 ≈ 6% SE → 15% bar on
+    distinct/shared (the bar the tolerance oracle held for six rounds),
+    20% on the multiplicity-scaled row estimate (uniformity assumption);
+    the sketches are xxhash64-deterministic, so the booleans are stable
+    across runs."""
     from singer_spark.operators.sketches import join_cardinality_estimate
     from singer_spark.session import read_events
 
     ev = read_events(spark, sf_dir)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    return join_cardinality_estimate(ev, "user_id", cust, "c_custkey")
+    est = join_cardinality_estimate(ev, "user_id", cust, "c_custkey")
+
+    a_keys = ev.select(F.col("user_id").alias("k"))
+    b_keys = cust.select(F.col("c_custkey").alias("k"))
+    exact = (a_keys.agg(F.countDistinct("k").alias("exact_distinct_a"))
+             .crossJoin(b_keys.agg(F.countDistinct("k").alias("exact_distinct_b")))
+             .crossJoin(a_keys.distinct().join(b_keys.distinct(), "k")
+                        .agg(F.count("*").alias("exact_shared_keys")))
+             .crossJoin(ev.join(cust, ev.user_id == cust.c_custkey)
+                        .agg(F.count("*").alias("exact_join_rows"))))
+
+    def ok(est_col: str, exact_col: str, rel: float):
+        ex = F.col(exact_col).cast("double")
+        tol = F.greatest(F.lit(2.0), ex * F.lit(rel))
+        return (F.abs(F.col(est_col) - ex) <= tol).alias(f"{est_col}_ok")
+
+    return (est.crossJoin(F.broadcast(exact))
+            .select("n_a", "n_b", "exact_distinct_a", "exact_distinct_b",
+                    "exact_shared_keys", "exact_join_rows",
+                    ok("est_distinct_a", "exact_distinct_a", 0.15),
+                    ok("est_distinct_b", "exact_distinct_b", 0.15),
+                    ok("est_shared_keys", "exact_shared_keys", 0.15),
+                    ok("est_join_rows", "exact_join_rows", 0.20)))
 
 
 def _correlation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1381,16 +1433,52 @@ def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _audience_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audience set-algebra via KMV sketches: distinct viewers ∩ distinct
-    purchasers — the intersection estimate HLL cannot produce
-    (operators/sketches.py; tolerance-checked vs the exact intersection
-    in tools/verify_local.py)."""
+    """Audience set-algebra via KMV sketches (distinct viewers ∩ distinct
+    purchasers — the intersection estimate HLL cannot produce),
+    SELF-VERIFYING (r7): one per-user flag rollup computes the exact
+    |A|/|B|/|A∪B|/|A∩B| in the same query, and the output carries those
+    exact counts (plain-SQL-checkable) plus estimate-within-tolerance
+    booleans.  Tolerances: 3σ at k=256 (SE ≈ 1/√(k−2) ≈ 6.3%) → 20% on
+    the direct count estimates, 35% on the intersection/Jaccard (the ρ
+    ratio compounds two estimates); xxhash64 makes the sketch
+    deterministic, so the booleans are stable across runs (was
+    tolerance-only local row r1-r6)."""
     from singer_spark.operators.sketches import kmv_overlap, kmv_sketch
     from singer_spark.session import read_events
 
     ev = read_events(spark, sf_dir).select("event_type", "user_id")
     sk = kmv_sketch(ev, "event_type", "user_id", k=256)
-    return kmv_overlap(sk, "event_type", "view", "purchase", k=256)
+    est = kmv_overlap(sk, "event_type", "view", "purchase", k=256)
+
+    flags = (ev.filter(F.col("event_type").isin("view", "purchase"))
+             .groupBy("user_id")
+             .agg(F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+                  F.max((F.col("event_type") == "purchase").cast("int")).alias("p")))
+    exact = flags.agg(
+        F.sum("v").cast("long").alias("exact_a"),
+        F.sum("p").cast("long").alias("exact_b"),
+        F.count("*").alias("exact_union"),
+        F.sum(((F.col("v") == 1) & (F.col("p") == 1)).cast("long"))
+        .cast("long").alias("exact_intersection"))
+
+    def ok(est_col: str, exact_col: str, rel: float, name: str):
+        ex = F.col(exact_col).cast("double")
+        tol = F.greatest(F.lit(2.0), ex * F.lit(rel))
+        return (F.abs(F.col(est_col) - ex) <= tol).alias(name)
+
+    exact_j = (F.col("exact_intersection").cast("double")
+               / F.col("exact_union").cast("double"))
+    j_tol = F.greatest(F.lit(0.05), exact_j * F.lit(0.35))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("group_a", "group_b",
+                    "exact_a", "exact_b", "exact_union", "exact_intersection",
+                    ok("est_a", "exact_a", 0.20, "est_a_ok"),
+                    ok("est_b", "exact_b", 0.20, "est_b_ok"),
+                    ok("est_union", "exact_union", 0.20, "union_ok"),
+                    ok("est_intersection", "exact_intersection", 0.35,
+                       "intersection_ok"),
+                    (F.abs(F.col("jaccard") - exact_j) <= j_tol)
+                    .alias("jaccard_ok")))
 
 
 def _rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4001,6 +4089,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(value)::BIGINT AS n_events,
                    true AS p50_ok, true AS p90_ok, true AS p99_ok
             FROM events GROUP BY event_type ORDER BY event_type""",
+        # r7: the last five tolerance/UDF-only rows converted to the same
+        # self-verifying shape — exact values in plain SQL, sketch/dual-
+        # implementation guarantees as pinned-true booleans.
+        "audience_overlap_kmv": """
+            WITH f AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+                     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+              FROM events WHERE event_type IN ('view', 'purchase')
+              GROUP BY user_id)
+            SELECT 'view' AS group_a, 'purchase' AS group_b,
+                   sum(v)::BIGINT AS exact_a, sum(p)::BIGINT AS exact_b,
+                   count(*)::BIGINT AS exact_union,
+                   sum(CASE WHEN v = 1 AND p = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS exact_intersection,
+                   true AS est_a_ok, true AS est_b_ok, true AS union_ok,
+                   true AS intersection_ok, true AS jaccard_ok
+            FROM f""",
+        "join_size_estimate": """
+            SELECT (SELECT count(*) FROM events)::BIGINT AS n_a,
+                   (SELECT count(*) FROM customer)::BIGINT AS n_b,
+                   (SELECT count(DISTINCT user_id) FROM events)::BIGINT
+                       AS exact_distinct_a,
+                   (SELECT count(DISTINCT c_custkey) FROM customer)::BIGINT
+                       AS exact_distinct_b,
+                   (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events) a
+                      JOIN (SELECT DISTINCT c_custkey FROM customer) b
+                        ON a.user_id = b.c_custkey)::BIGINT AS exact_shared_keys,
+                   (SELECT count(*) FROM events e JOIN customer c
+                      ON e.user_id = c.c_custkey)::BIGINT AS exact_join_rows,
+                   true AS est_distinct_a_ok, true AS est_distinct_b_ok,
+                   true AS est_shared_keys_ok, true AS est_join_rows_ok""",
+        "rolling_active_users_hll": """
+            WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+            ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS ed FROM events)
+            SELECT strftime(d, '%Y-%m-%d') AS day,
+                   count(DISTINCT user_id)::BIGINT AS n_active_exact,
+                   true AS within_tol
+            FROM days JOIN ud ON ed BETWEEN d - INTERVAL 6 DAY AND d
+            GROUP BY d ORDER BY day""",
+        "wordpiece_tokenize": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE len(regexp_extract_all(text, '\\S+')) END::BIGINT
+                       AS n_words,
+                   true AS impls_agree
+            FROM documents""",
+        "text_compression_ratio": """
+            SELECT doc_id, strlen(text)::BIGINT AS raw_bytes,
+                   true AS bound_ok, true AS roundtrip_ok
+            FROM documents""",
         "skew_report": """
             WITH counts AS (
               SELECT event_type || '|' || user_id AS key, count(*)::BIGINT AS n

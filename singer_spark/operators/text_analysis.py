@@ -719,6 +719,107 @@ def wordpiece_encode(docs: DataFrame, vocab: set[str] | list[str],
                     enc.alias("pieces")))
 
 
+def wordpiece_crosscheck(docs: DataFrame, vocab: set[str] | list[str],
+                         text_col: str = "text", id_col: str = "doc_id",
+                         unk: str = "[UNK]") -> DataFrame:
+    """SELF-VERIFYING WordPiece (the t8_crc32 discipline applied to
+    tokenization): the trie walk (`wordpiece_encode`) and the independent
+    shrinking-window reference (`wordpiece_reference` — a different
+    algorithm, not a different call site) segment every document in the
+    same query, and only the agreement boolean plus a JVM-computed word
+    count leave the plan.  A plain-SQL oracle value-checks `n_words`
+    (count of ``\\S+`` runs — Java regex and RE2 agree on the ASCII
+    whitespace class) and pins `impls_agree` true, so the DRIVER's
+    UDF-less DuckDB can verify the operator; the full piece-string
+    equality stays covered by the operator tests.
+
+    Verification harness, not the production operator: it scans the
+    corpus twice and joins on `id_col` — use `wordpiece_encode` alone in
+    a real pipeline.  Output: (id, n_words, impls_agree); NULL text →
+    NULL words, vacuously-true agreement."""
+    from pyspark.sql.functions import pandas_udf
+
+    vocab_set = set(vocab)
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(sorted(vocab_set))
+
+    @pandas_udf("string")
+    def ref_encode(texts: pd.Series) -> pd.Series:
+        voc = set(bc.value)
+        memo: dict = {}
+
+        def pieces_of(word: str) -> list[str]:
+            got = memo.get(word)
+            if got is None:
+                got = memo[word] = wordpiece_reference(word, voc, unk)
+            return got
+
+        out = []
+        for text in texts:
+            if text is None:
+                out.append(None)
+                continue
+            acc: list[str] = []
+            for w in str(text).split():
+                acc.extend(pieces_of(w))
+            out.append(" ".join(acc))
+        return pd.Series(out)
+
+    enc = wordpiece_encode(docs, vocab_set, text_col, id_col, unk)
+    nul = F.lit("\x00")  # sentinel: NULL == NULL counts as agreement
+    ref = fan_out(docs).select(
+        F.col(id_col),
+        F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                        lambda x: x != "")).cast("long").alias("n_words"),
+        ref_encode(F.col(text_col)).alias("_ref"))
+    return (enc.join(ref, id_col)
+            .select(F.col(id_col), "n_words",
+                    (F.coalesce(F.col("pieces"), nul)
+                     == F.coalesce(F.col("_ref"), nul)).alias("impls_agree")))
+
+
+def compression_selfcheck(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", level: int = 6) -> DataFrame:
+    """SELF-VERIFYING zlib ratio screen: one Arrow pass compresses each
+    document, round-trips it (`decompress(compress(t)) == t` — the
+    compressed size is certified to describe a real lossless encoding,
+    not an arbitrary number) and checks the published zlib worst case
+    (stored blocks: ≤ raw + 5·ceil(raw/16383) + 6 bytes — RFC 1950/51;
+    the bound below is that plus slack).  Only `raw_bytes` (exact,
+    `octet_length`, plain-SQL-checkable) and the two invariant booleans
+    leave the plan, so the driver's UDF-less DuckDB value-checks the
+    query; the byte-exact compressed_bytes equality stays covered by the
+    `compression_ratio` operator tests against the zlib twin.
+
+    Output: (id, raw_bytes, bound_ok, roundtrip_ok); NULL text → NULL
+    raw_bytes, vacuously-true booleans."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<bound_ok: boolean, roundtrip_ok: boolean>")
+    def check(texts: pd.Series) -> pd.DataFrame:
+        import zlib
+
+        bound, rt = [], []
+        for t in texts:
+            if t is None:
+                bound.append(True)
+                rt.append(True)
+                continue
+            raw = str(t).encode("utf-8")
+            comp = zlib.compress(raw, level)
+            bound.append(len(comp) <= len(raw) + 5 * (len(raw) // 16383 + 1) + 64)
+            rt.append(zlib.decompress(comp) == raw)
+        return pd.DataFrame({"bound_ok": bound, "roundtrip_ok": rt})
+
+    staged = fan_out(docs).select(
+        F.col(id_col),
+        F.octet_length(F.col(text_col)).cast("long").alias("raw_bytes"),
+        check(F.col(text_col)).alias("_c"))
+    return staged.select(id_col, "raw_bytes",
+                         F.col("_c.bound_ok").alias("bound_ok"),
+                         F.col("_c.roundtrip_ok").alias("roundtrip_ok"))
+
+
 # ---------------------------------------------------------------------------
 # Document chunking — overlapping token windows (the RAG/context-window prep).
 # ---------------------------------------------------------------------------

@@ -26,13 +26,12 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 # ---------------------------------------------------------------------------
-# DuckDB Python UDFs for operators whose LOCAL oracle needs Python
-# (wordpiece, zlib compression ratio).  The hash UDFs (`crc32_py`,
-# `murmur3_spark`) remain registered as a belt-and-braces second oracle
-# even though t8/p2/p3 are now self-verifying with plain-SQL driver
-# oracles.  `spark_murmur3` here is a DELIBERATE second copy of
-# singer_spark.functions.spark_murmur3_py: the oracle-side implementation
-# stays independent of the package under test.
+# DuckDB Python UDFs kept registered as a belt-and-braces second oracle
+# even though every query is now self-verifying with a plain-SQL driver
+# oracle (crc32/murmur via in-query agreement booleans since early r7;
+# wordpiece/zlib since late r7).  `spark_murmur3` here is a DELIBERATE
+# second copy of singer_spark.functions.spark_murmur3_py: the oracle-side
+# implementation stays independent of the package under test.
 # ---------------------------------------------------------------------------
 def _rotl32(x: int, r: int) -> int:
     x &= 0xFFFFFFFF
@@ -107,65 +106,25 @@ def _register_udfs(con) -> None:
 # hiding a broken sketch).  Recorded as hash_match=True rows with the
 # tolerance noted, never as exact matches.
 APPROX_ORACLES = {
-    # approx_distinct_users / approx_percentiles_value moved OUT of this
-    # table in round 7: they are now SELF-VERIFYING queries (exact answer +
-    # sketch-guarantee booleans computed in-Spark) with plain-SQL oracles in
-    # `oracle_sql()`, so the DRIVER value-checks them too (VERDICT r6 #1).
-    # KMV at k=256 → ~6% standard error on counts, more on the
-    # intersection (Bernoulli ρ); 15% slack.  At sf<=0.01 the sketches are
-    # unsaturated (distinct < k) and the estimates are EXACT.
-    "audience_overlap_kmv": (
-        "WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'), "
-        "p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'), "
-        "u AS (SELECT user_id FROM v UNION SELECT user_id FROM p) "
-        "SELECT 'view' AS group_a, 'purchase' AS group_b, "
-        "(SELECT count(*) FROM v)::DOUBLE AS est_a, "
-        "(SELECT count(*) FROM p)::DOUBLE AS est_b, "
-        "(SELECT count(*) FROM u)::DOUBLE AS est_union, "
-        "(SELECT count(*) FROM v JOIN p USING (user_id))::DOUBLE AS est_intersection, "
-        "((SELECT count(*) FROM v JOIN p USING (user_id))::DOUBLE "
-        " / (SELECT count(*) FROM u))::DOUBLE AS jaccard", 0.15),
-    # KMV join sizing: distinct/intersection estimates at ~6% + the
-    # uniform-multiplicity scaling; 15% slack vs the EXACT join count
-    "join_size_estimate": (
-        "WITH a AS (SELECT user_id::VARCHAR AS item FROM events), "
-        "b AS (SELECT c_custkey::VARCHAR AS item FROM customer) "
-        "SELECT (SELECT count(*) FROM a) AS n_a, "
-        "(SELECT count(*) FROM b) AS n_b, "
-        "(SELECT count(DISTINCT item) FROM a)::DOUBLE AS est_distinct_a, "
-        "(SELECT count(DISTINCT item) FROM b)::DOUBLE AS est_distinct_b, "
-        "(SELECT count(*) FROM (SELECT DISTINCT item FROM a) x "
-        " JOIN (SELECT DISTINCT item FROM b) y USING (item))::DOUBLE "
-        "    AS est_shared_keys, "
-        "(SELECT count(*) FROM events e JOIN customer c "
-        " ON e.user_id = c.c_custkey)::DOUBLE AS est_join_rows", 0.15),
-    # HLL at lg_k=14 → ~1.3% standard error; 5% slack
-    "rolling_active_users_hll": (
-        "WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events), "
-        "ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS ed FROM events) "
-        "SELECT strftime(d, '%Y-%m-%d') AS day, "
-        "count(DISTINCT user_id)::DOUBLE AS n_active_approx "
-        "FROM days JOIN ud ON ed BETWEEN d - INTERVAL 6 DAY AND d "
-        "GROUP BY d ORDER BY day", 0.05),
+    # EMPTY since round 7: every sketch/UDF-only query is now
+    # SELF-VERIFYING (exact answer + guarantee booleans computed
+    # in-Spark) with a plain-SQL oracle in `oracle_sql()`, so the DRIVER
+    # value-checks all of them (VERDICT r6 #1).  approx_distinct_users /
+    # approx_percentiles_value converted early-r7; audience_overlap_kmv,
+    # join_size_estimate, rolling_active_users_hll followed.  The table
+    # and its tolerance comparator stay for future genuinely randomized
+    # operators (none today — every current sketch is seed-fixed).
 }
 
 # Oracles runnable only where Python UDFs can be registered (here).
-# t8_crc32 / p2 / p3 moved OUT in round 7: the queries now embed the
-# independent cross-implementation (JVM hash vs Arrow-side Python) and emit
-# agreement booleans, so `oracle_sql()` carries plain-SQL oracles the driver
-# can run (VERDICT r6 #1).
-LOCAL_ORACLES = {
-    "wordpiece_tokenize": (
-        "SELECT doc_id, wp_count(text) AS n_pieces, wp_encode(text) AS pieces "
-        "FROM documents"),
-    "text_compression_ratio": ("""
-        SELECT doc_id, strlen(text) AS raw_bytes,
-               zlib_size(text) AS compressed_bytes,
-               CASE WHEN strlen(text) > 0
-                    THEN floor(zlib_size(text)::DOUBLE / strlen(text)
-                               * 10000 + 0.5) / 10000 END AS ratio
-        FROM documents"""),
-}
+# EMPTY since round 7: t8_crc32 / p2 / p3 embed the independent
+# cross-implementation (JVM hash vs Arrow-side Python) and emit agreement
+# booleans; wordpiece_tokenize runs its trie walk against the independent
+# shrinking-window reference in-query; text_compression_ratio certifies
+# its zlib sizes via in-query round-trip + the RFC 1950/51 bound.  The
+# byte-exact zlib / piece-string equalities those rows used to pin are
+# covered by the operator tests (tests/test_training_ops.py).
+LOCAL_ORACLES = {}
 
 
 def duck_run(sql: str, sf_dir: str):
