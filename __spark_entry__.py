@@ -1648,6 +1648,21 @@ def _sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, m=8, kc=16)
 
 
+def _sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011 §V — FAISS's default
+    billion-scale index): 16 coarse cells (vec_id < 16 data values),
+    nprobe=4, PQ codebooks from the residuals of vec_id 16-31; ADC in
+    integer micro-units over the probed inverted lists only
+    (operators/similarity.py `ivfpq_ann_topk`).  Deterministic down to
+    cells, codes, probe sets, and ADC totals — the oracle replays all
+    four stages in plain SQL."""
+    from singer_spark.operators.similarity import ivfpq_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivfpq_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                          n_clusters=16, nprobe=4, m=8, kc=16)
+
+
 def _embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster z-score of each vector's cosine to its own coarse
     centroid — the mis-encoded/off-distribution embedding screen."""
@@ -2010,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_ann": _sim_lsh_ann,
         "sim_ivf_ann": _sim_ivf_ann,
         "sim_pq_ann": _sim_pq_ann,
+        "sim_ivfpq_ann": _sim_ivfpq_ann,
         "sim_ivf_trained": _sim_ivf_trained,
         "embedding_near_dup": _embedding_near_dup,
         # text analysis
@@ -3771,6 +3787,87 @@ def oracle_sql() -> dict[str, str]:
               SELECT l.query_id, c.neighbor_id, sum(l.dm)::BIGINT AS adc_micro
               FROM codes c JOIN lut l USING (s, code)
               WHERE c.neighbor_id <> l.query_id
+              GROUP BY 1, 2)
+            SELECT query_id, neighbor_id, rank::INT AS rank, adc_micro FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY adc_micro, neighbor_id) AS rank
+              FROM adc) WHERE rank <= 5""",
+        # IVF-PQ replay: four deterministic stages — (1) every vector's
+        # coarse cell by full-dim micro-unit L2 argmin; (2) residual
+        # codebooks from the vec_id 16-31 residuals; (3) each query's 4
+        # probed cells + per-cell residual LUT; (4) ADC = sum of LUT
+        # entries at the neighbor's codes, ranked per query.  Integer
+        # micro-units before every argmin/sum keep all four stages
+        # order-independent and bit-identical to the engine.
+        "sim_ivfpq_ann": """
+            WITH dims AS (SELECT unnest(generate_series(0, 7)) AS s),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            cd AS (
+              SELECT e.vec_id, c.cid,
+                     floor(list_dot_product(
+                       list_transform(range(1, 65), i -> e.v[i] - c.cv[i]),
+                       list_transform(range(1, 65), i -> e.v[i] - c.cv[i])
+                     ) * 1000000 + 0.5)::BIGINT AS dm
+              FROM e CROSS JOIN cent c),
+            assign AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dm, cid) AS rn
+                FROM cd) WHERE rn = 1),
+            resid AS (
+              SELECT e.vec_id, a.cell,
+                     list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS rv
+              FROM e JOIN assign a USING (vec_id)
+                   JOIN cent c ON c.cid = a.cell),
+            cb AS (
+              SELECT vec_id - 16 AS code, s, rv[8*s + 1 : 8*s + 8] AS cv
+              FROM resid CROSS JOIN dims
+              WHERE vec_id >= 16 AND vec_id < 32),
+            rsub AS (
+              SELECT vec_id, cell, s, rv[8*s + 1 : 8*s + 8] AS v
+              FROM resid CROSS JOIN dims),
+            rd AS (
+              SELECT r.vec_id, r.s, b.code,
+                     floor(list_dot_product(
+                       list_transform(range(1, 9), i -> r.v[i] - b.cv[i]),
+                       list_transform(range(1, 9), i -> r.v[i] - b.cv[i])
+                     ) * 1000000 + 0.5)::BIGINT AS dm
+              FROM rsub r JOIN cb b USING (s)),
+            codes AS (
+              SELECT vec_id, s, code FROM (
+                SELECT vec_id, s, code,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY dm, code) AS rn
+                FROM rd) WHERE rn = 1),
+            probes AS (
+              SELECT vec_id AS query_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dm, cid) AS rn
+                FROM cd WHERE vec_id < 10) WHERE rn <= 4),
+            qrs AS (
+              SELECT p.query_id, p.cell, d.s,
+                     list_transform(range(8*d.s + 1, 8*d.s + 9),
+                                    i -> e.v[i] - c.cv[i]) AS v
+              FROM probes p JOIN e ON e.vec_id = p.query_id
+                   JOIN cent c ON c.cid = p.cell
+                   CROSS JOIN dims d),
+            lut AS (
+              SELECT q.query_id, q.cell, q.s, b.code,
+                     floor(list_dot_product(
+                       list_transform(range(1, 9), i -> q.v[i] - b.cv[i]),
+                       list_transform(range(1, 9), i -> q.v[i] - b.cv[i])
+                     ) * 1000000 + 0.5)::BIGINT AS dm
+              FROM qrs q JOIN cb b USING (s)),
+            adc AS (
+              SELECT l.query_id, a.vec_id AS neighbor_id,
+                     sum(l.dm)::BIGINT AS adc_micro
+              FROM assign a
+                JOIN codes k ON k.vec_id = a.vec_id
+                JOIN lut l ON l.cell = a.cell AND l.s = k.s AND l.code = k.code
+              WHERE a.vec_id <> l.query_id
               GROUP BY 1, 2)
             SELECT query_id, neighbor_id, rank::INT AS rank, adc_micro FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id

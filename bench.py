@@ -78,6 +78,8 @@ HEADLINERS = [
     "sim_bruteforce_topk",
     "sim_lsh_ann",
     "sim_ivf_ann",
+    "sim_pq_ann",
+    "sim_ivfpq_ann",
     "text_quality",
     "text_fingerprint",
     "tfidf_top_terms",

@@ -615,6 +615,131 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.col("rank").cast("int").alias("rank"), "adc_micro"))
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composition FAISS ships as its default billion-scale index
+# (Jégou et al. 2011 §V: IVFADC).  The coarse quantizer prunes the corpus
+# to `nprobe` inverted lists; PQ encodes each vector's RESIDUAL from its
+# coarse centroid (residuals concentrate near zero, so the same codebook
+# budget quantizes them far more finely than raw vectors); search is ADC
+# over the probed lists only.
+#
+# 100 TB shape: the corpus pass emits (cell tinyint-ish, 8 codes) per
+# vector — vectors never leave the scan.  Queries broadcast a
+# (query × probed-cell) LUT frame; the join on `cell` fans each corpus row
+# out to at most the queries probing its cell, scoring is a JVM
+# array-gather (no Python per candidate), and only (query, neighbor, adc)
+# rows reach the per-query top-k.  Combining the two prior scale paths:
+# IVF's candidate pruning × PQ's 64× memory compression.
+#
+# Determinism discipline (house rule): coarse centroids are data values
+# (ids < n_clusters); PQ codebooks are the RESIDUALS of the next kc
+# vectors (ids in [n_clusters, n_clusters+kc) — residuals of the centroid
+# seeds themselves would be zero and degenerate); every distance is fixed
+# to integer micro-units before any argmin/sum, so cells, codes, probe
+# sets, and ADC totals replay bit-for-bit in plain SQL.
+# ---------------------------------------------------------------------------
+def _ivfpq_model(corpus: DataFrame, n_clusters: int, m: int, kc: int,
+                 id_col: str, vec_col: str) -> tuple["np.ndarray", "np.ndarray"]:
+    """(coarse centroid matrix (n_clusters, dim), residual codebook tensor
+    (m, kc, dim/m)) — both derived from data values so an external SQL
+    oracle reproduces every assignment."""
+    C = _seeded_centroids(corpus, n_clusters, id_col, vec_col)
+    rows = (corpus.filter((F.col(id_col) >= n_clusters)
+                          & (F.col(id_col) < n_clusters + kc))
+            .select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+            .collect())
+    if len(rows) < kc:
+        raise ValueError(
+            f"IVF-PQ codebooks need {kc} rows with {id_col} in "
+            f"[{n_clusters}, {n_clusters + kc}); found {len(rows)}")
+    rows.sort(key=lambda r: r.cid)
+    seeds = np.array([r.cv for r in rows], dtype=np.float64)     # (kc, dim)
+    cells = np.argmin(_pq_micro_l2(seeds, C), axis=1)            # first-min tie rule
+    R = seeds - C[cells]
+    dim = R.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    return C, R.reshape(kc, m, sub).transpose(1, 0, 2)
+
+
+def ivfpq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   n_clusters: int = 16, nprobe: int = 4,
+                   m: int = 8, kc: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k by IVF-pruned PQ asymmetric distance (IVFADC).
+    Corpus pass: one Arrow UDF assigns each vector its micro-unit-L2
+    nearest coarse cell and PQ-encodes the residual — (id, cell, m codes)
+    is all that leaves the scan.  Query side (bounded set, the
+    brute_force_topk contract): each query picks its `nprobe` nearest
+    cells and precomputes one (m × kc) residual LUT per probed cell,
+    shipped as a broadcast (query, cell, lut) frame; the equi-join on
+    `cell` IS the inverted-list probe, and ADC is a JVM array gather —
+    m integer lookups per candidate, no Python.  Output: (query_id,
+    neighbor_id, rank, adc_micro) over the probed lists only; a neighbor
+    whose cell no query probes is never scored (that recall trade is the
+    point of IVF)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    from singer_spark.functions import assert_bounded
+
+    C, CB = _ivfpq_model(corpus, n_clusters, m, kc, id_col, vec_col)
+    sub = C.shape[1] // m
+
+    q_rows = (assert_bounded(queries, what="ivfpq_ann_topk query set")
+              .select(F.col(id_col).alias("qid"), as_double(vec_col).alias("v"))
+              .collect())
+    q_rows.sort(key=lambda r: r.qid)
+    Q = np.stack([np.asarray(r.v, dtype=np.float64) for r in q_rows])
+    dq = _pq_micro_l2(Q, C)                                      # (nq, ncl)
+    probe_rows = []
+    for qi, r in enumerate(q_rows):
+        cells = sorted(range(C.shape[0]), key=lambda c: (dq[qi, c], c))[:nprobe]
+        for cell in cells:
+            qr = Q[qi] - C[cell]
+            lut = np.concatenate([
+                _pq_micro_l2(qr[s * sub:(s + 1) * sub][None, :], CB[s])[0]
+                for s in range(m)])                              # (m*kc,) ints
+            probe_rows.append((int(r.qid), int(cell), lut.tolist()))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, cell int, lut array<bigint>")
+
+    @pandas_udf("struct<cell: int, codes: array<int>>")
+    def encode(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "codes": pd.Series([], dtype="object")})
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        cell = np.argmin(_pq_micro_l2(V, C), axis=1)
+        codes = _pq_codes_matrix(V - C[cell], CB)
+        return pd.DataFrame({"cell": cell.astype("int32"),
+                             "codes": [row.astype("int32").tolist()
+                                       for row in codes]})
+
+    enc = (fan_out(corpus)
+           .select(F.col(id_col).alias("neighbor_id"),
+                   encode(F.col(vec_col)).alias("_e"))
+           .select("neighbor_id", F.col("_e.cell").alias("cell"),
+                   F.col("_e.codes").alias("codes")))
+    # inverted-list probe: broadcast (query, cell, lut) onto the encoded
+    # corpus; ADC = m integer gathers from the joined LUT, JVM-side
+    looked = F.transform(F.col("codes"),
+                         lambda x, i: F.get(F.col("lut"), i * F.lit(kc) + x))
+    scored = (enc.join(F.broadcast(probes), "cell")
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.aggregate(looked, F.lit(0).cast("bigint"),
+                                  lambda acc, x: acc + x).alias("adc_micro")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_micro").asc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"), "adc_micro"))
+
+
 def auto_num_planes(n: int, lo: int = 8, hi: int = 30) -> int:
     """Hyperplane count for self-join LSH blocking, derived from corpus size:
     ceil(log₂ N) planes ⇒ 2^planes ≈ N buckets per table, so the mean bucket

@@ -223,6 +223,35 @@ def test_pq_ann_deterministic_and_self_nearest(spark, sf_dir):
     assert all(adc >= 0 for *_, adc in a)
 
 
+def test_ivfpq_ann_recall_and_determinism(spark, sf_dir):
+    """IVFADC: a planted near-duplicate lands in the same coarse cell and
+    nearly the same residual codes, so ADC ranks the original first for
+    most planted queries; results are integer-deterministic across runs;
+    and the plan probes with a broadcast join (the corpus side never
+    builds a hash table of itself)."""
+    from singer_spark.operators.similarity import ivfpq_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (emb.filter(F.col("vec_id") < 20)
+               .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                       F.transform("embedding",
+                                   lambda x: x * 1.0001 + 0.0003).alias("embedding")))
+    out = ivfpq_ann_topk(emb, queries, k=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    top1 = {r.query_id - 1_000_000: r.neighbor_id for r in out.collect()}
+    hits = sum(1 for orig, nb in top1.items() if nb == orig)
+    assert hits >= 14, f"planted near-dup IVFADC recall too low: {hits}/20"
+
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted((r.query_id, r.neighbor_id, r.rank, r.adc_micro)
+               for r in ivfpq_ann_topk(emb, q, k=5).collect())
+    b = sorted((r.query_id, r.neighbor_id, r.rank, r.adc_micro)
+               for r in ivfpq_ann_topk(emb, q, k=5).collect())
+    assert a == b and len(a) == 25
+    assert all(adc >= 0 for *_, adc in a)
+
+
 def test_ivf_assignments_and_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assigned = similarity.ivf_build_assignments(emb, n_clusters=16)
