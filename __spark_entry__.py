@@ -1663,6 +1663,18 @@ def _sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n_clusters=16, nprobe=4, m=8, kc=16)
 
 
+def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-loss audit: recall@5 of PQ and IVF-PQ ADC against the
+    exact micro-unit L2 top-5 over the first 10 queries — the
+    minhash_recall discipline applied to the ANN family
+    (operators/similarity.py `ann_recall_report`).  Deterministic end to
+    end, so the oracle replays all three rankings in plain SQL."""
+    from singer_spark.operators.similarity import ann_recall_report
+
+    emb = _emb(spark, sf_dir)
+    return ann_recall_report(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 def _embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster z-score of each vector's cosine to its own coarse
     centroid — the mis-encoded/off-distribution embedding screen."""
@@ -2026,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_ann": _sim_ivf_ann,
         "sim_pq_ann": _sim_pq_ann,
         "sim_ivfpq_ann": _sim_ivfpq_ann,
+        "ann_recall": _ann_recall,
         "sim_ivf_trained": _sim_ivf_trained,
         "embedding_near_dup": _embedding_near_dup,
         # text analysis
@@ -2356,6 +2369,136 @@ scored AS (SELECT query_id, neighbor_id,
   FROM cand),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
 SELECT query_id, neighbor_id, rank::INT AS rank, cosine FROM r WHERE rank <= 5
+"""
+
+
+def _ann_recall_oracle() -> str:
+    """Replays ann_recall_report end to end: exact micro-unit L2 top-5,
+    the sim_pq_ann code/LUT/ADC chain, and the sim_ivfpq_ann
+    assignment/residual-codebook/probe/ADC chain — then the three
+    rankings join into hit counts and qround-quantized recalls.  Every
+    stage is the same CTE text as the individual oracles (integer
+    micro-units before argmin/sum keep it order-independent)."""
+    return """
+WITH dims AS (SELECT unnest(generate_series(0, 7)) AS s),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+xd AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         floor(list_dot_product(
+           list_transform(range(1, 65), i -> c.v[i] - q.v[i]),
+           list_transform(range(1, 65), i -> c.v[i] - q.v[i])
+         ) * 1000000 + 0.5)::BIGINT AS dm
+  FROM q JOIN e c ON c.vec_id <> q.vec_id),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dm, neighbor_id) AS rn
+    FROM xd) WHERE rn <= 5),
+pq_sub AS (SELECT vec_id, s, v[8*s + 1 : 8*s + 8] AS sv
+           FROM e CROSS JOIN dims),
+pq_seed AS (SELECT vec_id AS code, s, sv AS cv FROM pq_sub WHERE vec_id < 16),
+pq_d AS (
+  SELECT a.vec_id, a.s, c.code,
+         floor(list_dot_product(
+           list_transform(range(1, 9), i -> a.sv[i] - c.cv[i]),
+           list_transform(range(1, 9), i -> a.sv[i] - c.cv[i])
+         ) * 1000000 + 0.5)::BIGINT AS dm
+  FROM pq_sub a JOIN pq_seed c USING (s)),
+pq_codes AS (
+  SELECT vec_id AS neighbor_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dm, code) AS rn
+    FROM pq_d) WHERE rn = 1),
+pq_lut AS (SELECT vec_id AS query_id, s, code, dm FROM pq_d WHERE vec_id < 10),
+pq_adc AS (
+  SELECT l.query_id, c.neighbor_id, sum(l.dm)::BIGINT AS adc
+  FROM pq_codes c JOIN pq_lut l USING (s, code)
+  WHERE c.neighbor_id <> l.query_id GROUP BY 1, 2),
+pq_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, neighbor_id) AS rn
+    FROM pq_adc) WHERE rn <= 5),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+cd AS (
+  SELECT e.vec_id, c.cid,
+         floor(list_dot_product(
+           list_transform(range(1, 65), i -> e.v[i] - c.cv[i]),
+           list_transform(range(1, 65), i -> e.v[i] - c.cv[i])
+         ) * 1000000 + 0.5)::BIGINT AS dm
+  FROM e CROSS JOIN cent c),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) AS rn
+    FROM cd) WHERE rn = 1),
+resid AS (
+  SELECT e.vec_id, a.cell,
+         list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) AS rv
+  FROM e JOIN assign a USING (vec_id) JOIN cent c ON c.cid = a.cell),
+iv_cb AS (
+  SELECT vec_id - 16 AS code, s, rv[8*s + 1 : 8*s + 8] AS cv
+  FROM resid CROSS JOIN dims WHERE vec_id >= 16 AND vec_id < 32),
+iv_rsub AS (SELECT vec_id, cell, s, rv[8*s + 1 : 8*s + 8] AS v
+            FROM resid CROSS JOIN dims),
+iv_rd AS (
+  SELECT r.vec_id, r.s, b.code,
+         floor(list_dot_product(
+           list_transform(range(1, 9), i -> r.v[i] - b.cv[i]),
+           list_transform(range(1, 9), i -> r.v[i] - b.cv[i])
+         ) * 1000000 + 0.5)::BIGINT AS dm
+  FROM iv_rsub r JOIN iv_cb b USING (s)),
+iv_codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dm, code) AS rn
+    FROM iv_rd) WHERE rn = 1),
+iv_probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) AS rn
+    FROM cd WHERE vec_id < 10) WHERE rn <= 4),
+iv_qrs AS (
+  SELECT p.query_id, p.cell, d.s,
+         list_transform(range(8*d.s + 1, 8*d.s + 9),
+                        i -> e.v[i] - c.cv[i]) AS v
+  FROM iv_probes p JOIN e ON e.vec_id = p.query_id
+       JOIN cent c ON c.cid = p.cell
+       CROSS JOIN dims d),
+iv_lut AS (
+  SELECT q.query_id, q.cell, q.s, b.code,
+         floor(list_dot_product(
+           list_transform(range(1, 9), i -> q.v[i] - b.cv[i]),
+           list_transform(range(1, 9), i -> q.v[i] - b.cv[i])
+         ) * 1000000 + 0.5)::BIGINT AS dm
+  FROM iv_qrs q JOIN iv_cb b USING (s)),
+iv_adc AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id, sum(l.dm)::BIGINT AS adc
+  FROM assign a
+    JOIN iv_codes k ON k.vec_id = a.vec_id
+    JOIN iv_lut l ON l.cell = a.cell AND l.s = k.s AND l.code = k.code
+  WHERE a.vec_id <> l.query_id GROUP BY 1, 2),
+iv_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, neighbor_id) AS rn
+    FROM iv_adc) WHERE rn <= 5),
+counts AS (SELECT
+  (SELECT count(*) FROM exact) AS n_exact,
+  (SELECT count(DISTINCT query_id) FROM exact) AS nq,
+  (SELECT count(*) FROM exact x JOIN pq_top p
+     ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id) AS ph,
+  (SELECT count(*) FROM exact x JOIN iv_top t
+     ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id) AS ih)
+SELECT 5 AS k, nq::BIGINT AS n_queries,
+       ph::BIGINT AS pq_hits, ih::BIGINT AS ivfpq_hits,
+       floor(ph::DOUBLE / n_exact * 10000 + 0.5) / 10000 AS pq_recall,
+       floor(ih::DOUBLE / n_exact * 10000 + 0.5) / 10000 AS ivfpq_recall
+FROM counts
 """
 
 
@@ -3873,6 +4016,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id
                                            ORDER BY adc_micro, neighbor_id) AS rank
               FROM adc) WHERE rank <= 5""",
+        "ann_recall": _ann_recall_oracle(),
         "sim_ivf_ann": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

@@ -740,6 +740,95 @@ def ivfpq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.col("rank").cast("int").alias("rank"), "adc_micro"))
 
 
+def l2_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact micro-unit squared-L2 top-k — the ground truth the PQ family
+    approximates (brute_force_topk is its cosine sibling).  Same scoring
+    shape: queries broadcast as a matrix, one shuffle-free Arrow pass
+    scores every corpus vector against all queries, only (neighbor,
+    query, d2) rows reach the per-query top-k.  Output: (query_id,
+    neighbor_id, rank, d2_micro)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    from singer_spark.functions import assert_bounded
+
+    q_rows = (assert_bounded(queries, what="l2_topk query set")
+              .select(F.col(id_col).alias("qid"), as_double(vec_col).alias("v"))
+              .collect())
+    q_rows.sort(key=lambda r: r.qid)
+    Q = np.stack([np.asarray(r.v, dtype=np.float64) for r in q_rows])
+
+    @pandas_udf("array<bigint>")
+    def d2(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series([row.tolist() for row in _pq_micro_l2(V, Q)])
+
+    spark = corpus.sparkSession
+    qmap = spark.createDataFrame(
+        [(i, int(r.qid)) for i, r in enumerate(q_rows)], "qi int, query_id bigint")
+    scored = (fan_out(corpus)
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.posexplode(d2(F.col(vec_col))).alias("qi", "d2_micro"))
+              .join(F.broadcast(qmap), "qi")
+              .filter(F.col("neighbor_id") != F.col("query_id")))
+    w = Window.partitionBy("query_id").orderBy(F.col("d2_micro").asc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"), "d2_micro"))
+
+
+def ann_recall_report(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                      m: int = 8, kc: int = 16,
+                      n_clusters: int = 16, nprobe: int = 4,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Quantization-loss audit for the PQ family — the `minhash_recall`
+    discipline applied to ANN: recall@k of `pq_ann_topk` and
+    `ivfpq_ann_topk` against the exact micro-unit L2 top-k, averaged over
+    the query set.  The two losses pull opposite ways: PQ loses code
+    resolution on RAW vectors; IVF-PQ prunes unprobed cells but encodes
+    RESIDUALS, which concentrate near zero and quantize finer with the
+    same codebook budget — measured on the isotropic synthetic corpus
+    (PQ's worst case: no cluster structure for the codebooks to exploit)
+    the residual win dominates (ivfpq 0.28 vs pq 0.16 @k=5, kc=16,
+    sf0.01).  That is exactly why this audit exists: run it per corpus
+    before trusting an ADC-only dedup/retrieval at a new (m, kc, nprobe)
+    setting — the no-silent-caps discipline for quantized search.  (The
+    planted-near-duplicate regime the dedup family targets is measured
+    separately in tests — ≥70% top-1 — because a near-dup lands in its
+    original's cell with nearly identical codes.)
+
+    Every input is deterministic (data-value codebooks, integer
+    micro-units), so this audit is SQL-replayable end to end.  Output:
+    one row (k, n_queries, pq_hits, ivfpq_hits, pq_recall,
+    ivfpq_recall), recalls qround-quantized (1e-4)."""
+    from singer_spark.functions import qround
+
+    exact = (l2_topk(corpus, queries, k, id_col, vec_col)
+             .select("query_id", "neighbor_id").withColumn("_e", F.lit(1)))
+    pq = (pq_ann_topk(corpus, queries, k, m, kc, id_col, vec_col)
+          .select("query_id", "neighbor_id").withColumn("_p", F.lit(1)))
+    ivfpq = (ivfpq_ann_topk(corpus, queries, k, n_clusters, nprobe, m, kc,
+                            id_col, vec_col)
+             .select("query_id", "neighbor_id").withColumn("_i", F.lit(1)))
+    j = (exact.join(pq, ["query_id", "neighbor_id"], "left")
+         .join(ivfpq, ["query_id", "neighbor_id"], "left"))
+    n_exact = F.count("_e")
+    return j.agg(
+        F.lit(k).alias("k"),
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("_p").cast("long").alias("pq_hits"),
+        F.count("_i").cast("long").alias("ivfpq_hits"),
+        qround(F.count("_p") / n_exact, 4).alias("pq_recall"),
+        qround(F.count("_i") / n_exact, 4).alias("ivfpq_recall"),
+    )
+
+
 def auto_num_planes(n: int, lo: int = 8, hi: int = 30) -> int:
     """Hyperplane count for self-join LSH blocking, derived from corpus size:
     ceil(log₂ N) planes ⇒ 2^planes ≈ N buckets per table, so the mean bucket
