@@ -643,17 +643,24 @@ def _ivfpq_model(corpus: DataFrame, n_clusters: int, m: int, kc: int,
     """(coarse centroid matrix (n_clusters, dim), residual codebook tensor
     (m, kc, dim/m)) — both derived from data values so an external SQL
     oracle reproduces every assignment."""
-    C = _seeded_centroids(corpus, n_clusters, id_col, vec_col)
-    rows = (corpus.filter((F.col(id_col) >= n_clusters)
-                          & (F.col(id_col) < n_clusters + kc))
+    # one collect serves both halves of the model (centroid seeds +
+    # codebook seeds are adjacent id ranges — no reason to pay two jobs)
+    rows = (corpus.filter(F.col(id_col) < n_clusters + kc)
             .select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
             .collect())
-    if len(rows) < kc:
+    rows.sort(key=lambda r: r.cid)
+    cent = [r for r in rows if r.cid < n_clusters]
+    seed_rows = [r for r in rows if r.cid >= n_clusters]
+    if len(cent) < n_clusters:
+        raise ValueError(
+            f"IVF-PQ centroids need {n_clusters} rows with {id_col} < "
+            f"{n_clusters}; found {len(cent)}")
+    if len(seed_rows) < kc:
         raise ValueError(
             f"IVF-PQ codebooks need {kc} rows with {id_col} in "
-            f"[{n_clusters}, {n_clusters + kc}); found {len(rows)}")
-    rows.sort(key=lambda r: r.cid)
-    seeds = np.array([r.cv for r in rows], dtype=np.float64)     # (kc, dim)
+            f"[{n_clusters}, {n_clusters + kc}); found {len(seed_rows)}")
+    C = np.array([r.cv for r in cent], dtype=np.float64)
+    seeds = np.array([r.cv for r in seed_rows], dtype=np.float64)  # (kc, dim)
     cells = np.argmin(_pq_micro_l2(seeds, C), axis=1)            # first-min tie rule
     R = seeds - C[cells]
     dim = R.shape[1]

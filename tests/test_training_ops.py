@@ -485,6 +485,45 @@ def test_compression_ratio_null_text(spark):
     assert got[2].compressed_bytes > 0
 
 
+def test_wordpiece_crosscheck_agreement_and_edges(spark):
+    """The self-verifying form: trie walk and shrinking-window reference
+    agree on normal, [UNK]-forcing, '##'-literal, empty, whitespace-only,
+    and NULL text; n_words counts \\S+ runs (NULL for NULL text)."""
+    from singer_spark.operators.text_analysis import (
+        WORDPIECE_DEMO_WORDS,
+        demo_vocab,
+        wordpiece_crosscheck,
+    )
+
+    vocab = demo_vocab(WORDPIECE_DEMO_WORDS)
+    docs = spark.createDataFrame(
+        [(1, "spark query77 joining"), (2, "ZZZ!!! unmatchable"),
+         (3, "##heading mid"), (4, ""), (5, "   "), (6, None)],
+        "doc_id bigint, text string")
+    got = {r.doc_id: r for r in wordpiece_crosscheck(docs, vocab).collect()}
+    assert all(got[i].impls_agree for i in range(1, 7))
+    assert got[1].n_words == 3 and got[2].n_words == 2 and got[3].n_words == 2
+    assert got[4].n_words == 0 and got[5].n_words == 0
+    assert got[6].n_words is None
+
+
+def test_compression_selfcheck_invariants(spark):
+    """Round-trip and RFC-bound booleans hold for empty, repetitive,
+    high-entropy, and NULL text; raw_bytes is the UTF-8 byte length."""
+    from singer_spark.operators.text_analysis import compression_selfcheck
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "abc " * 500), (3, "k9!x Qz@7 #mP2 " * 40),
+         (4, None), (5, "héllo wörld")],
+        "doc_id bigint, text string")
+    got = {r.doc_id: r for r in compression_selfcheck(docs).collect()}
+    assert all(got[i].bound_ok and got[i].roundtrip_ok for i in range(1, 6))
+    assert got[1].raw_bytes == 0
+    assert got[2].raw_bytes == 2000
+    assert got[4].raw_bytes is None
+    assert got[5].raw_bytes == len("héllo wörld".encode("utf-8"))
+
+
 def test_chunk_documents_overlap_and_tail(spark):
     from singer_spark.operators.text_analysis import chunk_documents
 

@@ -44,7 +44,13 @@ Round 7 adds two modes (VERDICT r6 tasks #2/#3):
   must not starve the rest) applied to analytics: bounded degradation
   with the guards on, measured cliff with them off.
 
-Usage: python tools/scale_probe.py [sf_dir] [max_k] [scan|pairs|markov|events|skew]
+Round 7 also adds `ann` — the embeddings table multiplied k× (re-keyed,
+deterministically perturbed; quantizer seeds stay the base copy's) and the
+ANN family timed per scale: pq_encode (the index build) plus the exact-L2
+/ PQ / IVF-PQ top-k paths over 10 queries.  All four are corpus-linear
+scans by design; the table verifies it.
+
+Usage: python tools/scale_probe.py [sf_dir] [max_k] [scan|pairs|markov|events|skew|ann]
 """
 
 from __future__ import annotations
@@ -287,6 +293,67 @@ def events_main(spark, sf_dir: str, ks: list[int]) -> None:
         print(f"{row}   {ratio:.1f}x over {ks[-1]}x data")
 
 
+def multiplied_emb(spark, sf_dir: str, k: int) -> DataFrame:
+    """k copies of the embeddings table, re-keyed and deterministically
+    perturbed per copy (copies are near- but not exact duplicates; the
+    codebook/centroid seeds vec_id < 32 stay the base copy's, as a real
+    grown corpus keeps its trained quantizer)."""
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    parts = []
+    for i in range(k):
+        parts.append(base.select(
+            (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+            F.transform("embedding",
+                        lambda x: x * (1.0 + 0.0001 * i) + 0.0003 * i
+                        ).alias("embedding"),
+            "label"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def ann_ops(emb: DataFrame):
+    """The ANN family's corpus-linear passes: encode (the index build) and
+    the three top-k paths over 10 queries.  Builders construct the
+    operator fresh each run, so the bounded driver-side stages (codebook
+    seeds, query LUTs) are INSIDE the timing — the honest per-batch cost a
+    production query pays."""
+    from singer_spark.operators.similarity import (
+        _pq_seed_codebooks,
+        ivfpq_ann_topk,
+        l2_topk,
+        pq_ann_topk,
+        pq_encode,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    return {
+        "pq_encode": lambda: pq_encode(
+            emb, _pq_seed_codebooks(emb, 8, 16, "vec_id", "embedding")),
+        "l2_exact_topk": lambda: l2_topk(emb, q, 5),
+        "pq_ann_topk": lambda: pq_ann_topk(emb, q, 5),
+        "ivfpq_ann_topk": lambda: ivfpq_ann_topk(emb, q, 5),
+    }
+
+
+def ann_main(spark, sf_dir: str, ks: list[int]) -> None:
+    results: dict[str, dict[int, float]] = {}
+    for k in ks:
+        emb = multiplied_emb(spark, sf_dir, k).persist()
+        emb.count()
+        for name, build in ann_ops(emb).items():
+            results.setdefault(name, {})[k] = _timed(build)
+        emb.unpersist()
+        spark.catalog.clearCache()
+    hdr = "query".ljust(26) + "".join(f"  {k}x".rjust(8) for k in ks) + "   growth"
+    print(hdr)
+    for name, times in results.items():
+        ratio = times[ks[-1]] / times[ks[0]]
+        row = name.ljust(26) + "".join(f"{times[k]:8.2f}" for k in ks)
+        print(f"{row}   {ratio:.1f}x over {ks[-1]}x data")
+
+
 def skew_main(spark, sf_dir: str, k: int = 1) -> None:
     """Zipf-robustness probe: measured wall-time of the per-user and pair
     operators on a deliberately skewed corpus, with the engine's guards on
@@ -383,6 +450,13 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,
         while ks[-1] * 4 <= max_k:
             ks.append(ks[-1] * 4)
         events_main(spark, sf_dir, ks)
+        spark.stop()
+        return
+    if mode == "ann":
+        ks = [1]
+        while ks[-1] * 4 <= max_k:
+            ks.append(ks[-1] * 4)
+        ann_main(spark, sf_dir, ks)
         spark.stop()
         return
 
