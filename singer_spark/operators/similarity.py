@@ -561,22 +561,84 @@ def pq_encode(corpus: DataFrame, codebooks: "np.ndarray",
                                   enc(F.col(vec_col)).alias("codes"))
 
 
+def pq_train_codebooks(corpus: DataFrame, m: int = 8, kc: int = 16,
+                       iters: int = 3, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> "np.ndarray":
+    """Deterministic per-subspace Lloyd training of the PQ codebooks — the
+    production path (`_pq_seed_codebooks` is the oracle-simplest init;
+    trained entries spread over the actual subvector distribution and cut
+    quantization distortion, which is most of PQ's recall on
+    unclustered data).  The `ivf_train_centroids` discipline applied per
+    subspace:
+
+    - init: seed codebooks (subvectors of ids < kc) — no RNG
+    - assign: one narrow Arrow pass computes all m code columns (the
+      micro-unit argmin, ties → lowest code)
+    - update: ONE aggregation trains every subspace — posexplode of the
+      vector gives (pos, val); pos//sub is the subspace, pos%sub the
+      within-entry dim, element_at(codes, s+1) the code; per-(s, code,
+      dim) means are QUANTIZED (qround 1e-6) before becoming the next
+      iteration's entries, so plain SQL replays the whole loop; an empty
+      code keeps its previous entry
+    - m·kc·sub quantized floats collect per iteration (1,024 at the
+      defaults) — constant in the corpus
+
+    Returns the (m, kc, dim/m) codebook tensor, ready for
+    :func:`pq_encode` / :func:`pq_ann_topk`."""
+    from pyspark.sql.functions import pandas_udf
+
+    from singer_spark.functions import qround
+
+    CB = _pq_seed_codebooks(corpus, m, kc, id_col, vec_col)
+    sub = CB.shape[2]
+    for _ in range(iters):
+        CBi = CB
+
+        @pandas_udf("array<int>")
+        def codes_of(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="object")
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            return pd.Series([row.astype("int32").tolist()
+                              for row in _pq_codes_matrix(V, CBi)])
+
+        assigned = fan_out(corpus).select(
+            codes_of(F.col(vec_col)).alias("codes"),
+            F.posexplode(as_double(vec_col)).alias("p", "val"))
+        means = (assigned.select(
+            (F.col("p") / sub).cast("int").alias("s"),
+            (F.col("p") % sub).alias("d"),
+            F.element_at("codes", (F.col("p") / sub).cast("int") + 1).alias("code"),
+            "val")
+            .groupBy("s", "code", "d").agg(qround(F.avg("val"), 6).alias("mv"))
+        ).collect()
+        newCB = CB.copy()
+        for r in means:
+            newCB[int(r.s), int(r.code), int(r.d)] = float(r.mv)
+        CB = newCB
+    return CB
+
+
 def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 m: int = 8, kc: int = 16,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                codebooks: "np.ndarray | None" = None) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance: encode the corpus to
     (m)-code rows, precompute each query's (m × kc) micro-unit LUT
     driver-side (queries are a bounded set — the brute_force_topk
     contract), and score every corpus vector against ALL queries in one
     shuffle-free numpy gather; only (neighbor, query, adc) rows reach the
     per-query top-k window.  Output: (query_id, neighbor_id, rank,
-    adc_micro) — integer ADC totals, exactly reproducible in SQL."""
+    adc_micro) — integer ADC totals, exactly reproducible in SQL.  Pass
+    `codebooks` (e.g. from :func:`pq_train_codebooks`) to override the
+    seeded default."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.window import Window
 
     from singer_spark.functions import assert_bounded
 
-    CB = _pq_seed_codebooks(corpus, m, kc, id_col, vec_col)
+    CB = (codebooks if codebooks is not None
+          else _pq_seed_codebooks(corpus, m, kc, id_col, vec_col))
     q_rows = (assert_bounded(queries, what="pq_ann_topk query set")
               .select(F.col(id_col).alias("qid"), as_double(vec_col).alias("v"))
               .collect())

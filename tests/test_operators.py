@@ -252,6 +252,51 @@ def test_ivfpq_ann_recall_and_determinism(spark, sf_dir):
     assert all(adc >= 0 for *_, adc in a)
 
 
+def test_pq_train_reduces_distortion(spark, sf_dir):
+    """Lloyd training (pq_train_codebooks) must cut total quantization
+    distortion vs the seeded codebooks — the k-means objective is
+    non-increasing per iteration — and stay deterministic (no RNG in
+    init or updates), so two training runs produce bit-identical
+    codebooks and identical ADC top-k."""
+    import numpy as np
+
+    from singer_spark.operators.similarity import (
+        _pq_codes_matrix,
+        _pq_seed_codebooks,
+        pq_ann_topk,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seed = _pq_seed_codebooks(emb, m=8, kc=16, id_col="vec_id",
+                              vec_col="embedding")
+    CB1 = pq_train_codebooks(emb, m=8, kc=16, iters=2)
+    CB2 = pq_train_codebooks(emb, m=8, kc=16, iters=2)
+    assert np.array_equal(CB1, CB2)
+    assert CB1.shape == seed.shape
+
+    V = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                  for r in emb.limit(500).collect()])
+
+    def distortion(CB):
+        codes = _pq_codes_matrix(V, CB)
+        total = 0.0
+        m, sub = CB.shape[0], CB.shape[2]
+        for s in range(m):
+            d = V[:, s * sub:(s + 1) * sub] - CB[s, codes[:, s]]
+            total += float((d * d).sum())
+        return total
+
+    assert distortion(CB1) < distortion(seed)
+
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted((r.query_id, r.neighbor_id, r.rank, r.adc_micro)
+               for r in pq_ann_topk(emb, q, k=5, codebooks=CB1).collect())
+    b = sorted((r.query_id, r.neighbor_id, r.rank, r.adc_micro)
+               for r in pq_ann_topk(emb, q, k=5, codebooks=CB2).collect())
+    assert a == b and len(a) == 25
+
+
 def test_ann_recall_report_consistency(spark, sf_dir):
     """The audit's internal arithmetic: hits bounded by n_queries*k,
     recalls equal hits/(n_queries*k) after qround, and the residual-PQ
