@@ -974,6 +974,18 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs).orderBy("doc_id")
 
 
+def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split: the split hash is taken over
+    each near-dup component's canonical id, so no jaccard>=0.5 pair ever
+    straddles train/val (the eval-contamination mode a per-doc hash split
+    cannot prevent) — operators/dedup.py:leakage_safe_split."""
+    from singer_spark.operators.dedup import leakage_safe_split, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return leakage_safe_split(docs, pairs).orderBy("doc_id")
+
+
 def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-increment dedup: the first half of the corpus (doc_id < 250)
     plays yesterday's accumulated fingerprint table; the second half is
@@ -2003,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_clusters": _dedup_clusters,
+        "leakage_safe_split": _leakage_safe_split,
         "dup_cluster_stats": _dup_cluster_stats,
         "embedding_outliers": _embedding_outliers,
         "dedup_incremental": _dedup_incremental,
@@ -3429,6 +3442,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, coalesce(c.cluster, doc_id) AS cluster
             FROM documents LEFT JOIN comp c ON c.id = doc_id
             ORDER BY doc_id""",
+        "leakage_safe_split": f"""
+            WITH RECURSIVE {_SH_CTE},
+            {_NGRAM_BLOCKED},
+            vp AS (SELECT id_a, id_b,
+                          len(list_intersect(ba.sh, bb.sh)) AS shared,
+                          len(ba.sh) AS n_a, len(bb.sh) AS n_b
+                   FROM ncand c JOIN sbase ba ON ba.doc_id = c.id_a
+                                JOIN sbase bb ON bb.doc_id = c.id_b),
+            pairs AS (SELECT id_a, id_b FROM vp
+                      WHERE shared / (n_a + n_b - shared) >= 0.5),
+            e AS (SELECT id_a AS s, id_b AS d FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            r(s, d) AS (SELECT s, d FROM e
+                        UNION SELECT r.s, e.d FROM r JOIN e ON r.d = e.s),
+            comp AS (SELECT s AS id, least(s, min(d)) AS cluster FROM r GROUP BY s),
+            cl AS (SELECT doc_id, coalesce(c.cluster, doc_id) AS cluster
+                   FROM documents LEFT JOIN comp c ON c.id = doc_id),
+            b AS (SELECT doc_id, cluster,
+                         ({MD5I.format(x="'split:' || CAST(cluster AS VARCHAR)")}
+                          % 100)::INT AS bucket
+                  FROM cl)
+            SELECT doc_id, cluster, bucket,
+                   CASE WHEN bucket < 5 THEN 'val'
+                        WHEN bucket < 10 THEN 'test'
+                        ELSE 'train' END AS split
+            FROM b ORDER BY doc_id""",
         "dup_cluster_stats": f"""
             WITH RECURSIVE {_SH_CTE},
             {_NGRAM_BLOCKED},

@@ -1042,6 +1042,44 @@ def dup_cluster_stats(docs: DataFrame, pairs: DataFrame,
             .orderBy("cluster_size"))
 
 
+def leakage_safe_split(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       val_percent: int = 5, test_percent: int = 5,
+                       salt: str = "split",
+                       max_iters: int = 50) -> DataFrame:
+    """Cluster-aware train/val/test split: near-duplicate components never
+    straddle the split boundary.
+
+    The plain hash split (`text_analysis.train_val_split`) assigns each doc
+    independently, so a val doc whose near-duplicate twin landed in train
+    leaks eval answers into training — the contamination mode the
+    dedup-before-split literature warns about (Lee et al. 2022 §6.2).
+    Here the split hash is taken over the COMPONENT's canonical id
+    (:func:`dedup_clusters` min-label), so every member of a near-dup
+    cluster lands in the same split by construction; singletons hash over
+    their own id, making their assignment identical to
+    `train_val_split(salt=...)`.  Note the flip side: a doc's split can
+    move when a LOWER-id near-duplicate later joins the corpus (its
+    canonical label changes) — cluster-stability is bought with
+    member-stability, the documented tradeoff of canonical-id hashing.
+
+    Shuffle budget = dedup_clusters (id-only label propagation) plus one
+    hash projection; the doc text never moves.
+
+    Output: (id_col, cluster, bucket, split)."""
+    from singer_spark.functions import md5_int
+
+    clusters = dedup_clusters(docs, pairs, id_col=id_col, max_iters=max_iters)
+    bucket = md5_int(F.concat(F.lit(salt + ":"),
+                              F.col("cluster").cast("string"))) % 100
+    split = (F.when(bucket < val_percent, F.lit("val"))
+             .when(bucket < val_percent + test_percent, F.lit("test"))
+             .otherwise(F.lit("train")))
+    return clusters.select(F.col(id_col), F.col("cluster"),
+                           bucket.cast("int").alias("bucket"),
+                           split.alias("split"))
+
+
 def dedup_exact_priority(docs: DataFrame, priority: dict[str, int],
                          source_col: str = "source",
                          text_col: str = "text",

@@ -359,6 +359,41 @@ def test_dup_cluster_stats_histogram(spark):
     assert got == {1: (2, 2), 2: (1, 2), 3: (1, 3)}
 
 
+def test_leakage_safe_split_never_straddles_pairs(spark):
+    """The defining invariant: every near-dup pair lands in ONE split (a
+    plain per-doc hash split provably straddles some pair on this
+    construction), singletons get exactly train_val_split's assignment,
+    and split proportions follow the bucket thresholds."""
+    from singer_spark.operators.dedup import leakage_safe_split
+    from singer_spark.operators.text_analysis import train_val_split
+
+    docs = _docs_df(spark, [(i, f"doc {i}", "s") for i in range(200)])
+    # 50 two-doc components pairing far-apart ids — a per-doc hash split
+    # at 5/5/90 separates many of these pairs
+    pairs = spark.createDataFrame([(i, 199 - i) for i in range(50)],
+                                  "id_a bigint, id_b bigint")
+
+    safe = {r.doc_id: (r.cluster, r.split)
+            for r in leakage_safe_split(docs, pairs).collect()}
+    assert len(safe) == 200
+    for i in range(50):
+        assert safe[i][0] == safe[199 - i][0] == i
+        assert safe[i][1] == safe[199 - i][1]          # never straddles
+
+    plain = {r.doc_id: r.split for r in train_val_split(
+        docs.select("doc_id")).collect()}
+    # the plain split DOES straddle at least one planted pair here —
+    # otherwise this test wouldn't demonstrate the leak being closed
+    assert any(plain[i] != plain[199 - i] for i in range(50))
+    # singletons (100..149): canonical id is their own id, so the
+    # cluster-hash assignment coincides with the per-doc hash split
+    for i in range(100, 150):
+        assert safe[i][1] == plain[i]
+
+    splits = {s for _, s in safe.values()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+
+
 def test_embedding_outliers_flags_planted_vector(spark):
     from singer_spark.operators.similarity import embedding_outliers
 
