@@ -782,6 +782,17 @@ def _global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "global_id"))
 
 
+def _corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: rank in md5-hash order +
+    round-robin shard, computed with the range-shuffle id construction
+    (no single-task global sort) — operators/ids.py:corpus_shuffle."""
+    from singer_spark.operators.ids import corpus_shuffle
+
+    return (corpus_shuffle(_docs(spark, sf_dir), num_shards=8,
+                           num_partitions=8)
+            .orderBy("doc_id"))
+
+
 def _skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostics: top-20 (event_type, user_id) keys with
     share and ratio-to-average — the measured input to the salted-join
@@ -1974,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_matched_sample": _length_matched_sample,
         "skew_report": _skew_report,
         "global_ids": _global_ids,
+        "corpus_shuffle": _corpus_shuffle,
         # relational analytics
         "q1_pricing_summary": _q1,
         "q2_min_cost_supplier": _tpch.q2_min_cost_supplier,
@@ -4441,6 +4453,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    (row_number() OVER (ORDER BY doc_id) - 1)::BIGINT AS global_id
             FROM documents""",
+        "corpus_shuffle": """
+            WITH k AS (SELECT doc_id,
+                              md5('shuffle:' || CAST(doc_id AS VARCHAR))
+                                || '-' || lpad(CAST(doc_id AS VARCHAR), 20, '0')
+                                AS key
+                       FROM documents)
+            SELECT doc_id,
+                   (row_number() OVER (ORDER BY key) - 1)::BIGINT AS position,
+                   ((row_number() OVER (ORDER BY key) - 1) % 8)::INT AS shard
+            FROM k""",
         # Self-verifying sketch queries (VERDICT r6 task #1): the Spark side
         # emits the exact answer (SQL-checkable) plus booleans asserting the
         # sketch met its published accuracy guarantee; the oracle re-derives

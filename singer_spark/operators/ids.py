@@ -71,3 +71,38 @@ def assign_global_ids(df: DataFrame, order_col: str,
             yield pdf
 
     return pinned.mapInPandas(add_ids, schema)
+
+
+def corpus_shuffle(docs: DataFrame, salt: str = "shuffle",
+                   id_col: str = "doc_id", num_shards: int = 8,
+                   num_partitions: int | None = None) -> DataFrame:
+    """Deterministic global shuffle for training: every doc gets its rank
+    in md5-hash order (`position`) and a round-robin `shard`.
+
+    Pretraining wants the corpus visited in a uniform-random but
+    REPRODUCIBLE order (same data + same salt → same batch sequence, for
+    restartable/bisectable training runs).  A seeded RDD shuffle is not
+    reproducible across partitionings; `ORDER BY rand(seed)` re-rolls
+    under retries.  Hashing is: the sort key is md5(salt:id) — stable
+    under repartitioning, retries, and engine — and the rank is computed
+    with :func:`assign_global_ids`' range-shuffle construction, so there
+    is no single-task global sort (the plan that dies at 100 TB).
+
+    `shard = position % num_shards`: round-robin over the hash order
+    makes shards equal-sized (±1) AND each shard itself a uniform sample
+    of the corpus — downstream per-shard readers see the same
+    distribution.  A new salt is a fresh epoch permutation.
+
+    Output: (id_col, position, shard).  The tie-break suffix on the sort
+    key (zero-padded id) makes it duplicate-free, which
+    assign_global_ids requires for a well-defined rank."""
+    key = F.concat(F.md5(F.concat(F.lit(salt + ":"),
+                                  F.col(id_col).cast("string"))),
+                   F.lit("-"),
+                   F.lpad(F.col(id_col).cast("string"), 20, "0"))
+    ranked = assign_global_ids(
+        docs.select(F.col(id_col), key.alias("_shuffle_key")),
+        "_shuffle_key", id_name="position", num_partitions=num_partitions)
+    return ranked.select(
+        F.col(id_col), F.col("position"),
+        (F.col("position") % num_shards).cast("int").alias("shard"))

@@ -165,6 +165,42 @@ def test_assign_global_ids_matches_global_window(spark, sf_dir):
     assert set(out.columns) == set(docs.columns) | {"global_id"}
 
 
+def test_corpus_shuffle_permutation_shards_and_epochs(spark, sf_dir):
+    """positions are a permutation of 0..n-1, shards are round-robin
+    balanced (±1) uniform samples, reruns are bit-identical (the
+    restartable-training contract), a new salt is a genuinely different
+    permutation, and the plan contains no single-task global Sort."""
+    from singer_spark.operators.ids import corpus_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    a = {r.doc_id: (r.position, r.shard)
+         for r in corpus_shuffle(docs, num_shards=8, num_partitions=4).collect()}
+    assert sorted(p for p, _ in a.values()) == list(range(n))
+    assert all(s == p % 8 for p, s in a.values())
+    sizes = [sum(1 for _, s in a.values() if s == i) for i in range(8)]
+    assert max(sizes) - min(sizes) <= 1
+
+    b = {r.doc_id: (r.position, r.shard)
+         for r in corpus_shuffle(docs, num_shards=8, num_partitions=4).collect()}
+    assert a == b
+
+    # the permutation is not the identity, and a fresh salt reorders
+    assert any(a[r.doc_id][0] != i for i, r in
+               enumerate(docs.select("doc_id").orderBy("doc_id").collect()))
+    c = {r.doc_id: r.position
+         for r in corpus_shuffle(docs, salt="epoch2", num_partitions=4).collect()}
+    assert any(c[d] != p for d, (p, _) in a.items())
+    assert sorted(c.values()) == list(range(n))
+
+    # the checkpointed plan must not funnel through one task: no
+    # single-partition exchange, no global Sort (the range shuffle is
+    # truncated behind assign_global_ids' localCheckpoint)
+    plan = (corpus_shuffle(docs, num_partitions=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SinglePartition" not in plan and "Sort " not in plan
+
+
 def test_compact_dataset_merges_small_files(spark, tmp_path):
     from singer_spark.sinks import compact_dataset
 
