@@ -1721,6 +1721,16 @@ def _embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                               z_threshold=2.0)
 
 
+def _embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection (deterministic power iteration
+    over the quantized covariance; one Arrow moments pass, shuffle-free
+    JVM projection) — operators/similarity.py:pca_project.  The oracle
+    unrolls the 8 power iterations in SQL."""
+    from singer_spark.operators.similarity import pca_project
+
+    return pca_project(_emb(spark, sf_dir), iters=8).orderBy("vec_id")
+
+
 def _dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup component size histogram (dedup-impact report) over the
     jaccard>=0.5 pair graph."""
@@ -2030,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": _leakage_safe_split,
         "dup_cluster_stats": _dup_cluster_stats,
         "embedding_outliers": _embedding_outliers,
+        "embedding_pca": _embedding_pca,
         "dedup_incremental": _dedup_incremental,
         "dedup_incremental_bloom": _dedup_incremental_bloom,
         "dedup_incremental_minhash": _dedup_incremental_minhash,
@@ -2477,6 +2488,42 @@ SELECT query_id, neighbor_id, rank::INT AS rank, adc_micro FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY adc_micro, neighbor_id) AS rank
   FROM adc) WHERE rank <= {topk}""")
+
+
+def _pca_oracle(iters: int = 8, dim: int = 64) -> str:
+    """SQL replay of pca_project: quantized mean + covariance (sum/n,
+    matching the operator's partial-sum reduction), then the 8 power
+    iterations unrolled — each a 64-term matrix-vector product with the
+    per-iteration qround that keeps both engines on identical doubles —
+    and the centered projection with ⟨v, μ⟩ folded into a scalar CTE."""
+    Q = "floor(({x}) * 1000000 + 0.5) / 1000000"
+    blocks = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"d AS (SELECT unnest(generate_series(1, {dim})) AS i)",
+        "comp AS MATERIALIZED (SELECT vec_id, i, v[i] AS x FROM e CROSS JOIN d)",
+        "nn AS (SELECT count(*) AS n FROM e)",
+        "mu AS MATERIALIZED (SELECT i, " + Q.format(x="sum(x) / (SELECT n FROM nn)")
+        + " AS m FROM comp GROUP BY i)",
+        """g AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+             """ + Q.format(x="sum(a.x * b.x) / (SELECT n FROM nn) - ma.m * mb.m")
+        + """ AS g
+      FROM comp a JOIN comp b USING (vec_id)
+           JOIN mu ma ON ma.i = a.i JOIN mu mb ON mb.i = b.i
+      GROUP BY a.i, b.i, ma.m, mb.m)""",
+        f"v0 AS (SELECT i, 1.0 / sqrt({dim}.0) AS val FROM d)",
+    ]
+    for t in range(1, iters + 1):
+        blocks.append(f"""w{t} AS MATERIALIZED (SELECT g.i AS i, sum(g.g * p.val) AS wv
+      FROM g JOIN v{t - 1} p ON g.j = p.i GROUP BY g.i)""")
+        blocks.append(
+            f"v{t} AS MATERIALIZED (SELECT i, "
+            + Q.format(x=f"wv / sqrt((SELECT sum(wv * wv) FROM w{t}))")
+            + f" AS val FROM w{t})")
+    blocks.append(f"""c0 AS (SELECT sum(v.val * mu.m) AS c
+      FROM v{iters} v JOIN mu ON mu.i = v.i)""")
+    return ("WITH " + ",\n".join(blocks) + f"""
+SELECT vec_id, {Q.format(x="sum(x * val) - (SELECT c FROM c0)")} AS pc1_proj
+FROM comp JOIN v{iters} USING (i) GROUP BY vec_id ORDER BY vec_id""")
 
 
 def _ann_recall_oracle() -> str:
@@ -4152,6 +4199,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_pq_trained": _pq_trained_oracle(iters=3, m=8, kc=16,
                                              topk=5, n_queries=10),
         "ann_recall": _ann_recall_oracle(),
+        "embedding_pca": _pca_oracle(iters=8, dim=64),
         "sim_ivf_ann": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

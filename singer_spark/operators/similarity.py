@@ -1076,3 +1076,97 @@ def label_centroid_sim(emb: DataFrame, vec_col: str = "embedding",
             .join(F.broadcast(nb), "label_b")
             .select("label_a", "label_b", qround(cos, round_to).alias("cos"))
             .orderBy("label_a", "label_b"))
+
+
+def corpus_moments(corpus: DataFrame, vec_col: str = "embedding",
+                   round_to: int = 6) -> "tuple[int, np.ndarray, np.ndarray]":
+    """Count, qround-quantized mean vector, and qround-quantized covariance
+    matrix of an embedding column — in ONE Arrow pass.
+
+    Each partition emits its partial (count, Σx, XᵀX): dim² + dim + 1
+    doubles, CONSTANT in the row count, so driver traffic at 100 TB is
+    #partitions × ~33 KB for dim 64 — never row-proportional.  The driver
+    reduces the partials and forms cov = E[xxᵀ] − μμᵀ with the quantized
+    μ; quantizing μ and cov entries (engine-wide qround) is what lets a
+    plain-SQL oracle reproduce every downstream eigenvector iteration
+    bit-for-bit."""
+    partial_schema = "n bigint, s array<double>, m array<double>"
+
+    def partials(batches):
+        n, s, M = 0, None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n += V.shape[0]
+            s = V.sum(0) if s is None else s + V.sum(0)
+            M = V.T @ V if M is None else M + V.T @ V
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()],
+                                "m": [M.ravel().tolist()]})
+
+    rows = (fan_out(corpus).select(vec_col)
+            .mapInPandas(partials, partial_schema).collect())
+    if not rows:
+        raise ValueError("corpus_moments: empty corpus")
+    n = sum(r.n for r in rows)
+    S = np.sum([np.asarray(r.s) for r in rows], axis=0)
+    dim = S.shape[0]
+    M = np.sum([np.asarray(r.m).reshape(dim, dim) for r in rows], axis=0)
+
+    scale = 10.0 ** round_to
+    q = lambda x: np.floor(x * scale + 0.5) / scale  # noqa: E731 — the qround twin
+    mu = q(S / n)
+    cov = q(M / n - np.outer(mu, mu))
+    return n, mu, cov
+
+
+def pca_power_component(corpus: DataFrame, iters: int = 8,
+                        vec_col: str = "embedding",
+                        round_to: int = 6) -> "tuple[np.ndarray, np.ndarray]":
+    """Top principal component by deterministic power iteration.
+
+    The 100 TB shape: the data-sized work is corpus_moments' single Arrow
+    pass; the eigensolve itself runs on the driver over the dim×dim
+    quantized covariance (64×64 → microseconds), so iteration count never
+    touches the corpus.  No RNG anywhere: v₀ = 1/√dim (exact 0.125 for
+    dim 64), each iterate is v ← qround(Cv / ‖Cv‖) — the
+    quantize-per-iteration discipline (ivf_train_centroids /
+    pq_train_codebooks) that makes the loop replayable in plain SQL.
+    Power iteration converges linearly at rate λ₂/λ₁; 8 iterations
+    resolve any spectrum a screening query cares about.
+
+    Returns (component, mean) — both quantized."""
+    import math
+
+    _, mu, cov = corpus_moments(corpus, vec_col=vec_col, round_to=round_to)
+    dim = cov.shape[0]
+    scale = 10.0 ** round_to
+    v = np.full(dim, 1.0 / math.sqrt(dim))
+    for _ in range(iters):
+        w = cov @ v
+        v = np.floor(w / math.sqrt(float(w @ w)) * scale + 0.5) / scale
+    return v, mu
+
+
+def pca_project(corpus: DataFrame, iters: int = 8,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_to: int = 6) -> DataFrame:
+    """Project every embedding onto the corpus's top principal component —
+    the 1-D screening coordinate (batch-effect / mode-collapse / outlier
+    triage) that a 100 TB embedding table can afford: after the one
+    moments pass, the projection is a shuffle-free JVM fold
+    (zip_with × literal component, no Python in the per-row path).
+
+    proj = qround(⟨v, x⟩ − ⟨v, μ⟩): centering is folded into a driver
+    constant, so the scan reads only the vector column.  Output:
+    (id_col, pc1_proj)."""
+    v, mu = pca_power_component(corpus, iters=iters, vec_col=vec_col,
+                                round_to=round_to)
+    c0 = float(np.dot(v, mu))
+    lit_v = F.array(*[F.lit(float(x)) for x in v])
+    dotx = F.aggregate(
+        F.zip_with(as_double(vec_col), lit_v, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return corpus.select(F.col(id_col),
+                         qround(dotx - F.lit(c0), round_to).alias("pc1_proj"))

@@ -297,6 +297,44 @@ def test_pq_train_reduces_distortion(spark, sf_dir):
     assert a == b and len(a) == 25
 
 
+def test_pca_power_recovers_planted_component(spark):
+    """A corpus whose variance is dominated by one planted direction:
+    power iteration must align with numpy's exact top eigenvector
+    (|cos| > 0.999), projections must separate the two planted modes,
+    and the whole path is deterministic across runs."""
+    import numpy as np
+
+    from singer_spark.operators.similarity import (
+        pca_power_component,
+        pca_project,
+    )
+
+    rng_free = []  # deterministic corpus: two clusters along axis 7
+    dim = 64
+    for i in range(200):
+        v = [0.0] * dim
+        v[7] = 5.0 if i % 2 == 0 else -5.0       # dominant direction
+        v[11] = ((i * 37) % 100) / 100.0          # small nuisance variance
+        v[23] = ((i * 13) % 50) / 100.0
+        rng_free.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rng_free, "vec_id bigint, embedding array<float>")
+
+    v, mu = pca_power_component(emb, iters=8)
+    X = np.array([row[1] for row in rng_free])
+    C = np.cov(X, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    assert abs(float(np.dot(v, top)) / np.linalg.norm(v)) > 0.999
+
+    proj = {r.vec_id: r.pc1_proj for r in pca_project(emb, iters=8).collect()}
+    pos = [proj[i] for i in range(0, 200, 2)]
+    neg = [proj[i] for i in range(1, 200, 2)]
+    assert min(pos) > max(neg) or min(neg) > max(pos)  # modes separate
+
+    again = {r.vec_id: r.pc1_proj for r in pca_project(emb, iters=8).collect()}
+    assert proj == again
+
+
 def test_ann_recall_report_consistency(spark, sf_dir):
     """The audit's internal arithmetic: hits bounded by n_queries*k,
     recalls equal hits/(n_queries*k) after qround, and the residual-PQ
