@@ -1100,6 +1100,17 @@ def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_selfcheck(_docs(spark, sf_dir))
 
 
+def _bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning over the documents table: 12 merge steps, pair
+    stats on the frequency-weighted distinct-word table (the corpus is
+    scanned once) — operators/text_analysis.py:bpe_learn_merges.  The
+    oracle replays every merge step in SQL via the same sentinel-framed
+    literal-replace construction."""
+    from singer_spark.operators.text_analysis import bpe_learn_merges
+
+    return bpe_learn_merges(_docs(spark, sf_dir), n_merges=12)
+
+
 def _wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match WordPiece, SELF-VERIFYING (r7): the trie walk
     and the independent shrinking-window reference segment every document
@@ -2111,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "hard_negatives": _hard_negatives,
         "wordpiece_tokenize": _wordpiece_tokenize,
+        "bpe_learn": _bpe_learn,
         "text_compression_ratio": _compression_ratio,
         "image_near_dup": _image_near_dup,
         "ngram_novelty": _ngram_novelty,
@@ -2488,6 +2500,46 @@ SELECT query_id, neighbor_id, rank::INT AS rank, adc_micro FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY adc_micro, neighbor_id) AS rank
   FROM adc) WHERE rank <= {topk}""")
+
+
+def _bpe_oracle(n_merges: int = 12) -> str:
+    """SQL replay of bpe_learn_merges: frequency-weighted distinct-word
+    table, sentinel-framed symbol strings, and per step the argmax pair
+    (count DESC, pair ASC) followed by the literal replace whose greedy
+    left-to-right semantics is BPE's merge rule.  Iteration CTEs are
+    MATERIALIZED — inlining would re-expand the chain per reference."""
+    blocks = [
+        """w AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+           AS word
+    FROM documents) GROUP BY word)""",
+        r"""s0 AS MATERIALIZED (SELECT word, freq,
+  regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g') AS s FROM w)""",
+    ]
+    for t in range(1, n_merges + 1):
+        p = t - 1
+        blocks.append(f"""p{t} AS (
+  SELECT pair, sum(freq) AS cnt FROM (
+    SELECT freq, unnest(list_transform(range(1, len(arr)),
+                        i -> arr[i] || chr(3) || arr[i + 1])) AS pair
+    FROM (SELECT freq, string_split(substr(s, 2, length(s) - 2),
+                                    chr(2) || chr(1)) AS arr
+          FROM s{p})) GROUP BY pair)""")
+        blocks.append(f"""m{t} AS MATERIALIZED (
+  SELECT split_part(pair, chr(3), 1) AS l, split_part(pair, chr(3), 2) AS r,
+         cnt
+  FROM p{t} ORDER BY cnt DESC, pair ASC LIMIT 1)""")
+        blocks.append(f"""s{t} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(s, chr(1) || l || chr(2) || chr(1) || r || chr(2),
+                 chr(1) || l || r || chr(2)) AS s
+  FROM s{p} CROSS JOIN m{t})""")
+    finals = "\n  UNION ALL ".join(
+        f"SELECT {t} AS step, l AS left_sym, r AS right_sym, l || r AS merged, "
+        f"cnt::BIGINT AS pair_freq FROM m{t}" for t in range(1, n_merges + 1))
+    return ("WITH " + ",\n".join(blocks)
+            + f"\nSELECT * FROM ({finals}) ORDER BY step")
 
 
 def _pca_oracle(iters: int = 8, dim: int = 64) -> str:
@@ -4200,6 +4252,7 @@ def oracle_sql() -> dict[str, str]:
                                              topk=5, n_queries=10),
         "ann_recall": _ann_recall_oracle(),
         "embedding_pca": _pca_oracle(iters=8, dim=64),
+        "bpe_learn": _bpe_oracle(n_merges=12),
         "sim_ivf_ann": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

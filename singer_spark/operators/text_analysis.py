@@ -1338,3 +1338,62 @@ def token_drift(docs_a: DataFrame, docs_b: DataFrame, top_n: int = 50,
             .orderBy(F.col("_rank").desc(), F.col("token"))
             .limit(top_n)
             .drop("_rank"))
+
+
+def bpe_learn_merges(docs: DataFrame, n_merges: int = 12,
+                     text_col: str = "text",
+                     lowercase: bool = True) -> DataFrame:
+    """Learn byte-pair-encoding merges (Sennrich et al. 2016 §3.2) — the
+    tokenizer-training half the encode-side `wordpiece_encode` assumes.
+
+    The classic scale trick: pair statistics are computed over the
+    DISTINCT-WORD table weighted by word frequency, so the corpus is
+    touched exactly once (tokenize + groupBy-count, the only
+    data-proportional shuffle); each of the `n_merges` iterations then
+    runs on the vocabulary — at 100 TB of text the vocab is millions of
+    rows, not billions, and each iteration is one map-side-combined
+    aggregation plus a 1-row collect (the argmax pair).
+
+    State is a SENTINEL-FRAMED STRING per word (\\x01sym\\x02 per symbol,
+    e.g. "he" → "\\x01h\\x02\\x01e\\x02"): applying merge (a, b) is one
+    literal `replace("\\x01a\\x02\\x01b\\x02" → "\\x01ab\\x02")`, whose
+    scan-left greedy non-overlapping semantics IS BPE's merge rule and
+    is identical in every engine — the whole loop stays in JVM codegen
+    (no UDF) and replays in plain SQL.  Ties on pair frequency break by
+    pair string ascending.  Determinism: no RNG, no float.
+
+    Output: (step, left_sym, right_sym, merged, pair_freq) — the learned
+    merge table, step 1 = most frequent pair."""
+    S1, S2, S3 = "\x01", "\x02", "\x03"
+    from singer_spark.functions import maybe_persist
+
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = maybe_persist(
+        docs.select(F.explode(
+            F.filter(F.split(text, " "), lambda t: t != "")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("freq")), True)
+
+    s = F.regexp_replace(F.col("word"), "(.)", S1 + "$1" + S2)
+    merges = []
+    for step in range(1, n_merges + 1):
+        arr = F.split(
+            F.expr("substring(_bpe_s, 2, length(_bpe_s) - 2)"), S2 + S1)
+        pairs = F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda x, y: F.concat(x, F.lit(S3), y))
+        top = (words.withColumn("_bpe_s", s)
+               .select(F.explode(pairs).alias("pair"), "freq")
+               .groupBy("pair").agg(F.sum("freq").alias("cnt"))
+               .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+               .limit(1).collect())
+        if not top:
+            break
+        left, right = top[0].pair.split(S3, 1)
+        merges.append((step, left, right, left + right, int(top[0].cnt)))
+        s = F.replace(s, F.lit(S1 + left + S2 + S1 + right + S2),
+                      F.lit(S1 + left + right + S2))
+    words.unpersist()
+    return docs.sparkSession.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, "
+                "merged string, pair_freq bigint")

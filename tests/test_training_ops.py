@@ -359,6 +359,62 @@ def test_dup_cluster_stats_histogram(spark):
     assert got == {1: (2, 2), 2: (1, 2), 3: (1, 3)}
 
 
+def _bpe_reference(word_freqs, n_merges):
+    """Sennrich et al. 2016 alg. 1, greedy left-to-right merges, ties by
+    pair string ascending — the independent twin bpe_learn_merges must
+    match."""
+    state = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = {}
+        for syms, f in state.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get(
+                    (syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0] + "\x03" + kv[0][1]))
+        merges.append((step, a, b, a + b, c))
+        nxt = {}
+        for syms, f in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + f
+        state = nxt
+    return merges
+
+
+def test_bpe_learn_matches_reference(spark):
+    """Corpus engineered with overlap runs (aaaa → greedy pairs), a
+    frequency tie broken lexicographically, and single-char words; the
+    Spark merge table must equal the reference algorithm exactly."""
+    from collections import Counter
+
+    from singer_spark.operators.text_analysis import bpe_learn_merges
+
+    texts = ["low low low lower lowest",
+             "aaaa aaaa aa a",
+             "zz yy zz yy",          # tie: (z,z) vs (y,y) same count
+             "newer newest new b"]
+    docs = _docs_df(spark, [(i, t, "s") for i, t in enumerate(texts)])
+    freqs = Counter(w for t in texts for w in t.lower().split() if w)
+    want = _bpe_reference(freqs, 10)
+
+    got = [(r.step, r.left_sym, r.right_sym, r.merged, r.pair_freq)
+           for r in bpe_learn_merges(docs, n_merges=10).collect()]
+    assert got == want
+    # the overlap-run case specifically: 'aaaa' contributes 3 (a,a) pairs
+    # at step time but greedy merging yields aa+aa, never aa inside aaa
+    assert any(m[3] == "aa" for m in got)
+
+
 def test_leakage_safe_split_never_straddles_pairs(spark):
     """The defining invariant: every near-dup pair lands in ONE split (a
     plain per-doc hash split provably straddles some pair on this
