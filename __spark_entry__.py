@@ -1111,6 +1111,18 @@ def _bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn_merges(_docs(spark, sf_dir), n_merges=12)
 
 
+def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 12 BPE merges on the corpus, then tokenize every document
+    with them — the end-to-end tokenizer path (text_analysis.bpe_encode);
+    the oracle replays learn + encode in one SQL chain."""
+    from singer_spark.operators.text_analysis import bpe_encode, bpe_learn_merges
+
+    docs = _docs(spark, sf_dir)
+    merges = [(r.left_sym, r.right_sym)
+              for r in bpe_learn_merges(docs, n_merges=12).collect()]
+    return bpe_encode(docs, merges).orderBy("doc_id")
+
+
 def _wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match WordPiece, SELF-VERIFYING (r7): the trie walk
     and the independent shrinking-window reference segment every document
@@ -2123,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": _hard_negatives,
         "wordpiece_tokenize": _wordpiece_tokenize,
         "bpe_learn": _bpe_learn,
+        "bpe_encode": _bpe_encode,
         "text_compression_ratio": _compression_ratio,
         "image_near_dup": _image_near_dup,
         "ngram_novelty": _ngram_novelty,
@@ -2540,6 +2553,37 @@ def _bpe_oracle(n_merges: int = 12) -> str:
         f"cnt::BIGINT AS pair_freq FROM m{t}" for t in range(1, n_merges + 1))
     return ("WITH " + ",\n".join(blocks)
             + f"\nSELECT * FROM ({finals}) ORDER BY step")
+
+
+def _bpe_encode_oracle(n_merges: int = 12) -> str:
+    """Learn-then-encode replay: the _bpe_oracle CTE chain for the merge
+    table, then every document framed with the same sentinels and pushed
+    through the merges via scalar-subquery replaces in learned order."""
+    learn = _bpe_oracle(n_merges)
+    blocks_part = learn[len("WITH "):learn.rindex("\nSELECT * FROM")]
+    enc = r"""d0 AS (SELECT doc_id,
+  array_to_string(list_transform(
+    list_filter(string_split(lower(text), ' '), t -> t <> ''),
+    w -> regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g')),
+    chr(4)) AS s
+  FROM documents)"""
+    chain = [enc]
+    for t in range(1, n_merges + 1):
+        chain.append(f"""d{t} AS MATERIALIZED (
+  SELECT doc_id,
+         replace(s, (SELECT chr(1) || l || chr(2) || chr(1) || r || chr(2)
+                     FROM m{t}),
+                 (SELECT chr(1) || l || r || chr(2) FROM m{t})) AS s
+  FROM d{t - 1})""")
+    last = f"d{n_merges}"
+    return ("WITH " + blocks_part + ",\n" + ",\n".join(chain) + f"""
+SELECT doc_id,
+       (length(replace(s, chr(4), ''))
+        - length(replace(replace(s, chr(4), ''), chr(1), '')))::BIGINT
+         AS n_tokens,
+       ltrim(replace(replace(replace(s, chr(4), ''), chr(1), ' '),
+                     chr(2), ''), ' ') AS tokens
+FROM {last} ORDER BY doc_id""")
 
 
 def _pca_oracle(iters: int = 8, dim: int = 64) -> str:
@@ -4253,6 +4297,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall": _ann_recall_oracle(),
         "embedding_pca": _pca_oracle(iters=8, dim=64),
         "bpe_learn": _bpe_oracle(n_merges=12),
+        "bpe_encode": _bpe_encode_oracle(n_merges=12),
         "sim_ivf_ann": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

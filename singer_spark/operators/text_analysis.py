@@ -1397,3 +1397,38 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 12,
     return docs.sparkSession.createDataFrame(
         merges, "step int, left_sym string, right_sym string, "
                 "merged string, pair_freq bigint")
+
+
+def bpe_encode(docs: DataFrame, merges: "list[tuple[str, str]]",
+               text_col: str = "text", id_col: str = "doc_id",
+               lowercase: bool = True) -> DataFrame:
+    """Tokenize with a learned BPE merge list (the apply half of
+    :func:`bpe_learn_merges`): per document, every word is framed as
+    \\x01sym\\x02 symbol runs, each merge is one literal `replace` applied
+    in learned order over the WHOLE document string at once (patterns
+    contain a \\x02\\x01 symbol seam, so they can never straddle the \\x04
+    word separator), and the result unframes to the token stream.
+
+    The entire encode is a chain of len(merges) JVM string replaces — no
+    UDF, no shuffle, embarrassingly parallel over the corpus scan: the
+    right shape for tokenizing 100 TB.  Sentinels assume text free of
+    \\x01-\\x04 (true of any sane corpus; pre-strip control bytes
+    otherwise).
+
+    Output: (id_col, n_tokens, tokens) — tokens space-joined in order."""
+    S1, S2, S4 = "\x01", "\x02", "\x04"
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = F.filter(F.split(text, " "), lambda t: t != "")
+    s = F.array_join(
+        F.transform(words, lambda w: F.regexp_replace(w, "(.)", S1 + "$1" + S2)),
+        S4)
+    for left, right in merges:
+        s = F.replace(s, F.lit(S1 + left + S2 + S1 + right + S2),
+                      F.lit(S1 + left + right + S2))
+    flat = F.replace(s, F.lit(S4), F.lit(""))
+    n_tokens = (F.length(flat)
+                - F.length(F.replace(flat, F.lit(S1), F.lit("")))).cast("bigint")
+    tokens = F.ltrim(F.replace(F.replace(flat, F.lit(S1), F.lit(" ")),
+                               F.lit(S2), F.lit("")))
+    return docs.select(F.col(id_col), n_tokens.alias("n_tokens"),
+                       tokens.alias("tokens"))

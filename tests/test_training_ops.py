@@ -415,6 +415,32 @@ def test_bpe_learn_matches_reference(spark):
     assert any(m[3] == "aa" for m in got)
 
 
+def test_bpe_encode_roundtrip_and_compression(spark):
+    """Lossless: concatenating a doc's tokens reproduces its words
+    exactly; applying merges never increases token count and strictly
+    decreases it where a merge fires; zero merges = character count."""
+    from singer_spark.operators.text_analysis import bpe_encode, bpe_learn_merges
+
+    texts = ["low lower lowest", "aaaa aa a", "mixed bag of words here"]
+    docs = _docs_df(spark, [(i, t, "s") for i, t in enumerate(texts)])
+    merges = [(r.left_sym, r.right_sym)
+              for r in bpe_learn_merges(docs, n_merges=8).collect()]
+    assert merges
+
+    enc = {r.doc_id: (r.n_tokens, r.tokens)
+           for r in bpe_encode(docs, merges).collect()}
+    enc0 = {r.doc_id: r.n_tokens
+            for r in bpe_encode(docs, []).collect()}
+    for i, t in enumerate(texts):
+        words = t.lower().split()
+        n, toks = enc[i]
+        assert "".join(toks.split(" ")) == "".join(words)   # lossless
+        assert n == len(toks.split(" "))
+        assert enc0[i] == sum(len(w) for w in words)        # chars at 0 merges
+        assert n <= enc0[i]
+    assert any(enc[i][0] < enc0[i] for i in enc)            # compression real
+
+
 def test_leakage_safe_split_never_straddles_pairs(spark):
     """The defining invariant: every near-dup pair lands in ONE split (a
     plain per-doc hash split provably straddles some pair on this
