@@ -2528,7 +2528,7 @@ def _bpe_oracle(n_merges: int = 12) -> str:
            AS word
     FROM documents) GROUP BY word)""",
         r"""s0 AS MATERIALIZED (SELECT word, freq,
-  regexp_replace(word, '(.)', chr(1) || '\1' || chr(2), 'g') AS s FROM w)""",
+  regexp_replace(word, '(?s)(.)', chr(1) || '\1' || chr(2), 'g') AS s FROM w)""",
     ]
     for t in range(1, n_merges + 1):
         p = t - 1
@@ -2558,22 +2558,27 @@ def _bpe_oracle(n_merges: int = 12) -> str:
 def _bpe_encode_oracle(n_merges: int = 12) -> str:
     """Learn-then-encode replay: the _bpe_oracle CTE chain for the merge
     table, then every document framed with the same sentinels and pushed
-    through the merges via scalar-subquery replaces in learned order."""
+    through the merges via scalar-subquery replaces in learned order.  A
+    merge step whose pair statistics were exhausted (empty m{t}) coalesces
+    to a never-matching chr(5) pattern — a no-op replace, mirroring the
+    engine's early loop exit."""
     learn = _bpe_oracle(n_merges)
     blocks_part = learn[len("WITH "):learn.rindex("\nSELECT * FROM")]
     enc = r"""d0 AS (SELECT doc_id,
   array_to_string(list_transform(
     list_filter(string_split(lower(text), ' '), t -> t <> ''),
-    w -> regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g')),
+    w -> regexp_replace(w, '(?s)(.)', chr(1) || '\1' || chr(2), 'g')),
     chr(4)) AS s
   FROM documents)"""
     chain = [enc]
     for t in range(1, n_merges + 1):
         chain.append(f"""d{t} AS MATERIALIZED (
   SELECT doc_id,
-         replace(s, (SELECT chr(1) || l || chr(2) || chr(1) || r || chr(2)
-                     FROM m{t}),
-                 (SELECT chr(1) || l || r || chr(2) FROM m{t})) AS s
+         replace(s,
+                 coalesce((SELECT chr(1) || l || chr(2) || chr(1) || r
+                                  || chr(2) FROM m{t}), chr(5)),
+                 coalesce((SELECT chr(1) || l || r || chr(2) FROM m{t}),
+                          chr(5))) AS s
   FROM d{t - 1})""")
     last = f"d{n_merges}"
     return ("WITH " + blocks_part + ",\n" + ",\n".join(chain) + f"""
@@ -4664,7 +4669,8 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_tokenize": """
             SELECT doc_id,
                    CASE WHEN text IS NULL THEN NULL
-                        ELSE len(regexp_extract_all(text, '\\S+')) END::BIGINT
+                        ELSE len(regexp_extract_all(text,
+                                 '[^ \\t\\n\\x0b\\f\\r]+')) END::BIGINT
                        AS n_words,
                    true AS impls_agree
             FROM documents""",

@@ -91,6 +91,12 @@ HEADLINERS = [
     "decontaminate",
     "decontaminate_spans",
     "b5_audit_count",
+    # round-7 additions: tokenizer train+apply, training-order shuffle,
+    # covariance/PCA screen, cluster-aware split (jaccard pairs + CC)
+    "bpe_encode",
+    "corpus_shuffle",
+    "embedding_pca",
+    "leakage_safe_split",
 ]
 
 

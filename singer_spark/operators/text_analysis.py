@@ -728,8 +728,9 @@ def wordpiece_crosscheck(docs: DataFrame, vocab: set[str] | list[str],
     algorithm, not a different call site) segment every document in the
     same query, and only the agreement boolean plus a JVM-computed word
     count leave the plan.  A plain-SQL oracle value-checks `n_words`
-    (count of ``\\S+`` runs — Java regex and RE2 agree on the ASCII
-    whitespace class) and pins `impls_agree` true, so the DRIVER's
+    (runs of non-whitespace under the EXPLICIT ASCII class
+    ``[ \\t\\n\\x0B\\f\\r]`` — spelled out because Java's ``\\s`` includes
+    \\x0B while RE2's does not) and pins `impls_agree` true, so the DRIVER's
     UDF-less DuckDB can verify the operator; the full piece-string
     equality stays covered by the operator tests.
 
@@ -769,7 +770,10 @@ def wordpiece_crosscheck(docs: DataFrame, vocab: set[str] | list[str],
     nul = F.lit("\x00")  # sentinel: NULL == NULL counts as agreement
     ref = fan_out(docs).select(
         F.col(id_col),
-        F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+        # explicit ASCII whitespace class: Java \s includes \x0B but RE2's
+        # \S does not — spelling the class out keeps engine and oracle on
+        # the same word boundaries for every byte
+        F.size(F.filter(F.split(F.col(text_col), "[ \\t\\n\\x0B\\f\\r]+"),
                         lambda x: x != "")).cast("long").alias("n_words"),
         ref_encode(F.col(text_col)).alias("_ref"))
     return (enc.join(ref, id_col)
@@ -1373,7 +1377,9 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 12,
             F.filter(F.split(text, " "), lambda t: t != "")).alias("word"))
         .groupBy("word").agg(F.count("*").alias("freq")), True)
 
-    s = F.regexp_replace(F.col("word"), "(.)", S1 + "$1" + S2)
+    # (?s): Java's bare `.` skips \r/\u0085/\u2028/\u2029 while RE2's
+    # skips only \n — DOTALL on BOTH engines frames every char identically
+    s = F.regexp_replace(F.col("word"), "(?s)(.)", S1 + "$1" + S2)
     merges = []
     for step in range(1, n_merges + 1):
         arr = F.split(
@@ -1420,7 +1426,8 @@ def bpe_encode(docs: DataFrame, merges: "list[tuple[str, str]]",
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     words = F.filter(F.split(text, " "), lambda t: t != "")
     s = F.array_join(
-        F.transform(words, lambda w: F.regexp_replace(w, "(.)", S1 + "$1" + S2)),
+        F.transform(words,
+                    lambda w: F.regexp_replace(w, "(?s)(.)", S1 + "$1" + S2)),
         S4)
     for left, right in merges:
         s = F.replace(s, F.lit(S1 + left + S2 + S1 + right + S2),

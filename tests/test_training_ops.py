@@ -402,9 +402,14 @@ def test_bpe_learn_matches_reference(spark):
     texts = ["low low low lower lowest",
              "aaaa aaaa aa a",
              "zz yy zz yy",          # tie: (z,z) vs (y,y) same count
-             "newer newest new b"]
+             "newer newest new b",
+             "cr\rcr cr\rcr cr\rcr"]  # CR inside a word: Java's bare `.`
+                                      # skips line terminators — the (?s)
+                                      # framing must still cover it
     docs = _docs_df(spark, [(i, t, "s") for i, t in enumerate(texts)])
-    freqs = Counter(w for t in texts for w in t.lower().split() if w)
+    # split on ' ' exactly (the operator's word boundary) — bare split()
+    # would also split on \r and miss the in-word control-char case
+    freqs = Counter(w for t in texts for w in t.lower().split(" ") if w)
     want = _bpe_reference(freqs, 10)
 
     got = [(r.step, r.left_sym, r.right_sym, r.merged, r.pair_freq)

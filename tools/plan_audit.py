@@ -2,9 +2,14 @@
 
 For every `queries()` entry, builds the DataFrame (no execution beyond
 what plan construction itself requires — for most queries that is none;
-the pair-BUDGET family is the documented exception, running one eager
-histogram/threshold job and leaving a posting-list cache at build time,
-which this tool clears between queries) and summarizes the formatted
+the exceptions, all documented in their operators, are the pair-BUDGET
+family (eager histogram/threshold job + posting-list cache, cleared
+between queries here), the TRAINED quantizer family (sim_ivf_trained /
+sim_pq_trained run their Lloyd iterations at build time), bpe_learn /
+bpe_encode (one 1-row argmax collect per merge step), embedding_pca
+(the one-pass moments collect), and corpus_shuffle (assign_global_ids'
+eager range-partition checkpoint + per-partition counts) — every one a
+bounded, driver-sized collect by design) and summarizes the formatted
 physical plan:
 
 - n_scans / n_exchanges / n_broadcasts — the shuffle budget at a glance

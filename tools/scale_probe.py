@@ -421,12 +421,18 @@ def skew_main(spark, sf_dir: str, k: int = 1) -> None:
     ]
 
     print("scenario".ljust(32) + "   sec")
-    base_times: dict[str, float] = {}
+    times: dict[str, float] = {}
     for name, build in scenarios:
         sec = _timed(build)
-        base_times[name] = sec
+        times[name] = sec
         print(f"{name.ljust(32)}{sec:7.2f}")
         spark.catalog.clearCache()
+    # the headline ratios the README table cites: capped/guarded vs open
+    for on, off in (("funnel cap=1000", "funnel uncapped"),
+                    ("sequences cap=1000", "sequences uncapped"),
+                    ("jaccard guard on (df<=256)", "jaccard guard off (df<=10^6)")):
+        if times.get(off):
+            print(f"ratio {on} / {off}: {times[on] / times[off]:.2f}x")
 
 
 def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,

@@ -394,7 +394,7 @@ def run_dupes_metric_soak(spark, root: str, seconds: float,
     the reader-reported `dupe_bytes` (from the final checkpointed offset)
     is compared to the duplicate bytes actually measured in the delivered
     rows.  Rotation is sized slower than the trigger cadence and past the
-    4 KiB fingerprint window (rotate_every=2000, ~18 KiB) so every
+    4 KiB fingerprint window (rotate_every=6000, ~55 KiB) so every
     rotation's committed window is observable; the kill/restart tail soak
     above intentionally is NOT this regime — a reader that restarts every
     cycle has no prior state to suspect duplicates against (the
