@@ -1100,6 +1100,15 @@ def _compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_selfcheck(_docs(spark, sf_dir))
 
 
+def _source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL from the corpus unigram distribution (Jeffreys-
+    smoothed over the corpus vocab; one token-count shuffle, everything
+    downstream vocab-sized) — text_analysis.source_unigram_kl."""
+    from singer_spark.operators.text_analysis import source_unigram_kl
+
+    return source_unigram_kl(_docs(spark, sf_dir))
+
+
 def _bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge learning over the documents table: 12 merge steps, pair
     stats on the frequency-weighted distinct-word table (the corpus is
@@ -2134,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "hard_negatives": _hard_negatives,
         "wordpiece_tokenize": _wordpiece_tokenize,
+        "source_unigram_kl": _source_unigram_kl,
         "bpe_learn": _bpe_learn,
         "bpe_encode": _bpe_encode,
         "text_compression_ratio": _compression_ratio,
@@ -4301,6 +4311,27 @@ def oracle_sql() -> dict[str, str]:
                                              topk=5, n_queries=10),
         "ann_recall": _ann_recall_oracle(),
         "embedding_pca": _pca_oracle(iters=8, dim=64),
+        "source_unigram_kl": """
+            WITH st AS (
+              SELECT source, token, count(*) AS n_st FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents)
+              WHERE token <> '' GROUP BY source, token),
+            tt AS (SELECT token, sum(n_st) AS n_t FROM st GROUP BY token),
+            so AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY source),
+            sc AS (SELECT sum(n_t) AS n, count(*) AS v FROM tt),
+            grid AS (
+              SELECT so.source, so.n_s, coalesce(st.n_st, 0) AS n_st,
+                     tt.n_t, sc.n, sc.v
+              FROM tt CROSS JOIN so CROSS JOIN sc
+                   LEFT JOIN st ON st.source = so.source
+                              AND st.token = tt.token)
+            SELECT source, max(n_s)::BIGINT AS n_tokens,
+                   floor(sum(((n_st + 0.5) / (n_s + 0.5 * v))
+                             * ln(((n_st + 0.5) / (n_s + 0.5 * v))
+                                  / ((n_t + 0.5) / (n + 0.5 * v))))
+                         * 1000000 + 0.5) / 1000000 AS kl
+            FROM grid GROUP BY source ORDER BY source""",
         "bpe_learn": _bpe_oracle(n_merges=12),
         "bpe_encode": _bpe_encode_oracle(n_merges=12),
         "sim_ivf_ann": """

@@ -1439,3 +1439,53 @@ def bpe_encode(docs: DataFrame, merges: "list[tuple[str, str]]",
                                F.lit(S2), F.lit("")))
     return docs.select(F.col(id_col), n_tokens.alias("n_tokens"),
                        tokens.alias("tokens"))
+
+
+def source_unigram_kl(docs: DataFrame, smoothing: float = 0.5,
+                      text_col: str = "text",
+                      source_col: str = "source",
+                      round_to: int = 6) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    the mixture-health screen: a source whose KL(P_source ‖ P_corpus)
+    jumps is injecting templates, changing language, or drifting topic
+    (the cross-SOURCE complement of `token_drift`'s two-snapshot report).
+
+    Add-`smoothing` (Jeffreys 0.5) over the CORPUS vocabulary on both
+    sides, so sources missing a token contribute finite mass and KL is
+    always defined.  Both engines' `ln` agree to the last ulp on the
+    same doubles and every sum is qround-quantized, so a plain-SQL
+    oracle value-matches (the weighted_sample −ln(u) discipline).
+
+    Plan shape at 100 TB: corpus text never shuffles — ONE explode +
+    map-side-combined (source, token) count, then everything downstream
+    is vocabulary-sized: token totals and source totals are second-level
+    aggregates of that frame, the per-(source, token) grid is
+    vocab × n_sources rows with the source-totals side broadcast.
+
+    Output: (source, n_tokens, kl) ordered by source."""
+    from singer_spark.functions import maybe_persist, qround
+
+    st = maybe_persist(
+        docs.select(F.col(source_col).alias("source"),
+                    F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("source", "token").agg(F.count("*").alias("n_st")), True)
+
+    tok_tot = st.groupBy("token").agg(F.sum("n_st").alias("n_t"))
+    src_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    scalars = tok_tot.agg(F.sum("n_t").alias("n"),
+                          F.count("*").alias("v"))
+
+    a = F.lit(float(smoothing))
+    grid = (tok_tot.crossJoin(F.broadcast(src_tot))
+            .join(st, ["source", "token"], "left")
+            .crossJoin(F.broadcast(scalars))
+            .select("source", "n_s",
+                    F.coalesce("n_st", F.lit(0)).alias("n_st"),
+                    "n_t", "n", "v"))
+    p = (F.col("n_st") + a) / (F.col("n_s") + a * F.col("v"))
+    q = (F.col("n_t") + a) / (F.col("n") + a * F.col("v"))
+    return (grid.groupBy("source")
+            .agg(F.first("n_s").alias("n_tokens"),
+                 qround(F.sum(p * F.log(p / q)), round_to).alias("kl"))
+            .orderBy("source"))

@@ -284,3 +284,59 @@ def test_label_centroid_sim_joins_centroid_sized_frames(spark, sf_dir):
     assert reads
     for read in reads:
         assert "vec_id" not in read  # only label + embedding are read
+
+
+def test_bpe_encode_is_shuffle_free_pruned_scan(spark, sf_dir):
+    """The encode path is a pure map over the corpus scan: no exchange of
+    any kind, no Python UDF node (the merge chain is JVM string replaces),
+    and the scan reads only (doc_id, text)."""
+    from singer_spark.operators.text_analysis import bpe_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(bpe_encode(docs, [("a", "b"), ("ab", "c")]))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read and "source" not in read and "lang" not in read
+
+
+def test_pca_projection_is_shuffle_free(spark, sf_dir):
+    """After the (separate) moments pass, the projection itself is a
+    shuffle-free JVM fold: no exchange, no Python in the per-row path,
+    scan pruned to (vec_id, embedding)."""
+    from singer_spark.operators.similarity import pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(pca_project(emb, iters=2))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_unigram_kl_broadcasts_vocab_sized_frames(spark, sf_dir):
+    """The corpus scan feeds ONE aggregation; the grid join's broadcast
+    sides are the source-totals and scalar frames (vocab-sized data never
+    drives a sort-merge join), and the scan reads only (source, text)."""
+    from singer_spark.operators.text_analysis import source_unigram_kl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(source_unigram_kl(docs))
+    assert "BroadcastExchange" in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read and "n_chars" not in read
+
+
+def test_leakage_safe_split_shuffles_ids_only(spark, sf_dir):
+    """Label propagation exchanges carry (id, label) longs only — the
+    document text stays in the (already-verified) pair-generation stage,
+    never in the split itself."""
+    from pyspark.sql import functions as F
+
+    from singer_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = docs.select(F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 1).alias("id_b")).limit(50)
+    plan = _plan(leakage_safe_split(docs, pairs))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line

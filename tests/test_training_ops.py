@@ -359,6 +359,43 @@ def test_dup_cluster_stats_histogram(spark):
     assert got == {1: (2, 2), 2: (1, 2), 3: (1, 3)}
 
 
+def test_source_unigram_kl_orders_by_divergence(spark):
+    """KL is ~0 for a source matching the corpus mix, strictly larger for
+    a template-flooded source, and always non-negative (Gibbs); matches a
+    plain-Python reference with the same Jeffreys smoothing."""
+    import math
+    from collections import Counter
+
+    from singer_spark.operators.text_analysis import source_unigram_kl
+
+    balanced = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, balanced, "clean") for i in range(20)]
+    rows += [(100 + i, "spam spam spam buy now", "floody") for i in range(20)]
+    docs = _docs_df(spark, rows)
+
+    got = {r.source: (r.n_tokens, r.kl)
+           for r in source_unigram_kl(docs).collect()}
+    assert set(got) == {"clean", "floody"}
+    assert got["clean"][1] >= 0 and got["floody"][1] >= 0
+    assert got["floody"][1] > got["clean"][1]
+
+    # independent reference
+    per_src = {"clean": Counter(), "floody": Counter()}
+    for _i, t, s in rows:
+        per_src[s].update(w for w in t.split(" ") if w)
+    corpus = per_src["clean"] + per_src["floody"]
+    V = len(corpus)
+    N = sum(corpus.values())
+    for src, cnt in per_src.items():
+        ns = sum(cnt.values())
+        kl = sum(((cnt[t] + 0.5) / (ns + 0.5 * V))
+                 * math.log(((cnt[t] + 0.5) / (ns + 0.5 * V))
+                            / ((corpus[t] + 0.5) / (N + 0.5 * V)))
+                 for t in corpus)
+        want = math.floor(kl * 1e6 + 0.5) / 1e6
+        assert got[src] == (ns, want)
+
+
 def _bpe_reference(word_freqs, n_merges):
     """Sennrich et al. 2016 alg. 1, greedy left-to-right merges, ties by
     pair string ascending — the independent twin bpe_learn_merges must

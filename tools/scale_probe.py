@@ -249,7 +249,26 @@ def ops(docs: DataFrame):
         "segment_dedup": lambda: segment_dedup(docs),
         "decontaminate_spans": lambda: _spans(docs),
         "heavy_hitters": lambda: _hh(docs),
+        "bpe_learn+encode": lambda: _bpe(docs),
+        "corpus_shuffle": lambda: _shuffle(docs),
     }
+
+
+def _bpe(docs: DataFrame) -> DataFrame:
+    """Tokenizer train+apply: merge learning runs on the distinct-word
+    table (sub-linear in the corpus once vocab saturates), encode is the
+    corpus-linear replace chain."""
+    from singer_spark.operators.text_analysis import bpe_encode, bpe_learn_merges
+
+    merges = [(r.left_sym, r.right_sym)
+              for r in bpe_learn_merges(docs, n_merges=12).collect()]
+    return bpe_encode(docs, merges)
+
+
+def _shuffle(docs: DataFrame) -> DataFrame:
+    from singer_spark.operators.ids import corpus_shuffle
+
+    return corpus_shuffle(docs, num_shards=8)
 
 
 def _spans(docs: DataFrame) -> DataFrame:
@@ -334,7 +353,16 @@ def ann_ops(emb: DataFrame):
         "l2_exact_topk": lambda: l2_topk(emb, q, 5),
         "pq_ann_topk": lambda: pq_ann_topk(emb, q, 5),
         "ivfpq_ann_topk": lambda: ivfpq_ann_topk(emb, q, 5),
+        "embedding_pca": lambda: _pca(emb),
     }
+
+
+def _pca(emb: DataFrame) -> DataFrame:
+    """One moments pass (dim²-per-partition driver traffic) + driver
+    eigensolve + shuffle-free projection — corpus-linear by design."""
+    from singer_spark.operators.similarity import pca_project
+
+    return pca_project(emb, iters=8)
 
 
 def ann_main(spark, sf_dir: str, ks: list[int]) -> None:
