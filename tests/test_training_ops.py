@@ -907,3 +907,28 @@ def test_minhash_recall_report_detects_weak_banding(spark):
     assert strong.recall >= weak.recall
     assert weak.recall < 1.0
     assert strong.recall > 0.5
+
+
+def test_bpe_learn_property_random_corpora(spark):
+    """Property sweep: on randomized small-alphabet corpora (where pair
+    ties and overlap runs are dense), the Spark merge table equals the
+    reference algorithm exactly.  Deterministic seeds, one Spark call per
+    corpus — a derandomized hypothesis stand-in sized for suite time."""
+    import random
+    from collections import Counter
+
+    from singer_spark.operators.text_analysis import bpe_learn_merges
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        alphabet = "ab" if seed % 2 == 0 else "abc"
+        texts = [" ".join("".join(rng.choice(alphabet)
+                                  for _ in range(rng.randint(1, 6)))
+                          for _ in range(rng.randint(1, 12)))
+                 for _ in range(5)]
+        docs = _docs_df(spark, [(i, t, "s") for i, t in enumerate(texts)])
+        freqs = Counter(w for t in texts for w in t.lower().split(" ") if w)
+        want = _bpe_reference(freqs, 6)
+        got = [(r.step, r.left_sym, r.right_sym, r.merged, r.pair_freq)
+               for r in bpe_learn_merges(docs, n_merges=6).collect()]
+        assert got == want, f"seed {seed}: {got} != {want}"
