@@ -260,28 +260,27 @@ def mg_merge(summaries: DataFrame, capacity: int) -> DataFrame:
             .select("item", (F.col("cnt") - F.col("_thr")).alias("cnt")))
 
 
-def streaming_heavy_hitters(items_stream: DataFrame, state_path: str,
-                            checkpoint: str, item_col: str = "item",
-                            capacity: int = 64):
-    """Always-on trending items: each micro-batch folds its Misra-Gries
-    summary into a persisted (item, cnt) state capped at `capacity`
-    entries — the streaming twin of diagnostics.heavy_hitters.
+def checkpointed_state_fold(stream_df: DataFrame, state_path: str,
+                            checkpoint: str, fold):
+    """Crash-safe at-most-once state folding for foreachBatch operators:
+    per micro-batch, read the persisted parquet state (or None), call
+    ``fold(spark, batch_df, prior_df_or_None) -> new_state_df``, and swap
+    the result in with the two-rename + epoch-marker protocol:
 
-    Exactness degrades gracefully: the state undercounts each item by at
-    most N_seen/capacity (mergeable-summaries bound), and every item with
-    true frequency above that threshold is guaranteed PRESENT — the same
-    superset contract the batch operator uses for candidate pruning, so a
-    periodic exact recount over the candidates restores exact counts.
-    State is summary-sized (<= capacity rows) regardless of stream length.
+    - retry guard: a marker equal to (run_id, epoch) means the state
+      already folded this batch — re-merging would double-count, which no
+      downstream recount can repair; a marker from a DIFFERENT run
+      (checkpoint recreated, state kept) is stale and dropped
+    - crash recovery: the _prev backup restores a state lost between the
+      two swap renames, or rolls back a half-applied swap
+    - the state dir on disk is always a COMPLETE snapshot (tmp-write +
+      rename), never a partial write
 
-    The retry marker is stamped `run_id:epoch` (run_id = the query id from
-    the checkpoint metadata), so recreating the checkpoint while keeping
-    the state dir cannot make a stale `epoch 0` marker skip the new run's
-    first batch.  NOTE: keeping the state dir across a checkpoint reset
-    still double-counts by construction — the new run re-reads the whole
-    source and merges it into the already-accumulated counts; delete the
-    state dir together with the checkpoint for a true reset.
-    Returns a DataStreamWriter (caller starts it)."""
+    The fold's output must be summary-sized (it is coalesced to one file).
+    Extracted from streaming_heavy_hitters so every bounded-state
+    streaming operator (heavy hitters, source-KL drift) shares the one
+    battle-tested protocol.  Returns a DataStreamWriter (caller starts
+    it)."""
     import os
     import shutil
     import uuid
@@ -323,12 +322,9 @@ def streaming_heavy_hitters(items_stream: DataFrame, state_path: str,
         elif os.path.isdir(prev_path) and os.path.isdir(state_path):
             shutil.rmtree(state_path)
             os.rename(prev_path, state_path)
-        batch_sum = mg_summarize(batch_df, item_col, capacity)
-        if os.path.isdir(state_path):
-            prior = spark.read.parquet(state_path)
-            merged = mg_merge(batch_sum.unionByName(prior), capacity)
-        else:
-            merged = batch_sum
+        prior = (spark.read.parquet(state_path)
+                 if os.path.isdir(state_path) else None)
+        merged = fold(spark, batch_df, prior)
         tmp = f"{state_path}_tmp_{epoch_id}_{uuid.uuid4().hex[:8]}"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         # two-rename swap: the old state survives as _prev until the new
@@ -343,8 +339,38 @@ def streaming_heavy_hitters(items_stream: DataFrame, state_path: str,
         os.replace(mk_tmp, marker)
         shutil.rmtree(prev_path, ignore_errors=True)
 
-    return (items_stream.writeStream.foreachBatch(on_batch)
+    return (stream_df.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint))
+
+
+def streaming_heavy_hitters(items_stream: DataFrame, state_path: str,
+                            checkpoint: str, item_col: str = "item",
+                            capacity: int = 64):
+    """Always-on trending items: each micro-batch folds its Misra-Gries
+    summary into a persisted (item, cnt) state capped at `capacity`
+    entries — the streaming twin of diagnostics.heavy_hitters.
+
+    Exactness degrades gracefully: the state undercounts each item by at
+    most N_seen/capacity (mergeable-summaries bound), and every item with
+    true frequency above that threshold is guaranteed PRESENT — the same
+    superset contract the batch operator uses for candidate pruning, so a
+    periodic exact recount over the candidates restores exact counts.
+    State is summary-sized (<= capacity rows) regardless of stream length.
+
+    Crash/retry safety is :func:`checkpointed_state_fold`'s protocol.
+    NOTE: keeping the state dir across a checkpoint reset still
+    double-counts by construction — the new run re-reads the whole source
+    and merges it into the already-accumulated counts; delete the state
+    dir together with the checkpoint for a true reset.
+    Returns a DataStreamWriter (caller starts it)."""
+
+    def fold(spark, batch_df, prior):
+        batch_sum = mg_summarize(batch_df, item_col, capacity)
+        if prior is None:
+            return batch_sum
+        return mg_merge(batch_sum.unionByName(prior), capacity)
+
+    return checkpointed_state_fold(items_stream, state_path, checkpoint, fold)
 
 
 def streaming_debounce(events: DataFrame, interval_seconds: int = 300,
@@ -407,3 +433,118 @@ def streaming_debounce(events: DataFrame, interval_seconds: int = 300,
     return (prepped.groupBy("user_id", "event_type")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
+
+
+def mg_merge_by_source(summaries: DataFrame, capacity: int) -> DataFrame:
+    """Per-source :func:`mg_merge`: sum (source, token) counts, then apply
+    the mergeable-summaries cap WITHIN each source — rank window and
+    threshold both partitioned by source, so one flooding source can
+    never evict another source's head tokens.  Input and output are
+    summary-sized (≤ n_sources × capacity rows)."""
+    from pyspark.sql.window import Window
+
+    agg = summaries.groupBy("source", "token").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = agg.withColumn("_rk", F.row_number().over(w))
+    thr = (ranked.where(F.col("_rk") == capacity + 1)
+           .select("source", F.col("cnt").alias("_thr")))
+    return (ranked.join(thr, "source", "left")
+            .withColumn("_thr", F.coalesce("_thr", F.lit(0)))
+            .where((F.col("_rk") <= capacity)
+                   & (F.col("cnt") - F.col("_thr") > 0))
+            .select("source", "token",
+                    (F.col("cnt") - F.col("_thr")).alias("cnt")))
+
+
+def streaming_source_kl(docs_stream: DataFrame, state_path: str,
+                        checkpoint: str, source_col: str = "source",
+                        text_col: str = "value", capacity: int = 256):
+    """Always-on mixture-drift monitor — the streaming twin of
+    `text_analysis.source_unigram_kl` with BOUNDED state: per source, a
+    Misra-Gries summary of its token counts (≤ `capacity` rows, undercount
+    ≤ N_source/capacity) plus one EXACT total-token row; state is
+    ≤ n_sources × (capacity + 1) rows forever.  Crash/retry safety is
+    :func:`checkpointed_state_fold`'s protocol.
+
+    Read the divergence report any time with :func:`source_kl_from_state`
+    — the monitor and the stream never contend.  Returns a
+    DataStreamWriter (caller starts it)."""
+    TOTAL = None  # token IS NULL marks the exact per-source total row
+
+    def fold(spark, batch_df, prior):
+        toks = (batch_df.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.col(text_col).cast("string"), " "))
+            .alias("token"))
+            .where(F.col("token") != ""))
+        batch_sum = toks.groupBy("source", "token").agg(
+            F.count("*").alias("cnt"))
+        batch_tot = (toks.groupBy("source").agg(F.count("*").alias("cnt"))
+                     .select("source", F.lit(TOTAL).cast("string")
+                             .alias("token"), "cnt"))
+        if prior is not None:
+            batch_sum = batch_sum.unionByName(
+                prior.where(F.col("token").isNotNull()))
+            batch_tot = (batch_tot.unionByName(
+                prior.where(F.col("token").isNull()))
+                .groupBy("source", "token").agg(F.sum("cnt").alias("cnt")))
+        return (mg_merge_by_source(batch_sum, capacity)
+                .unionByName(batch_tot))
+
+    return checkpointed_state_fold(docs_stream, state_path, checkpoint, fold)
+
+
+def source_kl_from_state(spark, state_path: str,
+                         smoothing: float = 0.5,
+                         round_to: int = 6) -> DataFrame:
+    """KL(source ‖ corpus) estimated from a :func:`streaming_source_kl`
+    state dir: each source's distribution over the coarsened partition
+    {its summary tokens} ∪ {OTHER} (OTHER = exact total − summary mass,
+    the MG-dropped tail), against the corpus distribution aggregated from
+    ALL sources' summaries on the same partition.  Coarsening can only
+    LOWER KL (data-processing inequality), so a rise in this estimate is
+    a real head-token drift signal, never partition noise; tail-only
+    drift folds into OTHER.  Jeffreys smoothing keeps every term finite.
+    Read it as a MIXTURE screen, not blame assignment: the pool moves
+    with a drifting source in proportion to its mass share (at a 50/50
+    two-source split the stable source's KL rises almost as much), so
+    rank sources by their own KL time series and by deviation from the
+    others — per-token attribution is `token_drift`'s job.
+
+    Output: (source, n_tokens, kl_est) ordered by source — driver-sized
+    arithmetic over the summary frame."""
+    from singer_spark.functions import qround
+
+    state = spark.read.parquet(state_path)
+    summ = state.where(F.col("token").isNotNull())
+    tot = (state.where(F.col("token").isNull())
+           .select("source", F.col("cnt").alias("n_s")))
+
+    corpus_tok = summ.groupBy("token").agg(F.sum("cnt").alias("n_t"))
+    mass = summ.groupBy("source").agg(F.sum("cnt").alias("m_s"))
+    other = (tot.join(mass, "source", "left")
+             .select("source", "n_s",
+                     (F.col("n_s") - F.coalesce("m_s", F.lit(0)))
+                     .alias("other_s")))
+    scal = other.agg(F.sum("n_s").alias("n"),
+                     F.sum("other_s").alias("other_all"))
+    vocab = corpus_tok.agg((F.count("*") + 1).alias("v"))  # + the OTHER bin
+
+    a = F.lit(float(smoothing))
+    head = (summ.join(corpus_tok, "token")
+            .join(F.broadcast(other), "source")
+            .crossJoin(F.broadcast(scal)).crossJoin(F.broadcast(vocab)))
+    p_h = (F.col("cnt") + a) / (F.col("n_s") + a * F.col("v"))
+    q_h = (F.col("n_t") + a) / (F.col("n") + a * F.col("v"))
+    head_kl = (head.groupBy("source")
+               .agg(F.sum(p_h * F.log(p_h / q_h)).alias("kl_head")))
+
+    oth = (other.crossJoin(F.broadcast(scal)).crossJoin(F.broadcast(vocab)))
+    p_o = (F.col("other_s") + a) / (F.col("n_s") + a * F.col("v"))
+    q_o = (F.col("other_all") + a) / (F.col("n") + a * F.col("v"))
+    return (oth.join(head_kl, "source", "left")
+            .select("source", F.col("n_s").alias("n_tokens"),
+                    qround(F.coalesce("kl_head", F.lit(0.0))
+                           + p_o * F.log(p_o / q_o), round_to)
+                    .alias("kl_est"))
+            .orderBy("source"))

@@ -554,3 +554,63 @@ def test_streaming_debounce_null_ts_does_not_reset_cross_batch_state(spark, tmp_
     want = {r.event_id for r in
             debounce_events(batch_ev, interval_seconds=300).collect()}
     assert got == want
+
+
+def test_streaming_source_kl_detects_drift_with_bounded_state(spark, tmp_path):
+    """Two sources stream alike at first, then source B floods a template:
+    the state stays <= n_sources*(capacity+1) rows, the per-source totals
+    are exact, and B's KL estimate rises strictly above A's (it starts at
+    A's level by symmetry)."""
+    import os
+
+    from singer_spark.streaming.stateful import (
+        source_kl_from_state,
+        streaming_source_kl,
+    )
+
+    src = str(tmp_path / "kl_src")
+    state = str(tmp_path / "kl_state")
+    ckpt = str(tmp_path / "kl_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    # THREE sources so the pooled corpus stays anchored by the two stable
+    # ones when B drifts — KL-vs-pool is a mixture screen, and with a 50/50
+    # two-source split a drifting source moves the pool as much as itself
+    shared = "alpha beta gamma delta epsilon"
+    stable = [("A", shared)] * 10 + [("C", shared)] * 10
+    batches = [
+        stable + [("B", shared)] * 10,                        # symmetric
+        stable + [("B", shared)] * 10,
+        stable + [("B", "spam spam buy now")] * 10,           # B drifts
+    ]
+    cap = 16
+
+    stream = spark.readStream.schema("source string, value string").parquet(src)
+    q = streaming_source_kl(stream, state, checkpoint=ckpt,
+                            capacity=cap).start()
+    kls = []
+    try:
+        for b, rows in enumerate(batches):
+            stage = str(tmp_path / f"kl_stage{b}")
+            spark.createDataFrame(rows, "source string, value string") \
+                 .coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+            os.rename(os.path.join(stage, part),
+                      os.path.join(src, f"chunk{b}.parquet"))
+            q.processAllAvailable()
+            kls.append({r.source: (r.n_tokens, r.kl_est)
+                        for r in source_kl_from_state(spark, state).collect()})
+    finally:
+        q.stop()
+
+    st = spark.read.parquet(state).collect()
+    assert len(st) <= 3 * (cap + 1)
+    totals = {r.source: r.cnt for r in st if r.token is None}
+    # exact totals: 30 docs x 5 tokens for A/C; B: 20x5 + 10x4
+    assert totals == {"A": 150, "B": 140, "C": 150}
+
+    sym, drifted = kls[1], kls[2]
+    assert abs(sym["A"][1] - sym["B"][1]) < 1e-9      # symmetric start
+    assert drifted["B"][1] > drifted["A"][1]          # B stands out...
+    assert drifted["B"][1] > drifted["C"][1]
+    assert drifted["B"][1] > sym["B"][1] + 0.05       # ...and ROSE sharply
