@@ -322,6 +322,14 @@ def checkpointed_state_fold(stream_df: DataFrame, state_path: str,
         elif os.path.isdir(prev_path) and os.path.isdir(state_path):
             shutil.rmtree(state_path)
             os.rename(prev_path, state_path)
+        # sweep tmp snapshots orphaned by a crash between write and rename
+        # (the retry mints a fresh uuid, so an old one is always dead; only
+        # this query writes {state_path}_tmp_* — crash-looping always-on
+        # runs would otherwise accumulate full-state junk forever)
+        import glob
+
+        for orphan in glob.glob(state_path + "_tmp_*"):
+            shutil.rmtree(orphan, ignore_errors=True)
         prior = (spark.read.parquet(state_path)
                  if os.path.isdir(state_path) else None)
         merged = fold(spark, batch_df, prior)
@@ -456,6 +464,36 @@ def mg_merge_by_source(summaries: DataFrame, capacity: int) -> DataFrame:
                     (F.col("cnt") - F.col("_thr")).alias("cnt")))
 
 
+def _mg_by_source_kernel(capacity: int):
+    """mapInPandas kernel: per partition, exact (source, token) counts
+    capped to a per-source Misra-Gries summary — at most `capacity` rows
+    per source per partition, ties broken (cnt desc, token asc) like
+    :func:`mg_merge_by_source`, counts reduced by the (capacity+1)-th
+    largest (the mergeable-summaries rule)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            for src, grp in pdf.groupby("source"):
+                vc = grp["token"].value_counts()
+                cur = acc.setdefault(src, {})
+                for tok, c in vc.items():
+                    cur[tok] = cur.get(tok, 0) + int(c)
+        rows = []
+        for src, counts in acc.items():
+            ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            thr = ordered[capacity][1] if len(ordered) > capacity else 0
+            for tok, c in ordered[:capacity]:
+                if c - thr > 0:
+                    rows.append((src, tok, c - thr))
+        if rows:
+            yield pd.DataFrame(rows, columns=["source", "token", "cnt"])
+
+    return kernel
+
+
 def streaming_source_kl(docs_stream: DataFrame, state_path: str,
                         checkpoint: str, source_col: str = "source",
                         text_col: str = "value", capacity: int = 256):
@@ -467,18 +505,29 @@ def streaming_source_kl(docs_stream: DataFrame, state_path: str,
     :func:`checkpointed_state_fold`'s protocol.
 
     Read the divergence report any time with :func:`source_kl_from_state`
-    — the monitor and the stream never contend.  Returns a
+    — the reader retries across the fold's millisecond swap window and
+    pins its snapshot, so monitor and stream coexist.  Returns a
     DataStreamWriter (caller starts it)."""
     TOTAL = None  # token IS NULL marks the exact per-source total row
 
     def fold(spark, batch_df, prior):
         toks = (batch_df.select(
-            F.col(source_col).alias("source"),
+            # a missing source must not become a NULL join key downstream
+            # (NULL != NULL would silently detach its summary from its
+            # total) — fold it into a visible sentinel source instead
+            F.coalesce(F.col(source_col).cast("string"),
+                       F.lit("<null>")).alias("source"),
             F.explode(F.split(F.col(text_col).cast("string"), " "))
             .alias("token"))
             .where(F.col("token") != ""))
-        batch_sum = toks.groupBy("source", "token").agg(
-            F.count("*").alias("cnt"))
+        # per-partition per-source MG sketch FIRST (the mg_summarize
+        # discipline): the global per-source rank window downstream must
+        # only ever see summary-sized input — feeding it a large batch's
+        # full vocabulary would sort one source's whole vocab in a single
+        # task, the straggler this module exists to avoid
+        batch_sum = toks.mapInPandas(
+            _mg_by_source_kernel(capacity),
+            "source string, token string, cnt long")
         batch_tot = (toks.groupBy("source").agg(F.count("*").alias("cnt"))
                      .select("source", F.lit(TOTAL).cast("string")
                              .alias("token"), "cnt"))
@@ -513,36 +562,68 @@ def source_kl_from_state(spark, state_path: str,
 
     Output: (source, n_tokens, kl_est) ordered by source — driver-sized
     arithmetic over the summary frame."""
+    import time
+
     from singer_spark.functions import qround
 
-    state = spark.read.parquet(state_path)
+    # the fold's two-rename swap leaves a millisecond window where the
+    # state dir is absent or its listed part-files just moved — retry
+    # across it, and pin the successful read with an eager checkpoint so
+    # a LATER swap cannot invalidate this report's lineage mid-collect
+    state = None
+    for attempt in range(6):
+        try:
+            state = spark.read.parquet(state_path).localCheckpoint(eager=True)
+            break
+        except Exception:
+            if attempt == 5:
+                raise
+            time.sleep(0.2)
     summ = state.where(F.col("token").isNotNull())
     tot = (state.where(F.col("token").isNull())
            .select("source", F.col("cnt").alias("n_s")))
 
     corpus_tok = summ.groupBy("token").agg(F.sum("cnt").alias("n_t"))
-    mass = summ.groupBy("source").agg(F.sum("cnt").alias("m_s"))
-    other = (tot.join(mass, "source", "left")
-             .select("source", "n_s",
-                     (F.col("n_s") - F.coalesce("m_s", F.lit(0)))
-                     .alias("other_s")))
-    scal = other.agg(F.sum("n_s").alias("n"),
-                     F.sum("other_s").alias("other_all"))
-    vocab = corpus_tok.agg((F.count("*") + 1).alias("v"))  # + the OTHER bin
+    # per-source partition stats: its summary mass, head-set size k_s, and
+    # the CORPUS mass on its head set — the q side must be a distribution
+    # on the SAME {T_s} ∪ {OTHER_s} partition as p (corpus mass outside
+    # this source's head set all belongs to ITS OTHER bin; using the
+    # global MG-dropped tail here would make q deficient and break the
+    # lower-bound property)
+    stats = (summ.join(corpus_tok, "token")
+             .groupBy("source")
+             .agg(F.sum("cnt").alias("m_s"),
+                  F.count("*").alias("k_s"),
+                  F.sum("n_t").alias("head_q")))
+    n_total = tot.agg(F.sum("n_s").alias("n"))
+    base = (tot.join(stats, "source", "left")
+            .crossJoin(F.broadcast(n_total))
+            .select("source", "n_s", "n",
+                    F.coalesce("k_s", F.lit(0)).alias("k_s"),
+                    F.coalesce("head_q", F.lit(0)).alias("head_q"),
+                    (F.col("n_s") - F.coalesce("m_s", F.lit(0)))
+                    .alias("other_s")))
 
+    # Jeffreys smoothing over the source's OWN bins (k_s head tokens +
+    # OTHER): p and q each sum to exactly 1 on the partition, so the
+    # estimate is a true coarsened KL — non-negative, and ≤ the true KL
+    # by the data-processing inequality — and comparable across sources
+    # of different sizes (a global vocab size in the denominator would
+    # deflate small sources' p wholesale)
     a = F.lit(float(smoothing))
+    dp = F.col("n_s") + a * (F.col("k_s") + 1)
+    dq = F.col("n") + a * (F.col("k_s") + 1)
+
     head = (summ.join(corpus_tok, "token")
-            .join(F.broadcast(other), "source")
-            .crossJoin(F.broadcast(scal)).crossJoin(F.broadcast(vocab)))
-    p_h = (F.col("cnt") + a) / (F.col("n_s") + a * F.col("v"))
-    q_h = (F.col("n_t") + a) / (F.col("n") + a * F.col("v"))
+            .join(F.broadcast(base), "source"))
+    p_h = (F.col("cnt") + a) / dp
+    q_h = (F.col("n_t") + a) / dq
     head_kl = (head.groupBy("source")
                .agg(F.sum(p_h * F.log(p_h / q_h)).alias("kl_head")))
 
-    oth = (other.crossJoin(F.broadcast(scal)).crossJoin(F.broadcast(vocab)))
-    p_o = (F.col("other_s") + a) / (F.col("n_s") + a * F.col("v"))
-    q_o = (F.col("other_all") + a) / (F.col("n") + a * F.col("v"))
-    return (oth.join(head_kl, "source", "left")
+    p_o = (F.col("other_s") + a) / dp
+    q_o = (F.col("n") - F.col("head_q") + a) / dq
+    return (base.join(head_kl, "source", "left")
             .select("source", F.col("n_s").alias("n_tokens"),
                     qround(F.coalesce("kl_head", F.lit(0.0))
                            + p_o * F.log(p_o / q_o), round_to)

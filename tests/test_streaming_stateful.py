@@ -581,7 +581,8 @@ def test_streaming_source_kl_detects_drift_with_bounded_state(spark, tmp_path):
     batches = [
         stable + [("B", shared)] * 10,                        # symmetric
         stable + [("B", shared)] * 10,
-        stable + [("B", "spam spam buy now")] * 10,           # B drifts
+        stable + [("B", "spam spam buy now")] * 10            # B drifts
+        + [(None, "orphan feed")],                            # NULL source
     ]
     cap = 16
 
@@ -604,13 +605,18 @@ def test_streaming_source_kl_detects_drift_with_bounded_state(spark, tmp_path):
         q.stop()
 
     st = spark.read.parquet(state).collect()
-    assert len(st) <= 3 * (cap + 1)
+    assert len(st) <= 4 * (cap + 1)
     totals = {r.source: r.cnt for r in st if r.token is None}
-    # exact totals: 30 docs x 5 tokens for A/C; B: 20x5 + 10x4
-    assert totals == {"A": 150, "B": 140, "C": 150}
+    # exact totals: 30 docs x 5 tokens for A/C; B: 20x5 + 10x4; the
+    # sourceless feed lands under the sentinel, never a NULL join key
+    assert totals == {"A": 150, "B": 140, "C": 150, "<null>": 2}
 
     sym, drifted = kls[1], kls[2]
     assert abs(sym["A"][1] - sym["B"][1]) < 1e-9      # symmetric start
+    # identical distributions: the coarsened KL is ~0, not an artifact of
+    # smoothing-bin mismatch (p and q each sum to 1 on the partition)
+    assert sym["B"][1] < 0.01
     assert drifted["B"][1] > drifted["A"][1]          # B stands out...
     assert drifted["B"][1] > drifted["C"][1]
     assert drifted["B"][1] > sym["B"][1] + 0.05       # ...and ROSE sharply
+    assert "<null>" in drifted and drifted["<null>"][0] == 2
