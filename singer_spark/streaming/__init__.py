@@ -7,14 +7,21 @@ rollups, and a custom applyInPandasWithState accumulator.
 """
 
 from singer_spark.streaming.stateful import (
+    checkpointed_state_fold,
     hourly_rollup_stream,
-    streaming_interval_join,
     running_user_stats,
+    source_kl_from_state,
+    streaming_debounce,
     streaming_dedup_exact,
     streaming_dedup_ttl,
+    streaming_heavy_hitters,
+    streaming_interval_join,
     streaming_sessionize,
+    streaming_source_kl,
 )
 
 __all__ = ["streaming_sessionize", "hourly_rollup_stream", "running_user_stats",
            "streaming_dedup_exact", "streaming_dedup_ttl",
-           "streaming_interval_join"]
+           "streaming_interval_join", "streaming_heavy_hitters",
+           "streaming_debounce", "streaming_source_kl",
+           "source_kl_from_state", "checkpointed_state_fold"]
