@@ -642,6 +642,9 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q_rows = (assert_bounded(queries, what="pq_ann_topk query set")
               .select(F.col(id_col).alias("qid"), as_double(vec_col).alias("v"))
               .collect())
+    if not q_rows:
+        raise ValueError("pq_ann_topk needs a non-empty query set; "
+                         "the bounded collect returned 0 rows")
     q_rows.sort(key=lambda r: r.qid)
     Q = np.stack([np.asarray(r.v, dtype=np.float64) for r in q_rows])
     sub = Q.shape[1] // m
@@ -732,10 +735,115 @@ def _ivfpq_model(corpus: DataFrame, n_clusters: int, m: int, kc: int,
     return C, R.reshape(kc, m, sub).transpose(1, 0, 2)
 
 
+def ivfpq_train_model(corpus: DataFrame, n_clusters: int = 16,
+                      m: int = 8, kc: int = 16,
+                      iters_coarse: int = 2, iters_pq: int = 2,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> tuple["np.ndarray", "np.ndarray"]:
+    """Deterministic Lloyd training of the FULL IVFADC model — the
+    production composition `sim_ivfpq_ann`'s seeded model simplifies
+    (VERDICT r7 next #6): coarse centroids trained under the SAME
+    micro-unit-L2 metric the index assigns with (ivf_train_centroids'
+    loop is cosine — reusing it would train one metric and search
+    another), then per-subspace Lloyd on the RESIDUALS from the trained
+    cells (pq_train_codebooks' discipline applied to residual space).
+
+    Replayability (the house rule): seeded inits from data values
+    (centroids ids < n_clusters; codebooks the residuals of the next kc
+    ids w.r.t. the TRAINED centroids), micro-unit argmins before every
+    assignment, per-iteration qround(1e-6) on every mean — the whole
+    loop unrolls in plain SQL (`_ivfpq_trained_oracle`).  Per iteration:
+    one narrow Arrow pass + one map-side-combined aggregation;
+    n_clusters·dim (coarse) or m·kc·sub (pq) quantized floats collect —
+    constant in the corpus.  Returns (C, CB) for
+    :func:`ivfpq_ann_topk`'s `model` parameter."""
+    from pyspark.sql.functions import pandas_udf
+
+    from singer_spark.functions import qround
+
+    # --- coarse Lloyd under micro-unit L2 ------------------------------
+    C = _seeded_centroids(corpus, n_clusters, id_col, vec_col)
+    dim = C.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    for _ in range(iters_coarse):
+        Ci = C
+
+        @pandas_udf("int")
+        def cell_of(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="int32")
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            return pd.Series(
+                np.argmin(_pq_micro_l2(V, Ci), axis=1).astype("int32"))
+
+        assigned = fan_out(corpus).select(
+            cell_of(F.col(vec_col)).alias("cell"),
+            F.posexplode(as_double(vec_col)).alias("pos", "val"))
+        means = (assigned.groupBy("cell", "pos")
+                 .agg(qround(F.avg("val"), 6).alias("mv"))).collect()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r.cell), {})[int(r.pos)] = float(r.mv)
+        newC = C.copy()
+        for c, d in by_cell.items():
+            newC[c] = [d[p] for p in range(dim)]
+        C = newC
+
+    # --- residual PQ codebooks (seeds: next kc ids' residuals) ---------
+    rows = (corpus.filter((F.col(id_col) >= n_clusters)
+                          & (F.col(id_col) < n_clusters + kc))
+            .select(F.col(id_col).alias("cid"),
+                    as_double(vec_col).alias("cv"))
+            .collect())
+    if len(rows) < kc:
+        raise ValueError(
+            f"IVF-PQ codebooks need {kc} rows with {id_col} in "
+            f"[{n_clusters}, {n_clusters + kc}); found {len(rows)}")
+    rows.sort(key=lambda r: r.cid)
+    seeds = np.array([r.cv for r in rows], dtype=np.float64)
+    cells = np.argmin(_pq_micro_l2(seeds, C), axis=1)
+    CB = (seeds - C[cells]).reshape(kc, m, sub).transpose(1, 0, 2)
+    for _ in range(iters_pq):
+        Cf, CBi = C, CB
+
+        @pandas_udf("struct<codes: array<int>, resid: array<double>>")
+        def enc_resid(vs: pd.Series) -> pd.DataFrame:
+            if len(vs) == 0:
+                return pd.DataFrame({"codes": pd.Series([], dtype="object"),
+                                     "resid": pd.Series([], dtype="object")})
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            R = V - Cf[np.argmin(_pq_micro_l2(V, Cf), axis=1)]
+            codes = _pq_codes_matrix(R, CBi)
+            return pd.DataFrame({
+                "codes": [row.astype("int32").tolist() for row in codes],
+                "resid": [row.tolist() for row in R]})
+
+        assigned = (fan_out(corpus)
+                    .select(enc_resid(F.col(vec_col)).alias("_e"))
+                    .select(F.col("_e.codes").alias("codes"),
+                            F.posexplode("_e.resid").alias("p", "val")))
+        means = (assigned.select(
+            (F.col("p") / sub).cast("int").alias("s"),
+            (F.col("p") % sub).alias("d"),
+            F.element_at("codes",
+                         (F.col("p") / sub).cast("int") + 1).alias("code"),
+            "val")
+            .groupBy("s", "code", "d")
+            .agg(qround(F.avg("val"), 6).alias("mv"))).collect()
+        newCB = CB.copy()
+        for r in means:
+            newCB[int(r.s), int(r.code), int(r.d)] = float(r.mv)
+        CB = newCB
+    return C, CB
+
+
 def ivfpq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                    n_clusters: int = 16, nprobe: int = 4,
                    m: int = 8, kc: int = 16,
-                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   model: "tuple[np.ndarray, np.ndarray] | None" = None) -> DataFrame:
     """Approximate top-k by IVF-pruned PQ asymmetric distance (IVFADC).
     Corpus pass: one Arrow UDF assigns each vector its micro-unit-L2
     nearest coarse cell and PQ-encodes the residual — (id, cell, m codes)
@@ -747,18 +855,24 @@ def ivfpq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     m integer lookups per candidate, no Python.  Output: (query_id,
     neighbor_id, rank, adc_micro) over the probed lists only; a neighbor
     whose cell no query probes is never scored (that recall trade is the
-    point of IVF)."""
+    point of IVF).  Pass `model` (a (C, CB) pair from
+    :func:`ivfpq_train_model`) to search with trained centroids and
+    residual codebooks instead of the seeded defaults."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.window import Window
 
     from singer_spark.functions import assert_bounded
 
-    C, CB = _ivfpq_model(corpus, n_clusters, m, kc, id_col, vec_col)
+    C, CB = (model if model is not None
+             else _ivfpq_model(corpus, n_clusters, m, kc, id_col, vec_col))
     sub = C.shape[1] // m
 
     q_rows = (assert_bounded(queries, what="ivfpq_ann_topk query set")
               .select(F.col(id_col).alias("qid"), as_double(vec_col).alias("v"))
               .collect())
+    if not q_rows:
+        raise ValueError("ivfpq_ann_topk needs a non-empty query set; "
+                         "the bounded collect returned 0 rows")
     q_rows.sort(key=lambda r: r.qid)
     Q = np.stack([np.asarray(r.v, dtype=np.float64) for r in q_rows])
     dq = _pq_micro_l2(Q, C)                                      # (nq, ncl)
@@ -825,6 +939,9 @@ def l2_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q_rows = (assert_bounded(queries, what="l2_topk query set")
               .select(F.col(id_col).alias("qid"), as_double(vec_col).alias("v"))
               .collect())
+    if not q_rows:
+        raise ValueError("l2_topk needs a non-empty query set; "
+                         "the bounded collect returned 0 rows")
     q_rows.sort(key=lambda r: r.qid)
     Q = np.stack([np.asarray(r.v, dtype=np.float64) for r in q_rows])
 

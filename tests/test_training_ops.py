@@ -483,6 +483,93 @@ def test_bpe_encode_roundtrip_and_compression(spark):
     assert any(enc[i][0] < enc0[i] for i in enc)            # compression real
 
 
+def test_bpe_encode_ranked_matches_chain(spark):
+    """The production rank-based encoder must be VALUE-IDENTICAL to the
+    replace-chain twin on learned merges — including overlap runs
+    (aaaa), in-word control chars, repeated words, multi-merge cascades
+    (l+o, lo+w), and wordless documents."""
+    from singer_spark.operators.text_analysis import (
+        bpe_encode,
+        bpe_encode_ranked,
+        bpe_learn_merges,
+    )
+
+    texts = ["low low low lower lowest",
+             "aaaa aaaa aa a",
+             "zz yy zz yy",
+             "newer newest new b",
+             "cr\rcr cr\rcr cr\rcr",
+             "",                       # wordless: must yield (0, '')
+             "   ",                    # only separators: also wordless
+             "low aaaa newer zz low"]
+    docs = _docs_df(spark, [(i, t, "s") for i, t in enumerate(texts)])
+    merges = [(r.left_sym, r.right_sym)
+              for r in bpe_learn_merges(docs, n_merges=10).collect()]
+    assert merges
+
+    chain = [(r.doc_id, r.n_tokens, r.tokens)
+             for r in bpe_encode(docs, merges).orderBy("doc_id").collect()]
+    ranked = [(r.doc_id, r.n_tokens, r.tokens)
+              for r in bpe_encode_ranked(docs, merges)
+              .orderBy("doc_id").collect()]
+    assert ranked == chain
+    assert dict((d, (n, t)) for d, n, t in ranked)[5] == (0, "")
+
+
+def test_bpe_encode_ranked_merge_count_independent(spark):
+    """The point of the ranked encoder: 2,000 padded merges (pairs that
+    can never fire) must change neither the output nor the PLAN — the
+    merge table lives in the kernel closure, not in the expression tree,
+    where the chain grows one replace node per merge."""
+    from singer_spark.operators.text_analysis import (
+        bpe_encode,
+        bpe_encode_ranked,
+        bpe_learn_merges,
+    )
+
+    texts = ["low low low lower lowest", "aaaa aa a", "mixed bag of words"]
+    docs = _docs_df(spark, [(i, t, "s") for i, t in enumerate(texts)])
+    learned = [(r.left_sym, r.right_sym)
+               for r in bpe_learn_merges(docs, n_merges=8).collect()]
+    padded = learned + [(f"¤{i}", "¤") for i in range(2000)]
+
+    def rows(df):
+        return [(r.doc_id, r.n_tokens, r.tokens)
+                for r in df.orderBy("doc_id").collect()]
+
+    small = bpe_encode_ranked(docs, learned)
+    big = bpe_encode_ranked(docs, padded)
+    assert rows(big) == rows(small) == rows(bpe_encode(docs, learned))
+    # constant plan: the optimized trees are the same size (UDF ids
+    # differ, merge count must not show up as nodes)
+    plan_small = small._jdf.queryExecution().optimizedPlan().treeString()
+    plan_big = big._jdf.queryExecution().optimizedPlan().treeString()
+    assert plan_small.count("\n") == plan_big.count("\n")
+
+
+def test_bpe_word_encoder_sequential_semantics():
+    """The heap kernel replays the chain's SEQUENTIAL order, not
+    iterative min-rank: a later merge that re-creates an earlier-rank
+    pair must leave it unmerged (the chain is already past it), and
+    scan-left non-overlap must match Java replace on overlap runs."""
+    from singer_spark.operators.text_analysis import _bpe_word_encoder
+
+    # rank0 (x, ab) learned against ab=(a,b)@rank1; encoding "xab":
+    # initial pairs (x,a),(a,b) -> rank1 fires first present rank is
+    # rank1? (x,a) has no rank; apply rank1 -> "x","ab" creates (x,ab)
+    # = rank0 < passed -> stays unmerged, exactly like the chain
+    enc = _bpe_word_encoder([("x", "ab"), ("a", "b")])
+    assert enc("xab") == ["x", "ab"]
+    # overlap run: scan-left (a,a) on aaaaa -> aa aa a
+    enc2 = _bpe_word_encoder([("a", "a")])
+    assert enc2("aaaaa") == ["aa", "aa", "a"]
+    # cascade: (l,o) then (lo,w)
+    enc3 = _bpe_word_encoder([("l", "o"), ("lo", "w")])
+    assert enc3("lower") == ["low", "e", "r"]
+    # zero merges = characters
+    assert _bpe_word_encoder([])("abc") == ["a", "b", "c"]
+
+
 def test_leakage_safe_split_never_straddles_pairs(spark):
     """The defining invariant: every near-dup pair lands in ONE split (a
     plain per-doc hash split provably straddles some pair on this

@@ -382,6 +382,60 @@ def ann_main(spark, sf_dir: str, ks: list[int]) -> None:
         print(f"{row}   {ratio:.1f}x over {ks[-1]}x data")
 
 
+def bpe_main(spark, sf_dir: str, max_merges: int = 1000) -> None:
+    """Encoder-shape probe (VERDICT r7 wrong #1): the replace-CHAIN
+    encoder grows O(n_merges) plan nodes and per-document work, the
+    RANKED encoder is merge-count-independent.  Learned merges padded
+    with never-firing synthetic pairs isolate the structural cost: both
+    encoders produce byte-identical output at every size (the pads
+    cannot fire), so the time curve is pure plan/algorithm shape."""
+    from singer_spark.operators.text_analysis import (
+        bpe_encode,
+        bpe_encode_ranked,
+        bpe_learn_merges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    docs.count()
+    learned = [(r.left_sym, r.right_sym)
+               for r in bpe_learn_merges(docs, n_merges=12).collect()]
+    sizes = [12]
+    while sizes[-1] < max_merges:
+        sizes.append(min(max_merges, sizes[-1] * 4))
+
+    def padded(n):
+        return learned + [(f"¤{i}", "¤")
+                          for i in range(max(0, n - len(learned)))]
+
+    # ranked FIRST across all sizes: the chain's failure mode at large n
+    # is a JVM StackOverflowError (measured at 768 merges: StringReplace
+    # doGenCode recursion), which can take the py4j gateway with it
+    ranked: dict[int, tuple[float, int]] = {}
+    for n in sizes:
+        r_df = bpe_encode_ranked(docs, padded(n))
+        r_lines = r_df._jdf.queryExecution().optimizedPlan() \
+            .treeString().count("\n")
+        ranked[n] = (_timed(lambda: bpe_encode_ranked(docs, padded(n))),
+                     r_lines)
+        spark.catalog.clearCache()
+    print("n_merges   ranked_sec  ranked_plan_lines")
+    for n in sizes:
+        print(f"{n:8d}   {ranked[n][0]:10.2f}  {ranked[n][1]:17d}")
+    print("n_merges   chain_sec")
+    for n in sizes:
+        try:
+            # one run for the chain at large n — the point is the
+            # blow-up, not a tight median
+            c_sec = f"{_timed(lambda: bpe_encode(docs, padded(n)), runs=3 if n <= 64 else 1):9.2f}"
+        except Exception as exc:  # codegen/JVM collapse IS a result
+            print(f"{n:8d}   FAIL({type(exc).__name__})")
+            print("chain aborted: JVM-level failure ends the column")
+            break
+        print(f"{n:8d}   {c_sec}")
+        spark.catalog.clearCache()
+    docs.unpersist()
+
+
 def skew_main(spark, sf_dir: str, k: int = 1) -> None:
     """Zipf-robustness probe: measured wall-time of the per-user and pair
     operators on a deliberately skewed corpus, with the engine's guards on
@@ -477,6 +531,10 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,
 
     if mode == "skew":
         skew_main(spark, sf_dir, k=max_k)
+        spark.stop()
+        return
+    if mode == "bpe":
+        bpe_main(spark, sf_dir, max_merges=max(max_k, 1000))
         spark.stop()
         return
     if mode == "events":
