@@ -261,6 +261,9 @@ def murmur3_py(col: Column | str) -> Column:
     return pandas_udf(_mm, "int")(c)
 
 
+_CACHE_HANDLES: "list" = []
+
+
 def maybe_persist(base, persist: bool = True):
     """Cache an intermediate frame consumed by multiple downstream scans
     (shingle frames, posting lists, centroid tables).  MEMORY_AND_DISK
@@ -271,12 +274,32 @@ def maybe_persist(base, persist: bool = True):
     explicit unpersist() or spark.catalog.clearCache() — it is NOT
     reclaimed when the plan becomes unreachable, and a LATER query whose
     plan contains a logically-equal subtree will have the cache
-    substituted in.  Long-lived drivers that call persisting operators
-    per increment should clearCache() between increments (the curation
-    stream does; bench.py and plan_audit.py clear between queries so
-    timings and recorded plans stay order-independent)."""
+    substituted in.  Every frame persisted here is REGISTERED so a
+    caller can release them all with :func:`release_cache_handles` once
+    the operator's result is consumed (ADVICE r7 #4 — the budgeted
+    posting-list cache otherwise accumulates in long-lived drivers);
+    `spark.catalog.clearCache()` remains the blunt alternative (the
+    curation stream uses it between increments; bench.py and
+    plan_audit.py clear between queries so timings and recorded plans
+    stay order-independent)."""
     if not persist:
         return base
     from pyspark.storagelevel import StorageLevel
 
-    return base.persist(StorageLevel.MEMORY_AND_DISK)
+    cached = base.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHE_HANDLES.append(cached)
+    return cached
+
+
+def release_cache_handles() -> int:
+    """Unpersist every frame :func:`maybe_persist` registered and drain
+    the registry; returns how many were released.  Call after the LAST
+    consumer of an operator's result has executed — unpersisting earlier
+    just makes downstream scans re-derive the frame (correctness is
+    unaffected either way).  Idempotent; double-unpersist is a no-op in
+    Spark."""
+    n = 0
+    while _CACHE_HANDLES:
+        _CACHE_HANDLES.pop().unpersist()
+        n += 1
+    return n

@@ -243,6 +243,10 @@ def shingle_cooccurrence(docs: DataFrame, text_col: str = "text", id_col: str = 
         # and the main plan reads the cache — the budget costs one
         # histogram aggregation over cached lists, not a second corpus
         # explode (same persist discipline as minhash_lsh_pairs' base).
+        # Lifecycle: the persist registers with functions._CACHE_HANDLES;
+        # call functions.release_cache_handles() after the result's last
+        # consumer (long-lived drivers otherwise accumulate one cached
+        # posting-list frame per budgeted query — ADVICE r7 #4).
         groups = _maybe_persist(groups, True)
         hist = _df_hist(groups.select(F.size("ids").alias("df")),
                         max_shingle_df)

@@ -340,3 +340,37 @@ def test_leakage_safe_split_shuffles_ids_only(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line
+
+
+def test_budgeted_posting_cache_released(spark, sf_dir):
+    """A budgeted pair query persists its posting lists at construction
+    (the eager threshold job reads them); release_cache_handles() must
+    drop every registered cache so long-lived drivers don't accumulate
+    one per budgeted query (ADVICE r7 #4 / VERDICT r7 wrong #4)."""
+    from singer_spark.functions import release_cache_handles
+    from singer_spark.operators.dedup import ngram_jaccard_pairs
+
+    spark.catalog.clearCache()
+    release_cache_handles()  # drain anything earlier tests registered
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = ngram_jaccard_pairs(docs, threshold=0.5, pair_budget=10_000)
+    df.count()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() > 0  # the cache existed
+    assert release_cache_handles() >= 1
+    assert jsc.getPersistentRDDs().size() == 0  # and is fully gone
+
+
+def test_pair_budget_window_keeps_partition_spec(spark):
+    """The bounded-histogram cumsum window must keep its column-derived
+    constant partition spec: a future Catalyst that folds `df % 1` away
+    would silently restore the empty spec (and its WindowExec warning)
+    — pin the optimized plan instead (ADVICE r7 #4)."""
+    from singer_spark.operators.dedup import _pair_budget_threshold
+
+    hist = spark.createDataFrame([(2, 5), (3, 4), (5, 1)],
+                                 "df int, n_lists long")
+    thr = _pair_budget_threshold(hist, pair_budget=100)
+    plan = thr._jdf.queryExecution().optimizedPlan().treeString()
+    assert "windowspecdefinition" in plan
+    assert "% 1" in plan  # the non-foldable partition expression survives
