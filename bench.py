@@ -29,6 +29,16 @@ compact line ({vs, reran, still_slow}) and per-query first/rerun pairs
 in BENCH_full.json — so a ratio that survives the re-run is a real
 regression, not an environment shrug.  `tools/bench_diff.py` applies
 the same 1.15x/0.1s gate between two artifacts (exit 1 on regression).
+
+Code-vs-host adjudication (round-7 lesson: the whole suite read 1.15x
+slower against the r6 artifact, uniformly across touched and untouched
+queries — host drift a manual worktree A/B had to prove): when
+still_slow survives the re-run, `_run_ab` checks out the commit that
+shipped the prior artifact in a detached worktree and interleaves
+tools/bench_ab.py legs — prior, current, prior, current, each its own
+JVM, strictly sequential — and records drift.ab.verdict
+("code"/"host") in the artifact, so the judge never has to exonerate
+the code by hand again.  Disable with SPARK_GRAFT_BENCH_AB=0.
 """
 
 from __future__ import annotations
@@ -94,6 +104,8 @@ HEADLINERS = [
     # round-7 additions: tokenizer train+apply, training-order shuffle,
     # covariance/PCA screen, cluster-aware split (jaccard pairs + CC)
     "bpe_encode",
+    # round-8: rank-based production encoder (merge-count-independent)
+    "bpe_encode_ranked",
     "corpus_shuffle",
     "embedding_pca",
     "leakage_safe_split",
@@ -145,6 +157,71 @@ def _prior_queries(path: str) -> tuple[dict[str, float], object]:
     pairs = re.findall(r'"([A-Za-z_]\w*)":\s*([0-9]+\.[0-9]+)', raw)
     return ({k: float(v) for k, v in pairs if k not in ("value", "sf")},
             sf)
+
+
+def _run_ab(repo_dir: str, prior_path: str, sf_dir: str,
+            queries: list[str], runs: int) -> dict:
+    """Code-vs-host adjudication for a non-empty still_slow list
+    (VERDICT r7 next #2): check out the commit that last touched the
+    prior round's bench artifact in a detached worktree and interleave
+    two tools/bench_ab.py legs per tree — prior, current, prior,
+    current, each leg its own JVM, strictly sequential.  A query is a
+    CODE regression only if the current tree stays >1.15x and >=0.1 s
+    over the prior tree measured minutes apart on the same box;
+    otherwise the box drifted (the r7 manual A/B's exact finding, now
+    recorded mechanically in the artifact)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    def git(*args: str) -> str:
+        return subprocess.run(["git", *args], cwd=repo_dir, text=True,
+                              capture_output=True, timeout=60).stdout.strip()
+
+    fname = os.path.basename(prior_path)
+    commit = git("rev-list", "-n1", "HEAD", "--", fname)
+    if not commit:
+        return {"skipped": f"no commit touches {fname}"}
+    wt = os.path.join(tempfile.gettempdir(), f"singer_ab_{os.getpid()}")
+    shutil.rmtree(wt, ignore_errors=True)
+    try:
+        out = subprocess.run(
+            ["git", "worktree", "add", "--detach", wt, commit],
+            cwd=repo_dir, text=True, capture_output=True, timeout=120)
+        if out.returncode != 0:
+            return {"skipped": f"worktree add failed: {out.stderr[-200:]}"}
+        leg_runs = max(1, (runs + 1) // 2)
+        med: dict[str, dict[str, list[float]]] = {}
+        for tree, path in (("prior", wt), ("current", repo_dir)) * 2:
+            leg = subprocess.run(
+                [sys.executable,
+                 os.path.join(repo_dir, "tools", "bench_ab.py"),
+                 "--repo", path, "--sf", sf_dir, "--runs", str(leg_runs),
+                 *queries],
+                text=True, capture_output=True, timeout=900)
+            for line in leg.stdout.splitlines():
+                if line.startswith("BENCH_AB "):
+                    for q, v in json.loads(line[len("BENCH_AB "):]).items():
+                        med.setdefault(q, {}).setdefault(tree, []).append(v)
+        detail: dict[str, dict] = {}
+        verdicts = []
+        for q in queries:
+            legs = med.get(q, {})
+            if "prior" not in legs or "current" not in legs:
+                continue  # query born after the prior round
+            p, c = min(legs["prior"]), min(legs["current"])
+            v = "code" if (p > 0 and c / p > 1.15 and c - p >= 0.1) \
+                else "host"
+            detail[q] = {"prior": p, "current": c, "verdict": v}
+            verdicts.append(v)
+        overall = ("code" if "code" in verdicts
+                   else "host" if verdicts else "inconclusive")
+        return {"verdict": overall, "commit": commit[:10],
+                "leg_runs": leg_runs, "queries": detail}
+    finally:
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       cwd=repo_dir, capture_output=True, timeout=60)
+        shutil.rmtree(wt, ignore_errors=True)
 
 
 def main() -> None:
@@ -221,6 +298,17 @@ def main() -> None:
         if drift_verdict is None:  # keep an sf-mismatch skip verdict
             drift_verdict = {"vs": prior[0], "reran": len(drifted),
                              "still_slow": still}
+            if still and os.environ.get("SPARK_GRAFT_BENCH_AB", "1") != "0":
+                # a surviving still_slow list is exactly the ambiguity
+                # the r7 judge had to resolve by hand — adjudicate it
+                # here, while this JVM is idle (the legs are their own
+                # processes, run strictly one at a time)
+                repo = os.path.dirname(os.path.abspath(__file__))
+                ab = _run_ab(repo, prior[1], sf_dir, still,
+                             runs=min(runs, 4))
+                drift_verdict["ab"] = {k: v for k, v in ab.items()
+                                       if k != "queries"}
+                reruns["_ab_detail"] = ab.get("queries", {})
 
     total = round(sum(timings.values()), 3)
     full = {
