@@ -568,8 +568,13 @@ def pq_train_codebooks(corpus: DataFrame, m: int = 8, kc: int = 16,
     production path (`_pq_seed_codebooks` is the oracle-simplest init;
     trained entries spread over the actual subvector distribution and cut
     quantization distortion, which is most of PQ's recall on
-    unclustered data).  The `ivf_train_centroids` discipline applied per
-    subspace:
+    unclustered data).  kc=16 (4-bit codes) is the SQL-replay setting
+    the oracle-pinned entries use; kc=256 (8-bit codes — FAISS's
+    default) is the PRODUCTION parameterization: measured recall@5 vs
+    exact L2 on the isotropic sf0.01 corpus 0.50 trained / 0.36 seeded,
+    against 0.26 / 0.16 at kc=16 (recall-gated in
+    test_pq_trained_kc256_recall_gate).  The `ivf_train_centroids`
+    discipline applied per subspace:
 
     - init: seed codebooks (subvectors of ids < kc) — no RNG
     - assign: one narrow Arrow pass computes all m code columns (the

@@ -570,6 +570,103 @@ def test_bpe_word_encoder_sequential_semantics():
     assert _bpe_word_encoder([])("abc") == ["a", "b", "c"]
 
 
+def _clustered_emb(spark, n=400, n_clusters=8, dim=64):
+    """Deterministic clustered embedding fixture: md5-derived cluster
+    centers with small per-vector perturbations — the regime PQ's
+    codebooks exploit (the isotropic synthetic corpus is its honest
+    worst case; VERDICT r7 next #5)."""
+    from singer_spark.functions import md5_int
+
+    ids = spark.range(n).select(F.col("id").alias("vec_id"))
+    center = (md5_int(F.concat(
+        (F.col("vec_id") % n_clusters).cast("string"), F.lit(":"),
+        F.col("d").cast("string"))) % 1000) / 250.0 - 2.0
+    noise = (md5_int(F.concat(F.col("vec_id").cast("string"), F.lit("/"),
+                              F.col("d").cast("string"))) % 100) / 500.0
+    return (ids.crossJoin(spark.range(dim).select(F.col("id").alias("d")))
+            .select("vec_id", "d", (center + noise).alias("x"))
+            .groupBy("vec_id")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "x"))).alias("_s"))
+            .select("vec_id",
+                    F.transform("_s", lambda s: s["x"]).alias("embedding")))
+
+
+def test_pq_trained_kc256_recall_gate(spark):
+    """The production PQ parameterization (kc=256 — 8-bit codes, FAISS's
+    default) must reach useful recall on clustered data: recall@5 vs
+    exact L2 >= 0.5 (measured ~0.5 even on the isotropic sf0.01 corpus,
+    PQ's worst case), and kc=256 must beat the SQL-replay kc=16
+    setting."""
+    from singer_spark.operators.similarity import (
+        l2_topk,
+        pq_ann_topk,
+        pq_train_codebooks,
+    )
+
+    emb = _clustered_emb(spark).persist()
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = set((r.query_id, r.neighbor_id)
+                for r in l2_topk(emb, q, 5).collect())
+
+    def recall(kc):
+        cb = pq_train_codebooks(emb, m=8, kc=kc, iters=2)
+        got = set((r.query_id, r.neighbor_id)
+                  for r in pq_ann_topk(emb, q, 5, m=8, kc=kc,
+                                       codebooks=cb).collect())
+        return len(got & exact) / len(exact)
+
+    r256, r16 = recall(256), recall(16)
+    emb.unpersist()
+    assert r256 >= 0.5, f"trained kc=256 recall@5 {r256} below gate"
+    assert r256 >= r16  # more codebook budget never hurts here
+
+
+def test_ivfpq_trained_beats_seeded_and_matches_model_shape(spark):
+    """ivfpq_train_model returns a (C, CB) pair whose trained search
+    finds planted near-duplicates (the dedup regime: each query gets 5
+    planted copies at 20x smaller perturbation than the cluster noise,
+    so exact top-5 IS the planted set) with recall@5 >= 0.5 and at
+    least matches the seeded model."""
+    from singer_spark.functions import md5_int
+    from singer_spark.operators.similarity import (
+        ivfpq_ann_topk,
+        ivfpq_train_model,
+        l2_topk,
+    )
+
+    base = _clustered_emb(spark, n=300)
+    qvecs = base.filter(F.col("vec_id") < 10)
+    copies = (qvecs.crossJoin(
+        spark.range(5).select(F.col("id").alias("c")))
+        .select((300 + F.col("vec_id") * 5 + F.col("c")).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x + (md5_int(F.concat(
+                        F.col("vec_id").cast("string"), F.lit("~"),
+                        F.col("c").cast("string"), F.lit("~"),
+                        i.cast("string"))) % 100) / 10000.0)
+                .alias("embedding")))
+    emb = base.unionByName(copies).persist()
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = set((r.query_id, r.neighbor_id)
+                for r in l2_topk(emb, q, 5).collect())
+    C, CB = ivfpq_train_model(emb, n_clusters=8, m=8, kc=16,
+                              iters_coarse=2, iters_pq=2)
+    assert C.shape == (8, 64) and CB.shape == (8, 16, 8)
+
+    def recall(model):
+        got = set((r.query_id, r.neighbor_id)
+                  for r in ivfpq_ann_topk(emb, q, 5, n_clusters=8,
+                                          nprobe=4, m=8, kc=16,
+                                          model=model).collect())
+        return len(got & exact) / len(exact)
+
+    trained, seeded = recall((C, CB)), recall(None)
+    emb.unpersist()
+    assert trained >= 0.5
+    assert trained >= seeded - 1e-9
+
+
 def test_leakage_safe_split_never_straddles_pairs(spark):
     """The defining invariant: every near-dup pair lands in ONE split (a
     plain per-doc hash split provably straddles some pair on this
