@@ -8,6 +8,9 @@ on DuckDB over the same sf directory, then compares:
 - exact cell values (order-insensitive: both sides sorted by all columns)
 
 Usage: python tools/verify_local.py [sf_dir] [query_name ...]
+       python tools/verify_local.py --second-oracle [sf_dir]   # byte-exact
+       UDF-side cross-checks of the self-verifying hash/zlib/wordpiece
+       values (opt-in; the driver gate pins them via booleans only)
        python tools/verify_local.py --json OUT.json [sf_dir]   # write a
        CORRECTNESS-shaped JSON covering EVERY queries() key (the driver's
        own file caps at 50 entries; this records the full surface)
@@ -26,12 +29,17 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 # ---------------------------------------------------------------------------
-# DuckDB Python UDFs kept registered as a belt-and-braces second oracle
-# even though every query is now self-verifying with a plain-SQL driver
+# DuckDB Python UDFs for the OPT-IN byte-exact second oracle
+# (`--second-oracle`, SECOND_ORACLES below).  The main gate no longer
+# uses them — every query is self-verifying with a plain-SQL driver
 # oracle (crc32/murmur via in-query agreement booleans since early r7;
-# wordpiece/zlib since late r7).  `spark_murmur3` here is a DELIBERATE
-# second copy of singer_spark.functions.spark_murmur3_py: the oracle-side
-# implementation stays independent of the package under test.
+# wordpiece/zlib since late r7) — but the main gate's accuracy booleans
+# are computed by the engine under test itself (ADVICE r7 #1), so the
+# flag re-derives the raw hashes/sizes/piece strings UDF-side and
+# compares them cell-for-cell.  `spark_murmur3` here is a DELIBERATE
+# second copy of singer_spark.functions.spark_murmur3_py: the
+# oracle-side implementation stays independent of the package under
+# test.
 # ---------------------------------------------------------------------------
 def _rotl32(x: int, r: int) -> int:
     x &= 0xFFFFFFFF
@@ -127,6 +135,67 @@ APPROX_ORACLES = {
 LOCAL_ORACLES = {}
 
 
+def run_second_oracles(sf_dir: str) -> int:
+    """`--second-oracle`: byte-exact UDF-side cross-checks of the values
+    the self-verifying queries only pin via agreement booleans.  Each
+    check computes the raw hash/size/piece string on Spark AND via the
+    independent DuckDB Python UDF and compares cell-for-cell — the
+    belt-and-braces pass the driver's UDF-less DuckDB cannot run.
+    Returns the number of failed checks."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__  # noqa: F401 (sys.path side effects only)
+    from singer_spark.session import get_spark
+
+    spark = get_spark("verify_second_oracle")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def wp_spark():
+        from singer_spark.operators.text_analysis import (
+            WORDPIECE_DEMO_WORDS,
+            demo_vocab,
+            wordpiece_encode,
+        )
+
+        return wordpiece_encode(docs, demo_vocab(WORDPIECE_DEMO_WORDS)) \
+            .select("doc_id", "pieces")
+
+    def zlib_spark():
+        from singer_spark.operators.text_analysis import compression_ratio
+
+        return compression_ratio(docs).select(
+            "doc_id", F.col("compressed_bytes").alias("z"))
+
+    checks = {
+        "crc32_bytes": (
+            lambda: docs.select(
+                "doc_id",
+                F.crc32(F.encode("text", "utf-8")).alias("h")),
+            "SELECT doc_id, crc32_py(text) AS h FROM documents"),
+        "murmur3_spark_hash": (
+            lambda: docs.select("doc_id", F.hash("text").alias("h")),
+            "SELECT doc_id, murmur3_spark(text) AS h FROM documents"),
+        "wordpiece_pieces": (
+            wp_spark,
+            "SELECT doc_id, wp_encode(text) AS pieces FROM documents"),
+        "zlib_compressed_size": (
+            zlib_spark,
+            "SELECT doc_id, zlib_size(text) AS z FROM documents"),
+    }
+    n_fail = 0
+    for name, (build, sql) in checks.items():
+        t0 = time.time()
+        problems = compare(name, build().toPandas(), duck_run(sql, sf_dir))
+        sec = time.time() - t0
+        if problems:
+            n_fail += 1
+            print(f"FAIL  second-oracle {name}: {problems[:3]}")
+        else:
+            print(f"OK    second-oracle {name} (byte-exact) [{sec:.1f}s]")
+    return n_fail
+
+
 def duck_run(sql: str, sf_dir: str):
     import duckdb
 
@@ -199,6 +268,11 @@ def compare_approx(sdf, odf, rel_tol: float) -> list[str]:
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
+    if args and args[0] == "--second-oracle":
+        sf = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
+        n_fail = run_second_oracles(sf)
+        print(f"\n{n_fail} second-oracle checks failed")
+        return 1 if n_fail else 0
     if args and args[0] == "--json":
         json_out = args[1]
         args = args[2:]
