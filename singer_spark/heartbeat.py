@@ -20,11 +20,14 @@ Field parity (SingerStatus.java:108-149):
   `durationMs.triggerExecution` over each query's `recentProgress` window,
   the micro-batch twin of the reference's per-topic write-latency
   distributions.
-- `duplicatesSuspected` — per-query {stream: {reopens, bytes}} read from
-  the tail source's offset counters (fingerprint-mismatch reopens; see
-  streaming/tail.py): the measurable width of the at-least-once duplicate
-  window under copytruncate rotation, matching the reference's per-stream
-  metric discipline.
+- `duplicatesSuspected` — per-stream {reopens, bytes} read from the tail
+  source's counters-file side channel (fingerprint-mismatch reopens; see
+  streaming/tail.py — offsets stay position-only since r8, and the
+  reader runs in its own Python worker, so a file under the tempdir is
+  the channel that crosses that boundary; counter-bearing pre-r8
+  checkpointed offsets are still parsed for compat): the measurable
+  width of the at-least-once duplicate window under copytruncate
+  rotation, matching the reference's per-stream metric discipline.
 """
 
 from __future__ import annotations
@@ -130,6 +133,8 @@ def build_status(spark: SparkSession, started_at: float,
             first_seen.pop(str(q.id), None)
         num = int(p.get("numInputRows", 0) or 0)
         kafka_writes[name] = kafka_writes.get(name, 0) + num
+        # compat path: checkpoints written before r8 carry the counters
+        # inside the offset dict; live readers report via READER_COUNTERS
         dupes = _dupes_from_progress(p)
         if dupes is not None:
             duplicates[name] = dupes
@@ -173,6 +178,19 @@ def build_status(spark: SparkSession, started_at: float,
                     stuck += 1
             except ValueError:
                 pass
+    # primary path since r8: tail readers (which run in their own Python
+    # worker process) publish per-stream counters through the
+    # counters-file side channel, keeping streaming offsets
+    # position-only (ADVICE r7 #2); recently-updated entries only, so a
+    # long-lived tempdir doesn't resurrect dead streams
+    try:
+        from singer_spark.streaming.tail import list_counters
+
+        for c in list_counters():
+            duplicates.setdefault(c["stream"], {"reopens": c["reopens"],
+                                                "bytes": c["bytes"]})
+    except ImportError:  # pragma: no cover - tail source always ships
+        pass
     return {
         "hostName": hostname or socket.gethostname(),
         "jvmUptime": int((now - started_at) * 1000),

@@ -92,6 +92,86 @@ class TailPartition(InputPartition):
         self.ino = ino  # identity — the path can rotate away before the read
 
 
+# ---------------------------------------------------------------------------
+# Side channel for the duplicates-suspected counters.  The offset dict
+# must stay a pure function of source position (ADVICE r7 #2), and the
+# Python DataSource API has no custom-metrics hook — worse, the
+# streaming reader runs in a SEPARATE long-lived Python worker process
+# (python_streaming_source_runner), so an in-process registry never
+# reaches the driver-side heartbeat (measured: the r8 first attempt
+# reported 0 while 33k duplicates were delivered).  The channel that
+# does cross that boundary is a tiny per-stream JSON file under the
+# system tempdir, atomically replaced on each latestOffset; a fresh
+# reader writes a zeroed file (process-lifetime semantics, like the
+# reference's per-stream metrics).
+# ---------------------------------------------------------------------------
+def _counters_file(log_dir: str, glob: str) -> str:
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(f"{log_dir}::{glob}".encode("utf-8")).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), "singer_tail_counters")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, key + ".json")
+
+
+def _write_counters(log_dir: str, glob: str, reopens: int,
+                    bytes_: int) -> None:
+    import json
+
+    path = _counters_file(log_dir, glob)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"stream": f"{log_dir}::{glob}", "reopens": int(reopens),
+                   "bytes": int(bytes_)}, f)
+    os.replace(tmp, path)
+
+
+def read_counters(log_dir: str, glob: str = "*") -> dict:
+    """{reopens, bytes} for one tail stream; zeros when the stream never
+    reported (no reader alive yet, or a cleaned tempdir)."""
+    import json
+
+    try:
+        with open(_counters_file(log_dir, glob)) as f:
+            c = json.load(f)
+        return {"reopens": int(c.get("reopens", 0)),
+                "bytes": int(c.get("bytes", 0))}
+    except (OSError, ValueError):
+        return {"reopens": 0, "bytes": 0}
+
+
+def list_counters(max_age_secs: float = 900.0) -> "list[dict]":
+    """Every recently-updated stream counter file (for the heartbeat):
+    [{stream, reopens, bytes}], skipping entries idle past max_age_secs
+    (a tempdir outlives the queries that wrote it)."""
+    import json
+    import tempfile
+    import time
+
+    d = os.path.join(tempfile.gettempdir(), "singer_tail_counters")
+    out = []
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return out
+    now = time.time()
+    for name in names:
+        p = os.path.join(d, name)
+        try:
+            if not name.endswith(".json") or \
+                    now - os.stat(p).st_mtime > max_age_secs:
+                continue
+            with open(p) as f:
+                c = json.load(f)
+            out.append({"stream": str(c.get("stream", name)),
+                        "reopens": int(c.get("reopens", 0)),
+                        "bytes": int(c.get("bytes", 0))})
+        except (OSError, ValueError):
+            continue
+    return out
+
+
 class TailStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.log_dir = options.get("path")
@@ -132,15 +212,21 @@ class TailStreamReader(DataSourceStreamReader):
         #      watched glob, whose committed window WILL re-deliver (the
         #      dominant duplicate source under copytruncate).
         # Counters are per reader lifetime (the reference's process-
-        # lifetime metric semantics); they ride the offset dict into
-        # streaming progress, where the heartbeat surfaces them as
-        # duplicatesSuspected.  Duplicates created while NO reader is
-        # alive (a copy made between restarts) are invisible by design —
-        # there is no state to compare against, the same blind spot the
-        # reference has across agent restarts.
+        # lifetime metric semantics).  They are surfaced through the
+        # counters-file side channel (see _write_counters above) — NOT
+        # through the offset dict: offsets must stay a pure function of
+        # source position (ADVICE r7 #2 — a counter-bearing offset
+        # schedules an empty micro-batch on a zero-new-bytes suspicion
+        # event and disagrees with a restarted reader's zeroed
+        # counters).  Duplicates created while NO reader is alive (a
+        # copy made between restarts) are invisible by design — there is
+        # no state to compare against, the same blind spot the reference
+        # has across agent restarts.
         self._last_files: dict[str, dict] = {}
         self._dupes_suspected = 0
         self._dupe_bytes = 0
+        self._counters_key = f"{self.log_dir}::{self.glob}"
+        _write_counters(self.log_dir, self.glob, 0, 0)
 
     # -- scanning ----------------------------------------------------------
     def _fingerprint(self, f, off: int) -> tuple[int | None, int]:
@@ -305,8 +391,9 @@ class TailStreamReader(DataSourceStreamReader):
             self._dupe_bytes += window
         self._paths = paths
         self._last_files = files
-        return {"files": files, "dupes_suspected": self._dupes_suspected,
-                "dupe_bytes": self._dupe_bytes}
+        _write_counters(self.log_dir, self.glob,
+                        self._dupes_suspected, self._dupe_bytes)
+        return {"files": files}
 
     # -- planning ---------------------------------------------------------
     def _current_path(self, ino: str, recorded: str) -> str:

@@ -184,40 +184,47 @@ def test_tail_copytruncate_regrow_detected_by_fingerprint(tmp_path):
 
 
 def test_tail_duplicates_suspected_counter(tmp_path):
-    """Fingerprint-mismatch reopens are COUNTED and ride the offset dict
-    (VERDICT r6 task #7): each suspected-duplicate window increments
-    `dupes_suspected` and adds the previously committed bytes to
-    `dupe_bytes`; plain growth never counts.  Counters are per reader
-    lifetime (the reference's process-lifetime metric semantics)."""
+    """Fingerprint-mismatch reopens are COUNTED in the counters-file
+    side channel (VERDICT r6 task #7; side channel since r8 — ADVICE r7
+    #2, and the reader runs in its own Python worker so the channel must
+    cross processes): each suspected-duplicate window increments
+    `reopens` and adds the previously committed bytes to `bytes`; plain
+    growth never counts; the OFFSET dict stays a pure function of source
+    position (no counter keys).  Counters are per reader lifetime (the
+    reference's process-lifetime metric semantics)."""
+    from singer_spark.streaming.tail import read_counters
+
     d = str(tmp_path)
     log = f"{d}/t.log"
     _append(log, "old-1\nold-2\n")
     r = _reader(d)
     start = r.latestOffset()
-    assert start["dupes_suspected"] == 0 and start["dupe_bytes"] == 0
+    assert set(start.keys()) == {"files"}  # position-only offsets
+    assert read_counters(d) == {"reopens": 0, "bytes": 0}
 
     # plain growth: no suspicion
     _append(log, "old-3\n")
-    mid = r.latestOffset()
-    assert mid["dupes_suspected"] == 0
+    r.latestOffset()
+    assert read_counters(d)["reopens"] == 0
 
     # copytruncate-regrow: prefix changed → one suspected window of the
     # previously committed 18 bytes
     with open(log, "w") as f:
         f.write("NEW-a\nNEW-b\nNEW-c\nNEW-d\n")
     end = r.latestOffset()
-    assert end["dupes_suspected"] == 1 and end["dupe_bytes"] == 18
+    assert set(end.keys()) == {"files"}
+    assert read_counters(d) == {"reopens": 1, "bytes": 18}
 
     # shrink-only truncation also counts (committed bytes vanished)
     with open(log, "w") as f:
         f.write("x\n")
-    end2 = r.latestOffset()
-    assert end2["dupes_suspected"] == 2 and end2["dupe_bytes"] == 18 + 24
+    r.latestOffset()
+    assert read_counters(d) == {"reopens": 2, "bytes": 18 + 24}
 
-    # restart: fresh reader, fresh (process-lifetime) counters
+    # restart: fresh reader re-registers ZEROED process-lifetime counters
     fresh = _reader(d)
-    final = fresh.latestOffset()
-    assert final["dupes_suspected"] == 0 and final["dupe_bytes"] == 0
+    fresh.latestOffset()
+    assert read_counters(d) == {"reopens": 0, "bytes": 0}
 
 
 def test_tail_copytruncate_copy_counts_exact_windows(tmp_path):
@@ -245,16 +252,19 @@ def test_tail_copytruncate_copy_counts_exact_windows(tmp_path):
         with open(log, "r+b") as f:
             f.truncate(0)
         expected_windows.append(committed)
-    end = r.latestOffset()
+    r.latestOffset()
     # ONE window per rotation: the copy's prefix match and the live
     # inode's truncation reopen are the same event and are reconciled
-    assert end["dupes_suspected"] == len(expected_windows)
-    assert end["dupe_bytes"] == sum(expected_windows)
+    from singer_spark.streaming.tail import read_counters
+
+    assert read_counters(d) == {
+        "reopens": len(expected_windows), "bytes": sum(expected_windows)}
 
 
 def test_heartbeat_surfaces_duplicates_suspected():
-    """build_status's helper reads the tail source's counters out of a
-    progress dict's endOffset (JSON string, as Spark reports it)."""
+    """The compat path: build_status's helper still reads counters out
+    of a pre-r8 progress dict's counter-bearing endOffset (JSON string,
+    as Spark reports it); live readers publish via READER_COUNTERS."""
     import json as json_mod
 
     from singer_spark.heartbeat import _dupes_from_progress

@@ -391,16 +391,14 @@ def run_dupes_metric_soak(spark, root: str, seconds: float,
     processingTime trigger keeps one reader instance alive — the metric
     is per reader lifetime, like the reference's process-lifetime
     SingerStatus counters) consumes a copytruncate-rotated stream, then
-    the reader-reported `dupe_bytes` (from the final checkpointed offset)
-    is compared to the duplicate bytes actually measured in the delivered
-    rows.  Rotation is sized slower than the trigger cadence and past the
+    the reader-reported bytes (from the driver-side READER_COUNTERS
+    registry — offsets are position-only since r8) are compared to the
+    duplicate bytes actually measured in the delivered rows.  Rotation is sized slower than the trigger cadence and past the
     4 KiB fingerprint window (rotate_every=6000, ~55 KiB) so every
     rotation's committed window is observable; the kill/restart tail soak
     above intentionally is NOT this regime — a reader that restarts every
     cycle has no prior state to suspect duplicates against (the
     reference's agents share that restart blind spot)."""
-    import json
-
     from singer_spark.streaming.tail import tail_stream
 
     log_dir = os.path.join(root, "dupes_logs")
@@ -436,18 +434,14 @@ def run_dupes_metric_soak(spark, root: str, seconds: float,
     measured_dupes = sum(v - 1 for v in c.values())
     missing = sum(1 for i in range(w.written) if i not in c)
 
-    # reader-reported counters: the newest checkpointed offset
-    odir = os.path.join(ckpt, "offsets")
-    batches = sorted(int(f) for f in os.listdir(odir) if f.isdigit())
-    suspected = {"dupes_suspected": 0, "dupe_bytes": 0}
-    with open(os.path.join(odir, str(batches[-1]))) as f:
-        for line in f:
-            line = line.strip()
-            if line.startswith("{") and "dupes_suspected" in line:
-                suspected = json.loads(line)
-                break
-    sus_bytes = int(suspected.get("dupe_bytes", 0))
-    sus_windows = int(suspected.get("dupes_suspected", 0))
+    # reader-reported counters: the counters-file side channel (the
+    # reader runs in its own Python worker; offsets no longer carry
+    # counters)
+    from singer_spark.streaming.tail import read_counters
+
+    suspected = read_counters(log_dir, "*")
+    sus_bytes = int(suspected.get("bytes", 0))
+    sus_windows = int(suspected.get("reopens", 0))
     # the counter is a SUSPICION estimate: windows measured at commit
     # granularity vs dupes measured per line; accept a generous band and
     # require the signal to fire whenever duplicates actually happened
