@@ -1558,13 +1558,19 @@ def bpe_encode_ranked(docs: DataFrame, merges: "list[tuple[str, str]]",
                             lambda s: s["_toks"]),
                         " ").alias("tokens")))
     # wordless documents drop out of the explode; restore them with the
-    # chain's ("" / 0) shape
-    return (docs.select(F.col(id_col))
+    # chain's ("" / 0) shape — and NULL text stays (NULL, NULL), exactly
+    # as the chain's NULL-propagating expressions leave it
+    null_text = F.col(text_col).isNull()
+    return (docs.select(F.col(id_col), F.col(text_col))
             .join(per_doc, id_col, "left")
             .select(F.col(id_col),
-                    F.coalesce("n_tokens", F.lit(0).cast("bigint"))
+                    F.when(null_text, F.lit(None).cast("bigint"))
+                    .otherwise(F.coalesce("n_tokens",
+                                          F.lit(0).cast("bigint")))
                     .alias("n_tokens"),
-                    F.coalesce("tokens", F.lit("")).alias("tokens")))
+                    F.when(null_text, F.lit(None).cast("string"))
+                    .otherwise(F.coalesce("tokens", F.lit("")))
+                    .alias("tokens")))
 
 
 def source_unigram_kl(docs: DataFrame, smoothing: float = 0.5,

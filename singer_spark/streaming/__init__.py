@@ -11,6 +11,7 @@ from singer_spark.streaming.stateful import (
     hourly_rollup_stream,
     running_user_stats,
     source_kl_from_state,
+    source_kl_report,
     streaming_debounce,
     streaming_dedup_exact,
     streaming_dedup_ttl,
@@ -24,4 +25,5 @@ __all__ = ["streaming_sessionize", "hourly_rollup_stream", "running_user_stats",
            "streaming_dedup_exact", "streaming_dedup_ttl",
            "streaming_interval_join", "streaming_heavy_hitters",
            "streaming_debounce", "streaming_source_kl",
-           "source_kl_from_state", "checkpointed_state_fold"]
+           "source_kl_from_state", "source_kl_report",
+           "checkpointed_state_fold"]

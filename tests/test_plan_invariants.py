@@ -352,13 +352,20 @@ def test_budgeted_posting_cache_released(spark, sf_dir):
 
     spark.catalog.clearCache()
     release_cache_handles()  # drain anything earlier tests registered
+
+    def persistent_ids():
+        # delta-based: earlier tests' localCheckpoint blocks stay
+        # persisted across clearCache in the shared session fixture
+        jm = spark.sparkContext._jsc.getPersistentRDDs()
+        return set(jm.keySet().toArray())
+
+    base = persistent_ids()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     df = ngram_jaccard_pairs(docs, threshold=0.5, pair_budget=10_000)
     df.count()
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() > 0  # the cache existed
+    assert persistent_ids() - base  # the posting-list cache existed
     assert release_cache_handles() >= 1
-    assert jsc.getPersistentRDDs().size() == 0  # and is fully gone
+    assert persistent_ids() - base == set()  # and is fully gone
 
 
 def test_pair_budget_window_keeps_partition_spec(spark):

@@ -501,7 +501,8 @@ def test_bpe_encode_ranked_matches_chain(spark):
              "cr\rcr cr\rcr cr\rcr",
              "",                       # wordless: must yield (0, '')
              "   ",                    # only separators: also wordless
-             "low aaaa newer zz low"]
+             "low aaaa newer zz low",
+             None]                     # NULL text: (NULL, NULL) like the chain
     docs = _docs_df(spark, [(i, t, "s") for i, t in enumerate(texts)])
     merges = [(r.left_sym, r.right_sym)
               for r in bpe_learn_merges(docs, n_merges=10).collect()]
@@ -513,7 +514,9 @@ def test_bpe_encode_ranked_matches_chain(spark):
               for r in bpe_encode_ranked(docs, merges)
               .orderBy("doc_id").collect()]
     assert ranked == chain
-    assert dict((d, (n, t)) for d, n, t in ranked)[5] == (0, "")
+    by_id = dict((d, (n, t)) for d, n, t in ranked)
+    assert by_id[5] == (0, "")
+    assert by_id[8] == (None, None)
 
 
 def test_bpe_encode_ranked_merge_count_independent(spark):
