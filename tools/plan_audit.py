@@ -12,6 +12,12 @@ eager range-partition checkpoint + per-partition counts) — every one a
 bounded, driver-sized collect by design) and summarizes the formatted
 physical plan:
 
+Caveat on node counts: source_kl_state_bound chains four cached
+summary-fold rounds; the formatted plan prints every cached subtree
+fully expanded (hence its outsized exchange/broadcast counts here),
+while execution substitutes the InMemoryRelations — the measured run is
+summary-sized per round.
+
 - n_scans / n_exchanges / n_broadcasts — the shuffle budget at a glance
 - n_smj — SortMergeJoin count (the shuffle-heavy join form; broadcast
   joins don't shuffle the big side)

@@ -87,7 +87,9 @@ def main() -> int:
             s["status"] = "FAIL"
     steps.append(s)
 
-    s = run_step("bench", [py, "bench.py"], timeout=1800)
+    # timeout covers the main pass + drift re-runs + (when still_slow is
+    # non-empty) the four code-vs-host A/B legs, each its own JVM
+    s = run_step("bench", [py, "bench.py"], timeout=2700)
     bench_full = os.path.join(REPO, "BENCH_full.json")
     if s["status"] == "OK" and os.path.exists(bench_full):
         # read the artifact, not stdout (progress bars can push the compact
