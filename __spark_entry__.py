@@ -1841,6 +1841,25 @@ def _sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n_clusters=16, nprobe=4, m=8, kc=16)
 
 
+def _sim_pq_trained_kc256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ at the PRODUCTION parameterization — kc=256 (8-bit codes,
+    FAISS's default), Lloyd-trained (VERDICT r7 next #5): recall@5 vs
+    exact L2 measures 0.50 on the isotropic sf0.01 corpus against 0.26
+    at the kc=16 SQL-replay setting.  Same deterministic discipline, so
+    the same oracle generator unrolls the training loop and ADC chain at
+    kc=256 — the production setting is value-checked by the driver, not
+    just recall-gated in tests."""
+    from singer_spark.operators.similarity import (
+        pq_ann_topk,
+        pq_train_codebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    CB = pq_train_codebooks(emb, m=8, kc=256, iters=2)
+    return pq_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                       m=8, kc=256, codebooks=CB)
+
+
 def _sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ with the FULLY TRAINED model (similarity.py
     ivfpq_train_model): coarse Lloyd under the index's own micro-unit-L2
@@ -2252,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_ann": _sim_pq_ann,
         "sim_ivfpq_ann": _sim_ivfpq_ann,
         "sim_pq_trained": _sim_pq_trained,
+        "sim_pq_trained_kc256": _sim_pq_trained_kc256,
         "sim_ivfpq_trained": _sim_ivfpq_trained,
         "ann_recall": _ann_recall,
         "sim_ivf_trained": _sim_ivf_trained,
@@ -4616,6 +4636,8 @@ def oracle_sql() -> dict[str, str]:
               FROM adc) WHERE rank <= 5""",
         "sim_pq_trained": _pq_trained_oracle(iters=3, m=8, kc=16,
                                              topk=5, n_queries=10),
+        "sim_pq_trained_kc256": _pq_trained_oracle(iters=2, m=8, kc=256,
+                                                   topk=5, n_queries=10),
         "sim_ivfpq_trained": _ivfpq_trained_oracle(iters_c=2, iters_pq=2),
         "ann_recall": _ann_recall_oracle(),
         "embedding_pca": _pca_oracle(iters=8, dim=64),

@@ -532,3 +532,36 @@ def test_full_agent_path_tail_thrift_to_kafka_with_audit_headers(spark, tmp_path
     crc = _zlib.crc32(b"m-1") & 0xFFFFFFFF
     assert by_key["1"]["headers"]["messageCRC"] == crc.to_bytes(8, "big").hex()
     assert "loggingAuditHeaders" not in by_key["2"]["headers"]  # no audit field
+
+
+def test_counters_file_channel_roundtrip_and_age_cutoff(tmp_path):
+    """The cross-process side channel directly: atomic write/read
+    round-trip, readable stream identity inside the payload, zeroed
+    default for unknown streams, and the heartbeat's mtime cutoff
+    skipping stale entries (a tempdir outlives dead queries)."""
+    import os
+    import time
+
+    from singer_spark.streaming.tail import (
+        _counters_file,
+        _write_counters,
+        list_counters,
+        read_counters,
+    )
+
+    d = str(tmp_path / "logs")
+    _write_counters(d, "*.log", 3, 4096)
+    assert read_counters(d, "*.log") == {"reopens": 3, "bytes": 4096}
+    assert read_counters(d, "other-glob") == {"reopens": 0, "bytes": 0}
+
+    entries = {c["stream"]: c for c in list_counters()}
+    key = f"{d}::*.log"
+    assert entries[key]["reopens"] == 3 and entries[key]["bytes"] == 4096
+
+    # age out: a counter file idle past the cutoff is skipped
+    old = time.time() - 10_000
+    os.utime(_counters_file(d, "*.log"), (old, old))
+    assert key not in {c["stream"] for c in list_counters(max_age_secs=900)}
+    # but still readable directly (read_counters has no cutoff: the soak
+    # reads its own stream right after the query stops)
+    assert read_counters(d, "*.log")["reopens"] == 3

@@ -7,8 +7,12 @@ bench numbers 1.3-8x; see BENCH notes) as subprocesses, each with its own
 JVM, and writes one machine-readable summary:
 
   1. oracle gate      tools/verify_local.py --json (full registry, sf0.01)
-  2. plan audit       tools/plan_audit.py (164 plans build, PLANS.json)
-  3. bench            bench.py (sf0.1 medians + in-bench drift verdict)
+  1b. second oracle   tools/verify_local.py --second-oracle (byte-exact
+                      UDF-side hash/zlib/wordpiece parity — the values the
+                      self-verifying queries pin via booleans)
+  2. plan audit       tools/plan_audit.py (all plans build, PLANS.json)
+  3. bench            bench.py (sf0.1 medians + in-bench drift verdict +
+                      code-vs-host A/B when still_slow survives)
   4. short soak       tools/soak_tail.py (rotation churn, kill/restart,
                       duplicates-metric phase; SKIPPED with --no-soak)
   5. README check     tools/readme_stats.py --check (numbers match artifact)
@@ -72,6 +76,11 @@ def main() -> int:
         if failed:
             s["status"] = "FAIL"
     steps.append(s)
+
+    steps.append(run_step(
+        "second_oracle",
+        [py, "tools/verify_local.py", "--second-oracle",
+         "/root/testdata/sf0.01"], timeout=600))
 
     s = run_step("plan_audit", [py, "tools/plan_audit.py",
                                 "/root/testdata/sf0.001"], timeout=900)
