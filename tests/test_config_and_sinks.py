@@ -218,3 +218,48 @@ def test_write_batch_idempotent_replay_overwrites(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 100                     # 2 batches, no triple-copy
     assert set(r.batch for r in got.select("batch").distinct().collect()) == {0, 1}
+
+
+def test_heartbeat_surfaces_live_tail_duplicates(spark, tmp_path):
+    """E2E through the r8 counters-file channel: a LIVE tail query
+    observes a copytruncate rotation (the reader runs in its own Python
+    worker — this is the boundary the channel exists to cross), and
+    build_status reports the stream under duplicatesSuspected with a
+    non-zero reopen count."""
+    import os
+
+    from singer_spark.streaming.tail import tail_stream
+
+    d = str(tmp_path / "hb_logs")
+    os.makedirs(d)
+    log = f"{d}/app.log"
+    with open(log, "w") as f:
+        f.write("one\ntwo\nthree\n")
+    q = (tail_stream(spark, d)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "hb_out"))
+         .option("checkpointLocation", str(tmp_path / "hb_ckpt"))
+         .trigger(processingTime="300 milliseconds").start())
+    try:
+        deadline = time.time() + 40
+        # the reader must snapshot the ORIGINAL content first, or the
+        # rewrite is just a first sight (no prior state, no suspicion)
+        while time.time() < deadline - 30 and not q.lastProgress:
+            time.sleep(0.3)
+        time.sleep(1.0)
+        # copytruncate: rewrite with different content -> suspected window
+        with open(log, "w") as f:
+            f.write("NEW-1\nNEW-2\nNEW-3\nNEW-4\n")
+        stream_key = f"{d}::*"
+        found = None
+        while time.time() < deadline:
+            status = build_status(spark, started_at=time.time() - 1)
+            got = status["duplicatesSuspected"].get(stream_key)
+            if got and got.get("reopens", 0) > 0:
+                found = got
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert found is not None, "heartbeat never surfaced the reopen"
+    assert found["bytes"] >= len("one\ntwo\nthree\n")
