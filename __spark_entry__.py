@@ -1882,6 +1882,48 @@ def _sim_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n_clusters=16, nprobe=4, m=8, kc=16, model=model)
 
 
+def _ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the TRAINED production models (r8): recall@5 vs
+    exact micro-unit L2 of (a) Lloyd-trained PQ at the production
+    kc=256 and (b) the fully trained IVFADC model — the `ann_recall`
+    discipline applied to the two round-8 training paths, so the README
+    recall table's production numbers are driver-value-checked, not just
+    test-gated.  Every stage is deterministic; the oracle nests both
+    training replays as subqueries of one recall computation."""
+    from singer_spark.operators.similarity import (
+        ivfpq_ann_topk,
+        ivfpq_train_model,
+        l2_topk,
+        pq_ann_topk,
+        pq_train_codebooks,
+    )
+    from singer_spark.functions import qround
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = (l2_topk(emb, q, 5)
+             .select("query_id", "neighbor_id").withColumn("_e", F.lit(1)))
+    CB = pq_train_codebooks(emb, m=8, kc=256, iters=2)
+    pq = (pq_ann_topk(emb, q, 5, m=8, kc=256, codebooks=CB)
+          .select("query_id", "neighbor_id").withColumn("_p", F.lit(1)))
+    model = ivfpq_train_model(emb, n_clusters=16, m=8, kc=16,
+                              iters_coarse=2, iters_pq=2)
+    iv = (ivfpq_ann_topk(emb, q, 5, n_clusters=16, nprobe=4, m=8, kc=16,
+                         model=model)
+          .select("query_id", "neighbor_id").withColumn("_i", F.lit(1)))
+    j = (exact.join(pq, ["query_id", "neighbor_id"], "left")
+         .join(iv, ["query_id", "neighbor_id"], "left"))
+    n_exact = F.count("_e")
+    return j.agg(
+        F.lit(5).alias("k"),
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("_p").cast("long").alias("pq256_hits"),
+        F.count("_i").cast("long").alias("ivfpq_trained_hits"),
+        qround(F.count("_p") / n_exact, 4).alias("pq256_recall"),
+        qround(F.count("_i") / n_exact, 4).alias("ivfpq_trained_recall"),
+    )
+
+
 def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantization-loss audit: recall@5 of PQ and IVF-PQ ADC against the
     exact micro-unit L2 top-5 over the first 10 queries — the
@@ -2274,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_trained_kc256": _sim_pq_trained_kc256,
         "sim_ivfpq_trained": _sim_ivfpq_trained,
         "ann_recall": _ann_recall,
+        "ann_recall_trained": _ann_recall_trained,
         "sim_ivf_trained": _sim_ivf_trained,
         "embedding_near_dup": _embedding_near_dup,
         # text analysis
@@ -2807,6 +2850,46 @@ SELECT query_id, neighbor_id, rank::INT AS rank, adc_micro FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY adc_micro, neighbor_id) AS rank
   FROM adc) WHERE rank <= {topk}""")
+
+
+def _ann_recall_trained_oracle() -> str:
+    """Recall@5 of the two TRAINED models vs exact micro-unit L2: the
+    full `_pq_trained_oracle` (kc=256) and `_ivfpq_trained_oracle`
+    replays are nested as parenthesized WITH-subqueries of one recall
+    computation — the MATERIALIZED iteration CTEs inside each replay
+    keep DuckDB's planner from re-expanding the chains."""
+    pq = _pq_trained_oracle(iters=2, m=8, kc=256, topk=5, n_queries=10)
+    iv = _ivfpq_trained_oracle(iters_c=2, iters_pq=2)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ed AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 floor(list_dot_product(
+                   list_transform(range(1, 65), i -> q.v[i] - c.v[i]),
+                   list_transform(range(1, 65), i -> q.v[i] - c.v[i])
+                 ) * 1000000 + 0.5)::BIGINT AS dm
+          FROM e q CROSS JOIN e c
+          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        exact AS (SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY dm, neighbor_id) AS rn
+            FROM ed) WHERE rn <= 5),
+        pq AS (SELECT query_id, neighbor_id FROM ({pq})),
+        iv AS (SELECT query_id, neighbor_id FROM ({iv})),
+        j AS (SELECT ex.query_id,
+                     (p.query_id IS NOT NULL)::INT AS hp,
+                     (v2.query_id IS NOT NULL)::INT AS hi
+              FROM exact ex
+                   LEFT JOIN pq p USING (query_id, neighbor_id)
+                   LEFT JOIN iv v2 USING (query_id, neighbor_id))
+        SELECT 5 AS k, count(DISTINCT query_id)::BIGINT AS n_queries,
+               sum(hp)::BIGINT AS pq256_hits,
+               sum(hi)::BIGINT AS ivfpq_trained_hits,
+               floor(sum(hp)::DOUBLE / count(*) * 10000 + 0.5) / 10000
+                 AS pq256_recall,
+               floor(sum(hi)::DOUBLE / count(*) * 10000 + 0.5) / 10000
+                 AS ivfpq_trained_recall
+        FROM j"""
 
 
 def _source_kl_oracle(bounds: bool = False) -> str:
@@ -4640,6 +4723,7 @@ def oracle_sql() -> dict[str, str]:
                                                    topk=5, n_queries=10),
         "sim_ivfpq_trained": _ivfpq_trained_oracle(iters_c=2, iters_pq=2),
         "ann_recall": _ann_recall_oracle(),
+        "ann_recall_trained": _ann_recall_trained_oracle(),
         "embedding_pca": _pca_oracle(iters=8, dim=64),
         # grid-free replay of the analytic-tail decomposition (r8): the
         # absent-token smoothing mass per source is

@@ -250,6 +250,7 @@ def ops(docs: DataFrame):
         "decontaminate_spans": lambda: _spans(docs),
         "heavy_hitters": lambda: _hh(docs),
         "bpe_learn+encode": lambda: _bpe(docs),
+        "bpe_learn+encode_ranked": lambda: _bpe_ranked(docs),
         "corpus_shuffle": lambda: _shuffle(docs),
     }
 
@@ -263,6 +264,21 @@ def _bpe(docs: DataFrame) -> DataFrame:
     merges = [(r.left_sym, r.right_sym)
               for r in bpe_learn_merges(docs, n_merges=12).collect()]
     return bpe_encode(docs, merges)
+
+
+def _bpe_ranked(docs: DataFrame) -> DataFrame:
+    """Same train pass, PRODUCTION encode (r8): distinct-word heap
+    kernel + join-back — the path whose cost is independent of merge
+    count (the chain column above stops being runnable past ~700
+    merges; see bpe mode)."""
+    from singer_spark.operators.text_analysis import (
+        bpe_encode_ranked,
+        bpe_learn_merges,
+    )
+
+    merges = [(r.left_sym, r.right_sym)
+              for r in bpe_learn_merges(docs, n_merges=12).collect()]
+    return bpe_encode_ranked(docs, merges)
 
 
 def _shuffle(docs: DataFrame) -> DataFrame:
