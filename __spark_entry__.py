@@ -1241,6 +1241,18 @@ def _bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_ranked(docs, merges).orderBy("doc_id")
 
 
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition screens (Rae et al. 2021 §A1.1) over the
+    documents table: most-frequent-{2,3,4}-gram char fraction (capped at
+    1 — overlapping occurrences) and duplicate-{5..10}-gram coverage
+    fraction (position-coverage, overlaps counted once) —
+    text_analysis.repetition_signals.  Pure JVM n-gram expressions; the
+    oracle replays both families with list slicing + window ranks."""
+    from singer_spark.operators.text_analysis import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match WordPiece, SELF-VERIFYING (r7): the trie walk
     and the independent shrinking-window reference segment every document
@@ -2338,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "hard_negatives": _hard_negatives,
         "wordpiece_tokenize": _wordpiece_tokenize,
+        "text_repetition": _text_repetition,
         "source_unigram_kl": _source_unigram_kl,
         "source_kl_state_bound": _source_kl_state_bound,
         "bpe_learn": _bpe_learn,
@@ -2890,6 +2903,84 @@ def _ann_recall_trained_oracle() -> str:
                floor(sum(hi)::DOUBLE / count(*) * 10000 + 0.5) / 10000
                  AS ivfpq_trained_recall
         FROM j"""
+
+
+def _repetition_oracle() -> str:
+    """SQL replay of repetition_signals: sliding token windows by list
+    slicing, top gram per (doc, n) via (count desc, gram asc) rank,
+    duplicate-gram position coverage via generate_series unions.  The
+    dup family hashes grams with the shared md5_int construction —
+    digest equality is all the coverage rule needs."""
+    tops = ", ".join(
+        f"max(CASE WHEN n = {n} THEN frac END) AS top{n}_frac"
+        for n in (2, 3, 4))
+    dups = ", ".join(
+        f"max(CASE WHEN n = {n} THEN frac END) AS dup{n}_frac"
+        for n in (5, 6, 7, 8, 9, 10))
+    top_sel = ", ".join(
+        f"coalesce(top{n}_frac, 0.0) AS top{n}_frac" for n in (2, 3, 4))
+    dup_sel = ", ".join(
+        f"coalesce(dup{n}_frac, 0.0) AS dup{n}_frac"
+        for n in (5, 6, 7, 8, 9, 10))
+    return f"""
+        WITH t AS (
+          SELECT doc_id, length(coalesce(text, '')) AS n_chars,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> x <> '') AS toks
+          FROM documents),
+        tg AS (
+          SELECT doc_id, n_chars, v.n,
+                 array_to_string(toks[s.i : s.i + v.n - 1], ' ') AS gram
+          FROM t, (VALUES (2), (3), (4)) v(n),
+               LATERAL (SELECT unnest(generate_series(
+                   1, len(toks) - v.n + 1)) AS i) s
+          WHERE len(toks) >= v.n),
+        tc AS (SELECT doc_id, n, gram, count(*) AS cnt,
+                      max(n_chars) AS n_chars
+               FROM tg GROUP BY 1, 2, 3),
+        tp AS (
+          SELECT doc_id, n,
+                 floor(least(cnt * length(gram) / greatest(n_chars, 1),
+                             1.0) * 10000 + 0.5) / 10000 AS frac
+          FROM (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id, n
+                    ORDER BY cnt DESC, gram ASC) AS rn FROM tc)
+          WHERE rn = 1),
+        dg AS (
+          SELECT doc_id, v.n, s.i,
+                 ('0x' || substr(md5(array_to_string(
+                     toks[s.i : s.i + v.n - 1], ' ')), 1, 15))::BIGINT AS g
+          FROM t, (VALUES (5), (6), (7), (8), (9), (10)) v(n),
+               LATERAL (SELECT unnest(generate_series(
+                   1, len(toks) - v.n + 1)) AS i) s
+          WHERE len(toks) >= v.n),
+        ddup AS (
+          SELECT * FROM (
+            SELECT doc_id, n, i,
+                   count(*) OVER (PARTITION BY doc_id, n, g) AS cnt
+            FROM dg) WHERE cnt >= 2),
+        cov AS (
+          SELECT DISTINCT doc_id, n, unnest(generate_series(i, i + n - 1))
+                 AS pos
+          FROM ddup),
+        tl AS (
+          SELECT doc_id, s.i AS pos, length(toks[s.i]) AS len
+          FROM t, LATERAL (SELECT unnest(generate_series(
+              1, len(toks))) AS i) s),
+        tot AS (SELECT doc_id, sum(len) AS tot FROM tl GROUP BY doc_id),
+        dv AS (
+          SELECT c.doc_id, c.n,
+                 floor(sum(tl.len) / greatest(max(tot.tot), 1)
+                       * 10000 + 0.5) / 10000 AS frac
+          FROM cov c JOIN tl ON tl.doc_id = c.doc_id AND tl.pos = c.pos
+               JOIN tot ON tot.doc_id = c.doc_id
+          GROUP BY c.doc_id, c.n),
+        tops AS (SELECT doc_id, {tops} FROM tp GROUP BY doc_id),
+        dupf AS (SELECT doc_id, {dups} FROM dv GROUP BY doc_id)
+        SELECT d.doc_id, {top_sel}, {dup_sel}
+        FROM documents d
+             LEFT JOIN tops USING (doc_id) LEFT JOIN dupf USING (doc_id)
+        ORDER BY d.doc_id"""
 
 
 def _source_kl_oracle(bounds: bool = False) -> str:
@@ -4733,6 +4824,7 @@ def oracle_sql() -> dict[str, str]:
         # same exact-KL replay + the streaming estimator's contract
         # booleans pinned true (self-verifying-oracle discipline)
         "source_kl_state_bound": _source_kl_oracle(bounds=True),
+        "text_repetition": _repetition_oracle(),
         "bpe_learn": _bpe_oracle(n_merges=12),
         "bpe_encode": _bpe_encode_oracle(n_merges=12),
         # the ranked encoder is value-identical to the chain by

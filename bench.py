@@ -91,6 +91,8 @@ HEADLINERS = [
     "sim_pq_ann",
     "sim_ivfpq_ann",
     "text_quality",
+    # round-8: Gopher repetition screens (top/dup n-gram fractions)
+    "text_repetition",
     "text_fingerprint",
     "tfidf_top_terms",
     "ngram_lm_score",

@@ -95,6 +95,132 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       top_ns: tuple = (2, 3, 4),
+                       dup_ns: tuple = (5, 6, 7, 8, 9, 10)) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
+    screens Dolma/FineWeb apply before training), adapted to token
+    n-grams (this corpus has no line breaks, so the dup-line variants
+    have no support; the n-gram family is the load-bearing half):
+
+    - ``top{n}_frac`` (n ∈ top_ns): characters inside occurrences of the
+      doc's MOST FREQUENT token n-gram / total characters — the "same
+      phrase over and over" screen.  Ties break (count desc, gram asc)
+      on both engines.
+    - ``dup{n}_frac`` (n ∈ dup_ns): characters of tokens COVERED by any
+      n-gram that occurs more than once in the doc / total token
+      characters — overlapping windows counted once (position-coverage,
+      the published definition's non-double-counting rule).
+
+    100 TB shape: document text never joins or shuffles — the dup
+    family's ONE explode emits (doc, n, gram-DIGEST, position) rows for
+    all n at once and every aggregation keys on doc_id (+n); the top
+    family groups the gram text itself (2-4 tokens — the deterministic
+    tie-break and the numerator's char length both need it, and short
+    grams are barely wider than their digests), and what returns to the
+    doc is a handful of doubles.
+
+    Output: (id_col, top2_frac, ..., dup10_frac) qround(1e-4)."""
+    from pyspark.sql.window import Window
+
+    c = F.col(text_col)
+    toks = F.filter(F.split(c, " "), lambda t: t != "")
+    base = fan_out(docs).select(
+        F.col(id_col).alias("_id"), F.length(c).alias("_n_chars"),
+        toks.alias("_toks"))
+    base = base.withColumn("_n_toks", F.size("_toks"))
+
+    # --- top-n-gram char fraction (n small: 2-4) ------------------------
+    def grams_of(n: int):
+        # sequence(1, 0) DESCENDS in Spark — short docs need an explicit
+        # empty, not a clamped stop
+        idx = F.when(F.col("_n_toks") >= n,
+                     F.sequence(F.lit(1), F.col("_n_toks") - (n - 1))) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.struct(
+            i.alias("i"),
+            windowed_join(F.col("_toks"), i, n, " ").alias("g")))
+
+    tops = None
+    for n in top_ns:
+        g = (base.select("_id", "_n_chars",
+                         F.explode(grams_of(n)).alias("_g"))
+             .groupBy("_id", F.col("_g.g").alias("_gram"))
+             .agg(F.count("*").alias("_cnt"),
+                  F.first("_n_chars").alias("_n_chars")))
+        w = Window.partitionBy("_id").orderBy(F.col("_cnt").desc(),
+                                              F.col("_gram").asc())
+        # least(·, 1): overlapping occurrences ("a b a b" twice in
+        # "a b a b a b") can push raw occurrence-chars past the doc length
+        t = (g.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") == 1)
+             .select("_id",
+                     qround(F.least(F.col("_cnt") * F.length("_gram")
+                                    / F.greatest("_n_chars", F.lit(1)),
+                                    F.lit(1.0)), 4)
+                     .alias(f"top{n}_frac")))
+        tops = t if tops is None else tops.join(t, "_id", "full")
+
+    # --- duplicate-n-gram coverage fraction (n large: 5-10) -------------
+    # ONE explode for all n: (doc, n, gram, start-position)
+    ns = F.array(*[F.lit(n) for n in dup_ns])
+    occ = (base.select("_id", F.explode(ns).alias("_n"), "_toks", "_n_toks")
+           .select("_id", "_n", F.explode(F.transform(
+               F.when(F.col("_n_toks") >= F.col("_n"),
+                      F.sequence(F.lit(1),
+                                 F.col("_n_toks") - F.col("_n") + 1))
+               .otherwise(F.array().cast("array<int>")),
+               lambda i: F.struct(
+                   i.alias("i"),
+                   # windowed_join's indexed-read idiom inlined (length
+                   # is the exploded column _n, not a Python int);
+                   # _toks is an attribute, so lookups stay O(1)
+                   md5_int(F.array_join(F.transform(
+                       F.sequence(i.cast("int"),
+                                  (i + F.col("_n") - 1).cast("int")),
+                       lambda j: F.try_element_at(F.col("_toks"), j)),
+                       " ")).alias("g"))))
+               .alias("_o")))
+    occ = occ.select("_id", "_n", F.col("_o.i").alias("_i"),
+                     F.col("_o.g").alias("_g"))
+    dup_occ = (occ.withColumn(
+        "_cnt", F.count("*").over(
+            Window.partitionBy("_id", "_n", "_g")))
+        .where(F.col("_cnt") >= 2))
+    covered = (dup_occ.select(
+        "_id", "_n",
+        F.explode(F.sequence(F.col("_i"),
+                             F.col("_i") + F.col("_n") - 1)).alias("_pos"))
+        .distinct())
+    tok_lens = base.select(
+        "_id", F.posexplode("_toks").alias("_pos0", "_tok")) \
+        .select("_id", (F.col("_pos0") + 1).alias("_pos"),
+                F.length("_tok").alias("_len"))
+    doc_tok_chars = tok_lens.groupBy("_id").agg(
+        F.sum("_len").alias("_tot"))
+    dup_frac = (covered.join(tok_lens, ["_id", "_pos"])
+                .groupBy("_id", "_n").agg(F.sum("_len").alias("_cov"))
+                .join(doc_tok_chars, "_id")
+                .select("_id", "_n",
+                        qround(F.col("_cov")
+                               / F.greatest("_tot", F.lit(1)), 4)
+                        .alias("_frac")))
+    dups = dup_frac.groupBy("_id").pivot("_n", list(dup_ns)) \
+        .agg(F.first("_frac"))
+
+    out = docs.select(F.col(id_col).alias("_id"))
+    if tops is not None:
+        out = out.join(tops, "_id", "left")
+    out = out.join(dups, "_id", "left")
+    cols = [F.col("_id").alias(id_col)]
+    cols += [F.coalesce(f"top{n}_frac", F.lit(0.0)).alias(f"top{n}_frac")
+             for n in top_ns]
+    cols += [F.coalesce(str(n), F.lit(0.0)).alias(f"dup{n}_frac")
+             for n in dup_ns]
+    return out.select(*cols)
+
+
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + a BPE-ish subword estimate: word-boundary
     pieces (letters runs, digit runs, punctuation) + an extra piece per 6

@@ -1119,3 +1119,31 @@ def test_bpe_learn_property_random_corpora(spark):
         got = [(r.step, r.left_sym, r.right_sym, r.merged, r.pair_freq)
                for r in bpe_learn_merges(docs, n_merges=6).collect()]
         assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition screens against hand-computed fractions: the
+    most-frequent-2-gram occurrence chars over doc chars, the overlap
+    cap at 1.0, exact dup-5-gram position coverage (overlaps counted
+    once), and zero-support edges (empty / NULL / single-token)."""
+    from singer_spark.operators.text_analysis import repetition_signals
+
+    docs = spark.createDataFrame([
+        (1, "a b a b a b c"),
+        (2, "p q r s t x p q r s t y"),
+        (3, ""), (4, None), (5, "one"),
+    ], "doc_id bigint, text string")
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+
+    # doc 1: "a b" occurs 3x, 3 chars each, 13 chars total
+    assert got[1].top2_frac == round(3 * 3 / 13, 4)
+    # "a b a b" occurs twice (overlapping) -> raw 14/13, capped at 1
+    assert got[1].top4_frac == 1.0
+    assert got[1].dup5_frac == 0.0  # no 5-gram repeats
+
+    # doc 2: "p q r s t" at positions 1 and 7 -> covers 10 of 12 tokens
+    assert got[2].dup5_frac == round(10 / 12, 4)
+    assert got[2].dup6_frac == 0.0
+
+    for d in (3, 4, 5):
+        assert got[d].top2_frac == 0.0 and got[d].dup5_frac == 0.0
