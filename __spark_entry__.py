@@ -1241,13 +1241,16 @@ def _bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_ranked(docs, merges).orderBy("doc_id")
 
 
-def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition screens (Rae et al. 2021 §A1.1) over the
-    documents table: most-frequent-{2,3,4}-gram char fraction (capped at
-    1 — overlapping occurrences) and duplicate-{5..10}-gram coverage
-    fraction (position-coverage, overlaps counted once) —
-    text_analysis.repetition_signals.  Pure JVM n-gram expressions; the
-    oracle replays both families with list slicing + window ranks."""
+def _text_repetition_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's CHAR-fraction repetition screens (Rae et al. 2021 §A1.1,
+    the published definitions) over the documents table:
+    most-frequent-{2,3,4}-gram char fraction (capped at 1 — overlapping
+    occurrences) and duplicate-{5..10}-gram coverage fraction
+    (position-coverage, overlaps counted once) —
+    text_analysis.repetition_signals; the sibling `text_repetition` key
+    carries repetition_features' COUNT-based curation keep-flags.  Pure
+    JVM n-gram expressions; the oracle replays both families with list
+    slicing + window ranks."""
     from singer_spark.operators.text_analysis import repetition_signals
 
     return repetition_signals(_docs(spark, sf_dir)).orderBy("doc_id")
@@ -2350,7 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "hard_negatives": _hard_negatives,
         "wordpiece_tokenize": _wordpiece_tokenize,
-        "text_repetition": _text_repetition,
+        "text_repetition_chars": _text_repetition_chars,
         "source_unigram_kl": _source_unigram_kl,
         "source_kl_state_bound": _source_kl_state_bound,
         "bpe_learn": _bpe_learn,
@@ -2905,7 +2908,7 @@ def _ann_recall_trained_oracle() -> str:
         FROM j"""
 
 
-def _repetition_oracle() -> str:
+def _repetition_chars_oracle() -> str:
     """SQL replay of repetition_signals: sliding token windows by list
     slicing, top gram per (doc, n) via (count desc, gram asc) rank,
     duplicate-gram position coverage via generate_series unions.  The
@@ -2928,13 +2931,15 @@ def _repetition_oracle() -> str:
                  list_filter(string_split(coalesce(text, ''), ' '),
                              x -> x <> '') AS toks
           FROM documents),
-        tg AS (
-          SELECT doc_id, n_chars, v.n,
-                 array_to_string(toks[s.i : s.i + v.n - 1], ' ') AS gram
-          FROM t, (VALUES (2), (3), (4)) v(n),
-               LATERAL (SELECT unnest(generate_series(
-                   1, len(toks) - v.n + 1)) AS i) s
+        tg0 AS (
+          SELECT doc_id, n_chars, v.n, toks,
+                 unnest(generate_series(1, len(toks) - v.n + 1)) AS i
+          FROM t, (VALUES (2), (3), (4)) v(n)
           WHERE len(toks) >= v.n),
+        tg AS (
+          SELECT doc_id, n_chars, n,
+                 array_to_string(toks[i : i + n - 1], ' ') AS gram
+          FROM tg0),
         tc AS (SELECT doc_id, n, gram, count(*) AS cnt,
                       max(n_chars) AS n_chars
                FROM tg GROUP BY 1, 2, 3),
@@ -2946,27 +2951,31 @@ def _repetition_oracle() -> str:
                     PARTITION BY doc_id, n
                     ORDER BY cnt DESC, gram ASC) AS rn FROM tc)
           WHERE rn = 1),
-        dg AS (
-          SELECT doc_id, v.n, s.i,
-                 ('0x' || substr(md5(array_to_string(
-                     toks[s.i : s.i + v.n - 1], ' ')), 1, 15))::BIGINT AS g
-          FROM t, (VALUES (5), (6), (7), (8), (9), (10)) v(n),
-               LATERAL (SELECT unnest(generate_series(
-                   1, len(toks) - v.n + 1)) AS i) s
+        dg0 AS (
+          SELECT doc_id, v.n, toks,
+                 unnest(generate_series(1, len(toks) - v.n + 1)) AS i
+          FROM t, (VALUES (5), (6), (7), (8), (9), (10)) v(n)
           WHERE len(toks) >= v.n),
+        dg AS (
+          SELECT doc_id, n, i,
+                 ('0x' || substr(md5(array_to_string(
+                     toks[i : i + n - 1], ' ')), 1, 15))::BIGINT AS g
+          FROM dg0),
         ddup AS (
           SELECT * FROM (
             SELECT doc_id, n, i,
                    count(*) OVER (PARTITION BY doc_id, n, g) AS cnt
             FROM dg) WHERE cnt >= 2),
-        cov AS (
-          SELECT DISTINCT doc_id, n, unnest(generate_series(i, i + n - 1))
-                 AS pos
+        cov0 AS (
+          SELECT doc_id, n, unnest(generate_series(i, i + n - 1)) AS pos
           FROM ddup),
+        cov AS (SELECT DISTINCT doc_id, n, pos FROM cov0),
+        tl0 AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks))) AS pos
+          FROM t),
         tl AS (
-          SELECT doc_id, s.i AS pos, length(toks[s.i]) AS len
-          FROM t, LATERAL (SELECT unnest(generate_series(
-              1, len(toks))) AS i) s),
+          SELECT doc_id, pos, length(toks[pos]) AS len FROM tl0),
         tot AS (SELECT doc_id, sum(len) AS tot FROM tl GROUP BY doc_id),
         dv AS (
           SELECT c.doc_id, c.n,
@@ -4824,7 +4833,7 @@ def oracle_sql() -> dict[str, str]:
         # same exact-KL replay + the streaming estimator's contract
         # booleans pinned true (self-verifying-oracle discipline)
         "source_kl_state_bound": _source_kl_oracle(bounds=True),
-        "text_repetition": _repetition_oracle(),
+        "text_repetition_chars": _repetition_chars_oracle(),
         "bpe_learn": _bpe_oracle(n_merges=12),
         "bpe_encode": _bpe_encode_oracle(n_merges=12),
         # the ranked encoder is value-identical to the chain by

@@ -92,7 +92,7 @@ HEADLINERS = [
     "sim_ivfpq_ann",
     "text_quality",
     # round-8: Gopher repetition screens (top/dup n-gram fractions)
-    "text_repetition",
+    "text_repetition_chars",
     "text_fingerprint",
     "tfidf_top_terms",
     "ngram_lm_score",

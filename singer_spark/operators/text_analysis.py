@@ -99,10 +99,14 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id",
                        top_ns: tuple = (2, 3, 4),
                        dup_ns: tuple = (5, 6, 7, 8, 9, 10)) -> DataFrame:
-    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
-    screens Dolma/FineWeb apply before training), adapted to token
-    n-grams (this corpus has no line breaks, so the dup-line variants
-    have no support; the n-gram family is the load-bearing half):
+    """Gopher's CHARACTER-fraction repetition filters (Rae et al. 2021
+    §A1.1, the published definitions Dolma/FineWeb implement), adapted
+    to token n-grams (this corpus has no line breaks, so the dup-line
+    variants have no support; the n-gram family is the load-bearing
+    half).  Complements :func:`repetition_features`, whose 2/3-gram
+    fractions are COUNT-based keep-flags for the curation gate — the
+    char-based forms here weight a repeated long phrase by the text it
+    actually occupies, which is what the paper thresholds:
 
     - ``top{n}_frac`` (n ∈ top_ns): characters inside occurrences of the
       doc's MOST FREQUENT token n-gram / total characters — the "same

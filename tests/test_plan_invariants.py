@@ -381,3 +381,36 @@ def test_pair_budget_window_keeps_partition_spec(spark):
     plan = thr._jdf.queryExecution().optimizedPlan().treeString()
     assert "windowspecdefinition" in plan
     assert "% 1" in plan  # the non-foldable partition expression survives
+
+
+def test_registry_dicts_have_no_duplicate_keys():
+    """A duplicate literal key in queries()/oracle_sql() silently drops
+    the earlier entry (later wins), so a name collision ships an entry
+    that was never actually tested against its own oracle — caught live
+    in r8 when a new 'text_repetition' shadowed the existing one and the
+    gate green-lit old-vs-old.  AST-walk every dict display in
+    __spark_entry__.py and reject repeated constant keys; also reject
+    module-level function redefinitions (a shadowed def is the same
+    silent swap one level up)."""
+    import ast
+    import collections
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "__spark_entry__.py")
+    tree = ast.parse(open(path).read())
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict):
+            keys = [k.value for k in node.keys
+                    if isinstance(k, ast.Constant)]
+            dupes = [k for k, c in collections.Counter(keys).items()
+                     if c > 1]
+            assert not dupes, f"duplicate dict keys at line " \
+                              f"{node.lineno}: {dupes}"
+
+    top_defs = [n.name for n in tree.body
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]
+    dup_defs = [n for n, c in collections.Counter(top_defs).items()
+                if c > 1]
+    assert not dup_defs, f"shadowed top-level defs: {dup_defs}"
