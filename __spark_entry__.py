@@ -712,6 +712,21 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, benchmark, k=8)
 
 
+def _semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine contamination screen (r8): hash-embed corpus and
+    benchmark slice, flag docs whose max benchmark cosine >= 0.8 — the
+    paraphrase-robust complement of the exact 8-gram gate
+    (text_analysis.semantic_decontaminate).  The oracle reuses the
+    hash-embed CTE for both sides and replays the qround-then-argmax
+    rule."""
+    from singer_spark.operators.text_analysis import semantic_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return semantic_decontaminate(docs, benchmark,
+                                  threshold=0.8).orderBy("id")
+
+
 def _contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-benchmark-item leak counts (which eval items are burned, and by
     how many corpus docs / distinct grams) — the benchmark-side aggregate
@@ -2367,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "pack_stats": _pack_stats,
         "decontaminate": _decontaminate,
+        "semantic_decontaminate": _semantic_decontaminate,
         "contamination_report": _contamination_report,
         "decontaminate_spans": _decontaminate_spans,
         # multimodal plumbing
@@ -5296,6 +5312,31 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l.n_leaked_grams, 0) AS n_leaked_grams
             FROM documents d LEFT JOIN leaks l ON l.bench_id = d.doc_id
             WHERE d.doc_id % 50 = 0 ORDER BY bench_id""",
+        # both sides share the hash-embed CTE; cosine zero-guarded then
+        # qround'd BEFORE the argmax (ties -> lowest bench id), exactly
+        # the engine's map-side max-struct rule
+        "semantic_decontaminate": f"""
+            WITH {_HASH_EMBED_CTE},
+            bench AS (SELECT doc_id AS bid, embedding AS bv FROM emb16
+                      WHERE doc_id % 50 = 0),
+            sc AS (
+              SELECT e.doc_id AS id, b.bid,
+                     CASE WHEN sqrt(list_dot_product(e.embedding, e.embedding))
+                               * sqrt(list_dot_product(b.bv, b.bv)) > 0
+                          THEN floor(list_dot_product(e.embedding, b.bv)
+                               / (sqrt(list_dot_product(e.embedding, e.embedding))
+                                  * sqrt(list_dot_product(b.bv, b.bv)))
+                               * 1000000 + 0.5) / 1000000
+                          ELSE 0.0 END AS cos
+              FROM emb16 e CROSS JOIN bench b),
+            best AS (SELECT id, bid, cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY id
+                                             ORDER BY cos DESC, bid ASC) AS rn
+                FROM sc) WHERE rn = 1)
+            SELECT id, bid::BIGINT AS nearest_bench_id,
+                   cos AS max_bench_cosine,
+                   cos >= 0.8 AS contaminated
+            FROM best ORDER BY id""",
         "decontaminate": """
             -- docs sharing any 8-gram with the benchmark slice (doc_id%50=0);
             -- docs shorter than 8 tokens contribute their whole text as the

@@ -435,6 +435,59 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, k: int = 8,
             .select("id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")))
 
 
+def semantic_decontaminate(docs: DataFrame, benchmark: DataFrame,
+                           threshold: float = 0.8, dim: int = 16,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           round_to: int = 6) -> DataFrame:
+    """Embedding-cosine contamination screen — the paraphrase-robust
+    complement of :func:`decontaminate`: a reworded eval item shares few
+    8-grams with its source but its token DISTRIBUTION barely moves, so
+    hash-embedding both sides and thresholding cosine catches what exact
+    k-gram matching structurally cannot (the same split the dedup family
+    draws between `dedup_exact` and `semantic_dedup`).
+
+    Both sides embed with the model-free :func:`hash_embed` (swap in a
+    real encoder's vectors by passing pre-embedded frames to the
+    similarity operators directly).  The benchmark is an EVAL SET —
+    bounded by contract (`assert_bounded`) — so its embedded form
+    broadcasts and the corpus pays ONE shuffle-free Arrow embed pass
+    plus a broadcast nested-loop over |benchmark| rows per doc;
+    max/argmax fold map-side.  Cosines are qround-quantized BEFORE the
+    argmax ranking (ties → lowest benchmark id), so both engines pick
+    identical nearest items.
+
+    Output: (id, nearest_bench_id, max_bench_cosine, contaminated)."""
+    from singer_spark.functions import assert_bounded
+    from singer_spark.operators.similarity import safe_cosine
+
+    d = hash_embed(docs, dim, text_col, id_col) \
+        .select(F.col(id_col).alias("id"), F.col("embedding").alias("_dv"))
+    b = hash_embed(
+        assert_bounded(benchmark, what="semantic_decontaminate benchmark"),
+        dim, text_col, id_col) \
+        .select(F.col(id_col).alias("_bid"), F.col("embedding").alias("_bv"))
+    scored = (d.crossJoin(F.broadcast(b))
+              .select("id", "_bid",
+                      qround(safe_cosine(F.col("_dv"), F.col("_bv")),
+                             round_to).alias("_cos")))
+    # map-side-foldable argmax: max over a (cosine, -bench_id) struct —
+    # highest cosine wins, ties to the LOWEST bench id — instead of a
+    # per-doc sort window
+    best = (scored.groupBy("id")
+            .agg(F.max(F.struct(F.col("_cos"),
+                                (-F.col("_bid")).alias("_nb"))).alias("_m"))
+            .select("id",
+                    (-F.col("_m._nb")).cast("long").alias("nearest_bench_id"),
+                    F.col("_m._cos").alias("max_bench_cosine")))
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(best, "id", "left")
+            .select("id", "nearest_bench_id",
+                    F.coalesce("max_bench_cosine", F.lit(0.0))
+                    .alias("max_bench_cosine"),
+                    (F.coalesce("max_bench_cosine", F.lit(0.0))
+                     >= threshold).alias("contaminated")))
+
+
 # ---------------------------------------------------------------------------
 # Stratified exact-k sampling — balanced per-class training subsets.
 # ---------------------------------------------------------------------------

@@ -1147,3 +1147,34 @@ def test_repetition_signals_hand_computed(spark):
 
     for d in (3, 4, 5):
         assert got[d].top2_frac == 0.0 and got[d].dup5_frac == 0.0
+
+
+def test_semantic_decontaminate_catches_paraphrase_kgram_misses(spark):
+    """The operator's reason to exist: a token-level REORDERING of an
+    eval item shares no 8-gram with it (exact decontaminate misses it)
+    but has cosine 1.0 in hash-embed space (same token multiset) — the
+    semantic screen flags it.  An unrelated doc stays clean, and the
+    nearest-benchmark argmax is reported."""
+    from singer_spark.operators.text_analysis import (
+        decontaminate,
+        semantic_decontaminate,
+    )
+
+    eval_item = " ".join(f"q{i}" for i in range(12))
+    reordered = " ".join(f"q{i}" for i in reversed(range(12)))
+    unrelated = " ".join(f"z{i}" for i in range(12))
+    docs = _docs_df(spark, [(1, reordered, "s"), (2, unrelated, "s"),
+                            (3, eval_item, "s")])
+    bench = _docs_df(spark, [(100, eval_item, "b")])
+
+    exact = {r.id: r.contaminated
+             for r in decontaminate(docs, bench, k=8).collect()}
+    sem = {r.id: r for r in
+           semantic_decontaminate(docs, bench, threshold=0.95).collect()}
+
+    assert exact[1] is False          # 8-gram gate misses the reorder
+    assert sem[1].contaminated        # the cosine gate catches it
+    assert sem[1].max_bench_cosine == 1.0
+    assert sem[1].nearest_bench_id == 100
+    assert not sem[2].contaminated    # unrelated stays clean
+    assert sem[3].contaminated and exact[3]  # verbatim caught by both
