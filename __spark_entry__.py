@@ -1271,6 +1271,39 @@ def _text_repetition_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer FERTILITY (tokens emitted per word) under the
+    learned 12-merge BPE — the tokenizer-health screen a multilingual /
+    multi-domain mix needs: a source whose fertility runs hot is being
+    shredded by the tokenizer (under-represented in the merge table) and
+    will consume budget without learning.  Composition: learn once,
+    encode with the production ranked encoder, aggregate by source; the
+    oracle nests the full learn-then-encode replay and aggregates the
+    same sums."""
+    from singer_spark.operators.text_analysis import (
+        bpe_encode_ranked,
+        bpe_learn_merges,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = [(r.left_sym, r.right_sym)
+              for r in bpe_learn_merges(docs, n_merges=12).collect()]
+    enc = bpe_encode_ranked(docs, merges).select("doc_id", "n_tokens")
+    words = docs.select(
+        "doc_id", "source",
+        F.size(F.filter(F.split(F.lower("text"), " "),
+                        lambda t: t != "")).alias("_w"))
+    from singer_spark.functions import qround
+
+    return (words.join(enc, "doc_id")
+            .groupBy("source")
+            .agg(F.sum("_w").cast("long").alias("n_words"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 qround(F.sum("n_tokens") / F.sum("_w"), 4)
+                 .alias("fertility"))
+            .orderBy("source"))
+
+
 def _wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-match WordPiece, SELF-VERIFYING (r7): the trie walk
     and the independent shrinking-window reference segment every document
@@ -2374,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": _bpe_learn,
         "bpe_encode": _bpe_encode,
         "bpe_encode_ranked": _bpe_encode_ranked,
+        "bpe_fertility_by_source": _bpe_fertility_by_source,
         "text_compression_ratio": _compression_ratio,
         "image_near_dup": _image_near_dup,
         "ngram_novelty": _ngram_novelty,
@@ -4855,6 +4889,21 @@ def oracle_sql() -> dict[str, str]:
         # the ranked encoder is value-identical to the chain by
         # construction (pytest-pinned), so it replays the same SQL
         "bpe_encode_ranked": _bpe_encode_oracle(n_merges=12),
+        # learn-then-encode replay nested as a subquery, aggregated by
+        # source with the same word counts the encode tokenized
+        "bpe_fertility_by_source": f"""
+            WITH enc AS (SELECT doc_id, n_tokens
+                         FROM ({_bpe_encode_oracle(n_merges=12)})),
+            w AS (SELECT doc_id, source,
+                         len(list_filter(string_split(lower(text), ' '),
+                                         t -> t <> '')) AS nw
+                  FROM documents)
+            SELECT source, sum(nw)::BIGINT AS n_words,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   floor(sum(n_tokens) / sum(nw) * 10000 + 0.5) / 10000
+                     AS fertility
+            FROM w JOIN enc USING (doc_id)
+            GROUP BY source ORDER BY source""",
         "sim_ivf_ann": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
