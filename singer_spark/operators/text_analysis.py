@@ -117,77 +117,72 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
       characters — overlapping windows counted once (position-coverage,
       the published definition's non-double-counting rule).
 
-    100 TB shape: document text never joins or shuffles — the dup
-    family's ONE explode emits (doc, n, gram-DIGEST, position) rows for
-    all n at once and every aggregation keys on doc_id (+n); the top
-    family groups the gram text itself (2-4 tokens — the deterministic
-    tie-break and the numerator's char length both need it, and short
-    grams are barely wider than their digests), and what returns to the
+    100 TB shape: the corpus parquet is scanned ONCE — the tokenized
+    (id, n_chars, toks) frame is persisted and every family reads the
+    cache; the dup family's ONE explode emits (doc, n, gram-DIGEST,
+    position) rows for all n at once, the top family's ONE explode
+    emits (doc, n, gram) for its n's (gram TEXT, 2-4 tokens — the
+    deterministic tie-break and the numerator's char length both need
+    it), and every aggregation keys on doc_id (+n); what returns to the
     doc is a handful of doubles.
 
     Output: (id_col, top2_frac, ..., dup10_frac) qround(1e-4)."""
     from pyspark.sql.window import Window
 
+    from singer_spark.functions import maybe_persist
+
     c = F.col(text_col)
     toks = F.filter(F.split(c, " "), lambda t: t != "")
-    base = fan_out(docs).select(
-        F.col(id_col).alias("_id"), F.length(c).alias("_n_chars"),
-        toks.alias("_toks"))
-    base = base.withColumn("_n_toks", F.size("_toks"))
+    base = maybe_persist(
+        fan_out(docs).select(
+            F.col(id_col).alias("_id"), F.length(c).alias("_n_chars"),
+            toks.alias("_toks"))
+        .withColumn("_n_toks", F.size("_toks")), True)
+
+    def occurrences(ns_tuple):
+        """(_id, _n_chars, _n, _i, _g[gram text]) — one explode for all
+        n in ns_tuple.  sequence(1, 0) DESCENDS in Spark, so short docs
+        need an explicit empty, not a clamped stop; _toks is a cached
+        attribute, so the indexed reads stay O(1) (windowed_join's
+        idiom, inlined because the window length is the exploded column
+        _n, not a Python int)."""
+        ns = F.array(*[F.lit(n) for n in ns_tuple])
+        starts = F.when(F.col("_n_toks") >= F.col("_n"),
+                        F.sequence(F.lit(1),
+                                   F.col("_n_toks") - F.col("_n") + 1)) \
+            .otherwise(F.array().cast("array<int>"))
+        gram = lambda i: F.array_join(F.transform(  # noqa: E731
+            F.sequence(i.cast("int"), (i + F.col("_n") - 1).cast("int")),
+            lambda j: F.try_element_at(F.col("_toks"), j)), " ")
+        return (base.select("_id", "_n_chars", F.explode(ns).alias("_n"),
+                            "_toks", "_n_toks")
+                .select("_id", "_n_chars", "_n", F.explode(F.transform(
+                    starts,
+                    lambda i: F.struct(i.alias("i"),
+                                       gram(i).alias("g")))).alias("_o"))
+                .select("_id", "_n_chars", "_n",
+                        F.col("_o.i").alias("_i"), F.col("_o.g").alias("_g")))
 
     # --- top-n-gram char fraction (n small: 2-4) ------------------------
-    def grams_of(n: int):
-        # sequence(1, 0) DESCENDS in Spark — short docs need an explicit
-        # empty, not a clamped stop
-        idx = F.when(F.col("_n_toks") >= n,
-                     F.sequence(F.lit(1), F.col("_n_toks") - (n - 1))) \
-            .otherwise(F.array().cast("array<int>"))
-        return F.transform(idx, lambda i: F.struct(
-            i.alias("i"),
-            windowed_join(F.col("_toks"), i, n, " ").alias("g")))
-
-    tops = None
-    for n in top_ns:
-        g = (base.select("_id", "_n_chars",
-                         F.explode(grams_of(n)).alias("_g"))
-             .groupBy("_id", F.col("_g.g").alias("_gram"))
-             .agg(F.count("*").alias("_cnt"),
-                  F.first("_n_chars").alias("_n_chars")))
-        w = Window.partitionBy("_id").orderBy(F.col("_cnt").desc(),
-                                              F.col("_gram").asc())
-        # least(·, 1): overlapping occurrences ("a b a b" twice in
-        # "a b a b a b") can push raw occurrence-chars past the doc length
-        t = (g.withColumn("_rn", F.row_number().over(w))
-             .where(F.col("_rn") == 1)
-             .select("_id",
-                     qround(F.least(F.col("_cnt") * F.length("_gram")
-                                    / F.greatest("_n_chars", F.lit(1)),
-                                    F.lit(1.0)), 4)
-                     .alias(f"top{n}_frac")))
-        tops = t if tops is None else tops.join(t, "_id", "full")
+    g = (occurrences(top_ns)
+         .groupBy("_id", "_n", F.col("_g").alias("_gram"))
+         .agg(F.count("*").alias("_cnt"),
+              F.first("_n_chars").alias("_n_chars")))
+    w = Window.partitionBy("_id", "_n").orderBy(F.col("_cnt").desc(),
+                                                F.col("_gram").asc())
+    # least(·, 1): overlapping occurrences ("a b a b" twice in
+    # "a b a b a b") can push raw occurrence-chars past the doc length
+    tp = (g.withColumn("_rn", F.row_number().over(w))
+          .where(F.col("_rn") == 1)
+          .select("_id", "_n",
+                  qround(F.least(F.col("_cnt") * F.length("_gram")
+                                 / F.greatest("_n_chars", F.lit(1)),
+                                 F.lit(1.0)), 4).alias("_frac")))
+    tops = tp.groupBy("_id").pivot("_n", list(top_ns)).agg(F.first("_frac"))
 
     # --- duplicate-n-gram coverage fraction (n large: 5-10) -------------
-    # ONE explode for all n: (doc, n, gram, start-position)
-    ns = F.array(*[F.lit(n) for n in dup_ns])
-    occ = (base.select("_id", F.explode(ns).alias("_n"), "_toks", "_n_toks")
-           .select("_id", "_n", F.explode(F.transform(
-               F.when(F.col("_n_toks") >= F.col("_n"),
-                      F.sequence(F.lit(1),
-                                 F.col("_n_toks") - F.col("_n") + 1))
-               .otherwise(F.array().cast("array<int>")),
-               lambda i: F.struct(
-                   i.alias("i"),
-                   # windowed_join's indexed-read idiom inlined (length
-                   # is the exploded column _n, not a Python int);
-                   # _toks is an attribute, so lookups stay O(1)
-                   md5_int(F.array_join(F.transform(
-                       F.sequence(i.cast("int"),
-                                  (i + F.col("_n") - 1).cast("int")),
-                       lambda j: F.try_element_at(F.col("_toks"), j)),
-                       " ")).alias("g"))))
-               .alias("_o")))
-    occ = occ.select("_id", "_n", F.col("_o.i").alias("_i"),
-                     F.col("_o.g").alias("_g"))
+    occ = occurrences(dup_ns).select(
+        "_id", "_n", "_i", md5_int(F.col("_g")).alias("_g"))
     dup_occ = (occ.withColumn(
         "_cnt", F.count("*").over(
             Window.partitionBy("_id", "_n", "_g")))
@@ -213,12 +208,11 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     dups = dup_frac.groupBy("_id").pivot("_n", list(dup_ns)) \
         .agg(F.first("_frac"))
 
-    out = docs.select(F.col(id_col).alias("_id"))
-    if tops is not None:
-        out = out.join(tops, "_id", "left")
-    out = out.join(dups, "_id", "left")
+    out = (base.select("_id")
+           .join(tops, "_id", "left")
+           .join(dups, "_id", "left"))
     cols = [F.col("_id").alias(id_col)]
-    cols += [F.coalesce(f"top{n}_frac", F.lit(0.0)).alias(f"top{n}_frac")
+    cols += [F.coalesce(str(n), F.lit(0.0)).alias(f"top{n}_frac")
              for n in top_ns]
     cols += [F.coalesce(str(n), F.lit(0.0)).alias(f"dup{n}_frac")
              for n in dup_ns]

@@ -414,3 +414,17 @@ def test_registry_dicts_have_no_duplicate_keys():
     dup_defs = [n for n, c in collections.Counter(top_defs).items()
                 if c > 1]
     assert not dup_defs, f"shadowed top-level defs: {dup_defs}"
+
+
+def test_repetition_signals_single_scan(spark, sf_dir):
+    """The tokenized base frame must be persisted and shared: one corpus
+    parquet scan total (r8 restructure: the per-n top explodes used to
+    re-scan the corpus — 7 scans), every family reading the cache."""
+    import re
+
+    from singer_spark.operators.text_analysis import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(repetition_signals(docs))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "InMemoryTableScan" in plan
