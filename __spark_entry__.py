@@ -1271,6 +1271,16 @@ def _text_repetition_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _source_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (r8): docs/tokens volume, mean quality
+    score, predicted-'en' fraction, and exact-dup burden per source —
+    text_analysis.source_dataset_card; the oracle nests the quality and
+    lang-id replays and aggregates the same quantized sums."""
+    from singer_spark.operators.text_analysis import source_dataset_card
+
+    return source_dataset_card(_docs(spark, sf_dir))
+
+
 def _bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer FERTILITY (tokens emitted per word) under the
     learned 12-merge BPE — the tokenizer-health screen a multilingual /
@@ -2408,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _bpe_encode,
         "bpe_encode_ranked": _bpe_encode_ranked,
         "bpe_fertility_by_source": _bpe_fertility_by_source,
+        "source_dataset_card": _source_dataset_card,
         "text_compression_ratio": _compression_ratio,
         "image_near_dup": _image_near_dup,
         "ngram_novelty": _ngram_novelty,
@@ -4889,6 +4900,30 @@ def oracle_sql() -> dict[str, str]:
         # the ranked encoder is value-identical to the chain by
         # construction (pytest-pinned), so it replays the same SQL
         "bpe_encode_ranked": _bpe_encode_oracle(n_merges=12),
+        # quality + lang-id replays nested as subqueries, exact-dup
+        # canonicals via a global digest window, aggregated by source
+        "source_dataset_card": f"""
+            WITH q AS (SELECT doc_id, n_tokens, quality_score
+                       FROM ({_quality_oracle()})),
+            l AS (SELECT doc_id, predicted_lang FROM ({_lang_id_oracle()})),
+            d AS (SELECT doc_id,
+                         (doc_id <> min(doc_id) OVER (
+                             PARTITION BY md5(text)))::INT AS is_dup
+                  FROM documents),
+            j AS (SELECT s.doc_id, s.source, q.n_tokens, q.quality_score,
+                         l.predicted_lang, d.is_dup
+                  FROM documents s JOIN q USING (doc_id)
+                       JOIN l USING (doc_id) JOIN d USING (doc_id))
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   floor(avg(quality_score) * 10000 + 0.5) / 10000
+                     AS mean_quality,
+                   floor(sum(CASE WHEN predicted_lang = 'en' THEN 1
+                                  ELSE 0 END) / count(*) * 10000 + 0.5)
+                     / 10000 AS lang_frac,
+                   floor(sum(is_dup) / count(*) * 10000 + 0.5) / 10000
+                     AS exact_dup_frac
+            FROM j GROUP BY source ORDER BY source""",
         # learn-then-encode replay nested as a subquery, aggregated by
         # source with the same word counts the encode tokenized
         "bpe_fertility_by_source": f"""

@@ -482,6 +482,52 @@ def semantic_decontaminate(docs: DataFrame, benchmark: DataFrame,
                      >= threshold).alias("contaminated")))
 
 
+def source_dataset_card(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        source_col: str = "source",
+                        primary_lang: str = "en") -> DataFrame:
+    """Per-source DATASET CARD — the one-table summary a mixture owner
+    reads before touching weights (the reporting half of `corpus_mix`):
+    volume (docs, tokens), quality (mean quality_features score),
+    language purity (fraction predicted `primary_lang`), and exact-dup
+    burden (fraction of docs that are non-canonical copies of a GLOBAL
+    digest group — cross-source duplication is charged to the copy's
+    source, which is the side a mixture decision cares about).
+
+    One corpus scan per component pass, all joins on id, aggregation by
+    source; every emitted number is qround-quantized or an exact count,
+    so a plain-SQL oracle nests the quality and lang-id replays and
+    value-matches.
+
+    Output: (source, n_docs, n_tokens, mean_quality, lang_frac,
+    exact_dup_frac) ordered by source."""
+    from pyspark.sql.window import Window
+
+    q = quality_features(docs, text_col, id_col) \
+        .select(F.col(id_col).alias("_id"), "n_tokens", "quality_score")
+    lang = lang_id(docs, text_col, id_col) \
+        .select(F.col(id_col).alias("_id"), "predicted_lang")
+    dup = (docs.select(F.col(id_col).alias("_id"),
+                       F.md5(F.col(text_col)).alias("_sig"))
+           .withColumn("_canon",
+                       F.min("_id").over(Window.partitionBy("_sig")))
+           .select("_id", (F.col("_id") != F.col("_canon"))
+                   .cast("int").alias("_is_dup")))
+    j = (docs.select(F.col(id_col).alias("_id"),
+                     F.col(source_col).alias("source"))
+         .join(q, "_id").join(lang, "_id").join(dup, "_id"))
+    n = F.count("*")
+    return (j.groupBy("source")
+            .agg(n.cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 qround(F.avg("quality_score"), 4).alias("mean_quality"),
+                 qround(F.sum(F.when(F.col("predicted_lang")
+                                     == primary_lang, 1).otherwise(0)) / n,
+                        4).alias("lang_frac"),
+                 qround(F.sum("_is_dup") / n, 4).alias("exact_dup_frac"))
+            .orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 # Stratified exact-k sampling — balanced per-class training subsets.
 # ---------------------------------------------------------------------------
