@@ -1299,10 +1299,13 @@ def _bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [(r.left_sym, r.right_sym)
               for r in bpe_learn_merges(docs, n_merges=12).collect()]
     enc = bpe_encode_ranked(docs, merges).select("doc_id", "n_tokens")
+    # NULL text must contribute NULL (sum-skipped, like the oracle's
+    # len(NULL)), not Spark's legacy size(NULL) = -1 (review r8 #4)
     words = docs.select(
         "doc_id", "source",
-        F.size(F.filter(F.split(F.lower("text"), " "),
-                        lambda t: t != "")).alias("_w"))
+        F.when(F.col("text").isNull(), F.lit(None).cast("int"))
+        .otherwise(F.size(F.filter(F.split(F.lower("text"), " "),
+                                   lambda t: t != ""))).alias("_w"))
     from singer_spark.functions import qround
 
     return (words.join(enc, "doc_id")

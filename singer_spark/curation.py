@@ -184,6 +184,13 @@ def curate_stream(docs_stream: DataFrame, checkpoint: str, state_path: str,
         surv_sigs.write.mode("append").parquet(state_path)
         (kept.join(surv_sigs.select(id_col), id_col, "left_semi")
          .write.mode("append").parquet(out_path))
+        # batch boundary: both writes above are the last consumers of
+        # anything this batch's gates persisted — drain the registry so
+        # a long-lived ingestion driver doesn't accumulate one cache
+        # (plus its pinned plan objects) per increment (review r8 #1)
+        from singer_spark.functions import release_cache_handles
+
+        release_cache_handles()
 
     return (docs_stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint))

@@ -297,7 +297,15 @@ def release_cache_handles() -> int:
     consumer of an operator's result has executed — unpersisting earlier
     just makes downstream scans re-derive the frame (correctness is
     unaffected either way).  Idempotent; double-unpersist is a no-op in
-    Spark."""
+    Spark.
+
+    OWNERSHIP: the registry is driver-global, sized for the
+    one-pipeline-per-driver deployments this engine targets — the
+    release point is a batch/increment boundary where no registered
+    plan is still executing (curate_stream drains per micro-batch).  A
+    driver interleaving unrelated persisting operators concurrently
+    should rely on `spark.catalog.clearCache()` at its own safe points
+    instead."""
     n = 0
     while _CACHE_HANDLES:
         _CACHE_HANDLES.pop().unpersist()

@@ -642,8 +642,11 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     from singer_spark.functions import assert_bounded
 
-    CB = (codebooks if codebooks is not None
-          else _pq_seed_codebooks(corpus, m, kc, id_col, vec_col))
+    if codebooks is not None:
+        CB = codebooks
+        m, kc, _ = CB.shape  # the tensor's shape is the truth
+    else:
+        CB = _pq_seed_codebooks(corpus, m, kc, id_col, vec_col)
     q_rows = (assert_bounded(queries, what="pq_ann_topk query set")
               .select(F.col(id_col).alias("qid"), as_double(vec_col).alias("v"))
               .collect())
@@ -868,8 +871,18 @@ def ivfpq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     from singer_spark.functions import assert_bounded
 
-    C, CB = (model if model is not None
-             else _ivfpq_model(corpus, n_clusters, m, kc, id_col, vec_col))
+    if model is not None:
+        C, CB = model
+        # the model's own shapes are the truth — trusting caller-passed
+        # kc/m against a differently-shaped model would silently gather
+        # wrong LUT slots (review r8 #5)
+        n_clusters, (m, kc, _sub) = C.shape[0], CB.shape
+        if C.shape[1] != m * _sub:
+            raise ValueError(
+                f"IVF-PQ model shapes disagree: centroids dim "
+                f"{C.shape[1]} vs codebooks {m}x{_sub}")
+    else:
+        C, CB = _ivfpq_model(corpus, n_clusters, m, kc, id_col, vec_col)
     sub = C.shape[1] // m
 
     q_rows = (assert_bounded(queries, what="ivfpq_ann_topk query set")

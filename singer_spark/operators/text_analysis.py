@@ -1683,7 +1683,13 @@ def _bpe_word_encoder(merges: "list[tuple[str, str]]"):
     12-merge fixture."""
     import heapq
 
-    ranks = {pair: i for i, pair in enumerate(merges)}
+    # FIRST occurrence wins for a duplicated pair: the chain applies it
+    # at its first rank (a later duplicate replace is a no-op — merges
+    # never re-create an already-merged adjacency), so a last-wins dict
+    # would reorder against the chain (review r8 #6)
+    ranks: dict = {}
+    for i, pair in enumerate(merges):
+        ranks.setdefault(pair, i)
     by_rank = list(merges)
 
     def encode(word: str) -> "list[str]":

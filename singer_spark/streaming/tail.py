@@ -105,12 +105,21 @@ class TailPartition(InputPartition):
 # reader writes a zeroed file (process-lifetime semantics, like the
 # reference's per-stream metrics).
 # ---------------------------------------------------------------------------
-def _counters_file(log_dir: str, glob: str) -> str:
-    import hashlib
+def _counters_dir() -> str:
     import tempfile
 
+    # per-uid directory: a world-shared fixed path under /tmp would hand
+    # user B a PermissionError from user A's 0755 dir (review r8) — and
+    # crash a streaming query over telemetry
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    return os.path.join(tempfile.gettempdir(), f"singer_tail_counters_{uid}")
+
+
+def _counters_file(log_dir: str, glob: str) -> str:
+    import hashlib
+
     key = hashlib.md5(f"{log_dir}::{glob}".encode("utf-8")).hexdigest()[:16]
-    d = os.path.join(tempfile.gettempdir(), "singer_tail_counters")
+    d = _counters_dir()
     os.makedirs(d, exist_ok=True)
     return os.path.join(d, key + ".json")
 
@@ -119,12 +128,18 @@ def _write_counters(log_dir: str, glob: str, reopens: int,
                     bytes_: int) -> None:
     import json
 
-    path = _counters_file(log_dir, glob)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump({"stream": f"{log_dir}::{glob}", "reopens": int(reopens),
-                   "bytes": int(bytes_)}, f)
-    os.replace(tmp, path)
+    # best-effort telemetry: a full disk or permission race must NEVER
+    # take the streaming query down — the offsets are the data path,
+    # this file is not
+    try:
+        path = _counters_file(log_dir, glob)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"stream": f"{log_dir}::{glob}",
+                       "reopens": int(reopens), "bytes": int(bytes_)}, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
 
 
 def read_counters(log_dir: str, glob: str = "*") -> dict:
@@ -146,10 +161,9 @@ def list_counters(max_age_secs: float = 900.0) -> "list[dict]":
     [{stream, reopens, bytes}], skipping entries idle past max_age_secs
     (a tempdir outlives the queries that wrote it)."""
     import json
-    import tempfile
     import time
 
-    d = os.path.join(tempfile.gettempdir(), "singer_tail_counters")
+    d = _counters_dir()
     out = []
     try:
         names = os.listdir(d)
@@ -225,7 +239,6 @@ class TailStreamReader(DataSourceStreamReader):
         self._last_files: dict[str, dict] = {}
         self._dupes_suspected = 0
         self._dupe_bytes = 0
-        self._counters_key = f"{self.log_dir}::{self.glob}"
         _write_counters(self.log_dir, self.glob, 0, 0)
 
     # -- scanning ----------------------------------------------------------
