@@ -3149,10 +3149,11 @@ def _bpe_encode_oracle(n_merges: int = 12) -> str:
     learn = _bpe_oracle(n_merges)
     blocks_part = learn[len("WITH "):learn.rindex("\nSELECT * FROM")]
     enc = r"""d0 AS (SELECT doc_id,
-  array_to_string(list_transform(
-    list_filter(string_split(lower(text), ' '), t -> t <> ''),
-    w -> regexp_replace(w, '(?s)(.)', chr(1) || '\1' || chr(2), 'g')),
-    chr(4)) AS s
+  CASE WHEN text IS NULL THEN NULL ELSE
+    coalesce(array_to_string(list_transform(
+      list_filter(string_split(lower(text), ' '), t -> t <> ''),
+      w -> regexp_replace(w, '(?s)(.)', chr(1) || '\1' || chr(2), 'g')),
+      chr(4)), '') END AS s
   FROM documents)"""
     chain = [enc]
     for t in range(1, n_merges + 1):
@@ -4983,13 +4984,17 @@ def oracle_sql() -> dict[str, str]:
               (len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
                + list_sum(list_transform(string_split(text, ' '), x -> (length(x) // 6)::BIGINT)))::INT AS bpe_estimate
             FROM documents""",
+        # NULL pin: list_prepend(0, NULL) is [0] in DuckDB, which would
+        # hash NULL text to 0 while Spark's aggregate(NULL) stays NULL —
+        # the NULL-corpus conformance tests cover this
         "text_fingerprint": f"""
             WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents)
             SELECT doc_id, md5(norm) AS fp_md5,
-              list_reduce(
-                list_prepend(0::BIGINT,
-                  list_transform(string_split(norm, ' '), x -> {_md5i('x')} % 1099511627776)),
-                (a, b) -> (a * 31 + b) % 1099511627776) AS fp_rolling
+              CASE WHEN norm IS NULL THEN NULL ELSE
+                list_reduce(
+                  list_prepend(0::BIGINT,
+                    list_transform(string_split(norm, ' '), x -> {_md5i('x')} % 1099511627776)),
+                  (a, b) -> (a * 31 + b) % 1099511627776) END AS fp_rolling
             FROM n""",
         "text_repetition": _repetition_oracle(),
         "hash_embed": f"""
@@ -5049,8 +5054,13 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents),
             s AS (SELECT doc_id, len(words)::INT AS n_words,
                          greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::INT AS n_sentences,
-                         list_sum(list_transform(words,
-                             x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)))::BIGINT AS n_syllables
+                         -- list_sum([]) is NULL in DuckDB while Spark's
+                         -- aggregate over an empty array is 0; NULL text
+                         -- (words IS NULL) must stay NULL on both
+                         CASE WHEN words IS NULL THEN NULL ELSE
+                           coalesce(list_sum(list_transform(words,
+                             x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0)
+                         END::BIGINT AS n_syllables
                   FROM w)
             SELECT doc_id, n_words, n_sentences, n_syllables,
                    CASE WHEN n_words > 0 THEN

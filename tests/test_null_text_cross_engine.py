@@ -1,0 +1,81 @@
+"""Cross-engine NULL/empty-text conformance for the per-document text
+queries.
+
+The driver's oracle gate runs on the synthetic corpus, which contains no
+NULL or empty text — so a Spark/DuckDB divergence on those rows (the
+classic: legacy ``size(NULL) = -1`` vs DuckDB's NULL-propagating
+``len``) is INVISIBLE to 184 green checks.  This harness rebuilds the
+documents table with NULL / empty / whitespace-only / single-token rows
+mixed into real fixture text, then runs each registry query AND its own
+``oracle_sql()`` twin over that table and compares with the gate's own
+comparator — the same check the driver runs, pointed at the rows the
+driver never sees."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# per-doc text queries whose plans read ONLY the documents table (the
+# harness links the other tables in, but keeps the list focused on
+# text operators where NULL text is a real production input)
+NULL_SENSITIVE_KEYS = (
+    "text_quality",
+    "text_lang_id",
+    "text_token_count",
+    "text_fingerprint",
+    "text_readability",
+    "text_repetition",
+    "text_repetition_chars",
+    "bpe_encode",
+    "bpe_encode_ranked",
+    "semantic_decontaminate",
+    "source_unigram_kl",
+)
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(sf_dir, tmp_path_factory):
+    import pandas as pd
+
+    root = str(tmp_path_factory.mktemp("null_corpus"))
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").head(40)
+    extra = pd.DataFrame({
+        "doc_id": pd.array([100000, 100001, 100002, 100003, 100004],
+                           dtype="int64"),
+        "text": [None, "", "   ", "one", None],
+        "lang": ["en", "en", "en", "en", None],
+        "source": ["src0", "src1", "src2", "src3", None],
+        "n_chars": pd.array([0, 0, 3, 3, None], dtype="Int64"),
+    })
+    out = pd.concat([docs, extra], ignore_index=True)
+    # single FILE, not a Spark part-file directory — DuckDB's
+    # read_parquet('<dir>.parquet') doesn't glob directories
+    out.to_parquet(os.path.join(root, "documents.parquet"), index=False)
+    # some oracles' views register every table: link the rest in
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(src):
+            dst = os.path.join(root, f"{t}.parquet")
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+    return root
+
+
+@pytest.mark.parametrize("key", NULL_SENSITIVE_KEYS)
+def test_null_text_matches_oracle(spark, null_sf_dir, key):
+    import __spark_entry__ as entry_mod
+    from tools.verify_local import compare, duck_run
+
+    sdf = entry_mod.queries()[key](spark, null_sf_dir).toPandas()
+    odf = duck_run(entry_mod.oracle_sql()[key], null_sf_dir)
+    problems = compare(key, sdf, odf)
+    assert not problems, f"{key}: {problems[:4]}"
