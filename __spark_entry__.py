@@ -2684,7 +2684,12 @@ def _simhash_oracle() -> str:
         for ci, (b0, b1) in enumerate(combos)
     )
     return f"""
-WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+              FROM documents
+              -- NULL text -> NULL signature engine-side (joins drop it);
+              -- DuckDB's CASE chain would fold NULL to sig 0 and pair
+              -- every NULL doc with every other (r8 NULL harness)
+              WHERE text IS NOT NULL),
 hs AS (SELECT doc_id, list_transform(t, x -> {h}) AS h FROM toks),
 sigs AS (SELECT doc_id,
   list_sum([CASE WHEN 2 * len(list_filter(h, v -> (v >> j) & 1 = 1)) > len(h)
@@ -4717,7 +4722,8 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
             pos AS (SELECT doc_id, t,
                            unnest(generate_series(0, greatest(ceil(len(t) / 20.0)::BIGINT, 1) - 1)) AS i
-                    FROM toks),
+                    -- NULL text -> zero segments on both engines (r8)
+                    FROM toks WHERE t IS NOT NULL),
             segs AS (SELECT doc_id, i AS seg_idx,
                             array_to_string(t[i*20+1 : i*20+20], ' ') AS segment
                      FROM pos),
@@ -4731,7 +4737,9 @@ def oracle_sql() -> dict[str, str]:
                      FROM segs s JOIN keepd k ON k.doc_id = s.doc_id AND k.seg_idx = s.seg_idx
                      WHERE k.rn = 1 GROUP BY s.doc_id)
             SELECT t.doc_id, coalesce(k.text, '') AS text,
-                   greatest(ceil(len(t.t) / 20.0)::BIGINT, 1)::INT AS n_segments,
+                   CASE WHEN t.t IS NULL THEN 0 ELSE
+                     greatest(ceil(len(t.t) / 20.0)::BIGINT, 1) END::INT
+                     AS n_segments,
                    coalesce(k.n_kept, 0)::INT AS n_kept
             FROM toks t LEFT JOIN kept k USING (doc_id)""",
         "semantic_dedup": _semdedup_oracle(
@@ -5013,10 +5021,10 @@ def oracle_sql() -> dict[str, str]:
             pos AS (SELECT doc_id, t,
                            unnest(generate_series(0,
                                greatest(ceil((len(t) - 8) / 24.0)::BIGINT, 1) - 1)) AS i
-                    FROM toks)
+                    FROM toks WHERE t IS NOT NULL)
             SELECT doc_id, i::INT AS chunk_idx, (i * 24)::BIGINT AS start_token,
                    least(len(t) - i * 24, 32)::INT AS n_tokens,
-                   array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk
+                   coalesce(array_to_string(t[i*24+1 : i*24+32], ' '), '') AS chunk
             FROM pos""",
         "hard_negatives": """
             WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -5341,8 +5349,9 @@ def oracle_sql() -> dict[str, str]:
             -- concat-and-chunk layout: global running token offset in
             -- doc_id order, windows cut every 512 tokens
             WITH t AS (
-              SELECT doc_id, length(string_split(text, ' '))::BIGINT AS n,
-                     SUM(length(string_split(text, ' ')))
+              SELECT doc_id,
+                     coalesce(length(string_split(text, ' ')), 0)::BIGINT AS n,
+                     SUM(coalesce(length(string_split(text, ' ')), 0))
                        OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
               FROM documents)
             SELECT doc_id, n AS n_tokens, (cum - n) AS start_tok,
@@ -5352,7 +5361,8 @@ def oracle_sql() -> dict[str, str]:
                    ((cum - n) % 512)::BIGINT AS offset_in_first_chunk
             FROM t""",
         "pack_stats": """
-            WITH t AS (SELECT doc_id, length(string_split(text, ' '))::BIGINT AS n
+            WITH t AS (SELECT doc_id,
+                              coalesce(length(string_split(text, ' ')), 0)::BIGINT AS n
                        FROM documents),
             p AS (SELECT doc_id, n,
                          SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
@@ -5473,8 +5483,11 @@ def oracle_sql() -> dict[str, str]:
                                         h -> h <= j AND j < h + 8)) = 0) AS kp
                         FROM base)
             SELECT doc_id AS id,
-                   -- DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
-                   coalesce(array_to_string(list_transform(kp, j -> t[j]), ' '), '') AS clean_text,
+                   -- DuckDB's array_to_string([]) is NULL; Spark's
+                   -- array_join is '' — but NULL text stays NULL
+                   CASE WHEN t IS NULL THEN NULL ELSE
+                     coalesce(array_to_string(list_transform(kp, j -> t[j]), ' '), '')
+                   END AS clean_text,
                    len(t)::INT AS n_tokens,
                    (len(t) - len(kp))::INT AS n_removed
             FROM keptpos ORDER BY id""",

@@ -43,12 +43,17 @@ def tokens_col(text_col: str = "text"):
 
 def raw_shingles_col(text_col: str = "text", k: int = 4):
     """All k-word shingles in order (duplicates kept); a doc shorter than
-    k words yields its full text as the single shingle.  Built with
+    k words yields its full text as the single shingle; NULL text yields
+    NO shingles — the otherwise-branch used to produce [NULL], which
+    Spark's groupBy keeps as a posting list (two NULL-text docs became a
+    candidate pair) while every DuckDB oracle's unnest drops it (caught
+    by the NULL-corpus conformance harness, r8).  Built with
     `kgram_join_col` (zip-shift, O(n·k) per row) — the natural
     slice-per-position loop re-evaluates the token expression inside every
     lambda call and is quadratic on long documents."""
     toks = tokens_col(text_col)
-    return F.when(F.size(toks) >= k, kgram_join_col(toks, k, " ")) \
+    return F.when(toks.isNull(), F.array().cast("array<string>")) \
+            .when(F.size(toks) >= k, kgram_join_col(toks, k, " ")) \
             .otherwise(F.array(F.array_join(toks, " ")))
 
 
@@ -716,13 +721,15 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
                 memo[x] = v
             return v
 
-        out = np.empty(len(texts), dtype=np.int64)
+        out: list = [None] * len(texts)
         for i, t in enumerate(texts):
+            if t is None:  # NULL text -> NULL signature (a kernel crash
+                continue   # here used to abort the whole query — r8)
             toks = set(t.split(" "))
             hs = np.fromiter((h(x) for x in toks), dtype=np.int64, count=len(toks))
             ones = ((hs[:, None] >> jbits) & 1).sum(axis=0)
             out[i] = int((((2 * ones > len(hs)).astype(np.int64)) << jbits).sum())
-        return pd.Series(out)
+        return pd.Series(out, dtype="object")
 
     return fan_out(docs).select(F.col(id_col).alias("id"),
                                 sig_udf(F.col(text_col)).alias("sig"))
@@ -945,15 +952,24 @@ def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     w = words_per_segment
 
     def n_segs_of(toks_attr):
-        return F.greatest(F.ceil(F.size(toks_attr) / w).cast("int"), F.lit(1))
+        # NULL text -> 0 segments: windowed_join over a NULL array joins
+        # to '' (array_join drops NULLs), which would collide NULL docs
+        # with genuinely-empty docs in the dedup window (r8 NULL harness)
+        return F.when(toks_attr.isNull(), F.lit(0)).otherwise(
+            F.greatest(F.ceil(F.size(toks_attr) / w).cast("int"), F.lit(1)))
 
     base = fan_out(docs).select(F.col(id_col).alias("id"),
                                 tokens_col(text_col).alias("toks"))
     segs = base.select(
         "id",
         F.posexplode(
-            F.transform(F.sequence(F.lit(0), n_segs_of(F.col("toks")) - 1),
-                        lambda i: windowed_join(F.col("toks"), i * w + 1, w, " "))
+            # explicit empty for NULL toks — sequence(0, -1) DESCENDS
+            F.when(F.col("toks").isNull(),
+                   F.array().cast("array<string>"))
+            .otherwise(F.transform(
+                F.sequence(F.lit(0), F.greatest(
+                    F.ceil(F.size("toks") / w).cast("int"), F.lit(1)) - 1),
+                lambda i: windowed_join(F.col("toks"), i * w + 1, w, " ")))
         ).alias("seg_idx", "segment"),
     )
     # Narrow rows only from here: (sig, id, seg_idx).

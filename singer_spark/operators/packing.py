@@ -31,9 +31,12 @@ from pyspark.sql.window import Window
 
 
 def token_count_col(text_col: str = "text"):
-    """Whitespace token count — matches `length(string_split(text, ' '))`
-    on the SQL side so packing layouts are oracle-checkable."""
-    return F.size(F.split(F.col(text_col), " "))
+    """Whitespace token count — matches
+    `coalesce(length(string_split(text, ' ')), 0)` on the SQL side so
+    packing layouts are oracle-checkable.  NULL text counts 0 tokens
+    (a NULL here would poison the running-offset prefix sum's derived
+    chunk columns differently on each engine — r8 NULL harness)."""
+    return F.coalesce(F.size(F.split(F.col(text_col), " ")), F.lit(0))
 
 
 def _bucket_col(id_col: str, bucket_width: int):

@@ -1478,7 +1478,11 @@ def decontaminate_spans(docs: DataFrame, benchmark: DataFrame, k: int = 8,
     Output: (id, clean_text, n_tokens, n_removed) for every input doc."""
     from singer_spark.functions import fan_out
 
-    toks = F.split(F.col(text_col), r"\s+")
+    # single-space tokenizer — the engine-wide convention (tokens_col,
+    # decontaminate's shingles) and the oracle's string_split(text, ' ');
+    # the old \s+ split silently diverged on tabs/newlines and collapsed
+    # space runs differently than every sibling operator (r8 NULL harness)
+    toks = F.split(F.col(text_col), " ")
 
     def window_starts():
         # sequence(1, 0) yields a DESCENDING [1, 0] in Spark, so a doc

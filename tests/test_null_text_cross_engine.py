@@ -34,8 +34,22 @@ NULL_SENSITIVE_KEYS = (
     "text_repetition_chars",
     "bpe_encode",
     "bpe_encode_ranked",
+    "bpe_fertility_by_source",
     "semantic_decontaminate",
     "source_unigram_kl",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "segment_dedup",
+    "decontaminate_spans",
+    "hash_embed",
+    "chunk_documents",
+    "text_ngram_topk",
+    "tfidf_top_terms",
+    "decontaminate",
+    "pack_sequences",
+    "corpus_mix",
 )
 
 
