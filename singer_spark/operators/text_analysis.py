@@ -1686,21 +1686,33 @@ def _bpe_word_encoder(merges: "list[tuple[str, str]]"):
     32k-merge production tokenizer costs the same per word as the
     12-merge fixture."""
     import heapq
+    from bisect import bisect_right
 
-    # FIRST occurrence wins for a duplicated pair: the chain applies it
-    # at its first rank (a later duplicate replace is a no-op — merges
-    # never re-create an already-merged adjacency), so a last-wins dict
-    # would reorder against the chain (review r8 #6)
-    ranks: dict = {}
+    # ALL ranks per pair: a duplicated pair is usually a no-op at its
+    # later rank (its occurrences merged at the first), but a merge
+    # BETWEEN the duplicates can re-create the adjacency — e.g. merges
+    # [(a,bc),(b,c),(a,bc)] on "abc": rank 1 yields (a,bc), which the
+    # chain's rank-2 replace then merges.  A first-rank-wins dict would
+    # leave it unmerged here (ADVICE r8 #1), so each lookup takes the
+    # smallest rank STRICTLY ABOVE the last applied one — exactly the
+    # next replace in the chain that can still see the pair.
+    ranks: "dict[tuple[str, str], list[int]]" = {}
     for i, pair in enumerate(merges):
-        ranks.setdefault(pair, i)
+        ranks.setdefault(pair, []).append(i)
     by_rank = list(merges)
+
+    def next_rank(pair: "tuple[str, str]", passed: int) -> "int | None":
+        lst = ranks.get(pair)
+        if not lst:
+            return None
+        i = bisect_right(lst, passed)
+        return lst[i] if i < len(lst) else None
 
     def encode(word: str) -> "list[str]":
         syms = list(word)
         heap = sorted({r for r in (
-            ranks.get((syms[i], syms[i + 1])) for i in range(len(syms) - 1))
-            if r is not None})
+            next_rank((syms[i], syms[i + 1]), -1)
+            for i in range(len(syms) - 1)) if r is not None})
         passed = -1
         while heap:
             r = heapq.heappop(heap)
@@ -1722,8 +1734,8 @@ def _bpe_word_encoder(merges: "list[tuple[str, str]]"):
             if changed:
                 syms = out
                 for i in range(len(syms) - 1):
-                    nr = ranks.get((syms[i], syms[i + 1]))
-                    if nr is not None and nr > passed:
+                    nr = next_rank((syms[i], syms[i + 1]), passed)
+                    if nr is not None:
                         heapq.heappush(heap, nr)
         return syms
 

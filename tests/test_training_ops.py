@@ -573,6 +573,36 @@ def test_bpe_word_encoder_sequential_semantics():
     assert _bpe_word_encoder([])("abc") == ["a", "b", "c"]
 
 
+def test_bpe_word_encoder_duplicate_merge_pairs(spark):
+    """A duplicated pair CAN fire at its later rank when an intermediate
+    merge re-creates the adjacency (ADVICE r8 #1): merges
+    [(a,bc),(b,c),(a,bc)] on "abc" — rank 1 yields (a, bc), which the
+    chain's rank-2 duplicate replace then merges to "abc".  A
+    first-rank-wins dict leaves it unmerged; the multi-rank kernel must
+    match the chain, here and through the Spark twins."""
+    from singer_spark.operators.text_analysis import (
+        _bpe_word_encoder,
+        bpe_encode,
+        bpe_encode_ranked,
+    )
+
+    dup = [("a", "bc"), ("b", "c"), ("a", "bc")]
+    assert _bpe_word_encoder(dup)("abc") == ["abc"]
+    # a duplicate whose adjacency is NOT re-created stays a no-op
+    assert _bpe_word_encoder([("a", "b"), ("a", "b")])("aab") == ["a", "ab"]
+    # and a re-created pair with NO later duplicate stays unmerged
+    assert _bpe_word_encoder(dup[:2])("abc") == ["a", "bc"]
+
+    texts = ["abc abc ab", "babc", "aabc", None]
+    docs = _docs_df(spark, [(i, t, "s") for i, t in enumerate(texts)])
+
+    def rows(df):
+        return [(r.doc_id, r.n_tokens, r.tokens)
+                for r in df.orderBy("doc_id").collect()]
+
+    assert rows(bpe_encode_ranked(docs, dup)) == rows(bpe_encode(docs, dup))
+
+
 def _clustered_emb(spark, n=400, n_clusters=8, dim=64):
     """Deterministic clustered embedding fixture: md5-derived cluster
     centers with small per-vector perturbations — the regime PQ's
