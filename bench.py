@@ -248,6 +248,7 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
     from singer_spark.session import get_spark
+    from singer_spark.functions import clear_all_caches
 
     spark = get_spark("singer_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -274,7 +275,7 @@ def main() -> None:
         mins[name] = round(min(samples), 3)
         # a query's own persisted frames are reused across ITS runs (warm
         # medians), but must not linger into other queries' timings
-        spark.catalog.clearCache()
+        clear_all_caches(spark)
 
     # Drift policing: re-run queries that regressed >15% and >=0.1 s vs
     # the latest recorded round — at the END of the process, when JIT is
@@ -303,7 +304,7 @@ def main() -> None:
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(time.time() - t0)
-            spark.catalog.clearCache()
+            clear_all_caches(spark)
             re_med = round(statistics.median(samples), 3)
             reruns[name] = {"first": timings[name], "rerun": re_med,
                             "prior": prior_q[name]}

@@ -308,6 +308,24 @@ def release_cache_handles() -> int:
     instead."""
     n = 0
     while _CACHE_HANDLES:
-        _CACHE_HANDLES.pop().unpersist()
-        n += 1
+        handle = _CACHE_HANDLES.pop()
+        # drain even when unpersist throws (stopped SparkContext, a
+        # handle whose session died): a failed release must not strand
+        # the remaining handles in the registry (ADVICE r8 #3)
+        try:
+            handle.unpersist()
+            n += 1
+        except Exception:
+            pass
     return n
+
+
+def clear_all_caches(spark) -> None:
+    """`spark.catalog.clearCache()` plus a registry drain — the call the
+    clearCache-style drivers (bench.py, plan_audit.py, scale_probe.py)
+    should make between queries.  clearCache alone releases the JVM-side
+    caches but leaves every handle (and its pinned analyzed-plan object
+    graph) in `_CACHE_HANDLES` forever — the driver-heap twin of the
+    cache leak the registry was added to fix (ADVICE r8 #3)."""
+    release_cache_handles()
+    spark.catalog.clearCache()

@@ -368,6 +368,31 @@ def test_budgeted_posting_cache_released(spark, sf_dir):
     assert persistent_ids() - base == set()  # and is fully gone
 
 
+def test_clear_all_caches_drains_registry(spark, sf_dir):
+    """clearCache-style drivers leak HANDLES even though the JVM caches
+    go: every maybe_persist frame stays referenced by _CACHE_HANDLES
+    forever (ADVICE r8 #3).  clear_all_caches must drain the registry,
+    and a handle whose unpersist throws must not strand the rest."""
+    from singer_spark import functions as fx
+
+    fx.release_cache_handles()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fx.maybe_persist(docs.select("doc_id")).count()
+    assert len(fx._CACHE_HANDLES) == 1
+    fx.clear_all_caches(spark)
+    assert len(fx._CACHE_HANDLES) == 0
+
+    class Boom:
+        def unpersist(self):
+            raise RuntimeError("stopped context")
+
+    good = fx.maybe_persist(docs.select("doc_id", "source"))
+    good.count()
+    fx._CACHE_HANDLES.insert(0, Boom())  # popped LAST — after good
+    assert fx.release_cache_handles() == 1  # good released, Boom skipped
+    assert len(fx._CACHE_HANDLES) == 0  # registry drained regardless
+
+
 def test_pair_budget_window_keeps_partition_spec(spark):
     """The bounded-histogram cumsum window must keep its column-derived
     constant partition spec: a future Catalyst that folds `df % 1` away

@@ -37,6 +37,7 @@ def main() -> None:
     sys.path.insert(0, repo)
     import __spark_entry__ as entry_mod  # noqa: E402 (the TARGET tree's)
     from singer_spark.session import get_spark  # noqa: E402
+    from singer_spark.functions import clear_all_caches
 
     spark = get_spark("singer_spark_bench_ab")
     spark.sparkContext.setLogLevel("ERROR")
@@ -56,7 +57,7 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         timings[name] = round(statistics.median(samples), 3)
-        spark.catalog.clearCache()
+        clear_all_caches(spark)
     sys.stdout.flush()
     print("BENCH_AB " + json.dumps(timings, separators=(",", ":")))
 

@@ -66,6 +66,7 @@ def main() -> int:
 
     import __spark_entry__ as entry
     from singer_spark.session import get_spark
+    from singer_spark.functions import clear_all_caches
 
     spark = get_spark("plan_audit", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -87,7 +88,7 @@ def main() -> int:
             # Spark's CacheManager, making the recorded plans depend on
             # audit order — clear between queries so PLANS.json is the
             # plan each query builds on its own
-            spark.catalog.clearCache()
+            clear_all_caches(spark)
 
     print(f"{'query':32s} {'scans':>5s} {'exch':>5s} {'bcast':>5s} "
           f"{'smj':>4s} {'pushed':>6s}")

@@ -64,6 +64,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
+from singer_spark.functions import clear_all_caches  # noqa: E402
+
 
 def multiplied_docs(spark, sf_dir: str, k: int) -> DataFrame:
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -319,7 +321,7 @@ def events_main(spark, sf_dir: str, ks: list[int]) -> None:
         ev_dir = scaled_events_dir(spark, sf_dir, k, root)
         for name, build in event_ops(spark, ev_dir).items():
             results.setdefault(name, {})[k] = _timed(build)
-        spark.catalog.clearCache()
+        clear_all_caches(spark)
     hdr = "query".ljust(26) + "".join(f"  {k}x".rjust(8) for k in ks) + "   growth"
     print(hdr)
     for name, times in results.items():
@@ -389,7 +391,7 @@ def ann_main(spark, sf_dir: str, ks: list[int]) -> None:
         for name, build in ann_ops(emb).items():
             results.setdefault(name, {})[k] = _timed(build)
         emb.unpersist()
-        spark.catalog.clearCache()
+        clear_all_caches(spark)
     hdr = "query".ljust(26) + "".join(f"  {k}x".rjust(8) for k in ks) + "   growth"
     print(hdr)
     for name, times in results.items():
@@ -433,7 +435,7 @@ def bpe_main(spark, sf_dir: str, max_merges: int = 1000) -> None:
             .treeString().count("\n")
         ranked[n] = (_timed(lambda: bpe_encode_ranked(docs, padded(n))),
                      r_lines)
-        spark.catalog.clearCache()
+        clear_all_caches(spark)
     print("n_merges   ranked_sec  ranked_plan_lines")
     for n in sizes:
         print(f"{n:8d}   {ranked[n][0]:10.2f}  {ranked[n][1]:17d}")
@@ -448,7 +450,7 @@ def bpe_main(spark, sf_dir: str, max_merges: int = 1000) -> None:
             print("chain aborted: JVM-level failure ends the column")
             break
         print(f"{n:8d}   {c_sec}")
-        spark.catalog.clearCache()
+        clear_all_caches(spark)
     docs.unpersist()
 
 
@@ -524,7 +526,7 @@ def skew_main(spark, sf_dir: str, k: int = 1) -> None:
         sec = _timed(build)
         times[name] = sec
         print(f"{name.ljust(32)}{sec:7.2f}")
-        spark.catalog.clearCache()
+        clear_all_caches(spark)
     # the headline ratios the README table cites: capped/guarded vs open
     for on, off in (("funnel cap=1000", "funnel uncapped"),
                     ("sequences cap=1000", "sequences uncapped"),
@@ -598,7 +600,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,
                 pairs.setdefault(name, {})[k] = build().count()
             results.setdefault(name, {})[k] = statistics.median(ts)
         docs.unpersist()
-        spark.catalog.clearCache()
+        clear_all_caches(spark)
     hdr = "operator".ljust(20) + "".join(f"  {k}x".rjust(8) for k in ks) + "   growth"
     print(hdr)
     for name, times in results.items():
