@@ -543,6 +543,34 @@ def streaming_source_kl(docs_stream: DataFrame, state_path: str,
     return checkpointed_state_fold(docs_stream, state_path, checkpoint, fold)
 
 
+def _state_read_transient(exc: Exception) -> bool:
+    """Retry classifier for reads racing the state fold's two-rename
+    swap.  ONLY the swap-race signatures retry: the dir momentarily
+    absent (PATH_NOT_FOUND / "Path does not exist"), listed but just
+    emptied ("Unable to infer schema"), or a listed part-file that
+    moved mid-read (FileNotFoundException text / OSError).  Every other
+    AnalysisException — schema mismatch, malformed parquet, a column
+    the fold never wrote — is permanent and must fail fast, not burn
+    the ~1.2 s retry budget (ADVICE r8 #4).  A state dir that was NEVER
+    created is indistinguishable from the race per-attempt and still
+    costs the full budget before raising — inherent ambiguity."""
+    from pyspark.errors import AnalysisException
+
+    if isinstance(exc, OSError) or "FileNotFoundException" in str(exc):
+        return True
+    if not isinstance(exc, AnalysisException):
+        return False
+    cond = getattr(exc, "getCondition", None)
+    try:
+        cls = (cond() if cond else None) or ""
+    except Exception:
+        cls = ""
+    msg = str(exc)
+    return ("PATH_NOT_FOUND" in cls or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in cls
+            or "Unable to infer schema" in msg)
+
+
 def source_kl_from_state(spark, state_path: str,
                          smoothing: float = 0.5,
                          round_to: int = 6) -> DataFrame:
@@ -570,23 +598,17 @@ def source_kl_from_state(spark, state_path: str,
     arithmetic over the summary frame."""
     import time
 
-    from pyspark.errors import AnalysisException
-
     # the fold's two-rename swap leaves a millisecond window where the
     # state dir is absent or its listed part-files just moved — retry
-    # across ONLY that race (path-missing/changed AnalysisException and
-    # the FileNotFound a listed part-file raises mid-read); permanent
-    # errors (state dir never created by anything, schema mismatch)
-    # fail fast instead of burning the retry budget (ADVICE r7 #5)
+    # across ONLY that race (see _state_read_transient); permanent
+    # errors fail fast instead of burning the retry budget
     state = None
     for attempt in range(6):
         try:
             state = spark.read.parquet(state_path).localCheckpoint(eager=True)
             break
         except Exception as exc:
-            transient = isinstance(exc, (AnalysisException, OSError)) or \
-                "FileNotFoundException" in str(exc)
-            if attempt == 5 or not transient:
+            if attempt == 5 or not _state_read_transient(exc):
                 raise
             time.sleep(0.2)
     return source_kl_report(state, smoothing=smoothing, round_to=round_to)

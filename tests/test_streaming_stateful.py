@@ -620,3 +620,49 @@ def test_streaming_source_kl_detects_drift_with_bounded_state(spark, tmp_path):
     assert drifted["B"][1] > drifted["C"][1]
     assert drifted["B"][1] > sym["B"][1] + 0.05       # ...and ROSE sharply
     assert "<null>" in drifted and drifted["<null>"][0] == 2
+
+
+def test_state_read_retry_classifier(spark, tmp_path):
+    """Permanent AnalysisExceptions (schema mismatch, bad options) must
+    fail FAST; only the swap-race signatures (path missing/just-emptied,
+    part-file moved) retry (ADVICE r8 #4)."""
+    import time as _time
+
+    from pyspark.errors import AnalysisException
+
+    from singer_spark.streaming.stateful import (
+        _state_read_transient,
+        source_kl_from_state,
+    )
+
+    # race signatures retry
+    assert _state_read_transient(OSError("stale listing"))
+    assert _state_read_transient(
+        RuntimeError("java.io.FileNotFoundException: part-0001 moved"))
+    try:
+        spark.read.parquet(str(tmp_path / "never_created")).collect()
+        raise AssertionError("expected PATH_NOT_FOUND")
+    except AnalysisException as exc:
+        assert _state_read_transient(exc)
+
+    # permanent AnalysisExceptions fail fast: a real column-resolution
+    # error from the session (never a race signature)
+    try:
+        spark.range(1).select("no_such_column").collect()
+        raise AssertionError("expected resolution failure")
+    except AnalysisException as exc:
+        assert not _state_read_transient(exc)
+    assert not _state_read_transient(ValueError("not spark at all"))
+
+    # end-to-end: a permanent failure returns well under the ~1.2 s
+    # six-attempt budget (the dir HOLDS data but of the wrong shape,
+    # raising the moment the report selects the fold's columns)
+    bad = str(tmp_path / "bad_state")
+    spark.range(3).write.parquet(bad)
+    t0 = _time.monotonic()
+    try:
+        source_kl_from_state(spark, bad).collect()
+        raise AssertionError("expected failure on wrong-schema state")
+    except Exception:
+        pass
+    assert _time.monotonic() - t0 < 5.0
