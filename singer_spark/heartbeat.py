@@ -182,11 +182,15 @@ def build_status(spark: SparkSession, started_at: float,
     # worker process) publish per-stream counters through the
     # counters-file side channel, keeping streaming offsets
     # position-only (ADVICE r7 #2); recently-updated entries only, so a
-    # long-lived tempdir doesn't resurrect dead streams
+    # long-lived tempdir doesn't resurrect dead streams, and filtered
+    # to THIS application's namespace so another Spark app run by the
+    # same user doesn't leak its streams into this heartbeat (ADVICE
+    # r8 #2 — readers constructed outside tail_stream carry no ns and
+    # still match)
     try:
         from singer_spark.streaming.tail import list_counters
 
-        for c in list_counters():
+        for c in list_counters(ns=spark.sparkContext.applicationId):
             duplicates.setdefault(c["stream"], {"reopens": c["reopens"],
                                                 "bytes": c["bytes"]})
     except ImportError:  # pragma: no cover - tail source always ships

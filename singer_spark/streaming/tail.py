@@ -115,74 +115,106 @@ def _counters_dir() -> str:
     return os.path.join(tempfile.gettempdir(), f"singer_tail_counters_{uid}")
 
 
-def _counters_file(log_dir: str, glob: str) -> str:
+def _counters_file(log_dir: str, glob: str, ns: str = "",
+                   token: str = "") -> str:
     import hashlib
 
-    key = hashlib.md5(f"{log_dir}::{glob}".encode("utf-8")).hexdigest()[:16]
+    # per-READER file (the token is unique per reader instance): two
+    # readers on the same (log_dir, glob) — a restarted query
+    # overlapping the old one — must not share a file, or the new
+    # reader's zeroed __init__ write clobbers the live one's counts
+    # (ADVICE r8 #2)
+    key = hashlib.md5(
+        f"{ns}::{log_dir}::{glob}::{token}".encode("utf-8")).hexdigest()[:16]
     d = _counters_dir()
     os.makedirs(d, exist_ok=True)
     return os.path.join(d, key + ".json")
 
 
 def _write_counters(log_dir: str, glob: str, reopens: int,
-                    bytes_: int) -> None:
+                    bytes_: int, ns: str = "", token: str = "") -> None:
     import json
 
     # best-effort telemetry: a full disk or permission race must NEVER
     # take the streaming query down — the offsets are the data path,
     # this file is not
     try:
-        path = _counters_file(log_dir, glob)
+        path = _counters_file(log_dir, glob, ns, token)
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump({"stream": f"{log_dir}::{glob}",
+            json.dump({"stream": f"{log_dir}::{glob}", "ns": ns,
                        "reopens": int(reopens), "bytes": int(bytes_)}, f)
         os.replace(tmp, path)
     except OSError:
         pass
 
 
-def read_counters(log_dir: str, glob: str = "*") -> dict:
-    """{reopens, bytes} for one tail stream; zeros when the stream never
-    reported (no reader alive yet, or a cleaned tempdir)."""
-    import json
-
-    try:
-        with open(_counters_file(log_dir, glob)) as f:
-            c = json.load(f)
-        return {"reopens": int(c.get("reopens", 0)),
-                "bytes": int(c.get("bytes", 0))}
-    except (OSError, ValueError):
-        return {"reopens": 0, "bytes": 0}
-
-
-def list_counters(max_age_secs: float = 900.0) -> "list[dict]":
-    """Every recently-updated stream counter file (for the heartbeat):
-    [{stream, reopens, bytes}], skipping entries idle past max_age_secs
-    (a tempdir outlives the queries that wrote it)."""
+def _scan_counters(max_age_secs: float, ns: "str | None") -> "list[dict]":
+    """All recent counter records, newest-mtime first.  ns=None matches
+    everything; a concrete ns matches that namespace PLUS unnamespaced
+    writers (readers constructed without `counters_ns` — direct
+    readStream.format users; documented back-compat, the cross-app
+    filter only works for readers that declare their app)."""
     import json
     import time
 
     d = _counters_dir()
-    out = []
+    recs = []
     try:
         names = os.listdir(d)
     except OSError:
-        return out
+        return recs
     now = time.time()
     for name in names:
         p = os.path.join(d, name)
         try:
-            if not name.endswith(".json") or \
-                    now - os.stat(p).st_mtime > max_age_secs:
+            mtime = os.stat(p).st_mtime
+            if not name.endswith(".json") or now - mtime > max_age_secs:
                 continue
             with open(p) as f:
                 c = json.load(f)
-            out.append({"stream": str(c.get("stream", name)),
-                        "reopens": int(c.get("reopens", 0)),
-                        "bytes": int(c.get("bytes", 0))})
+            c_ns = str(c.get("ns", ""))
+            if ns is not None and c_ns not in (ns, ""):
+                continue
+            recs.append({"stream": str(c.get("stream", name)), "ns": c_ns,
+                         "reopens": int(c.get("reopens", 0)),
+                         "bytes": int(c.get("bytes", 0)),
+                         "_mtime": mtime})
         except (OSError, ValueError):
             continue
+    recs.sort(key=lambda c: c["_mtime"], reverse=True)
+    return recs
+
+
+def read_counters(log_dir: str, glob: str = "*",
+                  ns: "str | None" = None) -> dict:
+    """{reopens, bytes} for one tail stream — the most recently
+    reporting reader's record (per-reader files since ADVICE r8 #2);
+    zeros when the stream never reported (no reader alive yet, or a
+    cleaned tempdir).  No age cutoff: the soak reads its own stream
+    right after the query stops."""
+    want = f"{log_dir}::{glob}"
+    for c in _scan_counters(float("inf"), ns):
+        if c["stream"] == want:
+            return {"reopens": c["reopens"], "bytes": c["bytes"]}
+    return {"reopens": 0, "bytes": 0}
+
+
+def list_counters(max_age_secs: float = 900.0,
+                  ns: "str | None" = None) -> "list[dict]":
+    """One record per recently-reporting stream (for the heartbeat):
+    [{stream, reopens, bytes}], the most recently written reader's
+    record per stream, entries idle past max_age_secs skipped (a
+    tempdir outlives the queries that wrote it).  Pass the Spark
+    application id as `ns` to exclude OTHER applications' namespaced
+    streams (ADVICE r8 #2); unnamespaced writers always match."""
+    out, seen = [], set()
+    for c in _scan_counters(max_age_secs, ns):
+        if c["stream"] in seen:
+            continue  # older reader on the same stream (restart overlap)
+        seen.add(c["stream"])
+        out.append({"stream": c["stream"], "reopens": c["reopens"],
+                    "bytes": c["bytes"]})
     return out
 
 
@@ -239,7 +271,17 @@ class TailStreamReader(DataSourceStreamReader):
         self._last_files: dict[str, dict] = {}
         self._dupes_suspected = 0
         self._dupe_bytes = 0
-        _write_counters(self.log_dir, self.glob, 0, 0)
+        # counters namespace (the Spark application id when constructed
+        # through tail_stream) + a per-reader token: the heartbeat
+        # filters foreign apps by ns, and the token gives each reader
+        # its own file so an overlapping restart can't zero a live
+        # reader's counts (ADVICE r8 #2)
+        import uuid
+
+        self._counters_ns = options.get("counters_ns", "")
+        self._counters_token = uuid.uuid4().hex[:12]
+        _write_counters(self.log_dir, self.glob, 0, 0,
+                        self._counters_ns, self._counters_token)
 
     # -- scanning ----------------------------------------------------------
     def _fingerprint(self, f, off: int) -> tuple[int | None, int]:
@@ -405,7 +447,8 @@ class TailStreamReader(DataSourceStreamReader):
         self._paths = paths
         self._last_files = files
         _write_counters(self.log_dir, self.glob,
-                        self._dupes_suspected, self._dupe_bytes)
+                        self._dupes_suspected, self._dupe_bytes,
+                        self._counters_ns, self._counters_token)
         return {"files": files}
 
     # -- planning ---------------------------------------------------------
@@ -640,6 +683,10 @@ def tail_stream(spark, log_dir: str, glob: str = "*",
         .option("glob", glob)
         .option("chunk_bytes", str(chunk_bytes))
         .option("mode", mode)
+        # the reader runs in its own Python worker with no handle on the
+        # session — the app id must ride in as an option for the
+        # heartbeat's cross-application counter filter (ADVICE r8 #2)
+        .option("counters_ns", spark.sparkContext.applicationId)
     )
     if max_message_size:
         reader = reader.option("max_message_size", str(max_message_size))

@@ -565,3 +565,45 @@ def test_counters_file_channel_roundtrip_and_age_cutoff(tmp_path):
     # but still readable directly (read_counters has no cutoff: the soak
     # reads its own stream right after the query stops)
     assert read_counters(d, "*.log")["reopens"] == 3
+
+
+def test_counters_namespace_and_overlap_isolation(tmp_path):
+    """ADVICE r8 #2, both halves: (1) list_counters(ns=...) excludes
+    OTHER applications' namespaced streams while unnamespaced writers
+    still match; (2) two readers on the same (log_dir, glob) — a
+    restarted query overlapping the old one — write SEPARATE files, so
+    the new reader's zeroed init can't clobber the live one's counts,
+    and the most recently reporting reader wins the listing."""
+    import time
+
+    from singer_spark.streaming.tail import (
+        _write_counters,
+        list_counters,
+        read_counters,
+    )
+
+    d = str(tmp_path / "logs")
+    key = f"{d}::*"
+    _write_counters(d, "*", 7, 700, ns="app-A", token="readerA")
+    _write_counters(str(tmp_path / "other"), "*", 9, 900,
+                    ns="app-B", token="readerB")
+    _write_counters(str(tmp_path / "legacy"), "*", 1, 10)  # unnamespaced
+
+    mine = {c["stream"]: c for c in list_counters(ns="app-A")}
+    assert mine[key]["reopens"] == 7
+    assert f"{tmp_path / 'other'}::*" not in mine        # foreign app out
+    assert f"{tmp_path / 'legacy'}::*" in mine           # legacy matches
+    assert f"{tmp_path / 'other'}::*" in {               # ns=None sees all
+        c["stream"] for c in list_counters()}
+
+    # overlap: a fresh reader (new token) writes its zeroed init file;
+    # the OLD reader's counts survive untouched in its own file, and the
+    # newest mtime wins the per-stream listing
+    time.sleep(0.05)
+    _write_counters(d, "*", 0, 0, ns="app-A", token="readerA2")
+    assert read_counters(d, "*", ns="app-A") == {"reopens": 0, "bytes": 0}
+    time.sleep(0.05)
+    _write_counters(d, "*", 8, 800, ns="app-A", token="readerA")  # old live
+    assert read_counters(d, "*", ns="app-A") == {"reopens": 8, "bytes": 800}
+    assert {c["stream"]: c for c in list_counters(ns="app-A")}[key][
+        "reopens"] == 8
