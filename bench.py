@@ -162,7 +162,8 @@ def _prior_queries(path: str) -> tuple[dict[str, float], object]:
 
 
 def _run_ab(repo_dir: str, prior_path: str, sf_dir: str,
-            queries: list[str], runs: int) -> dict:
+            queries: list[str], runs: int,
+            deadline: "float | None" = None) -> dict:
     """Code-vs-host adjudication for a non-empty still_slow list
     (VERDICT r7 next #2): check out the commit that last touched the
     prior round's bench artifact in a detached worktree and interleave
@@ -199,14 +200,25 @@ def _run_ab(repo_dir: str, prior_path: str, sf_dir: str,
             # a leg is adjudication evidence, never a bench-killer: a
             # timeout or crash (prior tree incompatible with the sf dir,
             # loaded box) records a diagnostic and the verdict degrades
-            # to inconclusive instead of discarding the suite's timings
+            # to inconclusive instead of discarding the suite's timings.
+            # Each leg's timeout also shrinks to the caller's remaining
+            # DEADLINE budget: four 900 s legs on top of the main pass
+            # could otherwise blow through the release gate's whole
+            # bench-step timeout and get the suite's timings discarded
+            # along with the adjudication (ADVICE r8 #5)
+            leg_timeout = 900.0
+            if deadline is not None:
+                leg_timeout = min(leg_timeout, deadline - time.monotonic())
+                if leg_timeout < 60:
+                    leg_errors.append(f"{tree}: skipped (deadline)")
+                    continue
             try:
                 leg = subprocess.run(
                     [sys.executable,
                      os.path.join(repo_dir, "tools", "bench_ab.py"),
                      "--repo", path, "--sf", sf_dir,
                      "--runs", str(leg_runs), *queries],
-                    text=True, capture_output=True, timeout=900)
+                    text=True, capture_output=True, timeout=leg_timeout)
             except (subprocess.TimeoutExpired, OSError) as exc:
                 leg_errors.append(f"{tree}: {type(exc).__name__}")
                 continue
@@ -245,6 +257,11 @@ def _run_ab(repo_dir: str, prior_path: str, sf_dir: str,
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # total wall budget (s) this process self-enforces on OPTIONAL work
+    # (the A/B legs) so a supervising timeout — the release gate's bench
+    # step — never kills the suite's timings over adjudication overage
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "0") or 0)
+    deadline = (time.monotonic() + budget) if budget > 0 else None
 
     import __spark_entry__ as entry_mod
     from singer_spark.session import get_spark
@@ -336,7 +353,7 @@ def main() -> None:
                 repo = os.path.dirname(os.path.abspath(__file__))
                 try:
                     ab = _run_ab(repo, prior[1], sf_dir, still,
-                                 runs=min(runs, 4))
+                                 runs=min(runs, 4), deadline=deadline)
                 except Exception as exc:  # adjudication only — never
                     ab = {"skipped": f"{type(exc).__name__}"}  # kill bench
                 drift_verdict["ab"] = {k: v for k, v in ab.items()

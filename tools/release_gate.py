@@ -97,8 +97,13 @@ def main() -> int:
     steps.append(s)
 
     # timeout covers the main pass + drift re-runs + (when still_slow is
-    # non-empty) the four code-vs-host A/B legs, each its own JVM
-    s = run_step("bench", [py, "bench.py"], timeout=2700)
+    # non-empty) the code-vs-host A/B legs, each its own JVM.  bench.py
+    # self-enforces SPARK_GRAFT_BENCH_BUDGET on the optional A/B work
+    # (legs shrink/skip as the budget runs out), so adjudication overage
+    # can never hit this outer timeout and void the suite's timings
+    # (ADVICE r8 #5)
+    os.environ.setdefault("SPARK_GRAFT_BENCH_BUDGET", "3000")
+    s = run_step("bench", [py, "bench.py"], timeout=3600)
     bench_full = os.path.join(REPO, "BENCH_full.json")
     if s["status"] == "OK" and os.path.exists(bench_full):
         # read the artifact, not stdout (progress bars can push the compact
