@@ -1216,23 +1216,29 @@ def _source_kl_state_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge learning over the documents table: 12 merge steps, pair
     stats on the frequency-weighted distinct-word table (the corpus is
-    scanned once) — operators/text_analysis.py:bpe_learn_merges.  The
-    oracle replays every merge step in SQL via the same sentinel-framed
-    literal-replace construction."""
-    from singer_spark.operators.text_analysis import bpe_learn_merges
+    scanned once) — since r9 through the driver-local trainer
+    (text_analysis.bpe_learn_merges_local: one distributed
+    tokenize+count job, local incremental merge loop — the HF trainer
+    shape; value-identical to the distributed bpe_learn_merges, pinned
+    by a pytest cross-check).  The oracle replays every merge step in
+    SQL via the same sentinel-framed literal-replace construction."""
+    from singer_spark.operators.text_analysis import bpe_learn_merges_local
 
-    return bpe_learn_merges(_docs(spark, sf_dir), n_merges=12)
+    return bpe_learn_merges_local(_docs(spark, sf_dir), n_merges=12)
 
 
 def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn 12 BPE merges on the corpus, then tokenize every document
     with them — the end-to-end tokenizer path (text_analysis.bpe_encode);
     the oracle replays learn + encode in one SQL chain."""
-    from singer_spark.operators.text_analysis import bpe_encode, bpe_learn_merges
+    from singer_spark.operators.text_analysis import (
+        bpe_encode,
+        bpe_learn_merges_local,
+    )
 
     docs = _docs(spark, sf_dir)
     merges = [(r.left_sym, r.right_sym)
-              for r in bpe_learn_merges(docs, n_merges=12).collect()]
+              for r in bpe_learn_merges_local(docs, n_merges=12).collect()]
     return bpe_encode(docs, merges).orderBy("doc_id")
 
 
@@ -1247,12 +1253,12 @@ def _bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     from singer_spark.operators.text_analysis import (
         bpe_encode_ranked,
-        bpe_learn_merges,
+        bpe_learn_merges_local,
     )
 
     docs = _docs(spark, sf_dir)
     merges = [(r.left_sym, r.right_sym)
-              for r in bpe_learn_merges(docs, n_merges=12).collect()]
+              for r in bpe_learn_merges_local(docs, n_merges=12).collect()]
     return bpe_encode_ranked(docs, merges).orderBy("doc_id")
 
 
@@ -1292,12 +1298,12 @@ def _bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     same sums."""
     from singer_spark.operators.text_analysis import (
         bpe_encode_ranked,
-        bpe_learn_merges,
+        bpe_learn_merges_local,
     )
 
     docs = _docs(spark, sf_dir)
     merges = [(r.left_sym, r.right_sym)
-              for r in bpe_learn_merges(docs, n_merges=12).collect()]
+              for r in bpe_learn_merges_local(docs, n_merges=12).collect()]
     enc = bpe_encode_ranked(docs, merges).select("doc_id", "n_tokens")
     # NULL text must contribute NULL (sum-skipped, like the oracle's
     # len(NULL)), not Spark's legacy size(NULL) = -1 (review r8 #4)

@@ -1208,3 +1208,36 @@ def test_semantic_decontaminate_catches_paraphrase_kgram_misses(spark):
     assert sem[1].nearest_bench_id == 100
     assert not sem[2].contaminated    # unrelated stays clean
     assert sem[3].contaminated and exact[3]  # verbatim caught by both
+
+
+def test_bpe_learn_local_matches_distributed(spark, sf_dir):
+    """The driver-local trainer must reproduce the distributed loop's
+    merge table EXACTLY — same argmax (count desc, pair-string asc with
+    the \\x03 separator), same scan-left merge, same stop condition — on
+    the adversarial fixture (overlap runs, ties, cascades) and on the
+    real sf0.001 documents table."""
+    from singer_spark.operators.text_analysis import (
+        bpe_learn_merges,
+        bpe_learn_merges_local,
+    )
+
+    texts = ["low low low lower lowest", "aaaa aaaa aa a", "zz yy zz yy",
+             "newer newest new b", "ab ab ba ba", "", None, "x"]
+    docs = _docs_df(spark, [(i, t, "s") for i, t in enumerate(texts)])
+
+    def rows(df):
+        return [tuple(r) for r in df.orderBy("step").collect()]
+
+    assert rows(bpe_learn_merges_local(docs, n_merges=15)) == \
+        rows(bpe_learn_merges(docs, n_merges=15))
+
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert rows(bpe_learn_merges_local(real, n_merges=12)) == \
+        rows(bpe_learn_merges(real, n_merges=12))
+
+    # the caps exist for production vocab bounding and stay exact when
+    # they don't bind (non-binding: sf0.001 vocab is ~2k words; NOTE a
+    # huge max_vocab is itself O(max_vocab) memory — TakeOrdered heaps)
+    assert rows(bpe_learn_merges_local(real, n_merges=6, min_freq=1,
+                                       max_vocab=50_000)) == \
+        rows(bpe_learn_merges(real, n_merges=6))
