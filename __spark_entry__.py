@@ -1262,6 +1262,21 @@ def _bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_ranked(docs, merges).orderBy("doc_id")
 
 
+def _dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    bag models on the raw corpus vs the src0 target domain, per-doc log
+    importance weights, deterministic Gumbel top-50 without replacement
+    — text_analysis.dsir_sample.  Models are 1024-row broadcasts, the
+    corpus is featurized once, selection is TakeOrdered; the oracle
+    replays featurize -> models -> score -> Gumbel -> cut in plain SQL
+    (md5 feature hashing and md5-derived uniforms on both engines)."""
+    from singer_spark.operators.text_analysis import dsir_sample
+
+    docs = _docs(spark, sf_dir)
+    return dsir_sample(docs, docs.where(F.col("source") == "src0"),
+                       k=50, n_buckets=1024)
+
+
 def _text_repetition_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher's CHAR-fraction repetition screens (Rae et al. 2021 §A1.1,
     the published definitions) over the documents table:
@@ -2426,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": _bpe_learn,
         "bpe_encode": _bpe_encode,
         "bpe_encode_ranked": _bpe_encode_ranked,
+        "dsir_sample": _dsir_sample,
         "bpe_fertility_by_source": _bpe_fertility_by_source,
         "source_dataset_card": _source_dataset_card,
         "text_compression_ratio": _compression_ratio,
@@ -4918,6 +4934,54 @@ def oracle_sql() -> dict[str, str]:
         # the ranked encoder is value-identical to the chain by
         # construction (pytest-pinned), so it replays the same SQL
         "bpe_encode_ranked": _bpe_encode_oracle(n_merges=12),
+        "dsir_sample": """
+            WITH tk AS (
+              SELECT doc_id, source,
+                     string_split(text, ' ') AS t0,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM documents WHERE text IS NOT NULL),
+            gr AS (
+              SELECT doc_id, source, unnest(t) AS g FROM tk
+              UNION ALL
+              SELECT doc_id, source,
+                     unnest(CASE WHEN len(t0) >= 2
+                       THEN [array_to_string(t0[i:i+1], ' ')
+                             for i in range(1, len(t0))]
+                       ELSE [array_to_string(t0, ' ')] END) AS g
+              FROM tk),
+            bk AS (SELECT doc_id, source,
+                          (('0x' || substr(md5(g), 1, 15))::BIGINT % 1024)
+                            AS b
+                   FROM gr),
+            raw AS (SELECT b, count(*) AS rc FROM bk GROUP BY b),
+            tgt AS (SELECT b, count(*) AS tc FROM bk
+                    WHERE source = 'src0' GROUP BY b),
+            rt AS (SELECT sum(rc) AS rT FROM raw),
+            tt AS (SELECT coalesce(sum(tc), 0) AS tT FROM tgt),
+            dc AS (SELECT doc_id, b, count(*) AS cnt
+                   FROM bk GROUP BY doc_id, b),
+            sc AS (SELECT dc.doc_id,
+                          sum(dc.cnt
+                              * (ln((coalesce(tgt.tc, 0) + 0.5)
+                                    / (tt.tT + 0.5 * 1024))
+                                 - ln((raw.rc + 0.5)
+                                      / (rt.rT + 0.5 * 1024)))) AS lw
+                   FROM dc JOIN raw USING (b) LEFT JOIN tgt USING (b)
+                        CROSS JOIN rt CROSS JOIN tt
+                   GROUP BY dc.doc_id),
+            w AS (SELECT d.doc_id, coalesce(sc.lw, 0.0) AS lw
+                  FROM documents d LEFT JOIN sc USING (doc_id)),
+            key AS (SELECT doc_id,
+                           floor(lw * 1000000 + 0.5) / 1000000
+                             AS log_weight,
+                           floor((lw - ln(-ln(
+                               ((('0x' || substr(md5(doc_id::VARCHAR
+                                   || '|dsir'), 1, 15))::BIGINT % 1000000)
+                                + 0.5) / 1000000.0)))
+                             * 1000000 + 0.5) / 1000000 AS gumbel_key
+                    FROM w)
+            SELECT doc_id, log_weight, gumbel_key FROM key
+            ORDER BY gumbel_key DESC, doc_id LIMIT 50""",
         # quality + lang-id replays nested as subqueries, exact-dup
         # canonicals via a global digest window, aggregated by source
         "source_dataset_card": f"""

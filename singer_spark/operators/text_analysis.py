@@ -2017,3 +2017,110 @@ def source_unigram_kl(docs: DataFrame, smoothing: float = 0.5,
                        qround(F.col("present_sum") + absent,
                               round_to).alias("kl"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+def dsir_log_weights(docs: DataFrame, target: DataFrame,
+                     n_buckets: int = 1024, smoothing: float = 0.5,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document log importance weight log(p_target(x)/p_raw(x)) under
+    hashed-n-gram bag models — DSIR (Xie et al. 2023 §3): featurize every
+    document as unigram + bigram counts hashed into `n_buckets`, fit
+    Jeffreys-smoothed bucket distributions on the RAW corpus (`docs`)
+    and on the TARGET corpus (the high-quality domain to select
+    toward), and score each raw document by sum over buckets of
+    count_b · (ln p_target(b) − ln p_raw(b)).
+
+    100 TB shape: the raw corpus is featurized ONCE (the exploded gram
+    frame is persisted and feeds both the raw model and the per-doc
+    counts); both models are `n_buckets`-row frames (constant-size,
+    broadcast into the scoring join — the corpus-sized side never
+    shuffles by bucket twice); the score is one map-side-combinable
+    groupBy(doc).  The target corpus is typically small (a quality
+    domain sample) — one extra featurize pass over it.  No UDF, no
+    driver loop; feature hashing is md5_int so the whole pipeline
+    replays in plain SQL on any engine.
+
+    Docs with no grams (empty/NULL text) get log-weight 0 (an empty
+    product).  Output: (id_col, log_weight DOUBLE, n_grams BIGINT) —
+    log_weight UNROUNDED (callers round after any further arithmetic,
+    e.g. :func:`dsir_sample`'s Gumbel perturbation)."""
+    from singer_spark.functions import maybe_persist
+    from singer_spark.operators.dedup import raw_shingles_col
+
+    a, B = float(smoothing), int(n_buckets)
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        feats = F.concat(
+            F.coalesce(toks, F.array().cast("array<string>")),
+            raw_shingles_col(text_col, 2))
+        return (fan_out(df)
+                .select(F.col(id_col).alias("_id"), F.explode(feats)
+                        .alias("_g"))
+                .select("_id", (md5_int(F.col("_g")) % B).alias("_b")))
+
+    raw_grams = maybe_persist(grams(docs), True)
+    raw_model = raw_grams.groupBy("_b").agg(F.count("*").alias("_rc"))
+    tgt_model = grams(target).groupBy("_b").agg(F.count("*").alias("_tc"))
+    raw_tot = raw_model.agg(F.sum("_rc").alias("_rT"))
+    tgt_tot = tgt_model.agg(F.coalesce(F.sum("_tc"), F.lit(0)).alias("_tT"))
+
+    dc = raw_grams.groupBy("_id", "_b").agg(F.count("*").alias("_cnt"))
+    # raw_model always holds every bucket dc references (same corpus);
+    # target buckets may be absent — the smoothed floor handles them.
+    # Identical parenthesization to the SQL oracle: ln((c+a)/(T+a·B))
+    term = F.col("_cnt") * (
+        F.log((F.coalesce(F.col("_tc"), F.lit(0)) + a)
+              / (F.col("_tT") + a * B))
+        - F.log((F.col("_rc") + a) / (F.col("_rT") + a * B)))
+    scored = (dc.join(F.broadcast(raw_model), "_b")
+              .join(F.broadcast(tgt_model), "_b", "left")
+              .crossJoin(F.broadcast(raw_tot))
+              .crossJoin(F.broadcast(tgt_tot))
+              .groupBy("_id")
+              .agg(F.sum(term).alias("_lw"),
+                   F.sum("_cnt").alias("n_grams")))
+    return (docs.select(F.col(id_col))
+            .join(scored.withColumnRenamed("_id", id_col), id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("_lw", F.lit(0.0)).alias("log_weight"),
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams")))
+
+
+def dsir_sample(docs: DataFrame, target: DataFrame, k: int = 50,
+                n_buckets: int = 1024, smoothing: float = 0.5,
+                text_col: str = "text", id_col: str = "doc_id",
+                salt: str = "dsir") -> DataFrame:
+    """DSIR's sampling half: draw `k` documents WITHOUT replacement with
+    probability proportional to their importance weight, via the Gumbel
+    top-k trick (perturb each log-weight with an independent Gumbel and
+    take the k largest — exactly weighted sampling without
+    replacement).  The Gumbel is DETERMINISTIC: u = (md5(id∥salt) mod
+    10^6 + 0.5)/10^6, g = −ln(−ln u) — no RNG, replayable in SQL and
+    stable across retries/engines (the determinism discipline every
+    sampler in this engine follows).
+
+    Selection is orderBy(key desc, id).limit(k) — Spark's TakeOrdered
+    (per-partition heaps, no global sort, no single-task window), the
+    shape that survives a 100 TB corpus.  The rank key is the ROUNDED
+    (1e-6) perturbed weight with the id tiebreak, so the cut is
+    identical on every engine.
+
+    Output: (id_col, log_weight, gumbel_key) qround(1e-6), the k
+    selected docs, highest key first."""
+    w = dsir_log_weights(docs, target, n_buckets=n_buckets,
+                         smoothing=smoothing, text_col=text_col,
+                         id_col=id_col)
+    u = (md5_int(F.concat(F.col(id_col).cast("string"),
+                          F.lit("|" + salt))) % 1_000_000
+         + F.lit(0.5)) / F.lit(1_000_000.0)
+    g = -F.log(-F.log(u))
+    return (w.select(F.col(id_col),
+                     qround(F.col("log_weight"), 6).alias("log_weight"),
+                     qround(F.col("log_weight") + g, 6).alias("gumbel_key"))
+            .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+            .limit(k))

@@ -32,6 +32,7 @@ NULL_SENSITIVE_KEYS = (
     "text_readability",
     "text_repetition",
     "text_repetition_chars",
+    "dsir_sample",
     "bpe_encode",
     "bpe_encode_ranked",
     "bpe_fertility_by_source",

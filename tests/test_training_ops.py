@@ -1241,3 +1241,77 @@ def test_bpe_learn_local_matches_distributed(spark, sf_dir):
     assert rows(bpe_learn_merges_local(real, n_merges=6, min_freq=1,
                                        max_vocab=50_000)) == \
         rows(bpe_learn_merges(real, n_merges=6))
+
+
+def test_dsir_weights_match_bruteforce_and_prefer_target(spark):
+    """dsir_log_weights == brute-force hashed-ngram importance weights
+    (same md5 bucketing, same Jeffreys smoothing, same parenthesization)
+    on a constructed corpus, and documents from the target's domain
+    score higher than off-domain ones; dsir_sample's Gumbel cut is
+    deterministic and k-sized."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from singer_spark.operators.text_analysis import (
+        dsir_log_weights,
+        dsir_sample,
+    )
+
+    tgt_texts = [f"alpha beta gamma t{i}" for i in range(6)]
+    raw_rows = [(i, t, "tgt") for i, t in enumerate(tgt_texts)]
+    raw_rows += [(100 + i, f"delta epsilon zeta r{i}", "other")
+                 for i in range(6)]
+    raw_rows += [(200, "", "other"), (201, None, "other")]
+    docs = _docs_df(spark, raw_rows)
+    target = docs.where(F.col("source") == "tgt")
+
+    B, a = 64, 0.5
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def grams(text):
+        if text is None:
+            return []
+        t0 = text.split(" ")
+        uni = [x for x in t0 if x != ""]
+        big = ([" ".join(t0[i:i + 2]) for i in range(len(t0) - 1)]
+               if len(t0) >= 2 else [" ".join(t0)])
+        return uni + big
+
+    raw_c, tgt_c, per_doc = Counter(), Counter(), {}
+    for i, t, src in raw_rows:
+        bs = [md5i(g) % B for g in grams(t)]
+        per_doc[i] = Counter(bs)
+        raw_c.update(bs)
+        if src == "tgt":
+            tgt_c.update(bs)
+    rT, tT = sum(raw_c.values()), sum(tgt_c.values())
+    expected = {}
+    for i, cnts in per_doc.items():
+        expected[i] = sum(
+            c * (math.log((tgt_c.get(b, 0) + a) / (tT + a * B))
+                 - math.log((raw_c[b] + a) / (rT + a * B)))
+            for b, c in cnts.items())
+
+    got = {r.doc_id: (r.log_weight, r.n_grams)
+           for r in dsir_log_weights(docs, target, n_buckets=B,
+                                     smoothing=a).collect()}
+    assert set(got) == {i for i, _, _ in raw_rows}
+    for i, (lw, ng) in got.items():
+        assert abs(lw - expected[i]) < 1e-9, i
+        assert ng == sum(per_doc[i].values())
+    # on-domain docs outscore off-domain ones
+    assert min(got[i][0] for i in range(6)) > \
+        max(got[i][0] for i in (100, 101, 102, 103, 104, 105))
+    # no-gram docs: weight exactly 0
+    assert got[201] == (0.0, 0)
+
+    sel = dsir_sample(docs, target, k=5, n_buckets=B).collect()
+    assert len(sel) == 5
+    keys = [r.gumbel_key for r in sel]
+    assert keys == sorted(keys, reverse=True)
+    again = dsir_sample(docs, target, k=5, n_buckets=B).collect()
+    assert [(r.doc_id, r.gumbel_key) for r in sel] == \
+        [(r.doc_id, r.gumbel_key) for r in again]
