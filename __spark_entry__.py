@@ -1262,6 +1262,20 @@ def _bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_ranked(docs, merges).orderBy("doc_id")
 
 
+def _cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced selection over the embeddings table: Lloyd-train 8
+    coarse clusters (2 iterations, the quantize-per-iteration replay
+    discipline), budget each cluster by count^0.5 in exact integer
+    arithmetic, pick per-cluster md5-rank — similarity.py
+    cluster_balanced_sample.  The oracle replays training, assignment,
+    integer budgets, and the ranked cut in plain SQL."""
+    from singer_spark.operators.similarity import cluster_balanced_sample
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cluster_balanced_sample(emb, k=100, n_clusters=8, iters=2,
+                                   alpha=0.5)
+
+
 def _dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
     bag models on the raw corpus vs the src0 target domain, per-doc log
@@ -2442,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _bpe_encode,
         "bpe_encode_ranked": _bpe_encode_ranked,
         "dsir_sample": _dsir_sample,
+        "cluster_balanced_sample": _cluster_balanced_sample,
         "bpe_fertility_by_source": _bpe_fertility_by_source,
         "source_dataset_card": _source_dataset_card,
         "text_compression_ratio": _compression_ratio,
@@ -3406,6 +3421,69 @@ SELECT id_a, id_b,
 FROM cand
 WHERE floor(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) * 1000000 + 0.5) / 1000000 >= 0.40
 """
+
+
+def _cluster_balanced_oracle(iters: int = 2, kc: int = 8, k: int = 100,
+                             alpha: float = 0.5) -> str:
+    """SQL replay of similarity.cluster_balanced_sample: the
+    _ivf_trained_oracle Lloyd blocks (assign by max cosine with lowest-cid
+    ties, per-(cluster,pos) means qround 1e-6, empty clusters keep their
+    centroid), then integer temperature budgets (floor(cnt^alpha·1e6+0.5)
+    summed exactly, budget = max(1, k·w // W)) and the md5-ranked
+    per-cluster cut."""
+    blocks = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {kc})",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        blocks.append(f"""cos{i} AS (
+  SELECT e.vec_id, cid,
+         list_dot_product(e.v, cv)
+         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM e CROSS JOIN c{p})""")
+        blocks.append(f"""asg{i} AS (SELECT vec_id, cid AS cluster FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+  FROM cos{i}) WHERE rn = 1)""")
+        blocks.append(f"""m{i} AS (
+  SELECT cluster, pos, floor(avg(val) * 1000000 + 0.5) / 1000000 AS m
+  FROM (SELECT a.cluster, unnest(generate_series(1, len(e.v))) AS pos,
+               unnest(e.v) AS val
+        FROM asg{i} a JOIN e USING (vec_id))
+  GROUP BY cluster, pos)""")
+        blocks.append(f"""c{i} AS (
+  SELECT c.cid, coalesce(nm.cv, c.cv) AS cv
+  FROM c{p} c LEFT JOIN (SELECT cluster AS cid, list(m ORDER BY pos) AS cv
+                         FROM m{i} GROUP BY cluster) nm USING (cid))""")
+    blocks.append(f"""cos_t AS (
+  SELECT e.vec_id, cid,
+         list_dot_product(e.v, cv)
+         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM e CROSS JOIN c{iters})""")
+    blocks.append("""assign AS (SELECT vec_id, cid AS cluster FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+  FROM cos_t) WHERE rn = 1)""")
+    blocks.append(f"""wq AS (
+  SELECT cluster,
+         CAST(floor(pow(count(*), {alpha}) * 1000000 + 0.5) AS BIGINT) AS w
+  FROM assign GROUP BY cluster)""")
+    blocks.append("SELECT_TOT AS (SELECT sum(w) AS W FROM wq)".replace(
+        "SELECT_TOT", "tot"))
+    blocks.append(f"""bud AS (
+  SELECT cluster, greatest(1, ({k} * wq.w) // tot.W) AS budget
+  FROM wq CROSS JOIN tot)""")
+    blocks.append("""pick AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster
+           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || '|cbs'), 1, 15))::BIGINT,
+                    vec_id) AS pick_rank
+  FROM assign)""")
+    return ("WITH " + ",\n".join(blocks)
+            + "\nSELECT vec_id, cluster, pick_rank::BIGINT AS pick_rank,"
+              " budget FROM pick JOIN bud USING (cluster)"
+              " WHERE pick_rank <= budget ORDER BY cluster, pick_rank")
 
 
 def _ivf_trained_oracle(iters: int = 3, k: int = 16, nprobe: int = 4,
@@ -4934,6 +5012,7 @@ def oracle_sql() -> dict[str, str]:
         # the ranked encoder is value-identical to the chain by
         # construction (pytest-pinned), so it replays the same SQL
         "bpe_encode_ranked": _bpe_encode_oracle(n_merges=12),
+        "cluster_balanced_sample": _cluster_balanced_oracle(),
         "dsir_sample": """
             WITH tk AS (
               SELECT doc_id, source,

@@ -1305,3 +1305,67 @@ def pca_project(corpus: DataFrame, iters: int = 8,
         F.lit(0.0), lambda acc, x: acc + x)
     return corpus.select(F.col(id_col),
                          qround(dotx - F.lit(c0), round_to).alias("pc1_proj"))
+
+
+def cluster_balanced_sample(corpus: DataFrame, k: int = 100,
+                            n_clusters: int = 8, iters: int = 2,
+                            alpha: float = 0.5,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            centroids: "DataFrame | None" = None,
+                            salt: str = "cbs") -> DataFrame:
+    """Topic-balanced subset selection over an embedding column — the
+    diversity counterweight to frequency-proportional sampling: cluster
+    the corpus (Lloyd-trained coarse quantizer, or pass pre-trained
+    `centroids`), give each cluster a TEMPERATURE-rebalanced budget
+    proportional to count^alpha (alpha<1 upweights rare topics — the
+    multilingual-sampling exponent of Conneau & Lample 2019 applied to
+    topic clusters; alpha=1 is proportional, alpha=0 uniform), and take
+    each cluster's budget deterministically by md5 rank.
+
+    Determinism/cross-engine: budgets are computed in INTEGER arithmetic
+    (weights = floor(count^alpha · 1e6 + 0.5) summed exactly, budget =
+    max(1, k·w DIV W)), so no float-normalization boundary can flip a
+    budget between engines; the per-cluster pick is md5(id∥salt) rank
+    with an id tiebreak.  floor+max(1,·) can land the total a few picks
+    under/over k — callers needing exactly k trim the concatenated md5
+    order; the registry entry pins the budget rule itself.
+
+    100 TB shape: training collects k·dim floats per iteration;
+    assignment is one broadcast Arrow pass (no shuffle); the rank is a
+    window PARTITIONED BY cluster — parallel across clusters, and
+    within a cluster it is the one per-cluster sort any exact top-n_c
+    needs.  Nothing corpus-sized ever crosses the driver.
+
+    Output: (id_col, cluster, pick_rank, budget) — the selected subset,
+    ordered (cluster, pick_rank)."""
+    from pyspark.sql.window import Window
+
+    from singer_spark.functions import md5_int
+
+    C = (_centroid_matrix(centroids) if centroids is not None
+         else _centroid_matrix(ivf_train_centroids(
+             corpus, n_clusters=n_clusters, iters=iters,
+             id_col=id_col, vec_col=vec_col)))
+    assigned = _assign_to_centroids(corpus, C, id_col, vec_col) \
+        .select(id_col, "cluster")
+    counts = assigned.groupBy("cluster").agg(F.count("*").alias("_cnt"))
+    wq = counts.select(
+        "cluster",
+        F.floor(F.pow(F.col("_cnt").cast("double"), float(alpha))
+                * 1_000_000 + 0.5).cast("bigint").alias("_wgt"))
+    tot = wq.agg(F.sum("_wgt").alias("_wtot"))
+    bud = (wq.crossJoin(F.broadcast(tot))
+           .select("cluster",
+                   F.greatest(F.lit(1).cast("bigint"),
+                              F.expr(f"{int(k)} * _wgt DIV _wtot"))
+                   .alias("budget")))
+    rn = F.row_number().over(
+        Window.partitionBy("cluster")
+        .orderBy(md5_int(F.concat(F.col(id_col).cast("string"),
+                                  F.lit("|" + salt))), F.col(id_col)))
+    return (assigned.withColumn("pick_rank", rn)
+            .join(F.broadcast(bud), "cluster")
+            .where(F.col("pick_rank") <= F.col("budget"))
+            .select(id_col, "cluster", "pick_rank", "budget")
+            .orderBy("cluster", "pick_rank"))

@@ -1315,3 +1315,62 @@ def test_dsir_weights_match_bruteforce_and_prefer_target(spark):
     again = dsir_sample(docs, target, k=5, n_buckets=B).collect()
     assert [(r.doc_id, r.gumbel_key) for r in sel] == \
         [(r.doc_id, r.gumbel_key) for r in again]
+
+
+def test_cluster_balanced_sample_budgets_and_determinism(spark):
+    """Budgets follow the integer count^alpha rule exactly; alpha=0
+    flattens budgets across clusters; picks are the md5-rank prefix of
+    each cluster and identical across runs."""
+    import hashlib
+    import math
+
+    from singer_spark.operators.similarity import cluster_balanced_sample
+
+    # two dense clusters of very different size around orthogonal axes
+    rows = []
+    for i in range(40):   # cluster around e0
+        v = [10.0, float(i % 3) * 0.1, 0.0, 0.0]
+        rows.append((i, v))
+    for i in range(10):   # cluster around e1
+        v = [0.0, 10.0, float(i % 3) * 0.1, 0.0]
+        rows.append((100 + i, v))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    out = cluster_balanced_sample(emb, k=20, n_clusters=2, iters=2,
+                                  alpha=0.5).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    sizes = {c: len(v) for c, v in by_cluster.items()}
+    # integer budget rule: w_c = floor(cnt^0.5*1e6+0.5), b = max(1, 20*w//W)
+    w40 = math.floor(math.sqrt(40) * 1e6 + 0.5)
+    w10 = math.floor(math.sqrt(10) * 1e6 + 0.5)
+    W = w40 + w10
+    assert sorted(sizes.values()) == sorted(
+        [max(1, 20 * w40 // W), max(1, 20 * w10 // W)])
+    for c, rws in by_cluster.items():
+        assert [r.pick_rank for r in sorted(rws, key=lambda r: r.pick_rank)] \
+            == list(range(1, len(rws) + 1))
+        assert all(r.budget >= len(rws) for r in rws)
+
+    # picks are the md5-order prefix of the cluster membership
+    def md5i(vid):
+        return int(hashlib.md5(f"{vid}|cbs".encode()).hexdigest()[:15], 16)
+
+    big_cluster = max(by_cluster.values(), key=len)
+    member_ids = [i for i in range(40)]  # 40-strong cluster is ids 0..39
+    expect_prefix = sorted(member_ids, key=lambda i: (md5i(i), i))[
+        :len(big_cluster)]
+    assert sorted(r.vec_id for r in big_cluster) == sorted(expect_prefix)
+
+    again = cluster_balanced_sample(emb, k=20, n_clusters=2, iters=2,
+                                    alpha=0.5).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    # alpha=0: both clusters get equal budgets despite the 4x size gap
+    flat = cluster_balanced_sample(emb, k=10, n_clusters=2, iters=2,
+                                   alpha=0.0).collect()
+    fsizes = {}
+    for r in flat:
+        fsizes[r.cluster] = fsizes.get(r.cluster, 0) + 1
+    assert len(set(fsizes.values())) == 1
