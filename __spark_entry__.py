@@ -1262,6 +1262,17 @@ def _bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_ranked(docs, merges).orderBy("doc_id")
 
 
+def _dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal duplicate-span removal (Lee et al. 2022 exact-
+    substring style at 8-gram granularity): every shared 8-token window
+    keeps its lowest-id copy and is cut everywhere else —
+    operators/dedup.py dedup_spans; the oracle replays digests -> owner
+    aggregation -> coverage filter in plain SQL."""
+    from singer_spark.operators.dedup import dedup_spans
+
+    return dedup_spans(_docs(spark, sf_dir), k=8)
+
+
 def _cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-balanced selection over the embeddings table: Lloyd-train 8
     coarse clusters (2 iterations, the quantize-per-iteration replay
@@ -2456,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _bpe_encode,
         "bpe_encode_ranked": _bpe_encode_ranked,
         "dsir_sample": _dsir_sample,
+        "dedup_spans": _dedup_spans,
         "cluster_balanced_sample": _cluster_balanced_sample,
         "bpe_fertility_by_source": _bpe_fertility_by_source,
         "source_dataset_card": _source_dataset_card,
@@ -5609,6 +5621,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id AS id,
                    (h.doc_id IS NOT NULL) AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+        "dedup_spans": """
+            -- shared 8-gram windows keep their lowest-id copy; every
+            -- other doc cuts the covered tokens (Lee et al. 2022 style)
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 7)) AS s
+                    FROM toks),
+            grams AS (SELECT doc_id, s,
+                             md5(array_to_string(t[s : s + 7], ' ')) AS g
+                      FROM pos),
+            shared AS (SELECT g, min(doc_id) AS owner FROM grams
+                       GROUP BY g HAVING max(doc_id) > min(doc_id)),
+            hits AS (SELECT doc_id, list(DISTINCT s ORDER BY s) AS hs
+                     FROM grams JOIN shared USING (g)
+                     WHERE doc_id > owner GROUP BY doc_id),
+            base AS (SELECT tk.doc_id, tk.t,
+                            coalesce(h.hs, []::BIGINT[]) AS hs
+                     FROM toks tk LEFT JOIN hits h USING (doc_id)),
+            keptpos AS (SELECT doc_id, t,
+                               list_filter(range(1, len(t) + 1),
+                                 j -> len(list_filter(hs,
+                                        h -> h <= j AND j < h + 8)) = 0) AS kp
+                        FROM base)
+            SELECT doc_id AS id,
+                   CASE WHEN t IS NULL THEN NULL ELSE
+                     coalesce(array_to_string(list_transform(kp, j -> t[j]), ' '), '')
+                   END AS clean_text,
+                   len(t)::INT AS n_tokens,
+                   (len(t) - len(kp))::INT AS n_removed
+            FROM keptpos ORDER BY id""",
         "decontaminate_spans": """
             -- cut ONLY the contaminated 8-gram windows (benchmark slice =
             -- doc_id%50=0); docs shorter than 8 tokens have no windows and

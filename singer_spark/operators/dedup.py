@@ -1149,3 +1149,70 @@ def dedup_normalized(docs: DataFrame, text_col: str = "text",
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
         .select(id_col, "sig", "n_copies")
     )
+
+
+def dedup_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Cross-document duplicate-SPAN removal — the corpus-internal half
+    of Lee et al. 2022's exact-substring deduplication (the eval-set
+    half is :func:`text_analysis.decontaminate_spans`): any k-token
+    window whose digest appears in MORE THAN ONE document keeps its
+    first copy (the lowest-id document holding it) and is cut from
+    every other document's text; non-duplicated text survives intact.
+    This is the surgical alternative to whole-document near-dup removal
+    for boilerplate — headers, licenses, navigation chrome — that
+    whole-doc Jaccard scores below threshold.
+
+    Plan, nothing doc-sized in any exchange except the final join-back:
+
+    1. positional k-gram digests per doc — (id, start, 16-byte md5)
+       rows from one narrow JVM pass (`windowed_join`, O(k) per window);
+    2. one digest-keyed aggregation finds each gram's owner (min id)
+       and whether it is shared (max id > min id) — the data-
+       proportional shuffle, ~24 B per corpus token;
+    3. non-owner hit starts re-join the gram frame map-side and
+       collapse per doc to a small int array;
+    4. each doc rebuilds its text by filtering covered token positions
+       — an O(n_tokens × n_hits) JVM lambda.  Unlike decontaminate's
+       rare-hit broadcast, duplicate spans can cover a large corpus
+       fraction (boilerplate floods), so the hit arrays JOIN back by id
+       (AQE broadcasts when they ARE a sliver) — the corpus text moves
+       through at most this one exchange.
+
+    Output: (id, clean_text, n_tokens, n_removed) for every input doc,
+    ordered by id; NULL text stays NULL."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size("t") - F.lit(k - 1)
+    starts = F.when(n >= 1, F.sequence(F.lit(1), n.cast("int"))) \
+        .otherwise(F.array().cast("array<int>"))
+    digests = F.transform(
+        starts, lambda i: F.md5(windowed_join(F.col("t"), i, k, " ")))
+
+    grams = (fan_out(docs)
+             .select(F.col(id_col).alias("id"), toks.alias("t"))
+             .select("id", F.posexplode(digests).alias("p0", "g"))
+             .select("id", (F.col("p0") + 1).alias("start"), "g"))
+    shared = (grams.groupBy("g")
+              .agg(F.min("id").alias("_owner"), F.max("id").alias("_max"))
+              .where(F.col("_max") > F.col("_owner"))
+              .select("g", "_owner"))
+    hits = (grams.join(shared, "g")
+            .where(F.col("id") > F.col("_owner"))
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_set("start")).alias("hits")))
+    base = (docs.select(F.col(id_col).alias("id"), toks.alias("t"))
+            .join(hits, "id", "left")
+            .select("id", "t",
+                    F.coalesce("hits", F.array().cast("array<int>"))
+                    .alias("hits")))
+    j_covered = lambda j: F.exists(  # noqa: E731
+        "hits", lambda h: (h <= j) & (j < h + F.lit(k)))
+    kept = F.filter(F.sequence(F.lit(1), F.size("t")),
+                    lambda j: ~j_covered(j))
+    return (base.select(
+        "id",
+        F.array_join(F.transform(kept, lambda j: F.element_at("t", j)),
+                     " ").alias("clean_text"),
+        F.size("t").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).alias("n_removed"))
+        .orderBy("id"))

@@ -39,6 +39,7 @@ NULL_SENSITIVE_KEYS = (
     "semantic_decontaminate",
     "source_unigram_kl",
     "dedup_exact",
+    "dedup_spans",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -1374,3 +1374,40 @@ def test_cluster_balanced_sample_budgets_and_determinism(spark):
     for r in flat:
         fsizes[r.cluster] = fsizes.get(r.cluster, 0) + 1
     assert len(set(fsizes.values())) == 1
+
+
+def test_dedup_spans_keeps_first_copy_and_unique_text(spark):
+    """Shared 8-gram spans survive ONLY in the lowest-id doc; unique
+    text is untouched; spans shared within a doc only (no second doc)
+    are kept; NULL text passes through NULL."""
+    from singer_spark.operators.dedup import dedup_spans
+
+    boiler = " ".join(f"b{i}" for i in range(10))     # 10-token boilerplate
+    uniq = {i: " ".join(f"u{i}x{j}" for j in range(6)) for i in range(4)}
+    rows = [
+        (1, f"{boiler} {uniq[0]}", "s"),              # owner: keeps all
+        (2, f"{uniq[1]} {boiler}", "s"),              # loses the boiler span
+        (3, f"{uniq[2]} {boiler} {uniq[3]}", "s"),    # loses the middle
+        (4, "short only", "s"),                       # < k tokens: untouched
+        (5, None, "s"),
+        (6, f"{boiler} {boiler}", "s"),               # repeated + shared
+    ]
+    docs = _docs_df(spark, rows)
+    out = {r.id: r for r in dedup_spans(docs, k=8).collect()}
+
+    assert out[1].clean_text == f"{boiler} {uniq[0]}"
+    assert out[1].n_removed == 0
+    # doc 2: every boiler token is covered by some shared 8-gram window
+    assert out[2].clean_text == uniq[1]
+    assert out[2].n_removed == 10
+    assert out[3].clean_text == f"{uniq[2]} {uniq[3]}"
+    assert out[3].n_removed == 10
+    assert out[4].clean_text == "short only" and out[4].n_removed == 0
+    assert out[5].clean_text is None and out[5].n_removed is None
+    # doc 6 is not the owner (doc 1 is): both copies cut
+    assert out[6].n_removed == 20 and out[6].clean_text == ""
+
+    # within-doc-only repetition with no second doc: kept (cross-doc op)
+    solo = _docs_df(spark, [(1, f"{boiler} {boiler}", "s")])
+    r = dedup_spans(solo, k=8).collect()[0]
+    assert r.n_removed == 0 and r.clean_text == f"{boiler} {boiler}"
