@@ -111,6 +111,10 @@ HEADLINERS = [
     "corpus_shuffle",
     "embedding_pca",
     "leakage_safe_split",
+    # round-9: DSIR selection, duplicate-span removal, topic-balanced pick
+    "dsir_sample",
+    "dedup_spans",
+    "cluster_balanced_sample",
 ]
 
 

@@ -254,7 +254,28 @@ def ops(docs: DataFrame):
         "bpe_learn+encode": lambda: _bpe(docs),
         "bpe_learn+encode_ranked": lambda: _bpe_ranked(docs),
         "corpus_shuffle": lambda: _shuffle(docs),
+        "dedup_spans": lambda: _dedup_spans(docs),
+        "dsir_sample": lambda: _dsir(docs),
     }
+
+
+def _dedup_spans(docs: DataFrame) -> DataFrame:
+    """Cross-doc duplicate-span removal: digest explode + owner agg +
+    coverage rebuild — expected ~linear (the owner agg is the
+    data-proportional shuffle)."""
+    from singer_spark.operators.dedup import dedup_spans
+
+    return dedup_spans(docs, k=8)
+
+
+def _dsir(docs: DataFrame) -> DataFrame:
+    """DSIR featurize+score+Gumbel-cut with a fixed-size target slice:
+    models stay 1024-row broadcasts at every scale — expected ~linear in
+    the featurize pass."""
+    from singer_spark.operators.text_analysis import dsir_sample
+
+    return dsir_sample(docs, docs.where(F.col("source") == "src0"),
+                       k=50, n_buckets=1024)
 
 
 def _bpe(docs: DataFrame) -> DataFrame:
@@ -372,7 +393,17 @@ def ann_ops(emb: DataFrame):
         "pq_ann_topk": lambda: pq_ann_topk(emb, q, 5),
         "ivfpq_ann_topk": lambda: ivfpq_ann_topk(emb, q, 5),
         "embedding_pca": lambda: _pca(emb),
+        "cluster_balanced": lambda: _cbs(emb),
     }
+
+
+def _cbs(emb: DataFrame) -> DataFrame:
+    """Lloyd train (2 iters, k·dim collect per iter) + assignment pass +
+    integer budgets + per-cluster md5 rank — expected ~linear (the rank
+    window partitions by cluster)."""
+    from singer_spark.operators.similarity import cluster_balanced_sample
+
+    return cluster_balanced_sample(emb, k=100, n_clusters=8, iters=2)
 
 
 def _pca(emb: DataFrame) -> DataFrame:
@@ -536,7 +567,7 @@ def skew_main(spark, sf_dir: str, k: int = 1) -> None:
 
 
 def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,
-         mode: str = "scan") -> None:
+         mode: str = "scan", only: str = "") -> None:
     from singer_spark.session import get_spark
 
     spark = get_spark("scale_probe")
@@ -590,7 +621,10 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,
         # scales cannot be dropped and accumulate into a driver OOM by 16×
         docs = make_docs(spark, sf_dir, k).persist()
         docs.count()
+        wanted = {w for w in only.split(",") if w}
         for name, build in make_ops(docs).items():
+            if wanted and name not in wanted:
+                continue
             ts = []
             for _ in range(3):
                 t0 = time.time()
@@ -617,5 +651,5 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,
 
 
 if __name__ == "__main__":
-    args = sys.argv[1:4]
+    args = sys.argv[1:5]
     main(*(int(a) if i == 1 else a for i, a in enumerate(args)))
