@@ -1273,6 +1273,18 @@ def _dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_spans(_docs(spark, sf_dir), k=8)
 
 
+def _dedup_spans_minrun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_spans with Lee et al.'s minimum duplicated-run threshold:
+    shared 8-gram windows stitch into maximal covered intervals
+    (gaps-and-islands over hit starts) and only runs of >= 12 tokens are
+    cut — incidental shared phrases survive, boilerplate runs go.  The
+    oracle replays digests -> owner -> islands (running-max window) ->
+    length filter -> coverage in plain SQL."""
+    from singer_spark.operators.dedup import dedup_spans
+
+    return dedup_spans(_docs(spark, sf_dir), k=8, min_run=12)
+
+
 def _cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-balanced selection over the embeddings table: Lloyd-train 8
     coarse clusters (2 iterations, the quantize-per-iteration replay
@@ -2468,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_ranked": _bpe_encode_ranked,
         "dsir_sample": _dsir_sample,
         "dedup_spans": _dedup_spans,
+        "dedup_spans_minrun": _dedup_spans_minrun,
         "cluster_balanced_sample": _cluster_balanced_sample,
         "bpe_fertility_by_source": _bpe_fertility_by_source,
         "source_dataset_card": _source_dataset_card,
@@ -5621,6 +5634,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id AS id,
                    (h.doc_id IS NOT NULL) AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+        "dedup_spans_minrun": """
+            -- islands of overlapping shared 8-gram windows; cut only
+            -- runs >= 12 tokens (Lee et al. minimum-length discipline)
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 7)) AS s
+                    FROM toks),
+            grams AS (SELECT doc_id, s,
+                             md5(array_to_string(t[s : s + 7], ' ')) AS g
+                      FROM pos),
+            shared AS (SELECT g, min(doc_id) AS owner FROM grams
+                       GROUP BY g HAVING max(doc_id) > min(doc_id)),
+            hit AS (SELECT DISTINCT doc_id, s FROM grams JOIN shared USING (g)
+                    WHERE doc_id > owner),
+            isl AS (SELECT doc_id, s,
+                           sum(CASE WHEN prev_hi IS NULL OR s > prev_hi + 1
+                                    THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS island
+                    FROM (SELECT doc_id, s,
+                                 max(s + 7) OVER (PARTITION BY doc_id
+                                   ORDER BY s ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND 1 PRECEDING) AS prev_hi
+                          FROM hit)),
+            iv AS (SELECT doc_id, min(s) AS lo, max(s) + 7 AS hi
+                   FROM isl GROUP BY doc_id, island
+                   HAVING max(s) + 7 - min(s) + 1 >= 12),
+            ivs AS (SELECT doc_id, list({'lo': lo, 'hi': hi}) AS hs
+                    FROM iv GROUP BY doc_id),
+            base AS (SELECT tk.doc_id, tk.t, coalesce(v.hs, []) AS hs
+                     FROM toks tk LEFT JOIN ivs v USING (doc_id)),
+            keptpos AS (SELECT doc_id, t,
+                               list_filter(range(1, len(t) + 1),
+                                 j -> len(list_filter(hs,
+                                        h -> h.lo <= j AND j <= h.hi)) = 0)
+                                 AS kp
+                        FROM base)
+            SELECT doc_id AS id,
+                   CASE WHEN t IS NULL THEN NULL ELSE
+                     coalesce(array_to_string(list_transform(kp, j -> t[j]), ' '), '')
+                   END AS clean_text,
+                   len(t)::INT AS n_tokens,
+                   (len(t) - len(kp))::INT AS n_removed
+            FROM keptpos ORDER BY id""",
         "dedup_spans": """
             -- shared 8-gram windows keep their lowest-id copy; every
             -- other doc cuts the covered tokens (Lee et al. 2022 style)

@@ -1152,7 +1152,8 @@ def dedup_normalized(docs: DataFrame, text_col: str = "text",
 
 
 def dedup_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                min_run: "int | None" = None) -> DataFrame:
     """Cross-document duplicate-SPAN removal — the corpus-internal half
     of Lee et al. 2022's exact-substring deduplication (the eval-set
     half is :func:`text_analysis.decontaminate_spans`): any k-token
@@ -1179,8 +1180,20 @@ def dedup_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
        (AQE broadcasts when they ARE a sliver) — the corpus text moves
        through at most this one exchange.
 
+    `min_run` (default k) is Lee et al.'s minimum duplicated-substring
+    length in TOKENS: overlapping/adjacent shared windows stitch into
+    maximal covered intervals (gaps-and-islands over the sorted hit
+    starts — a per-doc window, partitions bounded by doc length), and
+    only intervals of at least `min_run` tokens are cut, so an
+    incidental shared 8-gram survives while a 50-token boilerplate run
+    goes.  At min_run == k every window passes the filter and the
+    result is plain window coverage.
+
     Output: (id, clean_text, n_tokens, n_removed) for every input doc,
     ordered by id; NULL text stays NULL."""
+    min_run = k if min_run is None else int(min_run)
+    if min_run < k:
+        raise ValueError(f"min_run must be >= k ({k}), got {min_run}")
     toks = F.split(F.col(text_col), " ")
     n = F.size("t") - F.lit(k - 1)
     starts = F.when(n >= 1, F.sequence(F.lit(1), n.cast("int"))) \
@@ -1196,17 +1209,35 @@ def dedup_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
               .agg(F.min("id").alias("_owner"), F.max("id").alias("_max"))
               .where(F.col("_max") > F.col("_owner"))
               .select("g", "_owner"))
-    hits = (grams.join(shared, "g")
-            .where(F.col("id") > F.col("_owner"))
-            .groupBy("id")
-            .agg(F.sort_array(F.collect_set("start")).alias("hits")))
+    hit_rows = (grams.join(shared, "g")
+                .where(F.col("id") > F.col("_owner"))
+                .select("id", "start").distinct())
+    # gaps-and-islands: stitch overlapping/adjacent windows into maximal
+    # covered intervals, keep intervals >= min_run tokens.  The running
+    # max of prior window ends finds island breaks (a window whose start
+    # clears every previous end + 1 opens a new island).
+    w_ord = Window.partitionBy("id").orderBy("start")
+    prev_hi = F.max(F.col("start") + F.lit(k - 1)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_hi.isNull() | (F.col("start") > prev_hi + 1),
+                 F.lit(1)).otherwise(F.lit(0))
+    islands = (hit_rows
+               .withColumn("_isl", F.sum(brk).over(
+                   w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+               .groupBy("id", "_isl")
+               .agg(F.min("start").alias("_lo"),
+                    (F.max("start") + F.lit(k - 1)).alias("_hi"))
+               .where(F.col("_hi") - F.col("_lo") + 1 >= min_run))
+    hits = (islands.groupBy("id")
+            .agg(F.sort_array(F.collect_list(F.struct("_lo", "_hi")))
+                 .alias("hits")))
+    empty_ivl = F.array().cast("array<struct<_lo:int,_hi:int>>")
     base = (docs.select(F.col(id_col).alias("id"), toks.alias("t"))
             .join(hits, "id", "left")
             .select("id", "t",
-                    F.coalesce("hits", F.array().cast("array<int>"))
-                    .alias("hits")))
+                    F.coalesce("hits", empty_ivl).alias("hits")))
     j_covered = lambda j: F.exists(  # noqa: E731
-        "hits", lambda h: (h <= j) & (j < h + F.lit(k)))
+        "hits", lambda iv: (iv["_lo"] <= j) & (j <= iv["_hi"]))
     kept = F.filter(F.sequence(F.lit(1), F.size("t")),
                     lambda j: ~j_covered(j))
     return (base.select(

@@ -40,6 +40,7 @@ NULL_SENSITIVE_KEYS = (
     "source_unigram_kl",
     "dedup_exact",
     "dedup_spans",
+    "dedup_spans_minrun",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -1411,3 +1411,40 @@ def test_dedup_spans_keeps_first_copy_and_unique_text(spark):
     solo = _docs_df(spark, [(1, f"{boiler} {boiler}", "s")])
     r = dedup_spans(solo, k=8).collect()[0]
     assert r.n_removed == 0 and r.clean_text == f"{boiler} {boiler}"
+
+
+def test_dedup_spans_min_run_threshold(spark):
+    """min_run stitches overlapping shared windows into maximal runs and
+    cuts only runs >= min_run tokens: a 10-token shared boilerplate run
+    is cut at min_run=10 but kept at min_run=11; an isolated shared
+    8-gram survives any min_run > 8; min_run=k equals the default."""
+    import pytest as _pytest
+
+    from singer_spark.operators.dedup import dedup_spans
+
+    boiler = " ".join(f"b{i}" for i in range(10))         # 10-token run
+    phrase = " ".join(f"p{i}" for i in range(8))          # exactly one 8-gram
+    rows = [
+        (1, f"{boiler} one two {phrase}", "s"),           # owner of both
+        (2, f"x0 x1 x2 {boiler} y0 y1", "s"),             # shares the run
+        (3, f"z0 z1 {phrase} z2 z3", "s"),                # shares the 8-gram
+    ]
+    docs = _docs_df(spark, rows)
+
+    at10 = {r.id: r for r in dedup_spans(docs, k=8, min_run=10).collect()}
+    assert at10[2].clean_text == "x0 x1 x2 y0 y1"         # run cut
+    assert at10[2].n_removed == 10
+    assert at10[3].n_removed == 0                          # 8 < 10: kept
+    assert at10[3].clean_text == f"z0 z1 {phrase} z2 z3"
+
+    at11 = {r.id: r for r in dedup_spans(docs, k=8, min_run=11).collect()}
+    assert at11[2].n_removed == 0                          # 10 < 11: kept
+
+    # min_run = k reproduces the default exactly
+    d1 = sorted(map(tuple, dedup_spans(docs, k=8).collect()))
+    d2 = sorted(map(tuple, dedup_spans(docs, k=8, min_run=8).collect()))
+    assert d1 == d2
+    assert at10[1].n_removed == 0                          # owner untouched
+
+    with _pytest.raises(ValueError):
+        dedup_spans(docs, k=8, min_run=4)
