@@ -1262,6 +1262,17 @@ def _bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_ranked(docs, merges).orderBy("doc_id")
 
 
+def _lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding tuning table (MMDS ch.3 S-curve; datasketch
+    _optimal_param): every (b, r) split of 64 permutations with its 50%
+    crossover, probability at the 0.5 target, and uniform-prior FP/FN
+    error areas — dedup.lsh_tuning_report; closed-form arithmetic over a
+    generated grid, replayed exactly in SQL."""
+    from singer_spark.operators.dedup import lsh_tuning_report
+
+    return lsh_tuning_report(spark, n_perm=64, threshold=0.5)
+
+
 def _dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-internal duplicate-span removal (Lee et al. 2022 exact-
     substring style at 8-gram granularity): every shared 8-token window
@@ -2479,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _bpe_encode,
         "bpe_encode_ranked": _bpe_encode_ranked,
         "dsir_sample": _dsir_sample,
+        "lsh_tuning": _lsh_tuning,
         "dedup_spans": _dedup_spans,
         "dedup_spans_minrun": _dedup_spans_minrun,
         "cluster_balanced_sample": _cluster_balanced_sample,
@@ -5634,6 +5646,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id AS id,
                    (h.doc_id IS NOT NULL) AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+        "lsh_tuning": """
+            WITH splits AS (
+              SELECT b, 64 // b AS r FROM generate_series(1, 64) t(b)
+              WHERE 64 % b = 0),
+            grid AS (SELECT i / 100.0 AS s FROM generate_series(1, 99) g(i)),
+            per AS (SELECT b, r, s,
+                           1 - pow(1 - pow(s, r), b) AS p
+                    FROM splits CROSS JOIN grid),
+            agg AS (SELECT b, r,
+                           sum(CASE WHEN s < 0.5 THEN p * 0.01 ELSE 0 END) AS fp,
+                           sum(CASE WHEN s >= 0.5 THEN (1 - p) * 0.01 ELSE 0 END) AS fn
+                    FROM per GROUP BY b, r)
+            SELECT b, r,
+                   floor(pow(1.0 / b, 1.0 / r) * 1000000 + 0.5) / 1000000 AS s50,
+                   floor((1 - pow(1 - pow(0.5, r), b)) * 1000000 + 0.5) / 1000000
+                     AS p_at_threshold,
+                   floor(fp * 1000000 + 0.5) / 1000000 AS fp_area,
+                   floor(fn * 1000000 + 0.5) / 1000000 AS fn_area,
+                   floor((fp + fn) * 1000000 + 0.5) / 1000000 AS total_err
+            FROM agg ORDER BY b""",
         "dedup_spans_minrun": """
             -- islands of overlapping shared 8-gram windows; cut only
             -- runs >= 12 tokens (Lee et al. minimum-length discipline)

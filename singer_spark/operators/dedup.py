@@ -1247,3 +1247,55 @@ def dedup_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
         F.size("t").alias("n_tokens"),
         (F.size("t") - F.size(kept)).alias("n_removed"))
         .orderBy("id"))
+
+
+def lsh_tuning_report(spark, n_perm: int = 64, threshold: float = 0.5,
+                      grid: int = 99) -> DataFrame:
+    """Banding-parameter tuning table for the MinHash-LSH family — the
+    (bands, rows) selection every LSH deployment does before indexing
+    (datasketch's `_optimal_param`; Leskovec/Rajaraman/Ullman MMDS ch.3
+    S-curve analysis): for every divisor split b·r = n_perm, the
+    candidate probability at similarity s is p(s) = 1 − (1 − s^r)^b.
+    The report gives each split's MMDS threshold approximation
+    (1/b)^(1/r) (where the S-curve rises steeply), its
+    probability at the target threshold, and Riemann false-positive /
+    false-negative areas against the target on a `grid`-point uniform
+    similarity grid (fp = Σ_{s<t} p(s)Δs, fn = Σ_{s≥t} (1−p(s))Δs —
+    the uniform-prior error masses the MMDS analysis integrates).
+
+    Pure closed-form arithmetic over a generated (split × grid) frame —
+    no corpus scan, replays exactly in SQL, and at any corpus scale the
+    cost is O(d(n_perm)·grid) rows.  Pick the row minimizing total_err
+    (or bias fn down for dedup, fp down for candidate-budgeted joins)
+    and feed (b, r) to `minhash_lsh_pairs`.
+
+    Output: (b, r, s50 [=(1/b)^(1/r)], p_at_threshold, fp_area,
+    fn_area, total_err)
+    qround(1e-6), ordered by b."""
+    from singer_spark.functions import qround
+
+    t = float(threshold)
+    splits = spark.createDataFrame(
+        [(b, n_perm // b) for b in range(1, n_perm + 1) if n_perm % b == 0],
+        "b int, r int")
+    g = spark.range(1, grid + 1).select(
+        (F.col("id") / F.lit(float(grid + 1))).alias("s"))
+    p = 1 - F.pow(1 - F.pow(F.col("s"), F.col("r")), F.col("b"))
+    ds = 1.0 / float(grid + 1)
+    per = (splits.crossJoin(g)
+           .select("b", "r", "s", p.alias("p")))
+    agg = (per.groupBy("b", "r")
+           .agg(F.sum(F.when(F.col("s") < t, F.col("p") * ds)
+                      .otherwise(F.lit(0.0))).alias("_fp"),
+                F.sum(F.when(F.col("s") >= t, (1 - F.col("p")) * ds)
+                      .otherwise(F.lit(0.0))).alias("_fn")))
+    s50 = F.pow(1.0 / F.col("b"), 1.0 / F.col("r"))
+    p_at_t = 1 - F.pow(1 - F.pow(F.lit(t), F.col("r")), F.col("b"))
+    return (agg.select(
+        "b", "r",
+        qround(s50, 6).alias("s50"),
+        qround(p_at_t, 6).alias("p_at_threshold"),
+        qround(F.col("_fp"), 6).alias("fp_area"),
+        qround(F.col("_fn"), 6).alias("fn_area"),
+        qround(F.col("_fp") + F.col("_fn"), 6).alias("total_err"))
+        .orderBy("b"))

@@ -1448,3 +1448,33 @@ def test_dedup_spans_min_run_threshold(spark):
 
     with _pytest.raises(ValueError):
         dedup_spans(docs, k=8, min_run=4)
+
+
+def test_lsh_tuning_report_s_curve_properties(spark):
+    """The tuning table's rows are the exact S-curve facts: every
+    divisor split of n_perm appears, s50 satisfies the MMDS identity
+    b * s50^r == 1, more bands shift the threshold left (more
+    permissive), and the error areas are consistent with the curve's
+    shape."""
+    from singer_spark.operators.dedup import lsh_tuning_report
+
+    rep = {(r.b, r.r): r for r in
+           lsh_tuning_report(spark, n_perm=64, threshold=0.5).collect()}
+    assert set(rep) == {(b, 64 // b) for b in range(1, 65) if 64 % b == 0}
+    for (b, r), row in rep.items():
+        # (1/b)^(1/r): the MMDS steep-rise threshold approximation
+        assert abs(b * row.s50 ** r - 1.0) < 1e-4
+        assert 0 <= row.fp_area and 0 <= row.fn_area
+        assert abs(row.total_err - (row.fp_area + row.fn_area)) < 2e-6
+        # brute-force the areas on the same grid
+        fp = sum((1 - (1 - (i / 100.0) ** r) ** b) * 0.01
+                 for i in range(1, 50))
+        fn = sum((1 - (1 - (1 - (i / 100.0) ** r) ** b)) * 0.01
+                 for i in range(50, 100))
+        assert abs(row.fp_area - fp) < 1e-5 and abs(row.fn_area - fn) < 1e-5
+    # bands up -> crossover down
+    s50s = [rep[(b, 64 // b)].s50 for b in (1, 4, 16, 64)]
+    assert s50s == sorted(s50s, reverse=True)
+    # the classic b=16,r=4 region should beat the degenerate ends at t=0.5
+    assert rep[(16, 4)].total_err < rep[(1, 64)].total_err
+    assert rep[(16, 4)].total_err < rep[(64, 1)].total_err
