@@ -1683,10 +1683,6 @@ def bpe_learn_merges_local(docs: DataFrame, n_merges: int = 12,
     tokenizer trainer; spec is Sennrich et al. 2016 §3.2.
 
     Output schema identical to :func:`bpe_learn_merges`."""
-    import heapq
-    from collections import defaultdict
-
-    S3 = "\x03"
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     words_df = (docs.select(F.explode(
         F.filter(F.split(text, " "), lambda t: t != "")).alias("word"))
@@ -1700,9 +1696,25 @@ def bpe_learn_merges_local(docs: DataFrame, n_merges: int = 12,
                     .orderBy(F.col("freq").desc(), F.col("word").asc())
                     .limit(max_vocab))
     vocab = words_df.collect()
+    merges = _bpe_local_loop([(r.word, int(r.freq)) for r in vocab],
+                             n_merges)
+    return docs.sparkSession.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, "
+                "merged string, pair_freq bigint")
 
-    words = [tuple(r.word) for r in vocab]
-    freqs = [int(r.freq) for r in vocab]
+
+def _bpe_local_loop(vocab: "list[tuple[str, int]]",
+                    n_merges: int) -> "list[tuple]":
+    """The driver-side merge loop of :func:`bpe_learn_merges_local`,
+    factored pure so the incremental pair statistics and the lazy heap
+    can be property-tested against a naive recount reference without a
+    SparkSession.  Returns [(step, left, right, merged, pair_freq)]."""
+    import heapq
+    from collections import defaultdict
+
+    S3 = "\x03"
+    words = [tuple(w) for w, _ in vocab]
+    freqs = [int(f) for _, f in vocab]
     pair_cnt: "defaultdict[tuple[str, str], int]" = defaultdict(int)
     pair_words: "defaultdict[tuple[str, str], set[int]]" = defaultdict(set)
     heap: "list[tuple[int, str, tuple[str, str]]]" = []
@@ -1760,9 +1772,7 @@ def bpe_learn_merges_local(docs: DataFrame, n_merges: int = 12,
                 pair_cnt[p] += f
                 pair_words[p].add(i)
                 push(p)
-    return docs.sparkSession.createDataFrame(
-        merges, "step int, left_sym string, right_sym string, "
-                "merged string, pair_freq bigint")
+    return merges
 
 
 def bpe_encode(docs: DataFrame, merges: "list[tuple[str, str]]",

@@ -1478,3 +1478,57 @@ def test_lsh_tuning_report_s_curve_properties(spark):
     # the classic b=16,r=4 region should beat the degenerate ends at t=0.5
     assert rep[(16, 4)].total_err < rep[(1, 64)].total_err
     assert rep[(16, 4)].total_err < rep[(64, 1)].total_err
+
+
+def test_bpe_local_loop_matches_naive_recount():
+    """Property test for the incremental pair statistics + lazy max-heap:
+    on random small vocabularies the factored driver loop must equal a
+    naive reference that recounts every pair from scratch each step
+    (argmax by count desc then pair-string asc with the \\x03 separator,
+    scan-left non-overlapping merge)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from singer_spark.operators.text_analysis import _bpe_local_loop
+
+    def naive(vocab, n_merges):
+        words = {i: tuple(w) for i, (w, _) in enumerate(vocab)}
+        freqs = [f for _, f in vocab]
+        out = []
+        for step in range(1, n_merges + 1):
+            cnt = Counter()
+            for i, s in words.items():
+                for p in zip(s, s[1:]):
+                    cnt[p] += freqs[i]
+            live = [(c, p) for p, c in cnt.items() if c > 0]
+            if not live:
+                break
+            best = min(live, key=lambda cp: (-cp[0],
+                                             cp[1][0] + "\x03" + cp[1][1]))
+            (c, (a, b)) = best
+            out.append((step, a, b, a + b, c))
+            for i, s in words.items():
+                ns, j = [], 0
+                while j < len(s):
+                    if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                        ns.append(a + b)
+                        j += 2
+                    else:
+                        ns.append(s[j])
+                        j += 1
+                words[i] = tuple(ns)
+        return out
+
+    word = st.text(alphabet="abc", min_size=1, max_size=8)
+    vocab_s = st.lists(
+        st.tuples(word, st.integers(min_value=1, max_value=9)),
+        min_size=1, max_size=12, unique_by=lambda t: t[0])
+
+    @settings(max_examples=200, deadline=None)
+    @given(vocab_s, st.integers(min_value=1, max_value=10))
+    def check(vocab, n):
+        assert _bpe_local_loop(vocab, n) == naive(vocab, n)
+
+    check()
