@@ -1262,6 +1262,20 @@ def _bpe_encode_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_ranked(docs, merges).orderBy("doc_id")
 
 
+def _dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment span dedup: history = docs with doc_id % 7 == 0
+    (their distinct 8-gram digests are the accumulated state), increment
+    = the rest; cut windows seen in history OR duplicated within the
+    increment (owner = lowest id) — dedup.dedup_spans_incremental.  The
+    oracle replays both hit sources and the coverage rebuild in SQL."""
+    from singer_spark.operators.dedup import dedup_spans_incremental, span_grams
+
+    docs = _docs(spark, sf_dir)
+    seen = span_grams(docs.where(F.col("doc_id") % 7 == 0), k=8)
+    inc = docs.where(F.col("doc_id") % 7 != 0)
+    return dedup_spans_incremental(inc, seen, k=8)
+
+
 def _lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding tuning table (MMDS ch.3 S-curve; datasketch
     _optimal_param): every (b, r) split of 64 permutations with its 50%
@@ -2493,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_tuning": _lsh_tuning,
         "dedup_spans": _dedup_spans,
         "dedup_spans_minrun": _dedup_spans_minrun,
+        "dedup_spans_incremental": _dedup_spans_incremental,
         "cluster_balanced_sample": _cluster_balanced_sample,
         "bpe_fertility_by_source": _bpe_fertility_by_source,
         "source_dataset_card": _source_dataset_card,
@@ -5646,6 +5661,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id AS id,
                    (h.doc_id IS NOT NULL) AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
+        "dedup_spans_incremental": """
+            -- increment (doc_id % 7 <> 0) cut against history digests
+            -- (doc_id % 7 = 0) plus increment-internal owner rule
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id % 7 <> 0),
+            htoks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE doc_id % 7 = 0),
+            pos AS (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 7)) AS s
+                    FROM toks),
+            grams AS (SELECT doc_id, s,
+                             md5(array_to_string(t[s : s + 7], ' ')) AS g
+                      FROM pos),
+            hgrams AS (SELECT DISTINCT
+                              md5(array_to_string(t[s : s + 7], ' ')) AS g
+                       FROM (SELECT t, unnest(generate_series(1, len(t) - 7))
+                               AS s FROM htoks)),
+            hhit AS (SELECT doc_id, s FROM grams
+                     WHERE g IN (SELECT g FROM hgrams)),
+            shared AS (SELECT g, min(doc_id) AS owner FROM grams
+                       GROUP BY g HAVING max(doc_id) > min(doc_id)),
+            ihit AS (SELECT doc_id, s FROM grams JOIN shared USING (g)
+                     WHERE doc_id > owner),
+            hit AS (SELECT DISTINCT doc_id, s FROM
+                    (SELECT * FROM hhit UNION ALL SELECT * FROM ihit)),
+            hits AS (SELECT doc_id, list(DISTINCT s ORDER BY s) AS hs
+                     FROM hit GROUP BY doc_id),
+            base AS (SELECT tk.doc_id, tk.t,
+                            coalesce(h.hs, []::BIGINT[]) AS hs
+                     FROM toks tk LEFT JOIN hits h USING (doc_id)),
+            keptpos AS (SELECT doc_id, t,
+                               list_filter(range(1, len(t) + 1),
+                                 j -> len(list_filter(hs,
+                                        h -> h <= j AND j < h + 8)) = 0) AS kp
+                        FROM base)
+            SELECT doc_id AS id,
+                   CASE WHEN t IS NULL THEN NULL ELSE
+                     coalesce(array_to_string(list_transform(kp, j -> t[j]), ' '), '')
+                   END AS clean_text,
+                   len(t)::INT AS n_tokens,
+                   (len(t) - len(kp))::INT AS n_removed
+            FROM keptpos ORDER BY id""",
         "lsh_tuning": """
             WITH splits AS (
               SELECT b, 64 // b AS r FROM generate_series(1, 64) t(b)

@@ -1194,17 +1194,7 @@ def dedup_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
     min_run = k if min_run is None else int(min_run)
     if min_run < k:
         raise ValueError(f"min_run must be >= k ({k}), got {min_run}")
-    toks = F.split(F.col(text_col), " ")
-    n = F.size("t") - F.lit(k - 1)
-    starts = F.when(n >= 1, F.sequence(F.lit(1), n.cast("int"))) \
-        .otherwise(F.array().cast("array<int>"))
-    digests = F.transform(
-        starts, lambda i: F.md5(windowed_join(F.col("t"), i, k, " ")))
-
-    grams = (fan_out(docs)
-             .select(F.col(id_col).alias("id"), toks.alias("t"))
-             .select("id", F.posexplode(digests).alias("p0", "g"))
-             .select("id", (F.col("p0") + 1).alias("start"), "g"))
+    grams = span_grams(docs, k, text_col, id_col, positional=True)
     shared = (grams.groupBy("g")
               .agg(F.min("id").alias("_owner"), F.max("id").alias("_max"))
               .where(F.col("_max") > F.col("_owner"))
@@ -1212,10 +1202,40 @@ def dedup_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
     hit_rows = (grams.join(shared, "g")
                 .where(F.col("id") > F.col("_owner"))
                 .select("id", "start").distinct())
-    # gaps-and-islands: stitch overlapping/adjacent windows into maximal
-    # covered intervals, keep intervals >= min_run tokens.  The running
-    # max of prior window ends finds island breaks (a window whose start
-    # clears every previous end + 1 opens a new island).
+    return _rebuild_without_spans(docs, hit_rows, k, min_run,
+                                  text_col, id_col)
+
+
+def span_grams(docs: DataFrame, k: int = 8, text_col: str = "text",
+               id_col: str = "doc_id",
+               positional: bool = False) -> DataFrame:
+    """Positional k-gram window digests — the shared featurizer of the
+    span-dedup family and the STATE table of its incremental variant
+    (persist `span_grams(batch).select("g").distinct()` unioned across
+    increments; 16 bytes per corpus token).  Returns (id, start, g) with
+    `positional`, else DISTINCT (g)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size("t") - F.lit(k - 1)
+    starts = F.when(n >= 1, F.sequence(F.lit(1), n.cast("int"))) \
+        .otherwise(F.array().cast("array<int>"))
+    digests = F.transform(
+        starts, lambda i: F.md5(windowed_join(F.col("t"), i, k, " ")))
+    grams = (fan_out(docs)
+             .select(F.col(id_col).alias("id"), toks.alias("t"))
+             .select("id", F.posexplode(digests).alias("p0", "g"))
+             .select("id", (F.col("p0") + 1).alias("start"), "g"))
+    return grams if positional else grams.select("g").distinct()
+
+
+def _rebuild_without_spans(docs: DataFrame, hit_rows: DataFrame, k: int,
+                           min_run: int, text_col: str,
+                           id_col: str) -> DataFrame:
+    """Shared back half of the span-dedup family: stitch hit window
+    starts (id, start) into maximal covered intervals (gaps-and-islands
+    — the running max of prior window ends finds island breaks), keep
+    intervals >= min_run tokens, and rebuild each doc's text by
+    filtering covered token positions."""
+    toks = F.split(F.col(text_col), " ")
     w_ord = Window.partitionBy("id").orderBy("start")
     prev_hi = F.max(F.col("start") + F.lit(k - 1)).over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1))
@@ -1247,6 +1267,68 @@ def dedup_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
         F.size("t").alias("n_tokens"),
         (F.size("t") - F.size(kept)).alias("n_removed"))
         .orderBy("id"))
+
+
+def dedup_spans_incremental(new_docs: DataFrame, seen_grams: DataFrame,
+                            k: int = 8, min_run: "int | None" = None,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_bits: "int | None" = None,
+                            num_hashes: int = 4) -> DataFrame:
+    """:func:`dedup_spans` in the daily-increment pattern: cut from the
+    increment every k-token window whose digest exists in the
+    accumulated `seen_grams` state (one DISTINCT-digest column `g` —
+    maintain it by appending `span_grams(increment)` after each batch)
+    PLUS the increment-internal duplicates (owner = lowest id keeps its
+    copy, exactly :func:`dedup_spans`).  The increment never re-reads
+    historical text — only its 16-byte digests.
+
+    `num_bits` switches the history probe to a broadcast Bloom
+    prefilter (:func:`bloom_from_sigs` over `seen_grams`): window
+    digests that are definitely-unseen skip the history join entirely,
+    and maybe-seen rows are confirmed by the exact semi-join — output
+    BIT-IDENTICAL to the exact path, the shuffle shrunk to the
+    actually-duplicated tail (the right shape when the history dwarfs
+    the increment; a pytest pins bloom == exact).
+
+    Output: (id, clean_text, n_tokens, n_removed) over the increment,
+    ordered by id."""
+    min_run = k if min_run is None else int(min_run)
+    if min_run < k:
+        raise ValueError(f"min_run must be >= k ({k}), got {min_run}")
+    grams = span_grams(new_docs, k, text_col, id_col, positional=True)
+
+    probe = grams
+    if num_bits:
+        spark = new_docs.sparkSession
+        bloom = bloom_from_sigs(seen_grams.select("g"), "g",
+                                num_bits, num_hashes)
+        bc = spark.sparkContext.broadcast(bloom)
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def might_contain(pos: pd.Series) -> pd.Series:
+            bits = np.frombuffer(bc.value, dtype=np.uint8)
+            if len(pos) == 0:
+                return pd.Series([], dtype="bool")
+            idx = np.stack([np.asarray(a, dtype=np.int64) for a in pos])
+            hit = (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+            return pd.Series(hit.all(axis=1))
+
+        probe = grams.where(might_contain(
+            F.array(*_bloom_position_cols("g", num_bits, num_hashes))))
+    hist_hits = (probe.join(seen_grams.select("g"), "g", "left_semi")
+                 .select("id", "start"))
+    shared = (grams.groupBy("g")
+              .agg(F.min("id").alias("_owner"), F.max("id").alias("_max"))
+              .where(F.col("_max") > F.col("_owner"))
+              .select("g", "_owner"))
+    intra_hits = (grams.join(shared, "g")
+                  .where(F.col("id") > F.col("_owner"))
+                  .select("id", "start"))
+    hit_rows = hist_hits.unionByName(intra_hits).distinct()
+    return _rebuild_without_spans(new_docs, hit_rows, k, min_run,
+                                  text_col, id_col)
 
 
 def lsh_tuning_report(spark, n_perm: int = 64, threshold: float = 0.5,

@@ -41,6 +41,7 @@ NULL_SENSITIVE_KEYS = (
     "dedup_exact",
     "dedup_spans",
     "dedup_spans_minrun",
+    "dedup_spans_incremental",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -1532,3 +1532,44 @@ def test_bpe_local_loop_matches_naive_recount():
         assert _bpe_local_loop(vocab, n) == naive(vocab, n)
 
     check()
+
+
+def test_dedup_spans_incremental_history_and_bloom_parity(spark):
+    """Increment windows seen in history are cut even with no duplicate
+    inside the increment; intra-increment duplicates keep their owner
+    copy; the Bloom-prefiltered path is bit-identical to the exact one;
+    state maintenance via span_grams round-trips."""
+    from singer_spark.operators.dedup import (
+        dedup_spans_incremental,
+        span_grams,
+    )
+
+    boiler = " ".join(f"h{i}" for i in range(9))
+    hist = _docs_df(spark, [(1, f"{boiler} old tail", "s")])
+    seen = span_grams(hist, k=8)
+
+    intra = " ".join(f"d{i}" for i in range(8))
+    inc = _docs_df(spark, [
+        (10, f"{boiler} fresh u1 u2", "s"),      # history hit
+        (11, f"n0 n1 {intra}", "s"),             # owner of intra dup
+        (12, f"{intra} m0 m1", "s"),             # loses it
+        (13, "totally unique text here now", "s"),
+    ])
+    exact = {r.id: r for r in dedup_spans_incremental(inc, seen, k=8)
+             .collect()}
+    assert exact[10].n_removed == 9 and exact[10].clean_text == "fresh u1 u2"
+    assert exact[11].n_removed == 0
+    assert exact[12].n_removed == 8 and exact[12].clean_text == "m0 m1"
+    assert exact[13].n_removed == 0
+
+    bloomed = {r.id: r for r in dedup_spans_incremental(
+        inc, seen, k=8, num_bits=1 << 16).collect()}
+    assert {i: tuple(r) for i, r in exact.items()} == \
+        {i: tuple(r) for i, r in bloomed.items()}
+
+    # appending the increment's grams makes its text history for the next
+    # increment: a verbatim re-submission is fully cut
+    seen2 = seen.unionByName(span_grams(inc, k=8)).distinct()
+    resub = _docs_df(spark, [(20, f"{intra} m0 m1", "s")])
+    again = dedup_spans_incremental(resub, seen2, k=8).collect()[0]
+    assert again.n_removed == again.n_tokens and again.clean_text == ""
