@@ -1573,3 +1573,69 @@ def test_dedup_spans_incremental_history_and_bloom_parity(spark):
     resub = _docs_df(spark, [(20, f"{intra} m0 m1", "s")])
     again = dedup_spans_incremental(resub, seen2, k=8).collect()[0]
     assert again.n_removed == again.n_tokens and again.clean_text == ""
+
+
+def test_dedup_spans_randomized_bruteforce_parity(spark):
+    """30 seeded random corpora (tiny alphabet → dense shared windows,
+    seam-heavy) against a brute-force reference of the full pipeline:
+    owner rule, island stitching, min_run filter, coverage rebuild.
+    Corpora ride in ONE DataFrame (tokens prefixed with the corpus id so
+    digests can't collide across corpora) — two Spark actions total."""
+    import random
+
+    from singer_spark.operators.dedup import dedup_spans
+
+    rng = random.Random(909)
+    k = 3
+    corpora = {}
+    rows = []
+    for c in range(30):
+        docs = {}
+        for d in range(rng.randint(2, 5)):
+            L = rng.randint(0, 14)
+            docs[d] = [f"c{c}w{rng.randint(0, 3)}" for _ in range(L)]
+            rows.append((c * 100 + d, " ".join(docs[d]), "s"))
+        corpora[c] = docs
+
+    def brute(docs, min_run):
+        # the engine tokenizer is split(text, " ") UNfiltered: empty text
+        # is one empty token (n_tokens 1), matching the SQL twin
+        docs = {d: " ".join(t).split(" ") for d, t in docs.items()}
+        grams = {}
+        for d, toks in docs.items():
+            for s in range(len(toks) - k + 1):
+                grams.setdefault(tuple(toks[s:s + k]), []).append((d, s + 1))
+        hits = {}
+        for g, occ in grams.items():
+            ds = {d for d, _ in occ}
+            if len(ds) < 2:
+                continue
+            owner = min(ds)
+            for d, s in occ:
+                if d > owner:
+                    hits.setdefault(d, set()).add(s)
+        out = {}
+        for d, toks in docs.items():
+            starts = sorted(hits.get(d, ()))
+            ivls, cur = [], None
+            for s in starts:
+                lo, hi = s, s + k - 1
+                if cur and lo <= cur[1] + 1:
+                    cur[1] = max(cur[1], hi)
+                else:
+                    cur = [lo, hi]
+                    ivls.append(cur)
+            ivls = [iv for iv in ivls if iv[1] - iv[0] + 1 >= min_run]
+            kept = [t for j, t in enumerate(toks, start=1)
+                    if not any(lo <= j <= hi for lo, hi in ivls)]
+            out[d] = (" ".join(kept), len(toks), len(toks) - len(kept))
+        return out
+
+    df = _docs_df(spark, rows)
+    for min_run in (3, 5):
+        got = {r.id: (r.clean_text, r.n_tokens, r.n_removed)
+               for r in dedup_spans(df, k=k, min_run=min_run).collect()}
+        for c, docs in corpora.items():
+            want = brute(docs, min_run)
+            for d, exp in want.items():
+                assert got[c * 100 + d] == exp, (c, d, min_run)
