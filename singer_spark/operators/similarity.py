@@ -1347,8 +1347,13 @@ def cluster_balanced_sample(corpus: DataFrame, k: int = 100,
          else _centroid_matrix(ivf_train_centroids(
              corpus, n_clusters=n_clusters, iters=iters,
              id_col=id_col, vec_col=vec_col)))
-    assigned = _assign_to_centroids(corpus, C, id_col, vec_col) \
-        .select(id_col, "cluster")
+    from singer_spark.functions import maybe_persist
+
+    # the assignment feeds two DAG branches (cluster counts AND the
+    # ranked pick); without a persist the Arrow pass runs twice
+    assigned = maybe_persist(
+        _assign_to_centroids(corpus, C, id_col, vec_col)
+        .select(id_col, "cluster"), True)
     counts = assigned.groupBy("cluster").agg(F.count("*").alias("_cnt"))
     wq = counts.select(
         "cluster",
