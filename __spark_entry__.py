@@ -1335,7 +1335,8 @@ def _dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.operators.text_analysis import dsir_sample
 
     docs = _docs(spark, sf_dir)
-    return dsir_sample(docs, docs.where(F.col("source") == "src0"),
+    # Column-predicate target: one corpus featurize feeds both models
+    return dsir_sample(docs, F.col("source") == "src0",
                        k=50, n_buckets=1024)
 
 

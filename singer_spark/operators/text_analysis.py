@@ -2032,7 +2032,7 @@ def source_unigram_kl(docs: DataFrame, smoothing: float = 0.5,
 # ---------------------------------------------------------------------------
 # DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
 # ---------------------------------------------------------------------------
-def dsir_log_weights(docs: DataFrame, target: DataFrame,
+def dsir_log_weights(docs: DataFrame, target: "DataFrame | Column",
                      n_buckets: int = 1024, smoothing: float = 0.5,
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
@@ -2058,24 +2058,35 @@ def dsir_log_weights(docs: DataFrame, target: DataFrame,
     product).  Output: (id_col, log_weight DOUBLE, n_grams BIGINT) —
     log_weight UNROUNDED (callers round after any further arithmetic,
     e.g. :func:`dsir_sample`'s Gumbel perturbation)."""
+    from pyspark.sql import Column
+
     from singer_spark.functions import maybe_persist
     from singer_spark.operators.dedup import raw_shingles_col
 
     a, B = float(smoothing), int(n_buckets)
+    predicate = target if isinstance(target, Column) else None
 
-    def grams(df: DataFrame) -> DataFrame:
+    def grams(df: DataFrame, flag: "Column | None" = None) -> DataFrame:
         toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
         feats = F.concat(
             F.coalesce(toks, F.array().cast("array<string>")),
             raw_shingles_col(text_col, 2))
-        return (fan_out(df)
-                .select(F.col(id_col).alias("_id"), F.explode(feats)
-                        .alias("_g"))
-                .select("_id", (md5_int(F.col("_g")) % B).alias("_b")))
+        cols = [F.col(id_col).alias("_id"), F.explode(feats).alias("_g")]
+        if flag is not None:
+            cols.append(flag.alias("_tgt"))
+        out = fan_out(df).select(*cols)
+        keep = ["_id", (md5_int(F.col("_g")) % B).alias("_b")] +             (["_tgt"] if flag is not None else [])
+        return out.select(*keep)
 
-    raw_grams = maybe_persist(grams(docs), True)
+    # target as a boolean Column over `docs` (the common "one domain of
+    # this corpus" case): featurize ONCE, flag rows, and derive both
+    # models from the same persisted gram frame — one corpus scan
+    # instead of two.  A separate target DataFrame still works.
+    raw_grams = maybe_persist(grams(docs, predicate), True)
     raw_model = raw_grams.groupBy("_b").agg(F.count("*").alias("_rc"))
-    tgt_model = grams(target).groupBy("_b").agg(F.count("*").alias("_tc"))
+    tgt_grams = (raw_grams.where(F.col("_tgt")) if predicate is not None
+                 else grams(target))
+    tgt_model = tgt_grams.groupBy("_b").agg(F.count("*").alias("_tc"))
     raw_tot = raw_model.agg(F.sum("_rc").alias("_rT"))
     tgt_tot = tgt_model.agg(F.coalesce(F.sum("_tc"), F.lit(0)).alias("_tT"))
 
@@ -2101,7 +2112,7 @@ def dsir_log_weights(docs: DataFrame, target: DataFrame,
                     F.coalesce("n_grams", F.lit(0)).alias("n_grams")))
 
 
-def dsir_sample(docs: DataFrame, target: DataFrame, k: int = 50,
+def dsir_sample(docs: DataFrame, target: "DataFrame | Column", k: int = 50,
                 n_buckets: int = 1024, smoothing: float = 0.5,
                 text_col: str = "text", id_col: str = "doc_id",
                 salt: str = "dsir") -> DataFrame:

@@ -1639,3 +1639,22 @@ def test_dedup_spans_randomized_bruteforce_parity(spark):
             want = brute(docs, min_run)
             for d, exp in want.items():
                 assert got[c * 100 + d] == exp, (c, d, min_run)
+
+
+def test_dsir_column_target_equals_dataframe_target(spark):
+    """The single-scan Column-predicate fast path must produce exactly
+    the weights of the two-scan DataFrame-target path."""
+    from singer_spark.operators.text_analysis import dsir_log_weights
+
+    rows = [(i, f"alpha beta t{i}" if i < 5 else f"delta eps r{i}",
+             "tgt" if i < 5 else "other") for i in range(10)]
+    docs = _docs_df(spark, rows)
+    via_df = {r.doc_id: (r.log_weight, r.n_grams)
+              for r in dsir_log_weights(
+                  docs, docs.where(F.col("source") == "tgt"),
+                  n_buckets=64).collect()}
+    via_col = {r.doc_id: (r.log_weight, r.n_grams)
+               for r in dsir_log_weights(
+                   docs, F.col("source") == "tgt",
+                   n_buckets=64).collect()}
+    assert via_df == via_col
