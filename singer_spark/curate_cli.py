@@ -27,7 +27,11 @@ def main(argv: list[str] | None = None) -> None:
                    help="quality-score floor (negative disables)")
     p.add_argument("--no-repetition-screen", action="store_true")
     p.add_argument("--dedup", default="exact",
-                   choices=["none", "exact", "minhash", "semantic"])
+                   choices=["none", "exact", "minhash", "semantic",
+                            "spans"])
+    p.add_argument("--span-min-run", type=int, default=16,
+                   help="spans backend: cut duplicated runs of >= this "
+                        "many tokens (Lee et al. minimum length)")
     p.add_argument("--benchmark", default=None,
                    help="eval-set parquet for k-gram decontamination")
     p.add_argument("--decontaminate-mode", default="drop",
@@ -62,6 +66,7 @@ def main(argv: list[str] | None = None) -> None:
         min_quality=None if args.min_quality < 0 else args.min_quality,
         repetition_screen=not args.no_repetition_screen,
         dedup=args.dedup,
+        span_min_run=args.span_min_run,
         decontaminate_mode=args.decontaminate_mode,
         split=not args.no_split,
     )

@@ -28,8 +28,14 @@ class CurationConfig:
     lang: str | None = "en"               # keep docs whose lang-id predicts this
     min_quality: float | None = 0.5       # quality_features score floor
     repetition_screen: bool = True        # C4/Gopher repetition keep-flag
-    dedup: str = "exact"                  # none | exact | minhash | semantic
+    dedup: str = "exact"                  # none | exact | minhash | semantic | spans
     minhash_threshold: float = 0.5
+    # spans backend: cut duplicated runs of >= span_min_run tokens
+    # (Lee et al. 2022 style, dedup_spans) instead of dropping whole
+    # docs; rewritten docs get whitespace-rejoined text (the
+    # decontaminate_mode="spans" caveat), docs cut to nothing drop
+    span_k: int = 8
+    span_min_run: int = 16
     semantic_threshold: float = 0.995
     decontaminate_k: int = 8              # k-gram size for the benchmark gate
     # drop (whole doc) | spans (cut the shared k-gram windows).  spans
@@ -136,6 +142,22 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
                                threshold=cfg.semantic_threshold, id_col=id_col)
                 .filter(F.col("keep")).select(id_col))
         out = out.join(keep, id_col, "left_semi")
+    elif cfg.dedup == "spans":
+        from singer_spark.operators.dedup import dedup_spans
+
+        spans = dedup_spans(docs, k=cfg.span_k, text_col=text_col,
+                            id_col=id_col, min_run=cfg.span_min_run)
+        repl = spans.where((F.col("clean_text") != "")
+                           | (F.col("n_removed") == 0)).select(
+            F.col("id").alias(id_col),
+            F.col("clean_text").alias("_clean_text"),
+            F.col("n_removed").alias("_n_removed"))
+        out = (out.join(repl, id_col)
+               .withColumn(text_col,
+                           F.when(F.col("_n_removed") > 0,
+                                  F.col("_clean_text"))
+                           .otherwise(F.col(text_col)))
+               .drop("_clean_text", "_n_removed"))
     elif cfg.dedup != "none":
         raise ValueError(f"unknown dedup backend {cfg.dedup!r}")
     if cfg.split:

@@ -132,3 +132,26 @@ def test_curate_spans_mode_keeps_empty_original_docs(spark):
     assert 1 in out and 2 in out          # empty originals survive
     assert out[3] == "alpha beta\tgamma\ndelta epsilon"  # untouched bytes kept
     assert 4 in out and len(out[4]) < 55  # contaminated doc rewritten shorter
+
+
+def test_curate_spans_dedup_backend(spark):
+    """dedup='spans' rewrites duplicated runs >= span_min_run instead of
+    dropping docs: the non-owner loses the run, keeps its unique tail,
+    and survives; a doc cut to nothing drops; other gates off."""
+    from singer_spark.curation import CurationConfig, curate
+
+    boiler = " ".join(f"b{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, f"{boiler} unique one", "s"),
+         (2, f"{boiler} other tail", "s"),
+         (3, boiler, "s"),
+         (4, "independent text entirely", "s")],
+        "doc_id bigint, text string, source string")
+    cfg = CurationConfig(lang=None, min_quality=None,
+                         repetition_screen=False, split=False,
+                         dedup="spans", span_k=8, span_min_run=16)
+    out = {r.doc_id: r.text for r in curate(docs, cfg).collect()}
+    assert out[1] == f"{boiler} unique one"      # owner keeps all
+    assert out[2] == "other tail"                 # run cut, tail survives
+    assert 3 not in out                           # cut to nothing: dropped
+    assert out[4] == "independent text entirely"
