@@ -1276,6 +1276,16 @@ def _dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_spans_incremental(inc, seen, k=8)
 
 
+def _dedup_spans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_run decision table for the span-dedup family: maximal
+    duplicated-run length histogram with the reverse-cumulative token
+    mass each threshold would cut — dedup.dedup_spans_report; the oracle
+    replays digests -> owner -> islands -> histogram -> cumsum in SQL."""
+    from singer_spark.operators.dedup import dedup_spans_report
+
+    return dedup_spans_report(_docs(spark, sf_dir), k=8)
+
+
 def _lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding tuning table (MMDS ch.3 S-curve; datasketch
     _optimal_param): every (b, r) split of 64 permutations with its 50%
@@ -2509,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": _dedup_spans,
         "dedup_spans_minrun": _dedup_spans_minrun,
         "dedup_spans_incremental": _dedup_spans_incremental,
+        "dedup_spans_report": _dedup_spans_report,
         "cluster_balanced_sample": _cluster_balanced_sample,
         "bpe_fertility_by_source": _bpe_fertility_by_source,
         "source_dataset_card": _source_dataset_card,
@@ -5704,6 +5715,40 @@ def oracle_sql() -> dict[str, str]:
                    len(t)::INT AS n_tokens,
                    (len(t) - len(kp))::INT AS n_removed
             FROM keptpos ORDER BY id""",
+        "dedup_spans_report": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 7)) AS s
+                    FROM toks),
+            grams AS (SELECT doc_id, s,
+                             md5(array_to_string(t[s : s + 7], ' ')) AS g
+                      FROM pos),
+            shared AS (SELECT g, min(doc_id) AS owner FROM grams
+                       GROUP BY g HAVING max(doc_id) > min(doc_id)),
+            hit AS (SELECT DISTINCT doc_id, s FROM grams JOIN shared USING (g)
+                    WHERE doc_id > owner),
+            isl AS (SELECT doc_id, s,
+                           sum(CASE WHEN prev_hi IS NULL OR s > prev_hi + 1
+                                    THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS UNBOUNDED PRECEDING) AS island
+                    FROM (SELECT doc_id, s,
+                                 max(s + 7) OVER (PARTITION BY doc_id
+                                   ORDER BY s ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND 1 PRECEDING) AS prev_hi
+                          FROM hit)),
+            runs AS (SELECT doc_id, island,
+                            max(s) + 7 - min(s) + 1 AS run_len
+                     FROM isl GROUP BY doc_id, island),
+            hist AS (SELECT run_len, count(*) AS n_runs,
+                            sum(run_len) AS tokens_covered
+                     FROM runs GROUP BY run_len)
+            SELECT run_len, n_runs,
+                   tokens_covered::BIGINT AS tokens_covered,
+                   (sum(tokens_covered) OVER (ORDER BY run_len DESC
+                      ROWS UNBOUNDED PRECEDING))::BIGINT
+                     AS cut_tokens_at_min_run
+            FROM hist ORDER BY run_len""",
         "lsh_tuning": """
             WITH splits AS (
               SELECT b, 64 // b AS r FROM generate_series(1, 64) t(b)

@@ -1381,3 +1381,56 @@ def lsh_tuning_report(spark, n_perm: int = 64, threshold: float = 0.5,
         qround(F.col("_fn"), 6).alias("fn_area"),
         qround(F.col("_fp") + F.col("_fn"), 6).alias("total_err"))
         .orderBy("b"))
+
+
+def dedup_spans_report(docs: DataFrame, k: int = 8,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """min_run decision table for :func:`dedup_spans` (the span family's
+    :func:`lsh_tuning_report`): the distribution of maximal duplicated-
+    run lengths across the corpus, with the token mass each candidate
+    threshold would remove.  Read it bottom-up: `cut_tokens_at_min_run`
+    on the row run_len = m is exactly the tokens `dedup_spans(...,
+    min_run=m)` deletes, so pick the knee before unique-ish short
+    overlaps start bleeding in.
+
+    Same plan prefix as dedup_spans (digests → owner → islands); the
+    report is a run-length histogram plus one reverse cumulative sum —
+    nothing doc-sized past the owner aggregation.
+
+    Output: (run_len, n_runs, tokens_covered, cut_tokens_at_min_run)
+    ordered by run_len."""
+    grams = span_grams(docs, k, text_col, id_col, positional=True)
+    shared = (grams.groupBy("g")
+              .agg(F.min("id").alias("_owner"), F.max("id").alias("_max"))
+              .where(F.col("_max") > F.col("_owner"))
+              .select("g", "_owner"))
+    hit_rows = (grams.join(shared, "g")
+                .where(F.col("id") > F.col("_owner"))
+                .select("id", "start").distinct())
+    w_ord = Window.partitionBy("id").orderBy("start")
+    prev_hi = F.max(F.col("start") + F.lit(k - 1)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    brk = F.when(prev_hi.isNull() | (F.col("start") > prev_hi + 1),
+                 F.lit(1)).otherwise(F.lit(0))
+    runs = (hit_rows
+            .withColumn("_isl", F.sum(brk).over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("id", "_isl")
+            .agg((F.max("start") + F.lit(k - 1) - F.min("start") + 1)
+                 .alias("run_len")))
+    hist = (runs.groupBy("run_len")
+            .agg(F.count("*").alias("n_runs"),
+                 F.sum("run_len").alias("tokens_covered")))
+    # column-derived constant spec: the frame is the histogram (distinct
+    # run lengths, trivially bounded) but an empty partition spec trips
+    # the WindowExec single-partition warning engine-wide discipline
+    w_cum = (Window.partitionBy(F.col("run_len") % F.lit(1))
+             .orderBy(F.col("run_len").desc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    return (hist.select(
+        "run_len", "n_runs",
+        F.col("tokens_covered").cast("bigint").alias("tokens_covered"),
+        F.sum("tokens_covered").over(w_cum).cast("bigint")
+        .alias("cut_tokens_at_min_run"))
+        .orderBy("run_len"))

@@ -1658,3 +1658,25 @@ def test_dsir_column_target_equals_dataframe_target(spark):
                    docs, F.col("source") == "tgt",
                    n_buckets=64).collect()}
     assert via_df == via_col
+
+
+def test_dedup_spans_report_is_the_min_run_integral(spark):
+    """The report's cut_tokens_at_min_run row m must equal the tokens
+    dedup_spans(min_run=m) actually removes, for every run length
+    present — the decision-table contract."""
+    from singer_spark.operators.dedup import dedup_spans, dedup_spans_report
+
+    boiler = " ".join(f"b{i}" for i in range(14))   # one 14-token run
+    short = " ".join(f"s{i}" for i in range(9))     # one 9-token run
+    docs = _docs_df(spark, [
+        (1, f"{boiler} {short}", "s"),
+        (2, f"u0 u1 {boiler} u2", "s"),
+        (3, f"{short} v0 v1 v2", "s"),
+    ])
+    rep = {r.run_len: r for r in dedup_spans_report(docs, k=8).collect()}
+    assert set(rep) == {9, 14}
+    assert rep[14].n_runs == 1 and rep[9].n_runs == 1
+    for m in (9, 14):
+        removed = (dedup_spans(docs, k=8, min_run=m)
+                   .agg(F.sum("n_removed")).collect()[0][0])
+        assert removed == rep[m].cut_tokens_at_min_run, m
