@@ -1001,7 +1001,8 @@ def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 # Cluster assignment (pairs → canonical doc)
 # ---------------------------------------------------------------------------
 def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                   max_iters: int = 50) -> DataFrame:
+                   max_iters: int = 50,
+                   driver_edge_threshold: int = 5_000_000) -> DataFrame:
     """Connected components over near-dup pairs: every doc gets the minimum
     doc id of its component as `cluster` (the canonical survivor), singletons
     map to themselves.
@@ -1013,10 +1014,45 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     `localCheckpoint` truncates the growing lineage so plans stay constant
     size at any iteration count; the edge list is checkpointed ONCE up
     front, otherwise every iteration's join would re-run the (expensive)
-    candidate-generation lineage that produced `pairs`."""
+    candidate-generation lineage that produced `pairs`.
+
+    Small-graph fast path: near-dup edge lists are a sliver of the
+    corpus (pairs above a similarity threshold), so when the
+    checkpointed edge count is under `driver_edge_threshold` the
+    components are solved by one driver-side union-find (min-id root —
+    IDENTICAL labels to the propagation loop) and a single broadcast
+    join back: ~3 jobs total instead of 2 per propagation round.  The
+    distributed loop remains the path for genuinely huge pair graphs;
+    pass driver_edge_threshold=0 to force it."""
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     ).localCheckpoint(eager=True)
+    if driver_edge_threshold and \
+            edges.count() <= driver_edge_threshold:
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            ra, rb = find(int(row.src)), find(int(row.dst))
+            if ra != rb:  # min-id root keeps label parity with the loop
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = [(x, find(x)) for x in list(parent)]
+        spark = docs.sparkSession
+        lab = spark.createDataFrame(mapping, "id bigint, cluster bigint") \
+            if mapping else spark.createDataFrame([], "id bigint, cluster bigint")
+        return (docs.select(F.col(id_col).alias("id"))
+                .join(F.broadcast(lab), "id", "left")
+                .select(F.col("id").alias(id_col),
+                        F.coalesce("cluster", F.col("id").cast("bigint"))
+                        .alias("cluster")))
     labels = docs.select(F.col(id_col).alias("id"),
                          F.col(id_col).cast("bigint").alias("label"))
     for _ in range(max_iters):
