@@ -168,15 +168,20 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
          .groupBy("_id", "_n", F.col("_g").alias("_gram"))
          .agg(F.count("*").alias("_cnt"),
               F.first("_n_chars").alias("_n_chars")))
-    w = Window.partitionBy("_id", "_n").orderBy(F.col("_cnt").desc(),
-                                                F.col("_gram").asc())
+    # argmax (count desc, gram asc) as ONE aggregation: min over
+    # struct(-count, gram) — struct ordering is lexicographic, so the
+    # smallest -count is the largest count and ties take the smallest
+    # gram.  Replaces a row_number window (extra sort per partition)
+    # with a map-side-combinable min.
+    best = F.min(F.struct((-F.col("_cnt")).alias("nc"),
+                          F.col("_gram").alias("g"),
+                          F.col("_n_chars").alias("nch"))).alias("_b")
     # least(·, 1): overlapping occurrences ("a b a b" twice in
     # "a b a b a b") can push raw occurrence-chars past the doc length
-    tp = (g.withColumn("_rn", F.row_number().over(w))
-          .where(F.col("_rn") == 1)
+    tp = (g.groupBy("_id", "_n").agg(best)
           .select("_id", "_n",
-                  qround(F.least(F.col("_cnt") * F.length("_gram")
-                                 / F.greatest("_n_chars", F.lit(1)),
+                  qround(F.least(-F.col("_b.nc") * F.length("_b.g")
+                                 / F.greatest("_b.nch", F.lit(1)),
                                  F.lit(1.0)), 4).alias("_frac")))
     tops = tp.groupBy("_id").pivot("_n", list(top_ns)).agg(F.first("_frac"))
 

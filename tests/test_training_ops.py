@@ -1680,3 +1680,28 @@ def test_dedup_spans_report_is_the_min_run_integral(spark):
         removed = (dedup_spans(docs, k=8, min_run=m)
                    .agg(F.sum("n_removed")).collect()[0][0])
         assert removed == rep[m].cut_tokens_at_min_run, m
+
+
+def test_dedup_clusters_unionfind_equals_propagation(spark):
+    """The driver union-find fast path must label exactly like the
+    distributed min-label loop, including chain components whose
+    diameter exceeds one hop and isolated singletons."""
+    from singer_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 12)],
+                                 "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 1),          # chain with min inside: -> 1
+         (7, 8),                          # simple pair -> 7
+         (10, 11), (11, 2)],              # chain ending at 2 -> 2
+        "id_a bigint, id_b bigint")
+    fast = {r.doc_id: r.cluster
+            for r in dedup_clusters(docs, pairs).collect()}
+    loop = {r.doc_id: r.cluster
+            for r in dedup_clusters(docs, pairs,
+                                    driver_edge_threshold=0).collect()}
+    assert fast == loop
+    assert fast[5] == fast[3] == fast[9] == fast[1] == 1
+    assert fast[7] == fast[8] == 7
+    assert fast[10] == fast[11] == fast[2] == 2
+    assert fast[4] == 4 and fast[6] == 6
