@@ -974,10 +974,13 @@ def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
     # Narrow rows only from here: (sig, id, seg_idx).
     sigs = segs.select("id", "seg_idx", F.md5("segment").alias("sig"))
-    first = Window.partitionBy("sig").orderBy("id", "seg_idx")
+    # first occurrence by (id, seg_idx) as ONE map-side-combinable
+    # aggregation: min over struct(id, seg_idx) IS the rank-1 row of the
+    # old row_number window, without its per-sig sort
     kept = (
-        sigs.withColumn("rn", F.row_number().over(first))
-        .filter(F.col("rn") == 1)
+        sigs.groupBy("sig")
+        .agg(F.min(F.struct("id", "seg_idx")).alias("_f"))
+        .select(F.col("_f.id").alias("id"), F.col("_f.seg_idx").alias("seg_idx"))
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("seg_idx")).alias("kept_idx"))
     )

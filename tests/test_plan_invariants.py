@@ -100,13 +100,15 @@ def test_tfidf_single_corpus_scan(spark, sf_dir):
 
 
 def test_segment_dedup_rank_pushdown_and_pruned_scan(spark, sf_dir):
-    """The keep/drop window must run as a group-limit (WindowGroupLimit —
-    rank never fully materializes), and the scans read only (doc_id, text)."""
+    """The first-occurrence pick must be a partial-aggregable min (r9:
+    min over struct(id, seg_idx) replaced the rank-1 window — no
+    WindowExec sort at all), and the scans read only (doc_id, text)."""
     from singer_spark.operators.dedup import segment_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(segment_dedup(docs))
-    assert "WindowGroupLimit" in plan
+    assert "Window" not in plan  # the rank window is gone entirely
+    assert "partial_min" in plan or "HashAggregate" in plan
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "source" not in line and "lang" not in line
