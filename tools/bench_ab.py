@@ -37,7 +37,14 @@ def main() -> None:
     sys.path.insert(0, repo)
     import __spark_entry__ as entry_mod  # noqa: E402 (the TARGET tree's)
     from singer_spark.session import get_spark  # noqa: E402
-    from singer_spark.functions import clear_all_caches
+
+    # the TARGET tree may predate clear_all_caches (the r9 registry
+    # drain) — a prior-round A/B leg must still run on that tree's code
+    try:
+        from singer_spark.functions import clear_all_caches
+    except ImportError:  # pragma: no cover - exercised via prior trees
+        def clear_all_caches(sp):
+            sp.catalog.clearCache()
 
     spark = get_spark("singer_spark_bench_ab")
     spark.sparkContext.setLogLevel("ERROR")
