@@ -1233,7 +1233,10 @@ def dedup_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
     min_run = k if min_run is None else int(min_run)
     if min_run < k:
         raise ValueError(f"min_run must be >= k ({k}), got {min_run}")
-    grams = span_grams(docs, k, text_col, id_col, positional=True)
+    # the gram frame feeds the owner aggregation AND the hit join —
+    # persist it or the corpus explode runs once per consumer
+    grams = maybe_persist(
+        span_grams(docs, k, text_col, id_col, positional=True), True)
     shared = (grams.groupBy("g")
               .agg(F.min("id").alias("_owner"), F.max("id").alias("_max"))
               .where(F.col("_max") > F.col("_owner"))
@@ -1335,7 +1338,9 @@ def dedup_spans_incremental(new_docs: DataFrame, seen_grams: DataFrame,
     min_run = k if min_run is None else int(min_run)
     if min_run < k:
         raise ValueError(f"min_run must be >= k ({k}), got {min_run}")
-    grams = span_grams(new_docs, k, text_col, id_col, positional=True)
+    # three consumers (history probe, owner agg, intra hit join)
+    grams = maybe_persist(
+        span_grams(new_docs, k, text_col, id_col, positional=True), True)
 
     probe = grams
     if num_bits:
@@ -1439,7 +1444,8 @@ def dedup_spans_report(docs: DataFrame, k: int = 8,
 
     Output: (run_len, n_runs, tokens_covered, cut_tokens_at_min_run)
     ordered by run_len."""
-    grams = span_grams(docs, k, text_col, id_col, positional=True)
+    grams = maybe_persist(
+        span_grams(docs, k, text_col, id_col, positional=True), True)
     shared = (grams.groupBy("g")
               .agg(F.min("id").alias("_owner"), F.max("id").alias("_max"))
               .where(F.col("_max") > F.col("_owner"))
