@@ -50,6 +50,33 @@ class CurationConfig:
     keep_cols: tuple[str, ...] = field(default=("source",))
 
 
+def _apply_span_rewrite(out: DataFrame, spans: DataFrame, id_col: str,
+                        text_col: str) -> DataFrame:
+    """Shared rewrite for the two span gates (benchmark decontamination
+    and corpus-internal span dedup): drop only docs that were CUT to
+    nothing (n_removed > 0 AND empty rebuild) — a doc whose ORIGINAL
+    text was already empty/whitespace-only is untouched and must
+    survive, and a NULL-text doc (NULL clean_text/n_removed from the
+    span operators) passes through unchanged like every other backend
+    (review r9 #3).  Only docs that actually lost a window are
+    REWRITTEN — an untouched doc keeps its original bytes (clean_text
+    is whitespace-rejoined, which would destroy newlines/tabs
+    corpus-wide; rewritten survivors DO get that normalization — see
+    CurationConfig.decontaminate_mode docs)."""
+    repl = spans.where((F.col("clean_text") != "")
+                       | (F.col("n_removed") == 0)
+                       | F.col("n_removed").isNull()).select(
+        F.col("id").alias(id_col),
+        F.col("clean_text").alias("_clean_text"),
+        F.col("n_removed").alias("_n_removed"))
+    return (out.join(repl, id_col)
+            .withColumn(text_col,
+                        F.when(F.col("_n_removed") > 0,
+                               F.col("_clean_text"))
+                        .otherwise(F.col(text_col)))
+            .drop("_clean_text", "_n_removed"))
+
+
 def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
            benchmark: DataFrame | None = None) -> DataFrame:
     """Apply the configured gates; returns the surviving docs with their
@@ -98,25 +125,7 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
             spans = decontaminate_spans(docs, benchmark,
                                         k=cfg.decontaminate_k,
                                         text_col=text_col, id_col=id_col)
-            # drop only docs that were CUT to nothing (n_removed > 0 AND
-            # empty rebuild) — a doc whose ORIGINAL text was already
-            # empty/whitespace-only is uncontaminated and must survive
-            repl = spans.where((F.col("clean_text") != "")
-                               | (F.col("n_removed") == 0)).select(
-                F.col("id").alias(id_col),
-                F.col("clean_text").alias("_clean_text"),
-                F.col("n_removed").alias("_n_removed"))
-            # only REWRITE docs that actually lost a window — an untouched
-            # doc keeps its original bytes (clean_text is whitespace-
-            # rejoined, which would destroy newlines/tabs corpus-wide;
-            # rewritten survivors DO get that normalization — see
-            # CurationConfig.decontaminate_mode docs)
-            out = (out.join(repl, id_col)
-                   .withColumn(text_col,
-                               F.when(F.col("_n_removed") > 0,
-                                      F.col("_clean_text"))
-                               .otherwise(F.col(text_col)))
-                   .drop("_clean_text", "_n_removed"))
+            out = _apply_span_rewrite(out, spans, id_col, text_col)
         elif cfg.decontaminate_mode == "drop":
             flags = decontaminate(docs, benchmark, k=cfg.decontaminate_k,
                                   text_col=text_col, id_col=id_col)
@@ -147,17 +156,7 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
 
         spans = dedup_spans(docs, k=cfg.span_k, text_col=text_col,
                             id_col=id_col, min_run=cfg.span_min_run)
-        repl = spans.where((F.col("clean_text") != "")
-                           | (F.col("n_removed") == 0)).select(
-            F.col("id").alias(id_col),
-            F.col("clean_text").alias("_clean_text"),
-            F.col("n_removed").alias("_n_removed"))
-        out = (out.join(repl, id_col)
-               .withColumn(text_col,
-                           F.when(F.col("_n_removed") > 0,
-                                  F.col("_clean_text"))
-                           .otherwise(F.col(text_col)))
-               .drop("_clean_text", "_n_removed"))
+        out = _apply_span_rewrite(out, spans, id_col, text_col)
     elif cfg.dedup != "none":
         raise ValueError(f"unknown dedup backend {cfg.dedup!r}")
     if cfg.split:

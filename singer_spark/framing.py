@@ -264,11 +264,12 @@ def decode_frames(blob: bytes, max_message_size: int | None = None,
         # parse the frame IN PLACE with absolute offsets — slicing a
         # per-frame `body` copied every frame, and key/message then paid
         # a second copy out of that slice; the hot loop now copies each
-        # value exactly once (measured ~210 -> ~275 MB/s/core on 400-byte messages).  A
-        # corrupt length field can read into the next frame's bytes, but
-        # the outer walk resumes at the length-prefix boundary either
-        # way and the CRC verify rejects the mangled message — the same
-        # containment the slice bound gave.
+        # value exactly once (measured ~210 -> ~275 MB/s/core on
+        # 400-byte messages).  String reads clamp to the frame end, so a
+        # corrupt length prefix yields the same frame-local truncated
+        # value the bounded body slice produced (never bytes of the next
+        # frame, never an unbounded copy); the outer walk resumes at the
+        # length-prefix boundary regardless.
         body_end = pos + 4 + frame_len
         pos += 4 + frame_len
         key = message = None
@@ -284,7 +285,7 @@ def decode_frames(blob: bytes, max_message_size: int | None = None,
             if ttype == _TTYPE_STRING and fid in (_FIELD_KEY, _FIELD_MESSAGE):
                 (n,) = struct.unpack_from(">I", blob, bpos)
                 bpos += 4
-                val = blob[bpos : bpos + n]
+                val = blob[bpos : min(bpos + n, body_end)]
                 bpos += n
                 if fid == _FIELD_KEY:
                     key = val

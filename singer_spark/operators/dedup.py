@@ -1005,7 +1005,7 @@ def segment_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 # ---------------------------------------------------------------------------
 def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                    max_iters: int = 50,
-                   driver_edge_threshold: int = 5_000_000) -> DataFrame:
+                   driver_edge_threshold: int = 2_000_000) -> DataFrame:
     """Connected components over near-dup pairs: every doc gets the minimum
     doc id of its component as `cluster` (the canonical survivor), singletons
     map to themselves.
@@ -1020,18 +1020,24 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     candidate-generation lineage that produced `pairs`.
 
     Small-graph fast path: near-dup edge lists are a sliver of the
-    corpus (pairs above a similarity threshold), so when the
-    checkpointed edge count is under `driver_edge_threshold` the
-    components are solved by one driver-side union-find (min-id root —
-    IDENTICAL labels to the propagation loop) and a single broadcast
-    join back: ~3 jobs total instead of 2 per propagation round.  The
+    corpus (pairs above a similarity threshold), so when the UNDIRECTED
+    pair count is under `driver_edge_threshold` (default 2M pairs —
+    bounds the transient driver collect) the components are solved by
+    one driver-side union-find (min-id root — IDENTICAL labels to the
+    propagation loop) and a single broadcast join back: ~3 jobs total
+    instead of 2 per propagation round.  Pairs are first restricted to
+    BOTH endpoints in `docs` (review r9 #2: the loop only conducts
+    labels through doc nodes, so a stale pair table referencing foreign
+    ids must not bridge components in one path and not the other).  The
     distributed loop remains the path for genuinely huge pair graphs;
     pass driver_edge_threshold=0 to force it."""
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).localCheckpoint(eager=True)
-    if driver_edge_threshold and \
-            edges.count() <= driver_edge_threshold:
+    ids = docs.select(F.col(id_col).cast("bigint").alias("_n"))
+    p = (pairs.select(F.col("id_a").cast("bigint").alias("a"),
+                      F.col("id_b").cast("bigint").alias("b"))
+         .join(ids.withColumnRenamed("_n", "a"), "a", "left_semi")
+         .join(ids.withColumnRenamed("_n", "b"), "b", "left_semi")
+         .localCheckpoint(eager=True))
+    if driver_edge_threshold and p.count() <= driver_edge_threshold:
         parent: dict = {}
 
         def find(x: int) -> int:
@@ -1042,8 +1048,8 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.collect():
-            ra, rb = find(int(row.src)), find(int(row.dst))
+        for row in p.collect():
+            ra, rb = find(int(row[0])), find(int(row[1]))
             if ra != rb:  # min-id root keeps label parity with the loop
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
@@ -1056,6 +1062,9 @@ def dedup_clusters(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                 .select(F.col("id").alias(id_col),
                         F.coalesce("cluster", F.col("id").cast("bigint"))
                         .alias("cluster")))
+    edges = p.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        p.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint(eager=True)
     labels = docs.select(F.col(id_col).alias("id"),
                          F.col(id_col).cast("bigint").alias("label"))
     for _ in range(max_iters):
@@ -1237,14 +1246,7 @@ def dedup_spans(docs: DataFrame, k: int = 8, text_col: str = "text",
     # persist it or the corpus explode runs once per consumer
     grams = maybe_persist(
         span_grams(docs, k, text_col, id_col, positional=True), True)
-    shared = (grams.groupBy("g")
-              .agg(F.min("id").alias("_owner"), F.max("id").alias("_max"))
-              .where(F.col("_max") > F.col("_owner"))
-              .select("g", "_owner"))
-    hit_rows = (grams.join(shared, "g")
-                .where(F.col("id") > F.col("_owner"))
-                .select("id", "start").distinct())
-    return _rebuild_without_spans(docs, hit_rows, k, min_run,
+    return _rebuild_without_spans(docs, _span_hit_rows(grams), k, min_run,
                                   text_col, id_col)
 
 
@@ -1269,27 +1271,51 @@ def span_grams(docs: DataFrame, k: int = 8, text_col: str = "text",
     return grams if positional else grams.select("g").distinct()
 
 
-def _rebuild_without_spans(docs: DataFrame, hit_rows: DataFrame, k: int,
-                           min_run: int, text_col: str,
-                           id_col: str) -> DataFrame:
-    """Shared back half of the span-dedup family: stitch hit window
-    starts (id, start) into maximal covered intervals (gaps-and-islands
-    — the running max of prior window ends finds island breaks), keep
-    intervals >= min_run tokens, and rebuild each doc's text by
-    filtering covered token positions."""
-    toks = F.split(F.col(text_col), " ")
+def _span_hit_rows(grams: DataFrame) -> DataFrame:
+    """Owner rule over a positional gram frame: digests held by more
+    than one doc keep their lowest-id copy; every other (id, start)
+    window is a hit.  Rows are unique by construction — one digest per
+    (id, start) and one owner row per digest — so no distinct is needed
+    (review r9 #7: the old distinct added a corpus-proportional extra
+    exchange for nothing)."""
+    shared = (grams.groupBy("g")
+              .agg(F.min("id").alias("_owner"), F.max("id").alias("_max"))
+              .where(F.col("_max") > F.col("_owner"))
+              .select("g", "_owner"))
+    return (grams.join(shared, "g")
+            .where(F.col("id") > F.col("_owner"))
+            .select("id", "start"))
+
+
+def _hit_islands(hit_rows: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands over hit window starts: stitch overlapping/
+    adjacent k-windows into maximal covered intervals (the running max
+    of prior window ends finds island breaks — a window whose start
+    clears every previous end + 1 opens a new island).  Returns
+    (id, _isl, _lo, _hi) — ONE definition so the operators and the
+    min_run decision table can never desynchronize (review r9 #6)."""
     w_ord = Window.partitionBy("id").orderBy("start")
     prev_hi = F.max(F.col("start") + F.lit(k - 1)).over(
         w_ord.rowsBetween(Window.unboundedPreceding, -1))
     brk = F.when(prev_hi.isNull() | (F.col("start") > prev_hi + 1),
                  F.lit(1)).otherwise(F.lit(0))
-    islands = (hit_rows
-               .withColumn("_isl", F.sum(brk).over(
-                   w_ord.rowsBetween(Window.unboundedPreceding, 0)))
-               .groupBy("id", "_isl")
-               .agg(F.min("start").alias("_lo"),
-                    (F.max("start") + F.lit(k - 1)).alias("_hi"))
-               .where(F.col("_hi") - F.col("_lo") + 1 >= min_run))
+    return (hit_rows
+            .withColumn("_isl", F.sum(brk).over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("id", "_isl")
+            .agg(F.min("start").alias("_lo"),
+                 (F.max("start") + F.lit(k - 1)).alias("_hi")))
+
+
+def _rebuild_without_spans(docs: DataFrame, hit_rows: DataFrame, k: int,
+                           min_run: int, text_col: str,
+                           id_col: str) -> DataFrame:
+    """Shared back half of the span-dedup family: :func:`_hit_islands`
+    intervals filtered to >= min_run tokens, then rebuild each doc's
+    text by filtering covered token positions."""
+    toks = F.split(F.col(text_col), " ")
+    islands = _hit_islands(hit_rows, k) \
+        .where(F.col("_hi") - F.col("_lo") + 1 >= min_run)
     hits = (islands.groupBy("id")
             .agg(F.sort_array(F.collect_list(F.struct("_lo", "_hi")))
                  .alias("hits")))
@@ -1363,14 +1389,9 @@ def dedup_spans_incremental(new_docs: DataFrame, seen_grams: DataFrame,
             F.array(*_bloom_position_cols("g", num_bits, num_hashes))))
     hist_hits = (probe.join(seen_grams.select("g"), "g", "left_semi")
                  .select("id", "start"))
-    shared = (grams.groupBy("g")
-              .agg(F.min("id").alias("_owner"), F.max("id").alias("_max"))
-              .where(F.col("_max") > F.col("_owner"))
-              .select("g", "_owner"))
-    intra_hits = (grams.join(shared, "g")
-                  .where(F.col("id") > F.col("_owner"))
-                  .select("id", "start"))
-    hit_rows = hist_hits.unionByName(intra_hits).distinct()
+    # the union CAN repeat an (id, start) — history hit AND intra hit —
+    # so this distinct is load-bearing, unlike the single-source paths
+    hit_rows = hist_hits.unionByName(_span_hit_rows(grams)).distinct()
     return _rebuild_without_spans(new_docs, hit_rows, k, min_run,
                                   text_col, id_col)
 
@@ -1446,24 +1467,8 @@ def dedup_spans_report(docs: DataFrame, k: int = 8,
     ordered by run_len."""
     grams = maybe_persist(
         span_grams(docs, k, text_col, id_col, positional=True), True)
-    shared = (grams.groupBy("g")
-              .agg(F.min("id").alias("_owner"), F.max("id").alias("_max"))
-              .where(F.col("_max") > F.col("_owner"))
-              .select("g", "_owner"))
-    hit_rows = (grams.join(shared, "g")
-                .where(F.col("id") > F.col("_owner"))
-                .select("id", "start").distinct())
-    w_ord = Window.partitionBy("id").orderBy("start")
-    prev_hi = F.max(F.col("start") + F.lit(k - 1)).over(
-        w_ord.rowsBetween(Window.unboundedPreceding, -1))
-    brk = F.when(prev_hi.isNull() | (F.col("start") > prev_hi + 1),
-                 F.lit(1)).otherwise(F.lit(0))
-    runs = (hit_rows
-            .withColumn("_isl", F.sum(brk).over(
-                w_ord.rowsBetween(Window.unboundedPreceding, 0)))
-            .groupBy("id", "_isl")
-            .agg((F.max("start") + F.lit(k - 1) - F.min("start") + 1)
-                 .alias("run_len")))
+    runs = _hit_islands(_span_hit_rows(grams), k).select(
+        "id", (F.col("_hi") - F.col("_lo") + 1).alias("run_len"))
     hist = (runs.groupBy("run_len")
             .agg(F.count("*").alias("n_runs"),
                  F.sum("run_len").alias("tokens_covered")))

@@ -149,6 +149,30 @@ def _write_counters(log_dir: str, glob: str, reopens: int,
         pass
 
 
+def _gc_counters(max_age_secs: float = 3600.0) -> None:
+    """Unlink counter files idle past `max_age_secs` — per-reader files
+    (unique token per reader since ADVICE r8 #2) otherwise accumulate
+    one per reader instance forever on hosts with restarting queries
+    (review r9 #5).  Called once per reader construction; age-based
+    only, so a live overlapping reader's file (rewritten every trigger)
+    is never touched.  Best-effort like every write in this channel."""
+    import time
+
+    d = _counters_dir()
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return
+    now = time.time()
+    for name in names:
+        p = os.path.join(d, name)
+        try:
+            if now - os.stat(p).st_mtime > max_age_secs:
+                os.unlink(p)
+        except OSError:
+            continue
+
+
 def _scan_counters(max_age_secs: float, ns: "str | None") -> "list[dict]":
     """All recent counter records, newest-mtime first.  ns=None matches
     everything; a concrete ns matches that namespace PLUS unnamespaced
@@ -280,6 +304,7 @@ class TailStreamReader(DataSourceStreamReader):
 
         self._counters_ns = options.get("counters_ns", "")
         self._counters_token = uuid.uuid4().hex[:12]
+        _gc_counters()  # bound the per-reader-file population (r9 #5)
         _write_counters(self.log_dir, self.glob, 0, 0,
                         self._counters_ns, self._counters_token)
 

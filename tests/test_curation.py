@@ -155,3 +155,10 @@ def test_curate_spans_dedup_backend(spark):
     assert out[2] == "other tail"                 # run cut, tail survives
     assert 3 not in out                           # cut to nothing: dropped
     assert out[4] == "independent text entirely"
+
+    # NULL-text docs pass through like every other backend (review r9 #3)
+    with_null = docs.unionByName(spark.createDataFrame(
+        [(9, None, "s")], "doc_id bigint, text string, source string"))
+    out_n = {r.doc_id: r.text for r in curate(with_null, cfg).collect()}
+    assert 9 in out_n and out_n[9] is None
+    assert out_n[2] == "other tail"

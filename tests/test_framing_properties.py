@@ -113,3 +113,32 @@ def test_chunked_scan_partitions_exactly_and_decodes_identically(msgs, chunk_byt
         assert pieces == whole
     finally:
         os.unlink(path)
+
+
+def test_corrupt_string_length_stays_frame_local():
+    """A corrupted string-length prefix must never leak the NEXT frame's
+    bytes into a message nor copy past the frame end (review r9 #1): the
+    value truncates at the frame boundary exactly like the old bounded
+    body slice, and the following frame still decodes intact."""
+    import struct
+
+    from singer_spark.framing import decode_frames, encode_log_message
+
+    f1 = bytearray(encode_log_message(b"AAAA-message-one"))
+    f2 = encode_log_message(b"BBBB-message-two")
+    # field layout: 4B frame len, then 1B type, 2B fid, 4B strlen
+    (orig_len,) = struct.unpack_from(">I", f1, 7)
+    struct.pack_into(">I", f1, 7, 2_000_000_000)  # absurd length
+    blob = bytes(f1) + f2
+    out = list(decode_frames(blob))
+    msgs = [m for _, m, *_ in out]
+    # the corrupt frame's message is clamped inside its own frame
+    assert all(b"BBBB-message-two" != m[:16] or m == b"BBBB-message-two"
+               for m in msgs)
+    assert b"BBBB-message-two" in msgs          # next frame intact
+    for m in msgs:
+        assert len(m) <= len(f1)                # no unbounded copy
+    # restore the real length: both decode cleanly
+    struct.pack_into(">I", f1, 7, orig_len)
+    ok = [m for _, m, *_ in decode_frames(bytes(f1) + f2)]
+    assert ok == [b"AAAA-message-one", b"BBBB-message-two"]

@@ -607,3 +607,31 @@ def test_counters_namespace_and_overlap_isolation(tmp_path):
     assert read_counters(d, "*", ns="app-A") == {"reopens": 8, "bytes": 800}
     assert {c["stream"]: c for c in list_counters(ns="app-A")}[key][
         "reopens"] == 8
+
+
+def test_counters_gc_unlinks_stale_files(tmp_path):
+    """Reader construction garbage-collects counter files idle past the
+    age cutoff while leaving recently-written ones (a live overlapping
+    reader's file is rewritten every trigger, so age-based GC can never
+    touch it)."""
+    import os
+    import time
+
+    from singer_spark.streaming.tail import (
+        _counters_dir,
+        _gc_counters,
+        _write_counters,
+        read_counters,
+    )
+
+    d = str(tmp_path / "gclogs")
+    _write_counters(d, "*", 5, 500, ns="x", token="stale")
+    stale = [p for p in os.listdir(_counters_dir())]
+    assert stale
+    # age one file out; a fresh one stays
+    for name in os.listdir(_counters_dir()):
+        p = os.path.join(_counters_dir(), name)
+        os.utime(p, (time.time() - 7200, time.time() - 7200))
+    _write_counters(d, "*", 7, 700, ns="x", token="live")
+    _gc_counters(max_age_secs=3600)
+    assert read_counters(d, "*") == {"reopens": 7, "bytes": 700}

@@ -1693,8 +1693,10 @@ def test_dedup_clusters_unionfind_equals_propagation(spark):
     pairs = spark.createDataFrame(
         [(5, 3), (3, 9), (9, 1),          # chain with min inside: -> 1
          (7, 8),                          # simple pair -> 7
-         (10, 11), (11, 2)],              # chain ending at 2 -> 2
-        "id_a bigint, id_b bigint")
+         (10, 11), (11, 2),               # chain ending at 2 -> 2
+         (4, 999), (999, 6),              # FOREIGN node 999 (not in docs):
+         (0, 7)],                         # must NOT bridge 4-6; 0 not in
+        "id_a bigint, id_b bigint")       # docs must not become a label
     fast = {r.doc_id: r.cluster
             for r in dedup_clusters(docs, pairs).collect()}
     loop = {r.doc_id: r.cluster
