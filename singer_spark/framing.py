@@ -128,34 +128,46 @@ def encode_audit_headers(headers: dict) -> bytes:
     return b"".join(parts)
 
 
-def decode_audit_headers(body: bytes, pos: int = 0) -> tuple[dict, int]:
+def decode_audit_headers(body: bytes, pos: int = 0,
+                         end: int | None = None) -> tuple[dict, int]:
     """Parse one TBinaryProtocol LoggingAuditHeaders struct starting at
     `pos`; returns (field dict, position past the stop byte).  Unknown
-    fields are skipped for forward compatibility."""
+    fields are skipped for forward compatibility.  `end` bounds every read
+    to the enclosing frame (see _need) — a struct truncated by a corrupt
+    frame raises instead of decoding the next frame's bytes as fields."""
+    if end is None:
+        end = len(body)
     by_id = {fid: (name, ttype) for fid, name, ttype in _AUDIT_FIELDS}
     out: dict = {}
     while True:
+        _need(pos, 1, end)
         ttype = body[pos]
         pos += 1
         if ttype == _TTYPE_STOP:
             return out, pos
+        _need(pos, 2, end)
         (fid,) = struct.unpack_from(">h", body, pos)
         pos += 2
         name, want = by_id.get(fid, (None, None))
         if name is None or ttype != want:
-            pos = _skip_field(body, pos, ttype)
+            pos = _skip_field(body, pos, ttype, end)
             continue
         if ttype == _TTYPE_STRING:
+            _need(pos, 4, end)
             (n,) = struct.unpack_from(">I", body, pos)
+            _need(pos + 4, n, end)
             out[name] = body[pos + 4: pos + 4 + n].decode("utf-8")
             pos += 4 + n
         elif ttype == _TTYPE_I32:
+            _need(pos, 4, end)
             (out[name],) = struct.unpack_from(">i", body, pos)
             pos += 4
         elif ttype == _TTYPE_I64:
+            _need(pos, 8, end)
             (out[name],) = struct.unpack_from(">q", body, pos)
             pos += 8
         elif ttype == _TTYPE_BOOL:
+            _need(pos, 1, end)
             out[name] = body[pos] != 0
             pos += 1
 
@@ -200,39 +212,63 @@ def encode_log_messages(messages: list[tuple]) -> bytes:
 # ---------------------------------------------------------------------------
 # Thrift LogMessage decode
 # ---------------------------------------------------------------------------
-def _skip_field(body: bytes, pos: int, ttype: int) -> int:
+def _need(pos: int, width: int, end: int) -> None:
+    """Raise if a read of `width` bytes at `pos` would cross `end`.
+
+    With the in-place (absolute-offset) frame decode, the buffer continues
+    past the frame into the NEXT frame's bytes, so slicing no longer
+    truncates naturally — every fixed-width read must be bounds-checked
+    against the frame end or a corrupt/truncated frame silently decodes the
+    next frame's header as field data.  ValueError routes through
+    decode_file_tolerant's corrupt-frame skip, matching the bounded-slice
+    behavior (struct.error on overrun) this decoder replaced."""
+    if pos + width > end:
+        raise ValueError(f"thrift field overruns frame end ({pos}+{width} > {end})")
+
+
+def _skip_field(body: bytes, pos: int, ttype: int, end: int | None = None) -> int:
     """Skip an unknown/unneeded field — full TBinaryProtocol type coverage,
     like thrift's TProtocolUtil.skip.  LogMessage's own fields are i64/
     string/struct, but nested structs carry more: LoggingAuditHeaders
     (field 5) contains i32 (pid, logSeqNumInSession) and bool (tracked), so
-    wire compatibility requires every scalar and container type."""
+    wire compatibility requires every scalar and container type.  `end`
+    bounds every read to the enclosing frame (see _need)."""
+    if end is None:
+        end = len(body)
     w = _TTYPE_FIXED_WIDTH.get(ttype)
     if w is not None:
+        _need(pos, w, end)
         return pos + w
     if ttype == _TTYPE_STRING:
+        _need(pos, 4, end)
         (n,) = struct.unpack_from(">I", body, pos)
+        _need(pos + 4, n, end)
         return pos + 4 + n
     if ttype == _TTYPE_STRUCT:
         while True:
+            _need(pos, 1, end)
             t = body[pos]
             pos += 1
             if t == _TTYPE_STOP:
                 return pos
-            pos = _skip_field(body, pos + 2, t)
+            _need(pos, 2, end)
+            pos = _skip_field(body, pos + 2, t, end)
     if ttype == _TTYPE_MAP:
+        _need(pos, 6, end)
         ktype, vtype = body[pos], body[pos + 1]
         (n,) = struct.unpack_from(">I", body, pos + 2)
         pos += 6
         for _ in range(n):
-            pos = _skip_field(body, pos, ktype)
-            pos = _skip_field(body, pos, vtype)
+            pos = _skip_field(body, pos, ktype, end)
+            pos = _skip_field(body, pos, vtype, end)
         return pos
     if ttype in (_TTYPE_SET, _TTYPE_LIST):
+        _need(pos, 5, end)
         etype = body[pos]
         (n,) = struct.unpack_from(">I", body, pos + 1)
         pos += 5
         for _ in range(n):
-            pos = _skip_field(body, pos, etype)
+            pos = _skip_field(body, pos, etype, end)
         return pos
     raise ValueError(f"unsupported thrift type {ttype}")
 
@@ -265,11 +301,15 @@ def decode_frames(blob: bytes, max_message_size: int | None = None,
         # per-frame `body` copied every frame, and key/message then paid
         # a second copy out of that slice; the hot loop now copies each
         # value exactly once (measured ~210 -> ~275 MB/s/core on
-        # 400-byte messages).  String reads clamp to the frame end, so a
-        # corrupt length prefix yields the same frame-local truncated
-        # value the bounded body slice produced (never bytes of the next
-        # frame, never an unbounded copy); the outer walk resumes at the
-        # length-prefix boundary regardless.
+        # 400-byte messages).  Every fixed-width read is bounds-checked
+        # against the frame end (the buffer continues into the NEXT
+        # frame, so without the check a truncated/corrupt frame would
+        # silently decode the next frame's bytes as field data); an
+        # overrun raises ValueError, which decode_file_tolerant converts
+        # to the reference's skip-file-remainder corrupt handling.  Only
+        # the string VALUE clamps frame-locally — a corrupt length
+        # prefix yields the same truncated value the old bounded body
+        # slice produced, never bytes of the next frame.
         body_end = pos + 4 + frame_len
         pos += 4 + frame_len
         key = message = None
@@ -280,9 +320,11 @@ def decode_frames(blob: bytes, max_message_size: int | None = None,
             bpos += 1
             if ttype == _TTYPE_STOP:
                 break
+            _need(bpos, 2, body_end)
             (fid,) = struct.unpack_from(">h", blob, bpos)
             bpos += 2
             if ttype == _TTYPE_STRING and fid in (_FIELD_KEY, _FIELD_MESSAGE):
+                _need(bpos, 4, body_end)
                 (n,) = struct.unpack_from(">I", blob, bpos)
                 bpos += 4
                 val = blob[bpos : min(bpos + n, body_end)]
@@ -292,6 +334,7 @@ def decode_frames(blob: bytes, max_message_size: int | None = None,
                 else:
                     message = val
             elif ttype == _TTYPE_I64 and fid in (_FIELD_TIMESTAMP, _FIELD_CHECKSUM):
+                _need(bpos, 8, body_end)
                 (v,) = struct.unpack_from(">q", blob, bpos)
                 bpos += 8
                 if fid == _FIELD_TIMESTAMP:
@@ -299,9 +342,9 @@ def decode_frames(blob: bytes, max_message_size: int | None = None,
                 else:
                     checksum = v
             elif ttype == _TTYPE_STRUCT and fid == _FIELD_AUDIT_HEADERS:
-                audit, bpos = decode_audit_headers(blob, bpos)
+                audit, bpos = decode_audit_headers(blob, bpos, body_end)
             else:
-                bpos = _skip_field(blob, bpos, ttype)
+                bpos = _skip_field(blob, bpos, ttype, body_end)
         if message is None:
             continue  # not a LogMessage frame
         if max_message_size and len(message) > max_message_size:

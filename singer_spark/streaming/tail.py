@@ -137,25 +137,49 @@ def _write_counters(log_dir: str, glob: str, reopens: int,
 
     # best-effort telemetry: a full disk or permission race must NEVER
     # take the streaming query down — the offsets are the data path,
-    # this file is not
+    # this file is not.  The writer's pid rides along so GC can key
+    # eligibility on process liveness, not age alone (ADVICE r9 #3).
     try:
         path = _counters_file(log_dir, glob, ns, token)
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump({"stream": f"{log_dir}::{glob}", "ns": ns,
-                       "reopens": int(reopens), "bytes": int(bytes_)}, f)
+                       "reopens": int(reopens), "bytes": int(bytes_),
+                       "pid": os.getpid()}, f)
         os.replace(tmp, path)
     except OSError:
         pass
 
 
-def _gc_counters(max_age_secs: float = 3600.0) -> None:
-    """Unlink counter files idle past `max_age_secs` — per-reader files
-    (unique token per reader since ADVICE r8 #2) otherwise accumulate
-    one per reader instance forever on hosts with restarting queries
-    (review r9 #5).  Called once per reader construction; age-based
-    only, so a live overlapping reader's file (rewritten every trigger)
-    is never touched.  Best-effort like every write in this channel."""
+def _pid_alive(pid: int) -> bool:
+    """Is `pid` a live process?  Signal-0 probe; the counters dir is
+    per-uid so EPERM (another user's pid after reuse) is the rare case —
+    treated as alive (keep the file, the age hard-cap still bounds it)."""
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except (PermissionError, OSError):
+        return True
+
+
+def _gc_counters(max_age_secs: float = 3600.0,
+                 hard_cap_secs: float = 7 * 86400.0) -> None:
+    """Unlink counter files whose writer process is GONE and that are idle
+    past `max_age_secs` — per-reader files (unique token per reader since
+    ADVICE r8 #2) otherwise accumulate one per reader instance forever on
+    hosts with restarting queries (review r9 #5).  Called once per reader
+    construction.
+
+    Eligibility is (idle > max_age AND writer pid dead) — age alone is not
+    enough: a live tail reader whose trigger interval exceeds the cutoff
+    (or a long-paused query) must not lose its file to an unrelated reader
+    starting on the same host (ADVICE r9 #3).  `hard_cap_secs` (default
+    7 days) GCs regardless of pid, bounding files kept alive by pid reuse
+    or files written before the pid field existed.  Best-effort like every
+    write in this channel."""
+    import json
     import time
 
     d = _counters_dir()
@@ -167,18 +191,31 @@ def _gc_counters(max_age_secs: float = 3600.0) -> None:
     for name in names:
         p = os.path.join(d, name)
         try:
-            if now - os.stat(p).st_mtime > max_age_secs:
-                os.unlink(p)
-        except OSError:
+            idle = now - os.stat(p).st_mtime
+            if idle <= max_age_secs:
+                continue
+            if idle <= hard_cap_secs:
+                try:
+                    with open(p) as f:
+                        pid = json.load(f).get("pid")
+                except (OSError, ValueError):
+                    pid = None  # unreadable/corrupt: plain age-based GC
+                if pid is not None and _pid_alive(int(pid)):
+                    continue  # paused-but-live reader: keep its counts
+            os.unlink(p)
+        except (OSError, ValueError):
             continue
 
 
 def _scan_counters(max_age_secs: float, ns: "str | None") -> "list[dict]":
     """All recent counter records, newest-mtime first.  ns=None matches
-    everything; a concrete ns matches that namespace PLUS unnamespaced
-    writers (readers constructed without `counters_ns` — direct
-    readStream.format users; documented back-compat, the cross-app
-    filter only works for readers that declare their app)."""
+    everything; a concrete ns matches that namespace PLUS empty-ns
+    records.  DEPRECATED back-compat, scheduled for removal: since r10
+    every reader emits a non-empty ns (tail_stream passes the app id;
+    direct readStream.format users get a private `_local:` namespace),
+    so the empty-ns match only fires for counter files written by
+    pre-r10 readers still on disk — it ages out with them (GC hard-cap
+    7 days) and the `""` arm can then be dropped."""
     import json
     import time
 
@@ -230,8 +267,11 @@ def list_counters(max_age_secs: float = 900.0,
     [{stream, reopens, bytes}], the most recently written reader's
     record per stream, entries idle past max_age_secs skipped (a
     tempdir outlives the queries that wrote it).  Pass the Spark
-    application id as `ns` to exclude OTHER applications' namespaced
-    streams (ADVICE r8 #2); unnamespaced writers always match."""
+    application id as `ns` to exclude OTHER applications' streams
+    (ADVICE r8 #2) — since r10 ALL readers emit a namespace, so the
+    exclusion covers direct readStream.format users too (they get a
+    private `_local:` ns; only deprecated pre-r10 empty-ns files still
+    match every app until the GC hard-cap ages them out)."""
     out, seen = [], set()
     for c in _scan_counters(max_age_secs, ns):
         if c["stream"] in seen:
@@ -302,8 +342,16 @@ class TailStreamReader(DataSourceStreamReader):
         # reader's counts (ADVICE r8 #2)
         import uuid
 
-        self._counters_ns = options.get("counters_ns", "")
         self._counters_token = uuid.uuid4().hex[:12]
+        # ns is ALWAYS emitted (r9 task #7): a reader constructed without
+        # `counters_ns` (direct readStream.format user) gets a private
+        # `_local:<token>` namespace instead of the old empty string, so
+        # it can never leak into ANOTHER application's heartbeat via the
+        # empty-ns back-compat match.  Its counters stay reachable with
+        # ns=None (match-everything) or read_counters on its stream key;
+        # pass counters_ns=<applicationId> to appear in an app's status.
+        self._counters_ns = (options.get("counters_ns")
+                             or f"_local:{self._counters_token}")
         _gc_counters()  # bound the per-reader-file population (r9 #5)
         _write_counters(self.log_dir, self.glob, 0, 0,
                         self._counters_ns, self._counters_token)

@@ -118,6 +118,51 @@ def test_decode_file_tolerant_keeps_prefix_and_skips_rest():
     assert [r[1] for r in rows] == [b"a", b"bb"]  # prefix kept, no raise
 
 
+def test_truncated_i64_frame_does_not_leak_next_frame_bytes():
+    # A frame whose declared length cuts an i64 mid-value must be treated as
+    # corrupt (skip-file-remainder), NOT decoded by reading the NEXT frame's
+    # header bytes as the value.  Regression for the in-place decoder: the
+    # absolute-offset reads continue into the following frame unless each
+    # fixed-width read is bounds-checked against the frame end.
+    from singer_spark.framing import decode_file_tolerant, decode_frames
+
+    good = encode_log_message(b"first", timestamp_nanos=111)
+    cut = encode_log_message(b"second", timestamp_nanos=222)
+    # chop the last 6 bytes (stop byte + 5 bytes of the i64 value), then FIX
+    # the length prefix so the frame still claims to be self-contained (a
+    # corrupt write, not a truncated tail)
+    cut_body = cut[4: len(cut) - 6]
+    cut = struct.pack(">I", len(cut_body)) + cut_body
+    trailer = encode_log_message(b"third", timestamp_nanos=333)
+    blob = good + cut + trailer
+
+    rows = decode_file_tolerant(blob, "f.log")
+    # only the intact leading frame survives; the corrupt frame neither
+    # emits garbage metadata nor swallows/corrupts the trailer silently
+    assert [r[1] for r in rows] == [b"first"]
+    assert rows[0][2] == 111
+    # and decode_frames raises (it does NOT yield a 'second' with a
+    # timestamp assembled from the trailer frame's header bytes)
+    import pytest as _pytest
+    gen = decode_frames(blob)
+    assert next(gen)[1] == b"first"
+    with _pytest.raises(ValueError):
+        next(gen)
+
+
+def test_truncated_audit_struct_is_corrupt_not_garbage():
+    from singer_spark.framing import decode_file_tolerant
+
+    good = encode_log_message(b"ok", timestamp_nanos=1)
+    with_audit = encode_log_message(
+        b"au", audit_headers={"host": "h1", "pid": 7, "session": 99})
+    # cut the audit struct mid-field and re-stamp the frame length
+    body = with_audit[4: len(with_audit) - 4]
+    cut = struct.pack(">I", len(body)) + body
+    rows = decode_file_tolerant(good + cut + good, "f.log")
+    assert [r[1] for r in rows] == [b"ok"]
+
+
 def test_frame_text_line_per_message():
     assert frame_text("a\nb\nc\n", None) == ["a\n", "b\n", "c\n"]
     assert frame_text("a\nb", None) == ["a\n", "b\n"]

@@ -635,3 +635,68 @@ def test_counters_gc_unlinks_stale_files(tmp_path):
     _write_counters(d, "*", 7, 700, ns="x", token="live")
     _gc_counters(max_age_secs=3600)
     assert read_counters(d, "*") == {"reopens": 7, "bytes": 700}
+
+
+def test_counters_gc_spares_live_pid_reaps_dead_pid(tmp_path):
+    """ADVICE r9 #3: age-based GC alone deletes a LIVE paused reader's
+    counters (trigger interval > cutoff).  GC now keys eligibility on the
+    writer pid: idle + pid alive → kept; idle + pid dead → reaped; idle
+    past the hard cap → reaped regardless (pid-reuse bound)."""
+    import json
+    import os
+    import time
+
+    from singer_spark.streaming.tail import (
+        _counters_dir,
+        _counters_file,
+        _gc_counters,
+        _write_counters,
+        read_counters,
+    )
+
+    d_live = str(tmp_path / "paused-live")
+    d_dead = str(tmp_path / "dead-writer")
+    # live writer (this process), idle past the cutoff — must survive
+    _write_counters(d_live, "*", 11, 1100, ns="x", token="paused")
+    # dead writer: rewrite the file with a pid that cannot exist
+    _write_counters(d_dead, "*", 13, 1300, ns="x", token="gone")
+    dead_path = _counters_file(d_dead, "*", "x", "gone")
+    with open(dead_path) as f:
+        rec = json.load(f)
+    rec["pid"] = 2 ** 22 + 1  # above any default pid_max
+    with open(dead_path, "w") as f:
+        json.dump(rec, f)
+    old = time.time() - 7200
+    for name in os.listdir(_counters_dir()):
+        os.utime(os.path.join(_counters_dir(), name), (old, old))
+    _gc_counters(max_age_secs=3600)
+    assert read_counters(d_live, "*") == {"reopens": 11, "bytes": 1100}
+    assert read_counters(d_dead, "*") == {"reopens": 0, "bytes": 0}
+    # hard cap: even the live pid's file goes once idle past it
+    for name in os.listdir(_counters_dir()):
+        os.utime(os.path.join(_counters_dir(), name), (old, old))
+    _gc_counters(max_age_secs=3600, hard_cap_secs=7100)
+    assert read_counters(d_live, "*") == {"reopens": 0, "bytes": 0}
+
+
+def test_direct_format_reader_excluded_from_foreign_app_heartbeat(tmp_path):
+    """r9 task #7: a reader constructed WITHOUT counters_ns (direct
+    readStream.format user) must not appear in another application's
+    namespaced listing — every reader now emits a non-empty ns (a
+    private `_local:` one when the app id wasn't passed)."""
+    from singer_spark.streaming.tail import TailStreamReader, list_counters
+
+    d = str(tmp_path / "directlogs")
+    os.makedirs(d)
+    (tmp_path / "directlogs" / "a.log").write_text("x\n")
+    reader = TailStreamReader({"path": d})  # no counters_ns option
+    assert reader._counters_ns.startswith("_local:")
+    key = f"{d}::*"
+    # foreign app's heartbeat: excluded
+    assert key not in {c["stream"] for c in list_counters(ns="some-other-app")}
+    # unfiltered listing still reaches it (ns=None matches everything)
+    assert key in {c["stream"] for c in list_counters()}
+    # and a reader that DID declare its app keeps matching that app
+    declared = TailStreamReader({"path": d, "counters_ns": "app-Z"})
+    assert declared._counters_ns == "app-Z"
+    assert key in {c["stream"] for c in list_counters(ns="app-Z")}
