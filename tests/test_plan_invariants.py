@@ -443,6 +443,53 @@ def test_registry_dicts_have_no_duplicate_keys():
     assert not dup_defs, f"shadowed top-level defs: {dup_defs}"
 
 
+# Queries whose plan carries BroadcastNestedLoopJoin nodes — every one a
+# cross join against a DRIVER-SIZED frame (a keyless aggregate: corpus
+# totals, a quantile threshold, a scalar norm — 1 row by construction, so
+# the broadcast is bytes, not data).  A new query landing a BNLJ must be
+# added here CONSCIOUSLY with the same argument; anything else is a plan
+# bug the registry-wide audit below catches (review r9 #3).
+_BNLJ_ALLOWLIST = {
+    "audience_overlap_kmv", "bm25_search", "cluster_balanced_sample",
+    "corpus_mix", "dsir_sample", "hard_negatives", "heavy_hitters_tokens",
+    "hybrid_search_rrf", "join_size_estimate", "lsh_tuning",
+    "ngram_lm_score", "pair_budget_report", "q11_important_stock",
+    "q22_idle_customers", "range_join_value_tiers", "revenue_pareto",
+    "semantic_decontaminate", "sim_bruteforce_topk", "skew_report",
+    "source_kl_state_bound", "source_unigram_kl", "tfidf_top_terms",
+    "token_drift", "value_histogram",
+}
+
+
+def test_registry_has_zero_cartesian_products():
+    """The '0 cartesians' claim, mechanically derived (review r9 #3):
+    PLANS.json — rewritten by tools/plan_audit.py over the FULL registry
+    every release-gate run — must record n_cartesian == 0 for every
+    query, and BroadcastNestedLoopJoin only on the documented
+    scalar-broadcast allowlist.  Also pins that the audit tool still
+    emits the fields (a regression that drops the counter would
+    otherwise silently void the invariant)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.json")
+    with open(path) as f:
+        plans = json.load(f)
+    audited = {k: v for k, v in plans.items()
+               if isinstance(v, dict) and "error" not in v}
+    assert len(audited) >= 150  # the full registry, not a subset run
+    missing = [k for k, v in audited.items() if "n_cartesian" not in v]
+    assert not missing, f"plan_audit stopped emitting n_cartesian: {missing[:5]}"
+    carts = [k for k, v in audited.items() if v["n_cartesian"]]
+    assert not carts, f"CartesianProduct in plans: {carts}"
+    bnlj = {k for k, v in audited.items() if v.get("n_bnlj")}
+    stray = bnlj - _BNLJ_ALLOWLIST
+    assert not stray, (
+        f"BroadcastNestedLoopJoin outside the scalar-broadcast allowlist: "
+        f"{sorted(stray)} — if the broadcast side is a 1-row frame by "
+        f"construction, add it to _BNLJ_ALLOWLIST with that argument")
+
+
 def test_repetition_signals_single_scan(spark, sf_dir):
     """The tokenized base frame must be persisted and shared: one corpus
     parquet scan total (r8 restructure: the per-n top explodes used to

@@ -56,6 +56,16 @@ def audit_one(df) -> dict:
         "n_exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
         "n_broadcasts": len(re.findall(r"Broadcast(?:Exchange|HashJoin|NestedLoopJoin)", plan)),
         "n_smj": len(re.findall(r"\(\d+\) SortMergeJoin", plan)),
+        # the every-pair join forms (review r9 #3: the "0 cartesians" claim
+        # must be mechanically derivable, not asserted).  CartesianProduct
+        # shuffle-pairs BOTH sides — always a plan bug at 100 TB, pinned to
+        # 0 registry-wide by test_plan_invariants.  BroadcastNestedLoopJoin
+        # is the scalar-broadcast cross-join form (a 1-row totals/threshold
+        # frame against the corpus — the broadcast side is driver-sized by
+        # construction); it is counted separately and every query carrying
+        # one must be on the test's documented allowlist.
+        "n_cartesian": len(re.findall(r"\(\d+\) CartesianProduct", plan)),
+        "n_bnlj": len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)),
         "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
     }
 
@@ -91,12 +101,16 @@ def main() -> int:
             clear_all_caches(spark)
 
     print(f"{'query':32s} {'scans':>5s} {'exch':>5s} {'bcast':>5s} "
-          f"{'smj':>4s} {'pushed':>6s}")
+          f"{'smj':>4s} {'cart':>4s} {'bnlj':>4s} {'pushed':>6s}")
     ok = {k: v for k, v in rows.items() if "error" not in v}
     for name, r in sorted(ok.items(), key=lambda kv: -kv[1]["n_exchanges"]):
         print(f"{name:32s} {r['n_scans']:5d} {r['n_exchanges']:5d} "
               f"{r['n_broadcasts']:5d} {r['n_smj']:4d} "
+              f"{r.get('n_cartesian', 0):4d} {r.get('n_bnlj', 0):4d} "
               f"{str(r['pushed']):>6s}")
+    n_cart = sum(r.get("n_cartesian", 0) for r in ok.values())
+    if n_cart:
+        print(f"!! {n_cart} CartesianProduct node(s) in the registry")
     for name in errors:
         print(f"{name:32s} ERROR {rows[name]['error']}")
 

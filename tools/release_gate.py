@@ -90,9 +90,12 @@ def main() -> int:
             plans = json.load(f)
         errors = [k for k, v in plans.items()
                   if isinstance(v, dict) and v.get("error")]
+        cartesians = [k for k, v in plans.items()
+                      if isinstance(v, dict) and v.get("n_cartesian")]
         s["plans"] = len(plans)
         s["build_errors"] = errors
-        if errors:
+        s["cartesians"] = cartesians  # must stay [] (review r9 #3)
+        if errors or cartesians:
             s["status"] = "FAIL"
     steps.append(s)
 
