@@ -166,46 +166,99 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
 
 def curate_stream(docs_stream: DataFrame, checkpoint: str, state_path: str,
                   out_path: str, cfg: CurationConfig = CurationConfig(),
-                  minhash_threshold: float = 0.5):
+                  minhash_threshold: float = 0.5,
+                  stream_dedup: str = "minhash",
+                  span_bloom_bits: "int | None" = 1 << 22):
     """Always-on corpus ingestion: per micro-batch, run the stateless
-    gates (:func:`curate`), then drop documents that near-duplicate the
-    ACCUMULATED corpus via the MinHash signature state
-    (`dedup.minhash_lsh_incremental`), append survivors to the dataset and
-    their signatures to the state table.
+    gates (:func:`curate`), then apply the cross-batch dedup backend,
+    append survivors to the dataset and their state rows to the state
+    table.
 
-    State is 8 ints per retained doc (`state_path` parquet) — history is
-    never re-read; the stream checkpoint makes batch replay idempotent on
-    the offsets side, and survivors-only appends keep the output
-    append-only.  Returns the configured DataStreamWriter — add a trigger
-    and `.start()`: drive with availableNow cycles (the engine's
-    run_adaptive pattern) or a continuous trigger.
+    Backends (`stream_dedup`):
 
-    This is the streaming twin of :func:`curate_and_publish` — same gates,
-    with cross-batch dedup state replacing the one-shot in-corpus pass."""
+    - ``minhash`` (default) — DROP documents that near-duplicate the
+      ACCUMULATED corpus via the MinHash signature state
+      (`dedup.minhash_lsh_incremental`).  State is 8 ints per retained
+      doc.
+    - ``spans`` (r10) — REWRITE documents instead of dropping them:
+      `dedup.dedup_spans_incremental` cuts every duplicated run of
+      >= `cfg.span_min_run` tokens whose k-gram digests live in the
+      accumulated `span_grams` state OR duplicate within the batch;
+      docs cut to nothing drop (same rewrite rule as the batch `spans`
+      backend, including the whitespace-normalization caveat).  State
+      is the increment's DISTINCT window digests (16 B/token), appended
+      per batch — historical text is never re-read, and the probe runs
+      behind a broadcast Bloom prefilter by default (`span_bloom_bits`;
+      None disables — output is bit-identical either way).  Because a
+      replayed batch's windows are all already in state, its docs cut
+      to nothing and drop — the same replay-idempotence the minhash
+      backend gets from self-matching signatures (docs shorter than
+      `span_min_run` tokens are the blind spot — too short to form a
+      cuttable run).
+
+    History is never re-read by either backend; the stream checkpoint
+    makes batch replay idempotent on the offsets side, and
+    survivors-only appends keep the output append-only.  Returns the
+    configured DataStreamWriter — add a trigger and `.start()`: drive
+    with availableNow cycles (the engine's run_adaptive pattern) or a
+    continuous trigger.
+
+    This is the streaming twin of :func:`curate_and_publish` — same
+    gates, with cross-batch dedup state replacing the one-shot
+    in-corpus pass.  With ids increasing in arrival order (the natural
+    ingestion shape) the streamed output equals the uninterrupted
+    single-batch run — `tools/soak_tail.py` pins it under kill/restart
+    churn for both backends."""
     import os
 
-    from singer_spark.operators.dedup import minhash_lsh_incremental
-
+    if stream_dedup not in ("minhash", "spans"):
+        raise ValueError(f"unknown stream_dedup backend {stream_dedup!r}")
     id_col, text_col = cfg.id_col, cfg.text_col
     batch_cfg = CurationConfig(**{**cfg.__dict__, "dedup": "none"})
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         kept = curate(batch_df, batch_cfg)
-        if os.path.exists(state_path):
-            seen = spark.read.parquet(state_path)
+        if stream_dedup == "spans":
+            from singer_spark.operators.dedup import (
+                dedup_spans_incremental,
+                span_grams,
+            )
+
+            if os.path.exists(state_path):
+                seen = spark.read.parquet(state_path)
+            else:
+                seen = spark.createDataFrame([], "g string")
+            spans = dedup_spans_incremental(
+                kept.select(id_col, text_col), seen,
+                k=cfg.span_k, min_run=cfg.span_min_run,
+                text_col=text_col, id_col=id_col,
+                num_bits=span_bloom_bits if not seen.isEmpty() else None)
+            out = _apply_span_rewrite(kept, spans, id_col, text_col)
+            # state grows by the increment's ORIGINAL window digests
+            # (owners keep their text, so cut copies' digests must stay
+            # probeable — the dedup_spans_incremental state discipline)
+            span_grams(kept.select(id_col, text_col), k=cfg.span_k,
+                       text_col=text_col, id_col=id_col) \
+                .write.mode("append").parquet(state_path)
+            out.write.mode("append").parquet(out_path)
         else:
-            seen = spark.createDataFrame(
-                [], f"{id_col} bigint, " + ", ".join(
-                    f"h{i} bigint" for i in range(8)))
-        surv_sigs = minhash_lsh_incremental(
-            kept.select(id_col, text_col), seen,
-            id_col=id_col, text_col=text_col,
-            threshold=minhash_threshold)
-        surv_sigs.write.mode("append").parquet(state_path)
-        (kept.join(surv_sigs.select(id_col), id_col, "left_semi")
-         .write.mode("append").parquet(out_path))
-        # batch boundary: both writes above are the last consumers of
+            from singer_spark.operators.dedup import minhash_lsh_incremental
+
+            if os.path.exists(state_path):
+                seen = spark.read.parquet(state_path)
+            else:
+                seen = spark.createDataFrame(
+                    [], f"{id_col} bigint, " + ", ".join(
+                        f"h{i} bigint" for i in range(8)))
+            surv_sigs = minhash_lsh_incremental(
+                kept.select(id_col, text_col), seen,
+                id_col=id_col, text_col=text_col,
+                threshold=minhash_threshold)
+            surv_sigs.write.mode("append").parquet(state_path)
+            (kept.join(surv_sigs.select(id_col), id_col, "left_semi")
+             .write.mode("append").parquet(out_path))
+        # batch boundary: the writes above are the last consumers of
         # anything this batch's gates persisted — drain the registry so
         # a long-lived ingestion driver doesn't accumulate one cache
         # (plus its pinned plan objects) per increment (review r8 #1)

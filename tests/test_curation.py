@@ -84,6 +84,75 @@ def test_curate_stream_gates_and_cross_batch_dedup(spark, tmp_path):
     assert kept == [1, 11]
 
 
+def test_curate_stream_spans_backend_rewrites_and_restart_invariance(
+        spark, tmp_path):
+    """r9 task #4: the `spans` streaming backend cuts duplicated runs
+    against the ACCUMULATED span_grams state instead of dropping whole
+    docs — a batch-2 doc repeating batch-1 boilerplate is published with
+    the boilerplate cut and its unique tail intact; an exact re-send is
+    cut to nothing and dropped.  And the streamed (two-cycle) output
+    must equal the uninterrupted single-cycle run over the same docs —
+    the restart-invariance discipline."""
+    from singer_spark.curation import CurationConfig, curate_stream
+
+    schema = "doc_id bigint, text string"
+    boiler = " ".join(f"navchrome{j}" for j in range(24))  # 24-token run
+    uniq1 = ("the quick brown fox jumps over the lazy dog near the river "
+             "bank in the warm morning sun with a gentle breeze blowing")
+    uniq2 = ("a completely different well formed english sentence about "
+             "the weather and the state of the garden this afternoon")
+    batch1 = [(1, uniq1 + " " + boiler)]
+    batch2 = [(10, boiler + " " + uniq2),    # boilerplate cut, tail kept
+              (11, uniq1 + " " + boiler)]    # exact re-send: cut to nothing
+
+    cfg = CurationConfig(lang=None, min_quality=None,
+                         repetition_screen=False, dedup="none", split=False,
+                         span_k=8, span_min_run=16)
+
+    def run(tag, batches):
+        src = str(tmp_path / f"src_{tag}")
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("append").parquet(src)
+            q = (curate_stream(
+                spark.readStream.schema(schema).parquet(src),
+                str(tmp_path / f"ckpt_{tag}"), str(tmp_path / f"state_{tag}"),
+                str(tmp_path / f"out_{tag}"), cfg, stream_dedup="spans")
+                .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            q.stop()
+        return {r.doc_id: r.text for r in
+                spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()}
+
+    streamed = run("stream", [batch1, batch2])
+    assert set(streamed) == {1, 10}
+    assert streamed[1] == uniq1 + " " + boiler  # owner keeps its copy
+    assert streamed[10] == uniq2                # boilerplate cut, tail kept
+    # 11 (exact re-send of 1's content) cut to nothing and dropped
+
+    solid = run("solid", [batch1 + batch2])     # uninterrupted single batch
+    assert streamed == solid
+
+    # Bloom prefilter off must be bit-identical (same docs, fresh dirs)
+    def run_nobloom(tag, batches):
+        src = str(tmp_path / f"src_{tag}")
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("append").parquet(src)
+            q = (curate_stream(
+                spark.readStream.schema(schema).parquet(src),
+                str(tmp_path / f"ckpt_{tag}"), str(tmp_path / f"state_{tag}"),
+                str(tmp_path / f"out_{tag}"), cfg, stream_dedup="spans",
+                span_bloom_bits=None)
+                .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            q.stop()
+        return {r.doc_id: r.text for r in
+                spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()}
+
+    assert run_nobloom("nobloom", [batch1, batch2]) == streamed
+
+
 def test_curate_spans_mode_rewrites_instead_of_dropping(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -550,6 +550,50 @@ def test_bpe_encode_ranked_merge_count_independent(spark):
     assert plan_small.count("\n") == plan_big.count("\n")
 
 
+def test_bpe_encode_broadcast_path_matches_joinback_and_chain(spark):
+    """VERDICT r9 task #2: the broadcast-dict apply path (vocab map in
+    the Arrow kernel closure — no posexplode/join/regroup, the skew-safe
+    default) must be value-identical to the forced join-back path AND
+    the replace chain, including NULL text, wordless docs, repeated
+    words, and a word-count above the gate (forcing join-back via
+    broadcast_vocab_limit=0 and via a limit smaller than the vocab must
+    both agree)."""
+    from singer_spark.operators.text_analysis import (
+        bpe_encode,
+        bpe_encode_ranked,
+        bpe_learn_merges,
+    )
+
+    texts = ["low low low lower lowest",
+             "aaaa aaaa aa a",
+             "Mixed CASE Words lower",   # lowercase parity across paths
+             "",
+             "   ",
+             "low aaaa newer zz low",
+             None]
+    docs = _docs_df(spark, [(i, t, "s") for i, t in enumerate(texts)])
+    merges = [(r.left_sym, r.right_sym)
+              for r in bpe_learn_merges(docs, n_merges=10).collect()]
+    assert merges
+
+    def rows(df):
+        return [(r.doc_id, r.n_tokens, r.tokens)
+                for r in df.orderBy("doc_id").collect()]
+
+    chain = rows(bpe_encode(docs, merges))
+    bcast = rows(bpe_encode_ranked(docs, merges))            # default gate: broadcast
+    joinback = rows(bpe_encode_ranked(docs, merges,
+                                      broadcast_vocab_limit=0))
+    over_gate = rows(bpe_encode_ranked(docs, merges,
+                                       broadcast_vocab_limit=3))  # vocab > 3
+    assert bcast == joinback == over_gate == chain
+    # the broadcast plan carries no exchange past the vocab build: the
+    # apply is a single projection over the corpus scan
+    plan = (bpe_encode_ranked(docs, merges)
+            ._jdf.queryExecution().executedPlan().treeString())
+    assert "Exchange" not in plan
+
+
 def test_bpe_word_encoder_sequential_semantics():
     """The heap kernel replays the chain's SEQUENTIAL order, not
     iterative min-rank: a later merge that re-creates an earlier-rank

@@ -6,7 +6,9 @@ the exceptions, all documented in their operators, are the pair-BUDGET
 family (eager histogram/threshold job + posting-list cache, cleared
 between queries here), the TRAINED quantizer family (sim_ivf_trained /
 sim_pq_trained run their Lloyd iterations at build time), bpe_learn /
-bpe_encode (one 1-row argmax collect per merge step), embedding_pca
+bpe_encode (one 1-row argmax collect per merge step),
+bpe_encode_ranked (the vocab-size gate counts + collects the encoded
+vocabulary at build time when it fits the broadcast limit), embedding_pca
 (the one-pass moments collect), and corpus_shuffle (assign_global_ids'
 eager range-partition checkpoint + per-partition counts) — every one a
 bounded, driver-sized collect by design) and summarizes the formatted

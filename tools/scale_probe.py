@@ -50,7 +50,14 @@ ANN family timed per scale: pq_encode (the index build) plus the exact-L2
 / PQ / IVF-PQ top-k paths over 10 queries.  All four are corpus-linear
 scans by design; the table verifies it.
 
-Usage: python tools/scale_probe.py [sf_dir] [max_k] [scan|pairs|markov|events|skew|ann]
+Round 10 adds `spans` (VERDICT r9 task #1) — the span-dedup analog of the
+`pairs` discipline: per-copy token prefixes (no k-gram window collides
+across copies) plus a PLANTED fixed-rate duplicated-span set, so hit
+fraction stays constant in k and measured growth is the plan's, not the
+salted-copy fixture's (where every window turns cross-copy shared and hit
+fraction rises with k — adversarial for a span remover by construction).
+
+Usage: python tools/scale_probe.py [sf_dir] [max_k] [scan|pairs|markov|events|skew|ann|spans]
 """
 
 from __future__ import annotations
@@ -95,6 +102,40 @@ def disjoint_docs(spark, sf_dir: str, k: int) -> DataFrame:
         prefixed = F.array_join(
             F.transform(toks, lambda t: F.concat(F.lit(f"c{i}x"), t)), " ")
         parts.append(base.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            prefixed.alias("text"), "lang", "source", "n_chars"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def disjoint_span_docs(spark, sf_dir: str, k: int,
+                       boiler_every: int = 10,
+                       boiler_len: int = 40) -> DataFrame:
+    """The span-dedup analog of `disjoint_docs` (VERDICT r9 task #1): k
+    copies with per-copy token PREFIXES — no k-gram window ever collides
+    across copies — plus a PLANTED duplicated-span set at a fixed rate
+    (every `boiler_every`-th doc gets the same `boiler_len`-token
+    boilerplate run appended BEFORE prefixing, so within each copy the
+    planted spans duplicate each other but never cross copies).  Hit
+    fraction is therefore constant in k and output grows ~k×, isolating
+    the PLAN's growth from the salted-copy fixture's artifact (where
+    every window becomes cross-copy shared and hit fraction rises with
+    k — adversarial for a span remover by construction)."""
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    boiler = " ".join(f"boilertok{j}" for j in range(boiler_len))
+    planted = base.withColumn(
+        "text",
+        F.when(F.col("doc_id") % boiler_every == 0,
+               F.concat(F.col("text"), F.lit(" " + boiler)))
+        .otherwise(F.col("text")))
+    parts = []
+    for i in range(k):
+        toks = F.split(F.col("text"), " ")
+        prefixed = F.array_join(
+            F.transform(toks, lambda t: F.concat(F.lit(f"c{i}x"), t)), " ")
+        parts.append(planted.select(
             (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
             prefixed.alias("text"), "lang", "source", "n_chars"))
     out = parts[0]
@@ -253,6 +294,7 @@ def ops(docs: DataFrame):
         "heavy_hitters": lambda: _hh(docs),
         "bpe_learn+encode": lambda: _bpe(docs),
         "bpe_learn+encode_ranked": lambda: _bpe_ranked(docs),
+        "bpe_learn+enc_joinback": lambda: _bpe_ranked(docs, joinback=True),
         "corpus_shuffle": lambda: _shuffle(docs),
         "dedup_spans": lambda: _dedup_spans(docs),
         "dsir_sample": lambda: _dsir(docs),
@@ -289,11 +331,13 @@ def _bpe(docs: DataFrame) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
-def _bpe_ranked(docs: DataFrame) -> DataFrame:
-    """Same train pass, PRODUCTION encode (r8): distinct-word heap
-    kernel + join-back — the path whose cost is independent of merge
-    count (the chain column above stops being runnable past ~700
-    merges; see bpe mode)."""
+def _bpe_ranked(docs: DataFrame, joinback: bool = False) -> DataFrame:
+    """Same train pass, PRODUCTION encode (r8/r10): distinct-word heap
+    kernel, then the r10 vocab-size-gated apply — broadcast-dict per-doc
+    pass by default (no posexplode/join/regroup), or the word-keyed
+    join-back when `joinback` forces the unbounded-vocab path.  Both
+    value-identical; cost independent of merge count either way (the
+    chain column stops being runnable past ~700 merges; see bpe mode)."""
     from singer_spark.operators.text_analysis import (
         bpe_encode_ranked,
         bpe_learn_merges,
@@ -301,7 +345,8 @@ def _bpe_ranked(docs: DataFrame) -> DataFrame:
 
     merges = [(r.left_sym, r.right_sym)
               for r in bpe_learn_merges(docs, n_merges=12).collect()]
-    return bpe_encode_ranked(docs, merges)
+    return bpe_encode_ranked(docs, merges,
+                             broadcast_vocab_limit=0 if joinback else 2_000_000)
 
 
 def _shuffle(docs: DataFrame) -> DataFrame:
@@ -322,6 +367,43 @@ def _hh(docs: DataFrame) -> DataFrame:
     toks = (docs.select(F.explode(F.split("text", r"\s+")).alias("token"))
             .where(F.col("token") != ""))
     return heavy_hitters(toks, "token", min_share=0.02)
+
+
+def spans_main(spark, sf_dir: str, ks: list[int]) -> None:
+    """Span-dedup scale table on the DISJOINT fixture (VERDICT r9 task
+    #1): wall time + removed-token mass per scale.  Removed tokens must
+    grow ~k× (the planted duplicated-span rate is fixed per copy); the
+    time curve is then the plan's, not the fixture's — decomposing the
+    salted-copy table's 6.1×-at-64× into fixture artifact vs structure."""
+    from singer_spark.operators.dedup import dedup_spans
+
+    results: dict[str, dict[int, float]] = {}
+    removed: dict[str, dict[int, int]] = {}
+    for k in ks:
+        docs = disjoint_span_docs(spark, sf_dir, k).persist()
+        docs.count()
+        builds = {
+            "dedup_spans": lambda: dedup_spans(docs, k=8),
+            "dedup_spans_minrun": lambda: dedup_spans(docs, k=8, min_run=16),
+        }
+        for name, build in builds.items():
+            results.setdefault(name, {})[k] = _timed(build)
+            removed.setdefault(name, {})[k] = build().agg(
+                F.sum("n_removed")).collect()[0][0]
+            clear_all_caches(spark)
+        docs.unpersist()
+        clear_all_caches(spark)
+    hdr = "operator".ljust(20) + "".join(f"  {k}x".rjust(8) for k in ks) + "   growth"
+    print(hdr)
+    for name, times in results.items():
+        ratio = times[ks[-1]] / times[ks[0]]
+        row = name.ljust(20) + "".join(f"{times[k]:8.2f}" for k in ks)
+        print(f"{row}   {ratio:.1f}x over {ks[-1]}x data")
+    print("\nremoved tokens (planted dup rate fixed per copy; "
+          "linear plan -> ~kx removal, ~kx time)")
+    print("operator".ljust(20) + "".join(f"  {k}x".rjust(10) for k in ks))
+    for name, by_k in removed.items():
+        print(name.ljust(20) + "".join(f"{by_k[k]:10d}" for k in ks))
 
 
 def _timed(build, runs: int = 3) -> float:
@@ -598,6 +680,13 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,
         while ks[-1] * 4 <= max_k:
             ks.append(ks[-1] * 4)
         ann_main(spark, sf_dir, ks)
+        spark.stop()
+        return
+    if mode == "spans":
+        ks = [1]
+        while ks[-1] * 4 <= max_k:
+            ks.append(ks[-1] * 4)
+        spans_main(spark, sf_dir, ks)
         spark.stop()
         return
 

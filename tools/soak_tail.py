@@ -333,6 +333,13 @@ def run_curation_soak(spark, root: str, seconds: float, telem=None) -> list[tupl
     schema = "doc_id bigint, text string"
     cfg = CurationConfig(lang=None, min_quality=None, repetition_screen=False,
                          dedup="exact", split=False, keep_cols=())
+    # spans backend (r9 task #4): REWRITE duplicated runs against the
+    # accumulated span_grams state — restart-invariance must hold on
+    # (id, text) pairs, not ids alone, since the backend edits text
+    span_cfg = CurationConfig(lang=None, min_quality=None,
+                              repetition_screen=False, dedup="none",
+                              split=False, keep_cols=(),
+                              span_k=8, span_min_run=16)
     base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
         .select("doc_id", "text")
 
@@ -347,20 +354,24 @@ def run_curation_soak(spark, root: str, seconds: float, telem=None) -> list[tupl
         part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
         os.rename(os.path.join(stage, part), os.path.join(src, f"chunk{i}.parquet"))
 
-    def cycle(tag: str, reader) -> None:
+    def cycle(tag: str, reader, cfg_=cfg, backend: str = "minhash") -> None:
         q = (curate_stream(reader, os.path.join(root, f"cur_ckpt_{tag}"),
                            os.path.join(root, f"cur_state_{tag}"),
-                           os.path.join(root, f"cur_out_{tag}"), cfg)
+                           os.path.join(root, f"cur_out_{tag}"), cfg_,
+                           stream_dedup=backend)
              .trigger(availableNow=True).start())
         q.awaitTermination()
         q.stop()
 
-    # churned run: a fresh query (kill + restart) after every chunk
+    # churned run: a fresh query (kill + restart) after every chunk —
+    # both backends churn over the same chunk arrivals
     deadline = time.time() + seconds
     done = 0
     for i in range(n_chunks):
         write_chunk(i)
         cycle("churn", spark.readStream.schema(schema).parquet(src))
+        cycle("spans_churn", spark.readStream.schema(schema).parquet(src),
+              span_cfg, "spans")
         done = i + 1
         if telem:
             telem.note("curation", done,
@@ -368,10 +379,12 @@ def run_curation_soak(spark, root: str, seconds: float, telem=None) -> list[tupl
                         os.path.join(root, "cur_state_churn")])
         if time.time() > deadline and done >= 2:
             break
-    # reference run: ONE uninterrupted query over the same chunks, one
+    # reference runs: ONE uninterrupted query over the same chunks, one
     # micro-batch per chunk file (same arrival granularity, no restarts)
     cycle("ref", spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(src))
+    cycle("spans_ref", spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src), span_cfg, "spans")
 
     churn = [r.doc_id for r in
              spark.read.parquet(os.path.join(root, "cur_out_churn")).collect()]
@@ -379,9 +392,21 @@ def run_curation_soak(spark, root: str, seconds: float, telem=None) -> list[tupl
            spark.read.parquet(os.path.join(root, "cur_out_ref")).collect()]
     good = (sorted(churn) == sorted(ref)
             and len(set(churn)) == len(churn) and len(churn) > 0)
+    s_churn = [(r.doc_id, r.text) for r in spark.read.parquet(
+        os.path.join(root, "cur_out_spans_churn")).collect()]
+    s_ref = [(r.doc_id, r.text) for r in spark.read.parquet(
+        os.path.join(root, "cur_out_spans_ref")).collect()]
+    s_ids = [d for d, _ in s_churn]
+    s_good = (sorted(s_churn) == sorted(s_ref)
+              and len(set(s_ids)) == len(s_ids) and len(s_churn) > 0)
     return [("curation", "restart-invariance", len(ref), done, len(churn),
              len(set(ref) - set(churn)), len(churn) - len(set(churn)),
-             "OK" if good else "FAIL")]
+             "OK" if good else "FAIL"),
+            ("curation-spans", "restart-invariance (id+text)", len(s_ref),
+             done, len(s_churn),
+             len({d for d, _ in s_ref} - set(s_ids)),
+             len(s_ids) - len(set(s_ids)),
+             "OK" if s_good else "FAIL")]
 
 
 def run_dupes_metric_soak(spark, root: str, seconds: float,
