@@ -611,20 +611,57 @@ def minhash_lsh_incremental(new_docs: DataFrame, seen_sigs: DataFrame,
             .withColumnRenamed("id", id_col))
 
 
+def optimal_bands(n_perm: int, threshold: float, grid: int = 99) -> "tuple[int, int]":
+    """(bands, rows) minimizing :func:`lsh_tuning_report`'s `total_err`
+    for a given (n_perm, threshold) — the closed-form argmin computed
+    locally (same divisor splits, same Riemann grid, same qround(1e-6)
+    quantization before the compare; a pytest pins this twin to the
+    report's argmin row).  Datasketch's `_optimal_param` shape without a
+    Spark job: d(n_perm)·grid float ops on the driver."""
+    import math
+
+    best: "tuple[float, int, int] | None" = None
+    for b in range(1, n_perm + 1):
+        if n_perm % b:
+            continue
+        r = n_perm // b
+        ds = 1.0 / (grid + 1)
+        fp = fn = 0.0
+        for i in range(1, grid + 1):
+            s = i / (grid + 1)
+            p = 1.0 - (1.0 - s ** r) ** b
+            if s < threshold:
+                fp += p * ds
+            else:
+                fn += (1.0 - p) * ds
+        err = math.floor((fp + fn) * 1e6 + 0.5) / 1e6  # qround(1e-6)
+        if best is None or (err, b) < (best[0], best[1]):
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      k: int = 4, num_hashes: int = 8, bands: int = 4,
+                      k: int = 4, num_hashes: int = 8,
+                      bands: "int | None" = None,
                       threshold: float = 0.6, persist: bool = True,
                       base: DataFrame | None = None) -> DataFrame:
     """LSH-banded candidate generation + exact Jaccard verification.
 
     `num_hashes` minhashes split into `bands` bands (rows = num_hashes/bands);
     docs sharing any band bucket become candidates (probability
-    1-(1-j^rows)^bands — the S-curve).  Only candidates pay the verification
-    join: the per-doc shingle ARRAYS are joined back by id and intersected
-    JVM-side, so the corpus is shingle-exploded exactly once (for the
-    signatures).  Pass `base` (an existing shingle_frame) to share that
-    one pass with other consumers.  Output: (id_a, id_b, jaccard >=
-    threshold)."""
+    1-(1-j^rows)^bands — the S-curve).  `bands=None` (the default since
+    r10, VERDICT r9 task #6) picks the :func:`lsh_tuning_report`
+    total_err argmin for this (num_hashes, threshold) via
+    :func:`optimal_bands` — at the registry's (8, 0.5) that is the same
+    (4, 2) split the oracle-pinned entries pass explicitly.  Only
+    candidates pay the verification join: the per-doc shingle ARRAYS are
+    joined back by id and intersected JVM-side, so the corpus is
+    shingle-exploded exactly once (for the signatures).  Pass `base` (an
+    existing shingle_frame) to share that one pass with other consumers.
+    Output: (id_a, id_b, jaccard >= threshold)."""
+    if bands is None:
+        bands, _ = optimal_bands(num_hashes, threshold)
     if base is None:
         base = _maybe_persist(shingle_frame(docs, text_col, id_col, k), persist)
     sigs = minhash_signatures(docs, text_col, id_col, k, num_hashes, base=base)
