@@ -1297,6 +1297,74 @@ def _lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_tuning_report(spark, n_perm=64, threshold=0.5)
 
 
+def _lsh_autoband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning table's total_err argmin row — the (b, r) that
+    `minhash_lsh_pairs(bands=None)` now auto-selects (r10, VERDICT r9
+    task #6) — cross-checked against the local `optimal_bands` twin:
+    the query embeds the twin's pick as literals and emits an agreement
+    boolean; the oracle re-derives the argmin in SQL and pins the
+    boolean true, so a twin/report divergence hash-mismatches."""
+    from singer_spark.operators.dedup import lsh_tuning_report, optimal_bands
+
+    b, r = optimal_bands(64, 0.5)
+    rep = lsh_tuning_report(spark, n_perm=64, threshold=0.5)
+    return (rep.orderBy(F.col("total_err").asc(), F.col("b").asc()).limit(1)
+            .select("b", "r", "total_err",
+                    F.lit(b).cast("int").alias("local_b"),
+                    F.lit(r).cast("int").alias("local_r"),
+                    ((F.col("b") == F.lit(b)) & (F.col("r") == F.lit(r)))
+                    .alias("twin_agrees")))
+
+
+def _ann_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index lifecycle (r10, VERDICT r9 task #5), self-verifying
+    (the driver's DuckDB can't load parquet models): train the IVFADC
+    model once, persist it through `save_ann_model` (centroids +
+    codebooks + the `ivfpq_encode` codes table via write_dataset),
+    reload with `load_ann_model`, and probe with `model=` AND
+    `encoded=` — zero Lloyd iterations and zero corpus encodes on the
+    probe path.  The query emits per-query booleans comparing the
+    probe-only top-k with the train-in-place path plus an exact ndarray
+    round-trip flag; the oracle pins every boolean true."""
+    import tempfile
+
+    import numpy as np
+
+    from singer_spark.operators.similarity import (
+        ivfpq_ann_topk,
+        ivfpq_encode,
+        ivfpq_train_model,
+        load_ann_model,
+        save_ann_model,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    C, CB = ivfpq_train_model(emb, n_clusters=16, m=8, kc=16,
+                              iters_coarse=1, iters_pq=1)
+    path = tempfile.mkdtemp(prefix="singer_ann_model_")
+    save_ann_model(spark, path, "ivfpq", centroids=C, codebooks=CB,
+                   codes=ivfpq_encode(emb, (C, CB)))
+    M = load_ann_model(spark, path)
+    arrays_ok = bool(np.array_equal(M["C"], C)
+                     and np.array_equal(M["CB"], CB))
+
+    def flat(df: DataFrame, name: str) -> DataFrame:
+        return (df.groupBy("query_id")
+                .agg(F.concat_ws("|", F.array_sort(F.collect_list(
+                    F.concat_ws(":", "neighbor_id", "rank", "adc_micro"))))
+                    .alias(name)))
+
+    want = ivfpq_ann_topk(emb, q, 5, nprobe=4, model=(C, CB))
+    got = ivfpq_ann_topk(emb, q, 5, nprobe=4,
+                         model=(M["C"], M["CB"]), encoded=M["codes"])
+    return (flat(want, "_w").join(flat(got, "_g"), "query_id", "full")
+            .select("query_id",
+                    (F.col("_w") == F.col("_g")).alias("probe_matches_train"),
+                    F.lit(arrays_ok).alias("arrays_roundtrip"))
+            .orderBy("query_id"))
+
+
 def _dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-internal duplicate-span removal (Lee et al. 2022 exact-
     substring style at 8-gram granularity): every shared 8-token window
@@ -2516,6 +2584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_ranked": _bpe_encode_ranked,
         "dsir_sample": _dsir_sample,
         "lsh_tuning": _lsh_tuning,
+        "lsh_autoband": _lsh_autoband,
+        "ann_model_roundtrip": _ann_model_roundtrip,
         "dedup_spans": _dedup_spans,
         "dedup_spans_minrun": _dedup_spans_minrun,
         "dedup_spans_incremental": _dedup_spans_incremental,
@@ -5769,6 +5839,35 @@ def oracle_sql() -> dict[str, str]:
                    floor(fn * 1000000 + 0.5) / 1000000 AS fn_area,
                    floor((fp + fn) * 1000000 + 0.5) / 1000000 AS total_err
             FROM agg ORDER BY b""",
+        "lsh_autoband": """
+            -- the tuning table's total_err argmin row; the Spark query
+            -- embeds the local optimal_bands twin's pick as literals, so
+            -- local_b/local_r/twin_agrees pin twin == SQL argmin
+            WITH splits AS (
+              SELECT b, 64 // b AS r FROM generate_series(1, 64) t(b)
+              WHERE 64 % b = 0),
+            grid AS (SELECT i / 100.0 AS s FROM generate_series(1, 99) g(i)),
+            per AS (SELECT b, r, s,
+                           1 - pow(1 - pow(s, r), b) AS p
+                    FROM splits CROSS JOIN grid),
+            agg AS (SELECT b, r,
+                           sum(CASE WHEN s < 0.5 THEN p * 0.01 ELSE 0 END) AS fp,
+                           sum(CASE WHEN s >= 0.5 THEN (1 - p) * 0.01 ELSE 0 END) AS fn
+                    FROM per GROUP BY b, r)
+            SELECT b, r,
+                   floor((fp + fn) * 1000000 + 0.5) / 1000000 AS total_err,
+                   b AS local_b, r AS local_r, true AS twin_agrees
+            FROM agg
+            ORDER BY floor((fp + fn) * 1000000 + 0.5) / 1000000, b
+            LIMIT 1""",
+        "ann_model_roundtrip": """
+            -- self-verifying: the Spark query persists + reloads the
+            -- trained IVFADC model and compares the probe-only path with
+            -- train-in-place in-plan; the oracle pins the booleans true
+            SELECT vec_id AS query_id,
+                   true AS probe_matches_train,
+                   true AS arrays_roundtrip
+            FROM embeddings WHERE vec_id < 8 ORDER BY query_id""",
         "dedup_spans_minrun": """
             -- islands of overlapping shared 8-gram windows; cut only
             -- runs >= 12 tokens (Lee et al. minimum-length discipline)

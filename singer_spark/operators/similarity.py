@@ -627,7 +627,8 @@ def pq_train_codebooks(corpus: DataFrame, m: int = 8, kc: int = 16,
 def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 m: int = 8, kc: int = 16,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                codebooks: "np.ndarray | None" = None) -> DataFrame:
+                codebooks: "np.ndarray | None" = None,
+                encoded: "DataFrame | None" = None) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance: encode the corpus to
     (m)-code rows, precompute each query's (m × kc) micro-unit LUT
     driver-side (queries are a bounded set — the brute_force_topk
@@ -636,7 +637,12 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     per-query top-k window.  Output: (query_id, neighbor_id, rank,
     adc_micro) — integer ADC totals, exactly reproducible in SQL.  Pass
     `codebooks` (e.g. from :func:`pq_train_codebooks`) to override the
-    seeded default."""
+    seeded default; pass `encoded` (a :func:`pq_encode` (id, codes)
+    frame, stored through :func:`save_ann_model`'s `codes`) to score
+    stored codes directly — the probe then never touches an embedding:
+    each query's flattened LUT broadcasts as a tiny frame and ADC is a
+    JVM array gather over the code rows (the IVF-PQ probe's discipline
+    without the cell pruning)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.window import Window
 
@@ -661,25 +667,41 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     for s in range(m):
         LUT[:, s, :] = _pq_micro_l2(Q[:, s * sub:(s + 1) * sub], CB[s])
 
-    @pandas_udf("array<bigint>")
-    def adc(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series([], dtype="object")
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        codes = _pq_codes_matrix(V, CB)                  # (n, m)
-        total = np.zeros((len(V), LUT.shape[0]), dtype=np.int64)
-        for s in range(m):
-            total += LUT[:, s, codes[:, s]].T            # (n, nq) gather
-        return pd.Series([row.tolist() for row in total])
-
     spark = corpus.sparkSession
-    qmap = spark.createDataFrame(
-        [(i, int(r.qid)) for i, r in enumerate(q_rows)], "qi int, query_id bigint")
-    scored = (fan_out(corpus)
-              .select(F.col(id_col).alias("neighbor_id"),
-                      F.posexplode(adc(F.col(vec_col))).alias("qi", "adc_micro"))
-              .join(F.broadcast(qmap), "qi")
-              .filter(F.col("neighbor_id") != F.col("query_id")))
+    if encoded is not None:
+        id_in = id_col if id_col in encoded.columns else encoded.columns[0]
+        probes = spark.createDataFrame(
+            [(int(r.qid), LUT[i].reshape(-1).tolist())
+             for i, r in enumerate(q_rows)],
+            "query_id bigint, lut array<bigint>")
+        looked = F.transform(
+            F.col("codes"), lambda x, s: F.get(F.col("lut"), s * F.lit(kc) + x))
+        scored = (encoded.select(F.col(id_in).alias("neighbor_id"), "codes")
+                  .crossJoin(F.broadcast(probes))  # bounded query set × codes
+                  .filter(F.col("neighbor_id") != F.col("query_id"))
+                  .select("query_id", "neighbor_id",
+                          F.aggregate(looked, F.lit(0).cast("bigint"),
+                                      lambda acc, x: acc + x)
+                          .alias("adc_micro")))
+    else:
+        @pandas_udf("array<bigint>")
+        def adc(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="object")
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            codes = _pq_codes_matrix(V, CB)                  # (n, m)
+            total = np.zeros((len(V), LUT.shape[0]), dtype=np.int64)
+            for s in range(m):
+                total += LUT[:, s, codes[:, s]].T            # (n, nq) gather
+            return pd.Series([row.tolist() for row in total])
+
+        qmap = spark.createDataFrame(
+            [(i, int(r.qid)) for i, r in enumerate(q_rows)], "qi int, query_id bigint")
+        scored = (fan_out(corpus)
+                  .select(F.col(id_col).alias("neighbor_id"),
+                          F.posexplode(adc(F.col(vec_col))).alias("qi", "adc_micro"))
+                  .join(F.broadcast(qmap), "qi")
+                  .filter(F.col("neighbor_id") != F.col("query_id")))
     w = Window.partitionBy("query_id").orderBy(F.col("adc_micro").asc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

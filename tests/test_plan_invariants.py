@@ -452,7 +452,7 @@ def test_registry_dicts_have_no_duplicate_keys():
 _BNLJ_ALLOWLIST = {
     "audience_overlap_kmv", "bm25_search", "cluster_balanced_sample",
     "corpus_mix", "dsir_sample", "hard_negatives", "heavy_hitters_tokens",
-    "hybrid_search_rrf", "join_size_estimate", "lsh_tuning",
+    "hybrid_search_rrf", "join_size_estimate", "lsh_autoband", "lsh_tuning",
     "ngram_lm_score", "pair_budget_report", "q11_important_stock",
     "q22_idle_customers", "range_join_value_tiers", "revenue_pareto",
     "semantic_decontaminate", "sim_bruteforce_topk", "skew_report",

@@ -730,7 +730,8 @@ def test_ann_model_save_load_probe_only_roundtrip(spark, tmp_path,
                        centroids=C, codebooks=CB, codes=codes)
     sim.save_ann_model(spark, str(tmp_path / "ivf"), "ivf",
                        centroids=sim._centroid_matrix(cent_df))
-    sim.save_ann_model(spark, str(tmp_path / "pq"), "pq", codebooks=CBp)
+    sim.save_ann_model(spark, str(tmp_path / "pq"), "pq", codebooks=CBp,
+                       codes=sim.pq_encode(emb, CBp))
 
     # --- reload: arrays bit-identical -----------------------------------
     m_ivfpq = sim.load_ann_model(spark, str(tmp_path / "ivfpq"))
@@ -740,7 +741,7 @@ def test_ann_model_save_load_probe_only_roundtrip(spark, tmp_path,
     assert np.array_equal(m_ivfpq["C"], C)
     assert np.array_equal(m_ivfpq["CB"], CB)
     assert np.array_equal(m_pq["CB"], CBp)
-    assert m_ivfpq["codes"] is not None and m_pq["codes"] is None
+    assert m_ivfpq["codes"] is not None and m_pq["codes"] is not None
 
     # --- probe-only: no training, no seeded derivation, no encode -------
     def boom(*a, **k):
@@ -749,7 +750,7 @@ def test_ann_model_save_load_probe_only_roundtrip(spark, tmp_path,
     for name in ("ivfpq_train_model", "ivf_train_centroids",
                  "pq_train_codebooks", "_ivfpq_model",
                  "_pq_seed_codebooks", "_seeded_centroids",
-                 "ivfpq_encode"):
+                 "ivfpq_encode", "pq_encode"):
         monkeypatch.setattr(sim, name, boom)
 
     got_ivfpq = rows(sim.ivfpq_ann_topk(
@@ -758,10 +759,14 @@ def test_ann_model_save_load_probe_only_roundtrip(spark, tmp_path,
     got_ivf = rows(sim.ivf_ann_topk(emb, q, 5, nprobe=3,
                                     centroids=m_ivf["centroids_df"]))
     got_pq = rows(sim.pq_ann_topk(emb, q, 5, codebooks=m_pq["CB"]))
+    # PQ from STORED codes: the probe never touches an embedding column
+    got_pq_codes = rows(sim.pq_ann_topk(emb, q, 5, codebooks=m_pq["CB"],
+                                        encoded=m_pq["codes"]))
     emb.unpersist()
     assert got_ivfpq == want_ivfpq
     assert got_ivf == want_ivf
     assert got_pq == want_pq
+    assert got_pq_codes == want_pq
 
 
 def test_ivfpq_trained_beats_seeded_and_matches_model_shape(spark):
