@@ -164,11 +164,52 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
     return out
 
 
+def compact_span_state(spark, state_path: str) -> int:
+    """Rewrite the accumulated span_grams state as DISTINCT digests.
+
+    The spans stream appends each batch's distinct window digests, so a
+    digest shared ACROSS batches (recurring boilerplate — exactly the
+    content the backend exists for) accumulates one row per batch it
+    appears in.  Correctness never suffers (the probe is a semi-join)
+    but the state grows superlinearly in boilerplate-heavy regimes;
+    this compaction bounds it back to one row per distinct digest.
+
+    Crash-safe by duplicates-only failure modes: the distinct set is
+    written to a scratch dir, its part files MOVE into the state dir
+    under fresh names, and only then are the pre-existing files
+    deleted — a crash at any point leaves the state a superset of the
+    distinct digests (never a subset), which the semi-join reads
+    identically.  Returns the digest count after compaction."""
+    import os
+    import shutil
+    import uuid
+
+    if not os.path.exists(state_path):
+        return 0
+    tmp = f"{state_path}.compacting.{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(state_path).select("g").distinct() \
+        .write.mode("overwrite").parquet(tmp)
+    old_files = [n for n in os.listdir(state_path)
+                 if not n.startswith(("_", "."))]
+    tag = uuid.uuid4().hex[:8]
+    for i, name in enumerate(sorted(os.listdir(tmp))):
+        if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+            continue
+        os.rename(os.path.join(tmp, name),
+                  os.path.join(state_path, f"compact-{tag}-{i}.parquet"))
+    for name in old_files:
+        p = os.path.join(state_path, name)
+        (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(state_path).count()
+
+
 def curate_stream(docs_stream: DataFrame, checkpoint: str, state_path: str,
                   out_path: str, cfg: CurationConfig = CurationConfig(),
                   minhash_threshold: float = 0.5,
                   stream_dedup: str = "minhash",
-                  span_bloom_bits: "int | None" = 1 << 22):
+                  span_bloom_bits: "int | None" = 1 << 22,
+                  span_compact_every: "int | None" = 16):
     """Always-on corpus ingestion: per micro-batch, run the stateless
     gates (:func:`curate`), then apply the cross-batch dedup backend,
     append survivors to the dataset and their state rows to the state
@@ -194,7 +235,10 @@ def curate_stream(docs_stream: DataFrame, checkpoint: str, state_path: str,
       to nothing and drop — the same replay-idempotence the minhash
       backend gets from self-matching signatures (docs shorter than
       `span_min_run` tokens are the blind spot — too short to form a
-      cuttable run).
+      cuttable run).  Every `span_compact_every` batches the state is
+      rewritten to distinct digests (:func:`compact_span_state`) —
+      recurring boilerplate otherwise re-appends its digests each
+      batch; None disables.
 
     History is never re-read by either backend; the stream checkpoint
     makes batch replay idempotent on the offsets side, and
@@ -242,6 +286,13 @@ def curate_stream(docs_stream: DataFrame, checkpoint: str, state_path: str,
                        text_col=text_col, id_col=id_col) \
                 .write.mode("append").parquet(state_path)
             out.write.mode("append").parquet(out_path)
+            # recurring boilerplate re-appends its digests every batch;
+            # periodic compaction bounds the state back to one row per
+            # distinct digest (duplicates-only crash modes — see
+            # compact_span_state)
+            if span_compact_every and \
+                    epoch_id % span_compact_every == span_compact_every - 1:
+                compact_span_state(spark, state_path)
         else:
             from singer_spark.operators.dedup import minhash_lsh_incremental
 

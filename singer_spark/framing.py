@@ -62,6 +62,13 @@ _FIELD_TIMESTAMP = 3
 _FIELD_CHECKSUM = 4
 _FIELD_AUDIT_HEADERS = 5
 
+# precompiled unpackers for the per-field hot loop — struct.unpack_from
+# re-resolves the format cache on every call, which measures ~5% of
+# whole-file decode at 300-byte messages
+_U_H = struct.Struct(">h").unpack_from   # field id
+_U_I = struct.Struct(">I").unpack_from   # length prefix
+_U_Q = struct.Struct(">q").unpack_from   # i64 value
+
 # LoggingAuditHeaders fields (loggingaudit.thrift:28-65):
 # (field id, name, thrift type).  Declaration order == wire order.
 _AUDIT_FIELDS = (
@@ -291,7 +298,7 @@ def decode_frames(blob: bytes, max_message_size: int | None = None,
     end = len(blob)
     internal_max = max_message_size * 10 if max_message_size else None
     while pos + 4 <= end:
-        (frame_len,) = struct.unpack_from(">I", blob, pos)
+        (frame_len,) = _U_I(blob, pos)
         if internal_max and frame_len > internal_max:
             raise ValueError(f"frame of {frame_len} bytes exceeds 10x maxMessageSize")
         if pos + 4 + frame_len > end:
@@ -320,12 +327,17 @@ def decode_frames(blob: bytes, max_message_size: int | None = None,
             bpos += 1
             if ttype == _TTYPE_STOP:
                 break
-            _need(bpos, 2, body_end)
-            (fid,) = struct.unpack_from(">h", blob, bpos)
+            # bounds checks are INLINE compares here (not _need calls):
+            # this loop runs per field of every message, and the call
+            # overhead alone measured -15% decode throughput
+            if bpos + 2 > body_end:
+                raise ValueError("thrift field id overruns frame end")
+            (fid,) = _U_H(blob, bpos)
             bpos += 2
             if ttype == _TTYPE_STRING and fid in (_FIELD_KEY, _FIELD_MESSAGE):
-                _need(bpos, 4, body_end)
-                (n,) = struct.unpack_from(">I", blob, bpos)
+                if bpos + 4 > body_end:
+                    raise ValueError("thrift string length overruns frame end")
+                (n,) = _U_I(blob, bpos)
                 bpos += 4
                 val = blob[bpos : min(bpos + n, body_end)]
                 bpos += n
@@ -334,8 +346,9 @@ def decode_frames(blob: bytes, max_message_size: int | None = None,
                 else:
                     message = val
             elif ttype == _TTYPE_I64 and fid in (_FIELD_TIMESTAMP, _FIELD_CHECKSUM):
-                _need(bpos, 8, body_end)
-                (v,) = struct.unpack_from(">q", blob, bpos)
+                if bpos + 8 > body_end:
+                    raise ValueError("thrift i64 overruns frame end")
+                (v,) = _U_Q(blob, bpos)
                 bpos += 8
                 if fid == _FIELD_TIMESTAMP:
                     ts = v

@@ -550,7 +550,8 @@ def _band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
 
 def minhash_lsh_incremental(new_docs: DataFrame, seen_sigs: DataFrame,
                             text_col: str = "text", id_col: str = "doc_id",
-                            k: int = 4, num_hashes: int = 8, bands: int = 4,
+                            k: int = 4, num_hashes: int = 8,
+                            bands: "int | None" = None,
                             threshold: float = 0.6,
                             persist: bool = True) -> DataFrame:
     """Incremental NEAR-dup dedup — the daily-increment pattern of
@@ -571,7 +572,18 @@ def minhash_lsh_incremental(new_docs: DataFrame, seen_sigs: DataFrame,
 
     Returns the SURVIVORS' signature rows (id, h0..h{n-1}) — append them
     to `seen_sigs` for the next increment.  Nothing wider than band keys
-    and signatures shuffles; history is never re-scanned."""
+    and signatures shuffles; history is never re-scanned.
+
+    `bands=None` (the default since r10, matching
+    :func:`minhash_lsh_pairs`) auto-selects the
+    :func:`lsh_tuning_report` total_err argmin via :func:`optimal_bands`
+    — at (8, 0.6) that is (2, 4).  Banding only shapes the CANDIDATE
+    set (both the history and in-increment accepts re-verify against
+    the threshold), but a mid-stream (num_hashes, threshold) change
+    still shifts which candidates surface — pin `bands` explicitly if
+    an existing deployment's behavior must stay frozen."""
+    if bands is None:
+        bands, _ = optimal_bands(num_hashes, threshold)
     base = _maybe_persist(shingle_frame(new_docs, text_col, id_col, k), persist)
     sigs = _maybe_persist(
         minhash_signatures(new_docs, text_col, id_col, k, num_hashes, base=base),

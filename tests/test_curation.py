@@ -153,6 +153,59 @@ def test_curate_stream_spans_backend_rewrites_and_restart_invariance(
     assert run_nobloom("nobloom", [batch1, batch2]) == streamed
 
 
+def test_span_state_compaction_dedupes_without_changing_output(
+        spark, tmp_path):
+    """Recurring boilerplate re-appends its digests every batch; the
+    periodic compaction must shrink the state to distinct digests while
+    the stream's published output stays identical to the
+    no-compaction run (the probe is a semi-join — duplicates never
+    changed results, only state size)."""
+    from singer_spark.curation import (
+        CurationConfig,
+        compact_span_state,
+        curate_stream,
+    )
+
+    schema = "doc_id bigint, text string"
+    boiler = " ".join(f"chrome{j}" for j in range(20))
+    batches = [[(100 * b + i,
+                 f"unique{b}x{i} " * 10 + boiler)]
+               for b in range(3) for i in range(2)]
+    cfg = CurationConfig(lang=None, min_quality=None,
+                         repetition_screen=False, dedup="none", split=False,
+                         span_k=8, span_min_run=16)
+
+    def run(tag, compact_every):
+        src = str(tmp_path / f"src_{tag}")
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("append").parquet(src)
+            q = (curate_stream(
+                spark.readStream.schema(schema).parquet(src),
+                str(tmp_path / f"ckpt_{tag}"), str(tmp_path / f"state_{tag}"),
+                str(tmp_path / f"out_{tag}"), cfg, stream_dedup="spans",
+                span_compact_every=compact_every)
+                .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            q.stop()
+        out = {(r.doc_id, r.text) for r in
+               spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()}
+        state_rows = spark.read.parquet(
+            str(tmp_path / f"state_{tag}")).count()
+        return out, state_rows
+
+    plain, n_plain = run("plain", None)
+    compacted, n_compacted = run("compact", 2)  # compacts after batches 2,4,6
+    assert compacted == plain                   # output identical
+    assert n_compacted < n_plain                # state actually shrank
+    # a manual compaction is idempotent and distinct-sized
+    n1 = compact_span_state(spark, str(tmp_path / "state_plain"))
+    n2 = compact_span_state(spark, str(tmp_path / "state_plain"))
+    assert n1 == n2 == spark.read.parquet(
+        str(tmp_path / "state_plain")).select("g").distinct().count()
+    assert n1 < n_plain
+
+
 def test_curate_spans_mode_rewrites_instead_of_dropping(spark, sf_dir):
     from pyspark.sql import functions as F
 
