@@ -1241,6 +1241,93 @@ def test_minhash_recall_report_detects_weak_banding(spark):
     assert strong.recall > 0.5
 
 
+def _naive_span_dedup(docs, k, min_run):
+    """Brute-force reference for dedup_spans: positions covered by any
+    shared window (owner = min id keeps its copy) union into maximal
+    contiguous intervals; intervals >= min_run tokens are cut."""
+    toks = {i: t.split(" ") for i, t in docs}
+    grams: dict = {}
+    for i, ts in sorted(toks.items()):
+        for s in range(len(ts) - k + 1):
+            grams.setdefault(" ".join(ts[s:s + k]), []).append((i, s))
+    owner = {g: min(i for i, _ in v) for g, v in grams.items()
+             if len({i for i, _ in v}) > 1}
+    cov: dict = {}
+    for g, occs in grams.items():
+        o = owner.get(g)
+        if o is None:
+            continue
+        for i, s in occs:
+            if i > o:
+                cov.setdefault(i, set()).update(range(s, s + k))
+    out = {}
+    for i, ts in toks.items():
+        islands = []
+        for p in sorted(cov.get(i, ())):
+            if islands and p == islands[-1][1] + 1:
+                islands[-1][1] = p
+            else:
+                islands.append([p, p])
+        cut: set = set()
+        for lo, hi in islands:
+            if hi - lo + 1 >= min_run:
+                cut.update(range(lo, hi + 1))
+        kept = [t for j, t in enumerate(ts) if j not in cut]
+        out[i] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+def test_dedup_spans_property_random_corpora(spark):
+    """Property sweep for the span family (the r9 flagship): on
+    randomized tiny-alphabet corpora (dense shared windows, overlap
+    runs, exact-duplicate docs) dedup_spans must equal the brute-force
+    positional reference at both min_run settings, and the INCREMENTAL
+    form over an id-ordered split must equal the uninterrupted batch
+    run's rows for the second half (streamed == uninterrupted at the
+    operator level).  Deterministic seeds, a few Spark calls per corpus
+    — the bpe_learn derandomized-hypothesis pattern."""
+    import random
+
+    from singer_spark.operators.dedup import (
+        dedup_spans,
+        dedup_spans_incremental,
+        span_grams,
+    )
+
+    words = ["aa", "bb", "cc", "dd"]
+    for seed in range(6):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(rng.randint(6, 9)):
+            n = rng.choice([0, 2, 5, 9, 14, 20, 24])
+            rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
+        rows.append((50, rows[0][1]))   # exact duplicate of doc 0
+        rows.append((51, rows[1][1] + " zz " + rows[1][1]))  # self-repeat
+        docs = spark.createDataFrame(
+            [(i, t, "s") for i, t in rows],
+            "doc_id bigint, text string, source string")
+        for min_run in (3, 6):
+            got = {r.id: (r.clean_text, r.n_tokens, r.n_removed)
+                   for r in dedup_spans(docs, k=3, min_run=min_run).collect()}
+            want = _naive_span_dedup(rows, 3, min_run)
+            assert got == want, (seed, min_run)
+
+        # incremental == uninterrupted on an id-ordered split
+        lo = [(i, t) for i, t in rows if i < 5]
+        hi = [(i, t) for i, t in rows if i >= 5]
+        if not lo or not hi:
+            continue
+        d_lo = docs.where(F.col("doc_id") < 5)
+        d_hi = docs.where(F.col("doc_id") >= 5)
+        inc = {r.id: (r.clean_text, r.n_tokens, r.n_removed)
+               for r in dedup_spans_incremental(
+                   d_hi, span_grams(d_lo, k=3), k=3, min_run=6).collect()}
+        full = {r.id: (r.clean_text, r.n_tokens, r.n_removed)
+                for r in dedup_spans(docs, k=3, min_run=6).collect()
+                if r.id >= 5}
+        assert inc == full, seed
+
+
 def test_bpe_learn_property_random_corpora(spark):
     """Property sweep: on randomized small-alphabet corpora (where pair
     ties and overlap runs are dense), the Spark merge table equals the
