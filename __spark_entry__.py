@@ -1326,6 +1326,8 @@ def _ann_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe path.  The query emits per-query booleans comparing the
     probe-only top-k with the train-in-place path plus an exact ndarray
     round-trip flag; the oracle pins every boolean true."""
+    import hashlib
+    import os
     import tempfile
 
     import numpy as np
@@ -1342,7 +1344,14 @@ def _ann_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 8)
     C, CB = ivfpq_train_model(emb, n_clusters=16, m=8, kc=16,
                               iters_coarse=1, iters_pq=1)
-    path = tempfile.mkdtemp(prefix="singer_ann_model_")
+    # deterministic per-(uid, sf_dir) location, OVERWRITTEN each run —
+    # a mkdtemp here leaked one corpus-sized codes dir per oracle/plan/
+    # gate invocation on long-lived hosts (review r10 #8)
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"singer_ann_model_{uid}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
     save_ann_model(spark, path, "ivfpq", centroids=C, codebooks=CB,
                    codes=ivfpq_encode(emb, (C, CB)))
     M = load_ann_model(spark, path)

@@ -186,6 +186,14 @@ def compact_span_state(spark, state_path: str) -> int:
 
     if not os.path.exists(state_path):
         return 0
+    # sweep scratch dirs a previously CRASHED compaction left behind —
+    # compactions are serialized per stream (foreachBatch), so any
+    # existing .compacting.* sibling is dead weight (review r10 #7)
+    parent = os.path.dirname(os.path.abspath(state_path)) or "."
+    base = os.path.basename(state_path)
+    for name in os.listdir(parent):
+        if name.startswith(f"{base}.compacting."):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
     tmp = f"{state_path}.compacting.{uuid.uuid4().hex[:8]}"
     spark.read.parquet(state_path).select("g").distinct() \
         .write.mode("overwrite").parquet(tmp)
@@ -230,15 +238,20 @@ def curate_stream(docs_stream: DataFrame, checkpoint: str, state_path: str,
       is the increment's DISTINCT window digests (16 B/token), appended
       per batch — historical text is never re-read, and the probe runs
       behind a broadcast Bloom prefilter by default (`span_bloom_bits`;
-      None disables — output is bit-identical either way).  Because a
-      replayed batch's windows are all already in state, its docs cut
-      to nothing and drop — the same replay-idempotence the minhash
-      backend gets from self-matching signatures (docs shorter than
-      `span_min_run` tokens are the blind spot — too short to form a
-      cuttable run).  Every `span_compact_every` batches the state is
-      rewritten to distinct digests (:func:`compact_span_state`) —
-      recurring boilerplate otherwise re-appends its digests each
-      batch; None disables.
+      None disables — output is bit-identical either way).  A FULL
+      epoch replay (crash after both writes, before the epoch commit)
+      finds its windows already in state, cuts its docs to nothing and
+      drops them — the same self-match idempotence the minhash backend
+      gets from its signatures (docs shorter than `span_min_run`
+      tokens are the blind spot — too short to form a cuttable run).
+      Both backends write OUTPUT before STATE: a crash in the window
+      between the two re-publishes the batch on replay (at-least-once)
+      — the reverse order would silently LOSE it (state present →
+      self-match drops docs that were never published; review r10 #2).
+      Every `span_compact_every` batches the state is rewritten to
+      distinct digests (:func:`compact_span_state`) — recurring
+      boilerplate otherwise re-appends its digests each batch; None
+      disables.
 
     History is never re-read by either backend; the stream checkpoint
     makes batch replay idempotent on the offsets side, and
@@ -261,31 +274,47 @@ def curate_stream(docs_stream: DataFrame, checkpoint: str, state_path: str,
     batch_cfg = CurationConfig(**{**cfg.__dict__, "dedup": "none"})
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # WRITE ORDER is load-bearing (review r10 #2): output FIRST,
+        # state SECOND.  A crash between the two then re-publishes the
+        # batch on replay (at-least-once, the streaming contract the
+        # soak documents) — the reverse order silently LOSES the batch
+        # forever: its windows/signatures are already state, so the
+        # replay's docs self-match and drop without ever having been
+        # published.  A crash after both writes but before the epoch
+        # commits replays against complete state, where the self-match
+        # correctly drops the already-published docs (no duplicates).
+        from singer_spark.functions import maybe_persist, release_cache_handles
+
         spark = batch_df.sparkSession
-        kept = curate(batch_df, batch_cfg)
+        kept = maybe_persist(curate(batch_df, batch_cfg), True)
         if stream_dedup == "spans":
             from singer_spark.operators.dedup import (
                 dedup_spans_incremental,
                 span_grams,
             )
 
-            if os.path.exists(state_path):
-                seen = spark.read.parquet(state_path)
-            else:
-                seen = spark.createDataFrame([], "g string")
+            has_state = os.path.exists(state_path)
+            seen = (spark.read.parquet(state_path) if has_state
+                    else spark.createDataFrame([], "g string"))
+            # ONE window-explode pass serves the probe, the owner agg,
+            # the intra hit join AND the state append (review r10 #5)
+            grams = maybe_persist(
+                span_grams(kept.select(id_col, text_col), k=cfg.span_k,
+                           text_col=text_col, id_col=id_col,
+                           positional=True), True)
             spans = dedup_spans_incremental(
                 kept.select(id_col, text_col), seen,
                 k=cfg.span_k, min_run=cfg.span_min_run,
                 text_col=text_col, id_col=id_col,
-                num_bits=span_bloom_bits if not seen.isEmpty() else None)
+                num_bits=span_bloom_bits if has_state else None,
+                base_grams=grams)
             out = _apply_span_rewrite(kept, spans, id_col, text_col)
+            out.write.mode("append").parquet(out_path)
             # state grows by the increment's ORIGINAL window digests
             # (owners keep their text, so cut copies' digests must stay
             # probeable — the dedup_spans_incremental state discipline)
-            span_grams(kept.select(id_col, text_col), k=cfg.span_k,
-                       text_col=text_col, id_col=id_col) \
+            grams.select("g").distinct() \
                 .write.mode("append").parquet(state_path)
-            out.write.mode("append").parquet(out_path)
             # recurring boilerplate re-appends its digests every batch;
             # periodic compaction bounds the state back to one row per
             # distinct digest (duplicates-only crash modes — see
@@ -302,19 +331,17 @@ def curate_stream(docs_stream: DataFrame, checkpoint: str, state_path: str,
                 seen = spark.createDataFrame(
                     [], f"{id_col} bigint, " + ", ".join(
                         f"h{i} bigint" for i in range(8)))
-            surv_sigs = minhash_lsh_incremental(
+            surv_sigs = maybe_persist(minhash_lsh_incremental(
                 kept.select(id_col, text_col), seen,
                 id_col=id_col, text_col=text_col,
-                threshold=minhash_threshold)
-            surv_sigs.write.mode("append").parquet(state_path)
+                threshold=minhash_threshold), True)
             (kept.join(surv_sigs.select(id_col), id_col, "left_semi")
              .write.mode("append").parquet(out_path))
+            surv_sigs.write.mode("append").parquet(state_path)
         # batch boundary: the writes above are the last consumers of
         # anything this batch's gates persisted — drain the registry so
         # a long-lived ingestion driver doesn't accumulate one cache
         # (plus its pinned plan objects) per increment (review r8 #1)
-        from singer_spark.functions import release_cache_handles
-
         release_cache_handles()
 
     return (docs_stream.writeStream.foreachBatch(on_batch)

@@ -233,13 +233,25 @@ def _need(pos: int, width: int, end: int) -> None:
         raise ValueError(f"thrift field overruns frame end ({pos}+{width} > {end})")
 
 
-def _skip_field(body: bytes, pos: int, ttype: int, end: int | None = None) -> int:
+_MAX_SKIP_DEPTH = 32  # thrift's own TProtocol default recursion limit
+
+
+def _skip_field(body: bytes, pos: int, ttype: int, end: int | None = None,
+                depth: int = 0) -> int:
     """Skip an unknown/unneeded field — full TBinaryProtocol type coverage,
     like thrift's TProtocolUtil.skip.  LogMessage's own fields are i64/
     string/struct, but nested structs carry more: LoggingAuditHeaders
     (field 5) contains i32 (pid, logSeqNumInSession) and bool (tracked), so
     wire compatibility requires every scalar and container type.  `end`
-    bounds every read to the enclosing frame (see _need)."""
+    bounds every read to the enclosing frame (see _need); `depth` bounds
+    container nesting to thrift's own recursion limit — corrupt bytes
+    that happen to spell deeply nested struct/map/list type codes would
+    otherwise recurse past Python's frame limit, and RecursionError
+    escapes decode_file_tolerant's corrupt-frame classification (review
+    r10 #1: a ~15 KB frame of repeated 0x0c bytes poison-pills the
+    stream)."""
+    if depth > _MAX_SKIP_DEPTH:
+        raise ValueError(f"thrift nesting deeper than {_MAX_SKIP_DEPTH} — corrupt frame")
     if end is None:
         end = len(body)
     w = _TTYPE_FIXED_WIDTH.get(ttype)
@@ -259,15 +271,15 @@ def _skip_field(body: bytes, pos: int, ttype: int, end: int | None = None) -> in
             if t == _TTYPE_STOP:
                 return pos
             _need(pos, 2, end)
-            pos = _skip_field(body, pos + 2, t, end)
+            pos = _skip_field(body, pos + 2, t, end, depth + 1)
     if ttype == _TTYPE_MAP:
         _need(pos, 6, end)
         ktype, vtype = body[pos], body[pos + 1]
         (n,) = struct.unpack_from(">I", body, pos + 2)
         pos += 6
         for _ in range(n):
-            pos = _skip_field(body, pos, ktype, end)
-            pos = _skip_field(body, pos, vtype, end)
+            pos = _skip_field(body, pos, ktype, end, depth + 1)
+            pos = _skip_field(body, pos, vtype, end, depth + 1)
         return pos
     if ttype in (_TTYPE_SET, _TTYPE_LIST):
         _need(pos, 5, end)
@@ -275,7 +287,7 @@ def _skip_field(body: bytes, pos: int, ttype: int, end: int | None = None) -> in
         (n,) = struct.unpack_from(">I", body, pos + 1)
         pos += 5
         for _ in range(n):
-            pos = _skip_field(body, pos, etype, end)
+            pos = _skip_field(body, pos, etype, end, depth + 1)
         return pos
     raise ValueError(f"unsupported thrift type {ttype}")
 
@@ -435,7 +447,7 @@ def decode_file_tolerant(blob: bytes, path: str,
     try:
         for key, msg, ts, crc, audit, off in decode_frames(blob, max_message_size):
             rows.append((key, msg, ts, crc, audit, path, base_offset + off))
-    except (ValueError, struct.error, IndexError) as e:
+    except (ValueError, struct.error, IndexError, RecursionError) as e:
         sys.stderr.write(
             f"singer_spark.framing: corrupt frame in {path} after "
             f"{len(rows)} messages — skipping file remainder ({e})\n")

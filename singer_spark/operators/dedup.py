@@ -1397,7 +1397,8 @@ def dedup_spans_incremental(new_docs: DataFrame, seen_grams: DataFrame,
                             text_col: str = "text",
                             id_col: str = "doc_id",
                             num_bits: "int | None" = None,
-                            num_hashes: int = 4) -> DataFrame:
+                            num_hashes: int = 4,
+                            base_grams: "DataFrame | None" = None) -> DataFrame:
     """:func:`dedup_spans` in the daily-increment pattern: cut from the
     increment every k-token window whose digest exists in the
     accumulated `seen_grams` state (one DISTINCT-digest column `g` —
@@ -1414,13 +1415,19 @@ def dedup_spans_incremental(new_docs: DataFrame, seen_grams: DataFrame,
     actually-duplicated tail (the right shape when the history dwarfs
     the increment; a pytest pins bloom == exact).
 
+    Pass `base_grams` (an already-persisted POSITIONAL
+    `span_grams(new_docs, ..., positional=True)` frame) to share the
+    increment's one window-explode pass with other consumers — the
+    streaming curation backend reuses it for the state append instead
+    of re-exploding the batch (review r10 #5).
+
     Output: (id, clean_text, n_tokens, n_removed) over the increment,
     ordered by id."""
     min_run = k if min_run is None else int(min_run)
     if min_run < k:
         raise ValueError(f"min_run must be >= k ({k}), got {min_run}")
     # three consumers (history probe, owner agg, intra hit join)
-    grams = maybe_persist(
+    grams = base_grams if base_grams is not None else maybe_persist(
         span_grams(new_docs, k, text_col, id_col, positional=True), True)
 
     probe = grams

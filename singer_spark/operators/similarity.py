@@ -669,7 +669,7 @@ def pq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     spark = corpus.sparkSession
     if encoded is not None:
-        id_in = id_col if id_col in encoded.columns else encoded.columns[0]
+        id_in = _encoded_id_col(encoded, id_col, ("codes",))
         probes = spark.createDataFrame(
             [(int(r.qid), LUT[i].reshape(-1).tolist())
              for i, r in enumerate(q_rows)],
@@ -869,6 +869,24 @@ def ivfpq_train_model(corpus: DataFrame, n_clusters: int = 16,
     return C, CB
 
 
+def _encoded_id_col(encoded: DataFrame, id_col: str,
+                    reserved: "tuple[str, ...]") -> str:
+    """Resolve the id column of a stored codes frame: the caller's
+    `id_col` when present, else the single non-reserved column.
+    Anything ambiguous raises — the old first-column fallback silently
+    aliased `cell` as neighbor_id on a reordered frame (review r10 #4),
+    returning well-formed but meaningless ids."""
+    if id_col in encoded.columns:
+        return id_col
+    others = [c for c in encoded.columns if c not in reserved]
+    if len(others) == 1:
+        return others[0]
+    raise ValueError(
+        f"cannot identify the id column of the encoded frame: columns "
+        f"{encoded.columns}, id_col={id_col!r} absent and "
+        f"{len(others)} non-{'/'.join(reserved)} candidates")
+
+
 def ivfpq_encode(corpus: DataFrame,
                  model: "tuple[np.ndarray, np.ndarray]",
                  id_col: str = "vec_id",
@@ -968,9 +986,9 @@ def ivfpq_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         probe_rows, "query_id bigint, cell int, lut array<bigint>")
 
     if encoded is not None:
-        id_in = id_col if id_col in encoded.columns else encoded.columns[0]
-        enc = encoded.select(F.col(id_in).alias("neighbor_id"),
-                             "cell", "codes")
+        enc = encoded.select(
+            F.col(_encoded_id_col(encoded, id_col, ("cell", "codes")))
+            .alias("neighbor_id"), "cell", "codes")
     else:
         enc = (ivfpq_encode(corpus, (C, CB), id_col, vec_col)
                .withColumnRenamed(id_col, "neighbor_id"))

@@ -1929,8 +1929,15 @@ def _bpe_apply_broadcast(docs: DataFrame, vocab_map: "dict[str, str]",
     memoized for the batch."""
     from pyspark.sql.functions import pandas_udf
 
+    from singer_spark.functions import _CACHE_HANDLES
+
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(vocab_map)
+    # a long-lived driver calling the encode per increment would
+    # otherwise accumulate one executor-resident vocab blob per call
+    # (review r10 #6); Broadcast.unpersist duck-types the registry's
+    # release (re-broadcast on later reuse is automatic)
+    _CACHE_HANDLES.append(bc)
     encode = _bpe_word_encoder(merges)
 
     @pandas_udf("struct<n: bigint, toks: string>")

@@ -150,6 +150,23 @@ def test_truncated_i64_frame_does_not_leak_next_frame_bytes():
         next(gen)
 
 
+def test_deeply_nested_struct_bytes_classified_corrupt_not_recursion():
+    """Review r10 #1: a frame whose body bytes spell thousands of nested
+    TSTRUCT fields (0x0c + field id, all within the frame bounds) must be
+    classified corrupt by the nesting cap, NOT recurse past Python's
+    frame limit — RecursionError would escape decode_file_tolerant and
+    deterministically kill the streaming query."""
+    from singer_spark.framing import decode_file_tolerant
+
+    good = encode_log_message(b"ok", timestamp_nanos=1)
+    # field 9 (unknown -> _skip_field), then 4000 levels of 'struct
+    # containing a struct field' followed by no stop bytes
+    nested = struct.pack(">bh", 12, 9) + struct.pack(">bh", 12, 1) * 4000
+    bomb = struct.pack(">I", len(nested)) + nested
+    rows = decode_file_tolerant(good + bomb + good, "f.log")
+    assert [r[1] for r in rows] == [b"ok"]  # prefix kept, no blow-up
+
+
 def test_truncated_audit_struct_is_corrupt_not_garbage():
     from singer_spark.framing import decode_file_tolerant
 
