@@ -1427,6 +1427,66 @@ def _dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                        k=50, n_buckets=1024)
 
 
+def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the CCNet / GPT-3 pipeline stage
+    (Wenzek 2020 §4.4; Brown 2020 app. A): multinomial Naive Bayes
+    trained on the src0 seed vs the rest in ONE aggregation pass,
+    per-doc log-likelihood-ratio scores, keep = llr > 0 —
+    text_analysis.nb_quality_scores.  The model is a ≤1000-row
+    TakeOrdered-capped broadcast (Zipf mega-tokens ride a broadcast
+    hash join, never a skewed sort-merge); the oracle replays
+    tokenize -> class counts -> vocab cap -> smoothed cell ratios ->
+    per-doc sum in plain SQL."""
+    from singer_spark.operators.text_analysis import nb_quality_scores
+
+    docs = _docs(spark, sf_dir)
+    return nb_quality_scores(docs, F.col("source") == "src0",
+                             max_vocab=1000)
+
+
+def _unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-family, Kudo 2018) tokenize of the
+    corpus: substring-frequency vocab (all single chars + top-100
+    multi-char pieces, scaled-integer -ln costs), then per-word Viterbi
+    with exact integer tie-breaks — text_analysis.unigram_vocab /
+    unigram_encode.  Completes the tokenizer family (BPE ranks,
+    WordPiece greedy, unigram global-optimum DP).  The oracle replays
+    vocab derivation in set SQL and the Viterbi as an UNROLLED 16-step
+    DP over distinct words (position-j CTEs, argmin by (cost, n_pieces,
+    start) via row_number) — the segmentation itself is pinned by the
+    sibling `unigram_segment` key."""
+    from singer_spark.operators.text_analysis import (unigram_encode,
+                                                      unigram_vocab)
+
+    docs = _docs(spark, sf_dir)
+    vocab = unigram_vocab(docs, max_multi=100, max_piece_len=4)
+    return unigram_encode(docs, vocab).select(
+        "doc_id", "n_words", "n_pieces", "total_cost")
+
+
+def _unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 12 most frequent corpus words with their full unigram-LM
+    Viterbi segmentations (piece strings, not just costs) — the
+    cross-engine pin of the DP's BACKTRACE and tie rules (cost, then
+    piece count, then longest final piece).  Spark segments the top
+    words through the same Arrow kernel as the corpus encode; the
+    oracle walks the unrolled DP's argmin starts backward and
+    reconstructs the pieces with list slicing."""
+    from singer_spark.operators.text_analysis import (unigram_encode,
+                                                      unigram_vocab)
+
+    docs = _docs(spark, sf_dir)
+    vocab = unigram_vocab(docs, max_multi=100, max_piece_len=4)
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    top = (docs.where(F.col("text").isNotNull())
+           .select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("f"))
+           .orderBy(F.col("f").desc(), F.col("w")).limit(12)
+           .select("w", F.col("w").alias("text")))
+    return (unigram_encode(top, vocab, id_col="w")
+            .select("w", "pieces", "n_pieces", "total_cost"))
+
+
 def _text_repetition_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher's CHAR-fraction repetition screens (Rae et al. 2021 §A1.1,
     the published definitions) over the documents table:
@@ -2592,6 +2652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _bpe_encode,
         "bpe_encode_ranked": _bpe_encode_ranked,
         "dsir_sample": _dsir_sample,
+        "quality_classifier": _quality_classifier,
+        "unigram_tokenize": _unigram_tokenize,
+        "unigram_segment": _unigram_segment,
         "lsh_tuning": _lsh_tuning,
         "lsh_autoband": _lsh_autoband,
         "ann_model_roundtrip": _ann_model_roundtrip,
@@ -3825,6 +3888,131 @@ def _repetition_oracle() -> str:
             SELECT tok.doc_id, dup_token_frac, dup_2gram_frac, top_2gram_frac, dup_3gram_frac,
                    (top_2gram_frac <= 0.20 AND dup_3gram_frac <= 0.30) AS keep
             FROM tok JOIN s2 ON s2.doc_id = tok.doc_id JOIN s3 ON s3.doc_id = tok.doc_id"""
+
+
+def _unigram_base_sql(max_multi: int = 100, plen: int = 4,
+                      wmax: int = 16) -> str:
+    """Shared CTE block for the unigram-LM oracles: vocab derivation
+    (substring weights -> cap -> scaled-integer costs) plus the
+    UNROLLED per-position Viterbi DP over distinct words.  dp{j} holds,
+    for every word of length >= j, the argmin (cost, n_pieces, start of
+    the last piece) over segmentations of the first j characters —
+    row_number ordered by exactly the operator's integer tie tuple.
+    Words longer than `wmax` take the pinned <unk> row instead."""
+    parts = [f"""
+            tk AS MATERIALIZED (
+              SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                                x -> x <> '')) AS w
+              FROM documents WHERE text IS NOT NULL),
+            wf AS MATERIALIZED (SELECT w, count(*) AS f FROM tk GROUP BY w),
+            sub AS (
+              SELECT unnest(flatten([[substr(w, i, l)
+                       for l in range(1, least({plen}, len(w)-i+1)+1)]
+                       for i in range(1, len(w)+1)])) AS piece, f
+              FROM wf),
+            cand AS MATERIALIZED (SELECT piece, sum(f) AS wt FROM sub GROUP BY piece),
+            kept AS (
+              SELECT piece, wt FROM cand WHERE len(piece) = 1
+              UNION ALL
+              SELECT piece, wt FROM (
+                SELECT piece, wt FROM cand WHERE len(piece) > 1
+                ORDER BY wt DESC, piece LIMIT {max_multi})),
+            tot AS (SELECT sum(wt) AS T FROM kept),
+            voc AS MATERIALIZED (SELECT piece,
+                           floor(-ln(wt / tot.T) * 1000000 + 0.5)::BIGINT
+                             AS c
+                    FROM kept CROSS JOIN tot),
+            dw AS MATERIALIZED (SELECT DISTINCT w FROM tk WHERE len(w) <= {wmax}),
+            pc AS MATERIALIZED (
+              SELECT s.w, s.ij.i AS i, s.ij.j AS j,
+                     coalesce(v.c, CASE WHEN s.ij.j - s.ij.i = 1
+                                        THEN 23000000 END) AS c
+              FROM (SELECT w,
+                           unnest(flatten([[{{'i': i - 1, 'j': i - 1 + l}}
+                             for l in range(1, least({plen},
+                                                     len(w)-i+1)+1)]
+                             for i in range(1, len(w)+1)])) AS ij
+                    FROM dw) s
+              LEFT JOIN voc v
+                ON v.piece = substr(s.w, s.ij.i + 1, s.ij.j - s.ij.i)),
+            dp0 AS MATERIALIZED (SELECT w, 0::BIGINT AS c, 0::BIGINT AS ns, 0 AS bi
+                    FROM dw)"""]
+    for j in range(1, wmax + 1):
+        arms = []
+        for i in range(max(0, j - plen), j):
+            arms.append(f"""
+                SELECT p.w, d.c + p.c AS c, d.ns + 1 AS ns, {i} AS bi
+                FROM dp{i} d JOIN pc p
+                  ON p.w = d.w AND p.i = {i} AND p.j = {j}
+                     AND p.c IS NOT NULL""")
+        union = " UNION ALL ".join(arms)
+        parts.append(f"""
+            dp{j} AS MATERIALIZED (
+              SELECT w, c, ns, bi FROM (
+                SELECT w, c, ns, bi,
+                       row_number() OVER (PARTITION BY w
+                                          ORDER BY c, ns, bi) AS rn
+                FROM ({union}) u) r
+              WHERE rn = 1)""")
+    finals = [f"SELECT {j} AS j, w, c, ns, bi FROM dp{j}"
+              for j in range(1, wmax + 1)]
+    parts.append(f"""
+            dpall AS MATERIALIZED ({' UNION ALL '.join(finals)}),
+            dpf AS MATERIALIZED (
+              SELECT w, c, ns FROM dpall WHERE j = len(w)
+              UNION ALL
+              SELECT w, 25000000::BIGINT AS c, 1::BIGINT AS ns
+              FROM (SELECT DISTINCT w FROM tk WHERE len(w) > {wmax}))""")
+    return ",".join(parts)
+
+
+def _unigram_tokenize_oracle() -> str:
+    return f"""
+            WITH {_unigram_base_sql()},
+            agg AS (SELECT doc_id, count(*) AS n_words, sum(ns) AS n_pieces,
+                           sum(c) AS total_cost
+                    FROM tk JOIN dpf USING (w) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.n_words, 0) END::BIGINT
+                     AS n_words,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.n_pieces, 0) END::BIGINT
+                     AS n_pieces,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.total_cost, 0) END::BIGINT
+                     AS total_cost
+            FROM documents d LEFT JOIN agg USING (doc_id)"""
+
+
+def _unigram_segment_oracle(wmax: int = 16) -> str:
+    # backtrace: walk argmin starts from j=len(w) down (bounded wmax
+    # hops), collect boundary positions, slice the word back into pieces
+    steps = ["bl0 AS MATERIALIZED (SELECT w, [len(w)] AS bs, len(w) AS p FROM dws)"]
+    for k in range(1, wmax + 1):
+        steps.append(f"""
+            bl{k} AS MATERIALIZED (
+              SELECT b.w,
+                     CASE WHEN b.p = 0 THEN b.bs
+                          ELSE list_append(b.bs, d.bi) END AS bs,
+                     CASE WHEN b.p = 0 THEN 0 ELSE d.bi END AS p
+              FROM bl{k-1} b LEFT JOIN dpall d
+                ON d.w = b.w AND d.j = b.p)""")
+    return f"""
+            WITH {_unigram_base_sql()},
+            topw AS (SELECT w, f FROM wf ORDER BY f DESC, w LIMIT 12),
+            dws AS (SELECT w FROM topw WHERE len(w) <= {wmax}),
+            {",".join(steps)},
+            seg AS (
+              SELECT b.w,
+                     array_to_string(
+                       [substr(b.w, lb[k] + 1, lb[k+1] - lb[k])
+                        for k in range(1, len(lb))], ' ') AS pieces
+              FROM (SELECT w, list_sort(bs) AS lb FROM bl{wmax}) b)
+            SELECT t.w, coalesce(seg.pieces, '<unk>') AS pieces,
+                   dpf.ns::BIGINT AS n_pieces, dpf.c::BIGINT AS total_cost
+            FROM topw t LEFT JOIN seg ON seg.w = t.w
+                 JOIN dpf ON dpf.w = t.w"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5204,6 +5392,61 @@ def oracle_sql() -> dict[str, str]:
                     FROM w)
             SELECT doc_id, log_weight, gumbel_key FROM key
             ORDER BY gumbel_key DESC, doc_id LIMIT 50""",
+        # Naive-Bayes replay: tokenize -> per-token class counts ->
+        # TakeOrdered vocab cap -> Laplace cell log-ratios (+ one OOV
+        # bucket) -> per-doc sum + smoothed doc-count prior
+        "quality_classifier": """
+            WITH tk AS (
+              SELECT doc_id, (source = 'src0') AS s,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS t
+              FROM documents WHERE text IS NOT NULL),
+            pt AS (SELECT t, sum(CASE WHEN s THEN 1 ELSE 0 END) AS cp,
+                          count(*) AS ca
+                   FROM tk GROUP BY t),
+            model AS (SELECT * FROM pt ORDER BY ca DESC, t LIMIT 1000),
+            vs AS (SELECT count(*) AS V, coalesce(sum(cp), 0) AS vp,
+                          coalesce(sum(ca), 0) AS va FROM model),
+            tt AS (SELECT coalesce(sum(CASE WHEN s THEN 1 ELSE 0 END), 0)
+                            AS Tp,
+                          count(*) AS Ta FROM tk),
+            pr AS (SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                            AS np,
+                          count(*) AS nd FROM documents),
+            dc AS (SELECT doc_id, t, count(*) AS cnt
+                   FROM tk GROUP BY doc_id, t),
+            sc AS (SELECT dc.doc_id,
+                          sum(dc.cnt * (CASE WHEN m.ca IS NOT NULL
+                            THEN ln((m.cp + 0.5)
+                                    / (tt.Tp + 0.5 * (vs.V + 1)))
+                               - ln(((m.ca - m.cp) + 0.5)
+                                    / ((tt.Ta - tt.Tp)
+                                       + 0.5 * (vs.V + 1)))
+                            ELSE ln(((tt.Tp - vs.vp) + 0.5)
+                                    / (tt.Tp + 0.5 * (vs.V + 1)))
+                               - ln((((tt.Ta - vs.va) - (tt.Tp - vs.vp))
+                                     + 0.5)
+                                    / ((tt.Ta - tt.Tp)
+                                       + 0.5 * (vs.V + 1))) END)) AS s,
+                          sum(dc.cnt) AS n_tokens
+                   FROM dc LEFT JOIN model m USING (t)
+                        CROSS JOIN vs CROSS JOIN tt
+                   GROUP BY dc.doc_id)
+            SELECT d.doc_id,
+                   coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+                   floor((ln((pr.np + 0.5) / ((pr.nd - pr.np) + 0.5))
+                          + coalesce(sc.s, 0.0)) * 1000000 + 0.5)
+                     / 1000000 AS llr,
+                   (floor((ln((pr.np + 0.5) / ((pr.nd - pr.np) + 0.5))
+                           + coalesce(sc.s, 0.0)) * 1000000 + 0.5)
+                      / 1000000 > 0.0)::INT AS keep
+            FROM documents d LEFT JOIN sc USING (doc_id) CROSS JOIN pr""",
+        # unigram-LM tokenizer replays: vocab derivation in set SQL +
+        # UNROLLED 16-position Viterbi DP (generated CTEs; argmin by the
+        # operator's exact integer tie tuple), segment key adds the
+        # backtrace walk
+        "unigram_tokenize": _unigram_tokenize_oracle(),
+        "unigram_segment": _unigram_segment_oracle(),
         # quality + lang-id replays nested as subqueries, exact-dup
         # canonicals via a global digest window, aggregated by source
         "source_dataset_card": f"""

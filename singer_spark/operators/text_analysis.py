@@ -2243,3 +2243,269 @@ def dsir_sample(docs: DataFrame, target: "DataFrame | Column", k: int = 50,
                      qround(F.col("log_weight") + g, 6).alias("gumbel_key"))
             .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
             .limit(k))
+
+
+def nb_quality_scores(docs: DataFrame, seed: "Column",
+                      alpha: float = 0.5, max_vocab: int = 50_000,
+                      threshold: float = 0.0, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Model-BASED quality filtering — the CCNet / GPT-3 pipeline stage
+    (Wenzek et al. 2020 §4.4; Brown et al. 2020 appendix A): train a
+    classifier on a high-quality SEED subset of the corpus vs the rest,
+    score every document by its log-likelihood ratio, and keep documents
+    the model rates seed-like.  The reference pipelines use a fastText
+    linear classifier; this operator uses multinomial Naive Bayes with
+    Laplace smoothing — same bag-of-words family, but with a closed-form
+    fit that trains in ONE aggregation pass and replays exactly in plain
+    SQL (the heuristic `quality_features` screens are the rule-based
+    complement; this is the learned one).
+
+    Model spec (the DuckDB oracle replays it verbatim):
+      * tokens = whitespace split, empties dropped; `seed` is a boolean
+        Column over `docs` marking the high-quality subset.
+      * vocab = top `max_vocab` tokens by (total occurrences DESC, token
+        ASC); everything else folds into one OOV bucket, so the model is
+        V+1 multinomial cells per class.
+      * lw(t) = ln((c_seed(t)+α)/(T_seed+α(V+1)))
+              − ln((c_rest(t)+α)/(T_rest+α(V+1))), likewise for OOV.
+      * llr(doc) = ln((n_seed+α)/(n_rest+α)) + Σ_t cnt_t·lw(t);
+        keep = llr > threshold.
+
+    100 TB shape: the corpus tokenizes ONCE (persisted token frame feeds
+    the class-count model AND the per-doc counts — the dsir_log_weights
+    discipline); the fitted model is ≤`max_vocab` rows, cut by a
+    TakeOrdered (per-partition heaps, no global sort) and BROADCAST into
+    the scoring join, so the corpus-sized side never shuffles by token —
+    the Zipf mega-keys ("the") ride a broadcast hash join instead of a
+    skewed sort-merge; totals/priors are 1-row broadcast cross joins; the
+    score is one map-side-combinable groupBy(doc).  No UDF, no driver
+    loop, no collect.
+
+    Docs with no tokens (empty/NULL text) score the prior alone.  Output:
+    (id_col, n_tokens BIGINT, llr DOUBLE qround 1e-6, keep INT)."""
+    from singer_spark.functions import maybe_persist
+
+    a = float(alpha)
+    toks_arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    toks = maybe_persist(
+        fan_out(docs).select(F.col(id_col).alias("_id"),
+                             seed.alias("_seed"),
+                             F.explode(toks_arr).alias("_t")), True)
+
+    per_tok = toks.groupBy("_t").agg(
+        F.sum(F.when(F.col("_seed"), 1).otherwise(0)).alias("_cp"),
+        F.count("*").alias("_ca"))
+    model = (per_tok.orderBy(F.col("_ca").desc(), F.col("_t"))
+             .limit(int(max_vocab)))
+    # 1-row frames: vocab size + in-vocab occurrence mass (from the capped
+    # model), total per-class occurrence mass (from the token frame, so OOV
+    # mass is the difference), and doc-count priors (from the docs frame).
+    vstats = model.agg(F.count("*").alias("_V"),
+                       F.coalesce(F.sum("_cp"), F.lit(0)).alias("_vp"),
+                       F.coalesce(F.sum("_ca"), F.lit(0)).alias("_va"))
+    totals = toks.agg(
+        F.coalesce(F.sum(F.when(F.col("_seed"), 1).otherwise(0)),
+                   F.lit(0)).alias("_Tp"),
+        F.count("*").alias("_Ta"))
+    priors = docs.agg(
+        F.sum(F.when(seed, 1).otherwise(0)).alias("_np"),
+        F.count("*").alias("_nd"))
+
+    def lw(cp, ca):  # per-cell log-likelihood ratio, seed vs rest
+        cn = ca - cp
+        denom = a * (F.col("_V") + 1)
+        return (F.log((cp + a) / (F.col("_Tp") + denom))
+                - F.log((cn + a) / ((F.col("_Ta") - F.col("_Tp")) + denom)))
+
+    dc = toks.groupBy("_id", "_t").agg(F.count("*").alias("_cnt"))
+    in_vocab = lw(F.col("_cp"), F.col("_ca"))
+    oov = lw(F.col("_Tp") - F.col("_vp"), F.col("_Ta") - F.col("_va"))
+    term = F.col("_cnt") * F.when(F.col("_ca").isNotNull(), in_vocab) \
+                            .otherwise(oov)
+    scored = (dc.join(F.broadcast(model), "_t", "left")
+              .crossJoin(F.broadcast(vstats))
+              .crossJoin(F.broadcast(totals))
+              .groupBy("_id")
+              .agg(F.sum(term).alias("_s"),
+                   F.sum("_cnt").alias("n_tokens")))
+    prior = F.log((F.col("_np") + a) / ((F.col("_nd") - F.col("_np")) + a))
+    llr = qround(prior + F.coalesce(F.col("_s"), F.lit(0.0)), 6)
+    return (docs.select(F.col(id_col))
+            .join(scored.withColumnRenamed("_id", id_col), id_col, "left")
+            .crossJoin(F.broadcast(priors))
+            .select(F.col(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    llr.alias("llr"),
+                    (llr > float(threshold)).cast("int").alias("keep")))
+
+
+# Pinned fallback costs for the unigram tokenizer (scaled-integer -ln
+# units, 1e6 = 1 nat): a single character absent from the vocabulary,
+# and a whole word longer than max_word_len (SentencePiece's UNK).
+UNIGRAM_UNK_CHAR_COST = 23_000_000
+UNIGRAM_UNK_WORD_COST = 25_000_000
+UNIGRAM_UNK = "<unk>"
+
+
+def unigram_vocab(docs: DataFrame, max_multi: int = 30_000,
+                  max_piece_len: int = 6, text_col: str = "text",
+                  id_col: str = "doc_id") -> "list[tuple[str, int]]":
+    """Frequency-derived unigram-LM vocabulary — the fit half of a
+    SentencePiece-style unigram tokenizer (Kudo 2018; the full EM prunes
+    from this same substring-frequency seed, §3.2 of the SentencePiece
+    paper describes the seed heuristic this implements): every substring
+    of length ≤ `max_piece_len` of every corpus word, weighted by corpus
+    occurrences, capped to ALL single characters (coverage — any word
+    stays segmentable) plus the top `max_multi` multi-character pieces
+    by (weight DESC, piece ASC).
+
+    Piece costs are SCALED-INTEGER negative log-probs,
+    floor(−ln(w/total)·1e6 + 0.5) with `total` summed over the KEPT set
+    — integer costs make the Viterbi argmin (and its tie-breaks) exact
+    and engine-independent, the same determinism discipline as the
+    engine's md5 sampling keys.
+
+    100 TB shape: one tokenize+count job (distinct words << corpus, the
+    BPE trainer's shape), substring explosion is O(|word|·L) rows per
+    DISTINCT word JVM-side, the multi-char cap is a TakeOrdered, and the
+    returned vocab is a bounded driver collect (≤ max_multi + alphabet),
+    exactly like `bpe_learn_merges_local`'s vocab collect.  Production
+    encodes load a trained vocab file; this derivation exists so the
+    whole train→encode pipeline replays in plain SQL.
+
+    Returns [(piece, cost_int)] sorted by (piece) for stable broadcast."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    words = (fan_out(docs)
+             .select(F.explode(toks).alias("_w"))
+             .groupBy("_w").agg(F.count("*").alias("_f")))
+    L = int(max_piece_len)
+    # all substrings of length 1..L with multiplicity: flatten over
+    # start positions i=1..n of transform over lengths l=1..min(L, n-i+1)
+    subs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.length("_w")),
+        lambda i: F.transform(
+            F.sequence(F.lit(1),
+                       F.least(F.lit(L), F.length("_w") - i + 1)),
+            lambda l: F.substring(F.col("_w"), i, l))))
+    cand = (words.select(F.explode(subs).alias("piece"), F.col("_f"))
+            .groupBy("piece").agg(F.sum("_f").alias("w")))
+    singles = cand.where(F.length("piece") == 1)
+    multis = (cand.where(F.length("piece") > 1)
+              .orderBy(F.col("w").desc(), F.col("piece"))
+              .limit(int(max_multi)))
+    kept = singles.unionByName(multis)
+    total = kept.agg(F.sum("w").alias("_T"))
+    cost = F.floor(-F.log(F.col("w") / F.col("_T")) * 1_000_000
+                   + F.lit(0.5)).cast("bigint")
+    rows = (kept.crossJoin(F.broadcast(total))
+            .select("piece", cost.alias("cost"))
+            .orderBy("piece").collect())
+    return [(r["piece"], r["cost"]) for r in rows]
+
+
+def unigram_reference(word: str, vocab: "dict[str, int]",
+                      max_word_len: int = 16,
+                      piece_len: "int | None" = None
+                      ) -> "tuple[list[str], int]":
+    """Pure-Python Viterbi of ONE word against integer piece costs — the
+    INDEPENDENT reference the property tests enumerate against and the
+    spec the DuckDB oracle replays.  dp[j] minimizes (cost, n_pieces,
+    start-of-last-piece) — the last key prefers the LONGEST final piece
+    on exact ties, making the segmentation unique.  A single character
+    absent from the vocab costs UNIGRAM_UNK_CHAR_COST; a word longer
+    than `max_word_len` is one UNIGRAM_UNK piece at
+    UNIGRAM_UNK_WORD_COST.  Returns (pieces, total_cost)."""
+    n = len(word)
+    if n == 0:
+        return [], 0
+    if n > max_word_len:
+        return [UNIGRAM_UNK], UNIGRAM_UNK_WORD_COST
+    L = piece_len if piece_len is not None else (
+        max(len(p) for p in vocab) if vocab else 1)
+    INF = (1 << 62, 1 << 62, 1 << 62)
+    dp: list = [INF] * (n + 1)
+    back = [0] * (n + 1)
+    dp[0] = (0, 0, 0)
+    for j in range(1, n + 1):
+        best = INF
+        bi = 0
+        for i in range(max(0, j - max(L, 1)), j):
+            piece = word[i:j]
+            c = vocab.get(piece)
+            if c is None:
+                if j - i != 1:
+                    continue
+                c = UNIGRAM_UNK_CHAR_COST
+            cand = (dp[i][0] + c, dp[i][1] + 1, i)
+            if dp[i][0] < (1 << 62) and cand < best:
+                best, bi = cand, i
+        dp[j] = best
+        back[j] = bi
+    pieces: list[str] = []
+    j = n
+    while j > 0:
+        i = back[j]
+        pieces.append(word[i:j])
+        j = i
+    pieces.reverse()
+    return pieces, dp[n][0]
+
+
+def unigram_encode(docs: DataFrame, vocab: "list[tuple[str, int]]",
+                   max_word_len: int = 16, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Viterbi-segment every document against a unigram-LM vocabulary —
+    the encode half of the SentencePiece family (Kudo 2018 §2.1: the
+    max-probability segmentation under piece unigram probs; with
+    integer −log costs that is a shortest-path DP per word).  Completes
+    the engine's tokenizer set: BPE (merge ranks), WordPiece (greedy
+    longest match), unigram (global-optimum DP).
+
+    Arrow pandas-UDF over the corpus, the `wordpiece_encode` shape: the
+    vocab broadcasts once (≤ max_multi + alphabet entries), each batch
+    memoizes word→(pieces, cost) so Zipf repetition tokenizes each
+    distinct word once per batch, and the output is a narrow map of the
+    scan — no shuffle, no join, cost independent of vocab size beyond
+    the O(|word|·L) DP.  Ties break (cost, n_pieces, longest-last-piece)
+    — exact integer comparisons, replayable in SQL.
+
+    Output: (id, n_words, n_pieces, total_cost BIGINT, pieces —
+    space-joined, NULL text → NULL pieces)."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(dict(vocab))
+    W = int(max_word_len)
+
+    @pandas_udf("struct<n_words: bigint, n_pieces: bigint,"
+                " total_cost: bigint, pieces: string>")
+    def encode(texts: pd.Series) -> pd.DataFrame:
+        voc = bc.value
+        lmax = max((len(p) for p in voc), default=1)
+        memo: dict = {}
+        rows = []
+        for text in texts:
+            if text is None:
+                rows.append((None, None, None, None))
+                continue
+            nw = np_ = tc = 0
+            acc: list[str] = []
+            for w in str(text).split():
+                got = memo.get(w)
+                if got is None:
+                    got = unigram_reference(w, voc, W, lmax)
+                    memo[w] = got
+                pieces, cost = got
+                nw += 1
+                np_ += len(pieces)
+                tc += cost
+                acc.extend(pieces)
+            rows.append((nw, np_, tc, " ".join(acc)))
+        return pd.DataFrame(rows, columns=["n_words", "n_pieces",
+                                           "total_cost", "pieces"])
+
+    out = fan_out(docs).withColumn("_u", encode(F.col(text_col)))
+    return out.select(F.col(id_col), F.col("_u.n_words").alias("n_words"),
+                      F.col("_u.n_pieces").alias("n_pieces"),
+                      F.col("_u.total_cost").alias("total_cost"),
+                      F.col("_u.pieces").alias("pieces"))

@@ -1941,3 +1941,201 @@ def test_dedup_clusters_unionfind_equals_propagation(spark):
     assert fast[7] == fast[8] == 7
     assert fast[10] == fast[11] == fast[2] == 2
     assert fast[4] == 4 and fast[6] == 6
+
+
+# ---------------------------------------------------------------------------
+# nb_quality_scores — model-based quality filtering (CCNet/GPT-3 stage)
+# ---------------------------------------------------------------------------
+def _nb_reference(rows, seed_srcs, alpha=0.5, max_vocab=50_000,
+                  threshold=0.0):
+    """Brute-force multinomial-NB replay of nb_quality_scores' spec:
+    whitespace tokens, (count DESC, token ASC) vocab cap + one OOV
+    bucket, Laplace cell log-ratios, smoothed doc-count prior."""
+    toks = {d: (t.split() if t else []) for d, t, s in rows}
+    seed = {d: (s in seed_srcs) for d, t, s in rows}
+    cp, ca = {}, {}
+    for d, t, s in rows:
+        for w in toks[d]:
+            ca[w] = ca.get(w, 0) + 1
+            if seed[d]:
+                cp[w] = cp.get(w, 0) + 1
+    vocab = sorted(ca, key=lambda w: (-ca[w], w))[:max_vocab]
+    V, vs = len(vocab), set(vocab)
+    Tp = sum(len(toks[d]) for d in toks if seed[d])
+    Ta = sum(len(toks[d]) for d in toks)
+    vp = sum(cp.get(w, 0) for w in vocab)
+    va = sum(ca[w] for w in vocab)
+    np_, nd = sum(seed.values()), len(rows)
+
+    def lw(c_pos, c_all):
+        den = alpha * (V + 1)
+        return (math.log((c_pos + alpha) / (Tp + den))
+                - math.log(((c_all - c_pos) + alpha) / ((Ta - Tp) + den)))
+
+    oov = lw(Tp - vp, Ta - va)
+    prior = math.log((np_ + alpha) / ((nd - np_) + alpha))
+    out = {}
+    for d in toks:
+        s = prior + sum(lw(cp.get(w, 0), ca[w]) if w in vs else oov
+                        for w in toks[d])
+        llr = math.floor(s * 1e6 + 0.5) / 1e6
+        out[d] = (len(toks[d]), llr, int(llr > threshold))
+    return out
+
+
+@pytest.mark.parametrize("max_vocab", [2, 6, 50_000])
+def test_nb_quality_matches_bruteforce(spark, max_vocab):
+    from singer_spark.operators.text_analysis import nb_quality_scores
+
+    rows = [
+        (0, "good prose flows with careful structure and care", "hq"),
+        (1, "good structure and careful prose with flows", "hq"),
+        (2, "careful good prose structure flows", "hq"),
+        (3, "buy now click here buy buy click spam", "web"),
+        (4, "click spam buy now now now", "web"),
+        (5, "good prose with careful structure", "web"),  # seed-like text
+        (6, "zzz qqq xxx unseen junk tokens", "web"),
+        (7, None, "web"),                                  # NULL text
+        (8, "", "web"),                                    # empty text
+    ]
+    docs = _docs_df(spark, rows)
+    got = {r["doc_id"]: (r["n_tokens"], r["llr"], r["keep"])
+           for r in nb_quality_scores(docs, F.col("source") == "hq",
+                                      max_vocab=max_vocab).collect()}
+    want = _nb_reference(rows, {"hq"}, max_vocab=max_vocab)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], (d, got[d], want[d])
+        assert got[d][1] == pytest.approx(want[d][1], abs=1.5e-6)
+        assert got[d][2] == want[d][2]
+
+
+def test_nb_quality_discriminates_and_handles_null(spark):
+    from singer_spark.operators.text_analysis import nb_quality_scores
+
+    rows = ([(i, "careful structured prose with citations and argument",
+              "hq") for i in range(5)]
+            + [(10 + i, "click buy spam now free winner claim prize",
+                "web") for i in range(5)]
+            + [(20, "careful structured prose with argument", "web"),
+               (21, None, "web")])
+    docs = _docs_df(spark, rows)
+    out = {r["doc_id"]: r for r in
+           nb_quality_scores(docs, F.col("source") == "hq").collect()}
+    # seed-vocab doc from the WRONG source still scores seed-like
+    assert out[20]["llr"] > 0 and out[20]["keep"] == 1
+    for i in range(10, 15):
+        assert out[10 + (i - 10)]["llr"] < 0
+    # NULL text scores exactly the smoothed doc-count prior
+    prior = math.log((5 + 0.5) / (7 + 0.5))
+    assert out[21]["n_tokens"] == 0
+    assert out[21]["llr"] == pytest.approx(
+        math.floor(prior * 1e6 + 0.5) / 1e6, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer — Viterbi vs exhaustive enumeration + plumbing
+# ---------------------------------------------------------------------------
+def _enumerate_best(word, vocab, max_word_len=16):
+    """Exhaustive reference: try every boundary subset, score with the
+    operator's integer costs, pick the minimum (cost, n_pieces,
+    boundary-list) — the last key realizes 'longest final piece wins
+    ties' because a SMALLER start index for the last piece sorts first
+    when compared right-to-left... enumerated explicitly instead: among
+    tied (cost, n), pick via the same backward-greedy rule the DP uses.
+    To stay rule-exact we replay the DP semantics: compare candidate
+    segmentations by (cost, n_pieces, reversed start positions of
+    pieces from the END, ascending)."""
+    from singer_spark.operators.text_analysis import (
+        UNIGRAM_UNK, UNIGRAM_UNK_CHAR_COST, UNIGRAM_UNK_WORD_COST)
+    n = len(word)
+    if n == 0:
+        return [], 0
+    if n > max_word_len:
+        return [UNIGRAM_UNK], UNIGRAM_UNK_WORD_COST
+    best = None
+    for mask in range(1 << (n - 1)):
+        bounds = [0] + [i for i in range(1, n) if mask >> (i - 1) & 1] + [n]
+        pieces = [word[bounds[k]:bounds[k + 1]]
+                  for k in range(len(bounds) - 1)]
+        cost = 0
+        ok = True
+        for p in pieces:
+            c = vocab.get(p)
+            if c is None:
+                if len(p) != 1:
+                    ok = False
+                    break
+                c = UNIGRAM_UNK_CHAR_COST
+            cost += c
+        if not ok:
+            continue
+        # tie key: starts of pieces from the END, ascending — at each
+        # backward step the DP prefers the smallest start (longest piece)
+        starts_from_end = bounds[-2::-1]
+        key = (cost, len(pieces), starts_from_end)
+        if best is None or key < best[0]:
+            best = (key, pieces, cost)
+    return best[1], best[2]
+
+
+def test_unigram_viterbi_matches_exhaustive():
+    import random
+
+    from singer_spark.operators.text_analysis import unigram_reference
+
+    rng = random.Random(42)
+    alpha = "abcd"
+    for trial in range(300):
+        n = rng.randint(1, 9)
+        word = "".join(rng.choice(alpha) for _ in range(n))
+        vocab = {}
+        # random vocab: every single char at random cost, random multis
+        for ch in alpha[:3]:  # leave 'd' OOV sometimes
+            vocab[ch] = rng.randint(1, 40) * 250_000
+        for _ in range(rng.randint(0, 12)):
+            ln = rng.randint(2, 4)
+            i = rng.randint(0, max(0, n - ln))
+            vocab[word[i:i + ln]] = rng.randint(1, 40) * 250_000
+        got = unigram_reference(word, vocab)
+        want = _enumerate_best(word, vocab)
+        assert got == (want[0], want[1]), (word, vocab, got, want)
+
+
+def test_unigram_unk_paths():
+    from singer_spark.operators.text_analysis import (
+        UNIGRAM_UNK, UNIGRAM_UNK_CHAR_COST, UNIGRAM_UNK_WORD_COST,
+        unigram_reference)
+
+    # word over the length cap -> single <unk>
+    assert unigram_reference("x" * 17, {"x": 1}) == (
+        [UNIGRAM_UNK], UNIGRAM_UNK_WORD_COST)
+    # char absent from vocab -> per-char fallback cost
+    pieces, cost = unigram_reference("zz", {"a": 5})
+    assert pieces == ["z", "z"] and cost == 2 * UNIGRAM_UNK_CHAR_COST
+
+
+def test_unigram_vocab_and_encode_end_to_end(spark):
+    from singer_spark.operators.text_analysis import (unigram_encode,
+                                                      unigram_vocab)
+
+    rows = [(0, "banana banana band", "a"), (1, "ban and bananas", "a"),
+            (2, None, "a"), (3, "", "a")]
+    docs = _docs_df(spark, rows)
+    vocab = unigram_vocab(docs, max_multi=10, max_piece_len=4)
+    vd = dict(vocab)
+    # coverage: every character that appears is a single-char piece
+    for ch in set("bananabandbananasand"):
+        assert ch in vd
+    # the cap holds and frequent substrings cost less than rare ones
+    assert sum(1 for p, _ in vocab if len(p) > 1) <= 10
+    # more weight -> lower cost: 'an' (5 occurrences) vs 'and' (2)
+    assert vd["an"] < vd["and"]
+    out = {r["doc_id"]: r for r in
+           unigram_encode(docs, vocab).collect()}
+    assert out[0]["n_words"] == 3
+    assert out[0]["n_pieces"] >= 3 and out[0]["total_cost"] > 0
+    # pieces reassemble the exact text
+    assert out[0]["pieces"].replace(" ", "") == "bananabananaband"
+    assert out[2]["pieces"] is None and out[2]["n_words"] is None
+    assert out[3]["n_words"] == 0 and out[3]["pieces"] == ""
