@@ -1444,6 +1444,18 @@ def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                              max_vocab=1000)
 
 
+def _corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 lexical diversity + gram-distribution entropy per
+    source (Li et al. 2016's distinct-n, the standard mix-monitoring
+    report) — text_analysis.corpus_diversity.  One tokenize, zip-shift
+    gram families, map-side-combinable counts; entropy via the one-pass
+    identity ln T − (Σ c·ln c)/T.  The oracle replays the gram
+    explosion with list slicing and the same entropy identity."""
+    from singer_spark.operators.text_analysis import corpus_diversity
+
+    return corpus_diversity(_docs(spark, sf_dir))
+
+
 def _unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-family, Kudo 2018) tokenize of the
     corpus: substring-frequency vocab (all single chars + top-100
@@ -2655,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _quality_classifier,
         "unigram_tokenize": _unigram_tokenize,
         "unigram_segment": _unigram_segment,
+        "corpus_diversity": _corpus_diversity,
         "lsh_tuning": _lsh_tuning,
         "lsh_autoband": _lsh_autoband,
         "ann_model_roundtrip": _ann_model_roundtrip,
@@ -5447,6 +5460,39 @@ def oracle_sql() -> dict[str, str]:
         # backtrace walk
         "unigram_tokenize": _unigram_tokenize_oracle(),
         "unigram_segment": _unigram_segment_oracle(),
+        # distinct-n + entropy via the one-pass ln T - sum(c ln c)/T
+        # identity, gram families by list slicing
+        "corpus_diversity": """
+            WITH tk AS (
+              SELECT source,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS t
+              FROM documents WHERE text IS NOT NULL),
+            g AS (
+              SELECT source, 1 AS k, unnest(t) AS g FROM tk
+              UNION ALL
+              SELECT source, 2 AS k,
+                     unnest(CASE WHEN len(t) >= 2
+                       THEN [array_to_string(t[i:i+1], ' ')
+                             for i in range(1, len(t))]
+                       ELSE [] END) AS g
+              FROM tk
+              UNION ALL
+              SELECT source, 3 AS k,
+                     unnest(CASE WHEN len(t) >= 3
+                       THEN [array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)]
+                       ELSE [] END) AS g
+              FROM tk),
+            c AS (SELECT source, k, g, count(*) AS c
+                  FROM g GROUP BY source, k, g)
+            SELECT source, k::INT AS k, sum(c)::BIGINT AS n_grams,
+                   count(*)::BIGINT AS n_distinct,
+                   floor(count(*) / sum(c) * 1000000 + 0.5) / 1000000
+                     AS distinct_ratio,
+                   floor((ln(sum(c)) - sum(c * ln(c)) / sum(c))
+                         * 1000000 + 0.5) / 1000000 AS entropy
+            FROM c GROUP BY source, k""",
         # quality + lang-id replays nested as subqueries, exact-dup
         # canonicals via a global digest window, aggregated by source
         "source_dataset_card": f"""

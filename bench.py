@@ -115,6 +115,9 @@ HEADLINERS = [
     "dsir_sample",
     "dedup_spans",
     "cluster_balanced_sample",
+    # round-10: learned quality filter (NB), unigram-LM tokenizer
+    "quality_classifier",
+    "unigram_tokenize",
 ]
 
 

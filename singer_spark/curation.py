@@ -27,6 +27,14 @@ class CurationConfig:
 
     lang: str | None = "en"               # keep docs whose lang-id predicts this
     min_quality: float | None = 0.5       # quality_features score floor
+    # learned quality gate (CCNet-style): a SQL boolean expression over
+    # the input columns marking the high-quality SEED subset; when set,
+    # a Naive-Bayes model trains on seed-vs-rest in one pass and docs
+    # must score llr > quality_model_threshold to survive.  None = off
+    # (the heuristic min_quality gate is independent and composes).
+    quality_model_seed: str | None = None
+    quality_model_threshold: float = 0.0
+    quality_model_vocab: int = 50_000
     repetition_screen: bool = True        # C4/Gopher repetition keep-flag
     dedup: str = "exact"                  # none | exact | minhash | semantic | spans
     minhash_threshold: float = 0.5
@@ -110,6 +118,18 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
         qual = quality_features(docs, text_col, id_col).select(id_col, "quality_score")
         out = (out.join(qual, id_col)
                .filter(F.col("quality_score") >= cfg.min_quality))
+    if cfg.quality_model_seed is not None:
+        # learned gate (CCNet-style): NB seed-vs-rest model over the FULL
+        # input corpus (training on pre-gate docs keeps the model
+        # independent of gate order), broadcast scoring join by id
+        from singer_spark.operators.text_analysis import nb_quality_scores
+
+        nb = nb_quality_scores(docs, F.expr(cfg.quality_model_seed),
+                               max_vocab=cfg.quality_model_vocab,
+                               threshold=cfg.quality_model_threshold,
+                               text_col=text_col, id_col=id_col
+                               ).select(id_col, "keep")
+        out = out.join(nb, id_col).filter(F.col("keep") == 1).drop("keep")
     if cfg.repetition_screen:
         rep = repetition_features(docs, text_col, id_col).select(id_col, "keep")
         out = out.join(rep, id_col).filter(F.col("keep")).drop("keep")

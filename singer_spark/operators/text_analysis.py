@@ -2509,3 +2509,55 @@ def unigram_encode(docs: DataFrame, vocab: "list[tuple[str, int]]",
                       F.col("_u.n_pieces").alias("n_pieces"),
                       F.col("_u.total_cost").alias("total_cost"),
                       F.col("_u.pieces").alias("pieces"))
+
+
+def corpus_diversity(docs: DataFrame, ks: "tuple[int, ...]" = (1, 2, 3),
+                     group_col: str = "source", text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Distinct-n corpus diversity per source — the standard lexical
+    diversity report for a training mix (distinct-1/2/3 of Li et al.
+    2016 §4.1, routinely tracked when sampling/mixing corpora to catch
+    a source collapsing onto boilerplate): for each n-gram order k,
+    the fraction of gram OCCURRENCES that are distinct, plus the gram
+    distribution's Shannon entropy in nats.
+
+    The entropy is the ONE-PASS identity ln T − (Σ c·ln c)/T over the
+    per-gram counts — no second aggregation to carry p = c/T around,
+    and map-side combinable like any sum.  100 TB shape: ONE corpus
+    scan — every gram family derives from the same per-row token array
+    (zip-shift kgram_join_col, O(n·k) per row), tagged with its k in a
+    struct and concatenated so a single explode feeds one
+    groupBy(source, k, gram) whose combiner collapses the Zipf head
+    before the shuffle, then one tiny groupBy(source, k).  Docs shorter than k words contribute no
+    k-grams.  Output: (group_col, k, n_grams, n_distinct,
+    distinct_ratio, entropy) — ratios/entropy qround 1e-6."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    empty = F.array().cast("array<string>")
+    families = []
+    for k in ks:
+        grams = kgram_join_col(toks, int(k), " ") if k > 1 else toks
+        grams = F.when(F.col(text_col).isNull(), empty) \
+                 .otherwise(F.coalesce(grams, empty))
+        def _tag(gr, tag=int(k)):
+            # NOTE: a two-arg lambda in F.transform means (element,
+            # index) — close over k via a default instead
+            return F.transform(gr, lambda g: F.struct(
+                F.lit(tag).alias("k"), g.alias("g")))
+
+        families.append(_tag(grams))
+    tagged = families[0] if len(families) == 1 else F.concat(*families)
+    allgrams = (fan_out(docs)
+                .select(F.col(group_col).alias("_grp"),
+                        F.explode(tagged).alias("_x"))
+                .select("_grp", F.col("_x.k").alias("k"),
+                        F.col("_x.g").alias("_g")))
+    counts = (allgrams.groupBy("_grp", "k", "_g")
+              .agg(F.count("*").alias("_c")))
+    T = F.sum("_c")
+    return (counts.groupBy("_grp", "k")
+            .agg(T.alias("n_grams"),
+                 F.count("*").alias("n_distinct"),
+                 qround(F.count("*") / T, 6).alias("distinct_ratio"),
+                 qround(F.log(T) - F.sum(F.col("_c") * F.log("_c")) / T,
+                        6).alias("entropy"))
+            .withColumnRenamed("_grp", group_col))

@@ -284,3 +284,24 @@ def test_curate_spans_dedup_backend(spark):
     out_n = {r.doc_id: r.text for r in curate(with_null, cfg).collect()}
     assert 9 in out_n and out_n[9] is None
     assert out_n[2] == "other tail"
+
+
+def test_curate_learned_quality_gate(spark):
+    """The CCNet-style NB gate keeps seed-like docs (even from non-seed
+    sources) and drops junk, composing with the other gates off."""
+    from singer_spark.curation import CurationConfig, curate
+
+    rows = ([(i, "careful structured prose with citations and argument",
+              "hq") for i in range(5)]
+            + [(10 + i, "click buy spam now free winner claim prize",
+                "web") for i in range(5)]
+            + [(20, "careful structured prose with argument", "web")])
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    cfg = CurationConfig(lang=None, min_quality=None,
+                         repetition_screen=False, dedup="none", split=False,
+                         quality_model_seed="source = 'hq'")
+    kept = {r["doc_id"] for r in curate(docs, cfg).collect()}
+    assert set(range(5)) <= kept          # seed survives its own model
+    assert 20 in kept                     # seed-like text from web kept
+    assert not kept & set(range(10, 15))  # junk dropped

@@ -454,6 +454,8 @@ _BNLJ_ALLOWLIST = {
     "corpus_mix", "dsir_sample", "hard_negatives", "heavy_hitters_tokens",
     "hybrid_search_rrf", "join_size_estimate", "lsh_autoband", "lsh_tuning",
     "ngram_lm_score", "pair_budget_report", "q11_important_stock",
+    # r10: NB classifier's vstats/totals/priors 1-row broadcast frames
+    "quality_classifier",
     "q22_idle_customers", "range_join_value_tiers", "revenue_pareto",
     "semantic_decontaminate", "sim_bruteforce_topk", "skew_report",
     "source_kl_state_bound", "source_unigram_kl", "tfidf_top_terms",

@@ -2139,3 +2139,24 @@ def test_unigram_vocab_and_encode_end_to_end(spark):
     assert out[0]["pieces"].replace(" ", "") == "bananabananaband"
     assert out[2]["pieces"] is None and out[2]["n_words"] is None
     assert out[3]["n_words"] == 0 and out[3]["pieces"] == ""
+
+
+def test_corpus_diversity_distinct_n_and_entropy(spark):
+    from singer_spark.operators.text_analysis import corpus_diversity
+
+    rows = [(0, "a a a a", "mono"),          # 1 distinct unigram
+            (1, "a b c d", "poly"),          # all distinct
+            (2, "xy", "tiny"),               # shorter than k=2,3
+            (3, None, "tiny")]
+    docs = _docs_df(spark, rows)
+    out = {(r["source"], r["k"]): r
+           for r in corpus_diversity(docs).collect()}
+    assert out[("mono", 1)]["n_grams"] == 4
+    assert out[("mono", 1)]["n_distinct"] == 1
+    assert out[("mono", 1)]["entropy"] == 0.0
+    assert out[("poly", 1)]["distinct_ratio"] == 1.0
+    assert out[("poly", 1)]["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    # a 1-word source has no bigrams/trigrams at all
+    assert ("tiny", 2) not in out and ("tiny", 3) not in out
+    assert out[("mono", 2)]["n_grams"] == 3     # "a a" x3, 1 distinct
+    assert out[("mono", 2)]["n_distinct"] == 1

@@ -298,7 +298,40 @@ def ops(docs: DataFrame):
         "corpus_shuffle": lambda: _shuffle(docs),
         "dedup_spans": lambda: _dedup_spans(docs),
         "dsir_sample": lambda: _dsir(docs),
+        "nb_quality": lambda: _nb_quality(docs),
+        "unigram_train+encode": lambda: _unigram(docs),
+        "corpus_diversity": lambda: _diversity(docs),
     }
+
+
+def _nb_quality(docs: DataFrame) -> DataFrame:
+    """Learned quality filter: one token shuffle for the class counts,
+    vocab-capped broadcast model, one per-doc sum — expected ~linear
+    (the model stays <=1000 rows at every scale)."""
+    from singer_spark.operators.text_analysis import nb_quality_scores
+
+    return nb_quality_scores(docs, F.col("source") == "src0",
+                             max_vocab=1000)
+
+
+def _unigram(docs: DataFrame) -> DataFrame:
+    """Unigram-LM train+apply: vocab derivation on the distinct-word
+    table (sub-linear once the word set saturates, the BPE-trainer
+    shape), encode is one Arrow pass with a per-batch word memo —
+    expected ~linear in the encode scan."""
+    from singer_spark.operators.text_analysis import (unigram_encode,
+                                                      unigram_vocab)
+
+    vocab = unigram_vocab(docs, max_multi=100, max_piece_len=4)
+    return unigram_encode(docs, vocab)
+
+
+def _diversity(docs: DataFrame) -> DataFrame:
+    """Distinct-n report: one scan, tagged gram explode, two
+    aggregations — expected ~linear with a combiner-collapsed shuffle."""
+    from singer_spark.operators.text_analysis import corpus_diversity
+
+    return corpus_diversity(docs)
 
 
 def _dedup_spans(docs: DataFrame) -> DataFrame:
