@@ -1444,6 +1444,21 @@ def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                              max_vocab=1000)
 
 
+def _pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-packed sequence layout audit (Krell et al. 2021 'packing
+    without cross-document contamination'): first-fit-decreasing solved
+    on the LENGTH HISTOGRAM (≤ max_len rows whatever the corpus size),
+    closed-form rank→bin mapping, docs never straddle windows —
+    packing.pack_bins / pack_bins_audit.  FFD is sequential, so this is
+    a SELF-VERIFYING entry (the KMV/wordpiece discipline): the query
+    recomputes conservation, per-bin capacity, and the any-fit bin
+    bound in-plan and emits booleans the oracle pins true next to
+    independently-derived exact aggregates."""
+    from singer_spark.operators.packing import pack_bins_audit
+
+    return pack_bins_audit(_docs(spark, sf_dir), max_len=256)
+
+
 def _corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-1/2/3 lexical diversity + gram-distribution entropy per
     source (Li et al. 2016's distinct-n, the standard mix-monitoring
@@ -2668,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokenize": _unigram_tokenize,
         "unigram_segment": _unigram_segment,
         "corpus_diversity": _corpus_diversity,
+        "pack_bins": _pack_bins,
         "lsh_tuning": _lsh_tuning,
         "lsh_autoband": _lsh_autoband,
         "ann_model_roundtrip": _ann_model_roundtrip,
@@ -5460,6 +5476,20 @@ def oracle_sql() -> dict[str, str]:
         # backtrace walk
         "unigram_tokenize": _unigram_tokenize_oracle(),
         "unigram_segment": _unigram_segment_oracle(),
+        # FFD bin packing is sequential -> self-verifying booleans +
+        # independently-derived aggregates (token counts are RAW
+        # string_split sizes, the packing-family convention)
+        "pack_bins": """
+            SELECT sum(CASE WHEN len(string_split(text, ' ')) >= 1
+                            THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+                   coalesce(sum(CASE WHEN text IS NOT NULL
+                                THEN len(string_split(text, ' '))
+                                ELSE 0 END), 0)::BIGINT AS total_tokens,
+                   sum(CASE WHEN len(string_split(text, ' ')) > 256
+                            THEN 1 ELSE 0 END)::BIGINT AS n_oversize,
+                   true AS docs_conserved, true AS all_bins_fit,
+                   true AS anyfit_bound_ok
+            FROM documents""",
         # distinct-n + entropy via the one-pass ln T - sum(c ln c)/T
         # identity, gram families by list slicing
         "corpus_diversity": """

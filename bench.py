@@ -115,9 +115,12 @@ HEADLINERS = [
     "dsir_sample",
     "dedup_spans",
     "cluster_balanced_sample",
-    # round-10: learned quality filter (NB), unigram-LM tokenizer
+    # round-10: learned quality filter (NB), unigram-LM tokenizer,
+    # distinct-n diversity, histogram-FFD bin packing
     "quality_classifier",
     "unigram_tokenize",
+    "corpus_diversity",
+    "pack_bins",
 ]
 
 

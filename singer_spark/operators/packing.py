@@ -115,3 +115,232 @@ def packing_stats(packed: DataFrame, max_len: int = 2048) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("n_chunks") > 1, 1).otherwise(0)).alias("n_straddling"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bin packing ("packing without cross-document contamination")
+# ---------------------------------------------------------------------------
+def ffd_reference(lengths: "list[tuple[int, int]]",
+                  max_len: int) -> "dict[int, int]":
+    """Per-item first-fit-decreasing of (id, n_tokens) pairs — the
+    INDEPENDENT reference the histogram solver is pytest-pinned against:
+    items sorted by (length DESC, id ASC), each placed into the
+    lowest-created bin with room; an item longer than `max_len` always
+    opens its own bin.  Returns {id: bin_index} with bins numbered in
+    creation order.  O(n·bins) — test-sized corpora only."""
+    bins: list[int] = []  # residual capacity per bin, creation order
+    out: dict[int, int] = {}
+    for did, ln in sorted(lengths, key=lambda x: (-x[1], x[0])):
+        if ln > max_len:
+            bins.append(0)
+            out[did] = len(bins) - 1
+            continue
+        for i, r in enumerate(bins):
+            if r >= ln:
+                bins[i] = r - ln
+                out[did] = i
+                break
+        else:
+            bins.append(max_len - ln)
+            out[did] = len(bins) - 1
+    return out
+
+
+def ffd_histogram_solve(hist: "list[tuple[int, int]]", max_len: int
+                        ) -> "tuple[list[tuple[int, int, int, int, int]], int]":
+    """First-fit-decreasing solved over the LENGTH HISTOGRAM — the
+    Graphcore-style packing solve (Krell et al. 2021 §4: histogram in,
+    assignment strategies out; cost depends on DISTINCT lengths
+    (≤ max_len in practice), never corpus size).  Exactly replicates
+    per-item FFD (ffd_reference, pytest-pinned): bins of identical
+    residual history stay contiguous runs in creation order, and fills
+    always consume a PREFIX of a run, so every placement compresses to
+    a closed-form run.
+
+    Returns (runs, n_bins) where each run (length, rank_start,
+    bin_start, slots_per_bin, n_ranks) maps the ranks [rank_start,
+    rank_start + n_ranks) of that length's id-ordered documents to bins
+    bin_start + (rank - rank_start) // slots_per_bin."""
+    # open-bin runs in creation (== position) order:
+    # [residual, start_pos, n_instances]
+    types: list[list[int]] = []
+    runs: list[tuple[int, int, int, int, int]] = []
+    next_pos = 0
+    for length, count in sorted(hist, key=lambda x: -x[0]):
+        L, c = int(length), int(count)
+        rank = 0
+        while c > 0:
+            hit = None
+            for idx, t in enumerate(types):
+                if t[0] >= L:
+                    hit = idx
+                    break
+            if hit is None:
+                per = max(max_len // L, 1)  # oversize L -> singleton bins
+                full, rem = divmod(c, per)
+                if full:
+                    runs.append((L, rank, next_pos, per, full * per))
+                    types.append([max(max_len - per * L, 0),
+                                  next_pos, full])
+                    next_pos += full
+                    rank += full * per
+                if rem:
+                    runs.append((L, rank, next_pos, rem, rem))
+                    types.append([max_len - rem * L, next_pos, 1])
+                    next_pos += 1
+                    rank += rem
+                c = 0
+                continue
+            R, S, n = types[hit]
+            s = R // L  # >= 1
+            m = min(c // s, n)
+            if m:
+                runs.append((L, rank, S, s, m * s))
+                rank += m * s
+                c -= m * s
+                filled = [R - s * L, S, m]
+                if m == n:
+                    types[hit] = filled
+                else:
+                    types[hit] = [R, S + m, n - m]
+                    types.insert(hit, filled)
+            else:
+                # fewer items than one instance takes: partial fill of
+                # the run's first instance
+                runs.append((L, rank, S, c, c))
+                rank += c
+                filled = [R - c * L, S, 1]
+                if n == 1:
+                    types[hit] = filled
+                else:
+                    types[hit] = [R, S + 1, n - 1]
+                    types.insert(hit, filled)
+                c = 0
+    return runs, next_pos
+
+
+def pack_bins(docs: DataFrame, max_len: int = 2048,
+              text_col: str = "text", id_col: str = "doc_id",
+              bucket_width: int = 10_000) -> DataFrame:
+    """Bin-packed sequence layout — the padding-minimizing alternative to
+    concat-and-chunk (:func:`pack_sequences`): each document lands WHOLE
+    in exactly one `max_len`-token bin, no window ever mixes a document
+    boundary, the "packing without cross-document contamination" recipe
+    (Krell et al. 2021).  First-fit-decreasing, fully deterministic.
+
+    100 TB shape: the pack is SOLVED ON THE LENGTH HISTOGRAM — one
+    groupBy(n_tokens) whose result is ≤ max_len rows regardless of
+    corpus size — and the driver solve (ffd_histogram_solve, cost in
+    distinct lengths, not documents) emits a bounded run table that
+    broadcasts back; each doc then computes its bin with integer
+    arithmetic from its rank within its length group.  Ranks use the
+    pack_sequences bucket discipline: per-(length, id-bucket) totals
+    collect (bounded), windows partition by (length, bucket) — no
+    global or single-length-task window.  Docs longer than max_len get
+    singleton bins (flagged); NULL-text docs are excluded.
+
+    Output: (id, n_tokens, bin_id, oversize)."""
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window as W
+
+    t = (docs.select(F.col(id_col).alias("id"),
+                     token_count_col(text_col).alias("n_tokens"),
+                     _bucket_col(id_col, bucket_width).alias("bucket"))
+         .where(F.col("n_tokens") >= 1)
+         .persist(StorageLevel.MEMORY_AND_DISK))
+
+    hist = [(r["n_tokens"], r["cnt"]) for r in
+            t.groupBy("n_tokens").agg(F.count("*").alias("cnt")).collect()]
+    runs, _ = ffd_histogram_solve(hist, max_len)
+    spark = docs.sparkSession
+    runs_df = spark.createDataFrame(
+        runs, "len bigint, rank_start bigint, bin_start bigint,"
+              " slots bigint, n_ranks bigint")
+
+    # rank within the length group, bucketed (single-length Zipf spikes
+    # never serialize into one window task)
+    totals = (t.groupBy("n_tokens", "bucket")
+              .agg(F.count("*").alias("n"))
+              .orderBy("n_tokens", "bucket").collect())
+    offs, run_tot = [], {}
+    for r in totals:
+        key = r["n_tokens"]
+        offs.append((key, int(r["bucket"]), run_tot.get(key, 0)))
+        run_tot[key] = run_tot.get(key, 0) + int(r["n"])
+    offs_df = spark.createDataFrame(
+        offs or [(0, 0, 0)], "n_tokens bigint, bucket bigint, off bigint")
+    w = (W.partitionBy("n_tokens", "bucket").orderBy("id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    ranked = (t.join(F.broadcast(offs_df), ["n_tokens", "bucket"], "left")
+              .withColumn("rank",
+                          F.coalesce(F.count("*").over(w), F.lit(0))
+                          + F.coalesce(F.col("off"), F.lit(0))))
+    joined = ranked.join(
+        F.broadcast(runs_df),
+        (F.col("n_tokens") == F.col("len"))
+        & (F.col("rank") >= F.col("rank_start"))
+        & (F.col("rank") < F.col("rank_start") + F.col("n_ranks")))
+    return joined.select(
+        F.col("id").alias(id_col), "n_tokens",
+        (F.col("bin_start")
+         + F.floor((F.col("rank") - F.col("rank_start")) / F.col("slots"))
+         ).cast("bigint").alias("bin_id"),
+        (F.col("n_tokens") > max_len).alias("oversize"))
+
+
+def pack_bins_audit(docs: DataFrame, max_len: int = 2048,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Self-verifying pack_bins summary (the KMV/wordpiece discipline:
+    the bin layout itself is not SQL-expressible — FFD is sequential —
+    so the query recomputes every SQL-checkable invariant in-plan and
+    emits booleans the oracle pins true, alongside exact aggregates the
+    oracle derives independently):
+
+    - docs_conserved: every non-NULL-text doc assigned exactly one bin
+    - all_bins_fit: every bin holds ≤ max_len tokens, except singleton
+      oversize bins (exactly one doc, itself longer than max_len)
+    - anyfit_bound_ok: regular bins ≤ ceil(2·tokens/max_len) + 1 (the
+      any-fit guarantee: at most one open bin is ever ≤ half full) and
+      oversize bins == oversize docs
+
+    Output 1 row: (n_docs, total_tokens, n_oversize, docs_conserved,
+    all_bins_fit, anyfit_bound_ok)."""
+    from pyspark import StorageLevel
+
+    p = pack_bins(docs, max_len, text_col, id_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    bins = p.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.count("*").alias("nd"),
+        F.max(F.col("oversize").cast("int")).alias("has_over"))
+    binagg = bins.agg(
+        F.count("*").alias("n_bins"),
+        F.sum(F.when((F.col("fill") > max_len)
+                     & ~((F.col("nd") == 1) & (F.col("has_over") == 1)),
+                     1).otherwise(0)).alias("bad_bins"),
+        F.sum(F.when(F.col("has_over") == 1, 1).otherwise(0))
+         .alias("over_bins"))
+    pagg = p.agg(
+        F.count("*").alias("n_assigned"),
+        F.countDistinct(id_col).alias("n_distinct_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("oversize").cast("int")).alias("n_oversize"))
+    base = docs.agg(
+        F.sum(F.when(token_count_col(text_col) >= 1, 1).otherwise(0))
+         .alias("n_eligible"))
+    reg_tokens = F.col("total_tokens")  # oversize tokens only loosen it
+    bound = F.ceil(F.lit(2) * reg_tokens / max_len) + 1 + F.col("over_bins")
+    return (pagg.crossJoin(F.broadcast(binagg))
+            .crossJoin(F.broadcast(base))
+            .select(
+                F.col("n_eligible").cast("bigint").alias("n_docs"),
+                F.col("total_tokens").cast("bigint").alias("total_tokens"),
+                F.col("n_oversize").cast("bigint").alias("n_oversize"),
+                ((F.col("n_assigned") == F.col("n_eligible"))
+                 & (F.col("n_distinct_docs") == F.col("n_eligible")))
+                .alias("docs_conserved"),
+                (F.col("bad_bins") == 0).alias("all_bins_fit"),
+                ((F.col("n_bins") <= bound)
+                 & (F.col("over_bins") == F.col("n_oversize")))
+                .alias("anyfit_bound_ok")))

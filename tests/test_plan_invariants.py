@@ -456,6 +456,8 @@ _BNLJ_ALLOWLIST = {
     "ngram_lm_score", "pair_budget_report", "q11_important_stock",
     # r10: NB classifier's vstats/totals/priors 1-row broadcast frames
     "quality_classifier",
+    # r10: pack_bins_audit's 1-row bin/doc/base aggregate cross joins
+    "pack_bins",
     "q22_idle_customers", "range_join_value_tiers", "revenue_pareto",
     "semantic_decontaminate", "sim_bruteforce_topk", "skew_report",
     "source_kl_state_bound", "source_unigram_kl", "tfidf_top_terms",

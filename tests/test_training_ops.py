@@ -2160,3 +2160,63 @@ def test_corpus_diversity_distinct_n_and_entropy(spark):
     assert ("tiny", 2) not in out and ("tiny", 3) not in out
     assert out[("mono", 2)]["n_grams"] == 3     # "a a" x3, 1 distinct
     assert out[("mono", 2)]["n_distinct"] == 1
+
+
+# ---------------------------------------------------------------------------
+# pack_bins — histogram-FFD bin packing vs the per-item reference
+# ---------------------------------------------------------------------------
+def test_ffd_histogram_solve_matches_per_item_reference():
+    """The histogram solver's closed-form runs must reproduce per-item
+    first-fit-decreasing EXACTLY — 200 random corpora incl. oversize
+    items, duplicate-heavy lengths, and singleton tails."""
+    import random
+
+    from singer_spark.operators.packing import (ffd_histogram_solve,
+                                                ffd_reference)
+
+    rng = random.Random(7)
+    for trial in range(200):
+        max_len = rng.choice([16, 32, 100])
+        n = rng.randint(1, 60)
+        lengths = [(i, rng.choice(
+            [rng.randint(1, max_len),
+             rng.randint(1, 8),
+             rng.randint(max_len // 2, max_len + 20)]))
+            for i in range(n)]
+        want = ffd_reference(lengths, max_len)
+        runs, n_bins = ffd_histogram_solve(
+            [(ln, sum(1 for _, x in lengths if x == ln))
+             for ln in {x for _, x in lengths}], max_len)
+        # expand runs into {id: bin} using the id-ascending rank rule
+        by_len: dict = {}
+        for did, ln in sorted(lengths):
+            by_len.setdefault(ln, []).append(did)
+        got = {}
+        for (L, rank_start, bin_start, slots, n_ranks) in runs:
+            ids = by_len[L]
+            for r in range(rank_start, rank_start + n_ranks):
+                got[ids[r]] = bin_start + (r - rank_start) // slots
+        assert got == want, (max_len, lengths)
+        assert n_bins == len(set(want.values()))
+
+
+def test_pack_bins_spark_matches_reference_and_audit(spark):
+    from singer_spark.operators.packing import (ffd_reference, pack_bins,
+                                                pack_bins_audit)
+
+    rows = [(i, " ".join(["t"] * ln), "s")
+            for i, ln in enumerate([5, 9, 3, 3, 8, 1, 14, 2, 7, 7, 30])]
+    rows.append((98, None, "s"))      # NULL text: excluded
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    out = {r["doc_id"]: r for r in pack_bins(docs, max_len=10).collect()}
+    want = ffd_reference(
+        [(i, ln) for i, ln in
+         enumerate([5, 9, 3, 3, 8, 1, 14, 2, 7, 7, 30])], 10)
+    assert {d: r["bin_id"] for d, r in out.items()} == want
+    assert out[6]["oversize"] and out[10]["oversize"]
+    assert 98 not in out
+    audit = pack_bins_audit(docs, max_len=10).collect()[0]
+    assert audit["n_docs"] == 11 and audit["n_oversize"] == 2
+    assert audit["docs_conserved"] and audit["all_bins_fit"]
+    assert audit["anyfit_bound_ok"]
