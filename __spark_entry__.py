@@ -1444,6 +1444,19 @@ def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                              max_vocab=1000)
 
 
+def _corpus_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of corpus_diversity: distinct-n via HLL++ sketches
+    (constant per-task state; exact distinct counting is inherently
+    linear in distinct-gram mass — measured 5-10× over 64× data) —
+    text_analysis.corpus_diversity_approx.  Self-verifying: the audit
+    arm computes the exact distinct in-plan and pins the estimate inside
+    HLL++'s ±4·rsd envelope; the oracle re-derives the exact columns and
+    pins the boolean."""
+    from singer_spark.operators.text_analysis import corpus_diversity_approx
+
+    return corpus_diversity_approx(_docs(spark, sf_dir))
+
+
 def _pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bin-packed sequence layout audit (Krell et al. 2021 'packing
     without cross-document contamination'): first-fit-decreasing solved
@@ -2683,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokenize": _unigram_tokenize,
         "unigram_segment": _unigram_segment,
         "corpus_diversity": _corpus_diversity,
+        "corpus_diversity_approx": _corpus_diversity_approx,
         "pack_bins": _pack_bins,
         "lsh_tuning": _lsh_tuning,
         "lsh_autoband": _lsh_autoband,
@@ -5523,6 +5537,34 @@ def oracle_sql() -> dict[str, str]:
                    floor((ln(sum(c)) - sum(c * ln(c)) / sum(c))
                          * 1000000 + 0.5) / 1000000 AS entropy
             FROM c GROUP BY source, k""",
+        # HLL++ sketch mode: exact columns re-derived, accuracy boolean
+        # pinned (the rolling_active_users_hll discipline)
+        "corpus_diversity_approx": """
+            WITH tk AS (
+              SELECT source,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS t
+              FROM documents WHERE text IS NOT NULL),
+            g AS (
+              SELECT source, 1 AS k, unnest(t) AS g FROM tk
+              UNION ALL
+              SELECT source, 2 AS k,
+                     unnest(CASE WHEN len(t) >= 2
+                       THEN [array_to_string(t[i:i+1], ' ')
+                             for i in range(1, len(t))]
+                       ELSE [] END) AS g
+              FROM tk
+              UNION ALL
+              SELECT source, 3 AS k,
+                     unnest(CASE WHEN len(t) >= 3
+                       THEN [array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)]
+                       ELSE [] END) AS g
+              FROM tk)
+            SELECT source, k::INT AS k, count(*)::BIGINT AS n_grams,
+                   count(DISTINCT g)::BIGINT AS n_distinct_exact,
+                   true AS est_ok
+            FROM g GROUP BY source, k""",
         # quality + lang-id replays nested as subqueries, exact-dup
         # canonicals via a global digest window, aggregated by source
         "source_dataset_card": f"""

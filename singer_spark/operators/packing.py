@@ -258,20 +258,24 @@ def pack_bins(docs: DataFrame, max_len: int = 2048,
               " slots bigint, n_ranks bigint")
 
     # rank within the length group, bucketed (single-length Zipf spikes
-    # never serialize into one window task)
-    totals = (t.groupBy("n_tokens", "bucket")
-              .agg(F.count("*").alias("n"))
-              .orderBy("n_tokens", "bucket").collect())
-    offs, run_tot = [], {}
-    for r in totals:
-        key = r["n_tokens"]
-        offs.append((key, int(r["bucket"]), run_tot.get(key, 0)))
-        run_tot[key] = run_tot.get(key, 0) + int(r["n"])
-    offs_df = spark.createDataFrame(
-        offs or [(0, 0, 0)], "n_tokens bigint, bucket bigint, off bigint")
+    # never serialize into one window task).  The running bucket offsets
+    # are a DISTRIBUTED cumsum over the (length, bucket) totals frame —
+    # per-length windows over #buckets rows, nothing driver-sized: at
+    # 10^11 docs the totals frame is lengths × buckets rows, far too big
+    # to collect (the pack_sequences driver hop is safe only because its
+    # frame is #buckets alone)
+    wb = (W.partitionBy("n_tokens").orderBy("bucket")
+          .rowsBetween(W.unboundedPreceding, -1))
+    offs_df = (t.groupBy("n_tokens", "bucket")
+               .agg(F.count("*").alias("n"))
+               .select("n_tokens", "bucket",
+                       F.coalesce(F.sum("n").over(wb), F.lit(0))
+                       .alias("off")))
     w = (W.partitionBy("n_tokens", "bucket").orderBy("id")
          .rowsBetween(W.unboundedPreceding, -1))
-    ranked = (t.join(F.broadcast(offs_df), ["n_tokens", "bucket"], "left")
+    # no broadcast hint: offs_df is lengths x buckets rows — AQE
+    # broadcasts it at fixture scale and shuffle-joins when it grows
+    ranked = (t.join(offs_df, ["n_tokens", "bucket"], "left")
               .withColumn("rank",
                           F.coalesce(F.count("*").over(w), F.lit(0))
                           + F.coalesce(F.col("off"), F.lit(0))))

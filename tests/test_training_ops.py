@@ -2220,3 +2220,19 @@ def test_pack_bins_spark_matches_reference_and_audit(spark):
     assert audit["n_docs"] == 11 and audit["n_oversize"] == 2
     assert audit["docs_conserved"] and audit["all_bins_fit"]
     assert audit["anyfit_bound_ok"]
+
+
+def test_corpus_diversity_approx_bound_and_prod_arm(spark, sf_dir):
+    from singer_spark.operators.text_analysis import (
+        corpus_diversity, corpus_diversity_approx)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    audit = corpus_diversity_approx(docs).collect()
+    assert audit and all(r["est_ok"] for r in audit)
+    exact = {(r["source"], r["k"]): r["n_distinct"]
+             for r in corpus_diversity(docs).collect()}
+    prod = corpus_diversity_approx(docs, audit=False).collect()
+    assert {(r["source"], r["k"]) for r in prod} == set(exact)
+    for r in prod:  # production arm inside the same +-4 rsd envelope
+        e = exact[(r["source"], r["k"])]
+        assert abs(r["n_distinct_est"] - e) <= max(4 * 0.05 * e, 2)
