@@ -3933,6 +3933,33 @@ def _repetition_oracle() -> str:
             FROM tok JOIN s2 ON s2.doc_id = tok.doc_id JOIN s3 ON s3.doc_id = tok.doc_id"""
 
 
+def _diversity_gram_sql() -> str:
+    """Shared gram-CTE block for the corpus-diversity oracle pair
+    (exact + HLL twin) — one definition so a gram-construction fix
+    can never skew the two replays apart."""
+    return """WITH tk AS (
+              SELECT source,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS t
+              FROM documents WHERE text IS NOT NULL),
+            g AS (
+              SELECT source, 1 AS k, unnest(t) AS g FROM tk
+              UNION ALL
+              SELECT source, 2 AS k,
+                     unnest(CASE WHEN len(t) >= 2
+                       THEN [array_to_string(t[i:i+1], ' ')
+                             for i in range(1, len(t))]
+                       ELSE [] END) AS g
+              FROM tk
+              UNION ALL
+              SELECT source, 3 AS k,
+                     unnest(CASE WHEN len(t) >= 3
+                       THEN [array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)]
+                       ELSE [] END) AS g
+              FROM tk)"""
+
+
 def _unigram_base_sql(max_multi: int = 100, plen: int = 4,
                       wmax: int = 16) -> str:
     """Shared CTE block for the unigram-LM oracles: vocab derivation
@@ -5506,28 +5533,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         # distinct-n + entropy via the one-pass ln T - sum(c ln c)/T
         # identity, gram families by list slicing
-        "corpus_diversity": """
-            WITH tk AS (
-              SELECT source,
-                     list_filter(string_split(text, ' '), x -> x <> '')
-                       AS t
-              FROM documents WHERE text IS NOT NULL),
-            g AS (
-              SELECT source, 1 AS k, unnest(t) AS g FROM tk
-              UNION ALL
-              SELECT source, 2 AS k,
-                     unnest(CASE WHEN len(t) >= 2
-                       THEN [array_to_string(t[i:i+1], ' ')
-                             for i in range(1, len(t))]
-                       ELSE [] END) AS g
-              FROM tk
-              UNION ALL
-              SELECT source, 3 AS k,
-                     unnest(CASE WHEN len(t) >= 3
-                       THEN [array_to_string(t[i:i+2], ' ')
-                             for i in range(1, len(t) - 1)]
-                       ELSE [] END) AS g
-              FROM tk),
+        "corpus_diversity": f"""
+            {_diversity_gram_sql()},
             c AS (SELECT source, k, g, count(*) AS c
                   FROM g GROUP BY source, k, g)
             SELECT source, k::INT AS k, sum(c)::BIGINT AS n_grams,
@@ -5539,28 +5546,8 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY source, k""",
         # HLL++ sketch mode: exact columns re-derived, accuracy boolean
         # pinned (the rolling_active_users_hll discipline)
-        "corpus_diversity_approx": """
-            WITH tk AS (
-              SELECT source,
-                     list_filter(string_split(text, ' '), x -> x <> '')
-                       AS t
-              FROM documents WHERE text IS NOT NULL),
-            g AS (
-              SELECT source, 1 AS k, unnest(t) AS g FROM tk
-              UNION ALL
-              SELECT source, 2 AS k,
-                     unnest(CASE WHEN len(t) >= 2
-                       THEN [array_to_string(t[i:i+1], ' ')
-                             for i in range(1, len(t))]
-                       ELSE [] END) AS g
-              FROM tk
-              UNION ALL
-              SELECT source, 3 AS k,
-                     unnest(CASE WHEN len(t) >= 3
-                       THEN [array_to_string(t[i:i+2], ' ')
-                             for i in range(1, len(t) - 1)]
-                       ELSE [] END) AS g
-              FROM tk)
+        "corpus_diversity_approx": f"""
+            {_diversity_gram_sql()}
             SELECT source, k::INT AS k, count(*)::BIGINT AS n_grams,
                    count(DISTINCT g)::BIGINT AS n_distinct_exact,
                    true AS est_ok

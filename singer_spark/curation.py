@@ -58,6 +58,18 @@ class CurationConfig:
     keep_cols: tuple[str, ...] = field(default=("source",))
 
 
+def _nb_keep(docs: DataFrame, cfg: "CurationConfig", text_col: str,
+             id_col: str) -> DataFrame:
+    """(id, keep) frame from the learned NB quality gate."""
+    from singer_spark.operators.text_analysis import nb_quality_scores
+
+    return nb_quality_scores(docs, F.expr(cfg.quality_model_seed),
+                             max_vocab=cfg.quality_model_vocab,
+                             threshold=cfg.quality_model_threshold,
+                             text_col=text_col, id_col=id_col
+                             ).select(id_col, "keep")
+
+
 def _apply_span_rewrite(out: DataFrame, spans: DataFrame, id_col: str,
                         text_col: str) -> DataFrame:
     """Shared rewrite for the two span gates (benchmark decontamination
@@ -121,15 +133,15 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
     if cfg.quality_model_seed is not None:
         # learned gate (CCNet-style): NB seed-vs-rest model over the FULL
         # input corpus (training on pre-gate docs keeps the model
-        # independent of gate order), broadcast scoring join by id
-        from singer_spark.operators.text_analysis import nb_quality_scores
-
-        nb = nb_quality_scores(docs, F.expr(cfg.quality_model_seed),
-                               max_vocab=cfg.quality_model_vocab,
-                               threshold=cfg.quality_model_threshold,
-                               text_col=text_col, id_col=id_col
-                               ).select(id_col, "keep")
-        out = out.join(nb, id_col).filter(F.col("keep") == 1).drop("keep")
+        # independent of gate order), broadcast scoring join by id.
+        # NULL-text docs PASS THROUGH (the curation family convention,
+        # r9 #3): a token-less doc's llr is the corpus-global prior, and
+        # dropping or keeping it on an unrelated seed/rest ratio is
+        # arbitrary — the other gates and span backends let NULLs ride
+        nb = _nb_keep(docs, cfg, text_col, id_col)
+        out = (out.join(nb, id_col)
+               .filter((F.col("keep") == 1) | F.col(text_col).isNull())
+               .drop("keep"))
     if cfg.repetition_screen:
         rep = repetition_features(docs, text_col, id_col).select(id_col, "keep")
         out = out.join(rep, id_col).filter(F.col("keep")).drop("keep")

@@ -240,14 +240,15 @@ def pack_bins(docs: DataFrame, max_len: int = 2048,
     singleton bins (flagged); NULL-text docs are excluded.
 
     Output: (id, n_tokens, bin_id, oversize)."""
-    from pyspark import StorageLevel
     from pyspark.sql.window import Window as W
 
-    t = (docs.select(F.col(id_col).alias("id"),
-                     token_count_col(text_col).alias("n_tokens"),
-                     _bucket_col(id_col, bucket_width).alias("bucket"))
-         .where(F.col("n_tokens") >= 1)
-         .persist(StorageLevel.MEMORY_AND_DISK))
+    from singer_spark.functions import maybe_persist
+
+    t = maybe_persist(
+        docs.select(F.col(id_col).alias("id"),
+                    token_count_col(text_col).alias("n_tokens"),
+                    _bucket_col(id_col, bucket_width).alias("bucket"))
+        .where(F.col("n_tokens") >= 1), True)
 
     hist = [(r["n_tokens"], r["cnt"]) for r in
             t.groupBy("n_tokens").agg(F.count("*").alias("cnt")).collect()]
@@ -310,10 +311,11 @@ def pack_bins_audit(docs: DataFrame, max_len: int = 2048,
 
     Output 1 row: (n_docs, total_tokens, n_oversize, docs_conserved,
     all_bins_fit, anyfit_bound_ok)."""
-    from pyspark import StorageLevel
+    from singer_spark.functions import maybe_persist
 
-    p = pack_bins(docs, max_len, text_col, id_col) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # registered persist: long-lived drivers drain via
+    # release_cache_handles (ADVICE r7 #4 discipline)
+    p = maybe_persist(pack_bins(docs, max_len, text_col, id_col), True)
     bins = p.groupBy("bin_id").agg(
         F.sum("n_tokens").alias("fill"),
         F.count("*").alias("nd"),
@@ -325,16 +327,23 @@ def pack_bins_audit(docs: DataFrame, max_len: int = 2048,
                      1).otherwise(0)).alias("bad_bins"),
         F.sum(F.when(F.col("has_over") == 1, 1).otherwise(0))
          .alias("over_bins"))
+    # every aggregate coalesced: on a zero-eligible corpus (all NULL
+    # text) the sums are NULL and the booleans must still read
+    # true/0 exactly like the oracle's literals
     pagg = p.agg(
         F.count("*").alias("n_assigned"),
         F.countDistinct(id_col).alias("n_distinct_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.sum(F.col("oversize").cast("int")).alias("n_oversize"))
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("total_tokens"),
+        F.coalesce(F.sum(F.col("oversize").cast("int")), F.lit(0))
+         .alias("n_oversize"))
     base = docs.agg(
-        F.sum(F.when(token_count_col(text_col) >= 1, 1).otherwise(0))
-         .alias("n_eligible"))
+        F.coalesce(F.sum(F.when(token_count_col(text_col) >= 1, 1)
+                         .otherwise(0)), F.lit(0)).alias("n_eligible"))
+    n_bins = F.coalesce(F.col("n_bins"), F.lit(0))
+    bad_bins = F.coalesce(F.col("bad_bins"), F.lit(0))
+    over_bins = F.coalesce(F.col("over_bins"), F.lit(0))
     reg_tokens = F.col("total_tokens")  # oversize tokens only loosen it
-    bound = F.ceil(F.lit(2) * reg_tokens / max_len) + 1 + F.col("over_bins")
+    bound = F.ceil(F.lit(2) * reg_tokens / max_len) + 1 + over_bins
     return (pagg.crossJoin(F.broadcast(binagg))
             .crossJoin(F.broadcast(base))
             .select(
@@ -344,7 +353,7 @@ def pack_bins_audit(docs: DataFrame, max_len: int = 2048,
                 ((F.col("n_assigned") == F.col("n_eligible"))
                  & (F.col("n_distinct_docs") == F.col("n_eligible")))
                 .alias("docs_conserved"),
-                (F.col("bad_bins") == 0).alias("all_bins_fit"),
-                ((F.col("n_bins") <= bound)
-                 & (F.col("over_bins") == F.col("n_oversize")))
+                (bad_bins == 0).alias("all_bins_fit"),
+                ((n_bins <= bound)
+                 & (over_bins == F.col("n_oversize")))
                 .alias("anyfit_bound_ok")))

@@ -2490,7 +2490,13 @@ def unigram_encode(docs: DataFrame, vocab: "list[tuple[str, int]]",
                 continue
             nw = np_ = tc = 0
             acc: list[str] = []
-            for w in str(text).split():
+            # split on SINGLE SPACE, not str.split()'s any-whitespace:
+            # the vocab derivation and the SQL oracle both tokenize with
+            # split(text, ' ') + empty-filter, and a tab/newline corpus
+            # would otherwise train on one word but encode two
+            for w in str(text).split(" "):
+                if not w:
+                    continue
                 got = memo.get(w)
                 if got is None:
                     got = unigram_reference(w, voc, W, lmax)
@@ -2509,6 +2515,34 @@ def unigram_encode(docs: DataFrame, vocab: "list[tuple[str, int]]",
                       F.col("_u.n_pieces").alias("n_pieces"),
                       F.col("_u.total_cost").alias("total_cost"),
                       F.col("_u.pieces").alias("pieces"))
+
+
+def _tagged_gram_frame(docs: DataFrame, ks: "tuple[int, ...]",
+                       group_col: str, text_col: str) -> DataFrame:
+    """Shared gram explosion for the diversity pair (exact + HLL twin):
+    one corpus scan — each k's zip-shift gram family tagged with its k
+    in a struct, concatenated, and exploded once to (_grp, k, _g).
+    NOTE: a two-arg lambda in F.transform means (element, index) — the
+    k tag is closed over via a default argument instead."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    empty = F.array().cast("array<string>")
+    families = []
+    for k in ks:
+        grams = kgram_join_col(toks, int(k), " ") if k > 1 else toks
+        grams = F.when(F.col(text_col).isNull(), empty) \
+                 .otherwise(F.coalesce(grams, empty))
+
+        def _tag(gr, tag=int(k)):
+            return F.transform(gr, lambda g: F.struct(
+                F.lit(tag).alias("k"), g.alias("g")))
+
+        families.append(_tag(grams))
+    tagged = families[0] if len(families) == 1 else F.concat(*families)
+    return (fan_out(docs)
+            .select(F.col(group_col).alias("_grp"),
+                    F.explode(tagged).alias("_x"))
+            .select("_grp", F.col("_x.k").alias("k"),
+                    F.col("_x.g").alias("_g")))
 
 
 def corpus_diversity(docs: DataFrame, ks: "tuple[int, ...]" = (1, 2, 3),
@@ -2531,26 +2565,7 @@ def corpus_diversity(docs: DataFrame, ks: "tuple[int, ...]" = (1, 2, 3),
     before the shuffle, then one tiny groupBy(source, k).  Docs shorter than k words contribute no
     k-grams.  Output: (group_col, k, n_grams, n_distinct,
     distinct_ratio, entropy) — ratios/entropy qround 1e-6."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    empty = F.array().cast("array<string>")
-    families = []
-    for k in ks:
-        grams = kgram_join_col(toks, int(k), " ") if k > 1 else toks
-        grams = F.when(F.col(text_col).isNull(), empty) \
-                 .otherwise(F.coalesce(grams, empty))
-        def _tag(gr, tag=int(k)):
-            # NOTE: a two-arg lambda in F.transform means (element,
-            # index) — close over k via a default instead
-            return F.transform(gr, lambda g: F.struct(
-                F.lit(tag).alias("k"), g.alias("g")))
-
-        families.append(_tag(grams))
-    tagged = families[0] if len(families) == 1 else F.concat(*families)
-    allgrams = (fan_out(docs)
-                .select(F.col(group_col).alias("_grp"),
-                        F.explode(tagged).alias("_x"))
-                .select("_grp", F.col("_x.k").alias("k"),
-                        F.col("_x.g").alias("_g")))
+    allgrams = _tagged_gram_frame(docs, ks, group_col, text_col)
     counts = (allgrams.groupBy("_grp", "k", "_g")
               .agg(F.count("*").alias("_c")))
     T = F.sum("_c")
@@ -2585,25 +2600,7 @@ def corpus_diversity_approx(docs: DataFrame,
     published relative standard deviation — the oracle pins the boolean
     and checks the exact columns; PRODUCTION callers drop the exact arm
     (pass audit=False) and keep the sketch-only plan."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    empty = F.array().cast("array<string>")
-    families = []
-    for k in ks:
-        grams = kgram_join_col(toks, int(k), " ") if k > 1 else toks
-        grams = F.when(F.col(text_col).isNull(), empty) \
-                 .otherwise(F.coalesce(grams, empty))
-
-        def _tag(gr, tag=int(k)):
-            return F.transform(gr, lambda g: F.struct(
-                F.lit(tag).alias("k"), g.alias("g")))
-
-        families.append(_tag(grams))
-    tagged = families[0] if len(families) == 1 else F.concat(*families)
-    allgrams = (fan_out(docs)
-                .select(F.col(group_col).alias("_grp"),
-                        F.explode(tagged).alias("_x"))
-                .select("_grp", F.col("_x.k").alias("k"),
-                        F.col("_x.g").alias("_g")))
+    allgrams = _tagged_gram_frame(docs, ks, group_col, text_col)
     est = F.approx_count_distinct("_g", float(rsd))
     if not audit:
         return (allgrams.groupBy("_grp", "k")

@@ -305,3 +305,23 @@ def test_curate_learned_quality_gate(spark):
     assert set(range(5)) <= kept          # seed survives its own model
     assert 20 in kept                     # seed-like text from web kept
     assert not kept & set(range(10, 15))  # junk dropped
+
+
+def test_curate_learned_gate_null_text_passthrough(spark):
+    """NULL-text docs ride through the NB gate (family convention,
+    r9 #3) — their fate must not hinge on the corpus seed/rest ratio."""
+    from singer_spark.curation import CurationConfig, curate
+
+    rows = ([(i, "careful structured prose with citations", "hq")
+             for i in range(2)]
+            + [(10 + i, "click buy spam now free winner", "web")
+               for i in range(8)]            # seed minority -> prior < 0
+            + [(20, None, "web")])
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    cfg = CurationConfig(lang=None, min_quality=None,
+                         repetition_screen=False, dedup="none", split=False,
+                         quality_model_seed="source = 'hq'")
+    kept = {r["doc_id"] for r in curate(docs, cfg).collect()}
+    assert 20 in kept
+    assert not kept & set(range(10, 18))

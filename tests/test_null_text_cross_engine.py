@@ -54,6 +54,13 @@ NULL_SENSITIVE_KEYS = (
     "decontaminate",
     "pack_sequences",
     "corpus_mix",
+    # r10 additions — all read only the documents table
+    "quality_classifier",
+    "unigram_tokenize",
+    "unigram_segment",
+    "corpus_diversity",
+    "corpus_diversity_approx",
+    "pack_bins",
 )
 
 

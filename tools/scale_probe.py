@@ -181,8 +181,14 @@ def markov_docs(spark, n_docs: int, vocab: int = 4000,
                 texts.append(" ".join(toks))
             yield pd.DataFrame({"doc_id": pdf["id"], "text": texts})
 
+    # source column in the fixture's 'src{n}' style so the scan-side
+    # operator dict (per-source ops, seed predicates) runs unmodified in
+    # `markovscan` mode; pair ops ignore it
     return (spark.range(n_docs).repartition(32)
-            .mapInPandas(gen, "doc_id bigint, text string"))
+            .mapInPandas(gen, "doc_id bigint, text string")
+            .withColumn("source",
+                        F.concat(F.lit("src"),
+                                 (F.col("doc_id") % 20).cast("string"))))
 
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
@@ -732,6 +738,12 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,
     if mode == "markov":
         make_docs = lambda sp, _sf, k: markov_docs(sp, 5000 * k)  # noqa: E731
         make_ops = pair_ops
+    elif mode == "markovscan":
+        # scan-side ops on UNIQUE-content growth — the fixture that
+        # separates "plan grows" from "salted copies mint k× grams"
+        # (the corpus_diversity 10.0× README row reproduces here)
+        make_docs = lambda sp, _sf, k: markov_docs(sp, 5000 * k)  # noqa: E731
+        make_ops = ops
     elif mode == "pairs":
         make_docs, make_ops = disjoint_docs, pair_ops
     else:
