@@ -1457,6 +1457,29 @@ def _corpus_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diversity_approx(_docs(spark, sf_dir))
 
 
+def _text_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-blocklist screen, the C4 §2.2 "bad words" gate (Raffel 2020;
+    Dolma ships the same stage) demonstrated with a neutral fixture-word
+    list — text_analysis.blocklist_screen.  Broadcast array literal +
+    one JVM array filter per row, no shuffle; the oracle replays with
+    list_contains over the same lowercased list."""
+    from singer_spark.operators.text_analysis import blocklist_screen
+
+    return blocklist_screen(_docs(spark, sf_dir), ["slow", "drop", "stale"])
+
+
+def _cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid silhouette over the embeddings table
+    (Lloyd-trained 8 clusters, 2 iterations — the cluster_balanced_sample
+    quantizer) — similarity.cluster_silhouette.  a/b are cosine
+    distances to the own/nearest-other centroid with the bit-identical
+    left-to-right accumulation, s = (b−a)/max(a,b); the oracle replays
+    training, the full cosine grid, and the top-2 pivot in SQL."""
+    from singer_spark.operators.similarity import cluster_silhouette
+
+    return cluster_silhouette(_emb(spark, sf_dir), n_clusters=8, iters=2)
+
+
 def _pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bin-packed sequence layout audit (Krell et al. 2021 'packing
     without cross-document contamination'): first-fit-decreasing solved
@@ -2697,6 +2720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_segment": _unigram_segment,
         "corpus_diversity": _corpus_diversity,
         "corpus_diversity_approx": _corpus_diversity_approx,
+        "cluster_silhouette": _cluster_silhouette,
+        "text_blocklist": _text_blocklist,
         "pack_bins": _pack_bins,
         "lsh_tuning": _lsh_tuning,
         "lsh_autoband": _lsh_autoband,
@@ -3958,6 +3983,62 @@ def _diversity_gram_sql() -> str:
                              for i in range(1, len(t) - 1)]
                        ELSE [] END) AS g
               FROM tk)"""
+
+
+def _silhouette_oracle(iters: int = 2, kc: int = 8) -> str:
+    """SQL replay of similarity.cluster_silhouette: the
+    _cluster_balanced_oracle Lloyd blocks, then the final cosine grid
+    pivoted to (best, second-best) per vector — a = 1 − cos_own,
+    b = 1 − cos_next, s = (b − a)/max(a, b) (0 when both are 0) — and
+    the per-cluster qround-1e-6 mean."""
+    blocks = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {kc})",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        blocks.append(f"""cos{i} AS (
+  SELECT e.vec_id, cid,
+         list_dot_product(e.v, cv)
+         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM e CROSS JOIN c{p})""")
+        blocks.append(f"""asg{i} AS (SELECT vec_id, cid AS cluster FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+  FROM cos{i}) WHERE rn = 1)""")
+        blocks.append(f"""m{i} AS (
+  SELECT cluster, pos, floor(avg(val) * 1000000 + 0.5) / 1000000 AS m
+  FROM (SELECT a.cluster, unnest(generate_series(1, len(e.v))) AS pos,
+               unnest(e.v) AS val
+        FROM asg{i} a JOIN e USING (vec_id))
+  GROUP BY cluster, pos)""")
+        blocks.append(f"""c{i} AS (
+  SELECT c.cid, coalesce(nm.cv, c.cv) AS cv
+  FROM c{p} c LEFT JOIN (SELECT cluster AS cid, list(m ORDER BY pos) AS cv
+                         FROM m{i} GROUP BY cluster) nm USING (cid))""")
+    blocks.append(f"""cos_t AS (
+  SELECT e.vec_id, cid,
+         list_dot_product(e.v, cv)
+         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM e CROSS JOIN c{iters})""")
+    blocks.append("""rk AS (
+  SELECT vec_id, cid, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+  FROM cos_t)""")
+    blocks.append("""ab AS (
+  SELECT r1.vec_id, r1.cid AS cluster,
+         1.0 - r1.cos AS a, 1.0 - r2.cos AS b
+  FROM rk r1 JOIN rk r2 USING (vec_id)
+  WHERE r1.rn = 1 AND r2.rn = 2)""")
+    blocks.append("""sv AS (
+  SELECT cluster,
+         CASE WHEN greatest(a, b) > 0
+              THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s
+  FROM ab)""")
+    return ("WITH " + ",\n".join(blocks)
+            + "\nSELECT cluster, count(*)::BIGINT AS n_vecs,"
+              " floor(avg(s) * 1000000 + 0.5) / 1000000 AS mean_silhouette"
+              " FROM sv GROUP BY cluster ORDER BY cluster")
 
 
 def _unigram_base_sql(max_multi: int = 100, plen: int = 4,
@@ -5517,6 +5598,36 @@ def oracle_sql() -> dict[str, str]:
         # backtrace walk
         "unigram_tokenize": _unigram_tokenize_oracle(),
         "unigram_segment": _unigram_segment_oracle(),
+        # C4 bad-words gate: same lowercased list, list_contains filter
+        "text_blocklist": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE len(list_filter(string_split(text, ' '),
+                                             x -> x <> '')) END::BIGINT
+                     AS n_tokens,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE len(list_filter(string_split(text, ' '),
+                               x -> x <> '' AND list_contains(
+                                 ['slow', 'drop', 'stale'], lower(x))))
+                        END::BIGINT AS n_blocked,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN len(list_filter(string_split(text, ' '),
+                                             x -> x <> '')) = 0 THEN 0.0
+                        ELSE floor(len(list_filter(string_split(text, ' '),
+                               x -> x <> '' AND list_contains(
+                                 ['slow', 'drop', 'stale'], lower(x))))
+                             / len(list_filter(string_split(text, ' '),
+                                               x -> x <> ''))
+                             * 1000000 + 0.5) / 1000000 END
+                     AS blocked_frac,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE (len(list_filter(string_split(text, ' '),
+                               x -> x <> '' AND list_contains(
+                                 ['slow', 'drop', 'stale'], lower(x))))
+                              = 0)::INT END AS keep
+            FROM documents""",
+        # Lloyd replay + cosine-grid top-2 pivot for the silhouette
+        "cluster_silhouette": _silhouette_oracle(),
         # FFD bin packing is sequential -> self-verifying booleans +
         # independently-derived aggregates (token counts are RAW
         # string_split sizes, the packing-family convention)

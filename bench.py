@@ -121,6 +121,8 @@ HEADLINERS = [
     "unigram_tokenize",
     "corpus_diversity",
     "pack_bins",
+    "cluster_silhouette",
+    "text_blocklist",
 ]
 
 

@@ -2614,3 +2614,39 @@ def corpus_diversity_approx(docs: DataFrame,
                  (F.abs(est - exact) <= 4 * float(rsd) * exact)
                  .alias("est_ok"))
             .withColumnRenamed("_grp", group_col))
+
+
+def blocklist_screen(docs: DataFrame, blocklist: "list[str]",
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Word-blocklist screen — the C4 "bad words" gate (Raffel et al.
+    2020 §2.2 drop any page containing a listed word; Dolma ships the
+    same stage): per document, the count and fraction of tokens whose
+    lowercase form is on the list, and keep = no hits.  The list is
+    caller-supplied (deployments load their curated list; nothing is
+    hard-coded here).
+
+    Pure JVM: the lowercased list is a broadcast array literal and the
+    hit count is one array filter per row — no shuffle, no UDF; the
+    plan is a narrow map of the scan at any corpus size.  NULL text →
+    NULL counts (family convention).  Output: (id, n_tokens, n_blocked,
+    blocked_frac qround 1e-6, keep INT)."""
+    bl = F.array(*[F.lit(w.lower()) for w in blocklist])
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    # NULL text guard FIRST: Spark's legacy size(NULL) = -1 would leak
+    # into every count (the exact divergence the NULL harness hunts)
+    null_text = F.col(text_col).isNull()
+    hits0 = F.size(F.filter(toks,
+                            lambda t: F.array_contains(bl, F.lower(t))))
+    n0 = F.size(toks)
+    n = F.when(null_text, F.lit(None)).otherwise(n0)
+    hits = F.when(null_text, F.lit(None)).otherwise(hits0)
+    return (fan_out(docs).select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        hits.cast("bigint").alias("n_blocked"),
+        F.when(null_text, F.lit(None).cast("double"))
+         .when(n0 > 0, qround(hits0 / n0, 6))
+         .otherwise(F.lit(0.0)).alias("blocked_frac"),
+        F.when(null_text, F.lit(None).cast("int"))
+         .otherwise((hits0 == 0).cast("int")).alias("keep")))

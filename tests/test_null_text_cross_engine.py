@@ -61,6 +61,7 @@ NULL_SENSITIVE_KEYS = (
     "corpus_diversity",
     "corpus_diversity_approx",
     "pack_bins",
+    "text_blocklist",
 )
 
 

@@ -2236,3 +2236,33 @@ def test_corpus_diversity_approx_bound_and_prod_arm(spark, sf_dir):
     for r in prod:  # production arm inside the same +-4 rsd envelope
         e = exact[(r["source"], r["k"])]
         assert abs(r["n_distinct_est"] - e) <= max(4 * 0.05 * e, 2)
+
+
+def test_cluster_silhouette_separates_tight_from_noise(spark):
+    from singer_spark.operators.similarity import cluster_silhouette
+
+    emb = _clustered_emb(spark, n=400, n_clusters=8, dim=64)
+    rows = cluster_silhouette(emb, n_clusters=8, iters=2).collect()
+    assert rows and sum(r["n_vecs"] for r in rows) == 400
+    # a genuinely clustered corpus scores clearly positive on average
+    total = sum(r["mean_silhouette"] * r["n_vecs"] for r in rows) / 400
+    assert total > 0.2, total
+    with pytest.raises(ValueError):
+        cluster_silhouette(emb, n_clusters=1)
+
+
+def test_blocklist_screen_counts_and_null_paths(spark):
+    from singer_spark.operators.text_analysis import blocklist_screen
+
+    rows = [(0, "Bad word BAD again fine", "s"),
+            (1, "all clean here", "s"),
+            (2, "", "s"), (3, None, "s")]
+    docs = _docs_df(spark, rows)
+    out = {r["doc_id"]: r
+           for r in blocklist_screen(docs, ["bad"]).collect()}
+    assert out[0]["n_blocked"] == 2 and out[0]["keep"] == 0  # case-folded
+    assert out[0]["blocked_frac"] == pytest.approx(2 / 5, abs=1e-6)
+    assert out[1]["n_blocked"] == 0 and out[1]["keep"] == 1
+    assert out[2]["n_tokens"] == 0 and out[2]["blocked_frac"] == 0.0
+    assert out[2]["keep"] == 1
+    assert out[3]["n_tokens"] is None and out[3]["keep"] is None
