@@ -1495,6 +1495,26 @@ def _pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_bins_audit(_docs(spark, sf_dir), max_len=256)
 
 
+def _unigram_em_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenize after ONE hard-EM (Viterbi re-estimation)
+    step — the SentencePiece training-loop shape (Kudo 2018 §3.2; hard
+    variant): seed vocab from substring frequencies, segment, re-derive
+    costs from pieces the Viterbi actually USES, re-encode —
+    text_analysis.unigram_em_refine + unigram_encode.  The oracle
+    chains TWO generated DP blocks: chain 1 + full backtrace produce
+    the usage counts and refined costs, chain 2 re-segments under
+    them."""
+    from singer_spark.operators.text_analysis import (unigram_em_refine,
+                                                      unigram_encode,
+                                                      unigram_vocab)
+
+    docs = _docs(spark, sf_dir)
+    vocab = unigram_vocab(docs, max_multi=100, max_piece_len=4)
+    vocab2 = unigram_em_refine(docs, vocab)
+    return unigram_encode(docs, vocab2).select(
+        "doc_id", "n_words", "n_pieces", "total_cost")
+
+
 def _corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-1/2/3 lexical diversity + gram-distribution entropy per
     source (Li et al. 2016's distinct-n, the standard mix-monitoring
@@ -2718,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _quality_classifier,
         "unigram_tokenize": _unigram_tokenize,
         "unigram_segment": _unigram_segment,
+        "unigram_em_tokenize": _unigram_em_tokenize,
         "corpus_diversity": _corpus_diversity,
         "corpus_diversity_approx": _corpus_diversity_approx,
         "cluster_silhouette": _cluster_silhouette,
@@ -4041,16 +4062,13 @@ def _silhouette_oracle(iters: int = 2, kc: int = 8) -> str:
               " FROM sv GROUP BY cluster ORDER BY cluster")
 
 
-def _unigram_base_sql(max_multi: int = 100, plen: int = 4,
-                      wmax: int = 16) -> str:
-    """Shared CTE block for the unigram-LM oracles: vocab derivation
-    (substring weights -> cap -> scaled-integer costs) plus the
-    UNROLLED per-position Viterbi DP over distinct words.  dp{j} holds,
-    for every word of length >= j, the argmin (cost, n_pieces, start of
-    the last piece) over segmentations of the first j characters —
-    row_number ordered by exactly the operator's integer tie tuple.
-    Words longer than `wmax` take the pinned <unk> row instead."""
-    parts = [f"""
+def _unigram_vocab_sql(max_multi: int = 100, plen: int = 4,
+                       wmax: int = 16) -> str:
+    """Vocabulary-derivation CTEs shared by every unigram oracle:
+    tokenize -> word freqs -> substring weights -> single-char +
+    capped-multi keep set -> scaled-integer costs (`voc`), plus the
+    distinct-word frame `dw` the DP runs over."""
+    return f"""
             tk AS MATERIALIZED (
               SELECT doc_id, unnest(list_filter(string_split(text, ' '),
                                                 x -> x <> '')) AS w
@@ -4073,8 +4091,20 @@ def _unigram_base_sql(max_multi: int = 100, plen: int = 4,
                            floor(-ln(wt / tot.T) * 1000000 + 0.5)::BIGINT
                              AS c
                     FROM kept CROSS JOIN tot),
-            dw AS MATERIALIZED (SELECT DISTINCT w FROM tk WHERE len(w) <= {wmax}),
-            pc AS MATERIALIZED (
+            dw AS MATERIALIZED (SELECT DISTINCT w FROM tk WHERE len(w) <= {wmax})"""
+
+
+def _unigram_dp_sql(voc: str = "voc", sfx: str = "", plen: int = 4,
+                    wmax: int = 16) -> str:
+    """UNROLLED Viterbi DP over `dw` against vocabulary CTE `voc`,
+    every block name suffixed with `sfx` so two chains (seed vocab and
+    an EM-refined one) coexist in one statement.  dp{{j}} holds, for
+    every word of length >= j, the argmin (cost, n_pieces, start of the
+    last piece) over segmentations of the first j characters —
+    row_number ordered by exactly the operator's integer tie tuple.
+    Words longer than `wmax` take the pinned <unk> row in dpf."""
+    parts = [f"""
+            pc{sfx} AS MATERIALIZED (
               SELECT s.w, s.ij.i AS i, s.ij.j AS j,
                      coalesce(v.c, CASE WHEN s.ij.j - s.ij.i = 1
                                         THEN 23000000 END) AS c
@@ -4084,37 +4114,67 @@ def _unigram_base_sql(max_multi: int = 100, plen: int = 4,
                                                      len(w)-i+1)+1)]
                              for i in range(1, len(w)+1)])) AS ij
                     FROM dw) s
-              LEFT JOIN voc v
+              LEFT JOIN {voc} v
                 ON v.piece = substr(s.w, s.ij.i + 1, s.ij.j - s.ij.i)),
-            dp0 AS MATERIALIZED (SELECT w, 0::BIGINT AS c, 0::BIGINT AS ns, 0 AS bi
+            dp0{sfx} AS MATERIALIZED (SELECT w, 0::BIGINT AS c, 0::BIGINT AS ns, 0 AS bi
                     FROM dw)"""]
     for j in range(1, wmax + 1):
         arms = []
         for i in range(max(0, j - plen), j):
             arms.append(f"""
                 SELECT p.w, d.c + p.c AS c, d.ns + 1 AS ns, {i} AS bi
-                FROM dp{i} d JOIN pc p
+                FROM dp{i}{sfx} d JOIN pc{sfx} p
                   ON p.w = d.w AND p.i = {i} AND p.j = {j}
                      AND p.c IS NOT NULL""")
         union = " UNION ALL ".join(arms)
         parts.append(f"""
-            dp{j} AS MATERIALIZED (
+            dp{j}{sfx} AS MATERIALIZED (
               SELECT w, c, ns, bi FROM (
                 SELECT w, c, ns, bi,
                        row_number() OVER (PARTITION BY w
                                           ORDER BY c, ns, bi) AS rn
                 FROM ({union}) u) r
               WHERE rn = 1)""")
-    finals = [f"SELECT {j} AS j, w, c, ns, bi FROM dp{j}"
+    finals = [f"SELECT {j} AS j, w, c, ns, bi FROM dp{j}{sfx}"
               for j in range(1, wmax + 1)]
     parts.append(f"""
-            dpall AS MATERIALIZED ({' UNION ALL '.join(finals)}),
-            dpf AS MATERIALIZED (
-              SELECT w, c, ns FROM dpall WHERE j = len(w)
+            dpall{sfx} AS MATERIALIZED ({' UNION ALL '.join(finals)}),
+            dpf{sfx} AS MATERIALIZED (
+              SELECT w, c, ns FROM dpall{sfx} WHERE j = len(w)
               UNION ALL
               SELECT w, 25000000::BIGINT AS c, 1::BIGINT AS ns
               FROM (SELECT DISTINCT w FROM tk WHERE len(w) > {wmax}))""")
     return ",".join(parts)
+
+
+def _unigram_base_sql(max_multi: int = 100, plen: int = 4,
+                      wmax: int = 16) -> str:
+    return (_unigram_vocab_sql(max_multi, plen, wmax) + ","
+            + _unigram_dp_sql("voc", "", plen, wmax))
+
+
+def _unigram_backtrace_sql(dws: str = "dws", dpall: str = "dpall",
+                           sfx: str = "", wmax: int = 16) -> str:
+    """Backtrace over the words in CTE `dws`: walk the DP's argmin
+    starts from j=len(w) down (bounded wmax hops), collect boundary
+    positions, slice the word back into pieces -> seg{sfx}(w, pieces)."""
+    steps = [f"bl0{sfx} AS MATERIALIZED (SELECT w, [len(w)] AS bs, len(w) AS p FROM {dws})"]
+    for k in range(1, wmax + 1):
+        steps.append(f"""
+            bl{k}{sfx} AS MATERIALIZED (
+              SELECT b.w,
+                     CASE WHEN b.p = 0 THEN b.bs
+                          ELSE list_append(b.bs, d.bi) END AS bs,
+                     CASE WHEN b.p = 0 THEN 0 ELSE d.bi END AS p
+              FROM bl{k-1}{sfx} b LEFT JOIN {dpall} d
+                ON d.w = b.w AND d.j = b.p)""")
+    return (",".join(steps) + f""",
+            seg{sfx} AS MATERIALIZED (
+              SELECT b.w,
+                     array_to_string(
+                       [substr(b.w, lb[k] + 1, lb[k+1] - lb[k])
+                        for k in range(1, len(lb))], ' ') AS pieces
+              FROM (SELECT w, list_sort(bs) AS lb FROM bl{wmax}{sfx}) b)""")
 
 
 def _unigram_tokenize_oracle() -> str:
@@ -4137,33 +4197,55 @@ def _unigram_tokenize_oracle() -> str:
 
 
 def _unigram_segment_oracle(wmax: int = 16) -> str:
-    # backtrace: walk argmin starts from j=len(w) down (bounded wmax
-    # hops), collect boundary positions, slice the word back into pieces
-    steps = ["bl0 AS MATERIALIZED (SELECT w, [len(w)] AS bs, len(w) AS p FROM dws)"]
-    for k in range(1, wmax + 1):
-        steps.append(f"""
-            bl{k} AS MATERIALIZED (
-              SELECT b.w,
-                     CASE WHEN b.p = 0 THEN b.bs
-                          ELSE list_append(b.bs, d.bi) END AS bs,
-                     CASE WHEN b.p = 0 THEN 0 ELSE d.bi END AS p
-              FROM bl{k-1} b LEFT JOIN dpall d
-                ON d.w = b.w AND d.j = b.p)""")
     return f"""
             WITH {_unigram_base_sql()},
             topw AS (SELECT w, f FROM wf ORDER BY f DESC, w LIMIT 12),
             dws AS (SELECT w FROM topw WHERE len(w) <= {wmax}),
-            {",".join(steps)},
-            seg AS (
-              SELECT b.w,
-                     array_to_string(
-                       [substr(b.w, lb[k] + 1, lb[k+1] - lb[k])
-                        for k in range(1, len(lb))], ' ') AS pieces
-              FROM (SELECT w, list_sort(bs) AS lb FROM bl{wmax}) b)
+            {_unigram_backtrace_sql()}
             SELECT t.w, coalesce(seg.pieces, '<unk>') AS pieces,
                    dpf.ns::BIGINT AS n_pieces, dpf.c::BIGINT AS total_cost
             FROM topw t LEFT JOIN seg ON seg.w = t.w
                  JOIN dpf ON dpf.w = t.w"""
+
+
+def _unigram_em_oracle(wmax: int = 16) -> str:
+    """Hard-EM replay: chain-1 DP + full backtrace give per-word USED
+    pieces; usage counts (word-frequency weighted, vocab pieces only)
+    re-derive Laplace costs (voc2); chain-2 DP re-segments the corpus
+    under voc2 and aggregates per document."""
+    return f"""
+            WITH {_unigram_base_sql()},
+            dws AS (SELECT w FROM dw),
+            {_unigram_backtrace_sql()},
+            pocc AS (
+              SELECT unnest(string_split(seg.pieces, ' ')) AS piece, wf.f
+              FROM seg JOIN wf USING (w)),
+            pcnt AS (SELECT piece, sum(f) AS cnt FROM pocc GROUP BY piece),
+            vstat AS (SELECT count(*) AS V FROM voc),
+            tot2 AS (SELECT sum(coalesce(pcnt.cnt, 0)) AS T
+                     FROM voc LEFT JOIN pcnt USING (piece)),
+            voc2 AS MATERIALIZED (
+              SELECT voc.piece,
+                     floor(-ln((coalesce(pcnt.cnt, 0) + 0.5)
+                               / (tot2.T + 0.5 * vstat.V))
+                           * 1000000 + 0.5)::BIGINT AS c
+              FROM voc LEFT JOIN pcnt USING (piece)
+                   CROSS JOIN tot2 CROSS JOIN vstat),
+            {_unigram_dp_sql("voc2", "_r")},
+            agg AS (SELECT doc_id, count(*) AS n_words, sum(ns) AS n_pieces,
+                           sum(c) AS total_cost
+                    FROM tk JOIN dpf_r USING (w) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.n_words, 0) END::BIGINT
+                     AS n_words,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.n_pieces, 0) END::BIGINT
+                     AS n_pieces,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.total_cost, 0) END::BIGINT
+                     AS total_cost
+            FROM documents d LEFT JOIN agg USING (doc_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5598,6 +5680,7 @@ def oracle_sql() -> dict[str, str]:
         # backtrace walk
         "unigram_tokenize": _unigram_tokenize_oracle(),
         "unigram_segment": _unigram_segment_oracle(),
+        "unigram_em_tokenize": _unigram_em_oracle(),
         # C4 bad-words gate: same lowercased list, list_contains filter
         "text_blocklist": """
             SELECT doc_id,

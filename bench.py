@@ -123,6 +123,7 @@ HEADLINERS = [
     "pack_bins",
     "cluster_silhouette",
     "text_blocklist",
+    "unigram_em_tokenize",
 ]
 
 

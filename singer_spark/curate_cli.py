@@ -26,6 +26,13 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--min-quality", type=float, default=0.5,
                    help="quality-score floor (negative disables)")
     p.add_argument("--no-repetition-screen", action="store_true")
+    p.add_argument("--quality-model-seed", default=None, metavar="SQL",
+                   help="SQL boolean over the input columns marking the "
+                        "high-quality seed set (e.g. \"source = 'wiki'\"); "
+                        "enables the learned NB quality gate "
+                        "(CCNet-style) alongside the heuristic floor")
+    p.add_argument("--quality-model-threshold", type=float, default=0.0,
+                   help="learned-gate llr floor (keep if llr > this)")
     p.add_argument("--dedup", default="exact",
                    choices=["none", "exact", "minhash", "semantic",
                             "spans"])
@@ -66,6 +73,8 @@ def main(argv: list[str] | None = None) -> None:
         min_quality=None if args.min_quality < 0 else args.min_quality,
         repetition_screen=not args.no_repetition_screen,
         dedup=args.dedup,
+        quality_model_seed=args.quality_model_seed,
+        quality_model_threshold=args.quality_model_threshold,
         span_min_run=args.span_min_run,
         decontaminate_mode=args.decontaminate_mode,
         split=not args.no_split,

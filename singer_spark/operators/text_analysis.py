@@ -2650,3 +2650,62 @@ def blocklist_screen(docs: DataFrame, blocklist: "list[str]",
          .otherwise(F.lit(0.0)).alias("blocked_frac"),
         F.when(null_text, F.lit(None).cast("int"))
          .otherwise((hits0 == 0).cast("int")).alias("keep")))
+
+
+def unigram_em_refine(docs: DataFrame, vocab: "list[tuple[str, int]]",
+                      alpha: float = 0.5, max_word_len: int = 16,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> "list[tuple[str, int]]":
+    """ONE hard-EM (Viterbi re-estimation) step of the unigram LM — the
+    training loop SentencePiece iterates (Kudo 2018 §3.2 uses soft EM;
+    Viterbi counts are the standard hard variant): segment every
+    distinct word under the CURRENT costs, count how often each vocab
+    piece is actually USED (weighted by word corpus frequency), and
+    re-derive costs from the usage distribution with Laplace smoothing,
+    cost'(p) = floor(−ln((cnt(p)+α)/(T+α·V))·1e6 + 0.5).  Pieces the
+    Viterbi never picks get expensive and stop competing — the
+    self-consistency the raw substring-frequency seed lacks (a
+    substring can be frequent in TEXT yet never optimal to USE).
+
+    100 TB shape: segmentation runs over the DISTINCT-word frame (the
+    BPE-trainer discipline — corpus scanned once for the word counts),
+    usage counts are one explode + sum keyed by piece, and only the
+    vocab-sized count table collects.  Words longer than `max_word_len`
+    are excluded from counts (they segment to <unk>).  Integer costs in,
+    integer costs out — the whole step replays in SQL.
+
+    Returns [(piece, cost')] over the SAME piece set, sorted by piece."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(dict(vocab))
+    W = int(max_word_len)
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    words = (fan_out(docs)
+             .select(F.explode(toks).alias("_w"))
+             .groupBy("_w").agg(F.count("*").alias("_f"))
+             .where(F.length("_w") <= W))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def seg(ws: pd.Series) -> pd.Series:
+        voc = bc.value
+        lmax = max((len(p) for p in voc), default=1)
+        return pd.Series(
+            [" ".join(unigram_reference(str(w), voc, W, lmax)[0])
+             for w in ws])
+
+    occ = (words.withColumn("_pieces", seg(F.col("_w")))
+           .select(F.explode(F.split(F.col("_pieces"), " "))
+                   .alias("piece"), F.col("_f"))
+           .groupBy("piece").agg(F.sum("_f").alias("cnt")))
+    counts = {r["piece"]: int(r["cnt"]) for r in occ.collect()
+              if r["piece"] in dict(vocab)}
+    a, V = float(alpha), len(vocab)
+    T = sum(counts.values())
+    import math as _math
+
+    return sorted(
+        (p, int(_math.floor(-_math.log((counts.get(p, 0) + a)
+                                       / (T + a * V)) * 1_000_000 + 0.5)))
+        for p, _ in vocab)

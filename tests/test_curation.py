@@ -325,3 +325,30 @@ def test_curate_learned_gate_null_text_passthrough(spark):
     kept = {r["doc_id"] for r in curate(docs, cfg).collect()}
     assert 20 in kept
     assert not kept & set(range(10, 18))
+
+
+def test_curate_cli_learned_gate_flag(spark, tmp_path, monkeypatch):
+    """End-to-end CLI wiring of --quality-model-seed: junk docs drop,
+    seed-like docs publish.  The CLI stops its session on exit — no-op
+    that so the module's shared fixture session survives."""
+    from pyspark.sql import SparkSession
+
+    from singer_spark.curate_cli import main
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    rows = ([(i, "careful structured prose with citations and argument",
+              "hq") for i in range(4)]
+            + [(10 + i, "click buy spam now free winner claim prize",
+                "web") for i in range(4)])
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    src = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    docs.write.parquet(src)
+    main(["--input", src, "--output", out, "--lang", "",
+          "--min-quality", "-1", "--no-repetition-screen",
+          "--dedup", "none", "--no-split",
+          "--quality-model-seed", "source = 'hq'"])
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == set(range(4))

@@ -62,6 +62,7 @@ NULL_SENSITIVE_KEYS = (
     "corpus_diversity_approx",
     "pack_bins",
     "text_blocklist",
+    "unigram_em_tokenize",
 )
 
 

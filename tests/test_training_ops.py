@@ -2266,3 +2266,42 @@ def test_blocklist_screen_counts_and_null_paths(spark):
     assert out[2]["n_tokens"] == 0 and out[2]["blocked_frac"] == 0.0
     assert out[2]["keep"] == 1
     assert out[3]["n_tokens"] is None and out[3]["keep"] is None
+
+
+def test_unigram_em_refine_matches_bruteforce(spark):
+    from singer_spark.operators.text_analysis import (unigram_em_refine,
+                                                      unigram_reference,
+                                                      unigram_vocab)
+
+    rows = [(0, "banana banana band bananas", "a"),
+            (1, "ban and bananas and band", "a"),
+            (2, None, "a")]
+    docs = _docs_df(spark, rows)
+    vocab = unigram_vocab(docs, max_multi=12, max_piece_len=4)
+    got = dict(unigram_em_refine(docs, vocab))
+
+    # brute-force replay of the spec
+    wf: dict = {}
+    for _, t, _s in rows:
+        for w in (t or "").split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    vd = dict(vocab)
+    counts: dict = {}
+    for w, f in wf.items():
+        if len(w) > 16:
+            continue
+        for p in unigram_reference(w, vd)[0]:
+            if p in vd:
+                counts[p] = counts.get(p, 0) + f
+    T, V = sum(counts.values()), len(vocab)
+    want = {p: math.floor(-math.log((counts.get(p, 0) + 0.5)
+                                    / (T + 0.5 * V)) * 1e6 + 0.5)
+            for p, _ in vocab}
+    assert got == want
+    # self-consistency: a piece the Viterbi actually uses ends up
+    # cheaper than one it never picks
+    used = [p for p in got if counts.get(p, 0) > 0]
+    unused = [p for p in got if counts.get(p, 0) == 0]
+    if used and unused:
+        assert max(got[p] for p in used) < min(got[p] for p in unused)

@@ -307,7 +307,17 @@ def ops(docs: DataFrame):
         "nb_quality": lambda: _nb_quality(docs),
         "unigram_train+encode": lambda: _unigram(docs),
         "corpus_diversity": lambda: _diversity(docs),
+        "pack_bins": lambda: _pack_bins(docs),
     }
+
+
+def _pack_bins(docs: DataFrame) -> DataFrame:
+    """Histogram-FFD bin packing: the solve is driver-local over the
+    bounded length histogram, the per-doc mapping is rank arithmetic —
+    expected ~linear in the tokenize + rank scans."""
+    from singer_spark.operators.packing import pack_bins
+
+    return pack_bins(docs, max_len=256)
 
 
 def _nb_quality(docs: DataFrame) -> DataFrame:
