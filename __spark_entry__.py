@@ -1515,6 +1515,52 @@ def _unigram_em_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "n_pieces", "total_cost")
 
 
+def _quality_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB quality-classifier lifecycle, self-verifying (the driver's
+    DuckDB can't load parquet models): train the model frame once,
+    persist via save_nb_model, reload, score the corpus with
+    nb_quality_apply — no training pass on the apply side — and compare
+    per-doc (n_tokens, llr, keep) with the fused train+score plan.  The
+    oracle pins the agreement booleans true and re-derives the exact
+    doc count; float64 lw round-trips parquet exactly, so the match is
+    equality, not tolerance."""
+    import hashlib
+    import os
+    import tempfile
+
+    from singer_spark.operators.text_analysis import (load_nb_model,
+                                                      nb_quality_apply,
+                                                      nb_quality_model,
+                                                      nb_quality_scores,
+                                                      save_nb_model)
+
+    docs = _docs(spark, sf_dir)
+    seed = F.col("source") == "src0"
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"singer_nb_model_{uid}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    save_nb_model(nb_quality_model(docs, seed, max_vocab=1000), path)
+    applied = nb_quality_apply(docs, load_nb_model(spark, path))
+    fused = nb_quality_scores(docs, seed, max_vocab=1000)
+    a = applied.select(F.col("doc_id"), F.col("n_tokens").alias("a_nt"),
+                       F.col("llr").alias("a_llr"),
+                       F.col("keep").alias("a_keep"))
+    f = fused.select(F.col("doc_id"), F.col("n_tokens").alias("f_nt"),
+                     F.col("llr").alias("f_llr"),
+                     F.col("keep").alias("f_keep"))
+    j = a.join(f, "doc_id")
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum(F.when(F.col("a_nt") == F.col("f_nt"), 0).otherwise(1))
+         == 0).alias("tokens_match"),
+        (F.sum(F.when(F.col("a_llr") == F.col("f_llr"), 0).otherwise(1))
+         == 0).alias("llr_match"),
+        (F.sum(F.when(F.col("a_keep") == F.col("f_keep"), 0).otherwise(1))
+         == 0).alias("keep_match"))
+
+
 def _corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-1/2/3 lexical diversity + gram-distribution entropy per
     source (Li et al. 2016's distinct-n, the standard mix-monitoring
@@ -2736,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_ranked": _bpe_encode_ranked,
         "dsir_sample": _dsir_sample,
         "quality_classifier": _quality_classifier,
+        "quality_model_roundtrip": _quality_model_roundtrip,
         "unigram_tokenize": _unigram_tokenize,
         "unigram_segment": _unigram_segment,
         "unigram_em_tokenize": _unigram_em_tokenize,
@@ -5674,6 +5721,12 @@ def oracle_sql() -> dict[str, str]:
                            + coalesce(sc.s, 0.0)) * 1000000 + 0.5)
                       / 1000000 > 0.0)::INT AS keep
             FROM documents d LEFT JOIN sc USING (doc_id) CROSS JOIN pr""",
+        # model-lifecycle roundtrip: booleans pinned, count re-derived
+        "quality_model_roundtrip": """
+            SELECT count(*)::BIGINT AS n_docs,
+                   true AS tokens_match, true AS llr_match,
+                   true AS keep_match
+            FROM documents""",
         # unigram-LM tokenizer replays: vocab derivation in set SQL +
         # UNROLLED 16-position Viterbi DP (generated CTEs; argmin by the
         # operator's exact integer tie tuple), segment key adds the

@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> None:
                         "(CCNet-style) alongside the heuristic floor")
     p.add_argument("--quality-model-threshold", type=float, default=0.0,
                    help="learned-gate llr floor (keep if llr > this)")
+    p.add_argument("--quality-model-path", default=None, metavar="DIR",
+                   help="pre-trained NB model dir (save_nb_model): apply "
+                        "without refitting — use for streaming/incremental "
+                        "runs where per-batch refits would drift the gate")
     p.add_argument("--dedup", default="exact",
                    choices=["none", "exact", "minhash", "semantic",
                             "spans"])
@@ -75,6 +79,7 @@ def main(argv: list[str] | None = None) -> None:
         dedup=args.dedup,
         quality_model_seed=args.quality_model_seed,
         quality_model_threshold=args.quality_model_threshold,
+        quality_model_path=args.quality_model_path,
         span_min_run=args.span_min_run,
         decontaminate_mode=args.decontaminate_mode,
         split=not args.no_split,

@@ -35,6 +35,12 @@ class CurationConfig:
     quality_model_seed: str | None = None
     quality_model_threshold: float = 0.0
     quality_model_vocab: int = 50_000
+    # pre-trained model directory (save_nb_model): when set, the gate
+    # APPLIES the stored model instead of refitting — the right shape
+    # for curate_stream, where per-batch refits would drift the gate
+    # with batch composition.  Ignored unless quality_model_seed is
+    # also set OR this is set alone (either enables the gate).
+    quality_model_path: str | None = None
     repetition_screen: bool = True        # C4/Gopher repetition keep-flag
     dedup: str = "exact"                  # none | exact | minhash | semantic | spans
     minhash_threshold: float = 0.5
@@ -60,7 +66,18 @@ class CurationConfig:
 
 def _nb_keep(docs: DataFrame, cfg: "CurationConfig", text_col: str,
              id_col: str) -> DataFrame:
-    """(id, keep) frame from the learned NB quality gate."""
+    """(id, keep) frame from the learned NB quality gate — a stored
+    model (quality_model_path) applies without a training pass;
+    otherwise the model fits on this input's seed-vs-rest split."""
+    if cfg.quality_model_path:
+        from singer_spark.operators.text_analysis import (load_nb_model,
+                                                          nb_quality_apply)
+
+        model = load_nb_model(docs.sparkSession, cfg.quality_model_path)
+        return nb_quality_apply(docs, model,
+                                threshold=cfg.quality_model_threshold,
+                                text_col=text_col, id_col=id_col
+                                ).select(id_col, "keep")
     from singer_spark.operators.text_analysis import nb_quality_scores
 
     return nb_quality_scores(docs, F.expr(cfg.quality_model_seed),
@@ -130,7 +147,7 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
         qual = quality_features(docs, text_col, id_col).select(id_col, "quality_score")
         out = (out.join(qual, id_col)
                .filter(F.col("quality_score") >= cfg.min_quality))
-    if cfg.quality_model_seed is not None:
+    if cfg.quality_model_seed is not None or cfg.quality_model_path:
         # learned gate (CCNet-style): NB seed-vs-rest model over the FULL
         # input corpus (training on pre-gate docs keeps the model
         # independent of gate order), broadcast scoring join by id.

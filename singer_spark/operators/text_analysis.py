@@ -2709,3 +2709,109 @@ def unigram_em_refine(docs: DataFrame, vocab: "list[tuple[str, int]]",
         (p, int(_math.floor(-_math.log((counts.get(p, 0) + a)
                                        / (T + a * V)) * 1_000_000 + 0.5)))
         for p, _ in vocab)
+
+
+def nb_quality_model(docs: DataFrame, seed: "Column", alpha: float = 0.5,
+                     max_vocab: int = 50_000, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """The TRAIN half of :func:`nb_quality_scores`, materialized as a
+    portable model frame — the classifier analog of `save_ann_model`'s
+    lifecycle: fit once on a labeled corpus, persist, apply for months
+    (and across the batches of a stream, where per-batch refitting
+    would drift the gate).  Rows: kind ∈ {'token','oov','prior'},
+    token (NULL except for 'token' rows), lw — the per-cell
+    log-likelihood ratios and the smoothed doc-count prior, computed
+    with exactly the fused path's arithmetic, so an apply of this frame
+    is float-identical to training in place (pinned by the
+    quality_model_roundtrip registry entry).  ≤ max_vocab + 2 rows —
+    parquet round-trips the doubles exactly."""
+    from singer_spark.functions import maybe_persist
+
+    a = float(alpha)
+    toks_arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    toks = maybe_persist(
+        fan_out(docs).select(seed.alias("_seed"),
+                             F.explode(toks_arr).alias("_t")), True)
+    per_tok = toks.groupBy("_t").agg(
+        F.sum(F.when(F.col("_seed"), 1).otherwise(0)).alias("_cp"),
+        F.count("*").alias("_ca"))
+    capped = (per_tok.orderBy(F.col("_ca").desc(), F.col("_t"))
+              .limit(int(max_vocab)))
+    vstats = capped.agg(F.count("*").alias("_V"),
+                        F.coalesce(F.sum("_cp"), F.lit(0)).alias("_vp"),
+                        F.coalesce(F.sum("_ca"), F.lit(0)).alias("_va"))
+    totals = toks.agg(
+        F.coalesce(F.sum(F.when(F.col("_seed"), 1).otherwise(0)),
+                   F.lit(0)).alias("_Tp"),
+        F.count("*").alias("_Ta"))
+    priors = docs.agg(
+        F.sum(F.when(seed, 1).otherwise(0)).alias("_np"),
+        F.count("*").alias("_nd"))
+
+    def lw(cp, ca):
+        cn = ca - cp
+        denom = a * (F.col("_V") + 1)
+        return (F.log((cp + a) / (F.col("_Tp") + denom))
+                - F.log((cn + a) / ((F.col("_Ta") - F.col("_Tp")) + denom)))
+
+    tok_rows = (capped.crossJoin(F.broadcast(vstats))
+                .crossJoin(F.broadcast(totals))
+                .select(F.lit("token").alias("kind"),
+                        F.col("_t").alias("token"),
+                        lw(F.col("_cp"), F.col("_ca")).alias("lw")))
+    oov_row = (vstats.crossJoin(F.broadcast(totals))
+               .select(F.lit("oov").alias("kind"),
+                       F.lit(None).cast("string").alias("token"),
+                       lw(F.col("_Tp") - F.col("_vp"),
+                          F.col("_Ta") - F.col("_va")).alias("lw")))
+    prior_row = priors.select(
+        F.lit("prior").alias("kind"),
+        F.lit(None).cast("string").alias("token"),
+        F.log((F.col("_np") + a)
+              / ((F.col("_nd") - F.col("_np")) + a)).alias("lw"))
+    return tok_rows.unionByName(oov_row).unionByName(prior_row)
+
+
+def nb_quality_apply(docs: DataFrame, model: DataFrame,
+                     threshold: float = 0.0, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Score a corpus against a trained :func:`nb_quality_model` frame —
+    no training pass, no seed column: one tokenize, a broadcast join
+    against the ≤max_vocab-row model, one map-side-combinable
+    groupBy(doc).  Output schema identical to nb_quality_scores."""
+    toks_arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    dc = (fan_out(docs)
+          .select(F.col(id_col).alias("_id"),
+                  F.explode(toks_arr).alias("_t"))
+          .groupBy("_id", "_t").agg(F.count("*").alias("_cnt")))
+    tok_lw = (model.where(F.col("kind") == "token")
+              .select(F.col("token").alias("_t"), F.col("lw").alias("_lw")))
+    scal = (model.where(F.col("kind") == "oov")
+            .select(F.col("lw").alias("_oov"))
+            .crossJoin(model.where(F.col("kind") == "prior")
+                       .select(F.col("lw").alias("_prior"))))
+    term = F.col("_cnt") * F.coalesce(F.col("_lw"), F.col("_oov"))
+    scored = (dc.join(F.broadcast(tok_lw), "_t", "left")
+              .crossJoin(F.broadcast(scal))
+              .groupBy("_id")
+              .agg(F.sum(term).alias("_s"),
+                   F.sum("_cnt").alias("n_tokens")))
+    llr = qround(F.col("_prior") + F.coalesce(F.col("_s"), F.lit(0.0)), 6)
+    return (docs.select(F.col(id_col))
+            .join(scored.withColumnRenamed("_id", id_col), id_col, "left")
+            .crossJoin(F.broadcast(
+                scal.select("_prior")))
+            .select(F.col(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    llr.alias("llr"),
+                    (llr > float(threshold)).cast("int").alias("keep")))
+
+
+def save_nb_model(model: DataFrame, path: str) -> None:
+    """Persist a trained NB quality model (≤max_vocab+2 rows) — plain
+    parquet; float64 lw round-trips exactly."""
+    model.write.mode("overwrite").parquet(path)
+
+
+def load_nb_model(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -352,3 +352,35 @@ def test_curate_cli_learned_gate_flag(spark, tmp_path, monkeypatch):
           "--quality-model-seed", "source = 'hq'"])
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == set(range(4))
+
+
+def test_curate_learned_gate_pretrained_model(spark, tmp_path):
+    """A stored NB model gates a NEW batch without refitting: the
+    model trained on the labeled corpus transfers its decision to an
+    unlabeled increment (the curate_stream shape)."""
+    from singer_spark.curation import CurationConfig, curate
+    from singer_spark.operators.text_analysis import (nb_quality_model,
+                                                      save_nb_model)
+
+    train_rows = ([(i, "careful structured prose with citations and "
+                       "argument", "hq") for i in range(4)]
+                  + [(10 + i, "click buy spam now free winner claim",
+                      "web") for i in range(4)])
+    train = spark.createDataFrame(
+        train_rows, "doc_id bigint, text string, source string")
+    path = str(tmp_path / "nbgate")
+    save_nb_model(
+        nb_quality_model(train, F.col("source") == "hq"), path)
+
+    # a new increment with NO seed labels at all
+    inc = spark.createDataFrame(
+        [(100, "careful structured prose with argument", "x"),
+         (101, "click buy spam free winner", "x"),
+         (102, None, "x")],
+        "doc_id bigint, text string, source string")
+    cfg = CurationConfig(lang=None, min_quality=None,
+                         repetition_screen=False, dedup="none", split=False,
+                         quality_model_path=path)
+    kept = {r["doc_id"] for r in curate(inc, cfg).collect()}
+    assert 100 in kept and 101 not in kept
+    assert 102 in kept  # NULL pass-through holds on the apply path

@@ -458,6 +458,9 @@ _BNLJ_ALLOWLIST = {
     "quality_classifier",
     # r10: pack_bins_audit's 1-row bin/doc/base aggregate cross joins
     "pack_bins",
+    # r10: the lifecycle verification key joins the fused and apply
+    # paths — both carry their 1-row totals/prior broadcast frames
+    "quality_model_roundtrip",
     "q22_idle_customers", "range_join_value_tiers", "revenue_pareto",
     "semantic_decontaminate", "sim_bruteforce_topk", "skew_report",
     "source_kl_state_bound", "source_unigram_kl", "tfidf_top_terms",

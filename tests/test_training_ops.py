@@ -2305,3 +2305,35 @@ def test_unigram_em_refine_matches_bruteforce(spark):
     unused = [p for p in got if counts.get(p, 0) == 0]
     if used and unused:
         assert max(got[p] for p in used) < min(got[p] for p in unused)
+
+
+def test_nb_model_lifecycle_matches_fused_path(spark, tmp_path):
+    """train -> save -> load -> apply is float-identical to the fused
+    nb_quality_scores plan (same arithmetic, parquet-exact doubles)."""
+    from singer_spark.operators.text_analysis import (
+        load_nb_model, nb_quality_apply, nb_quality_model,
+        nb_quality_scores, save_nb_model)
+
+    rows = [
+        (0, "good prose flows with careful structure and care", "hq"),
+        (1, "good structure and careful prose with flows", "hq"),
+        (2, "buy now click here buy buy click spam", "web"),
+        (3, "click spam buy now now now", "web"),
+        (4, "good prose with careful structure", "web"),
+        (5, None, "web"), (6, "", "web"),
+    ]
+    docs = _docs_df(spark, rows)
+    seed = F.col("source") == "hq"
+    fused = {r["doc_id"]: r for r in
+             nb_quality_scores(docs, seed, max_vocab=6).collect()}
+    model = nb_quality_model(docs, seed, max_vocab=6)
+    path = str(tmp_path / "nbmodel")
+    save_nb_model(model, path)
+    loaded = load_nb_model(spark, path)
+    applied = {r["doc_id"]: r for r in
+               nb_quality_apply(docs, loaded).collect()}
+    assert set(applied) == set(fused)
+    for d in fused:
+        assert applied[d]["n_tokens"] == fused[d]["n_tokens"]
+        assert applied[d]["llr"] == fused[d]["llr"], d
+        assert applied[d]["keep"] == fused[d]["keep"]
