@@ -3765,14 +3765,12 @@ WHERE floor(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(li
 """
 
 
-def _cluster_balanced_oracle(iters: int = 2, kc: int = 8, k: int = 100,
-                             alpha: float = 0.5) -> str:
-    """SQL replay of similarity.cluster_balanced_sample: the
-    _ivf_trained_oracle Lloyd blocks (assign by max cosine with lowest-cid
-    ties, per-(cluster,pos) means qround 1e-6, empty clusters keep their
-    centroid), then integer temperature budgets (floor(cnt^alpha·1e6+0.5)
-    summed exactly, budget = max(1, k·w // W)) and the md5-ranked
-    per-cluster cut."""
+def _lloyd_blocks(iters: int, kc: int) -> "list[str]":
+    """Shared Lloyd-replay CTE blocks (seeded init, max-cosine assign
+    with lowest-cid ties, per-(cluster,pos) qround-1e-6 means, empty
+    clusters keep their centroid) ending in `cos_t` over the final
+    centroids — consumed by the cluster-balanced-sample AND silhouette
+    oracles so the training discipline has ONE definition."""
     blocks = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {kc})",
@@ -3803,6 +3801,18 @@ def _cluster_balanced_oracle(iters: int = 2, kc: int = 8, k: int = 100,
          list_dot_product(e.v, cv)
          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cos
   FROM e CROSS JOIN c{iters})""")
+    return blocks
+
+
+def _cluster_balanced_oracle(iters: int = 2, kc: int = 8, k: int = 100,
+                             alpha: float = 0.5) -> str:
+    """SQL replay of similarity.cluster_balanced_sample: the
+    _ivf_trained_oracle Lloyd blocks (assign by max cosine with lowest-cid
+    ties, per-(cluster,pos) means qround 1e-6, empty clusters keep their
+    centroid), then integer temperature budgets (floor(cnt^alpha·1e6+0.5)
+    summed exactly, budget = max(1, k·w // W)) and the md5-ranked
+    per-cluster cut."""
+    blocks = _lloyd_blocks(iters, kc)
     blocks.append("""assign AS (SELECT vec_id, cid AS cluster FROM (
   SELECT vec_id, cid,
          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
@@ -4059,36 +4069,7 @@ def _silhouette_oracle(iters: int = 2, kc: int = 8) -> str:
     pivoted to (best, second-best) per vector — a = 1 − cos_own,
     b = 1 − cos_next, s = (b − a)/max(a, b) (0 when both are 0) — and
     the per-cluster qround-1e-6 mean."""
-    blocks = [
-        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {kc})",
-    ]
-    for i in range(1, iters + 1):
-        p = i - 1
-        blocks.append(f"""cos{i} AS (
-  SELECT e.vec_id, cid,
-         list_dot_product(e.v, cv)
-         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cos
-  FROM e CROSS JOIN c{p})""")
-        blocks.append(f"""asg{i} AS (SELECT vec_id, cid AS cluster FROM (
-  SELECT vec_id, cid,
-         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-  FROM cos{i}) WHERE rn = 1)""")
-        blocks.append(f"""m{i} AS (
-  SELECT cluster, pos, floor(avg(val) * 1000000 + 0.5) / 1000000 AS m
-  FROM (SELECT a.cluster, unnest(generate_series(1, len(e.v))) AS pos,
-               unnest(e.v) AS val
-        FROM asg{i} a JOIN e USING (vec_id))
-  GROUP BY cluster, pos)""")
-        blocks.append(f"""c{i} AS (
-  SELECT c.cid, coalesce(nm.cv, c.cv) AS cv
-  FROM c{p} c LEFT JOIN (SELECT cluster AS cid, list(m ORDER BY pos) AS cv
-                         FROM m{i} GROUP BY cluster) nm USING (cid))""")
-    blocks.append(f"""cos_t AS (
-  SELECT e.vec_id, cid,
-         list_dot_product(e.v, cv)
-         / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cos
-  FROM e CROSS JOIN c{iters})""")
+    blocks = _lloyd_blocks(iters, kc)
     blocks.append("""rk AS (
   SELECT vec_id, cid, cos,
          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
@@ -4261,9 +4242,9 @@ def _unigram_em_oracle(wmax: int = 16) -> str:
     re-derive Laplace costs (voc2); chain-2 DP re-segments the corpus
     under voc2 and aggregates per document."""
     return f"""
-            WITH {_unigram_base_sql()},
+            WITH {_unigram_base_sql(wmax=wmax)},
             dws AS (SELECT w FROM dw),
-            {_unigram_backtrace_sql()},
+            {_unigram_backtrace_sql(wmax=wmax)},
             pocc AS (
               SELECT unnest(string_split(seg.pieces, ' ')) AS piece, wf.f
               FROM seg JOIN wf USING (w)),
@@ -4278,7 +4259,7 @@ def _unigram_em_oracle(wmax: int = 16) -> str:
                            * 1000000 + 0.5)::BIGINT AS c
               FROM voc LEFT JOIN pcnt USING (piece)
                    CROSS JOIN tot2 CROSS JOIN vstat),
-            {_unigram_dp_sql("voc2", "_r")},
+            {_unigram_dp_sql("voc2", "_r", wmax=wmax)},
             agg AS (SELECT doc_id, count(*) AS n_words, sum(ns) AS n_pieces,
                            sum(c) AS total_cost
                     FROM tk JOIN dpf_r USING (w) GROUP BY doc_id)

@@ -1570,12 +1570,14 @@ def cluster_silhouette(corpus: DataFrame, n_clusters: int = 8,
     cluster."""
     from pyspark.sql.functions import pandas_udf
 
-    if n_clusters < 2 and centroids is None:
-        raise ValueError("silhouette needs >= 2 clusters")
     C = (_centroid_matrix(centroids) if centroids is not None
          else _centroid_matrix(ivf_train_centroids(
              corpus, n_clusters=n_clusters, iters=iters,
              id_col=id_col, vec_col=vec_col)))
+    if C.shape[0] < 2:
+        # guard on the BUILT matrix so a caller-supplied 1-row
+        # centroids table errors too (b would be -inf -> NaN s)
+        raise ValueError("silhouette needs >= 2 clusters")
 
     @pandas_udf("struct<cluster: bigint, s: double>")
     def sil(vs: pd.Series) -> pd.DataFrame:

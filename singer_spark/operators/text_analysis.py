@@ -2245,6 +2245,49 @@ def dsir_sample(docs: DataFrame, target: "DataFrame | Column", k: int = 50,
             .limit(k))
 
 
+def _nb_fit(docs: DataFrame, seed: "Column", alpha: float,
+            max_vocab: int, text_col: str, id_col: str) -> dict:
+    """Shared NB training arithmetic for the fused scorer and the
+    portable model builder — ONE definition of the tokenize, per-token
+    class counts, TakeOrdered vocab cap, the three 1-row stat frames,
+    and the Laplace log-ratio closure, so the apply==fused
+    float-identity contract (quality_model_roundtrip) is structural,
+    not a parallel-edit discipline."""
+    from singer_spark.functions import maybe_persist
+
+    a = float(alpha)
+    toks_arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    toks = maybe_persist(
+        fan_out(docs).select(F.col(id_col).alias("_id"),
+                             seed.alias("_seed"),
+                             F.explode(toks_arr).alias("_t")), True)
+    per_tok = toks.groupBy("_t").agg(
+        F.sum(F.when(F.col("_seed"), 1).otherwise(0)).alias("_cp"),
+        F.count("*").alias("_ca"))
+    capped = (per_tok.orderBy(F.col("_ca").desc(), F.col("_t"))
+              .limit(int(max_vocab)))
+    vstats = capped.agg(F.count("*").alias("_V"),
+                        F.coalesce(F.sum("_cp"), F.lit(0)).alias("_vp"),
+                        F.coalesce(F.sum("_ca"), F.lit(0)).alias("_va"))
+    totals = toks.agg(
+        F.coalesce(F.sum(F.when(F.col("_seed"), 1).otherwise(0)),
+                   F.lit(0)).alias("_Tp"),
+        F.count("*").alias("_Ta"))
+    priors = docs.agg(
+        F.sum(F.when(seed, 1).otherwise(0)).alias("_np"),
+        F.count("*").alias("_nd"))
+
+    def lw(cp, ca):  # per-cell log-likelihood ratio, seed vs rest
+        cn = ca - cp
+        denom = a * (F.col("_V") + 1)
+        return (F.log((cp + a) / (F.col("_Tp") + denom))
+                - F.log((cn + a) / ((F.col("_Ta") - F.col("_Tp")) + denom)))
+
+    prior = F.log((F.col("_np") + a) / ((F.col("_nd") - F.col("_np")) + a))
+    return {"toks": toks, "capped": capped, "vstats": vstats,
+            "totals": totals, "priors": priors, "lw": lw, "prior": prior}
+
+
 def nb_quality_scores(docs: DataFrame, seed: "Column",
                       alpha: float = 0.5, max_vocab: int = 50_000,
                       threshold: float = 0.0, text_col: str = "text",
@@ -2283,56 +2326,23 @@ def nb_quality_scores(docs: DataFrame, seed: "Column",
 
     Docs with no tokens (empty/NULL text) score the prior alone.  Output:
     (id_col, n_tokens BIGINT, llr DOUBLE qround 1e-6, keep INT)."""
-    from singer_spark.functions import maybe_persist
-
-    a = float(alpha)
-    toks_arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    toks = maybe_persist(
-        fan_out(docs).select(F.col(id_col).alias("_id"),
-                             seed.alias("_seed"),
-                             F.explode(toks_arr).alias("_t")), True)
-
-    per_tok = toks.groupBy("_t").agg(
-        F.sum(F.when(F.col("_seed"), 1).otherwise(0)).alias("_cp"),
-        F.count("*").alias("_ca"))
-    model = (per_tok.orderBy(F.col("_ca").desc(), F.col("_t"))
-             .limit(int(max_vocab)))
-    # 1-row frames: vocab size + in-vocab occurrence mass (from the capped
-    # model), total per-class occurrence mass (from the token frame, so OOV
-    # mass is the difference), and doc-count priors (from the docs frame).
-    vstats = model.agg(F.count("*").alias("_V"),
-                       F.coalesce(F.sum("_cp"), F.lit(0)).alias("_vp"),
-                       F.coalesce(F.sum("_ca"), F.lit(0)).alias("_va"))
-    totals = toks.agg(
-        F.coalesce(F.sum(F.when(F.col("_seed"), 1).otherwise(0)),
-                   F.lit(0)).alias("_Tp"),
-        F.count("*").alias("_Ta"))
-    priors = docs.agg(
-        F.sum(F.when(seed, 1).otherwise(0)).alias("_np"),
-        F.count("*").alias("_nd"))
-
-    def lw(cp, ca):  # per-cell log-likelihood ratio, seed vs rest
-        cn = ca - cp
-        denom = a * (F.col("_V") + 1)
-        return (F.log((cp + a) / (F.col("_Tp") + denom))
-                - F.log((cn + a) / ((F.col("_Ta") - F.col("_Tp")) + denom)))
-
-    dc = toks.groupBy("_id", "_t").agg(F.count("*").alias("_cnt"))
+    fit = _nb_fit(docs, seed, alpha, max_vocab, text_col, id_col)
+    dc = fit["toks"].groupBy("_id", "_t").agg(F.count("*").alias("_cnt"))
+    lw = fit["lw"]
     in_vocab = lw(F.col("_cp"), F.col("_ca"))
     oov = lw(F.col("_Tp") - F.col("_vp"), F.col("_Ta") - F.col("_va"))
     term = F.col("_cnt") * F.when(F.col("_ca").isNotNull(), in_vocab) \
                             .otherwise(oov)
-    scored = (dc.join(F.broadcast(model), "_t", "left")
-              .crossJoin(F.broadcast(vstats))
-              .crossJoin(F.broadcast(totals))
+    scored = (dc.join(F.broadcast(fit["capped"]), "_t", "left")
+              .crossJoin(F.broadcast(fit["vstats"]))
+              .crossJoin(F.broadcast(fit["totals"]))
               .groupBy("_id")
               .agg(F.sum(term).alias("_s"),
                    F.sum("_cnt").alias("n_tokens")))
-    prior = F.log((F.col("_np") + a) / ((F.col("_nd") - F.col("_np")) + a))
-    llr = qround(prior + F.coalesce(F.col("_s"), F.lit(0.0)), 6)
+    llr = qround(fit["prior"] + F.coalesce(F.col("_s"), F.lit(0.0)), 6)
     return (docs.select(F.col(id_col))
             .join(scored.withColumnRenamed("_id", id_col), id_col, "left")
-            .crossJoin(F.broadcast(priors))
+            .crossJoin(F.broadcast(fit["priors"]))
             .select(F.col(id_col),
                     F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
                     llr.alias("llr"),
@@ -2699,8 +2709,9 @@ def unigram_em_refine(docs: DataFrame, vocab: "list[tuple[str, int]]",
            .select(F.explode(F.split(F.col("_pieces"), " "))
                    .alias("piece"), F.col("_f"))
            .groupBy("piece").agg(F.sum("_f").alias("cnt")))
+    vd = dict(vocab)
     counts = {r["piece"]: int(r["cnt"]) for r in occ.collect()
-              if r["piece"] in dict(vocab)}
+              if r["piece"] in vd}
     a, V = float(alpha), len(vocab)
     T = sum(counts.values())
     import math as _math
@@ -2725,50 +2736,22 @@ def nb_quality_model(docs: DataFrame, seed: "Column", alpha: float = 0.5,
     is float-identical to training in place (pinned by the
     quality_model_roundtrip registry entry).  ≤ max_vocab + 2 rows —
     parquet round-trips the doubles exactly."""
-    from singer_spark.functions import maybe_persist
-
-    a = float(alpha)
-    toks_arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    toks = maybe_persist(
-        fan_out(docs).select(seed.alias("_seed"),
-                             F.explode(toks_arr).alias("_t")), True)
-    per_tok = toks.groupBy("_t").agg(
-        F.sum(F.when(F.col("_seed"), 1).otherwise(0)).alias("_cp"),
-        F.count("*").alias("_ca"))
-    capped = (per_tok.orderBy(F.col("_ca").desc(), F.col("_t"))
-              .limit(int(max_vocab)))
-    vstats = capped.agg(F.count("*").alias("_V"),
-                        F.coalesce(F.sum("_cp"), F.lit(0)).alias("_vp"),
-                        F.coalesce(F.sum("_ca"), F.lit(0)).alias("_va"))
-    totals = toks.agg(
-        F.coalesce(F.sum(F.when(F.col("_seed"), 1).otherwise(0)),
-                   F.lit(0)).alias("_Tp"),
-        F.count("*").alias("_Ta"))
-    priors = docs.agg(
-        F.sum(F.when(seed, 1).otherwise(0)).alias("_np"),
-        F.count("*").alias("_nd"))
-
-    def lw(cp, ca):
-        cn = ca - cp
-        denom = a * (F.col("_V") + 1)
-        return (F.log((cp + a) / (F.col("_Tp") + denom))
-                - F.log((cn + a) / ((F.col("_Ta") - F.col("_Tp")) + denom)))
-
-    tok_rows = (capped.crossJoin(F.broadcast(vstats))
-                .crossJoin(F.broadcast(totals))
+    fit = _nb_fit(docs, seed, alpha, max_vocab, text_col, id_col)
+    lw = fit["lw"]
+    tok_rows = (fit["capped"].crossJoin(F.broadcast(fit["vstats"]))
+                .crossJoin(F.broadcast(fit["totals"]))
                 .select(F.lit("token").alias("kind"),
                         F.col("_t").alias("token"),
                         lw(F.col("_cp"), F.col("_ca")).alias("lw")))
-    oov_row = (vstats.crossJoin(F.broadcast(totals))
+    oov_row = (fit["vstats"].crossJoin(F.broadcast(fit["totals"]))
                .select(F.lit("oov").alias("kind"),
                        F.lit(None).cast("string").alias("token"),
                        lw(F.col("_Tp") - F.col("_vp"),
                           F.col("_Ta") - F.col("_va")).alias("lw")))
-    prior_row = priors.select(
+    prior_row = fit["priors"].select(
         F.lit("prior").alias("kind"),
         F.lit(None).cast("string").alias("token"),
-        F.log((F.col("_np") + a)
-              / ((F.col("_nd") - F.col("_np")) + a)).alias("lw"))
+        fit["prior"].alias("lw"))
     return tok_rows.unionByName(oov_row).unionByName(prior_row)
 
 
@@ -2780,6 +2763,17 @@ def nb_quality_apply(docs: DataFrame, model: DataFrame,
     against the ≤max_vocab-row model, one map-side-combinable
     groupBy(doc).  Output schema identical to nb_quality_scores."""
     toks_arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    # validate the model frame BEFORE wiring it into the plan: a
+    # truncated/aborted save missing the oov/prior rows would otherwise
+    # empty `scal`, and the final cross join would silently erase the
+    # whole corpus (curate would then publish an EMPTY dataset rc=0)
+    kinds = [r["kind"] for r in
+             model.where(F.col("kind").isin("oov", "prior"))
+             .select("kind").collect()]
+    if kinds.count("oov") != 1 or kinds.count("prior") != 1:
+        raise ValueError(
+            "nb model frame must contain exactly one 'oov' and one "
+            f"'prior' row (found {sorted(kinds)}) — truncated save?")
     dc = (fan_out(docs)
           .select(F.col(id_col).alias("_id"),
                   F.explode(toks_arr).alias("_t"))
