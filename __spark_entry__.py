@@ -1561,6 +1561,19 @@ def _quality_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
          == 0).alias("keep_match"))
 
 
+def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-gate survivor funnel over the standard curation chain (lang ->
+    quality -> repetition -> decontaminate -> exact-dedup -> train
+    split, the corpus_pipeline_full configuration) —
+    curation.curation_funnel.  Every gate flag computed once, one
+    aggregation of the cumulative conjunctions, tidy stage rows; the
+    oracle composes the same gate oracles into cumulative counts."""
+    from singer_spark.curation import curation_funnel
+
+    docs = _docs(spark, sf_dir)
+    return curation_funnel(docs, docs.filter(F.col("doc_id") % 50 == 0))
+
+
 def _corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-1/2/3 lexical diversity + gram-distribution entropy per
     source (Li et al. 2016's distinct-n, the standard mix-monitoring
@@ -2783,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": _dsir_sample,
         "quality_classifier": _quality_classifier,
         "quality_model_roundtrip": _quality_model_roundtrip,
+        "curation_funnel": _curation_funnel,
         "unigram_tokenize": _unigram_tokenize,
         "unigram_segment": _unigram_segment,
         "unigram_em_tokenize": _unigram_em_tokenize,
@@ -5780,6 +5794,55 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT g)::BIGINT AS n_distinct_exact,
                    true AS est_ok
             FROM g GROUP BY source, k""",
+        # gate oracles composed into cumulative funnel counts
+        "curation_funnel": f"""
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            pos AS (SELECT doc_id, t,
+                           unnest(generate_series(1,
+                             GREATEST(len(t) - 7, 1))) AS g
+                    FROM toks),
+            grams AS (SELECT doc_id,
+                             array_to_string(t[g : g + 7], ' ') AS gram
+                      FROM pos),
+            bench AS (SELECT DISTINCT gram FROM grams
+                      WHERE doc_id % 50 = 0),
+            contaminated AS (SELECT DISTINCT g.doc_id FROM grams g
+                             JOIN bench b ON g.gram = b.gram),
+            canon AS (SELECT min(doc_id) AS doc_id FROM documents
+                      GROUP BY md5(text)),
+            base AS (
+              SELECT d.doc_id,
+                     coalesce(l.predicted_lang = 'en', false) AS g1,
+                     coalesce(q.quality_score >= 0.5, false) AS g2,
+                     coalesce(r.keep, false) AS g3,
+                     (d.doc_id NOT IN (SELECT doc_id FROM contaminated))
+                       AS g4,
+                     (d.doc_id IN (SELECT doc_id FROM canon)) AS g5,
+                     ({_md5i("'split:' || d.doc_id::VARCHAR")} % 100 >= 10)
+                       AS g6
+              FROM documents d
+              LEFT JOIN ({_lang_id_oracle()}) l ON l.doc_id = d.doc_id
+              LEFT JOIN ({_quality_oracle()}) q ON q.doc_id = d.doc_id
+              LEFT JOIN ({_repetition_oracle()}) r ON r.doc_id = d.doc_id),
+            c AS (SELECT count(*) AS n0,
+                         sum((g1)::INT) AS n1,
+                         sum((g1 AND g2)::INT) AS n2,
+                         sum((g1 AND g2 AND g3)::INT) AS n3,
+                         sum((g1 AND g2 AND g3 AND g4)::INT) AS n4,
+                         sum((g1 AND g2 AND g3 AND g4 AND g5)::INT) AS n5,
+                         sum((g1 AND g2 AND g3 AND g4 AND g5 AND g6)::INT)
+                           AS n6
+                  FROM base)
+            SELECT 0::INT AS stage_idx, 'input' AS stage,
+                   n0::BIGINT AS n_in, n0::BIGINT AS n_kept,
+                   0::BIGINT AS n_dropped FROM c
+            UNION ALL SELECT 1, 'lang', n0, n1, n0 - n1 FROM c
+            UNION ALL SELECT 2, 'quality', n1, n2, n1 - n2 FROM c
+            UNION ALL SELECT 3, 'repetition', n2, n3, n2 - n3 FROM c
+            UNION ALL SELECT 4, 'decontaminate', n3, n4, n3 - n4 FROM c
+            UNION ALL SELECT 5, 'dedup_exact', n4, n5, n4 - n5 FROM c
+            UNION ALL SELECT 6, 'split_train', n5, n6, n5 - n6 FROM c""",
         # quality + lang-id replays nested as subqueries, exact-dup
         # canonicals via a global digest window, aggregated by source
         "source_dataset_card": f"""

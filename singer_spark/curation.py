@@ -412,3 +412,83 @@ def curate_and_publish(docs: DataFrame, path: str,
     write_dataset(kept, path, partition_by=partition_by, zorder_by=zorder_by,
                   target_file_mb=target_file_mb)
     return kept.sparkSession.read.parquet(path).count()
+
+
+def curation_funnel(docs: DataFrame, benchmark: "DataFrame | None" = None,
+                    lang: str = "en", min_quality: float = 0.5,
+                    decontaminate_k: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-gate survivor funnel for the standard curation chain — the
+    first diagnostic a pipeline owner reads when a corpus build keeps
+    too little (which gate ate the data?) or too much: for each stage
+    in `curate()`'s order (lang → quality → repetition →
+    decontaminate → exact-dedup → train-split), the docs entering,
+    surviving, and dropped, with every gate's flag computed ONCE and
+    the cumulative conjunctions aggregated in a single pass — no
+    per-stage re-runs of the pipeline.
+
+    100 TB shape: each gate contributes one id+boolean frame (the same
+    narrow passes `corpus_pipeline_full` composes); the funnel is one
+    id-keyed join chain plus ONE aggregation emitting every cumulative
+    count, exploded into tidy stage rows.  Output: (stage_idx, stage,
+    n_in, n_kept, n_dropped)."""
+    from singer_spark.operators.dedup import dedup_exact
+    from singer_spark.operators.text_analysis import (
+        decontaminate,
+        lang_id,
+        quality_features,
+        repetition_features,
+        train_val_split,
+    )
+
+    base = docs.select(F.col(id_col))
+    lf = (lang_id(docs, text_col, id_col)
+          .select(id_col, (F.col("predicted_lang") == lang).alias("_g1")))
+    qf = (quality_features(docs, text_col, id_col)
+          .select(id_col,
+                  (F.col("quality_score") >= float(min_quality))
+                  .alias("_g2")))
+    rf = (repetition_features(docs, text_col, id_col)
+          .select(id_col, F.col("keep").alias("_g3")))
+    if benchmark is not None:
+        df_ = (decontaminate(docs, benchmark, k=decontaminate_k,
+                             text_col=text_col, id_col=id_col)
+               .select(F.col("id").alias(id_col),
+                       (~F.col("contaminated")).alias("_g4")))
+    else:
+        df_ = docs.select(id_col, F.lit(True).alias("_g4"))
+    canon = dedup_exact(docs, text_col=text_col, id_col=id_col) \
+        .select(id_col, F.lit(True).alias("_g5"))
+    sf = (train_val_split(docs, id_col=id_col)
+          .select(id_col, (F.col("split") == "train").alias("_g6")))
+    flags = (base.join(lf, id_col, "left").join(qf, id_col, "left")
+             .join(rf, id_col, "left").join(df_, id_col, "left")
+             .join(canon, id_col, "left").join(sf, id_col, "left"))
+    g = [F.coalesce(F.col(f"_g{i}"), F.lit(False)) for i in range(1, 7)]
+    cums = []
+    acc = None
+    for gi in g:
+        acc = gi if acc is None else (acc & gi)
+        cums.append(acc)
+    agg = flags.agg(
+        F.count("*").alias("_n0"),
+        *[F.sum(c.cast("long")).alias(f"_n{i+1}")
+          for i, c in enumerate(cums)])
+    names = ["input", "lang", "quality", "repetition", "decontaminate",
+             "dedup_exact", "split_train"]
+    rows = [F.struct(F.lit(0).alias("stage_idx"),
+                     F.lit("input").alias("stage"),
+                     F.col("_n0").alias("n_in"),
+                     F.col("_n0").alias("n_kept"))]
+    for i in range(1, 7):
+        rows.append(F.struct(F.lit(i).alias("stage_idx"),
+                             F.lit(names[i]).alias("stage"),
+                             F.col(f"_n{i-1}").alias("n_in"),
+                             F.col(f"_n{i}").alias("n_kept")))
+    return (agg.select(F.explode(F.array(*rows)).alias("_s"))
+            .select(F.col("_s.stage_idx").alias("stage_idx"),
+                    F.col("_s.stage").alias("stage"),
+                    F.col("_s.n_in").cast("bigint").alias("n_in"),
+                    F.col("_s.n_kept").cast("bigint").alias("n_kept"),
+                    (F.col("_s.n_in") - F.col("_s.n_kept")).cast("bigint")
+                    .alias("n_dropped")))

@@ -384,3 +384,26 @@ def test_curate_learned_gate_pretrained_model(spark, tmp_path):
     kept = {r["doc_id"] for r in curate(inc, cfg).collect()}
     assert 100 in kept and 101 not in kept
     assert 102 in kept  # NULL pass-through holds on the apply path
+
+
+def test_curation_funnel_counts_are_consistent(spark, sf_dir):
+    """Funnel invariants: monotone survivors, chained n_in == previous
+    n_kept, and the final stage equals the oracle-checked
+    corpus_pipeline_full row count."""
+    import __spark_entry__ as entry_mod
+    from singer_spark.curation import curation_funnel
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = sorted(
+        curation_funnel(docs, docs.filter(F.col("doc_id") % 50 == 0))
+        .collect(), key=lambda r: r["stage_idx"])
+    assert [r["stage"] for r in rows] == [
+        "input", "lang", "quality", "repetition", "decontaminate",
+        "dedup_exact", "split_train"]
+    assert rows[0]["n_in"] == docs.count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_in"] == prev["n_kept"]
+        assert cur["n_kept"] <= cur["n_in"]
+        assert cur["n_dropped"] == cur["n_in"] - cur["n_kept"]
+    full = entry_mod.queries()["corpus_pipeline_full"](spark, sf_dir)
+    assert rows[-1]["n_kept"] == full.count()
