@@ -1374,6 +1374,71 @@ def _ann_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id"))
 
 
+def _ann_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN encode-append (r11, VERDICT r10 task #4), the
+    daily-increment analog the dedup family already has, self-verifying
+    (the driver's DuckDB can't load parquet models): train the IVFADC
+    model on the BASE corpus only, persist base codes, then
+    `append_ann_codes` encodes ONLY the increment (one narrow Arrow
+    pass over its own rows — the base is never re-read) and appends to
+    the stored codes table.  The query probes the grown table
+    (`encoded=`) and the full re-encode of base+increment side by side
+    and emits per-query agreement booleans plus the codes-table row
+    count; `n_increment` is re-derived exactly by the oracle from the
+    split predicate."""
+    import hashlib
+    import os
+    import tempfile
+
+    from singer_spark.operators.similarity import (
+        append_ann_codes,
+        ivfpq_ann_topk,
+        ivfpq_encode,
+        ivfpq_train_model,
+        save_ann_model,
+    )
+
+    emb = _emb(spark, sf_dir)
+    # increment = ids ≡ 7 (mod 10) above the seed range: the base keeps
+    # every id < 32 (ivfpq_train_model's centroid + codebook seeds)
+    incr_pred = ((F.col("vec_id") % 10 == 7) & (F.col("vec_id") >= 32))
+    base, incr = emb.filter(~incr_pred), emb.filter(incr_pred)
+    C, CB = ivfpq_train_model(base, n_clusters=16, m=8, kc=16,
+                              iters_coarse=1, iters_pq=1)
+    # deterministic per-(uid, sf_dir) location, OVERWRITTEN each run
+    # (the ann_model_roundtrip leak discipline — codes are corpus-sized)
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"singer_ann_incr_{uid}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    save_ann_model(spark, path, "ivfpq", centroids=C, codebooks=CB,
+                   codes=ivfpq_encode(base, (C, CB)))
+    grown = append_ann_codes(spark, path, incr)
+    n_codes = grown.count()
+    n_incr = incr.count()
+    n_corpus = emb.count()
+
+    q = emb.filter(F.col("vec_id") < 8)
+
+    def flat(df: DataFrame, name: str) -> DataFrame:
+        return (df.groupBy("query_id")
+                .agg(F.concat_ws("|", F.array_sort(F.collect_list(
+                    F.concat_ws(":", "neighbor_id", "rank", "adc_micro"))))
+                    .alias(name)))
+
+    want = ivfpq_ann_topk(emb, q, 5, nprobe=4, model=(C, CB))
+    got = ivfpq_ann_topk(emb, q, 5, nprobe=4, model=(C, CB),
+                         encoded=grown)
+    return (flat(want, "_w").join(flat(got, "_g"), "query_id", "full")
+            .select("query_id",
+                    (F.col("_w") == F.col("_g"))
+                    .alias("incremental_matches_full"),
+                    F.lit(n_codes == n_corpus).alias("codes_cover_corpus"),
+                    F.lit(n_incr).cast("bigint").alias("n_increment"))
+            .orderBy("query_id"))
+
+
 def _dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-internal duplicate-span removal (Lee et al. 2022 exact-
     substring style at 8-gram granularity): every shared 8-token window
@@ -1537,9 +1602,11 @@ def _quality_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     seed = F.col("source") == "src0"
     uid = os.getuid() if hasattr(os, "getuid") else "na"
+    # pid in the path: two concurrent driver runs over the same fixture
+    # must not interleave one run's overwrite with the other's read
     path = os.path.join(
         tempfile.gettempdir(),
-        f"singer_nb_model_{uid}_"
+        f"singer_nb_model_{uid}_{os.getpid()}_"
         f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
     save_nb_model(nb_quality_model(docs, seed, max_vocab=1000), path)
     applied = nb_quality_apply(docs, load_nb_model(spark, path))
@@ -2808,6 +2875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_tuning": _lsh_tuning,
         "lsh_autoband": _lsh_autoband,
         "ann_model_roundtrip": _ann_model_roundtrip,
+        "ann_incremental_probe": _ann_incremental_probe,
         "dedup_spans": _dedup_spans,
         "dedup_spans_minrun": _dedup_spans_minrun,
         "dedup_spans_incremental": _dedup_spans_incremental,
@@ -6515,6 +6583,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS query_id,
                    true AS probe_matches_train,
                    true AS arrays_roundtrip
+            FROM embeddings WHERE vec_id < 8 ORDER BY query_id""",
+        "ann_incremental_probe": """
+            -- self-verifying: the Spark query probes the appended codes
+            -- table against a full re-encode in-plan; the oracle pins
+            -- the agreement booleans true and re-derives the increment
+            -- size exactly from the split predicate
+            SELECT vec_id AS query_id,
+                   true AS incremental_matches_full,
+                   true AS codes_cover_corpus,
+                   (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+                    WHERE vec_id % 10 = 7 AND vec_id >= 32) AS n_increment
             FROM embeddings WHERE vec_id < 8 ORDER BY query_id""",
         "dedup_spans_minrun": """
             -- islands of overlapping shared 8-gram windows; cut only

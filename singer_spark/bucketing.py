@@ -29,10 +29,39 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str] | str,
     with; at 100 TB pick buckets so one bucket's rows fit an executor's
     memory (rows/bucket = table_rows / num_buckets)."""
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    if mode == "overwrite":
+        _clear_orphaned_location(df.sparkSession, table)
     writer = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *cols)
     if sort:
         writer = writer.sortBy(*cols)
     writer.saveAsTable(table)
+
+
+def _clear_orphaned_location(spark: SparkSession, table: str) -> None:
+    """Remove a stale default-warehouse location for `table` when the
+    CURRENT catalog has no such table.
+
+    An interrupted process can leave `spark-warehouse/<table>` on disk
+    with no catalog entry (each session starts a fresh in-memory/Derby
+    catalog, so the dir is invisible to `DROP TABLE IF EXISTS`), and the
+    next `saveAsTable` then refuses with LOCATION_ALREADY_EXISTS even in
+    overwrite mode — overwrite replaces catalog tables, not orphan dirs.
+    Scope is deliberately narrow: unqualified table names, local-fs
+    warehouse, and ONLY when the catalog does not know the table (a
+    cataloged table's location is saveAsTable's own responsibility)."""
+    if "." in table or spark.catalog.tableExists(table):
+        return
+    import os
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    elif "://" in warehouse:  # non-local warehouse: nothing to clean here
+        return
+    loc = os.path.join(warehouse, table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def bucketed_join_is_shuffle_free(spark: SparkSession, left: str, right: str,

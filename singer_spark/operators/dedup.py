@@ -162,16 +162,15 @@ def _pair_budget_threshold(hist: DataFrame, pair_budget: int) -> DataFrame:
     it, so they cannot drift apart."""
     from pyspark.sql.window import Window
 
-    # Partition on a column-derived constant (df % 1 == 0 for every row),
-    # not a bare global orderBy: semantically identical on this
-    # provably-bounded frame, but an empty partition spec makes Spark
-    # emit a "No Partition Defined ... single partition" WindowExec
-    # warning per run — noise that reads as an unbounded-window smell in
-    # gate logs (VERDICT r6 wrong #3).  A literal lit(1) doesn't work:
-    # Catalyst folds foldable partition expressions away, restoring the
-    # empty spec; the column reference keeps the spec non-empty while
-    # still hashing every row to one partition.
-    w = (Window.partitionBy(F.col("df") % F.lit(1)).orderBy("df")
+    # A PLAIN global window, on purpose: the histogram is bounded by
+    # construction (<= max_shingle_df rows — one per df class), so the
+    # single WindowExec task holds a few hundred rows at ANY corpus
+    # size.  Earlier rounds masked the "No Partition Defined" warning by
+    # partitioning on `df % 1`; that hid the shape from log greps while
+    # changing nothing — the mechanical n_global_window counter in
+    # tools/plan_audit.py now counts the shape structurally and
+    # test_plan_invariants allowlists this bounded frame explicitly.
+    w = (Window.orderBy("df")
          .rowsBetween(Window.unboundedPreceding, 0))
     cum = hist.withColumn("cum_pairs", F.sum(_pairs_col()).over(w))
     return (cum.where(F.col("cum_pairs") <= pair_budget)
@@ -1534,11 +1533,12 @@ def dedup_spans_report(docs: DataFrame, k: int = 8,
     hist = (runs.groupBy("run_len")
             .agg(F.count("*").alias("n_runs"),
                  F.sum("run_len").alias("tokens_covered")))
-    # column-derived constant spec: the frame is the histogram (distinct
-    # run lengths, trivially bounded) but an empty partition spec trips
-    # the WindowExec single-partition warning engine-wide discipline
-    w_cum = (Window.partitionBy(F.col("run_len") % F.lit(1))
-             .orderBy(F.col("run_len").desc())
+    # plain global window: the frame is the run-length HISTOGRAM
+    # (distinct maximal run lengths — bounded by the longest document,
+    # not the corpus), counted structurally by plan_audit's
+    # n_global_window and allowlisted in test_plan_invariants; masking
+    # the spec (the old `% 1` trick) only hid the shape from log greps
+    w_cum = (Window.orderBy(F.col("run_len").desc())
              .rowsBetween(Window.unboundedPreceding, 0))
     return (hist.select(
         "run_len", "n_runs",

@@ -13,12 +13,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def assign_global_ids(df: DataFrame, order_col: str,
+def assign_global_ids(df: DataFrame, order_col: "str | list[str]",
                       id_name: str = "global_id",
                       num_partitions: int | None = None) -> DataFrame:
     """Add a 0-based contiguous id column equal to the row's rank in the
-    total order of `order_col` (which must be duplicate-free — ids would
-    otherwise be ambiguous across engines and runs).
+    total order of `order_col` — one column name or a list of them,
+    compared lexicographically ascending; the combination must be
+    duplicate-free (ids would otherwise be ambiguous across engines and
+    runs).  Descending components: negate (numeric) before calling.
 
     Construction (the zipWithIndex shape):
 
@@ -38,9 +40,12 @@ def assign_global_ids(df: DataFrame, order_col: str,
     this plan's largest single-task unit is one range partition.
 
     Output: df's columns + `id_name` (bigint)."""
+    order_cols = ([order_col] if isinstance(order_col, str)
+                  else list(order_col))
     ranged = df.repartitionByRange(
-        *([num_partitions] if num_partitions else []), F.col(order_col))
-    pinned = (ranged.sortWithinPartitions(order_col)
+        *([num_partitions] if num_partitions else []),
+        *[F.col(c) for c in order_cols])
+    pinned = (ranged.sortWithinPartitions(*order_cols)
               .withColumn("_pid", F.spark_partition_id())
               .localCheckpoint(eager=True))
     counts = {row["_pid"]: row["n"]

@@ -287,6 +287,16 @@ def _centroid_matrix(centroids: DataFrame) -> "np.ndarray":
     return np.array([r.centroid for r in rows], dtype=np.float64)
 
 
+def _centroid_matrix_ids(centroids: DataFrame) -> "tuple[np.ndarray, np.ndarray]":
+    """(matrix, cluster_ids) with rows sorted by cluster id — callers
+    that report cluster labels must map an argmax ROW INDEX back through
+    `cluster_ids`; a caller-supplied centroid table's ids may be
+    non-contiguous (e.g. {0, 2, 5}), so row index != cluster id."""
+    rows = sorted(centroids.collect(), key=lambda r: r.cluster)
+    return (np.array([r.centroid for r in rows], dtype=np.float64),
+            np.array([r.cluster for r in rows], dtype=np.int64))
+
+
 def ivf_train_centroids(corpus: DataFrame, n_clusters: int = 16, iters: int = 5,
                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Deterministic Lloyd-trained coarse quantizer — the production IVF
@@ -1108,6 +1118,48 @@ def load_ann_model(spark, path: str) -> dict:
     return out
 
 
+def append_ann_codes(spark, path: str, increment: DataFrame,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Encode ONLY `increment` under the stored model and append the
+    codes to `path`'s codes table — a production index's actual write
+    path (the dedup family's daily-increment discipline applied to ANN):
+    the model trains once, and each arriving batch runs one narrow
+    encode pass over ITS OWN rows; the base corpus is never re-read,
+    never re-encoded.  A probe over the grown codes table equals a probe
+    over a full re-encode of base + increment exactly, because the
+    encode is a pure per-row function of the (bit-identical, float64
+    parquet) model — pinned by `ann_incremental_probe` and the
+    lifecycle pytest.
+
+    The caller owns id discipline: appending an id that is already in
+    the codes table creates a duplicate row (same contract as any
+    append-only table; run the increment through an anti-join against
+    the stored ids first if re-delivery is possible).
+
+    Returns the re-read codes frame (base + increment), ready for
+    ``ivfpq_ann_topk(encoded=...)``."""
+    meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
+    if not meta.has_codes:
+        raise ValueError(
+            f"model at {path} was saved without a codes table; "
+            f"save_ann_model(..., codes=...) first — appending to a "
+            f"codes-less model would serve a base-less index")
+    M = load_ann_model(spark, path)
+    if M["kind"] == "ivfpq":
+        enc = ivfpq_encode(increment, (M["C"], M["CB"]), id_col, vec_col)
+    elif M["kind"] == "pq":
+        enc = pq_encode(increment, M["CB"], id_col, vec_col)
+    else:
+        raise ValueError(
+            f"kind {M['kind']!r} stores no codes table (IVF stores "
+            f"assignments inline in its probe) — nothing to append")
+    from singer_spark.sinks import write_dataset
+
+    write_dataset(enc, f"{path}/codes", mode="append")
+    return spark.read.parquet(f"{path}/codes")
+
+
 def l2_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact micro-unit squared-L2 top-k — the ground truth the PQ family
@@ -1570,10 +1622,10 @@ def cluster_silhouette(corpus: DataFrame, n_clusters: int = 8,
     cluster."""
     from pyspark.sql.functions import pandas_udf
 
-    C = (_centroid_matrix(centroids) if centroids is not None
-         else _centroid_matrix(ivf_train_centroids(
-             corpus, n_clusters=n_clusters, iters=iters,
-             id_col=id_col, vec_col=vec_col)))
+    C, cluster_ids = _centroid_matrix_ids(
+        centroids if centroids is not None
+        else ivf_train_centroids(corpus, n_clusters=n_clusters, iters=iters,
+                                 id_col=id_col, vec_col=vec_col))
     if C.shape[0] < 2:
         # guard on the BUILT matrix so a caller-supplied 1-row
         # centroids table errors too (b would be -inf -> NaN s)
@@ -1596,7 +1648,9 @@ def cluster_silhouette(corpus: DataFrame, n_clusters: int = 8,
         denom = np.maximum(a, b)
         s = np.where(denom > 0, (b - a) / np.where(denom > 0, denom, 1.0),
                      0.0)
-        return pd.DataFrame({"cluster": own.astype("int64"), "s": s})
+        # argmax is a ROW index into the sorted matrix — map it back to
+        # the actual cluster id (non-contiguous ids stay correct)
+        return pd.DataFrame({"cluster": cluster_ids[own], "s": s})
 
     from singer_spark.functions import qround
 

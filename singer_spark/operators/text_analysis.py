@@ -2641,7 +2641,10 @@ def blocklist_screen(docs: DataFrame, blocklist: "list[str]",
     plan is a narrow map of the scan at any corpus size.  NULL text →
     NULL counts (family convention).  Output: (id, n_tokens, n_blocked,
     blocked_frac qround 1e-6, keep INT)."""
-    bl = F.array(*[F.lit(w.lower()) for w in blocklist])
+    # empty list: F.array() is array<void> and array_contains(void, str)
+    # fails analysis — cast keeps the trivially-keep-everything semantics
+    bl = (F.array(*[F.lit(w.lower()) for w in blocklist]) if blocklist
+          else F.array().cast("array<string>"))
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     # NULL text guard FIRST: Spark's legacy size(NULL) = -1 would leak
     # into every count (the exact divergence the NULL harness hunts)

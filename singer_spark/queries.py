@@ -890,19 +890,26 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of order revenue across customers — the
     inequality/concentration index (how much of the business a few
     accounts carry).  Formula over ascending per-customer revenue x_i:
-    G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x), computed with ONE per-customer
-    aggregation, one global rank window, one final reduce — ranks are
-    deterministic (revenue, then key).  Output: one row (n_customers,
-    total_revenue, gini)."""
+    G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x), with ranks deterministic
+    (revenue, then key).  The per-customer frame is one row PER CUSTOMER
+    — it scales with the data, so the rank comes from
+    :func:`operators.ids.assign_global_ids`' range-shuffle +
+    partition-offset construction (the zipWithIndex shape), NOT a
+    global `Window.orderBy` whose single sort task dies at 100×.
+    Output: one row (n_customers, total_revenue, gini)."""
+    from singer_spark.operators.ids import assign_global_ids
+
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     per_cust = (orders.groupBy("o_custkey")
                 .agg(F.sum("o_totalprice").alias("rev")))
-    w = Window.orderBy("rev", "o_custkey")
-    ranked = per_cust.withColumn("i", F.row_number().over(w))
+    # (rev, o_custkey) is duplicate-free (custkey unique per row), so the
+    # 0-based id + 1 equals row_number() OVER (ORDER BY rev, o_custkey)
+    ranked = assign_global_ids(per_cust, ["rev", "o_custkey"], id_name="_i")
+    i = F.col("_i") + 1
     return (ranked.agg(
         F.count("*").alias("n_customers"),
         qround(F.sum("rev"), 2).alias("total_revenue"),
-        qround((2 * F.sum(F.col("i") * F.col("rev"))
+        qround((2 * F.sum(i * F.col("rev"))
                 - (F.count("*") + 1) * F.sum("rev"))
                / (F.count("*") * F.sum("rev")), 6).alias("gini"),
     ))
@@ -912,27 +919,75 @@ def revenue_pareto(spark: SparkSession, sf_dir: str,
                    tiles: int = 10) -> DataFrame:
     """Pareto profile: customers bucketed into revenue deciles (1 = top
     spenders) with each decile's share and the running cumulative share —
-    the 80/20 report.  One per-customer agg, one global ntile window over
-    the (small) per-customer frame, cumulative share via a window over
-    the 10-row decile frame.  Output: (decile, n_customers, revenue,
+    the 80/20 report.  One per-customer agg, a partition-offset global
+    rank (no single-task ntile window — the per-customer frame scales
+    with the data) mapped to exact ntile buckets in closed form,
+    cumulative share via a window over the `tiles`-row decile frame
+    (bounded by construction).  Output: (decile, n_customers, revenue,
     share, cum_share)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     per_cust = (orders.groupBy("o_custkey")
                 .agg(F.sum("o_totalprice").alias("rev")))
-    w = Window.orderBy(F.desc("rev"), "o_custkey")
-    deciles = (per_cust.withColumn("decile", F.ntile(tiles).over(w))
+    # Global DESC rank via the partition-offset construction (negated
+    # revenue makes the lexicographic ascending order equal
+    # ORDER BY rev DESC, o_custkey), then ntile's bucket layout in
+    # closed form: with n rows and t tiles, q = n div t and r = n mod t,
+    # the first r buckets hold q+1 rows — bucket(i) for 1-based rank i
+    # is ceil(i/(q+1)) inside the first r*(q+1) rows, else
+    # r + ceil((i - r*(q+1))/q).  Exact ntile semantics, no single-task
+    # global sort (the per-customer frame scales with the data).
+    from singer_spark.operators.ids import assign_global_ids
+
+    ranked = assign_global_ids(
+        per_cust.withColumn("_negrev", -F.col("rev")),
+        ["_negrev", "o_custkey"], id_name="_i")
+    n = ranked.count()  # the id pass already pinned the frame; O(1) scan
+    q, r = divmod(n, tiles)
+    q1 = max(q, 1)  # q == 0 (n < tiles): every row lands in the ceil arm
+    i = F.col("_i") + 1
+    boundary = r * (q + 1)
+    bucket = (F.when(i <= boundary, F.floor((i + q) / (q + 1)))
+              .otherwise(r + F.floor((i - boundary + q1 - 1) / q1)))
+    deciles = (ranked.withColumn("decile", bucket)
                .groupBy("decile")
                .agg(F.count("*").alias("n_customers"),
                     F.sum("rev").alias("rev_raw")))
-    total = deciles.agg(F.sum("rev_raw").alias("_t"))
-    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    return (deciles.crossJoin(F.broadcast(total))
-            .select(F.col("decile").cast("int").alias("decile"),
-                    "n_customers",
-                    qround(F.col("rev_raw"), 2).alias("revenue"),
-                    qround(F.col("rev_raw") / F.col("_t"), 6).alias("share"),
-                    qround(F.sum(F.col("rev_raw") / F.col("_t")).over(cum), 6)
-                    .alias("cum_share"))
+    # Cumulative share WITHOUT a window (even a tiles-row global window
+    # would land on the bounded-frame allowlist — here it's free to not
+    # need one): pack the <= tiles decile rows into ONE sorted array and
+    # left-fold a prefix sum with F.aggregate.  The fold adds ratios in
+    # decile order starting from 0.0 — float-identical to the window's
+    # running sum (and to the oracle's ORDER BY decile ROWS UNBOUNDED
+    # PRECEDING), and the packed row is tiles structs by construction.
+    packed = deciles.agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_customers").alias("n_customers"),
+            F.col("rev_raw").alias("rev_raw")))).alias("rows"),
+        F.sum("rev_raw").alias("_t"))
+    out_t = ("array<struct<decile:int,n_customers:bigint,"
+             "rev_raw:double,ratio:double,cum:double>>")
+    acc0 = F.struct(
+        F.lit(0.0).alias("acc"),
+        F.expr(f"CAST(array() AS {out_t})").alias("out"))
+    pref = F.aggregate(
+        F.col("rows"), acc0,
+        lambda st, r: F.struct(
+            (st["acc"] + r["rev_raw"] / F.col("_t")).alias("acc"),
+            F.concat(st["out"], F.array(F.struct(
+                r["decile"].alias("decile"),
+                r["n_customers"].alias("n_customers"),
+                r["rev_raw"].alias("rev_raw"),
+                (r["rev_raw"] / F.col("_t")).alias("ratio"),
+                (st["acc"] + r["rev_raw"] / F.col("_t")).alias("cum"))))
+            .alias("out")),
+        lambda st: st["out"])
+    return (packed.select(F.explode(pref).alias("e"))
+            .select(F.col("e.decile").alias("decile"),
+                    F.col("e.n_customers").alias("n_customers"),
+                    qround(F.col("e.rev_raw"), 2).alias("revenue"),
+                    qround(F.col("e.ratio"), 6).alias("share"),
+                    qround(F.col("e.cum"), 6).alias("cum_share"))
             .orderBy("decile"))
 
 

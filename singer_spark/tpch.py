@@ -343,8 +343,12 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: supplier(s) with max quarterly revenue — the revenue CTE is
-    aggregated to |supplier| rows, so the max is a scalar via a tiny window."""
+    """TPC-H Q15: supplier(s) with max quarterly revenue.  The max is a
+    1-row aggregate broadcast back onto the per-supplier frame (the
+    engine's scalar-broadcast shape) — NOT a global window: the revenue
+    CTE is one row PER SUPPLIER, and `max().over(Window.partitionBy())`
+    would funnel all of them through a single WindowExec task (caught by
+    plan_audit's n_global_window counter, r11)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
@@ -352,7 +356,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_suppkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
     )
-    best = revenue.withColumn("max_rev", F.max("total_revenue").over(Window.partitionBy()))
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    best = revenue.crossJoin(F.broadcast(mx))
     sup = _t(spark, sf_dir, "supplier")
     return (
         best.filter(F.col("total_revenue") == F.col("max_rev"))

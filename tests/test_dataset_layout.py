@@ -165,6 +165,28 @@ def test_assign_global_ids_matches_global_window(spark, sf_dir):
     assert set(out.columns) == set(docs.columns) | {"global_id"}
 
 
+def test_assign_global_ids_multicolumn_order(spark, sf_dir):
+    """Multi-column lexicographic order (r11: the revenue_concentration/
+    revenue_pareto rewrite ranks on (rev, key)): ids must equal
+    row_number() over ORDER BY col1, col2 — duplicates in the leading
+    column broken by the second."""
+    from pyspark.sql.window import Window
+
+    from singer_spark.operators.ids import assign_global_ids
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", (F.col("doc_id") % 7).alias("bucket")))
+    got = {(r.doc_id, r.global_id) for r in
+           assign_global_ids(docs, ["bucket", "doc_id"], num_partitions=4)
+           .select("doc_id", "global_id").collect()}
+    w = Window.orderBy("bucket", "doc_id")
+    want = {(r.doc_id, r.global_id) for r in
+            docs.select("doc_id",
+                        (F.row_number().over(w) - 1).cast("bigint")
+                        .alias("global_id")).collect()}
+    assert got == want
+
+
 def test_corpus_shuffle_permutation_shards_and_epochs(spark, sf_dir):
     """positions are a permutation of 0..n-1, shards are round-robin
     balanced (±1) uniform samples, reruns are bit-identical (the

@@ -63,6 +63,10 @@ NULL_SENSITIVE_KEYS = (
     "pack_bins",
     "text_blocklist",
     "unigram_em_tokenize",
+    # composed funnels over the documents table: a NULL/empty-text
+    # divergence inside any composed gate would otherwise be invisible
+    "curation_funnel",
+    "quality_model_roundtrip",
 )
 
 

@@ -395,11 +395,18 @@ def test_clear_all_caches_drains_registry(spark, sf_dir):
     assert len(fx._CACHE_HANDLES) == 0  # registry drained regardless
 
 
-def test_pair_budget_window_keeps_partition_spec(spark):
-    """The bounded-histogram cumsum window must keep its column-derived
-    constant partition spec: a future Catalyst that folds `df % 1` away
-    would silently restore the empty spec (and its WindowExec warning)
-    — pin the optimized plan instead (ADVICE r7 #4)."""
+def test_pair_budget_window_is_plain_global_and_counted(spark):
+    """r11 (VERDICT r10 task #7): the bounded-histogram cumsum window is
+    a PLAIN global window — the old `df % 1` partition mask only hid the
+    single-partition shape from log greps while changing nothing.  Pin
+    both halves of the replacement discipline: the mask is gone from the
+    plan, and plan_audit's structural counter SEES the global window
+    (which test_registry_has_no_unbounded_global_windows then allowlists
+    under pair_budget_report's documented <= max_shingle_df bound)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import tools.plan_audit as pa
     from singer_spark.operators.dedup import _pair_budget_threshold
 
     hist = spark.createDataFrame([(2, 5), (3, 4), (5, 1)],
@@ -407,7 +414,11 @@ def test_pair_budget_window_keeps_partition_spec(spark):
     thr = _pair_budget_threshold(hist, pair_budget=100)
     plan = thr._jdf.queryExecution().optimizedPlan().treeString()
     assert "windowspecdefinition" in plan
-    assert "% 1" in plan  # the non-foldable partition expression survives
+    assert "% 1" not in plan  # the warning mask is gone
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        thr.explain("formatted")
+    assert pa.n_global_windows(buf.getvalue()) == 1
 
 
 def test_registry_dicts_have_no_duplicate_keys():
@@ -454,6 +465,9 @@ _BNLJ_ALLOWLIST = {
     "corpus_mix", "dsir_sample", "hard_negatives", "heavy_hitters_tokens",
     "hybrid_search_rrf", "join_size_estimate", "lsh_autoband", "lsh_tuning",
     "ngram_lm_score", "pair_budget_report", "q11_important_stock",
+    # r11: q15's scalar max-revenue frame, broadcast back instead of a
+    # global unordered window over the per-supplier frame
+    "q15_top_supplier",
     # r10: NB classifier's vstats/totals/priors 1-row broadcast frames
     "quality_classifier",
     # r10: pack_bins_audit's 1-row bin/doc/base aggregate cross joins
@@ -461,11 +475,127 @@ _BNLJ_ALLOWLIST = {
     # r10: the lifecycle verification key joins the fused and apply
     # paths — both carry their 1-row totals/prior broadcast frames
     "quality_model_roundtrip",
-    "q22_idle_customers", "range_join_value_tiers", "revenue_pareto",
+    # revenue_pareto left r11: the decile cum-share fold replaced its
+    # 1-row-total cross join along with the global ntile window
+    "q22_idle_customers", "range_join_value_tiers",
     "semantic_decontaminate", "sim_bruteforce_topk", "skew_report",
     "source_kl_state_bound", "source_unigram_kl", "tfidf_top_terms",
     "token_drift", "value_histogram",
 }
+
+
+# Queries whose plan carries an EMPTY-partition-spec Window node — a
+# single-task global sort, acceptable ONLY when the windowed frame is
+# bounded by CONSTRUCTION (independent of corpus row count), never merely
+# "small at test SF".  Each entry documents the bound.  A new query
+# landing a global window must be added here consciously with the same
+# argument; anything else is the plan that dies at 100× (VERDICT r10
+# wrong #2 — revenue_concentration/revenue_pareto ranked the per-customer
+# frame this way and were rewritten onto the partition-offset pattern).
+_GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
+    "dedup_spans_report": (
+        "reverse cumsum over the RUN-LENGTH HISTOGRAM — one row per "
+        "distinct maximal duplicated-run length, bounded by the longest "
+        "document, not the corpus (dedup.py dedup_spans_report)"),
+    "pair_budget_report": (
+        "cumsum over the df HISTOGRAM — <= max_shingle_df rows by the "
+        "_df_hist filter, whatever the corpus size (dedup.py "
+        "_pair_budget_threshold; de-masked from the `% 1` trick in r11)"),
+    "fuzzy_part_names_qgram": (
+        "rarity rank over the q-gram VOCABULARY frame — constant-bounded "
+        "by |charset|^q and REQUIRED driver-sized anyway: the very next "
+        "op broadcasts it into the prefix join (joins.py rarity rank)"),
+    "hybrid_search_rrf": (
+        "per-arm rank over k_each-row frames: the lexical arm is "
+        "bm25_topk's TakeOrdered output, the dense arm is .limit(k_each) "
+        "before the window (text_analysis.py rrf fusion)"),
+    "logstream_order": (
+        "file-list ordering parity shim gated through assert_bounded — "
+        "a LogStream's frame is one directory's rotated-file listing"),
+    "p5_round_robin": (
+        "round_robin_ordered is the EXACT-parity shim, documented "
+        "single-task, gated through assert_bounded, and deliberately "
+        "NOT in PARTITIONER_REGISTRY; production uses the shuffle-free "
+        "round_robin_partitioner counter (partitioners.py:55-68)"),
+    "moving_avg_daily_value": (
+        "7-day MA + running total over the DAILY aggregate — one row "
+        "per calendar day; grows with the time horizon (36.5k rows per "
+        "century), not with corpus rows"),
+}
+
+
+def test_registry_has_no_unbounded_global_windows():
+    """The no-global-window claim, mechanically derived (the r10
+    cartesian discipline applied to the last plan smell): PLANS.json
+    must record n_global_window == 0 for every query not on the
+    documented bounded-frame allowlist, and the audit tool must still
+    emit the field."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.json")
+    with open(path) as f:
+        plans = json.load(f)
+    audited = {k: v for k, v in plans.items()
+               if isinstance(v, dict) and "error" not in v}
+    assert len(audited) >= 150
+    missing = [k for k, v in audited.items() if "n_global_window" not in v]
+    assert not missing, (
+        f"plan_audit stopped emitting n_global_window: {missing[:5]}")
+    gwin = {k for k, v in audited.items() if v["n_global_window"]}
+    stray = gwin - set(_GLOBAL_WINDOW_ALLOWLIST)
+    assert not stray, (
+        f"empty-partition Window outside the bounded-frame allowlist: "
+        f"{sorted(stray)} — if the windowed frame is bounded by "
+        f"construction (histogram / k-row / summary), add it to "
+        f"_GLOBAL_WINDOW_ALLOWLIST with that argument; otherwise rank "
+        f"via operators.ids.assign_global_ids")
+    # the two r10-flagged queries are FIXED, not allowlisted
+    for k in ("revenue_concentration", "revenue_pareto"):
+        assert k not in _GLOBAL_WINDOW_ALLOWLIST
+        if k in audited:
+            assert audited[k]["n_global_window"] == 0, k
+
+
+def test_global_window_counter_detects_shapes(spark):
+    """The counter itself: a bare Window.orderBy counts, a partitioned
+    window doesn't, and the constant-column MASK (partitionBy(col % 1))
+    also doesn't — which is exactly why masking is banned in favor of
+    the allowlist (the counter measures the shape, so a mask would make
+    a genuinely-global window invisible to the invariant)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import tools.plan_audit as pa
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+
+    def plan_of(d):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            d.explain("formatted")
+        return buf.getvalue()
+
+    glob = df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    part = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy("g").orderBy("id")))
+    masked = df.withColumn(
+        "r", F.row_number().over(
+            Window.partitionBy(F.col("id") % F.lit(1)).orderBy("id")))
+    assert pa.n_global_windows(plan_of(glob)) == 1
+    assert pa.n_global_windows(plan_of(part)) == 0
+    assert pa.n_global_windows(plan_of(masked)) == 0  # masks hide shape
+    assert pa.n_global_windows(plan_of(glob.join(
+        part.select("id", F.col("r").alias("r2")), "id"))) == 1
+    # UNORDERED windows print only 2 bracket groups too — the content
+    # check must split the q15 shape (global scalar max: counts) from
+    # the per-key aggregate (partitioned, no order: doesn't)
+    ug = df.withColumn("m", F.max("id").over(Window.partitionBy()))
+    up = df.withColumn("m", F.max("id").over(Window.partitionBy("g")))
+    assert pa.n_global_windows(plan_of(ug)) == 1
+    assert pa.n_global_windows(plan_of(up)) == 0
 
 
 def test_registry_has_zero_cartesian_products():

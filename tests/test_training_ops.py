@@ -769,6 +769,67 @@ def test_ann_model_save_load_probe_only_roundtrip(spark, tmp_path,
     assert got_pq_codes == want_pq
 
 
+def test_append_ann_codes_increment_equals_full_reencode(spark, tmp_path,
+                                                         monkeypatch):
+    """VERDICT r10 task #4: the incremental encode-append — a model
+    trained on the BASE corpus, base codes persisted, then
+    append_ann_codes over a NEW increment only — must serve probes
+    identical to a full re-encode of base+increment, for both ivfpq and
+    pq; the append path must never re-read or re-encode the base, and a
+    codes-less or ivf model must refuse."""
+    import numpy as np
+
+    from singer_spark.operators import similarity as sim
+
+    emb = _clustered_emb(spark, n=240).persist()
+    base = emb.filter(F.col("vec_id") < 200)
+    incr = emb.filter(F.col("vec_id") >= 200)
+    q = emb.filter(F.col("vec_id") < 6)
+
+    def rows(df):
+        return sorted((r.query_id, r.neighbor_id, r.rank)
+                      for r in df.collect())
+
+    C, CB = sim.ivfpq_train_model(base, n_clusters=8, m=8, kc=16,
+                                  iters_coarse=1, iters_pq=1)
+    sim.save_ann_model(spark, str(tmp_path / "ivfpq"), "ivfpq",
+                       centroids=C, codebooks=CB,
+                       codes=sim.ivfpq_encode(base, (C, CB)))
+    CBp = sim.pq_train_codebooks(base, m=8, kc=16, iters=1)
+    sim.save_ann_model(spark, str(tmp_path / "pq"), "pq", codebooks=CBp,
+                       codes=sim.pq_encode(base, CBp))
+    sim.save_ann_model(spark, str(tmp_path / "bare"), "pq", codebooks=CBp)
+
+    grown = sim.append_ann_codes(spark, str(tmp_path / "ivfpq"), incr)
+    assert grown.count() == emb.count()  # base + increment, no dupes
+    grown_pq = sim.append_ann_codes(spark, str(tmp_path / "pq"), incr)
+    assert grown_pq.count() == emb.count()
+
+    want = rows(sim.ivfpq_ann_topk(emb, q, 5, nprobe=3, model=(C, CB)))
+    want_pq = rows(sim.pq_ann_topk(emb, q, 5, codebooks=CBp))
+
+    # probe-only: the grown tables serve without any encode pass
+    def boom(*a, **k):
+        raise AssertionError("incremental probe touched an encode path")
+
+    monkeypatch.setattr(sim, "ivfpq_encode", boom)
+    monkeypatch.setattr(sim, "pq_encode", boom)
+    got = rows(sim.ivfpq_ann_topk(emb, q, 5, nprobe=3, model=(C, CB),
+                                  encoded=grown))
+    got_pq = rows(sim.pq_ann_topk(emb, q, 5, codebooks=CBp,
+                                  encoded=grown_pq))
+    emb.unpersist()
+    assert got == want
+    assert got_pq == want_pq
+
+    # refusal paths: codes-less model, and appended codes must be the
+    # same dtype family (np untouched — sanity the model round-tripped)
+    assert np.array_equal(sim.load_ann_model(
+        spark, str(tmp_path / "ivfpq"))["CB"], CB)
+    with pytest.raises(ValueError, match="without a codes table"):
+        sim.append_ann_codes(spark, str(tmp_path / "bare"), incr)
+
+
 def test_ivfpq_trained_beats_seeded_and_matches_model_shape(spark):
     """ivfpq_train_model returns a (C, CB) pair whose trained search
     finds planted near-duplicates (the dedup regime: each query gets 5
@@ -1951,7 +2012,10 @@ def _nb_reference(rows, seed_srcs, alpha=0.5, max_vocab=50_000,
     """Brute-force multinomial-NB replay of nb_quality_scores' spec:
     whitespace tokens, (count DESC, token ASC) vocab cap + one OOV
     bucket, Laplace cell log-ratios, smoothed doc-count prior."""
-    toks = {d: (t.split() if t else []) for d, t, s in rows}
+    # single-space split with empty-token filter — the operator's exact
+    # tokenization (str.split() would diverge on tab/newline text)
+    toks = {d: ([w for w in t.split(" ") if w] if t else [])
+            for d, t, s in rows}
     seed = {d: (s in seed_srcs) for d, t, s in rows}
     cp, ca = {}, {}
     for d, t, s in rows:
@@ -2249,6 +2313,40 @@ def test_cluster_silhouette_separates_tight_from_noise(spark):
     assert total > 0.2, total
     with pytest.raises(ValueError):
         cluster_silhouette(emb, n_clusters=1)
+
+
+def test_cluster_silhouette_noncontiguous_centroid_ids(spark):
+    """Caller-supplied centroid tables may carry non-contiguous cluster
+    ids ({0, 2, 5}): the reported cluster must be the actual id, not the
+    argmax row index into the sorted matrix."""
+    from singer_spark.operators.similarity import cluster_silhouette
+
+    emb = _clustered_emb(spark, n=120, n_clusters=3, dim=16)
+    from singer_spark.operators.similarity import ivf_train_centroids
+
+    cents = ivf_train_centroids(emb, n_clusters=3, iters=1)
+    dense = cluster_silhouette(emb, centroids=cents).collect()
+    remapped = cents.selectExpr(
+        "CASE cluster WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 5 END AS cluster",
+        "centroid")
+    sparse = cluster_silhouette(emb, centroids=remapped).collect()
+    relabel = {0: 0, 1: 2, 2: 5}
+    assert {(relabel[r["cluster"]], r["n_vecs"], r["mean_silhouette"])
+            for r in dense} \
+        == {(r["cluster"], r["n_vecs"], r["mean_silhouette"])
+            for r in sparse}
+    assert {r["cluster"] for r in sparse} <= {0, 2, 5}
+
+
+def test_blocklist_screen_empty_blocklist_keeps_everything(spark):
+    from singer_spark.operators.text_analysis import blocklist_screen
+
+    rows = [(0, "anything at all", "s"), (1, None, "s")]
+    out = {r["doc_id"]: r
+           for r in blocklist_screen(_docs_df(spark, rows), []).collect()}
+    assert out[0]["n_blocked"] == 0 and out[0]["keep"] == 1
+    assert out[0]["blocked_frac"] == 0.0
+    assert out[1]["keep"] is None  # NULL text convention survives
 
 
 def test_blocklist_screen_counts_and_null_paths(spark):

@@ -48,6 +48,56 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _bracket_groups(s: str) -> "list[str]":
+    """TOP-LEVEL `[...]` group contents of a formatted-plan Arguments
+    line (a depth scan, not a regex — window expressions can nest
+    brackets, e.g. array element access `x[0]`)."""
+    depth = 0
+    start = 0
+    groups = []
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append(s[start:i])
+    return groups
+
+
+def n_global_windows(plan: str) -> int:
+    """Window nodes with an EMPTY partition spec — the single-task global
+    sort shape (Spark funnels every row through one WindowExec task; the
+    plan that cannot survive a 100× scale-up unless the frame is bounded
+    by construction).  Mechanically, a formatted `(N) Window` block
+    prints `Arguments: [exprs]` + an optional `[partitionSpec]` + an
+    optional `[orderSpec]` — BOTH tails are independently omitted when
+    empty, so three groups = partitioned+ordered, one group = fully
+    global, and the ambiguous two-group form is disambiguated by
+    content: an order spec's entries carry direction markers
+    (`ASC NULLS` / `DESC NULLS`), a partition spec's bare expressions
+    never do.  This counts the SHAPE, so masking tricks (partitioning
+    on a constant-valued column expression) still show as partitioned:
+    don't mask — allowlist bounded frames in test_plan_invariants."""
+    n = 0
+    for block in plan.split("\n\n"):
+        lines = block.strip().splitlines()
+        if not lines or not re.match(r"\(\d+\) Window$", lines[0].strip()):
+            continue
+        for ln in lines[1:]:
+            if ln.startswith("Arguments: "):
+                groups = _bracket_groups(ln[len("Arguments: "):])
+                if len(groups) == 1:
+                    n += 1  # neither partitioned nor ordered: global
+                elif len(groups) == 2 and (" ASC NULLS" in groups[1]
+                                           or " DESC NULLS" in groups[1]):
+                    n += 1  # ordered but NOT partitioned: global sort
+                break
+    return n
+
+
 def audit_one(df) -> dict:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -68,6 +118,10 @@ def audit_one(df) -> dict:
         # one must be on the test's documented allowlist.
         "n_cartesian": len(re.findall(r"\(\d+\) CartesianProduct", plan)),
         "n_bnlj": len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)),
+        # empty-partition-spec Window nodes (single-task global sorts);
+        # every query carrying one must be on test_plan_invariants'
+        # documented bounded-frame allowlist
+        "n_global_window": n_global_windows(plan),
         "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
     }
 
@@ -103,16 +157,21 @@ def main() -> int:
             clear_all_caches(spark)
 
     print(f"{'query':32s} {'scans':>5s} {'exch':>5s} {'bcast':>5s} "
-          f"{'smj':>4s} {'cart':>4s} {'bnlj':>4s} {'pushed':>6s}")
+          f"{'smj':>4s} {'cart':>4s} {'bnlj':>4s} {'gwin':>4s} {'pushed':>6s}")
     ok = {k: v for k, v in rows.items() if "error" not in v}
     for name, r in sorted(ok.items(), key=lambda kv: -kv[1]["n_exchanges"]):
         print(f"{name:32s} {r['n_scans']:5d} {r['n_exchanges']:5d} "
               f"{r['n_broadcasts']:5d} {r['n_smj']:4d} "
               f"{r.get('n_cartesian', 0):4d} {r.get('n_bnlj', 0):4d} "
+              f"{r.get('n_global_window', 0):4d} "
               f"{str(r['pushed']):>6s}")
     n_cart = sum(r.get("n_cartesian", 0) for r in ok.values())
     if n_cart:
         print(f"!! {n_cart} CartesianProduct node(s) in the registry")
+    n_gwin = sum(r.get("n_global_window", 0) for r in ok.values())
+    if n_gwin:
+        print(f"?? {n_gwin} empty-partition Window node(s) — "
+              f"each must be on the bounded-frame allowlist")
     for name in errors:
         print(f"{name:32s} ERROR {rows[name]['error']}")
 
