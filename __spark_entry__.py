@@ -1653,6 +1653,22 @@ def _corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diversity(_docs(spark, sf_dir))
 
 
+def _unigram_em_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round hard-EM unigram training with the convergence report
+    (r11, VERDICT r10 task #6): rounds 0..2 of corpus-total Viterbi
+    cost under the seed and each re-estimated cost table —
+    text_analysis.unigram_em_converge; total_cost is the SentencePiece
+    loop's stopping signal and is monotone non-increasing.  The oracle
+    chains THREE generated DP blocks with two full backtrace->recost EM
+    steps between them."""
+    from singer_spark.operators.text_analysis import (unigram_em_converge,
+                                                      unigram_vocab)
+
+    docs = _docs(spark, sf_dir)
+    vocab = unigram_vocab(docs, max_multi=100, max_piece_len=4)
+    return unigram_em_converge(docs, vocab, rounds=2)
+
+
 def _unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-family, Kudo 2018) tokenize of the
     corpus: substring-frequency vocab (all single chars + top-100
@@ -2867,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_tokenize": _unigram_tokenize,
         "unigram_segment": _unigram_segment,
         "unigram_em_tokenize": _unigram_em_tokenize,
+        "unigram_em_converge": _unigram_em_converge,
         "corpus_diversity": _corpus_diversity,
         "corpus_diversity_approx": _corpus_diversity_approx,
         "cluster_silhouette": _cluster_silhouette,
@@ -4285,6 +4302,55 @@ def _unigram_backtrace_sql(dws: str = "dws", dpall: str = "dpall",
                        [substr(b.w, lb[k] + 1, lb[k+1] - lb[k])
                         for k in range(1, len(lb))], ' ') AS pieces
               FROM (SELECT w, list_sort(bs) AS lb FROM bl{wmax}{sfx}) b)""")
+
+
+def _unigram_em_converge_oracle(rounds: int = 2, wmax: int = 16) -> str:
+    """Convergence-report replay (r11, VERDICT r10 task #6): chain
+    `rounds`+1 generated Viterbi DP blocks — the seed chain plus one per
+    hard-EM round, each EM step a full backtrace -> usage counts ->
+    Laplace re-costing exactly as :func:`_unigram_em_oracle` (whose
+    single step this generalizes) — and aggregate the CORPUS totals
+    under every round's costs."""
+    parts = [_unigram_base_sql(wmax=wmax),
+             "dws AS (SELECT w FROM dw)",
+             "vstat AS (SELECT count(*) AS V FROM voc)"]
+    aggs = [f"""SELECT 0 AS round, count(*)::BIGINT AS n_words,
+                       sum(ns)::BIGINT AS n_pieces,
+                       sum(c)::BIGINT AS total_cost
+                FROM tk JOIN dpf USING (w)"""]
+    prev_sfx = ""   # suffix of the DP chain holding the CURRENT costs
+    voc_prev = "voc"
+    for r in range(1, rounds + 1):
+        sfx = f"_r{r}"
+        vnew = f"voc{r + 1}"
+        parts.append(_unigram_backtrace_sql(
+            dws="dws", dpall=f"dpall{prev_sfx}", sfx=prev_sfx, wmax=wmax))
+        parts.append(f"""
+            pocc{sfx} AS (
+              SELECT unnest(string_split(seg{prev_sfx}.pieces, ' '))
+                       AS piece, wf.f
+              FROM seg{prev_sfx} JOIN wf USING (w)),
+            pcnt{sfx} AS (SELECT piece, sum(f) AS cnt FROM pocc{sfx}
+                          GROUP BY piece),
+            tot{sfx} AS (SELECT sum(coalesce(pcnt{sfx}.cnt, 0)) AS T
+                         FROM {voc_prev} LEFT JOIN pcnt{sfx} USING (piece)),
+            {vnew} AS MATERIALIZED (
+              SELECT {voc_prev}.piece,
+                     floor(-ln((coalesce(pcnt{sfx}.cnt, 0) + 0.5)
+                               / (tot{sfx}.T + 0.5 * vstat.V))
+                           * 1000000 + 0.5)::BIGINT AS c
+              FROM {voc_prev} LEFT JOIN pcnt{sfx} USING (piece)
+                   CROSS JOIN tot{sfx} CROSS JOIN vstat)""")
+        parts.append(_unigram_dp_sql(vnew, sfx, wmax=wmax))
+        aggs.append(f"""SELECT {r} AS round, count(*)::BIGINT AS n_words,
+                               sum(ns)::BIGINT AS n_pieces,
+                               sum(c)::BIGINT AS total_cost
+                        FROM tk JOIN dpf{sfx} USING (w)""")
+        prev_sfx, voc_prev = sfx, vnew
+    union = " UNION ALL ".join(f"({a})" for a in aggs)
+    return ("WITH " + ",".join(parts)
+            + f" SELECT round::INT AS round, n_words, n_pieces, total_cost"
+              f" FROM ({union}) ORDER BY round")
 
 
 def _unigram_tokenize_oracle() -> str:
@@ -5797,6 +5863,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_tokenize": _unigram_tokenize_oracle(),
         "unigram_segment": _unigram_segment_oracle(),
         "unigram_em_tokenize": _unigram_em_oracle(),
+        "unigram_em_converge": _unigram_em_converge_oracle(rounds=2),
         # C4 bad-words gate: same lowercased list, list_contains filter
         "text_blocklist": """
             SELECT doc_id,

@@ -124,6 +124,11 @@ HEADLINERS = [
     "cluster_silhouette",
     "text_blocklist",
     "unigram_em_tokenize",
+    # round-11: multi-round EM convergence report.  The lifecycle
+    # verification keys (ann_model_roundtrip, ann_incremental_probe,
+    # quality_model_roundtrip) are deliberately NOT headliners — they
+    # measure train+save+reload+probe agreement, not a serving path.
+    "unigram_em_converge",
 ]
 
 

@@ -266,7 +266,8 @@ def curate_stream(docs_stream: DataFrame, checkpoint: str, state_path: str,
                   minhash_threshold: float = 0.5,
                   stream_dedup: str = "minhash",
                   span_bloom_bits: "int | None" = 1 << 22,
-                  span_compact_every: "int | None" = 16):
+                  span_compact_every: "int | None" = 16,
+                  metrics_path: "str | None" = None):
     """Always-on corpus ingestion: per micro-batch, run the stateless
     gates (:func:`curate`), then apply the cross-batch dedup backend,
     append survivors to the dataset and their state rows to the state
@@ -314,7 +315,19 @@ def curate_stream(docs_stream: DataFrame, checkpoint: str, state_path: str,
     in-corpus pass.  With ids increasing in arrival order (the natural
     ingestion shape) the streamed output equals the uninterrupted
     single-batch run — `tools/soak_tail.py` pins it under kill/restart
-    churn for both backends."""
+    churn for both backends.
+
+    `metrics_path` (r11, VERDICT r10 task #5): when set, each batch also
+    appends its per-gate survivor funnel — :func:`curation_funnel_cfg`
+    stage rows over THIS batch plus a final ``stream_dedup`` stage whose
+    n_kept is the row count actually published — keyed by `epoch_id`, to
+    a parquet metrics table.  The always-on pipeline gets the
+    gate-survivorship observability the batch path's funnel report
+    gives.  Telemetry ordering: the metrics append runs AFTER the
+    output+state writes (losing a crashed batch's metrics is fine;
+    publishing metrics for an unpublished batch would lie), and a
+    replayed epoch re-appends its rows — consumers read the LAST rows
+    per epoch_id (at-least-once, the stream's own contract)."""
     import os
 
     if stream_dedup not in ("minhash", "spans"):
@@ -357,8 +370,11 @@ def curate_stream(docs_stream: DataFrame, checkpoint: str, state_path: str,
                 text_col=text_col, id_col=id_col,
                 num_bits=span_bloom_bits if has_state else None,
                 base_grams=grams)
-            out = _apply_span_rewrite(kept, spans, id_col, text_col)
+            out = maybe_persist(
+                _apply_span_rewrite(kept, spans, id_col, text_col),
+                metrics_path is not None)
             out.write.mode("append").parquet(out_path)
+            n_published = out.count() if metrics_path else 0
             # state grows by the increment's ORIGINAL window digests
             # (owners keep their text, so cut copies' digests must stay
             # probeable — the dedup_spans_incremental state discipline)
@@ -384,9 +400,32 @@ def curate_stream(docs_stream: DataFrame, checkpoint: str, state_path: str,
                 kept.select(id_col, text_col), seen,
                 id_col=id_col, text_col=text_col,
                 threshold=minhash_threshold), True)
-            (kept.join(surv_sigs.select(id_col), id_col, "left_semi")
-             .write.mode("append").parquet(out_path))
+            out = maybe_persist(
+                kept.join(surv_sigs.select(id_col), id_col, "left_semi"),
+                metrics_path is not None)
+            out.write.mode("append").parquet(out_path)
+            n_published = out.count() if metrics_path else 0
             surv_sigs.write.mode("append").parquet(state_path)
+        if metrics_path:
+            # funnel telemetry LAST (see docstring: output+state are the
+            # contract, metrics are observability): the batch's stateless
+            # gate funnel + the cross-batch dedup outcome as a final
+            # stage.  The funnel frame is <= n_gates+1 rows by
+            # construction — the collect is bounded
+            stage_rows = sorted(
+                curation_funnel_cfg(batch_df, batch_cfg).collect(),
+                key=lambda r: r.stage_idx)
+            rows = [(int(epoch_id), int(r.stage_idx), r.stage,
+                     int(r.n_in), int(r.n_kept), int(r.n_dropped))
+                    for r in stage_rows]
+            last_kept = rows[-1][4]
+            rows.append((int(epoch_id), rows[-1][1] + 1,
+                         f"stream_dedup_{stream_dedup}", last_kept,
+                         int(n_published), last_kept - int(n_published)))
+            spark.createDataFrame(
+                rows, "epoch_id bigint, stage_idx int, stage string, "
+                      "n_in bigint, n_kept bigint, n_dropped bigint") \
+                .coalesce(1).write.mode("append").parquet(metrics_path)
         # batch boundary: the writes above are the last consumers of
         # anything this batch's gates persisted — drain the registry so
         # a long-lived ingestion driver doesn't accumulate one cache
@@ -412,6 +451,50 @@ def curate_and_publish(docs: DataFrame, path: str,
     write_dataset(kept, path, partition_by=partition_by, zorder_by=zorder_by,
                   target_file_mb=target_file_mb)
     return kept.sparkSession.read.parquet(path).count()
+
+
+def _funnel_from_stages(docs: DataFrame,
+                        stages: "list[tuple[str, DataFrame]]",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Tidy (stage_idx, stage, n_in, n_kept, n_dropped) rows from an
+    ordered list of (name, id+`flag` boolean frame) gate stages — the
+    ONE copy of the funnel aggregation (:func:`curation_funnel` and the
+    cfg-driven :func:`curation_funnel_cfg` both route through it): every
+    flag joined once, cumulative conjunctions aggregated in a single
+    pass, literal-array explode for the stage rows.  A doc missing from
+    a stage frame (or flagged NULL) counts as dropped at that stage."""
+    flags = docs.select(F.col(id_col))
+    for i, (_name, fr) in enumerate(stages):
+        flags = flags.join(
+            fr.select(id_col, F.col("flag").alias(f"_g{i+1}")),
+            id_col, "left")
+    g = [F.coalesce(F.col(f"_g{i+1}"), F.lit(False))
+         for i in range(len(stages))]
+    cums = []
+    acc = None
+    for gi in g:
+        acc = gi if acc is None else (acc & gi)
+        cums.append(acc)
+    agg = flags.agg(
+        F.count("*").alias("_n0"),
+        *[F.sum(c.cast("long")).alias(f"_n{i+1}")
+          for i, c in enumerate(cums)])
+    rows = [F.struct(F.lit(0).alias("stage_idx"),
+                     F.lit("input").alias("stage"),
+                     F.col("_n0").alias("n_in"),
+                     F.col("_n0").alias("n_kept"))]
+    for i, (name, _fr) in enumerate(stages, start=1):
+        rows.append(F.struct(F.lit(i).alias("stage_idx"),
+                             F.lit(name).alias("stage"),
+                             F.col(f"_n{i-1}").alias("n_in"),
+                             F.col(f"_n{i}").alias("n_kept")))
+    return (agg.select(F.explode(F.array(*rows)).alias("_s"))
+            .select(F.col("_s.stage_idx").alias("stage_idx"),
+                    F.col("_s.stage").alias("stage"),
+                    F.col("_s.n_in").cast("bigint").alias("n_in"),
+                    F.col("_s.n_kept").cast("bigint").alias("n_kept"),
+                    (F.col("_s.n_in") - F.col("_s.n_kept")).cast("bigint")
+                    .alias("n_dropped")))
 
 
 def curation_funnel(docs: DataFrame, benchmark: "DataFrame | None" = None,
@@ -441,54 +524,122 @@ def curation_funnel(docs: DataFrame, benchmark: "DataFrame | None" = None,
         train_val_split,
     )
 
-    base = docs.select(F.col(id_col))
-    lf = (lang_id(docs, text_col, id_col)
-          .select(id_col, (F.col("predicted_lang") == lang).alias("_g1")))
-    qf = (quality_features(docs, text_col, id_col)
-          .select(id_col,
-                  (F.col("quality_score") >= float(min_quality))
-                  .alias("_g2")))
-    rf = (repetition_features(docs, text_col, id_col)
-          .select(id_col, F.col("keep").alias("_g3")))
+    stages = [
+        ("lang", lang_id(docs, text_col, id_col)
+         .select(id_col, (F.col("predicted_lang") == lang).alias("flag"))),
+        ("quality", quality_features(docs, text_col, id_col)
+         .select(id_col, (F.col("quality_score") >= float(min_quality))
+                 .alias("flag"))),
+        ("repetition", repetition_features(docs, text_col, id_col)
+         .select(id_col, F.col("keep").alias("flag"))),
+        ("decontaminate",
+         (decontaminate(docs, benchmark, k=decontaminate_k,
+                        text_col=text_col, id_col=id_col)
+          .select(F.col("id").alias(id_col),
+                  (~F.col("contaminated")).alias("flag")))
+         if benchmark is not None
+         else docs.select(id_col, F.lit(True).alias("flag"))),
+        ("dedup_exact", dedup_exact(docs, text_col=text_col, id_col=id_col)
+         .select(id_col, F.lit(True).alias("flag"))),
+        ("split_train", train_val_split(docs, id_col=id_col)
+         .select(id_col, (F.col("split") == "train").alias("flag"))),
+    ]
+    return _funnel_from_stages(docs, stages, id_col)
+
+
+def curation_funnel_cfg(docs: DataFrame, cfg: CurationConfig,
+                        benchmark: "DataFrame | None" = None) -> DataFrame:
+    """Per-gate survivor funnel for the CONFIGURED gate chain — the
+    cfg-driven sibling of :func:`curation_funnel` (which reports the
+    fixed default chain the oracle checks): stages appear exactly when
+    the config enables them, in :func:`curate`'s order, so the funnel's
+    final stage count equals `curate(docs, cfg, benchmark).count()` —
+    pinned by the consistency pytest, which is what keeps this frame
+    and the pipeline from drifting apart.  The split stage is NOT
+    reported: `curate` only annotates the split column, it never
+    filters on it, and the streaming metrics (:func:`curate_stream`
+    `metrics_path`) need final-stage == published.
+
+    Same 100 TB shape as the fixed funnel: one narrow id+flag frame per
+    enabled gate, one join chain, ONE aggregation, tidy rows via
+    :func:`_funnel_from_stages`."""
+    from singer_spark.operators.dedup import dedup_exact, minhash_lsh_pairs
+    from singer_spark.operators.text_analysis import (
+        decontaminate,
+        hash_embed,
+        lang_id,
+        quality_features,
+        repetition_features,
+    )
+
+    id_col, text_col = cfg.id_col, cfg.text_col
+
+    def _survives_rewrite(spans: DataFrame) -> DataFrame:
+        # mirrors _apply_span_rewrite: only docs CUT TO NOTHING drop
+        return spans.select(
+            F.col("id").alias(id_col),
+            ((F.col("clean_text") != "") | (F.col("n_removed") == 0)
+             | F.col("n_removed").isNull()).alias("flag"))
+
+    stages: "list[tuple[str, DataFrame]]" = []
+    if cfg.lang is not None:
+        stages.append(("lang", lang_id(docs, text_col, id_col).select(
+            id_col, (F.col("predicted_lang") == cfg.lang).alias("flag"))))
+    if cfg.min_quality is not None:
+        stages.append(("quality",
+                       quality_features(docs, text_col, id_col).select(
+                           id_col,
+                           (F.col("quality_score") >= cfg.min_quality)
+                           .alias("flag"))))
+    if cfg.quality_model_seed is not None or cfg.quality_model_path:
+        # NULL-text docs pass (the curate() convention)
+        nb = _nb_keep(docs, cfg, text_col, id_col)
+        stages.append(("quality_model", docs.join(nb, id_col, "left").select(
+            id_col,
+            ((F.col("keep") == 1) | F.col(text_col).isNull())
+            .alias("flag"))))
+    if cfg.repetition_screen:
+        stages.append(("repetition",
+                       repetition_features(docs, text_col, id_col)
+                       .select(id_col, F.col("keep").alias("flag"))))
     if benchmark is not None:
-        df_ = (decontaminate(docs, benchmark, k=decontaminate_k,
-                             text_col=text_col, id_col=id_col)
-               .select(F.col("id").alias(id_col),
-                       (~F.col("contaminated")).alias("_g4")))
-    else:
-        df_ = docs.select(id_col, F.lit(True).alias("_g4"))
-    canon = dedup_exact(docs, text_col=text_col, id_col=id_col) \
-        .select(id_col, F.lit(True).alias("_g5"))
-    sf = (train_val_split(docs, id_col=id_col)
-          .select(id_col, (F.col("split") == "train").alias("_g6")))
-    flags = (base.join(lf, id_col, "left").join(qf, id_col, "left")
-             .join(rf, id_col, "left").join(df_, id_col, "left")
-             .join(canon, id_col, "left").join(sf, id_col, "left"))
-    g = [F.coalesce(F.col(f"_g{i}"), F.lit(False)) for i in range(1, 7)]
-    cums = []
-    acc = None
-    for gi in g:
-        acc = gi if acc is None else (acc & gi)
-        cums.append(acc)
-    agg = flags.agg(
-        F.count("*").alias("_n0"),
-        *[F.sum(c.cast("long")).alias(f"_n{i+1}")
-          for i, c in enumerate(cums)])
-    names = ["input", "lang", "quality", "repetition", "decontaminate",
-             "dedup_exact", "split_train"]
-    rows = [F.struct(F.lit(0).alias("stage_idx"),
-                     F.lit("input").alias("stage"),
-                     F.col("_n0").alias("n_in"),
-                     F.col("_n0").alias("n_kept"))]
-    for i in range(1, 7):
-        rows.append(F.struct(F.lit(i).alias("stage_idx"),
-                             F.lit(names[i]).alias("stage"),
-                             F.col(f"_n{i-1}").alias("n_in"),
-                             F.col(f"_n{i}").alias("n_kept")))
-    return (agg.select(F.explode(F.array(*rows)).alias("_s"))
-            .select(F.col("_s.stage_idx").alias("stage_idx"),
-                    F.col("_s.stage").alias("stage"),
-                    F.col("_s.n_in").cast("bigint").alias("n_in"),
-                    F.col("_s.n_kept").cast("bigint").alias("n_kept"),
-                    (F.col("_s.n_in") - F.col("_s.n_kept")).cast("bigint")
-                    .alias("n_dropped")))
+        if cfg.decontaminate_mode == "spans":
+            from singer_spark.operators.text_analysis import (
+                decontaminate_spans,
+            )
+
+            stages.append(("decontaminate", _survives_rewrite(
+                decontaminate_spans(docs, benchmark,
+                                    k=cfg.decontaminate_k,
+                                    text_col=text_col, id_col=id_col))))
+        else:
+            stages.append(("decontaminate", decontaminate(
+                docs, benchmark, k=cfg.decontaminate_k,
+                text_col=text_col, id_col=id_col).select(
+                    F.col("id").alias(id_col),
+                    (~F.col("contaminated")).alias("flag"))))
+    if cfg.dedup == "exact":
+        stages.append(("dedup_exact",
+                       dedup_exact(docs, text_col=text_col, id_col=id_col)
+                       .select(id_col, F.lit(True).alias("flag"))))
+    elif cfg.dedup == "minhash":
+        pairs = minhash_lsh_pairs(docs, text_col, id_col,
+                                  threshold=cfg.minhash_threshold)
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        stages.append(("dedup_minhash", docs.join(
+            dropped.withColumn("_hit", F.lit(True)), id_col, "left")
+            .select(id_col, F.col("_hit").isNull().alias("flag"))))
+    elif cfg.dedup == "semantic":
+        from singer_spark.operators.similarity import semantic_dedup
+
+        emb = hash_embed(docs, dim=16, text_col=text_col, id_col=id_col)
+        stages.append(("dedup_semantic", semantic_dedup(
+            emb, n_clusters=8, threshold=cfg.semantic_threshold,
+            id_col=id_col).select(id_col, F.col("keep").alias("flag"))))
+    elif cfg.dedup == "spans":
+        from singer_spark.operators.dedup import dedup_spans
+
+        stages.append(("dedup_spans", _survives_rewrite(
+            dedup_spans(docs, k=cfg.span_k, text_col=text_col,
+                        id_col=id_col, min_run=cfg.span_min_run))))
+    return _funnel_from_stages(docs, stages, id_col)

@@ -386,6 +386,100 @@ def test_curate_learned_gate_pretrained_model(spark, tmp_path):
     assert 102 in kept  # NULL pass-through holds on the apply path
 
 
+def test_curation_funnel_cfg_matches_curate(spark, sf_dir):
+    """The cfg-driven funnel's final stage must equal curate()'s actual
+    survivor count for the SAME config — the pin that stops the
+    telemetry frame and the pipeline from drifting apart (r11)."""
+    from singer_spark.curation import (CurationConfig, curate,
+                                       curation_funnel_cfg)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    configs = [
+        (CurationConfig(split=False), bench),
+        (CurationConfig(dedup="minhash", split=False), None),
+        (CurationConfig(lang=None, dedup="spans", split=False,
+                        span_min_run=16), None),
+        (CurationConfig(min_quality=None, dedup="none", split=False,
+                        decontaminate_mode="spans"), bench),
+    ]
+    for cfg, b in configs:
+        rows = sorted(curation_funnel_cfg(docs, cfg, b).collect(),
+                      key=lambda r: r.stage_idx)
+        assert rows[0].stage == "input" and rows[0].n_in == docs.count()
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur.n_in == prev.n_kept
+            assert cur.n_dropped == cur.n_in - cur.n_kept
+        want = curate(docs, cfg, b).count()
+        assert rows[-1].n_kept == want, (cfg.dedup, rows)
+
+
+def test_curate_stream_metrics_funnel(spark, tmp_path):
+    """r11 (VERDICT r10 task #5): with metrics_path set, every batch
+    appends its funnel stage rows — per-epoch chains are consistent,
+    epoch input counts sum to the docs fed, the final stream_dedup
+    stage's n_kept sums to the rows actually published, and the
+    published OUTPUT is byte-identical to a metrics-off run
+    (restart-invariance preserved — telemetry must not touch data)."""
+    from singer_spark.curation import CurationConfig, curate_stream
+
+    schema = "doc_id bigint, text string"
+    good = ("the quick brown fox jumps over the lazy dog and then walks to "
+            "the river bank to drink some water in the morning sun today")
+    batch1 = [(1, good),
+              (2, "spam spam spam spam spam spam spam spam spam spam")]
+    batch2 = [(10, good + " extra"),
+              (11, "a completely different well formed english sentence "
+                   "about the weather and the garden this afternoon")]
+    cfg = CurationConfig(lang="en", min_quality=0.3, repetition_screen=True,
+                         dedup="none", split=False)
+
+    def run(tag, metrics):
+        src = str(tmp_path / f"src_{tag}")
+        for rows in (batch1, batch2):
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("append").parquet(src)
+            q = (curate_stream(
+                spark.readStream.schema(schema).parquet(src),
+                str(tmp_path / f"ckpt_{tag}"), str(tmp_path / f"state_{tag}"),
+                str(tmp_path / f"out_{tag}"), cfg,
+                metrics_path=(str(tmp_path / f"metrics_{tag}")
+                              if metrics else None))
+                .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            q.stop()
+        return {(r.doc_id, r.text) for r in
+                spark.read.parquet(str(tmp_path / f"out_{tag}")).collect()}
+
+    with_metrics = run("m", True)
+    plain = run("p", False)
+    assert with_metrics == plain  # telemetry never touches the data path
+
+    m = spark.read.parquet(str(tmp_path / "metrics_m")).collect()
+    by_epoch: dict = {}
+    for r in m:
+        by_epoch.setdefault(r.epoch_id, []).append(r)
+    assert len(by_epoch) == 2  # one funnel per batch
+    total_in = 0
+    total_pub = 0
+    for _epoch, rows in by_epoch.items():
+        rows = sorted(rows, key=lambda r: r.stage_idx)
+        assert rows[0].stage == "input"
+        assert rows[-1].stage == "stream_dedup_minhash"
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur.n_in == prev.n_kept
+            assert cur.n_dropped == cur.n_in - cur.n_kept
+        total_in += rows[0].n_in
+        total_pub += rows[-1].n_kept
+    assert total_in == len(batch1) + len(batch2)
+    assert total_pub == len(with_metrics)
+    # gate stages appear in the configured order
+    stages0 = [r.stage for r in sorted(by_epoch[min(by_epoch)],
+                                       key=lambda r: r.stage_idx)]
+    assert stages0 == ["input", "lang", "quality", "repetition",
+                       "stream_dedup_minhash"]
+
+
 def test_curation_funnel_counts_are_consistent(spark, sf_dir):
     """Funnel invariants: monotone survivors, chained n_in == previous
     n_kept, and the final stage equals the oracle-checked

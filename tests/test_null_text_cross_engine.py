@@ -63,6 +63,7 @@ NULL_SENSITIVE_KEYS = (
     "pack_bins",
     "text_blocklist",
     "unigram_em_tokenize",
+    "unigram_em_converge",
     # composed funnels over the documents table: a NULL/empty-text
     # divergence inside any composed gate would otherwise be invisible
     "curation_funnel",

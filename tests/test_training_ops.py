@@ -2366,6 +2366,40 @@ def test_blocklist_screen_counts_and_null_paths(spark):
     assert out[3]["n_tokens"] is None and out[3]["keep"] is None
 
 
+def test_unigram_em_converge_monotone_on_random_corpora(spark):
+    """r11 (VERDICT r10 task #6): the per-round total corpus cost is
+    monotone non-increasing on random corpora — the E-step is the exact
+    argmin under current integer costs, the M-step's Laplace estimate
+    minimizes the augmented objective, so cost can plateau but never
+    climb.  Also pins the report shape: n_words constant, round ids
+    contiguous from 0."""
+    import random
+
+    from singer_spark.operators.text_analysis import (unigram_em_converge,
+                                                      unigram_vocab)
+
+    rng = random.Random(411)
+    alphabet = "abcdef"
+    for trial in range(6):
+        rows = []
+        for d in range(12):
+            words = ["".join(rng.choice(alphabet)
+                             for _ in range(rng.randint(1, 9)))
+                     for _ in range(rng.randint(3, 15))]
+            rows.append((d, " ".join(words), "s"))
+        docs = _docs_df(spark, rows)
+        vocab = unigram_vocab(docs, max_multi=40, max_piece_len=4)
+        rep = sorted(unigram_em_converge(docs, vocab, rounds=3).collect(),
+                     key=lambda r: r["round"])
+        assert [r["round"] for r in rep] == [0, 1, 2, 3]
+        assert len({r["n_words"] for r in rep}) == 1  # same corpus
+        costs = [r["total_cost"] for r in rep]
+        for prev, cur in zip(costs, costs[1:]):
+            assert cur <= prev, (trial, costs)
+    with pytest.raises(ValueError):
+        unigram_em_converge(docs, vocab, rounds=0)
+
+
 def test_unigram_em_refine_matches_bruteforce(spark):
     from singer_spark.operators.text_analysis import (unigram_em_refine,
                                                       unigram_reference,
