@@ -57,7 +57,13 @@ fraction stays constant in k and measured growth is the plan's, not the
 salted-copy fixture's (where every window turns cross-copy shared and hit
 fraction rises with k — adversarial for a span remover by construction).
 
-Usage: python tools/scale_probe.py [sf_dir] [max_k] [scan|pairs|markov|events|skew|ann|spans]
+Round 11 adds `ann_incr` — the append_ann_codes write-path claim: a
+FIXED-SIZE increment appended to an index whose base grows 1-64× must
+cost the same at every scale (the append encodes only its own rows),
+while a probe over the grown codes table grows with the base (the
+contrast row proving the fixture scales).
+
+Usage: python tools/scale_probe.py [sf_dir] [max_k] [scan|pairs|markov|events|skew|ann|ann_incr|spans]
 """
 
 from __future__ import annotations
@@ -562,6 +568,75 @@ def ann_main(spark, sf_dir: str, ks: list[int]) -> None:
         print(f"{row}   {ratio:.1f}x over {ks[-1]}x data")
 
 
+def ann_incr_main(spark, sf_dir: str, ks: "list[int]") -> None:
+    """r11 (VERDICT r10 task #4 evidence): the append_ann_codes claim —
+    appending a FIXED-SIZE increment to a stored index costs the same
+    whether the base corpus is 1x or 64x, because the append encodes
+    only its own rows (the base is never re-read).  Per base scale k:
+    build the index over k-times-multiplied embeddings (untimed setup),
+    then time (a) append of the same fixed increment — expect ~FLAT —
+    and (b) a 10-query probe over the grown codes table — expect
+    ~linear in the base, the contrast row that shows the fixture is
+    actually growing."""
+    import shutil
+    import tempfile
+
+    from singer_spark.operators.similarity import (
+        append_ann_codes,
+        ivfpq_ann_topk,
+        ivfpq_encode,
+        ivfpq_train_model,
+        save_ann_model,
+    )
+
+    base1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # fixed increment: the base copy re-keyed far above any scaled id,
+    # deterministically perturbed — its size never changes with k
+    incr = base1.select(
+        (F.col("vec_id") + F.lit(900_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.0001 + 0.0007)
+        .alias("embedding"), "label").persist()
+    n_incr = incr.count()
+    # a real grown index keeps its trained quantizer: train ONCE on the
+    # base copy, reuse across scales
+    C, CB = ivfpq_train_model(base1, n_clusters=16, m=8, kc=16,
+                              iters_coarse=1, iters_pq=1)
+    q = base1.filter(F.col("vec_id") < 10)
+    root = tempfile.mkdtemp(prefix="scale_ann_incr_")
+    t_append: dict[int, float] = {}
+    t_probe: dict[int, float] = {}
+    n_base: dict[int, int] = {}
+    for k in ks:
+        base = multiplied_emb(spark, sf_dir, k).persist()
+        n_base[k] = base.count()
+        path = os.path.join(root, f"idx_{k}")
+        save_ann_model(spark, path, "ivfpq", centroids=C, codebooks=CB,
+                       codes=ivfpq_encode(base, (C, CB)))  # untimed build
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            append_ann_codes(spark, path, incr)
+            ts.append(time.time() - t0)
+        t_append[k] = statistics.median(ts)
+        grown = spark.read.parquet(f"{path}/codes")
+        t_probe[k] = _timed(lambda: ivfpq_ann_topk(
+            base, q, 5, nprobe=4, model=(C, CB), encoded=grown))
+        base.unpersist()
+        clear_all_caches(spark)
+    incr.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+    hdr = ("op".ljust(26) + "".join(f"  {k}x".rjust(8) for k in ks)
+           + "   growth")
+    print(f"fixed increment: {n_incr} rows; base rows per scale: "
+          + ", ".join(f"{k}x={n_base[k]}" for k in ks))
+    print(hdr)
+    for name, times in (("append_fixed_increment", t_append),
+                        ("probe_grown_codes", t_probe)):
+        ratio = times[ks[-1]] / times[ks[0]]
+        row = name.ljust(26) + "".join(f"{times[k]:8.2f}" for k in ks)
+        print(f"{row}   {ratio:.1f}x over {ks[-1]}x data")
+
+
 def bpe_main(spark, sf_dir: str, max_merges: int = 1000) -> None:
     """Encoder-shape probe (VERDICT r7 wrong #1): the replace-CHAIN
     encoder grows O(n_merges) plan nodes and per-document work, the
@@ -729,6 +804,13 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,
         while ks[-1] * 4 <= max_k:
             ks.append(ks[-1] * 4)
         ann_main(spark, sf_dir, ks)
+        spark.stop()
+        return
+    if mode == "ann_incr":
+        ks = [1]
+        while ks[-1] * 4 <= max_k:
+            ks.append(ks[-1] * 4)
+        ann_incr_main(spark, sf_dir, ks)
         spark.stop()
         return
     if mode == "spans":

@@ -354,11 +354,17 @@ def run_curation_soak(spark, root: str, seconds: float, telem=None) -> list[tupl
         part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
         os.rename(os.path.join(stage, part), os.path.join(src, f"chunk{i}.parquet"))
 
+    metrics_dir = os.path.join(root, "cur_metrics_churn")
+
     def cycle(tag: str, reader, cfg_=cfg, backend: str = "minhash") -> None:
         q = (curate_stream(reader, os.path.join(root, f"cur_ckpt_{tag}"),
                            os.path.join(root, f"cur_state_{tag}"),
                            os.path.join(root, f"cur_out_{tag}"), cfg_,
-                           stream_dedup=backend)
+                           stream_dedup=backend,
+                           # churned minhash run also exercises the r11
+                           # funnel telemetry under kill/restart churn
+                           metrics_path=(metrics_dir if tag == "churn"
+                                         else None))
              .trigger(availableNow=True).start())
         q.awaitTermination()
         q.stop()
@@ -399,6 +405,22 @@ def run_curation_soak(spark, root: str, seconds: float, telem=None) -> list[tupl
     s_ids = [d for d, _ in s_churn]
     s_good = (sorted(s_churn) == sorted(s_ref)
               and len(set(s_ids)) == len(s_ids) and len(s_churn) > 0)
+    # r11 funnel telemetry under churn: per-epoch chains consistent and
+    # the published-stage totals reconcile with the actual output (rows
+    # deduped by (epoch, stage) — a replayed epoch re-appends identical
+    # rows, the documented at-least-once contract)
+    mrows = spark.read.parquet(metrics_dir).distinct().collect()
+    by_epoch: dict = {}
+    for r in mrows:
+        by_epoch.setdefault(r.epoch_id, {})[r.stage_idx] = r
+    chains_ok = all(
+        stages[i].n_in == stages[i - 1].n_kept
+        for stages in by_epoch.values()
+        for i in sorted(stages) if i > 0)
+    m_pub = sum(stages[max(stages)].n_kept for stages in by_epoch.values())
+    m_in = sum(stages[0].n_in for stages in by_epoch.values())
+    m_good = (chains_ok and len(by_epoch) >= done
+              and m_pub == len(churn) and m_in > 0)
     return [("curation", "restart-invariance", len(ref), done, len(churn),
              len(set(ref) - set(churn)), len(churn) - len(set(churn)),
              "OK" if good else "FAIL"),
@@ -406,7 +428,10 @@ def run_curation_soak(spark, root: str, seconds: float, telem=None) -> list[tupl
              done, len(s_churn),
              len({d for d, _ in s_ref} - set(s_ids)),
              len(s_ids) - len(set(s_ids)),
-             "OK" if s_good else "FAIL")]
+             "OK" if s_good else "FAIL"),
+            ("curation-metrics", "funnel-reconciles", m_in, len(by_epoch),
+             m_pub, m_pub - len(churn), 0,
+             "OK" if m_good else "FAIL")]
 
 
 def run_dupes_metric_soak(spark, root: str, seconds: float,
