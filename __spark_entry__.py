@@ -1669,6 +1669,25 @@ def _unigram_em_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_em_converge(docs, vocab, rounds=2)
 
 
+def _unigram_prune_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenize after ONE vocabulary-pruning step (r11) —
+    the shrink half of SentencePiece's EM/prune alternation (Kudo 2018
+    §3.2; usage-count ranking): all single chars survive, the top 60%
+    of multi-char pieces by Viterbi usage survive, costs re-derive over
+    the pruned set — text_analysis.unigram_prune + unigram_encode.
+    The oracle chains two generated DP blocks with a window-ranked
+    prune between them."""
+    from singer_spark.operators.text_analysis import (unigram_encode,
+                                                      unigram_prune,
+                                                      unigram_vocab)
+
+    docs = _docs(spark, sf_dir)
+    vocab = unigram_vocab(docs, max_multi=100, max_piece_len=4)
+    pruned = unigram_prune(docs, vocab, keep_ratio=0.6)
+    return unigram_encode(docs, pruned).select(
+        "doc_id", "n_words", "n_pieces", "total_cost")
+
+
 def _unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-family, Kudo 2018) tokenize of the
     corpus: substring-frequency vocab (all single chars + top-100
@@ -2884,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_segment": _unigram_segment,
         "unigram_em_tokenize": _unigram_em_tokenize,
         "unigram_em_converge": _unigram_em_converge,
+        "unigram_prune_tokenize": _unigram_prune_tokenize,
         "corpus_diversity": _corpus_diversity,
         "corpus_diversity_approx": _corpus_diversity_approx,
         "cluster_silhouette": _cluster_silhouette,
@@ -4351,6 +4371,56 @@ def _unigram_em_converge_oracle(rounds: int = 2, wmax: int = 16) -> str:
     return ("WITH " + ",".join(parts)
             + f" SELECT round::INT AS round, n_words, n_pieces, total_cost"
               f" FROM ({union}) ORDER BY round")
+
+
+def _unigram_prune_oracle(keep_ratio: float = 0.6, wmax: int = 16) -> str:
+    """Pruning-step replay (r11): chain-1 DP + backtrace give usage
+    counts; every single-char piece survives, multis rank by (cnt DESC,
+    piece) with the top ceil(keep_ratio·n_multi) kept; costs re-derive
+    over the SURVIVING set (V and T are the pruned set's); chain-2 DP
+    re-segments the corpus under the pruned vocabulary."""
+    return f"""
+            WITH {_unigram_base_sql(wmax=wmax)},
+            dws AS (SELECT w FROM dw),
+            {_unigram_backtrace_sql(wmax=wmax)},
+            pocc AS (
+              SELECT unnest(string_split(seg.pieces, ' ')) AS piece, wf.f
+              FROM seg JOIN wf USING (w)),
+            pcnt AS (SELECT piece, sum(f) AS cnt FROM pocc GROUP BY piece),
+            vc AS (SELECT voc.piece, coalesce(pcnt.cnt, 0) AS cnt
+                   FROM voc LEFT JOIN pcnt USING (piece)),
+            multis AS (SELECT piece, cnt FROM vc WHERE len(piece) > 1),
+            nmul AS (SELECT count(*) AS n FROM multis),
+            kept2 AS (
+              SELECT piece, cnt FROM vc WHERE len(piece) = 1
+              UNION ALL
+              SELECT piece, cnt FROM (
+                SELECT piece, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+                FROM multis) r CROSS JOIN nmul
+              WHERE rn <= ceil({keep_ratio} * nmul.n)),
+            vstat2 AS (SELECT count(*) AS V FROM kept2),
+            tot2 AS (SELECT sum(cnt) AS T FROM kept2),
+            voc2 AS MATERIALIZED (
+              SELECT piece,
+                     floor(-ln((cnt + 0.5) / (tot2.T + 0.5 * vstat2.V))
+                           * 1000000 + 0.5)::BIGINT AS c
+              FROM kept2 CROSS JOIN tot2 CROSS JOIN vstat2),
+            {_unigram_dp_sql("voc2", "_r1", wmax=wmax)},
+            agg AS (SELECT doc_id, count(*) AS n_words, sum(ns) AS n_pieces,
+                           sum(c) AS total_cost
+                    FROM tk JOIN dpf_r1 USING (w) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.n_words, 0) END::BIGINT
+                     AS n_words,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.n_pieces, 0) END::BIGINT
+                     AS n_pieces,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.total_cost, 0) END::BIGINT
+                     AS total_cost
+            FROM documents d LEFT JOIN agg USING (doc_id)"""
 
 
 def _unigram_tokenize_oracle() -> str:
@@ -5864,6 +5934,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_segment": _unigram_segment_oracle(),
         "unigram_em_tokenize": _unigram_em_oracle(),
         "unigram_em_converge": _unigram_em_converge_oracle(rounds=2),
+        "unigram_prune_tokenize": _unigram_prune_oracle(keep_ratio=0.6),
         # C4 bad-words gate: same lowercased list, list_contains filter
         "text_blocklist": """
             SELECT doc_id,

@@ -129,6 +129,7 @@ HEADLINERS = [
     # quality_model_roundtrip) are deliberately NOT headliners — they
     # measure train+save+reload+probe agreement, not a serving path.
     "unigram_em_converge",
+    "unigram_prune_tokenize",
 ]
 
 

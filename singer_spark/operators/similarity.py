@@ -276,9 +276,20 @@ def ivf_build_assignments(corpus: DataFrame, n_clusters: int = 16,
     """IVF coarse quantizer.  Default: *seeded* centroids (vectors with
     id < n_clusters — no Lloyd iterations, SQL-oracle-reproducible).  Pass a
     `centroids` table from :func:`ivf_train_centroids` for the trained
-    quantizer."""
-    C = (_centroid_matrix(centroids) if centroids is not None
-         else _seeded_centroids(corpus, n_clusters, id_col, vec_col))
+    quantizer.  A caller-supplied table may carry NON-CONTIGUOUS cluster
+    ids ({0, 2, 5}): the reported `cluster` is always the table's actual
+    id, never the argmax row index (the cluster_silhouette r11 fix; the
+    dense common case keeps the plain no-remap plan)."""
+    if centroids is not None:
+        C, ids = _centroid_matrix_ids(centroids)
+        out = _assign_to_centroids(corpus, C, id_col, vec_col)
+        if not np.array_equal(ids, np.arange(len(ids))):
+            lut = F.array(*[F.lit(int(i)) for i in ids])
+            out = out.withColumn(
+                "cluster",
+                F.element_at(lut, F.col("cluster").cast("int") + 1))
+        return out
+    C = _seeded_centroids(corpus, n_clusters, id_col, vec_col)
     return _assign_to_centroids(corpus, C, id_col, vec_col)
 
 

@@ -2688,6 +2688,27 @@ def unigram_em_refine(docs: DataFrame, vocab: "list[tuple[str, int]]",
     integer costs out — the whole step replays in SQL.
 
     Returns [(piece, cost')] over the SAME piece set, sorted by piece."""
+    counts = _unigram_usage_counts(docs, vocab, max_word_len,
+                                   text_col, id_col)
+    a, V = float(alpha), len(vocab)
+    T = sum(counts.values())
+    import math as _math
+
+    return sorted(
+        (p, int(_math.floor(-_math.log((counts.get(p, 0) + a)
+                                       / (T + a * V)) * 1_000_000 + 0.5)))
+        for p, _ in vocab)
+
+
+def _unigram_usage_counts(docs: DataFrame, vocab: "list[tuple[str, int]]",
+                          max_word_len: int = 16, text_col: str = "text",
+                          id_col: str = "doc_id") -> "dict[str, int]":
+    """Word-frequency-weighted counts of the vocab pieces the Viterbi
+    actually USES — the E-step statistic shared by
+    :func:`unigram_em_refine` (re-costing) and :func:`unigram_prune`
+    (vocabulary shrinking).  Segmentation runs over the DISTINCT-word
+    frame; only the vocab-sized count table collects.  Words longer
+    than `max_word_len` are excluded (they segment to <unk>)."""
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(dict(vocab))
     W = int(max_word_len)
@@ -2713,16 +2734,52 @@ def unigram_em_refine(docs: DataFrame, vocab: "list[tuple[str, int]]",
                    .alias("piece"), F.col("_f"))
            .groupBy("piece").agg(F.sum("_f").alias("cnt")))
     vd = dict(vocab)
-    counts = {r["piece"]: int(r["cnt"]) for r in occ.collect()
-              if r["piece"] in vd}
-    a, V = float(alpha), len(vocab)
-    T = sum(counts.values())
+    return {r["piece"]: int(r["cnt"]) for r in occ.collect()
+            if r["piece"] in vd}
+
+
+def unigram_prune(docs: DataFrame, vocab: "list[tuple[str, int]]",
+                  keep_ratio: float = 0.8, alpha: float = 0.5,
+                  max_word_len: int = 16, text_col: str = "text",
+                  id_col: str = "doc_id") -> "list[tuple[str, int]]":
+    """ONE vocabulary-pruning step of the unigram-LM training loop —
+    the shrink half of SentencePiece's alternation (Kudo 2018 §3.2:
+    after each EM round the vocabulary is cut toward its target size;
+    SentencePiece ranks pieces by their likelihood contribution, this
+    implements the standard usage-count simplification — pieces the
+    Viterbi never or rarely picks go first, which is the same ordering
+    on the dominant never/rarely-used tail):
+
+    - every SINGLE-character piece survives (coverage — any word must
+      remain segmentable, the seed-vocab discipline);
+    - multi-character pieces rank by Viterbi usage count (desc, tie:
+      piece asc) and the top ceil(keep_ratio · n_multi) survive;
+    - costs re-derive from the usage distribution over the SURVIVING
+      set with Laplace smoothing (same recost rule as
+      :func:`unigram_em_refine`, with V and T now the pruned set's).
+
+    100 TB shape: identical to the EM step — one distinct-word Arrow
+    DP pass, a vocab-sized collect, driver-side ranking of a list that
+    is capped by construction (`unigram_vocab`'s max_multi).
+
+    Returns [(piece, cost)] over the pruned set, sorted by piece."""
+    if not 0.0 < keep_ratio <= 1.0:
+        raise ValueError(f"keep_ratio must be in (0, 1], got {keep_ratio}")
+    counts = _unigram_usage_counts(docs, vocab, max_word_len,
+                                   text_col, id_col)
+    singles = [p for p, _ in vocab if len(p) == 1]
+    multis = [p for p, _ in vocab if len(p) > 1]
     import math as _math
 
+    k = _math.ceil(keep_ratio * len(multis))
+    kept = singles + sorted(multis,
+                            key=lambda p: (-counts.get(p, 0), p))[:k]
+    a, V = float(alpha), len(kept)
+    T = sum(counts.get(p, 0) for p in kept)
     return sorted(
         (p, int(_math.floor(-_math.log((counts.get(p, 0) + a)
                                        / (T + a * V)) * 1_000_000 + 0.5)))
-        for p, _ in vocab)
+        for p in kept)
 
 
 def unigram_em_converge(docs: DataFrame, vocab: "list[tuple[str, int]]",

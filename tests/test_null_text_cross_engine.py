@@ -64,6 +64,7 @@ NULL_SENSITIVE_KEYS = (
     "text_blocklist",
     "unigram_em_tokenize",
     "unigram_em_converge",
+    "unigram_prune_tokenize",
     # composed funnels over the documents table: a NULL/empty-text
     # divergence inside any composed gate would otherwise be invisible
     "curation_funnel",

@@ -2336,6 +2336,15 @@ def test_cluster_silhouette_noncontiguous_centroid_ids(spark):
         == {(r["cluster"], r["n_vecs"], r["mean_silhouette"])
             for r in sparse}
     assert {r["cluster"] for r in sparse} <= {0, 2, 5}
+    # ivf_build_assignments carries the same contract: reported cluster
+    # ids are the table's actual ids, and the remap only relabels
+    from singer_spark.operators.similarity import ivf_build_assignments
+
+    a_dense = {r["vec_id"]: r["cluster"] for r in
+               ivf_build_assignments(emb, centroids=cents).collect()}
+    a_sparse = {r["vec_id"]: r["cluster"] for r in
+                ivf_build_assignments(emb, centroids=remapped).collect()}
+    assert {v: relabel[c] for v, c in a_dense.items()} == a_sparse
 
 
 def test_blocklist_screen_empty_blocklist_keeps_everything(spark):
@@ -2398,6 +2407,54 @@ def test_unigram_em_converge_monotone_on_random_corpora(spark):
             assert cur <= prev, (trial, costs)
     with pytest.raises(ValueError):
         unigram_em_converge(docs, vocab, rounds=0)
+
+
+def test_unigram_prune_matches_bruteforce(spark):
+    """r11: the pruning step — all singles survive, top
+    ceil(keep_ratio·n_multi) multis by (usage desc, piece) survive,
+    costs re-derive over the pruned set — against a pure-Python replay
+    of the spec."""
+    import math
+
+    from singer_spark.operators.text_analysis import (unigram_prune,
+                                                      unigram_reference,
+                                                      unigram_vocab)
+
+    rows = [(0, "banana banana band bananas", "a"),
+            (1, "ban and bananas and band", "a"),
+            (2, None, "a")]
+    docs = _docs_df(spark, rows)
+    vocab = unigram_vocab(docs, max_multi=12, max_piece_len=4)
+    got = unigram_prune(docs, vocab, keep_ratio=0.5)
+
+    wf: dict = {}
+    for _, t, _s in rows:
+        for w in (t or "").split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    vd = dict(vocab)
+    counts: dict = {}
+    for w, f in wf.items():
+        if len(w) > 16:
+            continue
+        for p in unigram_reference(w, vd)[0]:
+            if p in vd:
+                counts[p] = counts.get(p, 0) + f
+    singles = [p for p, _ in vocab if len(p) == 1]
+    multis = [p for p, _ in vocab if len(p) > 1]
+    k = math.ceil(0.5 * len(multis))
+    kept = singles + sorted(multis, key=lambda p: (-counts.get(p, 0), p))[:k]
+    V = len(kept)
+    T = sum(counts.get(p, 0) for p in kept)
+    want = sorted(
+        (p, int(math.floor(-math.log((counts.get(p, 0) + 0.5)
+                                     / (T + 0.5 * V)) * 1e6 + 0.5)))
+        for p in kept)
+    assert got == want
+    assert set(singles) <= {p for p, _ in got}  # coverage preserved
+    assert len([p for p, _ in got if len(p) > 1]) == k
+    with pytest.raises(ValueError):
+        unigram_prune(docs, vocab, keep_ratio=0.0)
 
 
 def test_unigram_em_refine_matches_bruteforce(spark):
