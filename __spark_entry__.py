@@ -1669,6 +1669,22 @@ def _unigram_em_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_em_converge(docs, vocab, rounds=2)
 
 
+def _unigram_train_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenize under the FULL trainer (r11): seed -> one
+    hard-EM recost -> usage-ranked prune (keep 60% of multis) — the
+    complete SentencePiece alternation, text_analysis.unigram_train.
+    The oracle chains THREE generated DP blocks: seed segment + EM
+    recost, re-segment + window-ranked prune, final encode."""
+    from singer_spark.operators.text_analysis import (unigram_encode,
+                                                      unigram_train)
+
+    docs = _docs(spark, sf_dir)
+    trained = unigram_train(docs, max_multi=100, max_piece_len=4,
+                            em_rounds=1, keep_ratio=0.6)
+    return unigram_encode(docs, trained).select(
+        "doc_id", "n_words", "n_pieces", "total_cost")
+
+
 def _unigram_prune_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenize after ONE vocabulary-pruning step (r11) —
     the shrink half of SentencePiece's EM/prune alternation (Kudo 2018
@@ -2904,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_em_tokenize": _unigram_em_tokenize,
         "unigram_em_converge": _unigram_em_converge,
         "unigram_prune_tokenize": _unigram_prune_tokenize,
+        "unigram_train_tokenize": _unigram_train_tokenize,
         "corpus_diversity": _corpus_diversity,
         "corpus_diversity_approx": _corpus_diversity_approx,
         "cluster_silhouette": _cluster_silhouette,
@@ -4410,6 +4427,73 @@ def _unigram_prune_oracle(keep_ratio: float = 0.6, wmax: int = 16) -> str:
             agg AS (SELECT doc_id, count(*) AS n_words, sum(ns) AS n_pieces,
                            sum(c) AS total_cost
                     FROM tk JOIN dpf_r1 USING (w) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.n_words, 0) END::BIGINT
+                     AS n_words,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.n_pieces, 0) END::BIGINT
+                     AS n_pieces,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.total_cost, 0) END::BIGINT
+                     AS total_cost
+            FROM documents d LEFT JOIN agg USING (doc_id)"""
+
+
+def _unigram_train_oracle(keep_ratio: float = 0.6, wmax: int = 16) -> str:
+    """Full-trainer replay (r11): seed chain -> EM recost (the
+    _unigram_em_oracle step) -> chain 2 -> usage-ranked prune over the
+    chain-2 counts (the _unigram_prune_oracle step) -> chain 3
+    re-segments the corpus under the trained vocabulary."""
+    return f"""
+            WITH {_unigram_base_sql(wmax=wmax)},
+            dws AS (SELECT w FROM dw),
+            vstat AS (SELECT count(*) AS V FROM voc),
+            {_unigram_backtrace_sql(wmax=wmax)},
+            pocc AS (
+              SELECT unnest(string_split(seg.pieces, ' ')) AS piece, wf.f
+              FROM seg JOIN wf USING (w)),
+            pcnt AS (SELECT piece, sum(f) AS cnt FROM pocc GROUP BY piece),
+            tot_em AS (SELECT sum(coalesce(pcnt.cnt, 0)) AS T
+                       FROM voc LEFT JOIN pcnt USING (piece)),
+            voc2 AS MATERIALIZED (
+              SELECT voc.piece,
+                     floor(-ln((coalesce(pcnt.cnt, 0) + 0.5)
+                               / (tot_em.T + 0.5 * vstat.V))
+                           * 1000000 + 0.5)::BIGINT AS c
+              FROM voc LEFT JOIN pcnt USING (piece)
+                   CROSS JOIN tot_em CROSS JOIN vstat),
+            {_unigram_dp_sql("voc2", "_r1", wmax=wmax)},
+            {_unigram_backtrace_sql(dws="dws", dpall="dpall_r1",
+                                    sfx="_r1", wmax=wmax)},
+            pocc_r1 AS (
+              SELECT unnest(string_split(seg_r1.pieces, ' ')) AS piece, wf.f
+              FROM seg_r1 JOIN wf USING (w)),
+            pcnt_r1 AS (SELECT piece, sum(f) AS cnt FROM pocc_r1
+                        GROUP BY piece),
+            vc AS (SELECT voc.piece, coalesce(pcnt_r1.cnt, 0) AS cnt
+                   FROM voc LEFT JOIN pcnt_r1 USING (piece)),
+            multis AS (SELECT piece, cnt FROM vc WHERE len(piece) > 1),
+            nmul AS (SELECT count(*) AS n FROM multis),
+            kept2 AS (
+              SELECT piece, cnt FROM vc WHERE len(piece) = 1
+              UNION ALL
+              SELECT piece, cnt FROM (
+                SELECT piece, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+                FROM multis) r CROSS JOIN nmul
+              WHERE rn <= ceil({keep_ratio} * nmul.n)),
+            vstat2 AS (SELECT count(*) AS V FROM kept2),
+            tot2 AS (SELECT sum(cnt) AS T FROM kept2),
+            voc3 AS MATERIALIZED (
+              SELECT piece,
+                     floor(-ln((cnt + 0.5) / (tot2.T + 0.5 * vstat2.V))
+                           * 1000000 + 0.5)::BIGINT AS c
+              FROM kept2 CROSS JOIN tot2 CROSS JOIN vstat2),
+            {_unigram_dp_sql("voc3", "_r2", wmax=wmax)},
+            agg AS (SELECT doc_id, count(*) AS n_words, sum(ns) AS n_pieces,
+                           sum(c) AS total_cost
+                    FROM tk JOIN dpf_r2 USING (w) GROUP BY doc_id)
             SELECT d.doc_id,
                    CASE WHEN d.text IS NULL THEN NULL
                         ELSE coalesce(agg.n_words, 0) END::BIGINT
@@ -5935,6 +6019,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_em_tokenize": _unigram_em_oracle(),
         "unigram_em_converge": _unigram_em_converge_oracle(rounds=2),
         "unigram_prune_tokenize": _unigram_prune_oracle(keep_ratio=0.6),
+        "unigram_train_tokenize": _unigram_train_oracle(keep_ratio=0.6),
         # C4 bad-words gate: same lowercased list, list_contains filter
         "text_blocklist": """
             SELECT doc_id,

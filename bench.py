@@ -130,6 +130,7 @@ HEADLINERS = [
     # measure train+save+reload+probe agreement, not a serving path.
     "unigram_em_converge",
     "unigram_prune_tokenize",
+    "unigram_train_tokenize",
 ]
 
 

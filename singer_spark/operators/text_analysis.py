@@ -2833,6 +2833,36 @@ def unigram_em_converge(docs: DataFrame, vocab: "list[tuple[str, int]]",
     return out.orderBy("round")
 
 
+def unigram_train(docs: DataFrame, max_multi: int = 30_000,
+                  max_piece_len: int = 6, em_rounds: int = 1,
+                  keep_ratio: float = 0.8, alpha: float = 0.5,
+                  max_word_len: int = 16, text_col: str = "text",
+                  id_col: str = "doc_id") -> "list[tuple[str, int]]":
+    """End-to-end unigram-LM tokenizer training — the full SentencePiece
+    alternation (Kudo 2018 §3.2) composed from the engine's pieces:
+    substring-frequency seed (:func:`unigram_vocab`), `em_rounds`
+    hard-EM re-costings (:func:`unigram_em_refine`), then ONE
+    usage-ranked vocabulary prune (:func:`unigram_prune`) whose counts
+    come from segmenting under the final EM costs.  Returns the pruned
+    [(piece, cost)] vocabulary, ready for :func:`unigram_encode` — the
+    train-once artifact a production pipeline persists and applies per
+    batch (the nb_quality_model lifecycle discipline).
+
+    Every stage is a distinct-word Arrow DP pass plus a vocab-sized
+    collect — the corpus is never shuffled, and the driver state is
+    capped by `max_multi` at every step."""
+    vocab = unigram_vocab(docs, max_multi=max_multi,
+                          max_piece_len=max_piece_len,
+                          text_col=text_col, id_col=id_col)
+    for _ in range(em_rounds):
+        vocab = unigram_em_refine(docs, vocab, alpha=alpha,
+                                  max_word_len=max_word_len,
+                                  text_col=text_col, id_col=id_col)
+    return unigram_prune(docs, vocab, keep_ratio=keep_ratio, alpha=alpha,
+                         max_word_len=max_word_len,
+                         text_col=text_col, id_col=id_col)
+
+
 def nb_quality_model(docs: DataFrame, seed: "Column", alpha: float = 0.5,
                      max_vocab: int = 50_000, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:

@@ -2457,6 +2457,30 @@ def test_unigram_prune_matches_bruteforce(spark):
         unigram_prune(docs, vocab, keep_ratio=0.0)
 
 
+def test_unigram_train_is_the_pinned_composition(spark):
+    """r11: unigram_train must BE seed -> em_rounds x refine -> prune —
+    a structural identity pin so the convenience trainer can never
+    drift from the oracle-checked stages it composes."""
+    from singer_spark.operators.text_analysis import (unigram_em_refine,
+                                                      unigram_prune,
+                                                      unigram_train,
+                                                      unigram_vocab)
+
+    rows = [(0, "banana banana band bananas", "a"),
+            (1, "ban and bananas and band", "a")]
+    docs = _docs_df(spark, rows)
+    got = unigram_train(docs, max_multi=12, max_piece_len=4,
+                        em_rounds=2, keep_ratio=0.5)
+    v = unigram_vocab(docs, max_multi=12, max_piece_len=4)
+    v = unigram_em_refine(docs, v)
+    v = unigram_em_refine(docs, v)
+    want = unigram_prune(docs, v, keep_ratio=0.5)
+    assert got == want
+    # coverage: every single char of the corpus is in the trained vocab
+    chars = {c for _, t, _s in rows for c in t.replace(" ", "")}
+    assert chars <= {p for p, _ in got if len(p) == 1}
+
+
 def test_unigram_em_refine_matches_bruteforce(spark):
     from singer_spark.operators.text_analysis import (unigram_em_refine,
                                                       unigram_reference,
