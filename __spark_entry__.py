@@ -1439,6 +1439,83 @@ def _ann_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id"))
 
 
+def _ann_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tombstone deletion + compaction (r11), self-verifying: every
+    vec_id ≡ 3 (mod 7) is deleted from the stored index via an id-sized
+    tombstone append (`delete_ann_codes` — the codes table is never
+    rewritten), probed, then `compact_ann_codes` folds the tombstones
+    in and the probe re-runs over the rewritten table.  Both probes are
+    pinned equal to a full re-encode of the corpus MINUS the deleted
+    rows; `n_deleted` is re-derived exactly by the oracle from the
+    predicate."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from singer_spark.operators.similarity import (
+        compact_ann_codes,
+        delete_ann_codes,
+        ivfpq_ann_topk,
+        ivfpq_encode,
+        ivfpq_train_model,
+        load_ann_model,
+        save_ann_model,
+    )
+
+    emb = _emb(spark, sf_dir)
+    del_pred = F.col("vec_id") % 7 == 3
+    C, CB = ivfpq_train_model(emb, n_clusters=16, m=8, kc=16,
+                              iters_coarse=1, iters_pq=1)
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"singer_ann_del_{uid}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    # deterministic location overwritten per run — but a PRIOR run's
+    # leftover tombstones would also delete from this run's fresh codes
+    # (save_ann_model only rewrites codes/meta), so clear them first
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    save_ann_model(spark, path, "ivfpq", centroids=C, codebooks=CB,
+                   codes=ivfpq_encode(emb, (C, CB)))
+    live = delete_ann_codes(spark, path, emb.filter(del_pred))
+    n_live = live.count()
+    n_deleted = emb.filter(del_pred).count()
+    n_corpus = emb.count()
+
+    q = emb.filter(F.col("vec_id") < 8)
+
+    def flat(df: DataFrame, name: str) -> DataFrame:
+        return (df.groupBy("query_id")
+                .agg(F.concat_ws("|", F.array_sort(F.collect_list(
+                    F.concat_ws(":", "neighbor_id", "rank", "adc_micro"))))
+                    .alias(name)))
+
+    want = ivfpq_ann_topk(emb.filter(~del_pred), q, 5, nprobe=4,
+                          model=(C, CB))
+    # PIN the tombstone-phase probe before compacting: its plan reads
+    # the tombstone files, which compact_ann_codes deletes — an unpinned
+    # lazy frame would try to read them at final collect time
+    got_tomb = ivfpq_ann_topk(emb, q, 5, nprobe=4, model=(C, CB),
+                              encoded=live).localCheckpoint(eager=True)
+    n_compacted = compact_ann_codes(spark, path)
+    got_comp = ivfpq_ann_topk(emb, q, 5, nprobe=4, model=(C, CB),
+                              encoded=load_ann_model(spark, path)["codes"])
+    return (flat(want, "_w")
+            .join(flat(got_tomb, "_t"), "query_id", "full")
+            .join(flat(got_comp, "_c"), "query_id", "full")
+            .select("query_id",
+                    (F.col("_w") == F.col("_t"))
+                    .alias("tombstone_matches_reencode"),
+                    (F.col("_w") == F.col("_c"))
+                    .alias("compacted_matches_reencode"),
+                    F.lit(n_live == n_corpus - n_deleted
+                          and n_compacted == n_live)
+                    .alias("counts_reconcile"),
+                    F.lit(n_deleted).cast("bigint").alias("n_deleted"))
+            .orderBy("query_id"))
+
+
 def _dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-internal duplicate-span removal (Lee et al. 2022 exact-
     substring style at 8-gram granularity): every shared 8-token window
@@ -2930,6 +3007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_autoband": _lsh_autoband,
         "ann_model_roundtrip": _ann_model_roundtrip,
         "ann_incremental_probe": _ann_incremental_probe,
+        "ann_delete_probe": _ann_delete_probe,
         "dedup_spans": _dedup_spans,
         "dedup_spans_minrun": _dedup_spans_minrun,
         "dedup_spans_incremental": _dedup_spans_incremental,
@@ -6817,6 +6895,19 @@ def oracle_sql() -> dict[str, str]:
                    true AS codes_cover_corpus,
                    (SELECT CAST(count(*) AS BIGINT) FROM embeddings
                     WHERE vec_id % 10 = 7 AND vec_id >= 32) AS n_increment
+            FROM embeddings WHERE vec_id < 8 ORDER BY query_id""",
+        "ann_delete_probe": """
+            -- self-verifying: the Spark query probes the tombstoned and
+            -- the compacted codes tables against a re-encode of the
+            -- corpus minus the deleted rows in-plan; the oracle pins
+            -- the agreement booleans true and re-derives the deleted
+            -- count exactly from the predicate
+            SELECT vec_id AS query_id,
+                   true AS tombstone_matches_reencode,
+                   true AS compacted_matches_reencode,
+                   true AS counts_reconcile,
+                   (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+                    WHERE vec_id % 7 = 3) AS n_deleted
             FROM embeddings WHERE vec_id < 8 ORDER BY query_id""",
         "dedup_spans_minrun": """
             -- islands of overlapping shared 8-gram windows; cut only

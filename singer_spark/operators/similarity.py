@@ -1125,7 +1125,17 @@ def load_ann_model(spark, path: str) -> dict:
             CB[int(r.s), int(r.code)] = r.vec
         out["CB"] = CB
     if meta.has_codes:
-        out["codes"] = spark.read.parquet(f"{path}/codes")
+        codes = spark.read.parquet(f"{path}/codes")
+        try:
+            tombs = spark.read.parquet(f"{path}/tombstones").distinct()
+            # serve only LIVE rows: delete_ann_codes appends id-sized
+            # tombstones; compact_ann_codes folds them back in.  The
+            # try/except (not an fs existence check) keeps this working
+            # on any Hadoop-compatible FS the cluster uses
+            codes = codes.join(tombs, tombs.columns[0], "left_anti")
+        except Exception:  # noqa: BLE001 — no tombstone table: all live
+            pass
+        out["codes"] = codes
     return out
 
 
@@ -1169,6 +1179,64 @@ def append_ann_codes(spark, path: str, increment: DataFrame,
 
     write_dataset(enc, f"{path}/codes", mode="append")
     return spark.read.parquet(f"{path}/codes")
+
+
+def delete_ann_codes(spark, path: str, ids: DataFrame,
+                     id_col: str = "vec_id") -> DataFrame:
+    """Delete vectors from a stored index WITHOUT rewriting the codes
+    table — the tombstone half of the production write path (append =
+    :func:`append_ann_codes`, delete = here, rewrite = amortized into
+    :func:`compact_ann_codes`): the ids append to a `tombstones` table
+    and :func:`load_ann_model` serves `codes` anti-joined against it,
+    so a delete costs one id-sized write no matter how large the codes
+    table is.  Idempotent (re-deleting an id appends a duplicate
+    tombstone row; the anti-join reads both identically — the same
+    duplicates-only failure mode as compact_span_state).
+
+    Returns the live (tombstone-filtered) codes frame."""
+    codes = spark.read.parquet(f"{path}/codes")
+    idc = _encoded_id_col(codes, id_col, ("cell", "codes"))
+    (ids.select(F.col(id_col).alias(idc)).distinct()
+     .write.mode("append").parquet(f"{path}/tombstones"))
+    return load_ann_model(spark, path)["codes"]
+
+
+def compact_ann_codes(spark, path: str) -> int:
+    """Fold the tombstones into the codes table — one rewrite that
+    makes deletes free again (the span-state compaction discipline
+    applied to the index): codes minus tombstones is written to a
+    scratch dir, its files MOVE into the codes dir under fresh names,
+    then the old code files and the tombstone table are removed.  A
+    crash mid-way leaves codes a SUPERSET of the live rows with the
+    tombstones still present — the anti-join read is unchanged, only
+    the rewrite work is lost.  Returns the live row count."""
+    import os
+    import shutil
+    import uuid
+
+    codes_path = f"{path}/codes"
+    tomb_path = f"{path}/tombstones"
+    if not os.path.exists(tomb_path):
+        return spark.read.parquet(codes_path).count()
+    codes = spark.read.parquet(codes_path)
+    tombs = spark.read.parquet(tomb_path).distinct()
+    idc = tombs.columns[0]  # delete_ann_codes wrote the codes' id name
+    tmp = f"{codes_path}.compacting.{uuid.uuid4().hex[:8]}"
+    codes.join(tombs, idc, "left_anti").write.mode("overwrite").parquet(tmp)
+    old_files = [n for n in os.listdir(codes_path)
+                 if not n.startswith(("_", "."))]
+    tag = uuid.uuid4().hex[:8]
+    for i, name in enumerate(sorted(os.listdir(tmp))):
+        if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+            continue
+        os.rename(os.path.join(tmp, name),
+                  os.path.join(codes_path, f"compact-{tag}-{i}.parquet"))
+    for name in old_files:
+        p = os.path.join(codes_path, name)
+        (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(tomb_path, ignore_errors=True)
+    return spark.read.parquet(codes_path).count()
 
 
 def l2_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

@@ -830,6 +830,52 @@ def test_append_ann_codes_increment_equals_full_reencode(spark, tmp_path,
         sim.append_ann_codes(spark, str(tmp_path / "bare"), incr)
 
 
+def test_delete_and_compact_ann_codes(spark, tmp_path):
+    """r11: tombstone deletion + compaction — deletes cost one id-sized
+    append, load serves only live rows, double-delete is idempotent,
+    compaction folds tombstones in without changing what a probe sees,
+    and a fresh model dir with no tombstones loads untouched."""
+    from singer_spark.operators import similarity as sim
+
+    emb = _clustered_emb(spark, n=200).persist()
+    q = emb.filter(F.col("vec_id") < 6)
+    C, CB = sim.ivfpq_train_model(emb, n_clusters=8, m=8, kc=16,
+                                  iters_coarse=1, iters_pq=1)
+    path = str(tmp_path / "idx")
+    sim.save_ann_model(spark, path, "ivfpq", centroids=C, codebooks=CB,
+                       codes=sim.ivfpq_encode(emb, (C, CB)))
+    dead = emb.filter(F.col("vec_id") % 5 == 2)
+    n_dead = dead.count()
+
+    live = sim.delete_ann_codes(spark, path, dead)
+    assert live.count() == 200 - n_dead
+    # idempotent: re-deleting the same ids changes nothing
+    live = sim.delete_ann_codes(spark, path, dead)
+    assert live.count() == 200 - n_dead
+
+    def rows(df):
+        return sorted((r.query_id, r.neighbor_id, r.rank)
+                      for r in df.collect())
+
+    want = rows(sim.ivfpq_ann_topk(emb.filter(F.col("vec_id") % 5 != 2),
+                                   q, 5, nprobe=3, model=(C, CB)))
+    got = rows(sim.ivfpq_ann_topk(emb, q, 5, nprobe=3, model=(C, CB),
+                                  encoded=live).localCheckpoint(eager=True))
+    assert got == want
+
+    n_after = sim.compact_ann_codes(spark, path)
+    assert n_after == 200 - n_dead
+    import os
+
+    assert not os.path.exists(os.path.join(path, "tombstones"))
+    reloaded = sim.load_ann_model(spark, path)["codes"]
+    assert rows(sim.ivfpq_ann_topk(emb, q, 5, nprobe=3, model=(C, CB),
+                                   encoded=reloaded)) == want
+    # compacting a tombstone-less index is a no-op count
+    assert sim.compact_ann_codes(spark, path) == 200 - n_dead
+    emb.unpersist()
+
+
 def test_ivfpq_trained_beats_seeded_and_matches_model_shape(spark):
     """ivfpq_train_model returns a (C, CB) pair whose trained search
     finds planted near-duplicates (the dedup regime: each query gets 5
