@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="reference parquet whose token-length distribution "
                         "the surviving corpus is importance-resampled to "
                         "(applied AFTER the gates, before publish)")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="scrub emails/IPv4s/phone numbers from the "
+                        "PUBLISHED text (applied last; gates and dedup "
+                        "digests see the original bytes)")
     p.add_argument("--no-split", action="store_true")
     p.add_argument("--partition-by", default=None,
                    help="comma-separated hive partition columns")
@@ -82,6 +86,7 @@ def main(argv: list[str] | None = None) -> None:
         quality_model_path=args.quality_model_path,
         span_min_run=args.span_min_run,
         decontaminate_mode=args.decontaminate_mode,
+        redact_pii=args.redact_pii,
         split=not args.no_split,
     )
     if args.contamination_report and bench is not None:

@@ -58,6 +58,13 @@ class CurationConfig:
     # untouched docs keep their original bytes, and docs cut to nothing
     # are removed (originally-empty docs always survive).
     decontaminate_mode: str = "drop"
+    # scrub emails / IPv4s / phone numbers from the PUBLISHED text (the
+    # Dolma/CCNet PII stage, text_analysis.redact_pii).  Applied LAST,
+    # after every gate and dedup backend: gates and dedup digests see
+    # the original bytes (redaction must never change which docs
+    # survive or which copy is canonical), only the published text is
+    # scrubbed.  Never drops a doc; NULL text passes through.
+    redact_pii: bool = False
     split: bool = True                    # train/val/test hash split column
     text_col: str = "text"
     id_col: str = "doc_id"
@@ -208,6 +215,17 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
         out = _apply_span_rewrite(out, spans, id_col, text_col)
     elif cfg.dedup != "none":
         raise ValueError(f"unknown dedup backend {cfg.dedup!r}")
+    if cfg.redact_pii:
+        # redact OUT's current text (a spans backend may already have
+        # rewritten it — redacting the original would undo the cuts);
+        # regexp_replace(NULL) is NULL, so NULL text rides through
+        from singer_spark.operators.text_analysis import redact_pii
+
+        red = redact_pii(out.select(id_col, text_col), text_col, id_col)
+        out = (out.join(red.select(id_col,
+                                   F.col("redacted").alias("_red")),
+                        id_col)
+               .withColumn(text_col, F.col("_red")).drop("_red"))
     if cfg.split:
         out = train_val_split(out, id_col=id_col)
     return out

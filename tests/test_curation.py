@@ -386,6 +386,44 @@ def test_curate_learned_gate_pretrained_model(spark, tmp_path):
     assert 102 in kept  # NULL pass-through holds on the apply path
 
 
+def test_curate_redact_pii_scrubs_published_text_only(spark):
+    """r11: the PII stage — applied LAST, so (a) survivor ids are
+    identical with and without it (redaction never changes which docs
+    pass a gate or which copy is canonical), (b) the published text is
+    scrubbed, (c) it composes with a spans backend (redacts the CUT
+    text, not the original), and (d) NULL text rides through."""
+    from singer_spark.curation import CurationConfig, curate
+
+    boiler = " ".join(f"navchrome{j}" for j in range(24))
+    uniq = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank in the warm morning sun with a gentle breeze")
+    rows = [(1, f"{uniq} {boiler} mail bob@example.com now", "a"),
+            (2, f"{boiler} call +1-555-0100-99 and 10.0.0.7 ok", "a"),
+            (3, None, "a")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    base_cfg = dict(lang=None, min_quality=None, repetition_screen=False,
+                    split=False, span_k=8, span_min_run=16)
+
+    plain = curate(docs, CurationConfig(dedup="none", **base_cfg))
+    scrubbed = curate(docs, CurationConfig(dedup="none", redact_pii=True,
+                                           **base_cfg))
+    assert ({r.doc_id for r in plain.collect()}
+            == {r.doc_id for r in scrubbed.collect()})
+    t = {r.doc_id: r.text for r in scrubbed.collect()}
+    assert "<EMAIL>" in t[1] and "bob@example.com" not in t[1]
+    assert "<PHONE>" in t[2] and "<IP>" in t[2]
+    assert t[3] is None
+
+    # spans backend: doc 2's boilerplate is cut (doc 1 owns it) AND the
+    # published remainder is scrubbed — redaction ran on the CUT text
+    spans = curate(docs, CurationConfig(dedup="spans", redact_pii=True,
+                                        **base_cfg))
+    ts = {r.doc_id: r.text for r in spans.collect()}
+    assert "navchrome0" not in ts[2]          # boilerplate cut
+    assert "<PHONE>" in ts[2] and "<IP>" in ts[2]  # remainder scrubbed
+    assert ts[1].startswith(uniq)             # owner keeps its copy
+
+
 def test_curation_funnel_cfg_matches_curate(spark, sf_dir):
     """The cfg-driven funnel's final stage must equal curate()'s actual
     survivor count for the SAME config — the pin that stops the
