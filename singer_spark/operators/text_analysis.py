@@ -2863,6 +2863,26 @@ def unigram_train(docs: DataFrame, max_multi: int = 30_000,
                          text_col=text_col, id_col=id_col)
 
 
+def save_vocab(spark, vocab: "list[tuple[str, int]]", path: str) -> None:
+    """Persist a unigram/BPE-style [(piece, cost-or-rank)] table as
+    parquet — the train-once artifact (:func:`unigram_train`'s return,
+    :func:`unigram_vocab`'s seed) a pipeline stores and applies per
+    batch, completing the tokenizer's lifecycle the NB and ANN models
+    already have (save_nb_model / save_ann_model).  Integer values
+    round-trip parquet exactly, so a reloaded vocabulary segments
+    bit-identically."""
+    spark.createDataFrame(
+        [(p, int(c)) for p, c in vocab], "piece string, cost bigint") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_vocab(spark, path: str) -> "list[tuple[str, int]]":
+    """Reload a :func:`save_vocab` table, sorted by piece — the exact
+    list shape every unigram/encode function takes."""
+    return sorted((r.piece, int(r.cost)) for r in
+                  spark.read.parquet(path).collect())
+
+
 def nb_quality_model(docs: DataFrame, seed: "Column", alpha: float = 0.5,
                      max_vocab: int = 50_000, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:

@@ -465,9 +465,9 @@ _BNLJ_ALLOWLIST = {
     "corpus_mix", "dsir_sample", "hard_negatives", "heavy_hitters_tokens",
     "hybrid_search_rrf", "join_size_estimate", "lsh_autoband", "lsh_tuning",
     "ngram_lm_score", "pair_budget_report", "q11_important_stock",
-    # r11: q15's scalar max-revenue frame, broadcast back instead of a
-    # global unordered window over the per-supplier frame
-    "q15_top_supplier",
+    # (q15_top_supplier's r11 scalar-max broadcast plans as a
+    # BroadcastHashJoin, not BNLJ — deliberately NOT listed so the
+    # allowlist stays exactly the set of plans that carry one)
     # r10: NB classifier's vstats/totals/priors 1-row broadcast frames
     "quality_classifier",
     # r10: pack_bins_audit's 1-row bin/doc/base aggregate cross joins

@@ -2527,6 +2527,30 @@ def test_unigram_train_is_the_pinned_composition(spark):
     assert chars <= {p for p, _ in got if len(p) == 1}
 
 
+def test_vocab_save_load_roundtrip_segments_identically(spark, tmp_path):
+    """r11: the trained vocabulary persists and reloads EXACTLY (integer
+    costs round-trip parquet), so encoding under the reloaded table is
+    bit-identical to encoding under the in-memory one."""
+    from singer_spark.operators.text_analysis import (load_vocab,
+                                                      save_vocab,
+                                                      unigram_encode,
+                                                      unigram_train)
+
+    rows = [(0, "banana banana band bananas", "a"),
+            (1, "ban and bananas and band", "a")]
+    docs = _docs_df(spark, rows)
+    trained = unigram_train(docs, max_multi=12, max_piece_len=4,
+                            em_rounds=1, keep_ratio=0.5)
+    save_vocab(spark, trained, str(tmp_path / "vocab"))
+    reloaded = load_vocab(spark, str(tmp_path / "vocab"))
+    assert reloaded == sorted(trained)
+    want = {(r.doc_id, r.n_pieces, r.total_cost)
+            for r in unigram_encode(docs, trained).collect()}
+    got = {(r.doc_id, r.n_pieces, r.total_cost)
+           for r in unigram_encode(docs, reloaded).collect()}
+    assert got == want
+
+
 def test_unigram_em_refine_matches_bruteforce(spark):
     from singer_spark.operators.text_analysis import (unigram_em_refine,
                                                       unigram_reference,
