@@ -1125,16 +1125,22 @@ def load_ann_model(spark, path: str) -> dict:
             CB[int(r.s), int(r.code)] = r.vec
         out["CB"] = CB
     if meta.has_codes:
+        from pyspark.errors import AnalysisException
+
         codes = spark.read.parquet(f"{path}/codes")
         try:
             tombs = spark.read.parquet(f"{path}/tombstones").distinct()
             # serve only LIVE rows: delete_ann_codes appends id-sized
             # tombstones; compact_ann_codes folds them back in.  The
             # try/except (not an fs existence check) keeps this working
-            # on any Hadoop-compatible FS the cluster uses
+            # on any Hadoop-compatible FS the cluster uses.  ONLY the
+            # path-missing analysis error means "no deletes yet" — a
+            # corrupted tombstone table must raise, not silently serve
+            # deleted rows
             codes = codes.join(tombs, tombs.columns[0], "left_anti")
-        except Exception:  # noqa: BLE001 — no tombstone table: all live
-            pass
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
         out["codes"] = codes
     return out
 
