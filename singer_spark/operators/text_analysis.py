@@ -2667,8 +2667,9 @@ def blocklist_screen(docs: DataFrame, blocklist: "list[str]",
 
 def unigram_em_refine(docs: DataFrame, vocab: "list[tuple[str, int]]",
                       alpha: float = 0.5, max_word_len: int = 16,
-                      text_col: str = "text",
-                      id_col: str = "doc_id") -> "list[tuple[str, int]]":
+                      text_col: str = "text", id_col: str = "doc_id",
+                      words: "DataFrame | None" = None
+                      ) -> "list[tuple[str, int]]":
     """ONE hard-EM (Viterbi re-estimation) step of the unigram LM — the
     training loop SentencePiece iterates (Kudo 2018 §3.2 uses soft EM;
     Viterbi counts are the standard hard variant): segment every
@@ -2687,9 +2688,12 @@ def unigram_em_refine(docs: DataFrame, vocab: "list[tuple[str, int]]",
     are excluded from counts (they segment to <unk>).  Integer costs in,
     integer costs out — the whole step replays in SQL.
 
-    Returns [(piece, cost')] over the SAME piece set, sorted by piece."""
+    Returns [(piece, cost')] over the SAME piece set, sorted by piece.
+    `words`: an optional prebuilt (word `_w`, freq `_f`) frame — the
+    iterated loops (:func:`unigram_em_converge`) pass their persisted
+    frame so each round skips the corpus re-scan."""
     counts = _unigram_usage_counts(docs, vocab, max_word_len,
-                                   text_col, id_col)
+                                   text_col, id_col, words=words)
     a, V = float(alpha), len(vocab)
     T = sum(counts.values())
     import math as _math
@@ -2702,7 +2706,9 @@ def unigram_em_refine(docs: DataFrame, vocab: "list[tuple[str, int]]",
 
 def _unigram_usage_counts(docs: DataFrame, vocab: "list[tuple[str, int]]",
                           max_word_len: int = 16, text_col: str = "text",
-                          id_col: str = "doc_id") -> "dict[str, int]":
+                          id_col: str = "doc_id",
+                          words: "DataFrame | None" = None
+                          ) -> "dict[str, int]":
     """Word-frequency-weighted counts of the vocab pieces the Viterbi
     actually USES — the E-step statistic shared by
     :func:`unigram_em_refine` (re-costing) and :func:`unigram_prune`
@@ -2713,11 +2719,12 @@ def _unigram_usage_counts(docs: DataFrame, vocab: "list[tuple[str, int]]",
     bc = spark.sparkContext.broadcast(dict(vocab))
     W = int(max_word_len)
 
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    words = (fan_out(docs)
-             .select(F.explode(toks).alias("_w"))
-             .groupBy("_w").agg(F.count("*").alias("_f"))
-             .where(F.length("_w") <= W))
+    if words is None:
+        toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        words = (fan_out(docs)
+                 .select(F.explode(toks).alias("_w"))
+                 .groupBy("_w").agg(F.count("*").alias("_f")))
+    words = words.where(F.length("_w") <= W)
 
     from pyspark.sql.functions import pandas_udf
 
@@ -2798,11 +2805,14 @@ def unigram_em_converge(docs: DataFrame, vocab: "list[tuple[str, int]]",
     so improvements can stall but not reverse (up to the ±0.5-unit
     integer cost quantization, invisible at 1e-6-nat granularity).
 
-    100 TB shape: each round is the unigram_encode plan (distinct-word
-    Arrow DP, no shuffle beyond the word frame) plus one corpus-level
-    aggregate; the EM step between rounds collects only the vocab-sized
-    usage table (:func:`unigram_em_refine`).  `rounds` is small (2-5 —
-    SentencePiece itself runs a handful); the report is rounds+1 rows.
+    100 TB shape: the corpus is tokenized ONCE into a persisted
+    (word, freq) frame; every round after that touches only that frame
+    — one Arrow DP pass for the corpus totals (Σ f·cost over distinct
+    words equals the per-document sum exactly: integer arithmetic) and
+    one for the EM usage counts — so a k-round training loop costs ONE
+    corpus read plus k distinct-word passes, not 2k+1 corpus scans.
+    `rounds` is small (2-5 — SentencePiece itself runs a handful); the
+    report is rounds+1 rows.
 
     Output: (round, n_words, n_pieces, total_cost) — n_words is
     constant across rounds (same corpus; the oracle's sanity anchor),
@@ -2810,15 +2820,17 @@ def unigram_em_converge(docs: DataFrame, vocab: "list[tuple[str, int]]",
     improves."""
     if rounds < 1:
         raise ValueError("unigram_em_converge needs rounds >= 1")
+    from singer_spark.functions import maybe_persist
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    words = maybe_persist(
+        fan_out(docs).select(F.explode(toks).alias("_w"))
+        .groupBy("_w").agg(F.count("*").alias("_f")), True)
     frames = []
     costs = vocab
     for r in range(rounds + 1):
-        enc = unigram_encode(docs, costs, max_word_len=max_word_len,
-                             text_col=text_col, id_col=id_col)
         frames.append(
-            enc.agg(F.sum("n_words").alias("_w"),
-                    F.sum("n_pieces").alias("_p"),
-                    F.sum("total_cost").alias("_c"))
+            _word_frame_totals(words, costs, max_word_len)
             .select(F.lit(r).cast("int").alias("round"),
                     F.col("_w").cast("bigint").alias("n_words"),
                     F.col("_p").cast("bigint").alias("n_pieces"),
@@ -2826,11 +2838,40 @@ def unigram_em_converge(docs: DataFrame, vocab: "list[tuple[str, int]]",
         if r < rounds:
             costs = unigram_em_refine(docs, costs, alpha=alpha,
                                       max_word_len=max_word_len,
-                                      text_col=text_col, id_col=id_col)
+                                      text_col=text_col, id_col=id_col,
+                                      words=words)
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("round")
+
+
+def _word_frame_totals(words: DataFrame, vocab: "list[tuple[str, int]]",
+                       max_word_len: int) -> DataFrame:
+    """1-row (Σf, Σf·n_pieces, Σf·cost) corpus totals from a (word,
+    freq) frame — unigram_encode's per-document sums re-expressed over
+    distinct words (identical values: the sums are pure integer
+    arithmetic and Σ_docs Σ_words == Σ_distinct f·per-word)."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = words.sparkSession
+    bc = spark.sparkContext.broadcast(dict(vocab))
+    W = int(max_word_len)
+
+    @pandas_udf("struct<ns: bigint, c: bigint>")
+    def dp(ws: pd.Series) -> pd.DataFrame:
+        voc = bc.value
+        lmax = max((len(p) for p in voc), default=1)
+        rows = []
+        for w in ws:
+            pieces, cost = unigram_reference(str(w), voc, W, lmax)
+            rows.append((len(pieces), cost))
+        return pd.DataFrame(rows, columns=["ns", "c"])
+
+    return (words.withColumn("_d", dp(F.col("_w")))
+            .agg(F.sum("_f").alias("_w"),
+                 F.sum(F.col("_f") * F.col("_d.ns")).alias("_p"),
+                 F.sum(F.col("_f") * F.col("_d.c")).alias("_c")))
 
 
 def unigram_train(docs: DataFrame, max_multi: int = 30_000,
