@@ -2359,7 +2359,9 @@ UNIGRAM_UNK = "<unk>"
 
 def unigram_vocab(docs: DataFrame, max_multi: int = 30_000,
                   max_piece_len: int = 6, text_col: str = "text",
-                  id_col: str = "doc_id") -> "list[tuple[str, int]]":
+                  id_col: str = "doc_id",
+                  words: "DataFrame | None" = None
+                  ) -> "list[tuple[str, int]]":
     """Frequency-derived unigram-LM vocabulary — the fit half of a
     SentencePiece-style unigram tokenizer (Kudo 2018; the full EM prunes
     from this same substring-frequency seed, §3.2 of the SentencePiece
@@ -2383,11 +2385,15 @@ def unigram_vocab(docs: DataFrame, max_multi: int = 30_000,
     encodes load a trained vocab file; this derivation exists so the
     whole train→encode pipeline replays in plain SQL.
 
-    Returns [(piece, cost_int)] sorted by (piece) for stable broadcast."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    words = (fan_out(docs)
-             .select(F.explode(toks).alias("_w"))
-             .groupBy("_w").agg(F.count("*").alias("_f")))
+    Returns [(piece, cost_int)] sorted by (piece) for stable broadcast.
+    `words`: optional prebuilt (word `_w`, freq `_f`) frame — the full
+    trainer (:func:`unigram_train`) passes its persisted frame so the
+    seed derivation shares the one corpus tokenize."""
+    if words is None:
+        toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        words = (fan_out(docs)
+                 .select(F.explode(toks).alias("_w"))
+                 .groupBy("_w").agg(F.count("*").alias("_f")))
     L = int(max_piece_len)
     # all substrings of length 1..L with multiplicity: flatten over
     # start positions i=1..n of transform over lengths l=1..min(L, n-i+1)
@@ -2748,7 +2754,9 @@ def _unigram_usage_counts(docs: DataFrame, vocab: "list[tuple[str, int]]",
 def unigram_prune(docs: DataFrame, vocab: "list[tuple[str, int]]",
                   keep_ratio: float = 0.8, alpha: float = 0.5,
                   max_word_len: int = 16, text_col: str = "text",
-                  id_col: str = "doc_id") -> "list[tuple[str, int]]":
+                  id_col: str = "doc_id",
+                  words: "DataFrame | None" = None
+                  ) -> "list[tuple[str, int]]":
     """ONE vocabulary-pruning step of the unigram-LM training loop —
     the shrink half of SentencePiece's alternation (Kudo 2018 §3.2:
     after each EM round the vocabulary is cut toward its target size;
@@ -2773,7 +2781,7 @@ def unigram_prune(docs: DataFrame, vocab: "list[tuple[str, int]]",
     if not 0.0 < keep_ratio <= 1.0:
         raise ValueError(f"keep_ratio must be in (0, 1], got {keep_ratio}")
     counts = _unigram_usage_counts(docs, vocab, max_word_len,
-                                   text_col, id_col)
+                                   text_col, id_col, words=words)
     singles = [p for p, _ in vocab if len(p) == 1]
     multis = [p for p, _ in vocab if len(p) > 1]
     import math as _math
@@ -2889,19 +2897,29 @@ def unigram_train(docs: DataFrame, max_multi: int = 30_000,
     train-once artifact a production pipeline persists and applies per
     batch (the nb_quality_model lifecycle discipline).
 
-    Every stage is a distinct-word Arrow DP pass plus a vocab-sized
-    collect — the corpus is never shuffled, and the driver state is
-    capped by `max_multi` at every step."""
+    The corpus is tokenized ONCE into a persisted (word, freq) frame
+    shared by the seed derivation, every EM round, and the prune — a
+    k-stage training run costs one corpus read plus k distinct-word
+    passes, each a DP kernel plus a vocab-sized collect; the corpus is
+    never shuffled and the driver state is capped by `max_multi` at
+    every step."""
+    from singer_spark.functions import maybe_persist
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    words = maybe_persist(
+        fan_out(docs).select(F.explode(toks).alias("_w"))
+        .groupBy("_w").agg(F.count("*").alias("_f")), True)
     vocab = unigram_vocab(docs, max_multi=max_multi,
                           max_piece_len=max_piece_len,
-                          text_col=text_col, id_col=id_col)
+                          text_col=text_col, id_col=id_col, words=words)
     for _ in range(em_rounds):
         vocab = unigram_em_refine(docs, vocab, alpha=alpha,
                                   max_word_len=max_word_len,
-                                  text_col=text_col, id_col=id_col)
+                                  text_col=text_col, id_col=id_col,
+                                  words=words)
     return unigram_prune(docs, vocab, keep_ratio=keep_ratio, alpha=alpha,
                          max_word_len=max_word_len,
-                         text_col=text_col, id_col=id_col)
+                         text_col=text_col, id_col=id_col, words=words)
 
 
 def save_vocab(spark, vocab: "list[tuple[str, int]]", path: str) -> None:
