@@ -1962,6 +1962,18 @@ def _ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_lm_score(_docs(spark, sf_dir))
 
 
+def _source_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (r11, Xie et al. 2023 reduced to
+    its deterministic one-step core): per-source excess bigram-LM loss
+    vs the corpus mean, exponentiated-gradient weights over a uniform
+    prior with uniform smoothing — text_analysis.source_reweight; the
+    oracle replays the LM, the per-source means, and the
+    quantize-before-exp weight arithmetic in plain SQL."""
+    from singer_spark.operators.text_analysis import source_reweight
+
+    return source_reweight(_docs(spark, sf_dir), eta=1.0, smoothing=0.2)
+
+
 def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ES weighted draw: 50 docs, probability ∝ n_chars, deterministic."""
     from singer_spark.operators.text_analysis import weighted_sample_k
@@ -2972,6 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redaction": _text_pii_redaction,
         "tfidf_top_terms": _tfidf_top_terms,
         "ngram_lm_score": _ngram_lm_score,
+        "source_reweight": _source_reweight,
         "weighted_sample": _weighted_sample,
         "bm25_search": _bm25_search,
         "hybrid_search_rrf": _hybrid_search_rrf,
@@ -6433,6 +6446,45 @@ def oracle_sql() -> dict[str, str]:
                     FROM scored GROUP BY 1)
             SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.lm_score
             FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "source_reweight": """
+            WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+                          FROM documents),
+            pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2),
+            bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM pos),
+            cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+            cw AS (SELECT w1, sum(cb) AS cw FROM cb GROUP BY 1),
+            v AS (SELECT count(DISTINCT tt) AS V FROM (SELECT unnest(t) AS tt FROM toks)),
+            sc AS (SELECT b.doc_id,
+                          log2((coalesce(cb.cb, 0) + 1)
+                               / (coalesce(cw.cw, 0) + v.V)) AS logp
+                   FROM bi b
+                   LEFT JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+                   LEFT JOIN cw ON cw.w1 = b.w1
+                   CROSS JOIN v),
+            per_doc AS (SELECT doc_id,
+                               floor(-avg(logp) * 10000 + 0.5) / 10000
+                                 AS lm_score
+                        FROM sc GROUP BY 1),
+            joined AS (SELECT d.doc_id, d.source, p.lm_score
+                       FROM documents d LEFT JOIN per_doc p USING (doc_id)),
+            per_src AS (SELECT source, count(*) AS n_docs,
+                               count(lm_score) AS n_scored,
+                               floor(avg(lm_score) * 1000000 + 0.5)
+                                 / 1000000 AS mean_lm_score
+                        FROM joined GROUP BY source),
+            ref AS (SELECT floor(avg(lm_score) * 1000000 + 0.5) / 1000000
+                      AS r FROM joined),
+            ex AS (SELECT source, n_docs, n_scored, mean_lm_score,
+                          floor(greatest(mean_lm_score - ref.r, 0.0)
+                                * 1000000 + 0.5) / 1000000 AS excess
+                   FROM per_src CROSS JOIN ref),
+            raw AS (SELECT *, exp(1.0 * excess) AS rw FROM ex),
+            z AS (SELECT sum(rw) AS Z, count(*) AS k FROM raw)
+            SELECT source, n_docs, n_scored, mean_lm_score, excess,
+                   floor((0.8 * rw / z.Z + 0.2 / z.k) * 1000000 + 0.5)
+                     / 1000000 AS weight
+            FROM raw CROSS JOIN z ORDER BY source""",
         "weighted_sample": """
             WITH r AS (SELECT doc_id, n_chars::DOUBLE AS weight,
                 floor((-ln(((('0x' || substr(md5(CAST('wsample:' || doc_id::VARCHAR AS VARCHAR)), 1, 15))::BIGINT) + 1.0)

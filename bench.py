@@ -131,6 +131,7 @@ HEADLINERS = [
     "unigram_em_converge",
     "unigram_prune_tokenize",
     "unigram_train_tokenize",
+    "source_reweight",
 ]
 
 

@@ -1265,6 +1265,69 @@ def ngram_lm_score(docs: DataFrame, lm_docs: DataFrame | None = None,
         id_col, F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"), "lm_score")
 
 
+def source_reweight(docs: DataFrame, eta: float = 1.0,
+                    smoothing: float = 0.2,
+                    lm_docs: "DataFrame | None" = None,
+                    text_col: str = "text", source_col: str = "source",
+                    id_col: str = "doc_id", round_to: int = 6) -> DataFrame:
+    """Domain-mixture reweighting from excess LM loss — the DoReMi idea
+    (Xie et al. 2023, public: upweight domains the reference model
+    finds hard, via exponentiated-gradient steps on per-domain excess
+    loss) reduced to its deterministic one-step core over the engine's
+    bigram LM (:func:`ngram_lm_score`, the CCNet perplexity proxy):
+
+    - per-doc loss = lm_score (mean −log2 bigram prob; NULL for
+      single-word/NULL docs — skipped by the averages, both engines);
+    - per-source mean loss and the corpus-wide mean over the same
+      scored docs (the reference);
+    - excess_s = max(0, mean_s − mean_corpus), quantized 1e-6 BEFORE
+      the exponential so both engines exponentiate identical doubles;
+    - raw_s = exp(eta · excess_s) over a uniform prior, normalized,
+      then uniform-smoothed: w_s = (1−c)·raw_s/Σraw + c/k (DoReMi's
+      smoothing keeps every domain sampled).
+
+    Feed the weights to :func:`corpus_mix_sample` to draw the
+    reweighted mixture.  100 TB shape: one scored-corpus pass (the LM
+    plan), one per-source aggregation, and two 1-row scalar frames
+    (corpus mean, Σraw) broadcast back — the k-row source frame is the
+    only thing past the shuffle.
+
+    Output: (source, n_docs, n_scored, mean_lm_score, excess, weight)
+    ordered by source; weights sum to 1 up to rounding."""
+    from singer_spark.functions import maybe_persist
+
+    scores = ngram_lm_score(docs, lm_docs=lm_docs, text_col=text_col,
+                            id_col=id_col)
+    # the scored frame feeds BOTH the per-source and the corpus-mean
+    # aggregates — persist so the LM scoring join runs once
+    per_doc = maybe_persist(
+        docs.select(id_col, F.col(source_col).alias("source"))
+        .join(scores, id_col), True)
+    per_src = (per_doc.groupBy("source")
+               .agg(F.count("*").alias("n_docs"),
+                    F.count("lm_score").alias("n_scored"),
+                    qround(F.avg("lm_score"), round_to)
+                    .alias("mean_lm_score")))
+    corpus = per_doc.agg(
+        qround(F.avg("lm_score"), round_to).alias("_ref"))
+    excess = qround(
+        F.greatest(F.col("mean_lm_score") - F.col("_ref"), F.lit(0.0)),
+        round_to)
+    raw = F.exp(F.lit(float(eta)) * F.col("excess"))
+    based = (per_src.crossJoin(F.broadcast(corpus))
+             .withColumn("excess", excess)
+             .withColumn("_raw", raw))
+    totals = based.agg(F.sum("_raw").alias("_Z"),
+                       F.count("*").alias("_k"))
+    c = float(smoothing)
+    w = ((1.0 - c) * F.col("_raw") / F.col("_Z")
+         + c / F.col("_k"))
+    return (based.crossJoin(F.broadcast(totals))
+            .select("source", "n_docs", "n_scored", "mean_lm_score",
+                    "excess", qround(w, round_to).alias("weight"))
+            .orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 # Weighted sampling without replacement (Efraimidis–Spirakis A-ES).
 # ---------------------------------------------------------------------------

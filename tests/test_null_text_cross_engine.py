@@ -66,6 +66,7 @@ NULL_SENSITIVE_KEYS = (
     "unigram_em_converge",
     "unigram_prune_tokenize",
     "unigram_train_tokenize",
+    "source_reweight",
     # composed funnels over the documents table: a NULL/empty-text
     # divergence inside any composed gate would otherwise be invisible
     "curation_funnel",

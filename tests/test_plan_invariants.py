@@ -479,7 +479,13 @@ _BNLJ_ALLOWLIST = {
     # 1-row-total cross join along with the global ntile window
     "q22_idle_customers", "range_join_value_tiers",
     "semantic_decontaminate", "sim_bruteforce_topk", "skew_report",
-    "source_kl_state_bound", "source_unigram_kl", "tfidf_top_terms",
+    "source_kl_state_bound", "source_unigram_kl",
+    # r11: source_reweight's vocab-V / corpus-mean / sum-raw 1-row
+    # scalar frames (the LM plan's expanded cached subtrees multiply
+    # their appearance in the static audit; execution substitutes the
+    # persisted frames)
+    "source_reweight",
+    "tfidf_top_terms",
     "token_drift", "value_histogram",
 }
 

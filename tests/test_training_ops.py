@@ -2503,6 +2503,51 @@ def test_unigram_prune_matches_bruteforce(spark):
         unigram_prune(docs, vocab, keep_ratio=0.0)
 
 
+def test_source_reweight_matches_bruteforce_and_bounds(spark):
+    """r11 DoReMi-style reweighting: weights match a pure-Python replay
+    of the spec (per-source mean LM loss -> quantized excess ->
+    exp(eta*excess) over uniform prior -> uniform smoothing), the
+    hardest source gets the largest weight, every weight respects the
+    smoothing floor c/k, and weights sum to ~1."""
+    import math
+
+    from singer_spark.operators.text_analysis import (ngram_lm_score,
+                                                      source_reweight)
+
+    fluent = ("the cat sat on the mat and the dog sat on the mat and "
+              "the cat sat on the mat again")
+    rows = ([(i, fluent, "easy") for i in range(6)]
+            + [(10 + i, " ".join(f"zx{i}q{j}" for j in range(12)), "hard")
+               for i in range(6)]
+            + [(30, None, "hard")])
+    docs = _docs_df(spark, rows)
+    out = {r.source: r for r in
+           source_reweight(docs, eta=1.0, smoothing=0.2).collect()}
+
+    lm = {r.doc_id: r.lm_score
+          for r in ngram_lm_score(docs).collect() if r.lm_score is not None}
+    src = {d: s for d, _t, s in rows}
+    by = {}
+    for d, v in lm.items():
+        by.setdefault(src[d], []).append(v)
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    ref = q6(sum(lm.values()) / len(lm))
+    means = {s: q6(sum(v) / len(v)) for s, v in by.items()}
+    exc = {s: q6(max(m - ref, 0.0)) for s, m in means.items()}
+    raw = {s: math.exp(exc[s]) for s in exc}
+    Z, k = sum(raw.values()), len(raw)
+    want = {s: q6(0.8 * raw[s] / Z + 0.2 / k) for s in raw}
+    for s in want:
+        assert out[s].weight == want[s], (s, out[s].weight, want[s])
+        assert out[s].weight >= 0.2 / k - 1e-9  # smoothing floor
+    assert out["hard"].weight > out["easy"].weight  # hard domain upweighted
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-5
+    assert out["hard"].n_docs == 7 and out["hard"].n_scored == 6  # NULL doc
+
+
 def test_unigram_train_is_the_pinned_composition(spark):
     """r11: unigram_train must BE seed -> em_rounds x refine -> prune —
     a structural identity pin so the convenience trainer can never
