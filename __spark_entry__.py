@@ -1344,13 +1344,13 @@ def _ann_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 8)
     C, CB = ivfpq_train_model(emb, n_clusters=16, m=8, kc=16,
                               iters_coarse=1, iters_pq=1)
-    # deterministic per-(uid, sf_dir) location, OVERWRITTEN each run —
-    # a mkdtemp here leaked one corpus-sized codes dir per oracle/plan/
-    # gate invocation on long-lived hosts (review r10 #8)
+    # pid-unique + pin-then-rmtree (ADVICE r11 #5 discipline, applied
+    # family-wide): no leak (cleanup below) and no cross-process
+    # interleaving on a shared fixture path
     uid = os.getuid() if hasattr(os, "getuid") else "na"
     path = os.path.join(
         tempfile.gettempdir(),
-        f"singer_ann_model_{uid}_"
+        f"singer_ann_model_{uid}_{os.getpid()}_"
         f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
     save_ann_model(spark, path, "ivfpq", centroids=C, codebooks=CB,
                    codes=ivfpq_encode(emb, (C, CB)))
@@ -1367,11 +1367,16 @@ def _ann_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     want = ivfpq_ann_topk(emb, q, 5, nprobe=4, model=(C, CB))
     got = ivfpq_ann_topk(emb, q, 5, nprobe=4,
                          model=(M["C"], M["CB"]), encoded=M["codes"])
-    return (flat(want, "_w").join(flat(got, "_g"), "query_id", "full")
-            .select("query_id",
-                    (F.col("_w") == F.col("_g")).alias("probe_matches_train"),
-                    F.lit(arrays_ok).alias("arrays_roundtrip"))
-            .orderBy("query_id"))
+    res = (flat(want, "_w").join(flat(got, "_g"), "query_id", "full")
+           .select("query_id",
+                   (F.col("_w") == F.col("_g")).alias("probe_matches_train"),
+                   F.lit(arrays_ok).alias("arrays_roundtrip"))
+           .orderBy("query_id")
+           .localCheckpoint(eager=True))
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    return res
 
 
 def _ann_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1408,9 +1413,13 @@ def _ann_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic per-(uid, sf_dir) location, OVERWRITTEN each run
     # (the ann_model_roundtrip leak discipline — codes are corpus-sized)
     uid = os.getuid() if hasattr(os, "getuid") else "na"
+    # pid-unique (ADVICE r11 #5: two concurrent driver runs over one
+    # fixture interleaved save/append on a shared index and could flake
+    # the agreement booleans) + eager-pin-then-rmtree below keeps the
+    # leak discipline the deterministic path bought (review r10 #8)
     path = os.path.join(
         tempfile.gettempdir(),
-        f"singer_ann_incr_{uid}_"
+        f"singer_ann_incr_{uid}_{os.getpid()}_"
         f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
     save_ann_model(spark, path, "ivfpq", centroids=C, codebooks=CB,
                    codes=ivfpq_encode(base, (C, CB)))
@@ -1430,13 +1439,20 @@ def _ann_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     want = ivfpq_ann_topk(emb, q, 5, nprobe=4, model=(C, CB))
     got = ivfpq_ann_topk(emb, q, 5, nprobe=4, model=(C, CB),
                          encoded=grown)
-    return (flat(want, "_w").join(flat(got, "_g"), "query_id", "full")
-            .select("query_id",
-                    (F.col("_w") == F.col("_g"))
-                    .alias("incremental_matches_full"),
-                    F.lit(n_codes == n_corpus).alias("codes_cover_corpus"),
-                    F.lit(n_incr).cast("bigint").alias("n_increment"))
-            .orderBy("query_id"))
+    res = (flat(want, "_w").join(flat(got, "_g"), "query_id", "full")
+           .select("query_id",
+                   (F.col("_w") == F.col("_g"))
+                   .alias("incremental_matches_full"),
+                   F.lit(n_codes == n_corpus).alias("codes_cover_corpus"),
+                   F.lit(n_incr).cast("bigint").alias("n_increment"))
+           .orderBy("query_id")
+           # PIN before cleanup: the driver collects AFTER this returns,
+           # and the plan reads the index files the rmtree removes
+           .localCheckpoint(eager=True))
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    return res
 
 
 def _ann_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1468,14 +1484,14 @@ def _ann_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     C, CB = ivfpq_train_model(emb, n_clusters=16, m=8, kc=16,
                               iters_coarse=1, iters_pq=1)
     uid = os.getuid() if hasattr(os, "getuid") else "na"
+    # pid-unique + pin-then-rmtree (ADVICE r11 #5), like the incremental
+    # probe; the stale-tombstone hazard the old pre-rmtree handled is
+    # gone structurally — save_ann_model(codes=...) now resets pointer +
+    # tombstones itself (r12 versioned layout)
     path = os.path.join(
         tempfile.gettempdir(),
-        f"singer_ann_del_{uid}_"
+        f"singer_ann_del_{uid}_{os.getpid()}_"
         f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
-    # deterministic location overwritten per run — but a PRIOR run's
-    # leftover tombstones would also delete from this run's fresh codes
-    # (save_ann_model only rewrites codes/meta), so clear them first
-    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     save_ann_model(spark, path, "ivfpq", centroids=C, codebooks=CB,
                    codes=ivfpq_encode(emb, (C, CB)))
     live = delete_ann_codes(spark, path, emb.filter(del_pred))
@@ -1501,19 +1517,22 @@ def _ann_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_compacted = compact_ann_codes(spark, path)
     got_comp = ivfpq_ann_topk(emb, q, 5, nprobe=4, model=(C, CB),
                               encoded=load_ann_model(spark, path)["codes"])
-    return (flat(want, "_w")
-            .join(flat(got_tomb, "_t"), "query_id", "full")
-            .join(flat(got_comp, "_c"), "query_id", "full")
-            .select("query_id",
-                    (F.col("_w") == F.col("_t"))
-                    .alias("tombstone_matches_reencode"),
-                    (F.col("_w") == F.col("_c"))
-                    .alias("compacted_matches_reencode"),
-                    F.lit(n_live == n_corpus - n_deleted
-                          and n_compacted == n_live)
-                    .alias("counts_reconcile"),
-                    F.lit(n_deleted).cast("bigint").alias("n_deleted"))
-            .orderBy("query_id"))
+    res = (flat(want, "_w")
+           .join(flat(got_tomb, "_t"), "query_id", "full")
+           .join(flat(got_comp, "_c"), "query_id", "full")
+           .select("query_id",
+                   (F.col("_w") == F.col("_t"))
+                   .alias("tombstone_matches_reencode"),
+                   (F.col("_w") == F.col("_c"))
+                   .alias("compacted_matches_reencode"),
+                   F.lit(n_live == n_corpus - n_deleted
+                         and n_compacted == n_live)
+                   .alias("counts_reconcile"),
+                   F.lit(n_deleted).cast("bigint").alias("n_deleted"))
+           .orderBy("query_id")
+           .localCheckpoint(eager=True))
+    shutil.rmtree(path, ignore_errors=True)
+    return res
 
 
 def _dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

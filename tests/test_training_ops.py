@@ -876,6 +876,124 @@ def test_delete_and_compact_ann_codes(spark, tmp_path):
     emb.unpersist()
 
 
+def test_compact_ann_codes_crash_window_serves_old_version(spark, tmp_path):
+    """r12 (VERDICT r11 task #1): the pointer-swap crash window — a
+    compaction killed AFTER writing codes_v{N+1} but BEFORE appending
+    the pointer row must leave reads serving the OLD version plus
+    tombstones (identical live set), and a re-run must converge.  Also
+    pins the layout invariants: no os.rename-style mixed states exist,
+    GC removes superseded versions only after the pointer moves, and
+    save_ann_model at a reused path starts from a clean slate."""
+    import os
+
+    from singer_spark.operators import similarity as sim
+    from singer_spark.sinks import write_dataset
+
+    emb = _clustered_emb(spark, n=120).persist()
+    q = emb.filter(F.col("vec_id") < 6)
+    C, CB = sim.ivfpq_train_model(emb, n_clusters=8, m=8, kc=16,
+                                  iters_coarse=1, iters_pq=1)
+    path = str(tmp_path / "idx")
+    sim.save_ann_model(spark, path, "ivfpq", centroids=C, codebooks=CB,
+                       codes=sim.ivfpq_encode(emb, (C, CB)))
+    dead = emb.filter(F.col("vec_id") % 4 == 1)
+    n_dead = dead.count()
+    sim.delete_ann_codes(spark, path, dead)
+
+    def rows(df):
+        return sorted((r.query_id, r.neighbor_id, r.rank)
+                      for r in df.collect())
+
+    want = rows(sim.ivfpq_ann_topk(emb.filter(F.col("vec_id") % 4 != 1),
+                                   q, 5, nprobe=3, model=(C, CB)))
+
+    # simulate the crashed compaction: perform exactly its codes write
+    # (live rows -> codes_v1) and then "die" before the pointer append
+    codes, tombs, v, _ = sim._codes_state(spark, path)
+    assert v == 0
+    live = codes.join(tombs.distinct(), tombs.columns[0], "left_anti")
+    write_dataset(live, f"{path}/codes_v1")
+    assert os.path.isdir(f"{path}/codes_v1")
+
+    # reads resolve the pointer FIRST: still version 0 + tombstones —
+    # the half-finished codes_v1 is invisible
+    _, _, v_seen, dir_seen = sim._codes_state(spark, path)
+    assert v_seen == 0 and dir_seen.endswith("codes_v0")
+    served = sim.load_ann_model(spark, path)["codes"]
+    assert served.count() == 120 - n_dead
+    assert rows(sim.ivfpq_ann_topk(emb, q, 5, nprobe=3, model=(C, CB),
+                                   encoded=served)
+                .localCheckpoint(eager=True)) == want
+
+    # re-running the compaction converges: codes_v1 is overwritten,
+    # the pointer flips, GC sweeps codes_v0 and the inert tombstones
+    assert sim.compact_ann_codes(spark, path) == 120 - n_dead
+    _, tombs2, v2, dir2 = sim._codes_state(spark, path)
+    assert v2 == 1 and dir2.endswith("codes_v1")
+    assert not os.path.isdir(f"{path}/codes_v0")
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert rows(sim.ivfpq_ann_topk(emb, q, 5, nprobe=3, model=(C, CB),
+                                   encoded=sim.load_ann_model(
+                                       spark, path)["codes"])) == want
+
+    # deletes AFTER the compaction stamp the new version and apply
+    sim.delete_ann_codes(spark, path, emb.filter(F.col("vec_id") == 0))
+    assert sim.load_ann_model(spark, path)["codes"].count() \
+        == 120 - n_dead - 1
+
+    # save_ann_model at the SAME path resets pointer + tombstones: the
+    # fresh index serves the full corpus (no stale state leaks in)
+    sim.save_ann_model(spark, path, "ivfpq", centroids=C, codebooks=CB,
+                       codes=sim.ivfpq_encode(emb, (C, CB)))
+    assert sim.load_ann_model(spark, path)["codes"].count() == 120
+    emb.unpersist()
+
+
+def test_migrate_ann_layout_upgrades_legacy_index(spark, tmp_path):
+    """A pre-r12 index (bare codes/ dir, versionless tombstones) loads
+    read-only with the tombstones applied; compaction refuses with the
+    migration hint; migrate_ann_layout folds the tombstones into
+    codes_v0 and the maintenance ops work from then on."""
+    import os
+
+    from singer_spark.operators import similarity as sim
+
+    emb = _clustered_emb(spark, n=100).persist()
+    C, CB = sim.ivfpq_train_model(emb, n_clusters=8, m=8, kc=16,
+                                  iters_coarse=1, iters_pq=1)
+    path = str(tmp_path / "legacy")
+    sim.save_ann_model(spark, path, "ivfpq", centroids=C, codebooks=CB)
+    # hand-build the legacy layout: bare codes dir + versionless tombs
+    enc = sim.ivfpq_encode(emb, (C, CB))
+    enc.write.parquet(f"{path}/codes")
+    spark.createDataFrame([(i,) for i in range(0, 100, 10)],
+                          "vec_id bigint") \
+        .write.parquet(f"{path}/tombstones")
+    # meta said has_codes=False (saved codes-less); flip it true keeping
+    # the real shapes so load rebuilds C/CB correctly
+    m0 = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
+    spark.createDataFrame([(m0.kind, m0.n_clusters, m0.dim, m0.m, m0.kc,
+                            m0.sub, True)],
+                          "kind string, n_clusters int, dim int, m int, "
+                          "kc int, sub int, has_codes boolean") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.parquet")
+
+    assert sim.load_ann_model(spark, path)["codes"].count() == 90
+    with pytest.raises(ValueError, match="pre-versioned"):
+        sim.compact_ann_codes(spark, path)
+
+    sim.migrate_ann_layout(spark, path)
+    assert os.path.isdir(f"{path}/codes_v0")
+    assert not os.path.isdir(f"{path}/codes")
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert sim.load_ann_model(spark, path)["codes"].count() == 90
+    # migrate is idempotent; maintenance works post-migration
+    sim.migrate_ann_layout(spark, path)
+    sim.delete_ann_codes(spark, path, emb.filter(F.col("vec_id") == 1))
+    assert sim.compact_ann_codes(spark, path) == 89
+    emb.unpersist()
+
+
 def test_ivfpq_trained_beats_seeded_and_matches_model_shape(spark):
     """ivfpq_train_model returns a (C, CB) pair whose trained search
     finds planted near-duplicates (the dedup regime: each query gets 5
