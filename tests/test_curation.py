@@ -518,6 +518,54 @@ def test_curate_stream_metrics_funnel(spark, tmp_path):
                        "stream_dedup_minhash"]
 
 
+def test_funnel_trend_drift_and_replayed_epoch(spark, tmp_path):
+    """r12 (VERDICT r11 task #5): funnel_trend reads the per-epoch
+    metrics partitions — a REPLAYED epoch (its partition overwritten by
+    the final attempt, the writer's contract) must not double-count,
+    survival rates chain per stage, and an epoch whose rate moves > σ
+    from its trailing mean flags drift (prior-epochs-only, so the
+    drifted epoch can't mask itself)."""
+    from singer_spark.curation import funnel_trend
+
+    mp = str(tmp_path / "metrics")
+    schema = ("stage_idx int, stage string, n_in bigint, n_kept bigint, "
+              "n_dropped bigint")
+
+    def write_epoch(e, rows):
+        # the exact writer shape curate_stream uses: per-epoch partition,
+        # mode overwrite
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{mp}/epoch_id={e}")
+
+    stable = [(0, "input", 100, 100, 0), (1, "lang", 100, 80, 20),
+              (2, "stream_dedup_minhash", 80, 70, 10)]
+    for e in range(5):
+        write_epoch(e, stable)
+    # epoch 5 first attempt: lang gate collapses (0.8 -> 0.3)
+    write_epoch(5, [(0, "input", 100, 100, 0), (1, "lang", 100, 30, 70),
+                    (2, "stream_dedup_minhash", 30, 25, 5)])
+    # epoch 5 REPLAYED: the dedup stage self-matches and publishes 0 —
+    # the overwrite replaces the first attempt entirely
+    write_epoch(5, [(0, "input", 100, 100, 0), (1, "lang", 100, 30, 70),
+                    (2, "stream_dedup_minhash", 30, 0, 30)])
+
+    t = funnel_trend(spark, mp, sigma=3.0, min_epochs=3).collect()
+    assert len(t) == 6 * 3  # one attempt per (epoch, stage) — no dupes
+    by = {(r.epoch_id, r.stage): r for r in t}
+    assert by[(5, "stream_dedup_minhash")].n_kept == 0  # last attempt wins
+    # flat history (std 0) then a jump: both changed stages flag
+    assert by[(5, "lang")].drift
+    assert by[(5, "stream_dedup_minhash")].drift
+    # stable epochs never flag; early epochs lack min_epochs history
+    assert not by[(4, "lang")].drift
+    assert not by[(0, "lang")].drift and by[(0, "lang")].n_prior == 0
+    assert by[(1, "lang")].n_prior == 1 and not by[(1, "lang")].drift
+    # an unchanged stage in the drifted epoch stays quiet
+    assert not by[(5, "input")].drift
+    assert abs(by[(4, "lang")].rate - 0.8) < 1e-12
+    assert abs(by[(4, "lang")].trailing_mean - 0.8) < 1e-12
+
+
 def test_curation_funnel_counts_are_consistent(spark, sf_dir):
     """Funnel invariants: monotone survivors, chained n_in == previous
     n_kept, and the final stage equals the oracle-checked
