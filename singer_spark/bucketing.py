@@ -48,8 +48,18 @@ def _clear_orphaned_location(spark: SparkSession, table: str) -> None:
     overwrite mode — overwrite replaces catalog tables, not orphan dirs.
     Scope is deliberately narrow: unqualified table names, local-fs
     warehouse, and ONLY when the catalog does not know the table (a
-    cataloged table's location is saveAsTable's own responsibility)."""
+    cataloged table's location is saveAsTable's own responsibility).
+
+    The warehouse-root dir `spark-warehouse/<t>` belongs to DEFAULT.t;
+    an unqualified `tableExists(t)` checks only the CURRENT database, so
+    with a persistent metastore and `USE otherdb` in effect the probe
+    could miss a live default.t and delete its data (ADVICE r11 #2) —
+    hence the extra guards: never touch the dir while the current
+    database is non-default OR default.<t> is cataloged."""
     if "." in table or spark.catalog.tableExists(table):
+        return
+    if spark.catalog.currentDatabase() != "default" \
+            or spark.catalog.tableExists(f"default.{table}"):
         return
     import os
     import shutil

@@ -44,6 +44,32 @@ def test_write_bucketed_heals_orphaned_location(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_orphan_heal")
 
 
+def test_orphan_heal_respects_current_database(spark, sf_dir):
+    """ADVICE r11 #2: `spark-warehouse/<t>` belongs to DEFAULT.t.  With
+    a non-default current database, write_bucketed(df, 't') must NOT
+    delete that dir — under a persistent metastore it could be live
+    default.t data invisible to the current-database tableExists probe."""
+    import os
+    import shutil
+
+    loc = _plant_orphan_location(spark, "b_dbguard")
+    spark.sql("CREATE DATABASE IF NOT EXISTS bdbguard")
+    spark.catalog.setCurrentDatabase("bdbguard")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_totalprice").limit(10)
+        write_bucketed(df, "b_dbguard", "o_orderkey", num_buckets=2)
+        # the bucketed table landed in bdbguard, and the default-warehouse
+        # dir survived untouched
+        assert spark.table("b_dbguard").count() == 10
+        assert os.path.exists(os.path.join(loc, "part-orphan.parquet"))
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP TABLE IF EXISTS bdbguard.b_dbguard")
+        spark.sql("DROP DATABASE IF EXISTS bdbguard")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 @pytest.fixture(scope="module")
 def bucketed_tables(spark, sf_dir):
     # self-healing against driver-deposited state: the judge-reproduced
