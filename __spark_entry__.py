@@ -1605,6 +1605,22 @@ def _quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                              max_vocab=1000)
 
 
+def _quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold calibration for the learned quality gate (r12, VERDICT
+    r11 task #6): ONE nb_quality_scores pass (same spec as
+    quality_classifier), then the per-doc (llr, seed) pairs fan out over
+    a broadcast threshold array and aggregate to |thresholds| rows of
+    precision / recall / F1 / kept-fraction — the table a deployment
+    reads to pick quality_model_threshold.  The oracle reuses the
+    quality_classifier scoring replay and closes the sweep in SQL."""
+    from singer_spark.operators.text_analysis import nb_calibration
+
+    docs = _docs(spark, sf_dir)
+    return nb_calibration(docs, F.col("source") == "src0",
+                          thresholds=[-2.0, -1.0, 0.0, 1.0, 2.0],
+                          max_vocab=1000)
+
+
 def _corpus_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of corpus_diversity: distinct-n via HLL++ sketches
     (constant per-task state; exact distinct counting is inherently
@@ -3022,6 +3038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_ranked": _bpe_encode_ranked,
         "dsir_sample": _dsir_sample,
         "quality_classifier": _quality_classifier,
+        "quality_calibration": _quality_calibration,
         "quality_model_roundtrip": _quality_model_roundtrip,
         "curation_funnel": _curation_funnel,
         "unigram_tokenize": _unigram_tokenize,
@@ -6114,6 +6131,74 @@ def oracle_sql() -> dict[str, str]:
                            + coalesce(sc.s, 0.0)) * 1000000 + 0.5)
                       / 1000000 > 0.0)::INT AS keep
             FROM documents d LEFT JOIN sc USING (doc_id) CROSS JOIN pr""",
+        # same NB scoring replay, then the threshold sweep closed in SQL
+        "quality_calibration": """
+            WITH tk AS (
+              SELECT doc_id, (source = 'src0') AS s,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS t
+              FROM documents WHERE text IS NOT NULL),
+            pt AS (SELECT t, sum(CASE WHEN s THEN 1 ELSE 0 END) AS cp,
+                          count(*) AS ca
+                   FROM tk GROUP BY t),
+            model AS (SELECT * FROM pt ORDER BY ca DESC, t LIMIT 1000),
+            vs AS (SELECT count(*) AS V, coalesce(sum(cp), 0) AS vp,
+                          coalesce(sum(ca), 0) AS va FROM model),
+            tt AS (SELECT coalesce(sum(CASE WHEN s THEN 1 ELSE 0 END), 0)
+                            AS Tp,
+                          count(*) AS Ta FROM tk),
+            pr AS (SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                            AS np,
+                          count(*) AS nd FROM documents),
+            dc AS (SELECT doc_id, t, count(*) AS cnt
+                   FROM tk GROUP BY doc_id, t),
+            sc AS (SELECT dc.doc_id,
+                          sum(dc.cnt * (CASE WHEN m.ca IS NOT NULL
+                            THEN ln((m.cp + 0.5)
+                                    / (tt.Tp + 0.5 * (vs.V + 1)))
+                               - ln(((m.ca - m.cp) + 0.5)
+                                    / ((tt.Ta - tt.Tp)
+                                       + 0.5 * (vs.V + 1)))
+                            ELSE ln(((tt.Tp - vs.vp) + 0.5)
+                                    / (tt.Tp + 0.5 * (vs.V + 1)))
+                               - ln((((tt.Ta - vs.va) - (tt.Tp - vs.vp))
+                                     + 0.5)
+                                    / ((tt.Ta - tt.Tp)
+                                       + 0.5 * (vs.V + 1))) END)) AS s
+                   FROM dc LEFT JOIN model m USING (t)
+                        CROSS JOIN vs CROSS JOIN tt
+                   GROUP BY dc.doc_id),
+            llrs AS (
+              SELECT d.doc_id,
+                     floor((ln((pr.np + 0.5) / ((pr.nd - pr.np) + 0.5))
+                            + coalesce(sc.s, 0.0)) * 1000000 + 0.5)
+                       / 1000000 AS llr,
+                     CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END
+                       AS label
+              FROM documents d LEFT JOIN sc USING (doc_id) CROSS JOIN pr),
+            ths AS (SELECT unnest([-2.0, -1.0, 0.0, 1.0, 2.0]) AS t),
+            agg AS (
+              SELECT t, count(*) AS n_docs,
+                     sum(CASE WHEN llr > t THEN 1 ELSE 0 END) AS n_kept,
+                     sum(CASE WHEN llr > t AND label = 1 THEN 1 ELSE 0 END)
+                       AS tp,
+                     sum(label) AS n_seed
+              FROM llrs CROSS JOIN ths GROUP BY t)
+            SELECT floor(t * 1000000 + 0.5) / 1000000 AS threshold,
+                   n_docs::BIGINT AS n_docs, n_kept::BIGINT AS n_kept,
+                   tp::BIGINT AS tp, n_seed::BIGINT AS n_seed,
+                   floor(n_kept / n_docs::DOUBLE * 1000000 + 0.5)
+                     / 1000000 AS kept_frac,
+                   CASE WHEN n_kept > 0
+                        THEN floor(tp / n_kept::DOUBLE * 1000000 + 0.5)
+                               / 1000000 END AS "precision",
+                   CASE WHEN n_seed > 0
+                        THEN floor(tp / n_seed::DOUBLE * 1000000 + 0.5)
+                               / 1000000 END AS recall,
+                   CASE WHEN n_kept + n_seed > 0
+                        THEN floor(2.0 * tp / (n_kept + n_seed)::DOUBLE
+                                   * 1000000 + 0.5) / 1000000 END AS f1
+            FROM agg ORDER BY threshold""",
         # model-lifecycle roundtrip: booleans pinned, count re-derived
         "quality_model_roundtrip": """
             SELECT count(*)::BIGINT AS n_docs,

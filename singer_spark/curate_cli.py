@@ -61,6 +61,15 @@ def main(argv: list[str] | None = None) -> None:
                    help="scrub emails/IPv4s/phone numbers from the "
                         "PUBLISHED text (applied last; gates and dedup "
                         "digests see the original bytes)")
+    p.add_argument("--pii-pattern", action="append", default=None,
+                   metavar="NAME=REGEX=TOKEN",
+                   help="repeatable: custom PII pattern registry entry "
+                        "(e.g. ssn='\\d{3}-\\d{2}-\\d{4}'=<SSN>); when "
+                        "given, REPLACES the default email/ipv4/phone set "
+                        "— restate the defaults to keep them.  Implies "
+                        "--redact-pii.  Counts are always taken on the "
+                        "original text; replacements chain in the order "
+                        "given (the count-then-replace contract)")
     p.add_argument("--no-split", action="store_true")
     p.add_argument("--partition-by", default=None,
                    help="comma-separated hive partition columns")
@@ -70,6 +79,7 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
 
     from singer_spark.curation import CurationConfig, curate_and_publish
+    from singer_spark.operators.text_analysis import parse_pii_pattern
     from singer_spark.session import get_spark
 
     spark = get_spark("singer_spark_curate")
@@ -86,7 +96,9 @@ def main(argv: list[str] | None = None) -> None:
         quality_model_path=args.quality_model_path,
         span_min_run=args.span_min_run,
         decontaminate_mode=args.decontaminate_mode,
-        redact_pii=args.redact_pii,
+        redact_pii=args.redact_pii or bool(args.pii_pattern),
+        pii_patterns=(tuple(parse_pii_pattern(s) for s in args.pii_pattern)
+                      if args.pii_pattern else None),
         split=not args.no_split,
     )
     if args.contamination_report and bench is not None:

@@ -65,6 +65,12 @@ class CurationConfig:
     # survive or which copy is canonical), only the published text is
     # scrubbed.  Never drops a doc; NULL text passes through.
     redact_pii: bool = False
+    # custom PII registry (r12): ((name, regex, token), ...) — when set
+    # it REPLACES the default email/ipv4/phone registry for the redact
+    # stage (restate the defaults to keep them); the count-then-replace
+    # ordering and the cross-engine regex-subset contract are
+    # redact_pii()'s.  None = defaults.
+    pii_patterns: "tuple[tuple[str, str, str], ...] | None" = None
     split: bool = True                    # train/val/test hash split column
     text_col: str = "text"
     id_col: str = "doc_id"
@@ -277,7 +283,10 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
         # regexp_replace(NULL) is NULL, so NULL text rides through
         from singer_spark.operators.text_analysis import redact_pii
 
-        red = redact_pii(out.select(id_col, text_col), text_col, id_col)
+        pats = ({n: (r, t) for n, r, t in cfg.pii_patterns}
+                if cfg.pii_patterns else None)
+        red = redact_pii(out.select(id_col, text_col), text_col, id_col,
+                         patterns=pats)
         out = (out.join(red.select(id_col,
                                    F.col("redacted").alias("_red")),
                         id_col)

@@ -423,6 +423,18 @@ def test_curate_redact_pii_scrubs_published_text_only(spark):
     assert "<PHONE>" in ts[2] and "<IP>" in ts[2]  # remainder scrubbed
     assert ts[1].startswith(uniq)             # owner keeps its copy
 
+    # r12: a custom registry through the pipeline — replaces the
+    # defaults (email survives, the custom token lands), same survivors
+    custom = curate(docs, CurationConfig(
+        dedup="none", redact_pii=True,
+        pii_patterns=(("ipish", r"\b10\.0\.0\.\d\b", "<NET>"),),
+        **base_cfg))
+    tc = {r.doc_id: r.text for r in custom.collect()}
+    assert {r.doc_id for r in plain.collect()} == set(tc)
+    assert "bob@example.com" in tc[1]          # defaults replaced
+    assert "<NET>" in tc[2] and "10.0.0.7" not in tc[2]
+    assert tc[3] is None
+
 
 def test_curation_funnel_cfg_matches_curate(spark, sf_dir):
     """The cfg-driven funnel's final stage must equal curate()'s actual

@@ -473,6 +473,73 @@ def test_redact_pii_scrubs_and_counts(spark):
     assert out[1].n_email == out[1].n_ipv4 == out[1].n_phone == 0
 
 
+def test_redact_pii_custom_pattern_registry(spark):
+    """r12 (VERDICT r11 task #7): a deployment-specific pattern set —
+    counts always against the original text, replacements chained in
+    registry order, default behavior untouched when patterns=None."""
+    df = spark.createDataFrame(
+        [(0, "ssn 123-45-6789 and key sk-ABCDEF0123456789 plus "
+             "mail a@b.co end"),
+         (1, "clean")],
+        ["doc_id", "text"])
+    pats = {
+        "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+        "apikey": (r"\bsk-[A-Za-z0-9]{16}\b", "<KEY>"),
+    }
+    out = {r.doc_id: r
+           for r in text_analysis.redact_pii(df, patterns=pats).collect()}
+    assert out[0].n_ssn == 1 and out[0].n_apikey == 1
+    # custom registry REPLACES the defaults: the email survives
+    assert out[0].redacted == "ssn <SSN> and key <KEY> plus mail a@b.co end"
+    assert not hasattr(out[0], "n_email")
+    assert out[1].redacted == "clean" and out[1].n_ssn == 0
+    # identifier-unsafe names refuse (they'd become broken columns)
+    with pytest.raises(ValueError, match="identifier-safe"):
+        text_analysis.redact_pii(df, patterns={"bad name": (r"x", "<X>")})
+    # CLI spec parser: first and last '=' split, regex may contain '='
+    assert text_analysis.parse_pii_pattern("ssn=\\d{3}=<SSN>") \
+        == ("ssn", "\\d{3}", "<SSN>")
+    assert text_analysis.parse_pii_pattern("k=a=b=<T>") == ("k", "a=b", "<T>")
+    with pytest.raises(ValueError, match="name=regex=token"):
+        text_analysis.parse_pii_pattern("nosep")
+
+
+def test_nb_calibration_threshold_sweep(spark):
+    """r12 (VERDICT r11 task #6): the calibration sweep's counts and
+    rates must equal a per-threshold brute-force replay of
+    nb_quality_scores keeps against the seed labels."""
+    rows = [(i, ("good wiki prose sample " * 3 + f"tail{i}")
+             if i % 3 == 0 else f"spamword{i} junk junk junk junk",
+             "seed" if i % 3 == 0 else "rest") for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    seed = F.col("source") == "seed"
+    ths = [-2.0, 0.0, 2.0, 50.0]
+    cal = {r.threshold: r
+           for r in text_analysis.nb_calibration(docs, seed, ths,
+                                                 max_vocab=100).collect()}
+    scored = text_analysis.nb_quality_scores(docs, seed, max_vocab=100)
+    sc = {r.doc_id: r.llr for r in scored.collect()}
+    labels = {i: (1 if i % 3 == 0 else 0) for i in range(30)}
+    for t in ths:
+        kept = [d for d, llr in sc.items() if llr > t]
+        tp = sum(labels[d] for d in kept)
+        pos = sum(labels.values())
+        r = cal[t]
+        assert r.n_docs == 30 and r.n_kept == len(kept) and r.tp == tp
+        assert abs(r.kept_frac - len(kept) / 30) < 1e-6
+        if kept:
+            assert abs(r.precision - tp / len(kept)) < 1e-6
+        else:
+            assert r.precision is None
+        assert abs(r.recall - tp / pos) < 1e-6
+        if len(kept) + pos:
+            assert abs(r.f1 - 2 * tp / (len(kept) + pos)) < 1e-6
+    # the sweep is monotone in volume: higher threshold keeps fewer
+    keeps = [cal[t].n_kept for t in sorted(ths)]
+    assert keeps == sorted(keeps, reverse=True)
+    assert cal[50.0].n_kept == 0 and cal[50.0].precision is None
+
+
 def test_train_val_split_deterministic_and_stable(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     s1 = {r.doc_id: r.split for r in text_analysis.train_val_split(docs).collect()}
