@@ -2009,6 +2009,23 @@ def _source_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_reweight(_docs(spark, sf_dir), eta=1.0, smoothing=0.2)
 
 
+def _source_reweight_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated DoReMi (r12, VERDICT r11 task #4): k exponentiated-
+    gradient rounds where each round resamples the corpus at the
+    PREVIOUS round's weights (corpus_mix_sample's deterministic salted
+    draw) and rescores per-source excess LM loss over the sample —
+    text_analysis.source_reweight_converge.  The corpus is LM-scored
+    once into a persisted frame; each round is one per-source window
+    pass plus k-row weight arithmetic, all quantized 1e-6 before
+    feeding forward.  The oracle chains the rounds as generated CTE
+    blocks: per-round salted-hash sample → means → quantize-before-exp
+    multiplicative update."""
+    from singer_spark.operators.text_analysis import source_reweight_converge
+
+    return source_reweight_converge(_docs(spark, sf_dir), rounds=2,
+                                    eta=1.0, smoothing=0.2, token_frac=0.5)
+
+
 def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-ES weighted draw: 50 docs, probability ∝ n_chars, deterministic."""
     from singer_spark.operators.text_analysis import weighted_sample_k
@@ -3020,6 +3037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _tfidf_top_terms,
         "ngram_lm_score": _ngram_lm_score,
         "source_reweight": _source_reweight,
+        "source_reweight_converge": _source_reweight_converge,
         "weighted_sample": _weighted_sample,
         "bm25_search": _bm25_search,
         "hybrid_search_rrf": _hybrid_search_rrf,
@@ -4703,6 +4721,105 @@ def _unigram_em_oracle(wmax: int = 16) -> str:
                         ELSE coalesce(agg.total_cost, 0) END::BIGINT
                      AS total_cost
             FROM documents d LEFT JOIN agg USING (doc_id)"""
+
+
+def _source_reweight_converge_oracle(rounds: int = 2, eta: float = 1.0,
+                                     smoothing: float = 0.2,
+                                     token_frac: float = 0.5,
+                                     salt: str = "doremi") -> str:
+    """Generated CTE chain replaying source_reweight_converge: the
+    bigram-LM per-doc scores once, then per round a salted-hash
+    token-budget sample at the previous round's weights, per-source
+    means over the sample, and the quantize-before-exp multiplicative
+    weight update — the unigram_em_converge oracle discipline applied
+    to data mixing."""
+    c = float(smoothing)
+    blocks = [f"""
+            toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                                t -> t <> '') AS t
+                     FROM documents),
+            pos AS (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2),
+            bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM pos),
+            cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+            cw AS (SELECT w1, sum(cb) AS cw FROM cb GROUP BY 1),
+            v AS (SELECT count(DISTINCT tt) AS V
+                  FROM (SELECT unnest(t) AS tt FROM toks)),
+            lsc AS (SELECT b.doc_id,
+                           log2((coalesce(cb.cb, 0) + 1)
+                                / (coalesce(cw.cw, 0) + v.V)) AS logp
+                    FROM bi b
+                    LEFT JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+                    LEFT JOIN cw ON cw.w1 = b.w1
+                    CROSS JOIN v),
+            pdoc AS (SELECT doc_id,
+                            floor(-avg(logp) * 10000 + 0.5) / 10000
+                              AS lm_score
+                     FROM lsc GROUP BY 1),
+            dtok AS (SELECT d.doc_id, d.source,
+                            len(string_split(d.text, ' '))::BIGINT
+                              AS n_tokens,
+                            p.lm_score
+                     FROM documents d LEFT JOIN pdoc p USING (doc_id)),
+            w0 AS (SELECT source,
+                          floor(1.0 / kk.k * 1000000 + 0.5) / 1000000
+                            AS weight
+                   FROM (SELECT DISTINCT source FROM dtok)
+                        CROSS JOIN (SELECT count(DISTINCT source) AS k
+                                    FROM dtok) kk)"""]
+    outs = []
+    for r in range(1, int(rounds) + 1):
+        rk = _md5i(f"'{salt}:{r}:' || t.doc_id::VARCHAR")
+        blocks.append(f"""
+            base{r} AS (SELECT t.doc_id, t.source, t.n_tokens, t.lm_score,
+                               {rk} AS rk, w.weight AS w
+                        FROM dtok t JOIN w{r - 1} w USING (source)),
+            s{r} AS (SELECT source, sum(n_tokens) AS st, any_value(w) AS sw
+                     FROM base{r} GROUP BY source),
+            g{r} AS (SELECT sum(st) AS total, sum(sw) AS wsum FROM s{r}),
+            c{r} AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                       ORDER BY rk, doc_id ROWS UNBOUNDED PRECEDING)
+                         AS cum
+                     FROM base{r}),
+            samp{r} AS (SELECT c{r}.* FROM c{r}, g{r}
+                        WHERE (cum - n_tokens)
+                              < {token_frac}::DOUBLE * g{r}.total
+                                * c{r}.w::DOUBLE / g{r}.wsum::DOUBLE),
+            ps{r} AS (SELECT source, count(*) AS n_sampled,
+                             count(lm_score) AS n_scored,
+                             floor(avg(lm_score) * 1000000 + 0.5)
+                               / 1000000 AS mean_lm_score,
+                             any_value(w) AS weight_prev
+                      FROM samp{r} GROUP BY source),
+            ref{r} AS (SELECT floor(avg(lm_score) * 1000000 + 0.5)
+                                / 1000000 AS rr FROM samp{r}),
+            ex{r} AS (SELECT source, n_sampled, n_scored, mean_lm_score,
+                             weight_prev,
+                             floor(greatest(coalesce(mean_lm_score, rr)
+                                            - rr, 0.0)
+                                   * 1000000 + 0.5) / 1000000 AS excess
+                      FROM ps{r} CROSS JOIN ref{r}),
+            raw{r} AS (SELECT *, weight_prev
+                                 * exp({float(eta)}::DOUBLE * excess)
+                                   AS rw
+                       FROM ex{r}),
+            z{r} AS (SELECT sum(rw) AS Z, count(*) AS k FROM raw{r}),
+            wf{r} AS (SELECT source, n_sampled, n_scored, mean_lm_score,
+                             excess, weight_prev,
+                             floor(({1.0 - c}::DOUBLE * rw / z{r}.Z
+                                    + {c}::DOUBLE / z{r}.k)
+                                   * 1000000 + 0.5) / 1000000 AS weight
+                      FROM raw{r} CROSS JOIN z{r}),
+            w{r} AS (SELECT source, weight FROM wf{r})""")
+        outs.append(f"""
+            SELECT {r}::INT AS round, source, n_sampled::BIGINT AS n_sampled,
+                   n_scored::BIGINT AS n_scored, mean_lm_score, excess,
+                   weight_prev, weight
+            FROM wf{r}""")
+    return ("WITH " + ",".join(blocks) + "\n"
+            + "\nUNION ALL".join(outs)
+            + "\nORDER BY round, source")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6589,6 +6706,8 @@ def oracle_sql() -> dict[str, str]:
                    floor((0.8 * rw / z.Z + 0.2 / z.k) * 1000000 + 0.5)
                      / 1000000 AS weight
             FROM raw CROSS JOIN z ORDER BY source""",
+        "source_reweight_converge": _source_reweight_converge_oracle(
+            rounds=2, eta=1.0, smoothing=0.2, token_frac=0.5),
         "weighted_sample": """
             WITH r AS (SELECT doc_id, n_chars::DOUBLE AS weight,
                 floor((-ln(((('0x' || substr(md5(CAST('wsample:' || doc_id::VARCHAR AS VARCHAR)), 1, 15))::BIGINT) + 1.0)

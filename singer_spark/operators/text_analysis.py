@@ -1357,6 +1357,129 @@ def source_reweight(docs: DataFrame, eta: float = 1.0,
             .orderBy("source"))
 
 
+def source_reweight_converge(docs: DataFrame, rounds: int = 2,
+                             eta: float = 1.0, smoothing: float = 0.2,
+                             token_frac: float = 0.5,
+                             lm_docs: "DataFrame | None" = None,
+                             text_col: str = "text",
+                             source_col: str = "source",
+                             id_col: str = "doc_id",
+                             salt: str = "doremi",
+                             round_to: int = 6) -> DataFrame:
+    """Iterated DoReMi with a trajectory report (r12, VERDICT r11 task
+    #4): :func:`source_reweight` is the deterministic one-step core;
+    the paper's value is the ITERATION (Xie et al. 2023 Algorithm 1:
+    reweight → resample → rescore).  Starting from the uniform mix,
+    each round
+
+    1. draws the round's corpus at the PREVIOUS round's weights —
+       :func:`corpus_mix_sample`'s deterministic salted-hash draw
+       (salt ``{salt}:{r}``, so rounds are independent draws) over the
+       one persisted scored frame;
+    2. computes per-source mean LM loss over the SAMPLE and the
+       sample-wide mean as the reference (a source with no scored
+       sampled docs contributes excess 0 — no evidence, keep weight);
+    3. takes the exponentiated-gradient step on the previous weights:
+       raw_s = w_s · exp(eta · excess_s), normalized, then
+       uniform-smoothed w'_s = (1−c)·raw_s/Σraw + c/k.
+
+    All quantization follows the one-step discipline: excess and
+    weights qround 1e-6 before they feed anything downstream, so both
+    engines iterate identical doubles (the `unigram_em_converge`
+    discipline applied to data mixing).
+
+    100 TB shape: the corpus is scored ONCE into a persisted
+    (id, source, n_tokens, lm_score) frame; each round costs one
+    per-source window pass over that frame (the corpus_mix_sample
+    shape) plus k-row arithmetic.  The only state crossing rounds is
+    the k-row weight table, COLLECTED at each round boundary (k =
+    #sources, ~tens — the bounded-collect discipline) and re-emitted
+    as a literal broadcast frame: chaining the rounds lazily instead
+    would nest each round's plan inside the next twice over and blow
+    the plan tree up exponentially in `rounds` (measured: the analyzer
+    itself OOMs at rounds=3 on the chained form).
+
+    Output: one row per (round 1..rounds, source) —
+    (round, source, n_sampled, n_scored, mean_lm_score, excess,
+    weight_prev, weight), ordered; each round's weights sum to 1 up
+    to rounding and sit on the c/k smoothing floor."""
+    import math
+
+    from pyspark.sql import Window
+
+    from singer_spark.functions import maybe_persist
+
+    spark = docs.sparkSession
+    scores = ngram_lm_score(docs, lm_docs=lm_docs, text_col=text_col,
+                            id_col=id_col)
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    per_doc = maybe_persist(
+        docs.select(F.col(id_col), F.col(source_col).alias("source"),
+                    n_tok.alias("n_tokens"))
+        .join(scores.select(id_col, "lm_score"), id_col), True)
+    sources = sorted(r.source for r in
+                     per_doc.select("source").distinct().collect())
+    k = len(sources)
+    scale = 10 ** int(round_to)
+
+    def q(x: float) -> float:
+        return math.floor(x * scale + 0.5) / scale
+
+    w = {s: q(1.0 / k) for s in sources}
+    c = float(smoothing)
+    report: "list[tuple]" = []
+    for r in range(1, int(rounds) + 1):
+        wdf = spark.createDataFrame([(s, float(w[s])) for s in sources],
+                                    "source string, _w double")
+        rk = md5_int(F.concat(F.lit(f"{salt}:{r}:"),
+                              F.col(id_col).cast("string")))
+        base = per_doc.join(F.broadcast(wdf), "source").withColumn("_rk", rk)
+        per_src_tok = base.groupBy("source").agg(
+            F.sum("n_tokens").alias("_src_tokens"),
+            F.first("_w").alias("_sw"))
+        stats = per_src_tok.agg(F.sum("_src_tokens").alias("_total"),
+                                F.sum("_sw").alias("_wsum"))
+        win = Window.partitionBy("source").orderBy(F.col("_rk").asc(),
+                                                   F.col(id_col).asc())
+        samp = (base.withColumn("_cum", F.sum("n_tokens").over(win))
+                .crossJoin(F.broadcast(stats))
+                .filter((F.col("_cum") - F.col("n_tokens"))
+                        < F.lit(float(token_frac)) * F.col("_total")
+                        * F.col("_w") / F.col("_wsum")))
+        per_src = (samp.groupBy("source")
+                   .agg(F.count("*").alias("n_sampled"),
+                        F.count("lm_score").alias("n_scored"),
+                        qround(F.avg("lm_score"), round_to)
+                        .alias("mean_lm_score"),
+                        F.first("_w").alias("weight_prev")))
+        ref = samp.agg(qround(F.avg("lm_score"), round_to).alias("_ref"))
+        excess = qround(F.greatest(
+            F.coalesce(F.col("mean_lm_score"), F.col("_ref"))
+            - F.col("_ref"), F.lit(0.0)), round_to)
+        based = (per_src.crossJoin(F.broadcast(ref))
+                 .withColumn("excess", excess)
+                 .withColumn("_raw", F.col("weight_prev")
+                             * F.exp(F.lit(float(eta)) * F.col("excess"))))
+        totals = based.agg(F.sum("_raw").alias("_Z"),
+                           F.count("*").alias("_k"))
+        w_expr = ((1.0 - c) * F.col("_raw") / F.col("_Z")
+                  + c / F.col("_k"))
+        stepped = (based.crossJoin(F.broadcast(totals))
+                   .select("source", "n_sampled", "n_scored",
+                           "mean_lm_score", "excess", "weight_prev",
+                           qround(w_expr, round_to).alias("weight"))
+                   .collect())  # k rows — the round boundary
+        report.extend((r, s.source, s.n_sampled, s.n_scored,
+                       s.mean_lm_score, s.excess, s.weight_prev, s.weight)
+                      for s in stepped)
+        w = {s.source: s.weight for s in stepped}
+    return (spark.createDataFrame(
+        report, "round int, source string, n_sampled bigint, "
+                "n_scored bigint, mean_lm_score double, excess double, "
+                "weight_prev double, weight double")
+        .orderBy("round", "source"))
+
+
 # ---------------------------------------------------------------------------
 # Weighted sampling without replacement (Efraimidis–Spirakis A-ES).
 # ---------------------------------------------------------------------------

@@ -2666,6 +2666,87 @@ def test_source_reweight_matches_bruteforce_and_bounds(spark):
     assert out["hard"].n_docs == 7 and out["hard"].n_scored == 6  # NULL doc
 
 
+def test_source_reweight_converge_replay_and_simplex(spark):
+    """r12 (VERDICT r11 task #4): the iterated DoReMi trajectory must
+    equal a pure-Python replay of the spec (round r: salted-hash
+    token-budget sample at round r-1's weights -> per-source excess
+    over the sample -> multiplicative quantized EG update), and every
+    round's weights must sit on the simplex (sum ~1, >= c/k floor)
+    with the hardest domain monotonically upweighted."""
+    import hashlib
+    import math
+
+    from singer_spark.operators.text_analysis import (
+        ngram_lm_score,
+        source_reweight_converge,
+    )
+
+    fluent = ("the cat sat on the mat and the dog sat on the mat and "
+              "the cat sat on the mat again")
+    rows = ([(i, fluent + f" tail{i}", "easy") for i in range(8)]
+            + [(20 + i, " ".join(f"zx{i}q{j}" for j in range(14)), "hard")
+               for i in range(8)]
+            + [(50, None, "hard")])
+    docs = _docs_df(spark, rows)
+    eta, c, tf, rounds = 1.0, 0.2, 0.5, 3
+    got = source_reweight_converge(docs, rounds=rounds, eta=eta,
+                                   smoothing=c, token_frac=tf).collect()
+    by_round: dict = {}
+    for r in got:
+        by_round.setdefault(r.round, {})[r.source] = r
+    assert sorted(by_round) == [1, 2, 3]
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    lm = {r.doc_id: r.lm_score for r in ngram_lm_score(docs).collect()}
+    src = {d: s for d, _t, s in rows}
+    ntok = {d: len(t.split(" ")) for d, t, _s in rows if t is not None}
+    sources = sorted({s for _d, _t, s in rows})
+    k = len(sources)
+    w = {s: q6(1.0 / k) for s in sources}
+    for rnd in range(1, rounds + 1):
+        total = sum(ntok.values())
+        wsum = sum(w.values())
+        sampled = []
+        for s in sources:
+            ds = sorted((d for d in ntok if src[d] == s),
+                        key=lambda d: (md5i(f"doremi:{rnd}:{d}"), d))
+            cum, allot = 0, tf * total * w[s] / wsum
+            for d in ds:
+                if cum < allot:
+                    sampled.append(d)
+                cum += ntok[d]
+        scored = [d for d in sampled if lm[d] is not None]
+        ref = q6(sum(lm[d] for d in scored) / len(scored))
+        means = {}
+        for s in sources:
+            sc = [lm[d] for d in scored if src[d] == s]
+            means[s] = q6(sum(sc) / len(sc)) if sc else None
+        exc = {s: q6(max((means[s] if means[s] is not None else ref)
+                         - ref, 0.0)) for s in sources}
+        raw = {s: w[s] * math.exp(eta * exc[s]) for s in sources}
+        Z = sum(raw.values())
+        w_next = {s: q6((1 - c) * raw[s] / Z + c / k) for s in sources}
+        for s in sources:
+            r = by_round[rnd][s]
+            assert r.weight_prev == w[s], (rnd, s)
+            assert r.excess == exc[s], (rnd, s, r.excess, exc[s])
+            assert r.weight == w_next[s], (rnd, s, r.weight, w_next[s])
+            assert r.n_sampled == sum(1 for d in sampled if src[d] == s)
+            assert r.weight >= c / k - 1e-9     # smoothing floor
+        assert abs(sum(r.weight for r in by_round[rnd].values()) - 1.0) \
+            < 1e-5                              # simplex
+        w = w_next
+    # the hard domain is upweighted and never loses ground to easy
+    ws = [by_round[r]["hard"].weight for r in range(1, rounds + 1)]
+    assert ws[0] > by_round[1]["easy"].weight
+    assert all(b >= a - 1e-9 for a, b in zip(ws, ws[1:]))
+
+
 def test_unigram_train_is_the_pinned_composition(spark):
     """r11: unigram_train must BE seed -> em_rounds x refine -> prune —
     a structural identity pin so the convenience trainer can never
