@@ -1621,6 +1621,32 @@ def _quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                           max_vocab=1000)
 
 
+def _corpus_to_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus -> training batches, end to end (r12, VERDICT r11 task
+    #3): the corpus_pipeline_full gate chain (lang/quality/repetition/
+    exact-dedup/decontaminate/train-split), unigram tokenizer TRAINED on
+    the curated survivors (seed -> 1 hard-EM round -> 0.6 prune, the
+    unigram_train_tokenize spec), every survivor encoded, and the piece
+    counts packed into 256-piece training windows with the 1-row token-
+    budget report broadcast on — curation.corpus_to_batches.  The
+    oracle chains the stage oracles: gate CTEs -> curated relation ->
+    the full trainer DP chain over it -> the pack_sequences cumsum
+    replay over piece counts."""
+    from singer_spark.curation import CurationConfig, corpus_to_batches
+
+    docs = _docs(spark, sf_dir)
+    cfg = CurationConfig(lang="en", min_quality=0.5,
+                         repetition_screen=True, dedup="exact",
+                         decontaminate_k=8, decontaminate_mode="drop",
+                         split=True)
+    return corpus_to_batches(docs, cfg,
+                             benchmark=docs.filter(F.col("doc_id") % 50 == 0),
+                             train_split_only=True, max_len=256,
+                             max_multi=100, max_piece_len=4,
+                             em_rounds=1, keep_ratio=0.6,
+                             max_word_len=16)
+
+
 def _corpus_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of corpus_diversity: distinct-n via HLL++ sketches
     (constant per-task state; exact distinct counting is inherently
@@ -2980,6 +3006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _semantic_dedup,
         "corpus_curation": _corpus_curation,
         "corpus_pipeline_full": _corpus_pipeline_full,
+        "corpus_to_batches": _corpus_to_batches,
         "funnel_counts": _funnel_counts,
         "funnel_counts_capped": _funnel_counts_capped,
         "cohort_retention": _cohort_retention,
@@ -4372,16 +4399,18 @@ def _silhouette_oracle(iters: int = 2, kc: int = 8) -> str:
 
 
 def _unigram_vocab_sql(max_multi: int = 100, plen: int = 4,
-                       wmax: int = 16) -> str:
+                       wmax: int = 16, src: str = "documents") -> str:
     """Vocabulary-derivation CTEs shared by every unigram oracle:
     tokenize -> word freqs -> substring weights -> single-char +
     capped-multi keep set -> scaled-integer costs (`voc`), plus the
-    distinct-word frame `dw` the DP runs over."""
+    distinct-word frame `dw` the DP runs over.  `src`: the (doc_id,
+    text) relation to train over — `corpus_to_batches` passes its
+    curated CTE so the tokenizer trains on post-gate text."""
     return f"""
             tk AS MATERIALIZED (
               SELECT doc_id, unnest(list_filter(string_split(text, ' '),
                                                 x -> x <> '')) AS w
-              FROM documents WHERE text IS NOT NULL),
+              FROM {src} WHERE text IS NOT NULL),
             wf AS MATERIALIZED (SELECT w, count(*) AS f FROM tk GROUP BY w),
             sub AS (
               SELECT unnest(flatten([[substr(w, i, l)
@@ -4457,8 +4486,8 @@ def _unigram_dp_sql(voc: str = "voc", sfx: str = "", plen: int = 4,
 
 
 def _unigram_base_sql(max_multi: int = 100, plen: int = 4,
-                      wmax: int = 16) -> str:
-    return (_unigram_vocab_sql(max_multi, plen, wmax) + ","
+                      wmax: int = 16, src: str = "documents") -> str:
+    return (_unigram_vocab_sql(max_multi, plen, wmax, src) + ","
             + _unigram_dp_sql("voc", "", plen, wmax))
 
 
@@ -4585,13 +4614,14 @@ def _unigram_prune_oracle(keep_ratio: float = 0.6, wmax: int = 16) -> str:
             FROM documents d LEFT JOIN agg USING (doc_id)"""
 
 
-def _unigram_train_oracle(keep_ratio: float = 0.6, wmax: int = 16) -> str:
-    """Full-trainer replay (r11): seed chain -> EM recost (the
-    _unigram_em_oracle step) -> chain 2 -> usage-ranked prune over the
-    chain-2 counts (the _unigram_prune_oracle step) -> chain 3
-    re-segments the corpus under the trained vocabulary."""
+def _unigram_train_chain_sql(keep_ratio: float = 0.6,
+                             wmax: int = 16) -> str:
+    """The full-trainer CTE chain (seed DP assumed already emitted by
+    `_unigram_base_sql`): EM recost -> chain-2 DP -> usage-ranked prune
+    -> chain-3 DP -> per-doc `agg`.  Shared by `_unigram_train_oracle`
+    (over `documents`) and `_corpus_to_batches_oracle` (over its
+    curated CTE)."""
     return f"""
-            WITH {_unigram_base_sql(wmax=wmax)},
             dws AS (SELECT w FROM dw),
             vstat AS (SELECT count(*) AS V FROM voc),
             {_unigram_backtrace_sql(wmax=wmax)},
@@ -4638,7 +4668,17 @@ def _unigram_train_oracle(keep_ratio: float = 0.6, wmax: int = 16) -> str:
             {_unigram_dp_sql("voc3", "_r2", wmax=wmax)},
             agg AS (SELECT doc_id, count(*) AS n_words, sum(ns) AS n_pieces,
                            sum(c) AS total_cost
-                    FROM tk JOIN dpf_r2 USING (w) GROUP BY doc_id)
+                    FROM tk JOIN dpf_r2 USING (w) GROUP BY doc_id)"""
+
+
+def _unigram_train_oracle(keep_ratio: float = 0.6, wmax: int = 16) -> str:
+    """Full-trainer replay (r11): seed chain -> EM recost (the
+    _unigram_em_oracle step) -> chain 2 -> usage-ranked prune over the
+    chain-2 counts (the _unigram_prune_oracle step) -> chain 3
+    re-segments the corpus under the trained vocabulary."""
+    return f"""
+            WITH {_unigram_base_sql(wmax=wmax)},
+            {_unigram_train_chain_sql(keep_ratio=keep_ratio, wmax=wmax)}
             SELECT d.doc_id,
                    CASE WHEN d.text IS NULL THEN NULL
                         ELSE coalesce(agg.n_words, 0) END::BIGINT
@@ -4650,6 +4690,73 @@ def _unigram_train_oracle(keep_ratio: float = 0.6, wmax: int = 16) -> str:
                         ELSE coalesce(agg.total_cost, 0) END::BIGINT
                      AS total_cost
             FROM documents d LEFT JOIN agg USING (doc_id)"""
+
+
+def _corpus_to_batches_oracle(max_len: int = 256, keep_ratio: float = 0.6,
+                              wmax: int = 16) -> str:
+    """corpus -> batches replay (r12, VERDICT r11 task #3): the
+    corpus_pipeline_full gate chain produces the curated (doc_id, text)
+    relation; the full unigram-trainer chain (seed -> EM -> prune ->
+    final DP) runs OVER IT via `_unigram_base_sql(src=...)`; the packed
+    layout is the pack_sequences cumsum replay over the per-doc PIECE
+    counts; the 1-row budget report cross-joins on."""
+    gate = f"""
+            gtoks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+            gpos AS (SELECT doc_id, t,
+                            unnest(generate_series(1,
+                              GREATEST(len(t) - 7, 1))) AS g
+                     FROM gtoks),
+            ggrams AS (SELECT doc_id,
+                              array_to_string(t[g : g + 7], ' ') AS gram
+                       FROM gpos),
+            gbench AS (SELECT DISTINCT gram FROM ggrams
+                       WHERE doc_id % 50 = 0),
+            gcontaminated AS (SELECT DISTINCT g.doc_id FROM ggrams g
+                              JOIN gbench b ON g.gram = b.gram),
+            curated AS MATERIALIZED (
+              SELECT d.doc_id, d.text
+              FROM documents d
+              JOIN ({_lang_id_oracle()}) l ON l.doc_id = d.doc_id
+              JOIN ({_quality_oracle()}) q ON q.doc_id = d.doc_id
+              JOIN ({_repetition_oracle()}) r ON r.doc_id = d.doc_id
+                                                 AND r.keep
+              WHERE l.predicted_lang = 'en' AND q.quality_score >= 0.5
+                AND d.doc_id IN (SELECT min(doc_id) FROM documents
+                                 GROUP BY md5(text))
+                AND d.doc_id NOT IN (SELECT doc_id FROM gcontaminated)
+                AND {_md5i("'split:' || d.doc_id::VARCHAR")} % 100 >= 10)"""
+    return f"""
+            WITH {gate},
+            {_unigram_base_sql(wmax=wmax, src="curated")},
+            {_unigram_train_chain_sql(keep_ratio=keep_ratio, wmax=wmax)},
+            counted AS (
+              SELECT c.doc_id,
+                     CASE WHEN c.text IS NULL THEN 0
+                          ELSE coalesce(agg.n_pieces, 0) END::BIGINT AS n
+              FROM curated c LEFT JOIN agg USING (doc_id)),
+            p AS (SELECT doc_id, n,
+                         SUM(n) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)::BIGINT
+                           AS cum
+                  FROM counted),
+            rep AS (SELECT SUM(n)::BIGINT AS total_tokens,
+                           CEIL(SUM(n) / {max_len}.0)::BIGINT AS n_windows,
+                           COUNT(*)::BIGINT AS n_docs,
+                           SUM(CASE WHEN (cum - 1) // {max_len}
+                                         > (cum - n) // {max_len}
+                                    THEN 1 ELSE 0 END)::BIGINT
+                             AS n_straddling
+                    FROM p)
+            SELECT doc_id, n AS n_pieces, (cum - n) AS start_tok,
+                   ((cum - n) // {max_len})::BIGINT AS first_chunk,
+                   ((cum - 1) // {max_len})::BIGINT AS last_chunk,
+                   ((cum - 1) // {max_len} - (cum - n) // {max_len}
+                    + 1)::BIGINT AS n_chunks,
+                   ((cum - n) % {max_len})::BIGINT AS offset_in_first_chunk,
+                   rep.total_tokens, rep.n_windows, rep.n_docs,
+                   rep.n_straddling
+            FROM p CROSS JOIN rep ORDER BY doc_id"""
 
 
 def _unigram_tokenize_oracle() -> str:
@@ -6761,6 +6868,8 @@ def oracle_sql() -> dict[str, str]:
               AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
               AND {_md5i("'split:' || d.doc_id::VARCHAR")} % 100 >= 10
             ORDER BY d.doc_id""",
+        "corpus_to_batches": _corpus_to_batches_oracle(
+            max_len=256, keep_ratio=0.6, wmax=16),
         "text_pii_redaction": r"""
             WITH pii AS (
               SELECT doc_id,

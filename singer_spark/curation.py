@@ -292,7 +292,13 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
                         id_col)
                .withColumn(text_col, F.col("_red")).drop("_red"))
     if cfg.split:
-        out = train_val_split(out, id_col=id_col)
+        # ANNOTATE the split (join, don't replace): curate's contract is
+        # "surviving docs with their gate metadata", and the published
+        # dataset needs the text — the old select-only train_val_split
+        # output silently reduced split=True runs to (id, bucket, split)
+        # (r12 fix, surfaced by corpus_to_batches)
+        out = out.join(train_val_split(out, id_col=id_col)
+                       .select(id_col, "split"), id_col)
     return out
 
 
@@ -542,6 +548,82 @@ def curate_stream(docs_stream: DataFrame, checkpoint: str, state_path: str,
 
     return (docs_stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint))
+
+
+def corpus_to_batches(docs: DataFrame,
+                      cfg: CurationConfig = CurationConfig(),
+                      benchmark: "DataFrame | None" = None,
+                      vocab: "list[tuple[str, int]] | None" = None,
+                      vocab_path: "str | None" = None,
+                      train_split_only: bool = False,
+                      max_len: int = 2048,
+                      max_multi: int = 30_000, max_piece_len: int = 6,
+                      em_rounds: int = 1, keep_ratio: float = 0.8,
+                      max_word_len: int = 16,
+                      bucket_width: int = 10_000) -> DataFrame:
+    """Corpus → training batches, end to end (r12, VERDICT r11 task #3)
+    — the one query a pretraining-data engineer actually runs: curate
+    (the configured gate chain), train or load the unigram tokenizer,
+    encode every surviving document, and lay the pieces out as
+    fixed-length training windows with a token-budget report.
+
+    Stages (each separately oracle-checked; this composition is pinned
+    equal to running them by hand):
+
+    1. :func:`curate` under `cfg` (+ optional benchmark
+       decontamination); with `train_split_only` the published split
+       gate applies, so batches come from train only;
+    2. tokenizer: `vocab` (in-memory) or `vocab_path`
+       (:func:`~singer_spark.operators.text_analysis.load_vocab` — the
+       production path: train once, reuse per run) or
+       :func:`~singer_spark.operators.text_analysis.unigram_train` on
+       the CURATED corpus (training on post-gate text keeps junk out of
+       the vocabulary);
+    3. :func:`~singer_spark.operators.text_analysis.unigram_encode` —
+       one broadcast-vocab Arrow pass;
+    4. :func:`~singer_spark.operators.packing.pack_sequences` over the
+       per-doc PIECE counts (`count_col` — the unit batches are cut
+       in), windows every `max_len` pieces.
+
+    100 TB shape: the survivors persist once and feed trainer + encode;
+    the encode is shuffle-free; packing shuffles only (id, n_pieces);
+    the 1-row budget report broadcasts onto the output.  Output: one
+    row per surviving doc — (doc_id, n_pieces, start_tok, first_chunk,
+    last_chunk, n_chunks, offset_in_first_chunk) plus the constant
+    report columns (total_tokens, n_windows, n_docs, n_straddling)."""
+    from singer_spark.functions import maybe_persist
+    from singer_spark.operators.packing import pack_sequences, packing_stats
+    from singer_spark.operators.text_analysis import (
+        load_vocab,
+        unigram_encode,
+        unigram_train,
+    )
+
+    id_col, text_col = cfg.id_col, cfg.text_col
+    kept = curate(docs, cfg, benchmark)
+    if train_split_only:
+        if not cfg.split:
+            raise ValueError("train_split_only requires cfg.split=True")
+        kept = kept.filter(F.col("split") == "train")
+    kept = maybe_persist(kept.select(id_col, text_col), True)
+    if vocab is None:
+        vocab = (load_vocab(docs.sparkSession, vocab_path) if vocab_path
+                 else unigram_train(kept, max_multi=max_multi,
+                                    max_piece_len=max_piece_len,
+                                    em_rounds=em_rounds,
+                                    keep_ratio=keep_ratio,
+                                    max_word_len=max_word_len,
+                                    text_col=text_col, id_col=id_col))
+    enc = unigram_encode(kept, vocab, max_word_len=max_word_len,
+                         text_col=text_col, id_col=id_col)
+    packed = pack_sequences(enc.select(id_col, "n_pieces"),
+                            max_len=max_len, id_col=id_col,
+                            bucket_width=bucket_width,
+                            count_col="n_pieces")
+    report = packing_stats(packed, max_len)
+    return (packed.withColumnRenamed("n_tokens", "n_pieces")
+            .crossJoin(F.broadcast(report))
+            .orderBy(id_col))
 
 
 def funnel_trend(spark, metrics_path: str, sigma: float = 3.0,

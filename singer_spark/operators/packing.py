@@ -45,7 +45,8 @@ def _bucket_col(id_col: str, bucket_width: int):
 
 def pack_sequences(docs: DataFrame, max_len: int = 2048,
                    text_col: str = "text", id_col: str = "doc_id",
-                   bucket_width: int = 10_000) -> DataFrame:
+                   bucket_width: int = 10_000,
+                   count_col: "str | None" = None) -> DataFrame:
     """Concat-and-chunk packing layout: for each document, its global token
     offset and the chunk (training-window) range it lands in when the
     corpus is concatenated in `id_col` order and cut every `max_len`
@@ -60,14 +61,21 @@ def pack_sequences(docs: DataFrame, max_len: int = 2048,
     not documents), and the per-doc cumsum windows over one bucket at a
     time.  Dense integer ids are the common case; for sparse/skewed ids
     pass a pre-bucketized frame or re-id first (dedup_clusters emits dense
-    ids)."""
+    ids).
+
+    `count_col` (r12): pack by a PRE-COMPUTED per-doc length instead of
+    the raw whitespace token count — e.g. unigram_encode's `n_pieces`,
+    the real unit a training batch is cut in; NULLs pack as 0.  The
+    text column is then never read."""
     from pyspark import StorageLevel
 
+    n = (F.coalesce(F.col(count_col).cast("bigint"), F.lit(0))
+         if count_col else token_count_col(text_col))
     # persisted: consumed twice (bucket totals + per-doc window), and
     # recomputing means re-tokenizing the whole corpus.  ~24 B/doc —
     # columnar-tiny relative to the text it summarizes.
     t = docs.select(F.col(id_col).alias("id"),
-                    token_count_col(text_col).alias("n_tokens"),
+                    n.alias("n_tokens"),
                     _bucket_col(id_col, bucket_width).alias("bucket")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -576,6 +577,60 @@ def test_funnel_trend_drift_and_replayed_epoch(spark, tmp_path):
     assert not by[(5, "input")].drift
     assert abs(by[(4, "lang")].rate - 0.8) < 1e-12
     assert abs(by[(4, "lang")].trailing_mean - 0.8) < 1e-12
+
+
+def test_corpus_to_batches_is_the_pinned_composition(spark, tmp_path):
+    """r12 (VERDICT r11 task #3): corpus_to_batches must BE curate ->
+    unigram_train -> unigram_encode -> pack_sequences(count_col) +
+    packing_stats run by hand — a structural identity pin (the
+    corpus_pipeline_full discipline applied to the tokenize+pack tail)
+    — and the vocab_path branch must reproduce the in-memory result."""
+    from singer_spark.curation import (CurationConfig, corpus_to_batches,
+                                       curate)
+    from singer_spark.operators.packing import pack_sequences, packing_stats
+    from singer_spark.operators.text_analysis import (save_vocab,
+                                                      unigram_encode,
+                                                      unigram_train)
+
+    good = ("the quick brown fox jumps over the lazy dog and walks to "
+            "the river bank to drink water in the morning sun today")
+    rows = [(i, good + f" banana band{i} bananas", "src") for i in range(8)]
+    rows += [(100, "spam spam spam spam spam spam spam spam", "src")]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id bigint, text string, source string")
+    cfg = CurationConfig(lang="en", min_quality=0.3, repetition_screen=True,
+                         dedup="none", split=False)
+    kw = dict(max_len=16, max_multi=20, max_piece_len=4, em_rounds=1,
+              keep_ratio=0.6, max_word_len=16)
+    got = corpus_to_batches(docs, cfg, **kw).collect()
+
+    kept = curate(docs, cfg).select("doc_id", "text")
+    vocab = unigram_train(kept, max_multi=20, max_piece_len=4,
+                          em_rounds=1, keep_ratio=0.6, max_word_len=16)
+    enc = unigram_encode(kept, vocab, max_word_len=16)
+    packed = pack_sequences(enc.select("doc_id", "n_pieces"), max_len=16,
+                            count_col="n_pieces")
+    rep = packing_stats(packed, 16).collect()[0]
+    want = sorted(
+        (r.doc_id, r.n_tokens, r.start_tok, r.first_chunk, r.last_chunk,
+         r.n_chunks, r.offset_in_first_chunk, rep.total_tokens,
+         rep.n_windows, rep.n_docs, rep.n_straddling)
+        for r in packed.collect())
+    assert sorted((r.doc_id, r.n_pieces, r.start_tok, r.first_chunk,
+                   r.last_chunk, r.n_chunks, r.offset_in_first_chunk,
+                   r.total_tokens, r.n_windows, r.n_docs, r.n_straddling)
+                  for r in got) == want
+    assert len(got) > 0 and got[0].n_windows >= 1
+
+    # production path: a persisted vocab reproduces the in-memory run
+    save_vocab(spark, vocab, str(tmp_path / "vocab"))
+    got_loaded = corpus_to_batches(docs, cfg,
+                                   vocab_path=str(tmp_path / "vocab"),
+                                   **kw).collect()
+    assert got_loaded == got
+    # batches from the train split only: requires the split column
+    with pytest.raises(ValueError, match="split"):
+        corpus_to_batches(docs, cfg, train_split_only=True, **kw)
 
 
 def test_curation_funnel_counts_are_consistent(spark, sf_dir):
