@@ -2035,6 +2035,57 @@ def _source_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_reweight(_docs(spark, sf_dir), eta=1.0, smoothing=0.2)
 
 
+def _funnel_trend_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """funnel_trend over a REAL per-epoch metrics table (r12, VERDICT
+    r11 task #5): a deterministic 5-epoch, 3-stage funnel is derived
+    from the documents table (epoch = doc_id%5; chained gates even →
+    %6), written through the exact curate_stream writer layout
+    (per-epoch overwritten partitions), and read back by
+    curation.funnel_trend — per-stage survival rates, trailing
+    mean/std over prior epochs, and the sigma drift flag.  The oracle
+    re-derives the stage rows and replays the trailing-window stats in
+    SQL."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from singer_spark.curation import funnel_trend
+    from singer_spark.functions import qround
+
+    docs = _docs(spark, sf_dir)
+    per = (docs.groupBy((F.col("doc_id") % 5).alias("_e"))
+           .agg(F.count("*").alias("_n"),
+                F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("_c2"),
+                F.sum((F.col("doc_id") % 6 == 0).cast("long")).alias("_c6"))
+           .collect())  # 5 rows
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"singer_funnel_trend_{uid}_{os.getpid()}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}")
+    shutil.rmtree(path, ignore_errors=True)
+    schema = ("stage_idx int, stage string, n_in bigint, n_kept bigint, "
+              "n_dropped bigint")
+    for r in per:
+        n, c2, c6 = int(r["_n"]), int(r["_c2"]), int(r["_c6"])
+        rows = [(0, "input", n, n, 0), (1, "even", n, c2, n - c2),
+                (2, "six", c2, c6, c2 - c6)]
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{path}/epoch_id={r['_e']}")
+    t = funnel_trend(spark, path, sigma=1.0, min_epochs=2)
+    res = (t.select("epoch_id", "stage_idx", "stage", "n_in", "n_kept",
+                    qround(F.col("rate"), 6).alias("rate"),
+                    qround(F.col("trailing_mean"), 6)
+                    .alias("trailing_mean"),
+                    qround(F.col("trailing_std"), 6).alias("trailing_std"),
+                    "n_prior", "drift")
+           .orderBy("epoch_id", "stage_idx")
+           .localCheckpoint(eager=True))
+    shutil.rmtree(path, ignore_errors=True)
+    return res
+
+
 def _unigram_em_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft-EM E+M step of the unigram LM (r12, VERDICT r11 task #2 —
     Kudo 2018 §3.2's actual expectation over the full segmentation
@@ -3117,6 +3168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": _dsir_sample,
         "quality_classifier": _quality_classifier,
         "quality_calibration": _quality_calibration,
+        "funnel_trend_report": _funnel_trend_report,
         "quality_model_roundtrip": _quality_model_roundtrip,
         "curation_funnel": _curation_funnel,
         "unigram_tokenize": _unigram_tokenize,
@@ -5017,7 +5069,8 @@ def _source_reweight_converge_oracle(rounds: int = 2, eta: float = 1.0,
             w0 AS (SELECT source,
                           floor(1.0 / kk.k * 1000000 + 0.5) / 1000000
                             AS weight
-                   FROM (SELECT DISTINCT source FROM dtok)
+                   FROM (SELECT DISTINCT source FROM dtok
+                         WHERE source IS NOT NULL)
                         CROSS JOIN (SELECT count(DISTINCT source) AS k
                                     FROM dtok) kk)"""]
     outs = []
@@ -6568,6 +6621,43 @@ def oracle_sql() -> dict[str, str]:
                         THEN floor(2.0 * tp / (n_kept + n_seed)::DOUBLE
                                    * 1000000 + 0.5) / 1000000 END AS f1
             FROM agg ORDER BY threshold""",
+        # deterministic 5-epoch funnel re-derived + trailing-window
+        # stats replayed (epoch = doc_id%5; chained even -> %6 gates)
+        "funnel_trend_report": """
+            WITH per AS (
+              SELECT doc_id % 5 AS epoch, count(*) AS n,
+                     sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c2,
+                     sum(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS c6
+              FROM documents GROUP BY 1),
+            m AS (
+              SELECT epoch AS epoch_id, 0 AS stage_idx, 'input' AS stage,
+                     n AS n_in, n AS n_kept FROM per
+              UNION ALL
+              SELECT epoch, 1, 'even', n, c2 FROM per
+              UNION ALL
+              SELECT epoch, 2, 'six', c2, c6 FROM per),
+            r AS (SELECT *, CASE WHEN n_in > 0
+                                 THEN n_kept::DOUBLE / n_in END AS rate
+                  FROM m),
+            w AS (SELECT *,
+                         avg(rate) OVER win AS tm,
+                         stddev_samp(rate) OVER win AS ts,
+                         count(rate) OVER win AS np
+                  FROM r
+                  WINDOW win AS (PARTITION BY stage_idx, stage
+                                 ORDER BY epoch_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING))
+            SELECT epoch_id::BIGINT AS epoch_id, stage_idx::INT AS stage_idx,
+                   stage, n_in::BIGINT AS n_in, n_kept::BIGINT AS n_kept,
+                   floor(rate * 1000000 + 0.5) / 1000000 AS rate,
+                   floor(tm * 1000000 + 0.5) / 1000000 AS trailing_mean,
+                   floor(ts * 1000000 + 0.5) / 1000000 AS trailing_std,
+                   np::INT AS n_prior,
+                   (np >= 2 AND rate IS NOT NULL AND tm IS NOT NULL
+                    AND abs(rate - tm) > 1.0::DOUBLE * coalesce(ts, 0.0))
+                     AS drift
+            FROM w ORDER BY epoch_id, stage_idx""",
         # model-lifecycle roundtrip: booleans pinned, count re-derived
         "quality_model_roundtrip": """
             SELECT count(*)::BIGINT AS n_docs,

@@ -132,6 +132,14 @@ HEADLINERS = [
     "unigram_prune_tokenize",
     "unigram_train_tokenize",
     "source_reweight",
+    # round-12: soft-EM E-step, iterated DoReMi, NB threshold sweep,
+    # and the curate->tokenize->pack composition.  funnel_trend_report
+    # (a telemetry-table reader) and the ANN lifecycle probes stay
+    # non-headliners by the same not-a-serving-path rule.
+    "unigram_em_soft",
+    "source_reweight_converge",
+    "quality_calibration",
+    "corpus_to_batches",
 ]
 
 

@@ -107,7 +107,10 @@ def scd2_stream_sink(changes_stream: DataFrame, dim_path: str,
     which belongs to a table format with row-level merge.
     Returns a DataStreamWriter (caller starts it).  The directory swap is
     filesystem-rename based, matching the local/shared-FS deployment of
-    the agent (see streaming/tail.py for the same envelope)."""
+    the agent (see streaming/tail.py for the same envelope); a dimension
+    that must live on object storage should use the versioned-dir +
+    pointer-log pattern (`similarity.py` codes_v{n}/codes_ptr, r12)
+    rather than per-bucket renames."""
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from singer_spark.streaming.stateful import streaming_run_id
 

@@ -1417,8 +1417,14 @@ def source_reweight_converge(docs: DataFrame, rounds: int = 2,
         docs.select(F.col(id_col), F.col(source_col).alias("source"),
                     n_tok.alias("n_tokens"))
         .join(scores.select(id_col, "lm_score"), id_col), True)
+    # docs with a NULL source are unmixable — no weight row can join
+    # them — so they are excluded from the weight simplex AND from every
+    # round's sample (the join drops them on both engines identically)
     sources = sorted(r.source for r in
-                     per_doc.select("source").distinct().collect())
+                     per_doc.select("source").distinct().collect()
+                     if r.source is not None)
+    if not sources:
+        raise ValueError("source_reweight_converge: no non-NULL sources")
     k = len(sources)
     scale = 10 ** int(round_to)
 

@@ -280,7 +280,14 @@ def checkpointed_state_fold(stream_df: DataFrame, state_path: str,
     Extracted from streaming_heavy_hitters so every bounded-state
     streaming operator (heavy hitters, source-KL drift) shares the one
     battle-tested protocol.  Returns a DataStreamWriter (caller starts
-    it)."""
+    it).
+
+    FS scope: the marker file + two-rename swap is a LOCAL-FS protocol
+    (driver-side state, summary-sized by contract — it lives with the
+    driver, not on the data lake; rename atomicity is what makes the
+    swap safe, and only local/HDFS renames are atomic).  State that
+    must live on object storage should use the versioned-dir + pointer
+    pattern instead (`similarity.py` codes_v{n}/codes_ptr, r12)."""
     import os
     import shutil
     import uuid

@@ -67,6 +67,11 @@ NULL_SENSITIVE_KEYS = (
     "unigram_prune_tokenize",
     "unigram_train_tokenize",
     "source_reweight",
+    # r12 additions — all read only the documents table
+    "unigram_em_soft",
+    "source_reweight_converge",
+    "quality_calibration",
+    "corpus_to_batches",
     # composed funnels over the documents table: a NULL/empty-text
     # divergence inside any composed gate would otherwise be invisible
     "curation_funnel",
