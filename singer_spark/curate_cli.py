@@ -71,6 +71,19 @@ def main(argv: list[str] | None = None) -> None:
                         "original text; replacements chain in the order "
                         "given (the count-then-replace contract)")
     p.add_argument("--no-split", action="store_true")
+    p.add_argument("--pack-batches", type=int, default=None, metavar="LEN",
+                   help="also tokenize the published survivors (unigram "
+                        "vocab: --vocab-path or trained on them) and "
+                        "write the LEN-piece training-window layout "
+                        "(curation.corpus_to_batches) next to the output")
+    p.add_argument("--vocab-path", default=None, metavar="DIR",
+                   help="persisted tokenizer vocabulary (save_vocab) for "
+                        "--pack-batches; omitted = train on the survivors")
+    p.add_argument("--batches-output", default=None, metavar="DIR",
+                   help="where --pack-batches writes (default "
+                        "<output>_batches)")
+    p.add_argument("--train-split-only", action="store_true",
+                   help="--pack-batches: pack only split='train' docs")
     p.add_argument("--partition-by", default=None,
                    help="comma-separated hive partition columns")
     p.add_argument("--zorder-by", default=None,
@@ -132,6 +145,23 @@ def main(argv: list[str] | None = None) -> None:
             zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
             target_file_mb=args.target_file_mb)
     print(f"published {n} documents to {args.output}")
+    if args.pack_batches:
+        from singer_spark.curation import corpus_to_batches
+
+        packed = corpus_to_batches(
+            docs, cfg, benchmark=bench,
+            curated=spark.read.parquet(args.output),
+            vocab_path=args.vocab_path,
+            train_split_only=args.train_split_only,
+            max_len=args.pack_batches)
+        out = args.batches_output or (args.output.rstrip("/") + "_batches")
+        packed.write.mode("overwrite").parquet(out)
+        rep = spark.read.parquet(out).limit(1).collect()
+        if rep:
+            r = rep[0]
+            print(f"packed {r.n_docs} docs / {r.total_tokens} pieces into "
+                  f"{r.n_windows} x {args.pack_batches}-piece windows "
+                  f"at {out}")
     spark.stop()
 
 

@@ -556,6 +556,7 @@ def corpus_to_batches(docs: DataFrame,
                       vocab: "list[tuple[str, int]] | None" = None,
                       vocab_path: "str | None" = None,
                       train_split_only: bool = False,
+                      curated: "DataFrame | None" = None,
                       max_len: int = 2048,
                       max_multi: int = 30_000, max_piece_len: int = 6,
                       em_rounds: int = 1, keep_ratio: float = 0.8,
@@ -600,10 +601,15 @@ def corpus_to_batches(docs: DataFrame,
     )
 
     id_col, text_col = cfg.id_col, cfg.text_col
-    kept = curate(docs, cfg, benchmark)
+    # `curated`: an ALREADY-curated frame (e.g. the published dataset a
+    # prior curate_and_publish wrote) — skips the gate chain so the CLI
+    # can pack what it just published without running the gates twice
+    kept = curated if curated is not None else curate(docs, cfg, benchmark)
     if train_split_only:
-        if not cfg.split:
-            raise ValueError("train_split_only requires cfg.split=True")
+        if "split" not in kept.columns:
+            raise ValueError("train_split_only requires a split column "
+                             "(cfg.split=True, or a curated frame that "
+                             "carries one)")
         kept = kept.filter(F.col("split") == "train")
     kept = maybe_persist(kept.select(id_col, text_col), True)
     if vocab is None:

@@ -355,6 +355,39 @@ def test_curate_cli_learned_gate_flag(spark, tmp_path, monkeypatch):
     assert kept == set(range(4))
 
 
+def test_curate_cli_pack_batches(spark, tmp_path, monkeypatch):
+    """r12: --pack-batches LEN publishes the curated docs AND their
+    packed training-window layout (corpus_to_batches over the published
+    dataset via curated=, so the gates never run twice), with the
+    token-budget report columns riding every row."""
+    from pyspark.sql import SparkSession
+
+    from singer_spark.curate_cli import main
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    good = ("the quick brown fox jumps over the lazy dog and walks to "
+            "the river bank to drink water in the morning sun today")
+    docs = spark.createDataFrame(
+        [(i, good + f" tail{i}", "src") for i in range(6)],
+        "doc_id bigint, text string, source string")
+    src = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "out")
+    docs.write.parquet(src)
+    main(["--input", src, "--output", out, "--lang", "",
+          "--min-quality", "-1", "--no-repetition-screen",
+          "--dedup", "none", "--no-split", "--pack-batches", "16"])
+    pub = spark.read.parquet(out)
+    packed = spark.read.parquet(out + "_batches")
+    assert packed.count() == pub.count() == 6
+    r = packed.orderBy("doc_id").collect()
+    assert r[0].start_tok == 0 and r[0].n_windows >= 1
+    assert all(x.n_docs == 6 for x in r)
+    # windows chain: each doc starts where the previous ended
+    for prev, cur in zip(r, r[1:]):
+        assert cur.start_tok == prev.start_tok + prev.n_pieces
+
+
 def test_curate_learned_gate_pretrained_model(spark, tmp_path):
     """A stored NB model gates a NEW batch without refitting: the
     model trained on the labeled corpus transfers its decision to an

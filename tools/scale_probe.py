@@ -314,7 +314,31 @@ def ops(docs: DataFrame):
         "unigram_train+encode": lambda: _unigram(docs),
         "corpus_diversity": lambda: _diversity(docs),
         "pack_bins": lambda: _pack_bins(docs),
+        "unigram_em_soft": lambda: _em_soft(docs),
+        "doremi_converge": lambda: _doremi(docs),
     }
+
+
+def _em_soft(docs: DataFrame) -> DataFrame:
+    """Soft-EM round + marginal NLL (r12): forward-backward over the
+    DISTINCT-word table (sub-linear once the word set saturates, the
+    trainer shape), edge explode + exact integer sums for the expected
+    counts — expected ~linear in the word-count scan."""
+    from singer_spark.operators.text_analysis import (unigram_em_converge,
+                                                      unigram_vocab)
+
+    vocab = unigram_vocab(docs, max_multi=100, max_piece_len=4)
+    return unigram_em_converge(docs, vocab, rounds=1, mode="soft")
+
+
+def _doremi(docs: DataFrame) -> DataFrame:
+    """Iterated DoReMi (r12): the corpus LM-scores once into a persisted
+    frame; each round is one per-source window pass + k-row weight
+    arithmetic — expected ~linear in the scoring pass, near-flat per
+    extra round."""
+    from singer_spark.operators.text_analysis import source_reweight_converge
+
+    return source_reweight_converge(docs, rounds=2)
 
 
 def _pack_bins(docs: DataFrame) -> DataFrame:
