@@ -485,6 +485,14 @@ _BNLJ_ALLOWLIST = {
     # their appearance in the static audit; execution substitutes the
     # persisted frames)
     "source_reweight",
+    # r12: the NB scoring core's vstats/totals/priors 1-row frames ride
+    # into the threshold sweep unchanged (the quality_classifier
+    # argument; the sweep itself adds only a broadcast literal array)
+    "quality_calibration",
+    # r12: the 1-row token-budget report (packing_stats) cross-joined
+    # onto the packed rows, plus the composed NB-free gate chain's
+    # scalar frames — every broadcast side is a single-row aggregate
+    "corpus_to_batches",
     "tfidf_top_terms",
     "token_drift", "value_histogram",
 }
