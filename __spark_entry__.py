@@ -695,6 +695,21 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), max_len=512, bucket_width=100)
 
 
+def _pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(window, document) slice manifest (r12) — the dataloader's
+    loss-mask/random-access table: for every 512-token training window,
+    which docs compose it, each slice's offset within its doc and
+    within the window, and its length — packing.pack_manifest over the
+    pack_sequences layout; pure integer arithmetic, one explode, no
+    extra shuffle.  The oracle extends the cumsum pack replay with a
+    generate_series explode."""
+    from singer_spark.operators.packing import pack_manifest, pack_sequences
+
+    packed = pack_sequences(_docs(spark, sf_dir), max_len=512,
+                            bucket_width=100)
+    return pack_manifest(packed, max_len=512).orderBy("chunk_id", "doc_id")
+
+
 def _pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.operators.packing import pack_sequences, packing_stats
 
@@ -3201,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": _readability,
         "train_val_split": _train_val_split,
         "pack_sequences": _pack_sequences,
+        "pack_manifest": _pack_manifest,
         "pack_stats": _pack_stats,
         "decontaminate": _decontaminate,
         "semantic_decontaminate": _semantic_decontaminate,
@@ -7280,6 +7296,30 @@ def oracle_sql() -> dict[str, str]:
                    ((cum - 1) // 512 - (cum - n) // 512 + 1)::BIGINT AS n_chunks,
                    ((cum - n) % 512)::BIGINT AS offset_in_first_chunk
             FROM t""",
+        "pack_manifest": """
+            -- the pack replay + a window explode: slice = doc ∩ window
+            WITH t AS (
+              SELECT doc_id,
+                     coalesce(length(string_split(text, ' ')), 0)::BIGINT
+                       AS n,
+                     SUM(coalesce(length(string_split(text, ' ')), 0))
+                       OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+              FROM documents),
+            p AS (SELECT doc_id, n, (cum - n) AS start_tok,
+                         ((cum - n) // 512) AS fc, ((cum - 1) // 512) AS lc
+                  FROM t WHERE n > 0),
+            e AS (SELECT doc_id, n, start_tok,
+                         unnest(generate_series(fc, lc)) AS chunk_id
+                  FROM p)
+            SELECT chunk_id::BIGINT AS chunk_id, doc_id,
+                   (greatest(start_tok, chunk_id * 512)
+                    - start_tok)::BIGINT AS doc_off,
+                   (greatest(start_tok, chunk_id * 512)
+                    - chunk_id * 512)::BIGINT AS win_off,
+                   (least(start_tok + n, (chunk_id + 1) * 512)
+                    - greatest(start_tok, chunk_id * 512))::BIGINT AS len
+            FROM e ORDER BY chunk_id, doc_id""",
         "pack_stats": """
             WITH t AS (SELECT doc_id,
                               coalesce(length(string_split(text, ' ')), 0)::BIGINT AS n

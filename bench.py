@@ -140,6 +140,7 @@ HEADLINERS = [
     "source_reweight_converge",
     "quality_calibration",
     "corpus_to_batches",
+    "pack_manifest",
 ]
 
 

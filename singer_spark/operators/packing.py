@@ -113,6 +113,52 @@ def pack_sequences(docs: DataFrame, max_len: int = 2048,
     )
 
 
+def pack_manifest(packed: DataFrame, max_len: int = 2048,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-(window, document) slice manifest from a :func:`pack_sequences`
+    layout — the table a dataloader actually consumes: which documents
+    compose each fixed-length training window, where each slice starts
+    inside its document and inside the window, and how long it is.
+    This is the input to packing-aware loss masks (don't attend/score
+    across document boundaries inside a window) and to random-access
+    window materialization (seek each doc's slice instead of re-scanning
+    the corpus).
+
+    For each doc spanning windows first_chunk..last_chunk, one row per
+    window it touches:
+
+    - ``chunk_id`` — the window; ``doc_off`` — slice start within the
+      document; ``win_off`` — slice start within the window; ``len`` —
+      slice length in tokens.  Pure integer arithmetic on the packed
+      frame: slice = [max(start_tok, chunk·L), min(start_tok+n, (chunk+1)·L)).
+
+    Invariants (pytest-pinned): per-doc slices concatenate to the whole
+    document (Σ len = n_tokens, doc_off contiguous from 0); per-window
+    slices tile it exactly (win_off contiguous, Σ len = max_len except
+    the final window); zero-token docs emit no rows.
+
+    100 TB shape: one explode of the packed frame — output rows ≈
+    total_tokens/max_len + n_docs (each doc adds its window count), the
+    same order as the window table itself; no join, no extra shuffle —
+    the manifest inherits pack_sequences' partitioning.  Output sorted
+    by (chunk_id, win_off) is one exchange if a global layout is wanted;
+    this returns it unsorted for the writer to range-partition."""
+    L = int(max_len)
+    chunk = F.explode(F.sequence(F.col("first_chunk"),
+                                 F.col("last_chunk"))).alias("chunk_id")
+    e = (packed.filter(F.col("n_tokens") > 0)
+         .select(F.col(id_col), "n_tokens", "start_tok", chunk))
+    seg_start = F.greatest(F.col("start_tok"), F.col("chunk_id") * L)
+    seg_end = F.least(F.col("start_tok") + F.col("n_tokens"),
+                      (F.col("chunk_id") + 1) * L)
+    return (e.select(
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col(id_col),
+        (seg_start - F.col("start_tok")).cast("bigint").alias("doc_off"),
+        (seg_start - F.col("chunk_id") * L).cast("bigint").alias("win_off"),
+        (seg_end - seg_start).cast("bigint").alias("len")))
+
+
 def packing_stats(packed: DataFrame, max_len: int = 2048) -> DataFrame:
     """Corpus-level packing summary: total tokens, number of training
     windows, boundary-straddling doc fraction — the sanity dashboard row a

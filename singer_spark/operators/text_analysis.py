@@ -3383,7 +3383,8 @@ def unigram_train(docs: DataFrame, max_multi: int = 30_000,
                   max_piece_len: int = 6, em_rounds: int = 1,
                   keep_ratio: float = 0.8, alpha: float = 0.5,
                   max_word_len: int = 16, text_col: str = "text",
-                  id_col: str = "doc_id") -> "list[tuple[str, int]]":
+                  id_col: str = "doc_id",
+                  em_mode: str = "hard") -> "list[tuple[str, int]]":
     """End-to-end unigram-LM tokenizer training — the full SentencePiece
     alternation (Kudo 2018 §3.2) composed from the engine's pieces:
     substring-frequency seed (:func:`unigram_vocab`), `em_rounds`
@@ -3399,9 +3400,19 @@ def unigram_train(docs: DataFrame, max_multi: int = 30_000,
     k-stage training run costs one corpus read plus k distinct-word
     passes, each a DP kernel plus a vocab-sized collect; the corpus is
     never shuffled and the driver state is capped by `max_multi` at
-    every step."""
+    every step.
+
+    ``em_mode="soft"`` (r12): the EM rounds use
+    :func:`unigram_em_soft`'s lattice-posterior expected counts (Kudo
+    2018's actual E-step) instead of Viterbi usage counts — same
+    distinct-word pass shape, same integer-exact aggregation; the prune
+    stays usage-ranked under the FINAL costs (SentencePiece's shrink
+    rule) either way."""
     from singer_spark.functions import maybe_persist
 
+    if em_mode not in ("hard", "soft"):
+        raise ValueError(f"unknown EM mode {em_mode!r}")
+    refine = unigram_em_soft if em_mode == "soft" else unigram_em_refine
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     words = maybe_persist(
         fan_out(docs).select(F.explode(toks).alias("_w"))
@@ -3410,10 +3421,10 @@ def unigram_train(docs: DataFrame, max_multi: int = 30_000,
                           max_piece_len=max_piece_len,
                           text_col=text_col, id_col=id_col, words=words)
     for _ in range(em_rounds):
-        vocab = unigram_em_refine(docs, vocab, alpha=alpha,
-                                  max_word_len=max_word_len,
-                                  text_col=text_col, id_col=id_col,
-                                  words=words)
+        vocab = refine(docs, vocab, alpha=alpha,
+                       max_word_len=max_word_len,
+                       text_col=text_col, id_col=id_col,
+                       words=words)
     return unigram_prune(docs, vocab, keep_ratio=keep_ratio, alpha=alpha,
                          max_word_len=max_word_len,
                          text_col=text_col, id_col=id_col, words=words)

@@ -72,6 +72,7 @@ NULL_SENSITIVE_KEYS = (
     "source_reweight_converge",
     "quality_calibration",
     "corpus_to_batches",
+    "pack_manifest",
     # composed funnels over the documents table: a NULL/empty-text
     # divergence inside any composed gate would otherwise be invisible
     "curation_funnel",

@@ -1010,6 +1010,61 @@ def test_pack_sequences_layout_invariants(spark, sf_dir):
     assert [(r.doc_id, r.start_tok) for r in alt] == [(r.doc_id, r.start_tok) for r in rows]
 
 
+def test_pack_manifest_tiles_windows_and_docs_exactly(spark, sf_dir):
+    """r12: the per-(window, doc) slice manifest — per-doc slices
+    concatenate to the whole document, per-window slices tile the
+    window exactly (full max_len except the final window), offsets
+    contiguous, zero-token docs absent, and pack by a precomputed
+    count column (count_col) agrees with the text path."""
+    from collections import defaultdict
+
+    from singer_spark.operators.packing import pack_manifest, pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_sequences(docs, max_len=128, bucket_width=37)
+    prows = {r.doc_id: r for r in packed.collect()}
+    m = pack_manifest(packed, max_len=128).orderBy(
+        "chunk_id", "win_off").collect()
+
+    by_doc = defaultdict(list)
+    by_win = defaultdict(list)
+    for r in m:
+        assert r.len > 0
+        by_doc[r.doc_id].append(r)
+        by_win[r.chunk_id].append(r)
+    # per-doc: contiguous slices covering exactly the document
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r.doc_off)
+        assert rows[0].doc_off == 0
+        pos = 0
+        for r in rows:
+            assert r.doc_off == pos
+            pos += r.len
+        assert pos == prows[d].n_tokens
+    # zero-token docs emit nothing
+    assert set(by_doc) == {d for d, p in prows.items() if p.n_tokens > 0}
+    # per-window: contiguous tiling, full except the last window
+    total = sum(p.n_tokens for p in prows.values())
+    last_win = (total - 1) // 128
+    for w, rows in by_win.items():
+        rows.sort(key=lambda r: r.win_off)
+        assert rows[0].win_off == 0
+        pos = 0
+        for r in rows:
+            assert r.win_off == pos
+            pos += r.len
+        assert pos == (128 if w < last_win else total - last_win * 128)
+    assert set(by_win) == set(range(last_win + 1))
+
+    # count_col path: pack by the manifest's own n_tokens — identical
+    counted = packed.select("doc_id",
+                            packed.n_tokens.alias("precounted"))
+    repacked = pack_sequences(docs.join(counted, "doc_id"), max_len=128,
+                              bucket_width=37, count_col="precounted")
+    assert {(r.doc_id, r.start_tok) for r in repacked.collect()} \
+        == {(r.doc_id, r.start_tok) for r in packed.collect()}
+
+
 def test_pack_sequences_no_global_single_task_window(spark, sf_dir):
     """The prefix sum must window per BUCKET, never over a global order —
     the plan's Window spec has to carry a partition key."""

@@ -2883,6 +2883,20 @@ def test_unigram_train_is_the_pinned_composition(spark):
     chars = {c for _, t, _s in rows for c in t.replace(" ", "")}
     assert chars <= {p for p, _ in got if len(p) == 1}
 
+    # r12: the soft trainer is the same pinned composition with the
+    # soft E-step swapped in (prune stays usage-ranked — the shrink
+    # rule is mode-independent)
+    from singer_spark.operators.text_analysis import unigram_em_soft
+
+    got_soft = unigram_train(docs, max_multi=12, max_piece_len=4,
+                             em_rounds=1, keep_ratio=0.5, em_mode="soft")
+    vs = unigram_vocab(docs, max_multi=12, max_piece_len=4)
+    vs = unigram_em_soft(docs, vs)
+    want_soft = unigram_prune(docs, vs, keep_ratio=0.5)
+    assert got_soft == want_soft
+    with pytest.raises(ValueError, match="mode"):
+        unigram_train(docs, em_mode="fuzzy")
+
 
 def test_vocab_save_load_roundtrip_segments_identically(spark, tmp_path):
     """r11: the trained vocabulary persists and reloads EXACTLY (integer
