@@ -116,7 +116,8 @@ def scd2_stream_sink(changes_stream: DataFrame, dim_path: str,
 
         apply_cdc_batch(batch_df, dim_path, key_col, attr_col, ts_col,
                         buckets, epoch_id,
-                        run_id=streaming_run_id(checkpoint))
+                        run_id=streaming_run_id(checkpoint,
+                                                batch_df.sparkSession))
 
     return (changes_stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint))

@@ -9,6 +9,7 @@ rollups, and a custom applyInPandasWithState accumulator.
 from singer_spark.streaming.stateful import (
     checkpointed_state_fold,
     hourly_rollup_stream,
+    read_fold_state,
     running_user_stats,
     source_kl_from_state,
     source_kl_report,
@@ -26,4 +27,4 @@ __all__ = ["streaming_sessionize", "hourly_rollup_stream", "running_user_stats",
            "streaming_interval_join", "streaming_heavy_hitters",
            "streaming_debounce", "streaming_source_kl",
            "source_kl_from_state", "source_kl_report",
-           "checkpointed_state_fold"]
+           "checkpointed_state_fold", "read_fold_state"]

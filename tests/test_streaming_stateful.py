@@ -358,7 +358,10 @@ def test_streaming_heavy_hitters_state_bounds(spark, tmp_path):
     finally:
         q.stop()
 
-    got = {r.item: r.cnt for r in spark.read.parquet(state).collect()}
+    from singer_spark.streaming.stateful import read_fold_state
+
+    got = {r.item: r.cnt
+           for r in read_fold_state(spark, state).collect()}
     # state stays summary-sized
     assert len(got) <= cap
     # every item above the error threshold is guaranteed present
@@ -373,13 +376,18 @@ def test_streaming_heavy_hitters_state_bounds(spark, tmp_path):
 
 
 def test_streaming_heavy_hitters_stale_marker_new_run(spark, tmp_path):
-    """Recreating the checkpoint restarts epoch ids at 0; a marker left by
-    the previous run must not skip the new run's first batch (ADVICE r4:
-    the marker is stamped run_id:epoch, and a mismatched run id is treated
-    as a fresh run)."""
+    """Recreating the checkpoint restarts epoch ids at 0; a pointer row
+    left by the previous run must not skip the new run's first batch
+    (ADVICE r4, re-pinned on the r12 pointer protocol: the row is
+    stamped (run_id, epoch), and a mismatched run id means 'the prior
+    run's final state' — fold on top, never skip)."""
     import os
 
-    from singer_spark.streaming.stateful import streaming_heavy_hitters
+    from singer_spark.streaming.stateful import (
+        _fold_pointer,
+        read_fold_state,
+        streaming_heavy_hitters,
+    )
 
     state = str(tmp_path / "hh2_state")
 
@@ -402,12 +410,15 @@ def test_streaming_heavy_hitters_stale_marker_new_run(spark, tmp_path):
             q.stop()
 
     run_once("a", ["alpha"] * 30 + ["beta"] * 10)
-    assert os.path.isfile(state + "_epoch")  # marker from run A's epoch 0
+    v_a, meta_a = _fold_pointer(spark, state)
+    assert v_a == 0 and int(meta_a["epoch"]) == 0  # run A's epoch 0 row
     # run B: NEW source + NEW checkpoint (fresh query id), epoch 0 again.
-    # With an unstamped marker this batch would be silently skipped.
+    # An un-stamped guard would match (0 == 0) and silently skip.
     run_once("b", ["gamma"] * 25)
 
-    got = {r.item: r.cnt for r in spark.read.parquet(state).collect()}
+    v_b, meta_b = _fold_pointer(spark, state)
+    assert v_b == 1 and meta_b["run_id"] != meta_a["run_id"]
+    got = {r.item: r.cnt for r in read_fold_state(spark, state).collect()}
     assert "gamma" in got and got["gamma"] >= 25 - (65 / 8)
     assert "alpha" in got  # prior state survived the new run
 
@@ -604,7 +615,9 @@ def test_streaming_source_kl_detects_drift_with_bounded_state(spark, tmp_path):
     finally:
         q.stop()
 
-    st = spark.read.parquet(state).collect()
+    from singer_spark.streaming.stateful import read_fold_state
+
+    st = read_fold_state(spark, state).collect()
     assert len(st) <= 4 * (cap + 1)
     totals = {r.source: r.cnt for r in st if r.token is None}
     # exact totals: 30 docs x 5 tokens for A/C; B: 20x5 + 10x4; the
@@ -620,6 +633,97 @@ def test_streaming_source_kl_detects_drift_with_bounded_state(spark, tmp_path):
     assert drifted["B"][1] > drifted["C"][1]
     assert drifted["B"][1] > sym["B"][1] + 0.05       # ...and ROSE sharply
     assert "<null>" in drifted and drifted["<null>"][0] == 2
+
+
+def test_fold_pointer_protocol_guards_and_crash_windows(spark, tmp_path):
+    """r12: the versioned-pointer fold protocol, driven batch by batch
+    with a pinned run id — retry of a folded epoch skips (at-most-once),
+    a crash between the snapshot write and the pointer append serves the
+    OLD version and converges on retry, superseded versions GC to
+    keep_versions, and a pre-r12 bare-dir state (with its legacy
+    run:epoch marker) migrates in place without double-folding."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from singer_spark.streaming.stateful import (
+        _fold_on_batch,
+        _fold_pointer,
+        read_fold_state,
+    )
+
+    state = str(tmp_path / "fold_state")
+
+    def fold(sp, batch_df, prior):
+        cur = batch_df.groupBy("k").agg(F.sum("n").alias("n"))
+        if prior is not None:
+            cur = cur.unionByName(prior).groupBy("k") \
+                .agg(F.sum("n").alias("n"))
+        return cur
+
+    on_batch = _fold_on_batch(state, str(tmp_path / "ck"), fold,
+                              keep_versions=2, run_id_fn=lambda: "runA")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, n bigint")
+
+    def snap():
+        return {r.k: r.n for r in read_fold_state(spark, state).collect()}
+
+    on_batch(batch([("a", 5)]), 0)
+    assert snap() == {"a": 5}
+    # retry of the SAME (run, epoch): must skip, not double-count
+    on_batch(batch([("a", 5)]), 0)
+    assert snap() == {"a": 5}
+    on_batch(batch([("a", 1), ("b", 2)]), 1)
+    assert snap() == {"a": 6, "b": 2}
+
+    # crash window: snapshot v2 written, pointer append "crashed" —
+    # simulate by writing the would-be snapshot without a pointer row
+    batch([("junk", 99)]).coalesce(1).write.mode("overwrite") \
+        .parquet(f"{state}_v2")
+    cur, meta = _fold_pointer(spark, state)
+    assert cur == 1                      # reads still resolve v1
+    assert snap() == {"a": 6, "b": 2}    # the half-published v2 is invisible
+    on_batch(batch([("b", 3)]), 2)       # the retry overwrites v2
+    assert snap() == {"a": 6, "b": 5}
+    cur, meta = _fold_pointer(spark, state)
+    assert cur == 2 and int(meta["epoch"]) == 2
+
+    # GC: keep_versions=2 — after v2+ the earliest snapshots are gone,
+    # and the pointer listing stays bounded
+    on_batch(batch([("c", 1)]), 3)
+    assert not os.path.isdir(f"{state}_v0")
+    assert not os.path.isdir(f"{state}_v1")
+    assert os.path.isdir(f"{state}_v3")
+    assert snap() == {"a": 6, "b": 5, "c": 1}
+
+    # epoch restart under a NEW run id: (runB, epoch 0) must fold
+    on_b = _fold_on_batch(state, str(tmp_path / "ck2"), fold,
+                          keep_versions=2, run_id_fn=lambda: "runB")
+    on_b(batch([("c", 10)]), 0)
+    assert snap() == {"a": 6, "b": 5, "c": 11}
+
+    # legacy (pre-r12 bare dir + run:epoch marker): the marker still
+    # guards a same-epoch retry of the upgrade's first fold, a different
+    # epoch folds on top of the legacy state and retires the old layout
+    legacy = str(tmp_path / "legacy_state")
+    batch([("x", 7)]).coalesce(1).write.parquet(legacy)
+    with open(legacy + "_epoch", "w") as f:
+        f.write("runA:4")
+    on_l = _fold_on_batch(legacy, str(tmp_path / "ck3"), fold,
+                          run_id_fn=lambda: "runA")
+    on_l(batch([("x", 1)]), 4)     # marker says epoch 4 already folded
+    assert read_fold_state(spark, legacy) is not None
+    assert {r.k: r.n for r in
+            read_fold_state(spark, legacy).collect()} == {"x": 7}
+    on_l(batch([("x", 1)]), 5)     # genuine next batch: migrate + fold
+    assert {r.k: r.n for r in
+            read_fold_state(spark, legacy).collect()} == {"x": 8}
+    assert not os.path.isdir(legacy)            # bare dir retired
+    assert not os.path.exists(legacy + "_epoch")
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
 
 
 def test_state_read_retry_classifier(spark, tmp_path):
