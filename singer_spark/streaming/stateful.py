@@ -276,16 +276,45 @@ def mg_merge(summaries: DataFrame, capacity: int) -> DataFrame:
 def _fold_pointer(spark, state_path: str):
     """(current version, its (run_id, epoch) row) from the fold's
     pointer log at ``{state_path}_ptr`` — (None, None) when the state
-    has never been written (or is the pre-r12 rename-protocol layout)."""
-    from singer_spark.fsutil import read_parquet_or_none
+    has never been written (or is the pre-r12 rename-protocol layout).
 
-    ptr = read_parquet_or_none(spark, f"{state_path}_ptr")
-    if ptr is None:
-        return None, None
-    rows = ptr.orderBy(F.col("v").desc()).limit(1).collect()
-    if not rows:
-        return None, None
-    return int(rows[0]["v"]), rows[0]
+    The pointer is the newest COMMITTED row: a crash during the very
+    first pointer write can leave the ptr dir holding only a
+    ``_temporary`` stub, which fails whole-dir schema inference — that
+    exact signature falls back to listing the ``v={n}`` partitions
+    newest-first and reading each directly, so a half-written newer
+    partition never hides a committed older one and a never-committed
+    pointer resolves to None (the retry then recomputes and overwrites
+    — the protocol's crash-window promise).  Any OTHER analysis error
+    still raises: corruption must never silently reset state."""
+    from pyspark.errors import AnalysisException
+
+    from singer_spark.fsutil import fs_listdir, read_parquet_or_none
+
+    base = f"{state_path}_ptr"
+    try:
+        ptr = read_parquet_or_none(spark, base)
+        if ptr is None:
+            return None, None
+        rows = ptr.orderBy(F.col("v").desc()).limit(1).collect()
+        if not rows:
+            return None, None
+        return int(rows[0]["v"]), rows[0]
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e) \
+                and "Unable to infer schema" not in str(e):
+            raise
+    for v in sorted((int(n[2:]) for n in fs_listdir(spark, base)
+                     if n.startswith("v=") and n[2:].isdigit()),
+                    reverse=True):
+        try:
+            part = read_parquet_or_none(spark, f"{base}/v={v}")
+            rows = part.limit(1).collect() if part is not None else []
+        except AnalysisException:
+            continue  # this partition is the half-written one
+        if rows:
+            return v, rows[0]
+    return None, None
 
 
 def read_fold_state(spark, state_path: str) -> "DataFrame | None":

@@ -705,6 +705,27 @@ def test_fold_pointer_protocol_guards_and_crash_windows(spark, tmp_path):
     on_b(batch([("c", 10)]), 0)
     assert snap() == {"a": 6, "b": 5, "c": 11}
 
+    # half-written NEWER pointer partition (crash mid-append): only a
+    # _temporary stub — the newest COMMITTED row must still win
+    cur_now, _ = _fold_pointer(spark, state)
+    os.makedirs(f"{state}_ptr/v={cur_now + 1}/_temporary", exist_ok=True)
+    cur2, meta2 = _fold_pointer(spark, state)
+    assert cur2 == cur_now
+    shutil.rmtree(f"{state}_ptr/v={cur_now + 1}")
+
+    # first-EVER pointer write crashed: ptr dir exists with no committed
+    # partition — resolves to never-written, and the retry recovers
+    fresh = str(tmp_path / "fresh_state")
+    os.makedirs(f"{fresh}_ptr/v=0/_temporary", exist_ok=True)
+    assert _fold_pointer(spark, fresh) == (None, None)
+    on_f = _fold_on_batch(fresh, str(tmp_path / "ck4"),
+                          fold, run_id_fn=lambda: "runA")
+    on_f(batch([("z", 4)]), 0)
+    assert {r.k: r.n for r in
+            read_fold_state(spark, fresh).collect()} == {"z": 4}
+    v_f, _ = _fold_pointer(spark, fresh)
+    assert v_f == 0
+
     # legacy (pre-r12 bare dir + run:epoch marker): the marker still
     # guards a same-epoch retry of the upgrade's first fold, a different
     # epoch folds on top of the legacy state and retires the old layout
