@@ -2050,6 +2050,60 @@ def _source_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_reweight(_docs(spark, sf_dir), eta=1.0, smoothing=0.2)
 
 
+def _ann_rerank_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (r12): ADC candidates from the compressed
+    index exactly re-scored on the ORIGINAL vectors of the candidate
+    ids only — similarity.ivfpq_rerank_topk, the FAISS refine pattern.
+    Self-verifying: per query, (a) reranked recall@5 vs the exact L2
+    top-5 is >= the raw ADC list's (exact-top-k members in the pool
+    always survive an exact re-rank — a theorem), and (b) with the pool
+    widened to the corpus and every cell probed the reranked list
+    EQUALS l2_topk row for row (same micro arithmetic, same
+    tie-breaks).  The oracle pins both booleans true."""
+    from singer_spark.operators.similarity import (
+        ivfpq_ann_topk,
+        ivfpq_rerank_topk,
+        ivfpq_train_model,
+        l2_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    n = emb.count()
+    C, CB = ivfpq_train_model(emb, n_clusters=16, m=8, kc=16,
+                              iters_coarse=1, iters_pq=1)
+    exact = l2_topk(emb, q, 5)
+    adc = ivfpq_ann_topk(emb, q, 5, nprobe=2, model=(C, CB))
+    rer = ivfpq_rerank_topk(emb, q, 5, rerank=25, nprobe=2, model=(C, CB))
+    full = ivfpq_rerank_topk(emb, q, 5, rerank=n, nprobe=16,
+                             model=(C, CB))
+
+    ex_pairs = exact.select("query_id", "neighbor_id")
+    hits_adc = (adc.join(ex_pairs, ["query_id", "neighbor_id"], "left_semi")
+                .groupBy("query_id").agg(F.count("*").alias("_ha")))
+    hits_rer = (rer.join(ex_pairs, ["query_id", "neighbor_id"], "left_semi")
+                .groupBy("query_id").agg(F.count("*").alias("_hr")))
+
+    def flat(df: DataFrame, name: str) -> DataFrame:
+        return (df.groupBy("query_id")
+                .agg(F.concat_ws("|", F.array_sort(F.collect_list(
+                    F.concat_ws(":", "neighbor_id", "rank", "d2_micro"))))
+                    .alias(name)))
+
+    return (q.select(F.col("vec_id").alias("query_id"))
+            .join(hits_adc, "query_id", "left")
+            .join(hits_rer, "query_id", "left")
+            .join(flat(exact, "_e"), "query_id", "left")
+            .join(flat(full, "_f"), "query_id", "left")
+            .select("query_id",
+                    (F.coalesce("_hr", F.lit(0))
+                     >= F.coalesce("_ha", F.lit(0)))
+                    .alias("rerank_recall_monotone"),
+                    (F.col("_e") == F.col("_f"))
+                    .alias("full_pool_equals_exact"))
+            .orderBy("query_id"))
+
+
 def _funnel_trend_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """funnel_trend over a REAL per-epoch metrics table (r12, VERDICT
     r11 task #5): a deterministic 5-epoch, 3-stage funnel is derived
@@ -3203,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_model_roundtrip": _ann_model_roundtrip,
         "ann_incremental_probe": _ann_incremental_probe,
         "ann_delete_probe": _ann_delete_probe,
+        "ann_rerank_probe": _ann_rerank_probe,
         "dedup_spans": _dedup_spans,
         "dedup_spans_minrun": _dedup_spans_minrun,
         "dedup_spans_incremental": _dedup_spans_incremental,
@@ -7568,6 +7623,17 @@ def oracle_sql() -> dict[str, str]:
                    true AS counts_reconcile,
                    (SELECT CAST(count(*) AS BIGINT) FROM embeddings
                     WHERE vec_id % 7 = 3) AS n_deleted
+            FROM embeddings WHERE vec_id < 8 ORDER BY query_id""",
+        "ann_rerank_probe": """
+            -- self-verifying: the Spark query computes recall@5 of the
+            -- raw ADC list and the reranked list against the exact L2
+            -- top-5 in-plan (monotone by theorem: exact-top-k members
+            -- inside the candidate pool survive an exact re-rank) and
+            -- compares the full-pool rerank to l2_topk row for row;
+            -- the oracle pins both booleans true
+            SELECT vec_id AS query_id,
+                   true AS rerank_recall_monotone,
+                   true AS full_pool_equals_exact
             FROM embeddings WHERE vec_id < 8 ORDER BY query_id""",
         "dedup_spans_minrun": """
             -- islands of overlapping shared 8-gram windows; cut only

@@ -994,6 +994,53 @@ def test_migrate_ann_layout_upgrades_legacy_index(spark, tmp_path):
     emb.unpersist()
 
 
+def test_ivfpq_rerank_recovers_quantization_loss(spark):
+    """r12 two-stage retrieval: reranked recall@k >= raw ADC recall per
+    query (theorem), the exact re-scores match l2_topk's micro values
+    pair for pair, and with the pool widened to the corpus + all cells
+    probed the reranked list EQUALS l2_topk row for row.  On the
+    planted-near-dup fixture with a coarse code budget the rerank also
+    strictly improves aggregate recall — the operator's whole point."""
+    from singer_spark.operators import similarity as sim
+
+    emb = _clustered_emb(spark, n=240).persist()
+    q = emb.filter(F.col("vec_id") < 6)
+    n = emb.count()
+    C, CB = sim.ivfpq_train_model(emb, n_clusters=8, m=4, kc=8,
+                                  iters_coarse=1, iters_pq=1)
+    exact = sim.l2_topk(emb, q, 5).collect()
+    ex_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    ex_d2 = {(r.query_id, r.neighbor_id): r.d2_micro for r in exact}
+
+    adc = sim.ivfpq_ann_topk(emb, q, 5, nprobe=2, model=(C, CB)).collect()
+    rer = sim.ivfpq_rerank_topk(emb, q, 5, rerank=40, nprobe=2,
+                                model=(C, CB)).collect()
+
+    def hits(rows):
+        out: dict = {}
+        for r in rows:
+            out[r.query_id] = out.get(r.query_id, 0) \
+                + ((r.query_id, r.neighbor_id) in ex_pairs)
+        return out
+
+    h_adc, h_rer = hits(adc), hits(rer)
+    for qid in h_rer:
+        assert h_rer[qid] >= h_adc.get(qid, 0)          # monotone theorem
+    assert sum(h_rer.values()) > sum(h_adc.values())    # and it HELPS here
+    # exact re-scores are l2_topk's micro values, pair for pair
+    for r in rer:
+        if (r.query_id, r.neighbor_id) in ex_d2:
+            assert r.d2_micro == ex_d2[(r.query_id, r.neighbor_id)]
+
+    full = sim.ivfpq_rerank_topk(emb, q, 5, rerank=n, nprobe=8,
+                                 model=(C, CB)).collect()
+    assert sorted((r.query_id, r.neighbor_id, r.rank, r.d2_micro)
+                  for r in full) \
+        == sorted((r.query_id, r.neighbor_id, r.rank, r.d2_micro)
+                  for r in exact)
+    emb.unpersist()
+
+
 def test_ivfpq_trained_beats_seeded_and_matches_model_shape(spark):
     """ivfpq_train_model returns a (C, CB) pair whose trained search
     finds planted near-duplicates (the dedup regime: each query gets 5
