@@ -434,6 +434,101 @@ def run_curation_soak(spark, root: str, seconds: float, telem=None) -> list[tupl
              "OK" if m_good else "FAIL")]
 
 
+def run_fold_churn_soak(spark, root: str, seconds: float,
+                        telem=None) -> list[tuple]:
+    """Kill/restart churn for the r12 versioned-pointer state fold:
+    streaming_heavy_hitters consumes the same chunk arrivals twice —
+    once with a FRESH query (kill + restart) after every chunk, once
+    uninterrupted — and the churned state must (a) equal the
+    uninterrupted run's summary exactly (the fold is deterministic
+    given the same batch boundaries) and (b) respect the Misra-Gries
+    guarantees against the true counts (capacity bound, guaranteed
+    presence above N/capacity, lower-bound counts within N/capacity).
+    This is the restart-invariance evidence the curation backends have,
+    pointed at the pointer protocol's retry guard + crash recovery."""
+    from collections import Counter
+
+    from singer_spark.streaming.stateful import (
+        read_fold_state,
+        streaming_heavy_hitters,
+    )
+
+    cap = 16
+    n_chunks = 5
+    chunks = []
+    for b in range(n_chunks):
+        chunks.append(["alpha"] * 100 + ["beta"] * 50 + [f"hot{b}"] * 40
+                      + [f"tail{b}_{i}" for i in range(120)])
+
+    def deliver(tag: str, b: int) -> None:
+        src = os.path.join(root, f"fold_src_{tag}")
+        os.makedirs(src, exist_ok=True)
+        stage = os.path.join(root, f"fold_stage_{tag}{b}")
+        spark.createDataFrame([(i,) for i in chunks[b]], "item string") \
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        os.rename(os.path.join(stage, part),
+                  os.path.join(src, f"chunk{b}.parquet"))
+
+    def state_of(tag: str) -> dict:
+        return {r.item: r.cnt for r in read_fold_state(
+            spark, os.path.join(root, f"fold_state_{tag}")).collect()}
+
+    # churned run: a fresh query (kill + restart) after every chunk; the
+    # time budget may stop early — `done` chunks is then the comparison
+    # window for the reference and the ground truth
+    deadline = time.time() + seconds
+    done = 0
+    for b in range(n_chunks):
+        deliver("churn", b)
+        q = (streaming_heavy_hitters(
+            spark.readStream.schema("item string")
+            .parquet(os.path.join(root, "fold_src_churn")),
+            os.path.join(root, "fold_state_churn"),
+            checkpoint=os.path.join(root, "fold_ckpt_churn"),
+            item_col="item", capacity=cap)
+            .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        done = b + 1
+        if telem:
+            telem.note("fold-churn", done,
+                       [os.path.join(root, "fold_state_churn_ptr"),
+                        os.path.join(root, "fold_ckpt_churn")])
+        if time.time() > deadline and done >= 2:
+            break
+    # reference: ONE uninterrupted query over the SAME delivered chunks,
+    # one micro-batch per chunk file (same fold boundaries, no restarts)
+    for b in range(done):
+        deliver("ref", b)
+    q = (streaming_heavy_hitters(
+        spark.readStream.schema("item string")
+        .parquet(os.path.join(root, "fold_src_ref")),
+        os.path.join(root, "fold_state_ref"),
+        checkpoint=os.path.join(root, "fold_ckpt_ref"),
+        item_col="item", capacity=cap)
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+
+    churned, ref = state_of("churn"), state_of("ref")
+    truth: Counter = Counter()
+    for b in range(done):
+        truth.update(chunks[b])
+    n_total = sum(truth.values())
+    thresh = n_total / cap
+    bounds_ok = (len(churned) <= cap
+                 and all(truth[i] >= c >= truth[i] - thresh
+                         for i, c in churned.items())
+                 and all(i in churned for i, c in truth.items()
+                         if c > thresh))
+    good = churned == ref and bounds_ok and done >= 2
+    return [("fold-state", "restart-invariance", n_total, done,
+             len(churned), 0 if churned == ref else 1,
+             0 if bounds_ok else 1, "OK" if good else "FAIL")]
+
+
 def run_dupes_metric_soak(spark, root: str, seconds: float,
                           telem=None) -> list[tuple]:
     """Validate the tail source's `duplicatesSuspected` counters against
@@ -528,6 +623,7 @@ def main(seconds: float = 60.0, root: str = "/tmp/singer_spark_soak") -> int:
     rows += run_thrift_tail_soak(spark, root, seconds * 0.25, telem)
     rows += run_curation_soak(spark, root, seconds * 0.2, telem)
     rows += run_dupes_metric_soak(spark, root, max(20.0, seconds * 0.1), telem)
+    rows += run_fold_churn_soak(spark, root, max(20.0, seconds * 0.1), telem)
     hdr = ("stream", "mode", "written", "rotations", "delivered",
            "missing", "dupes", "status")
     print(("{:>22}" * len(hdr)).format(*hdr))
