@@ -348,8 +348,19 @@ def compact_span_state(spark, state_path: str) -> int:
     for i, name in enumerate(sorted(fs_listdir(spark, tmp))):
         if name.startswith(("_", ".")) or not name.endswith(".parquet"):
             continue
-        fs_rename(spark, f"{tmp}/{name}",
-                  f"{state_path}/compact-{tag}-{i}.parquet")
+        # Hadoop rename reports failure by RETURNING FALSE (unlike
+        # os.rename, which raises) — a silently dropped move here would
+        # let the old-file delete below turn the state into a SUBSET of
+        # the distinct digests, breaking the never-a-subset promise
+        # (ADVICE r12 #1).  Abort with the superset intact instead: the
+        # tmp dir stays for the next compaction's sweep, nothing old is
+        # deleted, and the semi-join keeps reading the duplicates.
+        if not fs_rename(spark, f"{tmp}/{name}",
+                         f"{state_path}/compact-{tag}-{i}.parquet"):
+            raise IOError(
+                f"compact_span_state: rename of {tmp}/{name} into "
+                f"{state_path} failed (Hadoop rename returned false); "
+                f"aborting compaction with the superset state intact")
     for name in old_files:
         fs_delete(spark, f"{state_path}/{name}")
     fs_delete(spark, tmp)
@@ -432,6 +443,28 @@ def curate_stream(docs_stream: DataFrame, checkpoint: str, state_path: str,
         raise ValueError(f"unknown stream_dedup backend {stream_dedup!r}")
     id_col, text_col = cfg.id_col, cfg.text_col
     batch_cfg = CurationConfig(**{**cfg.__dict__, "dedup": "none"})
+    metrics_checked = []  # closure flag: probe the metrics layout once
+
+    def check_metrics_layout(spark) -> None:
+        # fail FAST on a pre-r12 metrics table (ADVICE r12 #4): the old
+        # writer appended flat part files with epoch_id as a DATA
+        # column; this writer lands each epoch in a hive
+        # ``epoch_id={n}`` partition.  Mixing the two in one path breaks
+        # partition discovery for every reader, so an upgraded
+        # deployment must regenerate (or relocate) the table rather
+        # than silently corrupt it.  One listing, once per stream.
+        from singer_spark.fsutil import fs_listdir
+
+        flat = [n for n in fs_listdir(spark, metrics_path)
+                if not n.startswith(("_", ".", "epoch_id="))]
+        if flat:
+            raise ValueError(
+                f"metrics_path {metrics_path} holds flat part files from "
+                f"a pre-r12 curate_stream ({flat[:3]}...); the writer now "
+                f"uses hive epoch_id= partitions and the two layouts "
+                f"cannot mix — point metrics_path at a fresh directory "
+                f"(the old table stays readable as a standalone dataset)")
+        metrics_checked.append(True)
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # WRITE ORDER is load-bearing (review r10 #2): output FIRST,
@@ -446,6 +479,8 @@ def curate_stream(docs_stream: DataFrame, checkpoint: str, state_path: str,
         from singer_spark.functions import maybe_persist, release_cache_handles
 
         spark = batch_df.sparkSession
+        if metrics_path and not metrics_checked:
+            check_metrics_layout(spark)
         # when telemetry is on, the gate frames are computed ONCE and
         # shared between the data path (curate) and the funnel (ADVICE
         # r11 #4 — the funnel used to re-run every gate per batch);

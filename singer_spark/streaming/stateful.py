@@ -380,7 +380,41 @@ def _fold_on_batch(state_path: str, checkpoint: str, fold,
     """The fold protocol's per-batch body, factored out so the retry
     guard / crash windows / GC / legacy migration are directly testable
     with explicit (batch_df, epoch_id) calls and a pinned run id."""
-    from singer_spark.fsutil import fs_delete, read_parquet_or_none
+    from singer_spark.fsutil import (fs_delete, fs_exists, fs_listdir,
+                                     read_parquet_or_none)
+
+    def gc_sweep(spark, newest: int) -> None:
+        # sweep EVERY version/pointer partition below the retention
+        # floor, not just the one this batch superseded: a crash between
+        # the pointer append and the GC makes the retry hit the guard
+        # and return before GC ran, so the exactly-one-target form
+        # leaked that snapshot forever on always-on streams (ADVICE r12
+        # #2).  fs_listdir is one namenode RPC; the listing is bounded
+        # by keep_versions plus whatever a crash left behind.
+        floor = newest - int(keep_versions)
+        if floor < 0:
+            return
+        parent, _, base = state_path.replace("\\", "/").rpartition("/")
+        parent = parent or "."
+        for name in fs_listdir(spark, parent):
+            if name.startswith(f"{base}_v") and name[len(base) + 2:].isdigit() \
+                    and int(name[len(base) + 2:]) <= floor:
+                fs_delete(spark, f"{parent}/{name}")
+        for name in fs_listdir(spark, f"{state_path}_ptr"):
+            if name.startswith("v=") and name[2:].isdigit() \
+                    and int(name[2:]) <= floor:
+                fs_delete(spark, f"{state_path}_ptr/{name}")
+
+    def retire_legacy(spark) -> None:
+        # pre-r12 artifacts (bare dir, _epoch stamp, _prev backup) are
+        # normally retired by the batch that migrated them, but a crash
+        # between the pointer append and the deletes leaves them behind
+        # forever — every later batch sees cur != None and skips the
+        # legacy branch (ADVICE r12 #3).  Retire them opportunistically
+        # whenever the pointer rules and the bare dir still exists.
+        fs_delete(spark, state_path)
+        fs_delete(spark, f"{state_path}_epoch")
+        fs_delete(spark, f"{state_path}_prev")
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -389,8 +423,11 @@ def _fold_on_batch(state_path: str, checkpoint: str, fold,
         run_id = (run_id_fn() if run_id_fn is not None
                   else streaming_run_id(checkpoint, spark))
         cur, meta = _fold_pointer(spark, state_path)
+        if cur is not None and fs_exists(spark, state_path):
+            retire_legacy(spark)
         if meta is not None and meta["run_id"] == run_id \
                 and int(meta["epoch"]) == int(epoch_id):
+            gc_sweep(spark, cur)  # a crashed retry may owe a sweep
             return  # retry of an already-folded batch
         legacy = None
         if cur is None:
@@ -418,15 +455,10 @@ def _fold_on_batch(state_path: str, checkpoint: str, fold,
             .parquet(f"{state_path}_ptr/v={new}")
         # best-effort GC AFTER the pointer moved: bounded history keeps
         # the pointer listing O(keep_versions) forever
-        old = new - int(keep_versions)
-        if old >= 0:
-            fs_delete(spark, f"{state_path}_v{old}")
-            fs_delete(spark, f"{state_path}_ptr/v={old}")
+        gc_sweep(spark, new)
         if legacy is not None:
             # retire the migrated pre-r12 layout (pointer now rules)
-            fs_delete(spark, state_path)
-            fs_delete(spark, f"{state_path}_epoch")
-            fs_delete(spark, f"{state_path}_prev")
+            retire_legacy(spark)
 
     return on_batch
 

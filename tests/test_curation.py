@@ -207,6 +207,70 @@ def test_span_state_compaction_dedupes_without_changing_output(
     assert n1 < n_plain
 
 
+def test_span_compaction_aborts_on_failed_rename(spark, tmp_path,
+                                                 monkeypatch):
+    """r13 (ADVICE r12 #1): Hadoop rename reports failure by returning
+    False — a silently dropped move used to let the old-file delete turn
+    the span state into a SUBSET of the distinct digests.  A failed move
+    must now abort the compaction with the superset state (and the tmp
+    scratch) intact; the next compaction sweeps the scratch and
+    converges."""
+    import pytest
+
+    import singer_spark.fsutil as fsutil
+    from singer_spark.curation import compact_span_state
+
+    state = str(tmp_path / "state")
+    for _ in range(3):  # duplicated digests across "batches"
+        spark.createDataFrame([(f"g{i}",) for i in range(10)], "g string") \
+            .coalesce(1).write.mode("append").parquet(state)
+    before = {r.g for r in spark.read.parquet(state).collect()}
+
+    real_rename = fsutil.fs_rename
+    monkeypatch.setattr(fsutil, "fs_rename", lambda *a, **k: False)
+    with pytest.raises(IOError, match="rename.*failed"):
+        compact_span_state(spark, state)
+    # superset intact: every digest still present (rows still duplicated)
+    assert {r.g for r in spark.read.parquet(state).collect()} == before
+    assert spark.read.parquet(state).count() > len(before)
+
+    monkeypatch.setattr(fsutil, "fs_rename", real_rename)
+    assert compact_span_state(spark, state) == len(before)
+    assert spark.read.parquet(state).count() == len(before)
+
+
+def test_curate_stream_rejects_pre_r12_flat_metrics(spark, tmp_path):
+    """r13 (ADVICE r12 #4): pointing metrics_path at a pre-r12 table
+    (flat part files, epoch_id as a data column) must fail FAST on the
+    first batch — mixing flat files with epoch_id= hive partitions in
+    one path breaks partition discovery for every reader."""
+    from singer_spark.curation import CurationConfig, curate_stream
+
+    schema = "doc_id bigint, text string"
+    legacy = str(tmp_path / "metrics")
+    spark.createDataFrame(
+        [(0, 0, "ingest", 10, 8, 2)],
+        "epoch_id bigint, stage_idx int, stage string, "
+        "n_in bigint, n_kept bigint, n_dropped bigint") \
+        .coalesce(1).write.parquet(legacy)   # pre-r12 flat layout
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "hello world " * 30)], schema) \
+        .coalesce(1).write.parquet(src)
+    cfg = CurationConfig(lang=None, min_quality=None,
+                         repetition_screen=False, dedup="none", split=False)
+    q = (curate_stream(spark.readStream.schema(schema).parquet(src),
+                       str(tmp_path / "ck"), str(tmp_path / "state"),
+                       str(tmp_path / "out"), cfg, metrics_path=legacy)
+         .trigger(availableNow=True).start())
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="flat part files"):
+        q.awaitTermination(120)
+    q.stop()
+
+
 def test_curate_spans_mode_rewrites_instead_of_dropping(spark, sf_dir):
     from pyspark.sql import functions as F
 

@@ -747,6 +747,70 @@ def test_fold_pointer_protocol_guards_and_crash_windows(spark, tmp_path):
     shutil.rmtree(str(tmp_path), ignore_errors=True)
 
 
+def test_fold_gc_sweeps_leaks_and_retires_stale_legacy(spark, tmp_path):
+    """r13 (ADVICE r12 #2/#3): a crash between the pointer append and
+    the GC used to leak that batch's superseded snapshot forever (the
+    retry hits the guard and returns before GC) — the sweep now targets
+    EVERY version below the retention floor, including on the
+    retry-guard path.  Likewise a crash between the pointer append and
+    the legacy deletes left the pre-r12 bare dir forever — it is now
+    retired opportunistically whenever the pointer rules."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from singer_spark.streaming.stateful import (
+        _fold_on_batch,
+        read_fold_state,
+    )
+
+    state = str(tmp_path / "fold_state")
+
+    def fold(sp, batch_df, prior):
+        cur = batch_df.groupBy("k").agg(F.sum("n").alias("n"))
+        if prior is not None:
+            cur = cur.unionByName(prior).groupBy("k") \
+                .agg(F.sum("n").alias("n"))
+        return cur
+
+    on_batch = _fold_on_batch(state, str(tmp_path / "ck"), fold,
+                              keep_versions=1, run_id_fn=lambda: "runA")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k string, n bigint")
+
+    for e in range(3):
+        on_batch(batch([("a", 1)]), e)
+    assert {r.k: r.n for r in
+            read_fold_state(spark, state).collect()} == {"a": 3}
+    assert not os.path.isdir(f"{state}_v1")
+
+    # simulate the leak: a crash after epoch 2's pointer append but
+    # before its GC left v0/v1 artifacts behind; the retry of epoch 2
+    # hits the guard — it must STILL sweep them (not fold again)
+    batch([("junk", 9)]).coalesce(1).write.parquet(f"{state}_v0")
+    spark.createDataFrame([("runA", 0)], "run_id string, epoch bigint") \
+        .coalesce(1).write.parquet(f"{state}_ptr/v=0")
+    on_batch(batch([("a", 1)]), 2)  # retry: guard path
+    assert {r.k: r.n for r in
+            read_fold_state(spark, state).collect()} == {"a": 3}  # no refold
+    assert not os.path.isdir(f"{state}_v0")          # leak swept
+    assert not os.path.isdir(f"{state}_ptr/v=0")
+
+    # stale legacy artifacts with the pointer already ruling (crash
+    # after the migrating batch's pointer append, before its deletes):
+    # the next batch retires them even though it never takes the
+    # legacy branch
+    batch([("x", 7)]).coalesce(1).write.parquet(state)
+    with open(state + "_epoch", "w") as f:
+        f.write("runA:0")
+    on_batch(batch([("a", 2)]), 3)
+    assert {r.k: r.n for r in
+            read_fold_state(spark, state).collect()} == {"a": 5}
+    assert not os.path.isdir(state)
+    assert not os.path.exists(state + "_epoch")
+
+
 def test_state_read_retry_classifier(spark, tmp_path):
     """Permanent AnalysisExceptions (schema mismatch, bad options) must
     fail FAST; only the swap-race signatures (path missing/just-emptied,
