@@ -1272,7 +1272,8 @@ def load_ann_model(spark, path: str) -> dict:
 
 def append_ann_codes(spark, path: str, increment: DataFrame,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     dedupe_ids: bool = False) -> DataFrame:
     """Encode ONLY `increment` under the stored model and append the
     codes to `path`'s codes table — a production index's actual write
     path (the dedup family's daily-increment discipline applied to ANN):
@@ -1284,10 +1285,16 @@ def append_ann_codes(spark, path: str, increment: DataFrame,
     parquet) model — pinned by `ann_incremental_probe` and the
     lifecycle pytest.
 
-    The caller owns id discipline: appending an id that is already in
-    the codes table creates a duplicate row (same contract as any
-    append-only table; run the increment through an anti-join against
-    the stored ids first if re-delivery is possible).
+    The caller owns id discipline BY DEFAULT: appending an id that is
+    already in the codes table creates a duplicate row (same contract
+    as any append-only table).  ``dedupe_ids=True`` (r13) makes the
+    append IDEMPOTENT instead: the increment is anti-joined against
+    the ids already physically present in the current snapshot before
+    the encode, so a redelivered batch (the at-least-once streaming
+    contract — :func:`ann_index_stream`) appends nothing the second
+    time.  The probe reads the id column only (parquet column
+    pruning); rows tombstoned but not yet compacted still count as
+    present, so a replay cannot resurrect a deleted vector.
 
     Returns the re-read LIVE codes frame (base + increment, tombstones
     applied), ready for ``ivfpq_ann_topk(encoded=...)``.  The increment
@@ -1300,17 +1307,24 @@ def append_ann_codes(spark, path: str, increment: DataFrame,
             f"save_ann_model(..., codes=...) first — appending to a "
             f"codes-less model would serve a base-less index")
     M = load_ann_model(spark, path)
-    if M["kind"] == "ivfpq":
-        enc = ivfpq_encode(increment, (M["C"], M["CB"]), id_col, vec_col)
-    elif M["kind"] == "pq":
-        enc = pq_encode(increment, M["CB"], id_col, vec_col)
-    else:
+    if M["kind"] not in ("ivfpq", "pq"):
         raise ValueError(
             f"kind {M['kind']!r} stores no codes table (IVF stores "
             f"assignments inline in its probe) — nothing to append")
+    codes, _, _, codes_dir = _codes_state(spark, path)
+    if dedupe_ids:
+        idc = _encoded_id_col(codes, id_col, ("cell", "codes"))
+        increment = increment.join(
+            codes.select(F.col(idc).alias(id_col)).distinct(),
+            id_col, "left_anti")
+        if increment.limit(1).count() == 0:
+            return load_ann_model(spark, path)["codes"]
+    if M["kind"] == "ivfpq":
+        enc = ivfpq_encode(increment, (M["C"], M["CB"]), id_col, vec_col)
+    else:
+        enc = pq_encode(increment, M["CB"], id_col, vec_col)
     from singer_spark.sinks import write_dataset
 
-    _, _, _, codes_dir = _codes_state(spark, path)
     write_dataset(enc, codes_dir, mode="append")
     return load_ann_model(spark, path)["codes"]
 
@@ -1481,6 +1495,79 @@ def gc_ann_versions(spark, path: str, keep_versions: int = 1) -> list[str]:
             elif fs_delete(spark, f"{path}/tombstones"):
                 gone.append("tombstones")
     return gone
+
+
+def _ann_append_on_batch(path: str, checkpoint: str,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         transform=None, run_id_fn=None):
+    """:func:`ann_index_stream`'s per-batch body, factored out (the
+    `_fold_on_batch` pattern) so the retry guard and the
+    codes-appended-but-log-missing crash window are directly testable
+    with explicit (batch_df, epoch_id) calls and a pinned run id."""
+    from singer_spark.fsutil import read_parquet_or_none
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from singer_spark.streaming.stateful import streaming_run_id
+
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        run_id = (run_id_fn() if run_id_fn is not None
+                  else streaming_run_id(checkpoint, spark))
+        log = read_parquet_or_none(spark, f"{path}/append_log")
+        if log is not None and log.filter(
+                (F.col("run_id") == run_id)
+                & (F.col("epoch") == int(epoch_id))).limit(1).count() > 0:
+            return  # retry of a fully-committed batch: fast path
+        inc = transform(batch_df) if transform is not None else batch_df
+        # the anti-join inside append_ann_codes makes the append itself
+        # idempotent — it, not the log, is what closes the crash window
+        # between the codes append and the log append (a replay of that
+        # window re-encodes nothing and appends zero rows)
+        append_ann_codes(spark, path, inc.select(id_col, vec_col),
+                         id_col=id_col, vec_col=vec_col, dedupe_ids=True)
+        spark.createDataFrame([(run_id, int(epoch_id))],
+                              "run_id string, epoch bigint") \
+            .coalesce(1).write.mode("append") \
+            .parquet(f"{path}/append_log")
+
+    return on_batch
+
+
+def ann_index_stream(vec_stream: DataFrame, path: str, checkpoint: str,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     transform=None):
+    """Always-on ANN index maintenance (r13, VERDICT r12 task #5): per
+    micro-batch, optionally gate the arrivals (`transform` — e.g. a
+    `curate`-configured survivor filter), encode ONLY the batch's
+    vectors under the stored model and append them to the versioned
+    codes table (:func:`append_ann_codes`) — the streaming half of the
+    index lifecycle whose batch half is train → append → delete →
+    compact → GC.
+
+    Exactly-once effect on top of at-least-once delivery, two layers:
+
+    - a ``(run_id, epoch)`` append-log row (the state fold's retry
+      guard — :func:`~singer_spark.streaming.stateful
+      .checkpointed_state_fold`) commits each batch; a replay of a
+      committed batch returns on the log probe without touching data;
+    - the append itself is id-idempotent (``dedupe_ids=True``): a crash
+      AFTER the codes append but BEFORE the log append replays into an
+      anti-join that finds every id already present and appends nothing
+      — so kill/restart churn at any boundary converges to the
+      uninterrupted run's index row for row (pytest-pinned).
+
+    100 TB shape: each batch costs one id-column probe of the current
+    snapshot (columnar prune — ids only), one narrow encode pass over
+    the batch's own rows, one file append; the base corpus is never
+    re-read.  Compaction/GC stay on the maintenance cadence —
+    single-maintainer with this stream, like every writer here.
+    Returns a DataStreamWriter (caller adds a trigger and starts)."""
+    on_batch = _ann_append_on_batch(path, checkpoint, id_col, vec_col,
+                                    transform)
+    return (vec_stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint))
 
 
 def l2_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

@@ -949,6 +949,94 @@ def test_compact_ann_codes_crash_window_serves_old_version(spark, tmp_path):
     emb.unpersist()
 
 
+def test_ann_index_stream_churn_equals_uninterrupted(spark, tmp_path):
+    """r13 (VERDICT r12 task #5): streaming ANN maintenance — chunked
+    arrivals under kill/restart churn (exact-epoch retry, the
+    codes-appended-log-missing crash window, a checkpoint reset that
+    redelivers EVERYTHING under a new run id) must end with the index
+    row-for-row equal to one uninterrupted append, and probes identical.
+    Then a real availableNow file-source stream (the production wiring)
+    survives a restart plus a checkpoint reset the same way."""
+    from singer_spark.operators import similarity as sim
+
+    emb = _clustered_emb(spark, n=160).persist()
+    base = emb.filter(F.col("vec_id") < 40)
+    chunk = [emb.filter((F.col("vec_id") >= 40 + 40 * i)
+                        & (F.col("vec_id") < 80 + 40 * i)) for i in range(3)]
+    C, CB = sim.ivfpq_train_model(emb, n_clusters=8, m=8, kc=16,
+                                  iters_coarse=1, iters_pq=1)
+    pa, pb = str(tmp_path / "churned"), str(tmp_path / "oneshot")
+    for p in (pa, pb):
+        sim.save_ann_model(spark, p, "ivfpq", centroids=C, codebooks=CB,
+                           codes=sim.ivfpq_encode(base, (C, CB)))
+    # the uninterrupted run: one append of all three chunks
+    sim.append_ann_codes(spark, pb, emb.filter(F.col("vec_id") >= 40))
+
+    # churned run, driven batch by batch with a pinned run id
+    on_a = sim._ann_append_on_batch(pa, str(tmp_path / "ck"),
+                                    run_id_fn=lambda: "runA")
+    on_a(chunk[0], 0)
+    on_a(chunk[0], 0)                      # exact retry: log fast path
+    # crash window: codes appended, "died" before the log row — the
+    # replay's anti-join must append nothing and just commit the log
+    sim.append_ann_codes(spark, pa, chunk[1], dedupe_ids=True)
+    on_a(chunk[1], 1)
+    # ops event: checkpoint reset -> new run id, epochs restart at 0,
+    # and the source redelivers EVERYTHING plus the new chunk
+    on_b = sim._ann_append_on_batch(pa, str(tmp_path / "ck2"),
+                                    run_id_fn=lambda: "runB")
+    on_b(chunk[0].unionByName(chunk[1]).unionByName(chunk[2]), 0)
+
+    def table(p):
+        return sorted((r.vec_id, r.cell, tuple(r.codes)) for r in
+                      sim.load_ann_model(spark, p)["codes"].collect())
+
+    assert table(pa) == table(pb) and len(table(pa)) == 160
+
+    def rows(df):
+        return sorted((r.query_id, r.neighbor_id, r.rank)
+                      for r in df.collect())
+
+    q = emb.filter(F.col("vec_id") < 6)
+    got = rows(sim.ivfpq_ann_topk(emb, q, 5, nprobe=3, model=(C, CB),
+                                  encoded=sim.load_ann_model(spark, pa)["codes"])
+               .localCheckpoint(eager=True))
+    assert got == rows(sim.ivfpq_ann_topk(
+        emb, q, 5, nprobe=3, model=(C, CB),
+        encoded=sim.load_ann_model(spark, pb)["codes"])
+        .localCheckpoint(eager=True))
+
+    # the production wiring: a file-source availableNow loop with a
+    # restart between arrivals and a checkpoint reset at the end
+    import shutil
+
+    pc = str(tmp_path / "streamed")
+    sim.save_ann_model(spark, pc, "ivfpq", centroids=C, codebooks=CB,
+                       codes=sim.ivfpq_encode(base, (C, CB)))
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck_s")
+    schema = "vec_id bigint, embedding array<double>"
+
+    def run_cycle():
+        qy = (sim.ann_index_stream(
+            spark.readStream.schema(schema).parquet(src), pc, ck)
+            .trigger(availableNow=True).start())
+        qy.awaitTermination(120)
+        qy.stop()
+
+    chunk[0].select("vec_id", "embedding").coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_cycle()
+    chunk[1].select("vec_id", "embedding").coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_cycle()                            # restart, same checkpoint
+    shutil.rmtree(ck)                      # checkpoint reset: replay all
+    chunk[2].select("vec_id", "embedding").coalesce(1) \
+        .write.mode("append").parquet(src)
+    run_cycle()
+    assert table(pc) == table(pb)
+    emb.unpersist()
+
+
 def test_compact_ann_codes_raced_delete_survives(spark, tmp_path, monkeypatch):
     """r13 (VERDICT r12 "What's wrong #1"): a delete_ann_codes landing
     INSIDE the compaction — after the fold's snapshot read, before the
