@@ -710,6 +710,25 @@ def _pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_manifest(packed, max_len=512).orderBy("chunk_id", "doc_id")
 
 
+def _window_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window collator arrays (r13, VERDICT r12 task #6): for every
+    512-token training window, the documents composing it in position
+    order (ids / window offsets / slice lengths) plus segment_ids — the
+    position->segment attention-reset mask a packing-aware loss mask is
+    an equality test on — packing.window_boundaries over the
+    pack_sequences layout.  Arrays are built JVM-side
+    (sort_array/transform/filter); the oracle replays them as DuckDB
+    ordered-list aggregates and a list comprehension."""
+    from singer_spark.operators.packing import (
+        pack_sequences,
+        window_boundaries,
+    )
+
+    packed = pack_sequences(_docs(spark, sf_dir), max_len=512,
+                            bucket_width=100)
+    return window_boundaries(packed, max_len=512).orderBy("chunk_id")
+
+
 def _pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.operators.packing import pack_sequences, packing_stats
 
@@ -3272,6 +3291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": _train_val_split,
         "pack_sequences": _pack_sequences,
         "pack_manifest": _pack_manifest,
+        "window_boundaries": _window_boundaries,
         "pack_stats": _pack_stats,
         "decontaminate": _decontaminate,
         "semantic_decontaminate": _semantic_decontaminate,
@@ -7375,6 +7395,44 @@ def oracle_sql() -> dict[str, str]:
                    (least(start_tok + n, (chunk_id + 1) * 512)
                     - greatest(start_tok, chunk_id * 512))::BIGINT AS len
             FROM e ORDER BY chunk_id, doc_id""",
+        "window_boundaries": """
+            -- the pack_manifest replay pivoted per window: ordered-list
+            -- aggregates for the slice arrays, a list comprehension for
+            -- the position->segment attention-reset mask
+            WITH t AS (
+              SELECT doc_id,
+                     coalesce(length(string_split(text, ' ')), 0)::BIGINT
+                       AS n,
+                     SUM(coalesce(length(string_split(text, ' ')), 0))
+                       OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+              FROM documents),
+            p AS (SELECT doc_id, n, (cum - n) AS start_tok,
+                         ((cum - n) // 512) AS fc, ((cum - 1) // 512) AS lc
+                  FROM t WHERE n > 0),
+            e AS (SELECT doc_id, n, start_tok,
+                         unnest(generate_series(fc, lc)) AS chunk_id
+                  FROM p),
+            man AS (
+              SELECT chunk_id::BIGINT AS chunk_id, doc_id,
+                     (greatest(start_tok, chunk_id * 512)
+                      - chunk_id * 512)::BIGINT AS win_off,
+                     (least(start_tok + n, (chunk_id + 1) * 512)
+                      - greatest(start_tok, chunk_id * 512))::BIGINT AS len
+              FROM e),
+            agg AS (
+              SELECT chunk_id,
+                     count(*)::INT AS n_docs,
+                     sum(len)::BIGINT AS window_len,
+                     list(doc_id ORDER BY win_off) AS doc_ids,
+                     list(win_off ORDER BY win_off) AS doc_starts,
+                     list(len ORDER BY win_off) AS seg_lens
+              FROM man GROUP BY chunk_id)
+            SELECT chunk_id, n_docs, window_len, doc_ids, doc_starts,
+                   seg_lens,
+                   [(len(list_filter(doc_starts, s -> s <= p)) - 1)::INT
+                    for p in range(0, window_len)] AS segment_ids
+            FROM agg ORDER BY chunk_id""",
         "pack_stats": """
             WITH t AS (SELECT doc_id,
                               coalesce(length(string_split(text, ' ')), 0)::BIGINT AS n

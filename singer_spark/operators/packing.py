@@ -159,6 +159,57 @@ def pack_manifest(packed: DataFrame, max_len: int = 2048,
         (seg_end - seg_start).cast("bigint").alias("len")))
 
 
+def window_boundaries(packed: DataFrame, max_len: int = 2048,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-WINDOW boundary arrays from a :func:`pack_sequences` layout
+    (r13, VERDICT r12 task #6) — :func:`pack_manifest` pivoted into the
+    row shape a dataloader collator consumes directly: one row per
+    training window with
+
+    - ``doc_ids`` / ``doc_starts`` / ``seg_lens`` — the documents
+      composing the window in position order, each slice's start offset
+      WITHIN the window, and its length;
+    - ``segment_ids`` — the attention-reset mask: position p holds the
+      index of the segment that owns it, so block-diagonal attention
+      (don't attend across document boundaries) and loss masks are an
+      equality test on this array;
+    - ``n_docs`` / ``window_len`` — Σ seg_lens; == `max_len` for every
+      window except the final partial one.
+
+    Invariants (pytest-pinned, property-tested over random packings):
+    doc_starts[0] == 0, doc_starts[k+1] == doc_starts[k] + seg_lens[k]
+    (the slices tile the window exactly), segment_ids is non-decreasing
+    from 0 to n_docs-1 with segment k occupying exactly seg_lens[k]
+    positions.
+
+    100 TB shape: the manifest explode plus ONE shuffle keyed by
+    chunk_id (rows ≈ total_tokens/max_len); the per-window arrays are
+    built by JVM higher-order functions (sort_array/transform/filter —
+    no UDF), each row O(max_len · n_docs_in_window) work and ≤ max_len
+    ints of output — the same order as the window tensor itself."""
+    m = pack_manifest(packed, max_len=max_len, id_col=id_col)
+    s = (m.groupBy("chunk_id")
+         .agg(F.sort_array(F.collect_list(
+             F.struct(F.col("win_off"), F.col(id_col).alias("_id"),
+                      F.col("len")))).alias("_s")))
+    out = s.select(
+        "chunk_id",
+        F.size("_s").cast("int").alias("n_docs"),
+        F.aggregate("_s.len", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("window_len"),
+        F.col("_s._id").alias("doc_ids"),
+        F.col("_s.win_off").alias("doc_starts"),
+        F.col("_s.len").alias("seg_lens"))
+    return out.withColumn(
+        "segment_ids",
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"),
+                       F.col("window_len") - 1),
+            lambda p: (F.size(F.filter(F.col("doc_starts"),
+                                       lambda st: st <= p)) - 1)
+            .cast("int")))
+
+
 def packing_stats(packed: DataFrame, max_len: int = 2048) -> DataFrame:
     """Corpus-level packing summary: total tokens, number of training
     windows, boundary-straddling doc fraction — the sanity dashboard row a

@@ -676,6 +676,49 @@ def test_funnel_trend_drift_and_replayed_epoch(spark, tmp_path):
     assert abs(by[(4, "lang")].trailing_mean - 0.8) < 1e-12
 
 
+def test_funnel_trend_cli_gates_on_drift(spark, tmp_path):
+    """r13 (VERDICT r12 task #7): the on-call CLI is a pipeline GATE,
+    not just a view — exit 1 when any drift row exists in the inspected
+    window, exit 0 otherwise (--last restricts both the printout and
+    the gate to the newest N epochs, so an acknowledged old incident
+    stops paging)."""
+    import os
+    import subprocess
+    import sys
+
+    mp = str(tmp_path / "metrics")
+    schema = ("stage_idx int, stage string, n_in bigint, n_kept bigint, "
+              "n_dropped bigint")
+    stable = [(0, "input", 100, 100, 0), (1, "lang", 100, 80, 20)]
+    for e in range(5):
+        spark.createDataFrame(stable, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{mp}/epoch_id={e}")
+    # epoch 5 drifts, epochs 6-7 recover to the stable rates
+    spark.createDataFrame([(0, "input", 100, 100, 0),
+                           (1, "lang", 100, 30, 70)], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(f"{mp}/epoch_id=5")
+    for e in (6, 7):
+        spark.createDataFrame(stable, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{mp}/epoch_id={e}")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    driver = (
+        "import sys; sys.path.insert(0, {repo!r});"
+        "from tools.funnel_trend import main;"
+        "full = main([{mp!r}]);"
+        "recent = main([{mp!r}, '--last', '2']);"
+        "print('CODES', full, recent)"
+    ).format(repo=repo, mp=mp)
+    out = subprocess.run([sys.executable, "-c", driver],
+                         capture_output=True, text=True, timeout=600)
+    codes = [l for l in out.stdout.splitlines() if l.startswith("CODES")]
+    assert codes, out.stdout + out.stderr
+    # full window holds epoch 5's drift -> gate fires; the newest-2
+    # window is clean -> gate passes
+    assert codes[0] == "CODES 1 0", (codes, out.stdout[-2000:])
+    assert "DRIFT" in out.stdout
+
+
 def test_corpus_to_batches_is_the_pinned_composition(spark, tmp_path):
     """r12 (VERDICT r11 task #3): corpus_to_batches must BE curate ->
     unigram_train -> unigram_encode -> pack_sequences(count_col) +

@@ -1065,6 +1065,69 @@ def test_pack_manifest_tiles_windows_and_docs_exactly(spark, sf_dir):
         == {(r.doc_id, r.start_tok) for r in packed.collect()}
 
 
+def test_window_boundaries_collator_arrays(spark, sf_dir):
+    """r13 (VERDICT r12 task #6): the per-window boundary arrays — every
+    window's slices tile it exactly (doc_starts contiguous from 0, Σ
+    seg_lens == window_len, full max_len except the final window) and
+    segment_ids is the attention-reset mask: non-decreasing 0..n_docs-1
+    with segment k occupying exactly seg_lens[k] positions.  Then the
+    same invariants over random seeded packings (sizes, zero-token docs,
+    odd bucket widths)."""
+    from collections import Counter
+
+    from singer_spark.operators.packing import (
+        pack_sequences,
+        window_boundaries,
+    )
+
+    def check(wrows, total, L):
+        last = (total - 1) // L
+        assert sorted(r.chunk_id for r in wrows) == list(range(last + 1))
+        for r in wrows:
+            assert r.n_docs == len(r.doc_ids) == len(r.doc_starts) \
+                == len(r.seg_lens)
+            assert r.doc_starts[0] == 0
+            for k in range(r.n_docs - 1):
+                assert r.doc_starts[k + 1] \
+                    == r.doc_starts[k] + r.seg_lens[k]
+            assert sum(r.seg_lens) == r.window_len
+            assert r.window_len == (L if r.chunk_id < last
+                                    else total - last * L)
+            assert list(r.segment_ids) == sorted(r.segment_ids)
+            c = Counter(r.segment_ids)
+            assert sorted(c) == list(range(r.n_docs))
+            assert [c[k] for k in range(r.n_docs)] == list(r.seg_lens)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_sequences(docs, max_len=128, bucket_width=37)
+    total = sum(r.n_tokens for r in packed.select("n_tokens").collect())
+    check(window_boundaries(packed, max_len=128).collect(), total, 128)
+
+    import random
+
+    rnd = random.Random(7)
+    for _ in range(3):
+        n, L = rnd.randint(1, 40), rnd.choice([8, 16, 32])
+        data = [(i, " ".join("w" for _ in range(rnd.randint(0, 3 * L))))
+                for i in range(n)]
+        d = spark.createDataFrame(data, "doc_id bigint, text string")
+        p2 = pack_sequences(d, max_len=L,
+                            bucket_width=rnd.choice([3, 10]))
+        tot = sum(len([t for t in txt.split(" ") if t]) for _, txt in data)
+        if tot == 0:
+            continue
+        wrows = window_boundaries(p2, max_len=L).collect()
+        check(wrows, tot, L)
+        # every doc's slices across windows reconstruct its length
+        per_doc = Counter()
+        for r in wrows:
+            for k in range(r.n_docs):
+                per_doc[r.doc_ids[k]] += r.seg_lens[k]
+        assert per_doc == Counter(
+            {i: len([t for t in txt.split(" ") if t])
+             for i, txt in data if txt.strip()})
+
+
 def test_pack_sequences_no_global_single_task_window(spark, sf_dir):
     """The prefix sum must window per BUCKET, never over a global order —
     the plan's Window spec has to carry a partition key."""
