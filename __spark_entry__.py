@@ -1876,6 +1876,27 @@ def _unigram_prune_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "n_pieces", "total_cost")
 
 
+def _unigram_prune_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenize after ONE LOSS-ranked pruning step (r13,
+    VERDICT r12 task #4) — Kudo 2018 §3.2's actual shrink rule: each
+    multi-char piece ranks by the corpus marginal-likelihood LOSS its
+    removal causes (forward-lattice NLL with the piece's edges banned,
+    minus the base NLL — the soft machinery's grid), not by Viterbi
+    usage; survivors re-cost from usage counts as in the usage mode —
+    text_analysis.unigram_prune(rank='loss') + unigram_encode.  The
+    oracle replays both lattices (base and per-(word, banned-piece))
+    cell for cell."""
+    from singer_spark.operators.text_analysis import (unigram_encode,
+                                                      unigram_prune,
+                                                      unigram_vocab)
+
+    docs = _docs(spark, sf_dir)
+    vocab = unigram_vocab(docs, max_multi=100, max_piece_len=4)
+    pruned = unigram_prune(docs, vocab, keep_ratio=0.6, rank="loss")
+    return unigram_encode(docs, pruned).select(
+        "doc_id", "n_words", "n_pieces", "total_cost")
+
+
 def _unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-family, Kudo 2018) tokenize of the
     corpus: substring-frequency vocab (all single chars + top-100
@@ -3265,6 +3286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_em_converge": _unigram_em_converge,
         "unigram_em_soft": _unigram_em_soft,
         "unigram_prune_tokenize": _unigram_prune_tokenize,
+        "unigram_prune_loss": _unigram_prune_loss,
         "unigram_train_tokenize": _unigram_train_tokenize,
         "corpus_diversity": _corpus_diversity,
         "corpus_diversity_approx": _corpus_diversity_approx,
@@ -4900,6 +4922,124 @@ def _unigram_prune_oracle(keep_ratio: float = 0.6, wmax: int = 16) -> str:
                         ELSE coalesce(agg.total_cost, 0) END::BIGINT
                      AS total_cost
             FROM documents d LEFT JOIN agg USING (doc_id)"""
+
+
+def _unigram_prune_loss_oracle(keep_ratio: float = 0.6, plen: int = 4,
+                               wmax: int = 16) -> str:
+    """Loss-ranked pruning replay (r13, VERDICT r12 task #4): the
+    ranking statistic is each multi-char piece's corpus likelihood loss
+    when removed — replayed with TWO unrolled quantized forward
+    lattices (the _unigram_soft_oracle cell rule): the base marginal
+    per word, and a per-(word, banned-piece) chain whose arms skip
+    every edge labeled with the ban.  loss(p) = Σ f·(NLL_banned −
+    NLL_base); singles survive, multis rank (loss DESC, piece), costs
+    re-derive from the chain-1 Viterbi usage counts over the survivors
+    (the recost rule the usage mode shares), chain-2 DP re-segments."""
+    q = "1000000.0"
+    parts = [_unigram_base_sql(wmax=wmax),
+             "dws AS (SELECT w FROM dw)",
+             _unigram_backtrace_sql(wmax=wmax),
+             """pocc AS (
+              SELECT unnest(string_split(seg.pieces, ' ')) AS piece, wf.f
+              FROM seg JOIN wf USING (w)),
+            pcnt AS (SELECT piece, sum(f) AS cnt FROM pocc GROUP BY piece)""",
+             "al0 AS MATERIALIZED (SELECT w, 0::BIGINT AS al FROM dw)"]
+    for j in range(1, wmax + 1):
+        arms = [f"""
+                SELECT a.w, a.al + p.c AS t
+                FROM al{i} a JOIN pc p
+                  ON p.w = a.w AND p.i = {i} AND p.j = {j}
+                     AND p.c IS NOT NULL"""
+                for i in range(max(0, j - plen), j)]
+        parts.append(f"""
+            alt{j} AS ({' UNION ALL '.join(arms)}),
+            al{j} AS MATERIALIZED (
+              SELECT t.w,
+                     (m.mn - CAST(floor(ln(sum(exp(-((t.t - m.mn) / {q}))))
+                                        * 1000000 + 0.5) AS BIGINT)) AS al
+              FROM alt{j} t
+              JOIN (SELECT w, min(t) AS mn FROM alt{j} GROUP BY w) m
+                USING (w)
+              GROUP BY t.w, m.mn)""")
+    parts.append(
+        "aln AS MATERIALIZED ("
+        + " UNION ALL ".join(f"SELECT w, al FROM al{j} WHERE len(w) = {j}"
+                             for j in range(1, wmax + 1))
+        + ")")
+    parts.append("""
+            bans AS MATERIALIZED (
+              SELECT DISTINCT w, substr(w, i + 1, j - i) AS ban
+              FROM pc WHERE c IS NOT NULL AND j - i > 1),
+            alb0 AS MATERIALIZED (SELECT w, ban, 0::BIGINT AS al
+                                  FROM bans)""")
+    for j in range(1, wmax + 1):
+        arms = [f"""
+                SELECT a.w, a.ban, a.al + p.c AS t
+                FROM alb{i} a JOIN pc p
+                  ON p.w = a.w AND p.i = {i} AND p.j = {j}
+                     AND p.c IS NOT NULL
+                     AND substr(p.w, p.i + 1, p.j - p.i) <> a.ban"""
+                for i in range(max(0, j - plen), j)]
+        parts.append(f"""
+            albt{j} AS ({' UNION ALL '.join(arms)}),
+            alb{j} AS MATERIALIZED (
+              SELECT t.w, t.ban,
+                     (m.mn - CAST(floor(ln(sum(exp(-((t.t - m.mn) / {q}))))
+                                        * 1000000 + 0.5) AS BIGINT)) AS al
+              FROM albt{j} t
+              JOIN (SELECT w, ban, min(t) AS mn FROM albt{j}
+                    GROUP BY w, ban) m
+                ON m.w = t.w AND m.ban = t.ban
+              GROUP BY t.w, t.ban, m.mn)""")
+    parts.append(
+        "albn AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT w, ban, al FROM alb{j} WHERE len(w) = {j}"
+            for j in range(1, wmax + 1))
+        + ")")
+    parts.append(f"""
+            lsum AS (
+              SELECT b.ban AS piece, sum(wf.f * (b.al - n.al)) AS lo
+              FROM albn b JOIN aln n ON n.w = b.w
+                   JOIN wf ON wf.w = b.w
+              GROUP BY b.ban),
+            vc AS (SELECT voc.piece, coalesce(pcnt.cnt, 0) AS cnt,
+                          coalesce(lsum.lo, 0) AS lo
+                   FROM voc LEFT JOIN pcnt USING (piece)
+                        LEFT JOIN lsum USING (piece)),
+            multis AS (SELECT piece, cnt, lo FROM vc WHERE len(piece) > 1),
+            nmul AS (SELECT count(*) AS n FROM multis),
+            kept2 AS (
+              SELECT piece, cnt FROM vc WHERE len(piece) = 1
+              UNION ALL
+              SELECT piece, cnt FROM (
+                SELECT piece, cnt,
+                       row_number() OVER (ORDER BY lo DESC, piece) AS rn
+                FROM multis) r CROSS JOIN nmul
+              WHERE rn <= ceil({keep_ratio} * nmul.n)),
+            vstat2 AS (SELECT count(*) AS V FROM kept2),
+            tot2 AS (SELECT sum(cnt) AS T FROM kept2),
+            voc2 AS MATERIALIZED (
+              SELECT piece,
+                     floor(-ln((cnt + 0.5) / (tot2.T + 0.5 * vstat2.V))
+                           * 1000000 + 0.5)::BIGINT AS c
+              FROM kept2 CROSS JOIN tot2 CROSS JOIN vstat2),
+            {_unigram_dp_sql("voc2", "_r1", wmax=wmax)},
+            agg AS (SELECT doc_id, count(*) AS n_words, sum(ns) AS n_pieces,
+                           sum(c) AS total_cost
+                    FROM tk JOIN dpf_r1 USING (w) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.n_words, 0) END::BIGINT
+                     AS n_words,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.n_pieces, 0) END::BIGINT
+                     AS n_pieces,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.total_cost, 0) END::BIGINT
+                     AS total_cost
+            FROM documents d LEFT JOIN agg USING (doc_id)""")
+    return "WITH " + ",".join(parts)
 
 
 def _unigram_train_chain_sql(keep_ratio: float = 0.6,
@@ -6765,6 +6905,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_em_converge": _unigram_em_converge_oracle(rounds=2),
         "unigram_em_soft": _unigram_soft_oracle(alpha=0.5),
         "unigram_prune_tokenize": _unigram_prune_oracle(keep_ratio=0.6),
+        "unigram_prune_loss": _unigram_prune_loss_oracle(keep_ratio=0.6),
         "unigram_train_tokenize": _unigram_train_oracle(keep_ratio=0.6),
         # C4 bad-words gate: same lowercased list, list_contains filter
         "text_blocklist": """

@@ -3132,6 +3132,108 @@ def test_source_reweight_converge_replay_and_simplex(spark):
     assert all(b >= a - 1e-9 for a, b in zip(ws, ws[1:]))
 
 
+def test_unigram_loss_reference_matches_banned_enumeration():
+    """r13 (VERDICT r12 task #4): the per-piece loss kernel — for every
+    multi-char candidate, NLL-without-piece minus NLL must match the
+    brute-force lattice enumeration with that piece's segmentations
+    excluded, on random words/vocabs; losses are non-negative up to
+    cell quantization and a piece absent from the word never appears."""
+    import math
+    import random
+
+    from singer_spark.operators.text_analysis import (
+        UNIGRAM_UNK_CHAR_COST,
+        unigram_loss_reference,
+    )
+
+    rng = random.Random(99)
+    for _trial in range(150):
+        n = rng.randint(2, 8)
+        word = "".join(rng.choice("abcd") for _ in range(n))
+        vocab = {}
+        for ch in "abc":
+            vocab[ch] = rng.randint(1, 40) * 250_000
+        for _ in range(rng.randint(0, 8)):
+            ln = rng.randint(2, 4)
+            i = rng.randint(0, max(0, n - ln))
+            vocab[word[i:i + ln]] = rng.randint(1, 40) * 250_000
+        L = max(len(p) for p in vocab)
+
+        def cost(p):
+            c = vocab.get(p)
+            if c is None and len(p) == 1:
+                c = UNIGRAM_UNK_CHAR_COST
+            return c
+
+        def brute_nll(banned):
+            tot = 0.0
+            for mask in range(1 << (n - 1)):
+                cuts = [0] + [i + 1 for i in range(n - 1)
+                              if mask >> i & 1] + [n]
+                pieces = [word[a:b] for a, b in zip(cuts, cuts[1:])]
+                if any(len(p) > L or cost(p) is None or p == banned
+                       for p in pieces):
+                    continue
+                tot += math.exp(-sum(cost(p) for p in pieces) / 1e6)
+            return -math.log(tot) * 1e6
+
+        out = unigram_loss_reference(word, vocab)
+        cands = {word[i:j] for i in range(n)
+                 for j in range(i + 2, min(i + L, n) + 1)
+                 if word[i:j] in vocab}
+        assert {p for p, _ in out} == cands
+        base = brute_nll(None)
+        for p, lo in out:
+            assert lo >= -(2 * n + 4), (word, vocab, p, lo)
+            want = brute_nll(p) - base
+            assert abs(lo - want) <= 2 * (n + 2), (word, vocab, p)
+    # over-long / empty words: no lattice, no candidates
+    assert unigram_loss_reference("x" * 17, {"x": 1, "xx": 1}) == []
+    assert unigram_loss_reference("", {"x": 1}) == []
+
+
+def test_unigram_prune_loss_rank_beats_usage_rank(spark):
+    """r13: the loss-ranked prune keeps the piece whose removal is
+    EXPENSIVE even though the Viterbi rarely uses it, and drops the
+    frequently-used piece with a near-free alternative — the exact case
+    the usage approximation gets wrong — and at equal vocab size, after
+    the EM step that follows every prune in the Kudo §3.2 alternation
+    (re-segmenting under the survivors — without it the kept pieces
+    inherit stale zero counts from the pre-prune segmentation), the
+    loss-pruned model's corpus marginal NLL is strictly better."""
+    from singer_spark.operators.text_analysis import (
+        unigram_em_refine,
+        unigram_marginal_nll,
+        unigram_prune,
+    )
+
+    # "ab" x10: near-tie alternative a+b (removal loss ~ln2 per word,
+    # top usage).  "xyz" x8: singles are 12x pricier (removal loss ~34
+    # nats per word, second-place usage).  Usage keeps ab; loss keeps
+    # xyz.
+    rows = [(i, "ab", "s") for i in range(10)] + \
+           [(100 + i, "xyz", "s") for i in range(8)]
+    docs = _docs_df(spark, rows)
+    vocab = [("a", 500_100), ("b", 500_100), ("x", 12_000_000),
+             ("y", 12_000_000), ("z", 12_000_000),
+             ("ab", 1_000_000), ("xyz", 2_000_000)]
+
+    by_usage = unigram_prune(docs, vocab, keep_ratio=0.5, rank="usage")
+    by_loss = unigram_prune(docs, vocab, keep_ratio=0.5, rank="loss")
+    assert {p for p, _ in by_usage if len(p) > 1} == {"ab"}
+    assert {p for p, _ in by_loss if len(p) > 1} == {"xyz"}
+    nll_loss = unigram_marginal_nll(
+        docs, unigram_em_refine(docs, by_loss))
+    nll_usage = unigram_marginal_nll(
+        docs, unigram_em_refine(docs, by_usage))
+    assert nll_loss < nll_usage, (nll_loss, nll_usage)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rank"):
+        unigram_prune(docs, vocab, keep_ratio=0.5, rank="entropy")
+
+
 def test_unigram_train_is_the_pinned_composition(spark):
     """r11: unigram_train must BE seed -> em_rounds x refine -> prune —
     a structural identity pin so the convenience trainer can never
