@@ -141,6 +141,12 @@ HEADLINERS = [
     "quality_calibration",
     "corpus_to_batches",
     "pack_manifest",
+    # round-13: loss-ranked prune (a trainer stage, like its usage
+    # sibling) and the per-window collator arrays (a dataloader serving
+    # path, like pack_manifest).  The ANN maintenance hardening and the
+    # streaming appender are lifecycle paths — non-headliners as above.
+    "unigram_prune_loss",
+    "window_boundaries",
 ]
 
 

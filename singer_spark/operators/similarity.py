@@ -1366,7 +1366,8 @@ _COMPACT_ANN_BARRIER = None
 
 
 def compact_ann_codes(spark, path: str, gc: bool = True,
-                      keep_versions: int = 1) -> int:
+                      keep_versions: int = 1,
+                      force: bool = False) -> int:
     """Fold the tombstones into the codes table — one rewrite that makes
     deletes free again (the span-state compaction discipline applied to
     the index), via a POINTER SWAP instead of file renames (r12, VERDICT
@@ -1416,13 +1417,22 @@ def compact_ann_codes(spark, path: str, gc: bool = True,
             f"index at {path} uses the pre-versioned codes layout; run "
             f"migrate_ann_layout(spark, path) once (or re-save via "
             f"save_ann_model) before compacting")
-    if tombs is None or tombs.limit(1).count() == 0:
+    # `force` rewrites even with no tombstones pending: an append-only
+    # stream (:func:`ann_index_stream`) grows the snapshot one part
+    # file per batch, and the rewrite folds them back into right-sized
+    # files — the compact_dataset purpose served through the pointer
+    # protocol (no rename, readers never see a mix).
+    if (tombs is None or tombs.limit(1).count() == 0) and not force:
         return codes.count()  # nothing pending — skip the rewrite
     from singer_spark.fsutil import read_parquet_or_none
     from singer_spark.sinks import write_dataset
 
-    idc = tombs.columns[0]
-    live = codes.join(tombs.distinct(), idc, "left_anti")
+    if tombs is not None:
+        idc = tombs.columns[0]
+        live = codes.join(tombs.distinct(), idc, "left_anti")
+    else:
+        idc = _encoded_id_col(codes, "vec_id", ("cell", "codes"))
+        live = codes
     write_dataset(live, f"{path}/codes_v{v + 1}")
     if _COMPACT_ANN_BARRIER is not None:
         _COMPACT_ANN_BARRIER()
@@ -1500,7 +1510,9 @@ def gc_ann_versions(spark, path: str, keep_versions: int = 1) -> list[str]:
 def _ann_append_on_batch(path: str, checkpoint: str,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         transform=None, run_id_fn=None):
+                         transform=None, run_id_fn=None,
+                         compact_every: "int | None" = None,
+                         keep_versions: int = 1):
     """:func:`ann_index_stream`'s per-batch body, factored out (the
     `_fold_on_batch` pattern) so the retry guard and the
     codes-appended-but-log-missing crash window are directly testable
@@ -1531,13 +1543,29 @@ def _ann_append_on_batch(path: str, checkpoint: str,
                               "run_id string, epoch bigint") \
             .coalesce(1).write.mode("append") \
             .parquet(f"{path}/append_log")
+        # maintenance cadence INSIDE the single maintainer (the
+        # span_compact_every discipline): with this stream as the only
+        # writer, compacting between batches cannot race a concurrent
+        # delete — and if an out-of-band delete does slip in, the
+        # verify-before-publish step re-stamps it (r13).  Runs AFTER
+        # the log commit: a crash mid-compaction loses only rewrite
+        # work, never the batch.
+        if compact_every and \
+                epoch_id % compact_every == compact_every - 1:
+            # force=True: even with no deletes pending, the rewrite
+            # merges the one-part-file-per-batch droppings back into
+            # right-sized files (the compact_dataset purpose, through
+            # the pointer protocol)
+            compact_ann_codes(spark, path, keep_versions=keep_versions,
+                              force=True)
 
     return on_batch
 
 
 def ann_index_stream(vec_stream: DataFrame, path: str, checkpoint: str,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     transform=None):
+                     transform=None, compact_every: "int | None" = None,
+                     keep_versions: int = 1):
     """Always-on ANN index maintenance (r13, VERDICT r12 task #5): per
     micro-batch, optionally gate the arrivals (`transform` — e.g. a
     `curate`-configured survivor filter), encode ONLY the batch's
@@ -1561,11 +1589,14 @@ def ann_index_stream(vec_stream: DataFrame, path: str, checkpoint: str,
     100 TB shape: each batch costs one id-column probe of the current
     snapshot (columnar prune — ids only), one narrow encode pass over
     the batch's own rows, one file append; the base corpus is never
-    re-read.  Compaction/GC stay on the maintenance cadence —
-    single-maintainer with this stream, like every writer here.
-    Returns a DataStreamWriter (caller adds a trigger and starts)."""
+    re-read.  `compact_every` folds pending tombstones into a fresh
+    snapshot every N batches (the span_compact_every cadence) — safe
+    here because this stream IS the single maintainer; `keep_versions`
+    retains prior snapshots for long-running readers.  Returns a
+    DataStreamWriter (caller adds a trigger and starts)."""
     on_batch = _ann_append_on_batch(path, checkpoint, id_col, vec_col,
-                                    transform)
+                                    transform, compact_every=compact_every,
+                                    keep_versions=keep_versions)
     return (vec_stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint))
 

@@ -1017,8 +1017,11 @@ def test_ann_index_stream_churn_equals_uninterrupted(spark, tmp_path):
     schema = "vec_id bigint, embedding array<double>"
 
     def run_cycle():
+        # compact_every=2: one forced mid-churn compaction (file-merge
+        # rewrite + pointer flip) must be invisible to the final state
         qy = (sim.ann_index_stream(
-            spark.readStream.schema(schema).parquet(src), pc, ck)
+            spark.readStream.schema(schema).parquet(src), pc, ck,
+            compact_every=2)
             .trigger(availableNow=True).start())
         qy.awaitTermination(120)
         qy.stop()
@@ -1034,6 +1037,9 @@ def test_ann_index_stream_churn_equals_uninterrupted(spark, tmp_path):
         .write.mode("append").parquet(src)
     run_cycle()
     assert table(pc) == table(pb)
+    # the cadence compaction actually ran: the pointer moved past v0
+    _, _, v_now, _ = sim._codes_state(spark, pc)
+    assert v_now >= 1
     emb.unpersist()
 
 
