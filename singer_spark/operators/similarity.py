@@ -1427,12 +1427,8 @@ def compact_ann_codes(spark, path: str, gc: bool = True,
     from singer_spark.fsutil import read_parquet_or_none
     from singer_spark.sinks import write_dataset
 
-    if tombs is not None:
-        idc = tombs.columns[0]
-        live = codes.join(tombs.distinct(), idc, "left_anti")
-    else:
-        idc = _encoded_id_col(codes, "vec_id", ("cell", "codes"))
-        live = codes
+    live = (codes.join(tombs.distinct(), tombs.columns[0], "left_anti")
+            if tombs is not None else codes)
     write_dataset(live, f"{path}/codes_v{v + 1}")
     if _COMPACT_ANN_BARRIER is not None:
         _COMPACT_ANN_BARRIER()
@@ -1441,11 +1437,12 @@ def compact_ann_codes(spark, path: str, gc: bool = True,
     # read time, so this fresh read sees files appended since the fold.
     fresh = read_parquet_or_none(spark, f"{path}/tombstones")
     if fresh is not None:
+        fidc = next(c for c in fresh.columns if c != "version")
         act = (fresh.filter(F.col("version") >= int(v)).drop("version")
                if "version" in fresh.columns else fresh)
-        missed = (act.select(idc).distinct()
+        missed = (act.select(fidc).distinct()
                   .join(spark.read.parquet(f"{path}/codes_v{v + 1}")
-                        .select(idc), idc, "left_semi"))
+                        .select(fidc), fidc, "left_semi"))
         if missed.limit(1).count() > 0:
             missed.withColumn("version",
                               F.lit(int(v + 1)).cast("bigint")) \
@@ -1512,7 +1509,9 @@ def _ann_append_on_batch(path: str, checkpoint: str,
                          vec_col: str = "embedding",
                          transform=None, run_id_fn=None,
                          compact_every: "int | None" = None,
-                         keep_versions: int = 1):
+                         keep_versions: int = 1,
+                         op_col: "str | None" = None,
+                         delete_value: str = "delete"):
     """:func:`ann_index_stream`'s per-batch body, factored out (the
     `_fold_on_batch` pattern) so the retry guard and the
     codes-appended-but-log-missing crash window are directly testable
@@ -1533,12 +1532,25 @@ def _ann_append_on_batch(path: str, checkpoint: str,
                 & (F.col("epoch") == int(epoch_id))).limit(1).count() > 0:
             return  # retry of a fully-committed batch: fast path
         inc = transform(batch_df) if transform is not None else batch_df
+        dels = None
+        if op_col is not None:
+            dels = inc.filter(F.col(op_col) == delete_value)
+            inc = inc.filter(F.col(op_col) != delete_value)
         # the anti-join inside append_ann_codes makes the append itself
         # idempotent — it, not the log, is what closes the crash window
         # between the codes append and the log append (a replay of that
         # window re-encodes nothing and appends zero rows)
-        append_ann_codes(spark, path, inc.select(id_col, vec_col),
-                         id_col=id_col, vec_col=vec_col, dedupe_ids=True)
+        if inc.limit(1).count() > 0:
+            append_ann_codes(spark, path, inc.select(id_col, vec_col),
+                             id_col=id_col, vec_col=vec_col,
+                             dedupe_ids=True)
+        # deletes AFTER appends (an add+delete of the same id inside one
+        # batch nets to deleted); re-delivering a delete appends a
+        # duplicate tombstone, which the anti-join read absorbs — the
+        # delete path is idempotent by construction
+        if dels is not None and dels.limit(1).count() > 0:
+            delete_ann_codes(spark, path, dels.select(id_col),
+                             id_col=id_col)
         spark.createDataFrame([(run_id, int(epoch_id))],
                               "run_id string, epoch bigint") \
             .coalesce(1).write.mode("append") \
@@ -1565,7 +1577,9 @@ def _ann_append_on_batch(path: str, checkpoint: str,
 def ann_index_stream(vec_stream: DataFrame, path: str, checkpoint: str,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      transform=None, compact_every: "int | None" = None,
-                     keep_versions: int = 1):
+                     keep_versions: int = 1,
+                     op_col: "str | None" = None,
+                     delete_value: str = "delete"):
     """Always-on ANN index maintenance (r13, VERDICT r12 task #5): per
     micro-batch, optionally gate the arrivals (`transform` — e.g. a
     `curate`-configured survivor filter), encode ONLY the batch's
@@ -1592,11 +1606,25 @@ def ann_index_stream(vec_stream: DataFrame, path: str, checkpoint: str,
     re-read.  `compact_every` folds pending tombstones into a fresh
     snapshot every N batches (the span_compact_every cadence) — safe
     here because this stream IS the single maintainer; `keep_versions`
-    retains prior snapshots for long-running readers.  Returns a
-    DataStreamWriter (caller adds a trigger and starts)."""
+    retains prior snapshots for long-running readers.
+
+    ``op_col`` (r13) turns the stream into a CDC consumer: rows whose
+    `op_col` equals `delete_value` are deletions (only the id is read —
+    one id-sized tombstone append via :func:`delete_ann_codes`, applied
+    AFTER the batch's appends so add+delete of one id in one batch nets
+    to deleted); everything else appends.  Both directions stay
+    idempotent under redelivery (duplicate tombstones are absorbed by
+    the anti-join read; duplicate appends by ``dedupe_ids``).  Caveat,
+    same as the batch path: RE-ADDING a previously deleted id only
+    takes effect after a compaction physically removes the tombstoned
+    row — use fresh ids per version of a vector (the CDC-friendly
+    shape) if resurrection matters.  Returns a DataStreamWriter (caller
+    adds a trigger and starts)."""
     on_batch = _ann_append_on_batch(path, checkpoint, id_col, vec_col,
                                     transform, compact_every=compact_every,
-                                    keep_versions=keep_versions)
+                                    keep_versions=keep_versions,
+                                    op_col=op_col,
+                                    delete_value=delete_value)
     return (vec_stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint))
 

@@ -3353,6 +3353,16 @@ def unigram_prune(docs: DataFrame, vocab: "list[tuple[str, int]]",
         raise ValueError(f"keep_ratio must be in (0, 1], got {keep_ratio}")
     if rank not in ("usage", "loss"):
         raise ValueError(f"unknown prune rank {rank!r}")
+    if words is None and rank == "loss":
+        # loss mode runs TWO distinct-word statistics (usage for the
+        # recost, loss for the ranking) — tokenize the corpus once and
+        # share the persisted frame between them
+        from singer_spark.functions import maybe_persist
+
+        toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        words = maybe_persist(
+            fan_out(docs).select(F.explode(toks).alias("_w"))
+            .groupBy("_w").agg(F.count("*").alias("_f")), True)
     counts = _unigram_usage_counts(docs, vocab, max_word_len,
                                    text_col, id_col, words=words)
     singles = [p for p, _ in vocab if len(p) == 1]

@@ -1043,6 +1043,67 @@ def test_ann_index_stream_churn_equals_uninterrupted(spark, tmp_path):
     emb.unpersist()
 
 
+def test_ann_index_stream_cdc_deletes(spark, tmp_path):
+    """r13: op_col turns the streaming appender into a CDC consumer —
+    deletes tombstone at id cost after the batch's appends, an
+    in-stream compaction folds them, and redelivery of a mixed
+    add+delete batch (exact retry AND a checkpoint-reset replay under a
+    new run id, after the tombstones were already folded away) changes
+    nothing."""
+    from singer_spark.operators import similarity as sim
+
+    emb = _clustered_emb(spark, n=60).persist()
+    C, CB = sim.ivfpq_train_model(emb, n_clusters=8, m=8, kc=16,
+                                  iters_coarse=1, iters_pq=1)
+    path = str(tmp_path / "idx")
+    sim.save_ann_model(spark, path, "ivfpq", centroids=C, codebooks=CB,
+                       codes=sim.ivfpq_encode(
+                           emb.filter(F.col("vec_id") < 20), (C, CB)))
+
+    def cdc(adds, dels):
+        a = emb.filter(F.col("vec_id").isin(adds)) \
+            .select("vec_id", "embedding", F.lit("add").alias("op"))
+        d = emb.filter(F.col("vec_id").isin(dels)) \
+            .select("vec_id", "embedding", F.lit("delete").alias("op"))
+        return a.unionByName(d)
+
+    def served():
+        return {r.vec_id for r in sim.load_ann_model(spark, path)["codes"]
+                .select("vec_id").collect()}
+
+    on_a = sim._ann_append_on_batch(path, str(tmp_path / "ck"),
+                                    op_col="op", compact_every=2,
+                                    run_id_fn=lambda: "runA")
+    b1 = cdc(list(range(20, 40)), [])
+    b2 = cdc(list(range(40, 50)), [5, 25])
+    on_a(b1, 0)
+    on_a(b2, 1)          # also fires the in-stream compaction (epoch 1)
+    want = set(range(50)) - {5, 25}
+    assert served() == want
+    on_a(b2, 1)          # exact retry: log fast path
+    assert served() == want
+    # the compaction folded and retired the tombstones
+    import os
+
+    assert not os.path.isdir(f"{path}/tombstones")
+
+    # checkpoint reset: a new run redelivers b2 (its adds are absorbed
+    # by the anti-join, its deletes re-tombstone already-absent ids —
+    # harmless) plus genuinely new arrivals
+    b3 = cdc(list(range(50, 60)), [])
+    on_b = sim._ann_append_on_batch(path, str(tmp_path / "ck2"),
+                                    op_col="op",
+                                    run_id_fn=lambda: "runB")
+    on_b(b2.unionByName(b3), 0)
+    assert served() == set(range(60)) - {5, 25}
+    # add+delete of one id in ONE batch nets to deleted (the re-add of
+    # 5 is also still masked by its live tombstone — the documented
+    # resurrection caveat)
+    on_b(cdc([5], [41]).unionByName(cdc([], [5])), 1)
+    assert served() == set(range(60)) - {5, 25, 41}
+    emb.unpersist()
+
+
 def test_compact_ann_codes_raced_delete_survives(spark, tmp_path, monkeypatch):
     """r13 (VERDICT r12 "What's wrong #1"): a delete_ann_codes landing
     INSIDE the compaction — after the fold's snapshot read, before the

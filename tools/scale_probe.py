@@ -316,7 +316,35 @@ def ops(docs: DataFrame):
         "pack_bins": lambda: _pack_bins(docs),
         "unigram_em_soft": lambda: _em_soft(docs),
         "doremi_converge": lambda: _doremi(docs),
+        "unigram_prune_loss": lambda: _prune_loss(docs),
+        "window_boundaries": lambda: _win_bounds(docs),
     }
+
+
+def _prune_loss(docs: DataFrame) -> DataFrame:
+    """Loss-ranked prune + encode (r13): the per-piece banned-lattice
+    loss pass runs on the DISTINCT-word table like the soft-EM step
+    (sub-linear once the word set saturates), usage counts share the
+    same frame, encode is the corpus-linear Arrow pass."""
+    from singer_spark.operators.text_analysis import (unigram_encode,
+                                                      unigram_prune,
+                                                      unigram_vocab)
+
+    vocab = unigram_vocab(docs, max_multi=100, max_piece_len=4)
+    pruned = unigram_prune(docs, vocab, keep_ratio=0.6, rank="loss")
+    return unigram_encode(docs, pruned)
+
+
+def _win_bounds(docs: DataFrame) -> DataFrame:
+    """Per-window collator arrays (r13): the pack layout plus one
+    chunk-keyed groupBy building the boundary/segment arrays with JVM
+    higher-order functions — expected ~linear (rows ≈ tokens/max_len,
+    each O(max_len) array work)."""
+    from singer_spark.operators.packing import (pack_sequences,
+                                                window_boundaries)
+
+    return window_boundaries(pack_sequences(docs, max_len=256),
+                             max_len=256)
 
 
 def _em_soft(docs: DataFrame) -> DataFrame:
