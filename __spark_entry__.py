@@ -1897,6 +1897,25 @@ def _unigram_prune_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "n_pieces", "total_cost")
 
 
+def _unigram_to_size_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shrink-to-target unigram training + tokenize (r13) — the
+    SentencePiece `--vocab_size` outer loop: seed at 100 multis, then 2
+    cycles of (EM recost -> prune keeping max(40, ceil(0.6·n)) multis),
+    landing exactly on 40 — text_analysis.unigram_train_to_size +
+    unigram_encode.  The oracle unrolls the whole alternation: 5 DP
+    chains with a backtrace->recost between each, V tracking the
+    shrinking piece set."""
+    from singer_spark.operators.text_analysis import (unigram_encode,
+                                                      unigram_train_to_size)
+
+    docs = _docs(spark, sf_dir)
+    vocab = unigram_train_to_size(docs, target_multi=40, shrink=0.6,
+                                  rounds=2, max_multi=100,
+                                  max_piece_len=4)
+    return unigram_encode(docs, vocab).select(
+        "doc_id", "n_words", "n_pieces", "total_cost")
+
+
 def _unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-family, Kudo 2018) tokenize of the
     corpus: substring-frequency vocab (all single chars + top-100
@@ -3287,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_em_soft": _unigram_em_soft,
         "unigram_prune_tokenize": _unigram_prune_tokenize,
         "unigram_prune_loss": _unigram_prune_loss,
+        "unigram_to_size_tokenize": _unigram_to_size_tokenize,
         "unigram_train_tokenize": _unigram_train_tokenize,
         "corpus_diversity": _corpus_diversity,
         "corpus_diversity_approx": _corpus_diversity_approx,
@@ -5028,6 +5048,95 @@ def _unigram_prune_loss_oracle(keep_ratio: float = 0.6, plen: int = 4,
             agg AS (SELECT doc_id, count(*) AS n_words, sum(ns) AS n_pieces,
                            sum(c) AS total_cost
                     FROM tk JOIN dpf_r1 USING (w) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.n_words, 0) END::BIGINT
+                     AS n_words,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.n_pieces, 0) END::BIGINT
+                     AS n_pieces,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(agg.total_cost, 0) END::BIGINT
+                     AS total_cost
+            FROM documents d LEFT JOIN agg USING (doc_id)""")
+    return "WITH " + ",".join(parts)
+
+
+def _unigram_to_size_oracle(target: int = 40, shrink: float = 0.6,
+                            rounds: int = 2, wmax: int = 16) -> str:
+    """Shrink-to-target trainer replay (r13): `rounds` unrolled
+    (EM refine -> to-size prune) cycles — each refine a backtrace ->
+    Laplace recost over the CURRENT piece set (V tracks the shrinking
+    vocabulary, unlike the fixed-set converge oracle), each prune
+    keeping greatest(target, ceil(shrink·n_multi)) multis so the loop
+    lands exactly on target and extra cycles are size-idempotent (the
+    property that lets this unroll statically) — then the final DP
+    re-segments the corpus."""
+    parts = [_unigram_base_sql(wmax=wmax), "dws AS (SELECT w FROM dw)"]
+    cur_voc, cur_sfx = "voc", ""
+    for r in range(1, rounds + 1):
+        esfx, psfx = f"_e{r}", f"_p{r}"
+        parts.append(_unigram_backtrace_sql(
+            dws="dws", dpall=f"dpall{cur_sfx}", sfx=cur_sfx, wmax=wmax))
+        parts.append(f"""
+            pocc{esfx} AS (
+              SELECT unnest(string_split(seg{cur_sfx}.pieces, ' '))
+                       AS piece, wf.f
+              FROM seg{cur_sfx} JOIN wf USING (w)),
+            pcnt{esfx} AS (SELECT piece, sum(f) AS cnt FROM pocc{esfx}
+                           GROUP BY piece),
+            vstat{esfx} AS (SELECT count(*) AS V FROM {cur_voc}),
+            tot{esfx} AS (SELECT sum(coalesce(pcnt{esfx}.cnt, 0)) AS T
+                          FROM {cur_voc}
+                               LEFT JOIN pcnt{esfx} USING (piece)),
+            voc{esfx} AS MATERIALIZED (
+              SELECT {cur_voc}.piece,
+                     floor(-ln((coalesce(pcnt{esfx}.cnt, 0) + 0.5)
+                               / (tot{esfx}.T + 0.5 * vstat{esfx}.V))
+                           * 1000000 + 0.5)::BIGINT AS c
+              FROM {cur_voc} LEFT JOIN pcnt{esfx} USING (piece)
+                   CROSS JOIN tot{esfx} CROSS JOIN vstat{esfx})""")
+        parts.append(_unigram_dp_sql(f"voc{esfx}", esfx, wmax=wmax))
+        parts.append(_unigram_backtrace_sql(
+            dws="dws", dpall=f"dpall{esfx}", sfx=esfx, wmax=wmax))
+        parts.append(f"""
+            pocc{psfx} AS (
+              SELECT unnest(string_split(seg{esfx}.pieces, ' '))
+                       AS piece, wf.f
+              FROM seg{esfx} JOIN wf USING (w)),
+            pcnt{psfx} AS (SELECT piece, sum(f) AS cnt FROM pocc{psfx}
+                           GROUP BY piece),
+            vc{psfx} AS (SELECT voc{esfx}.piece,
+                                coalesce(pcnt{psfx}.cnt, 0) AS cnt
+                         FROM voc{esfx}
+                              LEFT JOIN pcnt{psfx} USING (piece)),
+            multis{psfx} AS (SELECT piece, cnt FROM vc{psfx}
+                             WHERE len(piece) > 1),
+            nmul{psfx} AS (SELECT count(*) AS n FROM multis{psfx}),
+            kept{psfx} AS (
+              SELECT piece, cnt FROM vc{psfx} WHERE len(piece) = 1
+              UNION ALL
+              SELECT piece, cnt FROM (
+                SELECT piece, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+                FROM multis{psfx}) r CROSS JOIN nmul{psfx}
+              WHERE rn <= greatest({int(target)},
+                                   ceil({float(shrink)} * nmul{psfx}.n))),
+            vstat{psfx} AS (SELECT count(*) AS V FROM kept{psfx}),
+            tot{psfx} AS (SELECT sum(cnt) AS T FROM kept{psfx}),
+            voc{psfx} AS MATERIALIZED (
+              SELECT piece,
+                     floor(-ln((cnt + 0.5)
+                               / (tot{psfx}.T + 0.5 * vstat{psfx}.V))
+                           * 1000000 + 0.5)::BIGINT AS c
+              FROM kept{psfx} CROSS JOIN tot{psfx}
+                   CROSS JOIN vstat{psfx})""")
+        parts.append(_unigram_dp_sql(f"voc{psfx}", psfx, wmax=wmax))
+        cur_voc, cur_sfx = f"voc{psfx}", psfx
+    parts.append(f"""
+            agg AS (SELECT doc_id, count(*) AS n_words, sum(ns) AS n_pieces,
+                           sum(c) AS total_cost
+                    FROM tk JOIN dpf{cur_sfx} USING (w) GROUP BY doc_id)
             SELECT d.doc_id,
                    CASE WHEN d.text IS NULL THEN NULL
                         ELSE coalesce(agg.n_words, 0) END::BIGINT
@@ -6906,6 +7015,8 @@ def oracle_sql() -> dict[str, str]:
         "unigram_em_soft": _unigram_soft_oracle(alpha=0.5),
         "unigram_prune_tokenize": _unigram_prune_oracle(keep_ratio=0.6),
         "unigram_prune_loss": _unigram_prune_loss_oracle(keep_ratio=0.6),
+        "unigram_to_size_tokenize": _unigram_to_size_oracle(
+            target=40, shrink=0.6, rounds=2),
         "unigram_train_tokenize": _unigram_train_oracle(keep_ratio=0.6),
         # C4 bad-words gate: same lowercased list, list_contains filter
         "text_blocklist": """

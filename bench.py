@@ -147,6 +147,7 @@ HEADLINERS = [
     # streaming appender are lifecycle paths — non-headliners as above.
     "unigram_prune_loss",
     "window_boundaries",
+    "unigram_to_size_tokenize",
 ]
 
 

@@ -3314,7 +3314,9 @@ def unigram_prune(docs: DataFrame, vocab: "list[tuple[str, int]]",
                   max_word_len: int = 16, text_col: str = "text",
                   id_col: str = "doc_id",
                   words: "DataFrame | None" = None,
-                  rank: str = "usage") -> "list[tuple[str, int]]":
+                  rank: str = "usage",
+                  keep_multi: "int | None" = None
+                  ) -> "list[tuple[str, int]]":
     """ONE vocabulary-pruning step of the unigram-LM training loop —
     the shrink half of SentencePiece's alternation (Kudo 2018 §3.2:
     after each EM round the vocabulary is cut toward its target size;
@@ -3348,7 +3350,9 @@ def unigram_prune(docs: DataFrame, vocab: "list[tuple[str, int]]",
     of a list that is capped by construction (`unigram_vocab`'s
     max_multi).
 
-    Returns [(piece, cost)] over the pruned set, sorted by piece."""
+    ``keep_multi`` overrides the ratio with an absolute survivor count
+    (:func:`unigram_train_to_size`'s exact-landing rule).  Returns
+    [(piece, cost)] over the pruned set, sorted by piece."""
     if not 0.0 < keep_ratio <= 1.0:
         raise ValueError(f"keep_ratio must be in (0, 1], got {keep_ratio}")
     if rank not in ("usage", "loss"):
@@ -3369,7 +3373,8 @@ def unigram_prune(docs: DataFrame, vocab: "list[tuple[str, int]]",
     multis = [p for p, _ in vocab if len(p) > 1]
     import math as _math
 
-    k = _math.ceil(keep_ratio * len(multis))
+    k = (int(keep_multi) if keep_multi is not None
+         else _math.ceil(keep_ratio * len(multis)))
     if rank == "loss":
         lo = _unigram_loss_totals(docs, vocab, max_word_len,
                                   text_col, id_col, words=words)
@@ -3560,6 +3565,68 @@ def unigram_train(docs: DataFrame, max_multi: int = 30_000,
                          max_word_len=max_word_len,
                          text_col=text_col, id_col=id_col, words=words,
                          rank=prune_rank)
+
+
+def unigram_train_to_size(docs: DataFrame, target_multi: int,
+                          shrink: float = 0.6, rounds: int = 2,
+                          alpha: float = 0.5,
+                          max_multi: int = 30_000,
+                          max_piece_len: int = 6,
+                          max_word_len: int = 16,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          em_mode: str = "hard",
+                          prune_rank: str = "usage"
+                          ) -> "list[tuple[str, int]]":
+    """Shrink-to-target unigram training — SentencePiece's ACTUAL outer
+    loop (Kudo 2018 §3.2 / the `--vocab_size` contract: seed big, then
+    alternate EM with pruning by a fixed shrinking factor until the
+    vocabulary reaches the requested size): `rounds` cycles of ONE EM
+    re-costing (hard or soft) followed by one prune keeping
+    ``max(target_multi, ceil(shrink · n_multi))`` multi-char pieces —
+    the max() lands EXACTLY on `target_multi` on the final shrink
+    instead of overshooting past it, and makes the cycle idempotent
+    once the target is reached (a fixed `rounds` therefore needs no
+    data-dependent stopping test: extra cycles keep the size and only
+    continue refining costs — the property that lets the DuckDB oracle
+    unroll the loop statically).  All single-char pieces always
+    survive (coverage).
+
+    100 TB shape: the corpus tokenizes ONCE into a persisted
+    (word, freq) frame shared by the seed, every EM step, and every
+    prune statistic — a rounds-R run costs one corpus read plus
+    O(R) distinct-word passes, exactly the `unigram_train` discipline
+    iterated.  Returns [(piece, cost)] sorted by piece;
+    `prune_rank="loss"` ranks each shrink by removal loss."""
+    import math as _math
+
+    from singer_spark.functions import maybe_persist
+
+    if target_multi < 0:
+        raise ValueError(f"target_multi must be >= 0, got {target_multi}")
+    if not 0.0 < shrink < 1.0:
+        raise ValueError(f"shrink must be in (0, 1), got {shrink}")
+    if em_mode not in ("hard", "soft"):
+        raise ValueError(f"unknown EM mode {em_mode!r}")
+    refine = unigram_em_soft if em_mode == "soft" else unigram_em_refine
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    words = maybe_persist(
+        fan_out(docs).select(F.explode(toks).alias("_w"))
+        .groupBy("_w").agg(F.count("*").alias("_f")), True)
+    vocab = unigram_vocab(docs, max_multi=max_multi,
+                          max_piece_len=max_piece_len,
+                          text_col=text_col, id_col=id_col, words=words)
+    for _ in range(rounds):
+        vocab = refine(docs, vocab, alpha=alpha,
+                       max_word_len=max_word_len,
+                       text_col=text_col, id_col=id_col, words=words)
+        n = sum(1 for p, _ in vocab if len(p) > 1)
+        keep = max(int(target_multi), int(_math.ceil(shrink * n)))
+        vocab = unigram_prune(docs, vocab, alpha=alpha,
+                              max_word_len=max_word_len,
+                              text_col=text_col, id_col=id_col,
+                              words=words, rank=prune_rank,
+                              keep_multi=min(keep, n))
+    return vocab
 
 
 def save_vocab(spark, vocab: "list[tuple[str, int]]", path: str) -> None:

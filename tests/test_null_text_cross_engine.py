@@ -73,6 +73,10 @@ NULL_SENSITIVE_KEYS = (
     "quality_calibration",
     "corpus_to_batches",
     "pack_manifest",
+    # r13 additions
+    "unigram_prune_loss",
+    "unigram_to_size_tokenize",
+    "window_boundaries",
     # composed funnels over the documents table: a NULL/empty-text
     # divergence inside any composed gate would otherwise be invisible
     "curation_funnel",

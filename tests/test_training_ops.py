@@ -3301,6 +3301,65 @@ def test_unigram_prune_loss_rank_beats_usage_rank(spark):
         unigram_prune(docs, vocab, keep_ratio=0.5, rank="entropy")
 
 
+def test_unigram_train_to_size_lands_exactly(spark):
+    """r13: the shrink-to-target outer loop — each cycle keeps
+    max(target, ceil(shrink*n)) multis so the final shrink lands
+    EXACTLY on target (never overshoots past it), extra rounds keep the
+    size (idempotent once reached), singles always survive, and the
+    loop IS refine+prune(keep_multi) composed by hand (structural
+    identity — the unigram_train discipline)."""
+    import math
+    import random
+
+    from singer_spark.operators.text_analysis import (
+        unigram_em_refine,
+        unigram_prune,
+        unigram_train_to_size,
+        unigram_vocab,
+    )
+
+    rng = random.Random(4242)
+    rows = []
+    for d in range(12):
+        words = ["".join(rng.choice("abcde")
+                         for _ in range(rng.randint(2, 8)))
+                 for _ in range(rng.randint(5, 15))]
+        rows.append((d, " ".join(words), "s"))
+    docs = _docs_df(spark, rows)
+
+    got = unigram_train_to_size(docs, target_multi=10, shrink=0.6,
+                                rounds=3, max_multi=40, max_piece_len=4)
+    n_multi = sum(1 for p, _ in got if len(p) > 1)
+    assert n_multi == 10
+    singles_seed = {p for p, _ in unigram_vocab(
+        docs, max_multi=40, max_piece_len=4) if len(p) == 1}
+    assert {p for p, _ in got if len(p) == 1} == singles_seed
+
+    # structural identity: the loop is refine -> prune(keep_multi) x3
+    vocab = unigram_vocab(docs, max_multi=40, max_piece_len=4)
+    for _ in range(3):
+        vocab = unigram_em_refine(docs, vocab)
+        n = sum(1 for p, _ in vocab if len(p) > 1)
+        keep = max(10, math.ceil(0.6 * n))
+        vocab = unigram_prune(docs, vocab, keep_multi=min(keep, n))
+    assert vocab == got
+
+    # idempotent once at target: an extra round keeps the SIZE
+    more = unigram_train_to_size(docs, target_multi=10, shrink=0.6,
+                                 rounds=4, max_multi=40, max_piece_len=4)
+    assert sum(1 for p, _ in more if len(p) > 1) == 10
+    # loss-ranked shrinks run end to end too
+    lossy = unigram_train_to_size(docs, target_multi=10, shrink=0.6,
+                                  rounds=3, max_multi=40,
+                                  max_piece_len=4, prune_rank="loss")
+    assert sum(1 for p, _ in lossy if len(p) > 1) == 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shrink"):
+        unigram_train_to_size(docs, target_multi=10, shrink=1.5)
+
+
 def test_unigram_train_is_the_pinned_composition(spark):
     """r11: unigram_train must BE seed -> em_rounds x refine -> prune —
     a structural identity pin so the convenience trainer can never
