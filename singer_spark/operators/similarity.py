@@ -1468,7 +1468,16 @@ def gc_ann_versions(spark, path: str, keep_versions: int = 1) -> list[str]:
     rows to the current version so the delete re-activates, and keeps
     the table for the next compaction to fold.  The liveness probe is
     one id-column semi-join against the current snapshot — maintenance
-    cadence, not per-read.  Returns what it deleted."""
+    cadence, not per-read.
+
+    Deliberate bias: the probe cannot distinguish a raced (lost) delete
+    from an id RE-ADDED after its delete was folded while the inert
+    tombstone still lingered (possible only when compactions run with
+    ``gc=False`` so the folded table survives) — it re-applies the
+    delete in both cases, because silently serving data someone deleted
+    is the worse failure.  Use fresh ids per vector version (the
+    append/delete docstring contract) and re-adds are never ambiguous.
+    Returns what it deleted."""
     from singer_spark.fsutil import fs_delete, fs_listdir, read_parquet_or_none
 
     ptr = read_parquet_or_none(spark, f"{path}/codes_ptr")
