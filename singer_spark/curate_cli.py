@@ -79,6 +79,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--vocab-path", default=None, metavar="DIR",
                    help="persisted tokenizer vocabulary (save_vocab) for "
                         "--pack-batches; omitted = train on the survivors")
+    p.add_argument("--vocab-size", type=int, default=None, metavar="N",
+                   help="--pack-batches without --vocab-path: train with "
+                        "the shrink-to-target loop to exactly N "
+                        "multi-char pieces (unigram_train_to_size) "
+                        "instead of the one-shot keep-ratio prune")
     p.add_argument("--batches-output", default=None, metavar="DIR",
                    help="where --pack-batches writes (default "
                         "<output>_batches)")
@@ -153,7 +158,8 @@ def main(argv: list[str] | None = None) -> None:
             curated=spark.read.parquet(args.output),
             vocab_path=args.vocab_path,
             train_split_only=args.train_split_only,
-            max_len=args.pack_batches)
+            max_len=args.pack_batches,
+            target_multi=args.vocab_size)
         out = args.batches_output or (args.output.rstrip("/") + "_batches")
         packed.write.mode("overwrite").parquet(out)
         rep = spark.read.parquet(out).limit(1).collect()

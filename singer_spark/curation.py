@@ -596,7 +596,8 @@ def corpus_to_batches(docs: DataFrame,
                       max_multi: int = 30_000, max_piece_len: int = 6,
                       em_rounds: int = 1, keep_ratio: float = 0.8,
                       max_word_len: int = 16,
-                      bucket_width: int = 10_000) -> DataFrame:
+                      bucket_width: int = 10_000,
+                      target_multi: "int | None" = None) -> DataFrame:
     """Corpus → training batches, end to end (r12, VERDICT r11 task #3)
     — the one query a pretraining-data engineer actually runs: curate
     (the configured gate chain), train or load the unigram tokenizer,
@@ -614,7 +615,10 @@ def corpus_to_batches(docs: DataFrame,
        production path: train once, reuse per run) or
        :func:`~singer_spark.operators.text_analysis.unigram_train` on
        the CURATED corpus (training on post-gate text keeps junk out of
-       the vocabulary);
+       the vocabulary), or — with ``target_multi`` set (r13) —
+       :func:`~singer_spark.operators.text_analysis
+       .unigram_train_to_size`, the shrink-to-exact-vocab-size outer
+       loop (`em_rounds` then counts the (EM, shrink) cycles);
     3. :func:`~singer_spark.operators.text_analysis.unigram_encode` —
        one broadcast-vocab Arrow pass;
     4. :func:`~singer_spark.operators.packing.pack_sequences` over the
@@ -648,13 +652,36 @@ def corpus_to_batches(docs: DataFrame,
         kept = kept.filter(F.col("split") == "train")
     kept = maybe_persist(kept.select(id_col, text_col), True)
     if vocab is None:
-        vocab = (load_vocab(docs.sparkSession, vocab_path) if vocab_path
-                 else unigram_train(kept, max_multi=max_multi,
-                                    max_piece_len=max_piece_len,
-                                    em_rounds=em_rounds,
-                                    keep_ratio=keep_ratio,
-                                    max_word_len=max_word_len,
-                                    text_col=text_col, id_col=id_col))
+        if vocab_path:
+            vocab = load_vocab(docs.sparkSession, vocab_path)
+        elif target_multi is not None:
+            # exact-size contract (r13): the SentencePiece --vocab_size
+            # outer loop instead of the one-shot keep_ratio prune.
+            # Rounds = enough 0.6-shrinks to reach the target from the
+            # seed cap (extra cycles are size-idempotent by
+            # construction), or em_rounds if the caller asked for more.
+            import math as _math
+
+            from singer_spark.operators.text_analysis import (
+                unigram_train_to_size,
+            )
+
+            n, need = max_multi, 0
+            while n > target_multi and need < 64:
+                n, need = _math.ceil(0.6 * n), need + 1
+            vocab = unigram_train_to_size(
+                kept, target_multi=target_multi,
+                rounds=max(1, em_rounds, need), max_multi=max_multi,
+                max_piece_len=max_piece_len,
+                max_word_len=max_word_len,
+                text_col=text_col, id_col=id_col)
+        else:
+            vocab = unigram_train(kept, max_multi=max_multi,
+                                  max_piece_len=max_piece_len,
+                                  em_rounds=em_rounds,
+                                  keep_ratio=keep_ratio,
+                                  max_word_len=max_word_len,
+                                  text_col=text_col, id_col=id_col)
     enc = unigram_encode(kept, vocab, max_word_len=max_word_len,
                          text_col=text_col, id_col=id_col)
     packed = pack_sequences(enc.select(id_col, "n_pieces"),

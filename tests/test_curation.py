@@ -772,6 +772,24 @@ def test_corpus_to_batches_is_the_pinned_composition(spark, tmp_path):
     with pytest.raises(ValueError, match="split"):
         corpus_to_batches(docs, cfg, train_split_only=True, **kw)
 
+    # target_multi (r13): the exact-vocab-size contract routes through
+    # unigram_train_to_size — pinned to BE that composition too
+    from singer_spark.operators.text_analysis import unigram_train_to_size
+
+    kw2 = dict(kw, em_rounds=3)   # 20 -> 12 -> 8 -> 5 multis
+    kw2.pop("keep_ratio")
+    got_sz = corpus_to_batches(docs, cfg, target_multi=5, **kw2).collect()
+    vocab_sz = unigram_train_to_size(kept, target_multi=5, rounds=3,
+                                     max_multi=20, max_piece_len=4,
+                                     max_word_len=16)
+    assert sum(1 for p, _ in vocab_sz if len(p) > 1) == 5
+    enc_sz = unigram_encode(kept, vocab_sz, max_word_len=16)
+    packed_sz = pack_sequences(enc_sz.select("doc_id", "n_pieces"),
+                               max_len=16, count_col="n_pieces")
+    assert sorted((r.doc_id, r.n_pieces, r.start_tok) for r in got_sz) \
+        == sorted((r.doc_id, r.n_tokens, r.start_tok)
+                  for r in packed_sz.collect())
+
 
 def test_curation_funnel_counts_are_consistent(spark, sf_dir):
     """Funnel invariants: monotone survivors, chained n_in == previous

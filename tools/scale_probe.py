@@ -318,7 +318,22 @@ def ops(docs: DataFrame):
         "doremi_converge": lambda: _doremi(docs),
         "unigram_prune_loss": lambda: _prune_loss(docs),
         "window_boundaries": lambda: _win_bounds(docs),
+        "unigram_to_size": lambda: _to_size(docs),
     }
+
+
+def _to_size(docs: DataFrame) -> DataFrame:
+    """Shrink-to-target trainer + encode (r13): two (EM, prune) cycles
+    over the one persisted distinct-word frame, landing on 40 multis —
+    expected near-flat like the other distinct-word trainers, with the
+    final encode the only corpus-linear pass."""
+    from singer_spark.operators.text_analysis import (unigram_encode,
+                                                      unigram_train_to_size)
+
+    vocab = unigram_train_to_size(docs, target_multi=40, shrink=0.6,
+                                  rounds=2, max_multi=100,
+                                  max_piece_len=4)
+    return unigram_encode(docs, vocab)
 
 
 def _prune_loss(docs: DataFrame) -> DataFrame:
