@@ -729,6 +729,55 @@ def _window_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_boundaries(packed, max_len=512).orderBy("chunk_id")
 
 
+def _bin_boundaries_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-verifying per-bin collator-array audit (r13) —
+    packing.bin_boundaries over the FFD layout.  FFD is sequential (not
+    SQL-expressible), so the pack_bins_audit discipline applies: every
+    SQL-checkable array invariant is recomputed IN-PLAN and emitted as
+    a boolean the oracle pins true — per bin, fit (fill <= max_len or a
+    flagged oversize singleton), tiling (doc_starts are exact prefix
+    sums of seg_lens from 0), order (seg_lens non-increasing — FFD's
+    placement order), pad consistency — alongside exact conservation
+    aggregates (total docs, total tokens) the oracle derives
+    independently from the documents table, which the hash compare then
+    enforces against the arrays."""
+    from singer_spark.operators.packing import bin_boundaries, pack_bins
+
+    b = pack_bins(_docs(spark, sf_dir), max_len=256, bucket_width=100)
+    bb = bin_boundaries(b, max_len=256)
+    fit = (F.col("fill") <= 256) | \
+        (F.col("oversize_bin") & (F.col("n_docs") == 1))
+    tiling = (
+        (F.element_at("doc_starts", 1) == 0)
+        & F.expr("forall(sequence(1, size(seg_lens) - 1),"
+                 " k -> element_at(doc_starts, k + 1) ="
+                 " element_at(doc_starts, k) + element_at(seg_lens, k))")
+        & (F.element_at("doc_starts", -1) + F.element_at("seg_lens", -1)
+           == F.col("fill")))
+    order = F.expr(
+        "seg_lens = reverse(array_sort(seg_lens))")
+    pad_ok = F.col("pad") == F.greatest(
+        F.lit(0).cast("bigint"), F.lit(256) - F.col("fill"))
+    per_bin = bb.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"), "fill",
+        fit.alias("_fit"), tiling.alias("_tile"), order.alias("_ord"),
+        pad_ok.alias("_pad"),
+        (~F.col("oversize_bin")).cast("bigint").alias("_reg"),
+        F.when(~F.col("oversize_bin"), F.col("fill"))
+        .otherwise(F.lit(0)).alias("_regfill"))
+    return per_bin.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.sum("fill").cast("bigint").alias("total_tokens"),
+        F.min("_fit").alias("all_fit"),
+        F.min("_tile").alias("tiling_ok"),
+        F.min("_ord").alias("order_ok"),
+        F.min("_pad").alias("pad_ok"),
+        # anyfit bound over the REGULAR bins (the pack_bins_audit bound)
+        (F.sum("_reg")
+         <= F.ceil(F.lit(2.0) * F.sum("_regfill") / F.lit(256)) + 1)
+        .alias("bins_bound_ok"))
+
+
 def _pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from singer_spark.operators.packing import pack_sequences, packing_stats
 
@@ -3334,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,
         "pack_manifest": _pack_manifest,
         "window_boundaries": _window_boundaries,
+        "bin_boundaries_audit": _bin_boundaries_audit,
         "pack_stats": _pack_stats,
         "decontaminate": _decontaminate,
         "semantic_decontaminate": _semantic_decontaminate,
@@ -7685,6 +7735,20 @@ def oracle_sql() -> dict[str, str]:
                    [(len(list_filter(doc_starts, s -> s <= p)) - 1)::INT
                     for p in range(0, window_len)] AS segment_ids
             FROM agg ORDER BY chunk_id""",
+        "bin_boundaries_audit": """
+            -- conservation aggregates derived INDEPENDENTLY from the
+            -- documents table; the array invariants are in-plan
+            -- booleans pinned true (FFD itself is not SQL-expressible)
+            WITH t AS (
+              SELECT coalesce(length(string_split(text, ' ')), 0)::BIGINT
+                       AS n
+              FROM documents WHERE text IS NOT NULL)
+            SELECT (SELECT count(*) FROM t WHERE n >= 1)::BIGINT
+                     AS total_docs,
+                   (SELECT coalesce(sum(n), 0) FROM t WHERE n >= 1)::BIGINT
+                     AS total_tokens,
+                   true AS all_fit, true AS tiling_ok, true AS order_ok,
+                   true AS pad_ok, true AS bins_bound_ok""",
         "pack_stats": """
             WITH t AS (SELECT doc_id,
                               coalesce(length(string_split(text, ' ')), 0)::BIGINT AS n

@@ -148,6 +148,7 @@ HEADLINERS = [
     "unigram_prune_loss",
     "window_boundaries",
     "unigram_to_size_tokenize",
+    "bin_boundaries_audit",
 ]
 
 

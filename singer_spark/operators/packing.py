@@ -210,6 +210,54 @@ def window_boundaries(packed: DataFrame, max_len: int = 2048,
             .cast("int")))
 
 
+def bin_boundaries(binned: DataFrame, max_len: int = 2048,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-BIN collator arrays from a :func:`pack_bins` layout (r13) —
+    :func:`window_boundaries`' sibling for the padding-minimizing,
+    no-document-straddling packing: one row per bin with
+
+    - ``doc_ids`` / ``seg_lens`` / ``doc_starts`` — the whole documents
+      placed in the bin in deterministic (n_tokens desc, id asc) order
+      (FFD's own placement order), each segment's length, and its start
+      offset inside the bin (prefix sums of the lengths);
+    - ``fill`` = Σ seg_lens, ``pad`` = max_len − fill (0 for oversize
+      singleton bins) — the padding budget a collator allocates;
+    - ``n_docs`` / ``oversize_bin``.
+
+    Attention still must not cross document boundaries INSIDE a bin
+    (bins hold several whole documents); doc_starts is that reset mask
+    in compact form — position p belongs to the last start ≤ p, the
+    same equality test :func:`window_boundaries`' segment_ids encodes.
+
+    100 TB shape: one shuffle keyed by bin_id (rows = number of bins ≈
+    total_tokens/max_len), arrays built by JVM sort_array / aggregate
+    (no UDF), ≤ docs-per-bin entries each."""
+    L = int(max_len)
+    s = (binned.groupBy("bin_id")
+         .agg(F.sort_array(F.collect_list(F.struct(
+             (-F.col("n_tokens")).alias("_negn"),
+             F.col(id_col).alias("_id"),
+             F.col("n_tokens").alias("_n"),
+             F.col("oversize")))).alias("_s")))
+    # prefix sums of the ordered lengths -> per-doc start offsets
+    starts = F.expr(
+        "slice(aggregate(_s, array(cast(0 as bigint)),"
+        "  (acc, x) -> concat(acc, array(element_at(acc, -1) + x._n))),"
+        " 1, size(_s))")
+    fill = F.aggregate("_s._n", F.lit(0).cast("bigint"),
+                       lambda a, x: a + x)
+    return (s.select(
+        F.col("bin_id").cast("bigint").alias("bin_id"),
+        F.size("_s").cast("int").alias("n_docs"),
+        fill.alias("fill"),
+        F.greatest(F.lit(0).cast("bigint"),
+                   F.lit(L) - fill).alias("pad"),
+        F.array_max("_s.oversize").alias("oversize_bin"),
+        F.col("_s._id").alias("doc_ids"),
+        F.col("_s._n").alias("seg_lens"),
+        starts.alias("doc_starts")))
+
+
 def packing_stats(packed: DataFrame, max_len: int = 2048) -> DataFrame:
     """Corpus-level packing summary: total tokens, number of training
     windows, boundary-straddling doc fraction — the sanity dashboard row a

@@ -77,6 +77,7 @@ NULL_SENSITIVE_KEYS = (
     "unigram_prune_loss",
     "unigram_to_size_tokenize",
     "window_boundaries",
+    "bin_boundaries_audit",
     # composed funnels over the documents table: a NULL/empty-text
     # divergence inside any composed gate would otherwise be invisible
     "curation_funnel",

@@ -1128,6 +1128,44 @@ def test_window_boundaries_collator_arrays(spark, sf_dir):
              for i, txt in data if txt.strip()})
 
 
+def test_bin_boundaries_collator_arrays(spark, sf_dir):
+    """r13: the per-bin collator arrays — every doc lands WHOLE in
+    exactly one bin (ids partition the >=1-token docs), seg_lens are
+    the docs' token counts in (len desc, id asc) order with doc_starts
+    their exact prefix sums, pad complements fill to max_len (0 for
+    oversize singletons), and non-oversize bins fit."""
+    from collections import Counter
+
+    from singer_spark.operators.packing import bin_boundaries, pack_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    L = 128
+    rows = bin_boundaries(pack_bins(docs, max_len=L, bucket_width=37),
+                          max_len=L).collect()
+    want_counts = {
+        r.doc_id: r.n for r in docs.selectExpr(
+            "doc_id", "coalesce(size(split(text, ' ')), 0) as n")
+        .where("text is not null and n >= 1").collect()}
+    seen: Counter = Counter()
+    for r in rows:
+        assert r.n_docs == len(r.doc_ids) == len(r.seg_lens) \
+            == len(r.doc_starts)
+        assert list(r.seg_lens) == sorted(r.seg_lens, reverse=True)
+        pos = 0
+        for k in range(r.n_docs):
+            assert r.doc_starts[k] == pos
+            assert r.seg_lens[k] == want_counts[r.doc_ids[k]]
+            seen[r.doc_ids[k]] += 1
+            pos += r.seg_lens[k]
+        assert pos == r.fill
+        assert r.pad == max(0, L - r.fill)
+        if not r.oversize_bin:
+            assert r.fill <= L
+        else:
+            assert r.n_docs == 1 and r.fill > L
+    assert seen == Counter({d: 1 for d in want_counts})
+
+
 def test_pack_sequences_no_global_single_task_window(spark, sf_dir):
     """The prefix sum must window per BUCKET, never over a global order —
     the plan's Window spec has to carry a partition key."""
