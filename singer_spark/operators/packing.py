@@ -114,7 +114,8 @@ def pack_sequences(docs: DataFrame, max_len: int = 2048,
 
 
 def pack_manifest(packed: DataFrame, max_len: int = 2048,
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  count_col: str = "n_tokens") -> DataFrame:
     """Per-(window, document) slice manifest from a :func:`pack_sequences`
     layout — the table a dataloader actually consumes: which documents
     compose each fixed-length training window, where each slice starts
@@ -146,10 +147,11 @@ def pack_manifest(packed: DataFrame, max_len: int = 2048,
     L = int(max_len)
     chunk = F.explode(F.sequence(F.col("first_chunk"),
                                  F.col("last_chunk"))).alias("chunk_id")
-    e = (packed.filter(F.col("n_tokens") > 0)
-         .select(F.col(id_col), "n_tokens", "start_tok", chunk))
+    e = (packed.filter(F.col(count_col) > 0)
+         .select(F.col(id_col), F.col(count_col).alias("_n"),
+                 "start_tok", chunk))
     seg_start = F.greatest(F.col("start_tok"), F.col("chunk_id") * L)
-    seg_end = F.least(F.col("start_tok") + F.col("n_tokens"),
+    seg_end = F.least(F.col("start_tok") + F.col("_n"),
                       (F.col("chunk_id") + 1) * L)
     return (e.select(
         F.col("chunk_id").cast("bigint").alias("chunk_id"),
@@ -160,7 +162,8 @@ def pack_manifest(packed: DataFrame, max_len: int = 2048,
 
 
 def window_boundaries(packed: DataFrame, max_len: int = 2048,
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      count_col: str = "n_tokens") -> DataFrame:
     """Per-WINDOW boundary arrays from a :func:`pack_sequences` layout
     (r13, VERDICT r12 task #6) — :func:`pack_manifest` pivoted into the
     row shape a dataloader collator consumes directly: one row per
@@ -187,7 +190,8 @@ def window_boundaries(packed: DataFrame, max_len: int = 2048,
     built by JVM higher-order functions (sort_array/transform/filter —
     no UDF), each row O(max_len · n_docs_in_window) work and ≤ max_len
     ints of output — the same order as the window tensor itself."""
-    m = pack_manifest(packed, max_len=max_len, id_col=id_col)
+    m = pack_manifest(packed, max_len=max_len, id_col=id_col,
+                      count_col=count_col)
     s = (m.groupBy("chunk_id")
          .agg(F.sort_array(F.collect_list(
              F.struct(F.col("win_off"), F.col(id_col).alias("_id"),

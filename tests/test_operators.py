@@ -1101,7 +1101,15 @@ def test_window_boundaries_collator_arrays(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     packed = pack_sequences(docs, max_len=128, bucket_width=37)
     total = sum(r.n_tokens for r in packed.select("n_tokens").collect())
-    check(window_boundaries(packed, max_len=128).collect(), total, 128)
+    got = window_boundaries(packed, max_len=128).collect()
+    check(got, total, 128)
+    # count_col: the corpus_to_batches output (n_tokens renamed to
+    # n_pieces) feeds the collator export directly — identical arrays
+    renamed = packed.withColumnRenamed("n_tokens", "n_pieces")
+    via_pieces = window_boundaries(renamed, max_len=128,
+                                   count_col="n_pieces").collect()
+    assert sorted([r.asDict() for r in via_pieces], key=lambda d: d["chunk_id"]) \
+        == sorted([r.asDict() for r in got], key=lambda d: d["chunk_id"])
 
     import random
 
