@@ -319,7 +319,18 @@ def ops(docs: DataFrame):
         "unigram_prune_loss": lambda: _prune_loss(docs),
         "window_boundaries": lambda: _win_bounds(docs),
         "unigram_to_size": lambda: _to_size(docs),
+        "bin_boundaries": lambda: _bin_bounds(docs),
     }
+
+
+def _bin_bounds(docs: DataFrame) -> DataFrame:
+    """Per-bin collator arrays (r13): the FFD histogram solve (driver,
+    cost in distinct lengths) + one bin-keyed groupBy building the
+    arrays — expected ~linear in the tokenize + rank scans, rows ≈
+    tokens/max_len."""
+    from singer_spark.operators.packing import bin_boundaries, pack_bins
+
+    return bin_boundaries(pack_bins(docs, max_len=256), max_len=256)
 
 
 def _to_size(docs: DataFrame) -> DataFrame:
