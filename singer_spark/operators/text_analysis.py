@@ -1433,52 +1433,80 @@ def source_reweight_converge(docs: DataFrame, rounds: int = 2,
 
     w = {s: q(1.0 / k) for s in sources}
     c = float(smoothing)
+    # Round-invariant corpus totals, hoisted out of the loop (r13
+    # optimization): the per-source token masses and their grand total
+    # never change between rounds — the old shape re-aggregated them
+    # (and broadcast the 1-row stats frame) inside every round's plan.
+    # n_tokens sums are exact integers, so the driver-side Σ is the
+    # same value Spark's bigint sum produced.
+    total_tokens = sum(
+        int(row["_t"]) for row in
+        per_doc.groupBy("source").agg(F.sum("n_tokens").alias("_t"))
+        .collect() if row["source"] is not None)
     report: "list[tuple]" = []
     for r in range(1, int(rounds) + 1):
-        wdf = spark.createDataFrame([(s, float(w[s])) for s in sources],
-                                    "source string, _w double")
+        # Per-source sample thresholds computed DRIVER-side with the
+        # identical IEEE operation order the in-plan expression used —
+        # ((token_frac · total) · w_s) / Σw — so the filter sees the
+        # same double; the k-row weight table (and now its threshold)
+        # stays the only state crossing rounds (bounded-collect
+        # discipline).  This removes the per-round per_src_tok/stats
+        # aggregation chain and its scalar broadcast build.
+        wsum = sum(w[s] for s in sources)
+        thr_mult = float(token_frac) * float(total_tokens)
+        wdf = spark.createDataFrame(
+            [(s, float(w[s]), thr_mult * float(w[s]) / wsum)
+             for s in sources],
+            "source string, _w double, _thr double")
         rk = md5_int(F.concat(F.lit(f"{salt}:{r}:"),
                               F.col(id_col).cast("string")))
         base = per_doc.join(F.broadcast(wdf), "source").withColumn("_rk", rk)
-        per_src_tok = base.groupBy("source").agg(
-            F.sum("n_tokens").alias("_src_tokens"),
-            F.first("_w").alias("_sw"))
-        stats = per_src_tok.agg(F.sum("_src_tokens").alias("_total"),
-                                F.sum("_sw").alias("_wsum"))
         win = Window.partitionBy("source").orderBy(F.col("_rk").asc(),
                                                    F.col(id_col).asc())
         samp = (base.withColumn("_cum", F.sum("n_tokens").over(win))
-                .crossJoin(F.broadcast(stats))
                 .filter((F.col("_cum") - F.col("n_tokens"))
-                        < F.lit(float(token_frac)) * F.col("_total")
-                        * F.col("_w") / F.col("_wsum")))
-        per_src = (samp.groupBy("source")
-                   .agg(F.count("*").alias("n_sampled"),
-                        F.count("lm_score").alias("n_scored"),
-                        qround(F.avg("lm_score"), round_to)
-                        .alias("mean_lm_score"),
-                        F.first("_w").alias("weight_prev")))
-        ref = samp.agg(qround(F.avg("lm_score"), round_to).alias("_ref"))
-        excess = qround(F.greatest(
-            F.coalesce(F.col("mean_lm_score"), F.col("_ref"))
-            - F.col("_ref"), F.lit(0.0)), round_to)
-        based = (per_src.crossJoin(F.broadcast(ref))
-                 .withColumn("excess", excess)
-                 .withColumn("_raw", F.col("weight_prev")
-                             * F.exp(F.lit(float(eta)) * F.col("excess"))))
-        totals = based.agg(F.sum("_raw").alias("_Z"),
-                           F.count("*").alias("_k"))
-        w_expr = ((1.0 - c) * F.col("_raw") / F.col("_Z")
-                  + c / F.col("_k"))
-        stepped = (based.crossJoin(F.broadcast(totals))
-                   .select("source", "n_sampled", "n_scored",
-                           "mean_lm_score", "excess", "weight_prev",
-                           qround(w_expr, round_to).alias("weight"))
-                   .collect())  # k rows — the round boundary
-        report.extend((r, s.source, s.n_sampled, s.n_scored,
-                       s.mean_lm_score, s.excess, s.weight_prev, s.weight)
-                      for s in stepped)
-        w = {s.source: s.weight for s in stepped}
+                        < F.col("_thr")))
+        # ONE aggregation job per round: rollup(source) yields the k
+        # per-source rows AND the sample-wide reference row (source
+        # NULL — unambiguous, NULL-source docs were excluded above) in
+        # a single pass; the old shape recomputed the window+filter
+        # chain under per_src, ref, and both scalar-broadcast builds of
+        # the exponentiated step (4-5 evaluations per round).  The
+        # exponentiated-gradient step itself is k-row arithmetic —
+        # driver-side with the same qround/op-order discipline.
+        rolled = (samp.rollup("source")
+                  .agg(F.count("*").alias("n_sampled"),
+                       F.count("lm_score").alias("n_scored"),
+                       qround(F.avg("lm_score"), round_to)
+                       .alias("mean_lm_score"))
+                  .collect())
+        ref = next(row["mean_lm_score"] for row in rolled
+                   if row["source"] is None)
+        per_src = {row["source"]: row for row in rolled
+                   if row["source"] is not None}
+        import math as _math
+
+        stepped = []
+        for s in sources:
+            row = per_src.get(s)
+            if row is None:  # the old per_src groupBy shape: a source
+                continue     # with no sampled rows emits no report row
+            mean_s = row["mean_lm_score"]
+            base_m = mean_s if mean_s is not None else ref
+            # greatest(NULL, 0.0) is 0.0 in Spark: an unscored sample
+            # (ref NULL) keeps excess 0, exactly the old expression
+            excess = (q(max(base_m - ref, 0.0))
+                      if base_m is not None and ref is not None else 0.0)
+            raw = w[s] * _math.exp(float(eta) * excess)
+            stepped.append((s, row["n_sampled"], row["n_scored"],
+                            mean_s, excess, w[s], raw))
+        Z = sum(t[6] for t in stepped)
+        report.extend(
+            (r, s, n_sampled, n_scored, mean_s, excess, w_prev,
+             q((1.0 - c) * raw / Z + c / len(stepped)))
+            for s, n_sampled, n_scored, mean_s, excess, w_prev, raw
+            in stepped)
+        w = {t[1]: t[7] for t in report[-len(stepped):]}
     return (spark.createDataFrame(
         report, "round int, source string, n_sampled bigint, "
                 "n_scored bigint, mean_lm_score double, excess double, "
@@ -2686,14 +2714,23 @@ def unigram_vocab(docs: DataFrame, max_multi: int = 30_000,
     multis = (cand.where(F.length("piece") > 1)
               .orderBy(F.col("w").desc(), F.col("piece"))
               .limit(int(max_multi)))
-    kept = singles.unionByName(multis)
-    total = kept.agg(F.sum("w").alias("_T"))
-    cost = F.floor(-F.log(F.col("w") / F.col("_T")) * 1_000_000
-                   + F.lit(0.5)).cast("bigint")
-    rows = (kept.crossJoin(F.broadcast(total))
-            .select("piece", cost.alias("cost"))
-            .orderBy("piece").collect())
-    return [(r["piece"], r["cost"]) for r in rows]
+    # ONE bounded collect of (piece, weight); total and the −ln costs
+    # finish on the driver in exact integer / shared-libm arithmetic —
+    # the unigram_em_refine discipline (its M-step has always computed
+    # costs driver-side from collected integer counts).  The previous
+    # shape re-aggregated the kept set for the total and crossJoined it
+    # back, which re-computed the candidate subtree under both branches
+    # of the final plan (r13 optimization: 2 extra jobs + a broadcast
+    # build per vocab derivation, measured on every trainer query).
+    rows = singles.unionByName(multis).collect()
+    total = sum(int(r["w"]) for r in rows)  # exact: integer freqs
+    import math as _math
+
+    return sorted(
+        (r["piece"],
+         int(_math.floor(-_math.log(int(r["w"]) / total) * 1_000_000
+                         + 0.5)))
+        for r in rows)
 
 
 def unigram_reference(word: str, vocab: "dict[str, int]",
@@ -3124,14 +3161,7 @@ def unigram_em_refine(docs: DataFrame, vocab: "list[tuple[str, int]]",
     frame so each round skips the corpus re-scan."""
     counts = _unigram_usage_counts(docs, vocab, max_word_len,
                                    text_col, id_col, words=words)
-    a, V = float(alpha), len(vocab)
-    T = sum(counts.values())
-    import math as _math
-
-    return sorted(
-        (p, int(_math.floor(-_math.log((counts.get(p, 0) + a)
-                                       / (T + a * V)) * 1_000_000 + 0.5)))
-        for p, _ in vocab)
+    return _em_recost(counts, [p for p, _ in vocab], alpha)
 
 
 def _unigram_usage_counts(docs: DataFrame, vocab: "list[tuple[str, int]]",
@@ -3173,6 +3203,88 @@ def _unigram_usage_counts(docs: DataFrame, vocab: "list[tuple[str, int]]",
     vd = dict(vocab)
     return {r["piece"]: int(r["cnt"]) for r in occ.collect()
             if r["piece"] in vd}
+
+
+def _word_seg_frame(words: DataFrame, vocab: "list[tuple[str, int]]",
+                    max_word_len: int, with_loss: bool = False
+                    ) -> DataFrame:
+    """ONE Arrow Viterbi pass over the (word `_w`, freq `_f`) frame,
+    returning it with a `_d` struct — `np` (piece count), `c` (Viterbi
+    cost), `ps` (the pieces), and with `with_loss` additionally `ls`
+    (the per-piece removal losses of :func:`unigram_loss_reference`).
+
+    Shared-statistic discipline (r13 optimization): the hard-EM loop
+    needs BOTH the corpus totals (Σf·np, Σf·c) and the usage counts per
+    round, and the loss-ranked prune needs BOTH usage counts and loss
+    totals — each statistic used to run its own identical DP pass over
+    the distinct-word frame.  Persist this frame once per (vocab,
+    round) and derive every statistic from it: same integer values,
+    half the distinct-word DP passes.  Words longer than `max_word_len`
+    come back as the <unk> piece (excluded from usage counts by the
+    vocab filter downstream, included in totals — exactly the split
+    the two separate passes implemented)."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = words.sparkSession
+    bc = spark.sparkContext.broadcast(dict(vocab))
+    W = int(max_word_len)
+
+    if with_loss:
+        @pandas_udf("struct<np: bigint, c: bigint, ps: array<string>,"
+                    " ls: array<struct<p: string, l: bigint>>>")
+        def dp(ws: pd.Series) -> pd.DataFrame:
+            voc = bc.value
+            lmax = max((len(p) for p in voc), default=1)
+            rows = []
+            for w in ws:
+                pieces, cost = unigram_reference(str(w), voc, W, lmax)
+                rows.append((len(pieces), cost, pieces,
+                             unigram_loss_reference(str(w), voc, W, lmax)))
+            return pd.DataFrame(rows, columns=["np", "c", "ps", "ls"])
+    else:
+        @pandas_udf("struct<np: bigint, c: bigint, ps: array<string>>")
+        def dp(ws: pd.Series) -> pd.DataFrame:
+            voc = bc.value
+            lmax = max((len(p) for p in voc), default=1)
+            rows = []
+            for w in ws:
+                pieces, cost = unigram_reference(str(w), voc, W, lmax)
+                rows.append((len(pieces), cost, pieces))
+            return pd.DataFrame(rows, columns=["np", "c", "ps"])
+
+    return words.withColumn("_d", dp(F.col("_w")))
+
+
+def _usage_counts_from_seg(seg: DataFrame,
+                           vocab: "list[tuple[str, int]]"
+                           ) -> "dict[str, int]":
+    """Word-frequency-weighted usage counts from a persisted
+    :func:`_word_seg_frame` — value-identical to
+    :func:`_unigram_usage_counts` (the explode runs over the same
+    Viterbi pieces; <unk> and out-of-vocab characters fall to the same
+    vocab-membership filter)."""
+    occ = (seg.select(F.explode("_d.ps").alias("piece"), F.col("_f"))
+           .groupBy("piece").agg(F.sum("_f").alias("cnt")))
+    vd = dict(vocab)
+    return {r["piece"]: int(r["cnt"]) for r in occ.collect()
+            if r["piece"] in vd}
+
+
+def _em_recost(counts: "dict[str, int]", vocab_pieces: "list[str]",
+               alpha: float) -> "list[tuple[str, int]]":
+    """The hard-EM M-step formula — ONE copy shared by
+    :func:`unigram_em_refine` and the fused-pass loop in
+    :func:`unigram_em_converge`: cost'(p) =
+    floor(−ln((cnt(p)+α)/(T+α·V))·1e6 + 0.5) over the given piece
+    set."""
+    import math as _math
+
+    a, V = float(alpha), len(vocab_pieces)
+    T = sum(counts.values())
+    return sorted(
+        (p, int(_math.floor(-_math.log((counts.get(p, 0) + a)
+                                       / (T + a * V)) * 1_000_000 + 0.5)))
+        for p in vocab_pieces)
 
 
 def _unigram_soft_expected(docs: DataFrame, vocab: "list[tuple[str, int]]",
@@ -3270,45 +3382,6 @@ def unigram_marginal_nll(docs: DataFrame, vocab: "list[tuple[str, int]]",
     return nll
 
 
-def _unigram_loss_totals(docs: DataFrame, vocab: "list[tuple[str, int]]",
-                         max_word_len: int = 16, text_col: str = "text",
-                         id_col: str = "doc_id",
-                         words: "DataFrame | None" = None
-                         ) -> "dict[str, int]":
-    """Corpus-total likelihood loss per multi-character piece, in
-    integer micro-nats: Σ_words f(w)·(NLL_without_p(w) − NLL(w)) from
-    one distinct-word Arrow pass over
-    :func:`unigram_loss_reference` — the E-statistic of the
-    loss-ranked prune.  Exact integer aggregation (every per-word loss
-    is an integer on the micro-nat grid), so both engines sum
-    identically in any order.  Pieces never occurring in any word are
-    absent (treated as loss 0 by the ranking)."""
-    spark = docs.sparkSession
-    bc = spark.sparkContext.broadcast(dict(vocab))
-    W = int(max_word_len)
-
-    if words is None:
-        toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-        words = (fan_out(docs)
-                 .select(F.explode(toks).alias("_w"))
-                 .groupBy("_w").agg(F.count("*").alias("_f")))
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<struct<p: string, l: bigint>>")
-    def losses(ws: pd.Series) -> pd.Series:
-        voc = bc.value
-        lmax = max((len(p) for p in voc), default=1)
-        return pd.Series(
-            [unigram_loss_reference(str(w), voc, W, lmax) for w in ws])
-
-    occ = (words.withColumn("_ls", losses(F.col("_w")))
-           .select(F.col("_f"), F.explode("_ls").alias("_e"))
-           .groupBy(F.col("_e.p").alias("piece"))
-           .agg(F.sum(F.col("_f") * F.col("_e.l")).alias("lo")))
-    return {r["piece"]: int(r["lo"]) for r in occ.collect()}
-
-
 def unigram_prune(docs: DataFrame, vocab: "list[tuple[str, int]]",
                   keep_ratio: float = 0.8, alpha: float = 0.5,
                   max_word_len: int = 16, text_col: str = "text",
@@ -3336,7 +3409,8 @@ def unigram_prune(docs: DataFrame, vocab: "list[tuple[str, int]]",
     ``rank="loss"`` (r13, VERDICT r12 task #4) replaces the ranking
     statistic with Kudo §3.2's ACTUAL rule — each multi-char piece's
     corpus likelihood loss when removed
-    (:func:`_unigram_loss_totals`: the marginal-NLL delta from the
+    (:func:`unigram_loss_reference` per word, Σf-weighted in exact
+    integer micro-nats: the marginal-NLL delta from the
     same quantized lattice the soft-EM machinery runs), desc, tie
     piece asc.  A piece the Viterbi rarely picks but whose removal has
     no cheap alternative segmentation ranks HIGH here and low under
@@ -3357,18 +3431,34 @@ def unigram_prune(docs: DataFrame, vocab: "list[tuple[str, int]]",
         raise ValueError(f"keep_ratio must be in (0, 1], got {keep_ratio}")
     if rank not in ("usage", "loss"):
         raise ValueError(f"unknown prune rank {rank!r}")
-    if words is None and rank == "loss":
-        # loss mode runs TWO distinct-word statistics (usage for the
-        # recost, loss for the ranking) — tokenize the corpus once and
-        # share the persisted frame between them
+    lo: "dict[str, int]" = {}
+    if rank == "loss":
+        # loss mode needs TWO distinct-word statistics (usage for the
+        # recost, loss for the ranking) — r13 optimization: ONE fused
+        # Arrow pass (_word_seg_frame with_loss=True) is persisted and
+        # both statistics aggregate from it, instead of running the
+        # Viterbi kernel and the loss lattice as separate corpus-frame
+        # passes.  Identical integer values.
         from singer_spark.functions import maybe_persist
 
-        toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-        words = maybe_persist(
-            fan_out(docs).select(F.explode(toks).alias("_w"))
-            .groupBy("_w").agg(F.count("*").alias("_f")), True)
-    counts = _unigram_usage_counts(docs, vocab, max_word_len,
-                                   text_col, id_col, words=words)
+        if words is None:
+            toks = F.filter(F.split(F.col(text_col), " "),
+                            lambda t: t != "")
+            words = maybe_persist(
+                fan_out(docs).select(F.explode(toks).alias("_w"))
+                .groupBy("_w").agg(F.count("*").alias("_f")), True)
+        seg = maybe_persist(
+            _word_seg_frame(words, vocab, max_word_len, with_loss=True),
+            True)
+        counts = _usage_counts_from_seg(seg, vocab)
+        lo = {r["piece"]: int(r["lo"]) for r in
+              (seg.select(F.col("_f"), F.explode("_d.ls").alias("_e"))
+               .groupBy(F.col("_e.p").alias("piece"))
+               .agg(F.sum(F.col("_f") * F.col("_e.l")).alias("lo"))
+               .collect())}
+    else:
+        counts = _unigram_usage_counts(docs, vocab, max_word_len,
+                                       text_col, id_col, words=words)
     singles = [p for p, _ in vocab if len(p) == 1]
     multis = [p for p, _ in vocab if len(p) > 1]
     import math as _math
@@ -3376,8 +3466,6 @@ def unigram_prune(docs: DataFrame, vocab: "list[tuple[str, int]]",
     k = (int(keep_multi) if keep_multi is not None
          else _math.ceil(keep_ratio * len(multis)))
     if rank == "loss":
-        lo = _unigram_loss_totals(docs, vocab, max_word_len,
-                                  text_col, id_col, words=words)
         kept = singles + sorted(multis,
                                 key=lambda p: (-lo.get(p, 0), p))[:k]
     else:
@@ -3410,10 +3498,11 @@ def unigram_em_converge(docs: DataFrame, vocab: "list[tuple[str, int]]",
 
     100 TB shape: the corpus is tokenized ONCE into a persisted
     (word, freq) frame; every round after that touches only that frame
-    — one Arrow DP pass for the corpus totals (Σ f·cost over distinct
-    words equals the per-document sum exactly: integer arithmetic) and
-    one for the EM usage counts — so a k-round training loop costs ONE
-    corpus read plus k distinct-word passes, not 2k+1 corpus scans.
+    — ONE fused Arrow DP pass per round (persisted) feeds both the
+    corpus totals (Σ f·cost over distinct words equals the
+    per-document sum exactly: integer arithmetic) and the EM usage
+    counts — so a k-round training loop costs ONE corpus read plus
+    k+1 distinct-word passes, not 2k+1.
     `rounds` is small (2-5 — SentencePiece itself runs a handful); the
     report is rounds+1 rows.
 
@@ -3467,49 +3556,31 @@ def unigram_em_converge(docs: DataFrame, vocab: "list[tuple[str, int]]",
                   "bigint, total_nll bigint").orderBy("round"))
     frames = []
     for r in range(rounds + 1):
+        # fused-statistic round (r13 optimization): ONE persisted
+        # distinct-word DP pass per round feeds BOTH the usage counts
+        # (eager — the next round's costs need them) and the totals row
+        # (lazy — read from the cache at action time).  The previous
+        # shape ran the identical Viterbi twice per round
+        # (_word_frame_totals + unigram_em_refine's usage pass):
+        # 2·rounds+1 DP passes, now rounds+1.  Integer sums, identical
+        # values.
+        seg = maybe_persist(_word_seg_frame(words, costs, max_word_len),
+                            True)
         frames.append(
-            _word_frame_totals(words, costs, max_word_len)
+            seg.agg(F.sum("_f").alias("_w"),
+                    F.sum(F.col("_f") * F.col("_d.np")).alias("_p"),
+                    F.sum(F.col("_f") * F.col("_d.c")).alias("_c"))
             .select(F.lit(r).cast("int").alias("round"),
                     F.col("_w").cast("bigint").alias("n_words"),
                     F.col("_p").cast("bigint").alias("n_pieces"),
                     F.col("_c").cast("bigint").alias("total_cost")))
         if r < rounds:
-            costs = unigram_em_refine(docs, costs, alpha=alpha,
-                                      max_word_len=max_word_len,
-                                      text_col=text_col, id_col=id_col,
-                                      words=words)
+            counts = _usage_counts_from_seg(seg, costs)
+            costs = _em_recost(counts, [p for p, _ in costs], alpha)
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("round")
-
-
-def _word_frame_totals(words: DataFrame, vocab: "list[tuple[str, int]]",
-                       max_word_len: int) -> DataFrame:
-    """1-row (Σf, Σf·n_pieces, Σf·cost) corpus totals from a (word,
-    freq) frame — unigram_encode's per-document sums re-expressed over
-    distinct words (identical values: the sums are pure integer
-    arithmetic and Σ_docs Σ_words == Σ_distinct f·per-word)."""
-    from pyspark.sql.functions import pandas_udf
-
-    spark = words.sparkSession
-    bc = spark.sparkContext.broadcast(dict(vocab))
-    W = int(max_word_len)
-
-    @pandas_udf("struct<ns: bigint, c: bigint>")
-    def dp(ws: pd.Series) -> pd.DataFrame:
-        voc = bc.value
-        lmax = max((len(p) for p in voc), default=1)
-        rows = []
-        for w in ws:
-            pieces, cost = unigram_reference(str(w), voc, W, lmax)
-            rows.append((len(pieces), cost))
-        return pd.DataFrame(rows, columns=["ns", "c"])
-
-    return (words.withColumn("_d", dp(F.col("_w")))
-            .agg(F.sum("_f").alias("_w"),
-                 F.sum(F.col("_f") * F.col("_d.ns")).alias("_p"),
-                 F.sum(F.col("_f") * F.col("_d.c")).alias("_c")))
 
 
 def unigram_train(docs: DataFrame, max_multi: int = 30_000,
