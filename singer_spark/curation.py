@@ -226,19 +226,43 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
 
     `_gates`: precomputed :func:`_gate_frames` output, so a caller that
     also builds the telemetry funnel shares ONE gate pass with it."""
-    from singer_spark.operators.text_analysis import train_val_split
-
     id_col, text_col = cfg.id_col, cfg.text_col
     gates = _gates if _gates is not None \
         else _gate_frames(docs, cfg, benchmark)
     out = docs.select(id_col, text_col, *[c for c in cfg.keep_cols
                                           if c in docs.columns])
+    # lang / quality are pure per-row projections (r13 optimization):
+    # with no shared gate frames in play (_gates is None — the batch
+    # path), gate them IN the projection instead of joining the
+    # corpus-sized lang_id / quality_features frames back by id — two
+    # exchanges of the full text removed from every curate plan at any
+    # scale.  Same expressions (text_analysis.lang_pred_col /
+    # quality_score_col are the one copy lang_id / quality_features
+    # select from), so rows and values are identical.  The funnel /
+    # streaming path passes persisted `_gates` and keeps the join shape
+    # (one gate pass shared with telemetry, ADVICE r11 #4).
     if cfg.lang is not None:
-        out = (out.join(gates["lang"], id_col)
-               .filter(F.col("predicted_lang") == cfg.lang))
+        if _gates is None:
+            from singer_spark.operators.text_analysis import lang_pred_col
+
+            out = (out.withColumn("predicted_lang",
+                                  lang_pred_col(F.col(text_col)))
+                   .filter(F.col("predicted_lang") == cfg.lang))
+        else:
+            out = (out.join(gates["lang"], id_col)
+                   .filter(F.col("predicted_lang") == cfg.lang))
     if cfg.min_quality is not None:
-        out = (out.join(gates["quality"], id_col)
-               .filter(F.col("quality_score") >= cfg.min_quality))
+        if _gates is None:
+            from singer_spark.operators.text_analysis import (
+                quality_score_col,
+            )
+
+            out = (out.withColumn("quality_score",
+                                  quality_score_col(F.col(text_col)))
+                   .filter(F.col("quality_score") >= cfg.min_quality))
+        else:
+            out = (out.join(gates["quality"], id_col)
+                   .filter(F.col("quality_score") >= cfg.min_quality))
     if cfg.quality_model_seed is not None or cfg.quality_model_path:
         # learned gate (CCNet-style): NB seed-vs-rest model over the FULL
         # input corpus (training on pre-gate docs keeps the model
@@ -292,13 +316,17 @@ def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
                         id_col)
                .withColumn(text_col, F.col("_red")).drop("_red"))
     if cfg.split:
-        # ANNOTATE the split (join, don't replace): curate's contract is
-        # "surviving docs with their gate metadata", and the published
-        # dataset needs the text — the old select-only train_val_split
-        # output silently reduced split=True runs to (id, bucket, split)
-        # (r12 fix, surfaced by corpus_to_batches)
-        out = out.join(train_val_split(out, id_col=id_col)
-                       .select(id_col, "split"), id_col)
+        # ANNOTATE the split (withColumn, not a self-join): the split is
+        # a pure per-row hash of the id (text_analysis.split_cols — the
+        # same rule train_val_split wraps), so attaching it needs no
+        # join.  The old `out.join(train_val_split(out), id)` shape
+        # re-evaluated the whole gate chain under the join's second arm
+        # and shuffled the survivor corpus by id twice — at 100 TB two
+        # full exchanges of the published text for a value derivable in
+        # the projection (r13 optimization; identical rows/values).
+        from singer_spark.operators.text_analysis import split_cols
+
+        out = out.withColumn("split", split_cols(id_col)[1])
     return out
 
 

@@ -39,21 +39,70 @@ def lang_score(text_col: Column, lang: str) -> Column:
     return hits / F.greatest(F.size(toks), F.lit(1))
 
 
+def lang_pred_col(text_col: Column) -> Column:
+    """The predicted-language EXPRESSION behind :func:`lang_id` — argmax
+    of per-language stopword ratio, ties by language code, 'und' when
+    nothing matches.  Exposed (r13) so :func:`~singer_spark.curation
+    .curate` can gate in the projection instead of joining the
+    corpus-sized lang_id frame back by id (one exchange per gate saved
+    at any scale); one copy of the rule either way."""
+    scores = {lang: qround(lang_score(text_col, lang), 6)
+              for lang in sorted(LANG_PROFILES)}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_PROFILES, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Predicted language = argmax of per-language stopword ratio, ties by
     language code; 'und' when nothing matches."""
     c = F.col(text_col)
-    scored = docs.select(
+    return docs.select(
         F.col(id_col),
-        *[qround(lang_score(c, lang), 6).alias(f"score_{lang}") for lang in sorted(LANG_PROFILES)],
+        lang_pred_col(c).alias("predicted_lang"),
+        *[qround(lang_score(c, lang), 6).alias(f"score_{lang}")
+          for lang in sorted(LANG_PROFILES)],
     )
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_PROFILES)])
-    pred = F.lit("und")
-    for lang in sorted(LANG_PROFILES, reverse=True):
-        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
-    return scored.withColumn("predicted_lang",
-                             F.when(best > 0, pred).otherwise(F.lit("und"))) \
-                 .select(id_col, "predicted_lang", *[f"score_{lang}" for lang in sorted(LANG_PROFILES)])
+
+
+def _quality_score_expr(n_tokens: Column, distinct_ratio: Column,
+                        stop_ratio: Column, punct_ratio: Column,
+                        digit_ratio: Column) -> Column:
+    """The blended quality score — one copy shared by
+    :func:`quality_features` and :func:`quality_score_col`."""
+    return (
+        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.25
+        + distinct_ratio * 0.25
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.25
+        + (1 - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * 0.15
+        + (1 - F.least(digit_ratio * F.lit(10.0), F.lit(1.0))) * 0.10
+    )
+
+
+def quality_score_col(text_col: Column) -> Column:
+    """The qround(1e-4) quality_score EXPRESSION behind
+    :func:`quality_features` — exposed (r13) so
+    :func:`~singer_spark.curation.curate` can apply the quality bar in
+    the projection instead of joining the feature frame back by id;
+    identical arithmetic (same sub-expressions, same qround)."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    distinct_ratio = (F.size(F.array_distinct(toks))
+                      / F.greatest(n_tokens, F.lit(1)))
+    stop = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    stop_ratio = (F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+                  / F.greatest(n_tokens, F.lit(1)))
+    punct_ratio = ((F.length(text_col)
+                    - F.length(F.regexp_replace(text_col, r"[^\w\s]", "")))
+                   / F.greatest(n_chars, F.lit(1)))
+    digit_ratio = ((F.length(text_col)
+                    - F.length(F.regexp_replace(text_col, r"[0-9]", "")))
+                   / F.greatest(n_chars, F.lit(1)))
+    return qround(_quality_score_expr(n_tokens, distinct_ratio, stop_ratio,
+                                      punct_ratio, digit_ratio), 4)
 
 
 def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -76,13 +125,8 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))) / F.greatest(n_tokens, F.lit(1))
     punct_ratio = (F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))) / F.greatest(n_chars, F.lit(1))
     digit_ratio = (F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))) / F.greatest(n_chars, F.lit(1))
-    score = (
-        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.25
-        + distinct_ratio * 0.25
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.25
-        + (1 - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * 0.15
-        + (1 - F.least(digit_ratio * F.lit(10.0), F.lit(1.0))) * 0.10
-    )
+    score = _quality_score_expr(n_tokens, distinct_ratio, stop_ratio,
+                                punct_ratio, digit_ratio)
     return docs.select(
         F.col(id_col),
         n_tokens.cast("int").alias("n_tokens"),
@@ -183,7 +227,10 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
                   qround(F.least(-F.col("_b.nc") * F.length("_b.g")
                                  / F.greatest("_b.nch", F.lit(1)),
                                  F.lit(1.0)), 4).alias("_frac")))
-    tops = tp.groupBy("_id").pivot("_n", list(top_ns)).agg(F.first("_frac"))
+    # single pivot for BOTH families below (r13): top_ns and dup_ns are
+    # disjoint, so the per-(id, n) frac rows union into one frame and
+    # one groupBy(_id).pivot covers n = 2..10 — one exchange and one
+    # restore-join instead of two of each.
 
     # --- duplicate-n-gram coverage fraction (n large: 5-10) -------------
     # one groupBy per (doc, n, gram-digest) collects occurrence STARTS;
@@ -231,12 +278,11 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
                             lambda p: F.try_element_at(F.col("_toks"), p)))
                             / F.greatest(tok_chars(F.col("_toks")),
                                          F.lit(1)), 4).alias("_frac")))
-    dups = dup_frac.groupBy("_id").pivot("_n", list(dup_ns)) \
-        .agg(F.first("_frac"))
+    wide = (tp.unionByName(dup_frac)
+            .groupBy("_id").pivot("_n", list(top_ns) + list(dup_ns))
+            .agg(F.first("_frac")))
 
-    out = (base.select("_id")
-           .join(tops, "_id", "left")
-           .join(dups, "_id", "left"))
+    out = base.select("_id").join(wide, "_id", "left")
     cols = [F.col("_id").alias(id_col)]
     cols += [F.coalesce(str(n), F.lit(0.0)).alias(f"top{n}_frac")
              for n in top_ns]
@@ -362,6 +408,23 @@ def parse_pii_pattern(spec: str) -> "tuple[str, str, str]":
     return name, regex, token
 
 
+def split_cols(id_col: str = "doc_id", val_percent: int = 5,
+               test_percent: int = 5,
+               salt: str = "split") -> "tuple[Column, Column]":
+    """The (bucket, split) EXPRESSIONS behind :func:`train_val_split` —
+    the one copy of the hash-split rule.  Exposed so a caller holding
+    the frame the split applies to can `withColumn` it directly instead
+    of self-joining the frame against `train_val_split(frame)` (r13
+    optimization: `curate` used to re-shuffle its whole gate chain by
+    id just to re-attach this per-row value)."""
+    bucket = md5_int(F.concat(F.lit(salt + ":"),
+                              F.col(id_col).cast("string"))) % 100
+    split = (F.when(bucket < val_percent, F.lit("val"))
+             .when(bucket < val_percent + test_percent, F.lit("test"))
+             .otherwise(F.lit("train")))
+    return bucket.cast("int"), split
+
+
 def train_val_split(docs: DataFrame, id_col: str = "doc_id",
                     val_percent: int = 5, test_percent: int = 5,
                     salt: str = "split") -> DataFrame:
@@ -370,11 +433,8 @@ def train_val_split(docs: DataFrame, id_col: str = "doc_id",
     under repartitioning, retries, and incremental corpus growth — adding
     documents never moves an existing one between splits.  Salt gives
     independent re-splits."""
-    bucket = md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 100
-    split = (F.when(bucket < val_percent, F.lit("val"))
-             .when(bucket < val_percent + test_percent, F.lit("test"))
-             .otherwise(F.lit("train")))
-    return docs.select(F.col(id_col), bucket.cast("int").alias("bucket"),
+    bucket, split = split_cols(id_col, val_percent, test_percent, salt)
+    return docs.select(F.col(id_col), bucket.alias("bucket"),
                        split.alias("split"))
 
 
@@ -1254,34 +1314,43 @@ def ngram_lm_score(docs: DataFrame, lm_docs: DataFrame | None = None,
     Output: (id, n_bigrams, lm_score)."""
     from pyspark.storagelevel import StorageLevel
 
-    lm = lm_docs if lm_docs is not None else docs
+    toks_arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
 
-    def bigrams(col):
-        toks = F.filter(F.split(F.col(col), " "), lambda t: t != F.lit(""))
+    def bigrams_of(tcol):
         return F.filter(
-            F.zip_with(toks, F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            F.zip_with(tcol, F.slice(tcol, 2, F.greatest(F.size(tcol) - 1, F.lit(1))),
                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
             lambda p: p["w2"].isNotNull(),
         )
 
-    doc_bi = (fan_out(docs).select(F.col(id_col),
-                                   F.explode(bigrams(text_col)).alias("bi"))
-              .select(id_col, "bi.w1", "bi.w2"))
+    # ONE corpus tokenize (r13, guide §2.4): the persisted (id, token
+    # ARRAY) frame feeds the bigram explode (scoring side + self-trained
+    # model), the vocabulary-size aggregate (tokens, not bigrams — NOT
+    # derivable from the bigram frame: a single-word doc contributes a
+    # token but no bigram), and the full-id restore join.  Before, each
+    # of those was its own corpus scan + split — three full-text passes
+    # at 100 TB; now the text is read and split once and the re-derived
+    # bigrams are per-row array ops over the cached arrays.
+    tok_frame = (fan_out(docs).select(F.col(id_col), toks_arr.alias("_toks"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+    doc_bi = (tok_frame.select(
+        F.col(id_col), F.explode(bigrams_of(F.col("_toks"))).alias("bi"))
+        .select(id_col, "bi.w1", "bi.w2"))
     if lm_docs is None:
-        # self-trained: the scored corpus IS the training corpus — persist
-        # the one exploded bigram frame and derive the model from it, so
-        # the corpus is exploded once, not once per consumer
-        doc_bi = doc_bi.persist(StorageLevel.MEMORY_AND_DISK)
+        # self-trained: the scored corpus IS the training corpus
         lm_bi = doc_bi.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+        vocab_src = tok_frame
     else:
-        lm_bi = (fan_out(lm).select(F.explode(bigrams(text_col)).alias("bi"))
-                 .select("bi.w1", "bi.w2")
-                 .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
+        vocab_src = (fan_out(lm_docs).select(toks_arr.alias("_toks"))
+                     .persist(StorageLevel.MEMORY_AND_DISK))
+        lm_bi = (vocab_src.select(
+            F.explode(bigrams_of(F.col("_toks"))).alias("bi"))
+            .select("bi.w1", "bi.w2")
+            .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
     lm_bi = lm_bi.persist(StorageLevel.MEMORY_AND_DISK)
     w1_tot = lm_bi.groupBy("w1").agg(F.sum("cb").alias("cw"))
-    vocab = (fan_out(lm).select(F.explode(F.filter(
-        F.split(F.col(text_col), " "), lambda t: t != F.lit(""))).alias("t"))
-        .agg(F.count_distinct("t").alias("V")))
+    vocab = (vocab_src.select(F.explode(F.col("_toks")).alias("t"))
+             .agg(F.count_distinct("t").alias("V")))
     logp = F.log2((F.coalesce(F.col("cb"), F.lit(0)) + 1)
                   / (F.coalesce(F.col("cw"), F.lit(0)) + F.col("V")))
     scored = (doc_bi.join(lm_bi, ["w1", "w2"], "left")
@@ -1290,7 +1359,7 @@ def ngram_lm_score(docs: DataFrame, lm_docs: DataFrame | None = None,
               .groupBy(id_col)
               .agg(F.count("*").alias("n_bigrams"),
                    qround(-F.avg(logp), round_to).alias("lm_score")))
-    return docs.select(id_col).join(scored, id_col, "left").select(
+    return tok_frame.select(id_col).join(scored, id_col, "left").select(
         id_col, F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"), "lm_score")
 
 
@@ -2434,8 +2503,22 @@ def dsir_log_weights(docs: DataFrame, target: "DataFrame | Column",
     tgt_grams = (raw_grams.where(F.col("_tgt")) if predicate is not None
                  else grams(target))
     tgt_model = tgt_grams.groupBy("_b").agg(F.count("*").alias("_tc"))
-    raw_tot = raw_model.agg(F.sum("_rc").alias("_rT"))
-    tgt_tot = tgt_model.agg(F.coalesce(F.sum("_tc"), F.lit(0)).alias("_tT"))
+    # Both model totals in ONE eager aggregation over the persisted gram
+    # frame (r13 optimization: they were two separate 1-row frames, each
+    # its own scalar-broadcast build + BNLJ in the scoring plan).  Gram
+    # counts are exact integers, so the collected literals are the same
+    # values the bigint column sums produced.
+    if predicate is not None:
+        trow = raw_grams.agg(
+            F.count("*").alias("_rT"),
+            F.coalesce(F.sum(F.when(F.col("_tgt"), 1).otherwise(0)),
+                       F.lit(0)).alias("_tT")).collect()[0]
+        rT, tT = int(trow["_rT"]), int(trow["_tT"])
+    else:
+        rT = int(raw_grams.agg(F.count("*").alias("_rT"))
+                 .collect()[0]["_rT"])
+        tT = int(tgt_grams.agg(F.count("*").alias("_tT"))
+                 .collect()[0]["_tT"])
 
     dc = raw_grams.groupBy("_id", "_b").agg(F.count("*").alias("_cnt"))
     # raw_model always holds every bucket dc references (same corpus);
@@ -2443,12 +2526,10 @@ def dsir_log_weights(docs: DataFrame, target: "DataFrame | Column",
     # Identical parenthesization to the SQL oracle: ln((c+a)/(T+a·B))
     term = F.col("_cnt") * (
         F.log((F.coalesce(F.col("_tc"), F.lit(0)) + a)
-              / (F.col("_tT") + a * B))
-        - F.log((F.col("_rc") + a) / (F.col("_rT") + a * B)))
+              / (F.lit(tT) + a * B))
+        - F.log((F.col("_rc") + a) / (F.lit(rT) + a * B)))
     scored = (dc.join(F.broadcast(raw_model), "_b")
               .join(F.broadcast(tgt_model), "_b", "left")
-              .crossJoin(F.broadcast(raw_tot))
-              .crossJoin(F.broadcast(tgt_tot))
               .groupBy("_id")
               .agg(F.sum(term).alias("_lw"),
                    F.sum("_cnt").alias("n_grams")))
