@@ -710,12 +710,19 @@ def corpus_to_batches(docs: DataFrame,
                                   keep_ratio=keep_ratio,
                                   max_word_len=max_word_len,
                                   text_col=text_col, id_col=id_col)
+    # counts-only encode: packing needs n_pieces, never the piece text —
+    # emit_pieces=False keeps the re-tokenized corpus on the Python side
+    # instead of shipping it across Arrow to be projected away (guide §4)
     enc = unigram_encode(kept, vocab, max_word_len=max_word_len,
-                         text_col=text_col, id_col=id_col)
-    packed = pack_sequences(enc.select(id_col, "n_pieces"),
-                            max_len=max_len, id_col=id_col,
-                            bucket_width=bucket_width,
-                            count_col="n_pieces")
+                         text_col=text_col, id_col=id_col,
+                         emit_pieces=False)
+    # persist the packed layout: packing_stats and the published frame
+    # each consumed it — unpersisted, the per-bucket prefix-sum window
+    # (one shuffle of the id/count frame) ran twice (guide §2.4)
+    packed = maybe_persist(pack_sequences(enc.select(id_col, "n_pieces"),
+                                          max_len=max_len, id_col=id_col,
+                                          bucket_width=bucket_width,
+                                          count_col="n_pieces"), True)
     report = packing_stats(packed, max_len)
     return (packed.withColumnRenamed("n_tokens", "n_pieces")
             .crossJoin(F.broadcast(report))

@@ -1624,12 +1624,18 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     length normalization b) — the retrieval primitive behind corpus search
     and contamination triage.
 
-    Plan shape at 100 TB: per-doc term frequencies come from ONE expression
-    over the token array (no corpus explode — the query is a constant
-    array, so tf per term is an `aggregate` over tokens), so the scan emits
-    only (id, tf-vector, len) for docs matching ≥1 term; df per term and
-    avg doc length reduce through a q-row / 1-row broadcast.  The global
-    top-k is a TakeOrdered, never a full sort.
+    Plan shape at 100 TB: ONE corpus read — per-doc term frequencies come
+    from ONE expression over the token array (no corpus explode — the
+    query is a constant array, so tf per term is an `aggregate` over
+    tokens), and the (id, dl, tf-vector) proxy PERSISTS for every doc so
+    that N, avgdl and the per-term df aggregate from the cached numeric
+    frame instead of re-scanning the text (the guide §8 decision-pass
+    discipline: cache the narrow proxy, never rescan the heavy column).
+    The q+2 stat values enter the score as driver literals — no
+    scalar-broadcast crossJoins in the plan.  dl is the SAME size(tokens)
+    expression the old second scan averaged (null text sizes as -1 in
+    both), and doc-length sums are exact integers in doubles, so avgdl is
+    bit-identical.  The global top-k is a TakeOrdered, never a full sort.
 
     Output: (id, score, matched_terms), score descending, ties by id."""
     terms = sorted(set(query_terms))
@@ -1644,29 +1650,29 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
         F.col(id_col),
         F.size(toks).cast("double").alias("dl"),
         *[tf_expr(t_).alias(f"tf_{i}") for i, t_ in enumerate(terms)],
-    ).filter(sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0)
+    )
     from pyspark.storagelevel import StorageLevel
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    n_docs = docs.agg(F.count("*").alias("N"),
-                      F.avg(F.size(F.filter(F.split(F.lower(F.col(text_col)), " "),
-                                            lambda t: t != F.lit("")))).alias("avgdl"))
-    stats = base.agg(
+    st = base.agg(
+        F.count("*").alias("N"),
+        F.avg("dl").alias("avgdl"),
         *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
-          for i in range(len(terms))]).crossJoin(F.broadcast(n_docs))
+          for i in range(len(terms))]).collect()[0]
+    avgdl_lit = F.lit(st["avgdl"] if st["avgdl"] is not None else 0.0)
 
     def idf(i):
-        dfi = F.col(f"df_{i}")
-        return F.log(F.lit(1.0) + (F.col("N") - dfi + 0.5) / (dfi + 0.5))
+        dfi = F.lit(st[f"df_{i}"])
+        return F.log(F.lit(1.0) + (F.lit(st["N"]) - dfi + 0.5) / (dfi + 0.5))
 
     def term_score(i):
         tf = F.col(f"tf_{i}")
-        denom = tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        denom = tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / avgdl_lit)
         return idf(i) * tf * F.lit(k1 + 1) / denom
 
     score = sum(term_score(i) for i in range(len(terms)))
     matched = sum((F.col(f"tf_{i}") > 0).cast("int") for i in range(len(terms)))
-    return (base.crossJoin(F.broadcast(stats))
+    return (base.filter(sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0)
             .select(F.col(id_col), qround(score, round_to).alias("score"),
                     matched.alias("matched_terms"))
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -3011,7 +3017,8 @@ def unigram_loss_reference(word: str, vocab: "dict[str, int]",
 
 def unigram_encode(docs: DataFrame, vocab: "list[tuple[str, int]]",
                    max_word_len: int = 16, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   emit_pieces: bool = True) -> DataFrame:
     """Viterbi-segment every document against a unigram-LM vocabulary —
     the encode half of the SentencePiece family (Kudo 2018 §2.1: the
     max-probability segmentation under piece unigram probs; with
@@ -3028,15 +3035,24 @@ def unigram_encode(docs: DataFrame, vocab: "list[tuple[str, int]]",
     — exact integer comparisons, replayable in SQL.
 
     Output: (id, n_words, n_pieces, total_cost BIGINT, pieces —
-    space-joined, NULL text → NULL pieces)."""
+    space-joined, NULL text → NULL pieces).
+
+    `emit_pieces=False` (r13): drop the pieces string from the UDF
+    output — the counts-only consumers (packing layouts need n_pieces,
+    never the text) otherwise ship the ENTIRE re-tokenized corpus
+    across the Python→JVM Arrow boundary just to project it away
+    (opaque UDF output defeats column pruning — guide §4.1 applied to
+    the output side).  The DP, memoization, tie-breaks and the emitted
+    counts are the identical code path."""
     from pyspark.sql.functions import pandas_udf
 
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(dict(vocab))
     W = int(max_word_len)
+    schema = ("struct<n_words: bigint, n_pieces: bigint, total_cost: bigint"
+              + (", pieces: string>" if emit_pieces else ">"))
 
-    @pandas_udf("struct<n_words: bigint, n_pieces: bigint,"
-                " total_cost: bigint, pieces: string>")
+    @pandas_udf(schema)
     def encode(texts: pd.Series) -> pd.DataFrame:
         voc = bc.value
         lmax = max((len(p) for p in voc), default=1)
@@ -3044,7 +3060,8 @@ def unigram_encode(docs: DataFrame, vocab: "list[tuple[str, int]]",
         rows = []
         for text in texts:
             if text is None:
-                rows.append((None, None, None, None))
+                rows.append((None, None, None, None) if emit_pieces
+                            else (None, None, None))
                 continue
             nw = np_ = tc = 0
             acc: list[str] = []
@@ -3063,16 +3080,21 @@ def unigram_encode(docs: DataFrame, vocab: "list[tuple[str, int]]",
                 nw += 1
                 np_ += len(pieces)
                 tc += cost
-                acc.extend(pieces)
-            rows.append((nw, np_, tc, " ".join(acc)))
-        return pd.DataFrame(rows, columns=["n_words", "n_pieces",
-                                           "total_cost", "pieces"])
+                if emit_pieces:
+                    acc.extend(pieces)
+            rows.append((nw, np_, tc, " ".join(acc)) if emit_pieces
+                        else (nw, np_, tc))
+        cols = ["n_words", "n_pieces", "total_cost"]
+        return pd.DataFrame(rows, columns=cols + ["pieces"]
+                            if emit_pieces else cols)
 
     out = fan_out(docs).withColumn("_u", encode(F.col(text_col)))
-    return out.select(F.col(id_col), F.col("_u.n_words").alias("n_words"),
-                      F.col("_u.n_pieces").alias("n_pieces"),
-                      F.col("_u.total_cost").alias("total_cost"),
-                      F.col("_u.pieces").alias("pieces"))
+    keep = [F.col(id_col), F.col("_u.n_words").alias("n_words"),
+            F.col("_u.n_pieces").alias("n_pieces"),
+            F.col("_u.total_cost").alias("total_cost")]
+    if emit_pieces:
+        keep.append(F.col("_u.pieces").alias("pieces"))
+    return out.select(*keep)
 
 
 def _tagged_gram_frame(docs: DataFrame, ks: "tuple[int, ...]",

@@ -461,9 +461,12 @@ def test_registry_dicts_have_no_duplicate_keys():
 # added here CONSCIOUSLY with the same argument; anything else is a plan
 # bug the registry-wide audit below catches (review r9 #3).
 _BNLJ_ALLOWLIST = {
-    "audience_overlap_kmv", "bm25_search", "cluster_balanced_sample",
-    "corpus_mix", "dsir_sample", "hard_negatives", "heavy_hitters_tokens",
-    "hybrid_search_rrf", "join_size_estimate", "lsh_autoband", "lsh_tuning",
+    # (bm25_search / hybrid_search_rrf / dsir_sample left r13: their
+    # 1-row stat frames now enter the score as driver literals, so the
+    # scalar-broadcast crossJoins are gone from the plans entirely)
+    "audience_overlap_kmv", "cluster_balanced_sample",
+    "corpus_mix", "hard_negatives", "heavy_hitters_tokens",
+    "join_size_estimate", "lsh_autoband", "lsh_tuning",
     "ngram_lm_score", "pair_budget_report", "q11_important_stock",
     # (q15_top_supplier's r11 scalar-max broadcast plans as a
     # BroadcastHashJoin, not BNLJ — deliberately NOT listed so the
