@@ -1314,43 +1314,44 @@ def ngram_lm_score(docs: DataFrame, lm_docs: DataFrame | None = None,
     Output: (id, n_bigrams, lm_score)."""
     from pyspark.storagelevel import StorageLevel
 
-    toks_arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    # r13 note (measured, then reverted): a variant persisted ONE
+    # (id, token-array) frame and derived the bigram explode, the
+    # vocabulary aggregate and the restore join from it ("one corpus
+    # tokenize").  The interleaved worktree A/B read it 1.3x SLOWER —
+    # materializing the token arrays costs more than the two reads it
+    # saves (the vocab pass re-reads only the compressed text column;
+    # the restore join reads only ids), and at scale the cache
+    # write+read of UNCOMPRESSED arrays is no cheaper than a columnar
+    # re-scan.  The shape below (persist only the exploded-bigram frame,
+    # which three consumers genuinely share) is the measured optimum.
+    lm = lm_docs if lm_docs is not None else docs
 
-    def bigrams_of(tcol):
+    def bigrams(col):
+        toks = F.filter(F.split(F.col(col), " "), lambda t: t != F.lit(""))
         return F.filter(
-            F.zip_with(tcol, F.slice(tcol, 2, F.greatest(F.size(tcol) - 1, F.lit(1))),
+            F.zip_with(toks, F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
             lambda p: p["w2"].isNotNull(),
         )
 
-    # ONE corpus tokenize (r13, guide §2.4): the persisted (id, token
-    # ARRAY) frame feeds the bigram explode (scoring side + self-trained
-    # model), the vocabulary-size aggregate (tokens, not bigrams — NOT
-    # derivable from the bigram frame: a single-word doc contributes a
-    # token but no bigram), and the full-id restore join.  Before, each
-    # of those was its own corpus scan + split — three full-text passes
-    # at 100 TB; now the text is read and split once and the re-derived
-    # bigrams are per-row array ops over the cached arrays.
-    tok_frame = (fan_out(docs).select(F.col(id_col), toks_arr.alias("_toks"))
-                 .persist(StorageLevel.MEMORY_AND_DISK))
-    doc_bi = (tok_frame.select(
-        F.col(id_col), F.explode(bigrams_of(F.col("_toks"))).alias("bi"))
-        .select(id_col, "bi.w1", "bi.w2"))
+    doc_bi = (fan_out(docs).select(F.col(id_col),
+                                   F.explode(bigrams(text_col)).alias("bi"))
+              .select(id_col, "bi.w1", "bi.w2"))
     if lm_docs is None:
-        # self-trained: the scored corpus IS the training corpus
+        # self-trained: the scored corpus IS the training corpus — persist
+        # the one exploded bigram frame and derive the model from it, so
+        # the corpus is exploded once, not once per consumer
+        doc_bi = doc_bi.persist(StorageLevel.MEMORY_AND_DISK)
         lm_bi = doc_bi.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-        vocab_src = tok_frame
     else:
-        vocab_src = (fan_out(lm_docs).select(toks_arr.alias("_toks"))
-                     .persist(StorageLevel.MEMORY_AND_DISK))
-        lm_bi = (vocab_src.select(
-            F.explode(bigrams_of(F.col("_toks"))).alias("bi"))
-            .select("bi.w1", "bi.w2")
-            .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
+        lm_bi = (fan_out(lm).select(F.explode(bigrams(text_col)).alias("bi"))
+                 .select("bi.w1", "bi.w2")
+                 .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
     lm_bi = lm_bi.persist(StorageLevel.MEMORY_AND_DISK)
     w1_tot = lm_bi.groupBy("w1").agg(F.sum("cb").alias("cw"))
-    vocab = (vocab_src.select(F.explode(F.col("_toks")).alias("t"))
-             .agg(F.count_distinct("t").alias("V")))
+    vocab = (fan_out(lm).select(F.explode(F.filter(
+        F.split(F.col(text_col), " "), lambda t: t != F.lit(""))).alias("t"))
+        .agg(F.count_distinct("t").alias("V")))
     logp = F.log2((F.coalesce(F.col("cb"), F.lit(0)) + 1)
                   / (F.coalesce(F.col("cw"), F.lit(0)) + F.col("V")))
     scored = (doc_bi.join(lm_bi, ["w1", "w2"], "left")
@@ -1359,7 +1360,7 @@ def ngram_lm_score(docs: DataFrame, lm_docs: DataFrame | None = None,
               .groupBy(id_col)
               .agg(F.count("*").alias("n_bigrams"),
                    qround(-F.avg(logp), round_to).alias("lm_score")))
-    return tok_frame.select(id_col).join(scored, id_col, "left").select(
+    return docs.select(id_col).join(scored, id_col, "left").select(
         id_col, F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"), "lm_score")
 
 
@@ -2600,28 +2601,40 @@ def _nb_fit(docs: DataFrame, seed: "Column", alpha: float,
     per_tok = toks.groupBy("_t").agg(
         F.sum(F.when(F.col("_seed"), 1).otherwise(0)).alias("_cp"),
         F.count("*").alias("_ca"))
-    capped = (per_tok.orderBy(F.col("_ca").desc(), F.col("_t"))
-              .limit(int(max_vocab)))
-    vstats = capped.agg(F.count("*").alias("_V"),
-                        F.coalesce(F.sum("_cp"), F.lit(0)).alias("_vp"),
-                        F.coalesce(F.sum("_ca"), F.lit(0)).alias("_va"))
-    totals = toks.agg(
+    capped = maybe_persist(
+        per_tok.orderBy(F.col("_ca").desc(), F.col("_t"))
+        .limit(int(max_vocab)), True)
+    # the three 1-row stat frames (vocab stats, token totals, doc
+    # priors) are exact-integer aggregates — collected ONCE here, they
+    # close lw/prior over literals instead of riding the plans as
+    # scalar-broadcast crossJoins (r13: the bm25/dsir literal-stats
+    # discipline).  Float identity is untouched: the same integer values
+    # feed the identical log expressions, and apply==fused stays
+    # structural because both consumers share this one closure.
+    vs = capped.agg(F.count("*").alias("_V"),
+                    F.coalesce(F.sum("_cp"), F.lit(0)).alias("_vp"),
+                    F.coalesce(F.sum("_ca"), F.lit(0)).alias("_va")
+                    ).collect()[0]
+    tt = toks.agg(
         F.coalesce(F.sum(F.when(F.col("_seed"), 1).otherwise(0)),
                    F.lit(0)).alias("_Tp"),
-        F.count("*").alias("_Ta"))
-    priors = docs.agg(
+        F.count("*").alias("_Ta")).collect()[0]
+    pr = docs.agg(
         F.sum(F.when(seed, 1).otherwise(0)).alias("_np"),
-        F.count("*").alias("_nd"))
+        F.count("*").alias("_nd")).collect()[0]
+    V, vp, va = int(vs["_V"]), int(vs["_vp"]), int(vs["_va"])
+    Tp, Ta = int(tt["_Tp"]), int(tt["_Ta"])
+    np_, nd = int(pr["_np"] or 0), int(pr["_nd"])
 
     def lw(cp, ca):  # per-cell log-likelihood ratio, seed vs rest
         cn = ca - cp
-        denom = a * (F.col("_V") + 1)
-        return (F.log((cp + a) / (F.col("_Tp") + denom))
-                - F.log((cn + a) / ((F.col("_Ta") - F.col("_Tp")) + denom)))
+        denom = a * (F.lit(V) + 1)
+        return (F.log((cp + a) / (F.lit(Tp) + denom))
+                - F.log((cn + a) / ((F.lit(Ta) - F.lit(Tp)) + denom)))
 
-    prior = F.log((F.col("_np") + a) / ((F.col("_nd") - F.col("_np")) + a))
-    return {"toks": toks, "capped": capped, "vstats": vstats,
-            "totals": totals, "priors": priors, "lw": lw, "prior": prior}
+    prior = F.log((F.lit(np_) + a) / ((F.lit(nd) - F.lit(np_)) + a))
+    return {"toks": toks, "capped": capped, "lw": lw, "prior": prior,
+            "oov_cell": (F.lit(Tp - vp), F.lit(Ta - va))}
 
 
 def nb_quality_scores(docs: DataFrame, seed: "Column",
@@ -2666,19 +2679,16 @@ def nb_quality_scores(docs: DataFrame, seed: "Column",
     dc = fit["toks"].groupBy("_id", "_t").agg(F.count("*").alias("_cnt"))
     lw = fit["lw"]
     in_vocab = lw(F.col("_cp"), F.col("_ca"))
-    oov = lw(F.col("_Tp") - F.col("_vp"), F.col("_Ta") - F.col("_va"))
+    oov = lw(*fit["oov_cell"])
     term = F.col("_cnt") * F.when(F.col("_ca").isNotNull(), in_vocab) \
                             .otherwise(oov)
     scored = (dc.join(F.broadcast(fit["capped"]), "_t", "left")
-              .crossJoin(F.broadcast(fit["vstats"]))
-              .crossJoin(F.broadcast(fit["totals"]))
               .groupBy("_id")
               .agg(F.sum(term).alias("_s"),
                    F.sum("_cnt").alias("n_tokens")))
     llr = qround(fit["prior"] + F.coalesce(F.col("_s"), F.lit(0.0)), 6)
     return (docs.select(F.col(id_col))
             .join(scored.withColumnRenamed("_id", id_col), id_col, "left")
-            .crossJoin(F.broadcast(fit["priors"]))
             .select(F.col(id_col),
                     F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
                     llr.alias("llr"),
@@ -3839,17 +3849,15 @@ def nb_quality_model(docs: DataFrame, seed: "Column", alpha: float = 0.5,
     parquet round-trips the doubles exactly."""
     fit = _nb_fit(docs, seed, alpha, max_vocab, text_col, id_col)
     lw = fit["lw"]
-    tok_rows = (fit["capped"].crossJoin(F.broadcast(fit["vstats"]))
-                .crossJoin(F.broadcast(fit["totals"]))
+    tok_rows = (fit["capped"]
                 .select(F.lit("token").alias("kind"),
                         F.col("_t").alias("token"),
                         lw(F.col("_cp"), F.col("_ca")).alias("lw")))
-    oov_row = (fit["vstats"].crossJoin(F.broadcast(fit["totals"]))
-               .select(F.lit("oov").alias("kind"),
-                       F.lit(None).cast("string").alias("token"),
-                       lw(F.col("_Tp") - F.col("_vp"),
-                          F.col("_Ta") - F.col("_va")).alias("lw")))
-    prior_row = fit["priors"].select(
+    one = docs.sparkSession.range(1)
+    oov_row = one.select(F.lit("oov").alias("kind"),
+                         F.lit(None).cast("string").alias("token"),
+                         lw(*fit["oov_cell"]).alias("lw"))
+    prior_row = one.select(
         F.lit("prior").alias("kind"),
         F.lit(None).cast("string").alias("token"),
         fit["prior"].alias("lw"))

@@ -471,13 +471,16 @@ _BNLJ_ALLOWLIST = {
     # (q15_top_supplier's r11 scalar-max broadcast plans as a
     # BroadcastHashJoin, not BNLJ — deliberately NOT listed so the
     # allowlist stays exactly the set of plans that carry one)
-    # r10: NB classifier's vstats/totals/priors 1-row broadcast frames
-    "quality_classifier",
+    # (the NB family — quality_classifier / quality_calibration /
+    # quality_model_roundtrip — left r13: _nb_fit's three 1-row stat
+    # frames are exact-integer aggregates, collected once and closed
+    # over as literals, so their scalar-broadcast crossJoins are gone.
+    # quality_model_roundtrip still carries ONE BNLJ: the apply path
+    # scores against a PERSISTED model frame, whose oov/prior scalar
+    # rows legitimately ride a 2-row broadcast cross join.)
+    "quality_model_roundtrip",
     # r10: pack_bins_audit's 1-row bin/doc/base aggregate cross joins
     "pack_bins",
-    # r10: the lifecycle verification key joins the fused and apply
-    # paths — both carry their 1-row totals/prior broadcast frames
-    "quality_model_roundtrip",
     # revenue_pareto left r11: the decile cum-share fold replaced its
     # 1-row-total cross join along with the global ntile window
     "q22_idle_customers", "range_join_value_tiers",
@@ -488,10 +491,6 @@ _BNLJ_ALLOWLIST = {
     # their appearance in the static audit; execution substitutes the
     # persisted frames)
     "source_reweight",
-    # r12: the NB scoring core's vstats/totals/priors 1-row frames ride
-    # into the threshold sweep unchanged (the quality_classifier
-    # argument; the sweep itself adds only a broadcast literal array)
-    "quality_calibration",
     # r12: the 1-row token-budget report (packing_stats) cross-joined
     # onto the packed rows, plus the composed NB-free gate chain's
     # scalar frames — every broadcast side is a single-row aggregate
