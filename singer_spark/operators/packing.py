@@ -204,14 +204,18 @@ def window_boundaries(packed: DataFrame, max_len: int = 2048,
         F.col("_s._id").alias("doc_ids"),
         F.col("_s.win_off").alias("doc_starts"),
         F.col("_s.len").alias("seg_lens"))
+    # segment k owns exactly seg_lens[k] consecutive positions, so the
+    # mask is array_repeat(k, seg_lens[k]) per segment, flattened —
+    # O(window_len) element writes per row instead of the r13-draft
+    # per-position filter scan (O(window_len · n_docs) comparisons).
+    # Identical values: for a zero-length slice array_repeat emits
+    # nothing, exactly as no position satisfied the old ownership test.
     return out.withColumn(
         "segment_ids",
-        F.transform(
-            F.sequence(F.lit(0).cast("bigint"),
-                       F.col("window_len") - 1),
-            lambda p: (F.size(F.filter(F.col("doc_starts"),
-                                       lambda st: st <= p)) - 1)
-            .cast("int")))
+        F.flatten(F.zip_with(
+            F.sequence(F.lit(0), F.size("seg_lens") - 1),
+            F.col("seg_lens"),
+            lambda k, ln: F.array_repeat(k.cast("int"), ln.cast("int")))))
 
 
 def bin_boundaries(binned: DataFrame, max_len: int = 2048,
