@@ -14,9 +14,15 @@ round-over-round.
 
 Artifact contract (round-4 lesson: the driver captures the TAIL of
 stdout, so the machine-readable line must come last and stay compact):
-the full payload (medians + mins + runs) is written to BENCH_full.json
-on disk; stdout gets exactly one compact JSON line — headline_total +
-per-query medians — kept under ~2 KB.
+the full payload (medians + mins + runs + full drift detail) is written
+to BENCH_full.json on disk; stdout gets exactly one compact JSON line —
+headline_total + per-query medians — kept under ~2 KB.  ALL headliners
+print (r13 lesson: a truncated map turned the round-over-round
+comparison into a biased slowest-40 sample): stdout medians round to 2
+decimals and the drift block carries counts + the ab verdict only
+(still_slow NAMES, shared subtotals and per-leg timings live in
+BENCH_full.json); if the line ever overflows anyway, drift detail is
+shed before a single query entry is dropped.
 
 Drift policing (round-5 lesson: five UNTOUCHED sub-second queries
 drifted +10-37% round-over-round with byte-identical plans — shared-box
@@ -39,6 +45,16 @@ tools/bench_ab.py legs — prior, current, prior, current, each its own
 JVM, strictly sequential — and records drift.ab.verdict
 ("code"/"host") in the artifact, so the judge never has to exonerate
 the code by hand again.  Disable with SPARK_GRAFT_BENCH_AB=0.
+
+The adjudicator runs 4 leg PAIRS and judges by the GEOMETRIC MEAN of
+paired per-leg ratios (r13 lesson, VERDICT r13 next #2: the old
+min-of-2-legs vs 1.15x test false-positived twice on an identical
+tree under ±2x minute-scale drift — each (prior_i, current_i) pair
+shares a drift window, so the paired ratio cancels the box's swings).
+A query is stamped "code" only when the paired geomean exceeds 1.15x
+AND the median absolute slowdown is >=0.1 s; per-query leg timings and
+ratios land in BENCH_full.json (drift_reruns._ab_detail), code-stamped
+names in the compact line's drift.ab.code.
 """
 
 from __future__ import annotations
@@ -203,14 +219,15 @@ def _run_ab(repo_dir: str, prior_path: str, sf_dir: str,
             queries: list[str], runs: int,
             deadline: "float | None" = None) -> dict:
     """Code-vs-host adjudication for a non-empty still_slow list
-    (VERDICT r7 next #2): check out the commit that last touched the
-    prior round's bench artifact in a detached worktree and interleave
-    two tools/bench_ab.py legs per tree — prior, current, prior,
-    current, each leg its own JVM, strictly sequential.  A query is a
-    CODE regression only if the current tree stays >1.15x and >=0.1 s
-    over the prior tree measured minutes apart on the same box;
-    otherwise the box drifted (the r7 manual A/B's exact finding, now
-    recorded mechanically in the artifact)."""
+    (VERDICT r7 next #2, adjudicator rebuilt per VERDICT r13 next #2):
+    check out the commit that last touched the prior round's bench
+    artifact in a detached worktree and interleave FOUR tools/bench_ab.py
+    leg pairs — prior, current, prior, current, ... — each leg its own
+    JVM, strictly sequential.  A query is a CODE regression only if the
+    geometric mean of its PAIRED per-leg ratios exceeds 1.15x AND the
+    median absolute slowdown is >=0.1 s; otherwise the box drifted (the
+    old min-of-2-legs test false-positived under ±2x minute-scale
+    drift — r13's disjoint stamp sets on an identical tree)."""
     import shutil
     import subprocess
     import tempfile
@@ -234,7 +251,13 @@ def _run_ab(repo_dir: str, prior_path: str, sf_dir: str,
         leg_runs = max(1, (runs + 1) // 2)
         med: dict[str, dict[str, list[float]]] = {}
         leg_errors: list[str] = []
-        for tree, path in (("prior", wt), ("current", repo_dir)) * 2:
+        # >=4 alternating leg PAIRS (r13 lesson, VERDICT r13 next #2): a
+        # 2-leg min-based verdict false-positives under this box's ±2x
+        # minute-scale drift (two back-to-back runs of an identical tree
+        # stamped DISJOINT "code" sets).  Legs stay strictly interleaved
+        # (prior, current, prior, current, ...) so each pair shares a
+        # time window; the verdict below uses paired per-leg ratios.
+        for tree, path in (("prior", wt), ("current", repo_dir)) * 4:
             # a leg is adjudication evidence, never a bench-killer: a
             # timeout or crash (prior tree incompatible with the sf dir,
             # loaded box) records a diagnostic and the verdict degrades
@@ -268,21 +291,38 @@ def _run_ab(repo_dir: str, prior_path: str, sf_dir: str,
                 if line.startswith("BENCH_AB "):
                     for q, v in json.loads(line[len("BENCH_AB "):]).items():
                         med.setdefault(q, {}).setdefault(tree, []).append(v)
+        import math
+
         detail: dict[str, dict] = {}
         verdicts = []
         for q in queries:
             legs = med.get(q, {})
             if "prior" not in legs or "current" not in legs:
                 continue  # query born after the prior round
-            p, c = min(legs["prior"]), min(legs["current"])
-            v = "code" if (p > 0 and c / p > 1.15 and c - p >= 0.1) \
-                else "host"
-            detail[q] = {"prior": p, "current": c, "verdict": v}
+            # PAIRED per-leg ratios + geometric mean (not min-of-legs):
+            # each (prior_i, current_i) pair ran minutes apart in the
+            # same drift window, so the ratio cancels the box's slow
+            # swings; the geomean over >=4 pairs averages what remains.
+            pairs = list(zip(legs["prior"], legs["current"]))
+            ratios = [c / p for p, c in pairs if p > 0]
+            if not ratios:
+                continue
+            gm = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+            diffs = sorted(c - p for p, c in pairs)
+            med_diff = diffs[len(diffs) // 2]
+            v = "code" if (gm > 1.15 and med_diff >= 0.1) else "host"
+            detail[q] = {"prior": [round(x, 3) for x in legs["prior"]],
+                         "current": [round(x, 3) for x in legs["current"]],
+                         "gm_ratio": round(gm, 3), "verdict": v}
             verdicts.append(v)
         overall = ("code" if "code" in verdicts
                    else "host" if verdicts else "inconclusive")
         out = {"verdict": overall, "commit": commit[:10],
-               "leg_runs": leg_runs, "queries": detail}
+               "leg_pairs": max((len(d["prior"]) for d in detail.values()),
+                                default=0),
+               "leg_runs": leg_runs, "queries": detail,
+               "code_queries": sorted(q for q, d in detail.items()
+                                      if d["verdict"] == "code")}
         if leg_errors:
             out["leg_errors"] = leg_errors
         return out
@@ -290,6 +330,90 @@ def _run_ab(repo_dir: str, prior_path: str, sf_dir: str,
         subprocess.run(["git", "worktree", "remove", "--force", wt],
                        cwd=repo_dir, capture_output=True, timeout=60)
         shutil.rmtree(wt, ignore_errors=True)
+
+
+def _compact_drift(dv: "dict | None") -> "dict | None":
+    """Stdout-sized drift block (VERDICT r13 next #1): the 36-name
+    still_slow list ate ~700 bytes of the 2 KB budget in r13 and forced
+    35/75 per-query timings out of the compact line.  Names, leg timings
+    and shared subtotals live in BENCH_full.json; stdout carries counts,
+    the ab verdict, and the (normally empty) list of code-stamped
+    queries."""
+    if dv is None:
+        return None
+    out: dict = {"vs": dv.get("vs")}
+    if "skipped" in dv:
+        out["skipped"] = dv["skipped"]
+    if "reran" in dv:
+        out["reran"] = dv["reran"]
+    if "still_slow" in dv:
+        out["still_slow"] = len(dv["still_slow"])
+    ab = dv.get("ab")
+    if ab:
+        out["ab"] = {"verdict": ab["verdict"]} if "verdict" in ab \
+            else {"skipped": ab.get("skipped", "?")}
+        if "leg_pairs" in ab:
+            out["ab"]["pairs"] = ab["leg_pairs"]
+        if ab.get("code_queries"):
+            out["ab"]["code"] = ab["code_queries"]
+    return out
+
+
+def _compact_line(timings: "dict[str, float]", total: float, runs: int,
+                  sf_val, drift_verdict: "dict | None") -> str:
+    """The one stdout JSON line.  ALL headliners must print (VERDICT r13
+    next #1 — a truncated map turns the round-over-round comparison into
+    a biased slowest-40 sample), so per-query medians round to 2 decimals
+    here (3-dec lives in BENCH_full.json) and the drift block is
+    pre-compressed by :func:`_compact_drift`; if the line still
+    overflows, drift detail is shed BEFORE any query — the queries map
+    is the driver contract, drift is diagnostics.  Module-level and pure
+    so the pytest suite pins the never-truncate property."""
+    compact = {
+        "metric": "headline_total",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {q: round(v, 2) for q, v in timings.items()},
+        "runs": runs,
+        "sf": sf_val,
+    }
+    if drift_verdict is not None:
+        compact["drift"] = _compact_drift(drift_verdict)
+
+    def _fits(c: dict) -> "str | None":
+        s = json.dumps(c, separators=(",", ":"))
+        return s if len(s) <= 2000 else None
+
+    line = _fits(compact)
+    if line is None and "drift" in compact:  # shed drift detail first
+        dv = compact["drift"]
+        compact["drift"] = {k: dv[k] for k in ("vs", "still_slow")
+                            if k in dv}
+        if isinstance(dv.get("ab"), dict) and "verdict" in dv["ab"]:
+            compact["drift"]["ab"] = {"verdict": dv["ab"]["verdict"]}
+        line = _fits(compact)
+    if line is None and "drift" in compact:
+        del compact["drift"]
+        line = _fits(compact)
+    if line is None:
+        # still over without drift — only possible when medians run to
+        # 5-6 chars (a box running 100 s+ per query): coarsen to one
+        # decimal (0.8% worst-case display error at those magnitudes)
+        # before dropping ANY query name
+        compact["queries"] = {q: round(v, 1) for q, v in timings.items()}
+        line = _fits(compact)
+    if line is None:
+        # Last resort (never expected: 75 one-decimal entries fit with
+        # room to spare): keep the slowest queries until the line fits;
+        # the full table is on disk regardless.
+        keep = sorted(timings, key=timings.get, reverse=True)
+        while line is None and keep:
+            keep.pop()
+            compact["queries"] = {q: round(timings[q], 2) for q in keep}
+            compact["queries_truncated"] = len(timings) - len(keep)
+            line = _fits(compact)
+        line = line or json.dumps(compact, separators=(",", ":"))
+    return line
 
 
 def main() -> None:
@@ -419,27 +543,7 @@ def main() -> None:
     # Compact line LAST: medians only, separators without spaces.  The
     # driver tail-captures stdout, so this must be the final line and
     # must fit well inside the capture window (~2 KB).
-    compact = {
-        "metric": "headline_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "runs": runs,
-        "sf": sf_val,
-    }
-    if drift_verdict is not None:
-        compact["drift"] = drift_verdict
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 2000:
-        # Degrade gracefully rather than ship an unparseable artifact:
-        # keep the slowest queries (the ones regressions show up in)
-        # until the line fits; the full table is on disk regardless.
-        keep = sorted(timings, key=timings.get, reverse=True)
-        while len(line) > 2000 and keep:
-            keep.pop()
-            compact["queries"] = {q: timings[q] for q in keep}
-            compact["queries_truncated"] = len(timings) - len(keep)
-            line = json.dumps(compact, separators=(",", ":"))
+    line = _compact_line(timings, total, runs, sf_val, drift_verdict)
     sys.stdout.flush()
     print(line)
 
