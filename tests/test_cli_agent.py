@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from singer_spark import cli
@@ -42,6 +44,7 @@ def test_cli_drain_and_exit_delivers_text_log(tmp_path, spark):
     assert "line 0" in {v.decode() if isinstance(v, (bytes, bytearray)) else v for v in values}
 
 
+@pytest.mark.soak
 def test_cli_with_admin_metrics_and_decider(tmp_path, spark, capfd):
     """Full ops surface through the CLI: decider file gates the log on,
     metrics lines are emitted, admin endpoint flag accepted — all in

@@ -85,6 +85,7 @@ def test_curate_stream_gates_and_cross_batch_dedup(spark, tmp_path):
     assert kept == [1, 11]
 
 
+@pytest.mark.soak
 def test_curate_stream_spans_backend_rewrites_and_restart_invariance(
         spark, tmp_path):
     """r9 task #4: the `spans` streaming backend cuts duplicated runs
@@ -154,6 +155,7 @@ def test_curate_stream_spans_backend_rewrites_and_restart_invariance(
     assert run_nobloom("nobloom", [batch1, batch2]) == streamed
 
 
+@pytest.mark.soak
 def test_span_state_compaction_dedupes_without_changing_output(
         spark, tmp_path):
     """Recurring boilerplate re-appends its digests every batch; the
@@ -562,6 +564,7 @@ def test_curation_funnel_cfg_matches_curate(spark, sf_dir):
         assert rows[-1].n_kept == want, (cfg.dedup, rows)
 
 
+@pytest.mark.soak
 def test_curate_stream_metrics_funnel(spark, tmp_path):
     """r11 (VERDICT r10 task #5): with metrics_path set, every batch
     appends its funnel stage rows — per-epoch chains are consistent,
@@ -628,6 +631,7 @@ def test_curate_stream_metrics_funnel(spark, tmp_path):
                        "stream_dedup_minhash"]
 
 
+@pytest.mark.soak
 def test_funnel_trend_drift_and_replayed_epoch(spark, tmp_path):
     """r12 (VERDICT r11 task #5): funnel_trend reads the per-epoch
     metrics partitions — a REPLAYED epoch (its partition overwritten by
@@ -676,6 +680,7 @@ def test_funnel_trend_drift_and_replayed_epoch(spark, tmp_path):
     assert abs(by[(4, "lang")].trailing_mean - 0.8) < 1e-12
 
 
+@pytest.mark.soak
 def test_funnel_trend_cli_gates_on_drift(spark, tmp_path):
     """r13 (VERDICT r12 task #7): the on-call CLI is a pipeline GATE,
     not just a view — exit 1 when any drift row exists in the inspected

@@ -8,6 +8,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -223,6 +225,7 @@ def test_corpus_shuffle_permutation_shards_and_epochs(spark, sf_dir):
     assert "SinglePartition" not in plan and "Sort " not in plan
 
 
+@pytest.mark.soak
 def test_compact_dataset_merges_small_files(spark, tmp_path):
     from singer_spark.sinks import compact_dataset
 
@@ -248,6 +251,7 @@ def test_compact_dataset_merges_small_files(spark, tmp_path):
     assert compact_dataset(spark, path, min_files=len(after) + 1) == 0
 
 
+@pytest.mark.soak
 def test_compact_dataset_crash_windows_never_lose_data(spark, tmp_path):
     """r13 (VERDICT r12 "What's wrong #2"): compact_dataset runs on the
     Hadoop FS API with a heal-on-entry swap — every crash window leaves

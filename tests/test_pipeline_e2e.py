@@ -63,6 +63,7 @@ def test_thrift_batch_decodes_logmessages(spark, tmp_path):
     assert rows[5].timestampInNanos == 5000
 
 
+@pytest.mark.soak
 def test_streaming_file_to_parquet_with_audit(spark, tmp_path):
     """One full 'SingerLog': text stream → transforms → audited file sink."""
     log_dir = str(tmp_path / "in")
@@ -91,6 +92,7 @@ def test_streaming_file_to_parquet_with_audit(spark, tmp_path):
     assert audit.total("audit.e2e_text") == total
 
 
+@pytest.mark.soak
 def test_streaming_resume_from_checkpoint(spark, tmp_path):
     """SingerRestartTest parity: stop, add data, restart from checkpoint —
     every message delivered exactly once at file granularity."""

@@ -149,6 +149,7 @@ def test_streaming_dedup_exact_first_occurrence_wins(spark, tmp_path):
     assert delivered == [(1, "same text"), (3, "other text"), (5, "brand new")]
 
 
+@pytest.mark.soak
 def test_streaming_dedup_ttl_suppresses_then_expires(spark, tmp_path):
     """transformWithState TTL dedup: replayed payloads are suppressed across
     batches while the TTL window holds — even with OLDER event timestamps,
@@ -322,6 +323,7 @@ def test_streaming_interval_join_bounds_state(spark, tmp_path):
             how="fullOuter")
 
 
+@pytest.mark.soak
 def test_streaming_heavy_hitters_state_bounds(spark, tmp_path):
     import os
     from collections import Counter
@@ -375,6 +377,7 @@ def test_streaming_heavy_hitters_state_bounds(spark, tmp_path):
         assert c >= truth[item] - thresh
 
 
+@pytest.mark.soak
 def test_streaming_heavy_hitters_stale_marker_new_run(spark, tmp_path):
     """Recreating the checkpoint restarts epoch ids at 0; a pointer row
     left by the previous run must not skip the new run's first batch
@@ -567,6 +570,7 @@ def test_streaming_debounce_null_ts_does_not_reset_cross_batch_state(spark, tmp_
     assert got == want
 
 
+@pytest.mark.soak
 def test_streaming_source_kl_detects_drift_with_bounded_state(spark, tmp_path):
     """Two sources stream alike at first, then source B floods a template:
     the state stays <= n_sources*(capacity+1) rows, the per-source totals
@@ -635,6 +639,7 @@ def test_streaming_source_kl_detects_drift_with_bounded_state(spark, tmp_path):
     assert "<null>" in drifted and drifted["<null>"][0] == 2
 
 
+@pytest.mark.soak
 def test_fold_pointer_protocol_guards_and_crash_windows(spark, tmp_path):
     """r12: the versioned-pointer fold protocol, driven batch by batch
     with a pinned run id — retry of a folded epoch skips (at-most-once),
@@ -747,6 +752,7 @@ def test_fold_pointer_protocol_guards_and_crash_windows(spark, tmp_path):
     shutil.rmtree(str(tmp_path), ignore_errors=True)
 
 
+@pytest.mark.soak
 def test_fold_gc_sweeps_leaks_and_retires_stale_legacy(spark, tmp_path):
     """r13 (ADVICE r12 #2/#3): a crash between the pointer append and
     the GC used to leak that batch's superseded snapshot forever (the

@@ -698,6 +698,7 @@ def test_pq_trained_kc256_recall_gate(spark):
     assert r256 >= r16  # more codebook budget never hurts here
 
 
+@pytest.mark.soak
 def test_ann_model_save_load_probe_only_roundtrip(spark, tmp_path,
                                                   monkeypatch):
     """VERDICT r9 task #5: a trained IVF / PQ / IVF-PQ model persisted
@@ -769,6 +770,7 @@ def test_ann_model_save_load_probe_only_roundtrip(spark, tmp_path,
     assert got_pq_codes == want_pq
 
 
+@pytest.mark.soak
 def test_append_ann_codes_increment_equals_full_reencode(spark, tmp_path,
                                                          monkeypatch):
     """VERDICT r10 task #4: the incremental encode-append — a model
@@ -830,6 +832,7 @@ def test_append_ann_codes_increment_equals_full_reencode(spark, tmp_path,
         sim.append_ann_codes(spark, str(tmp_path / "bare"), incr)
 
 
+@pytest.mark.soak
 def test_delete_and_compact_ann_codes(spark, tmp_path):
     """r11: tombstone deletion + compaction — deletes cost one id-sized
     append, load serves only live rows, double-delete is idempotent,
@@ -876,6 +879,7 @@ def test_delete_and_compact_ann_codes(spark, tmp_path):
     emb.unpersist()
 
 
+@pytest.mark.soak
 def test_compact_ann_codes_crash_window_serves_old_version(spark, tmp_path):
     """r12 (VERDICT r11 task #1): the pointer-swap crash window — a
     compaction killed AFTER writing codes_v{N+1} but BEFORE appending
@@ -949,6 +953,7 @@ def test_compact_ann_codes_crash_window_serves_old_version(spark, tmp_path):
     emb.unpersist()
 
 
+@pytest.mark.soak
 def test_ann_index_stream_churn_equals_uninterrupted(spark, tmp_path):
     """r13 (VERDICT r12 task #5): streaming ANN maintenance — chunked
     arrivals under kill/restart churn (exact-epoch retry, the
@@ -1043,6 +1048,7 @@ def test_ann_index_stream_churn_equals_uninterrupted(spark, tmp_path):
     emb.unpersist()
 
 
+@pytest.mark.soak
 def test_ann_index_stream_cdc_deletes(spark, tmp_path):
     """r13: op_col turns the streaming appender into a CDC consumer —
     deletes tombstone at id cost after the batch's appends, an
@@ -1104,6 +1110,7 @@ def test_ann_index_stream_cdc_deletes(spark, tmp_path):
     emb.unpersist()
 
 
+@pytest.mark.soak
 def test_compact_ann_codes_raced_delete_survives(spark, tmp_path, monkeypatch):
     """r13 (VERDICT r12 "What's wrong #1"): a delete_ann_codes landing
     INSIDE the compaction — after the fold's snapshot read, before the
@@ -1163,6 +1170,7 @@ def test_compact_ann_codes_raced_delete_survives(spark, tmp_path, monkeypatch):
     emb.unpersist()
 
 
+@pytest.mark.soak
 def test_gc_refuses_and_reactivates_unfolded_tombstones(spark, tmp_path):
     """r13: the residual race window — a delete that resolved the
     pointer BEFORE a flip but appended its tombstone AFTER the verify
@@ -1206,6 +1214,7 @@ def test_gc_refuses_and_reactivates_unfolded_tombstones(spark, tmp_path):
     emb.unpersist()
 
 
+@pytest.mark.soak
 def test_compact_ann_codes_keep_versions_for_readers(spark, tmp_path):
     """r13 (VERDICT r12 "What's wrong #3"): keep_versions > 1 retains
     prior snapshots through a compaction so a reader that resolved the
@@ -1241,6 +1250,7 @@ def test_compact_ann_codes_keep_versions_for_readers(spark, tmp_path):
     emb.unpersist()
 
 
+@pytest.mark.soak
 def test_migrate_ann_layout_upgrades_legacy_index(spark, tmp_path):
     """A pre-r12 index (bare codes/ dir, versionless tombstones) loads
     read-only with the tombstones applied; compaction refuses with the
@@ -1841,6 +1851,7 @@ def _naive_span_dedup(docs, k, min_run):
     return out
 
 
+@pytest.mark.soak
 def test_dedup_spans_property_random_corpora(spark):
     """Property sweep for the span family (the r9 flagship): on
     randomized tiny-alphabet corpora (dense shared windows, overlap

@@ -15,12 +15,16 @@ JVM, and writes one machine-readable summary:
                       code-vs-host A/B when still_slow survives)
   4. short soak       tools/soak_tail.py (rotation churn, kill/restart,
                       duplicates-metric phase; SKIPPED with --no-soak)
-  5. README check     tools/readme_stats.py --check (numbers match artifact)
+  5. full pytest      pytest tests/ -q with SPARK_GRAFT_FULL_TESTS=1 (the
+                      soak-marked tests skipped by the default suite run
+                      here; SKIPPED with --no-tests)
+  6. README check     tools/readme_stats.py --check (numbers match artifact)
 
 Summary lands in RELEASE_GATE.json: per-step status, duration, and the
 step's own key numbers; exit code 1 if any step fails.
 
 Usage: python tools/release_gate.py [--no-soak] [--soak-seconds N]
+                                    [--no-tests]
 """
 
 from __future__ import annotations
@@ -134,6 +138,27 @@ def main() -> int:
         if s["status"] == "OK":
             s["fails_in_table"] = len(re.findall(r"\bFAIL\b", s["tail"]))
         steps.append(s)
+
+    if "--no-tests" not in sys.argv:
+        # FULL pytest suite, soak markers included (r14): the default
+        # `pytest tests/` run skips @pytest.mark.soak so it fits the
+        # driver's verify window; the release gate is where the soak /
+        # property sweeps still run.
+        env = dict(os.environ, SPARK_GRAFT_FULL_TESTS="1")
+        print("=== pytest_full: full suite (soak markers included)")
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [py, "-m", "pytest", "tests/", "-q"], cwd=REPO,
+                capture_output=True, text=True, timeout=7200, env=env)
+            rc, tail = proc.returncode, (proc.stdout + proc.stderr)[-4000:]
+        except subprocess.TimeoutExpired:
+            rc, tail = -1, "timeout after 7200s"
+        sec = round(time.time() - t0, 1)
+        status = "OK" if rc == 0 else "FAIL"
+        print(f"=== pytest_full: {status} in {sec}s")
+        steps.append({"name": "pytest_full", "status": status, "rc": rc,
+                      "sec": sec, "tail": tail})
 
     steps.append(run_step("readme_stats",
                           [py, "tools/readme_stats.py", "--check"],
