@@ -187,9 +187,11 @@ def window_boundaries(packed: DataFrame, max_len: int = 2048,
 
     100 TB shape: the manifest explode plus ONE shuffle keyed by
     chunk_id (rows ≈ total_tokens/max_len); the per-window arrays are
-    built by JVM higher-order functions (sort_array/transform/filter —
-    no UDF), each row O(max_len · n_docs_in_window) work and ≤ max_len
-    ints of output — the same order as the window tensor itself."""
+    built by JVM higher-order functions (sort_array/zip_with/
+    array_repeat — no UDF), each row O(window_len) element writes (the
+    segment mask is flatten(zip_with(seg_lens, ..., array_repeat)), not
+    a per-position ownership scan — r13) and ≤ max_len ints of output —
+    the same order as the window tensor itself."""
     m = pack_manifest(packed, max_len=max_len, id_col=id_col,
                       count_col=count_col)
     s = (m.groupBy("chunk_id")

@@ -247,13 +247,17 @@ def _seeded_centroids(corpus: DataFrame, n_clusters: int,
 
 def _assign_to_centroids(corpus: DataFrame, C: "np.ndarray",
                          id_col: str, vec_col: str,
-                         extra_cols: tuple[str, ...] = ()) -> DataFrame:
+                         extra_cols: tuple[str, ...] = (),
+                         pre_fanned: bool = False) -> DataFrame:
     """Broadcast the O(k·dim) centroid matrix into a narrow Arrow-UDF pass:
     each vector gets its max-cosine centroid (ties → lowest centroid id).
     The output (id, vec, [extra_cols...], cluster) is the inverted list,
     ready to be partitioned/bucketed by cluster; `extra_cols` lets a
     consumer (e.g. hard-negative mining's label) ride the same pass
-    instead of re-joining corpus-sized frames."""
+    instead of re-joining corpus-sized frames.  `pre_fanned` skips the
+    fan_out for callers feeding an already-partitioned (usually
+    persisted, see :func:`_vec_base`) projection — re-repartitioning a
+    cached frame would add one exchange per pass for nothing."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("bigint")
@@ -264,10 +268,24 @@ def _assign_to_centroids(corpus: DataFrame, C: "np.ndarray",
         cos = _seq_cosine_matrix(V, C)
         return pd.Series(np.argmax(cos, axis=1).astype("int64"))
 
-    return fan_out(corpus).select(
+    base = corpus if pre_fanned else fan_out(corpus)
+    return base.select(
         F.col(id_col), F.col(vec_col), *[F.col(c) for c in extra_cols],
         assign(F.col(vec_col)).alias("cluster")
     )
+
+
+def _vec_base(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """The persisted (id, vec) projection an iterated-centroid consumer
+    (Lloyd training + its final assignment / silhouette pass) reads once
+    per pass: without it every iteration re-reads the corpus parquet and
+    repeats the fan_out exchange (r14, guide §5 — the frame is reused
+    iters+1 times and re-deriving it per pass costs a full scan each).
+    Registered via maybe_persist so the registry can release it."""
+    from singer_spark.functions import maybe_persist
+
+    return maybe_persist(
+        fan_out(corpus.select(F.col(id_col), F.col(vec_col))), True)
 
 
 def ivf_build_assignments(corpus: DataFrame, n_clusters: int = 16,
@@ -309,7 +327,8 @@ def _centroid_matrix_ids(centroids: DataFrame) -> "tuple[np.ndarray, np.ndarray]
 
 
 def ivf_train_centroids(corpus: DataFrame, n_clusters: int = 16, iters: int = 5,
-                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        _base: "DataFrame | None" = None) -> DataFrame:
     """Deterministic Lloyd-trained coarse quantizer — the production IVF
     path (the seeded quantizer is an oracle-reproducibility simplification;
     trained centroids cut the candidate set a query must scan for the same
@@ -331,12 +350,21 @@ def ivf_train_centroids(corpus: DataFrame, n_clusters: int = 16, iters: int = 5,
 
     Returns a (cluster, centroid) DataFrame: persist it with
     ``.write.parquet(...)`` and reload across query batches so the quantizer
-    is trained once, not per query."""
+    is trained once, not per query.
+
+    `_base` (internal): a :func:`_vec_base` projection to train from —
+    callers that run their own assignment pass after training
+    (cluster_balanced_sample, cluster_silhouette) share ONE persisted
+    projection across every pass; left None, training persists its own
+    (iters+1 reads of a cached narrow frame instead of iters+1 corpus
+    scans + fan_out exchanges)."""
     spark = corpus.sparkSession
-    C = _seeded_centroids(corpus, n_clusters, id_col, vec_col)
+    base = _vec_base(corpus, id_col, vec_col) if _base is None else _base
+    C = _seeded_centroids(base, n_clusters, id_col, vec_col)
     dim = C.shape[1]
     for _ in range(iters):
-        assigned = _assign_to_centroids(corpus, C, id_col, vec_col)
+        assigned = _assign_to_centroids(base, C, id_col, vec_col,
+                                        pre_fanned=True)
         means = (
             assigned.select("cluster", F.posexplode(as_double(vec_col)).alias("pos", "val"))
             .groupBy("cluster", "pos").agg(qround(F.avg("val"), 6).alias("m"))
@@ -2038,18 +2066,23 @@ def cluster_balanced_sample(corpus: DataFrame, k: int = 100,
     ordered (cluster, pick_rank)."""
     from pyspark.sql.window import Window
 
-    from singer_spark.functions import md5_int
+    from singer_spark.functions import md5_int, maybe_persist
 
+    # ONE persisted (id, vec) projection serves the Lloyd iterations AND
+    # the final assignment pass (r14 — previously each pass re-read the
+    # corpus parquet and paid its own fan_out exchange); with
+    # caller-supplied centroids there is exactly one assignment pass, so
+    # the plain fan_out projection suffices
+    base = (_vec_base(corpus, id_col, vec_col) if centroids is None
+            else fan_out(corpus.select(F.col(id_col), F.col(vec_col))))
     C = (_centroid_matrix(centroids) if centroids is not None
          else _centroid_matrix(ivf_train_centroids(
              corpus, n_clusters=n_clusters, iters=iters,
-             id_col=id_col, vec_col=vec_col)))
-    from singer_spark.functions import maybe_persist
-
+             id_col=id_col, vec_col=vec_col, _base=base)))
     # the assignment feeds two DAG branches (cluster counts AND the
     # ranked pick); without a persist the Arrow pass runs twice
     assigned = maybe_persist(
-        _assign_to_centroids(corpus, C, id_col, vec_col)
+        _assign_to_centroids(base, C, id_col, vec_col, pre_fanned=True)
         .select(id_col, "cluster"), True)
     counts = assigned.groupBy("cluster").agg(F.count("*").alias("_cnt"))
     wq = counts.select(
@@ -2100,10 +2133,16 @@ def cluster_silhouette(corpus: DataFrame, n_clusters: int = 8,
     cluster."""
     from pyspark.sql.functions import pandas_udf
 
+    # training + the silhouette pass share one persisted (id, vec)
+    # projection (r14); with caller-supplied centroids there is exactly
+    # one corpus pass, so the plain fan_out projection suffices
+    base = (_vec_base(corpus, id_col, vec_col) if centroids is None
+            else fan_out(corpus.select(F.col(id_col), F.col(vec_col))))
     C, cluster_ids = _centroid_matrix_ids(
         centroids if centroids is not None
         else ivf_train_centroids(corpus, n_clusters=n_clusters, iters=iters,
-                                 id_col=id_col, vec_col=vec_col))
+                                 id_col=id_col, vec_col=vec_col,
+                                 _base=base))
     if C.shape[0] < 2:
         # guard on the BUILT matrix so a caller-supplied 1-row
         # centroids table errors too (b would be -inf -> NaN s)
@@ -2132,7 +2171,7 @@ def cluster_silhouette(corpus: DataFrame, n_clusters: int = 8,
 
     from singer_spark.functions import qround
 
-    scored = (fan_out(corpus)
+    scored = (base
               .select(sil(F.col(vec_col)).alias("_x"))
               .select(F.col("_x.cluster").alias("cluster"),
                       F.col("_x.s").alias("_s")))

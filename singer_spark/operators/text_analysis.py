@@ -162,13 +162,13 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
       the published definition's non-double-counting rule).
 
     100 TB shape: the corpus parquet is scanned ONCE — the tokenized
-    (id, n_chars, toks) frame is persisted and every family reads the
-    cache; the dup family's ONE explode emits (doc, n, gram-DIGEST,
-    position) rows for all n at once, the top family's ONE explode
-    emits (doc, n, gram) for its n's (gram TEXT, 2-4 tokens — the
-    deterministic tie-break and the numerator's char length both need
-    it), and every aggregation keys on doc_id (+n); what returns to the
-    doc is a handful of doubles.
+    (id, n_chars, toks) frame is persisted — and ONE explode (r14)
+    emits (doc, n, start, gram-DIGEST[, gram text for the top n's — the
+    deterministic tie-break and the numerator's char length need it])
+    for ALL n at once into ONE (doc, n, digest) aggregation; both
+    families branch from that persisted distinct-gram frame, and every
+    aggregation keys on doc_id (+n); what returns to the doc is a
+    handful of doubles.
 
     Output: (id_col, top2_frac, ..., dup10_frac) qround(1e-4)."""
     from pyspark.sql.window import Window
@@ -183,35 +183,56 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
             toks.alias("_toks"))
         .withColumn("_n_toks", F.size("_toks")), True)
 
-    def occurrences(ns_tuple):
-        """(_id, _n_chars, _n, _i, _g[gram text]) — one explode for all
-        n in ns_tuple.  sequence(1, 0) DESCENDS in Spark, so short docs
-        need an explicit empty, not a clamped stop; _toks is a cached
-        attribute, so the indexed reads stay O(1) (windowed_join's
-        idiom, inlined because the window length is the exploded column
-        _n, not a Python int)."""
-        ns = F.array(*[F.lit(n) for n in ns_tuple])
-        starts = F.when(F.col("_n_toks") >= F.col("_n"),
-                        F.sequence(F.lit(1),
-                                   F.col("_n_toks") - F.col("_n") + 1)) \
-            .otherwise(F.array().cast("array<int>"))
-        gram = lambda i: F.array_join(F.transform(  # noqa: E731
-            F.sequence(i.cast("int"), (i + F.col("_n") - 1).cast("int")),
-            lambda j: F.try_element_at(F.col("_toks"), j)), " ")
-        return (base.select("_id", "_n_chars", F.explode(ns).alias("_n"),
-                            "_toks", "_n_toks")
-                .select("_id", "_n_chars", "_n", F.explode(F.transform(
-                    starts,
-                    lambda i: F.struct(i.alias("i"),
-                                       gram(i).alias("g")))).alias("_o"))
-                .select("_id", "_n_chars", "_n",
-                        F.col("_o.i").alias("_i"), F.col("_o.g").alias("_g")))
+    # --- ONE explode for BOTH families (r14, the r13 merged-pivot trick
+    # one level down): every n in 2..10 emits its occurrences in a
+    # single pass over the cached tokenize — (_id, _n, start, DIGEST,
+    # gram text only where the top family needs it).  sequence(1, 0)
+    # DESCENDS in Spark, so short docs need an explicit empty, not a
+    # clamped stop; _toks is a cached attribute, so the indexed reads
+    # stay O(1).  Grouping keys on the xxhash64 digest of the token
+    # SLICE for both families (the dup family's r8 rationale — no
+    # per-occurrence string concat for the 5-10 grams; for the 2-4
+    # grams the text is built anyway for the tie-break and the
+    # numerator's char length, and rides first()): a digest group IS a
+    # gram group up to 64-bit collisions, the accepted dup-family risk
+    # now shared by both.  One groupBy serves both families — counts
+    # for the argmax, occurrence starts (collected only for dup-family
+    # rows) for the coverage — so the old second explode+groupBy chain
+    # over the same cache is gone.
+    all_ns = tuple(top_ns) + tuple(dup_ns)
+    top_set = set(top_ns)
+    ns = F.array(*[F.lit(n) for n in all_ns])
+    starts = F.when(F.col("_n_toks") >= F.col("_n"),
+                    F.sequence(F.lit(1),
+                               F.col("_n_toks") - F.col("_n") + 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.array_join(F.transform(  # noqa: E731
+        F.sequence(i.cast("int"), (i + F.col("_n") - 1).cast("int")),
+        lambda j: F.try_element_at(F.col("_toks"), j)), " ")
+    is_top = F.col("_n").isin(*top_set)
+    occ = (base.select("_id", "_n_chars", F.explode(ns).alias("_n"),
+                       "_toks", "_n_toks")
+           .select("_id", "_n_chars", "_n", F.explode(F.transform(
+               starts,
+               lambda i: F.struct(
+                   i.alias("i"),
+                   F.xxhash64(F.slice("_toks", i, F.col("_n")))
+                   .alias("d"),
+                   F.when(is_top, gram(i)).alias("g")))).alias("_o"))
+           .select("_id", "_n_chars", "_n",
+                   F.col("_o.i").alias("_i"), F.col("_o.d").alias("_d"),
+                   F.col("_o.g").alias("_g")))
+    grouped = (occ.groupBy("_id", "_n", "_d")
+               .agg(F.count("*").alias("_cnt"),
+                    F.first("_g").alias("_gram"),
+                    F.collect_list(F.when(~is_top, F.col("_i")))
+                    .alias("_is"),
+                    F.first("_n_chars").alias("_n_chars")))
+    # both family branches read the grouped frame — persist it (it is
+    # the distinct-gram frame, far smaller than the occurrences)
+    grouped = maybe_persist(grouped, True)
 
     # --- top-n-gram char fraction (n small: 2-4) ------------------------
-    g = (occurrences(top_ns)
-         .groupBy("_id", "_n", F.col("_g").alias("_gram"))
-         .agg(F.count("*").alias("_cnt"),
-              F.first("_n_chars").alias("_n_chars")))
     # argmax (count desc, gram asc) as ONE aggregation: min over
     # struct(-count, gram) — struct ordering is lexicographic, so the
     # smallest -count is the largest count and ties take the smallest
@@ -222,7 +243,8 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
                           F.col("_n_chars").alias("nch"))).alias("_b")
     # least(·, 1): overlapping occurrences ("a b a b" twice in
     # "a b a b a b") can push raw occurrence-chars past the doc length
-    tp = (g.groupBy("_id", "_n").agg(best)
+    tp = (grouped.where(is_top)
+          .groupBy("_id", "_n").agg(best)
           .select("_id", "_n",
                   qround(F.least(-F.col("_b.nc") * F.length("_b.g")
                                  / F.greatest("_b.nch", F.lit(1)),
@@ -233,37 +255,15 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     # restore-join instead of two of each.
 
     # --- duplicate-n-gram coverage fraction (n large: 5-10) -------------
-    # one groupBy per (doc, n, gram-digest) collects occurrence STARTS;
     # groups of >=2 flatten to covered positions entirely in JVM array
     # expressions (array_distinct de-duplicates the overlap, the
     # published counted-once rule), and covered char mass is a gather
     # into the cached _toks attribute — no window sort, no
     # position-explode+distinct shuffle, no per-position join (the
-    # r8 shape cost three extra exchanges; measured 3.7 s -> ~2.9 s at
-    # sf0.1).  Degenerate docs (everything duplicated) bound the
-    # position array by _n_toks — the same row the explode shape paid.
-    # digest is grouping-internal (never emitted, the oracle groups by
-    # gram text): hash the token-array SLICE — no per-occurrence string
-    # concat, and xxhash64 is a fraction of md5's cost
-    ns_arr = F.array(*[F.lit(n) for n in dup_ns])
-    dup_starts = F.when(
-        F.col("_n_toks") >= F.col("_n"),
-        F.sequence(F.lit(1), F.col("_n_toks") - F.col("_n") + 1)) \
-        .otherwise(F.array().cast("array<int>"))
-    occ = (base.select("_id", F.explode(ns_arr).alias("_n"),
-                       "_toks", "_n_toks")
-           .select("_id", "_n", F.explode(F.transform(
-               dup_starts,
-               lambda i: F.struct(
-                   i.alias("i"),
-                   F.xxhash64(F.slice("_toks", i, F.col("_n")))
-                   .alias("g")))).alias("_o"))
-           .select("_id", "_n", F.col("_o.i").alias("_i"),
-                   F.col("_o.g").alias("_g")))
-    dup_groups = (occ.groupBy("_id", "_n", "_g")
-                  .agg(F.collect_list("_i").alias("_is"))
-                  .where(F.size("_is") >= 2))
-    cov_pos = (dup_groups.groupBy("_id", "_n")
+    # r8 shape cost three extra exchanges).  Degenerate docs (everything
+    # duplicated) bound the position array by _n_toks.
+    cov_pos = (grouped.where(~is_top & (F.size("_is") >= 2))
+               .groupBy("_id", "_n")
                .agg(F.array_distinct(F.flatten(F.collect_list(
                    F.flatten(F.transform(
                        "_is",
@@ -1248,16 +1248,33 @@ def hash_embed(docs: DataFrame, dim: int = 32, text_col: str = "text",
     embed as the zero vector.
 
     Output: (id, embedding: array<double>)."""
+    return _hash_embed_pass(
+        fan_out(docs).select(F.col(id_col), F.col(text_col)),
+        dim, round_to, text_col, keep=((id_col, "bigint"),))
+
+
+def _hash_embed_pass(frame: DataFrame, dim: int, round_to: int,
+                     text_col: str,
+                     keep: "tuple[tuple[str, str], ...]") -> DataFrame:
+    """The hash-embed Arrow kernel applied to a prepared `frame`: every
+    `keep` (name, sql_type) column PASSES THROUGH the kernel unchanged
+    (Arrow round-trips int64/float64 bit-exactly) and `text_col` is
+    consumed into the embedding — so a caller can ride other per-row
+    statistics on the SAME corpus scan (hybrid retrieval's fused bm25 +
+    dense pass, r14) instead of scanning the text twice.  The kernel is
+    :func:`hash_embed`'s, verbatim: per-batch md5 memo, exact integer
+    bucket counts, sequential square sum, qround'ed components."""
     import hashlib
     import math
 
     scale = 10 ** round_to
+    keep_names = [c for c, _ in keep]
 
     def gen(batches):
         for pdf in batches:
-            out_ids, out_vecs = [], []
+            out_vecs = []
             memo: dict[str, int] = {}
-            for did, text in zip(pdf[id_col], pdf[text_col]):
+            for text in pdf[text_col]:
                 counts = [0] * dim
                 for t in (text or "").split(" "):
                     if not t:
@@ -1277,12 +1294,13 @@ def hash_embed(docs: DataFrame, dim: int = 32, text_col: str = "text",
                            for c in counts]
                 else:
                     vec = [0.0] * dim
-                out_ids.append(did)
                 out_vecs.append(vec)
-            yield pd.DataFrame({id_col: out_ids, "embedding": out_vecs})
+            out = pdf[keep_names].copy()
+            out["embedding"] = out_vecs
+            yield out
 
-    return (fan_out(docs).select(F.col(id_col), F.col(text_col))
-            .mapInPandas(gen, f"{id_col} bigint, embedding array<double>"))
+    schema = ", ".join(f"{c} {t}" for c, t in keep)
+    return frame.mapInPandas(gen, f"{schema}, embedding array<double>")
 
 
 # ---------------------------------------------------------------------------
@@ -1306,7 +1324,9 @@ def ngram_lm_score(docs: DataFrame, lm_docs: DataFrame | None = None,
     Plan shape at 100 TB: training is one bigram explode into a partial
     agg (map-side combine collapses repeats before the shuffle); c(w1·)
     derives from the bigram table (no second corpus pass), V is a 1-row
-    broadcast.  Scoring joins the corpus's exploded bigrams against the
+    broadcast (kept in-plan — see the r14 revert note below: an eager
+    literal re-pays the vocab scan per call under a consumer's persist).
+    Scoring joins the corpus's exploded bigrams against the
     model on the (w1, w2) key — the one unavoidable wide join; in
     production prune the model to top-M bigrams first (rare bigrams
     hit add-one smoothing anyway) so the model side broadcasts.
@@ -1349,6 +1369,16 @@ def ngram_lm_score(docs: DataFrame, lm_docs: DataFrame | None = None,
                  .groupBy("w1", "w2").agg(F.count("*").alias("cb")))
     lm_bi = lm_bi.persist(StorageLevel.MEMORY_AND_DISK)
     w1_tot = lm_bi.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    # r14 note (measured, then reverted): V as an EAGER driver literal
+    # (the dsir/bm25 literal-stats discipline) removed the 1-row
+    # crossJoin carrier but made every ngram_lm_score CALL pay the vocab
+    # corpus scan as its own standalone job — consumers that persist the
+    # scored frame (source_reweight/converge) re-paid it per invocation
+    # while the in-plan subtree rides under their persist and is
+    # computed once per cache fill.  Paired 4-leg A/B: source_reweight
+    # 1.88x, converge 1.20x slower with the literal; reverted to the
+    # in-plan 1-row broadcast (its BNLJ is allowlisted as a documented
+    # scalar carrier).
     vocab = (fan_out(lm).select(F.explode(F.filter(
         F.split(F.col(text_col), " "), lambda t: t != F.lit(""))).alias("t"))
         .agg(F.count_distinct("t").alias("V")))
@@ -1387,44 +1417,68 @@ def source_reweight(docs: DataFrame, eta: float = 1.0,
 
     Feed the weights to :func:`corpus_mix_sample` to draw the
     reweighted mixture.  100 TB shape: one scored-corpus pass (the LM
-    plan), one per-source aggregation, and two 1-row scalar frames
-    (corpus mean, Σraw) broadcast back — the k-row source frame is the
-    only thing past the shuffle.
+    plan) reduced by ONE rollup(source) aggregation — the k per-source
+    rows and the corpus-wide reference in a single pass — and the
+    exponentiated step is k-row driver arithmetic (r14, the
+    source_reweight_converge discipline brought back to the one-step
+    core: the old shape re-evaluated the per-source aggregate under two
+    scalar-broadcast builds and carried corpus-mean/Σraw as BNLJ
+    frames).  The collect is k rows — bounded by #sources.
 
     Output: (source, n_docs, n_scored, mean_lm_score, excess, weight)
     ordered by source; weights sum to 1 up to rounding."""
+    import math
+
     from singer_spark.functions import maybe_persist
 
+    spark = docs.sparkSession
     scores = ngram_lm_score(docs, lm_docs=lm_docs, text_col=text_col,
                             id_col=id_col)
-    # the scored frame feeds BOTH the per-source and the corpus-mean
-    # aggregates — persist so the LM scoring join runs once
+    # the scored frame feeds the rollup's per-source AND total rows —
+    # persist so the LM scoring join runs once
     per_doc = maybe_persist(
         docs.select(id_col, F.col(source_col).alias("source"))
         .join(scores, id_col), True)
-    per_src = (per_doc.groupBy("source")
-               .agg(F.count("*").alias("n_docs"),
-                    F.count("lm_score").alias("n_scored"),
-                    qround(F.avg("lm_score"), round_to)
-                    .alias("mean_lm_score")))
-    corpus = per_doc.agg(
-        qround(F.avg("lm_score"), round_to).alias("_ref"))
-    excess = qround(
-        F.greatest(F.col("mean_lm_score") - F.col("_ref"), F.lit(0.0)),
-        round_to)
-    raw = F.exp(F.lit(float(eta)) * F.col("excess"))
-    based = (per_src.crossJoin(F.broadcast(corpus))
-             .withColumn("excess", excess)
-             .withColumn("_raw", raw))
-    totals = based.agg(F.sum("_raw").alias("_Z"),
-                       F.count("*").alias("_k"))
+    # grouping(source) disambiguates the rollup TOTAL row from a genuine
+    # NULL-source group (the old groupBy emitted a weight row for NULL
+    # sources; that behavior is preserved)
+    rolled = (per_doc.rollup("source")
+              .agg(F.grouping("source").alias("_g"),
+                   F.count("*").alias("n_docs"),
+                   F.count("lm_score").alias("n_scored"),
+                   qround(F.avg("lm_score"), round_to)
+                   .alias("mean_lm_score"))
+              .collect())
+    ref = next(r["mean_lm_score"] for r in rolled if r["_g"] == 1)
+    groups = [r for r in rolled if r["_g"] == 0]
+    scale = 10 ** int(round_to)
+
+    def q(x: float) -> float:
+        return math.floor(x * scale + 0.5) / scale
+
+    # driver replay of the old column expressions, same IEEE op order:
+    # excess = qround(greatest(mean_s - ref, 0.0)) with Spark's
+    # greatest-skips-NULL semantics (NULL mean or ref -> excess 0.0);
+    # raw = exp(eta * excess); Z sums raw in the rollup's row order
+    stepped = []
+    Z = 0.0
+    for r in groups:
+        mean_s = r["mean_lm_score"]
+        excess = (q(max(mean_s - ref, 0.0))
+                  if mean_s is not None and ref is not None else 0.0)
+        raw = math.exp(float(eta) * excess)
+        Z += raw
+        stepped.append((r["source"], r["n_docs"], r["n_scored"],
+                        mean_s, excess, raw))
     c = float(smoothing)
-    w = ((1.0 - c) * F.col("_raw") / F.col("_Z")
-         + c / F.col("_k"))
-    return (based.crossJoin(F.broadcast(totals))
-            .select("source", "n_docs", "n_scored", "mean_lm_score",
-                    "excess", qround(w, round_to).alias("weight"))
-            .orderBy("source"))
+    k = len(stepped)
+    rows = [(s, n_docs, n_scored, mean_s, excess,
+             q((1.0 - c) * raw / Z + c / k))
+            for s, n_docs, n_scored, mean_s, excess, raw in stepped]
+    return (spark.createDataFrame(
+        rows, "source string, n_docs bigint, n_scored bigint, "
+              "mean_lm_score double, excess double, weight double")
+        .orderBy("source"))
 
 
 def source_reweight_converge(docs: DataFrame, rounds: int = 2,
@@ -1638,28 +1692,63 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     both), and doc-length sums are exact integers in doubles, so avgdl is
     bit-identical.  The global top-k is a TakeOrdered, never a full sort.
 
+    EAGER-EXECUTION CONTRACT (r13, documented r14 per ADVICE #3):
+    building this frame runs the corpus-scan stat jobs at CALL time (the
+    trained-quantizer discipline) — don't construct it speculatively
+    just to explain/audit.
+
     Output: (id, score, matched_terms), score descending, ties by id."""
     terms = sorted(set(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
+    base, st = _bm25_proxy_stats(docs, terms, text_col, id_col)
+    return _bm25_score_topk(base, st, terms, k, k1, b, id_col, round_to)
+
+
+def _bm25_proxy_stats(docs: DataFrame, terms: list[str], text_col: str,
+                      id_col: str, embed_dim: "int | None" = None,
+                      embed_round_to: int = 6):
+    """ONE corpus scan → the persisted per-doc (id, dl, tf-vector
+    [, embedding]) proxy plus its (N, avgdl, df_i) stat row, collected
+    once (eager — this runs Spark jobs at call time, the r13 discipline).
+    `embed_dim` rides :func:`hash_embed`'s Arrow kernel on the SAME scan
+    (the dl/tf columns are computed by JVM codegen in the select feeding
+    the kernel and pass through it bit-exactly), so hybrid retrieval's
+    two arms share one corpus read.  The persist routes through
+    maybe_persist so the registry can release it (ADVICE r13 #1)."""
+    from singer_spark.functions import maybe_persist
+
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "),
                     lambda t: t != F.lit(""))
+
     def tf_expr(term: str):
         return F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("double")
 
-    base = fan_out(docs).select(
-        F.col(id_col),
-        F.size(toks).cast("double").alias("dl"),
-        *[tf_expr(t_).alias(f"tf_{i}") for i, t_ in enumerate(terms)],
-    )
-    from pyspark.storagelevel import StorageLevel
-
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    cols = [F.col(id_col),
+            F.size(toks).cast("double").alias("dl"),
+            *[tf_expr(t_).alias(f"tf_{i}") for i, t_ in enumerate(terms)]]
+    if embed_dim is None:
+        base = fan_out(docs).select(*cols)
+    else:
+        base = _hash_embed_pass(
+            fan_out(docs).select(*cols, F.col(text_col)),
+            embed_dim, embed_round_to, text_col,
+            keep=((id_col, "bigint"), ("dl", "double"),
+                  *[(f"tf_{i}", "double") for i in range(len(terms))]))
+    base = maybe_persist(base, True)
     st = base.agg(
         F.count("*").alias("N"),
         F.avg("dl").alias("avgdl"),
         *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
           for i in range(len(terms))]).collect()[0]
+    return base, st
+
+
+def _bm25_score_topk(base: DataFrame, st, terms: list[str], k: int,
+                     k1: float, b: float, id_col: str,
+                     round_to: int) -> DataFrame:
+    """Score the persisted bm25 proxy with the collected stats as driver
+    literals and take the global top-k (TakeOrdered, never a full sort)."""
     avgdl_lit = F.lit(st["avgdl"] if st["avgdl"] is not None else 0.0)
 
     def idf(i):
@@ -1713,11 +1802,15 @@ def hybrid_topk_rrf(docs: DataFrame, query_terms: list[str], k: int = 10,
     triage pipeline runs, with zero learned components so an external SQL
     oracle replays it exactly.
 
-    Plan shape at 100 TB: each arm is one corpus scan reduced to a top-k
-    (TakeOrdered — never a full sort); the dense arm's query vector is a
-    broadcast literal (computed driver-side by
-    :func:`hash_embed_vector`), so scoring is a narrow map over the
-    embedding pass.  Fusion joins two ≤k_each-row frames — trivially
+    Plan shape at 100 TB: ONE corpus scan feeds BOTH arms (r14, guide
+    §2.4/§8): the scan's select computes the bm25 (dl, tf-vector) proxy
+    in JVM codegen and :func:`hash_embed`'s Arrow kernel rides the same
+    pass emitting the embedding, so the persisted (id, dl, tf-vector,
+    embedding) frame is the only thing the text is ever read for.  Each
+    arm reduces the cached proxy to a top-k (TakeOrdered — never a full
+    sort); the dense arm's query vector is a broadcast literal (computed
+    driver-side by :func:`hash_embed_vector`), so scoring is a narrow
+    map over the cache.  Fusion joins two ≤k_each-row frames — trivially
     broadcast.  Ranks are assigned over qround-quantized scores with id
     tie-breaks, so both engines rank identically.
 
@@ -1725,23 +1818,25 @@ def hybrid_topk_rrf(docs: DataFrame, query_terms: list[str], k: int = 10,
     that did not retrieve the doc; ordered by rrf_score desc, id."""
     from pyspark.sql.window import Window
 
-    lex = bm25_topk(docs, query_terms, k=k_each, text_col=text_col,
-                    id_col=id_col)
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    proxy, st = _bm25_proxy_stats(docs, terms, text_col, id_col,
+                                  embed_dim=dim, embed_round_to=round_to)
+    lex = _bm25_score_topk(proxy, st, terms, k_each, 1.2, 0.75, id_col,
+                           round_to=4)
     w_lex = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     lex_r = lex.select(F.col(id_col),
                        F.row_number().over(w_lex).alias("bm25_rank"))
 
-    qv = hash_embed_vector(sorted(set(query_terms)), dim=dim,
-                           round_to=round_to)
+    qv = hash_embed_vector(terms, dim=dim, round_to=round_to)
     qlit = F.array(*[F.lit(x) for x in qv])
-    emb = hash_embed(docs, dim=dim, text_col=text_col, id_col=id_col,
-                     round_to=round_to)
     # both sides unit-normalized → cosine is the plain sequential dot
     # product (same fold order as DuckDB's list_dot_product)
     dot = F.aggregate(F.zip_with(F.col("embedding"), qlit,
                                  lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
-    dense = (emb.select(F.col(id_col), qround(dot, round_to).alias("cos"))
+    dense = (proxy.select(F.col(id_col), qround(dot, round_to).alias("cos"))
              .where(F.col("cos") > 0)
              .orderBy(F.col("cos").desc(), F.col(id_col).asc())
              .limit(k_each))
@@ -2669,9 +2764,11 @@ def nb_quality_scores(docs: DataFrame, seed: "Column",
     TakeOrdered (per-partition heaps, no global sort) and BROADCAST into
     the scoring join, so the corpus-sized side never shuffles by token —
     the Zipf mega-keys ("the") ride a broadcast hash join instead of a
-    skewed sort-merge; totals/priors are 1-row broadcast cross joins; the
-    score is one map-side-combinable groupBy(doc).  No UDF, no driver
-    loop, no collect.
+    skewed sort-merge; the vocab/token/prior totals are exact-integer
+    1-row aggregates COLLECTED once by _nb_fit (fitting runs those
+    driver collects eagerly at call time — r13) and enter the score as
+    literals; the score is one map-side-combinable groupBy(doc).  No
+    UDF, no driver loop past the bounded stat collects.
 
     Docs with no tokens (empty/NULL text) score the prior alone.  Output:
     (id_col, n_tokens BIGINT, llr DOUBLE qround 1e-6, keep INT)."""
@@ -3874,36 +3971,39 @@ def nb_quality_apply(docs: DataFrame, model: DataFrame,
     toks_arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     # validate the model frame BEFORE wiring it into the plan: a
     # truncated/aborted save missing the oov/prior rows would otherwise
-    # empty `scal`, and the final cross join would silently erase the
-    # whole corpus (curate would then publish an EMPTY dataset rc=0)
-    kinds = [r["kind"] for r in
-             model.where(F.col("kind").isin("oov", "prior"))
-             .select("kind").collect()]
+    # lose the scalar cells and silently mis-score the whole corpus.
+    # The same bounded 2-row collect CARRIES the oov/prior doubles (r14,
+    # the _nb_fit literal-stats discipline): they enter the score as
+    # driver literals — float64 round-trips the collect exactly — so the
+    # two scalar broadcast cross joins the apply plan used to pay are
+    # gone, at zero extra jobs (the validation read already ran).
+    scal_rows = (model.where(F.col("kind").isin("oov", "prior"))
+                 .select("kind", "lw").collect())
+    kinds = [r["kind"] for r in scal_rows]
     if kinds.count("oov") != 1 or kinds.count("prior") != 1:
         raise ValueError(
             "nb model frame must contain exactly one 'oov' and one "
             f"'prior' row (found {sorted(kinds)}) — truncated save?")
+    cells = {r["kind"]: r["lw"] for r in scal_rows}
+    if cells["oov"] is None or cells["prior"] is None:
+        raise ValueError("nb model oov/prior rows carry NULL lw — "
+                         "corrupt save?")
+    oov_lw = F.lit(float(cells["oov"]))
+    prior_lw = F.lit(float(cells["prior"]))
     dc = (fan_out(docs)
           .select(F.col(id_col).alias("_id"),
                   F.explode(toks_arr).alias("_t"))
           .groupBy("_id", "_t").agg(F.count("*").alias("_cnt")))
     tok_lw = (model.where(F.col("kind") == "token")
               .select(F.col("token").alias("_t"), F.col("lw").alias("_lw")))
-    scal = (model.where(F.col("kind") == "oov")
-            .select(F.col("lw").alias("_oov"))
-            .crossJoin(model.where(F.col("kind") == "prior")
-                       .select(F.col("lw").alias("_prior"))))
-    term = F.col("_cnt") * F.coalesce(F.col("_lw"), F.col("_oov"))
+    term = F.col("_cnt") * F.coalesce(F.col("_lw"), oov_lw)
     scored = (dc.join(F.broadcast(tok_lw), "_t", "left")
-              .crossJoin(F.broadcast(scal))
               .groupBy("_id")
               .agg(F.sum(term).alias("_s"),
                    F.sum("_cnt").alias("n_tokens")))
-    llr = qround(F.col("_prior") + F.coalesce(F.col("_s"), F.lit(0.0)), 6)
+    llr = qround(prior_lw + F.coalesce(F.col("_s"), F.lit(0.0)), 6)
     return (docs.select(F.col(id_col))
             .join(scored.withColumnRenamed("_id", id_col), id_col, "left")
-            .crossJoin(F.broadcast(
-                scal.select("_prior")))
             .select(F.col(id_col),
                     F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
                     llr.alias("llr"),

@@ -467,7 +467,13 @@ _BNLJ_ALLOWLIST = {
     "audience_overlap_kmv", "cluster_balanced_sample",
     "corpus_mix", "hard_negatives", "heavy_hitters_tokens",
     "join_size_estimate", "lsh_autoband", "lsh_tuning",
-    "ngram_lm_score", "pair_budget_report", "q11_important_stock",
+    # ngram_lm_score: the 1-row vocab-size (V) broadcast.  r14 measured
+    # the eager-literal alternative and REVERTED it — the literal made
+    # every call re-pay the vocab scan standalone, while the in-plan
+    # subtree rides under a consumer's persisted scored frame (paired
+    # A/B: source_reweight 1.88x slower with the literal)
+    "ngram_lm_score",
+    "pair_budget_report", "q11_important_stock",
     # (q15_top_supplier's r11 scalar-max broadcast plans as a
     # BroadcastHashJoin, not BNLJ — deliberately NOT listed so the
     # allowlist stays exactly the set of plans that carry one)
@@ -475,10 +481,9 @@ _BNLJ_ALLOWLIST = {
     # quality_model_roundtrip — left r13: _nb_fit's three 1-row stat
     # frames are exact-integer aggregates, collected once and closed
     # over as literals, so their scalar-broadcast crossJoins are gone.
-    # quality_model_roundtrip still carries ONE BNLJ: the apply path
-    # scores against a PERSISTED model frame, whose oov/prior scalar
-    # rows legitimately ride a 2-row broadcast cross join.)
-    "quality_model_roundtrip",
+    # quality_model_roundtrip left r14: nb_quality_apply's oov/prior
+    # scalars now ride the validation collect the apply already ran
+    # and enter the score as literals — its last BNLJ is gone.)
     # r10: pack_bins_audit's 1-row bin/doc/base aggregate cross joins
     "pack_bins",
     # revenue_pareto left r11: the decile cum-share fold replaced its
@@ -486,11 +491,10 @@ _BNLJ_ALLOWLIST = {
     "q22_idle_customers", "range_join_value_tiers",
     "semantic_decontaminate", "sim_bruteforce_topk", "skew_report",
     "source_kl_state_bound", "source_unigram_kl",
-    # r11: source_reweight's vocab-V / corpus-mean / sum-raw 1-row
-    # scalar frames (the LM plan's expanded cached subtrees multiply
-    # their appearance in the static audit; execution substitutes the
-    # persisted frames)
-    "source_reweight",
+    # (source_reweight left r14: ONE rollup(source) collect + driver-
+    # side exponentiated step — the converge discipline — removed the
+    # corpus-mean and sum-raw scalar carriers along with the LM vocab
+    # one)
     # r12: the 1-row token-budget report (packing_stats) cross-joined
     # onto the packed rows, plus the composed NB-free gate chain's
     # scalar frames — every broadcast side is a single-row aggregate
