@@ -320,7 +320,67 @@ def ops(docs: DataFrame):
         "window_boundaries": lambda: _win_bounds(docs),
         "unigram_to_size": lambda: _to_size(docs),
         "bin_boundaries": lambda: _bin_bounds(docs),
+        # r14 rows (VERDICT r13 next #9): the rewritten retrieval /
+        # repetition / reweight shapes and the full curate->batches chain
+        "bm25_topk": lambda: _bm25(docs),
+        "hybrid_rrf": lambda: _hybrid(docs),
+        "repetition_chars": lambda: _repetition(docs),
+        "source_reweight": lambda: _src_reweight(docs),
+        "corpus_to_batches": lambda: _c2b(docs),
     }
+
+
+def _bm25(docs: DataFrame) -> DataFrame:
+    """bm25_topk post-r13/r14 rewrite: ONE corpus scan into the persisted
+    (id, dl, tf-vector) proxy, stats as literals, TakeOrdered top-k —
+    expected linear in the scan."""
+    from singer_spark.operators.text_analysis import bm25_topk
+
+    return bm25_topk(docs, ["join", "spark", "window"], k=20)
+
+
+def _hybrid(docs: DataFrame) -> DataFrame:
+    """hybrid_topk_rrf post-r14 fuse: ONE corpus scan computes the bm25
+    proxy (JVM) and the hash embedding (Arrow kernel) together —
+    expected linear in the scan, like each arm was separately."""
+    from singer_spark.operators.text_analysis import hybrid_topk_rrf
+
+    return hybrid_topk_rrf(docs, ["join", "spark", "window"], k=15)
+
+
+def _repetition(docs: DataFrame) -> DataFrame:
+    """repetition_signals post-r14 fused explode: one pass over the
+    cached tokenize emits all nine gram families into one aggregation —
+    expected linear in corpus tokens (the gram stream)."""
+    from singer_spark.operators.text_analysis import repetition_signals
+
+    return repetition_signals(docs)
+
+
+def _src_reweight(docs: DataFrame) -> DataFrame:
+    """One-step DoReMi post-r14 rollup+driver-step: the LM scoring pass
+    plus ONE rollup(source) — expected to track ngram_lm_score."""
+    from singer_spark.operators.text_analysis import source_reweight
+
+    return source_reweight(docs)
+
+
+def _c2b(docs: DataFrame) -> DataFrame:
+    """The full curate -> train -> encode -> pack chain (the
+    corpus_to_batches headliner's config, benchmark derived from the
+    corpus itself like the registry entry) — the suite's most expensive
+    query; expected ~linear (every stage is scan- or distinct-word-
+    proportional)."""
+    from singer_spark.curation import CurationConfig, corpus_to_batches
+
+    cfg = CurationConfig(lang="en", min_quality=0.5,
+                         repetition_screen=True, dedup="exact",
+                         decontaminate_k=8, decontaminate_mode="drop",
+                         split=True)
+    return corpus_to_batches(
+        docs, cfg, benchmark=docs.filter(F.col("doc_id") % 50 == 0),
+        train_split_only=True, max_len=256, max_multi=100,
+        max_piece_len=4, em_rounds=1, keep_ratio=0.6, max_word_len=16)
 
 
 def _bin_bounds(docs: DataFrame) -> DataFrame:
@@ -937,6 +997,14 @@ def main(sf_dir: str = "/root/testdata/sf0.1", max_k: int = 4,
             if make_ops is pair_ops:
                 pairs.setdefault(name, {})[k] = build().count()
             results.setdefault(name, {})[k] = statistics.median(ts)
+            # drop THIS op's registered caches before the next op runs:
+            # at 64x the heavyweight chains (corpus_to_batches, doremi)
+            # otherwise stack their persisted frames until the driver
+            # heap dies (r14: the 64x probe OOM'd exactly this way).
+            # release_cache_handles() drains only maybe_persist-
+            # registered frames — the probe's own docs.persist() stays.
+            from singer_spark.functions import release_cache_handles
+            release_cache_handles()
         docs.unpersist()
         clear_all_caches(spark)
     hdr = "operator".ljust(20) + "".join(f"  {k}x".rjust(8) for k in ks) + "   growth"
