@@ -2180,11 +2180,23 @@ def _ann_rerank_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     C, CB = ivfpq_train_model(emb, n_clusters=16, m=8, kc=16,
                               iters_coarse=1, iters_pq=1)
-    exact = l2_topk(emb, q, 5)
-    adc = ivfpq_ann_topk(emb, q, 5, nprobe=2, model=(C, CB))
-    rer = ivfpq_rerank_topk(emb, q, 5, rerank=25, nprobe=2, model=(C, CB))
+    # ONE encoded-corpus frame shared by all three compressed-index
+    # variants — unshared, each ivfpq_* call re-scanned the embeddings
+    # and re-ran the encode kernel (3 encode passes in the plan).
+    from singer_spark.functions import maybe_persist
+    from singer_spark.operators.similarity import ivfpq_encode
+
+    encoded = maybe_persist(ivfpq_encode(emb, (C, CB)), True)
+    # exact is consumed three times below (two recall semi-joins + the
+    # flattened compare column); persisted, the exact-L2 corpus pass
+    # runs once instead of three times.  The frame is queries x k rows.
+    exact = maybe_persist(l2_topk(emb, q, 5), True)
+    adc = ivfpq_ann_topk(emb, q, 5, nprobe=2, model=(C, CB),
+                         encoded=encoded)
+    rer = ivfpq_rerank_topk(emb, q, 5, rerank=25, nprobe=2, model=(C, CB),
+                            encoded=encoded)
     full = ivfpq_rerank_topk(emb, q, 5, rerank=n, nprobe=16,
-                             model=(C, CB))
+                             model=(C, CB), encoded=encoded)
 
     ex_pairs = exact.select("query_id", "neighbor_id")
     hits_adc = (adc.join(ex_pairs, ["query_id", "neighbor_id"], "left_semi")

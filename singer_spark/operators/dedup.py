@@ -948,9 +948,18 @@ def dedup_incremental_bloom(new_docs: DataFrame, seen: DataFrame,
         hit = (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
         return pd.Series(hit.all(axis=1))
 
-    sigs = (new_docs.select(F.col(id_col), F.md5(F.col(text_col)).alias(sig_col))
-            .withColumn("_maybe", might_contain(
-                F.array(*_bloom_position_cols(sig_col, num_bits, num_hashes)))))
+    from singer_spark.functions import maybe_persist
+
+    # Persisted: the maybe/not-maybe branches below are two consumers of
+    # this frame, and the optimizer additionally duplicates a UDF under
+    # a pushed filter on its output — unpersisted, the increment was
+    # scanned and Bloom-probed three times (probe pass, branch, union).
+    # The cache is (id, 32-char sig, bool) — narrow at any increment size.
+    sigs = maybe_persist(
+        new_docs.select(F.col(id_col), F.md5(F.col(text_col)).alias(sig_col))
+        .withColumn("_maybe", might_contain(
+            F.array(*_bloom_position_cols(sig_col, num_bits, num_hashes)))),
+        True)
     definitely_new = sigs.filter(~F.col("_maybe")).drop("_maybe")
     candidates = (sigs.filter(F.col("_maybe")).drop("_maybe")
                   .join(seen.select(sig_col), sig_col, "left_anti"))

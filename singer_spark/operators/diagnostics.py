@@ -112,10 +112,36 @@ def heavy_hitters(df: DataFrame, item_col: str, min_share: float = 0.01,
     items = df.select(F.col(item_col).cast("string").alias("item")) \
               .where(F.col(item_col).isNotNull())
 
-    candidates = (items.mapInPandas(mg_partition_kernel(m),
-                                    "item string, cnt long")
+    # The exact total rides the SAME Misra-Gries pass instead of its own
+    # corpus scan: each partition appends one NULL-item sentinel row
+    # carrying its exact row count (items are isNotNull-filtered above,
+    # so NULL cannot collide with a real item).  The bounded summary is
+    # persisted because candidates and totals both read it — 3 passes
+    # over the item stream (MG, count(*), recount) become 2 (MG+total,
+    # recount).
+    inner = mg_partition_kernel(m)
+
+    def mg_and_total(batches):
+        n = 0
+
+        def counted(bs):
+            nonlocal n
+            for pdf in bs:
+                n += len(pdf)
+                yield pdf
+
+        yield from inner(counted(batches))
+        yield pd.DataFrame({"item": pd.Series([None], dtype=object),
+                            "cnt": pd.Series([n], dtype="int64")})
+
+    from singer_spark.functions import maybe_persist
+
+    summary = maybe_persist(
+        items.mapInPandas(mg_and_total, "item string, cnt long"), True)
+    candidates = (summary.where(F.col("item").isNotNull())
                   .select("item").distinct())
-    totals = items.agg(F.count("*").alias("_total"))
+    totals = (summary.where(F.col("item").isNull())
+              .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_total")))
     return (
         items.join(F.broadcast(candidates), "item", "left_semi")
         .groupBy("item").agg(F.count("*").alias("n"))

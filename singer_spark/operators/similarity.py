@@ -136,7 +136,15 @@ def bucket_ids_udf(num_tables: int, num_planes: int, dim: int):
                 out[:, t] |= (acc > 0).astype(np.int64) << p
         return pd.Series(list(out))
 
-    return buckets
+    # The function is pure, but it is marked non-deterministic so the
+    # optimizer may not duplicate it: the posexplode over its result
+    # infers a size(bs)>0 filter, and pushing that filter below the
+    # fan_out exchange re-evaluates the whole hashing pass per row just
+    # to drop nothing (ArrowEvalPython appeared twice per side in the
+    # executed plan — at corpus scale that doubles the dominant kernel).
+    # Callers must keep the call in a Project (never inside a generator
+    # expression — non-deterministic generators fail analysis).
+    return buckets.asNondeterministic()
 
 
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
@@ -267,6 +275,12 @@ def _assign_to_centroids(corpus: DataFrame, C: "np.ndarray",
         V = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         cos = _seq_cosine_matrix(V, C)
         return pd.Series(np.argmax(cos, axis=1).astype("int64"))
+
+    # Pure, but marked non-deterministic: a downstream join on `cluster`
+    # infers isnotnull(cluster), and pushing that filter below the
+    # exchange duplicated this whole corpus-sized assignment pass
+    # (two ArrowEvalPython nodes in sim_ivf_ann's executed plan).
+    assign = assign.asNondeterministic()
 
     base = corpus if pre_fanned else fan_out(corpus)
     return base.select(
@@ -416,6 +430,11 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         # over the already-ascending cid order)
         order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype("int64")))
+
+    # Pure; non-deterministic marking stops the explode's inferred
+    # size(probes)>0 filter from duplicating the probe pass (§ the
+    # assign/buckets rationale above).
+    probe = probe.asNondeterministic()
 
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec"),
                        probe(F.col(vec_col)).alias("probes"))
@@ -960,6 +979,11 @@ def ivfpq_encode(corpus: DataFrame,
         return pd.DataFrame({"cell": cell.astype("int32"),
                              "codes": [row.astype("int32").tolist()
                                        for row in codes]})
+
+    # Pure; non-deterministic marking stops the downstream join's
+    # inferred isnotnull(_e) filter from duplicating the encode pass
+    # (two ArrowEvalPython nodes in sim_ivfpq_ann's executed plan).
+    encode = encode.asNondeterministic()
 
     return (fan_out(corpus)
             .select(F.col(id_col), encode(F.col(vec_col)).alias("_e"))
@@ -1874,11 +1898,22 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.95, dim: in
     tracks N instead of being a constant that a growing corpus outruns."""
     if num_planes is None:
         num_planes = auto_num_planes(corpus.count())
+    from singer_spark.functions import maybe_persist
+
     bucketer = bucket_ids_udf(num_tables, num_planes, dim)
-    hashed = fan_out(corpus).select(
+    # Two-step select: the bucketer is non-deterministic (see
+    # bucket_ids_udf), and a non-deterministic generator expression
+    # fails analysis — project `bs`, then explode the column.
+    # The pre-explode (id, vec, bs) frame is persisted because the
+    # bucket self-join below consumes `hashed` TWICE — without the
+    # cache each side re-scans the corpus and re-runs the hashing
+    # kernel (the signature_near_dup_pairs discipline; persisting
+    # BEFORE the explode keeps one vec copy per row, not num_tables).
+    base = maybe_persist(fan_out(corpus).select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("vec"),
-        F.posexplode(bucketer(F.col(vec_col))).alias("t", "b"),
-    )
+        bucketer(F.col(vec_col)).alias("bs"),
+    ), True)
+    hashed = base.select("id", "vec", F.posexplode("bs").alias("t", "b"))
     l, r = hashed.alias("l"), hashed.alias("r")
     pairs = (
         l.join(r, (F.col("l.t") == F.col("r.t")) & (F.col("l.b") == F.col("r.b"))

@@ -1994,10 +1994,17 @@ def token_drift(docs_a: DataFrame, docs_b: DataFrame, top_n: int = 50,
                 .groupBy("token").agg(F.count("*").alias(name)))
 
     ca, cb = counts(docs_a, "n_a"), counts(docs_b, "n_b")
-    joined = (ca.join(cb, "token", "full_outer")
-              .select("token",
-                      F.coalesce("n_a", F.lit(0)).alias("n_a"),
-                      F.coalesce("n_b", F.lit(0)).alias("n_b")))
+    # Persisted: `joined` is consumed twice (the totals aggregate and the
+    # report projection) — unpersisted, each consumer re-ran BOTH sides'
+    # corpus scan + explode + count (4 corpus scans instead of 2).  The
+    # cache is vocabulary-sized (token, n_a, n_b).
+    from singer_spark.functions import maybe_persist
+
+    joined = maybe_persist(
+        ca.join(cb, "token", "full_outer")
+        .select("token",
+                F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                F.coalesce("n_b", F.lit(0)).alias("n_b")), True)
     totals = joined.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
     fa = F.col("n_a") / F.col("_ta")
     fb = F.col("n_b") / F.col("_tb")

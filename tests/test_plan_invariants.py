@@ -659,3 +659,45 @@ def test_repetition_signals_single_scan(spark, sf_dir):
     plan = _plan(repetition_signals(docs))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "InMemoryTableScan" in plan
+
+
+def _python_eval_signatures(plan: str) -> "dict[str, int]":
+    """Count ArrowEvalPython/BatchEvalPython detail nodes per UDF call
+    signature (expression ids stripped) — each entry is one evaluation
+    of that UDF over its input in the executed plan."""
+    import re
+
+    calls = re.findall(
+        r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython)\s*\n"
+        r"Input[^\n]*\nArguments: \[([^\]]*)\]", plan)
+    out: dict[str, int] = {}
+    for args in calls:
+        key = re.sub(r"#\d+", "", args.split("], [")[0])
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def test_ann_kernels_evaluate_once_per_side(spark, sf_dir):
+    """The optimizer used to duplicate the ANN Arrow kernels: the
+    explode/join above each kernel infers a size(...)>0 / isnotnull
+    filter, and pushing it below the fan_out exchange re-evaluated the
+    whole pass (two ArrowEvalPython nodes per side — 2x the dominant
+    compute at corpus scale).  The kernels are marked non-deterministic
+    (r14) so the optimizer may not copy them; pin one evaluation per
+    input side so a refactor that drops the marking fails here."""
+    from singer_spark.operators.similarity import (ivf_ann_topk,
+                                                   lsh_ann_topk)
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    sigs = _python_eval_signatures(
+        _plan(lsh_ann_topk(emb, queries, k=5, num_planes=8)))
+    bucket_evals = [n for k, n in sigs.items() if k.startswith("buckets(")]
+    # one evaluation for the corpus side, one for the query side
+    assert bucket_evals and sum(bucket_evals) == 2, sigs
+
+    sigs = _python_eval_signatures(_plan(ivf_ann_topk(emb, queries, k=5)))
+    assert sum(n for k, n in sigs.items() if k.startswith("assign(")) == 1, sigs
+    assert sum(n for k, n in sigs.items() if k.startswith("probe(")) == 1, sigs
