@@ -2492,14 +2492,31 @@ def _join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     est = join_cardinality_estimate(ev, "user_id", cust, "c_custkey")
 
-    a_keys = ev.select(F.col("user_id").alias("k"))
-    b_keys = cust.select(F.col("c_custkey").alias("k"))
-    exact = (a_keys.agg(F.countDistinct("k").alias("exact_distinct_a"))
-             .crossJoin(b_keys.agg(F.countDistinct("k").alias("exact_distinct_b")))
-             .crossJoin(a_keys.distinct().join(b_keys.distinct(), "k")
-                        .agg(F.count("*").alias("exact_shared_keys")))
-             .crossJoin(ev.join(cust, ev.user_id == cust.c_custkey)
-                        .agg(F.count("*").alias("exact_join_rows"))))
+    # The exact side derives every statistic from ONE per-key count
+    # frame per input (NULL keys excluded up front — countDistinct and
+    # the equi-join both ignored them): distinct = frame row count,
+    # shared = key-join count, and the exact join cardinality is
+    # Σ n_a(k)·n_b(k) over shared keys — identically the row count of
+    # the physical join, without executing it.  Before, each statistic
+    # re-scanned the inputs (4 events scans + a full join whose rows
+    # were only counted).
+    from singer_spark.functions import maybe_persist
+
+    na = maybe_persist(
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count("*").alias("_na")), True)
+    nb = maybe_persist(
+        cust.where(F.col("c_custkey").isNotNull())
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count("*").alias("_nb")), True)
+    shared = na.join(nb, "k")
+    exact = (na.agg(F.count("*").alias("exact_distinct_a"))
+             .crossJoin(nb.agg(F.count("*").alias("exact_distinct_b")))
+             .crossJoin(shared.agg(F.count("*").alias("exact_shared_keys")))
+             .crossJoin(shared.agg(
+                 F.coalesce(F.sum(F.col("_na") * F.col("_nb")), F.lit(0))
+                 .cast("bigint").alias("exact_join_rows"))))
 
     def ok(est_col: str, exact_col: str, rel: float):
         ex = F.col(exact_col).cast("double")
@@ -2730,16 +2747,21 @@ def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     their exact-dup group — the keep/drop pipeline every corpus build runs.
     One pass computes (a)+(b) per doc; (c) adds one digest-keyed semi join."""
     from singer_spark.operators.dedup import dedup_exact
-    from singer_spark.operators.text_analysis import lang_id, quality_features
+    from singer_spark.operators.text_analysis import (lang_pred_col,
+                                                      quality_score_col)
 
     docs = _docs(spark, sf_dir)
-    lang = lang_id(docs).select("doc_id", "predicted_lang")
-    qual = quality_features(docs).select("doc_id", "quality_score")
+    # (a)+(b) ride the base projection (the r13 curate() inlining:
+    # lang_pred_col/quality_score_col are the SAME expressions lang_id /
+    # quality_features emit) — before, each feature frame re-scanned the
+    # corpus text and joined back by id: 4 corpus scans for a per-row
+    # filter.  (c) keeps its one digest-keyed pass.
+    feats = docs.select("doc_id", "source",
+                        lang_pred_col(F.col("text")).alias("predicted_lang"),
+                        quality_score_col(F.col("text")).alias("quality_score"))
     canonical = dedup_exact(docs).select("doc_id")
     return (
-        docs.select("doc_id", "source")
-        .join(lang, "doc_id")
-        .join(qual, "doc_id")
+        feats
         .join(canonical, "doc_id", "left_semi")
         .filter((F.col("predicted_lang") == "en") & (F.col("quality_score") >= 0.5))
         .select("doc_id", "source", "quality_score")
@@ -2755,20 +2777,27 @@ def _corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     One narrow pass per feature family + digest/id-keyed joins."""
     from singer_spark.operators.dedup import dedup_exact
     from singer_spark.operators.text_analysis import (
-        lang_id,
-        quality_features,
+        decontaminate,
+        lang_pred_col,
+        quality_score_col,
         repetition_features,
-        train_val_split,
+        split_cols,
     )
 
-    from singer_spark.operators.text_analysis import decontaminate
-
     docs = _docs(spark, sf_dir)
-    lang = lang_id(docs).select("doc_id", "predicted_lang")
-    qual = quality_features(docs).select("doc_id", "quality_score")
+    # Per-row gates (lang, quality, split) ride the base projection —
+    # the same expressions lang_id / quality_features / train_val_split
+    # emit (r13 curate() inlining); before, each was its own corpus scan
+    # joined back by id.  The set-valued gates (repetition grams,
+    # exact-dedup digests, decontamination k-grams) keep their own
+    # narrow passes.
+    _, split_expr = split_cols("doc_id")
+    feats = docs.select("doc_id", "source",
+                        lang_pred_col(F.col("text")).alias("predicted_lang"),
+                        quality_score_col(F.col("text")).alias("quality_score"),
+                        split_expr.alias("split"))
     rep = repetition_features(docs).filter(F.col("keep")).select("doc_id")
     canonical = dedup_exact(docs).select("doc_id")
-    split = train_val_split(docs).filter(F.col("split") == "train").select("doc_id")
     # decontamination gate: drop docs overlapping the benchmark slice
     # (every 50th doc stands in for the eval set; the benchmark docs
     # themselves are contaminated-by-definition and fall out too)
@@ -2776,14 +2805,13 @@ def _corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(~F.col("contaminated"))
              .select(F.col("id").alias("doc_id")))
     return (
-        docs.select("doc_id", "source")
-        .join(lang, "doc_id")
-        .join(qual, "doc_id")
+        feats
         .join(rep, "doc_id", "left_semi")
         .join(canonical, "doc_id", "left_semi")
-        .join(split, "doc_id", "left_semi")
         .join(clean, "doc_id", "left_semi")
-        .filter((F.col("predicted_lang") == "en") & (F.col("quality_score") >= 0.5))
+        .filter((F.col("predicted_lang") == "en")
+                & (F.col("quality_score") >= 0.5)
+                & (F.col("split") == "train"))
         .select("doc_id", "source", "quality_score")
         .orderBy("doc_id")
     )

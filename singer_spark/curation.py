@@ -859,21 +859,31 @@ def curation_funnel(docs: DataFrame, benchmark: "DataFrame | None" = None,
     id-keyed join chain plus ONE aggregation emitting every cumulative
     count, exploded into tidy stage rows.  Output: (stage_idx, stage,
     n_in, n_kept, n_dropped)."""
+    from singer_spark.functions import fan_out, maybe_persist
     from singer_spark.operators.dedup import dedup_exact
     from singer_spark.operators.text_analysis import (
         decontaminate,
-        lang_id,
-        quality_features,
+        lang_pred_col,
+        quality_score_col,
         repetition_features,
-        train_val_split,
+        split_cols,
     )
 
+    # The three per-row gates (lang, quality, split) ride ONE persisted
+    # flag projection — the same expressions lang_id / quality_features /
+    # train_val_split emit; before, each stage frame re-scanned the
+    # corpus text (r14).  The cache is (id, 3 booleans).
+    _, _split = split_cols(id_col)
+    flags = maybe_persist(fan_out(docs).select(
+        F.col(id_col),
+        (lang_pred_col(F.col(text_col)) == lang).alias("_lang"),
+        (quality_score_col(F.col(text_col)) >= float(min_quality))
+        .alias("_q"),
+        (_split == "train").alias("_s")), True)
+
     stages = [
-        ("lang", lang_id(docs, text_col, id_col)
-         .select(id_col, (F.col("predicted_lang") == lang).alias("flag"))),
-        ("quality", quality_features(docs, text_col, id_col)
-         .select(id_col, (F.col("quality_score") >= float(min_quality))
-                 .alias("flag"))),
+        ("lang", flags.select(id_col, F.col("_lang").alias("flag"))),
+        ("quality", flags.select(id_col, F.col("_q").alias("flag"))),
         ("repetition", repetition_features(docs, text_col, id_col)
          .select(id_col, F.col("keep").alias("flag"))),
         ("decontaminate",
@@ -885,8 +895,7 @@ def curation_funnel(docs: DataFrame, benchmark: "DataFrame | None" = None,
          else docs.select(id_col, F.lit(True).alias("flag"))),
         ("dedup_exact", dedup_exact(docs, text_col=text_col, id_col=id_col)
          .select(id_col, F.lit(True).alias("flag"))),
-        ("split_train", train_val_split(docs, id_col=id_col)
-         .select(id_col, (F.col("split") == "train").alias("flag"))),
+        ("split_train", flags.select(id_col, F.col("_s").alias("flag"))),
     ]
     return _funnel_from_stages(docs, stages, id_col)
 

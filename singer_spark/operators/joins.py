@@ -208,9 +208,16 @@ def fuzzy_join_qgram(df: DataFrame, text_col: str, id_col: str,
     grams_arr = F.transform(
         F.sequence(F.lit(1), F.length(text_col) - F.lit(q - 1)),
         lambda i: F.substring(F.col(text_col), i, q).alias("g"))
-    gram_rows = (df.select(F.col(id_col).alias("id"),
-                           F.posexplode(grams_arr).alias("pos", "gram"))
-                 .groupBy("id", "gram").agg(F.min("pos").alias("pos")))
+    from singer_spark.functions import maybe_persist
+
+    # Persisted: the rarity aggregate and the prefix ranking below are
+    # two consumers of this frame — unpersisted, each re-ran the gram
+    # explode over the input (r14; the frame is (id, gram, pos) rows,
+    # ~|string| per record).
+    gram_rows = maybe_persist(
+        df.select(F.col(id_col).alias("id"),
+                  F.posexplode(grams_arr).alias("pos", "gram"))
+        .groupBy("id", "gram").agg(F.min("pos").alias("pos")), True)
     # global rarity rank; ties broken by the gram itself for determinism
     rarity = (gram_rows.groupBy("gram").agg(F.count("*").alias("df_"))
               .select("gram", F.row_number().over(
@@ -226,6 +233,12 @@ def fuzzy_join_qgram(df: DataFrame, text_col: str, id_col: str,
                        f"(id "),
                  F.col("id").cast("string"),
                  F.lit(" has "), F.col("_n").cast("string"), F.lit(")")))
+    # NOT persisted (deliberately): the self-join's two sides re-run the
+    # rarity-join + windows, but both read the gram_rows CACHE above, so
+    # no input scan repeats — and the completeness guard keeps raising
+    # from a plain query, never from inside a cache materialization
+    # (where the exception surfaces wrapped differently and flaked the
+    # guard's pytest under the full suite).
     ranked = (gram_rows.join(F.broadcast(rarity), "gram")
               .withColumn("_n", F.count("*").over(Window.partitionBy("id")))
               .withColumn("_rn", F.row_number().over(

@@ -324,35 +324,47 @@ def repetition_features(docs: DataFrame, text_col: str = "text", id_col: str = "
     - keep             passes the thresholds (top_2gram_frac ≤ top2_max AND
                        dup_3gram_frac ≤ dup3_max)
 
-    The n-gram stats use one explode → (id, gram) partial count → per-doc
-    agg per width: two map-side-combined shuffles of counted grams, the same
-    shape as n-gram blocking — linear in corpus tokens at any scale."""
+    The n-gram stats ride ONE explode over both widths — each gram is
+    tagged with its k, one (id, k, gram) partial count, one per-(id, k)
+    agg, one per-id assembly (r14: the per-width explodes each re-scanned
+    the corpus — 3 scans + 2 joins became 1 scan + 0 joins; the per-row
+    dup_token_frac rides the same pass).  Map-side-combined shuffles of
+    counted grams, the same shape as n-gram blocking — linear in corpus
+    tokens at any scale."""
     from singer_spark.functions import fan_out
 
     base = fan_out(docs)
     c = F.col(text_col)
     toks = _tokens(c)
     dup_tok = 1 - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
-    out = base.select(F.col(id_col), qround(dup_tok, 4).alias("dup_token_frac"))
 
-    def gram_stats(k: int, with_top: bool) -> DataFrame:
+    def gram_arr(k: int):
         grams = F.when(F.size(toks) >= k, kgram_join_col(toks, k, " ")) \
                  .otherwise(F.array(F.array_join(toks, " ")))
-        per = (base.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
-               .groupBy("id", "g").agg(F.count("*").alias("n")))
-        aggs = [F.sum("n").alias("total"), F.count("*").alias("n_distinct")]
-        if with_top:
-            aggs.append(F.max("n").alias("top"))
-        stats = per.groupBy("id").agg(*aggs)
-        cols = [F.col("id").alias(id_col),
-                qround(1 - F.col("n_distinct") / F.col("total"), 4).alias(f"dup_{k}gram_frac")]
-        if with_top:
-            cols.append(qround(F.col("top") / F.col("total"), 4).alias(f"top_{k}gram_frac"))
-        return stats.select(*cols)
+        return F.transform(grams, lambda g: F.struct(
+            F.lit(k).alias("k"), g.alias("g")))
 
-    out = out.join(gram_stats(2, with_top=True), id_col).join(gram_stats(3, with_top=False), id_col)
+    per = (base.select(F.col(id_col).alias("id"),
+                       qround(dup_tok, 4).alias("_dt"),
+                       F.explode(F.concat(gram_arr(2), gram_arr(3))).alias("kg"))
+           .groupBy("id", F.col("kg.k").alias("k"), F.col("kg.g").alias("g"))
+           .agg(F.count("*").alias("n"), F.max("_dt").alias("_dt")))
+    stats = (per.groupBy("id", "k")
+             .agg(F.sum("n").alias("total"), F.count("*").alias("n_distinct"),
+                  F.max("n").alias("top"), F.max("_dt").alias("_dt")))
+    row = (stats.groupBy("id").agg(
+        F.max("_dt").alias("dup_token_frac"),
+        F.max(F.when(F.col("k") == 2, qround(
+            1 - F.col("n_distinct") / F.col("total"), 4)))
+        .alias("dup_2gram_frac"),
+        F.max(F.when(F.col("k") == 2, qround(
+            F.col("top") / F.col("total"), 4))).alias("top_2gram_frac"),
+        F.max(F.when(F.col("k") == 3, qround(
+            1 - F.col("n_distinct") / F.col("total"), 4)))
+        .alias("dup_3gram_frac")))
     keep = (F.col("top_2gram_frac") <= top2_max) & (F.col("dup_3gram_frac") <= dup3_max)
-    return out.select(id_col, "dup_token_frac", "dup_2gram_frac", "top_2gram_frac",
+    return row.select(F.col("id").alias(id_col), "dup_token_frac",
+                      "dup_2gram_frac", "top_2gram_frac",
                       "dup_3gram_frac", keep.alias("keep"))
 
 
@@ -609,28 +621,31 @@ def source_dataset_card(docs: DataFrame, text_col: str = "text",
     digest group — cross-source duplication is charged to the copy's
     source, which is the side a mixture decision cares about).
 
-    One corpus scan per component pass, all joins on id, aggregation by
-    source; every emitted number is qround-quantized or an exact count,
-    so a plain-SQL oracle nests the quality and lang-id replays and
-    value-matches.
+    ONE corpus scan: every per-row component (token count, quality
+    score, predicted language, text digest) rides the base projection —
+    the same expressions quality_features / lang_id emit (r14: the
+    component frames each re-scanned the corpus and joined back by id,
+    4 scans for per-row values); the dup flag is the one digest-keyed
+    window over the same frame.  Every emitted number is
+    qround-quantized or an exact count, so a plain-SQL oracle nests the
+    quality and lang-id replays and value-matches.
 
     Output: (source, n_docs, n_tokens, mean_quality, lang_frac,
     exact_dup_frac) ordered by source."""
     from pyspark.sql.window import Window
 
-    q = quality_features(docs, text_col, id_col) \
-        .select(F.col(id_col).alias("_id"), "n_tokens", "quality_score")
-    lang = lang_id(docs, text_col, id_col) \
-        .select(F.col(id_col).alias("_id"), "predicted_lang")
-    dup = (docs.select(F.col(id_col).alias("_id"),
-                       F.md5(F.col(text_col)).alias("_sig"))
-           .withColumn("_canon",
-                       F.min("_id").over(Window.partitionBy("_sig")))
-           .select("_id", (F.col("_id") != F.col("_canon"))
-                   .cast("int").alias("_is_dup")))
-    j = (docs.select(F.col(id_col).alias("_id"),
-                     F.col(source_col).alias("source"))
-         .join(q, "_id").join(lang, "_id").join(dup, "_id"))
+    c = F.col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("source"),
+        F.size(_tokens(c)).cast("int").alias("n_tokens"),
+        quality_score_col(c).alias("quality_score"),
+        lang_pred_col(c).alias("predicted_lang"),
+        F.md5(c).alias("_sig"))
+    j = (base.withColumn("_canon",
+                         F.min("_id").over(Window.partitionBy("_sig")))
+         .withColumn("_is_dup",
+                     (F.col("_id") != F.col("_canon")).cast("int")))
     n = F.count("*")
     return (j.groupBy("source")
             .agg(n.cast("long").alias("n_docs"),
